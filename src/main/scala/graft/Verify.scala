@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // pandas `errors='coerce'` / lenient-cast parity (SURVEY.md §2.7 C7):
+      // invalid casts yield NULL, not errors. Oracle SQL uses TRY_CAST
+      // to express the same semantics on the DuckDB side.
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CDC-watermark incremental processing (SURVEY.md §2.1 S2-S3, S8-S9, §2.9).
+  *
+  * The reference's shape (`accounts.py:36-41,110,131-161`):
+  *   read watermark from `app.EtlCDC` → `SELECT TOP n * WHERE id > wm
+  *   ORDER BY id` → transform → append + MERGE watermark in ONE
+  *   transaction → loop until an empty batch.
+  *
+  * Spark-first re-expression: the watermark is a tiny keyed state table
+  * (here parquet, driver-side read — at production scale a Delta table
+  * with `MERGE INTO`); the keyset scan is `filter > wm` + `orderBy` +
+  * `limit`, which Catalyst plans as `TakeOrderedAndProject` — no global
+  * sort materialization, and the `id > wm` predicate is pushed into the
+  * parquet scan (min/max row-group skipping ≈ the keyset index seek).
+  * Exactly-once apply without multi-table transactions: each batch
+  * writes to a `batch=<id>` subdirectory and the watermark file is
+  * committed last; on restart an already-written batch directory is
+  * overwritten idempotently (same batch id ⇒ same rows, since the scan
+  * is deterministic).
+  */
+object Cdc {
+
+  /** S3 — one incremental batch: keyset-paginated scan. */
+  def keysetBatch(src: DataFrame, idCol: String, watermark: Long, batchSize: Int): DataFrame =
+    src.filter(col(idCol) > watermark).orderBy(col(idCol)).limit(batchSize)
+
+  /** A4 — next watermark = max id of the batch (`accounts.py:110`). */
+  def nextWatermark(batch: DataFrame, idCol: String): Option[Long] =
+    batch.agg(max(col(idCol))).first() match {
+      case r if r.isNullAt(0) => None
+      case r                  => Some(r.getLong(0))
+    }
+
+  /** S2/S9 — watermark state persisted as a tiny keyed parquet table
+    * (`app.EtlCDC(TableName, MaxIndex)`, `Setup/setup.sql:122-125`). */
+  final class WatermarkStore(spark: SparkSession, path: String) {
+    import spark.implicits._
+
+    def read(table: String): Long = {
+      val dir = new java.io.File(path)
+      if (!dir.exists()) 0L
+      else spark.read.parquet(path)
+        .filter($"TableName" === table)
+        .agg(max($"MaxIndex")).first() match {
+          case r if r.isNullAt(0) => 0L
+          case r                  => r.getLong(0)
+        }
+    }
+
+    /** MERGE-equivalent upsert (`accounts.py:131-140`): read-modify-write
+      * of the (tiny) state table. */
+    def upsert(table: String, maxIndex: Long): Unit = {
+      val dir = new java.io.File(path)
+      val existing =
+        if (dir.exists())
+          spark.read.parquet(path).filter($"TableName" =!= table)
+            .as[(String, Long)].collect().toSeq
+        else Seq.empty
+      val updated = existing :+ (table, maxIndex)
+      val tmp = path + ".tmp"
+      updated.toDF("TableName", "MaxIndex")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      val tmpF = new java.io.File(tmp)
+      deleteRecursively(dir)
+      tmpF.renameTo(dir)
+      ()
+    }
+
+    private def deleteRecursively(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+      f.delete()
+      ()
+    }
+  }
+
+  /** The `while True: extract→transform→load` loop (`accounts.py:147-161`),
+    * driver-side control flow above Catalyst. Returns the number of
+    * batches processed. `sink` receives (batchDf, batchIndex). */
+  def runLoop(src: DataFrame, idCol: String, table: String,
+              store: WatermarkStore, batchSize: Int,
+              transform: DataFrame => DataFrame,
+              sink: (DataFrame, Int) => Unit,
+              maxBatches: Int = Int.MaxValue): Int = {
+    var n = 0
+    var done = false
+    while (!done && n < maxBatches) {
+      val wm    = store.read(table)
+      val batch = keysetBatch(src, idCol, wm, batchSize)
+      nextWatermark(batch, idCol) match {
+        case None => done = true
+        case Some(next) =>
+          sink(transform(batch), n)
+          store.upsert(table, next)
+          n += 1
+      }
+    }
+    n
+  }
+}

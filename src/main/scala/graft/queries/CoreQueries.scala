@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops._
+
+/** Core relational operator queries (SURVEY.md §2.1-2.5) over the
+  * testdata star schema, each paired with an ANSI-SQL oracle in
+  * [[CoreQueries.oracle]].
+  *
+  * Determinism rules (driver hash-compares against DuckDB):
+  *  - double *sums* go through DECIMAL(18,6) (order-independent);
+  *    per-row double arithmetic is IEEE-identical across engines.
+  *  - every `limit` is preceded by a total-order `orderBy` on a key;
+  *  - window ranks always carry a unique tiebreaker.
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // S2/S3/D4 — CDC keyset-paginated batch: predicate pushdown gives
+    // parquet row-group skipping; limit+orderBy plans as
+    // TakeOrderedAndProject (no global sort materialization).
+    "s3_keyset_scan" -> ((s, d) => {
+      Cdc.keysetBatch(Tables.events(s, d), "event_id", watermark = 500L, batchSize = 200)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+    }),
+
+    // A4 — scalar max watermark (`accounts.py:110`).
+    "a4_scalar_max" -> ((s, d) =>
+      Tables.events(s, d).agg(max(col("event_id")).as("max_id"))),
+
+    // P1/P2/P3 — projection + bulk rename + drop (`accounts.py:54-69`).
+    "p2_project_rename" -> ((s, d) => {
+      Tables.customer(s, d)
+        .withColumnsRenamed(Map(
+          "c_custkey" -> "old_custkey", "c_name" -> "full_name",
+          "c_acctbal" -> "balance", "c_mktsegment" -> "segment"))
+        .select("old_custkey", "full_name", "balance", "segment")
+    }),
+
+    // F1/F2/F3 — null / value / negative-key filters (`items.py:91`,
+    // `categories.py:45`, `countries.py:310`).
+    "f2_filters" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_size").isNotNull && col("p_size") =!= 30 &&
+          length(col("p_type")) > 5 && col("p_partkey") =!= 2400)
+        .select("p_partkey", "p_name", "p_size", "p_type")
+    }),
+
+    // J1 — FK-remap left join, broadcast dim (`orders.py:120-140`).
+    "j1_fk_remap" -> ((s, d) => {
+      val dim = Tables.part(s, d)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"), col("p_type"))
+      FkRemap.remap(
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_partkey"),
+        dim, Seq("l_partkey"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "p_brand", "p_type")
+    }),
+
+    // J2 — composite-key join against a pre-aggregation (`items.py:121`).
+    "j2_multikey_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val grp = li.groupBy("l_orderkey", "l_partkey")
+        .agg(Repair.decSum(col("l_quantity")).as("grp_qty"))
+      li.select("l_orderkey", "l_partkey", "l_linenumber")
+        .join(grp, Seq("l_orderkey", "l_partkey"))
+        .select("l_orderkey", "l_partkey", "l_linenumber", "grp_qty")
+    }),
+
+    // J9 — semi-join (IN-list pushdown, `fks_mapper.py:17-19`).
+    "j9_semi_join" -> ((s, d) => {
+      FkRemap.semi(Tables.part(s, d),
+        Tables.lineitem(s, d).select(col("l_partkey").as("p_partkey")),
+        Seq("p_partkey"))
+        .select("p_partkey", "p_name")
+    }),
+
+    // J6 — anti-join "not already loaded" (`items.py:140-147`): parts
+    // never referenced by a high-discount lineitem.
+    "j6_anti_join" -> ((s, d) => {
+      FkRemap.anti(Tables.part(s, d),
+        Tables.lineitem(s, d).filter(col("l_discount") > 0.08)
+          .select(col("l_partkey").as("p_partkey")),
+        Seq("p_partkey"))
+        .select("p_partkey", "p_name", "p_brand")
+    }),
+
+    // J4 — right outer join (`sync_units.py:64`, `locations.py:121`).
+    "j4_right_join" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      val nat = Tables.nation(s, d)
+      sup.join(nat, col("s_nationkey") === col("n_nationkey"), "right")
+        .select(col("n_nationkey"), col("n_name"), col("s_suppkey"), col("s_name"))
+    }),
+
+    // J5 — cross join (`account_payment.py:53`).
+    "j5_cross_join" -> ((s, d) => {
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+    }),
+
+    // S7/J7 — multiway join with one dim joined twice under aliases
+    // (`roles.py:49-65`; `stock_transfers.py:73-80`). Dims broadcast;
+    // the only shuffles are fact⋈fact on their join keys.
+    "j7_double_dim_join" -> ((s, d) => {
+      val li   = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_suppkey",
+        "l_extendedprice", "l_discount")
+      val ord  = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val sup  = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val natC = Tables.nation(s, d).select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))
+      val natS = Tables.nation(s, d).select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("cust_nation"),
+          col("supp_nation"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    }),
+
+    // A1/A2 — group-by with per-column agg map: sum for measures, max
+    // for DiscountPercent (`orders.py:56-59`).
+    "a1_agg_map" -> ((s, d) => {
+      Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(Repair.decSum(col("l_quantity")).as("sum_qty"),
+          max(col("l_discount")).as("max_disc"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // A1/C14/A6 — flagship pricing-summary rollup (TPC-H Q1 shape):
+    // partial aggregation map-side, one shuffle on the two group keys.
+    "q1_pricing_summary" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Repair.decSum(col("l_quantity")).as("sum_qty"),
+          Repair.decSum(col("l_extendedprice")).as("sum_base_price"),
+          Repair.decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          Repair.decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))).as("sum_charge"),
+          Repair.decAvg(col("l_quantity")).as("avg_qty"),
+          Repair.decAvg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // A5 — referential-integrity count (`orders.py:121-133`): unresolved
+    // FKs after remap against a deliberately holed dimension.
+    "a5_integrity_count" -> ((s, d) => {
+      val dim = Tables.part(s, d).filter(col("p_partkey") % 7 =!= 0)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      val joined = FkRemap.remap(
+        Tables.lineitem(s, d).select("l_orderkey", "l_partkey"), dim, Seq("l_partkey"))
+      FkRemap.integrityReport(joined, col("p_brand"), "lineitem->part")
+    }),
+
+    // D1 — deterministic top-1-per-group dedup window (`items.py:149-155`).
+    "d1_dedup_top1" -> ((s, d) => {
+      Dedup.topPerGroup(Tables.part(s, d), Seq("p_brand"),
+        Seq(col("p_retailprice").desc, col("p_partkey").asc))
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    }),
+
+    // D3/D4 — global sort + top-N (`accounts.py:44` TOP n ORDER BY id).
+    "d4_topn" -> ((s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(50)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s3_keyset_scan" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |WHERE event_id > 500 ORDER BY event_id LIMIT 200""".stripMargin,
+    "a4_scalar_max" ->
+      "SELECT max(event_id) AS max_id FROM events",
+    "p2_project_rename" ->
+      """SELECT c_custkey AS old_custkey, c_name AS full_name,
+        |c_acctbal AS balance, c_mktsegment AS segment FROM customer""".stripMargin,
+    "f2_filters" ->
+      """SELECT p_partkey, p_name, p_size, p_type FROM part
+        |WHERE p_size IS NOT NULL AND p_size <> 30
+        |AND length(p_type) > 5 AND p_partkey <> 2400""".stripMargin,
+    "j1_fk_remap" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_brand, p.p_type
+        |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin,
+    "j2_multikey_join" ->
+      """WITH grp AS (
+        |  SELECT l_orderkey, l_partkey,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS grp_qty
+        |  FROM lineitem GROUP BY l_orderkey, l_partkey)
+        |SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, g.grp_qty
+        |FROM lineitem l JOIN grp g
+        |  ON l.l_orderkey = g.l_orderkey AND l.l_partkey = g.l_partkey""".stripMargin,
+    "j9_semi_join" ->
+      """SELECT p_partkey, p_name FROM part p
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)""".stripMargin,
+    "j6_anti_join" ->
+      """SELECT p_partkey, p_name, p_brand FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_partkey = p.p_partkey AND l.l_discount > 0.08)""".stripMargin,
+    "j4_right_join" ->
+      """SELECT n.n_nationkey, n.n_name, s.s_suppkey, s.s_name
+        |FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey""".stripMargin,
+    "j5_cross_join" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation""".stripMargin,
+    "j7_double_dim_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |  nc.n_name AS cust_nation, ns.n_name AS supp_nation,
+        |  l.l_extendedprice * (1 - l.l_discount) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier su ON l.l_suppkey = su.s_suppkey
+        |JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        |JOIN nation ns ON su.s_nationkey = ns.n_nationkey""".stripMargin,
+    "a1_agg_map" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  max(l_discount) AS max_disc, count(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "a5_integrity_count" ->
+      """SELECT 'lineitem->part' AS check_name, count(CASE WHEN p.p_brand IS NULL THEN 1 END) AS missing,
+        |  count(*) AS total
+        |FROM lineitem l LEFT JOIN (SELECT p_partkey, p_brand FROM part WHERE p_partkey % 7 <> 0) p
+        |  ON l.l_partkey = p.p_partkey""".stripMargin,
+    "d1_dedup_top1" ->
+      """SELECT p_brand, p_partkey, p_name, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+        |  FROM part) t WHERE rn = 1""".stripMargin,
+    "d4_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""".stripMargin
+  )
+}
