@@ -19,8 +19,8 @@ object SparkEntry {
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries
+    CoreQueries.queries ++ CleanseQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle
+    CoreQueries.oracle ++ CleanseQueries.oracle
 }
