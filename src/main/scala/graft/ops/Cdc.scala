@@ -37,16 +37,20 @@ object Cdc {
 
   /** S2/S9 — watermark state persisted as a tiny keyed parquet table
     * (`app.EtlCDC(TableName, MaxIndex)`, `Setup/setup.sql:122-125`). */
-  final class WatermarkStore(spark: SparkSession, path: String) {
+  /** @param initial watermark when no state exists yet. The reference
+    *   uses 0 (`ISNULL(MaxIndex,0)`, ids start at 1); testdata ids
+    *   start at 0, so callers there pass -1 — the scan is exclusive
+    *   (`id > wm`). */
+  final class WatermarkStore(spark: SparkSession, path: String, initial: Long = 0L) {
     import spark.implicits._
 
     def read(table: String): Long = {
       val dir = new java.io.File(path)
-      if (!dir.exists()) 0L
+      if (!dir.exists()) initial
       else spark.read.parquet(path)
         .filter($"TableName" === table)
         .agg(max($"MaxIndex")).first() match {
-          case r if r.isNullAt(0) => 0L
+          case r if r.isNullAt(0) => initial
           case r                  => r.getLong(0)
         }
     }

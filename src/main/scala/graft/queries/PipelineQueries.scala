@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import graft.Tables
+import graft.ops._
+
+/** Composite end-to-end pipelines (SURVEY.md §3 E1-E3) re-expressed
+  * Spark-first over the testdata star schema, plus the CDC batch-loop
+  * equivalence query and the event-time bucket aggregation that the
+  * streaming module mirrors.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // E2 — the orders pipeline (`orders.py:40-149`): lineitem
+    // pre-aggregation (partial agg map-side) → left joins → fillna →
+    // recode → derived measures → broadcast FK remap. One shuffle for
+    // the preagg, one for the orders⋈preagg join (AQE may broadcast);
+    // customer/nation dims broadcast explicitly.
+    "e2_orders_pipeline" -> ((s, d) => {
+      val o  = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val preagg = li.groupBy("l_orderkey").agg(
+        Repair.decSum(col("l_extendedprice")).as("item_total0"),
+        Repair.decSum(col("l_extendedprice") * col("l_discount"))
+          .as("item_discount_total0"),
+        max(col("l_discount")).as("max_discount0"))
+      val cust = Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey")
+      val nat  = Tables.nation(s, d).select("n_nationkey", "n_name")
+      val joined = o
+        .join(preagg, col("o_orderkey") === col("l_orderkey"), "left")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"), "left")
+      val itemTotal = Repair.fillConst(col("item_total0"), 0.0)
+      val itemDisc  = Repair.fillConst(col("item_discount_total0"), 0.0)
+      joined.select(
+        col("o_orderkey"),
+        Recode.recodeStrictInt(col("o_orderstatus"),
+          Map("O" -> 0, "F" -> 1, "P" -> 2)).as("status_code"),
+        itemTotal.as("item_total"),
+        itemDisc.as("item_discount_total"),
+        Repair.fillConst(col("max_discount0"), 0.0).as("max_discount"),
+        (col("o_totalprice") - (itemTotal - itemDisc)).as("amount_due"),
+        col("o_totalprice").cast("decimal(18,2)").cast(StringType).as("total_dec"),
+        col("c_name"), col("n_name"))
+    }),
+
+    // E3 — the locations nested-JSON build (`locations.py:57-182`):
+    // parent cleanse + child-table aggregation to a JSON array column,
+    // left-joined back (parents without children keep NULL, as pandas
+    // leaves NA). Child arrays ordered by child key for determinism.
+    "e3_customer_nested" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val o    = Tables.orders(s, d)
+      val item = concat(lit("{\"id\":"), col("o_orderkey"),
+        lit(",\"tp\":\""), col("o_totalprice").cast("decimal(18,2)").cast(StringType),
+        lit("\",\"st\":\""), col("o_orderstatus"), lit("\"}"))
+      val ordersJson = o
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), item.as("item"))
+        .groupBy("o_custkey")
+        .agg(
+          concat(lit("["),
+            array_join(transform(
+              sort_array(collect_list(struct(col("o_orderkey"), col("item")))),
+              x => x.getField("item")), ","),
+            lit("]")).as("orders_json"),
+          count(lit(1)).as("order_count"),
+          min(col("o_orderdate")).cast("date").cast(StringType).as("first_order"))
+      cust.join(ordersJson, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          Cleanse.stripToNull(col("c_name")).as("name_clean"),
+          col("orders_json"),
+          Repair.fillConst(col("order_count"), 0L).as("order_count"),
+          col("first_order"))
+    }),
+
+    // S2/S3/S8/S9 loop — the `while True: extract→transform→load` CDC
+    // loop (`accounts.py:147-161`) run to completion in keyset batches
+    // with a persisted watermark store and per-batch append sink; the
+    // oracle is the loop-invariant single-shot transform of the whole
+    // table (incremental == batch equivalence).
+    "s8_cdc_loop" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_cdc_").toString
+      val store  = new Cdc.WatermarkStore(s, s"$base/wm", initial = -1L)
+      val outDir = s"$base/out"
+      val transform = (df: DataFrame) => df.select(
+        col("event_id"), col("user_id"),
+        upper(col("event_type")).as("event_type_u"),
+        (col("value") * 2).as("value2"))
+      Cdc.runLoop(ev, "event_id", "events", store, batchSize = 997,
+        transform,
+        (batch, i) => batch.write.mode(SaveMode.Overwrite)
+          .parquet(s"$outDir/batch=$i"))
+      s.read.parquet(outDir)
+        .select("event_id", "user_id", "event_type_u", "value2")
+    }),
+
+    // Event-time tumbling-window aggregation — batch form of the
+    // Structured Streaming query in `graft.streaming` (SURVEY §2.9:
+    // the reference's poll loop is hand-rolled micro-batching; this is
+    // the Spark-native windowed equivalent).
+    "st1_time_bucket" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("bucket_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          Repair.decSum(col("value")).as("sum_value"))
+        .select("bucket_start", "event_type", "n", "sum_value")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e2_orders_pipeline" ->
+      """WITH preagg AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS item_total0,
+        |    CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS item_discount_total0,
+        |    max(l_discount) AS max_discount0
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT o.o_orderkey,
+        |  CASE o.o_orderstatus WHEN 'O' THEN 0 WHEN 'F' THEN 1 WHEN 'P' THEN 2 END AS status_code,
+        |  coalesce(p.item_total0, 0.0) AS item_total,
+        |  coalesce(p.item_discount_total0, 0.0) AS item_discount_total,
+        |  coalesce(p.max_discount0, 0.0) AS max_discount,
+        |  o.o_totalprice - (coalesce(p.item_total0, 0.0) - coalesce(p.item_discount_total0, 0.0)) AS amount_due,
+        |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total_dec,
+        |  c.c_name, n.n_name
+        |FROM orders o
+        |LEFT JOIN preagg p ON o.o_orderkey = p.l_orderkey
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
+    "e3_customer_nested" ->
+      """WITH oj AS (
+        |  SELECT o_custkey,
+        |    '[' || string_agg('{"id":' || o_orderkey || ',"tp":"' ||
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '","st":"' ||
+        |        o_orderstatus || '"}', ',' ORDER BY o_orderkey) || ']' AS orders_json,
+        |    count(*) AS order_count,
+        |    CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS first_order
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c.c_custkey,
+        |  CASE WHEN trim(c.c_name) = '' THEN NULL ELSE trim(c.c_name) END AS name_clean,
+        |  oj.orders_json, coalesce(oj.order_count, 0) AS order_count, oj.first_order
+        |FROM customer c LEFT JOIN oj ON c.c_custkey = oj.o_custkey""".stripMargin,
+    "s8_cdc_loop" ->
+      """SELECT event_id, user_id, upper(event_type) AS event_type_u,
+        |  value * 2 AS value2 FROM events""".stripMargin,
+    "st1_time_bucket" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.9).
+  *
+  * The reference has no true streaming — its `while True` poll loop
+  * (`accounts.py:147-161`) is hand-rolled micro-batching, which
+  * [[graft.ops.Cdc.runLoop]] reproduces batch-side. This module is the
+  * Spark-native streaming expression of the same workloads: the
+  * windowed aggregation here is the `readStream` form of the
+  * `st1_time_bucket` batch query (same plan shape, same results on a
+  * bounded input), plus watermarked dedup and custom keyed state —
+  * the three primitives a CDC feed at scale actually needs.
+  */
+object EventStreams {
+
+  /** Event-time tumbling window aggregation with a late-data watermark.
+    * Works identically over `readStream` and batch DataFrames. */
+  def windowedAgg(events: DataFrame, window_ : String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      // group on the `window` column itself — grouping on a projection
+      // of it (e.g. window(...).getField("start")) severs the
+      // watermark↔window linkage and append mode is then rejected.
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window").getField("start").as("bucket_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Watermarked exactly-once dedup by event id — the streaming
+    * analogue of the idempotent-append protocol in [[graft.ops.Cdc]]. */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via `mapGroupsWithState`: per-user running
+    * totals across micro-batches (the stateful generalization of the
+    * reference's per-table watermark). Update-mode output. */
+  def runningTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserRunning(user, n, v)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+class OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("topPerGroup is deterministic under ties (items.py:149-155 as window)") {
+    val df = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 4.0),
+      ("b", 4L, 1.0)
+    ).toDF("k", "id", "score")
+    val got = Dedup.topPerGroup(df, Seq("k"),
+      Seq(col("score").desc, col("id").asc))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 1L), ("b", 4L)))
+  }
+
+  test("assertResolved aborts the batch on unresolved FKs (custom_err.py)") {
+    val fact = Seq((1L, Some("x")), (2L, None)).toDF("id", "resolved")
+    val e = intercept[IncrementalDependencyException] {
+      FkRemap.assertResolved(fact, "resolved", "dim")
+    }
+    assert(e.getMessage.contains("Missing resolved: 1"))
+    // fully resolved passes through
+    val ok = Seq((1L, Some("x"))).toDF("id", "resolved")
+    assert(FkRemap.assertResolved(ok, "resolved", "dim").count() == 1)
+  }
+
+  test("anti/semi joins partition the fact set") {
+    val fact = Seq(1L, 2L, 3L).toDF("k")
+    val dim  = Seq(2L, 3L).toDF("k")
+    assert(FkRemap.semi(fact, dim, Seq("k")).count() == 2)
+    assert(FkRemap.anti(fact, dim, Seq("k")).count() == 1)
+  }
+
+  test("melt produces EAV rows (location_settings.py:89-93)") {
+    val wide = Seq((1L, 10.0, 20.0)).toDF("id", "a", "b")
+    val got = Reshape.melt(wide, Seq("id"), Seq("a", "b"))
+      .orderBy("key").collect().map(r => (r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("a", 10.0), ("b", 20.0)))
+  }
+
+  test("jsonAgg emits sorted, non-ASCII-preserving JSON (locations.py:162-166)") {
+    val child = Seq((1L, 2L, "مرحبا"), (1L, 1L, "x")).toDF("pid", "cid", "name")
+    val got = Reshape.jsonAgg(child, Seq("pid"),
+      Seq(col("cid"), col("name")), "j").first().getString(1)
+    assert(got == """[{"cid":1,"name":"x"},{"cid":2,"name":"مرحبا"}]""")
+  }
+
+  test("CDC loop: incremental batches reproduce the one-shot result and resume from state") {
+    val tmp = java.nio.file.Files.createTempDirectory("cdc_spec_").toString
+    val src = (1L to 100L).map(i => (i, i * 2)).toDF("id", "v")
+    val store = new Cdc.WatermarkStore(spark, s"$tmp/wm")
+    var batches = 0
+    val n = Cdc.runLoop(src, "id", "t", store, batchSize = 17,
+      df => df, (b, i) => {
+        batches += 1
+        b.write.mode("overwrite").parquet(s"$tmp/out/batch=$i")
+      })
+    assert(n == 6 && batches == 6) // ceil(100/17)
+    assert(store.read("t") == 100L)
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() == 100)
+    assert(out.agg(sum("v")).first().getLong(0) == (1L to 100L).map(_ * 2).sum)
+    // resume: watermark exhausted → zero further batches
+    assert(Cdc.runLoop(src, "id", "t", store, 17, df => df, (_, _) => fail()) == 0)
+  }
+}

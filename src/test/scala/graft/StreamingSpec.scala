@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rows = Seq(
+    // (event_id, ts, event_type, value)
+    (1L, "2024-01-01 00:10:00", "click", 1.0),
+    (2L, "2024-01-01 00:40:00", "click", 2.0),
+    (3L, "2024-01-01 01:05:00", "view", 3.0),
+    (4L, "2024-01-01 01:30:00", "click", 4.0))
+
+  private def toDf(s: Seq[(Long, String, String, Double)]) =
+    s.toDF("event_id", "ts_s", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+
+  test("streaming windowedAgg over MemoryStream == batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Double)]
+    val streamed = EventStreams.windowedAgg(
+      mem.toDF().toDF("event_id", "ts_s", "event_type", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s"))
+    val q = streamed.writeStream.format("memory")
+      .queryName("agg_out").outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("agg_out")
+        .orderBy("bucket_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      val want = EventStreams.windowedAgg(toDf(rows))
+        .orderBy("bucket_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq == want.toSeq)
+      assert(got.toSeq == Seq(
+        ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 01:00:00.0", "click", 1L, 4.0),
+        ("2024-01-01 01:00:00.0", "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("stateful runningTotals accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.runningTotals(mem.toDS())
+      .writeStream.format("memory").queryName("run_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(EventStreams.UserEvent(7L, 1.5), EventStreams.UserEvent(7L, 2.5))
+      q.processAllAvailable()
+      mem.addData(EventStreams.UserEvent(7L, 4.0))
+      q.processAllAvailable()
+      val last = spark.table("run_out").filter(col("user_id") === 7)
+        .orderBy(col("n_events").desc).first()
+      assert(last.getLong(1) == 3L && last.getDouble(2) == 8.0)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replayed ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Double)]
+    val deduped = EventStreams.dedupStream(
+      mem.toDF().toDF("event_id", "ts_s", "event_type", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s"))
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData(rows.head) // replay of event_id=1
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 4)
+    } finally q.stop()
+  }
+}
