@@ -19,8 +19,10 @@ object SparkEntry {
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ CleanseQueries.queries ++ PipelineQueries.queries
+    CoreQueries.queries ++ CleanseQueries.queries ++ PipelineQueries.queries ++
+      DocQueries.queries ++ SimQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ CleanseQueries.oracle ++ PipelineQueries.oracle
+    CoreQueries.oracle ++ CleanseQueries.oracle ++ PipelineQueries.oracle ++
+      DocQueries.oracle ++ SimQueries.oracle
 }

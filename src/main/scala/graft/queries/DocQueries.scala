@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import graft.Tables
+import graft.text.{MinHash, SimHash, TextAnalysis => TA}
+
+/** Text-analysis + deduplication queries over `documents`
+  * (the LLM-training-data operators from BASELINE.json's north star).
+  *
+  * The testdata corpus has no near-duplicates at small scale factors,
+  * so dedup queries extend it with deterministically perturbed copies
+  * of every 100th document (same construction in the oracle SQL) —
+  * guaranteeing the candidate-pair machinery is exercised at every sf.
+  */
+object DocQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** documents ∪ perturbed copies (id+1_000_000, one appended token). */
+  private def dedupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionAll(docs.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" graftextra")).as("text")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Token counting: whitespace tokenizer + BPE-ish proxy.
+    "t1_token_stats" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        TA.distinctTokenCount(col("text")).as("n_distinct"),
+        TA.totalTokenLen(col("text")).as("total_token_len"),
+        (TA.totalTokenLen(col("text")).cast(DoubleType) /
+          TA.tokenCount(col("text")).cast(DoubleType)).as("avg_token_len"))
+    }),
+
+    // Language-ID by stopword-marker argmax.
+    "t2_lang_id" -> ((s, d) => {
+      val (en, de, es, pred) = TA.langId(col("text"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        en.as("en_score"), de.as("de_score"), es.as("es_score"),
+        pred.as("predicted_lang"))
+    }),
+
+    // Quality scoring (length / punctuation / stopword features).
+    "t3_quality_score" -> ((s, d) => {
+      val feats = TA.qualityFeatures(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // Rolling-hash document fingerprint (order-sensitive).
+    "t4_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        TA.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    // Exact dedup: content-hash grouping, canonical = min doc_id.
+    // Corpus extended with EXACT copies (id+2e6) so duplicate groups
+    // exist at every sf.
+    "dd1_exact_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val withCopies = docs.unionAll(docs.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val w = Window.partitionBy(col("h"))
+      withCopies
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("h"),
+          col("canonical_id"),
+          when(col("doc_id") =!= col("canonical_id"), 1).otherwise(0).as("is_dup"))
+    }),
+
+    // MinHash + LSH near-dup pairs, exact-Jaccard verified.
+    "dd2_minhash_pairs" -> ((s, d) => {
+      MinHash.nearDupPairs(dedupCorpus(s, d), "doc_id", "text",
+        k = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+    }),
+
+    // SimHash fingerprint per doc.
+    "dd3_simhash" -> ((s, d) => {
+      dedupCorpus(s, d).select(col("doc_id"),
+        SimHash.simhash(col("text")).as("simhash"))
+    }),
+
+    // SimHash near-pairs: bucket by signature prefix, hamming ≤ 3.
+    "dd3_simhash_pairs" -> ((s, d) => {
+      val sigs = dedupCorpus(s, d).select(col("doc_id"),
+        SimHash.simhash(col("text")).as("sim"))
+      val a = sigs.select(SimHash.bucket(col("sim")).as("bucket"),
+        col("doc_id").as("a"), col("sim").as("sim_a"))
+      val b = sigs.select(SimHash.bucket(col("sim")).as("bucket"),
+        col("doc_id").as("b"), col("sim").as("sim_b"))
+      a.join(b, Seq("bucket"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          SimHash.hamming(col("sim_a"), col("sim_b")).as("hamming"))
+        .filter(col("hamming") <= 3)
+    }),
+
+    // Character-5-gram Jaccard near-dup within (lang, n_chars±2) blocks.
+    "dd4_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val grams = docs.select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), length(col("text")) - 5),
+          i => col("text").substr(i + 1, lit(5))))).as("g"))
+      val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = docs.select(col("doc_id").as("a"), col("lang"), col("n_chars").as("ca"))
+        .join(docs.select(col("doc_id").as("b"), col("lang"), col("n_chars").as("cb")),
+          Seq("lang"))
+        .filter(col("a") < col("b") && abs(col("ca") - col("cb")) <= 2)
+        .select("a", "b")
+      val inter = pairs
+        .join(grams.select(col("doc_id").as("a"), col("g")), "a")
+        .join(grams.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      pairs
+        .join(inter, Seq("a", "b"), "left")
+        .join(counts.withColumnsRenamed(Map("doc_id" -> "a", "n" -> "na")), "a")
+        .join(counts.withColumnsRenamed(Map("doc_id" -> "b", "n" -> "nb")), "b")
+        .select(col("a"), col("b"),
+          (coalesce(col("inter"), lit(0L)).cast(DoubleType) /
+            (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).cast(DoubleType))
+            .as("jaccard"))
+    })
+  )
+
+  private val mhSigCols: String =
+    (0 until 8).map(i => s"min(md5(sh || '#$i')) AS mh$i").mkString(", ")
+  private val mhBands: String =
+    (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS key FROM sig")
+      .mkString(" UNION ALL ")
+  private val simhashBits: String =
+    (0 until 16).map { j =>
+      val w = 1L << (15 - j)
+      s"""CASE WHEN list_sum(list_transform(w, t -> CASE WHEN substr(md5(t), ${j + 1}, 1)
+         | IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0
+         | THEN $w ELSE 0 END""".stripMargin.replace("\n", "")
+    }.mkString(" + ")
+
+  private val corpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' graftextra' AS text
+      |  FROM documents WHERE doc_id % 100 = 0)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "t1_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS total_token_len,
+        |  CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+        |FROM documents""".stripMargin,
+    "t2_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS en_score,
+        |    CAST(len(list_filter(string_split(text,' '), x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_score,
+        |    CAST(len(list_filter(string_split(text,' '), x -> list_contains(['el','la','de','y','es'], x))) AS BIGINT) AS es_score
+        |  FROM documents)
+        |SELECT doc_id, lang, en_score, de_score, es_score,
+        |  CASE WHEN de_score > en_score AND de_score >= es_score THEN 'de'
+        |       WHEN es_score > en_score AND es_score > de_score THEN 'es'
+        |       ELSE 'en' END AS predicted_lang
+        |FROM t""".stripMargin,
+    "t3_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS punct_count,
+        |    CAST(list_sum(list_transform(string_split(text,' '), x -> length(x))) AS BIGINT) AS total_len,
+        |    CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS stopw
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_tokens, punct_count,
+        |  CAST(total_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+        |  CAST(stopw AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+        |  CAST(punct_count AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+        |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |    + least(CAST(stopw AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 10.0, 1.0) * 0.3
+        |    + (1.0 - least(CAST(punct_count AS DOUBLE) / CAST(n_chars AS DOUBLE) * 20.0, 1.0)) * 0.3 AS quality_score
+        |FROM t""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce([CAST(0 AS BIGINT)] ||
+        |    list_transform(string_split(text, ' '),
+        |      t -> CAST(translate(substr(md5(t), 1, 12), 'abcdef', '012345') AS BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin,
+    "dd1_exact_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 100 = 0)
+        |SELECT doc_id, md5(text) AS h,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY md5(text))
+        |       THEN 1 ELSE 0 END AS is_dup
+        |FROM corpus""".stripMargin,
+    "dd2_minhash_pairs" ->
+      s"""WITH $corpusCte,
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(0, len(w) - 2),
+        |    i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+        |  FROM toks),
+        |sig AS (SELECT doc_id, $mhSigCols FROM sh GROUP BY doc_id),
+        |bands AS ($mhBands),
+        |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+        |  WHERE l.doc_id < r.doc_id),
+        |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.a, c.b, count(*) AS inter
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.a
+        |  JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+        |  GROUP BY c.a, c.b),
+        |scored AS (SELECT c.a, c.b,
+        |  CAST(coalesce(i.inter, 0) AS DOUBLE) /
+        |  CAST(ca.n + cb.n - coalesce(i.inter, 0) AS DOUBLE) AS jaccard
+        |  FROM cand c
+        |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+        |  JOIN counts ca ON ca.doc_id = c.a
+        |  JOIN counts cb ON cb.doc_id = c.b)
+        |SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+    "dd3_simhash" ->
+      s"""WITH $corpusCte,
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+        |SELECT doc_id, CAST($simhashBits AS BIGINT) AS simhash FROM toks""".stripMargin,
+    "dd3_simhash_pairs" ->
+      s"""WITH $corpusCte,
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |sigs AS (SELECT doc_id, CAST($simhashBits AS BIGINT) AS sim FROM toks)
+        |SELECT l.doc_id AS a, r.doc_id AS b,
+        |  CAST(bit_count(xor(l.sim, r.sim)) AS INTEGER) AS hamming
+        |FROM sigs l JOIN sigs r
+        |  ON (l.sim >> 8) = (r.sim >> 8) AND l.doc_id < r.doc_id
+        |WHERE bit_count(xor(l.sim, r.sim)) <= 3""".stripMargin,
+    "dd4_ngram_jaccard" ->
+      """WITH grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(0, length(text) - 4),
+        |      i -> substr(text, CAST(i + 1 AS INTEGER), 5))) AS g
+        |  FROM documents),
+        |counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |pairs AS (SELECT d1.doc_id AS a, d2.doc_id AS b
+        |  FROM documents d1 JOIN documents d2
+        |    ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id
+        |   AND abs(d1.n_chars - d2.n_chars) <= 2),
+        |inter AS (SELECT p.a, p.b, count(*) AS inter
+        |  FROM pairs p
+        |  JOIN grams ga ON ga.doc_id = p.a
+        |  JOIN grams gb ON gb.doc_id = p.b AND gb.g = ga.g
+        |  GROUP BY p.a, p.b)
+        |SELECT p.a, p.b,
+        |  CAST(coalesce(i.inter, 0) AS DOUBLE) /
+        |  CAST(ca.n + cb.n - coalesce(i.inter, 0) AS DOUBLE) AS jaccard
+        |FROM pairs p
+        |LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+        |JOIN counts ca ON ca.doc_id = p.a
+        |JOIN counts cb ON cb.doc_id = p.b""".stripMargin
+  )
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sim.Embeddings
+
+/** Similarity-search queries over `embeddings` + the multimodal
+  * metadata query over `documents` payloads.
+  *
+  * All similarity math is exact-integer (see [[Embeddings]]) so the
+  * DuckDB oracle reproduces scores bit-for-bit; ranks carry a
+  * neighbor-id tiebreaker.
+  */
+object SimQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force cosine top-k: every 50th vector queries the corpus.
+    "sim1_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Embeddings.bruteForceTopK(
+        emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", k = 5)
+    }),
+
+    // Sign-LSH bucketed ANN: approximate neighbors within hyperplane
+    // buckets (the scale path — never materializes all pairs).
+    "sim2_lsh_ann" -> ((s, d) => {
+      Embeddings.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 3, bits = 12)
+    }),
+
+    // IVF-style coarse quantizer: exact integer label centroids,
+    // nearest-centroid assignment.
+    "sim3_ivf_centroid" -> ((s, d) => {
+      Embeddings.centroidAssign(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label")
+    }),
+
+    // Multimodal metadata: binary payload + typed meta columns
+    // (the oracle-checkable projection of graft.multimodal.Multimodal;
+    // the mapPartitions decode path is exercised in ScalaTest).
+    "mm1_media_meta" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        md5(col("text")).as("payload_md5"),
+        lower(hex(encode(substring(col("text"), 1, 4), "UTF-8"))).as("header_hex"),
+        element_at(typedLit(Seq("jpeg", "png", "webp")),
+          (col("doc_id") % 3 + 1).cast("int")).as("format"),
+        (lit(64) + col("doc_id") * 7 % 1920).cast("int").as("width"),
+        (lit(64) + col("doc_id") * 13 % 1080).cast("int").as("height"))
+    })
+  )
+
+  private def qv(scale: String) =
+    s"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))"
+  private val dot64 =
+    "CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) AS BIGINT)"
+  private val n2 = (v: String) =>
+    s"CAST(list_sum(list_transform(range(1, 65), i -> $v[i] * $v[i])) AS BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    "sim1_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, ${qv("1000000")} AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, ${qv("1000000")} AS cv FROM embeddings),
+        |scored AS (SELECT query_id, neighbor_id,
+        |    CAST($dot64 AS DOUBLE) /
+        |    sqrt(CAST(${n2("qv")} AS DOUBLE) * CAST(${n2("cv")} AS DOUBLE)) AS cos_sim
+        |  FROM q JOIN c ON query_id <> neighbor_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "sim2_lsh_ann" ->
+      s"""WITH v AS (SELECT vec_id AS id, ${qv("1000000")} AS v,
+        |    CAST(list_sum(list_transform(range(1, 13),
+        |      i -> CASE WHEN embedding[i] >= 0 THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |scored AS (SELECT a.id AS query_id, b.id AS neighbor_id,
+        |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) AS DOUBLE) /
+        |    sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])) AS BIGINT) AS DOUBLE) *
+        |         CAST(CAST(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])) AS BIGINT) AS DOUBLE)) AS cos_sim
+        |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.id <> b.id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    "sim3_ivf_centroid" ->
+      s"""WITH q AS (SELECT vec_id AS vid, label AS true_label, ${qv("10000")} AS v
+        |  FROM embeddings),
+        |ncnt AS (SELECT true_label AS cl, count(*) AS n FROM q GROUP BY 1),
+        |comp AS (SELECT q.vid, q.true_label, q.v, u.i FROM q,
+        |  (SELECT unnest(range(1, 65)) AS i) u),
+        |csum AS (SELECT true_label AS cl, i, CAST(sum(v[i]) AS BIGINT) AS si
+        |  FROM comp GROUP BY 1, 2),
+        |dists AS (SELECT c.vid, c.true_label, s.cl,
+        |    CAST(sum((n.n * c.v[c.i] - s.si) * (n.n * c.v[c.i] - s.si)) AS BIGINT) AS d2
+        |  FROM comp c JOIN csum s ON s.i = c.i JOIN ncnt n ON n.cl = s.cl
+        |  GROUP BY c.vid, c.true_label, s.cl),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY vid
+        |    ORDER BY d2 ASC, cl ASC) AS rk FROM dists)
+        |SELECT vid, true_label, cl AS assigned_label,
+        |  CASE WHEN cl = true_label THEN 1 ELSE 0 END AS is_match
+        |FROM ranked WHERE rk = 1""".stripMargin,
+    "mm1_media_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5,
+        |  lower(hex(encode(substr(text, 1, 4)))) AS header_hex,
+        |  ['jpeg', 'png', 'webp'][CAST(doc_id % 3 + 1 AS INTEGER)] AS format,
+        |  CAST(64 + doc_id * 7 % 1920 AS INTEGER) AS width,
+        |  CAST(64 + doc_id * 13 % 1080 AS INTEGER) AS height
+        |FROM documents""".stripMargin
+  )
+}

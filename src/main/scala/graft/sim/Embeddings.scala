@@ -1,0 +1,116 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Numeric design: embeddings are quantized to integers
+  * (round(x * 1e6)) before any reduction, so dot products and norms
+  * are EXACT integer sums — order-independent, parallel-safe, and
+  * bit-identical in any engine. The only floating-point op is the
+  * final per-pair cosine (one divide + one sqrt), which is IEEE-
+  * deterministic. 64-dim × |x|≤1e6 keeps every sum ≪ 2^63.
+  *
+  * Scale design: brute-force top-k is the correctness baseline
+  * (queries × corpus, fine when queries ≪ corpus and the query side
+  * broadcasts); the sign-LSH bucket variant is the 100 TB path — the
+  * pair join keys on a hyperplane-sign bucket so candidate count
+  * tracks bucket occupancy, not N². An IVF-style coarse quantizer
+  * (label centroids) covers partition-pruned search.
+  */
+object Embeddings {
+
+  /** Quantized integer embedding (array<long>), exact downstream math. */
+  def quantize(emb: Column, scale: Double = 1e6): Column =
+    transform(emb, x => round(x.cast(DoubleType) * scale).cast(LongType))
+
+  /** Exact integer dot product of two quantized embeddings. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+
+  /** Exact integer squared norm. */
+  def qnorm2(a: Column): Column = qdot(a, a)
+
+  /** Cosine from exact integer parts (single deterministic fp step). */
+  def cosine(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast(DoubleType) / sqrt(n2a.cast(DoubleType) * n2b.cast(DoubleType))
+
+  /** Brute-force cosine top-k: for each row of `queries`, the k nearest
+    * rows of `corpus` (excluding self). Query side is the small side —
+    * broadcast it so the corpus scan never shuffles. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     embCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize(col(embCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantize(col(embCol)).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(qdot(col("qv"), col("cv")), qnorm2(col("qv")), qnorm2(col("cv")))
+          .as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  /** Hyperplane-sign LSH bucket: bit i = sign(emb[i]) over the first
+    * `bits` dimensions (axis-aligned hyperplanes — portable and
+    * preprocessing-free). */
+  def signBucket(emb: Column, bits: Int = 12): Column =
+    (0 until bits).map(i =>
+      when(element_at(emb, i + 1) >= 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+
+  /** Approximate top-k: candidates restricted to the query's sign
+    * bucket; otherwise identical scoring/ranking to brute force. */
+  def lshTopK(vectors: DataFrame, idCol: String, embCol: String,
+              k: Int, bits: Int = 12): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"),
+      quantize(col(embCol)).as("v"), signBucket(col(embCol), bits).as("bucket"))
+    val a = v.select(col("bucket"), col("id").as("query_id"), col("v").as("qv"))
+    val b = v.select(col("bucket"), col("id").as("neighbor_id"), col("v").as("cv"))
+    val scored = a.join(b, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(qdot(col("qv"), col("cv")), qnorm2(col("qv")), qnorm2(col("cv")))
+          .as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  /** IVF-style coarse assignment: exact integer label centroids
+    * (component sums + counts; never a floating mean), then each
+    * vector assigned to the centroid minimizing n²·d² =
+    * |n·x − s|² — all integer. Quantization scale 1e4 keeps
+    * n²·d² within long range for corpus counts ≤ ~100k/label;
+    * at larger scale, shard labels or widen to DecimalType. */
+  def centroidAssign(vectors: DataFrame, idCol: String, embCol: String,
+                     labelCol: String): DataFrame = {
+    val q = vectors.select(col(idCol).as("vid"), col(labelCol).as("true_label"),
+      quantize(col(embCol), 1e4).as("v"))
+    val cents = q.groupBy(col("true_label").as("cl"))
+      .agg(count(lit(1)).as("n"),
+        array((0 until 64).map(i =>
+          sum(element_at(col("v"), i + 1)).as(s"s$i")): _*).as("s"))
+      .select(col("cl"), col("n"), col("s"))
+    val dist2n2 = aggregate(
+      zip_with(col("v"), col("s"), (x, si) => {
+        val d = col("n") * x - si; d * d
+      }), lit(0L), _ + _)
+    val scored = q.join(broadcast(cents))
+      .select(col("vid"), col("true_label"), col("cl"), dist2n2.as("d2"))
+    val w = Window.partitionBy("vid").orderBy(col("d2").asc, col("cl").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("vid"), col("true_label"), col("cl").as("assigned_label"),
+        when(col("cl") === col("true_label"), 1).otherwise(0).as("is_match"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection
+  * (shingle → minhash signature → band → bucket join → exact verify).
+  *
+  * Scale design (the point of LSH): candidate generation is a
+  * self-join on (band index, band key) — a shuffle whose key space
+  * grows with corpus size, so work stays proportional to bucket
+  * collisions, never to N². The exact-Jaccard verification joins only
+  * the candidate pairs back to their shingle sets. At 100 TB:
+  * signatures are ~constant bytes/doc (here 8 min-hashes), the band
+  * join is AQE-skew-safe, and no stage ever materializes all-pairs.
+  *
+  * Hashes are engine-portable (md5-derived string minima) so the
+  * DuckDB oracle reproduces signatures bit-for-bit.
+  */
+object MinHash {
+
+  /** Word k-shingles as one row per (id, shingle), distinct.
+    * `transform` over a `sequence` keeps shingling inside codegen.
+    * Docs shorter than k shingle to nothing (guarded: Spark's
+    * `sequence(0, n)` DESCENDS when n < 0 and would feed `slice`
+    * invalid starts). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val sh = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array())
+    docs.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /** One portable min-hash per seed: min over shingles of
+    * md5(shingle || '#' || seed) compared as strings. */
+  private def minhashAgg(seed: Int): Column =
+    min(md5(concat(col("shingle"), lit(s"#$seed")))).as(s"mh$seed")
+
+  /** Signature matrix: one row per doc, `numHashes` min-hash columns. */
+  def signatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame =
+    sh.groupBy(idCol).agg(minhashAgg(0), (1 until numHashes).map(minhashAgg): _*)
+
+  /** LSH candidate pairs: docs sharing any band (bands of `rowsPerBand`
+    * consecutive hashes). Returns distinct (a, b) with a < b. */
+  def candidatePairs(sig: DataFrame, idCol: String, numHashes: Int,
+                     rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bands = sig.select(col(idCol).as("id"),
+      explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("|", (0 until rowsPerBand)
+            .map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = bands.select(col("band"), col("key"), col("id").as("a"))
+    val r = bands.select(col("band"), col("key"), col("id").as("b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact Jaccard over the shingle sets of candidate pairs only. */
+  def exactJaccard(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
+    val counts = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
+    val shA = sh.select(col(idCol).as("a"), col("shingle"))
+    val shB = sh.select(col(idCol).as("b"), col("shingle"))
+    val inter = pairs.join(shA, "a").join(shB, Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("a", "b"), "left")
+      .join(counts.withColumnsRenamed(Map(idCol -> "a", "n" -> "na")), "a")
+      .join(counts.withColumnsRenamed(Map(idCol -> "b", "n" -> "nb")), "b")
+      .select(col("a"), col("b"),
+        (coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** End-to-end near-dup pairs: shingle → sign → band → verify ≥ threshold. */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+                   threshold: Double = 0.5): DataFrame = {
+    val sh    = shingles(docs, idCol, textCol, k).cache()
+    val sig   = signatures(sh, idCol, numHashes)
+    val cand  = candidatePairs(sig, idCol, numHashes, rowsPerBand)
+    exactJaccard(cand, sh, idCol).filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{MinHash, SimHash, TextAnalysis => TA}
+
+class TextSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("token stats on known text") {
+    val df = Seq((1L, "the quick brown fox the end")).toDF("id", "text")
+    val r = df.select(TA.tokenCount($"text"), TA.distinctTokenCount($"text"),
+      TA.totalTokenLen($"text")).first()
+    assert(r.getLong(0) == 6 && r.getLong(1) == 5 && r.getLong(2) == 22)
+  }
+
+  test("langId picks the marker-dominant language, en on ties") {
+    val df = Seq(
+      (1L, "der hund und die katze ist da"),
+      (2L, "el gato y la casa es de x"),
+      (3L, "the cat and the dog is a pet"),
+      (4L, "nothing matching at all")).toDF("id", "text")
+    val (_, _, _, pred) = TA.langId($"text")
+    val got = df.select($"id", pred.as("p")).orderBy("id").collect().map(_.getString(1))
+    assert(got.toSeq == Seq("de", "es", "en", "en"))
+  }
+
+  test("fingerprint is order-sensitive, stable across evaluation") {
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("id", "text")
+    val fp = df.select($"id", TA.fingerprint($"text").as("f")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1) == fp(3))
+    assert(fp(1) != fp(2))
+  }
+
+  test("shingles: k-gram count and short-doc guard") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
+    val sh = MinHash.shingles(df, "id", "text", 3)
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1) == 2) // "a b c", "b c d"
+    assert(!sh.contains(2)) // shorter than k → no shingles, no negative sequence
+  }
+
+  test("minhash LSH finds the planted near-duplicate and skips unrelated docs") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")).toDF("doc_id", "text")
+    val pairs = MinHash.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash: identical docs equal, near docs close, distant docs far") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "completely different words entirely here now")).toDF("id", "text")
+    val sigs = df.select($"id", SimHash.simhash($"text").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1) == sigs(2))
+    val dist = df.sparkSession.range(1).select(
+      SimHash.hamming(lit(sigs(1)), lit(sigs(3)))).first().getInt(0)
+    assert(dist > 0)
+  }
+}
