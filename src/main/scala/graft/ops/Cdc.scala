@@ -44,33 +44,34 @@ object Cdc {
   final class WatermarkStore(spark: SparkSession, path: String, initial: Long = 0L) {
     import spark.implicits._
 
-    def read(table: String): Long = {
+    // Write-through cache: the state table is tiny and this store is
+    // the single writer (like the reference's one ETL process), so the
+    // loop never re-reads parquet per batch — disk is the restart path.
+    private var cache: Option[Map[String, Long]] = None
+
+    private def load(): Map[String, Long] = cache.getOrElse {
       val dir = new java.io.File(path)
-      if (!dir.exists()) initial
-      else spark.read.parquet(path)
-        .filter($"TableName" === table)
-        .agg(max($"MaxIndex")).first() match {
-          case r if r.isNullAt(0) => initial
-          case r                  => r.getLong(0)
-        }
+      val m =
+        if (!dir.exists()) Map.empty[String, Long]
+        else spark.read.parquet(path).as[(String, Long)].collect().toMap
+      cache = Some(m)
+      m
     }
 
+    def read(table: String): Long = load().getOrElse(table, initial)
+
     /** MERGE-equivalent upsert (`accounts.py:131-140`): read-modify-write
-      * of the (tiny) state table. */
+      * of the (tiny) state table, committed to disk then cached. */
     def upsert(table: String, maxIndex: Long): Unit = {
-      val dir = new java.io.File(path)
-      val existing =
-        if (dir.exists())
-          spark.read.parquet(path).filter($"TableName" =!= table)
-            .as[(String, Long)].collect().toSeq
-        else Seq.empty
-      val updated = existing :+ (table, maxIndex)
+      val updated = load() + (table -> maxIndex)
       val tmp = path + ".tmp"
-      updated.toDF("TableName", "MaxIndex")
+      updated.toSeq.toDF("TableName", "MaxIndex")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      val dir  = new java.io.File(path)
       val tmpF = new java.io.File(tmp)
       deleteRecursively(dir)
       tmpF.renameTo(dir)
+      cache = Some(updated)
       ()
     }
 
@@ -93,14 +94,16 @@ object Cdc {
     var done = false
     while (!done && n < maxBatches) {
       val wm    = store.read(table)
-      val batch = keysetBatch(src, idCol, wm, batchSize)
-      nextWatermark(batch, idCol) match {
+      // persist: the batch feeds two actions (watermark max + sink) —
+      // without it the keyset scan runs twice per iteration.
+      val batch = keysetBatch(src, idCol, wm, batchSize).persist()
+      try nextWatermark(batch, idCol) match {
         case None => done = true
         case Some(next) =>
           sink(transform(batch), n)
           store.upsert(table, next)
           n += 1
-      }
+      } finally { batch.unpersist(); () }
     }
     n
   }

@@ -92,7 +92,7 @@ object PipelineQueries {
         col("event_id"), col("user_id"),
         upper(col("event_type")).as("event_type_u"),
         (col("value") * 2).as("value2"))
-      Cdc.runLoop(ev, "event_id", "events", store, batchSize = 997,
+      Cdc.runLoop(ev, "event_id", "events", store, batchSize = 9973,
         transform,
         (batch, i) => batch.write.mode(SaveMode.Overwrite)
           .parquet(s"$outDir/batch=$i"))

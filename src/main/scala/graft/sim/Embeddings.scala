@@ -43,13 +43,17 @@ object Embeddings {
     * broadcast it so the corpus scan never shuffles. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      embCol: String, k: Int): DataFrame = {
+    // norms precomputed per side — computing them per PAIR would cost
+    // |Q|×|C| redundant array folds.
     val q = queries.select(col(idCol).as("query_id"),
       quantize(col(embCol)).as("qv"))
+      .withColumn("qn2", qnorm2(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       quantize(col(embCol)).as("cv"))
+      .withColumn("cn2", qnorm2(col("cv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(qdot(col("qv"), col("cv")), qnorm2(col("qv")), qnorm2(col("cv")))
+        cosine(qdot(col("qv"), col("cv")), col("qn2"), col("cn2"))
           .as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
@@ -72,12 +76,15 @@ object Embeddings {
               k: Int, bits: Int = 12): DataFrame = {
     val v = vectors.select(col(idCol).as("id"),
       quantize(col(embCol)).as("v"), signBucket(col(embCol), bits).as("bucket"))
-    val a = v.select(col("bucket"), col("id").as("query_id"), col("v").as("qv"))
-    val b = v.select(col("bucket"), col("id").as("neighbor_id"), col("v").as("cv"))
+      .withColumn("n2", qnorm2(col("v")))
+    val a = v.select(col("bucket"), col("id").as("query_id"),
+      col("v").as("qv"), col("n2").as("qn2"))
+    val b = v.select(col("bucket"), col("id").as("neighbor_id"),
+      col("v").as("cv"), col("n2").as("cn2"))
     val scored = a.join(b, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(qdot(col("qv"), col("cv")), qnorm2(col("qv")), qnorm2(col("cv")))
+        cosine(qdot(col("qv"), col("cv")), col("qn2"), col("cn2"))
           .as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)

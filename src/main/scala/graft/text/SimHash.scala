@@ -18,19 +18,22 @@ import org.apache.spark.sql.types.LongType
 object SimHash {
   val Bits = 16
 
-  private def bitContribution(tok: Column, j: Int): Column =
-    when(substring(md5(tok), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+  private def hexHighBit(hash: Column, j: Int): Column =
+    when(substring(hash, j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
       .otherwise(-1)
 
-  /** Σ over tokens of ±1 for bit j. */
-  private def bitSum(toks: Column, j: Int): Column =
-    aggregate(toks, lit(0), (acc, t) => acc + bitContribution(t, j))
+  /** Σ over token hashes of ±1 for bit j. */
+  private def bitSum(hashes: Column, j: Int): Column =
+    aggregate(hashes, lit(0), (acc, h) => acc + hexHighBit(h, j))
 
-  /** The 16-bit simhash as a long (bit 0 = most significant hex digit). */
+  /** The 16-bit simhash as a long (bit 0 = most significant hex digit).
+    * Tokens are hashed ONCE (`transform` to md5 array) and the 16 bit
+    * sums read hex digits off the cached hashes — md5 per token per
+    * bit would cost 16× the hashing. */
   def simhash(text: Column): Column = {
-    val toks = split(text, " ")
+    val hashes = transform(split(text, " "), t => md5(t))
     (0 until Bits).map(j =>
-      when(bitSum(toks, j) > 0, lit(1L << (Bits - 1 - j))).otherwise(0L))
+      when(bitSum(hashes, j) > 0, lit(1L << (Bits - 1 - j))).otherwise(0L))
       .reduce(_ + _).cast(LongType)
   }
 
