@@ -101,6 +101,13 @@ object DocQueries {
         .filter(col("hamming") <= 3)
     }),
 
+    // Native-expression 64-bit SimHash (graft.expressions.SimHash64):
+    // one traversal per row inside whole-stage codegen.
+    "dd5_simhash64" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.expressions.SimHash64.simhash64(col("text")).as("simhash64"))
+    }),
+
     // Character-5-gram Jaccard near-dup within (lang, n_chars±2) blocks.
     "dd4_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -141,6 +148,21 @@ object DocQueries {
       s"""CASE WHEN list_sum(list_transform(w, t -> CASE WHEN substr(md5(t), ${j + 1}, 1)
          | IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0
          | THEN $w ELSE 0 END""".stripMargin.replace("\n", "")
+    }.mkString(" + ")
+
+  /** 64 bit-sum terms mirroring SimHash64Funcs.compute: bit j of
+    * md5(token) = bit (3 - j%4) of hex digit j/4. Bit 0 lands on the
+    * sign bit, added as Long.MinValue (two's complement exact in both
+    * engines). */
+  private val simhash64Bits: String =
+    (0 until 64).map { j =>
+      val weight =
+        if (j == 0) "-9223372036854775808"
+        else (1L << (63 - j)).toString
+      val hexDigit = s"substr(md5(t), ${j / 4 + 1}, 1)"
+      val nibble   = s"(strpos('0123456789abcdef', $hexDigit) - 1)"
+      val bit      = s"(($nibble >> ${3 - j % 4}) & 1)"
+      s"CASE WHEN list_sum(list_transform(w, t -> CASE WHEN $bit = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST($weight AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
 
   private val corpusCte =
@@ -245,6 +267,9 @@ object DocQueries {
         |FROM sigs l JOIN sigs r
         |  ON (l.sim >> 8) = (r.sim >> 8) AND l.doc_id < r.doc_id
         |WHERE bit_count(xor(l.sim, r.sim)) <= 3""".stripMargin,
+    "dd5_simhash64" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id, CAST($simhash64Bits AS BIGINT) AS simhash64 FROM toks""".stripMargin,
     "dd4_ngram_jaccard" ->
       """WITH grams AS (
         |  SELECT DISTINCT doc_id,

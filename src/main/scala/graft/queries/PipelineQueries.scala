@@ -77,6 +77,51 @@ object PipelineQueries {
           col("first_order"))
     }),
 
+    // Cars date-repair pipeline (`cars.py:95-122`): 2-format varchar
+    // date parse (C3) → junction-table fallback (C6, the
+    // CarsLocation_Junc min-date repair) → constant default. Tracks
+    // which repair path each row took.
+    "e4_cars_dates" -> ((s, d) => {
+      val k = col("c_custkey")
+      val day = (k % 28 + 1).cast("string")
+      val mon = (k % 12 + 1).cast("string")
+      val raw = when(k % 4 === 0, concat(lit("May "), day, lit(" 2020 8:39AM")))
+        .when(k % 4 === 1, concat(mon, lit("/"), day, lit("/2025 1:28:20 PM")))
+        .when(k % 4 === 2, lit("garbage"))
+        .otherwise(lit(null).cast("string"))
+      val parsed = Cleanse.parseDate2(raw)
+      val junc = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("fallback_ts"))
+      Tables.customer(s, d)
+        .join(junc, k === col("o_custkey"), "left")
+        .select(k,
+          coalesce(parsed, col("fallback_ts"),
+            lit("2000-01-01 00:00:00").cast("timestamp")).as("created_at"),
+          when(parsed.isNotNull, "parsed")
+            .when(col("fallback_ts").isNotNull, "junction")
+            .otherwise("default").as("repair_source"))
+    }),
+
+    // Items sync pipeline (`items.py:107-155`): lookup-key
+    // normalization (C10) → deterministic dedup-top-per-group (D1) →
+    // anti-join against already-loaded keys (J6) → surrogate-id
+    // assignment for the Sync mapping output (S11 shape).
+    "e5_items_sync" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      val keyed = part.withColumn("name_key",
+        lower(regexp_replace(col("p_name"), "\\s", "")))
+      val deduped = Dedup.topPerGroup(keyed, Seq("p_brand", "name_key"),
+        Seq(col("p_retailprice").desc, col("p_partkey").asc))
+      val existing = Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 49)
+        .select(col("l_partkey").as("p_partkey")).distinct()
+      val fresh = FkRemap.anti(deduped, existing, Seq("p_partkey"))
+      fresh.select(col("p_partkey").as("old_item_id"), col("p_brand"),
+        col("name_key"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("p_partkey"))).cast("long").as("new_item_id"))
+    }),
+
     // S2/S3/S8/S9 loop — the `while True: extract→transform→load` CDC
     // loop (`accounts.py:147-161`) run to completion in keyset batches
     // with a persisted watermark store and per-batch append sink; the
@@ -147,6 +192,42 @@ object PipelineQueries {
         |  CASE WHEN trim(c.c_name) = '' THEN NULL ELSE trim(c.c_name) END AS name_clean,
         |  oj.orders_json, coalesce(oj.order_count, 0) AS order_count, oj.first_order
         |FROM customer c LEFT JOIN oj ON c.c_custkey = oj.o_custkey""".stripMargin,
+    "e4_cars_dates" ->
+      """WITH raw AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'May ' || CAST(c_custkey % 28 + 1 AS VARCHAR) || ' 2020 8:39AM'
+        |         WHEN c_custkey % 4 = 1 THEN CAST(c_custkey % 12 + 1 AS VARCHAR) || '/' || CAST(c_custkey % 28 + 1 AS VARCHAR) || '/2025 1:28:20 PM'
+        |         WHEN c_custkey % 4 = 2 THEN 'garbage'
+        |         ELSE NULL END AS s
+        |  FROM customer),
+        |parsed AS (
+        |  SELECT c_custkey,
+        |    coalesce(try_strptime(s, '%b %d %Y %I:%M%p'),
+        |             try_strptime(s, '%m/%d/%Y %I:%M:%S %p')) AS p
+        |  FROM raw),
+        |junc AS (SELECT o_custkey, min(o_orderdate) AS fallback_ts
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT r.c_custkey,
+        |  coalesce(p.p, j.fallback_ts, TIMESTAMP '2000-01-01 00:00:00') AS created_at,
+        |  CASE WHEN p.p IS NOT NULL THEN 'parsed'
+        |       WHEN j.fallback_ts IS NOT NULL THEN 'junction'
+        |       ELSE 'default' END AS repair_source
+        |FROM raw r JOIN parsed p ON r.c_custkey = p.c_custkey
+        |LEFT JOIN junc j ON r.c_custkey = j.o_custkey""".stripMargin,
+    "e5_items_sync" ->
+      """WITH keyed AS (
+        |  SELECT *, lower(regexp_replace(p_name, '\s', '', 'g')) AS name_key FROM part),
+        |deduped AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY p_brand, name_key
+        |      ORDER BY p_retailprice DESC, p_partkey ASC) AS rn FROM keyed) t
+        |  WHERE rn = 1),
+        |fresh AS (
+        |  SELECT * FROM deduped d WHERE NOT EXISTS (
+        |    SELECT 1 FROM lineitem l WHERE l.l_partkey = d.p_partkey AND l.l_quantity > 49))
+        |SELECT p_partkey AS old_item_id, p_brand, name_key,
+        |  CAST(row_number() OVER (ORDER BY p_partkey) AS BIGINT) AS new_item_id
+        |FROM fresh""".stripMargin,
     "s8_cdc_loop" ->
       """SELECT event_id, user_id, upper(event_type) AS event_type_u,
         |  value * 2 AS value2 FROM events""".stripMargin,

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.DataType
+
+/** Sink adapters (SURVEY.md §2.1 S8-S12).
+  *
+  * The reference's load phase is: idempotent `ALTER TABLE ADD` (S10),
+  * transactional append (S8), side "Sync" table write (S11), per-column
+  * SQL type mapping (S12) — all inside one DB transaction. Without a
+  * transactional table format offline, exactly-once is recovered the
+  * way [[graft.ops.Cdc]] does: deterministic batch → batch-keyed
+  * directory (idempotent overwrite) → watermark committed last. On a
+  * cluster with Delta/Iceberg the same call sites become `MERGE` /
+  * txn-append with no shape change.
+  */
+object Sinks {
+
+  /** S12 — apply the reference's dtype maps (`accounts.py:93-108`,
+    * `locations.py:186-188`) as casts immediately before the sink. */
+  def applySinkTypes(df: DataFrame, types: Map[String, DataType]): DataFrame =
+    types.foldLeft(df) { case (d, (name, t)) =>
+      if (d.columns.contains(name)) d.withColumn(name, col(name).cast(t)) else d
+    }
+
+  /** S8 — append a batch under a batch-keyed subdirectory: re-running
+    * the same batch id overwrites identically (idempotent), giving
+    * at-least-once extract / exactly-once apply like the reference's
+    * data+watermark transaction. */
+  def appendBatch(df: DataFrame, root: String, batchId: Int): Unit = {
+    df.write.mode(SaveMode.Overwrite).parquet(s"$root/batch=$batchId")
+    ()
+  }
+
+  /** S10 — schema evolution on read: new columns appear (NULL-filled
+    * for old batches) the way the reference's conditional
+    * `ALTER TABLE ADD OldXID` widens the target table. */
+  def readEvolved(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(root)
+
+  /** S11 — dual-output load (fact + Sync mapping side table,
+    * `categories.py:125-128`). The mapping rows derive from the SAME
+    * in-memory batch, so persist once and write both — a crash between
+    * the writes is repaired by idempotent re-run of the batch id. */
+  def dualWrite(fact: DataFrame, mapping: DataFrame, factRoot: String,
+                mappingRoot: String, batchId: Int): Unit = {
+    appendBatch(fact, factRoot, batchId)
+    appendBatch(mapping, mappingRoot, batchId)
+  }
+}

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge for custom Catalyst expressions.
+  *
+  * Spark 4 made `ExpressionUtils` private[sql]; extensions that ship
+  * native expressions conventionally host a small adapter inside the
+  * `org.apache.spark.sql` package tree to convert at the API boundary.
+  * Kept to exactly these two calls.
+  */
+object ColumnBridge {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expressions.SimHash64
+
+class ExpressionSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("simhash64: identical text equal, different text differs, null-safe") {
+    val df = Seq(Some("alpha beta gamma"), Some("alpha beta gamma"),
+      Some("other words here"), None).toDF("text")
+    val got = df.select(SimHash64.simhash64($"text").as("h")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got(0) == got(1))
+    assert(got(0) != got(2))
+    assert(got(0).isDefined)
+    assert(got(3).isEmpty)
+  }
+
+  test("simhash64 single-token text = md5 top-64-bits sign pattern") {
+    // with one token every bit sum is ±1, so the simhash IS the top
+    // 64 bits of md5(token)
+    val tok = "hello"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8"))
+    val expected = (0 until 64).foldLeft(0L) { (acc, j) =>
+      if (((digest(j >> 3) >> (7 - (j & 7))) & 1) == 1) acc | (1L << (63 - j)) else acc
+    }
+    val got = Seq(tok).toDF("text")
+      .select(SimHash64.simhash64($"text")).first().getLong(0)
+    assert(got == expected)
+  }
+
+  test("simhash64 registered as SQL function and codegen-evaluated") {
+    SimHash64.register(spark)
+    val viaSql = spark.sql("SELECT simhash64('a b c') AS h").first().getLong(0)
+    val viaCol = Seq("a b c").toDF("text")
+      .select(SimHash64.simhash64($"text")).first().getLong(0)
+    assert(viaSql == viaCol)
+  }
+
+  test("near-duplicate texts have small hamming distance at 64 bits") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base + " extra"),
+      (3L, (100 to 140).map(i => s"zzz$i").mkString(" "))).toDF("id", "text")
+    val h = df.select($"id", SimHash64.simhash64($"text").as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L)))
+    assert(ham(h(1L), h(2L)) <= 8)
+  }
+}

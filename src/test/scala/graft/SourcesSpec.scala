@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.types._
+import graft.sources.{Sinks, Sources}
+
+class SourcesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("keysetSubquery reproduces the reference's extract SQL shape (accounts.py:44)") {
+    val q = Sources.keysetSubquery("dbo.Orders", "OrderID", 1500, 2000,
+      Seq("OrderID", "LocationID"), Some("CreatedOn > '2025-01-01'"))
+    assert(q == "(SELECT TOP 2000 OrderID, LocationID FROM dbo.Orders " +
+      "WHERE OrderID > 1500 AND (CreatedOn > '2025-01-01') ORDER BY OrderID) AS batch")
+    val star = Sources.keysetSubquery("dbo.Users", "UserID", 0, 100)
+    assert(star == "(SELECT TOP 100 * FROM dbo.Users WHERE UserID > 0 ORDER BY UserID) AS batch")
+  }
+
+  test("applySinkTypes casts mapped columns, ignores absent ones (S12)") {
+    val df = Seq((1L, 46.6752953, "x")).toDF("id", "lat", "s")
+    val out = Sinks.applySinkTypes(df, Map(
+      "lat" -> DecimalType(9, 6), "missing" -> StringType))
+    assert(out.schema("lat").dataType == DecimalType(9, 6))
+    assert(out.select("lat").first().getDecimal(0).toPlainString == "46.675295")
+  }
+
+  test("batch sinks: idempotent re-run + schema evolution on read (S8/S10/S11)") {
+    val tmp = java.nio.file.Files.createTempDirectory("sinks_spec_").toString
+    val b0 = Seq((1L, "a")).toDF("id", "v")
+    Sinks.appendBatch(b0, s"$tmp/fact", 0)
+    Sinks.appendBatch(b0, s"$tmp/fact", 0) // re-run batch 0: overwrite, not duplicate
+    val b1 = Seq((2L, "b", 9.9)).toDF("id", "v", "extra") // evolved schema
+    Sinks.appendBatch(b1, s"$tmp/fact", 1)
+    val all = Sinks.readEvolved(spark, s"$tmp/fact")
+    assert(all.count() == 2)
+    assert(all.columns.toSet == Set("id", "v", "extra", "batch"))
+    assert(all.filter($"id" === 1).select("extra").first().isNullAt(0))
+    // dual write lands both outputs under the same batch id
+    Sinks.dualWrite(b0, Seq((1L, 100L)).toDF("oldId", "newId"),
+      s"$tmp/f2", s"$tmp/sync", 0)
+    assert(spark.read.parquet(s"$tmp/sync").count() == 1)
+  }
+}
