@@ -88,8 +88,10 @@ object DocQueries {
 
     // SimHash near-pairs: bucket by signature prefix, hamming ≤ 3.
     "dd3_simhash_pairs" -> ((s, d) => {
+      // cached: both sides of the bucket self-join consume it and
+      // ReuseExchange does not apply across the aliased projections
       val sigs = dedupCorpus(s, d).select(col("doc_id"),
-        SimHash.simhash(col("text")).as("sim"))
+        SimHash.simhash(col("text")).as("sim")).cache()
       val a = sigs.select(SimHash.bucket(col("sim")).as("bucket"),
         col("doc_id").as("a"), col("sim").as("sim_a"))
       val b = sigs.select(SimHash.bucket(col("sim")).as("bucket"),

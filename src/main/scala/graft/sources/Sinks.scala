@@ -39,6 +39,28 @@ object Sinks {
   def readEvolved(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(root)
 
+  /** Bucketed managed table: pre-shuffles once at write so every later
+    * equi-join/aggregation on `keys` is exchange-free (the cluster
+    * analogue of the reference's indexed target tables — pay the
+    * shuffle once, reuse per query). Requires `saveAsTable`
+    * (bucket metadata lives in the catalog). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    keys: Seq[String]): Unit = {
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+    ()
+  }
+
+  /** Hive-style partitioned layout: directory per key value → partition
+    * pruning turns key-filtered scans into O(selected partitions). */
+  def writePartitioned(df: DataFrame, path: String, keys: Seq[String]): Unit = {
+    df.write.mode(SaveMode.Overwrite).partitionBy(keys: _*).parquet(path)
+    ()
+  }
+
   /** S11 — dual-output load (fact + Sync mapping side table,
     * `categories.py:125-128`). The mapping rows derive from the SAME
     * in-memory batch, so persist once and write both — a crash between

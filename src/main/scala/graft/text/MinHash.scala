@@ -82,9 +82,13 @@ object MinHash {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
                    threshold: Double = 0.5): DataFrame = {
+    // each fan-out point is persisted: Spark's ReuseExchange does NOT
+    // cover these self-join sides (verified on the executed plans), so
+    // without caching the shingle explode runs 4× and the signature
+    // aggregation 2×. At cluster scale these become checkpoints.
     val sh    = shingles(docs, idCol, textCol, k).cache()
-    val sig   = signatures(sh, idCol, numHashes)
-    val cand  = candidatePairs(sig, idCol, numHashes, rowsPerBand)
+    val sig   = signatures(sh, idCol, numHashes).cache()
+    val cand  = candidatePairs(sig, idCol, numHashes, rowsPerBand).cache()
     exactJaccard(cand, sh, idCol).filter(col("jaccard") >= threshold)
   }
 }

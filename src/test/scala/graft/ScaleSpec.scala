@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import graft.ops.Skew
+import graft.sources.Sinks
+
+/** Scale-mechanism specs: salting equivalence and bucketed
+  * shuffle-elimination — the properties SCALE.md claims. */
+class ScaleSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("saltedJoin == plain join on skewed data") {
+    // one hot key (90% of rows) + long tail
+    val fact = ((1 to 900).map(i => (7L, i.toLong)) ++
+      (1 to 100).map(i => (i.toLong % 5, i.toLong + 1000)))
+      .toDF("k", "payload")
+    val dim = Seq((7L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"),
+      (3L, "d"), (4L, "e")).toDF("k", "name")
+    val plain  = fact.join(dim, Seq("k"), "left")
+    val salted = Skew.saltedJoin(fact, dim, "k", "payload", salts = 8)
+    assert(salted.count() == plain.count())
+    val a = plain.orderBy("k", "payload").collect().map(_.toSeq)
+    val b = salted.select(plain.columns.map(col): _*)
+      .orderBy("k", "payload").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
+  test("saltedSum == plain groupBy sum (long-typed, exact)") {
+    val df = ((1 to 500).map(_ => ("hot", 1L)) ++
+      (1 to 50).map(i => (s"k${i % 7}", i.toLong))).toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum("v").as("sum_v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedSum(df, "k", "v", "v", salts = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain == salted)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS bspec_left")
+    spark.sql("DROP TABLE IF EXISTS bspec_right")
+    // a previous JVM's catalog is gone but its warehouse dirs survive;
+    // remove the physical locations or CREATE TABLE refuses
+    for (t <- Seq("bspec_left", "bspec_right")) {
+      val dir = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    val l = (1L to 1000L).map(i => (i, s"l$i")).toDF("id", "lv")
+    val r = (1L to 1000L).map(i => (i, i * 2)).toDF("id", "rv")
+    Sinks.writeBucketed(l, "bspec_left", 4, Seq("id"))
+    Sinks.writeBucketed(r, "bspec_right", 4, Seq("id"))
+    val joined = spark.table("bspec_left")
+      .join(spark.table("bspec_right"), Seq("id"))
+    // force a non-broadcast plan so the bucketing is what saves the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan
+      val shuffles = plan.collectWithSubqueries {
+        case s: ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty, s"expected shuffle-free bucketed join, got:\n$plan")
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+}
