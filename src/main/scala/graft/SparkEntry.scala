@@ -20,9 +20,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ CleanseQueries.queries ++ PipelineQueries.queries ++
-      DocQueries.queries ++ SimQueries.queries
+      DocQueries.queries ++ SimQueries.queries ++ ExtraQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ CleanseQueries.oracle ++ PipelineQueries.oracle ++
-      DocQueries.oracle ++ SimQueries.oracle
+      DocQueries.oracle ++ SimQueries.oracle ++ ExtraQueries.oracle
 }

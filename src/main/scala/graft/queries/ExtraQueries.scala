@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
+import graft.Tables
+import graft.ops.Repair
+
+/** Engine-surface breadth beyond the reference's own operator set
+  * (the reference has no rollup/pivot/set-ops/percentiles — SURVEY
+  * §2.4 — but a drop-in analytics engine needs them): multi-level
+  * aggregation, pivot, set operations, distinct counts, exact
+  * percentiles, and string/date scalar breadth. All oracle-paired.
+  */
+object ExtraQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ROLLUP with grouping() markers — multi-level agg in one pass
+    // (partial-aggregatable Expand, one shuffle).
+    "a7_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"),
+          count(lit(1)).as("n"),
+          Repair.decSum(col("l_quantity")).as("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "n", "sum_qty")
+    }),
+
+    // Exact distinct counts per group (expands to two-phase distinct
+    // aggregation; the approximate HLL path is in Bench-only territory
+    // since sketch estimates aren't engine-portable).
+    "a8_distinct_counts" -> ((s, d) => {
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Pivot (R3 — absent in the reference): linestatus columns from
+    // rows; fixed pivot values keep the schema static and portable.
+    "a9_pivot" -> ((s, d) => {
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("O", "F"))
+        .agg(Repair.decSum(col("l_quantity")))
+        .withColumnsRenamed(Map("O" -> "qty_o", "F" -> "qty_f"))
+    }),
+
+    // Set operations (set semantics: INTERSECT/EXCEPT dedup).
+    "a10_setops" -> ((s, d) => {
+      val custs  = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      val big    = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("k"))
+      custs.intersect(big).withColumn("tag", lit("big_buyer"))
+        .unionAll(custs.except(big).withColumn("tag", lit("no_big_orders")))
+    }),
+
+    // Exact interpolated percentiles, decimal-quantized on output
+    // (interpolation formula ulps differ across engines).
+    "a11_percentiles" -> ((s, d) => {
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").cast("decimal(18,6)")
+            .cast(DoubleType).as("p50"),
+          expr("percentile(l_quantity, 0.25)").cast("decimal(18,6)")
+            .cast(DoubleType).as("p25"),
+          expr("percentile(l_quantity, 0.9)").cast("decimal(18,6)")
+            .cast(DoubleType).as("p90"))
+    }),
+
+    // String scalar breadth (C-family extension).
+    "c19_strings" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      n.select(col("n_nationkey"),
+        lpad(col("n_nationkey").cast(StringType), 4, "0").as("key_pad"),
+        rpad(col("n_name"), 12, ".").as("name_pad"),
+        instr(col("n_name"), "_").as("underscore_at"),
+        expr("repeat('=', 3)").as("rule"),
+        reverse(col("n_name")).as("name_rev"),
+        substring(col("n_name"), -2, 2).as("name_last2"),
+        concat_ws("|", col("n_name"), col("n_nationkey")).as("joined"))
+    }),
+
+    // Date scalar breadth (C-family extension; dow normalized to
+    // DuckDB's Sunday=0 convention, truncs surfaced as date strings).
+    "c20_dates" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val dt = col("o_orderdate")
+      o.select(col("o_orderkey"),
+        date_trunc("month", dt).cast("date").cast(StringType).as("month_start"),
+        date_trunc("week", dt).cast("date").cast(StringType).as("week_start"),
+        year(dt).as("y"), month(dt).as("m"), dayofmonth(dt).as("dom"),
+        dayofyear(dt).as("doy"), quarter(dt).as("q"),
+        (dayofweek(dt) - 1).as("dow_sun0"),
+        datediff(dt.cast("date"), lit("2024-01-01").cast("date")).as("days_since_2024"),
+        last_day(dt).cast(StringType).as("month_end"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a7_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "a8_distinct_counts" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a9_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_o,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_f
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a10_setops" ->
+      """SELECT k, 'big_buyer' AS tag FROM (
+        |  SELECT c_custkey AS k FROM customer
+        |  INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |UNION ALL
+        |SELECT k, 'no_big_orders' AS tag FROM (
+        |  SELECT c_custkey AS k FROM customer
+        |  EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""".stripMargin,
+    "a11_percentiles" ->
+      """SELECT l_returnflag,
+        |  CAST(CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS p50,
+        |  CAST(CAST(quantile_cont(l_quantity, 0.25) AS DECIMAL(18,6)) AS DOUBLE) AS p25,
+        |  CAST(CAST(quantile_cont(l_quantity, 0.9) AS DECIMAL(18,6)) AS DOUBLE) AS p90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "c19_strings" ->
+      """SELECT n_nationkey,
+        |  lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS key_pad,
+        |  rpad(n_name, 12, '.') AS name_pad,
+        |  strpos(n_name, '_') AS underscore_at,
+        |  repeat('=', 3) AS rule,
+        |  reverse(n_name) AS name_rev,
+        |  right(n_name, 2) AS name_last2,
+        |  n_name || '|' || CAST(n_nationkey AS VARCHAR) AS joined
+        |FROM nation""".stripMargin,
+    "c20_dates" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+        |  CAST(CAST(date_trunc('week', o_orderdate) AS DATE) AS VARCHAR) AS week_start,
+        |  CAST(extract(year FROM o_orderdate) AS INTEGER) AS y,
+        |  CAST(extract(month FROM o_orderdate) AS INTEGER) AS m,
+        |  CAST(extract(day FROM o_orderdate) AS INTEGER) AS dom,
+        |  CAST(extract(doy FROM o_orderdate) AS INTEGER) AS doy,
+        |  CAST(extract(quarter FROM o_orderdate) AS INTEGER) AS q,
+        |  CAST(extract(dow FROM o_orderdate) AS INTEGER) AS dow_sun0,
+        |  CAST(date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_2024,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
+        |FROM orders""".stripMargin
+  )
+}
