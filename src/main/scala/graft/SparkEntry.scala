@@ -20,9 +20,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ CleanseQueries.queries ++ PipelineQueries.queries ++
-      DocQueries.queries ++ SimQueries.queries ++ ExtraQueries.queries
+      DocQueries.queries ++ SimQueries.queries ++ ExtraQueries.queries ++
+      CurationQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ CleanseQueries.oracle ++ PipelineQueries.oracle ++
-      DocQueries.oracle ++ SimQueries.oracle ++ ExtraQueries.oracle
+      DocQueries.oracle ++ SimQueries.oracle ++ ExtraQueries.oracle ++
+      CurationQueries.oracle
 }

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
+import graft.Tables
+import graft.text.MinHash
+
+/** Training-data curation operators: deterministic sampling /
+  * train-val-test splitting and benchmark-contamination detection.
+  *
+  * Sampling is CONTENT-HASH based (md5 of the stable id), not
+  * `rand()`: reruns, retries and engine ports all select the same
+  * rows — the property that makes a 100 TB curation run resumable
+  * and auditable. The hash bucket is a pure per-row expression; the
+  * split is a free column, not a shuffle.
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** md5-prefix bucket in [0, 256): portable to any engine with
+    * md5/substr/instr. */
+  private def hashBucket(c: org.apache.spark.sql.Column) = {
+    val h = md5(c.cast(StringType))
+    (instr(lit("0123456789abcdef"), substring(h, 1, 1)) - 1) * 16 +
+      (instr(lit("0123456789abcdef"), substring(h, 2, 1)) - 1)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Deterministic stratified sample + train/val/test split
+    // (~80/10/10 by hash bucket; 10% systematic sample flag).
+    "t5_sample_split" -> ((s, d) => {
+      val b = hashBucket(col("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        b.as("bucket"),
+        when(b < 204, "train").when(b < 230, "val").otherwise("test").as("split"),
+        when(b % 10 === 0, 1).otherwise(0).as("in_sample"))
+    }),
+
+    // Benchmark-contamination scan: fraction of each document's word
+    // 3-shingles that appear in a benchmark set (docs ≡ 0 mod 250
+    // stand in for the eval suite). Candidate work = one semi-joinable
+    // shingle join against the (small, broadcastable) benchmark set.
+    "t6_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = MinHash.shingles(docs.select(col("doc_id"), col("text")),
+        "doc_id", "text", 3).cache()
+      val benchSh = sh.filter(col("doc_id") % 250 === 0)
+        .select(col("shingle")).distinct()
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val hits = sh.join(broadcast(benchSh), Seq("shingle"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+      val rate = coalesce(col("n_contaminated"), lit(0L)).cast(DoubleType) /
+        col("n_shingles").cast(DoubleType)
+      counts.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          rate.as("contamination_rate"),
+          when(rate > 0.5, 1).otherwise(0).as("is_contaminated"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t5_sample_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket,
+        |  CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CASE WHEN bucket % 10 = 0 THEN 1 ELSE 0 END AS in_sample
+        |FROM b""".stripMargin,
+    "t6_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(0, len(w) - 2),
+        |    i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 250 = 0),
+        |counts AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+        |hits AS (SELECT s.doc_id, count(*) AS n_contaminated
+        |  FROM sh s JOIN bench b ON s.shingle = b.shingle GROUP BY s.doc_id)
+        |SELECT c.doc_id, c.n_shingles,
+        |  coalesce(h.n_contaminated, 0) AS n_contaminated,
+        |  CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / CAST(c.n_shingles AS DOUBLE) AS contamination_rate,
+        |  CASE WHEN CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / CAST(c.n_shingles AS DOUBLE) > 0.5
+        |       THEN 1 ELSE 0 END AS is_contaminated
+        |FROM counts c LEFT JOIN hits h ON c.doc_id = h.doc_id""".stripMargin
+  )
+}
