@@ -113,16 +113,18 @@ object DocQueries {
     // Character-5-gram Jaccard near-dup within (lang, n_chars±2) blocks.
     "dd4_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // cached: three consumers (counts + both sides of the
+      // intersection join) would otherwise re-run the gram explode
       val grams = docs.select(col("doc_id"),
         explode(array_distinct(transform(
           sequence(lit(0), length(col("text")) - 5),
-          i => col("text").substr(i + 1, lit(5))))).as("g"))
+          i => col("text").substr(i + 1, lit(5))))).as("g")).cache()
       val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = docs.select(col("doc_id").as("a"), col("lang"), col("n_chars").as("ca"))
         .join(docs.select(col("doc_id").as("b"), col("lang"), col("n_chars").as("cb")),
           Seq("lang"))
         .filter(col("a") < col("b") && abs(col("ca") - col("cb")) <= 2)
-        .select("a", "b")
+        .select("a", "b").cache()
       val inter = pairs
         .join(grams.select(col("doc_id").as("a"), col("g")), "a")
         .join(grams.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))

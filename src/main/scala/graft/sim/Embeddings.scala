@@ -101,8 +101,9 @@ object Embeddings {
     * at larger scale, shard labels or widen to DecimalType. */
   def centroidAssign(vectors: DataFrame, idCol: String, embCol: String,
                      labelCol: String): DataFrame = {
+    // cached: feeds both the centroid aggregation and the scoring join
     val q = vectors.select(col(idCol).as("vid"), col(labelCol).as("true_label"),
-      quantize(col(embCol), 1e4).as("v"))
+      quantize(col(embCol), 1e4).as("v")).cache()
     val cents = q.groupBy(col("true_label").as("cl"))
       .agg(count(lit(1)).as("n"),
         array((0 until 64).map(i =>

@@ -38,6 +38,13 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: the streaming CDC feed joined to a
+    * broadcast dimension (the streaming form of [[graft.ops.FkRemap]]'s
+    * batch remap — the dim is re-resolved per micro-batch, so slowly
+    * changing dimensions pick up updates without restarting the query). */
+  def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -60,6 +60,25 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join resolves dims per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Double)]
+    val dim = Seq(("click", 1), ("view", 2)).toDF("event_type", "type_id")
+    val enriched = graft.streaming.EventStreams.enrich(
+      mem.toDF().toDF("event_id", "ts_s", "event_type", "value"),
+      dim, Seq("event_type"))
+    val q = enriched.writeStream.format("memory")
+      .queryName("enrich_out").outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .groupBy("type_id").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == Map(1 -> 3L, 2 -> 1L))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups replayed ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String, Double)]

@@ -38,6 +38,24 @@ object StreamDemo {
     q.processAllAvailable()
     println("=== CLOSED WINDOWS EMITTED TO PARQUET ===")
     spark.read.parquet(base + "/out").orderBy("bucket_start", "event_type").show(false)
-    q.stop(); spark.stop()
+    q.stop()
+
+    // stream-static enrichment: dim resolved per micro-batch
+    val mem2 = MemoryStream[(Long, String, String, Double)]
+    val dim = Seq(("click", 1), ("view", 2)).toDF("event_type", "type_id")
+    val enriched = graft.streaming.EventStreams.enrich(
+      mem2.toDF().toDF("event_id", "ts_s", "event_type", "value"),
+      dim, Seq("event_type"))
+    val q2 = enriched.writeStream.format("parquet")
+      .option("path", base + "/enriched")
+      .option("checkpointLocation", base + "/ckpt2")
+      .outputMode("append").start()
+    mem2.addData((1L, "t", "click", 1.0), (2L, "t", "view", 2.0),
+      (3L, "t", "scroll", 3.0))
+    q2.processAllAvailable()
+    println("=== ENRICHED STREAM ===")
+    spark.read.parquet(base + "/enriched")
+      .orderBy("event_id").select("event_id", "event_type", "type_id").show(false)
+    q2.stop(); spark.stop()
   }
 }
