@@ -69,6 +69,42 @@ object ExtraQueries {
             .cast(DoubleType).as("p90"))
     }),
 
+    // As-of join (no native Spark equivalent; composed union+window,
+    // one shuffle): each click/view event picks up the user's latest
+    // purchase value at-or-before its timestamp.
+    "j11_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = graft.ops.Dedup.topPerGroup(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value")),
+        Seq("user_id", "ts"), Seq(col("value").desc))
+        .withColumnRenamed("value", "last_purchase_value")
+      graft.ops.AsOfJoin.asOf(clicks, purchases,
+        Seq("user_id"), "ts", "ts")
+        .select("event_id", "user_id", "ts", "last_purchase_value")
+    }),
+
+    // Sessionization: 30-min inactivity gap → per-user session ids
+    // (two stacked windows, one shuffle on user_id).
+    "w3_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // exact integer microseconds: unix_timestamp() TRUNCATES to
+      // seconds while DuckDB's epoch() keeps the fraction — boundary
+      // rows would classify differently
+      val gap = unix_micros(col("ts")) -
+        unix_micros(lag(col("ts"), 1).over(w))
+      Tables.events(s, d)
+        .withColumn("new_session",
+          when(gap.isNull || gap > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("event_id", "user_id", "new_session", "session_id")
+    }),
+
     // String scalar breadth (C-family extension).
     "c19_strings" -> ((s, d) => {
       val n = Tables.nation(s, d)
@@ -131,6 +167,30 @@ object ExtraQueries {
         |  CAST(CAST(quantile_cont(l_quantity, 0.25) AS DECIMAL(18,6)) AS DOUBLE) AS p25,
         |  CAST(CAST(quantile_cont(l_quantity, 0.9) AS DECIMAL(18,6)) AS DOUBLE) AS p90
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "j11_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |p0 AS (SELECT user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, ts ORDER BY value DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |purchases AS (SELECT user_id, ts, value AS last_purchase_value
+        |  FROM p0 WHERE rn = 1)
+        |SELECT c.event_id, c.user_id, c.ts, p.last_purchase_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "w3_sessionize" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, ts,
+        |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS new_session,
+        |  sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |FROM g""".stripMargin,
     "c19_strings" ->
       """SELECT n_nationkey,
         |  lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS key_pad,

@@ -49,6 +49,24 @@ class OpsSpec extends SparkSuite {
     assert(got == """[{"cid":1,"name":"x"},{"cid":2,"name":"مرحبا"}]""")
   }
 
+  test("asOf join: latest right row at-or-before, NULL when none precede") {
+    val clicks = Seq((1L, 10L, "2024-01-01 10:00:00"),
+      (2L, 10L, "2024-01-01 11:00:00"),
+      (3L, 20L, "2024-01-01 09:00:00"),
+      (4L, 10L, "2024-01-01 10:30:00")) // exactly at a purchase ts → inclusive
+      .toDF("id", "u", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val purch = Seq((10L, "2024-01-01 09:30:00", 5.0),
+      (10L, "2024-01-01 10:30:00", 7.0))
+      .toDF("u", "ts_s", "v")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val got = AsOfJoin.asOf(clicks, purch, Seq("u"), "ts", "ts")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.toSeq == Seq((1L, Some(5.0)), (2L, Some(7.0)),
+      (3L, None), (4L, Some(7.0))))
+  }
+
   test("CDC loop: incremental batches reproduce the one-shot result and resume from state") {
     val tmp = java.nio.file.Files.createTempDirectory("cdc_spec_").toString
     val src = (1L to 100L).map(i => (i, i * 2)).toDF("id", "v")
