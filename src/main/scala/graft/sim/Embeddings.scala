@@ -100,13 +100,13 @@ object Embeddings {
     * n²·d² within long range for corpus counts ≤ ~100k/label;
     * at larger scale, shard labels or widen to DecimalType. */
   def centroidAssign(vectors: DataFrame, idCol: String, embCol: String,
-                     labelCol: String): DataFrame = {
+                     labelCol: String, dim: Int = 64): DataFrame = {
     // cached: feeds both the centroid aggregation and the scoring join
     val q = vectors.select(col(idCol).as("vid"), col(labelCol).as("true_label"),
       quantize(col(embCol), 1e4).as("v")).cache()
     val cents = q.groupBy(col("true_label").as("cl"))
       .agg(count(lit(1)).as("n"),
-        array((0 until 64).map(i =>
+        array((0 until dim).map(i =>
           sum(element_at(col("v"), i + 1)).as(s"s$i")): _*).as("s"))
       .select(col("cl"), col("n"), col("s"))
     val dist2n2 = aggregate(
