@@ -25,32 +25,23 @@ object SimHash64Funcs {
     val counts = new Array[Int](64)
     val digest = md.get()
     val s = text.toString
-    var start = 0
     val n = s.length
-    while (start < n) {
+    // token segmentation identical to split(text, " "): every
+    // delimiter-bounded segment INCLUDING empties — leading, doubled,
+    // and trailing (split("a ") = ["a",""], split("") = [""]). The
+    // `start <= n` bound is what yields the trailing/empty segment.
+    var start = 0
+    while (start <= n) {
       var end = s.indexOf(' ', start)
       if (end < 0) end = n
-      if (end > start) {
-        digest.reset()
-        val bytes = digest.digest(
-          s.substring(start, end).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        var j = 0
-        while (j < 64) {
-          if (((bytes(j >> 3) >> (7 - (j & 7))) & 1) == 1) counts(j) += 1
-          else counts(j) -= 1
-          j += 1
-        }
-      } else if (start == end) {
-        // empty token (leading/double space): contributes like the
-        // builtin form's md5("") — all-bits from md5 of empty string
-        digest.reset()
-        val bytes = digest.digest(Array.emptyByteArray)
-        var j = 0
-        while (j < 64) {
-          if (((bytes(j >> 3) >> (7 - (j & 7))) & 1) == 1) counts(j) += 1
-          else counts(j) -= 1
-          j += 1
-        }
+      digest.reset()
+      val bytes = digest.digest(
+        s.substring(start, end).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var j = 0
+      while (j < 64) {
+        if (((bytes(j >> 3) >> (7 - (j & 7))) & 1) == 1) counts(j) += 1
+        else counts(j) -= 1
+        j += 1
       }
       start = end + 1
     }

@@ -27,22 +27,32 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String): DataFrame = {
     val rightVals = right.columns.toSeq.diff(keys :+ rightTs)
+    val collisions = rightVals.intersect(left.columns.toSeq)
+    require(collisions.isEmpty,
+      s"asOf: right value columns collide with left columns: " +
+        s"${collisions.mkString(", ")} — rename before joining")
+    // the right row's values travel as ONE struct: the window carries
+    // the matched row atomically, so a NULL field of the matched row
+    // stays NULL (per-column ignoreNulls would resurrect older values
+    // and could mix fields from different right rows)
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__is_left", lit(1))
     val r = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__is_left", lit(0))
-      .drop(rightTs)
+      .withColumn("__rv", struct(rightVals.map(col): _*))
+      .drop(rightVals :+ rightTs: _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right rows sort before left rows at equal __ts → inclusive (>=)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__is_left") === 1)
-      .drop("__ts", "__is_left")
+    val carried = unioned.withColumn("__rv",
+      last(col("__rv"), ignoreNulls = true).over(w))
+    rightVals.foldLeft(carried) { (df, c) =>
+      df.withColumn(c, col("__rv").getField(c))
+    }.filter(col("__is_left") === 1)
+      .drop("__ts", "__is_left", "__rv")
   }
 }

@@ -61,7 +61,14 @@ object Cdc {
     def read(table: String): Long = load().getOrElse(table, initial)
 
     /** MERGE-equivalent upsert (`accounts.py:131-140`): read-modify-write
-      * of the (tiny) state table, committed to disk then cached. */
+      * of the (tiny) state table, committed to disk then cached.
+      *
+      * The delete+rename pair is not atomic: a crash in the window
+      * loses the state file and the next start reprocesses from
+      * `initial` — safe because batch identity is the start watermark
+      * (see [[runLoop]]), so reprocessing rewrites identical batch
+      * directories. A failed rename throws rather than leaving memory
+      * and disk divergent. */
     def upsert(table: String, maxIndex: Long): Unit = {
       val updated = load() + (table -> maxIndex)
       val tmp = path + ".tmp"
@@ -70,7 +77,9 @@ object Cdc {
       val dir  = new java.io.File(path)
       val tmpF = new java.io.File(tmp)
       deleteRecursively(dir)
-      tmpF.renameTo(dir)
+      if (!tmpF.renameTo(dir))
+        throw new java.io.IOException(
+          s"watermark commit failed: rename $tmp -> $path")
       cache = Some(updated)
       ()
     }
@@ -84,11 +93,19 @@ object Cdc {
 
   /** The `while True: extract→transform→load` loop (`accounts.py:147-161`),
     * driver-side control flow above Catalyst. Returns the number of
-    * batches processed. `sink` receives (batchDf, batchIndex). */
+    * batches processed.
+    *
+    * `sink` receives (batchDf, startWatermark). The watermark — NOT a
+    * restart-relative counter — is the batch identity: after a crash
+    * between sink and watermark commit, the retried batch has the same
+    * start watermark, hence the same rows and the same sink key, so an
+    * idempotent sink (batch-keyed overwrite, [[graft.sources.Sinks]])
+    * lands exactly-once. A counter would restart at 0 and collide with
+    * earlier batches' directories. */
   def runLoop(src: DataFrame, idCol: String, table: String,
               store: WatermarkStore, batchSize: Int,
               transform: DataFrame => DataFrame,
-              sink: (DataFrame, Int) => Unit,
+              sink: (DataFrame, Long) => Unit,
               maxBatches: Int = Int.MaxValue): Int = {
     var n = 0
     var done = false
@@ -100,7 +117,7 @@ object Cdc {
       try nextWatermark(batch, idCol) match {
         case None => done = true
         case Some(next) =>
-          sink(transform(batch), n)
+          sink(transform(batch), wm)
           store.upsert(table, next)
           n += 1
       } finally { batch.unpersist(); () }

@@ -30,14 +30,18 @@ object FkRemap {
     fact.join(broadcast(dim), keys, "left")
 
   /** J9 — keep only fact rows whose key exists in `dim`
-    * (the IN-list pushdown of `fks_mapper.py:17-19`). */
+    * (the IN-list pushdown of `fks_mapper.py:17-19`). No broadcast
+    * hint: the filter side is often itself fact-derived (a keyset from
+    * the biggest table), which must not be forced through the driver —
+    * AQE broadcasts it at runtime when it turns out small. */
   def semi(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
-    fact.join(broadcast(dim), keys, "left_semi")
+    fact.join(dim, keys, "left_semi")
 
   /** J6 — drop fact rows already present in `existing`
-    * (the left-merge + isna() marker idiom of `items.py:140-147`). */
+    * (the left-merge + isna() marker idiom of `items.py:140-147`).
+    * Unhinted for the same reason as [[semi]]. */
   def anti(fact: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
-    fact.join(broadcast(existing), keys, "left_anti")
+    fact.join(existing, keys, "left_anti")
 
   /** A5 — count unresolved FKs (NULL in `resolved`) without a second
     * scan; returns the count for reporting. */

@@ -114,29 +114,21 @@ object DocQueries {
     "dd4_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       // cached: three consumers (counts + both sides of the
-      // intersection join) would otherwise re-run the gram explode
+      // intersection join) would otherwise re-run the gram explode.
+      // Short-text guard as in MinHash.shingles: sequence() DESCENDS
+      // when length < gram size.
+      val gramArr = when(length(col("text")) >= 5,
+        transform(sequence(lit(0), length(col("text")) - 5),
+          i => col("text").substr(i + 1, lit(5))))
+        .otherwise(array())
       val grams = docs.select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(0), length(col("text")) - 5),
-          i => col("text").substr(i + 1, lit(5))))).as("g")).cache()
-      val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        explode(array_distinct(gramArr)).as("shingle")).cache()
       val pairs = docs.select(col("doc_id").as("a"), col("lang"), col("n_chars").as("ca"))
         .join(docs.select(col("doc_id").as("b"), col("lang"), col("n_chars").as("cb")),
           Seq("lang"))
         .filter(col("a") < col("b") && abs(col("ca") - col("cb")) <= 2)
         .select("a", "b").cache()
-      val inter = pairs
-        .join(grams.select(col("doc_id").as("a"), col("g")), "a")
-        .join(grams.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
-        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-      pairs
-        .join(inter, Seq("a", "b"), "left")
-        .join(counts.withColumnsRenamed(Map("doc_id" -> "a", "n" -> "na")), "a")
-        .join(counts.withColumnsRenamed(Map("doc_id" -> "b", "n" -> "nb")), "b")
-        .select(col("a"), col("b"),
-          (coalesce(col("inter"), lit(0L)).cast(DoubleType) /
-            (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).cast(DoubleType))
-            .as("jaccard"))
+      MinHash.exactJaccard(pairs, grams, "doc_id")
     })
   )
 

@@ -139,8 +139,8 @@ object PipelineQueries {
         (col("value") * 2).as("value2"))
       Cdc.runLoop(ev, "event_id", "events", store, batchSize = 9973,
         transform,
-        (batch, i) => batch.write.mode(SaveMode.Overwrite)
-          .parquet(s"$outDir/batch=$i"))
+        (batch, wm) => batch.write.mode(SaveMode.Overwrite)
+          .parquet(s"$outDir/batch=$wm"))
       s.read.parquet(outDir)
         .select("event_id", "user_id", "event_type_u", "value2")
     }),

@@ -39,6 +39,21 @@ class ExpressionSpec extends SparkSuite {
     assert(viaSql == viaCol)
   }
 
+  test("simhash64 matches split() token semantics incl. trailing/empty segments") {
+    val df = Seq("a", "a ", "", " ").toDF("text")
+    val h = df.select(SimHash64.simhash64($"text")).collect().map(_.getLong(0))
+    // "a " = ["a",""] ≠ "a" = ["a"]
+    assert(h(0) != h(1))
+    // "" = [""] → single-token signature = top 64 bits of md5("")
+    val d = java.security.MessageDigest.getInstance("MD5").digest(Array.emptyByteArray)
+    val emptySig = (0 until 64).foldLeft(0L) { (acc, j) =>
+      if (((d(j >> 3) >> (7 - (j & 7))) & 1) == 1) acc | (1L << (63 - j)) else acc
+    }
+    assert(h(2) == emptySig)
+    // " " = ["",""] → two identical tokens → same sign pattern
+    assert(h(3) == emptySig)
+  }
+
   test("near-duplicate texts have small hamming distance at 64 bits") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val df = Seq((1L, base), (2L, base + " extra"),

@@ -67,17 +67,36 @@ class OpsSpec extends SparkSuite {
       (3L, None), (4L, Some(7.0))))
   }
 
+  test("asOf: matched row's NULL value stays NULL (no stale carry), collisions rejected") {
+    val left = Seq((1L, 10L, "2024-01-01 10:00:00")).toDF("id", "u", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val right = Seq((10L, "2024-01-01 09:00:00", Some(5.0)),
+      (10L, "2024-01-01 09:30:00", None))
+      .toDF("u", "ts_s", "v")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val got = AsOfJoin.asOf(left, right, Seq("u"), "ts", "ts").first()
+    assert(got.isNullAt(got.fieldIndex("v")),
+      "matched row has v=NULL; older 5.0 must not be resurrected")
+    val collide = left.withColumn("v", lit(1.0))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(collide, right, Seq("u"), "ts", "ts")
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("CDC loop: incremental batches reproduce the one-shot result and resume from state") {
     val tmp = java.nio.file.Files.createTempDirectory("cdc_spec_").toString
     val src = (1L to 100L).map(i => (i, i * 2)).toDF("id", "v")
     val store = new Cdc.WatermarkStore(spark, s"$tmp/wm")
-    var batches = 0
+    var wmKeys = Seq.empty[Long]
     val n = Cdc.runLoop(src, "id", "t", store, batchSize = 17,
-      df => df, (b, i) => {
-        batches += 1
-        b.write.mode("overwrite").parquet(s"$tmp/out/batch=$i")
+      df => df, (b, wm) => {
+        wmKeys :+= wm
+        b.write.mode("overwrite").parquet(s"$tmp/out/batch=$wm")
       })
-    assert(n == 6 && batches == 6) // ceil(100/17)
+    assert(n == 6 && wmKeys.size == 6) // ceil(100/17)
+    // sink keys are the start watermarks — restart-stable batch ids
+    assert(wmKeys == Seq(0L, 17L, 34L, 51L, 68L, 85L))
     assert(store.read("t") == 100L)
     val out = spark.read.parquet(s"$tmp/out")
     assert(out.count() == 100)
