@@ -122,6 +122,59 @@ object PipelineQueries {
           .orderBy(col("p_partkey"))).cast("long").as("new_item_id"))
     }),
 
+    // Roles pipeline (E1, `roles.py:49-108`): multiway join → flag
+    // derivation → melt → claim-string recode → enabled filter, end to
+    // end over supplier⋈nation standing in for Users⋈Role_Group.
+    "e6_roles_claims" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+      val m = Map("can_create" -> "Permissions.Account.Create",
+        "can_edit" -> "Permissions.Account.Edit",
+        "can_access" -> "Permissions.Account.Access")
+      val wide = sup
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("group_name"),
+          Repair.flag(col("s_acctbal") > 0).as("can_create"),
+          Repair.flag(col("s_suppkey") % 2 === 0).as("can_edit"),
+          lit(1).as("can_access"))
+      Reshape.melt(wide, Seq("s_suppkey", "group_name"),
+        Seq("can_create", "can_edit", "can_access"), "perm", "enabled")
+        .filter(col("enabled") === 1)
+        .select(col("s_suppkey"), col("group_name"),
+          Recode.recodeStrict(col("perm"), m).as("claim"))
+    }),
+
+    // Data-quality report — the reference's manual reconciliation
+    // counts (`Readme.md:1-87`: "2133 records (~0.14%) have missing
+    // OrderTakerID", …) operationalized as one dataflow: each check is
+    // a conditional count, unioned into a (check, violations, total)
+    // report. At scale: every check is a partial-aggregatable count
+    // over one shared scan per table.
+    "dq1_quality_report" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      def check(df: DataFrame, name: String, bad: org.apache.spark.sql.Column) =
+        df.agg(lit(name).as("check_name"),
+          count(when(bad, 1)).as("n_violations"),
+          count(lit(1)).as("n_total"))
+      check(li, "lineitem_null_partkey", col("l_partkey").isNull)
+        .unionAll(check(li, "lineitem_high_discount",
+          col("l_discount") < 0 || col("l_discount") > 0.08))
+        .unionAll(check(li, "lineitem_nonpositive_price",
+          col("l_extendedprice") <= 0))
+        .unionAll(check(li, "lineitem_qty_over_45", col("l_quantity") > 45))
+        .unionAll(check(o, "orders_null_custkey", col("o_custkey").isNull))
+        .unionAll(check(o, "orders_unknown_status",
+          !col("o_orderstatus").isin("O", "F", "P")))
+        .unionAll(
+          FkRemap.remap(li.select("l_orderkey"),
+            o.select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+            Seq("l_orderkey"))
+            .agg(lit("lineitem_orphaned_orderkey").as("check_name"),
+              count(when(col("o_orderstatus").isNull, 1)).as("n_violations"),
+              count(lit(1)).as("n_total")))
+    }),
+
     // S2/S3/S8/S9 loop — the `while True: extract→transform→load` CDC
     // loop (`accounts.py:147-161`) run to completion in keyset batches
     // with a persisted watermark store and per-batch append sink; the
@@ -228,6 +281,47 @@ object PipelineQueries {
         |SELECT p_partkey AS old_item_id, p_brand, name_key,
         |  CAST(row_number() OVER (ORDER BY p_partkey) AS BIGINT) AS new_item_id
         |FROM fresh""".stripMargin,
+    "e6_roles_claims" ->
+      """WITH wide AS (
+        |  SELECT s.s_suppkey, n.n_name AS group_name,
+        |    CASE WHEN s.s_acctbal > 0 THEN 1 ELSE 0 END AS can_create,
+        |    CASE WHEN s.s_suppkey % 2 = 0 THEN 1 ELSE 0 END AS can_edit,
+        |    1 AS can_access
+        |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey),
+        |melted AS (
+        |  SELECT s_suppkey, group_name, 'can_create' AS perm, can_create AS enabled FROM wide
+        |  UNION ALL SELECT s_suppkey, group_name, 'can_edit', can_edit FROM wide
+        |  UNION ALL SELECT s_suppkey, group_name, 'can_access', can_access FROM wide)
+        |SELECT s_suppkey, group_name,
+        |  CASE perm WHEN 'can_create' THEN 'Permissions.Account.Create'
+        |            WHEN 'can_edit' THEN 'Permissions.Account.Edit'
+        |            WHEN 'can_access' THEN 'Permissions.Account.Access' END AS claim
+        |FROM melted WHERE enabled = 1""".stripMargin,
+    "dq1_quality_report" ->
+      """SELECT 'lineitem_null_partkey' AS check_name,
+        |  count(CASE WHEN l_partkey IS NULL THEN 1 END) AS n_violations,
+        |  count(*) AS n_total FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_high_discount',
+        |  count(CASE WHEN l_discount < 0 OR l_discount > 0.08 THEN 1 END), count(*)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_nonpositive_price',
+        |  count(CASE WHEN l_extendedprice <= 0 THEN 1 END), count(*) FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_qty_over_45',
+        |  count(CASE WHEN l_quantity > 45 THEN 1 END), count(*) FROM lineitem
+        |UNION ALL
+        |SELECT 'orders_null_custkey',
+        |  count(CASE WHEN o_custkey IS NULL THEN 1 END), count(*) FROM orders
+        |UNION ALL
+        |SELECT 'orders_unknown_status',
+        |  count(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END), count(*)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_orphaned_orderkey',
+        |  count(CASE WHEN o.o_orderstatus IS NULL THEN 1 END), count(*)
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
     "s8_cdc_loop" ->
       """SELECT event_id, user_id, upper(event_type) AS event_type_u,
         |  value * 2 AS value2 FROM events""".stripMargin,
