@@ -103,6 +103,18 @@ object DocQueries {
         .filter(col("hamming") <= 3)
     }),
 
+    // Dedup clustering: connected components over the verified
+    // MinHash near-dup pairs — the transitive closure pairwise
+    // detection alone can't give. Canonical = min doc_id per component.
+    "dd6_dedup_clusters" -> ((s, d) => {
+      val corpus = dedupCorpus(s, d)
+      val pairs = MinHash.nearDupPairs(corpus, "doc_id", "text",
+        k = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+        .select("a", "b")
+      graft.text.DedupClusters.connectedComponents(
+        corpus.select(col("doc_id").as("id")), pairs)
+    }),
+
     // Native-expression 64-bit SimHash (graft.expressions.SimHash64):
     // one traversal per row inside whole-stage codegen.
     "dd5_simhash64" -> ((s, d) => {
@@ -266,6 +278,37 @@ object DocQueries {
     "dd5_simhash64" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         |SELECT doc_id, CAST($simhash64Bits AS BIGINT) AS simhash64 FROM toks""".stripMargin,
+    "dd6_dedup_clusters" ->
+      s"""WITH RECURSIVE $corpusCte,
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(0, len(w) - 2),
+        |    i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+        |  FROM toks),
+        |sig AS (SELECT doc_id, $mhSigCols FROM sh GROUP BY doc_id),
+        |bands AS ($mhBands),
+        |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+        |  WHERE l.doc_id < r.doc_id),
+        |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.a, c.b, count(*) AS inter
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.a
+        |  JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+        |  GROUP BY c.a, c.b),
+        |edges AS (SELECT c.a, c.b
+        |  FROM cand c
+        |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+        |  JOIN counts ca ON ca.doc_id = c.a
+        |  JOIN counts cb ON cb.doc_id = c.b
+        |  WHERE CAST(coalesce(i.inter, 0) AS DOUBLE) /
+        |        CAST(ca.n + cb.n - coalesce(i.inter, 0) AS DOUBLE) >= 0.5),
+        |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        |reach(start, node) AS (
+        |  SELECT doc_id, doc_id FROM corpus
+        |  UNION
+        |  SELECT r.start, s.b FROM reach r JOIN sym s ON s.a = r.node)
+        |SELECT start AS id, min(node) AS canonical_id FROM reach GROUP BY start""".stripMargin,
     "dd4_ngram_jaccard" ->
       """WITH grams AS (
         |  SELECT DISTINCT doc_id,

@@ -51,6 +51,16 @@ class TextSpec extends SparkSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("connectedComponents: chains merge transitively, singletons self-canonical") {
+    import graft.text.DedupClusters
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 7L).toDF("id")
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = DedupClusters.connectedComponents(nodes, pairs)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (5L, 5L), (6L, 5L), (7L, 7L)))
+  }
+
   test("simhash: identical docs equal, near docs close, distant docs far") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
