@@ -37,6 +37,31 @@ object CurationQueries {
         when(b % 10 === 0, 1).otherwise(0).as("in_sample"))
     }),
 
+    // Weighted domain mixing: per-source target sampling rates applied
+    // via the same deterministic hash bucket — downsample
+    // over-represented sources to target proportions, rerun-stable.
+    "t7_domain_mix" -> ((s, d) => {
+      val weights = Map("src0" -> 256, "src1" -> 128, "src2" -> 64,
+        "src3" -> 32, "src4" -> 16) // keep-threshold out of 256
+      val b = hashBucket(col("doc_id"))
+      val thr = coalesce(
+        org.apache.spark.sql.functions.element_at(typedLit(weights), col("source")),
+        lit(256))
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+        b.as("bucket"), thr.as("keep_threshold"),
+        when(b < thr, 1).otherwise(0).as("kept"))
+    }),
+
+    // Length stratification: decile buckets by document length (ntile
+    // window; deterministic tiebreak) — the sampling strata a
+    // curriculum/mixture builder keys on.
+    "t8_length_deciles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+        ntile(10).over(w).as("length_decile"))
+    }),
+
     // Benchmark-contamination scan: fraction of each document's word
     // 3-shingles that appear in a benchmark set (docs ≡ 0 mod 250
     // stand in for the eval suite). Candidate work = one semi-joinable
@@ -72,6 +97,22 @@ object CurationQueries {
         |       ELSE 'test' END AS split,
         |  CASE WHEN bucket % 10 = 0 THEN 1 ELSE 0 END AS in_sample
         |FROM b""".stripMargin,
+    "t7_domain_mix" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket,
+        |    CASE source WHEN 'src0' THEN 256 WHEN 'src1' THEN 128
+        |                WHEN 'src2' THEN 64 WHEN 'src3' THEN 32
+        |                WHEN 'src4' THEN 16 ELSE 256 END AS keep_threshold
+        |  FROM documents)
+        |SELECT doc_id, source, bucket, keep_threshold,
+        |  CASE WHEN bucket < keep_threshold THEN 1 ELSE 0 END AS kept
+        |FROM b""".stripMargin,
+    "t8_length_deciles" ->
+      """SELECT doc_id, n_chars,
+        |  ntile(10) OVER (ORDER BY n_chars, doc_id) AS length_decile
+        |FROM documents""".stripMargin,
     "t6_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
