@@ -1,7 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** CDC-watermark incremental processing (SURVEY.md §2.1 S2-S3, S8-S9, §2.9).
   *
@@ -10,17 +14,17 @@ import org.apache.spark.sql.functions._
   *   ORDER BY id` → transform → append + MERGE watermark in ONE
   *   transaction → loop until an empty batch.
   *
-  * Spark-first re-expression: the watermark is a tiny keyed state table
-  * (here parquet, driver-side read — at production scale a Delta table
-  * with `MERGE INTO`); the keyset scan is `filter > wm` + `orderBy` +
-  * `limit`, which Catalyst plans as `TakeOrderedAndProject` — no global
-  * sort materialization, and the `id > wm` predicate is pushed into the
-  * parquet scan (min/max row-group skipping ≈ the keyset index seek).
-  * Exactly-once apply without multi-table transactions: each batch
-  * writes to a `batch=<id>` subdirectory and the watermark file is
-  * committed last; on restart an already-written batch directory is
-  * overwritten idempotently (same batch id ⇒ same rows, since the scan
-  * is deterministic).
+  * Spark-first re-expression: the watermark is a tiny keyed state
+  * manifest (single file, atomically replaced — at production scale a
+  * Delta table with `MERGE INTO`); the keyset scan is `filter > wm` +
+  * `orderBy` + `limit`, which Catalyst plans as `TakeOrderedAndProject`
+  * — no global sort materialization, and the `id > wm` predicate is
+  * pushed into the parquet scan (min/max row-group skipping ≈ the
+  * keyset index seek). Exactly-once apply without multi-table
+  * transactions: each batch writes to a `batch=<id>` subdirectory and
+  * the watermark manifest is committed last; on restart an
+  * already-written batch directory is overwritten idempotently (same
+  * batch id ⇒ same rows, since the scan is deterministic).
   */
 object Cdc {
 
@@ -28,32 +32,46 @@ object Cdc {
   def keysetBatch(src: DataFrame, idCol: String, watermark: Long, batchSize: Int): DataFrame =
     src.filter(col(idCol) > watermark).orderBy(col(idCol)).limit(batchSize)
 
-  /** A4 — next watermark = max id of the batch (`accounts.py:110`). */
+  /** A4 — next watermark = max id of the batch (`accounts.py:110`).
+    * Cast to Long in the PLAN: `max()` preserves the input type, and
+    * `getLong` on an IntegerType id would ClassCastException. */
   def nextWatermark(batch: DataFrame, idCol: String): Option[Long] =
-    batch.agg(max(col(idCol))).first() match {
+    batch.agg(max(col(idCol)).cast(LongType)).first() match {
       case r if r.isNullAt(0) => None
       case r                  => Some(r.getLong(0))
     }
 
-  /** S2/S9 — watermark state persisted as a tiny keyed parquet table
-    * (`app.EtlCDC(TableName, MaxIndex)`, `Setup/setup.sql:122-125`). */
-  /** @param initial watermark when no state exists yet. The reference
+  /** S2/S9 — watermark state persisted as a tiny keyed manifest file
+    * (`app.EtlCDC(TableName, MaxIndex)`, `Setup/setup.sql:122-125`).
+    *
+    * @param spark   unused by the file-backed store; kept so the
+    *                production variant (Delta `MERGE INTO`) is a
+    *                drop-in replacement.
+    * @param initial watermark when no state exists yet. The reference
     *   uses 0 (`ISNULL(MaxIndex,0)`, ids start at 1); testdata ids
     *   start at 0, so callers there pass -1 — the scan is exclusive
     *   (`id > wm`). */
   final class WatermarkStore(spark: SparkSession, path: String, initial: Long = 0L) {
-    import spark.implicits._
+    locally { val _ = spark } // see @param spark
 
-    // Write-through cache: the state table is tiny and this store is
-    // the single writer (like the reference's one ETL process), so the
-    // loop never re-reads parquet per batch — disk is the restart path.
+    // Write-through cache: the state is tiny and this store is the
+    // single writer (like the reference's one ETL process), so the
+    // loop never re-reads the file per batch — disk is the restart path.
     private var cache: Option[Map[String, Long]] = None
 
     private def load(): Map[String, Long] = cache.getOrElse {
-      val dir = new java.io.File(path)
+      val p = Paths.get(path)
       val m =
-        if (!dir.exists()) Map.empty[String, Long]
-        else spark.read.parquet(path).as[(String, Long)].collect().toMap
+        if (!Files.exists(p)) Map.empty[String, Long]
+        else {
+          import scala.jdk.CollectionConverters._
+          Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+            .filter(_.nonEmpty)
+            .map { line =>
+              val i = line.lastIndexOf('\t')
+              line.substring(0, i) -> line.substring(i + 1).toLong
+            }.toMap
+        }
       cache = Some(m)
       m
     }
@@ -61,32 +79,23 @@ object Cdc {
     def read(table: String): Long = load().getOrElse(table, initial)
 
     /** MERGE-equivalent upsert (`accounts.py:131-140`): read-modify-write
-      * of the (tiny) state table, committed to disk then cached.
-      *
-      * The delete+rename pair is not atomic: a crash in the window
-      * loses the state file and the next start reprocesses from
-      * `initial` — safe because batch identity is the start watermark
-      * (see [[runLoop]]), so reprocessing rewrites identical batch
-      * directories. A failed rename throws rather than leaving memory
-      * and disk divergent. */
+      * of the (tiny) state, committed as write-temp-file +
+      * `Files.move(ATOMIC_MOVE)`. A crash leaves either the old or the
+      * new manifest intact — never neither (the round-1 delete+rename
+      * DIRECTORY swap had a window that lost the state and forced a
+      * reprocess-from-initial on restart; a single-file rename is the
+      * POSIX-atomic primitive). */
     def upsert(table: String, maxIndex: Long): Unit = {
       val updated = load() + (table -> maxIndex)
-      val tmp = path + ".tmp"
-      updated.toSeq.toDF("TableName", "MaxIndex")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-      val dir  = new java.io.File(path)
-      val tmpF = new java.io.File(tmp)
-      deleteRecursively(dir)
-      if (!tmpF.renameTo(dir))
-        throw new java.io.IOException(
-          s"watermark commit failed: rename $tmp -> $path")
+      val target  = Paths.get(path)
+      if (target.getParent != null) Files.createDirectories(target.getParent)
+      val tmp = Paths.get(path + ".tmp")
+      val body = updated.toSeq.sorted
+        .map { case (t, v) => s"$t\t$v" }.mkString("", "\n", "\n")
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
       cache = Some(updated)
-      ()
-    }
-
-    private def deleteRecursively(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-      f.delete()
       ()
     }
   }
@@ -101,7 +110,16 @@ object Cdc {
     * start watermark, hence the same rows and the same sink key, so an
     * idempotent sink (batch-keyed overwrite, [[graft.sources.Sinks]])
     * lands exactly-once. A counter would restart at 0 and collide with
-    * earlier batches' directories. */
+    * earlier batches' directories.
+    *
+    * ONE job per batch: the next watermark (max id) and the batch row
+    * count ride the sink's own action as `Dataset.observe` metrics
+    * instead of a separate aggregation pass (round 1 ran scan+max then
+    * scan+sink, with a persist between — twice the work). A batch
+    * shorter than `batchSize` proves the source is drained, ending the
+    * loop without a probe job; only the very first iteration pays a
+    * `limit(1)` existence probe so a resume against an exhausted
+    * source never invokes `sink`. */
   def runLoop(src: DataFrame, idCol: String, table: String,
               store: WatermarkStore, batchSize: Int,
               transform: DataFrame => DataFrame,
@@ -109,18 +127,30 @@ object Cdc {
               maxBatches: Int = Int.MaxValue): Int = {
     var n = 0
     var done = false
+    var first = true
     while (!done && n < maxBatches) {
       val wm    = store.read(table)
-      // persist: the batch feeds two actions (watermark max + sink) —
-      // without it the keyset scan runs twice per iteration.
-      val batch = keysetBatch(src, idCol, wm, batchSize).persist()
-      try nextWatermark(batch, idCol) match {
-        case None => done = true
-        case Some(next) =>
-          sink(transform(batch), wm)
-          store.upsert(table, next)
-          n += 1
-      } finally { batch.unpersist(); () }
+      val batch = keysetBatch(src, idCol, wm, batchSize)
+      if (first && batch.isEmpty) { done = true }
+      else {
+        val obs = Observation(s"graft_cdc_${table}_$wm")
+        val observed = batch.observe(obs,
+          max(col(idCol)).cast(LongType).as("wm_next"),
+          count(lit(1)).as("n_rows"))
+        sink(transform(observed), wm)
+        val metrics = obs.get
+        metrics("wm_next") match {
+          case next: java.lang.Long =>
+            store.upsert(table, next)
+            n += 1
+            // a short batch means the source is drained — stop here
+            // (an exactly-full final batch costs one extra empty
+            // iteration, whose idempotent empty write is harmless)
+            done = metrics("n_rows").asInstanceOf[Long] < batchSize
+          case _ => done = true // empty batch (exactly-full predecessor)
+        }
+      }
+      first = false
     }
     n
   }

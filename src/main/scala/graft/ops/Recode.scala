@@ -17,16 +17,20 @@ import org.apache.spark.sql.functions._
 object Recode {
 
   /** `Series.map(dict)` — non-matching keys become NULL (pandas semantics,
-    * `orders.py:111`: `df['OrderType'].map({'New': 0})`). */
+    * `orders.py:111`: `df['OrderType'].map({'New': 0})`).
+    *
+    * `try_element_at`, not `element_at`: under Spark 4's default ANSI
+    * mode a missing map key throws MAP_KEY_DOES_NOT_EXIST — the
+    * pandas missing→NULL contract must hold in any session. */
   def recodeStrict(c: Column, mapping: Map[String, String]): Column =
-    element_at(typedLit(mapping), c)
+    try_element_at(typedLit(mapping), c)
 
   /** Recode with fall-through to the original value (the
     * `sync_cities.py:74` `map(...).fillna(original)` shape). */
   def recodeOrKeep(c: Column, mapping: Map[String, String]): Column =
-    coalesce(element_at(typedLit(mapping), c), c)
+    coalesce(try_element_at(typedLit(mapping), c), c)
 
   /** Integer-valued recode, strict (missing → NULL). */
   def recodeStrictInt(c: Column, mapping: Map[String, Int]): Column =
-    element_at(typedLit(mapping), c)
+    try_element_at(typedLit(mapping), c)
 }

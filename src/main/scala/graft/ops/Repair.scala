@@ -79,7 +79,13 @@ object Repair {
     sum(c.cast("decimal(18,6)")).cast(DoubleType)
 
   /** Deterministic mean built from decSum / count (avoids Spark's
-    * decimal-avg scale rules differing from DuckDB's). */
+    * decimal-avg scale rules differing from DuckDB's).
+    *
+    * Divides by the NON-NULL count — pandas `Series.mean()` semantics
+    * (NULLs excluded from both numerator and denominator), the
+    * behavior every reference `.mean()` call has. SQL oracles must
+    * divide by `count(column)`, not `count(*)`, or the two diverge as
+    * soon as the measure has NULLs. */
   def decAvg(c: Column): Column =
     (sum(c.cast("decimal(18,6)")).cast(DoubleType) /
       count(when(c.isNotNull, 1)))

@@ -52,14 +52,30 @@ object CurationQueries {
         when(b < thr, 1).otherwise(0).as("kept"))
     }),
 
-    // Length stratification: decile buckets by document length (ntile
-    // window; deterministic tiebreak) — the sampling strata a
-    // curriculum/mixture builder keys on.
+    // Length stratification: decile buckets by document length — the
+    // sampling strata a curriculum/mixture builder keys on.
+    // Scale-safe formulation (round 1 used a global ntile window — a
+    // single-task sort of the whole table): ONE exact-percentile
+    // aggregation computes the 9 boundaries (partial-aggregatable; the
+    // agg state is a count-histogram over distinct n_chars values, not
+    // the rows), broadcast back, decile assigned by comparison.
+    // Semantics: value-based deciles — equal lengths share a decile,
+    // boundary values stay in the lower decile. Boundaries are
+    // DECIMAL(18,6)-quantized so Spark's and DuckDB's interpolation
+    // agree bit-for-bit (same trick as a11_percentiles).
     "t8_length_deciles" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("n_chars"), col("doc_id"))
-      Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
-        ntile(10).over(w).as("length_decile"))
+      val docs = Tables.documents(s, d)
+      val bounds = docs
+        .agg(expr("percentile(n_chars, array(" +
+          (1 to 9).map(i => s"0.$i").mkString(",") + "))").as("bs"))
+        .select((1 to 9).map(i =>
+          element_at(col("bs"), i).cast("decimal(18,6)")
+            .cast(DoubleType).as(s"b$i")): _*)
+      val dec = (1 to 9).map(i =>
+        when(col("n_chars").cast(DoubleType) > col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+      docs.crossJoin(broadcast(bounds))
+        .select(col("doc_id"), col("n_chars"), dec.as("length_decile"))
     }),
 
     // Benchmark-contamination scan: fraction of each document's word
@@ -109,10 +125,19 @@ object CurationQueries {
         |SELECT doc_id, source, bucket, keep_threshold,
         |  CASE WHEN bucket < keep_threshold THEN 1 ELSE 0 END AS kept
         |FROM b""".stripMargin,
-    "t8_length_deciles" ->
-      """SELECT doc_id, n_chars,
-        |  ntile(10) OVER (ORDER BY n_chars, doc_id) AS length_decile
-        |FROM documents""".stripMargin,
+    "t8_length_deciles" -> {
+      val bs = (1 to 9).map(i =>
+        s"CAST(CAST(quantile_cont(n_chars, 0.$i) AS DECIMAL(18,6)) AS DOUBLE) AS b$i")
+        .mkString(",\n        |    ")
+      val cases = (1 to 9).map(i =>
+        s"(CASE WHEN CAST(n_chars AS DOUBLE) > b.b$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (
+        |  SELECT $bs
+        |  FROM documents)
+        |SELECT doc_id, n_chars, 1 + $cases AS length_decile
+        |FROM documents, b""".stripMargin
+    },
     "t6_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id,

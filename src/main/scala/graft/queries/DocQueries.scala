@@ -86,20 +86,36 @@ object DocQueries {
         SimHash.simhash(col("text")).as("simhash"))
     }),
 
-    // SimHash near-pairs: bucket by signature prefix, hamming ≤ 3.
+    // SimHash near-pairs: 64-bit signature (native codegen'd
+    // SimHash64), banded LSH — 4 bands × 16 bits. Hamming ≤ 3 can
+    // dirty at most 3 bands, so at least one band stays identical:
+    // EXACT recall by pigeonhole, and the band keyspace (4·2^16 keys,
+    // occupancy spread by the full 16-bit slice) grows into the
+    // corpus — round 1 bucketed on a fixed 8-bit prefix of a 16-bit
+    // hash: 256 buckets forever, O(N²/256) candidate growth.
     "dd3_simhash_pairs" -> ((s, d) => {
-      // cached: both sides of the bucket self-join consume it and
+      // cached: both sides of the band self-join consume it and
       // ReuseExchange does not apply across the aliased projections
       val sigs = dedupCorpus(s, d).select(col("doc_id"),
-        SimHash.simhash(col("text")).as("sim")).cache()
-      val a = sigs.select(SimHash.bucket(col("sim")).as("bucket"),
-        col("doc_id").as("a"), col("sim").as("sim_a"))
-      val b = sigs.select(SimHash.bucket(col("sim")).as("bucket"),
-        col("doc_id").as("b"), col("sim").as("sim_b"))
-      a.join(b, Seq("bucket"))
+        graft.expressions.SimHash64.simhash64(col("text")).as("sim")).cache()
+      val bands = sigs.select(col("doc_id"), col("sim"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("band"),
+            // mask AFTER shift: the low 16 bits agree under arithmetic
+            // or logical shift, keeping the key engine-portable even
+            // for negative (sign-bit-set) signatures
+            shiftright(col("sim"), 48 - 16 * i)
+              .bitwiseAND(lit(65535L)).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("sim"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      val cand = bands
+        .select(col("band"), col("key"), col("doc_id").as("a"), col("sim").as("sim_a"))
+        .join(bands.select(col("band"), col("key"),
+          col("doc_id").as("b"), col("sim").as("sim_b")), Seq("band", "key"))
         .filter(col("a") < col("b"))
-        .select(col("a"), col("b"),
-          SimHash.hamming(col("sim_a"), col("sim_b")).as("hamming"))
+        .select("a", "b", "sim_a", "sim_b").distinct()
+      cand.select(col("a"), col("b"),
+        SimHash.hamming(col("sim_a"), col("sim_b")).cast("int").as("hamming"))
         .filter(col("hamming") <= 3)
     }),
 
@@ -135,9 +151,18 @@ object DocQueries {
         .otherwise(array())
       val grams = docs.select(col("doc_id"),
         explode(array_distinct(gramArr)).as("shingle")).cache()
-      val pairs = docs.select(col("doc_id").as("a"), col("lang"), col("n_chars").as("ca"))
-        .join(docs.select(col("doc_id").as("b"), col("lang"), col("n_chars").as("cb")),
-          Seq("lang"))
+      // Candidate blocking keys on (lang, length-bucket), not lang
+      // alone (round 1 materialized O(N²/|langs|) pairs and filtered
+      // ±2 afterwards). Bucket = floor(n_chars/5); |ca−cb| ≤ 2 < 5
+      // means the buckets differ by at most 1, so exploding the left
+      // side to {b−1, b, b+1} meets every qualifying pair exactly
+      // once — the ±2 filter then prunes within tiny buckets.
+      val bkt = floor(col("ca") / 5)
+      val left = docs.select(col("doc_id").as("a"), col("lang"), col("n_chars").as("ca"))
+        .withColumn("bucket", explode(array(bkt - 1, bkt, bkt + 1)))
+      val right = docs.select(col("doc_id").as("b"), col("lang"),
+        col("n_chars").as("cb"), floor(col("n_chars") / 5).as("bucket"))
+      val pairs = left.join(right, Seq("lang", "bucket"))
         .filter(col("a") < col("b") && abs(col("ca") - col("cb")) <= 2)
         .select("a", "b").cache()
       MinHash.exactJaccard(pairs, grams, "doc_id")
@@ -269,12 +294,18 @@ object DocQueries {
     "dd3_simhash_pairs" ->
       s"""WITH $corpusCte,
         |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
-        |sigs AS (SELECT doc_id, CAST($simhashBits AS BIGINT) AS sim FROM toks)
-        |SELECT l.doc_id AS a, r.doc_id AS b,
-        |  CAST(bit_count(xor(l.sim, r.sim)) AS INTEGER) AS hamming
-        |FROM sigs l JOIN sigs r
-        |  ON (l.sim >> 8) = (r.sim >> 8) AND l.doc_id < r.doc_id
-        |WHERE bit_count(xor(l.sim, r.sim)) <= 3""".stripMargin,
+        |sigs AS (SELECT doc_id, CAST($simhash64Bits AS BIGINT) AS sim FROM toks),
+        |bands AS (
+        |  SELECT doc_id, sim, 0 AS band, (sim >> 48) & 65535 AS key FROM sigs
+        |  UNION ALL SELECT doc_id, sim, 1, (sim >> 32) & 65535 FROM sigs
+        |  UNION ALL SELECT doc_id, sim, 2, (sim >> 16) & 65535 FROM sigs
+        |  UNION ALL SELECT doc_id, sim, 3, sim & 65535 FROM sigs),
+        |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+        |    l.sim AS sa, r.sim AS sb
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+        |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
     "dd5_simhash64" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         |SELECT doc_id, CAST($simhash64Bits AS BIGINT) AS simhash64 FROM toks""".stripMargin,

@@ -187,9 +187,9 @@ object ExtraQueries {
         |  FROM events)
         |SELECT event_id, user_id,
         |  CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS new_session,
-        |  sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) OVER
+        |  CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) OVER
         |    (PARTITION BY user_id ORDER BY ts, event_id
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM g""".stripMargin,
     "c19_strings" ->
       """SELECT n_nationkey,

@@ -106,6 +106,9 @@ object PipelineQueries {
     // normalization (C10) → deterministic dedup-top-per-group (D1) →
     // anti-join against already-loaded keys (J6) → surrogate-id
     // assignment for the Sync mapping output (S11 shape).
+    // Ids via Ids.denseIds (range-partition + zipWithIndex), not a
+    // global row_number window — same dense 1..N in p_partkey order,
+    // no single-partition stage (round-1 scale-killer #3).
     "e5_items_sync" -> ((s, d) => {
       val part = Tables.part(s, d)
       val keyed = part.withColumn("name_key",
@@ -116,10 +119,9 @@ object PipelineQueries {
         .filter(col("l_quantity") > 49)
         .select(col("l_partkey").as("p_partkey")).distinct()
       val fresh = FkRemap.anti(deduped, existing, Seq("p_partkey"))
-      fresh.select(col("p_partkey").as("old_item_id"), col("p_brand"),
-        col("name_key"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("p_partkey"))).cast("long").as("new_item_id"))
+        .select(col("p_partkey").as("old_item_id"), col("p_brand"),
+          col("name_key"))
+      Ids.denseIds(fresh, Seq(col("old_item_id").asc), "new_item_id")
     }),
 
     // Roles pipeline (E1, `roles.py:49-108`): multiway join → flag

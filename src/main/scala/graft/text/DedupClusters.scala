@@ -23,16 +23,28 @@ import org.apache.spark.sql.functions._
   */
 object DedupClusters {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** @param nodes single column `id`
     * @param pairs  columns `a`, `b` (undirected edges)
     * @return (id, canonical_id) for every node; singletons map to self.
+    *
+    * Per round: ONE join+agg (neighbor min) and ONE count action. The
+    * previous label rides the update projection as an `old` column, so
+    * convergence detection is a filter on the frame the round already
+    * materializes — round 1's separate updated⋈old join+count doubled
+    * every round's cost. Labels are localCheckpoint'ed every 5 rounds:
+    * persist alone keeps the full lineage, and by round ~15 the
+    * re-planned DAG (and any cache-eviction recompute) grows with
+    * round count; checkpointing pins the iteration cost flat.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxRounds: Int = 20): DataFrame = {
     val sym = pairs.select(col("a"), col("b"))
       .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
-    var labels = nodes.select(col("id"), col("id").as("label")).persist()
+    var mat    = nodes.select(col("id"), col("id").as("label")).persist()
+    var labels = mat
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -41,17 +53,22 @@ object DedupClusters {
         .groupBy(col("a").as("id")).agg(min(col("nl")).as("nmin"))
       val updated = labels
         .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist()
-      val changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = updated
+      val newMat =
+        if ((round + 1) % 5 == 0) updated.localCheckpoint() else updated.persist()
+      val changed = newMat.filter(col("label") =!= col("old")).count()
+      mat.unpersist()
+      mat = newMat
+      labels = newMat.select("id", "label")
       converged = changed == 0
       round += 1
     }
     sym.unpersist()
+    if (!converged)
+      log.warn(s"connectedComponents: round budget ($maxRounds) exhausted " +
+        "before fixpoint — canonical ids may span unconverged components; " +
+        "raise maxRounds (graph diameter exceeds it)")
     labels.withColumnRenamed("label", "canonical_id")
   }
 }

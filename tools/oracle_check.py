@@ -62,6 +62,17 @@ def main():
             print(f"FAIL     {name}: columns {list(g.columns)} vs {list(w.columns)}")
             n_fail += 1
             continue
+        # the driver's hash is dtype-sensitive (a DuckDB HUGEINT landing
+        # as float64 vs Spark's int64 hash-mismatches even on identical
+        # values) — fail on numeric-kind divergence, not just values
+        kind_bad = [c for c in g.columns if g[c].dtype.kind != w[c].dtype.kind
+                    and {g[c].dtype.kind, w[c].dtype.kind} <= {"i", "u", "f"}
+                    and "f" in {g[c].dtype.kind, w[c].dtype.kind}]
+        if kind_bad:
+            print(f"FAIL     {name}: dtype kind mismatch on {kind_bad}: "
+                  f"{[(str(g[c].dtype), str(w[c].dtype)) for c in kind_bad]}")
+            n_fail += 1
+            continue
         if len(g) != len(w):
             print(f"FAIL     {name}: rows {len(g)} vs {len(w)}")
             n_fail += 1
