@@ -31,6 +31,14 @@ object Cleanse {
     stringCols.foldLeft(df)((d, n) => d.withColumn(n, stripToNull(col(n))))
   }
 
+  /** F4 — `dropna(subset, how='all')` (`locations.py:138`): keep rows
+    * where AT LEAST ONE of `cols` is non-null. A single `coalesce`
+    * chain, pushed to the scan like any filter. `coalesce` needs a
+    * common type, so heterogeneous subsets are cast to string first —
+    * only null-ness matters. */
+  def dropNaAll(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.filter(coalesce(cols.map(c => col(c).cast(StringType)): _*).isNotNull)
+
   /** C2 — phone normalizer, exact port of the reference semantics
     * (`utils/tools.py:15-27`):
     *   1. keep only characters in `[+0-9]`; empty → NULL

@@ -50,6 +50,15 @@ object CoreQueries {
         .select("p_partkey", "p_name", "p_size", "p_type")
     }),
 
+    // F4 — dropna(subset, how='all') (`locations.py:138`): social-media
+    // style sparse columns; a row survives if ANY subset column is set.
+    "f4_dropna_all" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"),
+        when(col("c_custkey") % 3 =!= 0, col("c_name")).as("name"),
+        when(col("c_custkey") % 2 =!= 0, col("c_mktsegment")).as("segment"))
+      Cleanse.dropNaAll(c, Seq("name", "segment"))
+    }),
+
     // J1 — FK-remap left join, broadcast dim (`orders.py:120-140`).
     "j1_fk_remap" -> ((s, d) => {
       val dim = Tables.part(s, d)
@@ -190,6 +199,13 @@ object CoreQueries {
       """SELECT p_partkey, p_name, p_size, p_type FROM part
         |WHERE p_size IS NOT NULL AND p_size <> 30
         |AND length(p_type) > 5 AND p_partkey <> 2400""".stripMargin,
+    "f4_dropna_all" ->
+      """WITH t AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 3 <> 0 THEN c_name END AS name,
+        |    CASE WHEN c_custkey % 2 <> 0 THEN c_mktsegment END AS segment
+        |  FROM customer)
+        |SELECT c_custkey, name, segment FROM t
+        |WHERE coalesce(name, segment) IS NOT NULL""".stripMargin,
     "j1_fk_remap" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_brand, p.p_type
         |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin,

@@ -23,11 +23,12 @@ object SimQueries {
         emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", k = 5)
     }),
 
-    // Sign-LSH bucketed ANN: approximate neighbors within hyperplane
-    // buckets (the scale path — never materializes all pairs).
+    // Sign-LSH bucketed ANN: seeded random hyperplanes, multi-table
+    // probing (the scale path — never materializes all pairs; bits
+    // and tables grow with the corpus).
     "sim2_lsh_ann" -> ((s, d) => {
       Embeddings.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        k = 3, bits = 12)
+        k = 3, bits = Sim2Bits, tables = Sim2Tables)
     }),
 
     // IVF-style coarse quantizer: exact integer label centroids,
@@ -52,6 +53,22 @@ object SimQueries {
     })
   )
 
+  /** sim2 knobs: 2^8 buckets/table × 2 tables at sf0.01 (~500
+    * vectors → ~2/bucket); at corpus scale raise bits ≈
+    * log2(N / target_occupancy). */
+  private val Sim2Bits   = 8
+  private val Sim2Tables = 2
+
+  /** The same md5-derived plane weights [[Embeddings.planeWeights]]
+    * uses, embedded as DuckDB list literals — integer arithmetic is
+    * identical on both engines, so bucket keys match exactly. */
+  private def sim2BucketSql(t: Int): String =
+    (0 until Sim2Bits).map { i =>
+      val w = graft.sim.Embeddings.planeWeights(t, i, 64)
+        .mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1,65), j -> ($w)[j] * v[j])) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
   private def qv(scale: String) =
     s"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))"
   private val dot64 =
@@ -71,19 +88,24 @@ object SimQueries {
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored)
         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
-    "sim2_lsh_ann" ->
-      s"""WITH v AS (SELECT vec_id AS id, ${qv("1000000")} AS v,
-        |    CAST(list_sum(list_transform(range(1, 13),
-        |      i -> CASE WHEN embedding[i] >= 0 THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT) AS bucket
-        |  FROM embeddings),
-        |scored AS (SELECT a.id AS query_id, b.id AS neighbor_id,
-        |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) AS DOUBLE) /
-        |    sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])) AS BIGINT) AS DOUBLE) *
-        |         CAST(CAST(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])) AS BIGINT) AS DOUBLE)) AS cos_sim
-        |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.id <> b.id),
+    "sim2_lsh_ann" -> {
+      val keyArms = (0 until Sim2Tables).map { t =>
+        s"SELECT id, $t AS t, CAST(${sim2BucketSql(t)} AS BIGINT) AS b FROM v"
+      }.mkString("\n        |  UNION ALL ")
+      s"""WITH v AS (SELECT vec_id AS id, ${qv("1000000")} AS v FROM embeddings),
+        |keys AS (
+        |  $keyArms),
+        |cand AS (SELECT DISTINCT k1.id AS query_id, k2.id AS neighbor_id
+        |  FROM keys k1 JOIN keys k2 ON k1.t = k2.t AND k1.b = k2.b AND k1.id <> k2.id),
+        |scored AS (SELECT c.query_id, c.neighbor_id,
+        |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> qa.v[i] * cb.v[i])) AS BIGINT) AS DOUBLE) /
+        |    sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> qa.v[i] * qa.v[i])) AS BIGINT) AS DOUBLE) *
+        |         CAST(CAST(list_sum(list_transform(range(1, 65), i -> cb.v[i] * cb.v[i])) AS BIGINT) AS DOUBLE)) AS cos_sim
+        |  FROM cand c JOIN v qa ON qa.id = c.query_id JOIN v cb ON cb.id = c.neighbor_id),
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored)
-        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin,
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin
+    },
     "sim3_ivf_centroid" ->
       s"""WITH q AS (SELECT vec_id AS vid, label AS true_label, ${qv("10000")} AS v
         |  FROM embeddings),

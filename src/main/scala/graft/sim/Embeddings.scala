@@ -62,27 +62,57 @@ object Embeddings {
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
 
-  /** Hyperplane-sign LSH bucket: bit i = sign(emb[i]) over the first
-    * `bits` dimensions (axis-aligned hyperplanes — portable and
-    * preprocessing-free). */
-  def signBucket(emb: Column, bits: Int = 12): Column =
-    (0 until bits).map(i =>
-      when(element_at(emb, i + 1) >= 0, lit(1L << i)).otherwise(0L))
-      .reduce(_ + _)
+  /** Deterministic pseudo-random hyperplane weights: component
+    * (table, bit, j) is a signed 16-bit integer carved from
+    * md5("plane:table:bit:j") — seeded randomness with no RNG state,
+    * reproducible in any engine or language (the oracle SQL embeds
+    * the same integers as literals). Round 1 used the first `bits`
+    * coordinate axes as planes: bucket count was frozen at 2^12
+    * forever and axis-aligned signs correlate with coordinate
+    * sign-imbalance; md5-derived planes are balanced and `bits` /
+    * `tables` scale with the corpus. */
+  def planeWeights(table: Int, bit: Int, dim: Int): Array[Long] =
+    Array.tabulate(dim) { j =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"plane:$table:$bit:$j".getBytes("UTF-8"))
+      (((h(0) & 0xff) << 8) | (h(1) & 0xff)).toLong - 32768L
+    }
 
-  /** Approximate top-k: candidates restricted to the query's sign
-    * bucket; otherwise identical scoring/ranking to brute force. */
+  /** Hyperplane-sign LSH key for one table: bit i = sign of the EXACT
+    * integer dot product of the quantized vector with plane (table, i).
+    * |w| ≤ 2^15 and |v_j| ≤ ~1e6 keep the 64-term sum ≪ 2^63. */
+  def signBucket(qv: Column, table: Int, bits: Int, dim: Int): Column =
+    (0 until bits).map { i =>
+      when(qdot(qv, typedLit(planeWeights(table, i, dim).toSeq)) >= 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k with multi-table probing: `tables` independent
+    * hyperplane sets; a pair is a candidate if it collides in ANY
+    * table (union → distinct), then scored exactly like brute force.
+    * Knobs: `bits` sets bucket granularity (occupancy ~ N/2^bits per
+    * table — grow bits with the corpus), `tables` trades work for
+    * recall (miss probability decays exponentially in table count).
+    * No stage is ever O(N²): candidates track bucket collisions. */
   def lshTopK(vectors: DataFrame, idCol: String, embCol: String,
-              k: Int, bits: Int = 12): DataFrame = {
-    val v = vectors.select(col(idCol).as("id"),
-      quantize(col(embCol)).as("v"), signBucket(col(embCol), bits).as("bucket"))
-      .withColumn("n2", qnorm2(col("v")))
-    val a = v.select(col("bucket"), col("id").as("query_id"),
-      col("v").as("qv"), col("n2").as("qn2"))
-    val b = v.select(col("bucket"), col("id").as("neighbor_id"),
-      col("v").as("cv"), col("n2").as("cn2"))
-    val scored = a.join(b, Seq("bucket"))
+              k: Int, bits: Int = 8, tables: Int = 2, dim: Int = 64): DataFrame = {
+    // cached: feeds the key explode and both sides of the scoring join
+    val v = vectors.select(col(idCol).as("id"), quantize(col(embCol)).as("v"))
+      .withColumn("n2", qnorm2(col("v"))).cache()
+    val keyed = v.select(col("id"), explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), signBucket(col("v"), t, bits, dim).as("b"))): _*))
+        .as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val cand = keyed.select(col("t"), col("b"), col("id").as("query_id"))
+      .join(keyed.select(col("t"), col("b"), col("id").as("neighbor_id")),
+        Seq("t", "b"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cand
+      .join(v.select(col("id").as("query_id"), col("v").as("qv"),
+        col("n2").as("qn2")), "query_id")
+      .join(v.select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("n2").as("cn2")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(qdot(col("qv"), col("cv")), col("qn2"), col("cn2"))
           .as("cos_sim"))
@@ -96,9 +126,11 @@ object Embeddings {
   /** IVF-style coarse assignment: exact integer label centroids
     * (component sums + counts; never a floating mean), then each
     * vector assigned to the centroid minimizing n²·d² =
-    * |n·x − s|² — all integer. Quantization scale 1e4 keeps
-    * n²·d² within long range for corpus counts ≤ ~100k/label;
-    * at larger scale, shard labels or widen to DecimalType. */
+    * |n·x − s|² — all integer. Overflow bound: with scale 1e4 and
+    * |x| ≤ 1, each of the 64 addends is ≤ n²·(2e4)² so the sum is
+    * ≤ n²·2.56e10, which stays under 2^63 only for n ≤ ~19k
+    * vectors/label; at larger scale, shard labels or widen the
+    * accumulator to DecimalType. */
   def centroidAssign(vectors: DataFrame, idCol: String, embCol: String,
                      labelCol: String, dim: Int = 64): DataFrame = {
     // cached: feeds both the centroid aggregation and the scoring join

@@ -1,8 +1,11 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SortExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import graft.ops.Skew
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import graft.ops.{Ids, Skew}
 import graft.sources.Sinks
 
 /** Scale-mechanism specs: salting equivalence and bucketed
@@ -34,6 +37,42 @@ class ScaleSpec extends SparkSuite {
     val salted = Skew.saltedSum(df, "k", "v", "v", salts = 8)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(plain == salted)
+  }
+
+  test("t8_length_deciles plan has no window and no global sort") {
+    // the round-1 formulation was ntile() over a partition-less window:
+    // a single-task sort of the whole table. The rewrite must keep the
+    // plan free of ANY window (deciles come from a broadcast boundary
+    // join) and of a global sort.
+    val df = graft.queries.CurationQueries.queries("t8_length_deciles")(spark, sf)
+    val plan = df.queryExecution.sparkPlan
+    val wins = plan.collectWithSubqueries { case w: WindowExec => w }
+    assert(wins.isEmpty, s"expected window-free plan, got:\n$plan")
+    val globalSorts = plan.collectWithSubqueries {
+      case s: SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty, s"expected no global sort, got:\n$plan")
+  }
+
+  test("denseIds matches row_number values with no single-partition stage") {
+    val df = (1L to 10000L).map(i => ((i * 2654435761L) % 99991L, i))
+      .toDF("k", "orig").filter($"orig" % 3 =!= 0)
+    val viaWindow = df.withColumn("new_id",
+      row_number().over(Window.orderBy($"k", $"orig")).cast("long"))
+      .orderBy("new_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val viaIds = Ids.denseIds(df, Seq($"k".asc, $"orig".asc), "new_id")
+      .orderBy("new_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaIds.sameElements(viaWindow))
+    // the static plan must range-partition over >1 partition — the
+    // whole point of replacing the global row_number window. (Checked
+    // pre-AQE: at runtime AQE rightly coalesces this tiny shuffle to
+    // one partition, but the PLAN scales with shuffle.partitions.)
+    val exch = df.repartitionByRange($"k".asc, $"orig".asc)
+      .queryExecution.sparkPlan.collectWithSubqueries {
+        case s: ShuffleExchangeExec => s.outputPartitioning.numPartitions
+      }
+    assert(exch.nonEmpty && exch.forall(_ > 1),
+      s"expected multi-partition range exchange, got $exch")
   }
 
   test("bucketed tables join without a shuffle exchange") {

@@ -29,11 +29,46 @@ class SimSpec extends SparkSuite {
     assert(r.getLong(0) == 1000000L * 1000000L)
   }
 
-  test("signBucket groups same-orthant vectors, splits opposite signs") {
-    val b = vecs.select($"vec_id", Embeddings.signBucket($"embedding", 3).as("b"))
+  test("signBucket: identical vectors collide, antipodal vectors never do") {
+    val qv = Embeddings.quantize($"embedding")
+    val b = vecs.select($"vec_id",
+      Embeddings.signBucket(qv, table = 0, bits = 3, dim = 3).as("b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(b(1) == b(2)) // same signs in first 3 dims
-    assert(b(1) != b(4)) // dim-0 sign flip
+    assert(b.values.forall(v => v >= 0 && v < 8)) // keys within 2^bits
+    // v and -v flip every nonzero plane dot: sign(w·(-v)) = -sign(w·v),
+    // so with the >= 0 convention they land in complementary buckets
+    assert(b(1) != b(4))
+    // deterministic: same expression twice gives the same keys
+    val b2 = vecs.select($"vec_id",
+      Embeddings.signBucket(qv, table = 0, bits = 3, dim = 3).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b == b2)
+    // a different table uses independent planes: keys must differ for
+    // at least one vector (16 planes all agreeing is astronomically
+    // unlikely and would mean the seed derivation ignores `table`)
+    val bT1 = vecs.select($"vec_id",
+      Embeddings.signBucket(qv, table = 1, bits = 3, dim = 3).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b != bT1)
+  }
+
+  test("lshTopK recall vs brute-force ground truth on testdata") {
+    val emb = Tables.embeddings(spark, sf)
+    val k = 3
+    val truth = Embeddings.bruteForceTopK(emb, emb, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // knob math: median true-neighbor cosine on this corpus is ~0.33
+    // (θ≈70°, per-plane agreement ~0.61), so one 3-bit table catches a
+    // median pair with p≈0.22 and eight independent tables miss it
+    // with (1−0.22)^8 ≈ 0.13 → expected recall ~0.85
+    val approx = Embeddings.lshTopK(emb, "vec_id", "embedding", k,
+      bits = 3, tables = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    assert(recall >= 0.7, s"recall $recall below 0.7 " +
+      s"(${(truth & approx).size}/${truth.size})")
   }
 
   test("centroidAssign assigns tight clusters to their own centroid") {
