@@ -77,6 +77,110 @@ object PipelineQueries {
           col("first_order"))
     }),
 
+    // E3 at full reference depth — the locations fan-in-5
+    // (`locations.py:119-158`): FIVE child-table aggregations joined
+    // back to one parent, two of them with their own dim joins + dedup
+    // (amenities `locations.py:119-123`, services `locations.py:127-133`),
+    // one with dropna(how='all') + dedup (social media,
+    // `locations.py:136-141`), two plain group-to-JSON (working hours,
+    // images, `locations.py:144-151`). Every child shuffles on the SAME
+    // parent key, so at scale the five back-joins are co-partitioned
+    // sort-merge joins; the dims broadcast. Child arrays are ordered by
+    // a per-group-unique key so the JSON strings are byte-deterministic.
+    "e3b_nested_fanin5" -> ((s, d) => {
+      val o   = Tables.orders(s, d)
+      val li  = Tables.lineitem(s, d)
+      val ev  = Tables.events(s, d)
+
+      // '[' ++ items-in-key-order ++ ']'; key must be unique per group
+      // (string_agg ORDER BY ties are nondeterministic in the oracle).
+      def arrAgg(item: org.apache.spark.sql.Column,
+                 key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(lit("["),
+          array_join(transform(
+            sort_array(collect_list(struct(key.as("k"), item.as("v")))),
+            x => x.getField("v")), ","),
+          lit("]"))
+      def jstr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(c.isNull, lit("null")).otherwise(concat(lit("\""), c, lit("\"")))
+
+      // child 1 (amenities shape): dedup'd junc, dim ⋈ sync whitelist
+      // (inner), RIGHT join keeps junc rows whose dim is unsynced.
+      val junc = o.select(col("o_custkey"), col("o_orderpriority")).distinct()
+      val dim = o.select(col("o_orderpriority")).distinct()
+        .withColumn("pr_code", substring(col("o_orderpriority"), 1, 1).cast("int"))
+        .filter(col("pr_code") <= 3)
+      val prio = dim.join(junc, Seq("o_orderpriority"), "right")
+        .groupBy(col("o_custkey").as("k1"))
+        .agg(arrAgg(
+          concat(lit("{\"pr\":\""), col("o_orderpriority"), lit("\",\"code\":"),
+            coalesce(col("pr_code").cast(StringType), lit("null")), lit("}")),
+          col("o_orderpriority")).as("prio_json"))
+
+      // child 2 (services shape): junc needs its own fact-fact join to
+      // reach the parent key, dedup, then the dim join for names.
+      val sjunc = li.select(col("l_orderkey"), col("l_suppkey"))
+        .join(o.select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey")).distinct()
+      val supp = sjunc
+        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_custkey").as("k2"))
+        .agg(arrAgg(
+          concat(lit("{\"sk\":"), col("l_suppkey"), lit(",\"sn\":\""),
+            col("s_name"), lit("\"}")),
+          col("l_suppkey")).as("supp_json"))
+
+      // child 3 (social-media shape): sparse per-channel columns,
+      // dropna(how='all') on the channel subset, dedup, group to JSON
+      // with explicit null fields.
+      val kval = regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+      val soc0 = ev.select(col("user_id"),
+        when(col("event_type") === "click", kval).as("fb"),
+        when(col("event_type") === "view", kval).as("tw"),
+        when(col("event_type") === "signup", kval).as("ig"))
+      val soc1 = Cleanse.dropNaAll(soc0, Seq("fb", "tw", "ig")).distinct()
+      val socKey = concat_ws("|", coalesce(col("fb"), lit("")),
+        coalesce(col("tw"), lit("")), coalesce(col("ig"), lit("")))
+      val social = soc1.groupBy(col("user_id").as("k3"))
+        .agg(arrAgg(
+          concat(lit("{\"fb\":"), jstr(col("fb")), lit(",\"tw\":"), jstr(col("tw")),
+            lit(",\"ig\":"), jstr(col("ig")), lit("}")),
+          socKey).as("social_json"))
+
+      // child 4 (working-hours shape): plain filtered group-to-JSON.
+      val hours = o.filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey").as("k4"))
+        .agg(arrAgg(
+          concat(lit("{\"d\":\""), col("o_orderdate").cast("date").cast(StringType),
+            lit("\",\"p\":\""),
+            col("o_totalprice").cast("decimal(18,2)").cast(StringType), lit("\"}")),
+          col("o_orderkey")).as("hours_json"))
+
+      // child 5 (images shape): plain group-to-JSON over a second table.
+      val act = ev.groupBy(col("user_id").as("k5"))
+        .agg(arrAgg(
+          concat(lit("{\"e\":\""), col("event_type"), lit("\",\"v\":\""),
+            col("value").cast("decimal(18,6)").cast(StringType), lit("\"}")),
+          col("event_id")).as("activity_json"))
+
+      // parent cleanse (strip all strings, name trimmed but empty kept —
+      // `locations.py:98-100`) + the five left joins back.
+      val parent = Cleanse.stripToNullAll(
+        Tables.customer(s, d).withColumn("c_name", trim(col("c_name"))),
+        keep = Set("c_name"))
+      parent
+        .join(prio,   col("c_custkey") === col("k1"), "left")
+        .join(supp,   col("c_custkey") === col("k2"), "left")
+        .join(social, col("c_custkey") === col("k3"), "left")
+        .join(hours,  col("c_custkey") === col("k4"), "left")
+        .join(act,    col("c_custkey") === col("k5"), "left")
+        .select(col("c_custkey"), col("c_name").as("name_clean"),
+          col("c_mktsegment").as("segment"), col("prio_json"), col("supp_json"),
+          col("social_json"), col("hours_json"), col("activity_json"))
+    }),
+
     // Cars date-repair pipeline (`cars.py:95-122`): 2-format varchar
     // date parse (C3) → junction-table fallback (C6, the
     // CarsLocation_Junc min-date repair) → constant default. Tracks
@@ -247,6 +351,65 @@ object PipelineQueries {
         |  CASE WHEN trim(c.c_name) = '' THEN NULL ELSE trim(c.c_name) END AS name_clean,
         |  oj.orders_json, coalesce(oj.order_count, 0) AS order_count, oj.first_order
         |FROM customer c LEFT JOIN oj ON c.c_custkey = oj.o_custkey""".stripMargin,
+    "e3b_nested_fanin5" ->
+      """WITH junc AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders),
+        |dim AS (
+        |  SELECT DISTINCT o_orderpriority,
+        |    CAST(substring(o_orderpriority, 1, 1) AS INT) AS pr_code
+        |  FROM orders
+        |  WHERE CAST(substring(o_orderpriority, 1, 1) AS INT) <= 3),
+        |prio AS (
+        |  SELECT j.o_custkey AS k,
+        |    '[' || string_agg('{"pr":"' || j.o_orderpriority || '","code":' ||
+        |      coalesce(CAST(d.pr_code AS VARCHAR), 'null') || '}',
+        |      ',' ORDER BY j.o_orderpriority) || ']' AS prio_json
+        |  FROM dim d RIGHT JOIN junc j USING (o_orderpriority) GROUP BY 1),
+        |sjunc AS (
+        |  SELECT DISTINCT o.o_custkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |supp AS (
+        |  SELECT sj.o_custkey AS k,
+        |    '[' || string_agg('{"sk":' || sj.l_suppkey || ',"sn":"' || s.s_name || '"}',
+        |      ',' ORDER BY sj.l_suppkey) || ']' AS supp_json
+        |  FROM sjunc sj JOIN supplier s ON sj.l_suppkey = s.s_suppkey GROUP BY 1),
+        |soc0 AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_type = 'click'  THEN regexp_extract(props, '"k": (\d+)', 1) END AS fb,
+        |    CASE WHEN event_type = 'view'   THEN regexp_extract(props, '"k": (\d+)', 1) END AS tw,
+        |    CASE WHEN event_type = 'signup' THEN regexp_extract(props, '"k": (\d+)', 1) END AS ig
+        |  FROM events),
+        |soc1 AS (SELECT DISTINCT * FROM soc0 WHERE coalesce(fb, tw, ig) IS NOT NULL),
+        |social AS (
+        |  SELECT user_id AS k,
+        |    '[' || string_agg('{"fb":' ||
+        |        CASE WHEN fb IS NULL THEN 'null' ELSE '"' || fb || '"' END ||
+        |      ',"tw":' || CASE WHEN tw IS NULL THEN 'null' ELSE '"' || tw || '"' END ||
+        |      ',"ig":' || CASE WHEN ig IS NULL THEN 'null' ELSE '"' || ig || '"' END || '}',
+        |      ',' ORDER BY coalesce(fb,'') || '|' || coalesce(tw,'') || '|' || coalesce(ig,''))
+        |      || ']' AS social_json
+        |  FROM soc1 GROUP BY 1),
+        |hours AS (
+        |  SELECT o_custkey AS k,
+        |    '[' || string_agg('{"d":"' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR) ||
+        |      '","p":"' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '"}',
+        |      ',' ORDER BY o_orderkey) || ']' AS hours_json
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+        |act AS (
+        |  SELECT user_id AS k,
+        |    '[' || string_agg('{"e":"' || event_type || '","v":"' ||
+        |      CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) || '"}',
+        |      ',' ORDER BY event_id) || ']' AS activity_json
+        |  FROM events GROUP BY 1)
+        |SELECT c.c_custkey, trim(c.c_name) AS name_clean,
+        |  CASE WHEN trim(c.c_mktsegment) = '' THEN NULL ELSE trim(c.c_mktsegment) END AS segment,
+        |  prio.prio_json, supp.supp_json, social.social_json, hours.hours_json,
+        |  act.activity_json
+        |FROM customer c
+        |LEFT JOIN prio   ON c.c_custkey = prio.k
+        |LEFT JOIN supp   ON c.c_custkey = supp.k
+        |LEFT JOIN social ON c.c_custkey = social.k
+        |LEFT JOIN hours  ON c.c_custkey = hours.k
+        |LEFT JOIN act    ON c.c_custkey = act.k""".stripMargin,
     "e4_cars_dates" ->
       """WITH raw AS (
         |  SELECT c_custkey,
