@@ -183,6 +183,15 @@ object CoreQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(50)
         .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // D1 generalization — top-N-per-group (training-data samplers keep
+    // the N best documents per source/domain). One shuffle on the
+    // group key, rank inside the partition — no global sort.
+    "d5_topn_per_group" -> ((s, d) => {
+      Dedup.topNPerGroup(Tables.orders(s, d), Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), n = 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
     })
   )
 
@@ -268,6 +277,12 @@ object CoreQueries {
         |  FROM part) t WHERE rn = 1""".stripMargin,
     "d4_topn" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""".stripMargin,
+    "d5_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t WHERE rn <= 3""".stripMargin
   )
 }

@@ -52,6 +52,19 @@ object DocQueries {
         col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
     }),
 
+    // BPE-ish tokenization: split at every alnum/non-alnum boundary
+    // (the shape a byte-pair pre-tokenizer produces), drop bare
+    // spaces. Pure per-row expression — scan-parallel at any scale.
+    // The oracle can't use Spark's lookaround split (DuckDB is RE2),
+    // so it uses the equivalent extraction `[a-zA-Z0-9]+|[^a-zA-Z0-9]`.
+    "t9_bpe_tokens" -> ((s, d) => {
+      val toks = TA.tokensBpeIsh(col("text"))
+      Tables.documents(s, d).select(col("doc_id"),
+        size(toks).cast("long").as("n_bpe"),
+        size(array_distinct(toks)).cast("long").as("n_bpe_distinct"),
+        element_at(toks, 1).as("first_tok"))
+    }),
+
     // Rolling-hash document fingerprint (order-sensitive).
     "t4_fingerprint" -> ((s, d) => {
       Tables.documents(s, d).select(col("doc_id"),
@@ -225,6 +238,16 @@ object DocQueries {
         |  CASE WHEN de_score > en_score AND de_score >= es_score THEN 'de'
         |       WHEN es_score > en_score AND es_score > de_score THEN 'es'
         |       ELSE 'en' END AS predicted_lang
+        |FROM t""".stripMargin,
+    "t9_bpe_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9]'),
+        |      x -> x <> ' ' AND x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_bpe_distinct,
+        |  toks[1] AS first_tok
         |FROM t""".stripMargin,
     "t3_quality_score" ->
       """WITH t AS (

@@ -11,9 +11,11 @@ import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
   * `dbtable` subquery the server executes, and partitioned reads
   * parallelize what the reference does single-threaded.
   *
-  * No database exists in this environment, so [[jdbcKeyset]] is
-  * exercised at the query-construction level (unit-tested) and the
-  * parquet path stands in everywhere else; the two produce identical
+  * No external database exists in this environment; the live JDBC
+  * execute path (partitioned backfill, keyset drain, write-back) is
+  * tested against an embedded Derby instance (JdbcSpec), the SQL
+  * Server `TOP` shape at the query-construction level, and the
+  * parquet path stands in for the oracle-gated queries — identical
   * DataFrames downstream.
   */
 object Sources {
@@ -30,6 +32,29 @@ object Sources {
     s"(SELECT TOP $batchSize $cols FROM $table " +
       s"WHERE $idCol > $watermark$extra ORDER BY $idCol) AS batch"
   }
+
+  /** [[keysetSubquery]] in the ANSI SQL:2008 `FETCH FIRST` form —
+    * portable to Derby/Postgres/Oracle/DB2 (and SQL Server 2012+),
+    * where `TOP` is SQL Server-only. Same server-side pushdown. */
+  def keysetSubqueryAnsi(table: String, idCol: String, watermark: Long,
+                         batchSize: Int, columns: Seq[String] = Seq("*"),
+                         extraPredicate: Option[String] = None): String = {
+    val cols  = columns.mkString(", ")
+    val extra = extraPredicate.map(p => s" AND ($p)").getOrElse("")
+    s"(SELECT $cols FROM $table WHERE $idCol > $watermark$extra " +
+      s"ORDER BY $idCol FETCH FIRST $batchSize ROWS ONLY) AS batch"
+  }
+
+  /** JDBC reader for one ANSI-dialect keyset batch (live-tested against
+    * embedded Derby in JdbcSpec). */
+  def jdbcKeysetAnsi(spark: SparkSession, url: String, table: String,
+                     idCol: String, watermark: Long, batchSize: Int,
+                     columns: Seq[String] = Seq("*"),
+                     extraPredicate: Option[String] = None): DataFrameReader =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable",
+        keysetSubqueryAnsi(table, idCol, watermark, batchSize, columns, extraPredicate))
 
   /** JDBC reader for one keyset batch. Partitioning options are
     * deliberately absent: a TOP-n batch is one unit of work; the

@@ -39,4 +39,20 @@ class SourcesSpec extends SparkSuite {
       s"$tmp/f2", s"$tmp/sync", 0)
     assert(spark.read.parquet(s"$tmp/sync").count() == 1)
   }
+
+  test("writePartitioned: key filter prunes to the selected partition dirs") {
+    val tmp = java.nio.file.Files.createTempDirectory("sinks_part_").toString
+    val df = (1 to 300).map(i => (i.toLong, i % 3, s"v$i")).toDF("id", "k", "v")
+    Sinks.writePartitioned(df, s"$tmp/t", Seq("k"))
+    val pruned = spark.read.parquet(s"$tmp/t").filter($"k" === 1)
+    assert(pruned.count() == 100)
+    // partition pruning is real: the key predicate lands in the scan's
+    // PartitionFilters (directory-level pruning), not a row filter.
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .head
+    assert(scan.partitionFilters.exists(_.references.map(_.name).toSeq.contains("k")),
+      s"k=1 must be a partition filter, got: ${scan.partitionFilters}")
+    assert(scan.relation.partitionSchema.fieldNames.sameElements(Array("k")))
+  }
 }
