@@ -38,6 +38,23 @@ object SimQueries {
         "vec_id", "embedding", "label")
     }),
 
+    // Embedding-cosine near-dup (the vector member of the dd family):
+    // corpus extended with exact copies (id+2e6) and perturbed copies
+    // (id+3e6, x*0.9+0.05 → cosine ≈ 0.92 vs original; natural pairs
+    // max ≈ 0.51 on this corpus) so duplicate groups exist at every
+    // sf. LSH-bucketed candidates, exact integer cosine ≥ 0.9.
+    "dd7_embed_neardup" -> ((s, d) => {
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val exact = base.filter(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("e"))
+      val pert = base.filter(col("vec_id") % 100 === 50)
+        .select((col("vec_id") + 3000000L).as("vec_id"),
+          transform(col("e"), x => x * lit(0.9) + lit(0.05)).as("e"))
+      Embeddings.nearDupPairs(base.unionAll(exact).unionAll(pert),
+        "vec_id", "e", threshold = 0.9, bits = Dd7Bits, tables = Dd7Tables)
+    }),
+
     // Multimodal metadata: binary payload + typed meta columns
     // (the oracle-checkable projection of graft.multimodal.Multimodal;
     // the mapPartitions decode path is exercised in ScalaTest).
@@ -59,11 +76,18 @@ object SimQueries {
   private val Sim2Bits   = 8
   private val Sim2Tables = 2
 
+  /** dd7 knobs: near-dup RECALL (not top-k) is the goal, so fewer
+    * bits + more tables: a cos≈0.92 pair crosses each random plane
+    * with p≈0.13 → kept by a 6-bit table with p≈0.44, missed by all
+    * 4 with p≈0.1. Occupancy ~N/64 per table still bounds pair work. */
+  private val Dd7Bits   = 6
+  private val Dd7Tables = 4
+
   /** The same md5-derived plane weights [[Embeddings.planeWeights]]
     * uses, embedded as DuckDB list literals — integer arithmetic is
     * identical on both engines, so bucket keys match exactly. */
-  private def sim2BucketSql(t: Int): String =
-    (0 until Sim2Bits).map { i =>
+  private def sim2BucketSql(t: Int, bits: Int = Sim2Bits): String =
+    (0 until bits).map { i =>
       val w = graft.sim.Embeddings.planeWeights(t, i, 64)
         .mkString("[", ",", "]")
       s"(CASE WHEN list_sum(list_transform(range(1,65), j -> ($w)[j] * v[j])) >= 0 THEN ${1L << i} ELSE 0 END)"
@@ -105,6 +129,30 @@ object SimQueries {
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored)
         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin
+    },
+    "dd7_embed_neardup" -> {
+      val keyArms = (0 until Dd7Tables).map { t =>
+        s"SELECT id, $t AS t, CAST(${sim2BucketSql(t, Dd7Bits)} AS BIGINT) AS b FROM v"
+      }.mkString("\n        |  UNION ALL ")
+      s"""WITH base AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, e FROM base
+        |  UNION ALL SELECT vec_id + 2000000, e FROM base WHERE vec_id % 100 = 0
+        |  UNION ALL SELECT vec_id + 3000000, list_transform(e, x -> x * 0.9 + 0.05)
+        |    FROM base WHERE vec_id % 100 = 50),
+        |v AS (SELECT vec_id AS id,
+        |  list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS v FROM corpus),
+        |keys AS (
+        |  $keyArms),
+        |cand AS (SELECT DISTINCT k1.id AS a_id, k2.id AS b_id
+        |  FROM keys k1 JOIN keys k2 ON k1.t = k2.t AND k1.b = k2.b AND k1.id < k2.id),
+        |scored AS (SELECT c.a_id, c.b_id,
+        |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> va.v[i] * vb.v[i])) AS BIGINT) AS DOUBLE) /
+        |    sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> va.v[i] * va.v[i])) AS BIGINT) AS DOUBLE) *
+        |         CAST(CAST(list_sum(list_transform(range(1, 65), i -> vb.v[i] * vb.v[i])) AS BIGINT) AS DOUBLE)) AS cos_sim
+        |  FROM cand c JOIN v va ON va.id = c.a_id JOIN v vb ON vb.id = c.b_id)
+        |SELECT a_id, b_id, cos_sim FROM scored WHERE cos_sim >= 0.9""".stripMargin
     },
     "sim3_ivf_centroid" ->
       s"""WITH q AS (SELECT vec_id AS vid, label AS true_label, ${qv("10000")} AS v

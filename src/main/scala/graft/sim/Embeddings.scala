@@ -123,6 +123,38 @@ object Embeddings {
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs — the vector-space member
+    * of the dedup family (exact / MinHash / SimHash / n-gram Jaccard /
+    * THIS). Candidates come from hyperplane-sign LSH bucket collisions
+    * (any of `tables` tables), then the EXACT integer cosine keeps
+    * pairs ≥ `threshold`. Ordered (a < b) so each pair appears once.
+    * Never O(N²): pair work tracks bucket occupancy (~N/2^bits per
+    * table), and both the bucketing and the scoring are deterministic,
+    * so the candidate SET itself is reproducible in any engine. */
+  def nearDupPairs(vectors: DataFrame, idCol: String, embCol: String,
+                   threshold: Double, bits: Int = 8, tables: Int = 2,
+                   dim: Int = 64): DataFrame = {
+    // cached: feeds the key explode and both sides of the scoring join
+    val v = vectors.select(col(idCol).as("id"), quantize(col(embCol)).as("v"))
+      .withColumn("n2", qnorm2(col("v"))).cache()
+    val keyed = v.select(col("id"), explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), signBucket(col("v"), t, bits, dim).as("b"))): _*))
+        .as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val cand = keyed.select(col("t"), col("b"), col("id").as("a_id"))
+      .join(keyed.select(col("t"), col("b"), col("id").as("b_id")), Seq("t", "b"))
+      .filter(col("a_id") < col("b_id")) // ordered: half the pair work of <>
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(v.select(col("id").as("a_id"), col("v").as("av"), col("n2").as("an2")),
+        "a_id")
+      .join(v.select(col("id").as("b_id"), col("v").as("bv"), col("n2").as("bn2")),
+        "b_id")
+      .select(col("a_id"), col("b_id"),
+        cosine(qdot(col("av"), col("bv")), col("an2"), col("bn2")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** IVF-style coarse assignment: exact integer label centroids
     * (component sums + counts; never a floating mean), then each
     * vector assigned to the centroid minimizing n²·d² =

@@ -71,6 +71,31 @@ class SimSpec extends SparkSuite {
       s"(${(truth & approx).size}/${truth.size})")
   }
 
+  test("nearDupPairs finds planted near-duplicates with high recall") {
+    // plant exact copies (cos=1, always collide) and perturbed copies
+    // (x*0.9+0.05 → cos≈0.92; per 6-bit table kept with p≈0.44, missed
+    // by all 4 tables with p≈0.1 → expected recall ≈ 0.9 on perturbed)
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val exact = base.filter($"vec_id" % 100 === 0)
+      .select(($"vec_id" + 2000000L).as("vec_id"), $"e")
+    val pert = base.filter($"vec_id" % 100 === 50)
+      .select(($"vec_id" + 3000000L).as("vec_id"),
+        org.apache.spark.sql.functions.transform($"e",
+          x => x * org.apache.spark.sql.functions.lit(0.9) +
+            org.apache.spark.sql.functions.lit(0.05)).as("e"))
+    val got = Embeddings.nearDupPairs(base.unionAll(exact).unionAll(pert),
+      "vec_id", "e", threshold = 0.9, bits = 6, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = 10 // 5 exact + 5 perturbed at sf0.01
+    // exact pairs share every bucket — all 5 must be present
+    assert((0 until 5).forall(i => got.contains((i * 100L, i * 100L + 2000000L))))
+    assert(got.size.toDouble / planted >= 0.8,
+      s"planted near-dup recall ${got.size}/$planted below 0.8")
+    // no false positives: every surviving pair is a planted one
+    assert(got.forall { case (a, b) => b - a == 2000000L || b - a == 3000000L })
+  }
+
   test("centroidAssign assigns tight clusters to their own centroid") {
     val clustered = Seq(
       (1L, Array.fill(64)(0.5f), 0), (2L, Array.fill(64)(0.51f), 0),
