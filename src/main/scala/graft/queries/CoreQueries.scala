@@ -192,6 +192,22 @@ object CoreQueries {
       Dedup.topNPerGroup(Tables.orders(s, d), Seq("o_custkey"),
         Seq(col("o_totalprice").desc, col("o_orderkey").asc), n = 3)
         .select("o_custkey", "o_orderkey", "o_totalprice")
+    }),
+
+    // D4-at-scale — same result as a row_number window, computed by
+    // the bounded-heap aggregate graft.expressions.TopKStructs:
+    // partial-aggregatable, so the shuffle carries ≤ k rows per group
+    // per map task instead of every input row (see its Scaladoc).
+    "d6_topk_agg" -> ((s, d) => {
+      Tables.part(s, d)
+        .groupBy(col("p_brand"))
+        .agg(graft.expressions.TopKStructs.topK(
+          struct(col("p_retailprice"), col("p_partkey"), col("p_name")),
+          k = 3, desc = Seq(true, false)).as("top"))
+        .select(col("p_brand"), explode(col("top")).as("t"))
+        .select(col("p_brand"), col("t.p_partkey").as("p_partkey"),
+          col("t.p_name").as("p_name"),
+          col("t.p_retailprice").as("p_retailprice"))
     })
   )
 
@@ -283,6 +299,12 @@ object CoreQueries {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-        |  FROM orders) t WHERE rn <= 3""".stripMargin
+        |  FROM orders) t WHERE rn <= 3""".stripMargin,
+    "d6_topk_agg" ->
+      """SELECT p_brand, p_partkey, p_name, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+        |  FROM part) t WHERE rn <= 3""".stripMargin
   )
 }
