@@ -1,0 +1,195 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundReference, GenericInternalRow, InterpretedOrdering, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.PlanBridge
+import org.apache.spark.sql.types.DataType
+
+/** As-of join as a first-class Catalyst operator — the tier-(c)
+  * extension path (custom `LogicalPlan` + `SparkStrategy` +
+  * `SparkPlan`), complementing the composed union+window form in
+  * [[graft.ops.AsOfJoin]] (which remains the oracle-checked default).
+  *
+  * Why a physical operator at all: the window form materializes each
+  * partition's rows in the window buffer and carries the matched
+  * struct through `last(_, ignoreNulls)` over every row. This exec
+  * instead merges the two sides per partition as a single O(n+m)
+  * streaming pass holding ONE buffered right row and ONE carried
+  * match — same single co-partitioning shuffle, no per-partition
+  * window buffer, memory O(1) per partition. Semantics match DuckDB
+  * `ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts`: each left row
+  * takes the right row with the greatest rightTs <= leftTs (ties by
+  * last in (key, ts) sort order); NULL-padded when none precede.
+  * Right-side timestamps must be non-null (filter first).
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+                        leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+                        leftTs: Attribute, rightTs: Attribute,
+                        rightValues: Seq[Attribute])
+  extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ rightValues.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]; injected via
+  * [[GraftExtensions]] (`spark.sql.extensions`) or at runtime through
+  * `spark.experimental.extraStrategies` ([[AsOfJoinPhysical.register]]). */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan =>
+      AsOfJoinExec(p.leftKeys, p.rightKeys, p.leftTs, p.rightTs,
+        p.rightValues, planLater(p.left), planLater(p.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+                        leftTs: Attribute, rightTs: Attribute,
+                        rightValues: Seq[Attribute],
+                        left: SparkPlan, right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightValues.map(_.withNullability(true))
+
+  /** Both sides cluster on the join keys — EnsureRequirements makes the
+    * children co-partitioned (ONE shuffle each at most, reused when the
+    * child is already keyed — e.g. bucketed sources). */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  /** (keys, ts) ascending on both sides — the merge precondition. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTs).map(a => SortOrder(a, Ascending)),
+    (rightKeys :+ rightTs).map(a => SortOrder(a, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  private def ordFor(types: Seq[DataType]): InterpretedOrdering =
+    new InterpretedOrdering(types.zipWithIndex.map { case (dt, i) =>
+      SortOrder(BoundReference(i, dt, nullable = true), Ascending)
+    })
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeys = leftKeys; val rKeys = rightKeys
+    val lTs = leftTs; val rTs = rightTs; val rVals = rightValues
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val leftKeyProj  = UnsafeProjection.create(lKeys, lOut)
+      val rightKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val leftTsProj   = UnsafeProjection.create(Seq(lTs), lOut)
+      val rightTsProj  = UnsafeProjection.create(Seq(rTs), rOut)
+      val valueProj    = UnsafeProjection.create(rVals, rOut)
+      val keyOrd = ordFor(lKeys.map(_.dataType))
+      val tsOrd  = ordFor(Seq(lTs.dataType))
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullRow = new GenericInternalRow(rVals.length)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // single-row state: the lookahead right row (copied — sorter
+        // iterators reuse row objects), the carried match and its key
+        private var bufferedRight: InternalRow = null
+        private var matchKey: UnsafeRow = null
+        private var lastMatch: UnsafeRow = null
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lkRow = leftKeyProj(l)
+          if (matchKey != null && keyOrd.compare(matchKey, lkRow) != 0) {
+            matchKey = null; lastMatch = null
+          }
+          val ltsRow = leftTsProj(l)
+          var done = false
+          while (!done && (bufferedRight != null || rIter.hasNext)) {
+            if (bufferedRight == null) bufferedRight = rIter.next().copy()
+            val c = keyOrd.compare(rightKeyProj(bufferedRight), lkRow)
+            if (c < 0) bufferedRight = null // behind every remaining left key
+            else if (c > 0) done = true     // ahead: stop until left catches up
+            else {
+              if (tsOrd.compare(rightTsProj(bufferedRight), ltsRow) <= 0) {
+                lastMatch = valueProj(bufferedRight).copy()
+                matchKey = lkRow.copy()
+                bufferedRight = null
+              } else done = true            // too new for this left row
+            }
+          }
+          resultProj(joined(l, if (lastMatch != null) lastMatch else nullRow))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `spark.sql.extensions`-style injection point
+  * (`.config("spark.sql.extensions", classOf[GraftExtensions].getName)`):
+  * the as-of planner strategy plus the native SQL functions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
+}
+
+object AsOfJoinPhysical {
+
+  /** Runtime registration for an existing session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+  }
+
+  /** Same surface as [[graft.ops.AsOfJoin.asOf]], planned through
+    * [[AsOfJoinExec]]: left.* plus right's non-key non-ts columns.
+    *
+    * The right side's key/ts columns are renamed to `__asof_r_*`
+    * before the node is built: both sides routinely derive from the
+    * same source (self-as-of), so their attributes share exprIds —
+    * built-in joins get `DeduplicateRelations` re-aliasing from the
+    * analyzer, but a custom node's key references are ambiguous to
+    * that rule (it cannot know `rightKeys` means the RIGHT child's
+    * instance), and the ambiguity surfaces as the optimizer pruning
+    * the right child down to its uniquely-owned columns. A real
+    * rename mints fresh exprIds with distinct names, which no
+    * alias-cleanup rule undoes; the renamed columns never appear in
+    * the output, so the surface is unchanged. */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    val rightVals = right.columns.toSeq.diff(keys :+ rightTs)
+    val collisions = rightVals.intersect(left.columns.toSeq)
+    require(collisions.isEmpty,
+      s"asOf: right value columns collide with left columns: " +
+        s"${collisions.mkString(", ")} — rename before joining")
+    val rRenamed = keys.foldLeft(right)((df, k) =>
+      df.withColumnRenamed(k, s"__asof_r_$k"))
+      .withColumnRenamed(rightTs, "__asof_r_ts")
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rRenamed.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        sys.error(s"asOf: column $n not found in [${p.output.map(_.name).mkString(", ")}]"))
+    PlanBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"__asof_r_$k")),
+      attr(lPlan, leftTs), attr(rPlan, "__asof_r_ts"),
+      rightVals.map(attr(rPlan, _))))
+  }
+}

@@ -86,6 +86,24 @@ object ExtraQueries {
         .select("event_id", "user_id", "ts", "last_purchase_value")
     }),
 
+    // The SAME as-of join planned through the custom Catalyst operator
+    // (graft.plans: LogicalPlan + Strategy + streaming-merge SparkPlan
+    // registered via extraStrategies/SparkSessionExtensions) — the
+    // tier-(c) extension path, oracle-gated like every other operator.
+    "j12_asof_physical" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = graft.ops.Dedup.topPerGroup(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value")),
+        Seq("user_id", "ts"), Seq(col("value").desc))
+        .withColumnRenamed("value", "last_purchase_value")
+      graft.plans.AsOfJoinPhysical.asOf(clicks, purchases,
+        Seq("user_id"), "ts", "ts")
+        .select("event_id", "user_id", "ts", "last_purchase_value")
+    }),
+
     // Sessionization: 30-min inactivity gap → per-user session ids
     // (two stacked windows, one shuffle on user_id).
     "w3_sessionize" -> ((s, d) => {
@@ -168,6 +186,18 @@ object ExtraQueries {
         |  CAST(CAST(quantile_cont(l_quantity, 0.9) AS DECIMAL(18,6)) AS DOUBLE) AS p90
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "j11_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |p0 AS (SELECT user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, ts ORDER BY value DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |purchases AS (SELECT user_id, ts, value AS last_purchase_value
+        |  FROM p0 WHERE rn = 1)
+        |SELECT c.event_id, c.user_id, c.ts, p.last_purchase_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "j12_asof_physical" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM events
         |  WHERE event_type IN ('click', 'view')),

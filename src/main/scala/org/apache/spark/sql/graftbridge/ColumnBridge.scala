@@ -15,3 +15,14 @@ object ColumnBridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** LogicalPlan → DataFrame bridge for custom plan nodes:
+  * `Dataset.ofRows` is private[sql], and extension libraries that ship
+  * their own logical operators need exactly this one constructor. */
+object PlanBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}
