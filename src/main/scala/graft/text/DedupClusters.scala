@@ -71,4 +71,69 @@ object DedupClusters {
         "raise maxRounds (graph diameter exceeds it)")
     labels.withColumnRenamed("label", "canonical_id")
   }
+
+  /** Large-star/small-star edge contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): the
+    * escape hatch for graphs whose diameter makes per-hop label
+    * propagation too many rounds. Each round alternates
+    *   large-star: every node points its STRICTLY LARGER neighbors at
+    *     its minimum (of neighborhood ∪ self);
+    *   small-star: every node points its ≤ neighbors and itself at
+    *     that minimum;
+    * contracting chains toward each component's minimum in
+    * O(log n) rounds regardless of diameter (a 1000-node path
+    * converges in ~8 rounds vs 1000 propagation hops). Same API and
+    * output as [[connectedComponents]]; per round two shuffles
+    * (groupBy min + re-join), edge multiset deduped to stop growth.
+    */
+  def connectedComponentsStar(nodes: DataFrame, pairs: DataFrame,
+                              maxRounds: Int = 40): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("a"), col("b"))
+        .unionAll(e.select(col("b").as("a"), col("a").as("b")))
+
+    // one star pass: m(u) = min(Γ(u) ∪ {u}); keep (v, m) for the
+    // selected neighbor side, dropping self-loops
+    def star(edges: DataFrame, large: Boolean): DataFrame = {
+      val s = sym(edges)
+      val mins = s.groupBy(col("a"))
+        .agg(least(col("a"), min(col("b"))).as("m"))
+      val nbrs = s.join(mins, "a")
+      val kept =
+        if (large) nbrs.filter(col("b") > col("a"))
+          .select(col("b").as("a"), col("m").as("b"))
+        else nbrs.filter(col("b") <= col("a"))
+          .select(col("b").as("a"), col("m").as("b"))
+          .unionAll(mins.select(col("a"), col("m").as("b")))
+      kept.filter(col("a") =!= col("b")).distinct()
+    }
+
+    var edges = pairs.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b")).distinct().persist()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next0 = star(star(edges, large = true), large = false)
+      val next = (if ((round + 1) % 5 == 0) next0.localCheckpoint()
+                  else next0.persist())
+      // exact fixpoint: same multiset both ways (edges are distinct,
+      // so two anti-join counts suffice)
+      val grew    = next.exceptAll(edges).limit(1).count() > 0
+      val shrank  = edges.exceptAll(next).limit(1).count() > 0
+      edges.unpersist()
+      edges = next
+      converged = !grew && !shrank
+      round += 1
+    }
+    if (!converged)
+      log.warn(s"connectedComponentsStar: round budget ($maxRounds) " +
+        "exhausted before the edge fixpoint")
+    // final star: every node points at its component min
+    val labels = sym(edges).groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("canonical_id"))
+    nodes.select(col("id"))
+      .join(labels.select(col("a").as("id"), col("canonical_id")), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("canonical_id"), col("id")).as("canonical_id"))
+  }
 }
