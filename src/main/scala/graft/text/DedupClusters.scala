@@ -109,18 +109,27 @@ object DedupClusters {
     }
 
     var edges = pairs.select(col("a"), col("b"))
-      .filter(col("a") =!= col("b")).distinct().persist()
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val next0 = star(star(edges, large = true), large = false)
-      val next = (if ((round + 1) % 5 == 0) next0.localCheckpoint()
-                  else next0.persist())
+      // Both star passes are localCheckpoint'ed EAGERLY every round:
+      // star() references its input ~6x (sym doubles it, then mins and
+      // nbrs each consume sym), so an untruncated star(star(...))
+      // multiplies the LOGICAL PLAN ~36x per round — persist() caches
+      // data but keeps the plan, and a 5-round checkpoint cadence is
+      // ~36^5 plan nodes: Catalyst churn then driver OOM on a 999-edge
+      // path graph. Eager checkpoints pin the plan at constant size;
+      // blocks are reclaimed by the context cleaner once the previous
+      // round's frame is unreferenced (never unpersist a checkpointed
+      // frame by hand — its blocks are the only copy).
+      val afterLarge = star(edges, large = true).localCheckpoint()
+      val next = star(afterLarge, large = false).localCheckpoint()
       // exact fixpoint: same multiset both ways (edges are distinct,
       // so two anti-join counts suffice)
       val grew    = next.exceptAll(edges).limit(1).count() > 0
       val shrank  = edges.exceptAll(next).limit(1).count() > 0
-      edges.unpersist()
       edges = next
       converged = !grew && !shrank
       round += 1
