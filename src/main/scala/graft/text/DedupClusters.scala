@@ -33,43 +33,48 @@ object DedupClusters {
     * previous label rides the update projection as an `old` column, so
     * convergence detection is a filter on the frame the round already
     * materializes — round 1's separate updated⋈old join+count doubled
-    * every round's cost. Labels are localCheckpoint'ed every 5 rounds:
-    * persist alone keeps the full lineage, and by round ~15 the
-    * re-planned DAG (and any cache-eviction recompute) grows with
-    * round count; checkpointing pins the iteration cost flat.
+    * every round's cost. Labels are localCheckpoint'ed EVERY round:
+    * persist alone keeps the full lineage (the plan grows ~3× per
+    * round), a cache eviction late in the loop would recompute the
+    * whole chain, and hand-unpersisting a checkpointed frame destroys
+    * its only copy; eager checkpoints pin both plan size and
+    * iteration cost flat.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxRounds: Int = 20): DataFrame = {
     val sym = pairs.select(col("a"), col("b"))
       .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
-      .distinct().persist()
-    var mat    = nodes.select(col("id"), col("id").as("label")).persist()
-    var labels = mat
+      .distinct().localCheckpoint()
+    // Iterate ONLY over nodes with at least one edge: a singleton's
+    // label never changes, so carrying it through every round's
+    // join+agg is pure overhead — and in a real dedup corpus the edge
+    // subgraph is a small fraction of N, while `nodes` is the whole
+    // corpus. Singletons re-enter via the final left join.
+    var labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       val neighborMin = sym
         .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
         .groupBy(col("a").as("id")).agg(min(col("nl")).as("nmin"))
-      val updated = labels
+      val newMat = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      val newMat =
-        if ((round + 1) % 5 == 0) updated.localCheckpoint() else updated.persist()
+        .localCheckpoint()
       val changed = newMat.filter(col("label") =!= col("old")).count()
-      mat.unpersist()
-      mat = newMat
       labels = newMat.select("id", "label")
       converged = changed == 0
       round += 1
     }
-    sym.unpersist()
     if (!converged)
       log.warn(s"connectedComponents: round budget ($maxRounds) exhausted " +
         "before fixpoint — canonical ids may span unconverged components; " +
         "raise maxRounds (graph diameter exceeds it)")
-    labels.withColumnRenamed("label", "canonical_id")
+    nodes.select(col("id"))
+      .join(labels.withColumnRenamed("label", "canonical_id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("canonical_id"), col("id")).as("canonical_id"))
   }
 
   /** Large-star/small-star edge contraction (Kiveris et al.,
