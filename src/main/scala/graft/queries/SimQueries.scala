@@ -76,12 +76,18 @@ object SimQueries {
   private val Sim2Bits   = 8
   private val Sim2Tables = 2
 
-  /** dd7 knobs: near-dup RECALL (not top-k) is the goal, so fewer
-    * bits + more tables: a cos≈0.92 pair crosses each random plane
-    * with p≈0.13 → kept by a 6-bit table with p≈0.44, missed by all
-    * 4 with p≈0.1. Occupancy ~N/64 per table still bounds pair work. */
-  private val Dd7Bits   = 6
-  private val Dd7Tables = 4
+  /** dd7 knobs, sized for the LARGEST corpus the query actually runs
+    * on (sf0.1: ~2040 vectors after the planted extension) per
+    * SCALE.md's occupancy rule bits ≈ log2(N/k): 2^8 buckets/table →
+    * ~8 vectors/bucket. Round 2 shipped bits=6 tuned for the sf0.01
+    * oracle corpus; at sf0.1 occupancy was ~32 (worse under the
+    * label-clustered corpus) and pair work grows quadratically with
+    * occupancy — dd7 was the most expensive bench query. Recall: a
+    * cos≈0.92 pair crosses each plane with p≈0.13 → colliding in an
+    * 8-bit table with p≈0.32, missed by all 6 tables with p≈0.1;
+    * exact copies always collide. SimSpec pins planted-pair recall. */
+  private val Dd7Bits   = 8
+  private val Dd7Tables = 6
 
   /** The same md5-derived plane weights [[Embeddings.planeWeights]]
     * uses, embedded as DuckDB list literals — integer arithmetic is
