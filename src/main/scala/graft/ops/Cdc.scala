@@ -1,7 +1,6 @@
 package graft.ops
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import graft.util.AtomicText
 
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
@@ -60,18 +59,12 @@ object Cdc {
     private var cache: Option[Map[String, Long]] = None
 
     private def load(): Map[String, Long] = cache.getOrElse {
-      val p = Paths.get(path)
-      val m =
-        if (!Files.exists(p)) Map.empty[String, Long]
-        else {
-          import scala.jdk.CollectionConverters._
-          Files.readAllLines(p, StandardCharsets.UTF_8).asScala
-            .filter(_.nonEmpty)
-            .map { line =>
-              val i = line.lastIndexOf('\t')
-              line.substring(0, i) -> line.substring(i + 1).toLong
-            }.toMap
-        }
+      // AtomicText.readLines rejects a non-file at `path` (e.g. the
+      // round-1 parquet state DIRECTORY) with a migration hint.
+      val m = AtomicText.readLines(path).map { line =>
+        val i = line.lastIndexOf('\t')
+        line.substring(0, i) -> line.substring(i + 1).toLong
+      }.toMap
       cache = Some(m)
       m
     }
@@ -86,15 +79,11 @@ object Cdc {
       * reprocess-from-initial on restart; a single-file rename is the
       * POSIX-atomic primitive). */
     def upsert(table: String, maxIndex: Long): Unit = {
+      AtomicText.requireCleanKey(table, "watermark table name")
       val updated = load() + (table -> maxIndex)
-      val target  = Paths.get(path)
-      if (target.getParent != null) Files.createDirectories(target.getParent)
-      val tmp = Paths.get(path + ".tmp")
       val body = updated.toSeq.sorted
         .map { case (t, v) => s"$t\t$v" }.mkString("", "\n", "\n")
-      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      AtomicText.writeAtomically(path, body)
       cache = Some(updated)
       ()
     }

@@ -70,4 +70,33 @@ object Sinks {
     appendBatch(fact, factRoot, batchId)
     appendBatch(mapping, mappingRoot, batchId)
   }
+
+  /** S11, transactional — [[dualWrite]] plus the reference's
+    * one-transaction visibility: both directories land as invisible
+    * data, then ONE atomic [[TxnManifest]] commit names them both.
+    * Readers going through [[readCommitted]] observe both outputs of a
+    * batch or neither, exactly like the reference's `engine.begin()`
+    * dual INSERT. */
+  def dualWriteAtomic(fact: DataFrame, mapping: DataFrame, factRoot: String,
+                      mappingRoot: String, manifest: TxnManifest,
+                      batchId: Int): Unit = {
+    appendBatch(fact, factRoot, batchId)
+    appendBatch(mapping, mappingRoot, batchId)
+    manifest.commit(batchId,
+      Seq(s"$factRoot/batch=$batchId", s"$mappingRoot/batch=$batchId"))
+  }
+
+  /** Manifest-resolved read: only directories the manifest has
+    * committed are scanned, so orphan dirs from a crashed batch are
+    * invisible. Fails loudly when nothing is committed under `root` —
+    * there is no schema to guess an empty frame from (Delta has its
+    * log's schema; a fresh manifest has nothing). */
+  def readCommitted(spark: org.apache.spark.sql.SparkSession, root: String,
+                    manifest: TxnManifest): DataFrame = {
+    val dirs = manifest.committedDirs(root)
+    if (dirs.isEmpty)
+      throw new IllegalStateException(
+        s"no committed batches under $root — nothing visible yet")
+    spark.read.parquet(dirs: _*)
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.types._
-import graft.sources.{Sinks, Sources}
+import graft.sources.{Sinks, Sources, TxnManifest}
 
 class SourcesSpec extends SparkSuite {
   import spark.implicits._
@@ -38,6 +38,43 @@ class SourcesSpec extends SparkSuite {
     Sinks.dualWrite(b0, Seq((1L, 100L)).toDF("oldId", "newId"),
       s"$tmp/f2", s"$tmp/sync", 0)
     assert(spark.read.parquet(s"$tmp/sync").count() == 1)
+  }
+
+  test("dualWriteAtomic: crash between the two writes leaves NEITHER visible (S11)") {
+    val tmp = java.nio.file.Files.createTempDirectory("sinks_txn_").toString
+    val manifest = new TxnManifest(s"$tmp/_commits")
+    def fact(id: Long)  = Seq((id, s"v$id")).toDF("id", "v")
+    def sync(id: Long)  = Seq((id, id + 100)).toDF("oldId", "newId")
+
+    // a fresh manifest: nothing visible, and the reader says so loudly
+    intercept[IllegalStateException] {
+      Sinks.readCommitted(spark, s"$tmp/fact", manifest)
+    }
+
+    Sinks.dualWriteAtomic(fact(1), sync(1), s"$tmp/fact", s"$tmp/sync", manifest, 0)
+    assert(Sinks.readCommitted(spark, s"$tmp/fact", manifest).count() == 1)
+    assert(Sinks.readCommitted(spark, s"$tmp/sync", manifest).count() == 1)
+
+    // crash window: batch 1's fact directory lands, then the process
+    // dies before the mapping write / manifest commit — the exact
+    // failure dualWrite couldn't mask. Readers see batch 1 in NEITHER
+    // output (the orphan dir exists on disk but is not in the manifest).
+    Sinks.appendBatch(fact(2), s"$tmp/fact", 1)
+    assert(Sinks.readCommitted(spark, s"$tmp/fact", manifest).count() == 1)
+    assert(Sinks.readCommitted(spark, s"$tmp/sync", manifest).count() == 1)
+    assert(manifest.committed().keySet == Set(0))
+
+    // restart re-runs batch 1: orphan overwritten idempotently, one
+    // atomic commit makes both outputs visible together
+    Sinks.dualWriteAtomic(fact(2), sync(2), s"$tmp/fact", s"$tmp/sync", manifest, 1)
+    assert(Sinks.readCommitted(spark, s"$tmp/fact", manifest).count() == 2)
+    assert(Sinks.readCommitted(spark, s"$tmp/sync", manifest).count() == 2)
+
+    // legacy-layout guard: a DIRECTORY at the manifest path is a clear
+    // migration error, not an opaque IOException
+    val dirAsState = new TxnManifest(s"$tmp/fact")
+    val e = intercept[IllegalStateException](dirAsState.committed())
+    assert(e.getMessage.contains("not a regular file"))
   }
 
   test("writePartitioned: key filter prunes to the selected partition dirs") {
