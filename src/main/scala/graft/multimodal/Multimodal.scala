@@ -10,12 +10,12 @@ import org.apache.spark.sql.types._
   * The heavy per-item work (decode, feature-extract, resize,
   * frame-sample) runs via `mapPartitions` over batches — the Scala
   * analogue of a vectorized pandas UDF: one decoder instantiation per
-  * partition, streamed row iterators, no per-row JVM↔native churn. The
-  * actual codec call is STUBBED (`decodeStub`) with a deterministic
-  * fake — the container has no image/audio libs — but the Spark-side
-  * contract (schema, batching, partitioning, null behavior) is real
-  * and tested; swap `decodeStub` for an opencv/ffmpeg binding at
-  * deployment.
+  * partition, streamed row iterators, no per-row JVM↔native churn.
+  * Container-header decode ([[decodeHeader]]) is REAL, dependency-free
+  * magic-byte parsing (PNG IHDR, BMP info header, WAV fmt chunk); only
+  * pixel/sample decode would need a codec binding (absent in this
+  * container) — swap in opencv/ffmpeg at deployment for
+  * feature-extraction beyond the header.
   *
   * Scale notes: media blobs dominate row size — keep them OUT of
   * shuffle keys, repartition by id before decode so work units are
@@ -35,20 +35,33 @@ object Multimodal {
   final case class MediaMeta(id: Long, format: String, width: Int,
                              height: Int, n_bytes: Long, checksum: String)
 
-  /** STUB decoder — deterministic fake standing in for a real codec.
-    * Reads "format" from the first payload byte and synthesizes
-    * dimensions from a payload digest; replace the body with the real
-    * binding (e.g. javacv) in production. Everything around it —
-    * batch iteration, schema, null-safety — is the production path. */
-  def decodeStub(payload: Array[Byte]): (String, Int, Int) = {
-    val b0 = if (payload.isEmpty) 0 else payload(0) & 0xff
-    val fmt = (b0 % 3) match {
-      case 0 => "jpeg"
-      case 1 => "png"
-      case _ => "webp"
-    }
-    val digest = payload.foldLeft(17L)((a, b) => (a * 31 + (b & 0xff)) & 0x7fffffff)
-    (fmt, (64 + digest % 1920).toInt, (64 + digest % 1080).toInt)
+  /** REAL header decode — dependency-free magic-byte parsing of the
+    * three container formats the synthetic corpus carries. Returns
+    * (format, width, height); for WAV the two dimensions are
+    * (sample_rate, channels). Unknown/truncated payloads decode as
+    * ("bin", 0, 0) — malformed media is data, not an exception.
+    *   - PNG: 8-byte signature, then the IHDR chunk is REQUIRED first
+    *     (PNG spec §11.2.2) → width/height big-endian at offsets 16/20.
+    *   - BMP: "BM", BITMAPINFOHEADER width/height little-endian at
+    *     18/22 (height may be negative = top-down; report magnitude).
+    *   - WAV: RIFF/WAVE with "fmt " chunk → channels LE16 at 22,
+    *     sample rate LE32 at 24 (canonical layout). */
+  def decodeHeader(p: Array[Byte]): (String, Int, Int) = {
+    def u8(i: Int)   = p(i) & 0xff
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def ascii(i: Int, s: String) = s.indices.forall(j => u8(i + j) == s.charAt(j))
+    if (p.length >= 24 && u8(0) == 0x89 && ascii(1, "PNG") &&
+        u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
+        ascii(12, "IHDR"))
+      ("png", be32(16), be32(20))
+    else if (p.length >= 26 && ascii(0, "BM"))
+      ("bmp", le32(18), math.abs(le32(22)))
+    else if (p.length >= 28 && ascii(0, "RIFF") && ascii(8, "WAVE") &&
+             ascii(12, "fmt "))
+      ("wav", le32(24), le16(22))
+    else ("bin", 0, 0)
   }
 
   /** Decode/feature-extract over partitions (pandas-UDF-equivalent
@@ -59,12 +72,58 @@ object Multimodal {
       // per-partition decoder init would go here (codec contexts etc.)
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val (fmt, w, h) = decodeStub(r.payload)
+        val (fmt, w, h) = decodeHeader(r.payload)
         val sum = md.digest(r.payload).map("%02x".format(_)).mkString
         MediaMeta(r.id, fmt, w, h, r.payload.length.toLong, sum)
       }
     }
   }
+
+  // ---- container synthesis (the testdata stand-in for a blob store:
+  // real headers + the document text as body, so the decode path above
+  // is exercised on genuine binary layouts) ----
+
+  private def pngBytes(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(33 + body.length) // big-endian default
+    bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    bb.putInt(w).putInt(h)
+    bb.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.putInt(0) // CRC not validated by header readers
+    bb.put(body).array()
+  }
+
+  private def bmpBytes(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(54 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + body.length)
+    bb.putShort(0).putShort(0).putInt(54)          // reserved, pixel offset
+    bb.putInt(40).putInt(w).putInt(h)              // BITMAPINFOHEADER
+    bb.putShort(1).putShort(24)                    // planes, bpp
+    bb.putInt(0).putInt(body.length).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    bb.put(body).array()
+  }
+
+  private def wavBytes(sampleRate: Int, channels: Int, body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + body.length)
+    bb.put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+    bb.putInt(16).putShort(1)                      // PCM
+    bb.putShort(channels.toShort).putInt(sampleRate)
+    bb.putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(body.length)
+    bb.put(body).array()
+  }
+
+  /** Wrap (id, dims, body) as a real container of the format chosen by
+    * `id % 3` — the deterministic corpus [[extractMeta]] decodes. */
+  def synthesizePayload(id: Long, w: Int, h: Int, body: Array[Byte]): Array[Byte] =
+    (id % 3) match {
+      case 0 => pngBytes(w, h, body)
+      case 1 => bmpBytes(w, h, body)
+      case _ => wavBytes(w, h, body)
+    }
 
   /** Frame-sampling plan for video payloads: deterministic frame
     * indices at `fps` over `durationMs`, capped at `maxFrames` —
@@ -84,5 +143,18 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id").as("id"),
       encode(col("text"), "UTF-8").as("payload")).as[MediaRow]
+  }
+
+  /** `documents` → real media containers: format by `doc_id % 3`, the
+    * dimensions by arithmetic an oracle can predict, body = UTF-8
+    * text. [[extractMeta]] then recovers (format, width, height) by
+    * PARSING the bytes, so an oracle match proves the binary
+    * encode→decode round trip, not a formula copied to both sides. */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    fromDocuments(spark, docs).mapPartitions(_.map { r =>
+      val w = (64 + r.id * 7 % 1920).toInt
+      val h = (64 + r.id * 13 % 1080).toInt
+      MediaRow(r.id, synthesizePayload(r.id, w, h, r.payload))
+    })(org.apache.spark.sql.Encoders.product[MediaRow])
   }
 }

@@ -55,18 +55,21 @@ object SimQueries {
         "vec_id", "e", threshold = 0.9, bits = Dd7Bits, tables = Dd7Tables)
     }),
 
-    // Multimodal metadata: binary payload + typed meta columns
-    // (the oracle-checkable projection of graft.multimodal.Multimodal;
-    // the mapPartitions decode path is exercised in ScalaTest).
+    // Multimodal metadata over REAL binary containers: each document
+    // is wrapped in a genuine PNG/BMP/WAV header (format by doc_id%3,
+    // body = text bytes) and width/height/format come back out by
+    // PARSING those bytes in the mapPartitions decode path. The oracle
+    // predicts the same values arithmetically, so the hash match
+    // certifies the encode→decode round trip.
     "mm1_media_meta" -> ((s, d) => {
-      Tables.documents(s, d).select(col("doc_id"),
-        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
-        md5(col("text")).as("payload_md5"),
-        lower(hex(encode(substring(col("text"), 1, 4), "UTF-8"))).as("header_hex"),
-        element_at(typedLit(Seq("jpeg", "png", "webp")),
-          (col("doc_id") % 3 + 1).cast("int")).as("format"),
-        (lit(64) + col("doc_id") * 7 % 1920).cast("int").as("width"),
-        (lit(64) + col("doc_id") * 13 % 1080).cast("int").as("height"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val meta = graft.multimodal.Multimodal
+        .extractMeta(graft.multimodal.Multimodal.mediaFromDocuments(s, docs))
+        .toDF()
+      meta.select(col("id").as("doc_id"), col("format"), col("width"),
+          col("height"), col("n_bytes"))
+        .join(docs.select(col("doc_id"), md5(col("text")).as("payload_md5")),
+          Seq("doc_id"))
     })
   )
 
@@ -177,14 +180,18 @@ object SimQueries {
         |SELECT vid, true_label, cl AS assigned_label,
         |  CASE WHEN cl = true_label THEN 1 ELSE 0 END AS is_match
         |FROM ranked WHERE rk = 1""".stripMargin,
+    // The Spark side PARSES these values back out of synthesized
+    // PNG/BMP/WAV bytes; the oracle predicts them arithmetically
+    // (header sizes: PNG 33, BMP 54, WAV 44). A hash match therefore
+    // certifies the binary encode→decode round trip.
     "mm1_media_meta" ->
       """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  md5(text) AS payload_md5,
-        |  lower(hex(encode(substr(text, 1, 4)))) AS header_hex,
-        |  ['jpeg', 'png', 'webp'][CAST(doc_id % 3 + 1 AS INTEGER)] AS format,
+        |  ['png', 'bmp', 'wav'][CAST(doc_id % 3 + 1 AS INTEGER)] AS format,
         |  CAST(64 + doc_id * 7 % 1920 AS INTEGER) AS width,
-        |  CAST(64 + doc_id * 13 % 1080 AS INTEGER) AS height
+        |  CAST(64 + doc_id * 13 % 1080 AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text))
+        |       + [33, 54, 44][CAST(doc_id % 3 + 1 AS INTEGER)] AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5
         |FROM documents""".stripMargin
   )
 }

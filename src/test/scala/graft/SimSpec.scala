@@ -105,15 +105,38 @@ class SimSpec extends SparkSuite {
     assert(got.agg(sum("is_match")).first().getLong(0) == 4L)
   }
 
-  test("multimodal extractMeta: batch decode plumbing with stubbed codec") {
-    val media = Multimodal.fromDocuments(spark,
-      Seq((10L, "hello world"), (11L, "")).toDF("doc_id", "text"))
-    val metas = Multimodal.extractMeta(media).collect().map(m => m.id -> m).toMap
-    assert(metas(10).n_bytes == 11L)
-    assert(metas(10).checksum == "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
-    assert(Set("jpeg", "png", "webp").contains(metas(10).format))
-    assert(metas(10).width >= 64 && metas(10).height >= 64)
-    assert(metas(11).n_bytes == 0L) // empty payload doesn't crash the decoder
+  test("decodeHeader: real magic-byte parsing, one case per container format") {
+    val body = "payload".getBytes("UTF-8")
+    // synthesizePayload picks the container by id % 3: png, bmp, wav
+    assert(Multimodal.decodeHeader(Multimodal.synthesizePayload(0L, 640, 480, body))
+      == (("png", 640, 480)))
+    assert(Multimodal.decodeHeader(Multimodal.synthesizePayload(1L, 1920, 1080, body))
+      == (("bmp", 1920, 1080)))
+    // WAV dimensions are (sample_rate, channels)
+    assert(Multimodal.decodeHeader(Multimodal.synthesizePayload(2L, 44100, 2, body))
+      == (("wav", 44100, 2)))
+    // non-media and truncated payloads decode as data, not exceptions
+    assert(Multimodal.decodeHeader("just text".getBytes("UTF-8")) == (("bin", 0, 0)))
+    assert(Multimodal.decodeHeader(Array[Byte](0x89.toByte, 'P', 'N')) == (("bin", 0, 0)))
+    assert(Multimodal.decodeHeader(Array.empty[Byte]) == (("bin", 0, 0)))
+  }
+
+  test("multimodal extractMeta: batch decode recovers header fields from bytes") {
+    val docs  = Seq((9L, "hello world"), (10L, "x"), (11L, "")).toDF("doc_id", "text")
+    val metas = Multimodal.extractMeta(Multimodal.mediaFromDocuments(spark, docs))
+      .collect().map(m => m.id -> m).toMap
+    // id 9 → PNG (9%3==0): 33-byte header + 11-byte body, parsed dims
+    assert(metas(9L).format == "png")
+    assert(metas(9L).width == (64 + 9 * 7 % 1920) && metas(9L).height == (64 + 9 * 13 % 1080))
+    assert(metas(9L).n_bytes == 33L + 11L)
+    // id 10 → BMP, id 11 → WAV; empty body is fine
+    assert(metas(10L).format == "bmp" && metas(10L).n_bytes == 54L + 1L)
+    assert(metas(11L).format == "wav" && metas(11L).n_bytes == 44L + 0L)
+    // raw (container-less) bytes still flow through as opaque binary
+    val raw = Multimodal.extractMeta(Multimodal.fromDocuments(spark, docs))
+      .collect().map(m => m.id -> m).toMap
+    assert(raw(9L).format == "bin" && raw(9L).n_bytes == 11L)
+    assert(raw(9L).checksum == "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
   }
 
   test("frameSampleIndices: even spacing, cap, and zero-duration guard") {
