@@ -133,4 +133,33 @@ object TopKStructs {
     ColumnBridge.toColumn(
       TopKStructs(ColumnBridge.toExpression(structCol), k, desc)
         .toAggregateExpression())
+
+  /** SQL builder: `top_k(struct, k [, desc...])` with `k` and the
+    * per-field descending flags as literals. Returns the bare
+    * aggregate function — the analyzer wraps it in an
+    * `AggregateExpression` (same contract as built-in aggregates). */
+  def sqlBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    require(exprs.length >= 2,
+      "top_k(struct, k[, desc...]) takes at least a struct and a literal k")
+    val k = exprs(1) match {
+      case Literal(i: Int, _) => i
+      case other => throw new IllegalArgumentException(
+        s"top_k: k must be an integer literal, got $other")
+    }
+    val desc = exprs.drop(2).map {
+      case Literal(b: Boolean, _) => b
+      case other => throw new IllegalArgumentException(
+        s"top_k: desc flags must be boolean literals, got $other")
+    }
+    TopKStructs(exprs.head, k, desc)
+  }
+
+  /** SQL registration on a live session:
+    * `SELECT g, top_k(struct(m, id), 3, true) FROM t GROUP BY g`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "top_k", sqlBuilder, "scala_udf")
+    ()
+  }
 }

@@ -108,7 +108,24 @@ object Cdc {
     * shorter than `batchSize` proves the source is drained, ending the
     * loop without a probe job; only the very first iteration pays a
     * `limit(1)` existence probe so a resume against an exhausted
-    * source never invokes `sink`. */
+    * source never invokes `sink`.
+    *
+    * Sink CONTRACT (enforced, not assumed): `sink` must execute at
+    * least one Spark action that consumes EVERY row of the frame it is
+    * given — which every batch-keyed writer in [[graft.sources.Sinks]]
+    * does. Riding observe on the sink's action makes the metrics only
+    * as complete as the sink's scan, so the loop verifies both failure
+    * modes instead of hanging or silently losing data:
+    *   - zero actions → the observation never fires; `getOrEmpty`
+    *     (bounded wait) comes back empty and the loop throws, where
+    *     `obs.get` would block forever;
+    *   - partial scan (e.g. a `limit` probe) → the observed `n_rows`
+    *     is strictly below `batchSize` (a full batch under-consumed)
+    *     or the under-full final batch is under-read — either way the
+    *     loop believes the source is drained, so ONE pushed-filter
+    *     existence probe past the final watermark catches every
+    *     under-consumption before returning, for the price of a
+    *     single `limit(1)` scan per loop (not per batch). */
   def runLoop(src: DataFrame, idCol: String, table: String,
               store: WatermarkStore, batchSize: Int,
               transform: DataFrame => DataFrame,
@@ -127,20 +144,45 @@ object Cdc {
           max(col(idCol)).cast(LongType).as("wm_next"),
           count(lit(1)).as("n_rows"))
         sink(transform(observed), wm)
-        val metrics = obs.get
-        metrics("wm_next") match {
+        // A compliant sink has already completed an action, so the
+        // observation future resolves ~immediately (listener-bus
+        // latency only); a sink that ran NO action would leave
+        // obs.get blocked forever — bound the wait and fail loudly.
+        val metricsRow =
+          try scala.concurrent.Await.result(obs.future,
+            scala.concurrent.duration.Duration(10, "s"))
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              throw new IllegalStateException(
+                s"CDC sink for '$table' returned without running a Spark " +
+                  "action over the batch it was given — the watermark " +
+                  "cannot advance. sink must execute exactly one full-scan " +
+                  "action (any graft.sources.Sinks batch-keyed writer does).")
+          }
+        metricsRow.getAs[Any]("wm_next") match {
           case next: java.lang.Long =>
             store.upsert(table, next)
             n += 1
             // a short batch means the source is drained — stop here
             // (an exactly-full final batch costs one extra empty
             // iteration, whose idempotent empty write is harmless)
-            done = metrics("n_rows").asInstanceOf[Long] < batchSize
+            done = metricsRow.getAs[Long]("n_rows") < batchSize
           case _ => done = true // empty batch (exactly-full predecessor)
         }
       }
       first = false
     }
+    // Drained-source cross-check (see contract above): if the sink
+    // under-consumed its batch, the loop lands here believing the
+    // source is empty past the committed watermark while rows remain.
+    if (done && n > 0 &&
+        !src.filter(col(idCol) > store.read(table)).limit(1).isEmpty)
+      throw new IllegalStateException(
+        s"CDC loop for '$table' stopped with unprocessed rows beyond " +
+          s"watermark ${store.read(table)} — the sink's action did not " +
+          "consume every batch row (partial scan, e.g. show()/limit), " +
+          "so observe metrics under-reported. sink must execute exactly " +
+          "one full-scan action per batch.")
     n
   }
 }

@@ -140,10 +140,24 @@ case class AsOfJoinExec(leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
 
 /** `spark.sql.extensions`-style injection point
   * (`.config("spark.sql.extensions", classOf[GraftExtensions].getName)`):
-  * the as-of planner strategy plus the native SQL functions. */
+  * the as-of planner strategy plus the native SQL functions — an
+  * engine exposes its operators through its query language, so
+  * `SELECT simhash64(text)` and `SELECT top_k(struct(...), 3, true)`
+  * work in any session built with these extensions (per-session
+  * runtime equivalents: `SimHash64.register` / `TopKStructs.register`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import graft.expressions.{SimHash64, TopKStructs}
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[TopKStructs].getName, "top_k"),
+      TopKStructs.sqlBuilder _))
   }
 }
 

@@ -104,4 +104,28 @@ class OpsSpec extends SparkSuite {
     // resume: watermark exhausted → zero further batches
     assert(Cdc.runLoop(src, "id", "t", store, 17, df => df, (_, _) => fail()) == 0)
   }
+
+  test("CDC loop enforces the sink contract: zero actions and partial scans fail loudly") {
+    val src = (1L to 100L).map(i => (i, i * 2)).toDF("id", "v")
+
+    // a sink that never runs an action: the observation never fires —
+    // must throw instead of blocking forever on obs.get
+    val tmp1  = java.nio.file.Files.createTempDirectory("cdc_noact_").toString
+    val lazySink = intercept[IllegalStateException] {
+      Cdc.runLoop(src, "id", "t", new Cdc.WatermarkStore(spark, s"$tmp1/wm"),
+        batchSize = 17, df => df, (_, _) => ())
+    }
+    assert(lazySink.getMessage.contains("without running a Spark action"))
+
+    // a sink whose action reads only PART of the batch (a limit probe):
+    // observe under-reports, the loop believes the source is drained —
+    // the end-of-loop existence probe must catch the unprocessed rows
+    // instead of silently committing a partial watermark
+    val tmp2 = java.nio.file.Files.createTempDirectory("cdc_partial_").toString
+    val partial = intercept[IllegalStateException] {
+      Cdc.runLoop(src, "id", "t", new Cdc.WatermarkStore(spark, s"$tmp2/wm"),
+        batchSize = 17, df => df, (b, _) => { b.limit(3).count(); () })
+    }
+    assert(partial.getMessage.contains("unprocessed rows beyond watermark"))
+  }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.expressions.{SimHash64, TopKStructs}
+import graft.plans.GraftExtensions
+
+/** The engine's SQL surface: the custom expressions must be reachable
+  * from `spark.sql(...)`, both via `spark.sql.extensions`
+  * ([[GraftExtensions]] — how a cluster deployment gets them) and via
+  * the per-session `register` helpers (how a live session adds them).
+  */
+class SqlSurfaceSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** A genuinely NEW session built with GraftExtensions, over the same
+    * SparkContext as the shared suite session (getOrCreate returns the
+    * existing session unless active+default are cleared first). */
+  private def withExtensionSession[A](f: SparkSession => A): A = {
+    val prev = spark // force the shared session (and its context) first
+    // `spark.sql.extensions` is a STATIC conf: a new session over an
+    // existing SparkContext resolves it from the CONTEXT's conf (the
+    // builder option would be ignored) — exactly how a cluster deploy
+    // passes it via spark-submit --conf. Pin it for the test's scope.
+    org.apache.spark.graftbridge.TestConfBridge.set(prev.sparkContext,
+      "spark.sql.extensions", classOf[GraftExtensions].getName)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+      assert(s ne prev, "expected a fresh session with extensions applied")
+      f(s)
+    } finally {
+      org.apache.spark.graftbridge.TestConfBridge.remove(
+        prev.sparkContext, "spark.sql.extensions")
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("GraftExtensions injects simhash64 + top_k into pure SQL") {
+    withExtensionSession { s =>
+      s.createDataFrame(Seq(
+        (1L, "the quick brown fox", "a", 3.0),
+        (2L, "the quick brown fox", "a", 1.0),
+        (3L, "jumped over the dog", "a", 2.0),
+        (4L, "something else here", "b", 5.0)
+      )).toDF("id", "text", "g", "m").createOrReplaceTempView("docs")
+
+      // simhash64 through SQL == the Column API expression
+      val viaSql = s.sql("SELECT id, simhash64(text) AS h FROM docs")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaCol = s.table("docs")
+        .select($"id", SimHash64.simhash64($"text").as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaSql == viaCol)
+      assert(viaSql(1L) == viaSql(2L)) // identical text, identical hash
+
+      // top_k through SQL: top-2 by m desc per group, analyzer wraps
+      // the bare aggregate exactly like a built-in
+      val top = s.sql(
+        """SELECT g, transform(top_k(struct(m, id), 2, true), x -> x.id) AS ids
+          |FROM docs GROUP BY g ORDER BY g""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(top("a") == Seq(1L, 3L)) // m: 3.0, 2.0
+      assert(top("b") == Seq(4L))
+
+      // bad arity / non-literal k fail analysis loudly, not at runtime
+      intercept[Exception](s.sql("SELECT top_k(struct(m)) FROM docs").collect())
+      intercept[Exception](
+        s.sql("SELECT top_k(struct(m), id) FROM docs GROUP BY g").collect())
+    }
+  }
+
+  test("per-session register() exposes the same functions on a live session") {
+    SimHash64.register(spark)
+    TopKStructs.register(spark)
+    Seq((1L, "a b c", 2.0), (2L, "a b c", 7.0))
+      .toDF("id", "text", "m").createOrReplaceTempView("live_docs")
+    val r = spark.sql(
+      """SELECT count(DISTINCT simhash64(text)) AS nh,
+        |       transform(top_k(struct(m, id), 1, true), x -> x.id) AS best
+        |FROM live_docs""".stripMargin).collect().head
+    assert(r.getLong(0) == 1L)
+    assert(r.getSeq[Long](1) == Seq(2L))
+  }
+}
