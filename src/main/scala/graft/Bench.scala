@@ -25,6 +25,9 @@ object Bench {
             failed ::= name
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
+        // release operator-internal caches INSIDE the timed window so
+        // no query's storage cost leaks into another's measurement
+        graft.util.CacheScope.releaseAll()
         name -> (System.nanoTime() - t0) / 1e9
       }
     // Two in-process passes; only the second is reported. A single cold

@@ -26,6 +26,16 @@ import org.apache.spark.sql.types.DataType
   * takes the right row with the greatest rightTs <= leftTs (ties by
   * last in (key, ts) sort order); NULL-padded when none precede.
   * Right-side timestamps must be non-null (filter first).
+  *
+  * NULL-key deviation from SQL equality: join keys compare with
+  * InterpretedOrdering (and cluster with ClusteredDistribution), so
+  * NULL keys group TOGETHER — a null-keyed left row can match a
+  * null-keyed right row, where SQL `l.k = r.k` would never match.
+  * This matches the composed union+window form in
+  * [[graft.ops.AsOfJoin]] (window partitioning also groups NULLs) but
+  * diverges from the DuckDB oracle if keys are ever null; pre-filter
+  * null keys on either side for strict SQL semantics. The oracle
+  * corpus has non-null keys, so j12 is unaffected.
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],

@@ -84,8 +84,9 @@ object CurationQueries {
     // shingle join against the (small, broadcastable) benchmark set.
     "t6_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val sh = MinHash.shingles(docs.select(col("doc_id"), col("text")),
-        "doc_id", "text", 3).cache()
+      val sh = graft.util.CacheScope.track(
+        MinHash.shingles(docs.select(col("doc_id"), col("text")),
+          "doc_id", "text", 3))
       val benchSh = sh.filter(col("doc_id") % 250 === 0)
         .select(col("shingle")).distinct()
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))

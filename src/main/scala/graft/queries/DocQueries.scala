@@ -122,8 +122,9 @@ object DocQueries {
     "dd3_simhash_pairs" -> ((s, d) => {
       // cached: both sides of the band self-join consume it and
       // ReuseExchange does not apply across the aliased projections
-      val sigs = dedupCorpus(s, d).select(col("doc_id"),
-        graft.expressions.SimHash64.simhash64(col("text")).as("sim")).cache()
+      val sigs = graft.util.CacheScope.track(
+        dedupCorpus(s, d).select(col("doc_id"),
+          graft.expressions.SimHash64.simhash64(col("text")).as("sim")))
       val bands = sigs.select(col("doc_id"), col("sim"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("band"),
@@ -182,8 +183,8 @@ object DocQueries {
         transform(sequence(lit(0), length(col("text")) - 5),
           i => col("text").substr(i + 1, lit(5))))
         .otherwise(array())
-      val grams = docs.select(col("doc_id"),
-        explode(array_distinct(gramArr)).as("shingle")).cache()
+      val grams = graft.util.CacheScope.track(docs.select(col("doc_id"),
+        explode(array_distinct(gramArr)).as("shingle")))
       // Candidate blocking keys on (lang, length-bucket), not lang
       // alone (round 1 materialized O(N²/|langs|) pairs and filtered
       // ±2 afterwards). Bucket = floor(n_chars/5); |ca−cb| ≤ 2 < 5
@@ -197,8 +198,9 @@ object DocQueries {
         col("n_chars").as("cb"), floor(col("n_chars") / 5).as("bucket"))
       val pairs = left.join(right, Seq("lang", "bucket"))
         .filter(col("a") < col("b") && abs(col("ca") - col("cb")) <= 2)
-        .select("a", "b").cache()
-      MinHash.exactJaccard(pairs, grams, "doc_id")
+        .select("a", "b")
+      val pairsCached = graft.util.CacheScope.track(pairs)
+      MinHash.exactJaccard(pairsCached, grams, "doc_id")
     })
   )
 

@@ -27,6 +27,25 @@ object Embeddings {
   def quantize(emb: Column, scale: Double = 1e6): Column =
     transform(emb, x => round(x.cast(DoubleType) * scale).cast(LongType))
 
+  /** [[quantize]] plus a LOUD dimension guard: if `size(emb) != dim`,
+    * zip_with against the `dim`-sized hyperplanes would pad with
+    * nulls, null the dot product, fail every `>= 0` sign test, and
+    * silently drop EVERY vector into bucket 0 — degrading the LSH
+    * join to a full O(N²) cross product. A dimension mismatch must be
+    * an error, not a quadratic slowdown. */
+  def quantizeChecked(emb: Column, dim: Int, scale: Double = 1e6): Column =
+    when(size(emb) === dim, quantize(emb, scale))
+      .otherwise(raise_error(concat(
+        lit(s"embedding dimension mismatch: expected $dim, got "),
+        size(emb).cast("string"))))
+
+  // Internal caches register with [[graft.util.CacheScope]]: a
+  // lazy-plan API cannot unpersist its own cache (the returned frame
+  // still references it), so the query driver releases the batch
+  // after consuming each result.
+  private def cacheTracked(df: DataFrame): DataFrame =
+    graft.util.CacheScope.track(df)
+
   /** Exact integer dot product of two quantized embeddings. */
   def qdot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
@@ -97,8 +116,9 @@ object Embeddings {
   def lshTopK(vectors: DataFrame, idCol: String, embCol: String,
               k: Int, bits: Int = 8, tables: Int = 2, dim: Int = 64): DataFrame = {
     // cached: feeds the key explode and both sides of the scoring join
-    val v = vectors.select(col(idCol).as("id"), quantize(col(embCol)).as("v"))
-      .withColumn("n2", qnorm2(col("v"))).cache()
+    val v = cacheTracked(vectors
+      .select(col(idCol).as("id"), quantizeChecked(col(embCol), dim).as("v"))
+      .withColumn("n2", qnorm2(col("v"))))
     val keyed = v.select(col("id"), explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), signBucket(col("v"), t, bits, dim).as("b"))): _*))
         .as("tb"))
@@ -135,8 +155,9 @@ object Embeddings {
                    threshold: Double, bits: Int = 8, tables: Int = 2,
                    dim: Int = 64): DataFrame = {
     // cached: feeds the key explode and both sides of the scoring join
-    val v = vectors.select(col(idCol).as("id"), quantize(col(embCol)).as("v"))
-      .withColumn("n2", qnorm2(col("v"))).cache()
+    val v = cacheTracked(vectors
+      .select(col(idCol).as("id"), quantizeChecked(col(embCol), dim).as("v"))
+      .withColumn("n2", qnorm2(col("v"))))
     val keyed = v.select(col("id"), explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), signBucket(col("v"), t, bits, dim).as("b"))): _*))
         .as("tb"))
@@ -166,8 +187,9 @@ object Embeddings {
   def centroidAssign(vectors: DataFrame, idCol: String, embCol: String,
                      labelCol: String, dim: Int = 64): DataFrame = {
     // cached: feeds both the centroid aggregation and the scoring join
-    val q = vectors.select(col(idCol).as("vid"), col(labelCol).as("true_label"),
-      quantize(col(embCol), 1e4).as("v")).cache()
+    val q = cacheTracked(vectors.select(col(idCol).as("vid"),
+      col(labelCol).as("true_label"),
+      quantizeChecked(col(embCol), dim, 1e4).as("v")))
     val cents = q.groupBy(col("true_label").as("cl"))
       .agg(count(lit(1)).as("n"),
         array((0 until dim).map(i =>

@@ -86,9 +86,10 @@ object MinHash {
     // cover these self-join sides (verified on the executed plans), so
     // without caching the shingle explode runs 4× and the signature
     // aggregation 2×. At cluster scale these become checkpoints.
-    val sh    = shingles(docs, idCol, textCol, k).cache()
-    val sig   = signatures(sh, idCol, numHashes).cache()
-    val cand  = candidatePairs(sig, idCol, numHashes, rowsPerBand).cache()
+    val sh    = graft.util.CacheScope.track(shingles(docs, idCol, textCol, k))
+    val sig   = graft.util.CacheScope.track(signatures(sh, idCol, numHashes))
+    val cand  = graft.util.CacheScope.track(
+      candidatePairs(sig, idCol, numHashes, rowsPerBand))
     exactJaccard(cand, sh, idCol).filter(col("jaccard") >= threshold)
   }
 }

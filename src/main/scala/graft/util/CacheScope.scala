@@ -1,0 +1,37 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Query-scoped cache lifecycle. Several operators cache an internal
+  * frame that feeds 2-3 consumers inside ONE returned plan (LSH key
+  * explode + both sides of a scoring join, shingle explode + both
+  * sides of an intersection join). A lazy-plan API cannot unpersist
+  * its own cache — the returned, not-yet-executed plan still
+  * references it — so every such cache registers here and the QUERY
+  * DRIVER releases the batch after consuming each result
+  * ([[graft.Verify]] / [[graft.Bench]] do, per query). A long-lived
+  * session that skips [[releaseAll]] leaks one storage block per
+  * operator invocation.
+  *
+  * Deliberately NOT tracked: the memoized cross-query pair graph
+  * (`DocQueries.verifiedPairs`), which is an eager `localCheckpoint`
+  * shared across dd2/dd6/dd8 by design.
+  */
+object CacheScope {
+  private val live = scala.collection.mutable.Buffer.empty[DataFrame]
+
+  /** Cache `df` and register it for the next [[releaseAll]]. */
+  def track(df: DataFrame): DataFrame = live.synchronized {
+    val cached = df.cache()
+    live += cached
+    cached
+  }
+
+  /** Unpersist every tracked cache. Call only AFTER the plans built
+    * from them have been consumed — releasing earlier is correct but
+    * silently recomputes. */
+  def releaseAll(): Unit = live.synchronized {
+    live.foreach(_.unpersist())
+    live.clear()
+  }
+}

@@ -105,6 +105,20 @@ class SimSpec extends SparkSuite {
     assert(got.agg(sum("is_match")).first().getLong(0) == 4L)
   }
 
+  test("embedding dimension mismatch fails loudly, never bucket-0 degradation") {
+    // 32-dim vectors against the 64-dim hyperplanes: without the guard,
+    // zip_with pads nulls -> null dots -> every vector in bucket 0 ->
+    // silent O(N^2). The guard must make this an error instead.
+    val bad = Seq((1L, Array.fill(32)(0.5f)), (2L, Array.fill(32)(0.6f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Embeddings.nearDupPairs(bad, "vec_id", "embedding", threshold = 0.5).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("embedding dimension mismatch")))
+  }
+
   test("decodeHeader: real magic-byte parsing, one case per container format") {
     val body = "payload".getBytes("UTF-8")
     // synthesizePayload picks the container by id % 3: png, bmp, wav
