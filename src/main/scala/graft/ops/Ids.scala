@@ -1,6 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.JoinedRow
+import org.apache.spark.sql.graftbridge.PlanBridge
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Dense surrogate-id assignment (SURVEY.md §2.1 S11 — the Sync
@@ -15,6 +18,13 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * global key order, bit-identical to the window's, with no
   * single-partition stage anywhere in the plan.
   *
+  * The index ride stays on INTERNAL rows: `queryExecution.toRdd` →
+  * zipWithIndex → `JoinedRow(row, id)` → re-enter SQL via
+  * [[PlanBridge.ofInternalRows]]. The earlier external-Row form
+  * (`.rdd` → `Row.fromSeq` → `createDataFrame`) paid a full
+  * deserialize + re-encode of every column just to append one long —
+  * ~2× on the whole stage.
+  *
   * `order` must be a total order (include a unique key) or ids are
   * nondeterministic within ties, exactly as with `row_number`.
   */
@@ -25,9 +35,19 @@ object Ids {
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
     val schema = StructType(sorted.schema.fields :+
       StructField(idCol, LongType, nullable = false))
-    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + startAt))
-    }
-    df.sparkSession.createDataFrame(rows, schema)
+    val withIds = sorted.queryExecution.toRdd.zipWithIndex()
+      .mapPartitions { it =>
+        // JoinedRow is a view over (reused row, id) — safe because
+        // downstream SQL operators copy when they buffer, same as any
+        // internal iterator; one allocation per PARTITION, not row.
+        val joined = new JoinedRow
+        val idRow  = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(1)
+        it.map { case (r, i) =>
+          idRow.update(0, i + startAt)
+          joined(r, idRow): InternalRow
+        }
+      }
+    PlanBridge.ofInternalRows(df.sparkSession, withIds, schema)
   }
 }

@@ -25,4 +25,17 @@ object PlanBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** RDD[InternalRow] → DataFrame without the external-Row
+    * encode/decode round trip (`internalCreateDataFrame` is
+    * private[sql]): the per-partition imperative escape hatch
+    * (`graft.ops.Ids.denseIds`) reads `queryExecution.toRdd` and
+    * re-enters SQL here, never leaving the internal representation. */
+  def ofInternalRows(spark: org.apache.spark.sql.SparkSession,
+                     rdd: org.apache.spark.rdd.RDD[
+                       org.apache.spark.sql.catalyst.InternalRow],
+                     schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }
