@@ -190,10 +190,22 @@ object Embeddings {
     val q = cacheTracked(vectors.select(col(idCol).as("vid"),
       col(labelCol).as("true_label"),
       quantizeChecked(col(embCol), dim, 1e4).as("v")))
-    val cents = q.groupBy(col("true_label").as("cl"))
-      .agg(count(lit(1)).as("n"),
-        array((0 until dim).map(i =>
-          sum(element_at(col("v"), i + 1)).as(s"s$i")): _*).as("s"))
+    // Component sums via posexplode + (label, component) partial agg,
+    // NOT `dim` separate sum(element_at(v, i)) columns: 64 aggregate
+    // buffers generate a Janino compile measured in seconds (pure
+    // fixed overhead, dominating the query at bench scale), while the
+    // exploded form is one tiny two-column sum — still exact integer
+    // math and still map-side combinable, with shuffle volume
+    // |labels|·dim per task. The array re-assembles ordered by
+    // component (array_sort on the struct sorts by its first field).
+    val comp = q.select(col("true_label").as("cl"),
+      posexplode(col("v")).as(Seq("i", "x")))
+    val cents = comp.groupBy(col("cl"), col("i"))
+      .agg(sum(col("x")).as("si"), count(lit(1)).as("ni"))
+      .groupBy(col("cl"))
+      .agg(max(col("ni")).as("n"),
+        transform(array_sort(collect_list(struct(col("i"), col("si")))),
+          t => t.getField("si")).as("s"))
       .select(col("cl"), col("n"), col("s"))
     val dist2n2 = aggregate(
       zip_with(col("v"), col("s"), (x, si) => {
