@@ -99,6 +99,28 @@ object CurationQueries {
           coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
           rate.as("contamination_rate"),
           when(rate > 0.5, 1).otherwise(0).as("is_contaminated"))
+    }),
+
+    // PII scrubbing: regex redaction of emails/phones — the pure
+    // per-row curation pass every training corpus gets before
+    // tokenization. The corpus text carries no PII, so each document
+    // is first extended with a deterministic contact line derived
+    // from doc_id (both engines build the identical string), then
+    // redacted; counts prove the patterns actually fired. Patterns
+    // stay in the Java∩RE2 common subset so Spark and DuckDB match
+    // the same spans.
+    "t10_redact" -> ((s, d) => {
+      val aug = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast(StringType), lit("@mail.example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast(StringType), 4, "0"))
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}"
+      Tables.documents(s, d).select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).cast("long").as("n_emails_raw"),
+        regexp_count(aug, lit(email)).cast("long").as("n_emails"),
+        regexp_count(aug, lit(phone)).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(aug, email, "<EMAIL>"),
+          phone, "<PHONE>").as("redacted"))
     })
   )
 
@@ -154,6 +176,22 @@ object CurationQueries {
         |  CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / CAST(c.n_shingles AS DOUBLE) AS contamination_rate,
         |  CASE WHEN CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / CAST(c.n_shingles AS DOUBLE) > 0.5
         |       THEN 1 ELSE 0 END AS is_contaminated
-        |FROM counts c LEFT JOIN hits h ON c.doc_id = h.doc_id""".stripMargin
+        |FROM counts c LEFT JOIN hits h ON c.doc_id = h.doc_id""".stripMargin,
+    // DuckDB regexp_replace needs the 'g' flag for replace-all (Spark
+    // replaces all by default); patterns are in the Java∩RE2 subset.
+    "t10_redact" ->
+      """WITH aug AS (SELECT doc_id, text,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com or +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS a
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails_raw,
+        |  CAST(len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(a, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(a,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}', '<PHONE>', 'g') AS redacted
+        |FROM aug""".stripMargin
   )
 }

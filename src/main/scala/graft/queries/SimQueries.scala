@@ -38,6 +38,16 @@ object SimQueries {
         "vec_id", "embedding", "label")
     }),
 
+    // IVF search — the pruned-scan ANN the coarse quantizer exists
+    // for: every 50th vector probes its 2 nearest centroids and
+    // scores exact cosine only inside those clusters (at scale: the
+    // corpus is partitioned by label and the probe list prunes
+    // partitions from the scan).
+    "sim4_ivf_search" -> ((s, d) => {
+      Embeddings.ivfSearch(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", queryPred = col("id") % 50 === 0, k = 5, nprobe = 2)
+    }),
+
     // Embedding-cosine near-dup (the vector member of the dd family):
     // corpus extended with exact copies (id+2e6) and perturbed copies
     // (id+3e6, x*0.9+0.05 → cosine ≈ 0.92 vs original; natural pairs
@@ -163,6 +173,30 @@ object SimQueries {
         |  FROM cand c JOIN v va ON va.id = c.a_id JOIN v vb ON vb.id = c.b_id)
         |SELECT a_id, b_id, cos_sim FROM scored WHERE cos_sim >= 0.9""".stripMargin
     },
+    "sim4_ivf_search" ->
+      s"""WITH v AS (SELECT vec_id, label, ${qv("10000")} AS v4, ${qv("1000000")} AS v6
+        |  FROM embeddings),
+        |ncnt AS (SELECT label AS cl, count(*) AS n FROM v GROUP BY 1),
+        |comp AS (SELECT vec_id, label, v4, u.i FROM v,
+        |  (SELECT unnest(range(1, 65)) AS i) u),
+        |csum AS (SELECT label AS cl, i, CAST(sum(v4[i]) AS BIGINT) AS si
+        |  FROM comp GROUP BY 1, 2),
+        |qd AS (SELECT c.vec_id AS qid, s.cl,
+        |    CAST(sum((n.n * c.v4[c.i] - s.si) * (n.n * c.v4[c.i] - s.si)) AS BIGINT) AS d2
+        |  FROM comp c JOIN csum s ON s.i = c.i JOIN ncnt n ON n.cl = s.cl
+        |  WHERE c.vec_id % 50 = 0
+        |  GROUP BY 1, 2),
+        |probed AS (SELECT qid, cl FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY d2 ASC, cl ASC) AS pr FROM qd) WHERE pr <= 2),
+        |scored AS (SELECT p.qid AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> q.v6[i] * c.v6[i])) AS BIGINT) AS DOUBLE) /
+        |    sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> q.v6[i] * q.v6[i])) AS BIGINT) AS DOUBLE) *
+        |         CAST(CAST(list_sum(list_transform(range(1, 65), i -> c.v6[i] * c.v6[i])) AS BIGINT) AS DOUBLE)) AS cos_sim
+        |  FROM probed p JOIN v c ON c.label = p.cl JOIN v q ON q.vec_id = p.qid
+        |  WHERE c.vec_id <> p.qid),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
     "sim3_ivf_centroid" ->
       s"""WITH q AS (SELECT vec_id AS vid, label AS true_label, ${qv("10000")} AS v
         |  FROM embeddings),

@@ -184,33 +184,38 @@ object Embeddings {
     * ≤ n²·2.56e10, which stays under 2^63 only for n ≤ ~19k
     * vectors/label; at larger scale, shard labels or widen the
     * accumulator to DecimalType. */
-  def centroidAssign(vectors: DataFrame, idCol: String, embCol: String,
-                     labelCol: String, dim: Int = 64): DataFrame = {
-    // cached: feeds both the centroid aggregation and the scoring join
-    val q = cacheTracked(vectors.select(col(idCol).as("vid"),
-      col(labelCol).as("true_label"),
-      quantizeChecked(col(embCol), dim, 1e4).as("v")))
-    // Component sums via posexplode + (label, component) partial agg,
-    // NOT `dim` separate sum(element_at(v, i)) columns: 64 aggregate
-    // buffers generate a Janino compile measured in seconds (pure
-    // fixed overhead, dominating the query at bench scale), while the
-    // exploded form is one tiny two-column sum — still exact integer
-    // math and still map-side combinable, with shuffle volume
-    // |labels|·dim per task. The array re-assembles ordered by
-    // component (array_sort on the struct sorts by its first field).
-    val comp = q.select(col("true_label").as("cl"),
-      posexplode(col("v")).as(Seq("i", "x")))
-    val cents = comp.groupBy(col("cl"), col("i"))
+  /** Exact integer label centroids as (cl, n, s): component sums via
+    * posexplode + (label, component) partial agg, NOT `dim` separate
+    * sum(element_at(v, i)) columns — 64 aggregate buffers generate a
+    * Janino compile measured in seconds (pure fixed overhead), while
+    * the exploded form is one tiny two-column sum — still exact
+    * integer math and still map-side combinable, with shuffle volume
+    * |labels|·dim per task. The array re-assembles ordered by
+    * component (array_sort on the struct sorts by its first field). */
+  private def labelCentroids(q: DataFrame, labelCol: String): DataFrame =
+    q.select(col(labelCol).as("cl"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("cl"), col("i"))
       .agg(sum(col("x")).as("si"), count(lit(1)).as("ni"))
       .groupBy(col("cl"))
       .agg(max(col("ni")).as("n"),
         transform(array_sort(collect_list(struct(col("i"), col("si")))),
           t => t.getField("si")).as("s"))
       .select(col("cl"), col("n"), col("s"))
-    val dist2n2 = aggregate(
-      zip_with(col("v"), col("s"), (x, si) => {
-        val d = col("n") * x - si; d * d
-      }), lit(0L), _ + _)
+
+  /** Integer centroid distance: n²·d² = |n·x − s|² (never a floating
+    * mean). Expects columns `v` (quantized vector), `s`, `n`. */
+  private def dist2n2: Column = aggregate(
+    zip_with(col("v"), col("s"), (x, si) => {
+      val d = col("n") * x - si; d * d
+    }), lit(0L), _ + _)
+
+  def centroidAssign(vectors: DataFrame, idCol: String, embCol: String,
+                     labelCol: String, dim: Int = 64): DataFrame = {
+    // cached: feeds both the centroid aggregation and the scoring join
+    val q = cacheTracked(vectors.select(col(idCol).as("vid"),
+      col(labelCol).as("true_label"),
+      quantizeChecked(col(embCol), dim, 1e4).as("v")))
+    val cents = labelCentroids(q, "true_label")
     val scored = q.join(broadcast(cents))
       .select(col("vid"), col("true_label"), col("cl"), dist2n2.as("d2"))
     val w = Window.partitionBy("vid").orderBy(col("d2").asc, col("cl").asc)
@@ -218,5 +223,50 @@ object Embeddings {
       .filter(col("rank") === 1)
       .select(col("vid"), col("true_label"), col("cl").as("assigned_label"),
         when(col("cl") === col("true_label"), 1).otherwise(0).as("is_match"))
+  }
+
+  /** IVF search — the pruned-scan ANN path [[centroidAssign]]'s coarse
+    * quantizer exists FOR: each query probes its `nprobe` nearest
+    * label centroids (exact integer n²·d², ties by label) and scores
+    * exact cosine ONLY against corpus vectors in those clusters, so
+    * per-query work is `nprobe/|labels|` of the corpus instead of all
+    * of it. At 100 TB the corpus is partitioned/bucketed BY label, so
+    * the probe list prunes entire partitions from the scan; centroids
+    * are |labels| rows — always broadcast. Self-matches excluded, like
+    * [[bruteForceTopK]] (which is this operator's recall oracle at
+    * nprobe = |labels|). */
+  def ivfSearch(vectors: DataFrame, idCol: String, embCol: String,
+                labelCol: String, queryPred: Column, k: Int, nprobe: Int,
+                dim: Int = 64): DataFrame = {
+    // one cache, both quantizations: 1e4 for the overflow-bounded
+    // centroid metric (see centroidAssign), 1e6 for the cosine
+    val v = cacheTracked(vectors.select(col(idCol).as("id"),
+      col(labelCol).as("cl"),
+      quantizeChecked(col(embCol), dim, 1e4).as("v"),
+      quantizeChecked(col(embCol), dim).as("cv"))
+      .withColumn("cn2", qnorm2(col("cv"))))
+    val cents = labelCentroids(v, "cl")
+    val qs = v.filter(queryPred)
+      .select(col("id").as("query_id"), col("v"),
+        col("cv").as("qv"), col("cn2").as("qn2"))
+    val pw = Window.partitionBy("query_id").orderBy(col("d2").asc, col("cl").asc)
+    val probed = qs.join(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("qn2"), col("cl"), dist2n2.as("d2"))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nprobe)
+      .select("query_id", "qv", "qn2", "cl")
+    // the IVF join: candidates = probed clusters only (corpus side
+    // arrives partitioned by cl; at scale this is partition pruning)
+    val scored = probed.join(
+        v.select(col("id").as("neighbor_id"), col("cl"), col("cv"), col("cn2")),
+        Seq("cl"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(qdot(col("qv"), col("cv")), col("qn2"), col("cn2")).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
 }

@@ -90,13 +90,20 @@ object Sinks {
     * committed are scanned, so orphan dirs from a crashed batch are
     * invisible. Fails loudly when nothing is committed under `root` —
     * there is no schema to guess an empty frame from (Delta has its
-    * log's schema; a fresh manifest has nothing). */
+    * log's schema; a fresh manifest has nothing).
+    *
+    * S10 on the transactional path: `mergeSchema` unions the batch
+    * schemas, so a batch that COMMITS new columns serves older
+    * batches' rows as NULL in those columns — additive evolution with
+    * the same reader, the offline equivalent of Delta's
+    * mergeSchema-on-write (column REMOVAL/retype stays an error by
+    * parquet's merge rules, which is the safe default). */
   def readCommitted(spark: org.apache.spark.sql.SparkSession, root: String,
                     manifest: TxnManifest): DataFrame = {
     val dirs = manifest.committedDirs(root)
     if (dirs.isEmpty)
       throw new IllegalStateException(
         s"no committed batches under $root — nothing visible yet")
-    spark.read.parquet(dirs: _*)
+    spark.read.option("mergeSchema", true).parquet(dirs: _*)
   }
 }

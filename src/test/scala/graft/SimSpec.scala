@@ -105,6 +105,22 @@ class SimSpec extends SparkSuite {
     assert(got.agg(sum("is_match")).first().getLong(0) == 4L)
   }
 
+  test("ivfSearch equals brute force when probing every cluster") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivf = key(Embeddings.ivfSearch(emb, "vec_id", "embedding", "label",
+      queryPred = col("id") % 50 === 0, k = 5, nprobe = 1000))
+    val bf = key(Embeddings.bruteForceTopK(
+      emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", k = 5))
+    assert(ivf.nonEmpty && ivf == bf)
+    // pruning actually prunes: nprobe=1 scores strictly fewer pairs
+    val pruned = Embeddings.ivfSearch(emb, "vec_id", "embedding", "label",
+      queryPred = col("id") % 50 === 0, k = 5, nprobe = 1)
+    assert(pruned.count() <= ivf.size)
+  }
+
   test("embedding dimension mismatch fails loudly, never bucket-0 degradation") {
     // 32-dim vectors against the 64-dim hyperplanes: without the guard,
     // zip_with pads nulls -> null dots -> every vector in bucket 0 ->

@@ -75,6 +75,16 @@ class SourcesSpec extends SparkSuite {
     val dirAsState = new TxnManifest(s"$tmp/fact")
     val e = intercept[IllegalStateException](dirAsState.committed())
     assert(e.getMessage.contains("not a regular file"))
+
+    // S10 through the same reader: a later batch commits an extra
+    // column; readCommitted merges schemas and serves older batches'
+    // rows as NULL in the new column
+    val evolved = Seq((3L, "v3", "fresh")).toDF("id", "v", "note")
+    Sinks.dualWriteAtomic(evolved, sync(3), s"$tmp/fact", s"$tmp/sync", manifest, 2)
+    val all = Sinks.readCommitted(spark, s"$tmp/fact", manifest)
+    assert(all.columns.toSet == Set("id", "v", "note"))
+    assert(all.count() == 3)
+    assert(all.filter($"note".isNull).count() == 2)
   }
 
   test("writePartitioned: key filter prunes to the selected partition dirs") {
