@@ -87,6 +87,24 @@ object DocQueries {
         TA.fingerprint(col("text")).as("fingerprint"))
     }),
 
+    // Repetition quality signals (Gopher-style): most-frequent-token
+    // fraction + duplicate-2-gram fraction, flagged against corpus-
+    // calibrated thresholds. Pure per-row folds — no per-token
+    // grouping, no shuffle, scan-parallel at any corpus size.
+    "t11_repetition" -> ((s, d) => {
+      val nTok = TA.tokenCount(col("text"))
+      val topFrac = TA.topTokenCount(col("text")).cast("double") /
+        nTok.cast("double")
+      val dupFrac = TA.dupBigramFrac(col("text"))
+      Tables.documents(s, d).select(col("doc_id"),
+        nTok.as("n_tokens"),
+        TA.topTokenCount(col("text")).as("top_token_cnt"),
+        topFrac.as("top_token_frac"),
+        dupFrac.as("dup_2gram_frac"),
+        when(topFrac > 0.15 || dupFrac > 0.05, 1).otherwise(0)
+          .as("is_repetitive"))
+    }),
+
     // Exact dedup: content-hash grouping, canonical = min doc_id.
     // Corpus extended with EXACT copies (id+2e6) so duplicate groups
     // exist at every sf.
@@ -295,6 +313,30 @@ object DocQueries {
         |      t -> CAST(translate(substr(md5(t), 1, 12), 'abcdef', '012345') AS BIGINT)),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
         |FROM documents""".stripMargin,
+    // Same metrics relationally: per-token GROUP BY for the top count,
+    // list_distinct for the 2-gram fraction. Doubles derive from the
+    // identical integer inputs, so the hash compare is exact.
+    "t11_repetition" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM
+        |  (SELECT doc_id, unnest(w) AS tok FROM base) GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS top_cnt FROM tc GROUP BY 1),
+        |g AS (SELECT doc_id, len(w) AS n_tok,
+        |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS gg
+        |  FROM base),
+        |m AS (SELECT b.doc_id, g.n_tok, t.top_cnt,
+        |    CAST(t.top_cnt AS DOUBLE) / CAST(g.n_tok AS DOUBLE) AS top_frac,
+        |    CASE WHEN len(g.gg) > 0 THEN
+        |      1.0 - CAST(len(list_distinct(g.gg)) AS DOUBLE) / CAST(len(g.gg) AS DOUBLE)
+        |    ELSE 0.0 END AS dup_frac
+        |  FROM base b JOIN top t ON t.doc_id = b.doc_id
+        |  JOIN g ON g.doc_id = b.doc_id)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+        |  CAST(top_cnt AS BIGINT) AS top_token_cnt,
+        |  top_frac AS top_token_frac, dup_frac AS dup_2gram_frac,
+        |  CASE WHEN top_frac > 0.15 OR dup_frac > 0.05 THEN 1 ELSE 0 END
+        |    AS is_repetitive
+        |FROM m""".stripMargin,
     "dd1_exact_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

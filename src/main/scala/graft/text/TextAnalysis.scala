@@ -89,4 +89,37 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => (acc * 31L + tokenHash(t)) % 1000000007L)
+
+  /** Count of the most frequent token (Gopher-style repetition
+    * signal): run-length fold over the SORTED token array — per-row,
+    * shuffle-free, no per-token grouping anywhere. Initial run = 0
+    * makes the first element score 1 whether or not it equals the
+    * sentinel prev. */
+  def topTokenCount(text: Column): Column =
+    aggregate(array_sort(tokens(text)),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Adjacent 2-grams of the token stream ("w1 w2", "w2 w3", ...). */
+  def tokenBigrams(text: Column): Column = {
+    val w = tokens(text)
+    zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+      (a, b) => concat_ws(" ", a, b))
+  }
+
+  /** Fraction of 2-grams that are repeats of an earlier 2-gram
+    * (Gopher's duplicate-n-gram class of quality signals): 1 −
+    * distinct/total, 0.0 for degenerate single-token docs. */
+  def dupBigramFrac(text: Column): Column = {
+    val g = tokenBigrams(text)
+    when(size(g) > 0,
+      lit(1.0) - size(array_distinct(g)).cast(DoubleType) /
+        size(g).cast(DoubleType)).otherwise(lit(0.0))
+  }
 }

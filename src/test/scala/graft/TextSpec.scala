@@ -61,6 +61,22 @@ class TextSpec extends SparkSuite {
       (5L, 5L), (6L, 5L), (7L, 7L)))
   }
 
+  test("repetition signals: top-token run fold and duplicate-bigram fraction") {
+    val df = Seq(
+      (1L, "a b a b a"),        // top token 'a' x3 of 5; bigrams: ab ba ab ba -> 2/4 dup
+      (2L, "x y z"),            // all distinct: top 1/3, bigrams xy yz -> 0 dup
+      (3L, "w w w w"),          // degenerate repeat: top 4/4, bigrams all "w w" -> 2/3 dup
+      (4L, "solo")              // single token: no bigrams -> frac 0.0
+    ).toDF("id", "text")
+    val r = df.select($"id", TA.topTokenCount($"text").as("top"),
+      TA.dupBigramFrac($"text").as("dup"))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r(1L) == ((3L, 0.5)))
+    assert(r(2L) == ((1L, 0.0)))
+    assert(r(3L)._1 == 4L && math.abs(r(3L)._2 - (1.0 - 1.0 / 3.0)) < 1e-15)
+    assert(r(4L) == ((1L, 0.0)))
+  }
+
   test("simhash: identical docs equal, near docs close, distant docs far") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
