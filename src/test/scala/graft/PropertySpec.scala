@@ -75,4 +75,67 @@ class PropertySpec extends SparkSuite {
       assert(math.abs(s - sims((b, a))) < 1e-12, "asymmetric cosine")
     }
   }
+
+  // ---- cross-implementation properties: two independent formulations
+  // of the same operator must agree on arbitrary generated data, not
+  // just the oracle corpus ----
+
+  test("top_k aggregate == window top-N-per-group on random data") {
+    import graft.expressions.TopKStructs
+    import graft.ops.Dedup
+    val rows = Gen.listOfN(400, for {
+      g <- Gen.chooseNum(0, 7); m <- Gen.chooseNum(-1000, 1000)
+    } yield (g, m)).sample.get.zipWithIndex
+      .map { case ((g, m), i) => (g, m, i.toLong) }
+    val df = rows.toDF("g", "m", "id")
+    val viaAgg = df.groupBy("g")
+      .agg(explode(TopKStructs.topK(struct(col("m"), col("id")), 3,
+        Seq(true, false))).as("t"))
+      .select(col("g"), col("t.m").as("m"), col("t.id").as("id"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val viaWindow = Dedup.topNPerGroup(df, Seq("g"),
+      Seq(col("m").desc, col("id").asc), 3)
+      .select("g", "m", "id")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaAgg.nonEmpty && viaAgg == viaWindow)
+  }
+
+  test("physical as-of exec == composed union+window form on random data") {
+    import graft.ops.AsOfJoin
+    import graft.plans.AsOfJoinPhysical
+    val ts = Gen.chooseNum(0L, 50L)
+    val left = Gen.listOfN(150, for { k <- Gen.chooseNum(0, 5); t <- ts }
+      yield (k, t)).sample.get.zipWithIndex
+      .map { case ((k, t), i) => (k, t, i.toLong) }
+      .toDF("k", "ts", "lid")
+    val right = Gen.listOfN(60, for {
+      k <- Gen.chooseNum(0, 5); t <- ts; v <- Gen.chooseNum(-99, 99)
+    } yield (k, t, v)).sample.get
+      // the operator takes the LAST right row on (key, ts) ties; make
+      // ties impossible so both formulations have one defined answer
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      .toDF("k", "ts", "v")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+        .toMap
+    val composed = key(AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts"))
+    val physical = key(AsOfJoinPhysical.asOf(left, right, Seq("k"), "ts", "ts"))
+    assert(composed.nonEmpty && composed == physical)
+  }
+
+  test("propagation CC == star-contraction CC on random graphs") {
+    import graft.text.DedupClusters
+    val n = 120
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = Gen.listOfN(90, for {
+      a <- Gen.chooseNum(0L, n - 1L); b <- Gen.chooseNum(0L, n - 1L)
+    } yield (a, b)).sample.get.filter(p => p._1 != p._2)
+      .toDF("a", "b")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = canon(DedupClusters.connectedComponents(nodes, edges))
+    val star = canon(DedupClusters.connectedComponentsStar(nodes, edges))
+    assert(prop.size == n && prop == star)
+  }
 }
