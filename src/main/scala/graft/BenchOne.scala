@@ -22,6 +22,9 @@ object BenchOne {
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
+      // release per pass like graft.Bench — pass 2 must build its own
+      // caches or it measures a cache-warm run the driver never sees
+      graft.util.CacheScope.releaseAll()
       println(f"[benchone] $name pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()

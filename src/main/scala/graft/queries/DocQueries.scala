@@ -201,8 +201,10 @@ object DocQueries {
         transform(sequence(lit(0), length(col("text")) - 5),
           i => col("text").substr(i + 1, lit(5))))
         .otherwise(array())
-      val grams = graft.util.CacheScope.track(docs.select(col("doc_id"),
-        explode(array_distinct(gramArr)).as("shingle")))
+      // single consumer since the set-per-doc exactJaccard rewrite —
+      // no cache; the explode streams straight into collect_set
+      val grams = docs.select(col("doc_id"),
+        explode(array_distinct(gramArr)).as("shingle"))
       // Candidate blocking keys on (lang, length-bucket), not lang
       // alone (round 1 materialized O(N²/|langs|) pairs and filtered
       // ±2 afterwards). Bucket = floor(n_chars/5); |ca−cb| ≤ 2 < 5
@@ -217,8 +219,7 @@ object DocQueries {
       val pairs = left.join(right, Seq("lang", "bucket"))
         .filter(col("a") < col("b") && abs(col("ca") - col("cb")) <= 2)
         .select("a", "b")
-      val pairsCached = graft.util.CacheScope.track(pairs)
-      MinHash.exactJaccard(pairsCached, grams, "doc_id")
+      MinHash.exactJaccard(pairs, grams, "doc_id")
     })
   )
 

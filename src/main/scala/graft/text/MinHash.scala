@@ -61,21 +61,30 @@ object MinHash {
       .select("a", "b").distinct()
   }
 
-  /** Exact Jaccard over the shingle sets of candidate pairs only. */
+  /** Exact Jaccard over the shingle sets of candidate pairs only.
+    *
+    * Set-per-doc formulation: shingle sets aggregate once to one
+    * array per doc (input is already distinct per doc, so sizes are
+    * the set cardinalities), each pair joins its two arrays and
+    * `array_intersect` counts the overlap — two joins of |pairs|
+    * rows. The earlier explode-join form
+    * (pairs ⋈ shinglesA ⋈ shinglesB on the shingle) shuffled
+    * |pairs| × avg_set_size intermediate rows through a re-aggregation
+    * to count the same intersection; per-pair array intersection does
+    * it with no intermediate explosion and no second aggregation. */
   def exactJaccard(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
-    val counts = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
-    val shA = sh.select(col(idCol).as("a"), col("shingle"))
-    val shB = sh.select(col(idCol).as("b"), col("shingle"))
-    val inter = pairs.join(shA, "a").join(shB, Seq("b", "shingle"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    // tiny (one row per doc) and consumed by BOTH pair-side joins —
+    // this is the frame worth caching, not the exploded shingles
+    val sets = graft.util.CacheScope.track(
+      sh.groupBy(idCol).agg(collect_set(col("shingle")).as("s")))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("long")
     pairs
-      .join(inter, Seq("a", "b"), "left")
-      .join(counts.withColumnsRenamed(Map(idCol -> "a", "n" -> "na")), "a")
-      .join(counts.withColumnsRenamed(Map(idCol -> "b", "n" -> "nb")), "b")
+      .join(sets.select(col(idCol).as("a"), col("s").as("sa")), "a")
+      .join(sets.select(col(idCol).as("b"), col("s").as("sb")), "b")
       .select(col("a"), col("b"),
-        (coalesce(col("inter"), lit(0L)).cast("double") /
-          (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).cast("double"))
-          .as("jaccard"))
+        (inter.cast("double") /
+          (size(col("sa")).cast("long") + size(col("sb")).cast("long") - inter)
+            .cast("double")).as("jaccard"))
   }
 
   /** End-to-end near-dup pairs: shingle → sign → band → verify ≥ threshold. */
@@ -88,8 +97,7 @@ object MinHash {
     // aggregation 2×. At cluster scale these become checkpoints.
     val sh    = graft.util.CacheScope.track(shingles(docs, idCol, textCol, k))
     val sig   = graft.util.CacheScope.track(signatures(sh, idCol, numHashes))
-    val cand  = graft.util.CacheScope.track(
-      candidatePairs(sig, idCol, numHashes, rowsPerBand))
+    val cand  = candidatePairs(sig, idCol, numHashes, rowsPerBand)
     exactJaccard(cand, sh, idCol).filter(col("jaccard") >= threshold)
   }
 }
