@@ -54,6 +54,31 @@ class ScaleSpec extends SparkSuite {
     assert(globalSorts.isEmpty, s"expected no global sort, got:\n$plan")
   }
 
+  test("per-row text queries plan with zero exchanges") {
+    // t10/t11 are pure per-row curation passes: ANY exchange in the
+    // plan means a shuffle snuck into what must stay scan-parallel.
+    for (q <- Seq("t10_redact", "t11_repetition")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+      val ex = plan.collectWithSubqueries { case e: ShuffleExchangeExec => e }
+      assert(ex.isEmpty, s"$q expected exchange-free plan, got:\n$plan")
+    }
+  }
+
+  test("sim4 IVF search broadcasts centroids and never goes cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = graft.SparkEntry.queries("sim4_ivf_search")(spark, sf).queryExecution.sparkPlan
+    val cart = plan.collectWithSubqueries { case c: CartesianProductExec => c }
+    assert(cart.isEmpty, s"cartesian product in IVF plan:\n$plan")
+    // the centroid probe is the broadcast join (|labels| rows); the
+    // corpus-side cluster join keys on cl and must NOT be a loop join
+    val bhj = plan.collectWithSubqueries { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"expected broadcast centroid probe:\n$plan")
+    val loops = plan.collectWithSubqueries {
+      case l: BroadcastNestedLoopJoinExec => l }
+    assert(loops.size <= 1, // the qs x cents probe may plan as BNLJ (no key)
+      s"unexpected loop joins:\n$plan")
+  }
+
   test("denseIds matches row_number values with no single-partition stage") {
     val df = (1L to 10000L).map(i => ((i * 2654435761L) % 99991L, i))
       .toDF("k", "orig").filter($"orig" % 3 =!= 0)
