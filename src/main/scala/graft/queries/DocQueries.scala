@@ -124,6 +124,21 @@ object DocQueries {
     // MinHash + LSH near-dup pairs, exact-Jaccard verified.
     "dd2_minhash_pairs" -> ((s, d) => verifiedPairs(s, d)),
 
+    // Incremental dedup: the same corpus ingested as two batches into
+    // a persisted MinHash index (graft.text.DedupIndex) — each batch
+    // probes the stored bands for cross-batch pairs. Must equal the
+    // one-shot pair set exactly; the oracle IS dd2's SQL.
+    "dd9_incremental_pairs" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_dd9_idx_").toString
+      val all = dedupCorpus(s, d)
+      val p0 = graft.text.DedupIndex.ingestBatch(
+        all.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir, 0)
+      val p1 = graft.text.DedupIndex.ingestBatch(
+        all.filter(col("doc_id") % 2 === 1), "doc_id", "text", dir, 1)
+      p0.unionAll(p1)
+    }),
+
     // SimHash fingerprint per doc.
     "dd3_simhash" -> ((s, d) => {
       dedupCorpus(s, d).select(col("doc_id"),
@@ -259,6 +274,36 @@ object DocQueries {
       |  SELECT doc_id + 1000000 AS doc_id, text || ' graftextra' AS text
       |  FROM documents WHERE doc_id % 100 = 0)""".stripMargin
 
+  /** One-shot MinHash near-dup pair SQL — the oracle for BOTH the
+    * single-pass dd2 pipeline and the incremental dd9 index (their
+    * result sets are provably identical; IndexSpec pins it engine-side). */
+  private val minhashPairsSql: String =
+    s"""WITH $corpusCte,
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(0, len(w) - 2),
+        |    i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+        |  FROM toks),
+        |sig AS (SELECT doc_id, $mhSigCols FROM sh GROUP BY doc_id),
+        |bands AS ($mhBands),
+        |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+        |  WHERE l.doc_id < r.doc_id),
+        |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.a, c.b, count(*) AS inter
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.a
+        |  JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+        |  GROUP BY c.a, c.b),
+        |scored AS (SELECT c.a, c.b,
+        |  CAST(coalesce(i.inter, 0) AS DOUBLE) /
+        |  CAST(ca.n + cb.n - coalesce(i.inter, 0) AS DOUBLE) AS jaccard
+        |  FROM cand c
+        |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+        |  JOIN counts ca ON ca.doc_id = c.a
+        |  JOIN counts cb ON cb.doc_id = c.b)
+        |SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "t1_token_stats" ->
       """SELECT doc_id,
@@ -349,32 +394,11 @@ object DocQueries {
         |  CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY md5(text))
         |       THEN 1 ELSE 0 END AS is_dup
         |FROM corpus""".stripMargin,
-    "dd2_minhash_pairs" ->
-      s"""WITH $corpusCte,
-        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
-        |sh AS (SELECT DISTINCT doc_id,
-        |  unnest(list_transform(range(0, len(w) - 2),
-        |    i -> array_to_string(w[i+1:i+3], ' '))) AS sh
-        |  FROM toks),
-        |sig AS (SELECT doc_id, $mhSigCols FROM sh GROUP BY doc_id),
-        |bands AS ($mhBands),
-        |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
-        |  WHERE l.doc_id < r.doc_id),
-        |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT c.a, c.b, count(*) AS inter
-        |  FROM cand c
-        |  JOIN sh sa ON sa.doc_id = c.a
-        |  JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
-        |  GROUP BY c.a, c.b),
-        |scored AS (SELECT c.a, c.b,
-        |  CAST(coalesce(i.inter, 0) AS DOUBLE) /
-        |  CAST(ca.n + cb.n - coalesce(i.inter, 0) AS DOUBLE) AS jaccard
-        |  FROM cand c
-        |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
-        |  JOIN counts ca ON ca.doc_id = c.a
-        |  JOIN counts cb ON cb.doc_id = c.b)
-        |SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+    "dd2_minhash_pairs" -> minhashPairsSql,
+    // incremental == one-shot: the index query must produce the exact
+    // pair set the single-pass pipeline produces on the same corpus
+    "dd9_incremental_pairs" -> minhashPairsSql,
+
     "dd3_simhash" ->
       s"""WITH $corpusCte,
         |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)

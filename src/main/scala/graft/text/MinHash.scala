@@ -72,15 +72,21 @@ object MinHash {
     * |pairs| × avg_set_size intermediate rows through a re-aggregation
     * to count the same intersection; per-pair array intersection does
     * it with no intermediate explosion and no second aggregation. */
-  def exactJaccard(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
+  def exactJaccard(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame =
+    exactJaccardSets(pairs,
+      sh.groupBy(idCol).agg(collect_set(col("shingle")).as("s"))
+        .select(col(idCol).as("id"), col("s")))
+
+  /** Same, over pre-aggregated shingle sets `(id, s)` — the form a
+    * persisted dedup index stores ([[DedupIndex]]). */
+  def exactJaccardSets(pairs: DataFrame, sets: DataFrame): DataFrame = {
     // tiny (one row per doc) and consumed by BOTH pair-side joins —
     // this is the frame worth caching, not the exploded shingles
-    val sets = graft.util.CacheScope.track(
-      sh.groupBy(idCol).agg(collect_set(col("shingle")).as("s")))
+    val cached = graft.util.CacheScope.track(sets)
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("long")
     pairs
-      .join(sets.select(col(idCol).as("a"), col("s").as("sa")), "a")
-      .join(sets.select(col(idCol).as("b"), col("s").as("sb")), "b")
+      .join(cached.select(col("id").as("a"), col("s").as("sa")), "a")
+      .join(cached.select(col("id").as("b"), col("s").as("sb")), "b")
       .select(col("a"), col("b"),
         (inter.cast("double") /
           (size(col("sa")).cast("long") + size(col("sb")).cast("long") - inter)

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{DedupIndex, MinHash}
+
+/** Incremental dedup-index semantics: ingesting the corpus batch by
+  * batch must discover exactly the pairs the one-shot pipeline finds
+  * on the full corpus — cross-batch pairs included — and a re-run of
+  * a batch (crash retry) must leave the index unchanged. */
+class IndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def corpus() = {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    // planted near-dups ACROSS the batch split (originals are even ids,
+    // copies odd) so cross-batch discovery is actually exercised
+    docs.unionAll(docs.filter($"doc_id" % 20 === 0)
+      .select(($"doc_id" + 1000001L).as("doc_id"),
+        concat($"text", lit(" tail")).as("text")))
+  }
+
+  private def pairKey(df: org.apache.spark.sql.DataFrame) =
+    df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("batch-wise ingest == one-shot pairs, cross-batch pairs included") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_idx_").toString
+    val all = corpus()
+    val batch0 = all.filter($"doc_id" % 2 === 0)
+    val batch1 = all.filter($"doc_id" % 2 === 1)
+
+    val p0 = pairKey(DedupIndex.ingestBatch(batch0, "doc_id", "text", tmp, 0))
+    val p1 = pairKey(DedupIndex.ingestBatch(batch1, "doc_id", "text", tmp, 1))
+    val oneShot = pairKey(MinHash.nearDupPairs(all, "doc_id", "text"))
+
+    assert(oneShot.nonEmpty, "corpus must contain near-dup pairs")
+    // batch 1's copies pair with batch 0's originals — the cross-batch
+    // case an index exists for
+    val cross = p1.filter { case (a, b) => a % 2 == 0 && b % 2 == 1 }
+    assert(cross.nonEmpty, "expected cross-batch pairs via the stored index")
+    assert((p0 ++ p1) == oneShot)
+
+    // crash retry: re-ingesting batch 1 overwrites its own index dirs
+    // (same rows) and rediscovers the same pairs — no duplication
+    val p1again = pairKey(DedupIndex.ingestBatch(batch1, "doc_id", "text", tmp, 1))
+    assert(p1again == p1)
+    val bandRows = spark.read.parquet(s"$tmp/bands").count()
+    val setRows  = spark.read.parquet(s"$tmp/sets").count()
+    assert(setRows == all.count())
+    assert(bandRows == setRows * 4) // 8 hashes / 2 rows-per-band
+  }
+}
