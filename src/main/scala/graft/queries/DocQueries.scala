@@ -105,6 +105,30 @@ object DocQueries {
           .as("is_repetitive"))
     }),
 
+    // Corpus-frequency scoring — the perplexity-filter proxy: a
+    // unigram table over the whole corpus (one aggregation), then each
+    // document scores its tokens' corpus frequencies (broadcast join —
+    // a vocabulary fits executor memory long after the corpus doesn't;
+    // at larger vocabularies this becomes the one shuffle join of the
+    // text family). All counts exact integers; ratios derive from
+    // identical integers on both engines.
+    "t12_corpus_freq" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+      toks.join(broadcast(counts), "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum("tf").as("sum_tf"),
+          sum(when(col("tf") <= 2, 1L).otherwise(0L)).as("n_rare"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_tf"),
+          (col("sum_tf").cast("double") / col("n_tokens").cast("double"))
+            .as("avg_tf"),
+          col("n_rare"),
+          (col("n_rare").cast("double") / col("n_tokens").cast("double"))
+            .as("rare_frac"))
+    }),
+
     // Exact dedup: content-hash grouping, canonical = min doc_id.
     // Corpus extended with EXACT copies (id+2e6) so duplicate groups
     // exist at every sf.
@@ -383,6 +407,21 @@ object DocQueries {
         |  CASE WHEN top_frac > 0.15 OR dup_frac > 0.05 THEN 1 ELSE 0 END
         |    AS is_repetitive
         |FROM m""".stripMargin,
+    // sum(BIGINT) is HUGEINT in DuckDB — cast back or the driver's
+    // schema compare fails (same artifact as w3's window sum).
+    "t12_corpus_freq" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+        |scored AS (SELECT t.doc_id, count(*) AS n_tokens,
+        |    CAST(sum(c.tf) AS BIGINT) AS sum_tf,
+        |    CAST(sum(CASE WHEN c.tf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |  FROM toks t JOIN counts c ON c.tok = t.tok
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, sum_tf,
+        |  CAST(sum_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_tf,
+        |  n_rare, CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rare_frac
+        |FROM scored""".stripMargin,
     "dd1_exact_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
