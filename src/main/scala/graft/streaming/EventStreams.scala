@@ -32,6 +32,26 @@ object EventStreams {
       .select(col("window").getField("start").as("bucket_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming sessionization: event-time SESSION windows with an
+    * inactivity gap — the `readStream` twin of the `w3_sessionize`
+    * batch query (there: lag + cumulative-sum windows; here: Spark's
+    * native `session_window`, which merges events closer than `gap`
+    * into one growing window). State is bounded by the watermark — a
+    * session emits (append mode) once the watermark passes its close,
+    * so memory tracks ACTIVE sessions, not history. */
+  def sessionizeStream(events: DataFrame, keyCol: String = "event_type",
+                       gap: String = "30 minutes",
+                       watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      // same linkage rule as windowedAgg: group on session_window itself
+      .groupBy(session_window(col("ts"), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window").getField("start").as("session_start"),
+        col("session_window").getField("end").as("session_end"),
+        col("n_events"))
+
   /** Watermarked exactly-once dedup by event id — the streaming
     * analogue of the idempotent-append protocol in [[graft.ops.Cdc]]. */
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =

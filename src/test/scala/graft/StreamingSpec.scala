@@ -43,6 +43,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows merge by inactivity gap == batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Double)]
+    // click: 00:10 + 00:40 (gap 30m: touching -> ONE session when the
+    // next event lands within the gap; 00:40 is exactly at the edge of
+    // [00:10+30m) so it EXTENDS the session), then nothing -> closes.
+    // view: single event -> its own session.
+    val streamed = EventStreams.sessionizeStream(
+      mem.toDF().toDF("event_id", "ts_s", "event_type", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s"))
+    val q = streamed.writeStream.format("memory")
+      .queryName("sess_out").outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("event_type", "session_start").collect()
+          .map(r => (r.getString(0), r.getTimestamp(1).toString,
+            r.getTimestamp(2).toString, r.getLong(3))).toSeq
+      val got  = key(spark.table("sess_out"))
+      val want = key(EventStreams.sessionizeStream(toDf(rows)))
+      assert(got == want)
+      // click events at 00:10/00:40/01:30 with a 30m gap: 00:40 lands
+      // exactly on 00:10's close and merges; 01:30 starts a new session
+      assert(got == Seq(
+        ("click", "2024-01-01 00:10:00.0", "2024-01-01 01:10:00.0", 2L),
+        ("click", "2024-01-01 01:30:00.0", "2024-01-01 02:00:00.0", 1L),
+        ("view",  "2024-01-01 01:05:00.0", "2024-01-01 01:35:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("stateful runningTotals accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.UserEvent]
