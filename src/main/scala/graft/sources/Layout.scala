@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Data-layout control for scan pruning — the write-side half of
+  * "filters reach the scan".
+  *
+  * Parquet skips row groups by min/max statistics, and a linear sort
+  * clusters ONLY its leading column: a predicate on the second column
+  * still reads every file. Z-ORDERING sorts by the Morton
+  * (bit-interleaved) key of both columns, so each file covers a small
+  * rectangle of the (a, b) space and min/max pruning works for
+  * predicates on EITHER column — the standard lakehouse layout
+  * technique (Delta OPTIMIZE ZORDER BY, Iceberg sort orders) expressed
+  * as plain Spark: range-partition + sort on a pure integer Column
+  * expression, no engine extension needed.
+  *
+  * At 100 TB this is the difference between "query on the non-leading
+  * dimension scans the corpus" and "scans ~√files": layout is chosen
+  * at WRITE time, once, for all downstream readers.
+  */
+object Layout {
+
+  /** Bit-spread of a 32-bit value into even bit positions of a long
+    * (classic Morton magic masks, as Column arithmetic — codegen'd,
+    * no UDF). Inputs must be non-negative and < 2^31. */
+  private def spread(c: Column): Column = {
+    var x = c.cast(LongType)
+    x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x3333333333333333L))
+    x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** Morton interleave: bit i of `a` lands at position 2i, bit i of
+    * `b` at 2i+1 — points close in (a, b) are close in key order. */
+  def mortonKey(a: Column, b: Column): Column =
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+
+  /** Scala twin of [[mortonKey]] for property tests / driver-side
+    * checks — same magic-mask pipeline. */
+  def mortonKeyRef(a: Long, b: Long): Long = {
+    def sp(v: Long): Long = {
+      var x = v
+      x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+      x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+      x = (x | (x << 2)) & 0x3333333333333333L
+      (x | (x << 1)) & 0x5555555555555555L
+    }
+    sp(a) | (sp(b) << 1)
+  }
+
+  /** Write `df` z-ordered on (a, b) into `numFiles` parquet files:
+    * range-partition by the Morton key (balanced files by sampled
+    * quantiles), sort within partitions, drop the key. Readers filter
+    * on either column and row-group min/max does the pruning. */
+  def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
+                    numFiles: Int): Unit = {
+    df.withColumn("__z", mortonKey(a, b))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+    ()
+  }
+}

@@ -100,6 +100,36 @@ class ScaleSpec extends SparkSuite {
       s"expected multi-partition range exchange, got $exch")
   }
 
+  test("z-order layout clusters BOTH dimensions; morton key matches reference") {
+    import graft.sources.Layout
+    // expression == Scala twin on random coordinates
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(200)((rnd.nextInt(1 << 30).toLong, rnd.nextInt(1 << 30).toLong))
+    val got = pts.toDF("a", "b")
+      .select(Layout.mortonKey($"a", $"b")).collect().map(_.getLong(0))
+    assert(got.sameElements(pts.map { case (a, b) => Layout.mortonKeyRef(a, b) }))
+
+    // layout payoff: a 128x128 grid into 8 files. Linear sort on x
+    // leaves each file spanning y's FULL range (no pruning on y);
+    // z-order gives each file a small (x, y) rectangle.
+    val tmp = java.nio.file.Files.createTempDirectory("zorder_").toString
+    val grid = (for { x <- 0 until 128; y <- 0 until 128 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    grid.repartitionByRange(8, $"x").sortWithinPartitions($"x")
+      .write.parquet(s"$tmp/linear")
+    Layout.writeZOrdered(grid, s"$tmp/zorder", $"x", $"y", 8)
+    def avgSpread(dir: String, c: String): Double =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name()).agg((max(col(c)) - min(col(c))).as("w"))
+        .agg(avg($"w")).first().getDouble(0)
+    val linY = avgSpread(s"$tmp/linear", "y")
+    val zY   = avgSpread(s"$tmp/zorder", "y")
+    val zX   = avgSpread(s"$tmp/zorder", "x")
+    assert(linY > 120.0, s"linear files should span y fully, got $linY")
+    assert(zY < linY / 2, s"z-order files must cluster y: $zY vs $linY")
+    assert(zX < 128.0, s"z-order keeps x clustered too, got $zX")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS bspec_left")
     spark.sql("DROP TABLE IF EXISTS bspec_right")
