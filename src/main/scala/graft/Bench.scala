@@ -16,7 +16,11 @@ object Bench {
     // codegen / scheduler startup
     spark.range(1000).selectExpr("sum(id)").collect()
     var failed = List.empty[String]
-    def pass(record: Boolean): Map[String, Double] =
+    def pass(record: Boolean): Map[String, Double] = {
+      // the cross-query pair-graph memo must not leak across passes,
+      // or the recorded pass times dd2/dd6/dd8 against the warm-up
+      // pass's checkpoint instead of building anything
+      graft.queries.DocQueries.resetPairCache()
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -30,6 +34,7 @@ object Bench {
         graft.util.CacheScope.releaseAll()
         name -> (System.nanoTime() - t0) / 1e9
       }
+    }
     // Two in-process passes; only the second is reported. A single cold
     // pass charges JVM/Janino warm-up to whichever queries run first —
     // round-over-round deltas showed unchanged queries swinging

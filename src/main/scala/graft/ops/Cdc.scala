@@ -126,11 +126,24 @@ object Cdc {
     *     existence probe past the final watermark catches every
     *     under-consumption before returning, for the price of a
     *     single `limit(1)` scan per loop (not per batch). */
+  /** @param verifyDrained run the end-of-loop under-consumption probe
+    *   (see contract above). Leave ON for a source that is static for
+    *   the duration of the loop — the reference's drain-then-exit
+    *   semantics. Pass `false` when concurrent writers may append
+    *   while the loop runs: a row arriving after the final batch is
+    *   then indistinguishable from an under-consumed batch, and the
+    *   probe would fail a compliant run (the next invocation picks the
+    *   new rows up from the committed watermark either way).
+    * @param metricsTimeoutSec bound on the observation-metrics wait;
+    *   generous by default because metrics ride the async listener
+    *   bus, which can lag under driver load. */
   def runLoop(src: DataFrame, idCol: String, table: String,
               store: WatermarkStore, batchSize: Int,
               transform: DataFrame => DataFrame,
               sink: (DataFrame, Long) => Unit,
-              maxBatches: Int = Int.MaxValue): Int = {
+              maxBatches: Int = Int.MaxValue,
+              verifyDrained: Boolean = true,
+              metricsTimeoutSec: Int = 60): Int = {
     var n = 0
     var done = false
     var first = true
@@ -150,7 +163,7 @@ object Cdc {
         // obs.get blocked forever — bound the wait and fail loudly.
         val metricsRow =
           try scala.concurrent.Await.result(obs.future,
-            scala.concurrent.duration.Duration(10, "s"))
+            scala.concurrent.duration.Duration(metricsTimeoutSec.toLong, "s"))
           catch {
             case _: java.util.concurrent.TimeoutException =>
               throw new IllegalStateException(
@@ -175,7 +188,7 @@ object Cdc {
     // Drained-source cross-check (see contract above): if the sink
     // under-consumed its batch, the loop lands here believing the
     // source is empty past the committed watermark while rows remain.
-    if (done && n > 0 &&
+    if (verifyDrained && done && n > 0 &&
         !src.filter(col(idCol) > store.read(table)).limit(1).isEmpty)
       throw new IllegalStateException(
         s"CDC loop for '$table' stopped with unprocessed rows beyond " +

@@ -164,7 +164,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction((FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"simhash64(text) takes exactly one argument, got ${exprs.length}")
+        SimHash64(exprs.head)
+      }))
     ext.injectFunction((FunctionIdentifier("top_k"),
       new ExpressionInfo(classOf[TopKStructs].getName, "top_k"),
       TopKStructs.sqlBuilder _))

@@ -35,6 +35,14 @@ object DocQueries {
     */
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Drop the memoized pair graph so the next consumer rebuilds it.
+    * [[graft.Bench]] calls this between passes: without it, the warm
+    * (recorded) pass would time dd2/dd6/dd8 as counts over the
+    * discarded pass's checkpoint — measuring nothing. Within one pass
+    * the sharing stands (first consumer pays, the rest ride), which is
+    * the intended 100 TB shape. */
+  def resetPairCache(): Unit = pairCache.clear()
   private def verifiedPairs(s: SparkSession, d: String): DataFrame =
     pairCache.computeIfAbsent((s, d), { case (sess, dir) =>
       MinHash.nearDupPairs(dedupCorpus(sess, dir), "doc_id", "text",
@@ -113,8 +121,10 @@ object DocQueries {
     // text family). All counts exact integers; ratios derive from
     // identical integers on both engines.
     "t12_corpus_freq" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+      // cached: the tokenize+explode scan feeds BOTH the vocabulary
+      // aggregation and the scoring join
+      val toks = graft.util.CacheScope.track(Tables.documents(s, d)
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok")))
       val counts = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
       toks.join(broadcast(counts), "tok")
         .groupBy("doc_id")

@@ -36,9 +36,18 @@ object Layout {
   }
 
   /** Morton interleave: bit i of `a` lands at position 2i, bit i of
-    * `b` at 2i+1 — points close in (a, b) are close in key order. */
-  def mortonKey(a: Column, b: Column): Column =
-    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+    * `b` at 2i+1 — points close in (a, b) are close in key order.
+    * Out-of-range inputs fail LOUDLY: the magic masks drop high bits,
+    * so a negative or >= 2^31 coordinate would silently produce an
+    * arbitrary key and the written layout would lose all pruning —
+    * the same silent-degradation class `quantizeChecked` guards. */
+  def mortonKey(a: Column, b: Column): Column = {
+    def checked(c: Column): Column =
+      when(c >= 0 && c < (1L << 31), c)
+        .otherwise(raise_error(concat(
+          lit("mortonKey input out of range [0, 2^31): "), c.cast("string"))))
+    spread(checked(a)).bitwiseOR(shiftleft(spread(checked(b)), 1))
+  }
 
   /** Scala twin of [[mortonKey]] for property tests / driver-side
     * checks — same magic-mask pipeline. */

@@ -25,6 +25,21 @@ object DedupClusters {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Deterministically release a SUPERSEDED round's localCheckpoint
+    * blocks (the LogicalRDD leaves under `df`). Without this the
+    * blocks wait for the JVM to GC the old frame and the context
+    * cleaner to notice — a long run holds many rounds' edge multisets
+    * simultaneously. Only ever call on a frame whose successor is
+    * already materialized and whose consumers have run: a checkpointed
+    * RDD's blocks are its ONLY copy (lineage is truncated), so freeing
+    * one still in use fails the job rather than recomputing. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   /** @param nodes single column `id`
     * @param pairs  columns `a`, `b` (undirected edges)
     * @return (id, canonical_id) for every node; singletons map to self.
@@ -35,10 +50,11 @@ object DedupClusters {
     * materializes — round 1's separate updated⋈old join+count doubled
     * every round's cost. Labels are localCheckpoint'ed EVERY round:
     * persist alone keeps the full lineage (the plan grows ~3× per
-    * round), a cache eviction late in the loop would recompute the
-    * whole chain, and hand-unpersisting a checkpointed frame destroys
-    * its only copy; eager checkpoints pin both plan size and
-    * iteration cost flat.
+    * round) and a cache eviction late in the loop would recompute the
+    * whole chain; eager checkpoints pin both plan size and iteration
+    * cost flat, and each superseded round's blocks are freed
+    * deterministically once its successor is materialized
+    * ([[freeCheckpoint]]).
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxRounds: Int = 20): DataFrame = {
@@ -64,10 +80,14 @@ object DedupClusters {
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint()
       val changed = newMat.filter(col("label") =!= col("old")).count()
+      // newMat is materialized and the count has run: the previous
+      // round's label blocks have no remaining consumer
+      freeCheckpoint(labels)
       labels = newMat.select("id", "label")
       converged = changed == 0
       round += 1
     }
+    freeCheckpoint(sym) // not part of the returned plan
     if (!converged)
       log.warn(s"connectedComponents: round budget ($maxRounds) exhausted " +
         "before fixpoint — canonical ids may span unconverged components; " +
@@ -126,15 +146,20 @@ object DedupClusters {
       // data but keeps the plan, and a 5-round checkpoint cadence is
       // ~36^5 plan nodes: Catalyst churn then driver OOM on a 999-edge
       // path graph. Eager checkpoints pin the plan at constant size;
-      // blocks are reclaimed by the context cleaner once the previous
-      // round's frame is unreferenced (never unpersist a checkpointed
-      // frame by hand — its blocks are the only copy).
+      // superseded rounds' blocks are freed deterministically below
+      // once their successors are materialized (freeCheckpoint) — a
+      // checkpointed RDD's blocks are its only copy, so the frees sit
+      // strictly after the last consumer of each frame.
       val afterLarge = star(edges, large = true).localCheckpoint()
       val next = star(afterLarge, large = false).localCheckpoint()
+      // `next` is materialized: the intermediate pass has no consumer
+      freeCheckpoint(afterLarge)
       // exact fixpoint: same multiset both ways (edges are distinct,
       // so two anti-join counts suffice)
       val grew    = next.exceptAll(edges).limit(1).count() > 0
       val shrank  = edges.exceptAll(next).limit(1).count() > 0
+      // convergence counts were this round's last read of the old edges
+      freeCheckpoint(edges)
       edges = next
       converged = !grew && !shrank
       round += 1

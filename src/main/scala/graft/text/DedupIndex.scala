@@ -51,7 +51,11 @@ object DedupIndex {
       sh.groupBy(idCol).agg(collect_set(col("shingle")).as("s"))
         .select(col(idCol).as("id"), col("s")))
 
-    val stored = readIndex(spark, indexDir)
+    // exclude THIS batch id from the stored view: a crash-retry of a
+    // batch whose appendBatch already ran would otherwise see its own
+    // rows in `stored`, double every set entry in allSets, and emit
+    // each pair 2-4 times through the set joins
+    val stored = readIndex(spark, indexDir, excludeBatch = batchId)
     val probeBands = stored.map(_._1.unionAll(newBands)).getOrElse(newBands)
     // candidates = this batch against everything (stored ∪ itself):
     // one band join, new side always the (small) left
@@ -87,16 +91,20 @@ object DedupIndex {
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** (bands, sets) as currently committed, or None before first batch. */
-  private def readIndex(spark: SparkSession,
-                        indexDir: String): Option[(DataFrame, DataFrame)] = {
+  /** (bands, sets) as currently committed — minus `excludeBatch`
+    * (the id being re-ingested) — or None before the first batch. */
+  private def readIndex(spark: SparkSession, indexDir: String,
+                        excludeBatch: Int): Option[(DataFrame, DataFrame)] = {
     val bandsDir = new java.io.File(s"$indexDir/bands")
     if (!bandsDir.exists()) None
     else Some((
-      // drop the batch=N partition-discovery column: index readers see
-      // the logical relation, not the ingestion layout. Column order
+      // the batch=N layout surfaces as a partition column — used for
+      // the retry exclusion, then dropped: index readers see the
+      // logical relation, not the ingestion layout. Column order
       // matters — unionAll with bandsOf output is positional.
-      spark.read.parquet(s"$indexDir/bands").select("id", "band", "key"),
-      spark.read.parquet(s"$indexDir/sets").select("id", "s")))
+      spark.read.parquet(s"$indexDir/bands")
+        .filter(col("batch") =!= excludeBatch).select("id", "band", "key"),
+      spark.read.parquet(s"$indexDir/sets")
+        .filter(col("batch") =!= excludeBatch).select("id", "s")))
   }
 }

@@ -41,9 +41,12 @@ class IndexSpec extends SparkSuite {
     assert((p0 ++ p1) == oneShot)
 
     // crash retry: re-ingesting batch 1 overwrites its own index dirs
-    // (same rows) and rediscovers the same pairs — no duplication
-    val p1again = pairKey(DedupIndex.ingestBatch(batch1, "doc_id", "text", tmp, 1))
-    assert(p1again == p1)
+    // (same rows) and rediscovers the same pairs — as a MULTISET:
+    // comparing sets alone would mask duplicated rows from the
+    // retry's own data still being visible in the stored index
+    val p1againDf = DedupIndex.ingestBatch(batch1, "doc_id", "text", tmp, 1)
+    assert(p1againDf.count() == p1.size, "retry must not duplicate pair rows")
+    assert(pairKey(p1againDf) == p1)
     val bandRows = spark.read.parquet(s"$tmp/bands").count()
     val setRows  = spark.read.parquet(s"$tmp/sets").count()
     assert(setRows == all.count())

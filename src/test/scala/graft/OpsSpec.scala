@@ -113,7 +113,7 @@ class OpsSpec extends SparkSuite {
     val tmp1  = java.nio.file.Files.createTempDirectory("cdc_noact_").toString
     val lazySink = intercept[IllegalStateException] {
       Cdc.runLoop(src, "id", "t", new Cdc.WatermarkStore(spark, s"$tmp1/wm"),
-        batchSize = 17, df => df, (_, _) => ())
+        batchSize = 17, df => df, (_, _) => (), metricsTimeoutSec = 3)
     }
     assert(lazySink.getMessage.contains("without running a Spark action"))
 
