@@ -16,6 +16,12 @@ import org.apache.spark.sql.DataFrame
   * Deliberately NOT tracked: the memoized cross-query pair graph
   * (`DocQueries.verifiedPairs`), which is an eager `localCheckpoint`
   * shared across dd2/dd6/dd8 by design.
+  *
+  * Scope: ONE process-global registry, sized for the repo's drivers,
+  * which run queries sequentially. Concurrent queries on one JVM would
+  * cross-talk (A's releaseAll unpersists what B is consuming — correct
+  * but silently recomputes); a multi-tenant driver should scope
+  * releases per query (token/ThreadLocal) before going parallel.
   */
 object CacheScope {
   private val live = scala.collection.mutable.Buffer.empty[DataFrame]
