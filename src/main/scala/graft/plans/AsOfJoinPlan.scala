@@ -158,7 +158,7 @@ case class AsOfJoinExec(leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-  import graft.expressions.{SimHash64, TopKStructs}
+  import graft.expressions.{NfcNormalize, SimHash64, TopKStructs}
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
@@ -172,6 +172,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("top_k"),
       new ExpressionInfo(classOf[TopKStructs].getName, "top_k"),
       TopKStructs.sqlBuilder _))
+    ext.injectFunction((FunctionIdentifier("nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"nfc(text) takes exactly one argument, got ${exprs.length}")
+        NfcNormalize(exprs.head)
+      }))
   }
 }
 

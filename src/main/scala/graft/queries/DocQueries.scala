@@ -113,6 +113,24 @@ object DocQueries {
           .as("is_repetitive"))
     }),
 
+    // Unicode NFC normalization — the pass that makes byte-level
+    // dedup sound: composed "é" and "e"+combining-acute are the same
+    // text but different bytes, so hash/shingle/signature dedup all
+    // miss un-normalized duplicates. The ASCII corpus is extended with
+    // DECOMPOSED sequences (combining marks via chr() on the oracle
+    // side, \\u escapes here) and the native graft `nfc` expression
+    // recomposes them; DuckDB's nfc_normalize is the oracle.
+    "t13_nfc" -> ((s, d) => {
+      val denorm = concat(col("text"),
+        lit(" cafe\u0301 nai\u0308ve zu\u0308rich"))
+      val normd = graft.expressions.NfcNormalize.nfc(denorm)
+      Tables.documents(s, d).select(col("doc_id"),
+        length(denorm).cast("long").as("raw_chars"),
+        normd.as("nfc_text"),
+        length(normd).cast("long").as("nfc_chars"),
+        (length(denorm) - length(normd)).cast("long").as("n_composed"))
+    }),
+
     // Corpus-frequency scoring — the perplexity-filter proxy: a
     // unigram table over the whole corpus (one aggregation), then each
     // document scores its tokens' corpus frequencies (broadcast join —
@@ -417,6 +435,21 @@ object DocQueries {
         |  CASE WHEN top_frac > 0.15 OR dup_frac > 0.05 THEN 1 ELSE 0 END
         |    AS is_repetitive
         |FROM m""".stripMargin,
+    // combining marks U+0301/U+0308 enter via chr() so the SQL (and
+    // oracle_sql.json) stays pure ASCII; nfc_normalize is DuckDB's
+    // utf8proc-backed NFC — same Unicode algorithm as Java's
+    // Normalizer, so the recomposed strings hash-match exactly.
+    "t13_nfc" ->
+      """WITH aug AS (SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' nai' || chr(776) || 've zu'
+        |      || chr(776) || 'rich' AS a
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(a) AS BIGINT) AS raw_chars,
+        |  nfc_normalize(a) AS nfc_text,
+        |  CAST(length(nfc_normalize(a)) AS BIGINT) AS nfc_chars,
+        |  CAST(length(a) - length(nfc_normalize(a)) AS BIGINT) AS n_composed
+        |FROM aug""".stripMargin,
     // sum(BIGINT) is HUGEINT in DuckDB — cast back or the driver's
     // schema compare fails (same artifact as w3's window sum).
     "t12_corpus_freq" ->

@@ -54,6 +54,28 @@ class ExpressionSpec extends SparkSuite {
     assert(h(3) == emptySig)
   }
 
+  test("nfc: recomposes decomposed sequences, null-safe, SQL-registered") {
+    import graft.expressions.NfcNormalize
+    val decomposed = "cafe\u0301 zu\u0308rich"   // e + U+0301, u + U+0308
+    val composed   = "caf\u00e9 z\u00fcrich"     // precomposed NFC forms
+    val df = Seq(Some(decomposed), Some(composed), Some("plain ascii"), None)
+      .toDF("text")
+    val got = df.select(NfcNormalize.nfc($"text").as("n"),
+        length($"text").as("lr"), length(NfcNormalize.nfc($"text")).as("ln"))
+      .collect()
+    assert(got(0).getString(0) == composed)          // recomposed
+    assert(got(0).getInt(1) == got(0).getInt(2) + 2) // two marks merged
+    assert(got(1).getString(0) == composed)          // already-NFC unchanged
+    assert(got(2).getString(0) == "plain ascii")     // ASCII fast path
+    assert(got(3).isNullAt(0))                       // null-safe
+    // SQL surface
+    NfcNormalize.register(spark)
+    df.createOrReplaceTempView("nfc_docs")
+    val viaSql = spark.sql("SELECT nfc(text) FROM nfc_docs").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getString(0)))
+    assert(viaSql(0).contains(composed) && viaSql(3).isEmpty)
+  }
+
   test("near-duplicate texts have small hamming distance at 64 bits") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val df = Seq((1L, base), (2L, base + " extra"),
