@@ -86,6 +86,49 @@ object Sinks {
       Seq(s"$factRoot/batch=$batchId", s"$mappingRoot/batch=$batchId"))
   }
 
+  /** Compaction — the small-files answer ingestion creates: many
+    * small batch dirs (each its own parquet footer, each a scan task)
+    * re-written as ONE right-sized dir, made visible by a single
+    * atomic manifest commit that simultaneously un-names every input
+    * dir. Readers through [[readCommitted]] see the old batches or
+    * the compacted result, never both, never neither — OPTIMIZE with
+    * `_delta_log` semantics on plain parquet. The superseded dirs
+    * stay on disk (crash safety: the old manifest may still name
+    * them) until [[vacuum]] removes what no manifest names.
+    *
+    * @param compactId batch id for the compacted output; must not
+    *   collide with a live batch id. */
+  def compact(spark: org.apache.spark.sql.SparkSession, root: String,
+              manifest: TxnManifest, compactId: Int, numFiles: Int): Unit = {
+    val dirs = manifest.committedDirs(root)
+    require(dirs.nonEmpty, s"nothing committed under $root to compact")
+    val all = spark.read.option("mergeSchema", true).parquet(dirs: _*)
+    val target = s"$root/batch=$compactId"
+    require(!dirs.contains(target), s"compactId $compactId is a live batch")
+    all.coalesce(numFiles).write.mode(SaveMode.Overwrite).parquet(target)
+    // ONE commit point: all input batches' entries are replaced by the
+    // compacted dir — readers flip atomically
+    manifest.replaceAll(root, compactId, Seq(target))
+  }
+
+  /** Remove `batch=N` directories under `root` that NO manifest entry
+    * names — crash orphans and compacted-away inputs. Deliberately
+    * restricted to the batch-dir layout so a mis-pointed root cannot
+    * delete arbitrary data. Returns the deleted directory names. */
+  def vacuum(root: String, manifest: TxnManifest): Seq[String] = {
+    val live = manifest.committedDirs(root).toSet
+    val rootDir = new java.io.File(root)
+    val candidates = Option(rootDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .filterNot(f => live.contains(s"$root/${f.getName}"))
+    candidates.foreach { dir =>
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    candidates.map(_.getName).toSeq
+  }
+
   /** Manifest-resolved read: only directories the manifest has
     * committed are scanned, so orphan dirs from a crashed batch are
     * invisible. Fails loudly when nothing is committed under `root` —

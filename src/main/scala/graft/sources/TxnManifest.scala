@@ -40,10 +40,27 @@ final class TxnManifest(path: String) {
 
   /** The ONE commit point: all of `dirs` become visible together or —
     * on a crash before the atomic rename — none do. */
-  def commit(batchId: Int, dirs: Seq[String]): Unit = {
-    dirs.foreach(AtomicText.requireCleanKey(_, "manifest dir"))
-    val updated = committed() + (batchId -> dirs)
-    val body = updated.toSeq.sortBy(_._1)
+  def commit(batchId: Int, dirs: Seq[String]): Unit =
+    writeAll(committed() + (batchId -> dirs))
+
+  /** Compaction commit: atomically un-name every committed dir under
+    * `root` and name `dirs` as batch `batchId` instead — one rename,
+    * so readers see the pre- or post-compaction view, never a mix.
+    * Entries' dirs under OTHER roots (a dual-write manifest) are
+    * preserved; entries left empty disappear. */
+  def replaceAll(root: String, batchId: Int, dirs: Seq[String]): Unit = {
+    val pruned = committed().view
+      .mapValues(_.filterNot(_.startsWith(root + "/")))
+      .filter(_._2.nonEmpty).toMap
+    require(!pruned.contains(batchId),
+      s"batch id $batchId still names dirs outside $root — " +
+        "pick a fresh id for the compacted output")
+    writeAll(pruned + (batchId -> dirs))
+  }
+
+  private def writeAll(entries: Map[Int, Seq[String]]): Unit = {
+    entries.values.flatten.foreach(AtomicText.requireCleanKey(_, "manifest dir"))
+    val body = entries.toSeq.sortBy(_._1)
       .map { case (id, ds) => (id.toString +: ds).mkString("\t") }
       .mkString("", "\n", "\n")
     AtomicText.writeAtomically(path, body)

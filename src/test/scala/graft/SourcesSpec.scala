@@ -87,6 +87,37 @@ class SourcesSpec extends SparkSuite {
     assert(all.filter($"note".isNull).count() == 2)
   }
 
+  test("compact + vacuum: atomic re-point, orphan cleanup, dual-root safety") {
+    val tmp = java.nio.file.Files.createTempDirectory("sinks_compact_").toString
+    val manifest = new TxnManifest(s"$tmp/_commits")
+    // 3 committed fact batches + a sync side-table (dual-write manifest)
+    for (i <- 0 until 3)
+      Sinks.dualWriteAtomic(Seq((i.toLong, s"v$i")).toDF("id", "v"),
+        Seq((i.toLong, i + 100L)).toDF("oldId", "newId"),
+        s"$tmp/fact", s"$tmp/sync", manifest, i)
+    // plus a crash orphan nothing committed
+    Sinks.appendBatch(Seq((9L, "orphan")).toDF("id", "v"), s"$tmp/fact", 7)
+
+    Sinks.compact(spark, s"$tmp/fact", manifest, compactId = 100, numFiles = 1)
+    // same rows, one committed dir, sync side untouched
+    val fact = Sinks.readCommitted(spark, s"$tmp/fact", manifest)
+    assert(fact.count() == 3)
+    assert(manifest.committedDirs(s"$tmp/fact") == Seq(s"$tmp/fact/batch=100"))
+    assert(Sinks.readCommitted(spark, s"$tmp/sync", manifest).count() == 3)
+
+    // vacuum removes the compacted-away inputs AND the orphan, keeps live dirs
+    val deleted = Sinks.vacuum(s"$tmp/fact", manifest).sorted
+    assert(deleted == Seq("batch=0", "batch=1", "batch=2", "batch=7"))
+    assert(Sinks.readCommitted(spark, s"$tmp/fact", manifest).count() == 3)
+    assert(Sinks.vacuum(s"$tmp/fact", manifest).isEmpty) // idempotent
+    assert(Sinks.vacuum(s"$tmp/sync", manifest).isEmpty) // all sync dirs live
+
+    // a compact id that still names other-root dirs is rejected
+    intercept[IllegalArgumentException] {
+      Sinks.compact(spark, s"$tmp/fact", manifest, compactId = 0, numFiles = 1)
+    }
+  }
+
   test("writePartitioned: key filter prunes to the selected partition dirs") {
     val tmp = java.nio.file.Files.createTempDirectory("sinks_part_").toString
     val df = (1 to 300).map(i => (i.toLong, i % 3, s"v$i")).toDF("id", "k", "v")
