@@ -149,6 +149,47 @@ object ExtraQueries {
         (dayofweek(dt) - 1).as("dow_sun0"),
         datediff(dt.cast("date"), lit("2024-01-01").cast("date")).as("days_since_2024"),
         last_day(dt).cast(StringType).as("month_end"))
+    }),
+
+    // Range join (interval containment, no equi-key): every event
+    // falling inside any 2-hour "incident window" (windows opened by a
+    // deterministic sample of events, so both engines derive the same
+    // interval set). Naive form is a nested-loop product; the binned
+    // rewrite (graft.ops.RangeJoin) makes it a hash equi-join on the
+    // bin key — plan-shape pinned in ScaleSpec.
+    "j13_range_join" -> ((s, d) => {
+      val winLen = 2L * 3600L * 1000000L // 2 h in µs
+      val ev = Tables.events(s, d)
+      val points = ev.select(col("event_id"), unix_micros(col("ts")).as("p_us"))
+      val windows = ev.filter(col("event_id") % 499 === 0)
+        .select(col("event_id").as("window_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) + winLen).as("end_us"))
+      graft.ops.RangeJoin.binned(points, col("p_us"),
+          windows, col("start_us"), col("end_us"), binWidth = winLen)
+        .select("event_id", "window_id")
+    }),
+
+    // Time-series resample with gap fill: hourly buckets per
+    // event_type over each series' own [min, max] span, missing hours
+    // materialized as zero rows. The grid is generated per group with
+    // `sequence` (rows ∝ span/width per group, never a global
+    // explode), then left-joined back to the bucket aggregate — two
+    // shuffles on the same (event_type) family, no driver loop.
+    "w4_resample" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val agg = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"), Repair.decSum(col("value")).as("sum_value"))
+      val grid = agg.groupBy("event_type")
+        .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+        .select(col("event_type"),
+          explode(sequence(col("b0"), col("b1"), expr("interval 1 hour")))
+            .as("bucket"))
+      grid.join(agg, Seq("event_type", "bucket"), "left")
+        .select(col("event_type"), col("bucket"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
     })
   )
 
@@ -243,6 +284,28 @@ object ExtraQueries {
         |  CAST(extract(dow FROM o_orderdate) AS INTEGER) AS dow_sun0,
         |  CAST(date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_2024,
         |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+    "j13_range_join" ->
+      """WITH win AS (
+        |  SELECT event_id AS window_id, epoch_us(ts) AS start_us,
+        |    epoch_us(ts) + 7200000000 AS end_us
+        |  FROM events WHERE event_id % 499 = 0)
+        |SELECT e.event_id, w.window_id
+        |FROM events e JOIN win w
+        |  ON epoch_us(e.ts) >= w.start_us AND epoch_us(e.ts) < w.end_us""".stripMargin,
+    "w4_resample" ->
+      """WITH agg AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+        |  FROM agg GROUP BY 1),
+        |grid AS (SELECT event_type,
+        |    unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        |  FROM span)
+        |SELECT g.event_type, g.bucket, coalesce(a.n, 0) AS n,
+        |  coalesce(a.sum_value, 0.0) AS sum_value
+        |FROM grid g LEFT JOIN agg a USING (event_type, bucket)""".stripMargin
   )
 }

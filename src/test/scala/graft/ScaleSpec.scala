@@ -130,6 +130,34 @@ class ScaleSpec extends SparkSuite {
     assert(zX < 128.0, s"z-order keeps x clustered too, got $zX")
   }
 
+  test("binned range join == naive inequality join, with an equi-join plan") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // overlapping, empty, and bin-straddling intervals; points on
+    // boundaries (start inclusive, end exclusive)
+    val points = (0L to 400L by 7L).map(p => (p, s"p$p")).toDF("p", "ptag")
+    val intervals = Seq(
+      (1L, 0L, 100L), (2L, 50L, 150L),   // overlap
+      (3L, 150L, 150L), (4L, 200L, 190L), // empty / inverted: match nothing
+      (5L, 95L, 305L),                    // straddles several bins
+      (6L, 399L, 400L)).toDF("iid", "s", "e")
+    val binned = graft.ops.RangeJoin.binned(
+      points, col("p"), intervals, col("s"), col("e"), binWidth = 100L)
+    val naive = points.join(intervals, col("p") >= col("s") && col("p") < col("e"))
+    val a = binned.select("p", "iid").orderBy("p", "iid").collect().map(_.toSeq)
+    val b = naive.select("p", "iid").orderBy("p", "iid").collect().map(_.toSeq)
+    assert(a.nonEmpty && a.sameElements(b))
+    // boundary semantics: 0 is in [0,100), 105 is not; 399 in [399,400)
+    assert(a.contains(Seq(0L, 1L)) && !a.contains(Seq(105L, 1L)))
+    assert(a.contains(Seq(399L, 6L)))
+    // the whole point of binning: an equi-join plan, not a loop product
+    val plan = binned.queryExecution.sparkPlan
+    val loops = plan.collectWithSubqueries {
+      case l: BroadcastNestedLoopJoinExec => l
+      case c: CartesianProductExec => c
+    }
+    assert(loops.isEmpty, s"range join planned as a loop product:\n$plan")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS bspec_left")
     spark.sql("DROP TABLE IF EXISTS bspec_right")
