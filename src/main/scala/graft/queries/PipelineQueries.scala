@@ -304,6 +304,44 @@ object PipelineQueries {
         .select("event_id", "user_id", "event_type_u", "value2")
     }),
 
+    // Streaming consume of the transactional manifest — the DOWNSTREAM
+    // half of the CDC story (s8 is the upstream). Batches commit
+    // through TxnManifest (one atomic visibility point each); the
+    // consumer tails the manifest Kafka-style with a persisted
+    // per-consumer offset, so a late-committed batch is picked up by
+    // an incremental poll and an UNCOMMITTED orphan directory is never
+    // seen at all (the orphan written below would duplicate a quarter
+    // of the table if visibility leaked past the manifest).
+    "st2_manifest_consume" -> ((s, d) => {
+      import graft.sources.{ManifestConsumer, Sinks, TxnManifest}
+      val ev = Tables.events(s, d)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_mc_").toString
+      val root = s"$base/data"
+      val man = new TxnManifest(s"$base/manifest.tsv")
+      val slice = (i: Int) => ev.filter(pmod(col("event_id"), lit(4)) === i)
+      for (i <- 0 to 2) {
+        Sinks.appendBatch(slice(i), root, i)
+        man.commit(i, Seq(s"$root/batch=$i"))
+      }
+      Sinks.appendBatch(slice(1), root, 7) // crash orphan: data landed,
+      // commit never happened — must stay invisible
+      val store = new Cdc.WatermarkStore(s, s"$base/offsets", initial = -1L)
+      val outDir = s"$base/out"
+      val sink = (df: DataFrame, id: Int) => Sinks.appendBatch(
+        df.select(col("event_id"), col("user_id"),
+          lower(col("event_type")).as("event_type_l"),
+          (col("value") * 3).as("value3")), outDir, id)
+      ManifestConsumer.pollOnce(s, man, root, store, "c1")(sink)
+      // a batch commits AFTER the first drain; the incremental poll
+      // resumes from the persisted offset and consumes only it
+      Sinks.appendBatch(slice(3), root, 3)
+      man.commit(3, Seq(s"$root/batch=3"))
+      ManifestConsumer.pollOnce(s, man, root, store, "c1")(sink)
+      s.read.parquet(outDir)
+        .select("event_id", "user_id", "event_type_l", "value3")
+    }),
+
     // Event-time tumbling-window aggregation — batch form of the
     // Structured Streaming query in `graft.streaming` (SURVEY §2.9:
     // the reference's poll loop is hand-rolled micro-batching; this is
@@ -490,6 +528,10 @@ object PipelineQueries {
     "s8_cdc_loop" ->
       """SELECT event_id, user_id, upper(event_type) AS event_type_u,
         |  value * 2 AS value2 FROM events""".stripMargin,
+    "st2_manifest_consume" ->
+      """SELECT event_id, user_id, lower(event_type) AS event_type_l,
+        |  value * 3 AS value3
+        |FROM events""".stripMargin,
     "st1_time_bucket" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start, event_type,
         |  count(*) AS n,

@@ -87,6 +87,58 @@ class SourcesSpec extends SparkSuite {
     assert(all.filter($"note".isNull).count() == 2)
   }
 
+  test("ManifestConsumer: exactly-once tail across a crash between sink and offset") {
+    import graft.ops.Cdc
+    import graft.sources.ManifestConsumer
+    val tmp = java.nio.file.Files.createTempDirectory("mc_spec_").toString
+    val root = s"$tmp/data"
+    val man = new TxnManifest(s"$tmp/_commits")
+    val store = new Cdc.WatermarkStore(spark, s"$tmp/offsets", initial = -1L)
+    def batch(id: Long) = Seq((id, s"r$id")).toDF("id", "v")
+    for (i <- 0 to 2) {
+      Sinks.appendBatch(batch(i), root, i)
+      man.commit(i, Seq(s"$root/batch=$i"))
+    }
+    Sinks.appendBatch(batch(99), root, 9) // orphan: never committed
+
+    val out = s"$tmp/out"
+    var sinkRuns = 0
+    val sink = (df: org.apache.spark.sql.DataFrame, id: Int) => {
+      sinkRuns += 1
+      Sinks.appendBatch(df, out, id)
+    }
+
+    // crash DURING batch 1: its sink ran (data landed), offset didn't
+    var crashed = false
+    intercept[RuntimeException] {
+      ManifestConsumer.pollOnce(spark, man, root, store, "c")((df, id) => {
+        sink(df, id)
+        if (id == 1 && !crashed) { crashed = true; throw new RuntimeException("kill") }
+      })
+    }
+    // restart: batch 1 is RE-delivered (offset still 0); the batch-keyed
+    // sink overwrites its own partial output — no dup, no gap
+    val second = ManifestConsumer.pollOnce(spark, man, root, store, "c")(sink)
+    assert(second == Seq(1, 2))
+    val consumed = spark.read.parquet(out)
+    assert(consumed.count() == 3) // 0,1,2 — orphan 99 invisible
+    assert(consumed.select("id").as[Long].collect().sorted.sameElements(Array(0L, 1L, 2L)))
+
+    // nothing pending → empty poll, offset stable
+    assert(ManifestConsumer.pollOnce(spark, man, root, store, "c")(sink).isEmpty)
+
+    // a second consumer group drains independently from the start
+    assert(ManifestConsumer.pollOnce(spark, man, root, store, "c2")(sink) == Seq(0, 1, 2))
+
+    // coalesced catch-up: one scan for all pending, offset at high water
+    val store2 = new Cdc.WatermarkStore(spark, s"$tmp/offsets2", initial = -1L)
+    val got = ManifestConsumer.pollCoalesced(spark, man, root, store2, "cc") {
+      (df, hw) => assert(df.count() == 3 && hw == 2)
+    }
+    assert(got.contains(2))
+    assert(ManifestConsumer.pollCoalesced(spark, man, root, store2, "cc")((_, _) => fail()).isEmpty)
+  }
+
   test("compact + vacuum: atomic re-point, orphan cleanup, dual-root safety") {
     val tmp = java.nio.file.Files.createTempDirectory("sinks_compact_").toString
     val manifest = new TxnManifest(s"$tmp/_commits")
