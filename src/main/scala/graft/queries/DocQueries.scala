@@ -191,6 +191,28 @@ object DocQueries {
       p0.unionAll(p1)
     }),
 
+    // Exact-dup screen of an incoming batch against a persisted
+    // history, bloom-pruned BEFORE the shuffle: the probe side drops
+    // its ~88% fresh rows at the scan (one codegen'd hash check per
+    // row), then an exact semi join removes bloom false positives —
+    // the cross-job form of Spark's InjectRuntimeFilter, which cannot
+    // see across the job boundary a persisted dedup index lives
+    // behind. Batch = re-keyed copies of every 100th doc (true dups)
+    // + every 7th doc with its text perturbed (fresh content).
+    "dd10_bloom_prune" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 4000000L).as("doc_id"),
+            concat(col("text"), lit(" [fresh]")).as("text")))
+      graft.ops.BloomJoin.semiJoinPruned(
+          batch, md5(col("text")),
+          docs, md5(col("text")),
+          expectedItems = 100000L)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+    }),
+
     // SimHash fingerprint per doc.
     "dd3_simhash" -> ((s, d) => {
       dedupCorpus(s, d).select(col("doc_id"),
@@ -480,6 +502,16 @@ object DocQueries {
     // incremental == one-shot: the index query must produce the exact
     // pair set the single-pass pipeline produces on the same corpus
     "dd9_incremental_pairs" -> minhashPairsSql,
+    "dd10_bloom_prune" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 3000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 100 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000 AS doc_id, text || ' [fresh]' AS text
+        |  FROM documents WHERE doc_id % 7 = 3)
+        |SELECT b.doc_id, md5(b.text) AS h FROM batch b
+        |WHERE EXISTS (SELECT 1 FROM documents i
+        |              WHERE md5(i.text) = md5(b.text))""".stripMargin,
 
     "dd3_simhash" ->
       s"""WITH $corpusCte,

@@ -158,6 +158,30 @@ class ScaleSpec extends SparkSuite {
     assert(loops.isEmpty, s"range join planned as a loop product:\n$plan")
   }
 
+  test("bloom-pruned semi join == plain semi join; filter sits before the join") {
+    // parquet inputs, not LocalRelations: ConvertToLocalRelation would
+    // eagerly evaluate the bloom predicate at optimization time and the
+    // plan-shape assertion below would have nothing to see
+    val tmp = java.nio.file.Files.createTempDirectory("bloom_spec_").toString
+    (1L to 200L).filter(_ % 3 == 0).map(k => Tuple1(s"k$k")).toDF("h")
+      .write.parquet(s"$tmp/keys")
+    (1L to 2000L).map(i => (i, s"k${i % 400}")).toDF("id", "fh")
+      .write.parquet(s"$tmp/fact")
+    val keys = spark.read.parquet(s"$tmp/keys")
+    val fact = spark.read.parquet(s"$tmp/fact")
+    val pruned = graft.ops.BloomJoin.semiJoinPruned(
+      fact, col("fh"), keys, col("h"), expectedItems = 1000L)
+    val plain = fact.join(keys, col("fh") === col("h"), "left_semi")
+    val a = pruned.select("id").orderBy("id").collect().map(_.getLong(0))
+    val b = plain.select("id").orderBy("id").collect().map(_.getLong(0))
+    assert(a.nonEmpty && a.sameElements(b))
+    // the bloom predicate must appear as a Filter in the physical plan
+    // (scan-side pruning), not vanish into the join
+    val plan = pruned.queryExecution.executedPlan
+    assert(plan.toString.contains("might_contain"),
+      s"expected a bloom might_contain filter in:\n$plan")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS bspec_left")
     spark.sql("DROP TABLE IF EXISTS bspec_right")
