@@ -149,4 +149,23 @@ object Sinks {
         s"no committed batches under $root — nothing visible yet")
     spark.read.option("mergeSchema", true).parquet(dirs: _*)
   }
+
+  /** Time travel on the manifest layer: the table as it stood when
+    * batch `asOfBatch` was the newest commit — Delta's `VERSION AS OF`
+    * on plain parquet. Works because commits only ADD batch-keyed
+    * dirs and [[vacuum]] only deletes UN-named ones; the one
+    * history-rewriting operation is [[compact]], whose `replaceAll`
+    * collapses its inputs into one entry — travel before a compaction
+    * point therefore degrades to the compacted view, exactly like
+    * Delta time travel after its VACUUM horizon. */
+  def readCommittedAsOf(spark: org.apache.spark.sql.SparkSession, root: String,
+                        manifest: TxnManifest, asOfBatch: Int): DataFrame = {
+    val dirs = manifest.committed().toSeq
+      .filter(_._1 <= asOfBatch).sortBy(_._1)
+      .flatMap(_._2).filter(_.startsWith(root + "/"))
+    if (dirs.isEmpty)
+      throw new IllegalStateException(
+        s"nothing committed under $root at or before batch $asOfBatch")
+    spark.read.option("mergeSchema", true).parquet(dirs: _*)
+  }
 }

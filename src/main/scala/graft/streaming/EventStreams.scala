@@ -65,6 +65,26 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     events.join(broadcast(dim), keys, "left")
 
+  /** Stream-STREAM interval join: each left event matched to right
+    * events of the same key whose event time falls within
+    * `[leftTs - lag, leftTs]` (e.g. a click attributed to the
+    * purchases that preceded it by at most `lag`). Both sides carry a
+    * watermark AND the join condition bounds the time skew — together
+    * that is what lets Spark evict both join states as event time
+    * advances; either alone leaves one side's buffer unbounded.
+    * Inputs must share no column names apart from `key` (pre-alias
+    * the frames as the `ts_l`/`ts_r` contract here requires). */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+                         lag: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts_l", watermark)
+    val r = right.withWatermark("ts_r", watermark)
+    l.join(r, l(key) === r(key) &&
+      col("ts_r") <= col("ts_l") &&
+      col("ts_r") >= col("ts_l") - expr(s"interval $lag"))
+      .drop(r(key))
+  }
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -87,6 +87,29 @@ class SourcesSpec extends SparkSuite {
     assert(all.filter($"note".isNull).count() == 2)
   }
 
+  test("readCommittedAsOf: time travel over the commit history") {
+    val tmp = java.nio.file.Files.createTempDirectory("tt_spec_").toString
+    val root = s"$tmp/data"
+    val man = new TxnManifest(s"$tmp/_commits")
+    for (i <- 0 to 2) {
+      Sinks.appendBatch(Seq((i.toLong, s"v$i")).toDF("id", "v"), root, i)
+      man.commit(i, Seq(s"$root/batch=$i"))
+    }
+    assert(Sinks.readCommittedAsOf(spark, root, man, 0).count() == 1)
+    assert(Sinks.readCommittedAsOf(spark, root, man, 1).count() == 2)
+    assert(Sinks.readCommittedAsOf(spark, root, man, 99).count() == 3)
+    intercept[IllegalStateException] {
+      Sinks.readCommittedAsOf(spark, root, man, -1)
+    }
+    // compaction rewrites history: travel to a pre-compaction batch id
+    // degrades to the compacted view (its entry is all that remains)
+    Sinks.compact(spark, root, man, compactId = 10, numFiles = 1)
+    assert(Sinks.readCommittedAsOf(spark, root, man, 10).count() == 3)
+    intercept[IllegalStateException] {
+      Sinks.readCommittedAsOf(spark, root, man, 1) // history compacted away
+    }
+  }
+
   test("ManifestConsumer: exactly-once tail across a crash between sink and offset") {
     import graft.ops.Cdc
     import graft.sources.ManifestConsumer

@@ -74,6 +74,40 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks to recent purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, String)]
+    val buys = MemoryStream[(Long, Long, String, Double)]
+    val joined = EventStreams.intervalJoinStream(
+      clicks.toDF().toDF("click_id", "user_id", "ts_s")
+        .withColumn("ts_l", col("ts_s").cast("timestamp")).drop("ts_s"),
+      buys.toDF().toDF("buy_id", "uid", "ts_s", "amount")
+        .withColumnRenamed("uid", "user_id")
+        .withColumn("ts_r", col("ts_s").cast("timestamp")).drop("ts_s"),
+      key = "user_id", lag = "1 hour")
+    val q = joined.writeStream.format("memory")
+      .queryName("ij_out").outputMode("append").start()
+    try {
+      buys.addData(
+        (100L, 1L, "2024-01-01 00:10:00", 5.0),   // 50 min before click → in window
+        (101L, 1L, "2024-01-01 02:00:00", 7.0),   // after the click → out
+        (102L, 2L, "2024-01-01 00:50:00", 9.0))   // other user
+      clicks.addData(
+        (1L, 1L, "2024-01-01 01:00:00"),
+        (2L, 2L, "2024-01-01 01:40:00"),
+        (3L, 3L, "2024-01-01 01:00:00"))          // no purchase → no row (inner)
+      // advance both watermarks so the joined rows become emittable
+      // (distinct users so the advancers can't join each other)
+      buys.addData((999L, 8L, "2024-01-01 09:00:00", 0.0))
+      clicks.addData((999L, 9L, "2024-01-01 09:00:00"))
+      q.processAllAvailable()
+      val got = spark.table("ij_out")
+        .select("click_id", "buy_id", "amount")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      assert(got.toSeq == Seq((1L, 100L, 5.0), (2L, 102L, 9.0)))
+    } finally q.stop()
+  }
+
   test("stateful runningTotals accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.UserEvent]
