@@ -162,6 +162,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // opt-in via spark.graft.rangeJoin.binWidth (see RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
     ext.injectFunction((FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => {
