@@ -157,6 +157,30 @@ object DocQueries {
             .as("rare_frac"))
     }),
 
+    // TF-IDF top terms per document — the classic salient-term
+    // extraction, integer-exact: score_ppm = tf·10^6·N/df in long
+    // division (log-free, so the ranking is engine-portable; the
+    // monotone map x→log keeps the same order for fixed tf). Term
+    // frequencies shuffle once on (doc, tok); document frequencies
+    // aggregate the tf relation (|distinct tokens| rows, broadcast
+    // back); per-doc top-3 via a window over each doc's OWN terms —
+    // partitions are doc-sized, never global.
+    "t14_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val toks = docs.select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score_ppm").desc, col("tok").asc)
+      tf.join(broadcast(dfreq), "tok")
+        .crossJoin(broadcast(n))
+        .withColumn("score_ppm", expr("tf * 1000000L * n_docs div df"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "tok", "tf", "df", "score_ppm")
+    }),
+
     // Exact dedup: content-hash grouping, canonical = min doc_id.
     // Corpus extended with EXACT copies (id+2e6) so duplicate groups
     // exist at every sf.
@@ -487,6 +511,18 @@ object DocQueries {
         |  CAST(sum_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_tf,
         |  n_rare, CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rare_frac
         |FROM scored""".stripMargin,
+    "t14_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT t.doc_id, t.tok, t.tf, f.df,
+        |    CAST((t.tf * 1000000 * n.n_docs) // f.df AS BIGINT) AS score_ppm
+        |  FROM tf t JOIN dfreq f USING (tok), n),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_ppm DESC, tok ASC) AS rn FROM scored)
+        |SELECT doc_id, tok, tf, df, score_ppm FROM ranked WHERE rn <= 3""".stripMargin,
     "dd1_exact_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

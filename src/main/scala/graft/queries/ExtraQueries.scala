@@ -151,6 +151,31 @@ object ExtraQueries {
         last_day(dt).cast(StringType).as("month_end"))
     }),
 
+    // Full CUBE (completes the multi-level-agg family with a7's
+    // ROLLUP): all four grouping combinations in one Expand pass,
+    // one shuffle, partial-aggregatable.
+    "a12_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"),
+          count(lit(1)).as("n"),
+          Repair.decSum(col("l_quantity")).as("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "n", "sum_qty")
+    }),
+
+    // Fixed-width histogram: bin = floor(x / width) — one partial-agg
+    // shuffle of |bins| rows, the scalable form of a numeric profile
+    // (exact percentiles are a11; this is the distribution shape).
+    "a13_histogram" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(floor(col("l_extendedprice") / 5000).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          Repair.decSum(col("l_extendedprice")).as("sum_price"))
+        .select(col("bin"), (col("bin") * 5000).cast("double").as("bin_lo"),
+          col("n"), col("sum_price"))
+    }),
+
     // Range join (interval containment, no equi-key): every event
     // falling inside any 2-hour "incident window" (windows opened by a
     // deterministic sample of events, so both engines derive the same
@@ -285,6 +310,19 @@ object ExtraQueries {
         |  CAST(date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_2024,
         |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
         |FROM orders""".stripMargin,
+    "a12_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "a13_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+        |  CAST(CAST(floor(l_extendedprice / 5000) AS BIGINT) * 5000 AS DOUBLE) AS bin_lo,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "j13_range_join" ->
       """WITH win AS (
         |  SELECT event_id AS window_id, epoch_us(ts) AS start_us,
