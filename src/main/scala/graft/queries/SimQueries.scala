@@ -48,6 +48,15 @@ object SimQueries {
         "label", queryPred = col("id") % 50 === 0, k = 5, nprobe = 2)
     }),
 
+    // Product-quantization ANN (ADC): corpus compressed 4× to one
+    // code per 4-dim subspace, queries score code lookup tables
+    // instead of vectors — the memory leg of the ANN triad (sim2
+    // prunes candidates, sim4 prunes scans, sim5 shrinks residency).
+    "sim5_pq_topk" -> ((s, d) => {
+      Embeddings.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryPred = col("id") % 50 === 0, k = 5, m = Sim5M, subDim = Sim5Sub)
+    }),
+
     // Embedding-cosine near-dup (the vector member of the dd family):
     // corpus extended with exact copies (id+2e6) and perturbed copies
     // (id+3e6, x*0.9+0.05 → cosine ≈ 0.92 vs original; natural pairs
@@ -101,6 +110,15 @@ object SimQueries {
     * exact copies always collide. SimSpec pins planted-pair recall. */
   private val Dd7Bits   = 8
   private val Dd7Tables = 6
+
+  // PQ geometry: 16 subspaces of 4 dims (4× compression). The corpus
+  // is near-uniform random — vector quantization's adversarial case —
+  // and finer subspaces carry it: m=8/subDim=8 measures recall@5 0.18
+  // vs ground truth at sf0.001, m=16/subDim=4 reaches 0.30 (chance is
+  // ~0.01); MORE codewords per subspace does not help (random
+  // codebooks saturate). SimSpec pins the measured recall.
+  private[graft] val Sim5M   = 16
+  private[graft] val Sim5Sub = 4
 
   /** The same md5-derived plane weights [[Embeddings.planeWeights]]
     * uses, embedded as DuckDB list literals — integer arithmetic is
@@ -173,6 +191,32 @@ object SimQueries {
         |  FROM cand c JOIN v va ON va.id = c.a_id JOIN v vb ON vb.id = c.b_id)
         |SELECT a_id, b_id, cos_sim FROM scored WHERE cos_sim >= 0.9""".stripMargin
     },
+    "sim5_pq_topk" ->
+      s"""WITH v AS (SELECT vec_id AS id, ${qv("10000")} AS v FROM embeddings),
+        |js AS (SELECT unnest(range(0, $Sim5M)) AS j),
+        |subs AS (SELECT id, j,
+        |    list_transform(range(1, ${Sim5Sub + 1}), i -> v[j*$Sim5Sub + i]) AS sub
+        |  FROM v, js),
+        |cw AS (SELECT j, id AS c, sub AS cwv FROM subs WHERE id < 16),
+        |enc AS (SELECT s.id, s.j, w.c,
+        |    CAST(list_sum(list_transform(range(1, ${Sim5Sub + 1}),
+        |      i -> (s.sub[i] - w.cwv[i]) * (s.sub[i] - w.cwv[i]))) AS BIGINT) AS d2
+        |  FROM subs s JOIN cw w ON w.j = s.j),
+        |codes AS (SELECT id, j, c AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id, j ORDER BY d2, c) AS rn
+        |    FROM enc) t WHERE rn = 1),
+        |lut AS (SELECT s.id AS query_id, s.j, w.c,
+        |    CAST(list_sum(list_transform(range(1, ${Sim5Sub + 1}),
+        |      i -> (s.sub[i] - w.cwv[i]) * (s.sub[i] - w.cwv[i]))) AS BIGINT) AS pd2
+        |  FROM subs s JOIN cw w ON w.j = s.j WHERE s.id % 50 = 0),
+        |adc AS (SELECT l.query_id, c.id AS neighbor_id,
+        |    CAST(sum(l.pd2) AS BIGINT) AS adc_d2
+        |  FROM codes c JOIN lut l ON l.j = c.j AND l.c = c.code
+        |  WHERE c.id <> l.query_id GROUP BY 1, 2),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_d2, neighbor_id) AS rank FROM adc)
+        |SELECT query_id, neighbor_id, adc_d2, rank FROM ranked
+        |WHERE rank <= 5""".stripMargin,
     "sim4_ivf_search" ->
       s"""WITH v AS (SELECT vec_id, label, ${qv("10000")} AS v4, ${qv("1000000")} AS v6
         |  FROM embeddings),

@@ -269,4 +269,65 @@ object Embeddings {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
+
+  /** Product-quantization ANN (ADC form): vectors are compressed to
+    * `m` codebook codes (one per subspace) and queries score against
+    * the CODES, not the vectors — at 100 TB the corpus held in memory
+    * shrinks from `m·subDim` floats to `m` code bytes per vector, and
+    * per-(query, vector) work becomes `m` lookup-table adds instead
+    * of a `dim`-wide dot product. This is the memory story
+    * IVF (scan pruning) and sign-LSH (candidate pruning) don't cover;
+    * real systems stack all three (IVF-PQ).
+    *
+    * Determinism: all distances are exact integers on 1e4-quantized
+    * values; the codebook is the subvectors of the `nTrain` smallest
+    * ids (sampling init — the first step of k-means, run for zero
+    * iterations so both engines derive the identical codebook);
+    * argmin ties break toward the smaller code id. Codes are the
+    * training vector ids (stable, need not be dense).
+    *
+    * Costs at scale: encode is |corpus|·m·nTrain integer ops through
+    * one broadcast join (the codebook is tiny by construction); the
+    * ADC lookup table is |queries|·m·nTrain rows, broadcast; scoring
+    * shuffles only (query, neighbor, partial) triples that aggregate
+    * to m rows per pair via partial aggregation. */
+  def pqTopK(vectors: DataFrame, idCol: String, embCol: String,
+             queryPred: Column, k: Int, m: Int = 8, subDim: Int = 8,
+             nTrain: Int = 16): DataFrame = {
+    val q = cacheTracked(vectors.select(col(idCol).as("id"),
+      quantizeChecked(col(embCol), m * subDim, 1e4).as("v")))
+    // (id, j, sub): the m subvectors of every vector
+    val subs = q.select(col("id"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"),
+          slice(col("v"), j * subDim + 1, subDim).as("sub"))): _*)).as("s"))
+      .select(col("id"), col("s.j").as("j"), col("s.sub").as("sub"))
+    val codebook = subs.filter(col("id") < nTrain)
+      .select(col("j"), col("id").as("c"), col("sub").as("cw"))
+    def subD2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    // encode: nearest codeword per (vector, subspace)
+    val ew = Window.partitionBy("id", "j").orderBy(col("d2").asc, col("c").asc)
+    val codes = subs.join(broadcast(codebook), Seq("j"))
+      .select(col("id"), col("j"), col("c"),
+        subD2(col("sub"), col("cw")).as("d2"))
+      .withColumn("rn", row_number().over(ew)).filter(col("rn") === 1)
+      .select(col("id"), col("j"), col("c").as("code"))
+    // ADC lookup table: query-subvector ↔ codeword partial distances
+    // (queryPred selects query rows by the internal `id` column)
+    val lut = subs.filter(queryPred)
+      .select(col("id").as("query_id"), col("j"), col("sub").as("qsub"))
+      .join(broadcast(codebook), Seq("j"))
+      .select(col("query_id"), col("j"), col("c"),
+        subD2(col("qsub"), col("cw")).as("pd2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_d2").asc, col("neighbor_id").asc)
+    codes.join(broadcast(lut),
+        codes("j") === lut("j") && lut("c") === codes("code"))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("pd2")).as("adc_d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc_d2", "rank")
+  }
 }
