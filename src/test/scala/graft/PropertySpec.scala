@@ -138,4 +138,31 @@ class PropertySpec extends SparkSuite {
     val star = canon(DedupClusters.connectedComponentsStar(nodes, edges))
     assert(prop.size == n && prop == star)
   }
+
+  test("RangeJoin.binned == naive inequality join on generated intervals") {
+    // random points, random (possibly empty/inverted/overlapping)
+    // intervals, random bin width — the binning must be invisible
+    val gen = for {
+      pts <- Gen.listOfN(80, Gen.chooseNum(-500L, 500L))
+      ivs <- Gen.listOfN(40, for {
+        s <- Gen.chooseNum(-500L, 500L)
+        len <- Gen.chooseNum(-50L, 200L) // negative → inverted interval
+      } yield (s, s + len))
+      w <- Gen.oneOf(1L, 7L, 64L, 100L, 1000L)
+    } yield (pts, ivs, w)
+    for (_ <- 1 to 3) {
+      val (pts, ivs, w) = gen.sample.get
+      val points = pts.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("pid", "p")
+      val intervals = ivs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("iid", "s", "e")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("pid", "iid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val binned = canon(graft.ops.RangeJoin.binned(
+        points, col("p"), intervals, col("s"), col("e"), w))
+      val naive = canon(points.join(intervals, col("p") >= col("s") && col("p") < col("e")))
+      assert(binned == naive, s"binWidth=$w")
+    }
+  }
 }

@@ -31,4 +31,24 @@ class SketchSpec extends SparkSuite {
       .first().getLong(0)
     assert(merged == direct)
   }
+
+  test("count-min sketch finds the heavy hitter without exact counting") {
+    // CMS is the bounded-memory frequency sketch for heavy-hitter
+    // screens at 100 TB (exact groupBy counts carry |distinct keys|
+    // through the shuffle; the sketch is fixed-size and mergeable).
+    // Estimates overcount only (collisions add), never undercount.
+    val li = Tables.lineitem(spark, sf)
+    val sketch = li.stat.countMinSketch(col("l_returnflag"),
+      eps = 0.001, confidence = 0.99, seed = 42)
+    val exact = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val heavy = exact.maxBy(_._2)
+    for ((k, n) <- exact) {
+      val est = sketch.estimateCount(k)
+      assert(est >= n, s"CMS undercounted $k: $est < $n")
+      assert(est <= n + (0.001 * exact.values.sum).toLong + 1,
+        s"CMS overcount for $k beyond eps bound: $est vs $n")
+    }
+    assert(exact.keys.maxBy(sketch.estimateCount) == heavy._1)
+  }
 }
