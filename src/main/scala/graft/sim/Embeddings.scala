@@ -291,43 +291,102 @@ object Embeddings {
     * ADC lookup table is |queries|·m·nTrain rows, broadcast; scoring
     * shuffles only (query, neighbor, partial) triples that aggregate
     * to m rows per pair via partial aggregation. */
-  def pqTopK(vectors: DataFrame, idCol: String, embCol: String,
-             queryPred: Column, k: Int, m: Int = 8, subDim: Int = 8,
-             nTrain: Int = 16): DataFrame = {
-    val q = cacheTracked(vectors.select(col(idCol).as("id"),
-      quantizeChecked(col(embCol), m * subDim, 1e4).as("v")))
-    // (id, j, sub): the m subvectors of every vector
-    val subs = q.select(col("id"), explode(array((0 until m).map(j =>
+  private def subD2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** (id, j, sub): the m subvectors of every quantized vector. */
+  private def pqSubs(q: DataFrame, m: Int, subDim: Int): DataFrame =
+    q.select(col("id"), explode(array((0 until m).map(j =>
         struct(lit(j).as("j"),
           slice(col("v"), j * subDim + 1, subDim).as("sub"))): _*)).as("s"))
       .select(col("id"), col("s.j").as("j"), col("s.sub").as("sub"))
-    val codebook = subs.filter(col("id") < nTrain)
+
+  /** Codebook: subvectors of the `nTrain` smallest ids (sampling init,
+    * zero k-means iterations — deterministic on both engines). */
+  private def pqCodebook(subs: DataFrame, nTrain: Int): DataFrame =
+    subs.filter(col("id") < nTrain)
       .select(col("j"), col("id").as("c"), col("sub").as("cw"))
-    def subD2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
-    // encode: nearest codeword per (vector, subspace)
+
+  /** Encode: nearest codeword per (vector, subspace), ties → smaller c. */
+  private def pqCodes(subs: DataFrame, codebook: DataFrame): DataFrame = {
     val ew = Window.partitionBy("id", "j").orderBy(col("d2").asc, col("c").asc)
-    val codes = subs.join(broadcast(codebook), Seq("j"))
+    subs.join(broadcast(codebook), Seq("j"))
       .select(col("id"), col("j"), col("c"),
         subD2(col("sub"), col("cw")).as("d2"))
       .withColumn("rn", row_number().over(ew)).filter(col("rn") === 1)
       .select(col("id"), col("j"), col("c").as("code"))
-    // ADC lookup table: query-subvector ↔ codeword partial distances
-    // (queryPred selects query rows by the internal `id` column)
-    val lut = subs.filter(queryPred)
+  }
+
+  /** ADC lookup table: query-subvector ↔ codeword partial distances
+    * (queryPred selects query rows by the internal `id` column). */
+  private def pqLut(subs: DataFrame, codebook: DataFrame,
+                    queryPred: Column): DataFrame =
+    subs.filter(queryPred)
       .select(col("id").as("query_id"), col("j"), col("sub").as("qsub"))
       .join(broadcast(codebook), Seq("j"))
       .select(col("query_id"), col("j"), col("c"),
         subD2(col("qsub"), col("cw")).as("pd2"))
+
+  private def adcRank(joined: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_d2").asc, col("neighbor_id").asc)
-    codes.join(broadcast(lut),
-        codes("j") === lut("j") && lut("c") === codes("code"))
+    joined
       .filter(col("id") =!= col("query_id"))
       .groupBy(col("query_id"), col("id").as("neighbor_id"))
       .agg(sum(col("pd2")).as("adc_d2"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "adc_d2", "rank")
+  }
+
+  def pqTopK(vectors: DataFrame, idCol: String, embCol: String,
+             queryPred: Column, k: Int, m: Int = 8, subDim: Int = 8,
+             nTrain: Int = 16): DataFrame = {
+    val q = cacheTracked(vectors.select(col(idCol).as("id"),
+      quantizeChecked(col(embCol), m * subDim, 1e4).as("v")))
+    val subs = pqSubs(q, m, subDim)
+    val codebook = pqCodebook(subs, nTrain)
+    val codes = pqCodes(subs, codebook)
+    val lut = pqLut(subs, codebook, queryPred)
+    adcRank(codes.join(broadcast(lut),
+      codes("j") === lut("j") && lut("c") === codes("code")), k)
+  }
+
+  /** IVF-PQ — the stacked form real vector stores deploy: IVF prunes
+    * WHICH vectors a query touches (only the `nprobe` nearest
+    * clusters), PQ shrinks WHAT is touched (m code bytes instead of
+    * `dim` floats). At 100 TB the corpus codes are
+    * partitioned/bucketed by cluster label, the probe list prunes
+    * partitions from the scan, and the scored representation is the
+    * compressed one — both reductions multiply. With
+    * `nprobe = |labels|` this degrades to exactly [[pqTopK]]
+    * (spec-pinned), the same way [[ivfSearch]] degrades to
+    * [[bruteForceTopK]]. */
+  def ivfPqTopK(vectors: DataFrame, idCol: String, embCol: String,
+                labelCol: String, queryPred: Column, k: Int, nprobe: Int,
+                m: Int = 8, subDim: Int = 8, nTrain: Int = 16): DataFrame = {
+    val q = cacheTracked(vectors.select(col(idCol).as("id"),
+      col(labelCol).as("cl"),
+      quantizeChecked(col(embCol), m * subDim, 1e4).as("v")))
+    val subs = pqSubs(q, m, subDim)
+    val codebook = pqCodebook(subs, nTrain)
+    val codes = pqCodes(subs, codebook)
+      .join(q.select(col("id"), col("cl")), Seq("id"))
+    val lut = pqLut(subs, codebook, queryPred)
+    // IVF probe on the full vectors (integer n²·d² centroid metric)
+    val cents = labelCentroids(q, "cl")
+    val pw = Window.partitionBy("query_id").orderBy(col("d2").asc, col("cl").asc)
+    val probed = q.filter(queryPred)
+      .select(col("id").as("query_id"), col("v"))
+      .join(broadcast(cents))
+      .select(col("query_id"), col("cl"), dist2n2.as("d2"))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id").as("p_query_id"), col("cl"))
+    // candidates: codes of probed clusters only, then ADC as in pqTopK
+    adcRank(codes.join(broadcast(probed), Seq("cl"))
+      .join(broadcast(lut),
+        codes("j") === lut("j") && lut("c") === codes("code") &&
+          col("p_query_id") === lut("query_id")), k)
   }
 }

@@ -104,6 +104,27 @@ class SimSpec extends SparkSuite {
       s"(${(truth & approx).size}/${truth.size})")
   }
 
+  test("ivfPqTopK equals pqTopK at full probe; pruned probe stays complete") {
+    val emb = Tables.embeddings(spark, sf)
+    val nLabels = emb.select("label").distinct().count().toInt
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    val full = canon(Embeddings.pqTopK(emb, "vec_id", "embedding",
+      col("id") % 50 === 0, k = 5, m = 16, subDim = 4))
+    val stacked = canon(Embeddings.ivfPqTopK(emb, "vec_id", "embedding", "label",
+      col("id") % 50 === 0, k = 5, nprobe = nLabels, m = 16, subDim = 4))
+    assert(full.nonEmpty && stacked == full)
+    // pruned probe: every query still fills its k slots from the
+    // probed clusters (the approximation changes WHICH neighbors, not
+    // whether results come back)
+    val pruned = canon(Embeddings.ivfPqTopK(emb, "vec_id", "embedding", "label",
+      col("id") % 50 === 0, k = 5, nprobe = 2, m = 16, subDim = 4))
+    val perQuery = pruned.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQuery.values.toSet == Set(5))
+    assert(perQuery.keySet == full.map(_._1).toSet)
+  }
+
   test("nearDupPairs finds planted near-duplicates with high recall") {
     // plant exact copies (cos=1, always collide) and perturbed copies
     // (x*0.9+0.05 → cos≈0.92; per 6-bit table kept with p≈0.44, missed
