@@ -195,6 +195,39 @@ object ExtraQueries {
         .select("event_id", "window_id")
     }),
 
+    // Event-time RANGE window frame: per-user trailing-1-hour totals.
+    // Unlike a ROWS frame, the frame edge is a VALUE bound (peers
+    // enter together), so results are independent of intra-timestamp
+    // order — the form that stays deterministic under shuffle.
+    "w5_range_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourUs = 3600L * 1000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us")).rangeBetween(-hourUs, 0)
+      Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast("decimal(18,6)")).over(w)
+            .cast(DoubleType).as("sum_1h"))
+    }),
+
+    // The full rank family over one total order (value + unique
+    // tiebreaker, so every function is deterministic): rank ==
+    // row_number under a total order, percent_rank/cume_dist are
+    // exact rational-to-double, ntile splits evenly.
+    "a14_rank_family" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).as("quartile"))
+    }),
+
     // Time-series resample with gap fill: hourly buckets per
     // event_type over each series' own [min, max] span, missing hours
     // materialized as zero rows. The grid is generated per group with
@@ -331,6 +364,23 @@ object ExtraQueries {
         |SELECT e.event_id, w.window_id
         |FROM events e JOIN win w
         |  ON epoch_us(e.ts) >= w.start_us AND epoch_us(e.ts) < w.end_us""".stripMargin,
+    "w5_range_window" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "a14_rank_family" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
     "w4_resample" ->
       """WITH agg AS (
         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
