@@ -304,6 +304,19 @@ object PipelineQueries {
         .select("event_id", "user_id", "event_type_u", "value2")
     }),
 
+    // Semi-structured ingestion: parse the JSON props column in the
+    // scan projection (from_json is codegen'd — no shuffle, no UDF;
+    // the read-side twin of the C16 to_json serialization). Malformed
+    // documents yield NULL fields, pandas-coerce style.
+    "e7_props_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          from_json(col("props"), "k INT", Map.empty[String, String])
+            .getField("k").as("k"))
+        .withColumn("k_bucket", expr("k div 10"))
+        .withColumn("k_even", (col("k") % 2 === 0).cast("int"))
+    }),
+
     // Streaming consume of the transactional manifest — the DOWNSTREAM
     // half of the CDC story (s8 is the upstream). Batches commit
     // through TxnManifest (one atomic visibility point each); the
@@ -528,6 +541,12 @@ object PipelineQueries {
     "s8_cdc_loop" ->
       """SELECT event_id, user_id, upper(event_type) AS event_type_u,
         |  value * 2 AS value2 FROM events""".stripMargin,
+    "e7_props_json" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+        |  CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS k_bucket,
+        |  CAST(CAST(json_extract(props, '$.k') AS INTEGER) % 2 = 0 AS INTEGER) AS k_even
+        |FROM events""".stripMargin,
     "st2_manifest_consume" ->
       """SELECT event_id, user_id, lower(event_type) AS event_type_l,
         |  value * 3 AS value3
