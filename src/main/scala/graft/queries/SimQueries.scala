@@ -57,6 +57,16 @@ object SimQueries {
         queryPred = col("id") % 50 === 0, k = 5, m = Sim5M, subDim = Sim5Sub)
     }),
 
+    // IVF-PQ — the stacked ANN form real vector stores deploy: the
+    // probe prunes WHICH vectors a query touches (2 nearest label
+    // centroids), PQ shrinks WHAT is scored (ADC over codes). Both
+    // legs proven separately (sim4, sim5); this gates the composition.
+    "sim6_ivfpq_topk" -> ((s, d) => {
+      Embeddings.ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", queryPred = col("id") % 50 === 0, k = 5, nprobe = 2,
+        m = Sim5M, subDim = Sim5Sub)
+    }),
+
     // Embedding-cosine near-dup (the vector member of the dd family):
     // corpus extended with exact copies (id+2e6) and perturbed copies
     // (id+3e6, x*0.9+0.05 → cosine ≈ 0.92 vs original; natural pairs
@@ -212,6 +222,45 @@ object SimQueries {
         |adc AS (SELECT l.query_id, c.id AS neighbor_id,
         |    CAST(sum(l.pd2) AS BIGINT) AS adc_d2
         |  FROM codes c JOIN lut l ON l.j = c.j AND l.c = c.code
+        |  WHERE c.id <> l.query_id GROUP BY 1, 2),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_d2, neighbor_id) AS rank FROM adc)
+        |SELECT query_id, neighbor_id, adc_d2, rank FROM ranked
+        |WHERE rank <= 5""".stripMargin,
+    "sim6_ivfpq_topk" ->
+      s"""WITH v AS (SELECT vec_id AS id, label, ${qv("10000")} AS v FROM embeddings),
+        |js AS (SELECT unnest(range(0, $Sim5M)) AS j),
+        |subs AS (SELECT id, j,
+        |    list_transform(range(1, ${Sim5Sub + 1}), i -> v[j*$Sim5Sub + i]) AS sub
+        |  FROM v, js),
+        |cw AS (SELECT j, id AS c, sub AS cwv FROM subs WHERE id < 16),
+        |enc AS (SELECT s.id, s.j, w.c,
+        |    CAST(list_sum(list_transform(range(1, ${Sim5Sub + 1}),
+        |      i -> (s.sub[i] - w.cwv[i]) * (s.sub[i] - w.cwv[i]))) AS BIGINT) AS d2
+        |  FROM subs s JOIN cw w ON w.j = s.j),
+        |codes AS (SELECT id, j, c AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id, j ORDER BY d2, c) AS rn
+        |    FROM enc) t WHERE rn = 1),
+        |lut AS (SELECT s.id AS query_id, s.j, w.c,
+        |    CAST(list_sum(list_transform(range(1, ${Sim5Sub + 1}),
+        |      i -> (s.sub[i] - w.cwv[i]) * (s.sub[i] - w.cwv[i]))) AS BIGINT) AS pd2
+        |  FROM subs s JOIN cw w ON w.j = s.j WHERE s.id % 50 = 0),
+        |ncnt AS (SELECT label AS cl, count(*) AS n FROM v GROUP BY 1),
+        |comp AS (SELECT id, label, v, u.i FROM v,
+        |  (SELECT unnest(range(1, ${Sim5M * Sim5Sub + 1})) AS i) u),
+        |csum AS (SELECT label AS cl, i, CAST(sum(v[i]) AS BIGINT) AS si
+        |  FROM comp GROUP BY 1, 2),
+        |qd AS (SELECT c.id AS qid, s.cl,
+        |    CAST(sum((n.n * c.v[c.i] - s.si) * (n.n * c.v[c.i] - s.si)) AS BIGINT) AS d2
+        |  FROM comp c JOIN csum s ON s.i = c.i JOIN ncnt n ON n.cl = s.cl
+        |  WHERE c.id % 50 = 0 GROUP BY 1, 2),
+        |probed AS (SELECT qid, cl FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY d2 ASC, cl ASC) AS pr FROM qd) WHERE pr <= 2),
+        |adc AS (SELECT l.query_id, c.id AS neighbor_id,
+        |    CAST(sum(l.pd2) AS BIGINT) AS adc_d2
+        |  FROM codes c JOIN v cv ON cv.id = c.id
+        |  JOIN probed p ON p.cl = cv.label
+        |  JOIN lut l ON l.j = c.j AND l.c = c.code AND l.query_id = p.qid
         |  WHERE c.id <> l.query_id GROUP BY 1, 2),
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY adc_d2, neighbor_id) AS rank FROM adc)
