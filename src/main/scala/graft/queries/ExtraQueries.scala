@@ -195,6 +195,26 @@ object ExtraQueries {
         .select("event_id", "window_id")
     }),
 
+    // Winsorization (robust clipping for training-data measures): clip
+    // o_totalprice to its global [p01, p99]. The percentile pair is ONE
+    // tiny aggregate broadcast to the scan — never a sort or window
+    // over the fact table (same shape as t8's decile boundaries; the
+    // decimal quantization makes the clip thresholds engine-exact).
+    "c21_winsorize" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val bounds = o.agg(
+        expr("percentile(o_totalprice, 0.01)").cast("decimal(18,6)")
+          .cast(DoubleType).as("lo"),
+        expr("percentile(o_totalprice, 0.99)").cast("decimal(18,6)")
+          .cast(DoubleType).as("hi"))
+      o.crossJoin(broadcast(bounds))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          greatest(least(col("o_totalprice"), col("hi")), col("lo"))
+            .as("price_w"),
+          (col("o_totalprice") < col("lo") || col("o_totalprice") > col("hi"))
+            .cast("int").as("clipped"))
+    }),
+
     // Event-time RANGE window frame: per-user trailing-1-hour totals.
     // Unlike a ROWS frame, the frame edge is a VALUE bound (peers
     // enter together), so results are independent of intra-timestamp
@@ -364,6 +384,15 @@ object ExtraQueries {
         |SELECT e.event_id, w.window_id
         |FROM events e JOIN win w
         |  ON epoch_us(e.ts) >= w.start_us AND epoch_us(e.ts) < w.end_us""".stripMargin,
+    "c21_winsorize" ->
+      """WITH b AS (SELECT
+        |    CAST(CAST(quantile_cont(o_totalprice, 0.01) AS DECIMAL(18,6)) AS DOUBLE) AS lo,
+        |    CAST(CAST(quantile_cont(o_totalprice, 0.99) AS DECIMAL(18,6)) AS DOUBLE) AS hi
+        |  FROM orders)
+        |SELECT o_orderkey, o_totalprice,
+        |  greatest(least(o_totalprice, b.hi), b.lo) AS price_w,
+        |  CAST(o_totalprice < b.lo OR o_totalprice > b.hi AS INTEGER) AS clipped
+        |FROM orders, b""".stripMargin,
     "w5_range_window" ->
       """SELECT event_id, user_id,
         |  count(*) OVER w AS n_1h,
