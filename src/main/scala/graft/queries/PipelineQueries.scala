@@ -332,7 +332,10 @@ object PipelineQueries {
         .createTempDirectory("graft_mc_").toString
       val root = s"$base/data"
       val man = new TxnManifest(s"$base/manifest.tsv")
+      // batches carry only the columns the consumer's transform reads
+      // (a CDC feed ships the sink schema, not the whole source row)
       val slice = (i: Int) => ev.filter(pmod(col("event_id"), lit(4)) === i)
+        .select("event_id", "user_id", "event_type", "value")
       for (i <- 0 to 2) {
         Sinks.appendBatch(slice(i), root, i)
         man.commit(i, Seq(s"$root/batch=$i"))
