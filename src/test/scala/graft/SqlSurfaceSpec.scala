@@ -75,6 +75,34 @@ class SqlSurfaceSpec extends SparkSuite {
     }
   }
 
+  test("GraftExtensions injects the range-join rewrite (conf-gated)") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    withExtensionSession { s =>
+      // parquet inputs: ConvertToLocalRelation would fold the plan
+      val tmp = java.nio.file.Files.createTempDirectory("sql_rr_").toString
+      s.range(0, 400, 5).selectExpr("id AS p").write.parquet(s"$tmp/p")
+      s.range(0, 4).selectExpr("id AS iid", "id * 100 AS s", "id * 100 + 150 AS e")
+        .write.parquet(s"$tmp/i")
+      s.read.parquet(s"$tmp/p").createOrReplaceTempView("rrx_points")
+      s.read.parquet(s"$tmp/i").createOrReplaceTempView("rrx_intervals")
+      val sql = "SELECT p, iid FROM rrx_points JOIN rrx_intervals ON p >= s AND p < e"
+      def loops(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.sparkPlan.collectWithSubqueries {
+          case l: BroadcastNestedLoopJoinExec => l
+          case c: CartesianProductExec => c
+        }
+      val naive = s.sql(sql).collect().map(_.toSeq).sortBy(_.toString)
+      assert(loops(s.sql(sql)).nonEmpty) // conf unset → rule inert
+      s.conf.set(graft.plans.RangeJoinRewrite.BinWidthConf, "100")
+      try {
+        val q = s.sql(sql)
+        assert(loops(q).isEmpty,
+          s"injected rule did not rewrite:\n${q.queryExecution.sparkPlan}")
+        assert(q.collect().map(_.toSeq).sortBy(_.toString).sameElements(naive))
+      } finally s.conf.unset(graft.plans.RangeJoinRewrite.BinWidthConf)
+    }
+  }
+
   test("per-session register() exposes the same functions on a live session") {
     SimHash64.register(spark)
     TopKStructs.register(spark)
