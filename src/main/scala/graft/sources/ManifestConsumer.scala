@@ -18,7 +18,14 @@ import graft.ops.Cdc
   *     at-least-once delivery;
   *   - the batch id rides along, so an idempotent, batch-keyed sink
   *     (`Sinks.appendBatch`) turns at-least-once into exactly-once
-  *     end-to-end, exactly like the producer's watermark protocol.
+  *     end-to-end, exactly like the producer's watermark protocol;
+  *   - ids must be assigned MONOTONICALLY by the producer
+  *     (`Cdc.runLoop`'s watermark-derived ids are): a commit at or
+  *     below a consumer's offset is indistinguishable from the
+  *     crash-retry it is designed to absorb, so it is skipped — a
+  *     producer that backfills an old id under a drained consumer is
+  *     a protocol violation this layer cannot detect (same contract
+  *     as a Kafka consumer and a compacted offset).
   *
   * Why a poll loop and not `spark.readStream`: Spark's file-stream
   * source defines visibility by directory listing, which cannot
