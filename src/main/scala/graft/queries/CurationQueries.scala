@@ -29,6 +29,39 @@ object CurationQueries {
   val queries: Map[String, Q] = Map(
     // Deterministic stratified sample + train/val/test split
     // (~80/10/10 by hash bucket; 10% systematic sample flag).
+    // The operators COMPOSED — one pass of the curation flow a
+    // training-data run actually executes: per-row lang-id + quality
+    // annotation (scan-parallel, zero shuffles) → keep-filter →
+    // exact dedup to canonical docs (the pipeline's ONLY shuffle, on
+    // the content hash) → deterministic split assignment (free
+    // column). Every stage reuses the operator the standalone query
+    // proves (t2/t3/dd1/t5); this row proves the chain.
+    "cur1_curation_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // corpus extended with exact copies of every 100th doc (dd1's
+      // construction) so the dedup stage has real work at every sf;
+      // the 20-token floor cuts the corpus's short tail (~10%)
+      val docs0 = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val docs = docs0.unionAll(docs0.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val (_, _, _, pred) = graft.text.TextAnalysis.langId(col("text"))
+      val fmap = graft.text.TextAnalysis.qualityFeatures(col("text")).toMap
+      val annotated = docs.select(
+        col("doc_id"), col("text"), pred.as("predicted_lang"),
+        fmap("n_tokens").as("n_tokens"))
+      val kept = annotated
+        .filter(col("predicted_lang") === "en" && col("n_tokens") >= 20)
+      val w = Window.partitionBy("h")
+      val b = hashBucket(col("doc_id"))
+      kept.withColumn("h", md5(col("text")))
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id"), col("predicted_lang"), col("n_tokens"),
+          b.as("bucket"),
+          when(b < 204, "train").when(b < 230, "val").otherwise("test")
+            .as("split"))
+    }),
+
     "t5_sample_split" -> ((s, d) => {
       val b = hashBucket(col("doc_id"))
       Tables.documents(s, d).select(col("doc_id"), col("lang"),
@@ -125,6 +158,38 @@ object CurationQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "cur1_curation_pipeline" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |t AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS en_score,
+        |    CAST(len(list_filter(string_split(text,' '), x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_score,
+        |    CAST(len(list_filter(string_split(text,' '), x -> list_contains(['el','la','de','y','es'], x))) AS BIGINT) AS es_score,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+        |  FROM corpus),
+        |ann AS (SELECT doc_id, text, n_tokens,
+        |    CASE WHEN de_score > en_score AND de_score >= es_score THEN 'de'
+        |         WHEN es_score > en_score AND es_score > de_score THEN 'es'
+        |         ELSE 'en' END AS predicted_lang
+        |  FROM t),
+        |kept AS (SELECT * FROM ann
+        |  WHERE predicted_lang = 'en' AND n_tokens >= 20),
+        |ded AS (SELECT *,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+        |  FROM kept)
+        |SELECT doc_id, predicted_lang, n_tokens,
+        |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket,
+        |  CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |            (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 204 THEN 'train'
+        |       WHEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |            (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 230 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM ded WHERE doc_id = canonical_id""".stripMargin,
     "t5_sample_split" ->
       """WITH b AS (
         |  SELECT doc_id, lang,
