@@ -38,7 +38,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   val BinWidthConf = "spark.graft.rangeJoin.binWidth"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = conf.getConfString(BinWidthConf, "0").toLong
+    val raw = conf.getConfString(BinWidthConf, "0")
+    // a malformed conf must name itself, not surface as a bare
+    // NumberFormatException from inside the optimizer
+    val w = try raw.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$BinWidthConf must be a positive long (bin width in point units), got '$raw'")
+    }
     if (w <= 0) plan
     else plan.transformUp {
       case j: Join if j.joinType == Inner && j.condition.isDefined =>
