@@ -182,6 +182,54 @@ class ScaleSpec extends SparkSuite {
       s"expected a bloom might_contain filter in:\n$plan")
   }
 
+  test("dedup-index probe join has no Exchange on the stored side") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the property that makes the index INCREMENTAL: per-batch probe
+    // cost must be O(batch), so the stored band/set tables (bucketed
+    // on their join keys) must stream into the join WITHOUT an
+    // exchange — only the new batch's side may shuffle
+    val tmp = java.nio.file.Files.createTempDirectory("idx_plan_").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    graft.text.DedupIndex.ingestBatch(docs, "doc_id", "text", tmp, 0)
+    val (bands, sets) = graft.text.DedupIndex
+      .storedView(spark, tmp, excludeBatch = 99).get
+    // non-constant band, or constant-folding turns the band join key
+    // into a stored-side filter and the assertion tests the wrong join
+    val probeBands = docs.limit(50)
+      .select(md5($"text").as("key"), ($"doc_id" % 4).cast("int").as("band"),
+        $"doc_id".as("x"))
+    val probePairs = docs.limit(50).select($"doc_id".as("a"))
+    // exchange placement happens in EnsureRequirements → must read the
+    // executedPlan, with AQE off so it is not an opaque adaptive leaf
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((name, joined) <- Seq(
+        "bands" -> probeBands.join(bands, Seq("band", "key")),
+        "sets"  -> probePairs.join(sets.withColumnRenamed("id", "a"), Seq("a")))) {
+        val plan = joined.queryExecution.executedPlan
+        val storedShuffles = plan.collectWithSubqueries {
+          case e: ShuffleExchangeExec if e.exists {
+            case f: FileSourceScanExec =>
+              f.relation.location.rootPaths.exists(_.toString.contains(tmp))
+            case _ => false
+          } => e
+        }
+        assert(storedShuffles.isEmpty,
+          s"$name: stored index side is shuffled — bucketing lost:\n$plan")
+        // and the join is keyed, not broadcast-degraded to a loop
+        val anyShuffle = plan.collectWithSubqueries {
+          case e: ShuffleExchangeExec => e }
+        assert(anyShuffle.nonEmpty,
+          s"$name: expected the probe side to shuffle to the bucket count:\n$plan")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS bspec_left")
     spark.sql("DROP TABLE IF EXISTS bspec_right")
