@@ -304,6 +304,35 @@ object PipelineQueries {
         .select("event_id", "user_id", "event_type_u", "value2")
     }),
 
+    // Row-level MERGE/upsert on the manifest layer — the reference's
+    // watermark MERGE (`accounts.py:131-140`) and Sync-table upsert
+    // write shape. Two committed halves; the update batch touches only
+    // even keys, so the merge copy-on-writes batch=0 and leaves
+    // batch=1's entry untouched (the partial-rewrite commit the
+    // SourcesSpec pins); insert-only rows ride the same new dir. The
+    // oracle is the MERGE postcondition in plain SQL.
+    "s9_merge_upsert" -> ((s, d) => {
+      import graft.sources.{Sinks, TxnManifest}
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s9_").toString
+      val root = s"$base/t"
+      val man = new TxnManifest(s"$base/manifest.tsv")
+      for (i <- 0 to 1) {
+        Sinks.appendBatch(o.filter(pmod(col("o_orderkey"), lit(2)) === i), root, i)
+        man.commit(i, Seq(s"$root/batch=$i"))
+      }
+      val updates = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+        .unionAll(o.filter(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice")))
+      Sinks.mergeUpsert(s, updates, root, man, Seq("o_orderkey"), mergeId = 2)
+      Sinks.readCommitted(s, root, man)
+    }),
+
     // Semi-structured ingestion: parse the JSON props column in the
     // scan projection (from_json is codegen'd — no shuffle, no UDF;
     // the read-side twin of the C16 to_json serialization). Malformed
@@ -544,6 +573,21 @@ object PipelineQueries {
     "s8_cdc_loop" ->
       """SELECT event_id, user_id, upper(event_type) AS event_type_u,
         |  value * 2 AS value2 FROM events""".stripMargin,
+    "s9_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'X' AS o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey,
+        |    'N' AS o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 1000 = 0)
+        |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM base b
+        |WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd""".stripMargin,
     "e7_props_json" ->
       """SELECT event_id, event_type,
         |  CAST(json_extract(props, '$.k') AS INTEGER) AS k,

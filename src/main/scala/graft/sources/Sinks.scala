@@ -111,6 +111,72 @@ object Sinks {
     manifest.replaceAll(root, compactId, Seq(target))
   }
 
+  /** Row-level MERGE (upsert) on the manifest layer — Delta
+    * `MERGE INTO ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    * THEN INSERT *` semantics on plain parquet, the write shape behind
+    * the reference's watermark MERGE (`accounts.py:131-140`) and Sync
+    * upserts (`categories.py:84,128`).
+    *
+    * Copy-on-write at batch-dir granularity:
+    *   1. find the committed dirs that CONTAIN a matched key (one
+    *      semi-join pass with `input_file_name`; the updates side is
+    *      batch-sized and broadcasts) — unaffected dirs are never read
+    *      again nor rewritten;
+    *   2. rewrite = (affected dirs' rows anti-joined on `keys`)
+    *      ∪ updates, written as ONE new batch dir (insert-only rows
+    *      land there too);
+    *   3. one atomic [[TxnManifest.replaceDirs]] commit swaps exactly
+    *      the affected entries for the new dir. A crash before the
+    *      commit leaves the old view; the orphan dir is vacuumable.
+    *
+    * Updates must be UNIQUE on `keys` (two source rows matching one
+    * target row is ambiguous — same loud error Delta raises). Matched
+    * rows are replaced WHOLE (UPDATE SET *); new columns in `updates`
+    * evolve the schema additively, NULL-filled for kept rows.
+    *
+    * At 100 TB the affected-dir probe is the piece to upgrade: per-dir
+    * key min/max (or bloom) stats prune without the scan — the same
+    * data-skipping Delta keeps in its log. The commit shape is already
+    * O(affected), not O(table).
+    *
+    * @param mergeId batch id for the rewritten output; must not
+    *   collide with a live batch id. */
+  def mergeUpsert(spark: org.apache.spark.sql.SparkSession, updates: DataFrame,
+                  root: String, manifest: TxnManifest, keys: Seq[String],
+                  mergeId: Int): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, count, input_file_name, lit}
+    val dirs = manifest.committedDirs(root)
+    require(dirs.nonEmpty, s"nothing committed under $root to merge into")
+    val target = s"$root/batch=$mergeId"
+    require(!dirs.contains(target), s"mergeId $mergeId is a live batch")
+    val keyCols = keys.map(col)
+
+    val dup = updates.groupBy(keyCols: _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"updates are not unique on (${keys.mkString(", ")}): e.g. " +
+        dup.headOption.map(_.toString).getOrElse(""))
+
+    val keysOnly = updates.select(keyCols: _*)
+    val current = spark.read.option("mergeSchema", true).parquet(dirs: _*)
+    // input_file_name yields URIs (file:///…); manifest dirs are plain
+    // paths — normalize both sides before the prefix match
+    def pathOf(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val affectedFiles = current.withColumn("__file", input_file_name())
+      .join(broadcast(keysOnly), keys, "left_semi")
+      .select("__file").distinct().collect().map(r => pathOf(r.getString(0)))
+    val affectedDirs = dirs.filter(d =>
+      affectedFiles.exists(_.startsWith(pathOf(d) + "/")))
+
+    val kept =
+      if (affectedDirs.isEmpty) updates.limit(0) // pure insert
+      else spark.read.option("mergeSchema", true).parquet(affectedDirs: _*)
+        .join(broadcast(keysOnly), keys, "left_anti")
+    val merged = kept.unionByName(updates, allowMissingColumns = true)
+    merged.write.mode(SaveMode.Overwrite).parquet(target)
+    manifest.replaceDirs(affectedDirs.toSet, mergeId, Seq(target))
+  }
+
   /** Remove `batch=N` directories under `root` that NO manifest entry
     * names — crash orphans and compacted-away inputs. Deliberately
     * restricted to the batch-dir layout so a mis-pointed root cannot

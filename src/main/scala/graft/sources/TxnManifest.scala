@@ -48,13 +48,26 @@ final class TxnManifest(path: String) {
     * so readers see the pre- or post-compaction view, never a mix.
     * Entries' dirs under OTHER roots (a dual-write manifest) are
     * preserved; entries left empty disappear. */
-  def replaceAll(root: String, batchId: Int, dirs: Seq[String]): Unit = {
+  def replaceAll(root: String, batchId: Int, dirs: Seq[String]): Unit =
+    replaceWith(_.startsWith(root + "/"), batchId, dirs,
+      s"pick a fresh id for the compacted output")
+
+  /** Partial-rewrite commit (row-level MERGE): atomically un-name ONLY
+    * `removed` and name `dirs` as batch `batchId` — entries for
+    * untouched dirs survive, so a merge that rewrites 2 of 500 batch
+    * dirs commits a 2-dir swap, not a table rewrite. One rename:
+    * readers see the pre- or post-merge view, never a mix. */
+  def replaceDirs(removed: Set[String], batchId: Int, dirs: Seq[String]): Unit =
+    replaceWith(removed.contains, batchId, dirs,
+      s"pick a fresh id for the merge output")
+
+  private def replaceWith(drop: String => Boolean, batchId: Int,
+                          dirs: Seq[String], hint: String): Unit = {
     val pruned = committed().view
-      .mapValues(_.filterNot(_.startsWith(root + "/")))
+      .mapValues(_.filterNot(drop))
       .filter(_._2.nonEmpty).toMap
     require(!pruned.contains(batchId),
-      s"batch id $batchId still names dirs outside $root — " +
-        "pick a fresh id for the compacted output")
+      s"batch id $batchId still names other dirs — $hint")
     writeAll(pruned + (batchId -> dirs))
   }
 

@@ -162,6 +162,65 @@ class SourcesSpec extends SparkSuite {
     assert(ManifestConsumer.pollCoalesced(spark, man, root, store2, "cc")((_, _) => fail()).isEmpty)
   }
 
+  test("mergeUpsert: partial rewrite, crash window, insert-only, dup guard") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge_spec_").toString
+    val root = s"$tmp/t"
+    val man = new TxnManifest(s"$tmp/_commits")
+    // two committed halves: evens in batch=0, odds in batch=1
+    val rows = (1L to 100L).map(i => (i, s"v$i", i * 10.0)).toDF("id", "v", "m")
+    Sinks.appendBatch(rows.filter($"id" % 2 === 0), root, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+    Sinks.appendBatch(rows.filter($"id" % 2 === 1), root, 1)
+    man.commit(1, Seq(s"$root/batch=1"))
+
+    // crash window: the merged dir lands but the process dies before
+    // the manifest swap — readers keep the pre-merge view
+    Sinks.appendBatch(Seq((2L, "torn", 0.0)).toDF("id", "v", "m"), root, 2)
+    val preMerge = Sinks.readCommitted(spark, root, man)
+    assert(preMerge.count() == 100)
+    assert(preMerge.filter($"v" === "torn").isEmpty)
+
+    // the real merge (same mergeId — overwrites the orphan): updates
+    // touch only EVEN ids + one brand-new id
+    val updates = Seq((2L, "u2", -2.0), (4L, "u4", -4.0), (999L, "new", 0.0))
+      .toDF("id", "v", "m")
+    Sinks.mergeUpsert(spark, updates, root, man, Seq("id"), mergeId = 2)
+
+    // partial rewrite: only batch=0 (evens) was affected; batch=1's
+    // entry survives the commit untouched
+    assert(man.committedDirs(root).toSet ==
+      Set(s"$root/batch=1", s"$root/batch=2"))
+    val after = Sinks.readCommitted(spark, root, man)
+    assert(after.count() == 101)
+    assert(after.filter($"id" === 2).select("v").head().getString(0) == "u2")
+    assert(after.filter($"id" === 4).select("m").head().getDouble(0) == -4.0)
+    assert(after.filter($"id" === 999).count() == 1)
+    assert(after.filter($"id" === 3).select("v").head().getString(0) == "v3")
+
+    // pure insert: no key matches → no dir rewritten, old entries stay
+    Sinks.mergeUpsert(spark, Seq((1000L, "ins", 1.0)).toDF("id", "v", "m"),
+      root, man, Seq("id"), mergeId = 3)
+    assert(man.committedDirs(root).toSet ==
+      Set(s"$root/batch=1", s"$root/batch=2", s"$root/batch=3"))
+    assert(Sinks.readCommitted(spark, root, man).count() == 102)
+
+    // ambiguous source: two update rows for one key fail loudly
+    intercept[IllegalArgumentException] {
+      Sinks.mergeUpsert(spark,
+        Seq((6L, "a", 0.0), (6L, "b", 0.0)).toDF("id", "v", "m"),
+        root, man, Seq("id"), mergeId = 4)
+    }
+
+    // schema evolution through the merge: a new column arrives with
+    // the updates; kept rows serve NULL in it
+    val evolved = Seq((8L, "u8", -8.0, "extra")).toDF("id", "v", "m", "note")
+    Sinks.mergeUpsert(spark, evolved, root, man, Seq("id"), mergeId = 5)
+    val withNote = Sinks.readCommitted(spark, root, man)
+    assert(withNote.columns.toSet == Set("id", "v", "m", "note"))
+    assert(withNote.filter($"id" === 8).select("note").head().getString(0) == "extra")
+    assert(withNote.filter($"note".isNull).count() == 101)
+  }
+
   test("compact + vacuum: atomic re-point, orphan cleanup, dual-root safety") {
     val tmp = java.nio.file.Files.createTempDirectory("sinks_compact_").toString
     val manifest = new TxnManifest(s"$tmp/_commits")
