@@ -164,6 +164,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     // opt-in via spark.graft.rangeJoin.binWidth (see RangeJoinRewrite)
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    // per-join width: the RANGE_JOIN(w) hint — analyzer-time, because
+    // unrecognized hints are stripped before the optimizer runs
+    ext.injectResolutionRule(_ => RangeJoinHint)
     ext.injectFunction((FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => {

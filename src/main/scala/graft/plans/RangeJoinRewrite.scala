@@ -23,7 +23,10 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * long (in the point column's units; pick ≈ the typical interval
   * length). Unset/0 disables the rule — bin width is a physical
   * tuning knob the engine cannot infer without interval statistics,
-  * so it is opt-in, like the Databricks hint. Applies only to INNER
+  * so it is opt-in, like the Databricks hint. Per-join widths (two
+  * interval joins at different time scales in one query) go through
+  * the [[RangeJoinHint]] `RANGE_JOIN(w)` hint, which wins
+  * over this conf for the join it wraps. Applies only to INNER
   * joins whose bound columns are integral (epoch-quantized time goes
   * through `unix_micros` first, like everything oracle-matched in
   * this repo); rows with NULL in point or bounds match nothing under
@@ -70,7 +73,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => false
     })
 
-  private def rewrite(j: Join, w: Long): Option[LogicalPlan] = {
+  private[plans] def rewrite(j: Join, w: Long): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(j.condition.get)
 
     // a cross-side equality means the planner already has a hash key —

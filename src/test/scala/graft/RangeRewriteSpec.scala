@@ -81,6 +81,57 @@ class RangeRewriteSpec extends SparkSuite {
     }
   }
 
+  test("RANGE_JOIN hint: two interval joins in one plan, each at its own width") {
+    withExtensionSession { s =>
+      // parquet inputs: ConvertToLocalRelation would fold local plans
+      val tmp = java.nio.file.Files.createTempDirectory("rr_hint_").toString
+      s.range(0, 400, 5).selectExpr("id AS p").write.parquet(s"$tmp/p")
+      s.range(0, 4).selectExpr("id AS iid", "id * 100 AS s1", "id * 100 + 150 AS e1")
+        .write.parquet(s"$tmp/i1")
+      // second interval table at a 100× coarser scale — one global bin
+      // width cannot fit both joins
+      s.range(0, 4).selectExpr("id AS jid", "id * 10000 - 20000 AS s2",
+        "id * 10000 - 5000 AS e2").write.parquet(s"$tmp/i2")
+      val p  = s.read.parquet(s"$tmp/p")
+      val i1 = s.read.parquet(s"$tmp/i1")
+      val i2 = s.read.parquet(s"$tmp/i2")
+
+      def naive = p.join(i1, col("p") >= col("s1") && col("p") < col("e1"))
+        .join(i2, col("p") >= col("s2") && col("p") < col("e2"))
+      val expected = naive.select("p", "iid", "jid").orderBy("p", "iid", "jid")
+        .collect().map(_.toSeq).toSeq
+      assert(expected.nonEmpty && loopJoins(naive).nonEmpty) // baseline loops
+
+      val hinted = p.join(i1, col("p") >= col("s1") && col("p") < col("e1"))
+        .hint("range_join", 100L)
+        .join(i2, col("p") >= col("s2") && col("p") < col("e2"))
+        .hint("range_join", 10000L)
+      assert(hinted.select("p", "iid", "jid").orderBy("p", "iid", "jid")
+        .collect().map(_.toSeq).toSeq == expected)
+      assert(loopJoins(hinted).isEmpty,
+        s"hinted joins still loop:\n${hinted.queryExecution.sparkPlan}")
+      // each join binned at ITS width: the bin arithmetic (x div w)
+      // must appear with both widths in the optimized plan
+      val optimized = hinted.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("div 100)"), s"no 100-wide bin in:\n$optimized")
+      assert(optimized.contains("div 10000)"), s"no 10000-wide bin in:\n$optimized")
+
+      // SQL hint form binds too
+      p.createOrReplaceTempView("rrh_points")
+      i1.createOrReplaceTempView("rrh_intervals")
+      val viaSql = s.sql("""SELECT /*+ RANGE_JOIN(100) */ p, iid
+        |FROM rrh_points JOIN rrh_intervals ON p >= s1 AND p < e1""".stripMargin)
+      assert(loopJoins(viaSql).isEmpty,
+        s"SQL hint ignored:\n${viaSql.queryExecution.sparkPlan}")
+
+      // malformed hint fails loudly at analysis, not silently mis-bins
+      intercept[Exception] {
+        p.join(i1, col("p") >= col("s1") && col("p") < col("e1"))
+          .hint("range_join", "wide").queryExecution.analyzed
+      }
+    }
+  }
+
   test("joins with an equi-key or non-integral bounds are left untouched") {
     withRule(100L) {
       val equi = points.join(intervals,

@@ -15,4 +15,32 @@ trait SparkSuite extends AnyFunSuite {
     .getOrCreate()
 
   val sf = "/root/testdata/sf0.001"
+
+  /** A genuinely NEW session built with GraftExtensions, over the same
+    * SparkContext as the shared suite session (getOrCreate returns the
+    * existing session unless active+default are cleared first). */
+  def withExtensionSession[A](f: SparkSession => A): A = {
+    val prev = spark // force the shared session (and its context) first
+    // `spark.sql.extensions` is a STATIC conf: a new session over an
+    // existing SparkContext resolves it from the CONTEXT's conf (the
+    // builder option would be ignored) — exactly how a cluster deploy
+    // passes it via spark-submit --conf. Pin it for the test's scope.
+    org.apache.spark.graftbridge.TestConfBridge.set(prev.sparkContext,
+      "spark.sql.extensions", classOf[graft.plans.GraftExtensions].getName)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+      assert(s ne prev, "expected a fresh session with extensions applied")
+      f(s)
+    } finally {
+      org.apache.spark.graftbridge.TestConfBridge.remove(
+        prev.sparkContext, "spark.sql.extensions")
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 import graft.expressions.{SimHash64, TopKStructs}
 import graft.plans.GraftExtensions
 
@@ -13,33 +11,7 @@ import graft.plans.GraftExtensions
 class SqlSurfaceSpec extends SparkSuite {
   import spark.implicits._
 
-  /** A genuinely NEW session built with GraftExtensions, over the same
-    * SparkContext as the shared suite session (getOrCreate returns the
-    * existing session unless active+default are cleared first). */
-  private def withExtensionSession[A](f: SparkSession => A): A = {
-    val prev = spark // force the shared session (and its context) first
-    // `spark.sql.extensions` is a STATIC conf: a new session over an
-    // existing SparkContext resolves it from the CONTEXT's conf (the
-    // builder option would be ignored) — exactly how a cluster deploy
-    // passes it via spark-submit --conf. Pin it for the test's scope.
-    org.apache.spark.graftbridge.TestConfBridge.set(prev.sparkContext,
-      "spark.sql.extensions", classOf[GraftExtensions].getName)
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    try {
-      val s = SparkSession.builder()
-        .master("local[4]")
-        .config("spark.sql.shuffle.partitions", "4")
-        .getOrCreate()
-      assert(s ne prev, "expected a fresh session with extensions applied")
-      f(s)
-    } finally {
-      org.apache.spark.graftbridge.TestConfBridge.remove(
-        prev.sparkContext, "spark.sql.extensions")
-      SparkSession.setDefaultSession(prev)
-      SparkSession.setActiveSession(prev)
-    }
-  }
+  // withExtensionSession lives in SparkSuite (shared with RangeRewriteSpec)
 
   test("GraftExtensions injects simhash64 + top_k into pure SQL") {
     withExtensionSession { s =>
