@@ -24,8 +24,10 @@ object Bench {
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
-          case e: Throwable if !record => // re-fails (and is recorded) in the timed pass
-          case e: Throwable =>
+          // NonFatal only: an OOM/dying JVM must propagate, not be
+          // masked until the timed pass fails confusingly downstream
+          case scala.util.control.NonFatal(e) if !record => // re-fails (and is recorded) in the timed pass
+          case scala.util.control.NonFatal(e) =>
             failed ::= name
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }

@@ -41,8 +41,25 @@ object DocQueries {
     * (recorded) pass would time dd2/dd6/dd8 as counts over the
     * discarded pass's checkpoint — measuring nothing. Within one pass
     * the sharing stands (first consumer pays, the rest ride), which is
-    * the intended 100 TB shape. */
-  def resetPairCache(): Unit = pairCache.clear()
+    * the intended 100 TB shape.
+    *
+    * Each cached frame's localCheckpoint blocks are unpersisted before
+    * the map is cleared (same discipline as
+    * [[graft.text.DedupClusters]]'s freeCheckpoint): clearing the memo
+    * alone would leave the blocks in executor storage until GC + the
+    * context cleaner notice, so a session that resets repeatedly —
+    * Bench's pass boundary included — would accrete dead checkpoint
+    * blocks unboundedly. */
+  def resetPairCache(): Unit = {
+    pairCache.values().forEach { df =>
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false); ()
+        case _ => ()
+      }
+    }
+    pairCache.clear()
+  }
   private def verifiedPairs(s: SparkSession, d: String): DataFrame =
     pairCache.computeIfAbsent((s, d), { case (sess, dir) =>
       MinHash.nearDupPairs(dedupCorpus(sess, dir), "doc_id", "text",

@@ -180,13 +180,24 @@ object Sinks {
   /** Remove `batch=N` directories under `root` that NO manifest entry
     * names — crash orphans and compacted-away inputs. Deliberately
     * restricted to the batch-dir layout so a mis-pointed root cannot
-    * delete arbitrary data. Returns the deleted directory names. */
-  def vacuum(root: String, manifest: TxnManifest): Seq[String] = {
+    * delete arbitrary data. Returns the deleted directory names.
+    *
+    * `graceMillis` is the Delta-VACUUM-style retention check: a
+    * directory modified within the grace window is skipped, because a
+    * concurrent producer sits in exactly that state between
+    * `appendBatch` (data landed) and `manifest.commit` (dir named) —
+    * vacuuming inside that window would let the producer commit a
+    * pointer to a deleted directory. Pass 0 only when no writer can be
+    * in flight (tests, exclusive maintenance). */
+  def vacuum(root: String, manifest: TxnManifest,
+             graceMillis: Long = 24L * 3600 * 1000): Seq[String] = {
     val live = manifest.committedDirs(root).toSet
+    val cutoff = System.currentTimeMillis() - graceMillis
     val rootDir = new java.io.File(root)
     val candidates = Option(rootDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
       .filterNot(f => live.contains(s"$root/${f.getName}"))
+      .filter(_.lastModified() <= cutoff)
     candidates.foreach { dir =>
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq.reverse

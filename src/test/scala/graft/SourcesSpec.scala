@@ -239,12 +239,18 @@ class SourcesSpec extends SparkSuite {
     assert(manifest.committedDirs(s"$tmp/fact") == Seq(s"$tmp/fact/batch=100"))
     assert(Sinks.readCommitted(spark, s"$tmp/sync", manifest).count() == 3)
 
-    // vacuum removes the compacted-away inputs AND the orphan, keeps live dirs
-    val deleted = Sinks.vacuum(s"$tmp/fact", manifest).sorted
+    // the default grace period protects freshly-written dirs: a
+    // concurrent producer between appendBatch and commit sits exactly
+    // there, so nothing this young may be deleted
+    assert(Sinks.vacuum(s"$tmp/fact", manifest).isEmpty)
+
+    // with grace waived (no in-flight writers), vacuum removes the
+    // compacted-away inputs AND the orphan, keeps live dirs
+    val deleted = Sinks.vacuum(s"$tmp/fact", manifest, graceMillis = 0).sorted
     assert(deleted == Seq("batch=0", "batch=1", "batch=2", "batch=7"))
     assert(Sinks.readCommitted(spark, s"$tmp/fact", manifest).count() == 3)
-    assert(Sinks.vacuum(s"$tmp/fact", manifest).isEmpty) // idempotent
-    assert(Sinks.vacuum(s"$tmp/sync", manifest).isEmpty) // all sync dirs live
+    assert(Sinks.vacuum(s"$tmp/fact", manifest, graceMillis = 0).isEmpty) // idempotent
+    assert(Sinks.vacuum(s"$tmp/sync", manifest, graceMillis = 0).isEmpty) // all sync dirs live
 
     // a compact id that still names other-root dirs is rejected
     intercept[IllegalArgumentException] {
