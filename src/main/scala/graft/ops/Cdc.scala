@@ -72,12 +72,13 @@ object Cdc {
     def read(table: String): Long = load().getOrElse(table, initial)
 
     /** MERGE-equivalent upsert (`accounts.py:131-140`): read-modify-write
-      * of the (tiny) state, committed as write-temp-file +
-      * `Files.move(ATOMIC_MOVE)`. A crash leaves either the old or the
-      * new manifest intact — never neither (the round-1 delete+rename
-      * DIRECTORY swap had a window that lost the state and forced a
-      * reprocess-from-initial on restart; a single-file rename is the
-      * POSIX-atomic primitive). */
+      * of the (tiny) state, committed as write-temp-file + Hadoop
+      * `FileContext.rename(OVERWRITE)` (atomic on POSIX and HDFS; see
+      * [[graft.util.AtomicText]] for the object-store caveat). A crash
+      * leaves either the old or the new manifest intact — never
+      * neither (the round-1 delete+rename DIRECTORY swap had a window
+      * that lost the state and forced a reprocess-from-initial on
+      * restart; a single-file rename is the atomic primitive). */
     def upsert(table: String, maxIndex: Long): Unit = {
       AtomicText.requireCleanKey(table, "watermark table name")
       val updated = load() + (table -> maxIndex)

@@ -191,20 +191,29 @@ object Sinks {
     * in flight (tests, exclusive maintenance). */
   def vacuum(root: String, manifest: TxnManifest,
              graceMillis: Long = 24L * 3600 * 1000): Seq[String] = {
+    import org.apache.hadoop.fs.{FileContext, Path}
     val live = manifest.committedDirs(root).toSet
     val cutoff = System.currentTimeMillis() - graceMillis
-    val rootDir = new java.io.File(root)
-    val candidates = Option(rootDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .filterNot(f => live.contains(s"$root/${f.getName}"))
-      .filter(_.lastModified() <= cutoff)
-    candidates.foreach { dir =>
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
-    candidates.map(_.getName).toSeq
+    val rootPath = new Path(root)
+    val fc =
+      if (rootPath.toUri.getScheme == null)
+        FileContext.getFileContext(spark2HadoopConf)
+      else FileContext.getFileContext(rootPath.toUri, spark2HadoopConf)
+    if (!fc.util().exists(rootPath)) return Nil
+    val candidates = fc.util().listStatus(rootPath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filterNot(st => live.contains(s"$root/${st.getPath.getName}"))
+      .filter(_.getModificationTime <= cutoff)
+    candidates.foreach(st => fc.delete(st.getPath, /* recursive = */ true))
+    candidates.map(_.getPath.getName).toSeq
   }
+
+  /** Active session's Hadoop conf when one exists; defaults otherwise
+    * (same resolution as [[graft.util.AtomicText]]). */
+  private def spark2HadoopConf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
 
   /** Manifest-resolved read: only directories the manifest has
     * committed are scanned, so orphan dirs from a crashed batch are

@@ -1,45 +1,84 @@
 package graft.util
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.EnumSet
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path}
+import org.apache.spark.sql.SparkSession
 
 /** Tiny-state text files with crash-atomic replacement — the commit
   * primitive under [[graft.ops.Cdc.WatermarkStore]] (S9) and
   * [[graft.sources.TxnManifest]] (S11). At production scale both become
   * a transactional table (Delta `MERGE INTO` / `_delta_log`); offline,
-  * a single-file `Files.move(ATOMIC_MOVE)` is the POSIX-atomic
-  * equivalent: a crash leaves the old or the new file intact, never
-  * neither and never a torn mix.
+  * a single-file rename is the atomic equivalent: a crash leaves the
+  * old or the new file intact, never neither and never a torn mix.
+  *
+  * All IO goes through the Hadoop [[FileContext]] API, so the same
+  * code serves `file:` in this sandbox and `hdfs:`/`viewfs:` on a
+  * cluster — `FileContext.rename(OVERWRITE)` is atomic on both (POSIX
+  * rename / HDFS namespace op), and unlike the `FileSystem` facade,
+  * `FileContext` binds `file:` to [[org.apache.hadoop.fs.RawLocalFs]],
+  * so no `.crc` sidecars are written that a raw rename would orphan.
+  * OBJECT-STORE CAVEAT: on `s3a:` and friends rename is
+  * copy-then-delete, NOT atomic — there the manifest must live on a
+  * real filesystem (HDFS, DBFS) or be replaced by a log-based commit
+  * service (the `_delta_log` shape this layer mirrors); the same
+  * caveat Delta documents for S3 multi-writer.
   */
 object AtomicText {
+
+  /** Active session's Hadoop conf when one exists (carries scheme
+    * configs/credentials on a cluster); plain defaults otherwise. */
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def contextFor(p: Path): FileContext = {
+    val uri = p.toUri
+    if (uri.getScheme == null) FileContext.getFileContext(hadoopConf)
+    else FileContext.getFileContext(uri, hadoopConf)
+  }
 
   /** All non-empty lines of `path`; Nil when absent. A path that
     * exists but is NOT a regular file (e.g. a state DIRECTORY left by
     * an older layout) fails with a migration hint instead of an opaque
-    * `IOException` from `readAllLines`. */
+    * `IOException` from the open. */
   def readLines(path: String): Seq[String] = {
-    val p = Paths.get(path)
-    if (!Files.exists(p)) Nil
-    else if (!Files.isRegularFile(p))
+    val p = new Path(path)
+    val fc = contextFor(p)
+    if (!fc.util().exists(p)) Nil
+    else if (!fc.getFileStatus(p).isFile)
       throw new IllegalStateException(
         s"state path $path exists but is not a regular file — " +
           "legacy directory-format state found; delete or migrate it")
     else {
-      import scala.jdk.CollectionConverters._
-      Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
-        .filter(_.nonEmpty)
+      val in = fc.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, StandardCharsets.UTF_8)
+          .split('\n').toSeq.filter(_.nonEmpty)
+      } finally in.close()
     }
   }
 
   /** Replace `path` with `body`: write a sibling temp file, then one
-    * atomic rename. Creates parent directories as needed. */
+    * atomic rename (`FileContext.rename(OVERWRITE)`). Creates parent
+    * directories as needed. */
   def writeAtomically(path: String, body: String): Unit = {
-    val target = Paths.get(path)
-    if (target.getParent != null) Files.createDirectories(target.getParent)
-    val tmp = Paths.get(path + ".tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val target = new Path(path)
+    val fc = contextFor(target)
+    val tmp = new Path(path + ".tmp")
+    val out = fc.create(tmp,
+      EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+      Options.CreateOpts.createParent())
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    fc.rename(tmp, target, Options.Rename.OVERWRITE)
     ()
   }
 
