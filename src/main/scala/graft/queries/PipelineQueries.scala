@@ -387,6 +387,52 @@ object PipelineQueries {
         .select("event_id", "user_id", "event_type_l", "value3")
     }),
 
+    // The DSv2 twin of st2: the SAME manifest-gated visibility, but
+    // consumed through the planner — `readStream.format("graft-manifest")`
+    // (graft.sources.GraftManifestProvider, the engine's sixth Catalyst
+    // extension surface). Offsets are manifest batch ids held in
+    // Spark's checkpoint WAL, so the late-committed batch arrives as
+    // its own micro-batch and the uncommitted orphan (a duplicate of
+    // slice 3 — it would break the hash match if visibility leaked)
+    // is never read. The parquet streaming sink's _spark_metadata log
+    // makes the read-back exactly-once.
+    "st3_manifest_stream" -> ((s, d) => {
+      import graft.sources.{Sinks, TxnManifest}
+      val ev = Tables.events(s, d)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_ms_").toString
+      val root = s"$base/data"
+      val manPath = s"$base/manifest.tsv"
+      val man = new TxnManifest(manPath)
+      val slice = (i: Int) => ev.filter(pmod(col("event_id"), lit(4)) === i)
+        .select("event_id", "user_id", "event_type", "value")
+      for (i <- 0 to 2) {
+        Sinks.appendBatch(slice(i), root, i)
+        man.commit(i, Seq(s"$root/batch=$i"))
+      }
+      Sinks.appendBatch(slice(3), root, 7) // crash orphan — stays invisible
+      val outDir = s"$base/out"
+      val q = s.readStream.format("graft-manifest")
+        .option("manifest", manPath).load(root)
+        .select(col("event_id"), col("user_id"),
+          lower(col("event_type")).as("event_type_l"),
+          (col("value") * 3).as("value3"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try {
+        q.processAllAvailable()
+        // a batch commits while the stream is LIVE: the next trigger
+        // plans ids in (prevOffset, latest] — only the new batch
+        Sinks.appendBatch(slice(3), root, 9)
+        man.commit(9, Seq(s"$root/batch=9"))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(outDir)
+        .select("event_id", "user_id", "event_type_l", "value3")
+    }),
+
     // Event-time tumbling-window aggregation — batch form of the
     // Structured Streaming query in `graft.streaming` (SURVEY §2.9:
     // the reference's poll loop is hand-rolled micro-batching; this is
@@ -595,6 +641,10 @@ object PipelineQueries {
         |  CAST(CAST(json_extract(props, '$.k') AS INTEGER) % 2 = 0 AS INTEGER) AS k_even
         |FROM events""".stripMargin,
     "st2_manifest_consume" ->
+      """SELECT event_id, user_id, lower(event_type) AS event_type_l,
+        |  value * 3 AS value3
+        |FROM events""".stripMargin,
+    "st3_manifest_stream" ->
       """SELECT event_id, user_id, lower(event_type) AS event_type_l,
         |  value * 3 AS value3
         |FROM events""".stripMargin,

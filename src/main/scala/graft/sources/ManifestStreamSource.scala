@@ -1,0 +1,246 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileContext, Path => HPath}
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+/** DataSource V2 face of the [[TxnManifest]] log — the engine's sixth
+  * Catalyst extension surface. `spark.readStream.format("graft-manifest")
+  * .option("manifest", commitFile).load(root)` plans the manifest tail
+  * NATIVELY: offsets are manifest batch ids (exactly
+  * [[ManifestConsumer]]'s contract, `accounts.py:147-161` upstream),
+  * each micro-batch reads only the directories committed in
+  * `(start, end]`, and Spark's own checkpoint WAL replaces the
+  * driver-loop offset store — restart resumes from the checkpointed
+  * id with no re-delivery into the sink. `spark.read` over the same
+  * format serves the batch view (every committed dir, orphans
+  * invisible), the readCommitted twin.
+  *
+  * Visibility is manifest-gated, which Spark's file-stream source
+  * cannot express (it defines visibility by directory listing, so a
+  * crash orphan would be consumed). Parquet decoding rides Spark's own
+  * `ParquetFileFormat` reader — vectorized, codegen-compatible, with
+  * per-file schema clipping, so a file written before an additive
+  * schema evolution serves NULL for the later columns exactly like the
+  * `mergeSchema` batch path.
+  *
+  * Operational contract (same as a Kafka topic):
+  *   - producer batch ids are MONOTONIC ([[ManifestConsumer]] doc);
+  *   - maintenance (compact / vacuum) must not rewrite batches an
+  *     active consumer has not passed — a replaceAll under a lagging
+  *     stream drops the old ids from the log, and ids are sparse by
+  *     design (watermark-derived), so the source cannot distinguish
+  *     "compacted away" from "never existed". Run maintenance behind
+  *     the slowest checkpoint, the Delta retention discipline.
+  */
+final class GraftManifestProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-manifest"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (root, manifestPath) = GraftManifestSource.rootAndManifest(options)
+    GraftManifestSource.mergedSchema(SparkSession.active, root, manifestPath)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GraftManifestTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+final class GraftManifestTable(tableSchema: StructType,
+                               options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+
+  private val (root, manifestPath) = GraftManifestSource.rootAndManifest(options)
+
+  override def name(): String = s"graft-manifest `$root`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+
+  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new GraftManifestScan(tableSchema, root, manifestPath,
+          GraftManifestSource.startingBatchId(options))
+    }
+}
+
+final class GraftManifestScan(schema: StructType, root: String,
+                              manifestPath: String, starting: Int) extends Scan {
+  override def readSchema(): StructType = schema
+  override def description(): String = s"GraftManifestScan(root=$root)"
+
+  override def toBatch: Batch = new Batch {
+    // the batch view ignores `starting`: it is readCommitted-as-DSv2
+    private lazy val parts = GraftManifestSource.partitionsFor(
+      new TxnManifest(manifestPath), root, Int.MinValue, Int.MaxValue)
+    override def planInputPartitions(): Array[InputPartition] = parts
+    override def createReaderFactory(): PartitionReaderFactory =
+      GraftManifestSource.readerFactory(SparkSession.active, schema)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftManifestMicroBatchStream(schema, root, manifestPath, starting)
+}
+
+/** Offset = highest manifest batch id consumed (inclusive). */
+final case class ManifestOffset(batchId: Int) extends Offset {
+  override def json(): String = batchId.toString
+}
+
+final class GraftManifestMicroBatchStream(schema: StructType, root: String,
+                                          manifestPath: String, starting: Int)
+  extends MicroBatchStream {
+
+  private def manifest = new TxnManifest(manifestPath)
+  private def idOf(o: Offset): Int = o match {
+    case ManifestOffset(id) => id
+    case other              => other.json().trim.toInt
+  }
+
+  override def initialOffset(): Offset = ManifestOffset(starting)
+
+  override def latestOffset(): Offset = {
+    val ids = manifest.committed().keySet
+    ManifestOffset(if (ids.isEmpty) starting else math.max(starting, ids.max))
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    ManifestOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    GraftManifestSource.partitionsFor(manifest, root, idOf(start), idOf(end))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftManifestSource.readerFactory(SparkSession.active, schema)
+
+  // progress lives in Spark's checkpoint WAL; the manifest is
+  // immutable history, so there is nothing to acknowledge
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** One committed parquet file — the unit of read parallelism. */
+final case class ManifestFilePartition(filePath: String, length: Long,
+                                       modificationTime: Long) extends InputPartition
+
+/** Executor-side reader: delegates decode to the closure
+  * `ParquetFileFormat.buildReaderWithPartitionValues` built on the
+  * driver (Spark's own vectorized parquet path — the same machinery a
+  * `spark.read.parquet` scan runs, so encodings, rebase modes, and
+  * missing-column NULL fill all behave identically). When the
+  * vectorized reader returns ColumnarBatches the rows are flattened
+  * through `rowIterator`, the contract every file-source consumer
+  * honors. */
+final case class ManifestReaderFactory(
+    read: PartitionedFile => Iterator[InternalRow]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ManifestFilePartition]
+    val file = PartitionedFile(
+      partitionValues = InternalRow.empty,
+      filePath = SparkPath.fromPathString(p.filePath),
+      start = 0L,
+      length = p.length,
+      locations = Array.empty,
+      modificationTime = p.modificationTime,
+      fileSize = p.length)
+    val rows: Iterator[InternalRow] =
+      read(file).asInstanceOf[Iterator[Any]].flatMap {
+        case cb: ColumnarBatch => cb.rowIterator().asScala
+        case row               => Iterator.single(row.asInstanceOf[InternalRow])
+      }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+private[sources] object GraftManifestSource {
+
+  def rootAndManifest(options: CaseInsensitiveStringMap): (String, String) = {
+    val root = Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft-manifest requires .load(<table root>)"))
+    val manifestPath = Option(options.get("manifest")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-manifest requires option 'manifest' = path of the TxnManifest commit file"))
+    (root.stripSuffix("/"), manifestPath)
+  }
+
+  /** Exclusive lower bound for the first micro-batch; default consumes
+    * the full committed history. */
+  def startingBatchId(options: CaseInsensitiveStringMap): Int =
+    Option(options.get("startingBatchId")).map(_.toInt).getOrElse(Int.MinValue)
+
+  def mergedSchema(spark: SparkSession, root: String, manifestPath: String): StructType = {
+    val dirs = new TxnManifest(manifestPath).committedDirs(root)
+    if (dirs.isEmpty)
+      throw new IllegalStateException(
+        s"graft-manifest: nothing committed under $root in $manifestPath — " +
+          "no schema to serve; commit at least one batch before subscribing " +
+          "(same constraint as reading an empty Delta log)")
+    spark.read.option("mergeSchema", true).parquet(dirs: _*).schema
+  }
+
+  /** Every parquet file committed for a batch id in `(from, to]`,
+    * one [[InputPartition]] per file. Ids are sparse (watermark-
+    * derived), so the range filters ids that EXIST — absent ids in the
+    * range are normal, not data loss. */
+  def partitionsFor(manifest: TxnManifest, root: String,
+                    from: Int, to: Int): Array[InputPartition] = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val dirs = manifest.committed().toSeq
+      .filter { case (id, _) => id > from && id <= to }
+      .sortBy(_._1)
+      .flatMap { case (_, ds) => ds.filter(_.startsWith(root + "/")) }
+    dirs.flatMap { dir =>
+      val p = new HPath(dir)
+      val fc =
+        if (p.toUri.getScheme == null) FileContext.getFileContext(conf)
+        else FileContext.getFileContext(p.toUri, conf)
+      if (!fc.util().exists(p)) Nil
+      else fc.util().listStatus(p).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => ManifestFilePartition(st.getPath.toString, st.getLen,
+          st.getModificationTime))
+    }.toArray
+  }
+
+  /** Driver-side build of Spark's parquet decode closure; serialized
+    * into [[ManifestReaderFactory]] for the executors (the closure is
+    * designed for exactly that — it broadcasts its Hadoop conf). */
+  def readerFactory(spark: SparkSession, schema: StructType): PartitionReaderFactory =
+    ManifestReaderFactory(new ParquetFileFormat().buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = schema,
+      partitionSchema = StructType(Nil),
+      requiredSchema = schema,
+      filters = Nil,
+      // rows, not ColumnarBatches: DSv2 PartitionReader[InternalRow]
+      // is a row contract (the flatten guard in the factory still
+      // tolerates a batch-returning reader defensively)
+      options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty)))
+}

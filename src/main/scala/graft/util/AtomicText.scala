@@ -67,8 +67,17 @@ object AtomicText {
   }
 
   /** Replace `path` with `body`: write a sibling temp file, then one
-    * atomic rename (`FileContext.rename(OVERWRITE)`). Creates parent
-    * directories as needed. */
+    * atomic rename. Creates parent directories as needed.
+    *
+    * The rename is scheme-dispatched, because "atomic" is per-FS:
+    * `RawLocalFs` inherits `AbstractFileSystem`'s DEFAULT
+    * `renameInternal(overwrite)`, which is delete-then-rename — a
+    * concurrent reader in that window sees NO manifest at all (caught
+    * live: a streaming consumer's `latestOffset` read an empty log
+    * mid-commit and re-delivered the whole history). For `file:` the
+    * POSIX `ATOMIC_MOVE` is the real atomic primitive; for `hdfs:`
+    * and friends, `FileContext.rename(OVERWRITE)` IS the atomic
+    * namespace op (Hdfs overrides renameInternal natively). */
   def writeAtomically(path: String, body: String): Unit = {
     val target = new Path(path)
     val fc = contextFor(target)
@@ -78,7 +87,14 @@ object AtomicText {
       Options.CreateOpts.createParent())
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    fc.rename(tmp, target, Options.Rename.OVERWRITE)
+    val qualified = fc.makeQualified(target)
+    if (qualified.toUri.getScheme == "file") {
+      val toNio = (p: Path) =>
+        java.nio.file.Paths.get(fc.makeQualified(p).toUri.getPath)
+      java.nio.file.Files.move(toNio(tmp), toNio(target),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else fc.rename(tmp, target, Options.Rename.OVERWRITE)
     ()
   }
 
