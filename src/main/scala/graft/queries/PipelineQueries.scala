@@ -346,6 +346,45 @@ object PipelineQueries {
         .withColumn("k_even", (col("k") % 2 === 0).cast("int"))
     }),
 
+    // Deep JSON read surface over e7's flat probe: nested
+    // struct/array-of-struct extraction, higher-order traversal, and
+    // the malformed-document policy real semi-structured feeds need.
+    // Each event's flat props are re-shaped into a nested document
+    // (meta struct + items array) with 1-in-13 docs deliberately
+    // TRUNCATED mid-object; from_json runs PERMISSIVE with a
+    // corrupt-record column, so broken docs surface as a flag + NULL
+    // fields instead of failing the batch — the Spark-native form of
+    // a DLQ split. All parsing is per-row expression work inside
+    // whole-stage codegen: no shuffle, scales linearly at 100 TB.
+    // (schema_of_json inference is spec-pinned in CleanseSpec — an
+    // inferred-schema STRING has no DuckDB twin to hash against.)
+    "e7b_nested_json" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val k = from_json(col("props"), "k INT", Map.empty[String, String])
+        .getField("k")
+      val doc = when(pmod(col("event_id"), lit(13)) === 0,
+          lit("""{"meta": {"""))  // truncated mid-object: malformed
+        .otherwise(concat(
+          lit("""{"meta":{"k":"""), k.cast(StringType),
+          lit(""","type":""""), col("event_type"),
+          lit(""""},"items":[{"q":"""), (k * 2).cast(StringType),
+          lit("""},{"q":"""), (k + 1).cast(StringType), lit("}]}")))
+      val schema =
+        "meta STRUCT<k: INT, type: STRING>, items ARRAY<STRUCT<q: INT>>, _corrupt STRING"
+      ev.select(col("event_id"),
+          from_json(doc, schema, Map(
+            "mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
+        .select(col("event_id"),
+          col("j.meta.k").as("k_rt"),
+          col("j.meta.type").as("type_rt"),
+          element_at(col("j.items"), 1).getField("q").as("q0"),
+          element_at(col("j.items"), 2).getField("q").as("q1"),
+          aggregate(transform(col("j.items"), x => x.getField("q")),
+            lit(0), (a, b) => a + b).as("q_sum"),
+          col("j._corrupt").isNotNull.cast("int").as("is_corrupt"))
+    }),
+
     // Streaming consume of the transactional manifest — the DOWNSTREAM
     // half of the CDC story (s8 is the upstream). Batches commit
     // through TxnManifest (one atomic visibility point each); the
@@ -640,6 +679,20 @@ object PipelineQueries {
         |  CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS k_bucket,
         |  CAST(CAST(json_extract(props, '$.k') AS INTEGER) % 2 = 0 AS INTEGER) AS k_even
         |FROM events""".stripMargin,
+    "e7b_nested_json" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+        |    event_id % 13 = 0 AS corrupt
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN corrupt THEN NULL ELSE k END AS k_rt,
+        |  CASE WHEN corrupt THEN NULL ELSE event_type END AS type_rt,
+        |  CASE WHEN corrupt THEN NULL ELSE k * 2 END AS q0,
+        |  CASE WHEN corrupt THEN NULL ELSE k + 1 END AS q1,
+        |  CASE WHEN corrupt THEN NULL ELSE 3 * k + 1 END AS q_sum,
+        |  CAST(corrupt AS INTEGER) AS is_corrupt
+        |FROM base""".stripMargin,
     "st2_manifest_consume" ->
       """SELECT event_id, user_id, lower(event_type) AS event_type_l,
         |  value * 3 AS value3

@@ -75,6 +75,25 @@ class SqlSurfaceSpec extends SparkSuite {
     }
   }
 
+  test("schema_of_json infers the e7b nested document shape") {
+    // the inference arm of the e7b read path: an inferred-schema STRING
+    // has no DuckDB twin to hash against, so it is pinned here instead
+    // of in the oracle. Inference on a representative doc yields the
+    // exact struct e7b's from_json declares (modulo the corrupt-record
+    // column, which is a parser policy, not document shape).
+    val doc =
+      """{"meta":{"k":7,"type":"click"},"items":[{"q":14},{"q":8}]}"""
+    val inferred = spark.sql(
+      s"SELECT schema_of_json('$doc') AS s").collect().head.getString(0)
+    assert(inferred ==
+      "STRUCT<items: ARRAY<STRUCT<q: BIGINT>>, meta: STRUCT<k: BIGINT, type: STRING>>")
+    // and a from_json with the inferred schema round-trips the doc
+    val rt = spark.sql(
+      s"""SELECT to_json(from_json('$doc', schema_of_json('$doc'))) AS j""")
+      .collect().head.getString(0)
+    assert(rt == """{"items":[{"q":14},{"q":8}],"meta":{"k":7,"type":"click"}}""")
+  }
+
   test("per-session register() exposes the same functions on a live session") {
     SimHash64.register(spark)
     TopKStructs.register(spark)
