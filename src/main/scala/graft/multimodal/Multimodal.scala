@@ -125,6 +125,76 @@ object Multimodal {
       case _ => wavBytes(w, h, body)
     }
 
+  // ---- video containers (RIFF/AVI) ----
+
+  final case class VideoMeta(id: Long, format: String, width: Int, height: Int,
+                             us_per_frame: Int, total_frames: Int,
+                             duration_ms: Long, n_bytes: Long)
+
+  /** RIFF/AVI with the REQUIRED leading `avih` (AVIMAINHEADER) chunk:
+    * `RIFF <size> AVI ` then `LIST <size> hdrl avih <cb=56>` puts
+    * dwMicroSecPerFrame / dwTotalFrames / dwWidth / dwHeight at fixed
+    * offsets 32 / 48 / 64 / 68 — the canonical layout every AVI
+    * header reader assumes. 88 header bytes, then the body. */
+  private def aviBytes(w: Int, h: Int, usPerFrame: Int, totalFrames: Int,
+                       body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(88 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(80 + body.length)
+    bb.put("AVI ".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(68)
+    bb.put("hdrl".getBytes("US-ASCII"))
+    bb.put("avih".getBytes("US-ASCII")).putInt(56)
+    bb.putInt(usPerFrame).putInt(0).putInt(0).putInt(0) // rate, maxBps, pad, flags
+    bb.putInt(totalFrames).putInt(0).putInt(1).putInt(0) // frames, initial, streams, bufSize
+    bb.putInt(w).putInt(h)
+    bb.putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+    bb.put(body).array()
+  }
+
+  /** Parse an AVI main header: (width, height, usPerFrame, totalFrames),
+    * or None when the payload is not a RIFF/AVI/hdrl/avih layout —
+    * malformed media is data, not an exception. */
+  def decodeAviHeader(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    def u8(i: Int)   = p(i) & 0xff
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def ascii(i: Int, s: String) = s.indices.forall(j => u8(i + j) == s.charAt(j))
+    if (p.length >= 72 && ascii(0, "RIFF") && ascii(8, "AVI ") &&
+        ascii(12, "LIST") && ascii(20, "hdrl") && ascii(24, "avih"))
+      Some((le32(64), le32(68), le32(32), le32(48)))
+    else None
+  }
+
+  /** Header decode over partitions, video form of [[extractMeta]]:
+    * duration is derived from the PARSED rate and frame count with
+    * integer math (µs·frames → ms, truncating) so an oracle can
+    * predict it exactly. Non-AVI payloads yield ("bin", zeros). */
+  def extractVideoMeta(media: Dataset[MediaRow]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      decodeAviHeader(r.payload) match {
+        case Some((w, h, usf, tf)) =>
+          VideoMeta(r.id, "avi", w, h, usf, tf,
+            tf.toLong * usf / 1000, r.payload.length.toLong)
+        case None =>
+          VideoMeta(r.id, "bin", 0, 0, 0, 0, 0L, r.payload.length.toLong)
+      }
+    })
+  }
+
+  /** `documents` → real AVI containers: frame rate from {10, 24, 30}
+    * fps by `doc_id % 3`, frame count `10 + doc_id % 240`, dimensions
+    * as [[mediaFromDocuments]] — all arithmetic an oracle can predict,
+    * while [[extractVideoMeta]] recovers them by PARSING the bytes. */
+  def videoFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    fromDocuments(spark, docs).mapPartitions(_.map { r =>
+      val fps = Array(10, 24, 30)((r.id % 3).toInt)
+      val w = (64 + r.id * 7 % 1920).toInt
+      val h = (64 + r.id * 13 % 1080).toInt
+      MediaRow(r.id, aviBytes(w, h, 1000000 / fps, (10 + r.id % 240).toInt, r.payload))
+    })(org.apache.spark.sql.Encoders.product[MediaRow])
+  }
+
   /** Frame-sampling plan for video payloads: deterministic frame
     * indices at `fps` over `durationMs`, capped at `maxFrames` —
     * pure column expression, the decode of each sampled frame then

@@ -99,6 +99,27 @@ object SimQueries {
           col("height"), col("n_bytes"))
         .join(docs.select(col("doc_id"), md5(col("text")).as("payload_md5")),
           Seq("doc_id"))
+    }),
+
+    // Video containers: each document wrapped as a REAL RIFF/AVI header
+    // (rate/frames/dims by doc_id arithmetic, body = text bytes) and
+    // parsed back out in the mapPartitions decode path — then
+    // frameSampleIndices turns the PARSED duration into a deterministic
+    // 2 fps / max-8 sampling plan per video (the per-frame decode those
+    // indices would fan into is the codec boundary). Short clips
+    // (duration < 500 ms) exercise the empty-plan branch. The oracle
+    // predicts every value arithmetically, so the hash match certifies
+    // the AVI encode→decode round trip AND the sampling arithmetic.
+    "mm2_video_meta" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val meta = graft.multimodal.Multimodal
+        .extractVideoMeta(graft.multimodal.Multimodal.videoFromDocuments(s, docs))
+        .toDF()
+      meta.select(col("id").as("doc_id"), col("format"), col("width"),
+          col("height"), col("us_per_frame"), col("total_frames"),
+          col("duration_ms"), col("n_bytes"))
+        .withColumn("sample_idx", graft.multimodal.Multimodal
+          .frameSampleIndices(col("duration_ms"), fps = 2.0, maxFrames = 8))
     })
   )
 
@@ -319,6 +340,32 @@ object SimQueries {
         |  CAST(octet_length(encode(text))
         |       + [33, 54, 44][CAST(doc_id % 3 + 1 AS INTEGER)] AS BIGINT) AS n_bytes,
         |  md5(text) AS payload_md5
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // AVI header size = 88; us_per_frame = 1000000 // fps; duration =
+    // frames * us_per_frame // 1000 in integer ms. The sampling plan
+    // mirrors frameSampleIndices: total = duration // 500 (2 fps),
+    // n = min(total, 8), index_i = i * total // n.
+    "mm2_video_meta" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CAST(1000000 // ([10, 24, 30][CAST(doc_id % 3 + 1 AS INTEGER)])
+        |         AS INTEGER) AS us_per_frame,
+        |    CAST(10 + doc_id % 240 AS INTEGER) AS total_frames,
+        |    CAST(64 + doc_id * 7 % 1920 AS INTEGER) AS width,
+        |    CAST(64 + doc_id * 13 % 1080 AS INTEGER) AS height,
+        |    CAST(octet_length(encode(text)) + 88 AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |v2 AS (
+        |  SELECT *, CAST(CAST(total_frames AS BIGINT) * us_per_frame // 1000
+        |                 AS BIGINT) AS duration_ms FROM v),
+        |v3 AS (
+        |  SELECT *, CAST(duration_ms // 500 AS INTEGER) AS total_s,
+        |    CAST(least(duration_ms // 500, 8) AS INTEGER) AS n FROM v2)
+        |SELECT doc_id, 'avi' AS format, width, height, us_per_frame,
+        |  total_frames, duration_ms, n_bytes,
+        |  CASE WHEN n > 0
+        |    THEN list_transform(range(0, n), i -> CAST(i * total_s // n AS INTEGER))
+        |    ELSE [] END AS sample_idx
+        |FROM v3""".stripMargin
   )
 }

@@ -223,6 +223,30 @@ class SimSpec extends SparkSuite {
     assert(raw(9L).checksum == "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
   }
 
+  test("decodeAviHeader + extractVideoMeta: AVI round trip, duration math") {
+    val docs = Seq((0L, "short clip"), (1L, "x"), (239L, "long"))
+      .toDF("doc_id", "text")
+    val metas = Multimodal.extractVideoMeta(
+      Multimodal.videoFromDocuments(spark, docs))
+      .collect().map(m => m.id -> m).toMap
+    // id 0 → 10 fps (100000 µs/frame), 10 frames → 1000 ms
+    assert(metas(0L).format == "avi")
+    assert(metas(0L).us_per_frame == 100000 && metas(0L).total_frames == 10)
+    assert(metas(0L).duration_ms == 1000L)
+    assert(metas(0L).width == 64 && metas(0L).height == 64)
+    assert(metas(0L).n_bytes == 88L + 10L)
+    // id 1 → 24 fps: 1000000/24 = 41666 (integer µs), 11 frames
+    assert(metas(1L).us_per_frame == 41666 && metas(1L).total_frames == 11)
+    assert(metas(1L).duration_ms == 11L * 41666 / 1000)
+    // id 239 → 30 fps, 10 + 239 % 240 = 249 frames
+    assert(metas(239L).total_frames == 249)
+    // non-AVI payloads (a WAV is also RIFF — must NOT parse as AVI)
+    assert(Multimodal.decodeAviHeader(
+      Multimodal.synthesizePayload(2L, 44100, 2, "b".getBytes)).isEmpty)
+    assert(Multimodal.decodeAviHeader("plain text".getBytes).isEmpty)
+    assert(Multimodal.decodeAviHeader(Array.empty[Byte]).isEmpty)
+  }
+
   test("frameSampleIndices: even spacing, cap, and zero-duration guard") {
     val df = Seq((1L, 10000.0), (2L, 0.0)).toDF("id", "dur_ms")
     val got = df.select($"id",
