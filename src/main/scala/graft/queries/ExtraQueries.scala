@@ -268,6 +268,34 @@ object ExtraQueries {
         .select(col("event_type"), col("bucket"),
           coalesce(col("n"), lit(0L)).as("n"),
           coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+    }),
+
+    // Deliberate hot-key skew driven through graft.ops.Skew: ~90% of
+    // lineitem collapses onto ONE join/group key, the dimension side is
+    // merge-hinted so the demo exercises the shuffled path a broadcast
+    // would sidestep, and both skew tools run in sequence — saltedJoin
+    // spreads the hot key over (key, salt) reducers, then the
+    // two-phase saltedSum partial-aggregates on (key, salt) before the
+    // final per-key sum. Equivalence to the unsalted plan is the
+    // oracle's plain join+group; the plan shape (salted SMJ, AQE
+    // skew-split on the unsalted twin) is pinned in ScaleSpec.
+    "sk1_skew_salted" -> ((s, d) => {
+      import graft.ops.Skew
+      val fact = Tables.lineitem(s, d).select(
+        when(col("l_orderkey") % 10 =!= 0, lit(0L))
+          .otherwise(col("l_orderkey")).as("hot_key"),
+        col("l_orderkey"), col("l_quantity"))
+      val dim = fact.select(col("hot_key")).distinct()
+        .withColumn("bucket", pmod(col("hot_key"), lit(7)))
+      val joined = Skew.saltedJoin(fact, dim.hint("merge"), "hot_key",
+        discriminator = "l_orderkey", salts = 8)
+      val agg = Skew.saltedSum(
+        joined.withColumn("qty_dec", col("l_quantity").cast("decimal(18,6)")),
+        key = "hot_key", discriminator = "l_orderkey",
+        valueCol = "qty_dec", salts = 8)
+      agg.join(broadcast(dim), Seq("hot_key"))
+        .select(col("hot_key"), col("bucket"),
+          col("sum_qty_dec").cast(DoubleType).as("sum_qty"))
     })
   )
 
@@ -423,6 +451,19 @@ object ExtraQueries {
         |  FROM span)
         |SELECT g.event_type, g.bucket, coalesce(a.n, 0) AS n,
         |  coalesce(a.sum_value, 0.0) AS sum_value
-        |FROM grid g LEFT JOIN agg a USING (event_type, bucket)""".stripMargin
+        |FROM grid g LEFT JOIN agg a USING (event_type, bucket)""".stripMargin,
+    // The salted plan must be INVISIBLE in the result: the oracle is
+    // the plain unsalted join + group-by.
+    "sk1_skew_salted" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 0
+        |              ELSE l_orderkey END AS hot_key,
+        |    l_quantity
+        |  FROM lineitem),
+        |dim AS (SELECT DISTINCT hot_key, hot_key % 7 AS bucket FROM fact)
+        |SELECT f.hot_key, d.bucket,
+        |  CAST(sum(CAST(f.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM fact f JOIN dim d USING (hot_key)
+        |GROUP BY f.hot_key, d.bucket""".stripMargin
   )
 }

@@ -39,6 +39,53 @@ class ScaleSpec extends SparkSuite {
     assert(plain == salted)
   }
 
+  test("AQE splits the hot partition of an unsalted skewed join (skew=true)") {
+    // the runtime half of the skew story: when salting is NOT applied,
+    // AQE's skew-join split must kick in. A session tuned so the hot
+    // partition crosses the skew threshold on test-sized data; the
+    // final adaptive plan must carry the skew=true SMJ marker.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    import s2.implicits._
+    // 99% of fact rows on key 0; dim covers every key
+    val fact = s2.range(100000).select(
+      when($"id" % 100 =!= 0, lit(0L)).otherwise($"id").as("k"),
+      ($"id" * 7).as("payload"))
+    val dim = s2.range(1000).select(($"id" * 100).as("k"),
+      concat(lit("t"), $"id").as("tag"))
+    val joined = fact.join(dim, "k")
+    assert(joined.count() == 100000L)
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"expected an AQE skew-split SMJ in:\n$plan")
+  }
+
+  test("saltedJoin plan: merge-hinted dim joins on (key, salt) via SMJ, no broadcast") {
+    // the compile-time half: the salted plan spreads the hot key over
+    // (key, salt) reducers through a shuffled join — no broadcast arm
+    // (which would make the salt pointless), salt visible in the keys.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    val fact = s2.range(5000).select(
+      when($"id" % 100 =!= 0, lit(0L)).otherwise($"id").as("k"),
+      ($"id" * 3).as("payload"))
+    val dim = s2.range(50).select(($"id" * 100).as("k"), ($"id" % 7).as("bucket"))
+    val salted = Skew.saltedJoin(fact, dim.hint("merge"), "k", "payload", salts = 8)
+    salted.collect()
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"unexpected broadcast in:\n$plan")
+    assert(plan.contains("__salt"), s"salt missing from join keys in:\n$plan")
+  }
+
   test("t8_length_deciles plan has no window and no global sort") {
     // the round-1 formulation was ntile() over a partition-less window:
     // a single-task sort of the whole table. The rewrite must keep the
