@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -76,12 +77,14 @@ final class GraftManifestTable(tableSchema: StructType,
     new ScanBuilder {
       override def build(): Scan =
         new GraftManifestScan(tableSchema, root, manifestPath,
-          GraftManifestSource.startingBatchId(options))
+          GraftManifestSource.startingBatchId(options),
+          GraftManifestSource.maxBatchesPerTrigger(options))
     }
 }
 
 final class GraftManifestScan(schema: StructType, root: String,
-                              manifestPath: String, starting: Int) extends Scan {
+                              manifestPath: String, starting: Int,
+                              maxBatches: Option[Int]) extends Scan {
   override def readSchema(): StructType = schema
   override def description(): String = s"GraftManifestScan(root=$root)"
 
@@ -95,7 +98,8 @@ final class GraftManifestScan(schema: StructType, root: String,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftManifestMicroBatchStream(schema, root, manifestPath, starting)
+    new GraftManifestMicroBatchStream(schema, root, manifestPath, starting,
+      maxBatches)
 }
 
 /** Offset = highest manifest batch id consumed (inclusive). */
@@ -104,8 +108,11 @@ final case class ManifestOffset(batchId: Int) extends Offset {
 }
 
 final class GraftManifestMicroBatchStream(schema: StructType, root: String,
-                                          manifestPath: String, starting: Int)
-  extends MicroBatchStream {
+                                          manifestPath: String, starting: Int,
+                                          maxBatches: Option[Int] = None)
+  extends MicroBatchStream
+  with streaming.SupportsAdmissionControl
+  with streaming.SupportsTriggerAvailableNow {
 
   private def manifest = new TxnManifest(manifestPath)
   private def idOf(o: Offset): Int = o match {
@@ -113,7 +120,40 @@ final class GraftManifestMicroBatchStream(schema: StructType, root: String,
     case other              => other.json().trim.toInt
   }
 
+  /** `Trigger.AvailableNow` ceiling: committed ids captured at query
+    * start; commits landing after it wait for the next run. */
+  private var availableNowCap: Option[Int] = None
+
   override def initialOffset(): Offset = ManifestOffset(starting)
+
+  /** Admission control: `maxBatchesPerTrigger` bounds how many
+    * MANIFEST batches one micro-batch may span — a consumer resuming
+    * against a deep backlog drains it in bounded, checkpointed steps
+    * instead of one giant catch-up batch (the file source's
+    * maxFilesPerTrigger shape; manifest batches are the unit here,
+    * hence ReadMaxFiles carrying a batch count). */
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    maxBatches.map(streaming.ReadLimit.maxFiles)
+      .getOrElse(streaming.ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: streaming.ReadLimit): Offset = {
+    val from = idOf(start)
+    val pending = manifest.committed().keysIterator.filter(_ > from).toSeq.sorted
+    val underCap = availableNowCap match {
+      case Some(cap) => pending.filter(_ <= cap)
+      case None      => pending
+    }
+    val admitted = limit match {
+      case mf: streaming.ReadMaxFiles => underCap.take(mf.maxFiles())
+      case _                          => underCap
+    }
+    ManifestOffset(if (admitted.isEmpty) from else admitted.max)
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(idOf(latestOffset()))
 
   override def latestOffset(): Offset = {
     val ids = manifest.committed().keySet
@@ -190,6 +230,15 @@ private[sources] object GraftManifestSource {
     * the full committed history. */
   def startingBatchId(options: CaseInsensitiveStringMap): Int =
     Option(options.get("startingBatchId")).map(_.toInt).getOrElse(Int.MinValue)
+
+  /** Admission-control knob: max MANIFEST batches per micro-batch;
+    * absent = drain everything available each trigger. */
+  def maxBatchesPerTrigger(options: CaseInsensitiveStringMap): Option[Int] =
+    Option(options.get("maxBatchesPerTrigger")).map { v =>
+      val n = v.toInt
+      require(n > 0, s"maxBatchesPerTrigger must be positive, got $n")
+      n
+    }
 
   def mergedSchema(spark: SparkSession, root: String, manifestPath: String): StructType = {
     val dirs = new TxnManifest(manifestPath).committedDirs(root)
