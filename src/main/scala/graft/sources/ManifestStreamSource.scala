@@ -10,12 +10,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -73,20 +73,42 @@ final class GraftManifestTable(tableSchema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
 
+  /** Column pruning + filter pushdown, so a 2-column projection over a
+    * wide committed table decodes 2 columns, not the row. Filters are
+    * handed to the parquet reader for row-group/page skipping via
+    * statistics — best-effort, so every filter is ALSO kept post-scan
+    * (returned un-consumed from pushFilters), the same contract the
+    * built-in parquet source honors. */
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+      with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+      private var required: StructType = tableSchema
+      private var pushed: Array[Filter] = Array.empty
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters
+        filters // stats skipping is best-effort: all stay post-scan
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+
       override def build(): Scan =
-        new GraftManifestScan(tableSchema, root, manifestPath,
+        new GraftManifestScan(tableSchema, required, pushed, root, manifestPath,
           GraftManifestSource.startingBatchId(options),
           GraftManifestSource.maxBatchesPerTrigger(options))
     }
 }
 
-final class GraftManifestScan(schema: StructType, root: String,
-                              manifestPath: String, starting: Int,
+final class GraftManifestScan(dataSchema: StructType, required: StructType,
+                              pushed: Array[Filter],
+                              root: String, manifestPath: String, starting: Int,
                               maxBatches: Option[Int]) extends Scan {
-  override def readSchema(): StructType = schema
-  override def description(): String = s"GraftManifestScan(root=$root)"
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GraftManifestScan(root=$root, " +
+      s"readSchema=[${required.fieldNames.mkString(",")}], " +
+      s"pushedFilters=[${pushed.mkString(",")}])"
 
   override def toBatch: Batch = new Batch {
     // the batch view ignores `starting`: it is readCommitted-as-DSv2
@@ -94,12 +116,13 @@ final class GraftManifestScan(schema: StructType, root: String,
       new TxnManifest(manifestPath), root, Int.MinValue, Int.MaxValue)
     override def planInputPartitions(): Array[InputPartition] = parts
     override def createReaderFactory(): PartitionReaderFactory =
-      GraftManifestSource.readerFactory(SparkSession.active, schema)
+      GraftManifestSource.readerFactory(SparkSession.active, dataSchema,
+        required, pushed)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftManifestMicroBatchStream(schema, root, manifestPath, starting,
-      maxBatches)
+    new GraftManifestMicroBatchStream(dataSchema, required, pushed,
+      root, manifestPath, starting, maxBatches)
 }
 
 /** Offset = highest manifest batch id consumed (inclusive). */
@@ -107,7 +130,10 @@ final case class ManifestOffset(batchId: Int) extends Offset {
   override def json(): String = batchId.toString
 }
 
-final class GraftManifestMicroBatchStream(schema: StructType, root: String,
+final class GraftManifestMicroBatchStream(dataSchema: StructType,
+                                          required: StructType,
+                                          pushed: Array[Filter],
+                                          root: String,
                                           manifestPath: String, starting: Int,
                                           maxBatches: Option[Int] = None)
   extends MicroBatchStream
@@ -167,7 +193,8 @@ final class GraftManifestMicroBatchStream(schema: StructType, root: String,
     GraftManifestSource.partitionsFor(manifest, root, idOf(start), idOf(end))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftManifestSource.readerFactory(SparkSession.active, schema)
+    GraftManifestSource.readerFactory(SparkSession.active, dataSchema,
+      required, pushed)
 
   // progress lives in Spark's checkpoint WAL; the manifest is
   // immutable history, so there is nothing to acknowledge
@@ -279,13 +306,15 @@ private[sources] object GraftManifestSource {
   /** Driver-side build of Spark's parquet decode closure; serialized
     * into [[ManifestReaderFactory]] for the executors (the closure is
     * designed for exactly that — it broadcasts its Hadoop conf). */
-  def readerFactory(spark: SparkSession, schema: StructType): PartitionReaderFactory =
+  def readerFactory(spark: SparkSession, dataSchema: StructType,
+                    required: StructType,
+                    pushed: Array[Filter]): PartitionReaderFactory =
     ManifestReaderFactory(new ParquetFileFormat().buildReaderWithPartitionValues(
       sparkSession = spark,
-      dataSchema = schema,
+      dataSchema = dataSchema,
       partitionSchema = StructType(Nil),
-      requiredSchema = schema,
-      filters = Nil,
+      requiredSchema = required,
+      filters = pushed.toSeq,
       // rows, not ColumnarBatches: DSv2 PartitionReader[InternalRow]
       // is a row contract (the flatten guard in the factory still
       // tolerates a batch-returning reader defensively)

@@ -214,6 +214,21 @@ class StreamingSpec extends SparkSuite {
       .option("manifest", manPath).load(root)
     assert(batchRead.select("id").as[Long].collect().toSet ==
       Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+
+    // pruning + pushdown reach the scan: a 1-column projection reads
+    // ONE column, and the filter is reported pushed (row-group skip)
+    val pruned = spark.read.format("graft-manifest")
+      .option("manifest", manPath).load(root)
+      .where($"id" > 3L).select("id")
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val scan = pruned.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.head
+    assert(scan.readSchema().fieldNames.toSeq == Seq("id"),
+      s"expected pruned scan, got ${scan.description()}")
+    assert(scan.description().contains("GreaterThan(id,3)"),
+      s"expected pushed filter in ${scan.description()}")
+    assert(pruned.as[Long].collect().toSet == Set(4L, 5L, 6L, 7L))
   }
 
   test("graft-manifest admission control: bounded drain and AvailableNow ceiling") {
