@@ -4,6 +4,9 @@ import org.apache.spark.sql.SparkSession
 /** Dev helper: time a single SparkEntry query (two passes — cold,
   * then warm) without running the whole bench suite.
   * Usage: runMain graft.BenchOne <query_name> [sfDir]
+  * SPARK_GRAFT_EXPLAIN=1 additionally prints the formatted physical
+  * plan — the plan-audit loop (shuffle count, pushed filters,
+  * codegen spans) without leaving the dev cycle.
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
@@ -27,6 +30,8 @@ object BenchOne {
       graft.util.CacheScope.releaseAll()
       println(f"[benchone] $name pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     spark.stop()
   }
 }
