@@ -27,13 +27,18 @@ import graft.ops.Cdc
   *     a protocol violation this layer cannot detect (same contract
   *     as a Kafka consumer and a compacted offset).
   *
-  * Why a poll loop and not `spark.readStream`: Spark's file-stream
-  * source defines visibility by directory listing, which cannot
-  * express manifest-gated visibility (an uncommitted orphan dir would
-  * be consumed). The DSv2 `MicroBatchStream` form of this class is the
-  * cluster path — offsets map 1:1 onto manifest batch ids with no
-  * semantic change — but a custom streaming source would have to
-  * reimplement parquet readers for no behavioral gain here.
+  * Two consumption forms share this contract. THIS class is the
+  * embedded driver loop — zero moving parts, a caller-controlled sink
+  * callback, the shape the reference's `while True` loop has. Its
+  * planner-native twin is [[GraftManifestProvider]]
+  * (`spark.readStream.format("graft-manifest")`): same offsets
+  * (manifest batch ids), same orphan-invisibility, but progress lives
+  * in Spark's checkpoint WAL, admission control bounds catch-up
+  * batches, and pruning/pushdown reach the parquet reader — prefer it
+  * whenever the consumer is a Spark query rather than arbitrary
+  * driver-side code. (Spark's BUILT-IN file-stream source fits
+  * neither: it defines visibility by directory listing, so an
+  * uncommitted orphan dir would be consumed.)
   */
 object ManifestConsumer {
 
