@@ -28,6 +28,18 @@ object Tables {
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
 
+  /** Register the whole star schema as temp views, so `spark.sql`
+    * text queries run against it verbatim — the catalog surface a
+    * user migrating SQL workloads lands on (cluster equivalent:
+    * external tables in a metastore over the same paths). Idempotent
+    * per session. */
+  def registerAll(s: SparkSession, d: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(n => table(s, d, n).createOrReplaceTempView(n))
+    events(s, d).createOrReplaceTempView("events")
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")

@@ -160,6 +160,26 @@ object CoreQueries {
           count(lit(1)).as("count_order"))
     }),
 
+    // The SQL-TEXT surface: the same engine behind `spark.sql(...)`
+    // over the registered star schema — a user migrating SQL workloads
+    // runs their text verbatim (the oracle runs the IDENTICAL
+    // statement in DuckDB, so the gate covers parser-to-result parity,
+    // not just the DataFrame API). 3-dim join chain: AQE broadcasts
+    // the dims, one shuffle for the final group-by.
+    "q2_sql_revenue" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT n.n_name,
+          |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+          |       AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+          |  count(*) AS n_items
+          |FROM lineitem l
+          |JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |JOIN customer c ON o.o_custkey = c.c_custkey
+          |JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |GROUP BY n.n_name""".stripMargin)
+    }),
+
     // A5 — referential-integrity count (`orders.py:121-133`): unresolved
     // FKs after remap against a deliberately holed dimension.
     "a5_integrity_count" -> ((s, d) => {
@@ -280,6 +300,18 @@ object CoreQueries {
         |  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // deliberately the VERBATIM statement the Spark side executes —
+    // the gate proves SQL-text parity between the engines
+    "q2_sql_revenue" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |       AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name""".stripMargin,
     "a5_integrity_count" ->
       """SELECT 'lineitem->part' AS check_name, count(CASE WHEN p.p_brand IS NULL THEN 1 END) AS missing,
         |  count(*) AS total
