@@ -472,6 +472,49 @@ object PipelineQueries {
         .select("event_id", "user_id", "event_type_l", "value3")
     }),
 
+    // The full manifest circle: DSv2 SOURCE → transform → DSv2 SINK.
+    // One streaming query tails manifest A and terminates into
+    // manifest B (graft.sources.GraftManifestStreamingWrite): each
+    // epoch writes deterministic per-partition files then commits ONE
+    // manifest line — a crash between the two leaves an invisible
+    // orphan a replayed epoch overwrites. The read-back goes through
+    // manifest B's committed view, so the hash match certifies the
+    // sink's visibility protocol end to end.
+    "st4_manifest_roundtrip" -> ((s, d) => {
+      import graft.sources.{Sinks, TxnManifest}
+      val ev = Tables.events(s, d)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_mr_").toString
+      val rootA = s"$base/in"
+      val manA = new TxnManifest(s"$base/man_a.tsv")
+      val slice = (i: Int) => ev.filter(pmod(col("event_id"), lit(4)) === i)
+        .select("event_id", "user_id", "event_type", "value")
+      for (i <- 0 to 2) {
+        Sinks.appendBatch(slice(i), rootA, i)
+        manA.commit(i, Seq(s"$rootA/batch=$i"))
+      }
+      val rootB = s"$base/out"
+      val manBPath = s"$base/man_b.tsv"
+      val q = s.readStream.format("graft-manifest")
+        .option("manifest", s"$base/man_a.tsv").load(rootA)
+        .select(col("event_id"), col("user_id"),
+          lower(col("event_type")).as("event_type_l"),
+          (col("value") * 3).as("value3"))
+        .writeStream.format("graft-manifest")
+        .option("manifest", manBPath)
+        .option("path", rootB)
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        Sinks.appendBatch(slice(3), rootA, 9)
+        manA.commit(9, Seq(s"$rootA/batch=9"))
+        q.processAllAvailable()
+      } finally q.stop()
+      Sinks.readCommitted(s, rootB, new TxnManifest(manBPath))
+        .select("event_id", "user_id", "event_type_l", "value3")
+    }),
+
     // Event-time tumbling-window aggregation — batch form of the
     // Structured Streaming query in `graft.streaming` (SURVEY §2.9:
     // the reference's poll loop is hand-rolled micro-batching; this is
@@ -698,6 +741,10 @@ object PipelineQueries {
         |  value * 3 AS value3
         |FROM events""".stripMargin,
     "st3_manifest_stream" ->
+      """SELECT event_id, user_id, lower(event_type) AS event_type_l,
+        |  value * 3 AS value3
+        |FROM events""".stripMargin,
+    "st4_manifest_roundtrip" ->
       """SELECT event_id, user_id, lower(event_type) AS event_type_l,
         |  value * 3 AS value3
         |FROM events""".stripMargin,

@@ -52,9 +52,14 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
 final class GraftManifestProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-manifest"
 
+  /** Empty manifest = a table that does not exist YET: schema comes
+    * back empty so a streaming WRITE can bootstrap it (the write takes
+    * its schema from the query); reads of the empty table fail loudly
+    * at scan build ([[GraftManifestTable.newScanBuilder]]). */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (root, manifestPath) = GraftManifestSource.rootAndManifest(options)
-    GraftManifestSource.mergedSchema(SparkSession.active, root, manifestPath)
+    GraftManifestSource.mergedSchemaOpt(SparkSession.active, root, manifestPath)
+      .getOrElse(StructType(Nil))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -64,14 +69,28 @@ final class GraftManifestProvider extends TableProvider with DataSourceRegister 
 
 final class GraftManifestTable(tableSchema: StructType,
                                options: CaseInsensitiveStringMap)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   private val (root, manifestPath) = GraftManifestSource.rootAndManifest(options)
 
   override def name(): String = s"graft-manifest `$root`"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.STREAMING_WRITE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new GraftManifestStreamingWrite(root, manifestPath, info.schema())
+        }
+    }
 
   /** Column pruning + filter pushdown, so a 2-column projection over a
     * wide committed table decodes 2 columns, not the row. Filters are
@@ -79,7 +98,12 @@ final class GraftManifestTable(tableSchema: StructType,
     * statistics — best-effort, so every filter is ALSO kept post-scan
     * (returned un-consumed from pushFilters), the same contract the
     * built-in parquet source honors. */
-  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    if (tableSchema.isEmpty)
+      throw new IllegalStateException(
+        s"graft-manifest: nothing committed under $root in $manifestPath — " +
+          "no schema to serve; commit at least one batch before subscribing " +
+          "(same constraint as reading an empty Delta log)")
     new ScanBuilder
       with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
       private var required: StructType = tableSchema
@@ -98,6 +122,7 @@ final class GraftManifestTable(tableSchema: StructType,
           GraftManifestSource.startingBatchId(options),
           GraftManifestSource.maxBatchesPerTrigger(options))
     }
+  }
 }
 
 final class GraftManifestScan(dataSchema: StructType, required: StructType,
@@ -267,14 +292,11 @@ private[sources] object GraftManifestSource {
       n
     }
 
-  def mergedSchema(spark: SparkSession, root: String, manifestPath: String): StructType = {
+  def mergedSchemaOpt(spark: SparkSession, root: String,
+                      manifestPath: String): Option[StructType] = {
     val dirs = new TxnManifest(manifestPath).committedDirs(root)
-    if (dirs.isEmpty)
-      throw new IllegalStateException(
-        s"graft-manifest: nothing committed under $root in $manifestPath — " +
-          "no schema to serve; commit at least one batch before subscribing " +
-          "(same constraint as reading an empty Delta log)")
-    spark.read.option("mergeSchema", true).parquet(dirs: _*).schema
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("mergeSchema", true).parquet(dirs: _*).schema)
   }
 
   /** Every parquet file committed for a batch id in `(from, to]`,

@@ -169,10 +169,11 @@ class StreamingSpec extends SparkSuite {
     val man = new TxnManifest(manPath)
     def batchDf(ids: Long*) = ids.map(i => (i, s"v$i")).toDF("id", "v")
 
-    // empty manifest: no schema to serve — fail loudly, like an empty Delta log
+    // empty manifest = table that doesn't exist yet: a READ fails
+    // loudly at scan build (a WRITE may bootstrap it — sink test)
     intercept[IllegalStateException] {
-      spark.readStream.format("graft-manifest")
-        .option("manifest", manPath).load(root)
+      spark.read.format("graft-manifest")
+        .option("manifest", manPath).load(root).collect()
     }
 
     Sinks.appendBatch(batchDf(1, 2), root, 0); man.commit(0, Seq(s"$root/batch=0"))
@@ -281,5 +282,48 @@ class StreamingSpec extends SparkSuite {
     qb2.awaitTermination()
     assert(spark.read.parquet(outB).select("id").as[Long].collect().toSet ==
       Set(1L, 2L, 11L, 12L, 21L, 22L, 91L))
+  }
+
+  test("graft-manifest sink: streaming write bootstraps and closes the loop") {
+    import graft.sources.{Sinks, TxnManifest}
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_dsv2w_").toString
+    val root = s"$base/table"
+    val manPath = s"$base/manifest.tsv"
+
+    // write INTO a fresh (empty) manifest: the sink bootstraps the table
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "v")
+      .writeStream.format("graft-manifest")
+      .option("manifest", manPath)
+      .option("path", root)
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      // visible ONLY through the manifest — and readable by the source twin
+      val man = new TxnManifest(manPath)
+      assert(Sinks.readCommitted(spark, root, man).count() == 2)
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+      val got = spark.read.format("graft-manifest")
+        .option("manifest", manPath).load(root)
+        .select("id").as[Long].collect().toSet
+      assert(got == Set(1L, 2L, 3L))
+      // each epoch is one committed manifest batch
+      assert(new TxnManifest(manPath).committed().keySet == Set(0, 1))
+    } finally q.stop()
+
+    // full circle: the DSv2 SOURCE streams what the DSv2 SINK wrote
+    val outDir = s"$base/relay"
+    val relay = spark.readStream.format("graft-manifest")
+      .option("manifest", manPath).load(root)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", s"$base/ckpt2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    relay.awaitTermination()
+    assert(spark.read.parquet(outDir).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
   }
 }
