@@ -165,6 +165,13 @@ object Multimodal {
     else None
   }
 
+  /** Spec hook: synthesize an AVI with explicit params and parse it
+    * back — the encode→decode property surface for generators. */
+  private[graft] def aviRoundTrip(w: Int, h: Int, usPerFrame: Int,
+                                  totalFrames: Int,
+                                  body: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    decodeAviHeader(aviBytes(w, h, usPerFrame, totalFrames, body))
+
   /** Header decode over partitions, video form of [[extractMeta]]:
     * duration is derived from the PARSED rate and frame count with
     * integer math (µs·frames → ms, truncating) so an oracle can

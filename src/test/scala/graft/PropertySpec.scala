@@ -165,4 +165,49 @@ class PropertySpec extends SparkSuite {
       assert(binned == naive, s"binWidth=$w")
     }
   }
+
+  test("media container encode→decode round-trips on generated params") {
+    import graft.multimodal.Multimodal
+    val gen = for {
+      id   <- Gen.chooseNum(0L, 1000000L)
+      w    <- Gen.chooseNum(1, 65535)
+      h    <- Gen.chooseNum(1, 65535)
+      usf  <- Gen.chooseNum(1, 2000000)
+      tf   <- Gen.chooseNum(0, 1000000)
+      body <- Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    } yield (id, w, h, usf, tf, body.toArray)
+    for (_ <- 1 to 50) {
+      val (id, w, h, usf, tf, body) = gen.sample.get
+      // image/audio: format selected by id % 3, dims recovered exactly
+      val (fmt, gw, gh) = Multimodal.decodeHeader(
+        Multimodal.synthesizePayload(id, w, h, body))
+      assert(fmt == Seq("png", "bmp", "wav")((id % 3).toInt))
+      assert((gw, gh) == ((w, h)))
+      // video: all four header fields recovered exactly, and the
+      // derived duration uses truncating integer math
+      val avi = Multimodal.aviRoundTrip(w, h, usf, tf, body)
+      assert(avi.contains((w, h, usf, tf)))
+    }
+  }
+
+  test("frameSampleIndices: sorted, bounded, capped on generated durations") {
+    val durs = (1 to 200).map(_ =>
+      Gen.chooseNum(0L, 100000L).sample.get)
+    val df = durs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+      .toDF("id", "dur_ms")
+    val got = df.select($"id", $"dur_ms",
+      graft.multimodal.Multimodal
+        .frameSampleIndices($"dur_ms", fps = 2.0, maxFrames = 8).as("f"))
+      .collect()
+    got.foreach { r =>
+      val dur = r.getLong(1)
+      val idx = r.getSeq[Int](2)
+      val total = math.floor(dur / 500.0).toInt
+      assert(idx.length == math.min(total, 8).max(0))
+      assert(idx == idx.sorted, s"unsorted plan for dur=$dur")
+      assert(idx.forall(i => i >= 0 && i < math.max(total, 1)),
+        s"index out of frame range for dur=$dur: $idx")
+      assert(idx.distinct.length == idx.length, s"duplicate frames for dur=$dur")
+    }
+  }
 }
