@@ -258,6 +258,40 @@ class SourcesSpec extends SparkSuite {
     }
   }
 
+  test("manifest replacement is atomic under a concurrent reader") {
+    // regression guard for the FileContext refactor: RawLocalFs's
+    // default rename(OVERWRITE) is delete-then-rename, and a reader in
+    // that window saw an EMPTY manifest (a streaming consumer's
+    // latestOffset re-delivered history). The scheme-dispatched rename
+    // must never expose an empty or torn view mid-commit.
+    val path = java.nio.file.Files.createTempDirectory("atomic_").toString +
+      "/man.tsv"
+    val man = new TxnManifest(path)
+    man.commit(0, Seq("/data/batch=0"))
+    @volatile var stop = false
+    @volatile var failure: Option[String] = None
+    val reader = new Thread(() => {
+      var last = 0
+      while (!stop && failure.isEmpty) {
+        val m = man.committed()
+        if (m.isEmpty) failure = Some("observed EMPTY manifest mid-commit")
+        else {
+          val ids = m.keySet
+          if (!ids.contains(0)) failure = Some(s"lost batch 0: $ids")
+          val hi = ids.max
+          if (hi < last) failure = Some(s"went backwards: $hi < $last")
+          last = hi
+        }
+      }
+    })
+    reader.start()
+    for (i <- 1 to 300) man.commit(i, Seq(s"/data/batch=$i"))
+    stop = true
+    reader.join(10000)
+    assert(failure.isEmpty, failure.getOrElse(""))
+    assert(man.committed().keySet == (0 to 300).toSet)
+  }
+
   test("writePartitioned: key filter prunes to the selected partition dirs") {
     val tmp = java.nio.file.Files.createTempDirectory("sinks_part_").toString
     val df = (1 to 300).map(i => (i.toLong, i % 3, s"v$i")).toDF("id", "k", "v")

@@ -284,6 +284,41 @@ class StreamingSpec extends SparkSuite {
       Set(1L, 2L, 11L, 12L, 21L, 22L, 91L))
   }
 
+  test("graft-manifest source: additive evolution mid-stream serves the start schema") {
+    import graft.sources.{Sinks, TxnManifest}
+    val base = java.nio.file.Files.createTempDirectory("graft_dsv2ev_").toString
+    val root = s"$base/data"
+    val manPath = s"$base/manifest.tsv"
+    val man = new TxnManifest(manPath)
+    Sinks.appendBatch(Seq((1L, "a")).toDF("id", "v"), root, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+
+    val outDir = s"$base/out"
+    val q = spark.readStream.format("graft-manifest")
+      .option("manifest", manPath).load(root)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      // a batch with an EXTRA column commits mid-stream: the stream's
+      // schema was fixed at start, so the new column is ignored (not a
+      // crash) — rows arrive projected to the start schema. A restart
+      // (fresh inferSchema) is the upgrade point, as with Delta.
+      Sinks.appendBatch(Seq((2L, "b", 9.9)).toDF("id", "v", "extra"), root, 1)
+      man.commit(1, Seq(s"$root/batch=1"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+      assert(got.columns.toSeq == Seq("id", "v"))
+      assert(got.select("id").as[Long].collect().toSet == Set(1L, 2L))
+      // and a batch MISSING a column serves NULL for it (parquet clip)
+      Sinks.appendBatch(Seq(Tuple1(3L)).toDF("id"), root, 2)
+      man.commit(2, Seq(s"$root/batch=2"))
+      q.processAllAvailable()
+      val r3 = spark.read.parquet(outDir).filter($"id" === 3L).collect().head
+      assert(r3.isNullAt(r3.fieldIndex("v")))
+    } finally q.stop()
+  }
+
   test("graft-manifest sink: streaming write bootstraps and closes the loop") {
     import graft.sources.{Sinks, TxnManifest}
     implicit val sqlCtx = spark.sqlContext
