@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StringType}
 import graft.Tables
 import graft.text.MinHash
+import graft.text.{TextAnalysis => TA}
 
 /** Training-data curation operators: deterministic sampling /
   * train-val-test splitting and benchmark-contamination detection.
@@ -154,6 +155,18 @@ object CurationQueries {
         regexp_count(aug, lit(phone)).cast("long").as("n_phones"),
         regexp_replace(regexp_replace(aug, email, "<EMAIL>"),
           phone, "<PHONE>").as("redacted"))
+    }),
+
+    // Greedy sequence packing into fixed-token-budget training shards
+    // (graft.sources.Layout.packShards): per-bucket cumulative sums,
+    // never a global sort — bucket count is the write parallelism at
+    // 100 TB and each shard overflows by at most one document (the
+    // greedy rule). The oracle reruns the identical window arithmetic.
+    "t16_shard_pack" -> ((s, d) => {
+      graft.sources.Layout.packShards(
+        Tables.documents(s, d),
+        "doc_id", TA.tokenCount(col("text")),
+        numBuckets = 8, budgetTokens = 2000L)
     })
   )
 
@@ -257,6 +270,21 @@ object CurationQueries {
         |  regexp_replace(regexp_replace(a,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}', '<PHONE>', 'g') AS redacted
-        |FROM aug""".stripMargin
+        |FROM aug""".stripMargin,
+    "t16_shard_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(doc_id % 8 AS BIGINT) AS bucket
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, n_tokens, bucket, cum_before,
+        |  bucket * 1000000000 + cum_before // 2000 AS shard_id
+        |FROM c""".stripMargin
   )
 }

@@ -63,6 +63,31 @@ object Layout {
     sp(a) | (sp(b) << 1)
   }
 
+  /** Greedy sequence packing for training shards: assign each
+    * document a shard of ~`budgetTokens`, packing WITHIN
+    * `numBuckets` independent arithmetic buckets (`id % numBuckets`)
+    * so the cumulative sums are per-bucket windows — NO global sort
+    * exists at any scale; bucket count is the write parallelism.
+    * A document whose cumulative range straddles a boundary belongs
+    * to the shard where its range STARTS (shards overflow by < 1
+    * document — the greedy streaming-friendly rule every sharded
+    * tokenizer pipeline uses). Shard ids are `(bucket, seq)`
+    * flattened as `bucket * 1e9 + seq`; `idCol` must be integral and
+    * the ordering key within each bucket. */
+  def packShards(docs: DataFrame, idCol: String, tokens: Column,
+                 numBuckets: Int, budgetTokens: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(Long.MinValue, -1)
+    docs.select(col(idCol), tokens.as("n_tokens"))
+      .withColumn("bucket", pmod(col(idCol), lit(numBuckets)).cast(LongType))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("shard_id",
+        col("bucket") * lit(1000000000L) +
+          floor(col("cum_before") / budgetTokens).cast(LongType))
+  }
+
   /** Write `df` z-ordered on (a, b) into `numFiles` parquet files:
     * range-partition by the Morton key (balanced files by sampled
     * quantiles), sort within partitions, drop the key. Readers filter
