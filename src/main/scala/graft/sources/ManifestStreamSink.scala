@@ -98,14 +98,22 @@ private final case class GraftManifestWriterFactory(
       .asInstanceOf[StructType]
     val conf = new Configuration(serConf.value)
     ParquetWriteSupport.setSchema(schema, conf)
-    // deterministic name in (epoch, partition) + OVERWRITE: retries and
-    // epoch replays rewrite, never accumulate
-    val path = new HPath(s"$root/batch=$epochId/part-$partitionId.parquet")
-    new GraftManifestDataWriter(path, conf)
+    // attempt-UNIQUE temp, renamed to the deterministic target only in
+    // the coordinator-authorized commit(): under speculation two
+    // attempts of one partition write concurrently, and bytes-level
+    // interleaving on a shared file would corrupt it — only one
+    // attempt's commit() runs (useCommitCoordinator default), so the
+    // rename has a single owner. Epoch replays re-rename over the old
+    // target; everything stays invisible until the manifest commit.
+    val dir = s"$root/batch=$epochId"
+    new GraftManifestDataWriter(
+      new HPath(s"$dir/.part-$partitionId-$taskId.tmp.parquet"),
+      new HPath(s"$dir/part-$partitionId.parquet"), conf)
   }
 }
 
-private final class GraftManifestDataWriter(path: HPath, conf: Configuration)
+private final class GraftManifestDataWriter(tmp: HPath, target: HPath,
+                                            conf: Configuration)
   extends DataWriter[InternalRow] {
 
   private final class B(p: HPath)
@@ -115,20 +123,33 @@ private final class GraftManifestDataWriter(path: HPath, conf: Configuration)
       new ParquetWriteSupport
   }
 
-  private val writer = new B(path)
+  private val writer = new B(tmp)
     .withConf(conf)
     .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
     .withCompressionCodec(CompressionCodecName.SNAPPY)
     .build()
 
+  // FileSystem (not FileContext): on a checksummed local FS the facade
+  // renames/deletes the .crc sidecar together with the file, and the
+  // delete+rename non-atomicity is harmless here — the single
+  // authorized committer owns the target, which stays invisible until
+  // the manifest commit
+  private def fs = target.getFileSystem(conf)
+
   override def write(record: InternalRow): Unit = writer.write(record)
 
   override def commit(): WriterCommitMessage = {
     writer.close()
-    GraftManifestFileCommitted(path.toString)
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"rename $tmp -> $target failed")
+    GraftManifestFileCommitted(target.toString)
   }
 
-  override def abort(): Unit = writer.close() // replay overwrites the partial
+  override def abort(): Unit = {
+    writer.close()
+    if (fs.exists(tmp)) { fs.delete(tmp, false); () }
+  }
 
   override def close(): Unit = ()
 }

@@ -319,7 +319,13 @@ private[sources] object GraftManifestSource {
         else FileContext.getFileContext(p.toUri, conf)
       if (!fc.util().exists(p)) Nil
       else fc.util().listStatus(p).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .filter { st =>
+          val n = st.getPath.getName
+          // hidden files (crashed attempts' temps, metadata) excluded,
+          // matching Hadoop's input-listing convention
+          st.isFile && n.endsWith(".parquet") &&
+            !n.startsWith(".") && !n.startsWith("_")
+        }
         .map(st => ManifestFilePartition(st.getPath.toString, st.getLen,
           st.getModificationTime))
     }.toArray
