@@ -472,6 +472,44 @@ object PipelineQueries {
         .select("event_id", "user_id", "event_type_l", "value3")
     }),
 
+    // S10 at engine strength (graft.sources.SchemaLog): column-mapping
+    // schema evolution on plain parquet. Batch 0 writes logical v;
+    // v RENAMES to val3 touching zero data files (batch 0's values
+    // surface under the new name because files carry immutable
+    // PHYSICAL ids, not names); batch 1 writes through the new name;
+    // flag is ADDED and earlier batches serve NULL for it. The oracle
+    // reproduces the per-slice arithmetic — a hash match proves the
+    // mapping resolved every batch's physical columns correctly.
+    "s10_column_mapping" -> ((s, d) => {
+      import graft.sources.{SchemaLog, TxnManifest}
+      import org.apache.spark.sql.types._
+      val ev = Tables.events(s, d)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_cm_").toString
+      val root = s"$base/t"
+      val man = new TxnManifest(s"$base/_commits")
+      val log = new SchemaLog(s"$base/_schema")
+      val slice = (i: Int) => ev.filter(pmod(col("event_id"), lit(4)) === i)
+      log.init(StructType(Seq(StructField("id", LongType),
+        StructField("v", DoubleType))))
+      SchemaLog.appendBatchMapped(
+        slice(0).select(col("event_id").as("id"), col("value").as("v")),
+        root, log, 0)
+      man.commit(0, Seq(s"$root/batch=0"))
+      log.rename("v", "val3") // metadata-only
+      SchemaLog.appendBatchMapped(
+        slice(1).select(col("event_id").as("id"),
+          (col("value") * 3).as("val3")), root, log, 1)
+      man.commit(1, Seq(s"$root/batch=1"))
+      log.add("flag", LongType)
+      SchemaLog.appendBatchMapped(
+        slice(2).select(col("event_id").as("id"), col("value").as("val3"),
+          pmod(col("event_id"), lit(7)).cast("long").as("flag")),
+        root, log, 2)
+      man.commit(2, Seq(s"$root/batch=2"))
+      SchemaLog.readCommittedMapped(s, root, man, log)
+    }),
+
     // The full manifest circle: DSv2 SOURCE → transform → DSv2 SINK.
     // One streaming query tails manifest A and terminates into
     // manifest B (graft.sources.GraftManifestStreamingWrite): each
@@ -740,6 +778,11 @@ object PipelineQueries {
       """SELECT event_id, user_id, lower(event_type) AS event_type_l,
         |  value * 3 AS value3
         |FROM events""".stripMargin,
+    "s10_column_mapping" ->
+      """SELECT event_id AS id,
+        |  CASE WHEN event_id % 4 = 1 THEN value * 3 ELSE value END AS val3,
+        |  CASE WHEN event_id % 4 = 2 THEN event_id % 7 ELSE NULL END AS flag
+        |FROM events WHERE event_id % 4 < 3""".stripMargin,
     "st3_manifest_stream" ->
       """SELECT event_id, user_id, lower(event_type) AS event_type_l,
         |  value * 3 AS value3

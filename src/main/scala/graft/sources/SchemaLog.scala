@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.util.AtomicText
+
+/** S10 at engine strength: versioned schema evolution over plain
+  * parquet via COLUMN MAPPING — the Delta `columnMapping` design
+  * re-expressed on the manifest layer.
+  *
+  * The reference evolves schemas with conditional DDL
+  * (`IF NOT EXISTS(sys.columns...) ALTER TABLE ADD ...`,
+  * `accounts.py:115-126`) — additive only, and a rename would rewrite
+  * the table. Parquet's own `mergeSchema` has the same ceiling: it
+  * unions by NAME, so a rename forks the column and a re-added column
+  * resurrects dropped data. Column mapping removes the name from the
+  * data path entirely:
+  *
+  *   - every logical column gets an immutable PHYSICAL id (`p0`,
+  *     `p1`, ...) at ADD time; files only ever carry physical names;
+  *   - RENAME rewrites one line of this log — zero data files touched;
+  *   - DROP removes the mapping; the physical column stays in old
+  *     files but no reader resolves it;
+  *   - re-ADDing a dropped logical name allocates a FRESH physical id,
+  *     so dropped data is never resurrected (the mergeSchema hazard);
+  *   - ADD serves NULL for batches written before it (parquet clip).
+  *
+  * The log itself is tiny versioned state committed through
+  * [[AtomicText]] (same crash-atomicity as the manifest): line 0 is
+  * `next-physical-id`, then one line per column
+  * `logical<TAB>physical<TAB>typeDDL`, newest version wins via the
+  * atomic whole-file replace. Retype is deliberately NOT offered:
+  * silent cast-on-read is the class of surprise this engine fails
+  * loudly on; widen by ADD + backfill instead.
+  */
+final class SchemaLog(path: String) {
+
+  final case class Col(logical: String, physical: String, dataType: DataType)
+
+  private def write(nextId: Int, cols: Seq[Col]): Unit = {
+    cols.foreach { c =>
+      AtomicText.requireCleanKey(c.logical, "logical column name")
+      require(!c.logical.contains("\t"), "tab in column name")
+    }
+    val body = (nextId.toString +: cols.map(c =>
+      s"${c.logical}\t${c.physical}\t${c.dataType.sql}")).mkString("\n")
+    AtomicText.writeAtomically(path, body)
+  }
+
+  /** (next physical id, current columns); empty before init. */
+  def current(): (Int, Seq[Col]) = {
+    val lines = AtomicText.readLines(path)
+    if (lines.isEmpty) (0, Nil)
+    else (lines.head.trim.toInt, lines.tail.map { l =>
+      val Array(lg, ph, ddl) = l.split('\t')
+      Col(lg, ph, DataType.fromDDL(ddl))
+    })
+  }
+
+  /** Create the mapping for a fresh table. */
+  def init(schema: StructType): Unit = {
+    require(current()._2.isEmpty, s"schema log $path already initialized")
+    val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+      Col(f.name, s"p$i", f.dataType)
+    }
+    write(schema.fields.length, cols.toSeq)
+  }
+
+  /** Metadata-only rename: zero data files touched. */
+  def rename(from: String, to: String): Unit = {
+    val (next, cols) = current()
+    require(cols.exists(_.logical == from), s"no column $from")
+    require(!cols.exists(_.logical == to), s"column $to already exists")
+    write(next, cols.map(c => if (c.logical == from) c.copy(logical = to) else c))
+  }
+
+  /** Remove the mapping; old files keep the physical column, no reader
+    * resolves it. */
+  def drop(name: String): Unit = {
+    val (next, cols) = current()
+    require(cols.exists(_.logical == name), s"no column $name")
+    write(next, cols.filterNot(_.logical == name))
+  }
+
+  /** Add a column. A re-added logical name gets a FRESH physical id —
+    * dropped data stays dead. Pre-existing batches serve NULL. */
+  def add(name: String, dataType: DataType): Unit = {
+    val (next, cols) = current()
+    require(!cols.exists(_.logical == name), s"column $name already exists")
+    write(next + 1, cols :+ Col(name, s"p$next", dataType))
+  }
+}
+
+object SchemaLog {
+
+  /** Write one batch through the mapping: `df` carries LOGICAL names
+    * (any subset order, all current columns required), files carry
+    * physical ones. */
+  def appendBatchMapped(df: DataFrame, root: String, log: SchemaLog,
+                        batchId: Int): Unit = {
+    val (_, cols) = log.current()
+    require(cols.nonEmpty, "schema log not initialized")
+    val missing = cols.map(_.logical).toSet -- df.columns.toSet
+    require(missing.isEmpty, s"batch is missing logical columns $missing")
+    Sinks.appendBatch(
+      df.select(cols.map(c => col(c.logical).as(c.physical)): _*),
+      root, batchId)
+  }
+
+  /** Manifest-resolved read through the mapping: committed dirs only,
+    * physical columns resolved to the CURRENT logical names, columns
+    * added after a batch served as NULL for its rows. */
+  def readCommittedMapped(spark: SparkSession, root: String,
+                          manifest: TxnManifest, log: SchemaLog): DataFrame = {
+    val (_, cols) = log.current()
+    require(cols.nonEmpty, "schema log not initialized")
+    val physical = Sinks.readCommitted(spark, root, manifest)
+    val present = physical.columns.toSet
+    physical.select(cols.map { c =>
+      (if (present.contains(c.physical)) col(c.physical)
+       else lit(null).cast(c.dataType)).as(c.logical)
+    }: _*)
+  }
+}

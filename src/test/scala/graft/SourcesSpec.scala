@@ -258,6 +258,56 @@ class SourcesSpec extends SparkSuite {
     }
   }
 
+  test("SchemaLog column mapping: rename is metadata-only, drop never resurrects") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("schemalog_").toString
+    val root = s"$tmp/t"
+    val man = new TxnManifest(s"$tmp/_commits")
+    val log = new graft.sources.SchemaLog(s"$tmp/_schema")
+    def readBack() = graft.sources.SchemaLog
+      .readCommittedMapped(spark, root, man, log)
+
+    log.init(StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType))))
+    graft.sources.SchemaLog.appendBatchMapped(
+      Seq((1L, "a")).toDF("id", "v"), root, log, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+
+    // rename touches ZERO data files — batch 0's values appear under w
+    log.rename("v", "w")
+    graft.sources.SchemaLog.appendBatchMapped(
+      Seq((2L, "b")).toDF("id", "w"), root, log, 1)
+    man.commit(1, Seq(s"$root/batch=1"))
+    assert(readBack().columns.toSeq == Seq("id", "w"))
+    assert(readBack().orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "b")))
+
+    // drop + re-add the same logical name: fresh physical id, so the
+    // dropped data stays dead (the mergeSchema hazard this fixes)
+    log.drop("w")
+    log.add("w", StringType)
+    graft.sources.SchemaLog.appendBatchMapped(
+      Seq((3L, "c")).toDF("id", "w"), root, log, 2)
+    man.commit(2, Seq(s"$root/batch=2"))
+    val rows = readBack().orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(rows == Seq((1L, None), (2L, None), (3L, Some("c"))))
+
+    // additive column serves NULL for earlier batches; a batch missing
+    // a current logical column fails loudly
+    log.add("m", DoubleType)
+    intercept[IllegalArgumentException] {
+      graft.sources.SchemaLog.appendBatchMapped(
+        Seq((4L, "d")).toDF("id", "w"), root, log, 3)
+    }
+    graft.sources.SchemaLog.appendBatchMapped(
+      Seq((4L, "d", 1.5)).toDF("id", "w", "m"), root, log, 3)
+    man.commit(3, Seq(s"$root/batch=3"))
+    val m = readBack().orderBy("id").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
+    assert(m == Seq(None, None, None, Some(1.5)))
+  }
+
   test("manifest replacement is atomic under a concurrent reader") {
     // regression guard for the FileContext refactor: RawLocalFs's
     // default rename(OVERWRITE) is delete-then-rename, and a reader in
