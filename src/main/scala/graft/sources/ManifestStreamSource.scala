@@ -55,11 +55,21 @@ final class GraftManifestProvider extends TableProvider with DataSourceRegister 
   /** Empty manifest = a table that does not exist YET: schema comes
     * back empty so a streaming WRITE can bootstrap it (the write takes
     * its schema from the query); reads of the empty table fail loudly
-    * at scan build ([[GraftManifestTable.newScanBuilder]]). */
+    * at scan build ([[GraftManifestTable.newScanBuilder]]). With
+    * option `schemaLog`, the LOGICAL schema comes from the
+    * [[SchemaLog]] column mapping instead of file names — evolved
+    * tables stream under their current names. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (root, manifestPath) = GraftManifestSource.rootAndManifest(options)
-    GraftManifestSource.mergedSchemaOpt(SparkSession.active, root, manifestPath)
-      .getOrElse(StructType(Nil))
+    GraftManifestSource.mapping(options) match {
+      case Some(cols) =>
+        StructType(cols.map(c => org.apache.spark.sql.types
+          .StructField(c.logical, c.dataType)))
+      case None =>
+        GraftManifestSource
+          .mergedSchemaOpt(SparkSession.active, root, manifestPath)
+          .getOrElse(StructType(Nil))
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -120,7 +130,8 @@ final class GraftManifestTable(tableSchema: StructType,
       override def build(): Scan =
         new GraftManifestScan(tableSchema, required, pushed, root, manifestPath,
           GraftManifestSource.startingBatchId(options),
-          GraftManifestSource.maxBatchesPerTrigger(options))
+          GraftManifestSource.maxBatchesPerTrigger(options),
+          GraftManifestSource.mapping(options))
     }
   }
 }
@@ -128,7 +139,9 @@ final class GraftManifestTable(tableSchema: StructType,
 final class GraftManifestScan(dataSchema: StructType, required: StructType,
                               pushed: Array[Filter],
                               root: String, manifestPath: String, starting: Int,
-                              maxBatches: Option[Int]) extends Scan {
+                              maxBatches: Option[Int],
+                              mapping: Option[Seq[SchemaLog#Col]] = None)
+  extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
     s"GraftManifestScan(root=$root, " +
@@ -141,13 +154,13 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
       new TxnManifest(manifestPath), root, Int.MinValue, Int.MaxValue)
     override def planInputPartitions(): Array[InputPartition] = parts
     override def createReaderFactory(): PartitionReaderFactory =
-      GraftManifestSource.readerFactory(SparkSession.active, dataSchema,
-        required, pushed)
+      GraftManifestSource.mappedReaderFactory(SparkSession.active, dataSchema,
+        required, pushed, mapping)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftManifestMicroBatchStream(dataSchema, required, pushed,
-      root, manifestPath, starting, maxBatches)
+      root, manifestPath, starting, maxBatches, mapping)
 }
 
 /** Offset = highest manifest batch id consumed (inclusive). */
@@ -160,7 +173,8 @@ final class GraftManifestMicroBatchStream(dataSchema: StructType,
                                           pushed: Array[Filter],
                                           root: String,
                                           manifestPath: String, starting: Int,
-                                          maxBatches: Option[Int] = None)
+                                          maxBatches: Option[Int] = None,
+                                          mapping: Option[Seq[SchemaLog#Col]] = None)
   extends MicroBatchStream
   with streaming.SupportsAdmissionControl
   with streaming.SupportsTriggerAvailableNow {
@@ -218,8 +232,8 @@ final class GraftManifestMicroBatchStream(dataSchema: StructType,
     GraftManifestSource.partitionsFor(manifest, root, idOf(start), idOf(end))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftManifestSource.readerFactory(SparkSession.active, dataSchema,
-      required, pushed)
+    GraftManifestSource.mappedReaderFactory(SparkSession.active, dataSchema,
+      required, pushed, mapping)
 
   // progress lives in Spark's checkpoint WAL; the manifest is
   // immutable history, so there is nothing to acknowledge
@@ -292,6 +306,17 @@ private[sources] object GraftManifestSource {
       n
     }
 
+  /** `schemaLog` option: resolve reads through a [[SchemaLog]] column
+    * mapping (captured at scan/stream build — a rename mid-stream is
+    * picked up on restart, the evolution point, as with Delta). */
+  def mapping(options: CaseInsensitiveStringMap): Option[Seq[SchemaLog#Col]] =
+    Option(options.get("schemaLog")).map { path =>
+      val log = new SchemaLog(path)
+      val (_, cols) = log.current()
+      require(cols.nonEmpty, s"schema log $path is empty/uninitialized")
+      cols
+    }
+
   def mergedSchemaOpt(spark: SparkSession, root: String,
                       manifestPath: String): Option[StructType] = {
     val dirs = new TxnManifest(manifestPath).committedDirs(root)
@@ -330,6 +355,30 @@ private[sources] object GraftManifestSource {
           st.getModificationTime))
     }.toArray
   }
+
+  /** [[readerFactory]] with an optional column mapping: logical
+    * schemas translate to their physical twins for the parquet reader
+    * — rows come back positionally identical, so only the NAMES
+    * change, and the DSv2 engine consumes them under `readSchema()`'s
+    * logical names. Filter pushdown is skipped when mapped (filters
+    * reference logical names the files do not carry; Spark still
+    * evaluates every filter post-scan, so this costs row-group skips,
+    * never correctness). */
+  def mappedReaderFactory(spark: SparkSession, dataSchema: StructType,
+                          required: StructType, pushed: Array[Filter],
+                          mapping: Option[Seq[SchemaLog#Col]]): PartitionReaderFactory =
+    mapping match {
+      case None => readerFactory(spark, dataSchema, required, pushed)
+      case Some(cols) =>
+        val toPhysical = cols.map(c => c.logical -> c).toMap
+        def physical(s: StructType): StructType = StructType(s.fields.map { f =>
+          val c = toPhysical.getOrElse(f.name,
+            throw new IllegalArgumentException(s"no mapping for ${f.name}"))
+          f.copy(name = c.physical)
+        })
+        readerFactory(spark, physical(dataSchema), physical(required),
+          Array.empty)
+    }
 
   /** Driver-side build of Spark's parquet decode closure; serialized
     * into [[ManifestReaderFactory]] for the executors (the closure is

@@ -319,6 +319,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("graft-manifest + schemaLog: evolved tables stream under logical names") {
+    import graft.sources.{SchemaLog, Sinks, TxnManifest}
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_dsv2sl_").toString
+    val root = s"$base/t"
+    val manPath = s"$base/manifest.tsv"
+    val man = new TxnManifest(manPath)
+    val log = new SchemaLog(s"$base/_schema")
+    log.init(StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType))))
+    SchemaLog.appendBatchMapped(Seq((1L, "a")).toDF("id", "v"), root, log, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+    log.rename("v", "w") // metadata-only; batch 0 untouched
+    SchemaLog.appendBatchMapped(Seq((2L, "b")).toDF("id", "w"), root, log, 1)
+    man.commit(1, Seq(s"$root/batch=1"))
+
+    // batch read resolves the mapping: logical names, both batches
+    val batch = spark.read.format("graft-manifest")
+      .option("manifest", manPath).option("schemaLog", s"$base/_schema")
+      .load(root)
+    assert(batch.columns.toSeq == Seq("id", "w"))
+    assert(batch.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "b")))
+    // projection through the mapping still prunes (logical name in,
+    // physical column out)
+    assert(batch.select("w").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("a", "b"))
+
+    // streaming read under the mapping
+    val outDir = s"$base/out"
+    val q = spark.readStream.format("graft-manifest")
+      .option("manifest", manPath).option("schemaLog", s"$base/_schema")
+      .load(root)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+      assert(got.columns.toSeq == Seq("id", "w"))
+      assert(got.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("graft-manifest sink: streaming write bootstraps and closes the loop") {
     import graft.sources.{Sinks, TxnManifest}
     implicit val sqlCtx = spark.sqlContext
