@@ -109,6 +109,27 @@ object SchemaLog {
       root, batchId)
   }
 
+  /** Row-level MERGE through the mapping: `updates` carries LOGICAL
+    * names and `keys` are logical; both translate to physical before
+    * the copy-on-write [[Sinks.mergeUpsert]] runs, so merge semantics
+    * and metadata-only renames compose — a rename between two merges
+    * needs no data migration. */
+  def mergeUpsertMapped(spark: SparkSession, updates: DataFrame, root: String,
+                        manifest: TxnManifest, log: SchemaLog,
+                        keys: Seq[String], mergeId: Int): Unit = {
+    val (_, cols) = log.current()
+    require(cols.nonEmpty, "schema log not initialized")
+    val toPhysical = cols.map(c => c.logical -> c.physical).toMap
+    val missingKeys = keys.filterNot(toPhysical.contains)
+    require(missingKeys.isEmpty, s"unknown merge keys $missingKeys")
+    val missing = updates.columns.filterNot(toPhysical.contains)
+    require(missing.isEmpty, s"updates carry unmapped columns ${missing.toSeq}")
+    Sinks.mergeUpsert(spark,
+      updates.select(updates.columns.map(c =>
+        col(c).as(toPhysical(c))).toSeq: _*),
+      root, manifest, keys.map(toPhysical), mergeId)
+  }
+
   /** Manifest-resolved read through the mapping: committed dirs only,
     * physical columns resolved to the CURRENT logical names, columns
     * added after a batch served as NULL for its rows. */

@@ -306,6 +306,20 @@ class SourcesSpec extends SparkSuite {
     val m = readBack().orderBy("id").collect()
       .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
     assert(m == Seq(None, None, None, Some(1.5)))
+
+    // MERGE composes with the mapping: logical keys/columns in, the
+    // copy-on-write runs on physical files — update row 3, insert 5
+    graft.sources.SchemaLog.mergeUpsertMapped(spark,
+      Seq((3L, "c2", 9.0), (5L, "e", 2.5)).toDF("id", "w", "m"),
+      root, man, log, keys = Seq("id"), mergeId = 10)
+    val merged = readBack().orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(merged == Seq((1L, None), (2L, None), (3L, Some("c2")),
+      (4L, Some("d")), (5L, Some("e"))))
+    intercept[IllegalArgumentException] {
+      graft.sources.SchemaLog.mergeUpsertMapped(spark,
+        Seq((6L, "x")).toDF("id", "nope"), root, man, log, Seq("id"), 11)
+    }
   }
 
   test("manifest replacement is atomic under a concurrent reader") {
