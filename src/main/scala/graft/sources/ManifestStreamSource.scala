@@ -131,7 +131,8 @@ final class GraftManifestTable(tableSchema: StructType,
         new GraftManifestScan(tableSchema, required, pushed, root, manifestPath,
           GraftManifestSource.startingBatchId(options),
           GraftManifestSource.maxBatchesPerTrigger(options),
-          GraftManifestSource.mapping(options))
+          GraftManifestSource.mapping(options),
+          GraftManifestSource.versionAsOf(options))
     }
   }
 }
@@ -140,7 +141,8 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
                               pushed: Array[Filter],
                               root: String, manifestPath: String, starting: Int,
                               maxBatches: Option[Int],
-                              mapping: Option[Seq[SchemaLog#Col]] = None)
+                              mapping: Option[Seq[SchemaLog#Col]] = None,
+                              asOf: Option[Int] = None)
   extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
@@ -149,18 +151,24 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
       s"pushedFilters=[${pushed.mkString(",")}])"
 
   override def toBatch: Batch = new Batch {
-    // the batch view ignores `starting`: it is readCommitted-as-DSv2
+    // the batch view ignores `starting`: it is readCommitted-as-DSv2;
+    // versionAsOf serves the table as of a batch id (time travel —
+    // valid until compaction/vacuum collapse the history horizon)
     private lazy val parts = GraftManifestSource.partitionsFor(
-      new TxnManifest(manifestPath), root, Int.MinValue, Int.MaxValue)
+      new TxnManifest(manifestPath), root, Int.MinValue,
+      asOf.getOrElse(Int.MaxValue))
     override def planInputPartitions(): Array[InputPartition] = parts
     override def createReaderFactory(): PartitionReaderFactory =
       GraftManifestSource.mappedReaderFactory(SparkSession.active, dataSchema,
         required, pushed, mapping)
   }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(asOf.isEmpty,
+      "versionAsOf is a batch-read option; use startingBatchId on a stream")
     new GraftManifestMicroBatchStream(dataSchema, required, pushed,
       root, manifestPath, starting, maxBatches, mapping)
+  }
 }
 
 /** Offset = highest manifest batch id consumed (inclusive). */
@@ -305,6 +313,11 @@ private[sources] object GraftManifestSource {
       require(n > 0, s"maxBatchesPerTrigger must be positive, got $n")
       n
     }
+
+  /** Time travel for the batch view: serve the table as of this batch
+    * id, inclusive (readCommittedAsOf as DSv2). */
+  def versionAsOf(options: CaseInsensitiveStringMap): Option[Int] =
+    Option(options.get("versionAsOf")).map(_.toInt)
 
   /** `schemaLog` option: resolve reads through a [[SchemaLog]] column
     * mapping (captured at scan/stream build — a rename mid-stream is

@@ -216,6 +216,22 @@ class StreamingSpec extends SparkSuite {
     assert(batchRead.select("id").as[Long].collect().toSet ==
       Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
 
+    // time travel: the table as of batch 1 (ids 0 and 1 only)
+    val asOf = spark.read.format("graft-manifest")
+      .option("manifest", manPath).option("versionAsOf", "1").load(root)
+    assert(asOf.select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L))
+    // startingBatchId: a fresh stream that skips history
+    val lateOnly = s"$base/lateOnly"
+    val q3 = spark.readStream.format("graft-manifest")
+      .option("manifest", manPath).option("startingBatchId", "2").load(root)
+      .writeStream.format("parquet")
+      .option("path", lateOnly).option("checkpointLocation", s"$base/ckpt3")
+      .start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spark.read.parquet(lateOnly).select("id").as[Long].collect().toSet ==
+      Set(7L))
+
     // pruning + pushdown reach the scan: a 1-column projection reads
     // ONE column, and the filter is reported pushed (row-group skip)
     val pruned = spark.read.format("graft-manifest")
