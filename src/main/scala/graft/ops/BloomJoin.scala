@@ -39,7 +39,7 @@ object BloomJoin {
     val agg = new BloomFilterAggregate(
       ColumnBridge.toExpression(xxhash64(key)), expectedItems)
     keys.agg(ColumnBridge.toColumn(agg.toAggregateExpression()).as("bloom"))
-      .head.getAs[Array[Byte]]("bloom")
+      .head().getAs[Array[Byte]]("bloom")
   }
 
   /** `might_contain(bloom, xxhash64(key))` as a scan-pushable

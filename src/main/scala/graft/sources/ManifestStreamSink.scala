@@ -79,10 +79,13 @@ final class GraftManifestStreamingWrite(root: String, manifestPath: String,
                      messages: Array[WriterCommitMessage]): Unit = {
     // best-effort: the dir is invisible either way (never committed);
     // a replay of the epoch overwrites it file-for-file
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
     val p = new HPath(s"$root/batch=$epochId")
     val fc =
-      if (p.toUri.getScheme == null) FileContext.getFileContext(new Configuration())
-      else FileContext.getFileContext(p.toUri, new Configuration())
+      if (p.toUri.getScheme == null) FileContext.getFileContext(conf)
+      else FileContext.getFileContext(p.toUri, conf)
     if (fc.util().exists(p)) { fc.delete(p, true); () }
   }
 }

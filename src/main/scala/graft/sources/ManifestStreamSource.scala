@@ -141,7 +141,7 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
                               pushed: Array[Filter],
                               root: String, manifestPath: String, starting: Int,
                               maxBatches: Option[Int],
-                              mapping: Option[Seq[SchemaLog#Col]] = None,
+                              mapping: Option[Seq[SchemaLog.Col]] = None,
                               asOf: Option[Int] = None)
   extends Scan {
   override def readSchema(): StructType = required
@@ -182,7 +182,7 @@ final class GraftManifestMicroBatchStream(dataSchema: StructType,
                                           root: String,
                                           manifestPath: String, starting: Int,
                                           maxBatches: Option[Int] = None,
-                                          mapping: Option[Seq[SchemaLog#Col]] = None)
+                                          mapping: Option[Seq[SchemaLog.Col]] = None)
   extends MicroBatchStream
   with streaming.SupportsAdmissionControl
   with streaming.SupportsTriggerAvailableNow {
@@ -322,7 +322,7 @@ private[sources] object GraftManifestSource {
   /** `schemaLog` option: resolve reads through a [[SchemaLog]] column
     * mapping (captured at scan/stream build — a rename mid-stream is
     * picked up on restart, the evolution point, as with Delta). */
-  def mapping(options: CaseInsensitiveStringMap): Option[Seq[SchemaLog#Col]] =
+  def mapping(options: CaseInsensitiveStringMap): Option[Seq[SchemaLog.Col]] =
     Option(options.get("schemaLog")).map { path =>
       val log = new SchemaLog(path)
       val (_, cols) = log.current()
@@ -379,7 +379,7 @@ private[sources] object GraftManifestSource {
     * never correctness). */
   def mappedReaderFactory(spark: SparkSession, dataSchema: StructType,
                           required: StructType, pushed: Array[Filter],
-                          mapping: Option[Seq[SchemaLog#Col]]): PartitionReaderFactory =
+                          mapping: Option[Seq[SchemaLog.Col]]): PartitionReaderFactory =
     mapping match {
       case None => readerFactory(spark, dataSchema, required, pushed)
       case Some(cols) =>

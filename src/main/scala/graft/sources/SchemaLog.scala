@@ -36,8 +36,7 @@ import graft.util.AtomicText
   * loudly on; widen by ADD + backfill instead.
   */
 final class SchemaLog(path: String) {
-
-  final case class Col(logical: String, physical: String, dataType: DataType)
+  import SchemaLog.Col
 
   private def write(nextId: Int, cols: Seq[Col]): Unit = {
     cols.foreach { c =>
@@ -94,6 +93,8 @@ final class SchemaLog(path: String) {
 }
 
 object SchemaLog {
+
+  final case class Col(logical: String, physical: String, dataType: DataType)
 
   /** Write one batch through the mapping: `df` carries LOGICAL names
     * (any subset order, all current columns required), files carry
