@@ -216,6 +216,18 @@ class StreamingSpec extends SparkSuite {
     assert(batchRead.select("id").as[Long].collect().toSet ==
       Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
 
+    // custom metrics: the executed scan reports files/bytes admitted
+    val metered = spark.read.format("graft-manifest")
+      .option("manifest", manPath).load(root)
+    metered.collect()
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scanExec = metered.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }.head
+    // ≥ 1 file per committed batch; exact count is write-layout detail
+    assert(scanExec.metrics("manifestFilesRead").value >= 4)
+    assert(scanExec.metrics("manifestBytesRead").value > 0)
+
     // time travel: the table as of batch 1 (ids 0 and 1 only)
     val asOf = spark.read.format("graft-manifest")
       .option("manifest", manPath).option("versionAsOf", "1").load(root)
