@@ -92,7 +92,14 @@ final class GraftManifestTable(tableSchema: StructType,
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-    : org.apache.spark.sql.connector.write.WriteBuilder =
+    : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // the sink writes the query's column names verbatim; writing into a
+    // MAPPED table that way would put logical names in files and break
+    // the mapping invariant silently — fail loudly instead
+    if (options.containsKey("schemaLog"))
+      throw new UnsupportedOperationException(
+        "graft-manifest sink does not write through a schemaLog mapping; " +
+          "use SchemaLog.appendBatchMapped (or drop the schemaLog option)")
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
@@ -101,6 +108,7 @@ final class GraftManifestTable(tableSchema: StructType,
             new GraftManifestStreamingWrite(root, manifestPath, info.schema())
         }
     }
+  }
 
   /** Column pruning + filter pushdown, so a 2-column projection over a
     * wide committed table decodes 2 columns, not the row. Filters are

@@ -227,6 +227,8 @@ class StreamingSpec extends SparkSuite {
     // ≥ 1 file per committed batch; exact count is write-layout detail
     assert(scanExec.metrics("manifestFilesRead").value >= 4)
     assert(scanExec.metrics("manifestBytesRead").value > 0)
+    // empty-projection path (count over zero columns) works too
+    assert(metered.count() == 7)
 
     // time travel: the table as of batch 1 (ids 0 and 1 only)
     val asOf = spark.read.format("graft-manifest")
