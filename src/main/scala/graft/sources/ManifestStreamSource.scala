@@ -167,7 +167,8 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
     // valid until compaction/vacuum collapse the history horizon)
     private lazy val parts = GraftManifestSource.partitionsFor(
       new TxnManifest(manifestPath), root, Int.MinValue,
-      asOf.getOrElse(Int.MaxValue))
+      asOf.getOrElse(Int.MaxValue),
+      if (mapping.isEmpty) pushed.toSeq else Nil)
     override def planInputPartitions(): Array[InputPartition] = parts
     override def createReaderFactory(): PartitionReaderFactory =
       GraftManifestSource.mappedReaderFactory(SparkSession.active, dataSchema,
@@ -263,7 +264,8 @@ final class GraftManifestMicroBatchStream(dataSchema: StructType,
     ManifestOffset(json.trim.toInt)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    GraftManifestSource.partitionsFor(manifest, root, idOf(start), idOf(end))
+    GraftManifestSource.partitionsFor(manifest, root, idOf(start), idOf(end),
+      if (mapping.isEmpty) pushed.toSeq else Nil)
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftManifestSource.mappedReaderFactory(SparkSession.active, dataSchema,
@@ -370,9 +372,13 @@ private[sources] object GraftManifestSource {
   /** Every parquet file committed for a batch id in `(from, to]`,
     * one [[InputPartition]] per file. Ids are sparse (watermark-
     * derived), so the range filters ids that EXIST — absent ids in the
-    * range are normal, not data loss. */
+    * range are normal, not data loss. Directories whose
+    * [[BatchStats]] sidecar PROVABLY excludes every pushed filter are
+    * skipped at plan time — manifest-level data skipping; dirs without
+    * a sidecar are always read. */
   def partitionsFor(manifest: TxnManifest, root: String,
-                    from: Int, to: Int): Array[InputPartition] = {
+                    from: Int, to: Int,
+                    pushed: Seq[Filter] = Nil): Array[InputPartition] = {
     val conf = SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
@@ -380,6 +386,10 @@ private[sources] object GraftManifestSource {
       .filter { case (id, _) => id > from && id <= to }
       .sortBy(_._1)
       .flatMap { case (_, ds) => ds.filter(_.startsWith(root + "/")) }
+      .filter { dir =>
+        pushed.isEmpty || BatchStats.read(conf, dir)
+          .forall(BatchStats.mayMatch(_, pushed))
+      }
     dirs.flatMap { dir =>
       val p = new HPath(dir)
       val fc =

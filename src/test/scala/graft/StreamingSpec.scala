@@ -349,6 +349,55 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("graft-manifest data skipping: stats sidecars prune whole dirs at plan time") {
+    import graft.sources.{BatchStats, StatsSinks, Sinks, TxnManifest}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val base = java.nio.file.Files.createTempDirectory("graft_skip_").toString
+    val root = s"$base/data"
+    val manPath = s"$base/manifest.tsv"
+    val man = new TxnManifest(manPath)
+    def batchDf(ids: Range) = ids.map(i => (i.toLong, i * 1.5)).toDF("id", "m")
+    // three batches with DISJOINT id ranges, stats sidecars written
+    StatsSinks.appendBatchStats(batchDf(0 until 10), root, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+    StatsSinks.appendBatchStats(batchDf(100 until 110), root, 1)
+    man.commit(1, Seq(s"$root/batch=1"))
+    // and one WITHOUT a sidecar — must always be read
+    Sinks.appendBatch(batchDf(200 until 210), root, 2)
+    man.commit(2, Seq(s"$root/batch=2"))
+
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+        .head.metrics("manifestFilesRead").value
+    }
+    def load() = spark.read.format("graft-manifest")
+      .option("manifest", manPath).load(root)
+
+    val all = scanFiles(load())
+    // a point-range filter prunes batch 0 and batch 1's dirs cannot
+    // both match; the sidecar-less batch 2 is always read
+    val pruned = load().where($"id" >= 100L && $"id" < 110L)
+    assert(pruned.select("id").as[Long].collect().toSet ==
+      (100L until 110L).toSet)
+    val prunedFiles = scanFiles(pruned)
+    assert(prunedFiles < all,
+      s"expected dir pruning: $prunedFiles vs $all files")
+    // a filter satisfiable in NO batch: both sidecar'd dirs prune out
+    // of the plan; only the sidecar-less dir is scanned (and its rows
+    // are then filtered to zero — skipping is an optimization, results
+    // are identical)
+    val none = load().where($"id" > 1000L)
+    assert(none.count() == 0)
+    val noneFiles = scanFiles(load().where($"id" > 1000L).select("id"))
+    assert(noneFiles < prunedFiles,
+      s"expected only the sidecar-less dir planned: $noneFiles vs $prunedFiles")
+    assert(load().where($"m" < -5.0).count() == 0) // double column, same
+    // stats evaluation is conservative: strings/unknown shapes never prune
+    assert(BatchStats.mayMatch(Map("id" -> (0.0, 9.0)),
+      Seq(org.apache.spark.sql.sources.IsNotNull("id"))))
+  }
+
   test("graft-manifest + schemaLog: evolved tables stream under logical names") {
     import graft.sources.{SchemaLog, Sinks, TxnManifest}
     import org.apache.spark.sql.types._
