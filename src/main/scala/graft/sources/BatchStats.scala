@@ -36,23 +36,25 @@ object BatchStats {
 
   private val SidecarName = "_stats.tsv"
 
-  /** Scan the dir's parquet footers and write the sidecar. Call after
-    * the batch lands, before (or after) the manifest commit — the
-    * sidecar lives INSIDE the batch dir, so it inherits the batch's
-    * visibility and vacuum lifecycle. */
+  /** Scan the dir's parquet footers and write the sidecar — PER FILE
+    * bounds, so planning can skip individual files of a z-ordered
+    * compaction, not just whole append batches. Call after the batch
+    * lands, before (or after) the manifest commit — the sidecar lives
+    * INSIDE the batch dir, so it inherits the batch's visibility and
+    * vacuum lifecycle. */
   def writeSidecar(spark: SparkSession, dir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val bounds = collectBounds(conf, dir)
-    val body = bounds.toSeq.sortBy(_._1)
-      .map { case (c, (lo, hi)) => s"$c\t$lo\t$hi" }
-      .mkString("", "\n", "\n")
+    val perFile = collectBounds(conf, dir)
+    val body = perFile.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$f\t$c\t$lo\t$hi" }
+    }.mkString("", "\n", "\n")
     AtomicText.writeAtomically(s"$dir/$SidecarName", body)
   }
 
-  /** Per-column [min, max] over every row group of every file in
-    * `dir`, numeric leaves only, columns with complete stats only. */
-  private def collectBounds(conf: Configuration,
-                            dir: String): Map[String, (Double, Double)] = {
+  /** Per-file, per-column [min, max] over every row group, numeric
+    * leaves only, columns with complete stats only. */
+  private def collectBounds(conf: Configuration, dir: String)
+    : Map[String, Map[String, (Double, Double)]] = {
     import scala.jdk.CollectionConverters._
     val p = new HPath(dir)
     val fs = p.getFileSystem(conf)
@@ -61,9 +63,9 @@ object BatchStats {
       st.isFile && n.endsWith(".parquet") &&
         !n.startsWith(".") && !n.startsWith("_")
     }
-    val acc = scala.collection.mutable.Map.empty[String, (Double, Double)]
-    val dropped = scala.collection.mutable.Set.empty[String]
-    files.foreach { st =>
+    files.map { st =>
+      val acc = scala.collection.mutable.Map.empty[String, (Double, Double)]
+      val dropped = scala.collection.mutable.Set.empty[String]
       val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
       try reader.getFooter.getBlocks.asScala.foreach { block =>
         block.getColumns.asScala.foreach { chunk =>
@@ -91,19 +93,22 @@ object BatchStats {
           }
         }
       } finally reader.close()
-    }
-    acc.toMap
+      st.getPath.getName -> acc.toMap
+    }.toMap
   }
 
-  /** Sidecar bounds for `dir`, None when absent (⇒ no pruning). */
-  def read(conf: Configuration, dir: String): Option[Map[String, (Double, Double)]] = {
+  /** Sidecar bounds for `dir` keyed by file name, None when absent
+    * (⇒ no pruning). */
+  def read(conf: Configuration, dir: String)
+    : Option[Map[String, Map[String, (Double, Double)]]] = {
     val p = new HPath(s"$dir/$SidecarName")
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) None
     else Some(AtomicText.readLines(p.toString).map { l =>
-      val Array(c, lo, hi) = l.split('\t')
-      c -> (lo.toDouble, hi.toDouble)
-    }.toMap)
+      val Array(f, c, lo, hi) = l.split('\t')
+      (f, c, lo.toDouble, hi.toDouble)
+    }.groupBy(_._1).view.mapValues(_.map(t => t._2 -> (t._3, t._4)).toMap)
+      .toMap)
   }
 
   /** True when the dir MAY contain a row satisfying every pushed

@@ -386,11 +386,13 @@ private[sources] object GraftManifestSource {
       .filter { case (id, _) => id > from && id <= to }
       .sortBy(_._1)
       .flatMap { case (_, ds) => ds.filter(_.startsWith(root + "/")) }
-      .filter { dir =>
-        pushed.isEmpty || BatchStats.read(conf, dir)
-          .forall(BatchStats.mayMatch(_, pushed))
-      }
     dirs.flatMap { dir =>
+      // PER-FILE skipping: a file whose sidecar bounds provably
+      // exclude the pushed conjunction never becomes a partition —
+      // after a z-ordered compaction this prunes on either clustered
+      // column; files absent from the sidecar (or no sidecar) read
+      val stats =
+        if (pushed.isEmpty) None else BatchStats.read(conf, dir)
       val p = new HPath(dir)
       val fc =
         if (p.toUri.getScheme == null) FileContext.getFileContext(conf)
@@ -402,7 +404,9 @@ private[sources] object GraftManifestSource {
           // hidden files (crashed attempts' temps, metadata) excluded,
           // matching Hadoop's input-listing convention
           st.isFile && n.endsWith(".parquet") &&
-            !n.startsWith(".") && !n.startsWith("_")
+            !n.startsWith(".") && !n.startsWith("_") &&
+            stats.flatMap(_.get(n))
+              .forall(BatchStats.mayMatch(_, pushed))
         }
         .map(st => ManifestFilePartition(st.getPath.toString, st.getLen,
           st.getModificationTime))

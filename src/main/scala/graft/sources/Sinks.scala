@@ -111,6 +111,32 @@ object Sinks {
     manifest.replaceAll(root, compactId, Seq(target))
   }
 
+  /** OPTIMIZE ZORDER BY for the manifest table: compaction that
+    * re-CLUSTERS instead of just re-packing. The committed history
+    * rewrites z-ordered on (a, b) ([[graft.sources.Layout]] Morton
+    * keys — each output file covers a small rectangle of the value
+    * space), a [[BatchStats]] sidecar is written over the new files,
+    * and ONE `replaceAll` commit flips readers atomically. After this,
+    * manifest-level data skipping prunes on EITHER column: the
+    * accumulated append-order batches (clustered by arrival time, so
+    * only time-correlated predicates pruned) become value-clustered
+    * files whose sidecar bounds are tight for both dimensions. Same
+    * maintenance contract as [[compact]]: no in-flight writers, stay
+    * behind the slowest streaming checkpoint. */
+  def compactZOrdered(spark: org.apache.spark.sql.SparkSession, root: String,
+                      manifest: TxnManifest, compactId: Int,
+                      a: org.apache.spark.sql.Column,
+                      b: org.apache.spark.sql.Column, numFiles: Int): Unit = {
+    val dirs = manifest.committedDirs(root)
+    require(dirs.nonEmpty, s"nothing committed under $root to compact")
+    val target = s"$root/batch=$compactId"
+    require(!dirs.contains(target), s"compactId $compactId is a live batch")
+    val all = spark.read.option("mergeSchema", true).parquet(dirs: _*)
+    Layout.writeZOrdered(all, target, a, b, numFiles)
+    BatchStats.writeSidecar(spark, target)
+    manifest.replaceAll(root, compactId, Seq(target))
+  }
+
   /** Row-level MERGE (upsert) on the manifest layer — Delta
     * `MERGE INTO ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
     * THEN INSERT *` semantics on plain parquet, the write shape behind

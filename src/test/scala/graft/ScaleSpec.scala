@@ -86,6 +86,55 @@ class ScaleSpec extends SparkSuite {
     assert(plan.contains("__salt"), s"salt missing from join keys in:\n$plan")
   }
 
+  test("compactZOrdered: value-clustered files prune on either dimension") {
+    import graft.sources.{Sinks, StatsSinks, TxnManifest}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val base = java.nio.file.Files.createTempDirectory("zorder_man_").toString
+    val root = s"$base/t"
+    val manPath = s"$base/_commits"
+    val man = new TxnManifest(manPath)
+    // 4 append batches, each covering the FULL (x, y) range — arrival
+    // order correlates with NOTHING, so append-order stats cannot
+    // prune a value predicate on any column
+    val rows = (0 until 4096).map(i => (i.toLong, (i % 64).toLong, ((i / 64) % 64).toLong))
+    for (b <- 0 until 4) {
+      StatsSinks.appendBatchStats(
+        rows.filter(_._1 % 4 == b).toDF("id", "x", "y"), root, b)
+      man.commit(b, Seq(s"$root/batch=$b"))
+    }
+    def load() = spark.read.format("graft-manifest")
+      .option("manifest", manPath).load(root)
+    def filesPlanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect { case s: BatchScanExec => s }
+        .head.metrics("manifestFilesRead").value
+    }
+    // pre-compaction: every batch spans the full value range, so the
+    // value predicate prunes NOTHING — same files as the full scan
+    val beforeAll = filesPlanned(load().select("id"))
+    val beforeFiltered = filesPlanned(load().where($"x" < 16L).select("id"))
+    assert(beforeFiltered == beforeAll,
+      s"arrival-order stats should not prune: $beforeFiltered vs $beforeAll")
+
+    // OPTIMIZE ZORDER BY (x, y): one atomic re-point, sidecar included
+    Sinks.compactZOrdered(spark, root, man, compactId = 100,
+      a = col("x"), b = col("y"), numFiles = 4)
+    assert(man.committedDirs(root) == Seq(s"$root/batch=100"))
+    assert(load().count() == 4096) // same rows, new layout
+
+    val total = filesPlanned(load().select("id"))
+    val xPruned = filesPlanned(load().where($"x" < 16L).select("id"))
+    val yPruned = filesPlanned(load().where($"y" < 16L).select("id"))
+    assert(total == 4)
+    // each narrow predicate touches only the z-quadrants it overlaps —
+    // including y, the NON-leading dimension a linear sort would lose
+    assert(xPruned < total, s"x-pruning: $xPruned vs $total")
+    assert(yPruned < total, s"y-pruning: $yPruned vs $total")
+    // and results under pruning stay exact
+    assert(load().where($"x" < 16L).count() == 4096 / 4)
+    assert(load().where($"y" < 16L).count() == 4096 / 4)
+  }
+
   test("t8_length_deciles plan has no window and no global sort") {
     // the round-1 formulation was ntile() over a partition-less window:
     // a single-task sort of the whole table. The rewrite must keep the
