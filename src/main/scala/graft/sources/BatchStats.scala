@@ -152,4 +152,36 @@ object StatsSinks {
     Sinks.appendBatch(df, root, batchId)
     BatchStats.writeSidecar(df.sparkSession, s"$root/batch=$batchId")
   }
+
+  /** CHECK constraints on the write path (Delta `ALTER TABLE ADD
+    * CONSTRAINT` semantics): every named predicate must hold on every
+    * row of the batch or NOTHING lands — one aggregate pass counts all
+    * violations together (no per-constraint scans) and the failure
+    * names each violated constraint with its row count, the
+    * fail-loud-with-evidence shape of the reference's integrity abort
+    * (`orders.py:121-133`). NULL counts as a violation: a constraint
+    * that cannot be PROVEN true is not true (Delta's rule). */
+  def appendBatchChecked(df: DataFrame, root: String, batchId: Int,
+                         constraints: Map[String, org.apache.spark.sql.Column])
+    : Unit = {
+    require(constraints.nonEmpty, "no constraints given — use appendBatch")
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum, when}
+    val named = constraints.toSeq
+    val counts = df.agg(
+      count(lit(1)).as("__rows"),
+      named.map { case (name, c) =>
+        coalesce(sum(when(!coalesce(c, lit(false)), 1L).otherwise(0L)), lit(0L))
+          .as(s"__viol_$name")
+      }: _*).collect().head
+    val violated = named.zipWithIndex
+      .map { case ((name, _), i) => name -> counts.getLong(i + 1) }
+      .filter(_._2 > 0)
+    if (violated.nonEmpty)
+      throw new IllegalStateException(
+        s"batch $batchId violates CHECK constraints: " +
+          violated.map { case (n, c) => s"$n ($c rows)" }.mkString(", ") +
+          s" — nothing written (${counts.getLong(0)} rows rejected)")
+    Sinks.appendBatch(df, root, batchId)
+    BatchStats.writeSidecar(df.sparkSession, s"$root/batch=$batchId")
+  }
 }

@@ -322,6 +322,31 @@ class SourcesSpec extends SparkSuite {
     }
   }
 
+  test("appendBatchChecked: CHECK constraints gate the write, NULL violates") {
+    import graft.sources.StatsSinks
+    import org.apache.spark.sql.functions.{col => c}
+    val tmp = java.nio.file.Files.createTempDirectory("checked_").toString
+    val root = s"$tmp/t"
+    val good = Seq((1L, 5.0), (2L, 7.5)).toDF("id", "m")
+    StatsSinks.appendBatchChecked(good, root, 0,
+      Map("m_positive" -> (c("m") > 0), "id_known" -> c("id").isNotNull))
+    assert(spark.read.parquet(s"$root/batch=0").count() == 2)
+
+    // one bad row rejects the WHOLE batch, named with its count;
+    // a NULL predicate value counts as a violation (cannot prove true)
+    val bad = Seq((3L, 1.0), (4L, -2.0), (5L, Double.NaN), (6L, 3.0))
+      .toDF("id", "m")
+      .withColumn("m", org.apache.spark.sql.functions
+        .when(c("id") === 5L, org.apache.spark.sql.functions.lit(null))
+        .otherwise(c("m")))
+    val e = intercept[IllegalStateException] {
+      StatsSinks.appendBatchChecked(bad, root, 1,
+        Map("m_positive" -> (c("m") > 0)))
+    }
+    assert(e.getMessage.contains("m_positive (2 rows)"), e.getMessage)
+    assert(!new java.io.File(s"$root/batch=1").exists, "nothing must land")
+  }
+
   test("manifest replacement is atomic under a concurrent reader") {
     // regression guard for the FileContext refactor: RawLocalFs's
     // default rename(OVERWRITE) is delete-then-rename, and a reader in
