@@ -47,7 +47,13 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   *     stream drops the old ids from the log, and ids are sparse by
   *     design (watermark-derived), so the source cannot distinguish
   *     "compacted away" from "never existed". Run maintenance behind
-  *     the slowest checkpoint, the Delta retention discipline.
+  *     the slowest checkpoint, the Delta retention discipline;
+  *   - a MERGE under a live stream turns the feed into an UPSERT
+  *     feed: the merge's new batch id (necessarily above consumed
+  *     offsets) carries the rewritten dirs' KEPT rows alongside the
+  *     updated ones, so downstream sees those keys again — exactly
+  *     the change-feed semantics a keyed-idempotent sink absorbs and
+  *     an append-only sink must not be pointed at.
   */
 final class GraftManifestProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-manifest"
