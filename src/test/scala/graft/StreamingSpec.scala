@@ -441,6 +441,45 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("graft-manifest stream over a MERGE is an upsert feed for keyed sinks") {
+    import graft.sources.{Sinks, TxnManifest}
+    val base = java.nio.file.Files.createTempDirectory("graft_upfeed_").toString
+    val root = s"$base/t"
+    val manPath = s"$base/_commits"
+    val man = new TxnManifest(manPath)
+    Sinks.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+
+    // keyed-idempotent sink: last write per id wins (the CDC-upsert
+    // consumer shape the scaladoc prescribes for merged tables)
+    val state = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val q = spark.readStream.format("graft-manifest")
+      .option("manifest", manPath).load(root)
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => state.put(r.getLong(0), r.getString(1)))
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(state.size() == 2 && state.get(2L) == "b")
+      // MERGE while the stream is live: update id 2, insert id 3 —
+      // the merge batch re-delivers the rewritten dir's KEPT row (1)
+      // alongside the changes, and the keyed sink converges
+      Sinks.mergeUpsert(spark, Seq((2L, "b2"), (3L, "c")).toDF("id", "v"),
+        root, man, keys = Seq("id"), mergeId = 50)
+      q.processAllAvailable()
+      assert(state.get(1L) == "a" && state.get(2L) == "b2" && state.get(3L) == "c")
+      assert(state.size() == 3)
+      // and the batch view agrees with the converged keyed state
+      val table = Sinks.readCommitted(spark, root, man)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      import scala.jdk.CollectionConverters._
+      assert(table == state.asScala.toMap)
+    } finally q.stop()
+  }
+
   test("graft-manifest sink: streaming write bootstraps and closes the loop") {
     import graft.sources.{Sinks, TxnManifest}
     implicit val sqlCtx = spark.sqlContext
