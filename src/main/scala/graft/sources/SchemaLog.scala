@@ -34,6 +34,12 @@ import graft.util.AtomicText
   * atomic whole-file replace. Retype is deliberately NOT offered:
   * silent cast-on-read is the class of surprise this engine fails
   * loudly on; widen by ADD + backfill instead.
+  *
+  * Single-writer contract (same as [[TxnManifest]] and the CDC
+  * watermark): evolution commands are read-modify-write of the whole
+  * log, so two concurrent DDL issuers race last-writer-wins — serialize
+  * schema changes through one owner, which is how every production
+  * catalog treats DDL anyway.
   */
 final class SchemaLog(path: String) {
   import SchemaLog.Col

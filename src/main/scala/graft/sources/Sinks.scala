@@ -99,7 +99,8 @@ object Sinks {
     * @param compactId batch id for the compacted output; must not
     *   collide with a live batch id. */
   def compact(spark: org.apache.spark.sql.SparkSession, root: String,
-              manifest: TxnManifest, compactId: Int, numFiles: Int): Unit = {
+              manifest: TxnManifest, compactId: Int, numFiles: Int): Unit =
+    withJobDescription(spark, s"graft: compact $root -> batch=$compactId") {
     val dirs = manifest.committedDirs(root)
     require(dirs.nonEmpty, s"nothing committed under $root to compact")
     val all = spark.read.option("mergeSchema", true).parquet(dirs: _*)
@@ -126,7 +127,8 @@ object Sinks {
   def compactZOrdered(spark: org.apache.spark.sql.SparkSession, root: String,
                       manifest: TxnManifest, compactId: Int,
                       a: org.apache.spark.sql.Column,
-                      b: org.apache.spark.sql.Column, numFiles: Int): Unit = {
+                      b: org.apache.spark.sql.Column, numFiles: Int): Unit =
+    withJobDescription(spark, s"graft: zorder-compact $root -> batch=$compactId") {
     val dirs = manifest.committedDirs(root)
     require(dirs.nonEmpty, s"nothing committed under $root to compact")
     val target = s"$root/batch=$compactId"
@@ -135,6 +137,16 @@ object Sinks {
     Layout.writeZOrdered(all, target, a, b, numFiles)
     BatchStats.writeSidecar(spark, target)
     manifest.replaceAll(root, compactId, Seq(target))
+  }
+
+  /** Spark-UI attribution for multi-job maintenance operations: every
+    * job the body launches carries `desc`, restored after. */
+  private def withJobDescription[A](spark: org.apache.spark.sql.SparkSession,
+                                    desc: String)(body: => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
   }
 
   /** Row-level MERGE (upsert) on the manifest layer — Delta
@@ -169,7 +181,8 @@ object Sinks {
     *   collide with a live batch id. */
   def mergeUpsert(spark: org.apache.spark.sql.SparkSession, updates: DataFrame,
                   root: String, manifest: TxnManifest, keys: Seq[String],
-                  mergeId: Int): Unit = {
+                  mergeId: Int): Unit =
+    withJobDescription(spark, s"graft: merge $root -> batch=$mergeId") {
     import org.apache.spark.sql.functions.{broadcast, count, input_file_name, lit}
     val dirs = manifest.committedDirs(root)
     require(dirs.nonEmpty, s"nothing committed under $root to merge into")
