@@ -22,10 +22,22 @@ object Skew {
     pmod(hash(discriminator), lit(salts))
 
   /** Salted equi-join: `fact ⋈ dim` on `key`, with the dim replicated
-    * ×`salts`. Output columns = fact.* ++ dim's non-key columns. */
+    * ×`salts`. Output columns = fact.* ++ dim's non-key columns.
+    *
+    * Join types that preserve UNMATCHED DIM rows (right/full outer)
+    * are rejected: the dim side is replicated per salt, so an
+    * unmatched dim row would surface `salts` times — silently wrong.
+    * Fact-preserving types (inner/left/semi/anti) are exact: each
+    * fact row carries ONE salt and meets exactly its own dim copy. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  discriminator: String, salts: Int,
                  joinType: String = "left"): DataFrame = {
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(!Set("right", "rightouter", "full", "fullouter", "outer")
+      .contains(normalized),
+      s"saltedJoin cannot preserve unmatched dim rows under $joinType: " +
+        "the replicated dim side would emit them once per salt — " +
+        "swap the sides or use a plain join for dim-preserving semantics")
     val saltedFact = fact.withColumn("__salt", salt(col(discriminator), salts))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))

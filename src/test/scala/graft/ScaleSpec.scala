@@ -29,6 +29,19 @@ class ScaleSpec extends SparkSuite {
     assert(a.sameElements(b))
   }
 
+  test("saltedJoin rejects dim-preserving join types (per-salt duplication)") {
+    val fact = Seq((1L, 1L)).toDF("k", "payload")
+    val dim = Seq((1L, "x"), (2L, "unmatched")).toDF("k", "name")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact, dim, "k", "payload", salts = 4, joinType = "right")
+    }
+    assert(e.getMessage.contains("once per salt"))
+    // anti stays exact: each fact row meets exactly its own dim copy
+    val anti = Skew.saltedJoin(fact, dim.filter($"k" =!= 1L), "k", "payload",
+      salts = 4, joinType = "left_anti")
+    assert(anti.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("saltedSum == plain groupBy sum (long-typed, exact)") {
     val df = ((1 to 500).map(_ => ("hot", 1L)) ++
       (1 to 50).map(i => (s"k${i % 7}", i.toLong))).toDF("k", "v")
