@@ -72,8 +72,10 @@ object Layout {
     * to the shard where its range STARTS (shards overflow by < 1
     * document — the greedy streaming-friendly rule every sharded
     * tokenizer pipeline uses). Shard ids are `(bucket, seq)`
-    * flattened as `bucket * 1e9 + seq`; `idCol` must be integral and
-    * the ordering key within each bucket. */
+    * flattened as `bucket * 1e9 + seq`; `idCol` must be integral,
+    * UNIQUE, and is the ordering key within each bucket — a duplicate
+    * id would make the cumulative sums order-dependent and shard
+    * assignment nondeterministic under re-execution. */
   def packShards(docs: DataFrame, idCol: String, tokens: Column,
                  numBuckets: Int, budgetTokens: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
