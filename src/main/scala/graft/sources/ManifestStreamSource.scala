@@ -291,23 +291,53 @@ final case class ManifestFilePartition(filePath: String, length: Long,
   * `ParquetFileFormat.buildReaderWithPartitionValues` built on the
   * driver (Spark's own vectorized parquet path — the same machinery a
   * `spark.read.parquet` scan runs, so encodings, rebase modes, and
-  * missing-column NULL fill all behave identically). When the
-  * vectorized reader returns ColumnarBatches the rows are flattened
-  * through `rowIterator`, the contract every file-source consumer
-  * honors. */
+  * missing-column NULL fill all behave identically). When the schema
+  * supports batches the scan runs COLUMNAR end to end —
+  * `supportColumnarReads` hands Spark the vectorized reader's
+  * ColumnarBatches directly, same as the built-in file source; the
+  * row path (with a defensive batch-flatten) serves everything else. */
 final case class ManifestReaderFactory(
-    read: PartitionedFile => Iterator[InternalRow]) extends PartitionReaderFactory {
+    read: PartitionedFile => Iterator[InternalRow],
+    columnar: Boolean) extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+  private def fileOf(partition: InputPartition): (PartitionedFile, ManifestFilePartition) = {
     val p = partition.asInstanceOf[ManifestFilePartition]
-    val file = PartitionedFile(
+    (PartitionedFile(
       partitionValues = InternalRow.empty,
       filePath = SparkPath.fromPathString(p.filePath),
       start = 0L,
       length = p.length,
       locations = Array.empty,
       modificationTime = p.modificationTime,
-      fileSize = p.length)
+      fileSize = p.length), p)
+  }
+
+  private def metricsOf(p: ManifestFilePartition)
+    : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(ManifestTaskMetric("manifestFilesRead", 1L),
+      ManifestTaskMetric("manifestBytesRead", p.length))
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar
+
+  override def createColumnarReader(partition: InputPartition)
+    : PartitionReader[ColumnarBatch] = {
+    val (file, p) = fileOf(partition)
+    // the closure was built with returning_batch=true: elements ARE
+    // ColumnarBatches disguised behind the InternalRow signature
+    val batches = read(file).asInstanceOf[Iterator[ColumnarBatch]]
+    new PartitionReader[ColumnarBatch] {
+      private var current: ColumnarBatch = _
+      override def next(): Boolean =
+        if (batches.hasNext) { current = batches.next(); true } else false
+      override def get(): ColumnarBatch = current
+      override def close(): Unit = ()
+      override def currentMetricsValues() = metricsOf(p)
+    }
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val (file, p) = fileOf(partition)
     val rows: Iterator[InternalRow] =
       read(file).asInstanceOf[Iterator[Any]].flatMap {
         case cb: ColumnarBatch => cb.rowIterator().asScala
@@ -319,10 +349,7 @@ final case class ManifestReaderFactory(
         if (rows.hasNext) { current = rows.next(); true } else false
       override def get(): InternalRow = current
       override def close(): Unit = ()
-      override def currentMetricsValues()
-        : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
-        Array(ManifestTaskMetric("manifestFilesRead", 1L),
-          ManifestTaskMetric("manifestBytesRead", p.length))
+      override def currentMetricsValues() = metricsOf(p)
     }
   }
 }
@@ -445,20 +472,25 @@ private[sources] object GraftManifestSource {
 
   /** Driver-side build of Spark's parquet decode closure; serialized
     * into [[ManifestReaderFactory]] for the executors (the closure is
-    * designed for exactly that — it broadcasts its Hadoop conf). */
+    * designed for exactly that — it broadcasts its Hadoop conf).
+    * When `supportBatch` holds for the projection (atomic columns,
+    * vectorized reader enabled) the closure returns ColumnarBatches
+    * and the factory advertises columnar reads — the scan then runs
+    * the same vectorized end-to-end path as the built-in source. */
   def readerFactory(spark: SparkSession, dataSchema: StructType,
                     required: StructType,
-                    pushed: Array[Filter]): PartitionReaderFactory =
-    ManifestReaderFactory(new ParquetFileFormat().buildReaderWithPartitionValues(
+                    pushed: Array[Filter]): PartitionReaderFactory = {
+    val fmt = new ParquetFileFormat()
+    val columnar = fmt.supportBatch(spark, required)
+    ManifestReaderFactory(fmt.buildReaderWithPartitionValues(
       sparkSession = spark,
       dataSchema = dataSchema,
       partitionSchema = StructType(Nil),
       requiredSchema = required,
       filters = pushed.toSeq,
-      // rows, not ColumnarBatches: DSv2 PartitionReader[InternalRow]
-      // is a row contract (the flatten guard in the factory still
-      // tolerates a batch-returning reader defensively)
       options = Map(org.apache.spark.sql.execution.datasources.FileFormat
-        .OPTION_RETURNING_BATCH -> "false"),
-      hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty)))
+        .OPTION_RETURNING_BATCH -> columnar.toString),
+      hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty)),
+      columnar)
+  }
 }
