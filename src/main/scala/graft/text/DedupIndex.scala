@@ -75,6 +75,17 @@ object DedupIndex {
       sh.groupBy(idCol).agg(collect_set(col("shingle")).as("s"))
         .select(col(idCol).as("id"), col("s")))
 
+    // RESTART RECOVERY runs before the PROBE, not just before the
+    // write: after a catalog loss with surviving index data,
+    // storedView's tableExists check would otherwise return None and
+    // the batch would probe an "empty" index — silently missing every
+    // cross-batch pair (caught by IndexSpec's catalog-loss test).
+    // Both calls are no-ops when the tables exist or no data survived.
+    val (bandsT, setsT) = tableNames(indexDir)
+    ensureTable(spark, newSets, setsT, s"$indexDir/sets", Seq("id"), buckets)
+    ensureTable(spark, newBands, bandsT, s"$indexDir/bands",
+      Seq("band", "key"), buckets)
+
     // exclude THIS batch id from the stored view: a crash-retry of a
     // batch whose index write already ran would otherwise see its own
     // rows in `stored`, duplicate every set lookup, and emit each
@@ -129,7 +140,6 @@ object DedupIndex {
     // state; localCheckpoint pins the result so callers can read it
     // after the index advances. Sets first (see class doc).
     val out = verified.localCheckpoint()
-    val (bandsT, setsT) = tableNames(indexDir)
     writeIndexed(spark, newSets, setsT, s"$indexDir/sets",
       Seq("id"), buckets, batchId)
     writeIndexed(spark, newBands, bandsT, s"$indexDir/bands",

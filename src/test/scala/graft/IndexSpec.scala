@@ -52,4 +52,36 @@ class IndexSpec extends SparkSuite {
     assert(setRows == all.count())
     assert(bandRows == setRows * 4) // 8 hashes / 2 rows-per-band
   }
+
+  test("catalog loss: index data survives and re-registers, never overwritten") {
+    // the restart scenario ensureTable exists for: the session catalog
+    // entry (a metastore in production) is gone but the index DATA on
+    // disk survived — the next ingest must RE-REGISTER the external
+    // tables and still find cross-batch pairs against the old data.
+    // The failure mode this guards is the saveAsTable(Overwrite)
+    // first-write path silently destroying the accumulated index.
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_idx_rs_").toString
+    val batchA = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (4L, "completely unrelated payload with different words entirely"))
+      .toDF("doc_id", "text")
+    val batchB = Seq( // near-dup of id 2, lands in a LATER batch
+      (3L, "the quick brown fox jumps over the lazy dog tonight yes"))
+      .toDF("doc_id", "text")
+    DedupIndex.ingestBatch(batchA, "doc_id", "text", tmp, 0)
+
+    // simulate the restart: drop the session-catalog entries (EXTERNAL
+    // tables — data stays), as a fresh JVM would present them
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_idx_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    assert(spark.read.parquet(s"$tmp/bands").count() > 0,
+      "index data must survive the catalog drop")
+
+    val pairs = pairKey(DedupIndex.ingestBatch(batchB, "doc_id", "text", tmp, 1))
+    assert(pairs == Set((2L, 3L)),
+      s"cross-batch pair against pre-restart data expected, got $pairs")
+    // and batch 0's rows are still in the re-registered index
+    assert(spark.read.parquet(s"$tmp/sets").count() == 3)
+  }
 }
