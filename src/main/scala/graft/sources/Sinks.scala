@@ -107,6 +107,9 @@ object Sinks {
     val target = s"$root/batch=$compactId"
     require(!dirs.contains(target), s"compactId $compactId is a live batch")
     all.coalesce(numFiles).write.mode(SaveMode.Overwrite).parquet(target)
+    // maintenance must not LOSE data-skipping capability: re-stat the
+    // compacted files (cheap footer pass) before they become visible
+    BatchStats.writeSidecar(spark, target)
     // ONE commit point: all input batches' entries are replaced by the
     // compacted dir — readers flip atomically
     manifest.replaceAll(root, compactId, Seq(target))
