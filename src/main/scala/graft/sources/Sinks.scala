@@ -216,6 +216,9 @@ object Sinks {
         .join(broadcast(keysOnly), keys, "left_anti")
     val merged = kept.unionByName(updates, allowMissingColumns = true)
     merged.write.mode(SaveMode.Overwrite).parquet(target)
+    // rewritten dirs may have carried stats sidecars — the merge
+    // output keeps the table skippable (cheap footer pass)
+    BatchStats.writeSidecar(spark, target)
     manifest.replaceDirs(affectedDirs.toSet, mergeId, Seq(target))
   }
 
