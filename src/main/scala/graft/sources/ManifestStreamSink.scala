@@ -71,6 +71,11 @@ final class GraftManifestStreamingWrite(root: String, manifestPath: String,
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
     require(epochId <= Int.MaxValue, s"epoch $epochId exceeds manifest id range")
+    // stat the epoch before it becomes visible: sink-fed tables stay
+    // data-skippable like every other committing surface (driver-side
+    // footer pass over the epoch's files)
+    SparkSession.getActiveSession.foreach(s =>
+      BatchStats.writeSidecar(s, s"$root/batch=$epochId"))
     new TxnManifest(manifestPath)
       .commit(epochId.toInt, Seq(s"$root/batch=$epochId"))
   }
