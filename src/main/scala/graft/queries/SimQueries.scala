@@ -120,6 +120,11 @@ object SimQueries {
           col("duration_ms"), col("n_bytes"))
         .withColumn("sample_idx", graft.multimodal.Multimodal
           .frameSampleIndices(col("duration_ms"), fps = 2.0, maxFrames = 8))
+        // The driver's compare harness hashes rows with pandas, which
+        // cannot hash an array cell — serialize the plan to a joined
+        // string (both arms emit the identical CSV form).
+        .withColumn("sample_idx",
+          array_join(col("sample_idx").cast("array<string>"), ","))
     })
   )
 
@@ -364,8 +369,9 @@ object SimQueries {
         |SELECT doc_id, 'avi' AS format, width, height, us_per_frame,
         |  total_frames, duration_ms, n_bytes,
         |  CASE WHEN n > 0
-        |    THEN list_transform(range(0, n), i -> CAST(i * total_s // n AS INTEGER))
-        |    ELSE [] END AS sample_idx
+        |    THEN array_to_string(list_transform(range(0, n),
+        |           i -> CAST(i * total_s // n AS INTEGER)), ',')
+        |    ELSE '' END AS sample_idx
         |FROM v3""".stripMargin
   )
 }

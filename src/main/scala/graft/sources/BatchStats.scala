@@ -1,9 +1,14 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.sources._
 
@@ -20,13 +25,26 @@ import graft.util.AtomicText
   * history opens only the dirs whose range overlaps.
   *
   * Soundness rules:
-  *   - numeric leaf columns only (INT32/INT64/FLOAT/DOUBLE): total
-  *     order is unambiguous; strings stay unskipped (collation traps);
-  *   - a dir is dropped only when a pushed filter PROVABLY excludes
-  *     `[min, max]`; missing sidecar, missing column, or a filter
-  *     shape outside the supported set ⇒ read the dir (skipping is an
-  *     optimization, never a correctness lever — same contract as
-  *     row-group min/max inside the files, one level up);
+  *   - bounds are TYPED, never collapsed to Double: integer kinds keep
+  *     exact Longs (a nanosecond timestamp or snowflake id above 2^53
+  *     would alias neighbouring values in double space and a strict
+  *     comparison could prune a file that still matches), floating
+  *     kinds keep Doubles, strings keep raw UTF-8 bytes. Comparisons
+  *     run in BigDecimal (numerics, exact for every Long and every
+  *     Double) or unsigned byte order (strings — the same order
+  *     parquet UTF8 stats and Spark's UTF8String comparator use, so
+  *     no collation trap);
+  *   - DATE (INT32/date) and TIMESTAMP (INT64/micros-millis-nanos)
+  *     columns prune against java.sql / java.time filter literals in
+  *     their native integer domain; string bounds longer than
+  *     [[MaxStringBound]] are truncated OUTWARD (min = prefix,
+  *     max = prefix with last byte incremented) so they stay covering;
+  *   - a file is dropped only when a pushed filter PROVABLY excludes
+  *     `[min, max]`; missing sidecar, missing column, a kind/value
+  *     mismatch, or a filter shape outside the supported set ⇒ read
+  *     the file (skipping is an optimization, never a correctness
+  *     lever — same contract as row-group min/max inside the files,
+  *     one level up);
   *   - null semantics: min/max ignore nulls, and every supported
   *     comparison filter is null-rejecting, so pruning on value
   *     bounds alone is exact; IsNull/IsNotNull are deliberately
@@ -35,6 +53,18 @@ import graft.util.AtomicText
 object BatchStats {
 
   private val SidecarName = "_stats.tsv"
+
+  /** Longest stored string bound; longer values truncate outward. */
+  private val MaxStringBound = 64
+
+  /** Typed per-column `[lo, hi]`. `kind` distinguishes the integer
+    * domains so a filter literal of the WRONG class never prunes:
+    * `L` plain integer, `DT` date epoch days, `TS` timestamp
+    * epoch micros, `TN` local (no-timezone) timestamp micros. */
+  sealed trait Bounds
+  final case class LongBounds(kind: String, lo: Long, hi: Long) extends Bounds
+  final case class DoubleBounds(lo: Double, hi: Double) extends Bounds
+  final case class BytesBounds(lo: Array[Byte], hi: Array[Byte]) extends Bounds
 
   /** Scan the dir's parquet footers and write the sidecar — PER FILE
     * bounds, so planning can skip individual files of a z-ordered
@@ -46,15 +76,24 @@ object BatchStats {
     val conf = spark.sparkContext.hadoopConfiguration
     val perFile = collectBounds(conf, dir)
     val body = perFile.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
-      cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$f\t$c\t$lo\t$hi" }
+      cols.toSeq.sortBy(_._1).map { case (c, b) =>
+        val (k, lo, hi) = b match {
+          case LongBounds(kind, lo, hi) => (kind, lo.toString, hi.toString)
+          case DoubleBounds(lo, hi)     => ("D", lo.toString, hi.toString)
+          case BytesBounds(lo, hi) =>
+            ("S", Base64.getEncoder.encodeToString(lo),
+              Base64.getEncoder.encodeToString(hi))
+        }
+        s"$f\t$c\t$k\t$lo\t$hi"
+      }
     }.mkString("", "\n", "\n")
     AtomicText.writeAtomically(s"$dir/$SidecarName", body)
   }
 
-  /** Per-file, per-column [min, max] over every row group, numeric
-    * leaves only, columns with complete stats only. */
+  /** Per-file, per-column typed bounds over every row group; columns
+    * with complete stats and a supported physical/logical type only. */
   private def collectBounds(conf: Configuration, dir: String)
-    : Map[String, Map[String, (Double, Double)]] = {
+    : Map[String, Map[String, Bounds]] = {
     import scala.jdk.CollectionConverters._
     val p = new HPath(dir)
     val fs = p.getFileSystem(conf)
@@ -64,7 +103,7 @@ object BatchStats {
         !n.startsWith(".") && !n.startsWith("_")
     }
     files.map { st =>
-      val acc = scala.collection.mutable.Map.empty[String, (Double, Double)]
+      val acc = scala.collection.mutable.Map.empty[String, Bounds]
       val dropped = scala.collection.mutable.Set.empty[String]
       val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
       try reader.getFooter.getBlocks.asScala.foreach { block =>
@@ -72,24 +111,16 @@ object BatchStats {
           val name = chunk.getPath.toDotString
           val stats: org.apache.parquet.column.statistics.Statistics[_] =
             chunk.getStatistics
-          val numeric = chunk.getPrimitiveType.getPrimitiveTypeName match {
-            case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 |
-                 org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 |
-                 org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT |
-                 org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.DOUBLE => true
-            case _ => false
-          }
-          if (!numeric || stats == null || stats.isEmpty || !stats.hasNonNullValue) {
-            // a single chunk without stats poisons the column: bounds
-            // would under-cover and pruning would drop live rows
-            if (numeric) { dropped += name; acc.remove(name); () }
-          } else if (!dropped.contains(name)) {
-            val lo = stats.genericGetMin match { case n: Number => n.doubleValue }
-            val hi = stats.genericGetMax match { case n: Number => n.doubleValue }
-            val cur = acc.get(name)
-            acc.update(name,
-              (cur.fold(lo)(c => math.min(c._1, lo)),
-                cur.fold(hi)(c => math.max(c._2, hi))))
+          val usable =
+            stats != null && !stats.isEmpty && stats.hasNonNullValue
+          chunkBounds(chunk, if (usable) Some(stats) else None) match {
+            case Supported(None) =>
+              // a single chunk without usable stats poisons the column:
+              // bounds would under-cover and pruning would drop live rows
+              dropped += name; acc.remove(name); ()
+            case Supported(Some(b)) if !dropped.contains(name) =>
+              acc.update(name, acc.get(name).fold(b)(widen(_, b)))
+            case _ => () // unsupported type: never in the sidecar
           }
         }
       } finally reader.close()
@@ -97,53 +128,254 @@ object BatchStats {
     }.toMap
   }
 
-  /** Sidecar bounds for `dir` keyed by file name, None when absent
-    * (⇒ no pruning). */
+  /** `Supported(Some(b))` = stats usable; `Supported(None)` = the type
+    * is skippable but THIS chunk has no usable stats (poison);
+    * `Unsupported` = type outside the stats surface. */
+  private sealed trait ChunkStats
+  private final case class Supported(b: Option[Bounds]) extends ChunkStats
+  private case object Unsupported extends ChunkStats
+
+  private def chunkBounds(
+      chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      stats: Option[org.apache.parquet.column.statistics.Statistics[_]])
+    : ChunkStats = {
+    val logical = chunk.getPrimitiveType.getLogicalTypeAnnotation
+    def longs(kind: String) = Supported(stats.map { s =>
+      val lo = s.genericGetMin.asInstanceOf[Number].longValue
+      val hi = s.genericGetMax.asInstanceOf[Number].longValue
+      LongBounds(kind, lo, hi)
+    })
+    chunk.getPrimitiveType.getPrimitiveTypeName match {
+      case PrimitiveTypeName.INT32 => logical match {
+        case null                                    => longs("L")
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+          if i.isSigned                              => longs("L")
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => longs("DT")
+        case _                                       => Unsupported
+      }
+      case PrimitiveTypeName.INT64 => logical match {
+        case null                                    => longs("L")
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+          if i.isSigned                              => longs("L")
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          // normalize to micros, widening OUTWARD where the unit
+          // conversion is lossy (nanos → floor(lo), ceil(hi))
+          val kind = if (t.isAdjustedToUTC) "TS" else "TN"
+          import LogicalTypeAnnotation.TimeUnit
+          Supported(stats.map { s =>
+            val lo = s.genericGetMin.asInstanceOf[Number].longValue
+            val hi = s.genericGetMax.asInstanceOf[Number].longValue
+            t.getUnit match {
+              case TimeUnit.MICROS => LongBounds(kind, lo, hi)
+              case TimeUnit.MILLIS => LongBounds(kind,
+                Math.multiplyExact(lo, 1000L), Math.multiplyExact(hi, 1000L))
+              case TimeUnit.NANOS  => LongBounds(kind,
+                Math.floorDiv(lo, 1000L), -Math.floorDiv(-hi, 1000L))
+            }
+          })
+        case _ => Unsupported
+      }
+      case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
+        Supported(stats.map { s =>
+          DoubleBounds(s.genericGetMin.asInstanceOf[Number].doubleValue,
+            s.genericGetMax.asInstanceOf[Number].doubleValue)
+        })
+      case PrimitiveTypeName.BINARY => logical match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+          // truncate outward: a min PREFIX is <= the min; the max
+          // prefix must be bumped past every value it covers — an
+          // all-0xFF prefix cannot be bumped, so that chunk poisons
+          // the column like a stats-less one
+          Supported(stats.flatMap { s =>
+            val lo = s.genericGetMin
+              .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+            val hi = s.genericGetMax
+              .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+            truncateUpper(hi).map(h => BytesBounds(lo.take(MaxStringBound), h))
+          })
+        case _ => Unsupported
+      }
+      case _ => Unsupported
+    }
+  }
+
+  /** Smallest byte string GREATER than every string with prefix
+    * `bytes`: increment the last non-0xFF byte, dropping the tail.
+    * None when all bytes are 0xFF — no finite successor exists. */
+  private def bump(bytes: Array[Byte]): Option[Array[Byte]] = {
+    var i = bytes.length - 1
+    while (i >= 0 && bytes(i) == 0xFF.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val out = bytes.take(i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
+  }
+
+  /** Upper string bound truncated to a COVERING bound: keep the first
+    * [[MaxStringBound]] bytes and [[bump]] them past every string the
+    * prefix covers. None when no finite bump exists — the column is
+    * unprunable for this chunk. */
+  private def truncateUpper(bytes: Array[Byte]): Option[Array[Byte]] =
+    if (bytes.length <= MaxStringBound) Some(bytes)
+    else bump(bytes.take(MaxStringBound))
+
+  /** Accumulate row-group bounds into file bounds. Kinds always agree
+    * within one physical column; mismatch (corrupt metadata) widens to
+    * nothing — caller treats it as poison via exception-free math. */
+  private def widen(a: Bounds, b: Bounds): Bounds = (a, b) match {
+    case (LongBounds(k, lo1, hi1), LongBounds(k2, lo2, hi2)) if k == k2 =>
+      LongBounds(k, math.min(lo1, lo2), math.max(hi1, hi2))
+    case (DoubleBounds(lo1, hi1), DoubleBounds(lo2, hi2)) =>
+      DoubleBounds(math.min(lo1, lo2), math.max(hi1, hi2))
+    case (BytesBounds(lo1, hi1), BytesBounds(lo2, hi2)) =>
+      BytesBounds(if (unsignedCompare(lo1, lo2) <= 0) lo1 else lo2,
+        if (unsignedCompare(hi1, hi2) >= 0) hi1 else hi2)
+    case _ => a // heterogeneous kinds never arise from one parquet column
+  }
+
+  /** Sidecar bounds for `dir` keyed by file name, None when absent or
+    * unparsable (⇒ no pruning — an old-format or torn sidecar must
+    * degrade to a full read, never to a wrong skip). */
   def read(conf: Configuration, dir: String)
-    : Option[Map[String, Map[String, (Double, Double)]]] = {
+    : Option[Map[String, Map[String, Bounds]]] = {
     val p = new HPath(s"$dir/$SidecarName")
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) None
-    else Some(AtomicText.readLines(p.toString).map { l =>
-      val Array(f, c, lo, hi) = l.split('\t')
-      (f, c, lo.toDouble, hi.toDouble)
-    }.groupBy(_._1).view.mapValues(_.map(t => t._2 -> (t._3, t._4)).toMap)
-      .toMap)
+    else try {
+      Some(AtomicText.readLines(p.toString).map { l =>
+        val Array(f, c, k, lo, hi) = l.split('\t')
+        val b: Bounds = k match {
+          case "L" | "DT" | "TS" | "TN" => LongBounds(k, lo.toLong, hi.toLong)
+          case "D" => DoubleBounds(lo.toDouble, hi.toDouble)
+          case "S" => BytesBounds(Base64.getDecoder.decode(lo),
+            Base64.getDecoder.decode(hi))
+        }
+        (f, c, b)
+      }.groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** True when the dir MAY contain a row satisfying every pushed
+  /** True when the file MAY contain a row satisfying every pushed
     * filter (filters are conjunctive). Unknown columns or filter
     * shapes never prune. */
-  def mayMatch(bounds: Map[String, (Double, Double)],
-               filters: Seq[Filter]): Boolean =
+  def mayMatch(bounds: Map[String, Bounds], filters: Seq[Filter]): Boolean =
     !filters.exists(excludes(bounds, _))
 
-  private def num(v: Any): Option[Double] = v match {
-    case n: Number => Some(n.doubleValue)
+  /** Filter literal → comparable in the bound's domain. None = the
+    * literal does not belong to this bound's domain (or is not finite)
+    * ⇒ no pruning. Numerics compare in BigDecimal: exact for every
+    * Long (no 2^53 aliasing) and every finite Double. */
+  private def comparable(b: Bounds, v: Any): Option[(BigDecimal, BigDecimal, BigDecimal)] = {
+    def big(x: Any): Option[BigDecimal] = x match {
+      case n: java.lang.Byte    => Some(BigDecimal(n.longValue))
+      case n: java.lang.Short   => Some(BigDecimal(n.longValue))
+      case n: java.lang.Integer => Some(BigDecimal(n.longValue))
+      case n: java.lang.Long    => Some(BigDecimal(n.longValue))
+      case n: java.lang.Float if !n.isNaN && !n.isInfinite =>
+        Some(BigDecimal(new java.math.BigDecimal(n.doubleValue)))
+      case n: java.lang.Double if !n.isNaN && !n.isInfinite =>
+        Some(BigDecimal(new java.math.BigDecimal(n.doubleValue)))
+      case n: java.math.BigDecimal => Some(BigDecimal(n))
+      case n: BigDecimal        => Some(n)
+      case _                    => None
+    }
+    b match {
+      case LongBounds("L", lo, hi) =>
+        big(v).map((BigDecimal(lo), BigDecimal(hi), _))
+      case LongBounds("DT", lo, hi) =>
+        val days: Option[Long] = v match {
+          case d: java.sql.Date       => Some(d.toLocalDate.toEpochDay)
+          case d: java.time.LocalDate => Some(d.toEpochDay)
+          case _                      => None
+        }
+        days.map(d => (BigDecimal(lo), BigDecimal(hi), BigDecimal(d)))
+      case LongBounds("TS", lo, hi) =>
+        val micros: Option[Long] = v match {
+          case t: java.sql.Timestamp =>
+            Some(Math.addExact(Math.multiplyExact(
+              Math.floorDiv(t.getTime, 1000L), 1000000L),
+              t.getNanos / 1000L))
+          case t: java.time.Instant =>
+            Some(Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L),
+              t.getNano / 1000L))
+          case _ => None
+        }
+        micros.map(m => (BigDecimal(lo), BigDecimal(hi), BigDecimal(m)))
+      case LongBounds("TN", lo, hi) =>
+        val micros: Option[Long] = v match {
+          case t: java.time.LocalDateTime =>
+            val i = t.toInstant(java.time.ZoneOffset.UTC)
+            Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+              i.getNano / 1000L))
+          case _ => None
+        }
+        micros.map(m => (BigDecimal(lo), BigDecimal(hi), BigDecimal(m)))
+      case DoubleBounds(lo, hi)
+        if !lo.isNaN && !hi.isNaN =>
+        big(v).map((BigDecimal(new java.math.BigDecimal(lo)),
+          BigDecimal(new java.math.BigDecimal(hi)), _))
+      case _ => None
+    }
+  }
+
+  private def strBytes(v: Any): Option[Array[Byte]] = v match {
+    case s: String => Some(s.getBytes(StandardCharsets.UTF_8))
     case _         => None
   }
 
+  /** Unsigned lexicographic byte order — parquet UTF8 stats order and
+    * Spark's UTF8String order agree on exactly this. */
+  private def unsignedCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
   /** Provable exclusion of `[min, max]` by one filter. */
-  private def excludes(b: Map[String, (Double, Double)], f: Filter): Boolean =
+  private def excludes(b: Map[String, Bounds], f: Filter): Boolean = {
+    def cmp(c: String, v: Any)(p: (Int, Int) => Boolean): Boolean =
+      b.get(c).exists { bd =>
+        comparable(bd, v) match {
+          case Some((lo, hi, x)) => p(x.compare(lo), x.compare(hi))
+          case None => (bd, strBytes(v)) match {
+            case (BytesBounds(lo, hi), Some(s)) =>
+              p(unsignedCompare(s, lo), unsignedCompare(s, hi))
+            case _ => false
+          }
+        }
+      }
     f match {
-      case EqualTo(c, v) => b.get(c).zip(num(v))
-        .exists { case ((lo, hi), x) => x < lo || x > hi }
-      case GreaterThan(c, v) => b.get(c).zip(num(v))
-        .exists { case ((_, hi), x) => x >= hi }
-      case GreaterThanOrEqual(c, v) => b.get(c).zip(num(v))
-        .exists { case ((_, hi), x) => x > hi }
-      case LessThan(c, v) => b.get(c).zip(num(v))
-        .exists { case ((lo, _), x) => x <= lo }
-      case LessThanOrEqual(c, v) => b.get(c).zip(num(v))
-        .exists { case ((lo, _), x) => x < lo }
+      case EqualTo(c, v) if v != null       => cmp(c, v)((l, h) => l < 0 || h > 0)
+      case EqualNullSafe(c, v) if v != null => cmp(c, v)((l, h) => l < 0 || h > 0)
+      case GreaterThan(c, v)        => cmp(c, v)((_, h) => h >= 0)
+      case GreaterThanOrEqual(c, v) => cmp(c, v)((_, h) => h > 0)
+      case LessThan(c, v)           => cmp(c, v)((l, _) => l <= 0)
+      case LessThanOrEqual(c, v)    => cmp(c, v)((l, _) => l < 0)
       case In(c, vs) =>
-        val ds = vs.flatMap(num(_))
-        ds.length == vs.length && b.get(c)
-          .exists { case (lo, hi) => ds.forall(x => x < lo || x > hi) }
+        vs.nonEmpty && vs.forall(v =>
+          v != null && cmp(c, v)((l, h) => l < 0 || h > 0))
+      case StringStartsWith(c, prefix) =>
+        // matching rows satisfy prefix <= value < bump(prefix); a file
+        // wholly below or wholly at/above that window cannot match
+        b.get(c).exists {
+          case BytesBounds(lo, hi) =>
+            val p = prefix.getBytes(StandardCharsets.UTF_8)
+            unsignedCompare(hi, p) < 0 ||
+              bump(p).exists(up => unsignedCompare(lo, up) >= 0)
+          case _ => false
+        }
       case And(l, r) => excludes(b, l) || excludes(b, r)
       case Or(l, r)  => excludes(b, l) && excludes(b, r)
       case _         => false
     }
+  }
 }
 
 /** Convenience: batch append + stats sidecar in one call. */

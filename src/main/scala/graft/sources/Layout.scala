@@ -81,14 +81,25 @@ object Layout {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket")).orderBy(col(idCol))
       .rowsBetween(Long.MinValue, -1)
+    // a bucket whose cumulative tokens exceed 1e9 * budget would wrap
+    // into the NEXT bucket's id range and shards would silently merge —
+    // plausible at the 100 TB design point with small budgets or few
+    // buckets, so the flattening fails loudly at write time instead
+    val seq = floor(col("cum_before") / budgetTokens).cast(LongType)
+    val checkedSeq = when(seq >= 0 && seq < lit(SeqRange), seq)
+      .otherwise(raise_error(concat(
+        lit(s"packShards: shard seq exceeds the $SeqRange id range " +
+          "(raise budgetTokens or numBuckets): "), seq.cast("string"))))
     docs.select(col(idCol), tokens.as("n_tokens"))
       .withColumn("bucket", pmod(col(idCol), lit(numBuckets)).cast(LongType))
       .withColumn("cum_before",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("shard_id",
-        col("bucket") * lit(1000000000L) +
-          floor(col("cum_before") / budgetTokens).cast(LongType))
+      .withColumn("shard_id", col("bucket") * lit(SeqRange) + checkedSeq)
   }
+
+  /** Per-bucket shard-id range under the flattened
+    * `bucket * SeqRange + seq` encoding. */
+  val SeqRange = 1000000000L
 
   /** Write `df` z-ordered on (a, b) into `numFiles` parquet files:
     * range-partition by the Morton key (balanced files by sampled

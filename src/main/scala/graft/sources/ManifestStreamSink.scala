@@ -37,9 +37,19 @@ import org.apache.spark.sql.types.StructType
   * increasing micro-batch ids — are the manifest's batch ids. Append
   * output mode only: a manifest is an immutable log, so complete/update
   * modes (which truncate) are rejected at the capability level.
+  *
+  * Epoch-id OWNERSHIP (the Delta streaming-sink `(appId, version)`
+  * guard): a sidecar log next to the manifest records which query
+  * committed each epoch id. Re-committing an id is allowed only for
+  * the SAME query (the post-crash replay window, where Spark re-runs
+  * an epoch whose manifest commit landed but whose WAL entry did not);
+  * a DIFFERENT writer — a restart against a fresh checkpointLocation
+  * whose epoch counter reset to 0, or a batch producer already using
+  * the id — fails loudly instead of silently un-naming committed
+  * batches and overwriting their dirs.
   */
 final class GraftManifestStreamingWrite(root: String, manifestPath: String,
-                                        schema: StructType)
+                                        schema: StructType, queryId: String)
   extends StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -64,26 +74,36 @@ final class GraftManifestStreamingWrite(root: String, manifestPath: String,
       sql.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
     hconf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
       sql.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
-    GraftManifestWriterFactory(root, schema.json,
+    GraftManifestWriterFactory(root, manifestPath, queryId, schema.json,
       new org.apache.spark.util.SerializableConfiguration(hconf))
   }
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
     require(epochId <= Int.MaxValue, s"epoch $epochId exceeds manifest id range")
+    val id = epochId.toInt
+    val manifest = new TxnManifest(manifestPath)
+    // ownership check BEFORE anything becomes visible; the sidecar log
+    // entry lands before the manifest commit, so a crash between the
+    // two leaves an owned-but-unnamed id whose replay (same query)
+    // passes the check and re-commits idempotently
+    SinkEpochLog.claim(manifestPath, id, queryId, manifest)
     // stat the epoch before it becomes visible: sink-fed tables stay
     // data-skippable like every other committing surface (driver-side
     // footer pass over the epoch's files)
     SparkSession.getActiveSession.foreach(s =>
       BatchStats.writeSidecar(s, s"$root/batch=$epochId"))
-    new TxnManifest(manifestPath)
-      .commit(epochId.toInt, Seq(s"$root/batch=$epochId"))
+    manifest.commit(id, Seq(s"$root/batch=$epochId"))
   }
 
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit = {
-    // best-effort: the dir is invisible either way (never committed);
-    // a replay of the epoch overwrites it file-for-file
+    // On an epoch REPLAY (crash after the manifest commit, before
+    // Spark's WAL write) the epoch dir is already manifest-named and
+    // reader-visible — a failed replay must NOT delete it. Abort only
+    // sweeps the hidden `.tmp` attempt files; the deterministic part
+    // files are either invisible (never committed) or owned by the
+    // manifest and overwritten by the next replay.
     val conf = SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
@@ -91,17 +111,99 @@ final class GraftManifestStreamingWrite(root: String, manifestPath: String,
     val fc =
       if (p.toUri.getScheme == null) FileContext.getFileContext(conf)
       else FileContext.getFileContext(p.toUri, conf)
-    if (fc.util().exists(p)) { fc.delete(p, true); () }
+    if (fc.util().exists(p)) {
+      fc.util().listStatus(p)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("."))
+        .foreach(st => fc.delete(st.getPath, false))
+      ()
+    }
+  }
+}
+
+/** Sidecar ownership log `<manifest>.sink`: one `epochId<TAB>queryId`
+  * line per sink-committed epoch, replaced atomically as a whole (the
+  * [[graft.util.AtomicText]] single-file commit primitive, same as the
+  * manifest itself). */
+private[graft] object SinkEpochLog {
+
+  def path(manifestPath: String): String = manifestPath + ".sink"
+
+  def entries(manifestPath: String): Map[Int, String] =
+    graft.util.AtomicText.readLines(path(manifestPath)).map { line =>
+      val Array(id, q) = line.split('\t')
+      id.toInt -> q
+    }.toMap
+
+  /** Per-JVM memo of (manifest, epoch, query) triples that passed the
+    * ownership check — each executor pays the two metadata reads once
+    * per epoch, not once per task. */
+  private val passed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int, String)]()
+
+  /** Read-only twin of [[claim]] for the task-side gate: fails when
+    * `epochId` is owned by a different query or already a non-sink
+    * manifest batch; never writes. */
+  def assertOwnable(manifestPath: String, epochId: Int, queryId: String): Unit = {
+    val key = (manifestPath, epochId, queryId)
+    if (!passed.contains(key)) {
+      check(manifestPath, epochId, queryId, new TxnManifest(manifestPath))
+      passed.add(key); ()
+    }
+  }
+
+  /** Record `queryId` as the owner of `epochId`, failing loudly when
+    * the id is already owned by a different query or already committed
+    * to the manifest by a non-sink producer. Idempotent for replays of
+    * the same query. */
+  def claim(manifestPath: String, epochId: Int, queryId: String,
+            manifest: TxnManifest): Unit = {
+    val owned = check(manifestPath, epochId, queryId, manifest)
+    if (!owned.get(epochId).contains(queryId)) {
+      val body = (owned + (epochId -> queryId)).toSeq.sortBy(_._1)
+        .map { case (id, q) => s"$id\t$q" }.mkString("", "\n", "\n")
+      graft.util.AtomicText.writeAtomically(path(manifestPath), body)
+    }
+  }
+
+  /** The ownership rules; returns the current entries on success. */
+  private def check(manifestPath: String, epochId: Int, queryId: String,
+                    manifest: TxnManifest): Map[Int, String] = {
+    val owned = entries(manifestPath)
+    owned.get(epochId) match {
+      case Some(owner) if owner == queryId => () // same-query replay
+      case Some(owner) =>
+        throw new IllegalStateException(
+          s"epoch $epochId already committed by streaming query $owner " +
+            s"(this query: $queryId) — a restart against a fresh " +
+            "checkpointLocation resets epoch ids to 0 and would " +
+            "silently overwrite committed batches; resume from the " +
+            "original checkpoint or point the sink at a fresh manifest")
+      case None if manifest.committed().contains(epochId) =>
+        throw new IllegalStateException(
+          s"epoch $epochId is already a committed manifest batch id " +
+            "(from a non-sink producer) — committing would un-name its " +
+            "dirs; choose a manifest this sink owns exclusively")
+      case None => ()
+    }
+    owned
   }
 }
 
 private final case class GraftManifestWriterFactory(
-    root: String, schemaJson: String,
+    root: String, manifestPath: String, queryId: String, schemaJson: String,
     serConf: org.apache.spark.util.SerializableConfiguration)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] = {
+    // ownership gate BEFORE any bytes move: task-side commit() renames
+    // files into the (possibly reader-visible) epoch dir ahead of the
+    // driver's manifest commit, so a wrong-writer epoch must be refused
+    // here — a driver-side check alone would fire only after the dir's
+    // deterministic file names were already overwritten. Two tiny text
+    // reads per executor per epoch (memoized below), metadata-scale.
+    require(epochId <= Int.MaxValue, s"epoch $epochId exceeds manifest id range")
+    SinkEpochLog.assertOwnable(manifestPath, epochId.toInt, queryId)
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[StructType]
     val conf = new Configuration(serConf.value)

@@ -111,7 +111,8 @@ final class GraftManifestTable(tableSchema: StructType,
         new org.apache.spark.sql.connector.write.Write {
           override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-            new GraftManifestStreamingWrite(root, manifestPath, info.schema())
+            new GraftManifestStreamingWrite(root, manifestPath, info.schema(),
+              info.queryId())
         }
     }
   }
@@ -354,7 +355,7 @@ final case class ManifestReaderFactory(
   }
 }
 
-private[sources] object GraftManifestSource {
+private[graft] object GraftManifestSource {
 
   def rootAndManifest(options: CaseInsensitiveStringMap): (String, String) = {
     val root = Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
@@ -430,8 +431,14 @@ private[sources] object GraftManifestSource {
       val fc =
         if (p.toUri.getScheme == null) FileContext.getFileContext(conf)
         else FileContext.getFileContext(p.toUri, conf)
-      if (!fc.util().exists(p)) Nil
-      else fc.util().listStatus(p).toSeq
+      // a manifest-committed dir that is GONE is data loss (bad vacuum,
+      // manual delete) — fail loudly like Sinks.readCommitted does,
+      // instead of silently serving an empty batch
+      if (!fc.util().exists(p))
+        throw new IllegalStateException(
+          s"manifest-committed directory missing from the filesystem: $dir — " +
+            "committed data was deleted out from under the manifest")
+      fc.util().listStatus(p).toSeq
         .filter { st =>
           val n = st.getPath.getName
           // hidden files (crashed attempts' temps, metadata) excluded,

@@ -209,6 +209,25 @@ class ScaleSpec extends SparkSuite {
       s"expected multi-partition range exchange, got $exch")
   }
 
+  test("packShards fails loudly when a bucket's seq would overflow its id range") {
+    import graft.sources.Layout
+    // 2 docs of 1e12 tokens in one bucket with budget 1 → seq ~ 1e12,
+    // which would wrap into the next bucket's flattened id range and
+    // silently merge shards; the write must refuse instead
+    val docs = Seq((0L, 1000000000000L), (2L, 1000000000000L))
+      .toDF("doc_id", "n_tokens")
+    val e = intercept[Exception] {
+      Layout.packShards(docs, "doc_id", col("n_tokens"),
+        numBuckets = 2, budgetTokens = 1L).collect()
+    }
+    assert(e.getMessage.contains("packShards"), s"got: $e")
+    // in-range packing still works: both docs land in bucket 0 shard 0
+    val ok = Layout.packShards(docs, "doc_id", col("n_tokens"),
+      numBuckets = 2, budgetTokens = 10000000000000L)
+      .select("shard_id").as[Long].collect()
+    assert(ok.toSeq == Seq(0L, 0L))
+  }
+
   test("z-order layout clusters BOTH dimensions; morton key matches reference") {
     import graft.sources.Layout
     // expression == Scala twin on random coordinates

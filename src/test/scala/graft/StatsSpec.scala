@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+
+import graft.sources.{BatchStats, StatsSinks, TxnManifest}
+
+/** Typed-bounds data-skipping specs: exact Long bounds past 2^53,
+  * date/string pruning, and the never-prune-a-live-row contract. */
+class StatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    df.collect()
+    df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      .head.metrics("manifestFilesRead").value
+  }
+
+  private def freshTable(prefix: String): (String, String, TxnManifest) = {
+    val base = java.nio.file.Files.createTempDirectory(prefix).toString
+    val root = s"$base/t"
+    val manPath = s"$base/manifest.tsv"
+    (root, manPath, new TxnManifest(manPath))
+  }
+
+  private def load(root: String, manPath: String) =
+    spark.read.format("graft-manifest").option("manifest", manPath).load(root)
+
+  test("long bounds above 2^53 never alias: strict filters keep live files") {
+    // 2^60 and 2^60 + 1 collapse to the same Double; double-space
+    // bounds would prune `id > 2^60` even though the file holds a
+    // matching row (the ADVICE correctness trap)
+    val big = 1L << 60
+    val (root, manPath, man) = freshTable("stats_big_")
+    StatsSinks.appendBatchStats(Seq(big, big + 1).toDF("id"), root, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+    assert(load(root, manPath).where($"id" > big).as[Long].collect()
+      .toSeq == Seq(big + 1))
+    // and the same bound evaluated directly: may-match, not excluded
+    val b = Map("id" -> (BatchStats.LongBounds("L", big, big + 1): BatchStats.Bounds))
+    assert(BatchStats.mayMatch(b, Seq(GreaterThan("id", big))))
+    assert(BatchStats.mayMatch(b, Seq(LessThan("id", big + 1))))
+    // exact exclusion still prunes when truly out of range
+    assert(!BatchStats.mayMatch(b, Seq(GreaterThan("id", big + 1))))
+    assert(!BatchStats.mayMatch(b, Seq(EqualTo("id", big - 1))))
+  }
+
+  test("date predicates prune files (reference CreatedOn > ... shape)") {
+    val (root, manPath, man) = freshTable("stats_date_")
+    def month(m: Int) = (1 to 20).map(d =>
+      (m * 100 + d, java.sql.Date.valueOf(f"2025-$m%02d-$d%02d")))
+      .toDF("id", "created_on")
+    StatsSinks.appendBatchStats(month(1), root, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+    StatsSinks.appendBatchStats(month(6), root, 1)
+    man.commit(1, Seq(s"$root/batch=1"))
+    val all = scanFiles(load(root, manPath))
+    val q = load(root, manPath)
+      .where($"created_on" > lit(java.sql.Date.valueOf("2025-03-01")))
+    assert(q.count() == 20) // results exact: only June rows
+    assert(scanFiles(load(root, manPath)
+      .where($"created_on" > lit(java.sql.Date.valueOf("2025-03-01"))).select("id")) < all,
+      "expected the January file pruned by date stats")
+    // boundary: filter exactly at a file's max must NOT prune it for >=
+    assert(load(root, manPath)
+      .where($"created_on" >= lit(java.sql.Date.valueOf("2025-01-20")))
+      .count() == 21)
+  }
+
+  test("string predicates prune files; results stay exact") {
+    val (root, manPath, man) = freshTable("stats_str_")
+    StatsSinks.appendBatchStats(
+      (1 to 20).map(i => (i, f"apple_$i%03d")).toDF("id", "name"), root, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+    StatsSinks.appendBatchStats(
+      (21 to 40).map(i => (i, f"zebra_$i%03d")).toDF("id", "name"), root, 1)
+    man.commit(1, Seq(s"$root/batch=1"))
+    val all = scanFiles(load(root, manPath))
+    // equality on a value outside batch 0's [apple_001, apple_020]
+    assert(load(root, manPath).where($"name" === "zebra_030").count() == 1)
+    assert(scanFiles(load(root, manPath)
+      .where($"name" === "zebra_030").select("id")) < all)
+    // prefix pushdown: StartsWith window excludes the apple file
+    assert(load(root, manPath).where($"name".startsWith("zebra")).count() == 20)
+    assert(scanFiles(load(root, manPath)
+      .where($"name".startsWith("zebra")).select("id")) < all)
+    // range: name < "apple_010" cannot live in the zebra file
+    assert(load(root, manPath).where($"name" < "apple_010").count() == 9)
+    assert(scanFiles(load(root, manPath)
+      .where($"name" < "apple_010").select("id")) < all)
+  }
+
+  test("timestamp predicates prune files (micros-typed bounds)") {
+    val (root, manPath, man) = freshTable("stats_ts_")
+    val s2 = spark
+    s2.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      def hour(h: Int) = (1 to 10).map(m =>
+        (h * 100 + m, java.sql.Timestamp.valueOf(f"2025-01-01 $h%02d:$m%02d:00")))
+        .toDF("id", "ts")
+      StatsSinks.appendBatchStats(hour(1), root, 0)
+      man.commit(0, Seq(s"$root/batch=0"))
+      StatsSinks.appendBatchStats(hour(20), root, 1)
+      man.commit(1, Seq(s"$root/batch=1"))
+      val all = scanFiles(load(root, manPath))
+      val cut = java.sql.Timestamp.valueOf("2025-01-01 12:00:00")
+      assert(load(root, manPath).where($"ts" > lit(cut)).count() == 10)
+      assert(scanFiles(load(root, manPath)
+        .where($"ts" > lit(cut)).select("id")) < all)
+    } finally s2.conf.unset("spark.sql.parquet.outputTimestampType")
+  }
+
+  test("conservative shapes never prune: mismatched kinds, unknown filters, bad sidecar") {
+    val longB = Map("x" -> (BatchStats.LongBounds("L", 0L, 9L): BatchStats.Bounds))
+    // string literal against long bounds: no pruning, never a crash
+    assert(BatchStats.mayMatch(longB, Seq(EqualTo("x", "not_a_number"))))
+    // date literal against plain-long bounds: domain mismatch, kept
+    assert(BatchStats.mayMatch(longB,
+      Seq(EqualTo("x", java.sql.Date.valueOf("1970-01-11")))))
+    // NaN / infinity literals are not comparable: kept
+    val dblB = Map("x" -> (BatchStats.DoubleBounds(0.0, 1.0): BatchStats.Bounds))
+    assert(BatchStats.mayMatch(dblB, Seq(GreaterThan("x", Double.NaN))))
+    assert(BatchStats.mayMatch(dblB,
+      Seq(GreaterThan("x", Double.PositiveInfinity))))
+    // null-test filters are never evaluated against value bounds
+    assert(BatchStats.mayMatch(longB, Seq(IsNull("x"), IsNotNull("x"))))
+    // In prunes only when EVERY element is provably absent
+    assert(!BatchStats.mayMatch(longB, Seq(In("x", Array(100L, 200L)))))
+    assert(BatchStats.mayMatch(longB, Seq(In("x", Array(100L, 5L)))))
+    assert(BatchStats.mayMatch(longB, Seq(In("x", Array(100L, null)))))
+    // a torn/unparsable sidecar degrades to "no pruning", not an error
+    val dir = java.nio.file.Files.createTempDirectory("stats_torn_").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_stats.tsv"), "old\tformat\t1\t2\n")
+    assert(BatchStats.read(spark.sparkContext.hadoopConfiguration, dir).isEmpty)
+  }
+}

@@ -394,7 +394,8 @@ class StreamingSpec extends SparkSuite {
       s"expected only the sidecar-less dir planned: $noneFiles vs $prunedFiles")
     assert(load().where($"m" < -5.0).count() == 0) // double column, same
     // stats evaluation is conservative: strings/unknown shapes never prune
-    assert(BatchStats.mayMatch(Map("id" -> (0.0, 9.0)),
+    assert(BatchStats.mayMatch(
+      Map("id" -> BatchStats.LongBounds("L", 0L, 9L)),
       Seq(org.apache.spark.sql.sources.IsNotNull("id"))))
   }
 
@@ -521,5 +522,127 @@ class StreamingSpec extends SparkSuite {
     relay.awaitTermination()
     assert(spark.read.parquet(outDir).select("id").as[Long].collect().toSet ==
       Set(1L, 2L, 3L))
+  }
+
+  test("graft-manifest sink: epoch ownership refuses a second writer, allows replay") {
+    import graft.sources.{SinkEpochLog, Sinks, TxnManifest}
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_dsv2own_").toString
+    val root = s"$base/table"
+    val manPath = s"$base/manifest.tsv"
+    val man = new TxnManifest(manPath)
+
+    def startQuery(mem: MemoryStream[(Long, String)], ckpt: String) =
+      mem.toDF().toDF("id", "v")
+        .writeStream.format("graft-manifest")
+        .option("manifest", manPath).option("path", root)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    val mem1 = MemoryStream[(Long, String)]
+    val q1 = startQuery(mem1, s"$base/ckpt")
+    try {
+      mem1.addData((1L, "a")); q1.processAllAvailable()
+      assert(man.committed().keySet == Set(0))
+    } finally q1.stop()
+
+    // restart from the SAME checkpoint: epochs continue, commits flow
+    // (a fresh MemoryStream starts at offset 0, which the checkpoint
+    // has already consumed — feed a placeholder batch to advance past
+    // the committed offset, then the real data)
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData((1L, "a-replayed-offset"))
+    val q1b = startQuery(mem2, s"$base/ckpt")
+    try {
+      mem2.addData((2L, "b")); q1b.processAllAvailable()
+      assert(Sinks.readCommitted(spark, root, man)
+        .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    } finally q1b.stop()
+
+    // a FRESH checkpoint resets epoch ids to 0 — committing would
+    // silently un-name batch 0 and overwrite its dir; must fail loudly
+    val mem3 = MemoryStream[(Long, String)]
+    val q2 = startQuery(mem3, s"$base/ckpt_fresh")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      mem3.addData((99L, "clobber")); q2.processAllAvailable()
+      q2.awaitTermination(10000)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(_.getMessage != null) &&
+      causes(err).exists(c => c.getMessage != null &&
+        c.getMessage.contains("already committed by streaming query")),
+      s"expected the epoch-ownership failure, got: $err")
+    // ...and batch 0's data survived untouched
+    assert(Sinks.readCommitted(spark, root, man)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+
+    // ownership log unit surface: same-owner replay is idempotent;
+    // an id the MANIFEST already holds from a batch producer refuses
+    SinkEpochLog.claim(manPath, 7, "queryA", man)
+    SinkEpochLog.claim(manPath, 7, "queryA", man) // replay: no throw
+    val e2 = intercept[IllegalStateException] {
+      SinkEpochLog.claim(manPath, 7, "queryB", man)
+    }
+    assert(e2.getMessage.contains("already committed by streaming query"))
+    man.commit(42, Seq(s"$root/batch=42"))
+    val e3 = intercept[IllegalStateException] {
+      SinkEpochLog.claim(manPath, 42, "queryC", man)
+    }
+    assert(e3.getMessage.contains("non-sink producer"))
+  }
+
+  test("graft-manifest sink abort never deletes a committed epoch dir") {
+    import graft.sources.{GraftManifestStreamingWrite, TxnManifest}
+    val base = java.nio.file.Files.createTempDirectory("graft_dsv2ab_").toString
+    val root = s"$base/table"
+    val manPath = s"$base/manifest.tsv"
+    // simulate the replay window: epoch 0 is manifest-committed (the
+    // crash happened AFTER the manifest commit, before Spark's WAL
+    // write), its dir holds visible data plus a stale attempt temp
+    val dir = java.nio.file.Paths.get(s"$root/batch=0")
+    java.nio.file.Files.createDirectories(dir)
+    Seq((1L, "a")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(dir.toString)
+    java.nio.file.Files.writeString(dir.resolve(".part-0-99.tmp.parquet"), "x")
+    new TxnManifest(manPath).commit(0, Seq(s"$root/batch=0"))
+
+    val write = new GraftManifestStreamingWrite(root, manPath,
+      new org.apache.spark.sql.types.StructType().add("id", "long"), "q")
+    write.abort(0, Array.empty) // failed replay of the committed epoch
+    // committed data still served; only the hidden temp is swept
+    assert(spark.read.format("graft-manifest")
+      .option("manifest", manPath).load(root).count() == 1)
+    assert(!java.nio.file.Files.exists(dir.resolve(".part-0-99.tmp.parquet")))
+  }
+
+  test("graft-manifest scan fails loudly when a committed dir is missing") {
+    import graft.sources.{GraftManifestSource, Sinks, TxnManifest}
+    val base = java.nio.file.Files.createTempDirectory("graft_dsv2gone_").toString
+    val root = s"$base/table"
+    val manPath = s"$base/manifest.tsv"
+    val man = new TxnManifest(manPath)
+    Sinks.appendBatch(Seq((1L, "a")).toDF("id", "v"), root, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+    Sinks.appendBatch(Seq((2L, "b")).toDF("id", "v"), root, 1)
+    man.commit(1, Seq(s"$root/batch=1"))
+    // destroy batch 0 out from under the manifest (bad vacuum / manual
+    // rm) AFTER planning started — the plan-time listing must surface
+    // the loss, not silently serve an empty batch
+    import scala.jdk.CollectionConverters._
+    val d = java.nio.file.Paths.get(s"$root/batch=0")
+    java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    val e = intercept[IllegalStateException] {
+      GraftManifestSource.partitionsFor(man, root, Int.MinValue, Int.MaxValue)
+    }
+    assert(e.getMessage.contains("committed data was deleted"), s"got: $e")
+    // the fresh-read path also fails loudly (schema resolution finds
+    // the hole first — PATH_NOT_FOUND — which is equally loud)
+    intercept[Exception] {
+      spark.read.format("graft-manifest")
+        .option("manifest", manPath).load(root).count()
+    }
+    ()
   }
 }
