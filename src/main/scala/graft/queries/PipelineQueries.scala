@@ -333,6 +333,69 @@ object PipelineQueries {
       Sinks.readCommitted(s, root, man)
     }),
 
+    // MERGE with BOTH matched arms — UPDATE and DELETE — in one atomic
+    // commit (Delta `WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN
+    // NOT MATCHED INSERT`): the opt-out/takedown purge a training
+    // corpus needs, on the same copy-on-write + replaceDirs substrate
+    // as s9. Updates touch keys %10=0, deletes purge keys %7=0 (made
+    // disjoint from the update arm); the oracle is the MERGE
+    // postcondition in plain SQL.
+    "s11_merge_delete" -> ((s, d) => {
+      import graft.sources.{Sinks, TxnManifest}
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s11_").toString
+      val root = s"$base/t"
+      val man = new TxnManifest(s"$base/manifest.tsv")
+      for (i <- 0 to 1) {
+        Sinks.appendBatch(o.filter(pmod(col("o_orderkey"), lit(2)) === i), root, i)
+        man.commit(i, Seq(s"$root/batch=$i"))
+      }
+      val updates = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      val deletes = o.filter(col("o_orderkey") % 7 === 0 &&
+          col("o_orderkey") % 10 =!= 0)
+        .select("o_orderkey")
+      Sinks.merge(s, Some(updates), Some(deletes), root, man,
+        Seq("o_orderkey"), mergeId = 2)
+      Sinks.readCommitted(s, root, man)
+    }),
+
+    // Change data feed: the row-level deltas a MERGE emits while it
+    // already holds the matched pre-images — downstream incremental
+    // consumers read (from, to] and get update pre/post images,
+    // inserts, and deletes instead of re-reading batches (the
+    // reference's whole CDC idiom, `accounts.py:36-41`, upgraded to
+    // row granularity). readChanges serves merge batches from their
+    // `_cdf` sidecar; the oracle predicts every change row in SQL.
+    "st5_cdf_read" -> ((s, d) => {
+      import graft.sources.{Sinks, TxnManifest}
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_st5_").toString
+      val root = s"$base/t"
+      val man = new TxnManifest(s"$base/manifest.tsv")
+      for (i <- 0 to 1) {
+        Sinks.appendBatch(o.filter(pmod(col("o_orderkey"), lit(2)) === i), root, i)
+        man.commit(i, Seq(s"$root/batch=$i"))
+      }
+      val updates = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+        .unionAll(o.filter(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice")))
+      val deletes = o.filter(col("o_orderkey") % 7 === 0 &&
+          col("o_orderkey") % 10 =!= 0)
+        .select("o_orderkey")
+      Sinks.merge(s, Some(updates), Some(deletes), root, man,
+        Seq("o_orderkey"), mergeId = 2, cdf = true)
+      Sinks.readChanges(s, root, man, fromBatch = 1, toBatch = 2)
+    }),
+
     // Semi-structured ingestion: parse the JSON props column in the
     // scan projection (from_json is codegen'd — no shuffle, no UDF;
     // the read-side twin of the C16 to_json serialization). Malformed
@@ -754,6 +817,51 @@ object PipelineQueries {
         |WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd""".stripMargin,
+    "s11_merge_delete" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'X' AS o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0),
+        |del AS (
+        |  SELECT o_orderkey FROM base
+        |  WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0)
+        |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM base b
+        |WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  AND b.o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd""".stripMargin,
+    "st5_cdf_read" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'X' AS o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey,
+        |    'N' AS o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 1000 = 0),
+        |del AS (
+        |  SELECT o_orderkey FROM base
+        |  WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0),
+        |matched AS (
+        |  SELECT o_orderkey FROM upd
+        |  WHERE o_orderkey IN (SELECT o_orderkey FROM base))
+        |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice,
+        |  'update_preimage' AS _change_type, 2 AS _commit_batch
+        |FROM base b WHERE b.o_orderkey IN (SELECT o_orderkey FROM matched)
+        |UNION ALL
+        |SELECT u.o_orderkey, u.o_orderstatus, u.o_totalprice,
+        |  'update_postimage', 2
+        |FROM upd u WHERE u.o_orderkey IN (SELECT o_orderkey FROM matched)
+        |UNION ALL
+        |SELECT u.o_orderkey, u.o_orderstatus, u.o_totalprice, 'insert', 2
+        |FROM upd u WHERE u.o_orderkey NOT IN (SELECT o_orderkey FROM matched)
+        |UNION ALL
+        |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice, 'delete', 2
+        |FROM base b WHERE b.o_orderkey IN (SELECT o_orderkey FROM del)""".stripMargin,
     "e7_props_json" ->
       """SELECT event_id, event_type,
         |  CAST(json_extract(props, '$.k') AS INTEGER) AS k,

@@ -156,70 +156,223 @@ object Sinks {
     * `MERGE INTO ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
     * THEN INSERT *` semantics on plain parquet, the write shape behind
     * the reference's watermark MERGE (`accounts.py:131-140`) and Sync
-    * upserts (`categories.py:84,128`).
+    * upserts (`categories.py:84,128`). See [[merge]] for the engine. */
+  def mergeUpsert(spark: org.apache.spark.sql.SparkSession, updates: DataFrame,
+                  root: String, manifest: TxnManifest, keys: Seq[String],
+                  mergeId: Int, cdf: Boolean = false): Unit =
+    merge(spark, Some(updates), None, root, manifest, keys, mergeId, cdf)
+
+  /** Row-level DELETE — `MERGE ... WHEN MATCHED THEN DELETE` (the
+    * opt-out/takedown purge a training corpus needs as a first-class
+    * op). `deleteKeys` is a keys-only frame; keys absent from the
+    * table are a no-op, matched rows disappear via the same
+    * copy-on-write + atomic swap as the upsert arm. */
+  def mergeDelete(spark: org.apache.spark.sql.SparkSession,
+                  deleteKeys: DataFrame, root: String, manifest: TxnManifest,
+                  keys: Seq[String], mergeId: Int, cdf: Boolean = false): Unit =
+    merge(spark, None, Some(deleteKeys), root, manifest, keys, mergeId, cdf)
+
+  /** The MERGE engine: upsert arm, delete arm, or both in one commit
+    * (Delta `WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN NOT
+    * MATCHED INSERT`).
     *
     * Copy-on-write at batch-dir granularity:
-    *   1. find the committed dirs that CONTAIN a matched key (one
-    *      semi-join pass with `input_file_name`; the updates side is
-    *      batch-sized and broadcasts) — unaffected dirs are never read
-    *      again nor rewritten;
-    *   2. rewrite = (affected dirs' rows anti-joined on `keys`)
-    *      ∪ updates, written as ONE new batch dir (insert-only rows
-    *      land there too);
-    *   3. one atomic [[TxnManifest.replaceDirs]] commit swaps exactly
+    *   1. PRUNE the probe with the [[BatchStats]] sidecars: dirs whose
+    *      key bounds provably exclude the whole update/delete key
+    *      range are never even scanned (the Delta-log data-skipping
+    *      shape — at 100 TB this turns the O(table) probe into
+    *      O(dirs overlapping the key range));
+    *   2. find the dirs that CONTAIN a matched key (one semi-join
+    *      pass with `input_file_name` over the surviving candidates;
+    *      no forced broadcast — AQE broadcasts a batch-sized key set
+    *      at runtime and degrades a bulk backfill to a shuffle join
+    *      instead of a driver OOM);
+    *   3. rewrite = (affected dirs' rows anti-joined on ALL matched
+    *      keys) ∪ updates, written as ONE new batch dir (insert-only
+    *      rows land there too; deleted rows simply don't);
+    *   4. with `cdf = true`, the matched pre-images the rewrite
+    *      already holds are ALSO written to a `_cdf/batch=<mergeId>`
+    *      sidecar with `_change_type` ∈ {update_preimage,
+    *      update_postimage, insert, delete} — the change-data-feed
+    *      downstream incremental consumers read via [[readChanges]];
+    *   5. one atomic [[TxnManifest.replaceDirs]] commit swaps exactly
     *      the affected entries for the new dir. A crash before the
-    *      commit leaves the old view; the orphan dir is vacuumable.
+    *      commit leaves the old view; orphan data and `_cdf` dirs are
+    *      vacuumable.
     *
-    * Updates must be UNIQUE on `keys` (two source rows matching one
-    * target row is ambiguous — same loud error Delta raises). Matched
-    * rows are replaced WHOLE (UPDATE SET *); new columns in `updates`
-    * evolve the schema additively, NULL-filled for kept rows.
-    *
-    * At 100 TB the affected-dir probe is the piece to upgrade: per-dir
-    * key min/max (or bloom) stats prune without the scan — the same
-    * data-skipping Delta keeps in its log. The commit shape is already
-    * O(affected), not O(table).
+    * Updates must be UNIQUE on `keys`, and the update and delete key
+    * sets DISJOINT (one target row matched by both arms is ambiguous —
+    * the same loud error Delta raises). Matched rows are replaced
+    * WHOLE (UPDATE SET *); new columns in `updates` evolve the schema
+    * additively, NULL-filled for kept rows.
     *
     * @param mergeId batch id for the rewritten output; must not
     *   collide with a live batch id. */
-  def mergeUpsert(spark: org.apache.spark.sql.SparkSession, updates: DataFrame,
-                  root: String, manifest: TxnManifest, keys: Seq[String],
-                  mergeId: Int): Unit =
+  def merge(spark: org.apache.spark.sql.SparkSession,
+            updates: Option[DataFrame], deletes: Option[DataFrame],
+            root: String, manifest: TxnManifest, keys: Seq[String],
+            mergeId: Int, cdf: Boolean = false): Unit =
     withJobDescription(spark, s"graft: merge $root -> batch=$mergeId") {
-    import org.apache.spark.sql.functions.{broadcast, count, input_file_name, lit}
+    import org.apache.spark.sql.functions.{count, lit}
+    require(updates.nonEmpty || deletes.nonEmpty,
+      "merge needs an upsert arm, a delete arm, or both")
     val dirs = manifest.committedDirs(root)
     require(dirs.nonEmpty, s"nothing committed under $root to merge into")
     val target = s"$root/batch=$mergeId"
     require(!dirs.contains(target), s"mergeId $mergeId is a live batch")
     val keyCols = keys.map(col)
 
-    val dup = updates.groupBy(keyCols: _*).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"updates are not unique on (${keys.mkString(", ")}): e.g. " +
-        dup.headOption.map(_.toString).getOrElse(""))
+    updates.foreach { u =>
+      val dup = u.groupBy(keyCols: _*).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"updates are not unique on (${keys.mkString(", ")}): e.g. " +
+          dup.headOption.map(_.toString).getOrElse(""))
+    }
+    val delKeys = deletes.map(_.select(keyCols: _*).distinct())
+    for (u <- updates; d <- delKeys) {
+      val both = u.select(keyCols: _*).join(d, keys, "left_semi")
+        .limit(1).collect()
+      require(both.isEmpty,
+        s"key matched by BOTH the update and delete arm (ambiguous): " +
+          both.headOption.map(_.toString).getOrElse(""))
+    }
+    val allKeys = (updates.map(_.select(keyCols: _*)), delKeys) match {
+      case (Some(u), Some(d)) => u.unionByName(d)
+      case (Some(u), None)    => u
+      case (None, Some(d))    => d
+      case _                  => sys.error("unreachable")
+    }
 
-    val keysOnly = updates.select(keyCols: _*)
-    val current = spark.read.option("mergeSchema", true).parquet(dirs: _*)
+    // sidecar pruning BEFORE any scan: a dir whose key bounds exclude
+    // the whole matched-key range cannot contain a matched row
+    val candidates = statsCandidateDirs(spark, dirs, allKeys, keys)
+
     // input_file_name yields URIs (file:///…); manifest dirs are plain
     // paths — normalize both sides before the prefix match
     def pathOf(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
-    val affectedFiles = current.withColumn("__file", input_file_name())
-      .join(broadcast(keysOnly), keys, "left_semi")
-      .select("__file").distinct().collect().map(r => pathOf(r.getString(0)))
-    val affectedDirs = dirs.filter(d =>
-      affectedFiles.exists(_.startsWith(pathOf(d) + "/")))
+    val affectedDirs =
+      if (candidates.isEmpty) Seq.empty[String]
+      else {
+        val probe = affectedFileProbe(
+          spark.read.option("mergeSchema", true).parquet(candidates: _*),
+          allKeys, keys)
+        val affectedFiles = probe.collect().map(r => pathOf(r.getString(0)))
+        candidates.filter(d =>
+          affectedFiles.exists(_.startsWith(pathOf(d) + "/")))
+      }
 
-    val kept =
-      if (affectedDirs.isEmpty) updates.limit(0) // pure insert
+    // schema anchor: the current table (so a pure delete keeps the
+    // table's schema, and a pure insert with new columns evolves it)
+    val current = spark.read.option("mergeSchema", true).parquet(dirs: _*)
+    val affected =
+      if (affectedDirs.isEmpty) current.limit(0)
       else spark.read.option("mergeSchema", true).parquet(affectedDirs: _*)
-        .join(broadcast(keysOnly), keys, "left_anti")
-    val merged = kept.unionByName(updates, allowMissingColumns = true)
+    val kept = affected.join(allKeys, keys, "left_anti")
+    val merged = updates.fold(kept)(u =>
+      kept.unionByName(u, allowMissingColumns = true))
     merged.write.mode(SaveMode.Overwrite).parquet(target)
     // rewritten dirs may have carried stats sidecars — the merge
     // output keeps the table skippable (cheap footer pass)
     BatchStats.writeSidecar(spark, target)
+
+    if (cdf) {
+      val ct = (t: String) => lit(t).as(ChangeTypeCol)
+      val parts = Seq.newBuilder[DataFrame]
+      updates.foreach { u =>
+        val uk = u.select(keyCols: _*)
+        val matchedKeys = affected.select(keyCols: _*)
+          .join(uk, keys, "left_semi").distinct()
+        parts += affected.join(uk, keys, "left_semi")
+          .withColumn(ChangeTypeCol, ct("update_preimage"))
+        parts += u.join(matchedKeys, keys, "left_semi")
+          .withColumn(ChangeTypeCol, ct("update_postimage"))
+        parts += u.join(matchedKeys, keys, "left_anti")
+          .withColumn(ChangeTypeCol, ct("insert"))
+      }
+      delKeys.foreach { d =>
+        parts += affected.join(d, keys, "left_semi")
+          .withColumn(ChangeTypeCol, ct("delete"))
+      }
+      val changes = parts.result()
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      changes.write.mode(SaveMode.Overwrite).parquet(s"$root/_cdf/batch=$mergeId")
+    }
     manifest.replaceDirs(affectedDirs.toSet, mergeId, Seq(target))
+  }
+
+  /** Change-type column the CDF sidecar carries (Delta's name). */
+  val ChangeTypeCol = "_change_type"
+
+  /** The merge probe: distinct files containing a matched key. NO
+    * broadcast hint — a batch-sized key set broadcasts via AQE at
+    * runtime; a bulk backfill degrades to a shuffle join instead of a
+    * driver OOM (ScaleSpec pins both plans). */
+  private[graft] def affectedFileProbe(current: DataFrame, matchKeys: DataFrame,
+                                       keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.input_file_name
+    current.withColumn("__file", input_file_name())
+      .join(matchKeys, keys, "left_semi")
+      .select("__file").distinct()
+  }
+
+  /** Committed dirs that MAY contain one of `matchKeys` — per-file
+    * sidecar bounds checked against the matched keys' [min, max]
+    * range for every key column; a dir prunes only when EVERY file's
+    * bounds provably exclude the whole range (missing sidecar or
+    * non-prunable key type ⇒ candidate). The range agg is one tiny
+    * job over the keys-only frame. */
+  private[graft] def statsCandidateDirs(spark: org.apache.spark.sql.SparkSession,
+                                 dirs: Seq[String], matchKeys: DataFrame,
+                                 keys: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{max, min}
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    val aggs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
+    val range = matchKeys.agg(aggs.head, aggs.tail: _*).collect().head
+    if (range.anyNull) return dirs // no keys, or null keys: no pruning
+    val filters = keys.zipWithIndex.flatMap { case (k, i) =>
+      Seq(GreaterThanOrEqual(k, range.get(2 * i)),
+        LessThanOrEqual(k, range.get(2 * i + 1)))
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    dirs.filter { dir =>
+      BatchStats.read(conf, dir) match {
+        case None => true // no sidecar: must probe
+        case Some(stats) =>
+          stats.isEmpty || stats.values.exists(BatchStats.mayMatch(_, filters))
+      }
+    }
+  }
+
+  /** Change data feed between two manifest versions: every change a
+    * consumer must apply to go from `fromBatch` (exclusive) to
+    * `toBatch` (inclusive), with [[ChangeTypeCol]] and
+    * `_commit_batch`. A MERGE batch serves its `_cdf` sidecar
+    * (pre/post images, inserts, deletes); a plain append batch serves
+    * its rows as inserts (the Delta CDF rule — append commits need no
+    * sidecar). Valid between maintenance points only: a compaction
+    * collapses history, same as Delta CDF past its VACUUM horizon. */
+  def readChanges(spark: org.apache.spark.sql.SparkSession, root: String,
+                  manifest: TxnManifest, fromBatch: Int, toBatch: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val conf = spark.sparkContext.hadoopConfiguration
+    val byBatch = manifest.committed().toSeq
+      .filter { case (id, ds) =>
+        id > fromBatch && id <= toBatch && ds.exists(_.startsWith(root + "/")) }
+      .sortBy(_._1)
+    require(byBatch.nonEmpty,
+      s"no commits under $root in batch range ($fromBatch, $toBatch]")
+    val frames = byBatch.map { case (id, ds) =>
+      val cdfDir = new org.apache.hadoop.fs.Path(s"$root/_cdf/batch=$id")
+      val hasCdf = cdfDir.getFileSystem(conf).exists(cdfDir)
+      val df =
+        if (hasCdf) spark.read.parquet(cdfDir.toString)
+        else spark.read.option("mergeSchema", true)
+          .parquet(ds.filter(_.startsWith(root + "/")): _*)
+          .withColumn(ChangeTypeCol, lit("insert"))
+      df.withColumn("_commit_batch", lit(id))
+    }
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Remove `batch=N` directories under `root` that NO manifest entry
@@ -250,7 +403,22 @@ object Sinks {
       .filterNot(st => live.contains(s"$root/${st.getPath.getName}"))
       .filter(_.getModificationTime <= cutoff)
     candidates.foreach(st => fc.delete(st.getPath, /* recursive = */ true))
-    candidates.map(_.getPath.getName).toSeq
+    // change-feed sidecars follow their merge batch's lifecycle: a
+    // `_cdf/batch=N` whose id no manifest entry names is a crash
+    // orphan (the merge died before its replaceDirs commit)
+    val liveIds = manifest.committed()
+      .filter(_._2.exists(_.startsWith(root + "/"))).keySet
+    val cdfPath = new Path(s"$root/_cdf")
+    val cdfOrphans =
+      if (!fc.util().exists(cdfPath)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fc.util().listStatus(cdfPath)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .filterNot(st => st.getPath.getName.stripPrefix("batch=").toIntOption
+          .exists(liveIds.contains))
+        .filter(_.getModificationTime <= cutoff)
+    cdfOrphans.foreach(st => fc.delete(st.getPath, true))
+    (candidates.map(_.getPath.getName) ++
+      cdfOrphans.map(st => s"_cdf/${st.getPath.getName}")).toSeq
   }
 
   /** Active session's Hadoop conf when one exists; defaults otherwise

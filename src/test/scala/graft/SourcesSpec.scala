@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, concat, lit}
 import org.apache.spark.sql.types._
 import graft.sources.{Sinks, Sources, TxnManifest}
 
@@ -219,6 +220,136 @@ class SourcesSpec extends SparkSuite {
     assert(withNote.columns.toSet == Set("id", "v", "m", "note"))
     assert(withNote.filter($"id" === 8).select("note").head().getString(0) == "extra")
     assert(withNote.filter($"note".isNull).count() == 101)
+  }
+
+  test("mergeDelete + combined arms: purge, disjointness guard, CDF sidecar") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge_del_").toString
+    val root = s"$tmp/t"
+    val man = new TxnManifest(s"$tmp/_commits")
+    val rows = (1L to 100L).map(i => (i, s"v$i", i * 10.0)).toDF("id", "v", "m")
+    Sinks.appendBatch(rows.filter($"id" % 2 === 0), root, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+    Sinks.appendBatch(rows.filter($"id" % 2 === 1), root, 1)
+    man.commit(1, Seq(s"$root/batch=1"))
+
+    // pure DELETE touching only even ids: batch=1 survives untouched,
+    // purged keys are gone, absent keys are a no-op
+    Sinks.mergeDelete(spark, Seq(2L, 4L, 9999L).toDF("id"), root, man,
+      Seq("id"), mergeId = 2)
+    assert(man.committedDirs(root).toSet ==
+      Set(s"$root/batch=1", s"$root/batch=2"))
+    val afterDel = Sinks.readCommitted(spark, root, man)
+    assert(afterDel.count() == 98)
+    assert(afterDel.filter($"id".isin(2L, 4L)).isEmpty)
+    assert(afterDel.filter($"id" === 6L).count() == 1)
+
+    // combined arms with CDF: update 6, delete 8, insert 1000 — one
+    // atomic commit, one change-feed sidecar
+    Sinks.merge(spark,
+      Some(Seq((6L, "u6", -6.0), (1000L, "ins", 0.0)).toDF("id", "v", "m")),
+      Some(Seq(8L).toDF("id")),
+      root, man, Seq("id"), mergeId = 3, cdf = true)
+    val afterBoth = Sinks.readCommitted(spark, root, man)
+    assert(afterBoth.count() == 98) // -1 delete +1 insert
+    assert(afterBoth.filter($"id" === 6L).select("v").head().getString(0) == "u6")
+    assert(afterBoth.filter($"id" === 8L).isEmpty)
+
+    val changes = Sinks.readChanges(spark, root, man, fromBatch = 2, toBatch = 3)
+      .select($"id", $"v", col(Sinks.ChangeTypeCol), $"_commit_batch")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .toSet
+    assert(changes == Set(
+      (6L, "v6", "update_preimage", 3),
+      (6L, "u6", "update_postimage", 3),
+      (1000L, "ins", "insert", 3),
+      (8L, "v8", "delete", 3)))
+
+    // an APPEND batch serves its rows as inserts through the same feed
+    Sinks.appendBatch(Seq((2000L, "app", 1.0)).toDF("id", "v", "m"), root, 4)
+    man.commit(4, Seq(s"$root/batch=4"))
+    val appendFeed = Sinks.readChanges(spark, root, man, 3, 4)
+    assert(appendFeed.count() == 1)
+    assert(appendFeed.select(Sinks.ChangeTypeCol).head().getString(0) == "insert")
+
+    // a key matched by BOTH arms is ambiguous — loud failure
+    intercept[IllegalArgumentException] {
+      Sinks.merge(spark, Some(Seq((10L, "x", 0.0)).toDF("id", "v", "m")),
+        Some(Seq(10L).toDF("id")), root, man, Seq("id"), mergeId = 9)
+    }
+
+    // crash-orphan CDF dir (merge died before its commit): swept by
+    // vacuum; committed batch=3's sidecar survives
+    val orphan = java.nio.file.Paths.get(s"$root/_cdf/batch=7")
+    java.nio.file.Files.createDirectories(orphan)
+    val swept = Sinks.vacuum(root, man, graceMillis = 0)
+    assert(swept.contains("_cdf/batch=7"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/_cdf/batch=3")))
+    assert(!java.nio.file.Files.exists(orphan))
+  }
+
+  test("merge probe prunes dirs by key-range stats; no forced broadcast") {
+    import graft.sources.StatsSinks
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val tmp = java.nio.file.Files.createTempDirectory("merge_stats_").toString
+    val root = s"$tmp/t"
+    val man = new TxnManifest(s"$tmp/_commits")
+    // three stats-sidecar'd batches with disjoint key ranges
+    for ((lo, b) <- Seq((0L, 0), (1000L, 1), (2000L, 2))) {
+      StatsSinks.appendBatchStats(
+        (lo until lo + 100L).map(i => (i, s"v$i")).toDF("id", "v"), root, b)
+      man.commit(b, Seq(s"$root/batch=$b"))
+    }
+    // keys [1010, 1020] overlap ONLY batch=1 — stats prune 0 and 2
+    // before any scan
+    val keys = (1010L to 1020L).toDF("id")
+    val cands = Sinks.statsCandidateDirs(spark, man.committedDirs(root),
+      keys, Seq("id"))
+    assert(cands == Seq(s"$root/batch=1"), s"got $cands")
+    // keys with no sidecar info (null range) keep every dir
+    assert(Sinks.statsCandidateDirs(spark, man.committedDirs(root),
+      Seq.empty[Long].toDF("id"), Seq("id")) == man.committedDirs(root))
+
+    // the merge itself: only batch=1 rewritten
+    Sinks.mergeUpsert(spark,
+      keys.select($"id", concat(lit("u"), $"id").as("v")),
+      root, man, Seq("id"), mergeId = 5)
+    assert(man.committedDirs(root).toSet ==
+      Set(s"$root/batch=0", s"$root/batch=2", s"$root/batch=5"))
+    assert(Sinks.readCommitted(spark, root, man).filter($"v".startsWith("u"))
+      .count() == 11)
+
+    // plan shape of the probe join: AQE broadcasts a small key set;
+    // with broadcast disabled the SAME probe degrades to a shuffled
+    // join (no driver-side OOM cliff) with identical results
+    val current = spark.read.parquet(man.committedDirs(root): _*)
+    def probeFiles(threshold: String): Set[String] = {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", threshold)
+      try Sinks.affectedFileProbe(current, (0L to 50L).toDF("id"), Seq("id"))
+        .collect().map(_.getString(0)).toSet
+      finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+    val small = probeFiles("10485760")
+    val shuffled = probeFiles("-1")
+    assert(small == shuffled && small.nonEmpty)
+    // and the shuffled variant's plan really has no broadcast arm
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Sinks.affectedFileProbe(current, (0L to 50L).toDF("id"),
+        Seq("id")).queryExecution.executedPlan
+      assert(plan.collectWithSubqueries {
+        case e: ShuffleExchangeExec => e }.nonEmpty, s"expected shuffle:\n$plan")
+      assert(!plan.toString.contains("BroadcastHashJoin"),
+        s"unexpected broadcast:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("compact + vacuum: atomic re-point, orphan cleanup, dual-root safety") {
