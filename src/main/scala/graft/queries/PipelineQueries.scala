@@ -396,6 +396,58 @@ object PipelineQueries {
       Sinks.readChanges(s, root, man, fromBatch = 1, toBatch = 2)
     }),
 
+    // The full-suite orchestrator — the reference's `main.py:41-54`
+    // shape: dim/sync builders run BEFORE the facts that join against
+    // them, every pipeline keeping its own watermark in ONE shared
+    // store. Three chained CDC pipelines (region sync → nation dim
+    // enriched from it → customer fact enriched from that), each a
+    // keyset-batched Cdc.runLoop with an idempotent batch-keyed sink;
+    // the oracle is the end-to-end join the chain must equal.
+    "e8_full_migration" -> ((s, d) => {
+      import graft.ops.Orchestrator
+      import graft.ops.Orchestrator.Pipeline
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_e8_").toString
+      val store = new Cdc.WatermarkStore(s, s"$base/wm", initial = -1L)
+      val syncRegion = Pipeline("sync_region", Nil, (sp, st) => {
+        Cdc.runLoop(Tables.region(sp, d), "r_regionkey", "sync_region", st,
+          batchSize = 3,
+          df => df.select(col("r_regionkey"), upper(col("r_name")).as("region_u")),
+          (b, wm) => b.write.mode(SaveMode.Overwrite)
+            .parquet(s"$base/dim_region/batch=$wm"))
+      })
+      val dimNation = Pipeline("dim_nation", Seq("sync_region"), (sp, st) => {
+        val dim = sp.read.parquet(s"$base/dim_region")
+          .select("r_regionkey", "region_u")
+        Cdc.runLoop(Tables.nation(sp, d), "n_nationkey", "dim_nation", st,
+          batchSize = 10,
+          df => df.join(broadcast(dim),
+              df("n_regionkey") === dim("r_regionkey"))
+            .select(df("n_nationkey"), df("n_name"), col("region_u")),
+          (b, wm) => b.write.mode(SaveMode.Overwrite)
+            .parquet(s"$base/dim_nation/batch=$wm"))
+      })
+      val factCustomer = Pipeline("fact_customer", Seq("dim_nation"), (sp, st) => {
+        val dim = sp.read.parquet(s"$base/dim_nation")
+        Cdc.runLoop(Tables.customer(sp, d), "c_custkey", "fact_customer", st,
+          batchSize = 997,
+          df => df.join(broadcast(dim),
+              df("c_nationkey") === dim("n_nationkey"))
+            .select(df("c_custkey"), df("c_name"), df("c_acctbal"),
+              dim("n_name"), dim("region_u")),
+          (b, wm) => b.write.mode(SaveMode.Overwrite)
+            .parquet(s"$base/fact_customer/batch=$wm"))
+      })
+      // declaration order scrambled on purpose: the ORDER comes from
+      // the dependency graph, not the list
+      val ran = Orchestrator.run(s, store,
+        Seq(factCustomer, syncRegion, dimNation))
+      require(ran.map(_._1) ==
+        Seq("sync_region", "dim_nation", "fact_customer"), s"order: $ran")
+      s.read.parquet(s"$base/fact_customer")
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", "region_u")
+    }),
+
     // Semi-structured ingestion: parse the JSON props column in the
     // scan projection (from_json is codegen'd — no shuffle, no UDF;
     // the read-side twin of the C16 to_json serialization). Malformed
@@ -862,6 +914,12 @@ object PipelineQueries {
         |UNION ALL
         |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice, 'delete', 2
         |FROM base b WHERE b.o_orderkey IN (SELECT o_orderkey FROM del)""".stripMargin,
+    "e8_full_migration" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  upper(r_name) AS region_u
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
     "e7_props_json" ->
       """SELECT event_id, event_type,
         |  CAST(json_extract(props, '$.k') AS INTEGER) AS k,

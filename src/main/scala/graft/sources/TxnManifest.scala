@@ -19,18 +19,31 @@ import graft.util.AtomicText
   * This is the `_delta_log` shape — on a cluster the same call sites
   * become a Delta multi-table txn with no structural change.
   *
-  * Format: one line per committed batch,
+  * Format: a `#version=N` header, then one line per committed batch,
   * `batchId<TAB>dir1<TAB>dir2...` — re-committing a batch id replaces
   * its line (idempotent re-run after a crash).
+  *
+  * CONCURRENT-WRITER fencing (the optimistic-concurrency half of the
+  * `_delta_log` shape): every mutation is a compare-and-swap on the
+  * version it read. The new state is first written EXCLUSIVELY to a
+  * sibling claim file named by the NEXT version (`<path>.v<N+1>`),
+  * then atomically renamed over the manifest. A second producer whose
+  * snapshot is stale finds its claim already taken and fails LOUDLY
+  * instead of silently last-write-winning away the racer's commit; a
+  * crashed commit (claim written, rename lost) recovers idempotently —
+  * re-running the same batch produces a byte-identical claim, which is
+  * completed instead of refused. Claim files are tombstones: they
+  * PERSIST (one tiny file per commit, the Delta log history) so a
+  * writer stale by many versions still hits an existing claim and is
+  * fenced — never delete them below the current version.
   */
 final class TxnManifest(path: String) {
 
   /** batchId → the output directories that batch committed. */
-  def committed(): Map[Int, Seq[String]] =
-    AtomicText.readLines(path).map { line =>
-      val fields = line.split('\t')
-      fields.head.toInt -> fields.tail.toSeq
-    }.toMap
+  def committed(): Map[Int, Seq[String]] = readState()._2
+
+  /** Current manifest version (0 = never committed / legacy file). */
+  def version(): Long = readState()._1
 
   /** All committed directories under `root`, oldest batch first. */
   def committedDirs(root: String): Seq[String] =
@@ -40,8 +53,10 @@ final class TxnManifest(path: String) {
 
   /** The ONE commit point: all of `dirs` become visible together or —
     * on a crash before the atomic rename — none do. */
-  def commit(batchId: Int, dirs: Seq[String]): Unit =
-    writeAll(committed() + (batchId -> dirs))
+  def commit(batchId: Int, dirs: Seq[String]): Unit = {
+    val (v, cur) = readState()
+    writeCas(v, cur + (batchId -> dirs))
+  }
 
   /** Compaction commit: atomically un-name every committed dir under
     * `root` and name `dirs` as batch `batchId` instead — one rename,
@@ -63,19 +78,59 @@ final class TxnManifest(path: String) {
 
   private def replaceWith(drop: String => Boolean, batchId: Int,
                           dirs: Seq[String], hint: String): Unit = {
-    val pruned = committed().view
+    val (v, cur) = readState()
+    val pruned = cur.view
       .mapValues(_.filterNot(drop))
       .filter(_._2.nonEmpty).toMap
     require(!pruned.contains(batchId),
       s"batch id $batchId still names other dirs — $hint")
-    writeAll(pruned + (batchId -> dirs))
+    writeCas(v, pruned + (batchId -> dirs))
   }
 
-  private def writeAll(entries: Map[Int, Seq[String]]): Unit = {
-    entries.values.flatten.foreach(AtomicText.requireCleanKey(_, "manifest dir"))
-    val body = entries.toSeq.sortBy(_._1)
-      .map { case (id, ds) => (id.toString +: ds).mkString("\t") }
+  /** One consistent snapshot: (version, entries). A missing header
+    * (pre-versioning manifest) reads as version 0 and upgrades on the
+    * next commit. */
+  private def readState(): (Long, Map[Int, Seq[String]]) = {
+    val lines = AtomicText.readLines(path)
+    val version = lines.find(_.startsWith("#version="))
+      .map(_.stripPrefix("#version=").toLong).getOrElse(0L)
+    val entries = lines.filterNot(_.startsWith("#")).map { line =>
+      val fields = line.split('\t')
+      fields.head.toInt -> fields.tail.toSeq
+    }.toMap
+    (version, entries)
+  }
+
+  /** Deterministic body for version `v` — byte-identical re-renders
+    * are what make crashed-commit recovery idempotent. */
+  private[graft] def renderBody(v: Long, entries: Map[Int, Seq[String]]): String =
+    (s"#version=$v" +: entries.toSeq.sortBy(_._1)
+      .map { case (id, ds) => (id.toString +: ds).mkString("\t") })
       .mkString("", "\n", "\n")
+
+  /** The CAS: claim `<path>.v<expected+1>` exclusively with the new
+    * state, then replace the manifest. The claim file STAYS behind as
+    * the version's tombstone — renaming it into place would un-fence
+    * writers stale by exactly one version. */
+  private def writeCas(expectedVersion: Long,
+                       entries: Map[Int, Seq[String]]): Unit = {
+    entries.values.flatten.foreach(AtomicText.requireCleanKey(_, "manifest dir"))
+    val next = expectedVersion + 1
+    val body = renderBody(next, entries)
+    val claim = s"$path.v$next"
+    if (!AtomicText.createExclusive(claim, body)) {
+      // the claim exists: either a RACING producer won version `next`
+      // (its snapshot beat ours — fail loudly, our state is stale), or
+      // OUR OWN previous run crashed between claim and manifest write
+      // (the idempotent re-run reproduces the identical body — safe to
+      // complete below)
+      if (AtomicText.readAll(claim) != body)
+        throw new java.util.ConcurrentModificationException(
+          s"manifest $path: version $next was already claimed by another " +
+            "producer — this writer's snapshot (version " +
+            s"$expectedVersion) is stale; re-read and retry, or stop the " +
+            "second producer (single-writer contract)")
+    }
     AtomicText.writeAtomically(path, body)
   }
 }

@@ -103,4 +103,33 @@ object AtomicText {
   def requireCleanKey(key: String, what: String): Unit =
     require(!key.exists(c => c == '\t' || Character.isISOControl(c)),
       s"$what must not contain tabs or control characters: ${key.take(40)}")
+
+  /** Create `path` EXCLUSIVELY with `body`: returns true on success,
+    * false when the file already exists (the compare-and-swap
+    * primitive under [[graft.sources.TxnManifest]]'s versioned
+    * commits). On HDFS the exclusive create is an atomic namespace
+    * op; on the local FS it is check-then-create (a test-scale TOCTOU
+    * window the single-writer contract tolerates). */
+  def createExclusive(path: String, body: String): Boolean = {
+    val p = new Path(path)
+    val fc = contextFor(p)
+    try {
+      val out = fc.create(p, EnumSet.of(CreateFlag.CREATE),
+        Options.CreateOpts.createParent())
+      try out.write(body.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException        => false
+    }
+  }
+
+  /** Whole-file read normalized to newline-terminated non-empty lines
+    * (the shape every writer in this codebase produces); empty string
+    * when absent. */
+  def readAll(path: String): String = {
+    val lines = readLines(path)
+    if (lines.isEmpty) "" else lines.mkString("", "\n", "\n")
+  }
 }

@@ -128,4 +128,61 @@ class OpsSpec extends SparkSuite {
     }
     assert(partial.getMessage.contains("unprocessed rows beyond watermark"))
   }
+
+  test("Orchestrator: dependency order, loud cycles, resume mid-suite") {
+    import Orchestrator.Pipeline
+    // order comes from the DAG, ties resolve by name, declaration
+    // order is irrelevant
+    def noop(name: String, deps: String*) =
+      Pipeline(name, deps, (_, _) => 0)
+    val ordered = Orchestrator.order(Seq(
+      noop("fact_b", "dim"), noop("dim", "sync"), noop("sync"),
+      noop("fact_a", "dim")))
+    assert(ordered.map(_.name) == Seq("sync", "dim", "fact_a", "fact_b"))
+    intercept[IllegalArgumentException] {
+      Orchestrator.order(Seq(noop("a", "b"), noop("b", "a")))
+    }
+    intercept[IllegalArgumentException] {
+      Orchestrator.order(Seq(noop("a", "ghost")))
+    }
+    intercept[IllegalArgumentException] {
+      Orchestrator.run(spark, null, Seq(noop("a"), noop("a")))
+    }
+
+    // resume mid-suite: pipeline 2 dies on its FIRST attempt after
+    // pipeline 1 committed its watermarks; the re-run drains nothing
+    // new from pipeline 1 (0 batches) and completes 2 and 3 exactly
+    // once — per-table watermarks in ONE store are the resume point
+    val tmp = java.nio.file.Files.createTempDirectory("orch_").toString
+    val store = new Cdc.WatermarkStore(spark, s"$tmp/wm", initial = -1L)
+    val src = (0L until 40L).map(i => (i, i * 2)).toDF("id", "v")
+    src.write.parquet(s"$tmp/src")
+    def loopPipeline(name: String, deps: Seq[String]) =
+      Pipeline(name, deps, (sp, st) =>
+        Cdc.runLoop(sp.read.parquet(s"$tmp/src"), "id", name, st,
+          batchSize = 25, df => df,
+          (b, wm) => b.write.mode("overwrite").parquet(s"$tmp/$name/batch=$wm")))
+    var armed = true
+    val flaky = Pipeline("p2_flaky", Seq("p1_dim"), (sp, st) => {
+      val n = loopPipeline("p2_flaky", Nil).run(sp, st)
+      if (armed) { armed = false; sys.error("executor lost (simulated)") }
+      n
+    })
+    val suite = Seq(loopPipeline("p1_dim", Nil), flaky,
+      loopPipeline("p3_fact", Seq("p2_flaky")))
+    intercept[RuntimeException] { Orchestrator.run(spark, store, suite) }
+    // p1 finished (2 batches of 25 over 40 rows), p3 never started
+    assert(store.read("p1_dim") == 39L)
+    assert(store.read("p3_fact") == -1L)
+    val resumed = Orchestrator.run(spark, store, suite).toMap
+    assert(resumed("p1_dim") == 0)  // drained: nothing re-processed
+    assert(resumed("p3_fact") == 2)
+    // exactly-once end to end: every pipeline's output is the source,
+    // no duplicates from the crashed run
+    for (p <- Seq("p1_dim", "p2_flaky", "p3_fact")) {
+      val got = spark.read.parquet(s"$tmp/$p").select("id")
+        .as[Long].collect().sorted
+      assert(got.toSeq == (0L until 40L), s"$p: ${got.length} rows")
+    }
+  }
 }

@@ -478,6 +478,54 @@ class SourcesSpec extends SparkSuite {
     assert(!new java.io.File(s"$root/batch=1").exists, "nothing must land")
   }
 
+  test("TxnManifest CAS: stale producer fails loudly; crashed commit recovers idempotently") {
+    val tmp = java.nio.file.Files.createTempDirectory("man_cas_").toString
+
+    // two producers interleave: A commits version 2 first; B — whose
+    // snapshot was taken at version 1 — must lose LOUDLY, and A's
+    // commit must survive untouched (no silent last-write-wins)
+    val p1 = s"$tmp/_commits_race"
+    val man = new TxnManifest(p1)
+    man.commit(0, Seq("/data/batch=0"))
+    assert(man.version() == 1)
+    // producer A's winning claim for version 2 (it crashed before the
+    // manifest write, or is mid-commit — indistinguishable to B)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$p1.v2"), "#version=2\n5\t/data/batch=5\n")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      man.commit(1, Seq("/data/batch=1"))
+    }
+    assert(e.getMessage.contains("already claimed"))
+    // no torn state: the manifest still serves exactly version 1
+    assert(man.version() == 1)
+    assert(man.committed() == Map(0 -> Seq("/data/batch=0")))
+
+    // crash recovery: the SAME producer re-runs the SAME batch — the
+    // re-rendered claim is byte-identical, so the commit completes
+    // instead of refusing
+    val p2 = s"$tmp/_commits_crash"
+    val man2 = new TxnManifest(p2)
+    man2.commit(0, Seq("/d/batch=0"))
+    val entries = man2.committed() + (7 -> Seq("/d/batch=7"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$p2.v2"),
+      man2.renderBody(2, entries)) // claim landed, manifest write lost
+    man2.commit(7, Seq("/d/batch=7")) // idempotent re-run: no throw
+    assert(man2.version() == 2)
+    assert(man2.committed() ==
+      Map(0 -> Seq("/d/batch=0"), 7 -> Seq("/d/batch=7")))
+
+    // fencing persists across many versions: claims are tombstones, so
+    // a writer stale by SEVERAL commits is still refused
+    for (i <- 10 to 12) man2.commit(i, Seq(s"/d/batch=$i"))
+    assert(man2.version() == 5)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$p2.v6"),
+      "#version=6\n99\t/d/batch=99\n")
+    intercept[java.util.ConcurrentModificationException] {
+      man2.commit(13, Seq("/d/batch=13"))
+    }
+    assert(!man2.committed().contains(13) && !man2.committed().contains(99))
+  }
+
   test("manifest replacement is atomic under a concurrent reader") {
     // regression guard for the FileContext refactor: RawLocalFs's
     // default rename(OVERWRITE) is delete-then-rename, and a reader in
