@@ -37,17 +37,23 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
-    // Two in-process passes; only the second is reported. A single cold
-    // pass charges JVM/Janino warm-up to whichever queries run first —
-    // round-over-round deltas showed unchanged queries swinging
-    // 0.1 s → 1.1 s on codegen landing differently across runs.
+    // One warm-up pass, then SPARK_GRAFT_PASSES recorded passes
+    // (default 1) reporting per-query MINIMA. A single cold pass
+    // charges JVM/Janino warm-up to whichever queries run first; a
+    // single warm pass still swings 2-6x per query with machine load
+    // (SCALE.md) — floors across passes are the comparable number for
+    // round-over-round deltas.
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(1)
+    require(passes >= 1, s"SPARK_GRAFT_PASSES must be >= 1, got $passes")
     pass(record = false)
-    val results = pass(record = true)
+    val recorded = (1 to passes).map(_ => pass(record = true))
+    val results = recorded.reduce((a, b) =>
+      a.map { case (k, v) => k -> math.min(v, b(k)) })
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
