@@ -75,6 +75,43 @@ object ManifestConsumer {
     }
   }
 
+  /** Change-feed form: the same offset protocol, but each poll hands
+    * `process` the ROW-LEVEL deltas ([[Sinks.readChanges]]) committed
+    * since the consumer's offset instead of raw batch contents — a
+    * MERGE batch arrives as update pre/post images and deletes from
+    * its `_cdf` sidecar, an append batch as inserts. This upgrades the
+    * documented upsert-feed limitation of the raw consumer: a keyed
+    * downstream can now apply deletes and distinguish updates from
+    * inserts without diffing. Offset commits after `process`, so the
+    * crash window re-delivers and the sink keys by the returned
+    * high-water id (at-least-once → exactly-once, as everywhere).
+    *
+    * BOOTSTRAP rule (Delta CDF's): a NEW consumer starts from a
+    * `readCommitted` snapshot plus the manifest's current max id as
+    * its first offset, THEN tails changes. Replaying the feed from
+    * id 0 is lossy once a merge has un-named early batches — their
+    * kept rows live in the merge target, which the feed serves as
+    * deltas only. */
+  def pollChanges(spark: SparkSession, manifest: TxnManifest, root: String,
+                  offsets: Cdc.WatermarkStore, consumer: String)
+                 (process: (DataFrame, Int) => Unit): Option[Int] = {
+    val key = offsetKey(consumer, root)
+    val from = offsets.read(key)
+    val pendingIds = manifest.committed().toSeq
+      .filter { case (id, dirs) =>
+        id > from && dirs.exists(_.startsWith(root + "/")) }
+      .map(_._1)
+    if (pendingIds.isEmpty) None
+    else {
+      val highWater = pendingIds.max
+      val changes = Sinks.readChanges(spark, root, manifest,
+        fromBatch = from.toInt, toBatch = highWater)
+      process(changes, highWater)
+      offsets.upsert(key, highWater.toLong)
+      Some(highWater)
+    }
+  }
+
   /** Catch-up form: consume ALL pending batches as one scan (one job,
     * not one per batch) when per-batch ordering doesn't matter —
     * the efficient shape for a consumer that fell far behind. The

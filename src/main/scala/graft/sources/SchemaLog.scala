@@ -137,6 +137,23 @@ object SchemaLog {
       root, manifest, keys.map(toPhysical), mergeId)
   }
 
+  /** Row-level DELETE through the mapping — [[mergeUpsertMapped]]'s
+    * delete twin: `deleteKeys` carries LOGICAL key columns, translated
+    * to physical before [[Sinks.mergeDelete]]'s copy-on-write runs, so
+    * a takedown purge composes with renames the same way upserts do. */
+  def mergeDeleteMapped(spark: SparkSession, deleteKeys: DataFrame,
+                        root: String, manifest: TxnManifest, log: SchemaLog,
+                        keys: Seq[String], mergeId: Int): Unit = {
+    val (_, cols) = log.current()
+    require(cols.nonEmpty, "schema log not initialized")
+    val toPhysical = cols.map(c => c.logical -> c.physical).toMap
+    val missingKeys = keys.filterNot(toPhysical.contains)
+    require(missingKeys.isEmpty, s"unknown merge keys $missingKeys")
+    Sinks.mergeDelete(spark,
+      deleteKeys.select(keys.map(k => col(k).as(toPhysical(k))): _*),
+      root, manifest, keys.map(toPhysical), mergeId)
+  }
+
   /** Manifest-resolved read through the mapping: committed dirs only,
     * physical columns resolved to the CURRENT logical names, columns
     * added after a batch served as NULL for its rows. */

@@ -451,6 +451,64 @@ class SourcesSpec extends SparkSuite {
       graft.sources.SchemaLog.mergeUpsertMapped(spark,
         Seq((6L, "x")).toDF("id", "nope"), root, man, log, Seq("id"), 11)
     }
+
+    // DELETE composes with the mapping too: the takedown purge by
+    // logical key runs the copy-on-write on physical files
+    graft.sources.SchemaLog.mergeDeleteMapped(spark,
+      Seq(2L, 4L).toDF("id"), root, man, log, keys = Seq("id"), mergeId = 12)
+    assert(readBack().orderBy("id").select("id").as[Long].collect()
+      .toSeq == Seq(1L, 3L, 5L))
+    intercept[IllegalArgumentException] {
+      graft.sources.SchemaLog.mergeDeleteMapped(spark,
+        Seq(1L).toDF("ghost"), root, man, log, Seq("ghost"), 13)
+    }
+  }
+
+  test("pollChanges: consumers tail row-level deltas with a persisted offset") {
+    import graft.sources.ManifestConsumer
+    import graft.ops.Cdc
+    val tmp = java.nio.file.Files.createTempDirectory("cdf_poll_").toString
+    val root = s"$tmp/t"
+    val man = new TxnManifest(s"$tmp/_commits")
+    val offsets = new Cdc.WatermarkStore(spark, s"$tmp/offsets", initial = 0L)
+    Sinks.appendBatch((1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"), root, 1)
+    man.commit(1, Seq(s"$root/batch=1"))
+
+    // poll 1: the append arrives as inserts
+    var seen = Vector.empty[(Long, String, String, Int)]
+    def drain(): Option[Int] =
+      ManifestConsumer.pollChanges(spark, man, root, offsets, "c1") {
+        (df, _) => seen ++= df
+          .select($"id", $"v", col(Sinks.ChangeTypeCol), $"_commit_batch")
+          .collect().map(r =>
+            (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+      }
+    assert(drain().contains(1))
+    assert(seen.map(_._3).toSet == Set("insert") && seen.size == 6)
+
+    // a MERGE (update 2, delete 5, insert 10) lands; poll 2 sees the
+    // row-level deltas, not the rewritten batch contents
+    seen = Vector.empty
+    Sinks.merge(spark, Some(Seq((2L, "u2"), (10L, "new")).toDF("id", "v")),
+      Some(Seq(5L).toDF("id")), root, man, Seq("id"), mergeId = 2, cdf = true)
+    assert(drain().contains(2))
+    assert(seen.toSet == Set(
+      (2L, "v2", "update_preimage", 2), (2L, "u2", "update_postimage", 2),
+      (10L, "new", "insert", 2), (5L, "v5", "delete", 2)))
+
+    // drained: nothing re-delivered; a second consumer group tails
+    // independently from ITS offset
+    assert(drain().isEmpty)
+    // the documented bootstrap rule: the merge UN-NAMED batch 1, so a
+    // from-scratch feed replay serves only ids still in the manifest
+    // (the merge's 4 deltas) — a NEW consumer must bootstrap from a
+    // readCommitted snapshot, then tail
+    var n2 = 0
+    ManifestConsumer.pollChanges(spark, man, root, offsets, "c2") {
+      (df, _) => n2 = df.count().toInt
+    }
+    assert(n2 == 4)
+    assert(Sinks.readCommitted(spark, root, man).count() == 6) // snapshot
   }
 
   test("appendBatchChecked: CHECK constraints gate the write, NULL violates") {
