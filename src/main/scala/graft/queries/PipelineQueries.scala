@@ -429,8 +429,11 @@ object PipelineQueries {
       })
       val factCustomer = Pipeline("fact_customer", Seq("dim_nation"), (sp, st) => {
         val dim = sp.read.parquet(s"$base/dim_nation")
+        // big enough that the fact loop is 3-4 batches at sf0.1, not
+        // 16 — the incremental==batch property is already exercised
+        // by the region (3-row) and nation (10-row) loops upstream
         Cdc.runLoop(Tables.customer(sp, d), "c_custkey", "fact_customer", st,
-          batchSize = 997,
+          batchSize = 4999,
           df => df.join(broadcast(dim),
               df("c_nationkey") === dim("n_nationkey"))
             .select(df("c_custkey"), df("c_name"), df("c_acctbal"),

@@ -263,10 +263,13 @@ object Sinks {
       }
 
     // schema anchor: the current table (so a pure delete keeps the
-    // table's schema, and a pure insert with new columns evolves it)
-    val current = spark.read.option("mergeSchema", true).parquet(dirs: _*)
+    // table's schema, and a pure insert with new columns evolves it).
+    // def, not val — constructing the frame costs a footer pass over
+    // EVERY dir for schema inference, only worth paying on the
+    // nothing-matched path
+    def currentAll = spark.read.option("mergeSchema", true).parquet(dirs: _*)
     val affected =
-      if (affectedDirs.isEmpty) current.limit(0)
+      if (affectedDirs.isEmpty) currentAll.limit(0)
       else spark.read.option("mergeSchema", true).parquet(affectedDirs: _*)
     val kept = affected.join(allKeys, keys, "left_anti")
     val merged = updates.fold(kept)(u =>
