@@ -206,6 +206,11 @@ object Sinks {
     * WHOLE (UPDATE SET *); new columns in `updates` evolve the schema
     * additively, NULL-filled for kept rows.
     *
+    * Edge: a delete arm that removes EVERY row still commits a valid
+    * batch dir — Spark writes a zero-row, schema-carrying parquet file
+    * for an empty frame, so `readCommitted` serves the (empty) table
+    * with its schema intact, and a later insert re-populates it.
+    *
     * @param mergeId batch id for the rewritten output; must not
     *   collide with a live batch id. */
   def merge(spark: org.apache.spark.sql.SparkSession,
@@ -367,9 +372,12 @@ object Sinks {
       s"no commits under $root in batch range ($fromBatch, $toBatch]")
     val frames = byBatch.map { case (id, ds) =>
       val cdfDir = new org.apache.hadoop.fs.Path(s"$root/_cdf/batch=$id")
-      val hasCdf = cdfDir.getFileSystem(conf).exists(cdfDir)
+      // an empty change set still reads fine: Spark writes a zero-row
+      // schema-carrying parquet file for an empty frame, so a merge
+      // whose deletes matched nothing serves zero deltas, not a crash
       val df =
-        if (hasCdf) spark.read.parquet(cdfDir.toString)
+        if (cdfDir.getFileSystem(conf).exists(cdfDir))
+          spark.read.parquet(cdfDir.toString)
         else spark.read.option("mergeSchema", true)
           .parquet(ds.filter(_.startsWith(root + "/")): _*)
           .withColumn(ChangeTypeCol, lit("insert"))

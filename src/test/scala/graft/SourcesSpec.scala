@@ -509,6 +509,29 @@ class SourcesSpec extends SparkSuite {
     }
     assert(n2 == 4)
     assert(Sinks.readCommitted(spark, root, man).count() == 6) // snapshot
+
+    // a merge whose change set is EMPTY (deletes matching nothing):
+    // the sidecar holds a zero-row schema-carrying file, the feed
+    // serves zero deltas (not a crash), the offset advances
+    Sinks.mergeDelete(spark, Seq(777L).toDF("id"), root, man,
+      Seq("id"), mergeId = 3, cdf = true)
+    var n3 = -1
+    assert(ManifestConsumer.pollChanges(spark, man, root, offsets, "c1") {
+      (df, _) => n3 = df.count().toInt
+    }.contains(3))
+    assert(n3 == 0)
+    assert(drain().isEmpty) // offset really advanced past batch 3
+
+    // delete EVERYTHING: the table stays readable (zero rows, schema
+    // intact) and a later insert re-populates it
+    Sinks.mergeDelete(spark, (1L to 2000L).toDF("id"), root, man,
+      Seq("id"), mergeId = 4)
+    assert(Sinks.readCommitted(spark, root, man).count() == 0)
+    assert(Sinks.readCommitted(spark, root, man).columns.toSeq ==
+      Seq("id", "v"))
+    Sinks.mergeUpsert(spark, Seq((50L, "back")).toDF("id", "v"),
+      root, man, Seq("id"), mergeId = 5)
+    assert(Sinks.readCommitted(spark, root, man).count() == 1)
   }
 
   test("appendBatchChecked: CHECK constraints gate the write, NULL violates") {
