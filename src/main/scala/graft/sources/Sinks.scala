@@ -110,9 +110,22 @@ object Sinks {
     // maintenance must not LOSE data-skipping capability: re-stat the
     // compacted files (cheap footer pass) before they become visible
     BatchStats.writeSidecar(spark, target)
+    writeNoChangeMarker(spark, root, compactId)
     // ONE commit point: all input batches' entries are replaced by the
     // compacted dir — readers flip atomically
     manifest.replaceAll(root, compactId, Seq(target))
+  }
+
+  /** Delta's `dataChange = false`: maintenance rewrites the SAME rows,
+    * so the change feed must serve ZERO deltas for its commit — an
+    * empty CDF sidecar is exactly that marker. Without it,
+    * [[readChanges]] would re-deliver the whole compacted table as
+    * inserts to every consumer tailing past the compaction id. */
+  private def writeNoChangeMarker(spark: org.apache.spark.sql.SparkSession,
+                                  root: String, batchId: Int): Unit = {
+    import org.apache.spark.sql.functions.lit
+    spark.range(0).select(lit("insert").as(ChangeTypeCol))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/_cdf/batch=$batchId")
   }
 
   /** OPTIMIZE ZORDER BY for the manifest table: compaction that
@@ -139,6 +152,7 @@ object Sinks {
     val all = spark.read.option("mergeSchema", true).parquet(dirs: _*)
     Layout.writeZOrdered(all, target, a, b, numFiles)
     BatchStats.writeSidecar(spark, target)
+    writeNoChangeMarker(spark, root, compactId)
     manifest.replaceAll(root, compactId, Seq(target))
   }
 
@@ -358,8 +372,11 @@ object Sinks {
     * `_commit_batch`. A MERGE batch serves its `_cdf` sidecar
     * (pre/post images, inserts, deletes); a plain append batch serves
     * its rows as inserts (the Delta CDF rule — append commits need no
-    * sidecar). Valid between maintenance points only: a compaction
-    * collapses history, same as Delta CDF past its VACUUM horizon. */
+    * sidecar); a MAINTENANCE batch (compact/zorder) carries an empty
+    * marker sidecar and serves zero deltas (`dataChange = false`).
+    * Consumers tailing FORWARD therefore survive maintenance; only
+    * replaying history from before a compaction is collapsed, same as
+    * Delta CDF past its VACUUM horizon. */
   def readChanges(spark: org.apache.spark.sql.SparkSession, root: String,
                   manifest: TxnManifest, fromBatch: Int, toBatch: Int): DataFrame = {
     import org.apache.spark.sql.functions.lit

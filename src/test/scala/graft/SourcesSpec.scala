@@ -522,15 +522,27 @@ class SourcesSpec extends SparkSuite {
     assert(n3 == 0)
     assert(drain().isEmpty) // offset really advanced past batch 3
 
+    // MAINTENANCE is dataChange=false: a compaction rewrites the same
+    // rows, so the feed serves ZERO deltas for it — without the
+    // marker every consumer past the compaction id would re-receive
+    // the whole table as inserts
+    Sinks.compact(spark, root, man, compactId = 9, numFiles = 1)
+    var n9 = -1
+    assert(ManifestConsumer.pollChanges(spark, man, root, offsets, "c1") {
+      (df, _) => n9 = df.count().toInt
+    }.contains(9))
+    assert(n9 == 0)
+    assert(Sinks.readCommitted(spark, root, man).count() == 6) // data intact
+
     // delete EVERYTHING: the table stays readable (zero rows, schema
     // intact) and a later insert re-populates it
     Sinks.mergeDelete(spark, (1L to 2000L).toDF("id"), root, man,
-      Seq("id"), mergeId = 4)
+      Seq("id"), mergeId = 14)
     assert(Sinks.readCommitted(spark, root, man).count() == 0)
     assert(Sinks.readCommitted(spark, root, man).columns.toSeq ==
       Seq("id", "v"))
     Sinks.mergeUpsert(spark, Seq((50L, "back")).toDF("id", "v"),
-      root, man, Seq("id"), mergeId = 5)
+      root, man, Seq("id"), mergeId = 15)
     assert(Sinks.readCommitted(spark, root, man).count() == 1)
   }
 
