@@ -16,25 +16,27 @@ object Bench {
     // codegen / scheduler startup
     spark.range(1000).selectExpr("sum(id)").collect()
     var failed = List.empty[String]
-    def pass(record: Boolean): Map[String, Double] = {
+    def pass(record: Boolean): Map[String, (Double, Boolean)] = {
       // the cross-query pair-graph memo must not leak across passes,
       // or the recorded pass times dd2/dd6/dd8 against the warm-up
       // pass's checkpoint instead of building anything
       graft.queries.DocQueries.resetPairCache()
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
+        var ok = true
         try { fn(spark, sfDir).count() } catch {
           // NonFatal only: an OOM/dying JVM must propagate, not be
           // masked until the timed pass fails confusingly downstream
-          case scala.util.control.NonFatal(e) if !record => // re-fails (and is recorded) in the timed pass
+          case scala.util.control.NonFatal(e) if !record => ok = false // re-fails (and is recorded) in a timed pass
           case scala.util.control.NonFatal(e) =>
+            ok = false
             failed ::= name
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         // release operator-internal caches INSIDE the timed window so
         // no query's storage cost leaks into another's measurement
         graft.util.CacheScope.releaseAll()
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
       }
     }
     // One warm-up pass, then SPARK_GRAFT_PASSES recorded passes
@@ -47,8 +49,13 @@ object Bench {
     require(passes >= 1, s"SPARK_GRAFT_PASSES must be >= 1, got $passes")
     pass(record = false)
     val recorded = (1 to passes).map(_ => pass(record = true))
-    val results = recorded.reduce((a, b) =>
-      a.map { case (k, v) => k -> math.min(v, b(k)) })
+    // floors over SUCCESSFUL runs only: a fast time-to-failure must
+    // not become a query's floor when another pass succeeded
+    val results = recorded.head.keys.map { k =>
+      val runs = recorded.map(_(k))
+      val good = runs.filter(_._2).map(_._1)
+      k -> (if (good.nonEmpty) good.min else runs.map(_._1).max)
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -48,7 +48,12 @@ import graft.util.AtomicText
   *   - null semantics: min/max ignore nulls, and every supported
   *     comparison filter is null-rejecting, so pruning on value
   *     bounds alone is exact; IsNull/IsNotNull are deliberately
-  *     NOT evaluated against stats.
+  *     NOT evaluated against stats;
+  *   - NaN ordering (Spark ranks NaN above every double): parquet-mr
+  *     NaN-poisons double chunk stats, which this collector drops, so
+  *     files this engine writes are safe; a FOREIGN writer that
+  *     excludes NaN from its stats is outside the soundness envelope —
+  *     the same caveat Spark's own row-group filtering carries.
   */
 object BatchStats {
 
@@ -176,9 +181,14 @@ object BatchStats {
         case _ => Unsupported
       }
       case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
-        Supported(stats.map { s =>
-          DoubleBounds(s.genericGetMin.asInstanceOf[Number].doubleValue,
-            s.genericGetMax.asInstanceOf[Number].doubleValue)
+        // NaN/Infinity bounds are not finitely comparable — a chunk
+        // carrying them poisons the column (prune-nothing), it must
+        // never crash the plan
+        Supported(stats.flatMap { s =>
+          val lo = s.genericGetMin.asInstanceOf[Number].doubleValue
+          val hi = s.genericGetMax.asInstanceOf[Number].doubleValue
+          if (lo.isNaN || hi.isNaN || lo.isInfinite || hi.isInfinite) None
+          else Some(DoubleBounds(lo, hi))
         })
       case PrimitiveTypeName.BINARY => logical match {
         case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
@@ -312,8 +322,8 @@ object BatchStats {
           case _ => None
         }
         micros.map(m => (BigDecimal(lo), BigDecimal(hi), BigDecimal(m)))
-      case DoubleBounds(lo, hi)
-        if !lo.isNaN && !hi.isNaN =>
+      case DoubleBounds(lo, hi) // belt-and-braces vs hand-edited sidecars
+        if !lo.isNaN && !hi.isNaN && !lo.isInfinite && !hi.isInfinite =>
         big(v).map((BigDecimal(new java.math.BigDecimal(lo)),
           BigDecimal(new java.math.BigDecimal(hi)), _))
       case _ => None

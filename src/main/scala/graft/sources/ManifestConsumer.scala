@@ -75,6 +75,26 @@ object ManifestConsumer {
     }
   }
 
+  /** Bootstrap a NEW change-feed consumer (the Delta CDF rule): one
+    * consistent snapshot of the committed table plus the offset to
+    * tail from. The manifest is read ONCE, so a commit racing the
+    * bootstrap lands strictly above the returned offset and arrives
+    * on the first poll. Returns (snapshot, offset). */
+  def bootstrap(spark: SparkSession, manifest: TxnManifest, root: String,
+                offsets: Cdc.WatermarkStore, consumer: String): (DataFrame, Int) = {
+    val state = manifest.committed()
+      .filter(_._2.exists(_.startsWith(root + "/")))
+    if (state.isEmpty)
+      throw new IllegalStateException(
+        s"no committed batches under $root — nothing to bootstrap from")
+    val dirs = state.toSeq.sortBy(_._1)
+      .flatMap(_._2).filter(_.startsWith(root + "/"))
+    val snapshot = spark.read.option("mergeSchema", true).parquet(dirs: _*)
+    val maxId = state.keysIterator.max
+    offsets.upsert(offsetKey(consumer, root), maxId.toLong)
+    (snapshot, maxId)
+  }
+
   /** Change-feed form: the same offset protocol, but each poll hands
     * `process` the ROW-LEVEL deltas ([[Sinks.readChanges]]) committed
     * since the consumer's offset instead of raw batch contents — a

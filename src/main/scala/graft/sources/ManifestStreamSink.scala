@@ -83,11 +83,26 @@ final class GraftManifestStreamingWrite(root: String, manifestPath: String,
     require(epochId <= Int.MaxValue, s"epoch $epochId exceeds manifest id range")
     val id = epochId.toInt
     val manifest = new TxnManifest(manifestPath)
-    // ownership check BEFORE anything becomes visible; the sidecar log
-    // entry lands before the manifest commit, so a crash between the
-    // two leaves an owned-but-unnamed id whose replay (same query)
-    // passes the check and re-commits idempotently
+    // ownership re-check (the authoritative claim happened task-side
+    // at write start, before any bytes moved); idempotent for replays
     SinkEpochLog.claim(manifestPath, id, queryId, manifest)
+    // prune STRAY deterministic part files from a previous, WIDER
+    // attempt of this epoch: a replay with fewer partitions (changed
+    // parallelism after a crash) rewrites part-0..k but would leave
+    // the dead attempt's part-(k+1).. visible after the commit —
+    // the commit messages name exactly this attempt's files
+    val committedNames = messages.collect {
+      case GraftManifestFileCommitted(p) => new HPath(p).getName
+    }.toSet
+    val dir = new HPath(s"$root/batch=$epochId")
+    val fc = fileContextFor(dir)
+    if (fc.util().exists(dir)) {
+      fc.util().listStatus(dir)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith(".") &&
+          !committedNames.contains(st.getPath.getName))
+        .foreach(st => fc.delete(st.getPath, false))
+    }
     // stat the epoch before it becomes visible: sink-fed tables stay
     // data-skippable like every other committing surface (driver-side
     // footer pass over the epoch's files)
@@ -100,93 +115,94 @@ final class GraftManifestStreamingWrite(root: String, manifestPath: String,
                      messages: Array[WriterCommitMessage]): Unit = {
     // On an epoch REPLAY (crash after the manifest commit, before
     // Spark's WAL write) the epoch dir is already manifest-named and
-    // reader-visible — a failed replay must NOT delete it. Abort only
-    // sweeps the hidden `.tmp` attempt files; the deterministic part
-    // files are either invisible (never committed) or owned by the
-    // manifest and overwritten by the next replay.
-    val conf = SparkSession.getActiveSession
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new Configuration())
+    // reader-visible — a failed replay must NOT delete it; only the
+    // hidden `.tmp` attempt files are swept. A dir the manifest does
+    // NOT name is invisible: delete it whole, so a later replay with
+    // fewer partitions cannot inherit stale deterministic part files.
     val p = new HPath(s"$root/batch=$epochId")
-    val fc =
-      if (p.toUri.getScheme == null) FileContext.getFileContext(conf)
-      else FileContext.getFileContext(p.toUri, conf)
+    val fc = fileContextFor(p)
     if (fc.util().exists(p)) {
-      fc.util().listStatus(p)
-        .filter(st => st.isFile && st.getPath.getName.startsWith("."))
-        .foreach(st => fc.delete(st.getPath, false))
+      val manifestNamed = epochId <= Int.MaxValue &&
+        new TxnManifest(manifestPath).committed().get(epochId.toInt)
+          .exists(_.contains(s"$root/batch=$epochId"))
+      if (manifestNamed)
+        fc.util().listStatus(p)
+          .filter(st => st.isFile && st.getPath.getName.startsWith("."))
+          .foreach(st => fc.delete(st.getPath, false))
+      else fc.delete(p, true)
       ()
     }
   }
+
+  private def fileContextFor(p: HPath): FileContext = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+    if (p.toUri.getScheme == null) FileContext.getFileContext(conf)
+    else FileContext.getFileContext(p.toUri, conf)
+  }
 }
 
-/** Sidecar ownership log `<manifest>.sink`: one `epochId<TAB>queryId`
-  * line per sink-committed epoch, replaced atomically as a whole (the
-  * [[graft.util.AtomicText]] single-file commit primitive, same as the
-  * manifest itself). */
+/** Sidecar ownership log `<manifest>.sink/<epochId>`: one tiny file
+  * per sink epoch, created EXCLUSIVELY (the same CAS primitive as the
+  * manifest's version claims) with the owning query id as content.
+  * Exclusive create makes concurrent claims race-free — two queries
+  * claiming the same epoch serialize on the filesystem's atomic
+  * create, and claims for DIFFERENT epochs never touch each other's
+  * files (no read-modify-write of a shared file to lose). */
 private[graft] object SinkEpochLog {
 
-  def path(manifestPath: String): String = manifestPath + ".sink"
+  def dir(manifestPath: String): String = manifestPath + ".sink"
+  def path(manifestPath: String, epochId: Int): String =
+    s"${dir(manifestPath)}/$epochId"
 
-  def entries(manifestPath: String): Map[Int, String] =
-    graft.util.AtomicText.readLines(path(manifestPath)).map { line =>
-      val Array(id, q) = line.split('\t')
-      id.toInt -> q
-    }.toMap
-
-  /** Per-JVM memo of (manifest, epoch, query) triples that passed the
-    * ownership check — each executor pays the two metadata reads once
-    * per epoch, not once per task. */
+  /** Per-JVM memo of (manifest, epoch, query) triples that passed —
+    * each executor pays the metadata IO once per epoch, not per task. */
   private val passed =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int, String)]()
 
-  /** Read-only twin of [[claim]] for the task-side gate: fails when
-    * `epochId` is owned by a different query or already a non-sink
-    * manifest batch; never writes. */
-  def assertOwnable(manifestPath: String, epochId: Int, queryId: String): Unit = {
-    val key = (manifestPath, epochId, queryId)
-    if (!passed.contains(key)) {
-      check(manifestPath, epochId, queryId, new TxnManifest(manifestPath))
-      passed.add(key); ()
-    }
-  }
-
-  /** Record `queryId` as the owner of `epochId`, failing loudly when
-    * the id is already owned by a different query or already committed
-    * to the manifest by a non-sink producer. Idempotent for replays of
-    * the same query. */
+  /** Claim `epochId` for `queryId`, failing loudly when the id is
+    * owned by a different query or already committed to the manifest
+    * by a non-sink producer. Idempotent for replays of the same query.
+    * Called task-side at WRITE START (before any bytes move — a
+    * driver-commit-time check alone would fire only after the epoch
+    * dir's deterministic file names were already overwritten) and
+    * again driver-side at commit. */
   def claim(manifestPath: String, epochId: Int, queryId: String,
             manifest: TxnManifest): Unit = {
-    val owned = check(manifestPath, epochId, queryId, manifest)
-    if (!owned.get(epochId).contains(queryId)) {
-      val body = (owned + (epochId -> queryId)).toSeq.sortBy(_._1)
-        .map { case (id, q) => s"$id\t$q" }.mkString("", "\n", "\n")
-      graft.util.AtomicText.writeAtomically(path(manifestPath), body)
+    val key = (manifestPath, epochId, queryId)
+    if (passed.contains(key)) return
+    def ownerOf: Option[String] =
+      graft.util.AtomicText.readLines(path(manifestPath, epochId)).headOption
+    ownerOf match {
+      case Some(owner) if owner == queryId => () // same-query replay
+      case Some(owner) => refuseOwned(epochId, owner, queryId)
+      case None =>
+        if (manifest.committed().contains(epochId))
+          throw new IllegalStateException(
+            s"epoch $epochId is already a committed manifest batch id " +
+              "(from a non-sink producer) — committing would un-name its " +
+              "dirs; choose a manifest this sink owns exclusively")
+        if (!graft.util.AtomicText.createExclusive(
+            path(manifestPath, epochId), queryId + "\n"))
+          // lost the create race: whoever won wrote their id
+          ownerOf match {
+            case Some(owner) if owner == queryId => ()
+            case Some(owner) => refuseOwned(epochId, owner, queryId)
+            case None => throw new IllegalStateException(
+              s"epoch $epochId ownership file vanished mid-claim")
+          }
     }
+    passed.add(key); ()
   }
 
-  /** The ownership rules; returns the current entries on success. */
-  private def check(manifestPath: String, epochId: Int, queryId: String,
-                    manifest: TxnManifest): Map[Int, String] = {
-    val owned = entries(manifestPath)
-    owned.get(epochId) match {
-      case Some(owner) if owner == queryId => () // same-query replay
-      case Some(owner) =>
-        throw new IllegalStateException(
-          s"epoch $epochId already committed by streaming query $owner " +
-            s"(this query: $queryId) — a restart against a fresh " +
-            "checkpointLocation resets epoch ids to 0 and would " +
-            "silently overwrite committed batches; resume from the " +
-            "original checkpoint or point the sink at a fresh manifest")
-      case None if manifest.committed().contains(epochId) =>
-        throw new IllegalStateException(
-          s"epoch $epochId is already a committed manifest batch id " +
-            "(from a non-sink producer) — committing would un-name its " +
-            "dirs; choose a manifest this sink owns exclusively")
-      case None => ()
-    }
-    owned
-  }
+  private def refuseOwned(epochId: Int, owner: String, queryId: String): Nothing =
+    throw new IllegalStateException(
+      s"epoch $epochId already committed by streaming query $owner " +
+        s"(this query: $queryId) — a restart against a fresh " +
+        "checkpointLocation resets epoch ids to 0 and would " +
+        "silently overwrite committed batches; resume from the " +
+        "original checkpoint or point the sink at a fresh manifest")
 }
 
 private final case class GraftManifestWriterFactory(
@@ -196,14 +212,14 @@ private final case class GraftManifestWriterFactory(
 
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] = {
-    // ownership gate BEFORE any bytes move: task-side commit() renames
+    // ownership CLAIM before any bytes move: task-side commit() renames
     // files into the (possibly reader-visible) epoch dir ahead of the
-    // driver's manifest commit, so a wrong-writer epoch must be refused
-    // here — a driver-side check alone would fire only after the dir's
-    // deterministic file names were already overwritten. Two tiny text
-    // reads per executor per epoch (memoized below), metadata-scale.
+    // driver's manifest commit, so a wrong-writer epoch is refused here,
+    // race-free via the exclusive create. Metadata-scale (memoized per
+    // executor per epoch).
     require(epochId <= Int.MaxValue, s"epoch $epochId exceeds manifest id range")
-    SinkEpochLog.assertOwnable(manifestPath, epochId.toInt, queryId)
+    SinkEpochLog.claim(manifestPath, epochId.toInt, queryId,
+      new TxnManifest(manifestPath))
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[StructType]
     val conf = new Configuration(serConf.value)
@@ -264,5 +280,5 @@ private final class GraftManifestDataWriter(tmp: HPath, target: HPath,
   override def close(): Unit = ()
 }
 
-private final case class GraftManifestFileCommitted(path: String)
+private[graft] final case class GraftManifestFileCommitted(path: String)
   extends WriterCommitMessage

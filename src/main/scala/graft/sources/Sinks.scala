@@ -111,6 +111,7 @@ object Sinks {
     // compacted files (cheap footer pass) before they become visible
     BatchStats.writeSidecar(spark, target)
     writeNoChangeMarker(spark, root, compactId)
+    writeFeedMarker(root, compactId, dataChange = false, manifest, dirs.toSet)
     // ONE commit point: all input batches' entries are replaced by the
     // compacted dir — readers flip atomically
     manifest.replaceAll(root, compactId, Seq(target))
@@ -126,6 +127,41 @@ object Sinks {
     import org.apache.spark.sql.functions.lit
     spark.range(0).select(lit("insert").as(ChangeTypeCol))
       .write.mode(SaveMode.Overwrite).parquet(s"$root/_cdf/batch=$batchId")
+  }
+
+  private val ReplacedMarker = "_replaced.tsv"
+
+  /** Feed-consistency marker inside a commit's `_cdf` dir: which
+    * manifest batch ids this commit UN-NAMED (their entries collapsed
+    * into it), and whether it changed data. [[readChanges]] uses it to
+    * fail LOUDLY when a consumer's range spans collapsed history —
+    * the un-named batches' rows were never delivered to that consumer
+    * and live only inside the rewrite, so silently serving the rest
+    * of the range would lose them downstream (Delta's "CDF range no
+    * longer available" error, here per consumer offset). Written
+    * BEFORE the manifest commit; a crash orphan is vacuumable with
+    * the rest of the `_cdf` dir. */
+  private def writeFeedMarker(root: String, batchId: Int, dataChange: Boolean,
+                              manifest: TxnManifest,
+                              removedDirs: Set[String]): Unit = {
+    val replaced = manifest.committed()
+      .filter(_._2.exists(removedDirs.contains)).keys.toSeq.sorted
+    val body = (s"dataChange=$dataChange" +: replaced.map(_.toString))
+      .mkString("", "\n", "\n")
+    graft.util.AtomicText.writeAtomically(
+      s"$root/_cdf/batch=$batchId/$ReplacedMarker", body)
+  }
+
+  private def readFeedMarker(conf: org.apache.hadoop.conf.Configuration,
+                             root: String, batchId: Int)
+    : Option[(Boolean, Seq[Int])] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_cdf/batch=$batchId/$ReplacedMarker")
+    if (!p.getFileSystem(conf).exists(p)) None
+    else {
+      val lines = graft.util.AtomicText.readLines(p.toString)
+      Some((lines.headOption.contains("dataChange=true"),
+        lines.drop(1).flatMap(_.toIntOption)))
+    }
   }
 
   /** OPTIMIZE ZORDER BY for the manifest table: compaction that
@@ -153,6 +189,7 @@ object Sinks {
     Layout.writeZOrdered(all, target, a, b, numFiles)
     BatchStats.writeSidecar(spark, target)
     writeNoChangeMarker(spark, root, compactId)
+    writeFeedMarker(root, compactId, dataChange = false, manifest, dirs.toSet)
     manifest.replaceAll(root, compactId, Seq(target))
   }
 
@@ -241,26 +278,33 @@ object Sinks {
     require(!dirs.contains(target), s"mergeId $mergeId is a live batch")
     val keyCols = keys.map(col)
 
-    updates.foreach { u =>
+    // the source frames may be non-trivial plans (CDC joins); every
+    // check/probe/rewrite/CDF branch below re-evaluates them, so pin
+    // the batch-sized inputs once — MEMORY_AND_DISK, since "batch-
+    // sized" is a contract, not a guarantee
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ups = updates.map(_.persist(level))
+    val delKeys = deletes.map(_.select(keyCols: _*).distinct().persist(level))
+    val allKeys = ((ups.map(_.select(keyCols: _*)), delKeys) match {
+      case (Some(u), Some(d)) => u.unionByName(d)
+      case (Some(u), None)    => u
+      case (None, Some(d))    => d
+      case _                  => sys.error("unreachable")
+    }).persist(level)
+    try {
+    ups.foreach { u =>
       val dup = u.groupBy(keyCols: _*).agg(count(lit(1)).as("n"))
         .filter(col("n") > 1).limit(1).collect()
       require(dup.isEmpty,
         s"updates are not unique on (${keys.mkString(", ")}): e.g. " +
           dup.headOption.map(_.toString).getOrElse(""))
     }
-    val delKeys = deletes.map(_.select(keyCols: _*).distinct())
-    for (u <- updates; d <- delKeys) {
+    for (u <- ups; d <- delKeys) {
       val both = u.select(keyCols: _*).join(d, keys, "left_semi")
         .limit(1).collect()
       require(both.isEmpty,
         s"key matched by BOTH the update and delete arm (ambiguous): " +
           both.headOption.map(_.toString).getOrElse(""))
-    }
-    val allKeys = (updates.map(_.select(keyCols: _*)), delKeys) match {
-      case (Some(u), Some(d)) => u.unionByName(d)
-      case (Some(u), None)    => u
-      case (None, Some(d))    => d
-      case _                  => sys.error("unreachable")
     }
 
     // sidecar pruning BEFORE any scan: a dir whose key bounds exclude
@@ -291,7 +335,7 @@ object Sinks {
       if (affectedDirs.isEmpty) currentAll.limit(0)
       else spark.read.option("mergeSchema", true).parquet(affectedDirs: _*)
     val kept = affected.join(allKeys, keys, "left_anti")
-    val merged = updates.fold(kept)(u =>
+    val merged = ups.fold(kept)(u =>
       kept.unionByName(u, allowMissingColumns = true))
     merged.write.mode(SaveMode.Overwrite).parquet(target)
     // rewritten dirs may have carried stats sidecars — the merge
@@ -301,7 +345,7 @@ object Sinks {
     if (cdf) {
       val ct = (t: String) => lit(t).as(ChangeTypeCol)
       val parts = Seq.newBuilder[DataFrame]
-      updates.foreach { u =>
+      ups.foreach { u =>
         val uk = u.select(keyCols: _*)
         val matchedKeys = affected.select(keyCols: _*)
           .join(uk, keys, "left_semi").distinct()
@@ -320,7 +364,18 @@ object Sinks {
         .reduce(_.unionByName(_, allowMissingColumns = true))
       changes.write.mode(SaveMode.Overwrite).parquet(s"$root/_cdf/batch=$mergeId")
     }
+    // the marker goes in even WITHOUT cdf: the feed must know this
+    // commit collapsed history (and carries no change records) rather
+    // than misread the rewritten table as an insert batch
+    writeFeedMarker(root, mergeId, dataChange = true, manifest,
+      affectedDirs.toSet)
     manifest.replaceDirs(affectedDirs.toSet, mergeId, Seq(target))
+    } finally {
+      allKeys.unpersist()
+      ups.foreach(_.unpersist())
+      delKeys.foreach(_.unpersist())
+      ()
+    }
   }
 
   /** Change-type column the CDF sidecar carries (Delta's name). */
@@ -388,13 +443,40 @@ object Sinks {
     require(byBatch.nonEmpty,
       s"no commits under $root in batch range ($fromBatch, $toBatch]")
     val frames = byBatch.map { case (id, ds) =>
+      // feed-consistency gate: a commit that UN-NAMED batches the
+      // consumer had not drained holds their rows only inside its
+      // rewrite — serving the range anyway would silently lose them
+      readFeedMarker(conf, root, id).foreach { case (dataChange, replaced) =>
+        val lost = replaced.filter(_ > fromBatch)
+        if (lost.nonEmpty)
+          throw new IllegalStateException(
+            s"change feed under $root: batch $id collapsed batch(es) " +
+              s"${lost.mkString(",")} committed AFTER offset $fromBatch — " +
+              "their rows were never delivered to this consumer and exist " +
+              "only inside the rewrite. Re-bootstrap from a readCommitted " +
+              "snapshot (ManifestConsumer.bootstrap), then tail.")
+        val _ = dataChange
+      }
       val cdfDir = new org.apache.hadoop.fs.Path(s"$root/_cdf/batch=$id")
-      // an empty change set still reads fine: Spark writes a zero-row
-      // schema-carrying parquet file for an empty frame, so a merge
-      // whose deletes matched nothing serves zero deltas, not a crash
+      val fs = cdfDir.getFileSystem(conf)
+      val hasDeltas = fs.exists(cdfDir) && fs.listStatus(cdfDir).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_"))
       val df =
-        if (cdfDir.getFileSystem(conf).exists(cdfDir))
-          spark.read.parquet(cdfDir.toString)
+        // zero-row delta files read fine (Spark writes a schema-
+        // carrying file for an empty frame): a merge whose deletes
+        // matched nothing serves zero deltas, not a crash
+        if (hasDeltas) spark.read.parquet(cdfDir.toString)
+        else if (fs.exists(cdfDir))
+          // marker-only dir: a MERGE committed with cdf = false — it
+          // changed rows but recorded no deltas, so the feed cannot
+          // serve this range truthfully
+          throw new IllegalStateException(
+            s"change feed under $root: batch $id is a merge committed " +
+              "without change tracking (cdf = false) — its updates and " +
+              "deletes were not recorded. Re-bootstrap from a snapshot, " +
+              "or run merges with cdf = true on fed tables.")
         else spark.read.option("mergeSchema", true)
           .parquet(ds.filter(_.startsWith(root + "/")): _*)
           .withColumn(ChangeTypeCol, lit("insert"))

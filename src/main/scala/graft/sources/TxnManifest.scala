@@ -129,7 +129,12 @@ final class TxnManifest(path: String) {
           s"manifest $path: version $next was already claimed by another " +
             "producer — this writer's snapshot (version " +
             s"$expectedVersion) is stale; re-read and retry, or stop the " +
-            "second producer (single-writer contract)")
+            "second producer (single-writer contract). If no second " +
+            s"producer exists, $claim is an orphan of YOUR OWN crashed " +
+            "commit whose re-run was not byte-identical: after verifying " +
+            "the manifest still reads consistently, delete that claim " +
+            "file to unwedge (it fences nothing once its version is " +
+            "re-claimed by the next commit).")
     }
     AtomicText.writeAtomically(path, body)
   }

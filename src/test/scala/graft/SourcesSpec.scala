@@ -499,16 +499,25 @@ class SourcesSpec extends SparkSuite {
     // drained: nothing re-delivered; a second consumer group tails
     // independently from ITS offset
     assert(drain().isEmpty)
-    // the documented bootstrap rule: the merge UN-NAMED batch 1, so a
-    // from-scratch feed replay serves only ids still in the manifest
-    // (the merge's 4 deltas) — a NEW consumer must bootstrap from a
-    // readCommitted snapshot, then tail
-    var n2 = 0
-    ManifestConsumer.pollChanges(spark, man, root, offsets, "c2") {
+    // the bootstrap rule is ENFORCED, not prose: the merge UN-NAMED
+    // batch 1, whose rows a from-scratch consumer never received — a
+    // cold-start replay fails loudly instead of serving a feed that
+    // silently lost them
+    val cold = intercept[IllegalStateException] {
+      ManifestConsumer.pollChanges(spark, man, root, offsets, "c2") {
+        (_, _) => fail("must not deliver a lossy feed")
+      }
+    }
+    assert(cold.getMessage.contains("Re-bootstrap"))
+    // bootstrap: one consistent snapshot + the offset to tail from
+    val (snapshot, off) = ManifestConsumer.bootstrap(
+      spark, man, root, offsets, "c2")
+    assert(snapshot.count() == 6 && off == 2)
+    var n2 = -1
+    val polled = ManifestConsumer.pollChanges(spark, man, root, offsets, "c2") {
       (df, _) => n2 = df.count().toInt
     }
-    assert(n2 == 4)
-    assert(Sinks.readCommitted(spark, root, man).count() == 6) // snapshot
+    assert(polled.isEmpty && n2 == -1) // bootstrapped consumers are current
 
     // a merge whose change set is EMPTY (deletes matching nothing):
     // the sidecar holds a zero-row schema-carrying file, the feed

@@ -135,4 +135,22 @@ class StatsSpec extends SparkSuite {
       java.nio.file.Paths.get(dir, "_stats.tsv"), "old\tformat\t1\t2\n")
     assert(BatchStats.read(spark.sparkContext.hadoopConfiguration, dir).isEmpty)
   }
+
+  test("Infinity/NaN in double data never crashes a filtered scan") {
+    // a column containing +/-Infinity gets infinite footer bounds —
+    // the sidecar must poison that column (no pruning), and any
+    // pushed filter over it must run, not throw from BigDecimal
+    val (root, manPath, man) = freshTable("stats_inf_")
+    StatsSinks.appendBatchStats(
+      Seq((1L, 1.0), (2L, Double.PositiveInfinity), (3L, Double.NaN),
+        (4L, -2.0)).toDF("id", "m"), root, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+    assert(load(root, manPath).where($"m" < -1.0).count() == 1)
+    // Spark orders NaN above every double: both Inf and NaN match
+    assert(load(root, manPath).where($"m" > 100.0).count() == 2)
+    // hand-edited sidecar with infinite bounds: conservative, no crash
+    val infB = Map("m" -> (BatchStats.DoubleBounds(
+      Double.NegativeInfinity, Double.PositiveInfinity): BatchStats.Bounds))
+    assert(BatchStats.mayMatch(infB, Seq(GreaterThan("m", 5.0))))
+  }
 }

@@ -592,6 +592,40 @@ class StreamingSpec extends SparkSuite {
     assert(e3.getMessage.contains("non-sink producer"))
   }
 
+  test("graft-manifest sink commit prunes stale parts from a wider dead attempt") {
+    import graft.sources.{GraftManifestFileCommitted, GraftManifestStreamingWrite, Sinks, TxnManifest}
+    val base = java.nio.file.Files.createTempDirectory("graft_dsv2st_").toString
+    val root = s"$base/table"
+    val manPath = s"$base/manifest.tsv"
+    // a dead 2-partition attempt left part-0 and part-1; the replay
+    // ran with ONE partition and its commit messages name only part-0
+    val dir = s"$root/batch=0"
+    Seq((1L, "live")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/stage0")
+    Seq((99L, "stale")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/stage1")
+    def onePart(stage: String, name: String): String = {
+      import scala.jdk.CollectionConverters._
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val dst = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.copy(src, dst)
+      dst.toString
+    }
+    val keep = onePart(s"$base/stage0", "part-0.parquet")
+    onePart(s"$base/stage1", "part-1.parquet")
+    val write = new GraftManifestStreamingWrite(root, manPath,
+      new org.apache.spark.sql.types.StructType().add("id", "long").add("v", "string"), "q")
+    write.commit(0, Array(GraftManifestFileCommitted(keep)))
+    // the stale part is gone BEFORE visibility; readers serve only the
+    // replay's rows
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "part-1.parquet")))
+    assert(Sinks.readCommitted(spark, root, new TxnManifest(manPath))
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("graft-manifest sink abort never deletes a committed epoch dir") {
     import graft.sources.{GraftManifestStreamingWrite, TxnManifest}
     val base = java.nio.file.Files.createTempDirectory("graft_dsv2ab_").toString
