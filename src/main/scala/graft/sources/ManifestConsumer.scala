@@ -75,13 +75,18 @@ object ManifestConsumer {
     }
   }
 
-  /** Bootstrap a NEW change-feed consumer (the Delta CDF rule): one
-    * consistent snapshot of the committed table plus the offset to
-    * tail from. The manifest is read ONCE, so a commit racing the
-    * bootstrap lands strictly above the returned offset and arrives
-    * on the first poll. Returns (snapshot, offset). */
+  /** Bootstrap a NEW change-feed consumer (the Delta CDF rule): hand
+    * `process` one consistent snapshot of the committed table, then
+    * commit the offset to tail from — offset-after-sink, the same
+    * at-least-once contract as every poll form (a crash inside
+    * `process` re-runs the bootstrap; committing the offset FIRST
+    * would strand a consumer that never materialized its snapshot).
+    * The manifest is read ONCE, so a commit racing the bootstrap
+    * lands strictly above the returned offset and arrives on the
+    * first poll. Returns the committed offset. */
   def bootstrap(spark: SparkSession, manifest: TxnManifest, root: String,
-                offsets: Cdc.WatermarkStore, consumer: String): (DataFrame, Int) = {
+                offsets: Cdc.WatermarkStore, consumer: String)
+               (process: (DataFrame, Int) => Unit): Int = {
     val state = manifest.committed()
       .filter(_._2.exists(_.startsWith(root + "/")))
     if (state.isEmpty)
@@ -91,8 +96,9 @@ object ManifestConsumer {
       .flatMap(_._2).filter(_.startsWith(root + "/"))
     val snapshot = spark.read.option("mergeSchema", true).parquet(dirs: _*)
     val maxId = state.keysIterator.max
+    process(snapshot, maxId)
     offsets.upsert(offsetKey(consumer, root), maxId.toLong)
-    (snapshot, maxId)
+    maxId
   }
 
   /** Change-feed form: the same offset protocol, but each poll hands

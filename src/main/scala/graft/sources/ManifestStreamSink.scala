@@ -113,25 +113,34 @@ final class GraftManifestStreamingWrite(root: String, manifestPath: String,
 
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit = {
-    // On an epoch REPLAY (crash after the manifest commit, before
-    // Spark's WAL write) the epoch dir is already manifest-named and
-    // reader-visible — a failed replay must NOT delete it; only the
-    // hidden `.tmp` attempt files are swept. A dir the manifest does
-    // NOT name is invisible: delete it whole, so a later replay with
-    // fewer partitions cannot inherit stale deterministic part files.
+    // Three cases, most-protective first:
+    //   - the epoch dir is manifest-named (crash after commit, before
+    //     Spark's WAL write — the replay window): reader-visible data;
+    //     sweep only hidden `.tmp` attempt files;
+    //   - WE own the epoch (or nobody does) and it was never
+    //     committed: invisible; delete the dir whole so a later replay
+    //     with fewer partitions cannot inherit stale part files, and
+    //     RELEASE the ownership claim — a never-committed epoch must
+    //     not wedge a future query that legitimately reuses the id;
+    //   - ANOTHER query owns the epoch: this abort belongs to a losing
+    //     racer — touch nothing, the owner's files are not ours.
     val p = new HPath(s"$root/batch=$epochId")
     val fc = fileContextFor(p)
-    if (fc.util().exists(p)) {
-      val manifestNamed = epochId <= Int.MaxValue &&
-        new TxnManifest(manifestPath).committed().get(epochId.toInt)
-          .exists(_.contains(s"$root/batch=$epochId"))
-      if (manifestNamed)
+    val id = if (epochId <= Int.MaxValue) Some(epochId.toInt) else None
+    val manifestNamed = id.exists(i =>
+      new TxnManifest(manifestPath).committed().get(i)
+        .exists(_.contains(s"$root/batch=$epochId")))
+    val owner = id.flatMap(i => SinkEpochLog.ownerOf(manifestPath, i))
+    if (manifestNamed) {
+      if (fc.util().exists(p))
         fc.util().listStatus(p)
           .filter(st => st.isFile && st.getPath.getName.startsWith("."))
           .foreach(st => fc.delete(st.getPath, false))
-      else fc.delete(p, true)
-      ()
+    } else if (owner.forall(_ == queryId)) {
+      if (fc.util().exists(p)) { fc.delete(p, true); () }
+      id.foreach(i => SinkEpochLog.release(manifestPath, i, queryId))
     }
+    ()
   }
 
   private def fileContextFor(p: HPath): FileContext = {
@@ -168,13 +177,28 @@ private[graft] object SinkEpochLog {
     * driver-commit-time check alone would fire only after the epoch
     * dir's deterministic file names were already overwritten) and
     * again driver-side at commit. */
+  /** Current owner of an epoch id, if claimed. */
+  def ownerOf(manifestPath: String, epochId: Int): Option[String] =
+    graft.util.AtomicText.readLines(path(manifestPath, epochId)).headOption
+
+  /** Release a claim this query holds on a NEVER-COMMITTED epoch (the
+    * abort path) so the id stays usable by a future query. No-op when
+    * the claim is absent or held by someone else. */
+  def release(manifestPath: String, epochId: Int, queryId: String): Unit =
+    if (ownerOf(manifestPath, epochId).contains(queryId)) {
+      val p = new HPath(path(manifestPath, epochId))
+      val conf = SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration).getOrElse(new Configuration())
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) { fs.delete(p, false); () }
+      passed.remove((manifestPath, epochId, queryId)); ()
+    }
+
   def claim(manifestPath: String, epochId: Int, queryId: String,
             manifest: TxnManifest): Unit = {
     val key = (manifestPath, epochId, queryId)
     if (passed.contains(key)) return
-    def ownerOf: Option[String] =
-      graft.util.AtomicText.readLines(path(manifestPath, epochId)).headOption
-    ownerOf match {
+    ownerOf(manifestPath, epochId) match {
       case Some(owner) if owner == queryId => () // same-query replay
       case Some(owner) => refuseOwned(epochId, owner, queryId)
       case None =>
@@ -186,7 +210,7 @@ private[graft] object SinkEpochLog {
         if (!graft.util.AtomicText.createExclusive(
             path(manifestPath, epochId), queryId + "\n"))
           // lost the create race: whoever won wrote their id
-          ownerOf match {
+          ownerOf(manifestPath, epochId) match {
             case Some(owner) if owner == queryId => ()
             case Some(owner) => refuseOwned(epochId, owner, queryId)
             case None => throw new IllegalStateException(

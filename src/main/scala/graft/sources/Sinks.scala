@@ -111,7 +111,7 @@ object Sinks {
     // compacted files (cheap footer pass) before they become visible
     BatchStats.writeSidecar(spark, target)
     writeNoChangeMarker(spark, root, compactId)
-    writeFeedMarker(root, compactId, dataChange = false, manifest, dirs.toSet)
+    writeFeedMarker(root, compactId, manifest, dirs.toSet)
     // ONE commit point: all input batches' entries are replaced by the
     // compacted dir — readers flip atomically
     manifest.replaceAll(root, compactId, Seq(target))
@@ -131,37 +131,36 @@ object Sinks {
 
   private val ReplacedMarker = "_replaced.tsv"
 
-  /** Feed-consistency marker inside a commit's `_cdf` dir: which
-    * manifest batch ids this commit UN-NAMED (their entries collapsed
-    * into it), and whether it changed data. [[readChanges]] uses it to
-    * fail LOUDLY when a consumer's range spans collapsed history —
-    * the un-named batches' rows were never delivered to that consumer
-    * and live only inside the rewrite, so silently serving the rest
-    * of the range would lose them downstream (Delta's "CDF range no
-    * longer available" error, here per consumer offset). Written
-    * BEFORE the manifest commit; a crash orphan is vacuumable with
-    * the rest of the `_cdf` dir. */
-  private def writeFeedMarker(root: String, batchId: Int, dataChange: Boolean,
+  /** Feed-consistency marker inside a commit's `_cdf` dir: the
+    * manifest batch ids this commit fully UN-NAMED under `root`
+    * (their entries collapsed into it — a batch that keeps OTHER dirs
+    * under this root is still live and is NOT listed). [[readChanges]]
+    * uses it to fail LOUDLY when a consumer's range spans collapsed
+    * history — the un-named batches' rows were never delivered to
+    * that consumer and live only inside the rewrite, so silently
+    * serving the rest of the range would lose them downstream
+    * (Delta's "CDF range no longer available" error, here per
+    * consumer offset). Written BEFORE the manifest commit; a crash
+    * orphan is vacuumable with the rest of the `_cdf` dir. */
+  private def writeFeedMarker(root: String, batchId: Int,
                               manifest: TxnManifest,
                               removedDirs: Set[String]): Unit = {
     val replaced = manifest.committed()
-      .filter(_._2.exists(removedDirs.contains)).keys.toSeq.sorted
-    val body = (s"dataChange=$dataChange" +: replaced.map(_.toString))
-      .mkString("", "\n", "\n")
+      .filter { case (_, ds) =>
+        val underRoot = ds.filter(_.startsWith(root + "/"))
+        underRoot.nonEmpty && underRoot.forall(removedDirs.contains)
+      }.keys.toSeq.sorted
     graft.util.AtomicText.writeAtomically(
-      s"$root/_cdf/batch=$batchId/$ReplacedMarker", body)
+      s"$root/_cdf/batch=$batchId/$ReplacedMarker",
+      replaced.map(_.toString).mkString("", "\n", "\n"))
   }
 
   private def readFeedMarker(conf: org.apache.hadoop.conf.Configuration,
-                             root: String, batchId: Int)
-    : Option[(Boolean, Seq[Int])] = {
+                             root: String, batchId: Int): Option[Seq[Int]] = {
     val p = new org.apache.hadoop.fs.Path(s"$root/_cdf/batch=$batchId/$ReplacedMarker")
     if (!p.getFileSystem(conf).exists(p)) None
-    else {
-      val lines = graft.util.AtomicText.readLines(p.toString)
-      Some((lines.headOption.contains("dataChange=true"),
-        lines.drop(1).flatMap(_.toIntOption)))
-    }
+    else Some(graft.util.AtomicText.readLines(p.toString)
+      .flatMap(_.toIntOption))
   }
 
   /** OPTIMIZE ZORDER BY for the manifest table: compaction that
@@ -189,7 +188,7 @@ object Sinks {
     Layout.writeZOrdered(all, target, a, b, numFiles)
     BatchStats.writeSidecar(spark, target)
     writeNoChangeMarker(spark, root, compactId)
-    writeFeedMarker(root, compactId, dataChange = false, manifest, dirs.toSet)
+    writeFeedMarker(root, compactId, manifest, dirs.toSet)
     manifest.replaceAll(root, compactId, Seq(target))
   }
 
@@ -281,16 +280,23 @@ object Sinks {
     // the source frames may be non-trivial plans (CDC joins); every
     // check/probe/rewrite/CDF branch below re-evaluates them, so pin
     // the batch-sized inputs once — MEMORY_AND_DISK, since "batch-
-    // sized" is a contract, not a guarantee
+    // sized" is a contract, not a guarantee. Only frames WE persisted
+    // are unpersisted: evicting a cache the caller created on the same
+    // plan would be a side effect on caller state.
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val ups = updates.map(_.persist(level))
-    val delKeys = deletes.map(_.select(keyCols: _*).distinct().persist(level))
-    val allKeys = ((ups.map(_.select(keyCols: _*)), delKeys) match {
+    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        pinned += df; df.persist(level)
+      } else df
+    val ups = updates.map(pin)
+    val delKeys = deletes.map(d => pin(d.select(keyCols: _*).distinct()))
+    val allKeys = pin((ups.map(_.select(keyCols: _*)), delKeys) match {
       case (Some(u), Some(d)) => u.unionByName(d)
       case (Some(u), None)    => u
       case (None, Some(d))    => d
       case _                  => sys.error("unreachable")
-    }).persist(level)
+    })
     try {
     ups.foreach { u =>
       val dup = u.groupBy(keyCols: _*).agg(count(lit(1)).as("n"))
@@ -364,16 +370,17 @@ object Sinks {
         .reduce(_.unionByName(_, allowMissingColumns = true))
       changes.write.mode(SaveMode.Overwrite).parquet(s"$root/_cdf/batch=$mergeId")
     }
-    // the marker goes in even WITHOUT cdf: the feed must know this
-    // commit collapsed history (and carries no change records) rather
-    // than misread the rewritten table as an insert batch
-    writeFeedMarker(root, mergeId, dataChange = true, manifest,
-      affectedDirs.toSet)
+    // the marker goes in even WITHOUT cdf when rows were MATCHED: the
+    // feed must know this commit collapsed history (and carries no
+    // change records) rather than misread the rewritten table as an
+    // insert batch. A cdf=false merge that matched NOTHING is a pure
+    // insert — its target dir served as inserts is exactly right, so
+    // no marker (and no spurious feed failure)
+    if (cdf || affectedDirs.nonEmpty)
+      writeFeedMarker(root, mergeId, manifest, affectedDirs.toSet)
     manifest.replaceDirs(affectedDirs.toSet, mergeId, Seq(target))
     } finally {
-      allKeys.unpersist()
-      ups.foreach(_.unpersist())
-      delKeys.foreach(_.unpersist())
+      pinned.foreach(_.unpersist())
       ()
     }
   }
@@ -446,7 +453,7 @@ object Sinks {
       // feed-consistency gate: a commit that UN-NAMED batches the
       // consumer had not drained holds their rows only inside its
       // rewrite — serving the range anyway would silently lose them
-      readFeedMarker(conf, root, id).foreach { case (dataChange, replaced) =>
+      readFeedMarker(conf, root, id).foreach { replaced =>
         val lost = replaced.filter(_ > fromBatch)
         if (lost.nonEmpty)
           throw new IllegalStateException(
@@ -455,7 +462,6 @@ object Sinks {
               "their rows were never delivered to this consumer and exist " +
               "only inside the rewrite. Re-bootstrap from a readCommitted " +
               "snapshot (ManifestConsumer.bootstrap), then tail.")
-        val _ = dataChange
       }
       val cdfDir = new org.apache.hadoop.fs.Path(s"$root/_cdf/batch=$id")
       val fs = cdfDir.getFileSystem(conf)

@@ -509,10 +509,13 @@ class SourcesSpec extends SparkSuite {
       }
     }
     assert(cold.getMessage.contains("Re-bootstrap"))
-    // bootstrap: one consistent snapshot + the offset to tail from
-    val (snapshot, off) = ManifestConsumer.bootstrap(
-      spark, man, root, offsets, "c2")
-    assert(snapshot.count() == 6 && off == 2)
+    // bootstrap: snapshot handed to the consumer FIRST, offset
+    // committed after (offset-after-sink, like every poll form)
+    var snapCount = -1L
+    val off = ManifestConsumer.bootstrap(spark, man, root, offsets, "c2") {
+      (snapshot, _) => snapCount = snapshot.count()
+    }
+    assert(snapCount == 6 && off == 2)
     var n2 = -1
     val polled = ManifestConsumer.pollChanges(spark, man, root, offsets, "c2") {
       (df, _) => n2 = df.count().toInt
@@ -543,9 +546,21 @@ class SourcesSpec extends SparkSuite {
     assert(n9 == 0)
     assert(Sinks.readCommitted(spark, root, man).count() == 6) // data intact
 
+    // a cdf=false merge that matched NOTHING is a pure insert: the
+    // feed serves its target dir as inserts — no marker, no spurious
+    // re-bootstrap demand
+    Sinks.mergeUpsert(spark, Seq((3000L, "i1"), (3001L, "i2")).toDF("id", "v"),
+      root, man, Seq("id"), mergeId = 12)
+    var ins = Vector.empty[(Long, String)]
+    assert(ManifestConsumer.pollChanges(spark, man, root, offsets, "c1") {
+      (df, _) => ins = df.select($"id", col(Sinks.ChangeTypeCol))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toVector
+    }.contains(12))
+    assert(ins.toSet == Set((3000L, "insert"), (3001L, "insert")))
+
     // delete EVERYTHING: the table stays readable (zero rows, schema
     // intact) and a later insert re-populates it
-    Sinks.mergeDelete(spark, (1L to 2000L).toDF("id"), root, man,
+    Sinks.mergeDelete(spark, (1L to 4000L).toDF("id"), root, man,
       Seq("id"), mergeId = 14)
     assert(Sinks.readCommitted(spark, root, man).count() == 0)
     assert(Sinks.readCommitted(spark, root, man).columns.toSeq ==

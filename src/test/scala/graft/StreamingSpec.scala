@@ -648,6 +648,26 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.format("graft-manifest")
       .option("manifest", manPath).load(root).count() == 1)
     assert(!java.nio.file.Files.exists(dir.resolve(".part-0-99.tmp.parquet")))
+
+    // an UN-committed epoch owned by ANOTHER query: a losing racer's
+    // abort must not destroy the live owner's in-flight files
+    import graft.sources.SinkEpochLog
+    val dir9 = java.nio.file.Paths.get(s"$root/batch=9")
+    java.nio.file.Files.createDirectories(dir9)
+    java.nio.file.Files.writeString(dir9.resolve("part-0.parquet"), "owner-bytes")
+    SinkEpochLog.claim(manPath, 9, "ownerQ", new TxnManifest(manPath))
+    write.abort(9, Array.empty) // "q" aborts, but "ownerQ" owns epoch 9
+    assert(java.nio.file.Files.exists(dir9.resolve("part-0.parquet")))
+
+    // an un-committed epoch WE own: abort deletes the dir whole and
+    // RELEASES the claim, so a future query can legitimately reuse it
+    val dir5 = java.nio.file.Paths.get(s"$root/batch=5")
+    java.nio.file.Files.createDirectories(dir5)
+    java.nio.file.Files.writeString(dir5.resolve("part-0.parquet"), "stale")
+    SinkEpochLog.claim(manPath, 5, "q", new TxnManifest(manPath))
+    write.abort(5, Array.empty)
+    assert(!java.nio.file.Files.exists(dir5))
+    SinkEpochLog.claim(manPath, 5, "freshQuery", new TxnManifest(manPath)) // no throw
   }
 
   test("graft-manifest scan fails loudly when a committed dir is missing") {
