@@ -136,6 +136,72 @@ class StatsSpec extends SparkSuite {
     assert(BatchStats.read(spark.sparkContext.hadoopConfiguration, dir).isEmpty)
   }
 
+  test("property: exclusion is sound — bounds never prune a value they cover") {
+    // the invariant the whole stats engine rests on: if excludes()
+    // prunes, NO row in [lo, hi] satisfies the filter. Randomized over
+    // full-range Longs (including near 2^63, the double-aliasing trap),
+    // doubles, and filter shapes.
+    val rnd = new scala.util.Random(42)
+    def holdsLong(x: Long, f: Filter): Boolean = f match {
+      case EqualTo(_, v: Long)            => x == v
+      case GreaterThan(_, v: Long)        => x > v
+      case GreaterThanOrEqual(_, v: Long) => x >= v
+      case LessThan(_, v: Long)           => x < v
+      case LessThanOrEqual(_, v: Long)    => x <= v
+      case In(_, vs)                      => vs.contains(x)
+      case _                              => true
+    }
+    for (_ <- 1 to 500) {
+      val data = Seq.fill(rnd.nextInt(8) + 1)(
+        if (rnd.nextBoolean()) rnd.nextLong()
+        else (1L << 60) + rnd.nextInt(16) - 8)
+      val b = Map("x" -> (BatchStats.LongBounds("L", data.min, data.max)
+        : BatchStats.Bounds))
+      val v =
+        if (rnd.nextBoolean()) rnd.nextLong()
+        else data(rnd.nextInt(data.length)) + rnd.nextInt(3) - 1
+      for (f <- Seq[Filter](EqualTo("x", v), GreaterThan("x", v),
+          GreaterThanOrEqual("x", v), LessThan("x", v),
+          LessThanOrEqual("x", v), In("x", Array[Any](v, rnd.nextLong())))) {
+        val pruned = !BatchStats.mayMatch(b, Seq(f))
+        assert(!(pruned && data.exists(holdsLong(_, f))),
+          s"unsound prune: $f over [${data.min}, ${data.max}]")
+      }
+    }
+  }
+
+  test("property: string bounds from real footers never prune a present value") {
+    // end to end through parquet + sidecar, exercising the >64-byte
+    // truncate-outward path and non-ASCII bytes: every string PRESENT
+    // in the file must survive every filter that matches it
+    val rnd = new scala.util.Random(7)
+    def randStr(): String = {
+      val n = rnd.nextInt(90) + 1 // many exceed MaxStringBound=64
+      Seq.fill(n)(
+        if (rnd.nextBoolean()) ('a' + rnd.nextInt(26)).toChar.toString
+        else if (rnd.nextBoolean()) "é" else "日").mkString.take(n)
+    }
+    val values = Seq.fill(40)(randStr())
+    val (root, manPath, man) = freshTable("stats_prop_")
+    // ONE part file: the per-file bounds below must cover every value
+    StatsSinks.appendBatchStats(
+      values.zipWithIndex.map { case (s, i) => (i, s) }.toDF("id", "name")
+        .coalesce(1),
+      root, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+    val bounds = BatchStats
+      .read(spark.sparkContext.hadoopConfiguration, s"$root/batch=0").get
+      .values.head
+    for (s <- values; f <- Seq[Filter](EqualTo("name", s),
+        StringStartsWith("name", s.take(rnd.nextInt(s.length) + 1)),
+        GreaterThanOrEqual("name", s), LessThanOrEqual("name", s))) {
+      assert(BatchStats.mayMatch(bounds, Seq(f)),
+        s"pruned a filter satisfied by present value '$s': $f")
+    }
+    // and equality on values PAST the bounds does prune (non-vacuous)
+    assert(!BatchStats.mayMatch(bounds, Seq(EqualTo("name", "￿￿"))))
+  }
+
   test("Infinity/NaN in double data never crashes a filtered scan") {
     // a column containing +/-Infinity gets infinite footer bounds —
     // the sidecar must poison that column (no pruning), and any
