@@ -208,14 +208,25 @@ private[graft] object SinkEpochLog {
               "(from a non-sink producer) — committing would un-name its " +
               "dirs; choose a manifest this sink owns exclusively")
         if (!graft.util.AtomicText.createExclusive(
-            path(manifestPath, epochId), queryId + "\n"))
-          // lost the create race: whoever won wrote their id
-          ownerOf(manifestPath, epochId) match {
-            case Some(owner) if owner == queryId => ()
-            case Some(owner) => refuseOwned(epochId, owner, queryId)
-            case None => throw new IllegalStateException(
-              s"epoch $epochId ownership file vanished mid-claim")
+            path(manifestPath, epochId), queryId + "\n")) {
+          // lost the create race: the winner writes its id right after
+          // the exclusive create, so briefly poll through the
+          // created-but-not-yet-written window (concurrent tasks of
+          // the SAME query race here routinely)
+          var owner = ownerOf(manifestPath, epochId)
+          var waits = 0
+          while (owner.isEmpty && waits < 100) {
+            Thread.sleep(10); owner = ownerOf(manifestPath, epochId); waits += 1
           }
+          owner match {
+            case Some(o) if o == queryId => ()
+            case Some(o) => refuseOwned(epochId, o, queryId)
+            case None => throw new IllegalStateException(
+              s"epoch $epochId ownership file exists but never received " +
+                "an owner id — a claimant died mid-write; delete " +
+                s"${path(manifestPath, epochId)} to recover")
+          }
+        }
     }
     passed.add(key); ()
   }

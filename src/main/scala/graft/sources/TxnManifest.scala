@@ -37,6 +37,10 @@ import graft.util.AtomicText
   * writer stale by many versions still hits an existing claim and is
   * fenced — never delete them below the current version.
   */
+/** One [[TxnManifest.history]] row: what a version's commit changed. */
+final case class VersionChange(version: Long, added: Seq[String],
+                               removed: Seq[String])
+
 final class TxnManifest(path: String) {
 
   /** batchId → the output directories that batch committed. */
@@ -85,6 +89,56 @@ final class TxnManifest(path: String) {
     require(!pruned.contains(batchId),
       s"batch id $batchId still names other dirs — $hint")
     writeCas(v, pruned + (batchId -> dirs))
+  }
+
+  /** Commit history from the persisted claim files — Delta
+    * `DESCRIBE HISTORY` on the version-CAS log. Each entry diffs a
+    * version against its predecessor: which directories the commit
+    * ADDED and which it UN-NAMED (appends add, merges/compactions do
+    * both). Claims are tombstones that never get deleted, so the
+    * history is complete from version 1; a version whose claim is
+    * missing (pre-CAS manifest upgraded in place) appears with its
+    * full state as `added`. */
+  def history(): Seq[VersionChange] = {
+    val (current, _) = readState()
+    (1L to current).map { v =>
+      val entries = entriesAt(v).getOrElse(Map.empty)
+      val prev = if (v == 1) Map.empty[Int, Seq[String]]
+        else entriesAt(v - 1).getOrElse(Map.empty)
+      val prevDirs = prev.values.flatten.toSet
+      val curDirs = entries.values.flatten.toSet
+      VersionChange(v, added = (curDirs -- prevDirs).toSeq.sorted,
+        removed = (prevDirs -- curDirs).toSeq.sorted)
+    }
+  }
+
+  /** RESTORE to an earlier version (Delta `RESTORE TABLE ... VERSION
+    * AS OF`): re-commits that version's full entry state as a NEW
+    * version through the same CAS, so the restore itself is fenced,
+    * atomic, and appears in [[history]] — nothing is rewritten on
+    * disk, only the view flips. Directories the restored state names
+    * must still exist (run restore inside the vacuum retention
+    * window, Delta's own constraint). Change-feed caveat, same as
+    * Delta's: restored batch ids are OLD ids, invisible to consumers
+    * already past them — consumers that drained the now-un-restored
+    * changes should re-bootstrap. */
+  def restoreTo(version: Long): Unit = {
+    val (current, _) = readState()
+    require(version >= 1 && version < current,
+      s"restore target $version out of range [1, ${current - 1}]")
+    val entries = entriesAt(version).getOrElse(throw new IllegalStateException(
+      s"no claim file for version $version — pre-CAS history is not restorable"))
+    writeCas(current, entries)
+  }
+
+  /** The full entry state at `version`, from its claim tombstone. */
+  private def entriesAt(version: Long): Option[Map[Int, Seq[String]]] = {
+    val lines = AtomicText.readLines(s"$path.v$version")
+    if (lines.isEmpty) None
+    else Some(lines.filterNot(_.startsWith("#")).map { line =>
+      val fields = line.split('\t')
+      fields.head.toInt -> fields.tail.toSeq
+    }.toMap)
   }
 
   /** One consistent snapshot: (version, entries). A missing header

@@ -643,6 +643,39 @@ class SourcesSpec extends SparkSuite {
     assert(!man2.committed().contains(13) && !man2.committed().contains(99))
   }
 
+  test("manifest history and RESTORE from claim tombstones") {
+    import graft.sources.VersionChange
+    val tmp = java.nio.file.Files.createTempDirectory("man_hist_").toString
+    val root = s"$tmp/t"
+    val man = new TxnManifest(s"$tmp/_commits")
+    def mk(b: Int): String = {
+      Sinks.appendBatch(Seq((b.toLong, s"v$b")).toDF("id", "v"), root, b)
+      s"$root/batch=$b"
+    }
+    val d0 = mk(0); man.commit(0, Seq(d0))          // v1: append
+    val d1 = mk(1); man.commit(1, Seq(d1))          // v2: append
+    val d2 = mk(2); man.replaceDirs(Set(d0), 2, Seq(d2)) // v3: merge shape
+    assert(man.history() == Seq(
+      VersionChange(1, added = Seq(d0), removed = Nil),
+      VersionChange(2, added = Seq(d1), removed = Nil),
+      VersionChange(3, added = Seq(d2), removed = Seq(d0))))
+
+    // RESTORE to the pre-merge view: nothing rewritten on disk, the
+    // view flips as a NEW fenced version and lands in history
+    man.restoreTo(2)
+    assert(man.version() == 4)
+    assert(man.committedDirs(root).toSet == Set(d0, d1))
+    assert(Sinks.readCommitted(spark, root, man)
+      .select("id").as[Long].collect().toSet == Set(0L, 1L))
+    assert(man.history().last ==
+      VersionChange(4, added = Seq(d0), removed = Seq(d2)))
+    // the un-restored merge output is now an orphan: vacuumable
+    assert(Sinks.vacuum(root, man, graceMillis = 0).contains("batch=2"))
+
+    intercept[IllegalArgumentException] { man.restoreTo(0) }
+    intercept[IllegalArgumentException] { man.restoreTo(4) } // current
+  }
+
   test("manifest replacement is atomic under a concurrent reader") {
     // regression guard for the FileContext refactor: RawLocalFs's
     // default rename(OVERWRITE) is delete-then-rename, and a reader in
