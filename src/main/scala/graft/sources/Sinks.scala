@@ -313,9 +313,12 @@ object Sinks {
           both.headOption.map(_.toString).getOrElse(""))
     }
 
-    // sidecar pruning BEFORE any scan: a dir whose key bounds exclude
-    // the whole matched-key range cannot contain a matched row
-    val candidates = statsCandidateDirs(spark, dirs, allKeys, keys)
+    // the matched keys' [min, max] per key column: prunes whole dirs
+    // via their stats sidecars AND row groups inside the surviving
+    // files via parquet's own min/max (the range predicate pushes to
+    // the scan) — the probe seeks instead of scanning
+    val range = keyRange(allKeys, keys)
+    val candidates = statsCandidateDirs(spark, dirs, range, keys)
 
     // input_file_name yields URIs (file:///…); manifest dirs are plain
     // paths — normalize both sides before the prefix match
@@ -323,9 +326,14 @@ object Sinks {
     val affectedDirs =
       if (candidates.isEmpty) Seq.empty[String]
       else {
-        val probe = affectedFileProbe(
-          spark.read.option("mergeSchema", true).parquet(candidates: _*),
-          allKeys, keys)
+        val scan = spark.read.option("mergeSchema", true).parquet(candidates: _*)
+        val ranged = range.fold(scan) { r =>
+          scan.where(keys.zipWithIndex.map { case (k, i) =>
+            col(k) >= org.apache.spark.sql.functions.lit(r.get(2 * i)) &&
+              col(k) <= org.apache.spark.sql.functions.lit(r.get(2 * i + 1))
+          }.reduce(_ && _))
+        }
+        val probe = affectedFileProbe(ranged, allKeys, keys)
         val affectedFiles = probe.collect().map(r => pathOf(r.getString(0)))
         candidates.filter(d =>
           affectedFiles.exists(_.startsWith(pathOf(d) + "/")))
@@ -400,23 +408,30 @@ object Sinks {
       .select("__file").distinct()
   }
 
-  /** Committed dirs that MAY contain one of `matchKeys` — per-file
-    * sidecar bounds checked against the matched keys' [min, max]
-    * range for every key column; a dir prunes only when EVERY file's
-    * bounds provably exclude the whole range (missing sidecar or
-    * non-prunable key type ⇒ candidate). The range agg is one tiny
-    * job over the keys-only frame. */
-  private[graft] def statsCandidateDirs(spark: org.apache.spark.sql.SparkSession,
-                                 dirs: Seq[String], matchKeys: DataFrame,
-                                 keys: Seq[String]): Seq[String] = {
+  /** The matched keys' per-column [min, max] as one tiny agg job;
+    * None when the key set is empty or carries nulls (no pruning). */
+  private[graft] def keyRange(matchKeys: DataFrame, keys: Seq[String])
+    : Option[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.functions.{max, min}
-    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
     val aggs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
     val range = matchKeys.agg(aggs.head, aggs.tail: _*).collect().head
-    if (range.anyNull) return dirs // no keys, or null keys: no pruning
+    if (range.anyNull) None else Some(range)
+  }
+
+  /** Committed dirs that MAY contain one of the matched keys —
+    * per-file sidecar bounds checked against the keys' [min, max]
+    * range for every key column; a dir prunes only when EVERY file's
+    * bounds provably exclude the whole range (missing sidecar or
+    * non-prunable key type ⇒ candidate). */
+  private[graft] def statsCandidateDirs(spark: org.apache.spark.sql.SparkSession,
+                                 dirs: Seq[String],
+                                 range: Option[org.apache.spark.sql.Row],
+                                 keys: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    val r = range.getOrElse(return dirs) // no keys, or null keys: no pruning
     val filters = keys.zipWithIndex.flatMap { case (k, i) =>
-      Seq(GreaterThanOrEqual(k, range.get(2 * i)),
-        LessThanOrEqual(k, range.get(2 * i + 1)))
+      Seq(GreaterThanOrEqual(k, r.get(2 * i)),
+        LessThanOrEqual(k, r.get(2 * i + 1)))
     }
     val conf = spark.sparkContext.hadoopConfiguration
     dirs.filter { dir =>

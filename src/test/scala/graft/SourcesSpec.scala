@@ -304,11 +304,12 @@ class SourcesSpec extends SparkSuite {
     // before any scan
     val keys = (1010L to 1020L).toDF("id")
     val cands = Sinks.statsCandidateDirs(spark, man.committedDirs(root),
-      keys, Seq("id"))
+      Sinks.keyRange(keys, Seq("id")), Seq("id"))
     assert(cands == Seq(s"$root/batch=1"), s"got $cands")
-    // keys with no sidecar info (null range) keep every dir
+    // an empty key set (None range) keeps every dir
+    assert(Sinks.keyRange(Seq.empty[Long].toDF("id"), Seq("id")).isEmpty)
     assert(Sinks.statsCandidateDirs(spark, man.committedDirs(root),
-      Seq.empty[Long].toDF("id"), Seq("id")) == man.committedDirs(root))
+      None, Seq("id")) == man.committedDirs(root))
 
     // the merge itself: only batch=1 rewritten
     Sinks.mergeUpsert(spark,
