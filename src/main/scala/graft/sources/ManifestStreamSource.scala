@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.read.streaming
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualNullSafe, EqualTo, Filter, In, Or}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -403,6 +403,16 @@ private[graft] object GraftManifestSource {
     else Some(spark.read.option("mergeSchema", true).parquet(dirs: _*).schema)
   }
 
+  /** True when the filter (or any branch of it) is a membership probe
+    * a [[BloomIndex]] sidecar could answer — the gate that keeps
+    * range-only scans from paying the bloom deserialization. */
+  private def hasEqualityFilter(f: Filter): Boolean = f match {
+    case _: EqualTo | _: EqualNullSafe | _: In => true
+    case And(l, r) => hasEqualityFilter(l) || hasEqualityFilter(r)
+    case Or(l, r)  => hasEqualityFilter(l) || hasEqualityFilter(r)
+    case _         => false
+  }
+
   /** Every parquet file committed for a batch id in `(from, to]`,
     * one [[InputPartition]] per file. Ids are sparse (watermark-
     * derived), so the range filters ids that EXIST — absent ids in the
@@ -427,6 +437,13 @@ private[graft] object GraftManifestSource {
       // column; files absent from the sidecar (or no sidecar) read
       val stats =
         if (pushed.isEmpty) None else BatchStats.read(conf, dir)
+      // bloom sidecars answer the equality probes min/max cannot
+      // (high-cardinality ids whose range spans every file); the
+      // sidecar deserializes real bits, so only touch it when an
+      // equality-shaped filter was actually pushed
+      val blooms =
+        if (pushed.exists(hasEqualityFilter)) BloomIndex.read(conf, dir)
+        else None
       val p = new HPath(dir)
       val fc =
         if (p.toUri.getScheme == null) FileContext.getFileContext(conf)
@@ -446,7 +463,9 @@ private[graft] object GraftManifestSource {
           st.isFile && n.endsWith(".parquet") &&
             !n.startsWith(".") && !n.startsWith("_") &&
             stats.flatMap(_.get(n))
-              .forall(BatchStats.mayMatch(_, pushed))
+              .forall(BatchStats.mayMatch(_, pushed)) &&
+            blooms.flatMap(_.get(n))
+              .forall(BloomIndex.mayMatch(_, pushed))
         }
         .map(st => ManifestFilePartition(st.getPath.toString, st.getLen,
           st.getModificationTime))
