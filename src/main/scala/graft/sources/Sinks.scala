@@ -262,16 +262,27 @@ object Sinks {
     * with its schema intact, and a later insert re-populates it.
     *
     * @param mergeId batch id for the rewritten output; must not
-    *   collide with a live batch id. */
+    *   collide with a live batch id.
+    * @param unionRoots merge against EVERY dir the manifest names, not
+    *   just those under `root` — the SHALLOW-CLONE write path: the
+    *   clone's manifest spans the source's root (inherited dirs) and
+    *   its own, the rewrite lands under the clone's `root`, and
+    *   `replaceDirs` un-names affected SOURCE dirs from the CLONE
+    *   manifest only — copy-on-write across roots, source untouched.
+    *   Never set on a dual-write manifest (its roots are different
+    *   logical tables). */
   def merge(spark: org.apache.spark.sql.SparkSession,
             updates: Option[DataFrame], deletes: Option[DataFrame],
             root: String, manifest: TxnManifest, keys: Seq[String],
-            mergeId: Int, cdf: Boolean = false): Unit =
+            mergeId: Int, cdf: Boolean = false,
+            unionRoots: Boolean = false): Unit =
     withJobDescription(spark, s"graft: merge $root -> batch=$mergeId") {
     import org.apache.spark.sql.functions.{count, lit}
     require(updates.nonEmpty || deletes.nonEmpty,
       "merge needs an upsert arm, a delete arm, or both")
-    val dirs = manifest.committedDirs(root)
+    val dirs =
+      if (unionRoots) manifest.committedDirsAll()
+      else manifest.committedDirs(root)
     require(dirs.nonEmpty, s"nothing committed under $root to merge into")
     val target = s"$root/batch=$mergeId"
     require(!dirs.contains(target), s"mergeId $mergeId is a live batch")
@@ -577,6 +588,21 @@ object Sinks {
     if (dirs.isEmpty)
       throw new IllegalStateException(
         s"no committed batches under $root — nothing visible yet")
+    spark.read.option("mergeSchema", true).parquet(dirs: _*)
+  }
+
+  /** [[readCommitted]] across EVERY root the manifest names — how a
+    * SHALLOW CLONE is read: inherited source-root dirs and the
+    * clone's own writes serve as one table, oldest batch first. A
+    * source dir deleted out from under the clone (source vacuumed
+    * past the clone's snapshot) fails here with parquet's
+    * path-not-found, the fail-loud contract — never a silently
+    * shorter table. Do not use on a dual-write manifest. */
+  def readCommittedUnion(spark: org.apache.spark.sql.SparkSession,
+                         manifest: TxnManifest): DataFrame = {
+    val dirs = manifest.committedDirsAll()
+    if (dirs.isEmpty)
+      throw new IllegalStateException("manifest has no committed batches")
     spark.read.option("mergeSchema", true).parquet(dirs: _*)
   }
 

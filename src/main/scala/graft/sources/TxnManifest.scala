@@ -55,6 +55,15 @@ final class TxnManifest(path: String) {
       .flatMap(_._2)
       .filter(_.startsWith(root + "/"))
 
+  /** Every committed directory under EVERY root, oldest batch first —
+    * the view a SHALLOW CLONE reads through, whose entries span the
+    * source's root (inherited, zero-copy) and its own (new writes,
+    * copy-on-write rewrites). Do not use on a dual-write manifest:
+    * there the roots are DIFFERENT logical tables and the per-root
+    * [[committedDirs]] filter is the table boundary. */
+  def committedDirsAll(): Seq[String] =
+    committed().toSeq.sortBy(_._1).flatMap(_._2)
+
   /** The ONE commit point: all of `dirs` become visible together or —
     * on a crash before the atomic rename — none do. */
   def commit(batchId: Int, dirs: Seq[String]): Unit = {
@@ -89,6 +98,40 @@ final class TxnManifest(path: String) {
     require(!pruned.contains(batchId),
       s"batch id $batchId still names other dirs — $hint")
     writeCas(v, pruned + (batchId -> dirs))
+  }
+
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`): this
+    * fresh manifest adopts the source's current entries under
+    * `srcRoot` — same batch ids, same directory paths, ZERO data
+    * moved. Because committed batch dirs are immutable, the clone is
+    * a consistent snapshot: later source commits never appear in it,
+    * and the clone's own writes (appends under its own root, or
+    * cross-root copy-on-write merges via
+    * [[Sinks.merge]]`(unionRoots = true)`) never touch the source.
+    *
+    * The one shared-fate hazard is Delta's own: the clone REFERENCES
+    * source files it does not own. A source-side MERGE or compaction
+    * un-names dirs from the SOURCE manifest only; a subsequent
+    * `vacuum(srcRoot, srcManifest)` then deletes them out from under
+    * the clone, and clone reads fail loudly (missing committed dir).
+    * Vacuum the source only when no live clone still references its
+    * un-named history — the same operational rule as Delta shallow
+    * clones.
+    *
+    * One commit, one version: the whole snapshot lands through the
+    * same CAS as any other commit, so a racing writer on the DEST
+    * manifest is fenced. The dest must be fresh — cloning over a
+    * live table would silently discard it. */
+  def cloneFrom(src: TxnManifest, srcRoot: String): Unit = {
+    val (v, cur) = readState()
+    require(v == 0 && cur.isEmpty,
+      s"clone destination $path is not a fresh manifest " +
+        s"(version $v, ${cur.size} entries)")
+    val entries = src.committed().view
+      .mapValues(_.filter(_.startsWith(srcRoot + "/")))
+      .filter(_._2.nonEmpty).toMap
+    require(entries.nonEmpty, s"nothing committed under $srcRoot to clone")
+    writeCas(v, entries)
   }
 
   /** Commit history from the persisted claim files — Delta
