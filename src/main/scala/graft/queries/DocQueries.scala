@@ -321,6 +321,14 @@ object DocQueries {
     }),
 
     // Character-5-gram Jaccard near-dup within (lang, n_chars±2) blocks.
+    // Passage-level exact dedup (the span-granularity the doc-level
+    // dd1/dd2 family cannot see): 8-token passages, first global
+    // occurrence kept, documents reassembled. dedupCorpus's perturbed
+    // copies share every full passage with their originals, so the
+    // copies' bodies dedup away and only their changed tail survives.
+    "dd11_passage_dedup" -> ((s, d) =>
+      graft.text.PassageDedup.dedup(dedupCorpus(s, d), col("text"), k = 8)),
+
     "dd4_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       // cached: three consumers (counts + both sides of the
@@ -591,6 +599,26 @@ object DocQueries {
     "dd6_dedup_clusters" -> ccOracle,
     // star contraction computes the same components; identical oracle
     "dd8_cc_star" -> ccOracle,
+    "dd11_passage_dedup" ->
+      s"""WITH $corpusCte,
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus),
+        |p AS (SELECT doc_id,
+        |  unnest(list_transform(range(0, CAST(ceil(len(ts)/8.0) AS BIGINT)),
+        |    i -> {'pidx': CAST(i AS INTEGER),
+        |          'passage': array_to_string(ts[i*8+1 : i*8+8], ' ')})) AS u
+        |  FROM toks),
+        |k AS (SELECT doc_id, u.pidx AS pidx, u.passage AS passage,
+        |  row_number() OVER (PARTITION BY md5(u.passage)
+        |                     ORDER BY doc_id, u.pidx) AS rn FROM p),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(passage, ' ' ORDER BY pidx) AS text_dedup
+        |  FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(ceil(len(t.ts)/8.0) AS BIGINT) AS n_passages,
+        |  COALESCE(a.n_kept, 0) AS n_kept,
+        |  COALESCE(a.text_dedup, '') AS text_dedup
+        |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     "dd4_ngram_jaccard" ->
       """WITH grams AS (
         |  SELECT DISTINCT doc_id,

@@ -77,6 +77,29 @@ class TextSpec extends SparkSuite {
     assert(r(4L) == ((1L, 0.0)))
   }
 
+  test("passage dedup: first global occurrence wins, docs reassemble in order") {
+    import graft.text.PassageDedup
+    // k=2 passages: doc 1 = [a b][c d], doc 2 repeats [a b] then adds
+    // [x y]; doc 3 repeats [a b] TWICE (cross-doc and within-doc dups)
+    // and nothing else — it must survive as an empty row, not vanish
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "a b a b")).toDF("doc_id", "text")
+    val r = PassageDedup.dedup(docs, $"text", k = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((2L, 2L, "a b c d")))
+    assert(r(2L) == ((2L, 1L, "x y")))
+    assert(r(3L) == ((2L, 0L, "")))
+    // trailing short passage is its own unit: [a b][c] vs [c] elsewhere
+    val docs2 = Seq((1L, "a b c"), (2L, "c")).toDF("doc_id", "text")
+    val r2 = PassageDedup.dedup(docs2, $"text", k = 2)
+      .collect().map(x => x.getLong(0) -> x.getString(3)).toMap
+    assert(r2(1L) == "a b c")
+    assert(r2(2L) == "") // doc 1's trailing [c] came first in doc order
+  }
+
   test("simhash: identical docs equal, near docs close, distant docs far") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
