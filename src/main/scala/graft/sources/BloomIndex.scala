@@ -55,6 +55,9 @@ object BloomIndex {
     * ~1.2 MB per million rows per column. */
   val DefaultFpp = 0.01
 
+  /** True when `dt` can carry a bloom index. */
+  def indexable(dt: DataType): Boolean = kindOf(dt).nonEmpty
+
   /** Indexed-domain tag: `L` signed integral, `S` UTF-8 string. */
   private def kindOf(dt: DataType): Option[String] = dt match {
     case ByteType | ShortType | IntegerType | LongType => Some("L")
@@ -134,6 +137,39 @@ object BloomIndex {
         .map(_.getRowCount).sum
       finally reader.close()
     }.toMap
+  }
+
+  /** Column names indexed in `dir`'s sidecar — names only, no bloom
+    * deserialization (a coverage probe, not a read). Empty when the
+    * sidecar is absent or torn. */
+  def indexedColumns(conf: Configuration, dir: String): Set[String] = {
+    val p = new HPath(s"$dir/$SidecarName")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Set.empty
+    else try AtomicText.readLines(p.toString)
+      .flatMap(_.split('\t').lift(1)).toSet
+    catch { case scala.util.control.NonFatal(_) => Set.empty }
+  }
+
+  /** Maintenance continuity: a compaction/z-order/merge REWRITES files
+    * whose blooms die with them — without this, every maintenance op
+    * silently downgrades point lookups back to full scans (the same
+    * contract as re-statting the output with [[BatchStats]]). Rebuilds
+    * on `target` the union of columns indexed anywhere in `inputDirs`,
+    * restricted to columns the rewritten output still carries with an
+    * indexable type (schema evolution may have dropped or retyped
+    * one — best-effort continuity, unlike [[writeSidecar]]'s loud
+    * opt-in contract). Returns the columns rebuilt. */
+  def carryOver(spark: SparkSession, inputDirs: Seq[String],
+                target: String, fpp: Double = DefaultFpp): Set[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wanted = inputDirs.flatMap(indexedColumns(conf, _)).toSet
+    if (wanted.isEmpty) return Set.empty
+    val schema = spark.read.parquet(target).schema
+    val cols = wanted.filter(c =>
+      schema.fields.exists(f => f.name == c && kindOf(f.dataType).nonEmpty))
+    if (cols.nonEmpty) writeSidecar(spark, target, cols.toSeq.sorted, fpp)
+    cols
   }
 
   /** Sidecar blooms for `dir` keyed by file name then column; None

@@ -49,7 +49,8 @@ import org.apache.spark.sql.types.StructType
   * batches and overwriting their dirs.
   */
 final class GraftManifestStreamingWrite(root: String, manifestPath: String,
-                                        schema: StructType, queryId: String)
+                                        schema: StructType, queryId: String,
+                                        bloomCols: Seq[String] = Nil)
   extends StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -105,9 +106,13 @@ final class GraftManifestStreamingWrite(root: String, manifestPath: String,
     }
     // stat the epoch before it becomes visible: sink-fed tables stay
     // data-skippable like every other committing surface (driver-side
-    // footer pass over the epoch's files)
-    SparkSession.getActiveSession.foreach(s =>
-      BatchStats.writeSidecar(s, s"$root/batch=$epochId"))
+    // footer pass over the epoch's files); declared bloom columns are
+    // indexed with it (one extra pass over the fresh epoch)
+    SparkSession.getActiveSession.foreach { s =>
+      BatchStats.writeSidecar(s, s"$root/batch=$epochId")
+      if (bloomCols.nonEmpty)
+        BloomIndex.writeSidecar(s, s"$root/batch=$epochId", bloomCols)
+    }
     manifest.commit(id, Seq(s"$root/batch=$epochId"))
   }
 

@@ -106,13 +106,29 @@ final class GraftManifestTable(tableSchema: StructType,
       throw new UnsupportedOperationException(
         "graft-manifest sink does not write through a schemaLog mapping; " +
           "use SchemaLog.appendBatchMapped (or drop the schemaLog option)")
+    // opt-in per-epoch bloom indexing (Delta's bloomFilterIndex shape,
+    // declared at the sink): validate names and types NOW, at plan
+    // time — a bad column must not fail the first epoch's commit
+    val bloomCols: Seq[String] =
+      Option(options.get("bloomColumns")).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    bloomCols.foreach { c =>
+      val f = info.schema().fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"bloomColumns names '$c', absent from the write schema " +
+            info.schema().simpleString))
+      if (!BloomIndex.indexable(f.dataType))
+        throw new IllegalArgumentException(
+          s"bloomColumns column '$c' has unindexable type " +
+            s"${f.dataType.simpleString} (string and signed integral only)")
+    }
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
           override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
             new GraftManifestStreamingWrite(root, manifestPath, info.schema(),
-              info.queryId())
+              info.queryId(), bloomCols)
         }
     }
   }

@@ -108,8 +108,10 @@ object Sinks {
     require(!dirs.contains(target), s"compactId $compactId is a live batch")
     all.coalesce(numFiles).write.mode(SaveMode.Overwrite).parquet(target)
     // maintenance must not LOSE data-skipping capability: re-stat the
-    // compacted files (cheap footer pass) before they become visible
+    // compacted files (cheap footer pass) and rebuild any bloom
+    // coverage the inputs carried, before they become visible
     BatchStats.writeSidecar(spark, target)
+    BloomIndex.carryOver(spark, dirs, target)
     writeNoChangeMarker(spark, root, compactId)
     writeFeedMarker(root, compactId, manifest, dirs.toSet)
     // ONE commit point: all input batches' entries are replaced by the
@@ -187,6 +189,7 @@ object Sinks {
     val all = spark.read.option("mergeSchema", true).parquet(dirs: _*)
     Layout.writeZOrdered(all, target, a, b, numFiles)
     BatchStats.writeSidecar(spark, target)
+    BloomIndex.carryOver(spark, dirs, target)
     writeNoChangeMarker(spark, root, compactId)
     writeFeedMarker(root, compactId, manifest, dirs.toSet)
     manifest.replaceAll(root, compactId, Seq(target))
@@ -364,8 +367,10 @@ object Sinks {
       kept.unionByName(u, allowMissingColumns = true))
     merged.write.mode(SaveMode.Overwrite).parquet(target)
     // rewritten dirs may have carried stats sidecars — the merge
-    // output keeps the table skippable (cheap footer pass)
+    // output keeps the table skippable (cheap footer pass), and any
+    // bloom coverage the rewritten dirs carried is rebuilt with it
     BatchStats.writeSidecar(spark, target)
+    BloomIndex.carryOver(spark, affectedDirs, target)
 
     if (cdf) {
       val ct = (t: String) => lit(t).as(ChangeTypeCol)

@@ -115,6 +115,73 @@ class BloomSpec extends SparkSuite {
     assert(load(root, manPath).where($"id" === 1L).count() == 1)
   }
 
+  test("maintenance carries bloom coverage: compact and merge keep pruning") {
+    import graft.sources.Sinks
+    val (root, manPath, man) = freshTable("bloom_maint_")
+    val evens = (0 until 1000 by 2).map(i => (i.toLong, s"u$i")).toDF("id", "user")
+    val odds  = (1 until 1000 by 2).map(i => (i.toLong, s"u$i")).toDF("id", "user")
+    StatsSinks.appendBatchStats(evens.coalesce(1), root, 0)
+    BloomIndex.writeSidecar(spark, s"$root/batch=0", Seq("id"))
+    man.commit(0, Seq(s"$root/batch=0"))
+    StatsSinks.appendBatchStats(odds.coalesce(1), root, 1)
+    BloomIndex.writeSidecar(spark, s"$root/batch=1", Seq("id"))
+    man.commit(1, Seq(s"$root/batch=1"))
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    // compaction into 2 files: the output dir is re-indexed on `id`
+    Sinks.compact(spark, root, man, compactId = 10, numFiles = 2)
+    assert(BloomIndex.indexedColumns(conf, s"$root/batch=10") == Set("id"))
+    // pruning still works through the rebuilt index: a present id
+    // reads 1 of the 2 compacted files (ids were written pre-sorted
+    // per parity so the two coalesced files partition the rows)
+    val hits = scanFiles(load(root, manPath).where($"id" === 4L))
+    assert(hits <= 1, s"expected <=1 file after compaction, read $hits")
+
+    // merge rewrites the compacted dir: coverage survives the rewrite
+    Sinks.mergeUpsert(spark, Seq((4L, "CHANGED")).toDF("id", "user"),
+      root, man, Seq("id"), mergeId = 20)
+    assert(BloomIndex.indexedColumns(conf, s"$root/batch=20") == Set("id"))
+    assert(load(root, manPath).where($"id" === 4L)
+      .select("user").as[String].head() == "CHANGED")
+
+    // inputs without any bloom sidecar: carryOver is a no-op
+    val (root2, _, man2) = freshTable("bloom_maint2_")
+    StatsSinks.appendBatchStats(evens, root2, 0)
+    man2.commit(0, Seq(s"$root2/batch=0"))
+    Sinks.compact(spark, root2, man2, compactId = 1, numFiles = 1)
+    assert(BloomIndex.indexedColumns(conf, s"$root2/batch=1").isEmpty)
+  }
+
+  test("sink bloomColumns option indexes every epoch; bad columns fail at plan time") {
+    val base = java.nio.file.Files.createTempDirectory("bloom_sink_").toString
+    val (root, manPath) = (s"$base/t", s"$base/manifest.tsv")
+    val src = java.nio.file.Files.createTempDirectory("bloom_sink_src_").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$src/in")
+    val q = spark.readStream.schema("id LONG, v STRING").parquet(s"$src/in")
+      .writeStream.format("graft-manifest")
+      .option("manifest", manPath)
+      .option("bloomColumns", "id,v")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start(root)
+    q.processAllAvailable(); q.stop()
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(BloomIndex.indexedColumns(conf, s"$root/batch=0") == Set("id", "v"))
+    assert(scanFiles(load(root, manPath).where($"id" === 1L)) >= 1)
+
+    // unknown / unindexable columns are refused before any epoch runs
+    val bad = intercept[Exception] {
+      spark.readStream.schema("id LONG, v STRING").parquet(s"$src/in")
+        .writeStream.format("graft-manifest")
+        .option("manifest", s"$base/m2.tsv")
+        .option("bloomColumns", "nope")
+        .option("checkpointLocation", s"$base/ckpt2")
+        .start(s"$base/t2")
+        .processAllAvailable()
+    }
+    assert(bad.getMessage.contains("nope") ||
+      bad.getCause != null && bad.getCause.getMessage.contains("nope"))
+  }
+
   test("unindexable column type fails loudly at build time") {
     val (root, _, _) = freshTable("bloom_type_")
     StatsSinks.appendBatchStats(Seq((1L, 2.5)).toDF("id", "v"), root, 0)
