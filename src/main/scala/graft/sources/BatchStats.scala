@@ -47,8 +47,15 @@ import graft.util.AtomicText
   *     one level up);
   *   - null semantics: min/max ignore nulls, and every supported
   *     comparison filter is null-rejecting, so pruning on value
-  *     bounds alone is exact; IsNull/IsNotNull are deliberately
-  *     NOT evaluated against stats;
+  *     bounds alone is exact. NULL COUNTS are tracked separately
+  *     (`NC` sidecar lines, per file per column, type-agnostic —
+  *     they exist even for columns whose values are outside the
+  *     bounds surface): `IsNull` prunes a file with zero nulls,
+  *     `IsNotNull` prunes an all-null file, and every null-rejecting
+  *     comparison also prunes an all-null file (its value bounds
+  *     don't exist, but no row can match). A chunk whose null count
+  *     parquet did not record poisons the column's null info only —
+  *     value-bound pruning is unaffected;
   *   - NaN ordering (Spark ranks NaN above every double): parquet-mr
   *     NaN-poisons double chunk stats, which this collector drops, so
   *     files this engine writes are safe; a FOREIGN writer that
@@ -71,6 +78,15 @@ object BatchStats {
   final case class DoubleBounds(lo: Double, hi: Double) extends Bounds
   final case class BytesBounds(lo: Array[Byte], hi: Array[Byte]) extends Bounds
 
+  /** Known-exact null accounting for one column of one file. */
+  final case class NullCount(nulls: Long, rows: Long)
+
+  /** Everything the sidecar knows about one file: typed value bounds
+    * per column, and null counts per column (independent surfaces — a
+    * column can have either, both, or neither). */
+  final case class FileStats(bounds: Map[String, Bounds],
+                             nulls: Map[String, NullCount])
+
   /** Scan the dir's parquet footers and write the sidecar — PER FILE
     * bounds, so planning can skip individual files of a z-ordered
     * compaction, not just whole append batches. Call after the batch
@@ -80,8 +96,8 @@ object BatchStats {
   def writeSidecar(spark: SparkSession, dir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val perFile = collectBounds(conf, dir)
-    val body = perFile.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
-      cols.toSeq.sortBy(_._1).map { case (c, b) =>
+    val body = perFile.toSeq.sortBy(_._1).flatMap { case (f, fs) =>
+      fs.bounds.toSeq.sortBy(_._1).map { case (c, b) =>
         val (k, lo, hi) = b match {
           case LongBounds(kind, lo, hi) => (kind, lo.toString, hi.toString)
           case DoubleBounds(lo, hi)     => ("D", lo.toString, hi.toString)
@@ -90,6 +106,8 @@ object BatchStats {
               Base64.getEncoder.encodeToString(hi))
         }
         s"$f\t$c\t$k\t$lo\t$hi"
+      } ++ fs.nulls.toSeq.sortBy(_._1).map { case (c, nc) =>
+        s"$f\t$c\tNC\t${nc.nulls}\t${nc.rows}"
       }
     }.mkString("", "\n", "\n")
     AtomicText.writeAtomically(s"$dir/$SidecarName", body)
@@ -98,7 +116,7 @@ object BatchStats {
   /** Per-file, per-column typed bounds over every row group; columns
     * with complete stats and a supported physical/logical type only. */
   private def collectBounds(conf: Configuration, dir: String)
-    : Map[String, Map[String, Bounds]] = {
+    : Map[String, FileStats] = {
     import scala.jdk.CollectionConverters._
     val p = new HPath(dir)
     val fs = p.getFileSystem(conf)
@@ -110,6 +128,8 @@ object BatchStats {
     files.map { st =>
       val acc = scala.collection.mutable.Map.empty[String, Bounds]
       val dropped = scala.collection.mutable.Set.empty[String]
+      val nullAcc = scala.collection.mutable.Map.empty[String, NullCount]
+      val nullDropped = scala.collection.mutable.Set.empty[String]
       val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
       try reader.getFooter.getBlocks.asScala.foreach { block =>
         block.getColumns.asScala.foreach { chunk =>
@@ -127,9 +147,20 @@ object BatchStats {
               acc.update(name, acc.get(name).fold(b)(widen(_, b)))
             case _ => () // unsupported type: never in the sidecar
           }
+          // null counts are TYPE-AGNOSTIC — tracked even for columns
+          // whose values are outside the bounds surface; an unset
+          // chunk count poisons only the null info, never the bounds
+          if (stats != null && stats.isNumNullsSet && stats.getNumNulls >= 0
+              && !nullDropped.contains(name)) {
+            val add = NullCount(stats.getNumNulls, block.getRowCount)
+            nullAcc.update(name, nullAcc.get(name).fold(add)(a =>
+              NullCount(a.nulls + add.nulls, a.rows + add.rows)))
+          } else {
+            nullDropped += name; nullAcc.remove(name); ()
+          }
         }
       } finally reader.close()
-      st.getPath.getName -> acc.toMap
+      st.getPath.getName -> FileStats(acc.toMap, nullAcc.toMap)
     }.toMap
   }
 
@@ -249,29 +280,41 @@ object BatchStats {
     * unparsable (⇒ no pruning — an old-format or torn sidecar must
     * degrade to a full read, never to a wrong skip). */
   def read(conf: Configuration, dir: String)
-    : Option[Map[String, Map[String, Bounds]]] = {
+    : Option[Map[String, FileStats]] = {
     val p = new HPath(s"$dir/$SidecarName")
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) None
     else try {
-      Some(AtomicText.readLines(p.toString).map { l =>
+      val parsed = AtomicText.readLines(p.toString).map { l =>
         val Array(f, c, k, lo, hi) = l.split('\t')
-        val b: Bounds = k match {
-          case "L" | "DT" | "TS" | "TN" => LongBounds(k, lo.toLong, hi.toLong)
-          case "D" => DoubleBounds(lo.toDouble, hi.toDouble)
-          case "S" => BytesBounds(Base64.getDecoder.decode(lo),
-            Base64.getDecoder.decode(hi))
+        val cell: Either[Bounds, NullCount] = k match {
+          case "L" | "DT" | "TS" | "TN" =>
+            Left(LongBounds(k, lo.toLong, hi.toLong))
+          case "D" => Left(DoubleBounds(lo.toDouble, hi.toDouble))
+          case "S" => Left(BytesBounds(Base64.getDecoder.decode(lo),
+            Base64.getDecoder.decode(hi)))
+          case "NC" => Right(NullCount(lo.toLong, hi.toLong))
         }
-        (f, c, b)
-      }.groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap)
+        (f, c, cell)
+      }
+      Some(parsed.groupBy(_._1).view.mapValues { rows =>
+        FileStats(
+          rows.collect { case (_, c, Left(b)) => c -> b }.toMap,
+          rows.collect { case (_, c, Right(nc)) => c -> nc }.toMap)
+      }.toMap)
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** True when the file MAY contain a row satisfying every pushed
     * filter (filters are conjunctive). Unknown columns or filter
     * shapes never prune. */
+  def mayMatch(stats: FileStats, filters: Seq[Filter]): Boolean =
+    !filters.exists(excludes(stats, _))
+
+  /** Bounds-only [[mayMatch]] — no null accounting (tests and callers
+    * that assembled raw bounds by hand). */
   def mayMatch(bounds: Map[String, Bounds], filters: Seq[Filter]): Boolean =
-    !filters.exists(excludes(bounds, _))
+    mayMatch(FileStats(bounds, Map.empty), filters)
 
   /** Filter literal → comparable in the bound's domain. None = the
     * literal does not belong to this bound's domain (or is not finite)
@@ -348,10 +391,18 @@ object BatchStats {
     a.length - b.length
   }
 
-  /** Provable exclusion of `[min, max]` by one filter. */
-  private def excludes(b: Map[String, Bounds], f: Filter): Boolean = {
+  /** Provable exclusion of `[min, max]` (or null accounting) by one
+    * filter. Every comparison shape is null-rejecting, so an all-null
+    * column excludes it even without value bounds. */
+  private def excludes(st: FileStats, f: Filter): Boolean = {
+    val b = st.bounds
+    // no row of this file carries a value in column c — provable only
+    // from a KNOWN null count covering every row
+    def allNull(c: String): Boolean =
+      st.nulls.get(c).exists(nc => nc.nulls == nc.rows && nc.rows > 0)
+    def noNull(c: String): Boolean = st.nulls.get(c).exists(_.nulls == 0)
     def cmp(c: String, v: Any)(p: (Int, Int) => Boolean): Boolean =
-      b.get(c).exists { bd =>
+      allNull(c) || b.get(c).exists { bd =>
         comparable(bd, v) match {
           case Some((lo, hi, x)) => p(x.compare(lo), x.compare(hi))
           case None => (bd, strBytes(v)) match {
@@ -364,25 +415,28 @@ object BatchStats {
     f match {
       case EqualTo(c, v) if v != null       => cmp(c, v)((l, h) => l < 0 || h > 0)
       case EqualNullSafe(c, v) if v != null => cmp(c, v)((l, h) => l < 0 || h > 0)
+      case EqualNullSafe(c, null)   => noNull(c) // <=> NULL matches only nulls
       case GreaterThan(c, v)        => cmp(c, v)((_, h) => h >= 0)
       case GreaterThanOrEqual(c, v) => cmp(c, v)((_, h) => h > 0)
       case LessThan(c, v)           => cmp(c, v)((l, _) => l <= 0)
       case LessThanOrEqual(c, v)    => cmp(c, v)((l, _) => l < 0)
+      case IsNull(c)                => noNull(c)
+      case IsNotNull(c)             => allNull(c)
       case In(c, vs) =>
         vs.nonEmpty && vs.forall(v =>
           v != null && cmp(c, v)((l, h) => l < 0 || h > 0))
       case StringStartsWith(c, prefix) =>
         // matching rows satisfy prefix <= value < bump(prefix); a file
         // wholly below or wholly at/above that window cannot match
-        b.get(c).exists {
+        allNull(c) || b.get(c).exists {
           case BytesBounds(lo, hi) =>
             val p = prefix.getBytes(StandardCharsets.UTF_8)
             unsignedCompare(hi, p) < 0 ||
               bump(p).exists(up => unsignedCompare(lo, up) >= 0)
           case _ => false
         }
-      case And(l, r) => excludes(b, l) || excludes(b, r)
-      case Or(l, r)  => excludes(b, l) && excludes(b, r)
+      case And(l, r) => excludes(st, l) || excludes(st, r)
+      case Or(l, r)  => excludes(st, l) && excludes(st, r)
       case _         => false
     }
   }

@@ -46,6 +46,50 @@ class StatsSpec extends SparkSuite {
     assert(!BatchStats.mayMatch(b, Seq(EqualTo("id", big - 1))))
   }
 
+  test("null-count pruning: IsNull, IsNotNull, and all-null files vs comparisons") {
+    val (root, manPath, man) = freshTable("stats_null_")
+    // batch 0: no nulls; batch 1: v entirely null (bounds don't exist
+    // for it — only the null count can prune)
+    StatsSinks.appendBatchStats(
+      Seq((1L, Some("a")), (2L, Some("b"))).toDF("id", "v"), root, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+    StatsSinks.appendBatchStats(
+      Seq((3L, None: Option[String]), (4L, None)).toDF("id", "v"), root, 1)
+    man.commit(1, Seq(s"$root/batch=1"))
+    val all = scanFiles(load(root, manPath))
+
+    // IS NULL opens only the all-null file; results exact
+    val qNull = load(root, manPath).where($"v".isNull)
+    assert(qNull.select("id").as[Long].collect().toSet == Set(3L, 4L))
+    assert(scanFiles(load(root, manPath).where($"v".isNull).select("id")) < all)
+    // IS NOT NULL opens only the no-null file
+    assert(load(root, manPath).where($"v".isNotNull).count() == 2)
+    assert(scanFiles(load(root, manPath).where($"v".isNotNull).select("id")) < all)
+    // equality on v: the all-null file has NO value bounds for v, yet
+    // the null count alone excludes it (null-rejecting comparison)
+    assert(scanFiles(load(root, manPath).where($"v" === "a").select("id")) < all)
+    // direct evaluation of the accounting
+    import org.apache.spark.sql.sources.{IsNull => FIsNull, IsNotNull => FIsNotNull}
+    val allNull = BatchStats.FileStats(Map.empty,
+      Map("v" -> BatchStats.NullCount(5, 5)))
+    val noNulls = BatchStats.FileStats(Map.empty,
+      Map("v" -> BatchStats.NullCount(0, 5)))
+    val mixed = BatchStats.FileStats(Map.empty,
+      Map("v" -> BatchStats.NullCount(2, 5)))
+    assert(!BatchStats.mayMatch(allNull, Seq(FIsNotNull("v"))))
+    assert(!BatchStats.mayMatch(allNull, Seq(EqualTo("v", "x"))))
+    assert(BatchStats.mayMatch(allNull, Seq(FIsNull("v"))))
+    assert(!BatchStats.mayMatch(noNulls, Seq(FIsNull("v"))))
+    assert(BatchStats.mayMatch(noNulls, Seq(FIsNotNull("v"))))
+    assert(BatchStats.mayMatch(mixed, Seq(FIsNull("v"))))
+    assert(BatchStats.mayMatch(mixed, Seq(FIsNotNull("v"))))
+    // unknown column: never prune; zero-row accounting: never prune
+    assert(BatchStats.mayMatch(allNull, Seq(FIsNotNull("w"))))
+    val empty = BatchStats.FileStats(Map.empty,
+      Map("v" -> BatchStats.NullCount(0, 0)))
+    assert(BatchStats.mayMatch(empty, Seq(FIsNotNull("v"))))
+  }
+
   test("date predicates prune files (reference CreatedOn > ... shape)") {
     val (root, manPath, man) = freshTable("stats_date_")
     def month(m: Int) = (1 to 20).map(d =>
