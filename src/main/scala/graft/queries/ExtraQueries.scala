@@ -219,6 +219,29 @@ object ExtraQueries {
     // Unlike a ROWS frame, the frame edge is a VALUE bound (peers
     // enter together), so results are independent of intra-timestamp
     // order — the form that stays deterministic under shuffle.
+    // Batch twin of the stream-stream LEFT-OUTER interval join
+    // (EventStreams.intervalJoin, the attribution shape): every click
+    // keeps its row; purchases by the same user in the preceding hour
+    // attach, absent ones leave NULLs. Equi-join on user_id with a
+    // range residual — shuffles once on the key, never a cross
+    // product; the streaming twin (StreamingSpec) evicts both states
+    // by watermark + lag bound.
+    "w6_interval_join" -> ((s, d) => {
+      // two independent reads, not one shared frame: a self-join from
+      // one lineage makes left("user_id")/right("user_id") the SAME
+      // attribute and the helper's drop(right(key)) would remove both
+      val clicks = Tables.events(s, d).filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("ts_l"))
+      val buys = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id"),
+          col("ts").as("ts_r"), col("value").as("amount"))
+      graft.streaming.EventStreams
+        .intervalJoin(clicks, buys, "user_id", "1 hour", "left_outer")
+        .select(col("click_id"), col("user_id"), col("ts_l").as("click_ts"),
+          col("buy_id"), col("amount"))
+    }),
+
     "w5_range_window" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val hourUs = 3600L * 1000000L
@@ -421,6 +444,18 @@ object ExtraQueries {
         |  greatest(least(o_totalprice, b.hi), b.lo) AS price_w,
         |  CAST(o_totalprice < b.lo OR o_totalprice > b.hi AS INTEGER) AS clipped
         |FROM orders, b""".stripMargin,
+    "w6_interval_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |    CAST(ts AS TIMESTAMP) AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (SELECT event_id AS buy_id, user_id,
+        |    CAST(ts AS TIMESTAMP) AS ts_r, value AS amount
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, c.user_id, c.click_ts, b.buy_id, b.amount
+        |FROM c LEFT JOIN b ON c.user_id = b.user_id
+        |  AND b.ts_r <= c.click_ts
+        |  AND b.ts_r >= c.click_ts - INTERVAL 1 HOUR""".stripMargin,
+
     "w5_range_window" ->
       """SELECT event_id, user_id,
         |  count(*) OVER w AS n_1h,

@@ -76,13 +76,35 @@ object EventStreams {
     * the frames as the `ts_l`/`ts_r` contract here requires). */
   def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
                          lag: String = "1 hour",
-                         watermark: String = "2 hours"): DataFrame = {
-    val l = left.withWatermark("ts_l", watermark)
-    val r = right.withWatermark("ts_r", watermark)
-    l.join(r, l(key) === r(key) &&
+                         watermark: String = "2 hours",
+                         joinType: String = "inner"): DataFrame =
+    intervalJoin(left.withWatermark("ts_l", watermark),
+      right.withWatermark("ts_r", watermark), key, lag, joinType)
+
+  /** The interval-join core, batch or pre-watermarked streaming: same
+    * `ts_l`/`ts_r` contract as [[intervalJoinStream]]. `left_outer`
+    * keeps unmatched left events with NULL right columns — in
+    * streaming they emit once the watermark proves no match can still
+    * arrive (Spark's outer-join eviction rule), in batch immediately;
+    * the RESULT is identical, which is what lets one oracle gate both
+    * engines. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   lag: String, joinType: String): DataFrame = {
+    // a self-join built from ONE lineage makes left(key) and
+    // right(key) the same attribute: the join condition still
+    // resolves, but drop(right(key)) would silently remove the LEFT
+    // column too (NULL key on every outer row). Fail loudly instead.
+    def keyAttr(df: DataFrame) =
+      df.queryExecution.analyzed.output.find(_.name == key)
+    require((for (l <- keyAttr(left); r <- keyAttr(right))
+        yield l.exprId != r.exprId).getOrElse(true),
+      s"left and right share the '$key' attribute (both sides built " +
+        "from one lineage) — derive them from separate reads, or alias " +
+        "the right key before joining")
+    left.join(right, left(key) === right(key) &&
       col("ts_r") <= col("ts_l") &&
-      col("ts_r") >= col("ts_l") - expr(s"interval $lag"))
-      .drop(r(key))
+      col("ts_r") >= col("ts_l") - expr(s"interval $lag"), joinType)
+      .drop(right(key))
   }
 
   final case class UserEvent(user_id: Long, value: Double)

@@ -74,6 +74,42 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched clicks after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, String)]
+    val buys = MemoryStream[(Long, Long, String, Double)]
+    val joined = EventStreams.intervalJoinStream(
+      clicks.toDF().toDF("click_id", "user_id", "ts_s")
+        .withColumn("ts_l", col("ts_s").cast("timestamp")).drop("ts_s"),
+      buys.toDF().toDF("buy_id", "uid", "ts_s", "amount")
+        .withColumnRenamed("uid", "user_id")
+        .withColumn("ts_r", col("ts_s").cast("timestamp")).drop("ts_s"),
+      key = "user_id", lag = "1 hour", joinType = "left_outer")
+    val q = joined.writeStream.format("memory")
+      .queryName("loj_out").outputMode("append").start()
+    try {
+      buys.addData((100L, 1L, "2024-01-01 00:10:00", 5.0))
+      clicks.addData(
+        (1L, 1L, "2024-01-01 01:00:00"),  // matched
+        (3L, 3L, "2024-01-01 01:00:00"))  // no purchase → NULL row
+      q.processAllAvailable()
+      // push both watermarks far past the clicks so the unmatched
+      // left row becomes provably unmatchable and must emit
+      buys.addData((999L, 8L, "2024-01-01 09:00:00", 0.0))
+      clicks.addData((999L, 9L, "2024-01-01 09:00:00"))
+      q.processAllAvailable()
+      buys.addData((998L, 8L, "2024-01-01 18:00:00", 0.0))
+      clicks.addData((998L, 9L, "2024-01-01 18:00:00"))
+      q.processAllAvailable()
+      val got = spark.table("loj_out")
+        .filter(col("click_id") < 900)
+        .select("click_id", "buy_id")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+      assert(got == Seq((1L, 100L), (3L, -1L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes clicks to recent purchases") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, String)]
