@@ -49,6 +49,40 @@ object Layout {
     spread(checked(a)).bitwiseOR(shiftleft(spread(checked(b)), 1))
   }
 
+  /** N-column Morton interleave (Delta `ZORDER BY (c1, ..., cn)`):
+    * bit p of column j lands at position `p * n + j`, so each file of
+    * a range-partitioned sort covers a small hyper-rectangle and
+    * min/max pruning works on ANY of the n dimensions. Each column
+    * gets `63 / n` bits (the key stays a positive long); inputs out
+    * of `[0, 2^(63/n))` fail loudly like [[mortonKey]]. The bit
+    * gather is a plain Column expression tree (~63 codegen'd terms
+    * total) — write-time cost only. Two columns should prefer
+    * [[mortonKey]]'s magic-mask fast path. */
+  def mortonKeyN(cols: Seq[Column]): Column = {
+    val n = cols.length
+    require(n >= 2 && n <= 6, s"z-order needs 2-6 columns, got $n")
+    val bits = 63 / n
+    val cap = 1L << bits
+    cols.zipWithIndex.map { case (c, j) =>
+      val cc = when(c >= 0 && c < cap, c.cast(LongType))
+        .otherwise(raise_error(concat(
+          lit(s"mortonKeyN input out of range [0, 2^$bits): "),
+          c.cast("string"))))
+      (0 until bits).map(p =>
+          shiftleft(shiftright(cc, p).bitwiseAND(lit(1L)), p * n + j))
+        .reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Scala twin of [[mortonKeyN]] — bounds unchecked, test use. */
+  def mortonKeyNRef(vs: Seq[Long]): Long = {
+    val n = vs.length
+    val bits = 63 / n
+    vs.zipWithIndex.map { case (v, j) =>
+      (0 until bits).map(p => ((v >> p) & 1L) << (p * n + j)).reduce(_ | _)
+    }.reduce(_ | _)
+  }
+
   /** Scala twin of [[mortonKey]] for property tests / driver-side
     * checks — same magic-mask pipeline. */
   def mortonKeyRef(a: Long, b: Long): Long = {
@@ -106,8 +140,19 @@ object Layout {
     * quantiles), sort within partitions, drop the key. Readers filter
     * on either column and row-group min/max does the pruning. */
   def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
-                    numFiles: Int): Unit = {
-    df.withColumn("__z", mortonKey(a, b))
+                    numFiles: Int): Unit =
+    writeZOrderedBy(df, path, mortonKey(a, b), numFiles)
+
+  /** [[writeZOrdered]] for 3+ dimensions via [[mortonKeyN]]. */
+  def writeZOrderedN(df: DataFrame, path: String, cols: Seq[Column],
+                     numFiles: Int): Unit =
+    writeZOrderedBy(df, path,
+      if (cols.length == 2) mortonKey(cols(0), cols(1)) else mortonKeyN(cols),
+      numFiles)
+
+  private def writeZOrderedBy(df: DataFrame, path: String, key: Column,
+                              numFiles: Int): Unit = {
+    df.withColumn("__z", key)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

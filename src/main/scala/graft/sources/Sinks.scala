@@ -181,13 +181,22 @@ object Sinks {
                       manifest: TxnManifest, compactId: Int,
                       a: org.apache.spark.sql.Column,
                       b: org.apache.spark.sql.Column, numFiles: Int): Unit =
+    compactZOrderedN(spark, root, manifest, compactId, Seq(a, b), numFiles)
+
+  /** OPTIMIZE ZORDER BY (c1, ..., cn) — 2 columns take
+    * [[Layout.mortonKey]]'s magic-mask fast path, 3+ interleave via
+    * [[Layout.mortonKeyN]]. */
+  def compactZOrderedN(spark: org.apache.spark.sql.SparkSession, root: String,
+                       manifest: TxnManifest, compactId: Int,
+                       cols: Seq[org.apache.spark.sql.Column],
+                       numFiles: Int): Unit =
     withJobDescription(spark, s"graft: zorder-compact $root -> batch=$compactId") {
     val dirs = manifest.committedDirs(root)
     require(dirs.nonEmpty, s"nothing committed under $root to compact")
     val target = s"$root/batch=$compactId"
     require(!dirs.contains(target), s"compactId $compactId is a live batch")
     val all = spark.read.option("mergeSchema", true).parquet(dirs: _*)
-    Layout.writeZOrdered(all, target, a, b, numFiles)
+    Layout.writeZOrderedN(all, target, cols, numFiles)
     BatchStats.writeSidecar(spark, target)
     BloomIndex.carryOver(spark, dirs, target)
     writeNoChangeMarker(spark, root, compactId)

@@ -258,6 +258,39 @@ class ScaleSpec extends SparkSuite {
     assert(zX < 128.0, s"z-order keeps x clustered too, got $zX")
   }
 
+  test("3-column z-order: key matches reference, every dimension clusters") {
+    import graft.sources.Layout
+    val rnd = new scala.util.Random(11)
+    val bits = 63 / 3 // 21 bits per column
+    val pts = Seq.fill(200)((rnd.nextInt(1 << bits).toLong,
+      rnd.nextInt(1 << bits).toLong, rnd.nextInt(1 << bits).toLong))
+    val got = pts.toDF("a", "b", "c")
+      .select(Layout.mortonKeyN(Seq($"a", $"b", $"c")))
+      .collect().map(_.getLong(0))
+    assert(got.sameElements(pts.map(p =>
+      Layout.mortonKeyNRef(Seq(p._1, p._2, p._3)))))
+    // keys stay positive (63-bit budget)
+    assert(got.forall(_ >= 0))
+    // out-of-range input fails loudly, not silently mis-keyed
+    intercept[Exception] {
+      Seq(((1L << bits) + 1, 0L, 0L)).toDF("a", "b", "c")
+        .select(Layout.mortonKeyN(Seq($"a", $"b", $"c"))).collect()
+    }
+
+    // a 32^3 cube into 8 files: every dimension's per-file spread
+    // shrinks well below the full range
+    val tmp = java.nio.file.Files.createTempDirectory("zorder3_").toString
+    val cube = (for { x <- 0 until 32; y <- 0 until 32; z <- 0 until 32 }
+      yield (x.toLong, y.toLong, z.toLong)).toDF("x", "y", "z")
+    Layout.writeZOrderedN(cube, s"$tmp/z3", Seq($"x", $"y", $"z"), 8)
+    def avgSpread(c: String): Double =
+      spark.read.parquet(s"$tmp/z3")
+        .groupBy(input_file_name()).agg((max(col(c)) - min(col(c))).as("w"))
+        .agg(avg($"w")).first().getDouble(0)
+    for (c <- Seq("x", "y", "z"))
+      assert(avgSpread(c) < 24.0, s"$c spread ${avgSpread(c)} not clustered")
+  }
+
   test("binned range join == naive inequality join, with an equi-join plan") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     // overlapping, empty, and bin-straddling intervals; points on
