@@ -341,7 +341,8 @@ object Sinks {
     // files via parquet's own min/max (the range predicate pushes to
     // the scan) — the probe seeks instead of scanning
     val range = keyRange(allKeys, keys)
-    val candidates = statsCandidateDirs(spark, dirs, range, keys)
+    val candidates = bloomCandidateDirs(spark,
+      statsCandidateDirs(spark, dirs, range, keys), allKeys, keys)
 
     // input_file_name yields URIs (file:///…); manifest dirs are plain
     // paths — normalize both sides before the prefix match
@@ -465,6 +466,46 @@ object Sinks {
         case Some(stats) =>
           stats.isEmpty || stats.values.exists(BatchStats.mayMatch(_, filters))
       }
+    }
+  }
+
+  /** Above this many matched keys the merge probe stays range-based:
+    * bloom membership needs the keys ON THE DRIVER, and a bulk
+    * backfill's key set must never be collected. */
+  private[graft] val BloomProbeMaxKeys = 10000
+
+  /** Bloom refinement of the merge probe — the TAKEDOWN shape: a
+    * small key set (opt-out purge, point repair) over uniform ids
+    * gets nothing from range pruning (every dir's `[min, max]` spans
+    * every key), but a dir whose per-file blooms reject every key
+    * provably contains no match and is dropped before the scan.
+    * Applies only when the key set is small enough to collect (≤
+    * [[BloomProbeMaxKeys]] — one `limit(n+1)` pass over the pinned
+    * keys frame) and only to dirs whose sidecar indexes EVERY key
+    * column; dirs without bloom coverage always stay candidates. A
+    * key row survives a file only when EVERY key column may contain
+    * its value (per-row conjunction — multi-key merges never
+    * cross-match one row's first component with another's second);
+    * the dir stays a candidate when any file admits any row. */
+  private[graft] def bloomCandidateDirs(spark: org.apache.spark.sql.SparkSession,
+                                        dirs: Seq[String], matchKeys: DataFrame,
+                                        keys: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.sources.EqualTo
+    if (dirs.isEmpty) return dirs
+    val conf = spark.sparkContext.hadoopConfiguration
+    val covered = dirs.filter(d =>
+      keys.toSet.subsetOf(BloomIndex.indexedColumns(conf, d)))
+    if (covered.isEmpty) return dirs
+    val sample = matchKeys.limit(BloomProbeMaxKeys + 1).collect()
+    if (sample.length > BloomProbeMaxKeys) return dirs // bulk: range-only
+    dirs.filter { d =>
+      !covered.contains(d) || (BloomIndex.read(conf, d) match {
+        case None => true // torn sidecar: must probe
+        case Some(files) => files.isEmpty || files.values.exists(fb =>
+          sample.exists(row => keys.zipWithIndex.forall { case (k, i) =>
+            BloomIndex.mayMatch(fb, Seq(EqualTo(k, row.get(i))))
+          }))
+      })
     }
   }
 

@@ -182,6 +182,47 @@ class BloomSpec extends SparkSuite {
       bad.getCause != null && bad.getCause.getMessage.contains("nope"))
   }
 
+  test("bloom-assisted merge probe: takedown delete prunes to the owning dirs") {
+    import graft.sources.Sinks
+    val (root, manPath, man) = freshTable("bloom_probe_")
+    // three batches whose id RANGES all overlap (interleaved mod 3) —
+    // range pruning is provably useless, only blooms can separate them
+    for (m <- 0 until 3) {
+      val part = (0 until 3000).filter(_ % 3 == m)
+        .map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      StatsSinks.appendBatchStats(part.coalesce(1), root, m)
+      // 1e-6 fpp: bloom hashing is deterministic, but the default 1%
+      // admits occasional false positives that would make the exact
+      // dir assertions below data-dependent
+      BloomIndex.writeSidecar(spark, s"$root/batch=$m", Seq("id"), fpp = 1e-6)
+      man.commit(m, Seq(s"$root/batch=$m"))
+    }
+    // unit: keys living only in batch 1 (ids ≡ 1 mod 3) keep only it
+    val dirs = (0 until 3).map(m => s"$root/batch=$m")
+    val keys1 = Seq(1L, 7L, 601L).toDF("id")
+    val pruned = Sinks.bloomCandidateDirs(spark, dirs, keys1, Seq("id"))
+    assert(pruned == Seq(s"$root/batch=1"))
+    // a dir without bloom coverage always stays a candidate
+    val fc = new java.io.File(s"$root/batch=2/_bloom.tsv")
+    assert(fc.delete())
+    val pruned2 = Sinks.bloomCandidateDirs(spark, dirs, keys1, Seq("id"))
+    assert(pruned2 == Seq(s"$root/batch=1", s"$root/batch=2"))
+    BloomIndex.writeSidecar(spark, s"$root/batch=2", Seq("id"), fpp = 1e-6)
+    // key set above the collect cap: range-only, nothing pruned
+    val manyKeys = (0L until Sinks.BloomProbeMaxKeys + 1L).toDF("id")
+    assert(Sinks.bloomCandidateDirs(spark, dirs, manyKeys, Seq("id")) == dirs)
+
+    // end-to-end: the takedown delete touches ONLY batch 1; the other
+    // two batches' manifest entries survive the commit untouched
+    Sinks.mergeDelete(spark, Seq(1L, 7L).toDF("id"), root, man,
+      Seq("id"), mergeId = 50)
+    val after = man.committed()
+    assert(after.contains(0) && after.contains(2) && after.contains(50))
+    assert(!after.contains(1), "batch 1 should be rewritten into 50")
+    assert(load(root, manPath).count() == 2998)
+    assert(load(root, manPath).where($"id".isin(1L, 7L)).count() == 0)
+  }
+
   test("unindexable column type fails loudly at build time") {
     val (root, _, _) = freshTable("bloom_type_")
     StatsSinks.appendBatchStats(Seq((1L, 2.5)).toDF("id", "v"), root, 0)
