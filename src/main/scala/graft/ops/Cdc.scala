@@ -69,7 +69,9 @@ object Cdc {
       m
     }
 
-    def read(table: String): Long = load().getOrElse(table, initial)
+    def read(table: String): Long = synchronized {
+      load().getOrElse(table, initial)
+    }
 
     /** MERGE-equivalent upsert (`accounts.py:131-140`): read-modify-write
       * of the (tiny) state, committed as write-temp-file + Hadoop
@@ -79,7 +81,11 @@ object Cdc {
       * neither (the round-1 delete+rename DIRECTORY swap had a window
       * that lost the state and forced a reprocess-from-initial on
       * restart; a single-file rename is the atomic primitive). */
-    def upsert(table: String, maxIndex: Long): Unit = {
+    def upsert(table: String, maxIndex: Long): Unit = synchronized {
+      // synchronized (with read): the store stays single-PROCESS, but
+      // Orchestrator.runConcurrent runs same-wave pipelines on driver
+      // threads, and an unguarded read-modify-write here would lose
+      // one table's watermark to another's concurrent upsert
       AtomicText.requireCleanKey(table, "watermark table name")
       val updated = load() + (table -> maxIndex)
       val body = updated.toSeq.sorted

@@ -129,6 +129,50 @@ class OpsSpec extends SparkSuite {
     assert(partial.getMessage.contains("unprocessed rows beyond watermark"))
   }
 
+  test("Orchestrator.runConcurrent: waves run parallel, results deterministic") {
+    import Orchestrator.Pipeline
+    val tmp = java.nio.file.Files.createTempDirectory("orch_par_").toString
+    val store = new Cdc.WatermarkStore(spark, s"$tmp/wm", initial = -1L)
+    val src = (0L until 40L).map(i => (i, i * 2)).toDF("id", "v")
+    src.write.parquet(s"$tmp/src")
+    def loopPipeline(name: String, deps: String*) =
+      Pipeline(name, deps, (sp, st) =>
+        Cdc.runLoop(sp.read.parquet(s"$tmp/src"), "id", name, st,
+          batchSize = 25, df => df,
+          (b, wm) => b.write.mode("overwrite").parquet(s"$tmp/$name/batch=$wm")))
+    // diamond: sync → {dim_a, dim_b} → fact; the two dims are one
+    // wave and run on concurrent driver threads against the SHARED
+    // watermark store — the synchronized upsert keeps both
+    val suite = Seq(loopPipeline("fact", "dim_a", "dim_b"),
+      loopPipeline("dim_a", "sync"), loopPipeline("dim_b", "sync"),
+      loopPipeline("sync"))
+    assert(Orchestrator.waves(suite).map(_.map(_.name)) ==
+      Seq(Seq("sync"), Seq("dim_a", "dim_b"), Seq("fact")))
+    val got = Orchestrator.runConcurrent(spark, store, suite, parallelism = 2)
+    assert(got == Seq("sync" -> 2, "dim_a" -> 2, "dim_b" -> 2, "fact" -> 2))
+    // every watermark survived the concurrent wave (no lost update)
+    for (p <- Seq("sync", "dim_a", "dim_b", "fact"))
+      assert(store.read(p) == 39L, s"$p watermark lost")
+
+    // a same-wave failure completes the sibling, names the loser, and
+    // the re-run drains only what never finished
+    var armed = true
+    val flaky = Pipeline("dim_c", Seq("sync"), (sp, st) => {
+      if (armed) { armed = false; sys.error("boom") }
+      loopPipeline("dim_c").run(sp, st)
+    })
+    val suite2 = Seq(loopPipeline("sync"), loopPipeline("dim_a", "sync"),
+      flaky, loopPipeline("fact2", "dim_a", "dim_c"))
+    val e = intercept[IllegalStateException] {
+      Orchestrator.runConcurrent(spark, store, suite2, parallelism = 2)
+    }
+    assert(e.getMessage.contains("dim_c") && e.getMessage.contains("boom"))
+    assert(store.read("fact2") == -1L, "later wave must not have started")
+    val resumed = Orchestrator.runConcurrent(spark, store, suite2).toMap
+    assert(resumed("dim_a") == 0 && resumed("dim_c") == 2 &&
+      resumed("fact2") == 2)
+  }
+
   test("Orchestrator: dependency order, loud cycles, resume mid-suite") {
     import Orchestrator.Pipeline
     // order comes from the DAG, ties resolve by name, declaration
