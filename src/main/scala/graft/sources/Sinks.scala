@@ -618,6 +618,40 @@ object Sinks {
       cdfOrphans.map(st => s"_cdf/${st.getPath.getName}")).toSeq
   }
 
+  /** One row per committed batch dir — Delta `DESCRIBE DETAIL` at
+    * batch granularity: file/byte counts from a driver-side listing
+    * (metadata-scale, no Spark job) plus which sidecar surfaces cover
+    * the dir (value/null stats, bloom columns). The operational
+    * question this answers on a big table: "is the thing I filter on
+    * actually indexed, and which batches aren't?" */
+  def describeDetail(spark: org.apache.spark.sql.SparkSession, root: String,
+                     manifest: TxnManifest): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val version = manifest.version()
+    val rows = manifest.committed().toSeq.sortBy(_._1).flatMap {
+      case (id, dirs) => dirs.filter(_.startsWith(root + "/")).map { d =>
+        val p = new Path(d)
+        val fs = p.getFileSystem(conf)
+        val files =
+          if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
+          else fs.listStatus(p).filter { st =>
+            val n = st.getPath.getName
+            st.isFile && n.endsWith(".parquet") &&
+              !n.startsWith(".") && !n.startsWith("_")
+          }
+        val stats = BatchStats.read(conf, d)
+        (id, d, version, files.length.toLong, files.map(_.getLen).sum,
+          stats.exists(_.values.exists(_.bounds.nonEmpty)),
+          stats.exists(_.values.exists(_.nulls.nonEmpty)),
+          BloomIndex.indexedColumns(conf, d).toSeq.sorted)
+      }
+    }
+    rows.toDF("batch_id", "dir", "table_version", "num_files", "size_bytes",
+      "has_value_stats", "has_null_stats", "bloom_columns")
+  }
+
   /** Active session's Hadoop conf when one exists; defaults otherwise
     * (same resolution as [[graft.util.AtomicText]]). */
   private def spark2HadoopConf: org.apache.hadoop.conf.Configuration =

@@ -223,6 +223,23 @@ class BloomSpec extends SparkSuite {
     assert(load(root, manPath).where($"id".isin(1L, 7L)).count() == 0)
   }
 
+  test("describeDetail reports coverage per batch dir") {
+    import graft.sources.Sinks
+    val (root, manPath, man) = freshTable("detail_")
+    StatsSinks.appendBatchStats(Seq((1L, "a")).toDF("id", "v"), root, 0)
+    BloomIndex.writeSidecar(spark, s"$root/batch=0", Seq("id"))
+    man.commit(0, Seq(s"$root/batch=0"))
+    // raw append, no sidecars at all
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$root/batch=1")
+    man.commit(1, Seq(s"$root/batch=1"))
+    val d = Sinks.describeDetail(spark, root, new graft.sources.TxnManifest(manPath))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(3), r.getBoolean(5), r.getBoolean(6), r.getSeq[String](7))))
+      .toMap
+    assert(d(0)._1 >= 1 && d(0)._2 && d(0)._3 && d(0)._4 == Seq("id"))
+    assert(d(1)._1 >= 1 && !d(1)._2 && !d(1)._3 && d(1)._4.isEmpty)
+  }
+
   test("unindexable column type fails loudly at build time") {
     val (root, _, _) = freshTable("bloom_type_")
     StatsSinks.appendBatchStats(Seq((1L, 2.5)).toDF("id", "v"), root, 0)
