@@ -358,6 +358,51 @@ object DocQueries {
         .filter(col("a") < col("b") && abs(col("ca") - col("cb")) <= 2)
         .select("a", "b")
       MinHash.exactJaccard(pairs, grams, "doc_id")
+    }),
+
+    // Overlapping fixed-window chunking (RAG / context-window prep):
+    // stride-150, size-200 character windows, so consecutive chunks
+    // share 50 chars. The chunk count is pure INTEGER arithmetic
+    // (`(len-1) div 150 + 1` — float ceil could round differently
+    // across engines at exact multiples), and the explode is
+    // per-document `sequence`, never a driver loop. Scale shape: one
+    // narrow stage, rows fan out ~len/stride per doc with no shuffle
+    // at all — chunking 100 TB is embarrassingly parallel.
+    "t17_chunk_overlap" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L),
+            expr("CAST((length(text) - 1) DIV 150 AS BIGINT)"))).as("chunk_ix"))
+        .select(col("doc_id"), col("chunk_ix"),
+          col("text").substr(
+            (col("chunk_ix") * 150 + 1).cast("int"), lit(200)).as("chunk"))
+        .withColumn("chunk_len", length(col("chunk")).cast(LongType))
+    }),
+
+    // Corpus-wide word-trigram vocabulary, top 100 by frequency with
+    // a total-order tiebreak (count DESC, ngram ASC — a bare LIMIT
+    // over ties would be nondeterministic). The per-document trigram
+    // list is a `transform` over an index `sequence` (array lambda,
+    // codegen'd, zero joins — the positional self-join formulation
+    // would shuffle the token table twice); docs under 3 tokens are
+    // filtered BEFORE the sequence (Spark's `sequence(0, n)` with
+    // n < 0 infers a descending step instead of an empty array).
+    // Scale shape: explode → partial map-side count → one shuffle on
+    // the ngram, then TakeOrderedAndProject for the top slice.
+    "t19_ngram_topk" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(split(lower(col("text")), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(explode(expr(
+          """transform(sequence(0, size(w) - 3),
+            |  i -> concat_ws(' ', element_at(w, i + 1),
+            |                      element_at(w, i + 2),
+            |                      element_at(w, i + 3)))""".stripMargin))
+          .as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram").asc)
+        .limit(100)
     })
   )
 
@@ -428,6 +473,23 @@ object DocQueries {
         |SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t17_chunk_overlap" ->
+      """SELECT doc_id, t.ix AS chunk_ix,
+        |  substr(text, CAST(t.ix * 150 + 1 AS BIGINT), 200) AS chunk,
+        |  CAST(length(substr(text, CAST(t.ix * 150 + 1 AS BIGINT), 200)) AS BIGINT) AS chunk_len
+        |FROM documents,
+        |  LATERAL (SELECT unnest(range(0, (length(text) - 1) // 150 + 1)) AS ix) t
+        |WHERE length(text) > 0""".stripMargin,
+    "t19_ngram_topk" ->
+      """WITH toks AS (
+        |  SELECT string_split(lower(text), ' ') AS w FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 3),
+        |grams AS (
+        |  SELECT unnest(list_transform(range(0, len(w) - 2),
+        |    i -> array_to_string(w[i+1:i+3], ' '))) AS ngram
+        |  FROM toks)
+        |SELECT ngram, count(*) AS n FROM grams
+        |GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 100""".stripMargin,
     "t1_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -319,10 +319,53 @@ object ExtraQueries {
       agg.join(broadcast(dim), Seq("hot_key"))
         .select(col("hot_key"), col("bucket"),
           col("sum_qty_dec").cast(DoubleType).as("sum_qty"))
+    }),
+
+    // Staged conversion funnel (signup → first later view → first
+    // later purchase): each stage is a per-user min over the events
+    // AFTER the previous stage's timestamp, left-joined so drop-off
+    // shows as NULLs. Timestamps compare as exact integer
+    // MICROSECONDS on both engines (unix_micros ↔ epoch_us — the
+    // w3_sessionize convention; raw timestamp comparison would
+    // diverge at ns-vs-µs precision). Scale shape: three aggregates
+    // and two joins, all hash-partitioned on user_id — AQE coalesces
+    // them onto one exchange family, and no stage materializes more
+    // than one row per user.
+    "w7_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("signup_us"))
+      val s2 = ev.filter(col("event_type") === "view").join(s1, "user_id")
+        .filter(col("us") > col("signup_us"))
+        .groupBy("user_id").agg(min("us").as("view_us"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("us") > col("view_us"))
+        .groupBy("user_id").agg(min("us").as("buy_us"))
+      s1.join(s2.select("user_id", "view_us"), Seq("user_id"), "left")
+        .join(s3.select("user_id", "buy_us"), Seq("user_id"), "left")
+        .select(col("user_id"), col("signup_us"), col("view_us"),
+          col("buy_us"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "w7_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS signup_us FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.us) AS view_us FROM e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.us > s1.signup_us
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.us) AS buy_us FROM e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > s2.view_us
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.signup_us, s2.view_us, s3.buy_us
+        |FROM s1
+        |LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
     "a7_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,

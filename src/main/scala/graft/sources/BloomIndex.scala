@@ -92,8 +92,25 @@ object BloomIndex {
       .select(input_file_name().as("__file") +: colsSeq.map(col): _*)
       .groupByKey(_.getString(0))(Encoders.STRING)
       .flatMapGroups { (fileUri, rows) =>
-        val name = new HPath(fileUri).getName
-        val expected = math.max(1L, rowsPerFile.getOrElse(name, 1L))
+        // input_file_name() is a percent-ENCODED URI; the footer
+        // listing's names are DECODED fs paths. Normalize through
+        // java.net.URI (correct %XX decoding — URLDecoder would also
+        // eat literal '+') or the undersizing is silent: a missing
+        // lookup would fall back to expected=1, FPP→1, and the file's
+        // bloom would prune nothing while looking indexed. A name
+        // still absent after decoding fails loudly per the opt-in
+        // contract.
+        val name = {
+          val decoded = try new java.net.URI(fileUri).getPath catch {
+            case _: java.net.URISyntaxException => fileUri
+          }
+          new HPath(decoded).getName
+        }
+        val expected = math.max(1L, rowsPerFile.getOrElse(name,
+          throw new IllegalStateException(
+            s"bloom index: scanned file $name (from $fileUri) has no " +
+              "footer row count — file listing and scan disagree; " +
+              "rebuild the sidecar after the directory settles")))
         val blooms = colsSeq.map(c => BloomFilter.create(expected, fpp))
         rows.foreach { r =>
           var i = 0

@@ -136,9 +136,10 @@ object Layout {
   val SeqRange = 1000000000L
 
   /** Write `df` z-ordered on (a, b) into `numFiles` parquet files:
-    * range-partition by the Morton key (balanced files by sampled
-    * quantiles), sort within partitions, drop the key. Readers filter
-    * on either column and row-group min/max does the pruning. */
+    * partition by EXACT, z-cell-aligned split points of the Morton
+    * key (balanced by a full histogram, not a sample), sort within
+    * partitions, drop the key. Readers filter on either column and
+    * row-group min/max does the pruning. */
   def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
                     numFiles: Int): Unit =
     writeZOrderedBy(df, path, mortonKey(a, b), numFiles)
@@ -150,12 +151,89 @@ object Layout {
       if (cols.length == 2) mortonKey(cols(0), cols(1)) else mortonKeyN(cols),
       numFiles)
 
+  /** The write: exact histogram split + one hash-routed shuffle.
+    *
+    * `repartitionByRange` would be the obvious spelling, but its split
+    * points come from a SAMPLE: they land a few hundred keys off the
+    * balanced ideal, and a split point that is not on a z-cell edge
+    * makes the two adjacent files straddle a cell — each straddling
+    * file's min/max spread in SOME dimension jumps from a sub-cube to
+    * nearly the full range, and pruning on that dimension dies for
+    * those files. So split points are computed EXACTLY instead, and
+    * snapped to z-cell edges:
+    *
+    *  1. min/max of the key (column-pruned scan of the key inputs);
+    *  2. a full histogram over `key >> shift` — shift chosen so the
+    *     occupied key range spans ≤ ~64 buckets per file, i.e. each
+    *     bucket is an aligned power-of-2 z-cell and a file boundary
+    *     can sit within 1/64th of a file of the balanced ideal while
+    *     staying ON a cell edge (the histogram is a ≤128k-group agg
+    *     on a long — metadata-scale at any data size);
+    *  3. each row's file id is an O(1) array lookup on its bucket;
+    *     rows are routed to their file by hash-partitioning on a
+    *     driver-precomputed PREIMAGE of the file id (an int `v` with
+    *     `murmur3(v) % numFiles == fileId` — searched in microseconds),
+    *     so the shuffle places each file's rows exactly, with no
+    *     second sampling pass and no collisions.
+    *
+    * Deterministic (no sample → same input, same layout), three scans
+    * total (min/max, histogram, shuffle+write) of which the first two
+    * read only the z-key's input columns. The balanced-ideal deviation
+    * is bounded by one bucket (= file/64), vs unbounded sampling error
+    * before. */
   private def writeZOrderedBy(df: DataFrame, path: String, key: Column,
                               numFiles: Int): Unit = {
-    df.withColumn("__z", key)
-      .repartitionByRange(numFiles, col("__z"))
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val keyed = df.withColumn("__z", key)
+    val mm = keyed.agg(min(col("__z")), max(col("__z"))).first()
+    if (mm.isNullAt(0)) { // empty input: schema-only write
+      keyed.drop("__z").write.mode("overwrite").parquet(path)
+      return
+    }
+    val mn = mm.getLong(0)
+    val mx = mm.getLong(1)
+    // shift so the occupied range fits the bucket budget; buckets are
+    // aligned 2^shift-wide z-cells
+    val targetBuckets = math.min(math.max(numFiles.toLong * 64L, 64L), 1L << 17)
+    var shift = 0
+    while (shift < 63 && ((mx >> shift) - (mn >> shift)) >= targetBuckets)
+      shift += 1
+    val minBucket = mn >> shift
+    val nBuckets = ((mx >> shift) - minBucket + 1).toInt
+    val bucketOf = (shiftright(col("__z"), shift) - minBucket).cast("int")
+    val hist = keyed.select(bucketOf.as("__b"))
+      .groupBy("__b").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = hist.map(_._2).sum
+    // greedy: a bucket joins the open file; the file closes (at the
+    // bucket's trailing z-cell edge) once it holds its balanced share
+    val bucketToPid = new Array[Int](nBuckets)
+    var pid = 0
+    var cum = 0L
+    var hi = 0
+    for (b <- 0 until nBuckets) {
+      bucketToPid(b) = pid
+      if (hi < hist.length && hist(hi)._1 == b) { cum += hist(hi)._2; hi += 1 }
+      while (pid < numFiles - 1 && cum >= (pid + 1).toLong * total / numFiles)
+        pid += 1
+    }
+    // hash-route exactly: v_i is a murmur3 preimage of file id i under
+    // Spark's HashPartitioning (seed 42), so repartition(n, __h) sends
+    // file i's rows to partition i and nowhere else
+    val preimage = new Array[Int](numFiles)
+    for (i <- 0 until numFiles) {
+      var v = 0
+      while (java.lang.Math.floorMod(
+          org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42),
+          numFiles) != i) v += 1
+      preimage(i) = v
+    }
+    val route = typedLit(bucketToPid.map(preimage).toSeq)
+    keyed
+      .withColumn("__h", element_at(route, bucketOf + 1))
+      .repartition(numFiles, col("__h"))
       .sortWithinPartitions(col("__z"))
-      .drop("__z")
+      .drop("__z", "__h")
       .write.mode("overwrite").parquet(path)
     ()
   }

@@ -113,7 +113,7 @@ final class GraftManifestStreamingWrite(root: String, manifestPath: String,
       if (bloomCols.nonEmpty)
         BloomIndex.writeSidecar(s, s"$root/batch=$epochId", bloomCols)
     }
-    manifest.commit(id, Seq(s"$root/batch=$epochId"))
+    manifest.commit(id, Seq(s"$root/batch=$epochId"), Some(queryId))
   }
 
   override def abort(epochId: Long,

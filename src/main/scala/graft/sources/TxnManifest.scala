@@ -65,11 +65,38 @@ final class TxnManifest(path: String) {
     committed().toSeq.sortBy(_._1).flatMap(_._2)
 
   /** The ONE commit point: all of `dirs` become visible together or —
-    * on a crash before the atomic rename — none do. */
-  def commit(batchId: Int, dirs: Seq[String]): Unit = {
+    * on a crash before the atomic rename — none do.
+    *
+    * `sinkQueryId` is the streaming-sink identity exception to the
+    * epoch-ownership fence: a batch id claimed in the `<path>.sink`
+    * ownership log belongs to that streaming query, and a commit by
+    * anyone else (a batch producer, or a different query) would
+    * replace the sink's entry for the epoch — refused loudly. The
+    * owning sink passes its own query id and proceeds. */
+  def commit(batchId: Int, dirs: Seq[String],
+             sinkQueryId: Option[String] = None): Unit = {
+    requireNotSinkOwned(batchId, sinkQueryId)
     val (v, cur) = readState()
     writeCas(v, cur + (batchId -> dirs))
   }
+
+  /** Refuse a commit of `batchId` when the sidecar sink-ownership log
+    * (`<path>.sink/<batchId>`, written by the streaming sink BEFORE
+    * any bytes move) claims the id for a query other than the caller.
+    * Without this, a batch producer committing an id after the sink's
+    * claim — or in the sink's claim-to-commit window — would silently
+    * un-name / replace the sink's epoch. */
+  private def requireNotSinkOwned(batchId: Int,
+                                  sinkQueryId: Option[String]): Unit =
+    AtomicText.readLines(s"$path.sink/$batchId").headOption.foreach { owner =>
+      if (!sinkQueryId.contains(owner))
+        throw new IllegalStateException(
+          s"batch id $batchId of manifest $path is claimed by streaming " +
+            s"query $owner (sink ownership log) — a commit by " +
+            s"${sinkQueryId.getOrElse("a batch producer")} would replace " +
+            "that sink's epoch; use a different batch id or a manifest " +
+            "the sink does not own")
+    }
 
   /** Compaction commit: atomically un-name every committed dir under
     * `root` and name `dirs` as batch `batchId` instead — one rename,
@@ -91,6 +118,7 @@ final class TxnManifest(path: String) {
 
   private def replaceWith(drop: String => Boolean, batchId: Int,
                           dirs: Seq[String], hint: String): Unit = {
+    requireNotSinkOwned(batchId, sinkQueryId = None)
     val (v, cur) = readState()
     val pruned = cur.view
       .mapValues(_.filterNot(drop))
@@ -140,18 +168,25 @@ final class TxnManifest(path: String) {
     * ADDED and which it UN-NAMED (appends add, merges/compactions do
     * both). Claims are tombstones that never get deleted, so the
     * history is complete from version 1; a version whose claim is
-    * missing (pre-CAS manifest upgraded in place) appears with its
-    * full state as `added`. */
+    * missing (pre-CAS manifest upgraded in place) reports NO change —
+    * the last known state carries forward, and the missing version's
+    * actual diff is attributed to the next version whose claim
+    * survives. (Treating a missing claim as an empty state would
+    * report phantom everything-removed/re-added churn instead.) */
   def history(): Seq[VersionChange] = {
     val (current, _) = readState()
+    var prevDirs = Set.empty[String]
     (1L to current).map { v =>
-      val entries = entriesAt(v).getOrElse(Map.empty)
-      val prev = if (v == 1) Map.empty[Int, Seq[String]]
-        else entriesAt(v - 1).getOrElse(Map.empty)
-      val prevDirs = prev.values.flatten.toSet
-      val curDirs = entries.values.flatten.toSet
-      VersionChange(v, added = (curDirs -- prevDirs).toSeq.sorted,
-        removed = (prevDirs -- curDirs).toSeq.sorted)
+      entriesAt(v) match {
+        case None => VersionChange(v, added = Nil, removed = Nil)
+        case Some(entries) =>
+          val curDirs = entries.values.flatten.toSet
+          val change = VersionChange(v,
+            added = (curDirs -- prevDirs).toSeq.sorted,
+            removed = (prevDirs -- curDirs).toSeq.sorted)
+          prevDirs = curDirs
+          change
+      }
     }
   }
 

@@ -107,21 +107,43 @@ object AtomicText {
   /** Create `path` EXCLUSIVELY with `body`: returns true on success,
     * false when the file already exists (the compare-and-swap
     * primitive under [[graft.sources.TxnManifest]]'s versioned
-    * commits). On HDFS the exclusive create is an atomic namespace
-    * op; on the local FS it is check-then-create (a test-scale TOCTOU
-    * window the single-writer contract tolerates). */
+    * commits). The claim is all-or-nothing on BOTH counts: exclusivity
+    * AND content. The body is always written to a uniquely-named
+    * sibling temp first, then published by a single primitive that
+    * atomically fails when the target exists — so two racing claimers
+    * can never both win, and a crash mid-write leaves the claim ABSENT
+    * (plus a harmless orphan temp), never present-but-torn. Like
+    * [[writeAtomically]], the publish is scheme-dispatched because the
+    * atomic no-replace primitive is per-FS: `FileContext`'s CREATE
+    * flag on `RawLocalFs` is check-then-create (non-atomic TOCTOU) and
+    * local rename overwrites silently, but a POSIX hard link is an
+    * atomic exclusive publish; on `hdfs:` `rename(Rename.NONE)` is the
+    * atomic namespace op that fails when the destination exists. */
   def createExclusive(path: String, body: String): Boolean = {
-    val p = new Path(path)
-    val fc = contextFor(p)
+    val target = new Path(path)
+    val fc = contextFor(target)
+    val tmp = new Path(path + ".claim-" + java.util.UUID.randomUUID())
+    val out = fc.create(tmp,
+      EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+      Options.CreateOpts.createParent())
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val qualified = fc.makeQualified(target)
     try {
-      val out = fc.create(p, EnumSet.of(CreateFlag.CREATE),
-        Options.CreateOpts.createParent())
-      try out.write(body.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.nio.file.FileAlreadyExistsException        => false
+      if (qualified.toUri.getScheme == "file") {
+        val toNio = (p: Path) =>
+          java.nio.file.Paths.get(fc.makeQualified(p).toUri.getPath)
+        try { java.nio.file.Files.createLink(toNio(target), toNio(tmp)); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try { fc.rename(tmp, target, Options.Rename.NONE); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException        => false
+        }
+      }
+    } finally {
+      try fc.delete(tmp, false) catch { case _: java.io.IOException => () }
     }
   }
 
