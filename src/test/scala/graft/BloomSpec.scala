@@ -56,6 +56,35 @@ class BloomSpec extends SparkSuite {
     assert(scanFiles(load(root, manPath).where($"id" > 100L)) == 2)
   }
 
+  test("file names needing percent-encoding still get correctly-sized blooms") {
+    // input_file_name() hands writeSidecar a percent-ENCODED URI while
+    // the footer listing has DECODED names; before normalization the
+    // row-count lookup missed, silently fell back to expected=1, and
+    // the bloom's FPP approached 1 (indexed-looking, prunes nothing)
+    val base = java.nio.file.Files.createTempDirectory("bloom_enc_").toString
+    val dir = s"$base/batch=0"
+    (0 until 4000).map(i => (i.toLong, s"u$i")).toDF("id", "user")
+      .coalesce(1).write.parquet(dir)
+    val part = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .head
+    val spaced = new java.io.File(dir, "part with space.parquet")
+    assert(part.renameTo(spaced))
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    BloomIndex.writeSidecar(spark, dir, Seq("id"), fpp = 0.01)
+    // a correctly-sized 1%-FPP bloom rejects nearly every absent key;
+    // an expected=1 bloom would accept nearly all of them
+    val blooms = BloomIndex.read(
+      spark.sparkContext.hadoopConfiguration, dir).get
+    val (_, bloom) = blooms("part with space.parquet")("id")
+    val falsePositives =
+      (10000L until 12000L).count(k => bloom.mightContainLong(k))
+    assert(falsePositives < 100,
+      s"$falsePositives/2000 absent keys accepted — bloom was undersized")
+    assert((0L until 4000L).forall(k => bloom.mightContainLong(k)))
+  }
+
   test("no false negatives: every present value survives pruning (randomized)") {
     val rnd = new scala.util.Random(7)
     val values = Seq.fill(500)(rnd.nextLong())

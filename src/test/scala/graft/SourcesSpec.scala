@@ -726,4 +726,80 @@ class SourcesSpec extends SparkSuite {
       s"k=1 must be a partition filter, got: ${scan.partitionFilters}")
     assert(scan.relation.partitionSchema.fieldNames.sameElements(Array("k")))
   }
+
+  test("createExclusive: racing claimers serialize atomically; claims are never torn") {
+    import graft.util.AtomicText
+    val tmp = java.nio.file.Files.createTempDirectory("claim_race_").toString
+    // 16 threads race ONE claim with distinct bodies: exactly one may
+    // win, and the surviving file must be the winner's COMPLETE body
+    // (check-then-create would let several "win"; a non-atomic body
+    // write could leave a torn/empty claim)
+    val claim = s"$tmp/m.v1"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val futures = (0 until 16).map { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          gate.await()
+          if (AtomicText.createExclusive(claim, s"#version=1\n$i\t/d/b=$i\n"))
+            wins.incrementAndGet()
+          ()
+        }
+      })
+    }
+    gate.countDown()
+    futures.foreach(_.get())
+    pool.shutdown()
+    assert(wins.get() == 1, s"${wins.get()} claimers won the same claim")
+    val body = AtomicText.readAll(claim)
+    assert(body.startsWith("#version=1\n") && body.endsWith("\n") &&
+      body.linesIterator.size == 2, s"torn claim body: '$body'")
+    // no orphan temp files linger after the race settles
+    val leftovers = new java.io.File(tmp).listFiles()
+      .map(_.getName).filter(_.contains(".claim-"))
+    assert(leftovers.isEmpty, s"orphan claim temps: ${leftovers.toSeq}")
+  }
+
+  test("history carries state past a missing claim tombstone (no phantom churn)") {
+    import graft.sources.VersionChange
+    val tmp = java.nio.file.Files.createTempDirectory("man_gap_").toString
+    val man = new TxnManifest(s"$tmp/_commits")
+    man.commit(0, Seq("/d/batch=0"))  // v1
+    man.commit(1, Seq("/d/batch=1"))  // v2
+    man.commit(2, Seq("/d/batch=2"))  // v3
+    // a pre-CAS upgrade (or operator cleanup) lost v2's tombstone:
+    // v2 must read as no-change — NOT everything-removed-then-re-added
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$tmp/_commits.v2"))
+    assert(man.history() == Seq(
+      VersionChange(1, added = Seq("/d/batch=0"), removed = Nil),
+      VersionChange(2, added = Nil, removed = Nil),
+      VersionChange(3, added = Seq("/d/batch=1", "/d/batch=2"), removed = Nil)))
+  }
+
+  test("batch commit is fenced off a sink-owned epoch id") {
+    val tmp = java.nio.file.Files.createTempDirectory("sink_fence_").toString
+    val manPath = s"$tmp/_commits"
+    val man = new TxnManifest(manPath)
+    man.commit(0, Seq("/d/batch=0"))
+    // a streaming sink claims epoch 1 (task-side, BEFORE its manifest
+    // commit) — the claim-to-commit window a batch producer must not
+    // be able to slip a commit of the same id through
+    graft.util.AtomicText.createExclusive(s"$manPath.sink/1", "query-abc\n")
+    val e = intercept[IllegalStateException] {
+      man.commit(1, Seq("/d/batch=1"))
+    }
+    assert(e.getMessage.contains("claimed by streaming query query-abc"))
+    assert(!man.committed().contains(1)) // nothing landed
+    // compaction/merge ids are fenced the same way
+    intercept[IllegalStateException] {
+      man.replaceAll("/d", 1, Seq("/d/batch=1c"))
+    }
+    // the OWNING sink's driver-side commit of its epoch proceeds
+    man.commit(1, Seq("/d/batch=1"), sinkQueryId = Some("query-abc"))
+    assert(man.committed()(1) == Seq("/d/batch=1"))
+    // other ids are unaffected by the claim
+    man.commit(2, Seq("/d/batch=2"))
+    assert(man.version() == 3)
+  }
 }
