@@ -346,10 +346,76 @@ object ExtraQueries {
         .join(s3.select("user_id", "buy_us"), Seq("user_id"), "left")
         .select(col("user_id"), col("signup_us"), col("view_us"),
           col("buy_us"))
+    }),
+
+    // Explicit GROUPING SETS — the irregular-lattice member of the
+    // rollup (a7) / cube (a12) family: exactly the three groupings
+    // named, nothing interpolated. One shuffle; Spark expands the
+    // sets map-side (Expand node), so the input is read once.
+    "a15_grouping_sets" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+          |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag),
+          |                        (l_linestatus),
+          |                        (l_returnflag, l_linestatus))""".stripMargin)
+    }),
+
+    // Native session_window aggregation (the batch face of the
+    // streaming session operator StreamingSpec pins): sessions close
+    // after a 30-minute inactivity gap, start = first event, end =
+    // last event + gap. Bounds surface as exact integer MICROSECONDS
+    // (the w3/w7 convention). NOTE the boundary: session_window
+    // starts a NEW session at gap >= 30 min (half-open [ts, ts+gap)
+    // extents), while w3's lag rule breaks at gap > 30 min — the
+    // oracle mirrors the >= rule. Scale shape: one shuffle on
+    // user_id, sessions merge inside the aggregate, never a window
+    // over the full event sequence.
+    "w8_session_window" -> ((s, d) => {
+      val sess = session_window(col("ts"), "30 minutes")
+      Tables.events(s, d)
+        .groupBy(col("user_id"), sess)
+        .agg(count(lit(1)).as("n_events"),
+          Repair.decSum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"), col("sum_value"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "a15_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag),
+        |                        (l_linestatus),
+        |                        (l_returnflag, l_linestatus))""".stripMargin,
+    "w8_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |g AS (SELECT user_id, us, value,
+        |  CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT user_id, us, value,
+        |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM g)
+        |SELECT user_id,
+        |  min(us) AS session_start_us,
+        |  max(us) + 1800000000 AS session_end_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "w7_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |s1 AS (SELECT user_id, min(us) AS signup_us FROM e
