@@ -144,11 +144,18 @@ object Layout {
                     numFiles: Int): Unit =
     writeZOrderedBy(df, path, mortonKey(a, b), numFiles)
 
-  /** [[writeZOrdered]] for 3+ dimensions via [[mortonKeyN]]. */
+  /** [[writeZOrdered]] for 1 or 3+ dimensions: one column degenerates
+    * to a plain range-clustered sort on that (integral) column — the
+    * valid single-key OPTIMIZE spec — and 3+ interleave via
+    * [[mortonKeyN]]. */
   def writeZOrderedN(df: DataFrame, path: String, cols: Seq[Column],
                      numFiles: Int): Unit =
     writeZOrderedBy(df, path,
-      if (cols.length == 2) mortonKey(cols(0), cols(1)) else mortonKeyN(cols),
+      cols match {
+        case Seq(only)  => only.cast(LongType)
+        case Seq(a, b)  => mortonKey(a, b)
+        case more       => mortonKeyN(more)
+      },
       numFiles)
 
   /** The write: exact histogram split + one hash-routed shuffle.

@@ -199,9 +199,69 @@ object Sinks {
     Layout.writeZOrderedN(all, target, cols, numFiles)
     BatchStats.writeSidecar(spark, target)
     BloomIndex.carryOver(spark, dirs, target)
+    writeOptimizedMarker(target, cols)
     writeNoChangeMarker(spark, root, compactId)
     writeFeedMarker(root, compactId, manifest, dirs.toSet)
     manifest.replaceAll(root, compactId, Seq(target))
+  }
+
+  /** Generation marker for incremental OPTIMIZE: records the z-order
+    * spec the dir was written under. `_`-prefixed, so parquet listings
+    * ignore it. */
+  private val OptimizedMarker = "_optimized"
+
+  private def writeOptimizedMarker(
+      dir: String, cols: Seq[org.apache.spark.sql.Column]): Unit =
+    graft.util.AtomicText.writeAtomically(s"$dir/$OptimizedMarker",
+      cols.map(_.toString).mkString("", "\n", "\n"))
+
+  private def isOptimizedFor(
+      dir: String, cols: Seq[org.apache.spark.sql.Column]): Boolean =
+    graft.util.AtomicText.readLines(s"$dir/$OptimizedMarker") ==
+      cols.map(_.toString)
+
+  /** INCREMENTAL `OPTIMIZE ZORDER BY` — the 100 TB shape of
+    * maintenance. [[compactZOrderedN]] rewrites the WHOLE table every
+    * run: O(table) IO for a maintenance pass, unrunnable once the
+    * table dwarfs the daily ingest. This variant rewrites ONLY the
+    * batches added since the last optimize: dirs carrying an
+    * [[OptimizedMarker]] with the same column spec are prior
+    * GENERATIONS and are left byte-untouched; everything else (fresh
+    * appends, merge outputs, a generation optimized under a different
+    * spec) is z-ordered into one new generation and swapped in with a
+    * single atomic [[TxnManifest.replaceDirs]] commit. Cost is
+    * O(new data), not O(table) — the Delta OPTIMIZE contract.
+    *
+    * The table converges to a few z-ordered generations, each
+    * internally clustered, so per-file min/max pruning holds within
+    * every generation; run the full [[compactZOrderedN]] occasionally
+    * (or when generations proliferate) to restore one global
+    * clustering. Returns false (and commits NOTHING) when no
+    * unoptimized batch exists. */
+  def compactZOrderedIncremental(spark: org.apache.spark.sql.SparkSession,
+                                 root: String, manifest: TxnManifest,
+                                 compactId: Int,
+                                 cols: Seq[org.apache.spark.sql.Column],
+                                 numFiles: Int): Boolean =
+    withJobDescription(spark,
+      s"graft: zorder-optimize (incremental) $root -> batch=$compactId") {
+    val dirs = manifest.committedDirs(root)
+    require(dirs.nonEmpty, s"nothing committed under $root to compact")
+    val target = s"$root/batch=$compactId"
+    require(!dirs.contains(target), s"compactId $compactId is a live batch")
+    val fresh = dirs.filterNot(isOptimizedFor(_, cols))
+    if (fresh.isEmpty) false
+    else {
+      val all = spark.read.option("mergeSchema", true).parquet(fresh: _*)
+      Layout.writeZOrderedN(all, target, cols, numFiles)
+      BatchStats.writeSidecar(spark, target)
+      BloomIndex.carryOver(spark, fresh, target)
+      writeOptimizedMarker(target, cols)
+      writeNoChangeMarker(spark, root, compactId)
+      writeFeedMarker(root, compactId, manifest, fresh.toSet)
+      manifest.replaceDirs(fresh.toSet, compactId, Seq(target))
+      true
+    }
   }
 
   /** Spark-UI attribution for multi-job maintenance operations: every

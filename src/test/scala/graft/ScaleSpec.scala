@@ -148,6 +148,70 @@ class ScaleSpec extends SparkSuite {
     assert(load().where($"y" < 16L).count() == 4096 / 4)
   }
 
+  test("incremental OPTIMIZE rewrites only fresh batches; generations stay byte-untouched") {
+    import graft.sources.{Sinks, StatsSinks, TxnManifest}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val base = java.nio.file.Files.createTempDirectory("zorder_inc_").toString
+    val root = s"$base/t"
+    val man = new TxnManifest(s"$base/_commits")
+    val zcols = Seq(col("x"), col("y"))
+    val rows = (0 until 4096).map(i =>
+      (i.toLong, (i % 64).toLong, ((i / 64) % 64).toLong))
+    def append(b: Int, mod: Int, rem: Int): Unit = {
+      StatsSinks.appendBatchStats(
+        rows.filter(_._1 % mod == rem).toDF("id", "x", "y"), root, b)
+      man.commit(b, Seq(s"$root/batch=$b"))
+    }
+    for (b <- 0 until 3) append(b, mod = 5, rem = b)
+
+    // first optimize: everything is fresh, one generation appears
+    assert(Sinks.compactZOrderedIncremental(spark, root, man, 100, zcols, 4))
+    assert(man.committedDirs(root) == Seq(s"$root/batch=100"))
+    def gen1State(): Map[String, Long] =
+      new java.io.File(s"$root/batch=100").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val gen1 = gen1State()
+    assert(gen1.size == 4)
+    val vAfterFirst = man.version()
+
+    // nothing fresh: a re-run is a NO-OP and commits nothing
+    assert(!Sinks.compactZOrderedIncremental(spark, root, man, 101, zcols, 4))
+    assert(man.version() == vAfterFirst)
+
+    // two late appends; the second optimize touches ONLY them —
+    // O(new data), while generation 1 stays byte-identical on disk
+    append(3, mod = 5, rem = 3)
+    append(4, mod = 5, rem = 4)
+    assert(Sinks.compactZOrderedIncremental(spark, root, man, 102, zcols, 4))
+    assert(man.committedDirs(root) ==
+      Seq(s"$root/batch=100", s"$root/batch=102"))
+    assert(gen1State() == gen1, "generation 1 was rewritten")
+
+    // the table still serves every row, and BOTH dimensions prune
+    // inside every generation
+    def load() = spark.read.format("graft-manifest")
+      .option("manifest", s"$base/_commits").load(root)
+    def filesPlanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect { case s: BatchScanExec => s }
+        .head.metrics("manifestFilesRead").value
+    }
+    assert(load().count() == 4096)
+    val total = filesPlanned(load().select("id"))
+    assert(total == 8)
+    assert(filesPlanned(load().where($"x" < 16L).select("id")) < total)
+    assert(filesPlanned(load().where($"y" < 16L).select("id")) < total)
+    assert(load().where($"x" < 16L).count() == 4096 / 4)
+
+    // a DIFFERENT z-order spec invalidates prior generations: both
+    // get rewritten into one fresh generation under the new spec
+    assert(Sinks.compactZOrderedIncremental(spark, root, man, 103,
+      Seq(col("x")), 2))
+    assert(man.committedDirs(root) == Seq(s"$root/batch=103"))
+    assert(load().count() == 4096)
+  }
+
   test("t8_length_deciles plan has no window and no global sort") {
     // the round-1 formulation was ntile() over a partition-less window:
     // a single-task sort of the whole table. The rewrite must keep the
