@@ -210,4 +210,37 @@ class PropertySpec extends SparkSuite {
       assert(idx.distinct.length == idx.length, s"duplicate frames for dur=$dur")
     }
   }
+
+  test("exact z-split write: rows preserved, files bounded, key ranges disjoint") {
+    import graft.sources.Layout
+    // shapes the cube test never exercises: negative keys (1-column
+    // path), heavy duplicate skew, sparse far-apart clusters
+    val gens = Seq(
+      Gen.listOfN(600, Gen.chooseNum(-1000000L, 1000000L)),       // mixed sign
+      Gen.listOfN(600, Gen.oneOf(7L, 7L, 7L, 9L, 1000L)),         // skew: one hot key
+      Gen.listOfN(600, Gen.oneOf(Gen.chooseNum(0L, 100L),
+        Gen.chooseNum((1L << 40) - 100, 1L << 40))),              // sparse clusters
+      Gen.listOfN(3, Gen.chooseNum(0L, 10L)))                     // fewer rows than files
+    for ((g, gi) <- gens.zipWithIndex) {
+      val keys = g.sample.get
+      val tmp = java.nio.file.Files.createTempDirectory(s"zsplit_$gi").toString
+      val df = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .toDF("id", "k")
+      Layout.writeZOrderedN(df, s"$tmp/out", Seq(col("k")), numFiles = 8)
+      val back = spark.read.parquet(s"$tmp/out")
+      // every row survives, nothing invented
+      assert(back.select("id", "k").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq == keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .sorted.toSeq, s"gen $gi lost rows")
+      // bounded file count, and per-file key ranges never overlap —
+      // the property min/max pruning depends on
+      val ranges = back.groupBy(input_file_name().as("f"))
+        .agg(min($"k").as("lo"), max($"k").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(ranges.length <= 8, s"gen $gi wrote ${ranges.length} files")
+      for (Seq((_, hi1), (lo2, _)) <- ranges.toSeq.sliding(2)
+           if ranges.length > 1)
+        assert(hi1 <= lo2, s"gen $gi overlapping file ranges: ${ranges.toSeq}")
+    }
+  }
 }
