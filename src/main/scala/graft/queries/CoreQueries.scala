@@ -180,6 +180,48 @@ object CoreQueries {
           |GROUP BY n.n_name""".stripMargin)
     }),
 
+    // TPC-H Q3 shape — shipping priority: segment-filtered customer
+    // dim (broadcast), date-windowed orders/lineitem (both predicates
+    // reach their scans), revenue per open order, top 10 under a
+    // total order. Plan: two broadcasts + one shuffle for the
+    // group-by + TakeOrderedAndProject — no global sort.
+    "q3_shipping_priority" -> ((s, d) => {
+      val cut = lit("1998-01-01").cast("date")
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(Repair.decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q18 shape — large-volume customers: the HAVING subquery
+    // becomes a semi-join against the per-order quantity aggregate
+    // (shuffle on l_orderkey it shares with the outer aggregate),
+    // then dims join in. Top 100 under a total order.
+    "q18_volume_customer" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+      val big = li.groupBy("l_orderkey")
+        .agg(Repair.decSum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val c = Tables.customer(s, d).select("c_custkey", "c_name")
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
     // A5 — referential-integrity count (`orders.py:121-133`): unresolved
     // FKs after remap against a deliberately holed dimension.
     "a5_integrity_count" -> ((s, d) => {
@@ -312,6 +354,32 @@ object CoreQueries {
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l.l_orderkey, o.o_orderdate,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |       AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < DATE '1998-01-01'
+        |  AND l.l_shipdate > DATE '1998-01-01'
+        |GROUP BY l.l_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, l.l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q18_volume_customer" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 250.0)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice, big.sum_qty
+        |FROM big
+        |JOIN orders o ON big.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+        |LIMIT 100""".stripMargin,
     "a5_integrity_count" ->
       """SELECT 'lineitem->part' AS check_name, count(CASE WHEN p.p_brand IS NULL THEN 1 END) AS missing,
         |  count(*) AS total
