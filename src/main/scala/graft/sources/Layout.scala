@@ -226,14 +226,19 @@ object Layout {
     }
     // hash-route exactly: v_i is a murmur3 preimage of file id i under
     // Spark's HashPartitioning (seed 42), so repartition(n, __h) sends
-    // file i's rows to partition i and nowhere else
+    // file i's rows to partition i and nowhere else. One ascending
+    // sweep keeps the first v hitting each residue — coupon-collector
+    // O(n ln n) hash calls total (a per-residue restart would be
+    // O(n^2), minutes at 100k files)
     val preimage = new Array[Int](numFiles)
-    for (i <- 0 until numFiles) {
-      var v = 0
-      while (java.lang.Math.floorMod(
-          org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42),
-          numFiles) != i) v += 1
-      preimage(i) = v
+    val taken = new Array[Boolean](numFiles)
+    var found = 0
+    var v = 0
+    while (found < numFiles) {
+      val r = java.lang.Math.floorMod(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42), numFiles)
+      if (!taken(r)) { taken(r) = true; preimage(r) = v; found += 1 }
+      v += 1
     }
     val route = typedLit(bucketToPid.map(preimage).toSeq)
     keyed
