@@ -111,6 +111,26 @@ object CoreQueries {
         .select("r_regionkey", "r_name", "n_nationkey", "n_name")
     }),
 
+    // Null-safe equality join (`<=>` ↔ IS NOT DISTINCT FROM): NULL
+    // keys MATCH each other instead of dropping — the semantics a
+    // pandas merge gives NaN keys and plain SQL equality silently
+    // loses. Keys are nulled deterministically so every sf exercises
+    // the NULL-matches-NULL arm. Still a plain equi-join to the
+    // planner (broadcast/shuffle hash, never nested-loop).
+    "j14_nullsafe_join" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("seg"))
+      val segs = Tables.customer(s, d)
+        .select(when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("seg"))
+        .distinct()
+        .withColumn("seg_code",
+          coalesce(length(col("seg")).cast("long"), lit(-1L)))
+      cust.join(segs, cust("seg") <=> segs("seg"))
+        .select(col("c_custkey"), cust("seg").as("seg"), col("seg_code"))
+    }),
+
     // S7/J7 — multiway join with one dim joined twice under aliases
     // (`roles.py:49-65`; `stock_transfers.py:73-80`). Dims broadcast;
     // the only shuffles are fact⋈fact on their join keys.
@@ -314,6 +334,18 @@ object CoreQueries {
     "j4_right_join" ->
       """SELECT n.n_nationkey, n.n_name, s.s_suppkey, s.s_name
         |FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey""".stripMargin,
+    "j14_nullsafe_join" ->
+      """WITH cust AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
+        |  FROM customer),
+        |segs AS (
+        |  SELECT seg, coalesce(CAST(length(seg) AS BIGINT), -1) AS seg_code
+        |  FROM (SELECT DISTINCT
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
+        |    FROM customer))
+        |SELECT c.c_custkey, c.seg, s.seg_code
+        |FROM cust c JOIN segs s ON c.seg IS NOT DISTINCT FROM s.seg""".stripMargin,
     "j5_cross_join" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name
         |FROM region CROSS JOIN nation""".stripMargin,
