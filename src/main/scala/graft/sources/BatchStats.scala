@@ -279,12 +279,20 @@ object BatchStats {
   /** Sidecar bounds for `dir` keyed by file name, None when absent or
     * unparsable (⇒ no pruning — an old-format or torn sidecar must
     * degrade to a full read, never to a wrong skip). */
+  /** Plan-time snapshot cache: stats re-parse only when the sidecar's
+    * (mtime, length) changes — see [[SidecarCache]]. */
+  private val cache =
+    new SidecarCache[Option[Map[String, FileStats]]](maxEntries = 8192)
+
   def read(conf: Configuration, dir: String)
     : Option[Map[String, FileStats]] = {
     val p = new HPath(s"$dir/$SidecarName")
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) None
-    else try {
+    cache.cached(fs, p)(parseSidecar(p)).flatten
+  }
+
+  private def parseSidecar(p: HPath): Option[Map[String, FileStats]] =
+    try {
       val parsed = AtomicText.readLines(p.toString).map { l =>
         val Array(f, c, k, lo, hi) = l.split('\t')
         val cell: Either[Bounds, NullCount] = k match {
@@ -303,7 +311,6 @@ object BatchStats {
           rows.collect { case (_, c, Right(nc)) => c -> nc }.toMap)
       }.toMap)
     } catch { case scala.util.control.NonFatal(_) => None }
-  }
 
   /** True when the file MAY contain a row satisfying every pushed
     * filter (filters are conjunctive). Unknown columns or filter

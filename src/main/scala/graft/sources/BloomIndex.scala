@@ -192,12 +192,23 @@ object BloomIndex {
   /** Sidecar blooms for `dir` keyed by file name then column; None
     * when absent or unparsable (⇒ no pruning, like a torn
     * `_stats.tsv`). */
+  /** Plan-time snapshot cache ([[SidecarCache]]): bloom bit arrays
+    * are the expensive deserialization, and the heavy entries —
+    * megabytes per dir at production row counts — so the cap is much
+    * smaller than the stats cache's. */
+  private val cache = new SidecarCache[
+    Option[Map[String, Map[String, (String, BloomFilter)]]]](maxEntries = 256)
+
   def read(conf: Configuration, dir: String)
     : Option[Map[String, Map[String, (String, BloomFilter)]]] = {
     val p = new HPath(s"$dir/$SidecarName")
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) None
-    else try {
+    cache.cached(fs, p)(parseSidecar(p)).flatten
+  }
+
+  private def parseSidecar(p: HPath)
+    : Option[Map[String, Map[String, (String, BloomFilter)]]] =
+    try {
       Some(AtomicText.readLines(p.toString).map { l =>
         val Array(f, c, k, b) = l.split('\t')
         require(k == "L" || k == "S", s"unknown bloom kind $k")
@@ -206,7 +217,6 @@ object BloomIndex {
         (f, c, (k, bloom))
       }.groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap)
     } catch { case scala.util.control.NonFatal(_) => None }
-  }
 
   /** True when the file MAY contain a row satisfying every pushed
     * filter (conjunctive), judged on bloom membership alone. */

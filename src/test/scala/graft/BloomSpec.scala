@@ -85,6 +85,32 @@ class BloomSpec extends SparkSuite {
     assert((0L until 4000L).forall(k => bloom.mightContainLong(k)))
   }
 
+  test("sidecar snapshot cache: unchanged status serves cached parse, rewrite misses") {
+    import graft.sources.BatchStats
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = java.nio.file.Files.createTempDirectory("cache_").toString
+    val side = java.nio.file.Paths.get(dir, "_stats.tsv")
+    java.nio.file.Files.writeString(side, "f1.parquet\tid\tL\t0\t9\n")
+    val first = BatchStats.read(conf, dir)
+    assert(first.get("f1.parquet").bounds.contains("id"))
+    // same (mtime, len): the cache answers — prove it by changing the
+    // on-disk CONTENT without changing the status the cache keys on
+    // (same byte length, mtime forced back)
+    val st = java.nio.file.Files.getLastModifiedTime(side)
+    java.nio.file.Files.writeString(side, "gx.parquet\tid\tL\t0\t9\n")
+    java.nio.file.Files.setLastModifiedTime(side, st)
+    assert(BatchStats.read(conf, dir) == first, "cache should have served")
+    // a REAL in-place rewrite (different length → different key)
+    // misses onto a fresh parse — the operator-recovery contract
+    java.nio.file.Files.writeString(side,
+      "f1.parquet\tid\tL\t0\t9\nf2.parquet\tid\tL\t10\t19\n")
+    val second = BatchStats.read(conf, dir)
+    assert(second.get.keySet == Set("f1.parquet", "f2.parquet"))
+    // absence is never cached: delete → None immediately
+    java.nio.file.Files.delete(side)
+    assert(BatchStats.read(conf, dir).isEmpty)
+  }
+
   test("no false negatives: every present value survives pruning (randomized)") {
     val rnd = new scala.util.Random(7)
     val values = Seq.fill(500)(rnd.nextLong())
