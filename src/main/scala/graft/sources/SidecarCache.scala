@@ -21,7 +21,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * Bounded LRU per cache: stats entries are tiny (thousands fit),
   * bloom entries carry real bit arrays (megabytes per dir at
-  * production row counts), so blooms get a much smaller cap. */
+  * production row counts), so blooms get a much smaller cap.
+  *
+  * CAVEAT (inherent to mtime keys, same as Hadoop's own metadata
+  * caches): a same-length rewrite landing within the filesystem's
+  * mtime granularity of the previous write can serve the prior parse.
+  * All in-repo writers go through [[graft.util.AtomicText]] (a fresh
+  * temp file + rename, which advances mtime), and sidecar rebuilds
+  * are operator actions seconds apart, not sub-millisecond loops —
+  * the stale window is theoretical here, but a FOREIGN writer
+  * rewriting sidecars in place at high frequency is outside the
+  * envelope. */
 private[sources] final class SidecarCache[V <: AnyRef](maxEntries: Int) {
 
   private final case class Key(path: String, mtime: Long, len: Long)
