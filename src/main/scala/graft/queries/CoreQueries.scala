@@ -242,6 +242,43 @@ object CoreQueries {
         .limit(100)
     }),
 
+    // TPC-H Q14 shape — promo revenue share: a date-windowed fact
+    // scan (predicate pushed), broadcast part dim, conditional
+    // aggregation. Both sums surface as DOUBLE through the decimal
+    // convention and the SHARE divides doubles — decimal division
+    // scale rules differ between engines, double division does not.
+    "q14_promo_share" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+          col("l_shipdate") < lit("1997-07-01").cast("date"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val p = Tables.part(s, d).select("p_partkey", "p_type")
+      val priced = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .withColumn("disc_price",
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+      priced.agg(
+        Repair.decSum(when(col("p_type").like("PROMO%"), col("disc_price"))
+          .otherwise(lit(0.0))).as("promo_rev"),
+        Repair.decSum(col("disc_price")).as("total_rev"))
+        .withColumn("promo_share",
+          lit(100.0) * col("promo_rev") / col("total_rev"))
+    }),
+
+    // TPC-H Q4 shape — orders with ANY late line (shipped > 90 days
+    // after order date), per priority: a left-SEMI join whose
+    // condition mixes the equi key with a date-arithmetic residual —
+    // the EXISTS subquery pattern, deduplicated by the semi join
+    // itself, never a distinct.
+    "q4_late_orders" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      o.join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > date_add(col("o_orderdate"), 90), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_late_orders"))
+    }),
+
     // A5 — referential-integrity count (`orders.py:121-133`): unresolved
     // FKs after remap against a deliberately holed dimension.
     "a5_integrity_count" -> ((s, d) => {
@@ -412,6 +449,28 @@ object CoreQueries {
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
         |LIMIT 100""".stripMargin,
+    "q14_promo_share" ->
+      """WITH priced AS (
+        |  SELECT p.p_type,
+        |    l.l_extendedprice * (1 - l.l_discount) AS disc_price
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= DATE '1997-01-01'
+        |    AND l.l_shipdate < DATE '1997-07-01'),
+        |sums AS (SELECT
+        |  CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%' THEN disc_price
+        |    ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS promo_rev,
+        |  CAST(sum(CAST(disc_price AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+        |  FROM priced)
+        |SELECT promo_rev, total_rev,
+        |  100.0 * promo_rev / total_rev AS promo_share
+        |FROM sums""".stripMargin,
+    "q4_late_orders" ->
+      """SELECT o.o_orderpriority, count(*) AS n_late_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o.o_orderpriority""".stripMargin,
     "a5_integrity_count" ->
       """SELECT 'lineitem->part' AS check_name, count(CASE WHEN p.p_brand IS NULL THEN 1 END) AS missing,
         |  count(*) AS total
