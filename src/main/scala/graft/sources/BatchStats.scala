@@ -64,7 +64,7 @@ import graft.util.AtomicText
   */
 object BatchStats {
 
-  private val SidecarName = "_stats.tsv"
+  private[sources] val SidecarName = "_stats.tsv"
 
   /** Longest stored string bound; longer values truncate outward. */
   private val MaxStringBound = 64
@@ -292,8 +292,16 @@ object BatchStats {
   }
 
   private def parseSidecar(p: HPath): Option[Map[String, FileStats]] =
+    try parseLines(AtomicText.readLines(p.toString))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Lenient sidecar-line parse, shared with [[StatsCheckpoint]]
+    * (which embeds dirs' raw stats lines verbatim): any malformed
+    * input degrades to "no pruning", never an error. */
+  private[sources] def parseLines(lines: Seq[String])
+    : Option[Map[String, FileStats]] =
     try {
-      val parsed = AtomicText.readLines(p.toString).map { l =>
+      val parsed = lines.map { l =>
         val Array(f, c, k, lo, hi) = l.split('\t')
         val cell: Either[Bounds, NullCount] = k match {
           case "L" | "DT" | "TS" | "TN" =>

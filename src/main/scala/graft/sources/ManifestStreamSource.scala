@@ -446,13 +446,24 @@ private[graft] object GraftManifestSource {
       .filter { case (id, _) => id > from && id <= to }
       .sortBy(_._1)
       .flatMap { case (_, ds) => ds.filter(_.startsWith(root + "/")) }
+    // checkpointed dirs answer listing + stats from ONE rolled-up
+    // file (committed dirs are immutable, so entries never go stale);
+    // dirs committed after the checkpoint take the per-dir path below
+    val ckpt = StatsCheckpoint.read(conf, manifest.path)
     dirs.flatMap { dir =>
-      // PER-FILE skipping: a file whose sidecar bounds provably
-      // exclude the pushed conjunction never becomes a partition —
-      // after a z-ordered compaction this prunes on either clustered
-      // column; files absent from the sidecar (or no sidecar) read
-      val stats =
-        if (pushed.isEmpty) None else BatchStats.read(conf, dir)
+      val p = new HPath(dir)
+      val fc =
+        if (p.toUri.getScheme == null) FileContext.getFileContext(conf)
+        else FileContext.getFileContext(p.toUri, conf)
+      // a manifest-committed dir that is GONE is data loss (bad vacuum,
+      // manual delete) — fail loudly like Sinks.readCommitted does,
+      // instead of silently serving an empty batch. Deliberately NOT
+      // answered from the checkpoint: the probe is one namespace op
+      // and is exactly the freshness the checkpoint cannot carry.
+      if (!fc.util().exists(p))
+        throw new IllegalStateException(
+          s"manifest-committed directory missing from the filesystem: $dir — " +
+            "committed data was deleted out from under the manifest")
       // bloom sidecars answer the equality probes min/max cannot
       // (high-cardinality ids whose range spans every file); the
       // sidecar deserializes real bits, so only touch it when an
@@ -460,31 +471,42 @@ private[graft] object GraftManifestSource {
       val blooms =
         if (pushed.exists(hasEqualityFilter)) BloomIndex.read(conf, dir)
         else None
-      val p = new HPath(dir)
-      val fc =
-        if (p.toUri.getScheme == null) FileContext.getFileContext(conf)
-        else FileContext.getFileContext(p.toUri, conf)
-      // a manifest-committed dir that is GONE is data loss (bad vacuum,
-      // manual delete) — fail loudly like Sinks.readCommitted does,
-      // instead of silently serving an empty batch
-      if (!fc.util().exists(p))
-        throw new IllegalStateException(
-          s"manifest-committed directory missing from the filesystem: $dir — " +
-            "committed data was deleted out from under the manifest")
-      fc.util().listStatus(p).toSeq
-        .filter { st =>
-          val n = st.getPath.getName
-          // hidden files (crashed attempts' temps, metadata) excluded,
-          // matching Hadoop's input-listing convention
-          st.isFile && n.endsWith(".parquet") &&
-            !n.startsWith(".") && !n.startsWith("_") &&
-            stats.flatMap(_.get(n))
-              .forall(BatchStats.mayMatch(_, pushed)) &&
-            blooms.flatMap(_.get(n))
-              .forall(BloomIndex.mayMatch(_, pushed))
-        }
-        .map(st => ManifestFilePartition(st.getPath.toString, st.getLen,
-          st.getModificationTime))
+      ckpt.flatMap(_.get(dir)) match {
+        case Some(entry) =>
+          val stats = if (pushed.isEmpty) None else entry.stats
+          entry.files
+            .filter { case (n, _, _) =>
+              stats.flatMap(_.get(n))
+                .forall(BatchStats.mayMatch(_, pushed)) &&
+              blooms.flatMap(_.get(n))
+                .forall(BloomIndex.mayMatch(_, pushed))
+            }
+            .map { case (n, len, mtime) =>
+              ManifestFilePartition(s"$dir/$n", len, mtime)
+            }
+        case None =>
+          // PER-FILE skipping: a file whose sidecar bounds provably
+          // exclude the pushed conjunction never becomes a partition —
+          // after a z-ordered compaction this prunes on either
+          // clustered column; files absent from the sidecar (or no
+          // sidecar) read
+          val stats =
+            if (pushed.isEmpty) None else BatchStats.read(conf, dir)
+          fc.util().listStatus(p).toSeq
+            .filter { st =>
+              val n = st.getPath.getName
+              // hidden files (crashed attempts' temps, metadata)
+              // excluded, matching Hadoop's input-listing convention
+              st.isFile && n.endsWith(".parquet") &&
+                !n.startsWith(".") && !n.startsWith("_") &&
+                stats.flatMap(_.get(n))
+                  .forall(BatchStats.mayMatch(_, pushed)) &&
+                blooms.flatMap(_.get(n))
+                  .forall(BloomIndex.mayMatch(_, pushed))
+            }
+            .map(st => ManifestFilePartition(st.getPath.toString, st.getLen,
+              st.getModificationTime))
+      }
     }.toArray
   }
 

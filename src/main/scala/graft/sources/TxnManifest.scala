@@ -41,7 +41,7 @@ import graft.util.AtomicText
 final case class VersionChange(version: Long, added: Seq[String],
                                removed: Seq[String])
 
-final class TxnManifest(path: String) {
+final class TxnManifest(val path: String) {
 
   /** batchId → the output directories that batch committed. */
   def committed(): Map[Int, Seq[String]] = readState()._2

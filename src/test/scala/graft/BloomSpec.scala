@@ -111,6 +111,54 @@ class BloomSpec extends SparkSuite {
     assert(BatchStats.read(conf, dir).isEmpty)
   }
 
+  test("stats checkpoint: one file answers listing + skipping; fresh dirs fall back") {
+    import graft.sources.{StatsCheckpoint, StatsSinks}
+    val (root, manPath, man) = freshTable("ckpt_")
+    // two batches with DISJOINT id ranges → range stats can prune
+    for ((lo, b) <- Seq((0, 0), (1000, 1))) {
+      StatsSinks.appendBatchStats(
+        (lo until lo + 500).map(i => (i.toLong, s"u$i")).toDF("id", "user")
+          .coalesce(1), root, b)
+      man.commit(b, Seq(s"$root/batch=$b"))
+    }
+    assert(StatsCheckpoint.write(spark, manPath) == 2)
+    // remove every per-dir stats sidecar: pruning that still happens
+    // can only have come from the checkpoint
+    for (b <- 0 to 1)
+      assert(new java.io.File(s"$root/batch=$b/_stats.tsv").delete())
+    assert(scanFiles(load(root, manPath)) == 2)
+    val pruned = load(root, manPath).where($"id" < 100L)
+    assert(pruned.count() == 100)
+    assert(scanFiles(load(root, manPath).where($"id" < 100L)) == 1,
+      "checkpointed stats must prune to batch 0's file")
+
+    // a dir committed AFTER the checkpoint is served per-dir: rows
+    // visible immediately, stats pruning via its own sidecar
+    StatsSinks.appendBatchStats(
+      (2000 until 2500).map(i => (i.toLong, s"u$i")).toDF("id", "user")
+        .coalesce(1), root, 2)
+    man.commit(2, Seq(s"$root/batch=2"))
+    assert(load(root, manPath).count() == 1500)
+    assert(scanFiles(load(root, manPath).where($"id" >= 2000L)) == 1)
+
+    // fail-loud survives the checkpoint: a committed dir deleted out
+    // from under the manifest (even one the checkpoint still lists)
+    // is a PLAN-time error, not an empty scan — partitionsFor probes
+    // existence itself, never trusting the checkpoint for freshness
+    val doomed = new java.io.File(s"$root/batch=1")
+    doomed.listFiles().foreach(_.delete())
+    assert(doomed.delete())
+    val e = intercept[IllegalStateException] {
+      graft.sources.GraftManifestSource.partitionsFor(
+        man, root, Int.MinValue, Int.MaxValue)
+    }
+    assert(e.getMessage.contains("committed data was deleted"), s"got: $e")
+    // the full read path is equally loud (schema resolution finds the
+    // hole first, as PATH_NOT_FOUND)
+    intercept[Exception] { load(root, manPath).count() }
+    ()
+  }
+
   test("no false negatives: every present value survives pruning (randomized)") {
     val rnd = new scala.util.Random(7)
     val values = Seq.fill(500)(rnd.nextLong())
