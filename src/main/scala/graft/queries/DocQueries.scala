@@ -217,6 +217,19 @@ object DocQueries {
     // MinHash + LSH near-dup pairs, exact-Jaccard verified.
     "dd2_minhash_pairs" -> ((s, d) => verifiedPairs(s, d)),
 
+    // Signature-only Jaccard ESTIMATE over the same LSH candidates —
+    // the 100 TB shortcut dd2's exact verify pays to avoid: the score
+    // is the minhash agreement fraction, so each pair costs an
+    // 8-column row join instead of re-joining full shingle sets.
+    "dd12_minhash_est" -> ((s, d) => {
+      val sh = graft.util.CacheScope.track(
+        MinHash.shingles(dedupCorpus(s, d), "doc_id", "text", 3))
+      val sig = graft.util.CacheScope.track(
+        MinHash.signatures(sh, "doc_id", 8))
+      val cand = MinHash.candidatePairs(sig, "doc_id", 8, rowsPerBand = 2)
+      MinHash.estimatedJaccard(cand, sig, "doc_id", 8)
+    }),
+
     // Incremental dedup: the same corpus ingested as two batches into
     // a persisted MinHash index (graft.text.DedupIndex) — each batch
     // probes the stored bands for cross-batch pairs. Must equal the
@@ -622,6 +635,25 @@ object DocQueries {
         |       THEN 1 ELSE 0 END AS is_dup
         |FROM corpus""".stripMargin,
     "dd2_minhash_pairs" -> minhashPairsSql,
+    "dd12_minhash_est" ->
+      s"""WITH $corpusCte,
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(0, len(w) - 2),
+        |    i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+        |  FROM toks),
+        |sig AS (SELECT doc_id, $mhSigCols FROM sh GROUP BY doc_id),
+        |bands AS ($mhBands),
+        |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+        |  WHERE l.doc_id < r.doc_id)
+        |SELECT c.a, c.b,
+        |  (${(0 until 8).map(i =>
+             s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+             .mkString(" + ")}) / 8.0 AS est_jaccard
+        |FROM cand c
+        |JOIN sig sa ON sa.doc_id = c.a
+        |JOIN sig sb ON sb.doc_id = c.b""".stripMargin,
     // incremental == one-shot: the index query must produce the exact
     // pair set the single-pass pipeline produces on the same corpus
     "dd9_incremental_pairs" -> minhashPairsSql,

@@ -61,6 +61,30 @@ object MinHash {
       .select("a", "b").distinct()
   }
 
+  /** ESTIMATED Jaccard from signature agreement alone: the fraction
+    * of min-hashes two docs share is an unbiased estimator of their
+    * Jaccard (the MinHash property), so the pair score costs a join
+    * of two `numHashes`-column rows — no shingle-set join at all. At
+    * corpus scale this is the production trade: the exact verify
+    * ([[exactJaccard]]) re-joins each pair's full shingle sets, IO
+    * proportional to pair-count × set-size, while the estimate
+    * touches only the signature matrix already built for banding.
+    * Estimator std-err is ~sqrt(j(1-j)/numHashes) — callers pick
+    * numHashes for the precision the downstream threshold needs. */
+  def estimatedJaccard(pairs: DataFrame, sig: DataFrame, idCol: String,
+                       numHashes: Int): DataFrame = {
+    val sa = sig.select(col(idCol).as("a") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"__a$i")): _*)
+    val sb = sig.select(col(idCol).as("b") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"__b$i")): _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"__a$i") === col(s"__b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"),
+        (agree.cast("double") / numHashes).as("est_jaccard"))
+  }
+
   /** Exact Jaccard over the shingle sets of candidate pairs only.
     *
     * Set-per-doc formulation: shingle sets aggregate once to one
