@@ -69,6 +69,52 @@ object ExtraQueries {
             .cast(DoubleType).as("p90"))
     }),
 
+    // Robust dispersion per group — median absolute deviation, the
+    // outlier-resistant sibling of stddev: two EXACT percentile
+    // aggregates over the same grouping (the median join is a
+    // broadcast of one row per group; no window, no global sort).
+    // Both engines interpolate exact percentiles identically under
+    // the decimal convention.
+    "a16_mad" -> ((s, d) => {
+      val med = Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+      Tables.lineitem(s, d).join(broadcast(med), Seq("l_returnflag"))
+        .withColumn("absdev", abs(col("l_quantity") - col("med")))
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(absdev, 0.5)").cast("decimal(18,6)")
+            .cast(DoubleType).as("mad"),
+          first(col("med")).cast("decimal(18,6)")
+            .cast(DoubleType).as("median"))
+    }),
+
+    // Running DISTINCT-user count over time: COUNT(DISTINCT) OVER is
+    // unsupported in both engines' windows, so the standard rewrite —
+    // mark each user's FIRST event (row_number per user), then a
+    // running SUM of first-occurrence flags over event order. One
+    // shuffle on user_id for the marking, one global-ordered window
+    // for the cumulative sum (bounded output: one row per event day).
+    "w9_cume_uniques" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+      val firsts = ev.withColumn("rn",
+          row_number().over(Window.partitionBy(col("user_id"))
+            .orderBy(col("us"), col("event_id"))))
+        .withColumn("is_first", when(col("rn") === 1, 1L).otherwise(0L))
+      val daily = firsts.groupBy("day")
+        .agg(sum(col("is_first")).as("new_users"),
+          count(lit(1)).as("n_events"))
+      daily.withColumn("cume_users",
+        sum(col("new_users")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("day"))
+          .rowsBetween(Long.MinValue, 0)))
+        .select(col("day"), col("n_events"), col("new_users"),
+          col("cume_users"))
+    }),
+
     // As-of join (no native Spark equivalent; composed union+window,
     // one shuffle): each click/view event picks up the user's latest
     // purchase value at-or-before its timestamp.
@@ -458,6 +504,34 @@ object ExtraQueries {
         |SELECT k, 'no_big_orders' AS tag FROM (
         |  SELECT c_custkey AS k FROM customer
         |  EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""".stripMargin,
+    "a16_mad" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag,
+        |  CAST(CAST(quantile_cont(abs(l.l_quantity - m.med), 0.5)
+        |    AS DECIMAL(18,6)) AS DOUBLE) AS mad,
+        |  CAST(CAST(any_value(m.med) AS DECIMAL(18,6)) AS DOUBLE) AS median
+        |FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+        |GROUP BY l.l_returnflag""".stripMargin,
+    "w9_cume_uniques" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |firsts AS (SELECT day,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) = 1 THEN 1 ELSE 0 END AS is_first
+        |  FROM ev),
+        |daily AS (SELECT day,
+        |    CAST(sum(is_first) AS BIGINT) AS new_users,
+        |    count(*) AS n_events
+        |  FROM firsts GROUP BY day)
+        |SELECT day, n_events, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cume_users
+        |FROM daily""".stripMargin,
     "a11_percentiles" ->
       """SELECT l_returnflag,
         |  CAST(CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS p50,
