@@ -69,6 +69,58 @@ object ExtraQueries {
             .cast(DoubleType).as("p90"))
     }),
 
+    // Ratio-to-report: each line's share of its order's revenue plus
+    // its rank — one window family (partition by order), no second
+    // aggregate pass. Shares divide DOUBLES built from the decimal
+    // sums (decimal division scale rules differ across engines).
+    "w10_share_of_group" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey"))
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .withColumn("line_rev",
+          rev.cast("decimal(18,6)").cast(DoubleType))
+        .withColumn("order_rev",
+          sum(rev.cast("decimal(18,6)")).over(w).cast(DoubleType))
+        .withColumn("rev_share", col("line_rev") / col("order_rev"))
+        .withColumn("rev_rank",
+          rank().over(w.orderBy(col("line_rev").desc, col("l_linenumber"))))
+        .select(col("l_orderkey"), col("l_linenumber"), col("line_rev"),
+          col("order_rev"), col("rev_share"), col("rev_rank"))
+    }),
+
+    // Blocked FUZZY matching (the ETL name-cleanup op): perturbed
+    // customer names re-link to their originals via edit distance,
+    // candidate pairs blocked to a (bucket) so the comparison is
+    // never all-pairs — levenshtein is identical in both engines.
+    // Deterministic perturbation (drop one character) guarantees
+    // true matches at distance 1 at every sf; the <= 2 threshold and
+    // the a < b canonicalization dedupe the pair set.
+    "c23_fuzzy_match" -> ((s, d) => {
+      val names = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"))
+      val noisy = names.filter(col("c_custkey") % 5 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(substring(col("c_name"), 1, 8),
+            substring(col("c_name"), 10, 100)).as("c_name"))
+      // block on (id residue, name suffix): the perturbation (one
+      // char dropped mid-string) preserves both, so every true match
+      // shares a block, while blocks stay small enough that the
+      // quadratic comparison never sees the full cross product
+      val all = names.unionAll(noisy)
+        .withColumn("bucket", pmod(col("c_custkey"), lit(5)))
+        .withColumn("sfx", expr("right(c_name, 4)"))
+      val l = all.select(col("bucket"), col("sfx"),
+        col("c_custkey").as("a"), col("c_name").as("name_a"))
+      val r = all.select(col("bucket"), col("sfx"),
+        col("c_custkey").as("b"), col("c_name").as("name_b"))
+      l.join(r, Seq("bucket", "sfx"))
+        .filter(col("a") < col("b") &&
+          levenshtein(col("name_a"), col("name_b")) <= 2)
+        .select(col("a"), col("b"), col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"))
+    }),
+
     // Robust dispersion per group — median absolute deviation, the
     // outlier-resistant sibling of stddev: two EXACT percentile
     // aggregates over the same grouping (the median join is a
@@ -504,6 +556,38 @@ object ExtraQueries {
         |SELECT k, 'no_big_orders' AS tag FROM (
         |  SELECT c_custkey AS k FROM customer
         |  EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""".stripMargin,
+    "w10_share_of_group" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |    AS DOUBLE) AS line_rev,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |    OVER (PARTITION BY l_orderkey) AS DOUBLE) AS order_rev,
+        |  CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |      OVER (PARTITION BY l_orderkey) AS DOUBLE) AS rev_share,
+        |  CAST(rank() OVER (PARTITION BY l_orderkey
+        |    ORDER BY CAST(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,6)) AS DOUBLE) DESC, l_linenumber) AS INTEGER)
+        |    AS rev_rank
+        |FROM lineitem""".stripMargin,
+    "c23_fuzzy_match" ->
+      """WITH names AS (
+        |  SELECT c_custkey, c_name FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS c_custkey,
+        |    substr(c_name, 1, 8) || substr(c_name, 10) AS c_name
+        |  FROM customer WHERE c_custkey % 5 = 0),
+        |blocked AS (
+        |  SELECT c_custkey, c_name, c_custkey % 5 AS bucket,
+        |    right(c_name, 4) AS sfx
+        |  FROM names)
+        |SELECT l.c_custkey AS a, r.c_custkey AS b,
+        |  l.c_name AS name_a, r.c_name AS name_b,
+        |  CAST(levenshtein(l.c_name, r.c_name) AS INTEGER) AS dist
+        |FROM blocked l JOIN blocked r
+        |  ON l.bucket = r.bucket AND l.sfx = r.sfx
+        |WHERE l.c_custkey < r.c_custkey
+        |  AND levenshtein(l.c_name, r.c_name) <= 2""".stripMargin,
     "a16_mad" ->
       """WITH med AS (
         |  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
