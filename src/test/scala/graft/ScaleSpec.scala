@@ -227,6 +227,49 @@ class ScaleSpec extends SparkSuite {
     assert(globalSorts.isEmpty, s"expected no global sort, got:\n$plan")
   }
 
+  test("TPC-H family plans: pushed predicates, top-k without a global sort") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // pre-AQE physical plan: the shapes asserted here are static
+    // planning decisions (pushdown, top-k operator, join kind), and
+    // the pre-AQE tree is traversable without unwrapping query stages
+    def planOf(name: String) =
+      graft.queries.CoreQueries.queries(name)(spark, sf)
+        .queryExecution.sparkPlan
+    // q3/q18: the top slice is TakeOrderedAndProject (per-partition
+    // top-k, one driver merge), never a global sort of the aggregate
+    for (q <- Seq("q3_shipping_priority", "q18_volume_customer")) {
+      val plan = planOf(q)
+      assert(plan.collectWithSubqueries {
+        case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+        s"$q must plan TakeOrderedAndProject:\n$plan")
+      assert(plan.collectWithSubqueries {
+        case s: SortExec if s.global => s }.isEmpty,
+        s"$q must not global-sort:\n$plan")
+    }
+    // q3: both date predicates reach their parquet scans
+    val q3 = planOf("q3_shipping_priority")
+    val scansWithPush = q3.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("PushedFilters").exists(p =>
+          p.contains("l_shipdate") || p.contains("o_orderdate")) => f
+    }
+    assert(scansWithPush.size >= 2,
+      s"q3 date predicates must push to both scans:\n$q3")
+    // q4: EXISTS plans as an equi LEFT SEMI join (the date residual
+    // rides the equi key), never a nested-loop or cartesian
+    val q4 = planOf("q4_late_orders")
+    val semis = q4.collectWithSubqueries {
+      case j: BaseJoinExec
+        if j.joinType.toString.toLowerCase.contains("semi") => j
+    }
+    assert(semis.nonEmpty, s"q4 must plan a semi join:\n$q4")
+    assert(q4.collectWithSubqueries {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }.isEmpty, s"q4 must not plan a nested-loop/cartesian:\n$q4")
+  }
+
   test("per-row text queries plan with zero exchanges") {
     // t10/t11 are pure per-row curation passes: ANY exchange in the
     // plan means a shuffle snuck into what must stay scan-parallel.
