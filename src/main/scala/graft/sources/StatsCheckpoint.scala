@@ -44,13 +44,18 @@ object StatsCheckpoint {
                             stats: Option[Map[String, BatchStats.FileStats]])
 
   /** Roll the manifest's CURRENT committed dirs into one checkpoint
-    * file (atomic replace). Returns the number of dirs covered. */
+    * file (atomic replace). Returns the number of dirs covered.
+    * Per-dir gathering (one listing + one sidecar read each) fans out
+    * over a bounded driver-side pool — sequential round-trips would
+    * make the maintenance pass itself O(dirs) in LATENCY on a remote
+    * FS, the cost the checkpoint exists to amortize away. Output
+    * order stays deterministic (dirs in manifest order). */
   def write(spark: SparkSession, manifestPath: String): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     val manifest = new TxnManifest(manifestPath)
     val dirs = manifest.committedDirsAll()
-    val body = new StringBuilder(s"#version=${manifest.version()}\n")
-    dirs.foreach { dir =>
+    def gather(dir: String): String = {
+      val section = new StringBuilder
       val p = new HPath(dir)
       val fs = p.getFileSystem(conf)
       fs.listStatus(p)
@@ -60,13 +65,25 @@ object StatsCheckpoint {
             !n.startsWith(".") && !n.startsWith("_")
         }
         .foreach { st =>
-          body ++= s"F\t$dir\t${st.getPath.getName}\t${st.getLen}" +
+          section ++= s"F\t$dir\t${st.getPath.getName}\t${st.getLen}" +
             s"\t${st.getModificationTime}\n"
         }
       AtomicText.readLines(s"$dir/${BatchStats.SidecarName}")
-        .foreach(l => body ++= s"S\t$dir\t$l\n")
+        .foreach(l => section ++= s"S\t$dir\t$l\n")
+      section.toString
     }
-    AtomicText.writeAtomically(ckptPath(manifestPath), body.toString)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, dirs.size)))
+    val sections =
+      try {
+        val futures = dirs.map(dir =>
+          pool.submit(new java.util.concurrent.Callable[String] {
+            def call(): String = gather(dir)
+          }))
+        futures.map(_.get())
+      } finally pool.shutdown()
+    AtomicText.writeAtomically(ckptPath(manifestPath),
+      s"#version=${manifest.version()}\n" + sections.mkString)
     dirs.size
   }
 
