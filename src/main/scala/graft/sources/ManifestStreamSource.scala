@@ -450,7 +450,12 @@ private[graft] object GraftManifestSource {
     // file (committed dirs are immutable, so entries never go stale);
     // dirs committed after the checkpoint take the per-dir path below
     val ckpt = StatsCheckpoint.read(conf, manifest.path)
-    dirs.flatMap { dir =>
+    // per-dir namespace work (existence probe; listing + sidecar
+    // reads for un-checkpointed dirs) fans out over a bounded pool —
+    // sequential round-trips would make PLANNING O(dirs) in latency
+    // on a remote FS. Order stays deterministic (manifest order);
+    // the loud missing-dir failure propagates unwrapped.
+    val planned = parallelMap(dirs) { dir =>
       val p = new HPath(dir)
       val fc =
         if (p.toUri.getScheme == null) FileContext.getFileContext(conf)
@@ -507,7 +512,32 @@ private[graft] object GraftManifestSource {
             .map(st => ManifestFilePartition(st.getPath.toString, st.getLen,
               st.getModificationTime))
       }
-    }.toArray
+    }
+    planned.flatten.toArray
+  }
+
+  /** Order-preserving bounded-parallel map for driver-side namespace
+    * fan-out; exceptions from the body (the loud data-loss failure)
+    * propagate unwrapped. */
+  private def parallelMap[A, B](in: Seq[A])(f: A => B): Seq[B] = {
+    if (in.size <= 1) in.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, in.size))
+      try {
+        val futures = in.map(a =>
+          pool.submit(new java.util.concurrent.Callable[B] {
+            def call(): B = f(a)
+          }))
+        futures.map { fut =>
+          try fut.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
+    }
   }
 
   /** [[readerFactory]] with an optional column mapping: logical
