@@ -516,29 +516,40 @@ private[graft] object GraftManifestSource {
     planned.flatten.toArray
   }
 
+  /** Shared daemon pool for driver-side namespace fan-out: planning
+    * runs once per micro-batch under streaming, so a per-plan pool
+    * would churn 16 threads per batch. Daemon threads never block
+    * JVM exit; the pool is safe to share because the per-dir bodies
+    * are independent and never submit nested work. */
+  private lazy val namespacePool =
+    java.util.concurrent.Executors.newFixedThreadPool(16,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-plan-ns-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
   /** Order-preserving bounded-parallel map for driver-side namespace
     * fan-out; exceptions from the body (the loud data-loss failure)
     * propagate unwrapped. */
-  private def parallelMap[A, B](in: Seq[A])(f: A => B): Seq[B] = {
+  private[sources] def parallelMap[A, B](in: Seq[A])(f: A => B): Seq[B] =
     if (in.size <= 1) in.map(f)
     else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(16, in.size))
-      try {
-        val futures = in.map(a =>
-          pool.submit(new java.util.concurrent.Callable[B] {
-            def call(): B = f(a)
-          }))
-        futures.map { fut =>
-          try fut.get()
-          catch {
-            case e: java.util.concurrent.ExecutionException =>
-              throw e.getCause
-          }
+      val futures = in.map(a =>
+        namespacePool.submit(new java.util.concurrent.Callable[B] {
+          def call(): B = f(a)
+        }))
+      futures.map { fut =>
+        try fut.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
         }
-      } finally pool.shutdown()
+      }
     }
-  }
 
   /** [[readerFactory]] with an optional column mapping: logical
     * schemas translate to their physical twins for the parquet reader

@@ -72,16 +72,7 @@ object StatsCheckpoint {
         .foreach(l => section ++= s"S\t$dir\t$l\n")
       section.toString
     }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, math.max(1, dirs.size)))
-    val sections =
-      try {
-        val futures = dirs.map(dir =>
-          pool.submit(new java.util.concurrent.Callable[String] {
-            def call(): String = gather(dir)
-          }))
-        futures.map(_.get())
-      } finally pool.shutdown()
+    val sections = GraftManifestSource.parallelMap(dirs)(gather)
     AtomicText.writeAtomically(ckptPath(manifestPath),
       s"#version=${manifest.version()}\n" + sections.mkString)
     dirs.size
