@@ -279,6 +279,31 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_late_orders"))
     }),
 
+    // TPC-H Q19 shape — disjunctive predicate over a join: an OR of
+    // (brand, quantity-range) conjunctions spanning BOTH tables.
+    // Catalyst's CNF conversion extracts the per-side residuals
+    // (p_brand IN (...) to the part scan, the quantity envelope to
+    // lineitem), so each scan prunes before the join even though no
+    // single disjunct is side-local.
+    "q19_disjunctive" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+      val cond =
+        (col("p_brand") === "Brand#11" &&
+          col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+        (col("p_brand") === "Brand#23" &&
+          col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+        (col("p_size") >= 1 && col("p_size") <= 5 &&
+          col("l_quantity") >= 25)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(
+          Repair.decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // A5 — referential-integrity count (`orders.py:121-133`): unresolved
     // FKs after remap against a deliberately holed dimension.
     "a5_integrity_count" -> ((s, d) => {
@@ -471,6 +496,17 @@ object CoreQueries {
         |  WHERE l.l_orderkey = o.o_orderkey
         |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
         |GROUP BY o.o_orderpriority""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#11'
+        |    AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+        |  OR (p.p_brand = 'Brand#23'
+        |    AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+        |  OR (p.p_size >= 1 AND p.p_size <= 5 AND l.l_quantity >= 25)""".stripMargin,
     "a5_integrity_count" ->
       """SELECT 'lineitem->part' AS check_name, count(CASE WHEN p.p_brand IS NULL THEN 1 END) AS missing,
         |  count(*) AS total
