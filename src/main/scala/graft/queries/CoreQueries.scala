@@ -304,6 +304,29 @@ object CoreQueries {
           count(lit(1)).as("n_lines"))
     }),
 
+    // TPC-H Q22 shape — high-balance accounts gone quiet: a scalar
+    // aggregate (the positive-balance mean) broadcast as a one-row
+    // cross join, then an ANTI join against the RECENT orders subset
+    // (the date predicate pushes to the orders scan, so the anti
+    // build side is small). The scalar subquery costs one tiny extra
+    // scan; the anti join shuffles on the customer key (or
+    // broadcasts the filtered side under AQE).
+    "q22_idle_accounts" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg(Repair.decAvg(col("c_acctbal")).as("avg_bal"))
+      val rich = cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("date"))
+        .select(col("o_custkey"))
+      rich.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_idle"),
+          Repair.decSum(col("c_acctbal")).as("idle_balance"))
+    }),
+
     // A5 — referential-integrity count (`orders.py:121-133`): unresolved
     // FKs after remap against a deliberately holed dimension.
     "a5_integrity_count" -> ((s, d) => {
@@ -507,6 +530,20 @@ object CoreQueries {
         |  OR (p.p_brand = 'Brand#23'
         |    AND l.l_quantity >= 10 AND l.l_quantity <= 20)
         |  OR (p.p_size >= 1 AND p.p_size <= 5 AND l.l_quantity >= 25)""".stripMargin,
+    "q22_idle_accounts" ->
+      """WITH avg_bal AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(c_acctbal) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c.c_mktsegment, count(*) AS n_idle,
+        |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS idle_balance
+        |FROM customer c, avg_bal
+        |WHERE c.c_acctbal > avg_bal.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= DATE '2001-01-01')
+        |GROUP BY c.c_mktsegment""".stripMargin,
     "a5_integrity_count" ->
       """SELECT 'lineitem->part' AS check_name, count(CASE WHEN p.p_brand IS NULL THEN 1 END) AS missing,
         |  count(*) AS total
