@@ -40,12 +40,13 @@ object Bench {
       }
     }
     // One warm-up pass, then SPARK_GRAFT_PASSES recorded passes
-    // (default 1) reporting per-query MINIMA. A single cold pass
+    // (default 2) reporting per-query MINIMA. A single cold pass
     // charges JVM/Janino warm-up to whichever queries run first; a
     // single warm pass still swings 2-6x per query with machine load
     // (SCALE.md) — floors across passes are the comparable number for
-    // round-over-round deltas.
-    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(1)
+    // round-over-round deltas, so the recorded artifact defaults to a
+    // floor rather than a load sample.
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
     require(passes >= 1, s"SPARK_GRAFT_PASSES must be >= 1, got $passes")
     pass(record = false)
     val recorded = (1 to passes).map(_ => pass(record = true))
