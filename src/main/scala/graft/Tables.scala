@@ -15,17 +15,32 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects outright; read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
+  /** `events.parquet` has shipped with `ts` as TIMESTAMP(NANOS) in
+    * some generator versions and TIMESTAMP(MICROS) in others, so the
+    * read adapts to the footer instead of assuming either. NANOS is
+    * rejected outright by Spark's vectorized reader; read nanos as
+    * long (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
     * microseconds (lossless here: the generator emits µs precision).
     * Integer `div`, not `/` — double division loses precision above
-    * 2^53 and epoch-nanos is ~1.7e18. */
+    * 2^53 and epoch-nanos is ~1.7e18. A MICROS footer already lands
+    * as a timestamp column and passes through untouched; either way
+    * callers see the same µs-precision `ts`. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val t = table(s, d, "events")
+    t.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        t.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // no isAdjustedToUTC flag in the footer → NTZ; every session
+        // here runs spark.sql.session.timeZone=UTC, so the cast to
+        // LTZ is the identity on the µs values (and matches DuckDB's
+        // epoch_us over the same naive timestamps)
+        t.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(
+          org.apache.spark.sql.types.TimestampType))
+      case _ => t
+    }
   }
 
   /** Register the whole star schema as temp views, so `spark.sql`
