@@ -459,9 +459,19 @@ object BatchStats {
 
 /** Convenience: batch append + stats sidecar in one call. */
 object StatsSinks {
-  def appendBatchStats(df: DataFrame, root: String, batchId: Int): Unit = {
+  /** `bloomColumns` additionally writes a [[BloomIndex]] sidecar for
+    * point-lookup pruning — without it a batch-loaded table has no
+    * bloom coverage until its first compaction rebuild, so every
+    * equality probe (merge key lookups included) falls back to
+    * min/max ranges alone. Same opt-in contract as the streaming
+    * sink's `bloomColumns` option: unindexable types fail loudly. */
+  def appendBatchStats(df: DataFrame, root: String, batchId: Int,
+                       bloomColumns: Seq[String] = Nil): Unit = {
     Sinks.appendBatch(df, root, batchId)
     BatchStats.writeSidecar(df.sparkSession, s"$root/batch=$batchId")
+    if (bloomColumns.nonEmpty)
+      BloomIndex.writeSidecar(df.sparkSession, s"$root/batch=$batchId",
+        bloomColumns)
   }
 
   /** CHECK constraints on the write path (Delta `ALTER TABLE ADD
@@ -473,7 +483,8 @@ object StatsSinks {
     * (`orders.py:121-133`). NULL counts as a violation: a constraint
     * that cannot be PROVEN true is not true (Delta's rule). */
   def appendBatchChecked(df: DataFrame, root: String, batchId: Int,
-                         constraints: Map[String, org.apache.spark.sql.Column])
+                         constraints: Map[String, org.apache.spark.sql.Column],
+                         bloomColumns: Seq[String] = Nil)
     : Unit = {
     require(constraints.nonEmpty, "no constraints given — use appendBatch")
     import org.apache.spark.sql.functions.{coalesce, count, lit, sum, when}
@@ -494,5 +505,8 @@ object StatsSinks {
           s" — nothing written (${counts.getLong(0)} rows rejected)")
     Sinks.appendBatch(df, root, batchId)
     BatchStats.writeSidecar(df.sparkSession, s"$root/batch=$batchId")
+    if (bloomColumns.nonEmpty)
+      BloomIndex.writeSidecar(df.sparkSession, s"$root/batch=$batchId",
+        bloomColumns)
   }
 }

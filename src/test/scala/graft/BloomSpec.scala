@@ -326,6 +326,40 @@ class BloomSpec extends SparkSuite {
     assert(load(root, manPath).where($"id".isin(1L, 7L)).count() == 0)
   }
 
+  test("appendBatchStats(bloomColumns) indexes the batch path at load time") {
+    import graft.sources.Sinks
+    val (root, manPath, man) = freshTable("bloom_append_")
+    // the batch-append path used to have NO bloom hook: a batch-loaded
+    // table carried zero point-lookup coverage until its first
+    // compaction rebuild. One call now lands data + stats + blooms.
+    for (m <- 0 until 2) {
+      val part = (0 until 2000).filter(_ % 2 == m)
+        .map(i => (i.toLong, s"u$i")).toDF("id", "user")
+      StatsSinks.appendBatchStats(part.coalesce(1), root, m,
+        bloomColumns = Seq("id", "user"))
+      man.commit(m, Seq(s"$root/batch=$m"))
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(BloomIndex.indexedColumns(conf, s"$root/batch=0") ==
+      Set("id", "user"))
+    // scan-side: an odd id opens only batch 1's file
+    assert(scanFiles(load(root, manPath).where($"id" === 1001L)) == 1)
+    // merge-probe side: keys living only in batch 1 prune batch 0
+    // BEFORE any scan — the pruning a merge on a freshly batch-loaded
+    // table now gets without waiting for a compaction
+    val dirs = (0 until 2).map(m => s"$root/batch=$m")
+    val oddKeys = Seq(1L, 999L).toDF("id")
+    assert(Sinks.bloomCandidateDirs(spark, dirs, oddKeys, Seq("id"))
+      == Seq(s"$root/batch=1"))
+    // unindexable type still fails loudly through the convenience hook
+    val bad = intercept[IllegalArgumentException] {
+      StatsSinks.appendBatchStats(
+        Seq((1.5, "x")).toDF("d", "s"), s"$root/other", 0,
+        bloomColumns = Seq("d"))
+    }
+    assert(bad.getMessage.contains("unindexable"))
+  }
+
   test("describeDetail reports coverage per batch dir") {
     import graft.sources.Sinks
     val (root, manPath, man) = freshTable("detail_")
