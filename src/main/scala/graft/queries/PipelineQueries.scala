@@ -451,6 +451,67 @@ object PipelineQueries {
         .select("c_custkey", "c_name", "c_acctbal", "n_name", "region_u")
     }),
 
+    // e8's suite under the CONCURRENT runner, against the SAME oracle:
+    // wave parallelism must be invisible in the results. Two
+    // independent syncs (region, nation) run together on driver
+    // threads in wave 1; the dim that joins them waits for BOTH; the
+    // fact waits for the dim. Same end-to-end join as e8 — if the
+    // wave barrier or the synchronized watermark store ever let a
+    // fact start before its dims, the oracle catches it as missing or
+    // stale rows, not just a spec assertion.
+    "e8b_concurrent_migration" -> ((s, d) => {
+      import graft.ops.Orchestrator
+      import graft.ops.Orchestrator.Pipeline
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_e8b_").toString
+      val store = new Cdc.WatermarkStore(s, s"$base/wm", initial = -1L)
+      val syncRegion = Pipeline("sync_region", Nil, (sp, st) => {
+        Cdc.runLoop(Tables.region(sp, d), "r_regionkey", "sync_region", st,
+          batchSize = 3,
+          df => df.select(col("r_regionkey"), upper(col("r_name")).as("region_u")),
+          (b, wm) => b.write.mode(SaveMode.Overwrite)
+            .parquet(s"$base/dim_region/batch=$wm"))
+      })
+      val syncNation = Pipeline("sync_nation", Nil, (sp, st) => {
+        Cdc.runLoop(Tables.nation(sp, d), "n_nationkey", "sync_nation", st,
+          batchSize = 10,
+          df => df.select("n_nationkey", "n_name", "n_regionkey"),
+          (b, wm) => b.write.mode(SaveMode.Overwrite)
+            .parquet(s"$base/sync_nation/batch=$wm"))
+      })
+      val dimNation = Pipeline("dim_nation",
+        Seq("sync_region", "sync_nation"), (sp, st) => {
+        val dim = sp.read.parquet(s"$base/dim_region")
+          .select("r_regionkey", "region_u")
+        Cdc.runLoop(sp.read.parquet(s"$base/sync_nation"),
+          "n_nationkey", "dim_nation", st, batchSize = 10,
+          df => df.join(broadcast(dim),
+              df("n_regionkey") === dim("r_regionkey"))
+            .select(df("n_nationkey"), df("n_name"), col("region_u")),
+          (b, wm) => b.write.mode(SaveMode.Overwrite)
+            .parquet(s"$base/dim_nation/batch=$wm"))
+      })
+      val factCustomer = Pipeline("fact_customer", Seq("dim_nation"), (sp, st) => {
+        val dim = sp.read.parquet(s"$base/dim_nation")
+        Cdc.runLoop(Tables.customer(sp, d), "c_custkey", "fact_customer", st,
+          batchSize = 4999,
+          df => df.join(broadcast(dim),
+              df("c_nationkey") === dim("n_nationkey"))
+            .select(df("c_custkey"), df("c_name"), df("c_acctbal"),
+              dim("n_name"), dim("region_u")),
+          (b, wm) => b.write.mode(SaveMode.Overwrite)
+            .parquet(s"$base/fact_customer/batch=$wm"))
+      })
+      val ran = Orchestrator.runConcurrent(s, store,
+        Seq(factCustomer, dimNation, syncNation, syncRegion),
+        parallelism = 2)
+      // wave-by-wave, names sorted: the two syncs REALLY shared wave 1
+      require(ran.map(_._1) == Seq("sync_nation", "sync_region",
+        "dim_nation", "fact_customer"), s"waves: $ran")
+      s.read.parquet(s"$base/fact_customer")
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", "region_u")
+    }),
+
     // Semi-structured ingestion: parse the JSON props column in the
     // scan projection (from_json is codegen'd — no shuffle, no UDF;
     // the read-side twin of the C16 to_json serialization). Malformed
@@ -918,6 +979,12 @@ object PipelineQueries {
         |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice, 'delete', 2
         |FROM base b WHERE b.o_orderkey IN (SELECT o_orderkey FROM del)""".stripMargin,
     "e8_full_migration" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  upper(r_name) AS region_u
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "e8b_concurrent_migration" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
         |  upper(r_name) AS region_u
         |FROM customer
