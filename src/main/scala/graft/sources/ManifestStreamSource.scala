@@ -163,7 +163,8 @@ final class GraftManifestTable(tableSchema: StructType,
           GraftManifestSource.startingBatchId(options),
           GraftManifestSource.maxBatchesPerTrigger(options),
           GraftManifestSource.mapping(options),
-          GraftManifestSource.versionAsOf(options))
+          GraftManifestSource.versionAsOf(options),
+          GraftManifestSource.timestampAsOf(options))
     }
   }
 }
@@ -173,8 +174,11 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
                               root: String, manifestPath: String, starting: Int,
                               maxBatches: Option[Int],
                               mapping: Option[Seq[SchemaLog.Col]] = None,
-                              asOf: Option[Int] = None)
+                              asOf: Option[Int] = None,
+                              asOfTs: Option[Long] = None)
   extends Scan {
+  require(asOf.isEmpty || asOfTs.isEmpty,
+    "versionAsOf and timestampAsOf are mutually exclusive")
   override def readSchema(): StructType = required
   override def description(): String =
     s"GraftManifestScan(root=$root, " +
@@ -186,12 +190,21 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
 
   override def toBatch: Batch = new Batch {
     // the batch view ignores `starting`: it is readCommitted-as-DSv2;
-    // versionAsOf serves the table as of a batch id (time travel —
-    // valid until compaction/vacuum collapse the history horizon)
-    private lazy val parts = GraftManifestSource.partitionsFor(
-      new TxnManifest(manifestPath), root, Int.MinValue,
-      asOf.getOrElse(Int.MaxValue),
-      if (mapping.isEmpty) pushed.toSeq else Nil)
+    // versionAsOf serves the table as of a batch id, timestampAsOf as
+    // of a wall time via the claim tombstones (time travel — valid
+    // until compaction/vacuum collapse the history horizon)
+    private lazy val parts = {
+      val manifest = new TxnManifest(manifestPath)
+      val filters = if (mapping.isEmpty) pushed.toSeq else Nil
+      asOfTs match {
+        case Some(ts) =>
+          val dirs = manifest.stateAt(manifest.versionAt(ts)).toSeq
+            .sortBy(_._1).flatMap(_._2).filter(_.startsWith(root + "/"))
+          GraftManifestSource.partitionsForDirs(manifest, dirs, filters)
+        case None => GraftManifestSource.partitionsFor(
+          manifest, root, Int.MinValue, asOf.getOrElse(Int.MaxValue), filters)
+      }
+    }
     override def planInputPartitions(): Array[InputPartition] = parts
     override def createReaderFactory(): PartitionReaderFactory =
       GraftManifestSource.mappedReaderFactory(SparkSession.active, dataSchema,
@@ -199,8 +212,9 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-    require(asOf.isEmpty,
-      "versionAsOf is a batch-read option; use startingBatchId on a stream")
+    require(asOf.isEmpty && asOfTs.isEmpty,
+      "versionAsOf/timestampAsOf are batch-read options; use " +
+        "startingBatchId on a stream")
     new GraftManifestMicroBatchStream(dataSchema, required, pushed,
       root, manifestPath, starting, maxBatches, mapping)
   }
@@ -401,6 +415,19 @@ private[graft] object GraftManifestSource {
   def versionAsOf(options: CaseInsensitiveStringMap): Option[Int] =
     Option(options.get("versionAsOf")).map(_.toInt)
 
+  /** Delta's `timestampAsOf` sibling: epoch millis, or a UTC wall
+    * time `yyyy-MM-dd[ HH:mm:ss]` — resolved against claim-file
+    * commit times ([[TxnManifest.versionAt]]) at scan build. */
+  def timestampAsOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("timestampAsOf")).map { s =>
+      s.toLongOption.getOrElse {
+        val t = if (s.contains(" ") || s.contains("T"))
+          java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        else java.time.LocalDate.parse(s).atStartOfDay()
+        t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+    }
+
   /** `schemaLog` option: resolve reads through a [[SchemaLog]] column
     * mapping (captured at scan/stream build — a rename mid-stream is
     * picked up on restart, the evolution point, as with Delta). */
@@ -439,13 +466,21 @@ private[graft] object GraftManifestSource {
   def partitionsFor(manifest: TxnManifest, root: String,
                     from: Int, to: Int,
                     pushed: Seq[Filter] = Nil): Array[InputPartition] = {
-    val conf = SparkSession.getActiveSession
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
     val dirs = manifest.committed().toSeq
       .filter { case (id, _) => id > from && id <= to }
       .sortBy(_._1)
       .flatMap { case (_, ds) => ds.filter(_.startsWith(root + "/")) }
+    partitionsForDirs(manifest, dirs, pushed)
+  }
+
+  /** [[partitionsFor]] over an EXPLICIT directory list — the planning
+    * entry point for version/timestamp-addressed reads, whose dir set
+    * comes from a claim tombstone rather than the live manifest. */
+  def partitionsForDirs(manifest: TxnManifest, dirs: Seq[String],
+                        pushed: Seq[Filter] = Nil): Array[InputPartition] = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
     // checkpointed dirs answer listing + stats from ONE rolled-up
     // file (committed dirs are immutable, so entries never go stale);
     // dirs committed after the checkpoint take the per-dir path below

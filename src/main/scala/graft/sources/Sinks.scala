@@ -773,4 +773,34 @@ object Sinks {
         s"nothing committed under $root at or before batch $asOfBatch")
     spark.read.option("mergeSchema", true).parquet(dirs: _*)
   }
+
+  /** VERSION-addressed time travel: the table exactly as manifest
+    * version `version` served it, from that version's claim
+    * tombstone — unlike [[readCommittedAsOf]]'s batch-id prefix this
+    * replays merges, compactions, and restores faithfully (a version
+    * BEFORE a merge still names the pre-merge dirs). Valid while the
+    * named dirs exist, i.e. inside the vacuum retention window —
+    * Delta's own constraint. */
+  def readCommittedAtVersion(spark: org.apache.spark.sql.SparkSession,
+                             root: String, manifest: TxnManifest,
+                             version: Long): DataFrame = {
+    val dirs = manifest.stateAt(version).toSeq.sortBy(_._1)
+      .flatMap(_._2).filter(_.startsWith(root + "/"))
+    if (dirs.isEmpty)
+      throw new IllegalStateException(
+        s"nothing committed under $root at manifest version $version")
+    spark.read.option("mergeSchema", true).parquet(dirs: _*)
+  }
+
+  /** Delta `TIMESTAMP AS OF`: "the table as of yesterday 09:00".
+    * Resolves the timestamp to the newest manifest version committed
+    * at or before it ([[TxnManifest.versionAt]] — claim-file mtimes,
+    * monotonic-adjusted, the same clock Delta reads) and serves that
+    * version's state. A timestamp between two commits yields the
+    * earlier one; one before the first commit fails loudly. */
+  def readCommittedAsOfTimestamp(spark: org.apache.spark.sql.SparkSession,
+                                 root: String, manifest: TxnManifest,
+                                 timestampMillis: Long): DataFrame =
+    readCommittedAtVersion(spark, root, manifest,
+      manifest.versionAt(timestampMillis))
 }

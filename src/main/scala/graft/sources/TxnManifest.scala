@@ -209,6 +209,59 @@ final class TxnManifest(val path: String) {
     writeCas(current, entries)
   }
 
+  /** The full entry state at `version` — the public face of the claim
+    * tombstones, for version-addressed reads ([[Sinks.readCommittedAtVersion]]).
+    * Fails loudly when the claim is missing: a pre-CAS manifest
+    * upgraded in place has no recorded state for that version. */
+  def stateAt(version: Long): Map[Int, Seq[String]] = {
+    val (current, _) = readState()
+    require(version >= 1 && version <= current,
+      s"version $version out of range [1, $current]")
+    entriesAt(version).getOrElse(throw new IllegalStateException(
+      s"no claim file for version $version of $path — pre-CAS history " +
+        "is not addressable"))
+  }
+
+  /** version → commit timestamp (epoch millis) for versions 1..current,
+    * from the claim tombstones' file modification times — the same
+    * clock Delta reads its log files' mtimes for `TIMESTAMP AS OF`.
+    * Monotonic-adjusted exactly as Delta does: a version whose mtime
+    * runs BEHIND its predecessor (clock skew, copied files) reports
+    * its predecessor's timestamp instead, so the mapping
+    * timestamp → version is well-defined. A version with no claim
+    * (pre-CAS history) inherits its predecessor's timestamp — it can
+    * never win a timestamp lookup over the predecessor, matching
+    * [[history]]'s carry-forward semantics for the same gap. */
+  def commitTimestamps(): Seq[(Long, Long)] = {
+    val (current, _) = readState()
+    var prev = Long.MinValue
+    (1L to current).map { v =>
+      val ts = AtomicText.mtime(s"$path.v$v") match {
+        case Some(m) => math.max(m, prev)
+        case None    => if (prev == Long.MinValue) Long.MinValue else prev
+      }
+      prev = ts
+      v -> ts
+    }.filterNot(_._2 == Long.MinValue)
+  }
+
+  /** The newest version committed at or before `timestampMillis` —
+    * Delta's `TIMESTAMP AS OF` resolution. Fails loudly on a
+    * timestamp before the earliest commit (there was no table then)
+    * and on an empty manifest. A timestamp between two commits
+    * resolves to the EARLIER one: the table as it stood at that
+    * moment. */
+  def versionAt(timestampMillis: Long): Long = {
+    val ts = commitTimestamps()
+    require(ts.nonEmpty, s"manifest $path has no timestamped commits")
+    val at = ts.filter(_._2 <= timestampMillis)
+    if (at.isEmpty)
+      throw new IllegalArgumentException(
+        s"timestamp $timestampMillis predates the earliest commit " +
+          s"(${ts.head._2}) of $path — the table did not exist yet")
+    at.last._1
+  }
+
   /** The full entry state at `version`, from its claim tombstone. */
   private def entriesAt(version: Long): Option[Map[Int, Seq[String]]] = {
     val lines = AtomicText.readLines(s"$path.v$version")

@@ -41,6 +41,17 @@ object AtomicText {
     else FileContext.getFileContext(uri, hadoopConf)
   }
 
+  /** Modification time of `path` in epoch millis; None when absent.
+    * The clock source for timestamp-addressed time travel: commit
+    * claim files carry their publish time as mtime, the same basis
+    * Delta uses (log-file mtimes) for `TIMESTAMP AS OF`. */
+  def mtime(path: String): Option[Long] = {
+    val p = new Path(path)
+    val fc = contextFor(p)
+    if (fc.util().exists(p)) Some(fc.getFileStatus(p).getModificationTime)
+    else None
+  }
+
   /** All non-empty lines of `path`; Nil when absent. A path that
     * exists but is NOT a regular file (e.g. a state DIRECTORY left by
     * an older layout) fails with a migration hint instead of an opaque

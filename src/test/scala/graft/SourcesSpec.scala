@@ -111,6 +111,73 @@ class SourcesSpec extends SparkSuite {
     }
   }
 
+  test("TIMESTAMP AS OF: mtime-clocked version resolution, boundaries pinned") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val tmp = Files.createTempDirectory("ts_travel_").toString
+    val root = s"$tmp/data"
+    val manPath = s"$tmp/_commits"
+    val man = new TxnManifest(manPath)
+    for (i <- 0 to 1) {
+      Sinks.appendBatch(Seq((i.toLong, s"v$i")).toDF("id", "v"), root, i)
+      man.commit(i, Seq(s"$root/batch=$i"))
+    }
+    // a MERGE makes version 3: version-addressed travel must replay it
+    Sinks.mergeUpsert(spark, Seq((0L, "patched")).toDF("id", "v"),
+      root, man, Seq("id"), mergeId = 2)
+    // pin the claim clocks explicitly — the spec must not depend on
+    // how fast the three commits above ran
+    for ((v, t) <- Seq(1 -> 1000L, 2 -> 2000L, 3 -> 3000L))
+      Files.setLastModifiedTime(Paths.get(s"$manPath.v$v"),
+        FileTime.fromMillis(t))
+    assert(man.commitTimestamps() ==
+      Seq(1L -> 1000L, 2L -> 2000L, 3L -> 3000L))
+
+    // between-commits timestamp resolves to the EARLIER version
+    assert(man.versionAt(1500L) == 1L)
+    assert(Sinks.readCommittedAsOfTimestamp(spark, root, man, 1500L)
+      .count() == 1)
+    // exact boundary is inclusive
+    assert(man.versionAt(2000L) == 2L)
+    assert(Sinks.readCommittedAsOfTimestamp(spark, root, man, 2000L)
+      .count() == 2)
+    // after the merge: the patched row serves, the pre-image does not
+    val now = Sinks.readCommittedAsOfTimestamp(spark, root, man, 99999L)
+    assert(now.where(col("v") === "patched").count() == 1)
+    assert(now.count() == 2)
+    // a version BEFORE the merge still serves the pre-merge row —
+    // stateAt replays the tombstone, not a batch-id prefix
+    assert(Sinks.readCommittedAtVersion(spark, root, man, 2)
+      .where(col("v") === "v0").count() == 1)
+    // pre-history fails loudly: the table did not exist yet
+    intercept[IllegalArgumentException] { man.versionAt(999L) }
+
+    // clock skew: a claim whose mtime runs BEHIND its predecessor
+    // inherits the predecessor's timestamp (monotonic adjustment)
+    Files.setLastModifiedTime(Paths.get(s"$manPath.v2"),
+      FileTime.fromMillis(500L))
+    assert(man.commitTimestamps() ==
+      Seq(1L -> 1000L, 2L -> 1000L, 3L -> 3000L))
+    assert(man.versionAt(1000L) == 2L) // newest version at that instant
+
+    // DSv2 face: timestampAsOf plans the same tombstone-resolved dirs
+    Files.setLastModifiedTime(Paths.get(s"$manPath.v2"),
+      FileTime.fromMillis(2000L))
+    val dsv2 = spark.read.format("graft-manifest")
+      .option("manifest", manPath).option("timestampAsOf", "1500")
+      .load(root)
+    assert(dsv2.count() == 1)
+    val dsv2Now = spark.read.format("graft-manifest")
+      .option("manifest", manPath).option("timestampAsOf", "99999")
+      .load(root)
+    assert(dsv2Now.where(col("v") === "patched").count() == 1)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-manifest").option("manifest", manPath)
+        .option("versionAsOf", "1").option("timestampAsOf", "1500")
+        .load(root).count()
+    }
+  }
+
   test("ManifestConsumer: exactly-once tail across a crash between sink and offset") {
     import graft.ops.Cdc
     import graft.sources.ManifestConsumer
