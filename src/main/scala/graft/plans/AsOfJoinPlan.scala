@@ -161,6 +161,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import graft.expressions.{NfcNormalize, SimHash64, TopKStructs}
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL-text MERGE INTO / DELETE FROM on registered manifest tables
+    // (everything else passes through to the delegate byte-identical)
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     // opt-in via spark.graft.rangeJoin.binWidth (see RangeJoinRewrite)
     ext.injectOptimizerRule(_ => RangeJoinRewrite)

@@ -1,0 +1,304 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.parser.{CatalystSqlParser, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{col, expr}
+
+import graft.sources.{Sinks, TxnManifest}
+
+/** SQL-text DML on manifest tables — the verb set a SQL user coming
+  * from the reference hits first: its watermark write is a literal
+  * `MERGE` statement (`/root/reference/Main_Modules/Accounts/
+  * accounts.py:131-140`), not an API call. `MERGE INTO` and
+  * `DELETE FROM` over registered graft tables parse through Spark's
+  * OWN grammar (Catalyst's AstBuilder already produces
+  * [[MergeIntoTable]]/[[DeleteFromTable]] for any target) and route
+  * to [[Sinks.merge]] — same copy-on-write, pruning, CDF, and atomic
+  * manifest commit as the Scala API, because it IS the Scala API.
+  *
+  * Two entry points, same translation:
+  *   - sessions built with [[GraftExtensions]] get the injected
+  *     parser: `spark.sql("MERGE INTO wm USING updates ON ...")`
+  *     just works (any statement not targeting a registered graft
+  *     table passes through byte-identical);
+  *   - [[GraftSql.execute]] is the runtime equivalent for sessions
+  *     without the static extensions conf.
+  *
+  * Statement surface (Delta's common MERGE triple):
+  * {{{
+  *   MERGE INTO <graft_table> [AS t] USING <view_or_table> [AS s]
+  *     ON t.k1 = s.k1 [AND t.k2 = s.k2 ...]
+  *     [WHEN MATCHED [AND <pred over source cols>] THEN DELETE]
+  *     [WHEN MATCHED THEN UPDATE SET * | SET same-name pairs]
+  *     [WHEN NOT MATCHED THEN INSERT * | (cols) VALUES (same-name)]
+  *   DELETE FROM <graft_table> WHERE <pred over table cols>
+  * }}}
+  * The ON condition must be a conjunction of same-named key
+  * equalities (the engine's merge keys both sides by NAME); an
+  * explicit UPDATE SET / INSERT column list must map every column to
+  * its same-named source column — matched rows are replaced WHOLE
+  * (`UPDATE SET *` semantics), the same contract as [[Sinks.merge]].
+  * Anything outside this surface fails loudly at parse with the
+  * unsupported shape named — never a silent semantic change.
+  */
+object GraftSqlTables {
+
+  /** A registered SQL-addressable manifest table. `keys` is the
+    * row-identity DELETE resolves through (MERGE takes its keys from
+    * the ON clause); `cdf` makes every DML statement record its
+    * row-level change feed. */
+  final case class Entry(root: String, manifestPath: String,
+                         keys: Seq[String], cdf: Boolean = false)
+
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+  private def norm(name: String): String = name.toLowerCase(java.util.Locale.ROOT)
+
+  /** Make `name` addressable from SQL DML. Re-registering replaces —
+    * the temp-view idiom. */
+  def register(name: String, entry: Entry): Unit = {
+    tables.put(norm(name), entry); ()
+  }
+
+  def unregister(name: String): Unit = { tables.remove(norm(name)); () }
+
+  def lookup(nameParts: Seq[String]): Option[Entry] =
+    Option(tables.get(norm(nameParts.mkString("."))))
+}
+
+/** The parse-time translation of a supported DML statement — plain
+  * strings/names only (no Expression fields: nothing here needs, or
+  * must survive, analysis; conditions are re-rendered to SQL text and
+  * re-parsed against real DataFrames at run time). */
+sealed trait GraftDmlSpec
+final case class GraftMergeSpec(table: String, entry: GraftSqlTables.Entry,
+                                sourceName: String, sourceAlias: Option[String],
+                                keys: Seq[String],
+                                updateArm: Boolean, insertArm: Boolean,
+                                deleteArm: Option[Option[String]])
+  extends GraftDmlSpec
+final case class GraftDeleteSpec(table: String, entry: GraftSqlTables.Entry,
+                                 condSql: String) extends GraftDmlSpec
+
+object GraftDml {
+
+  /** Translate a parsed DML plan whose target is a registered graft
+    * table; None = not ours (caller returns the plan untouched, so
+    * Spark's own resolution error surfaces for unregistered names).
+    * A registered target with an unsupported statement shape fails
+    * loudly HERE — at parse, with the shape named. */
+  def translate(plan: LogicalPlan): Option[GraftDmlSpec] = plan match {
+    case m: MergeIntoTable =>
+      relationName(m.targetTable).flatMap { tgt =>
+        GraftSqlTables.lookup(tgt).map { entry =>
+          val name = tgt.mkString(".")
+          require(m.notMatchedBySourceActions.isEmpty,
+            s"MERGE INTO $name: WHEN NOT MATCHED BY SOURCE is not supported")
+          val (srcName, srcAlias) = sourceOf(name, m.sourceTable)
+          val keys = keysOf(name, m.mergeCondition)
+          var update = false
+          var delete = Option.empty[Option[String]]
+          m.matchedActions.foreach {
+            case UpdateStarAction(None) => update = true
+            case UpdateAction(None, assigns, _) =>
+              requireSameNamePairs(name, "UPDATE SET", assigns)
+              update = true
+            case DeleteAction(cond) =>
+              require(delete.isEmpty,
+                s"MERGE INTO $name: more than one WHEN MATCHED DELETE clause")
+              delete = Some(cond.map(_.sql))
+            case a => throw new IllegalArgumentException(
+              s"MERGE INTO $name: unsupported WHEN MATCHED action " +
+                s"${a.getClass.getSimpleName} — supported: UPDATE SET * " +
+                "(or same-name pairs, unconditional) and DELETE [AND pred]")
+          }
+          val insert = m.notMatchedActions match {
+            case Nil => false
+            case Seq(InsertStarAction(None)) => true
+            case Seq(InsertAction(None, assigns)) =>
+              requireSameNamePairs(name, "INSERT", assigns); true
+            case as => throw new IllegalArgumentException(
+              s"MERGE INTO $name: unsupported WHEN NOT MATCHED actions " +
+                s"(${as.size}) — supported: one unconditional INSERT * " +
+                "(or a same-name column list)")
+          }
+          require(update || insert || delete.nonEmpty,
+            s"MERGE INTO $name has no supported action clause")
+          GraftMergeSpec(name, entry, srcName, srcAlias, keys,
+            update, insert, delete)
+        }
+      }
+    case d: DeleteFromTable =>
+      relationName(d.table).flatMap { tgt =>
+        GraftSqlTables.lookup(tgt).map { entry =>
+          val name = tgt.mkString(".")
+          require(entry.keys.nonEmpty,
+            s"DELETE FROM $name: table registered without keys — " +
+              "row identity is undefined")
+          GraftDeleteSpec(name, entry, d.condition.sql)
+        }
+      }
+    case _ => None
+  }
+
+  /** Execute a translated statement through the engine's merge. The
+    * batch id is auto-assigned (max committed id + 1) — the SQL
+    * surface never asks a user for one. */
+  def run(spark: SparkSession, spec: GraftDmlSpec): Unit = spec match {
+    case GraftMergeSpec(_, entry, srcName, srcAlias, keys,
+                        update, insert, delete) =>
+      val man = new TxnManifest(entry.manifestPath)
+      val mergeId = nextBatchId(man)
+      val keyCols = keys.map(col)
+      val src0 = spark.table(srcName)
+      val src = srcAlias.fold(src0)(src0.alias)
+      // target keys drive matched/unmatched splits; read once
+      lazy val tgtKeys = Sinks.readCommitted(spark, entry.root, man)
+        .select(keyCols: _*).distinct()
+      // WHEN MATCHED ... DELETE applies to MATCHED rows only: an
+      // unmatched source row satisfying the delete predicate still
+      // flows to the INSERT arm (Delta's clause semantics)
+      val delKeys = delete.map { cond =>
+        cond.fold(src)(c => src.where(expr(c))).select(keyCols: _*)
+          .join(tgtKeys, keys, "left_semi")
+      }
+      val ups0 = delKeys.fold(src)(d => src.join(d, keys, "left_anti"))
+      val ups = (update, insert) match {
+        case (true, true)   => Some(ups0) // full upsert
+        case (true, false)  => Some(ups0.join(tgtKeys, keys, "left_semi"))
+        case (false, true)  => Some(ups0.join(tgtKeys, keys, "left_anti"))
+        case (false, false) => None
+      }
+      Sinks.merge(spark, ups, delKeys, entry.root, man, keys, mergeId,
+        cdf = entry.cdf)
+    case GraftDeleteSpec(_, entry, condSql) =>
+      val man = new TxnManifest(entry.manifestPath)
+      val mergeId = nextBatchId(man)
+      val delKeys = Sinks.readCommitted(spark, entry.root, man)
+        .where(expr(condSql))
+        .select(entry.keys.map(col): _*).distinct()
+      Sinks.mergeDelete(spark, delKeys, entry.root, man, entry.keys, mergeId,
+        cdf = entry.cdf)
+  }
+
+  private def nextBatchId(man: TxnManifest): Int = {
+    val ids = man.committed().keySet
+    require(ids.nonEmpty, "nothing committed yet — DML needs a live table")
+    ids.max + 1
+  }
+
+  private def relationName(plan: LogicalPlan): Option[Seq[String]] =
+    plan match {
+      case r: UnresolvedRelation => Some(r.multipartIdentifier)
+      case SubqueryAlias(_, r: UnresolvedRelation) =>
+        Some(r.multipartIdentifier)
+      case _ => None
+    }
+
+  private def sourceOf(table: String,
+                       plan: LogicalPlan): (String, Option[String]) =
+    plan match {
+      case r: UnresolvedRelation => (r.multipartIdentifier.mkString("."), None)
+      case SubqueryAlias(id, r: UnresolvedRelation) =>
+        (r.multipartIdentifier.mkString("."), Some(id.name))
+      case p => throw new IllegalArgumentException(
+        s"MERGE INTO $table: USING must name a table or view " +
+          s"(register a temp view for a subquery); got ${p.nodeName}")
+    }
+
+  /** ON must be a conjunction of same-named key equalities — the
+    * engine merges by NAME on both sides ([[Sinks.merge]]). */
+  private def keysOf(table: String, cond: Expression): Seq[String] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other     => Seq(other)
+    }
+    split(cond).map {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+          if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+        a.nameParts.last
+      case e => throw new IllegalArgumentException(
+        s"MERGE INTO $table: ON must be a conjunction of same-named " +
+          s"key equalities (t.k = s.k); got ${e.sql}")
+    }.distinct
+  }
+
+  /** An explicit SET / INSERT column list is accepted only as the
+    * identity mapping (every column ← its same-named source column):
+    * matched rows are replaced WHOLE, so a partial or renaming SET
+    * would silently drop or misroute columns. */
+  private def requireSameNamePairs(table: String, clause: String,
+                                   assigns: Seq[Assignment]): Unit =
+    assigns.foreach { a =>
+      (a.key, a.value) match {
+        case (k: UnresolvedAttribute, v: UnresolvedAttribute)
+            if k.nameParts.last.equalsIgnoreCase(v.nameParts.last) => ()
+        case _ => throw new IllegalArgumentException(
+          s"MERGE INTO $table: $clause supports only * or same-name " +
+            s"column pairs (c = s.c); got ${a.sql}")
+      }
+    }
+}
+
+/** The eagerly-executed command a DML statement parses to (commands
+  * run at `spark.sql(...)` call time, like every Spark DML). */
+final case class GraftDmlCommand(spec: GraftDmlSpec)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftDml.run(spark, spec)
+    Seq.empty
+  }
+}
+
+/** Parser injected by [[GraftExtensions]]: delegates EVERYTHING to
+  * Spark's parser, then claims only DML plans whose target is a
+  * registered graft table. All other statements — including DML on
+  * unregistered names — return byte-identical plans. */
+final class GraftSqlParser(delegate: ParserInterface)
+  extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val plan = delegate.parsePlan(sqlText)
+    GraftDml.translate(plan).map(GraftDmlCommand).getOrElse(plan)
+  }
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String)
+    : org.apache.spark.sql.catalyst.TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String)
+    : org.apache.spark.sql.catalyst.FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String)
+    : org.apache.spark.sql.types.StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String)
+    : org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String)
+    : org.apache.spark.sql.types.StructType =
+    delegate.parseTableSchema(sqlText)
+}
+
+/** Runtime SQL DML for sessions built WITHOUT the static extensions
+  * conf (the injected parser is the first-class path). Uses Spark's
+  * Catalyst parser, so the accepted grammar is identical. */
+object GraftSql {
+
+  /** Execute one statement. DML on a registered graft table routes
+    * to the engine's merge; anything else falls through to
+    * `spark.sql` unchanged (and returns its result). */
+  def execute(spark: SparkSession, sqlText: String): DataFrame =
+    GraftDml.translate(CatalystSqlParser.parsePlan(sqlText)) match {
+      case Some(spec) => GraftDml.run(spark, spec); spark.emptyDataFrame
+      case None       => spark.sql(sqlText)
+    }
+}

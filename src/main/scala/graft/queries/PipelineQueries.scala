@@ -363,6 +363,89 @@ object PipelineQueries {
       Sinks.readCommitted(s, root, man)
     }),
 
+    // The reference's watermark write is LITERAL SQL MERGE
+    // (`accounts.py:131-140`) — this is that statement, verbatim
+    // grammar, over the manifest layer: conditional DELETE arm,
+    // UPDATE SET *, INSERT *, parsed by Spark's own AstBuilder and
+    // routed to Sinks.merge (same COW, pruning, atomic commit as the
+    // Scala API). The oracle predicts the post-MERGE table in plain
+    // SQL; a mis-parsed arm or mis-derived key set shows up as rows
+    // on the wrong side of the merge.
+    "s12_sql_merge" -> ((s, d) => {
+      import graft.plans.{GraftSql, GraftSqlTables}
+      import graft.sources.{Sinks, TxnManifest}
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s12_").toString
+      val root = s"$base/t"
+      val man = new TxnManifest(s"$base/manifest.tsv")
+      for (i <- 0 to 1) {
+        Sinks.appendBatch(o.filter(pmod(col("o_orderkey"), lit(2)) === i), root, i)
+        man.commit(i, Seq(s"$root/batch=$i"))
+      }
+      GraftSqlTables.register("s12_wm",
+        GraftSqlTables.Entry(root, s"$base/manifest.tsv", keys = Seq("o_orderkey")))
+      o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"), lit("U").as("op"))
+        .unionAll(o.filter(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice"),
+            lit("U").as("op")))
+        .unionAll(o.filter(col("o_orderkey") % 7 === 0 &&
+            col("o_orderkey") % 10 =!= 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"), lit("D").as("op")))
+        .createOrReplaceTempView("s12_src")
+      try {
+        GraftSql.execute(s,
+          """MERGE INTO s12_wm AS t USING s12_src AS src
+            |ON t.o_orderkey = src.o_orderkey
+            |WHEN MATCHED AND src.op = 'D' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        Sinks.readCommitted(s, root, man)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      } finally GraftSqlTables.unregister("s12_wm")
+    }),
+
+    // TIMESTAMP AS OF time travel — Delta's "the table as of
+    // yesterday 09:00" idiom over the manifest layer. The claim
+    // tombstones carry commit times as file mtimes (pinned here so
+    // the query is deterministic); one DSv2 read resolves a
+    // between-commits timestamp to the PRE-merge state, another a
+    // post-merge timestamp to the current state, and the oracle
+    // predicts both snapshots in plain SQL. A wrong version
+    // resolution surfaces as rows from the wrong side of the merge.
+    "s14_ts_travel" -> ((s, d) => {
+      import graft.sources.{Sinks, TxnManifest}
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s14_").toString
+      val root = s"$base/t"
+      val manPath = s"$base/manifest.tsv"
+      val man = new TxnManifest(manPath)
+      for (i <- 0 to 1) {
+        Sinks.appendBatch(o.filter(pmod(col("o_orderkey"), lit(2)) === i), root, i)
+        man.commit(i, Seq(s"$root/batch=$i"))
+      }
+      val updates = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("T").as("o_orderstatus"),
+          (col("o_totalprice") * 3).as("o_totalprice"))
+      Sinks.mergeUpsert(s, updates, root, man, Seq("o_orderkey"), mergeId = 2)
+      for ((v, t) <- Seq(1 -> 1000L, 2 -> 2000L, 3 -> 3000L))
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(s"$manPath.v$v"),
+          java.nio.file.attribute.FileTime.fromMillis(t))
+      def at(ts: Long) = s.read.format("graft-manifest")
+        .option("manifest", manPath).option("timestampAsOf", ts.toString)
+        .load(root)
+      at(2500L).withColumn("snap", lit("pre"))
+        .unionByName(at(3500L).withColumn("snap", lit("post")))
+    }),
+
     // Change data feed: the row-level deltas a MERGE emits while it
     // already holds the matched pre-images — downstream incremental
     // consumers read (from, to] and get update pre/post images,
@@ -948,6 +1031,42 @@ object PipelineQueries {
         |  AND b.o_orderkey NOT IN (SELECT o_orderkey FROM del)
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd""".stripMargin,
+    "s12_sql_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'X' AS o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey,
+        |    'N' AS o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 1000 = 0),
+        |del AS (
+        |  SELECT o_orderkey FROM base
+        |  WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0)
+        |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM base b
+        |WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  AND b.o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd""".stripMargin,
+    "s14_ts_travel" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'T' AS o_orderstatus,
+        |    o_totalprice * 3 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, 'pre' AS snap
+        |FROM base
+        |UNION ALL
+        |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice,
+        |  'post' AS snap
+        |FROM base b
+        |WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, 'post' AS snap
+        |FROM upd""".stripMargin,
     "st5_cdf_read" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

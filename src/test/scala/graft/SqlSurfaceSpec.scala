@@ -94,6 +94,86 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(rt == """{"items":[{"q":14},{"q":8}],"meta":{"k":7,"type":"click"}}""")
   }
 
+  test("SQL MERGE INTO / DELETE FROM route to the manifest merge engine") {
+    import graft.plans.{GraftSql, GraftSqlTables}
+    import graft.sources.{Sinks, TxnManifest}
+    import org.apache.spark.sql.functions.col
+    withExtensionSession { s =>
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("sqldml_").toString
+      val root = s"$tmp/t"
+      val man = new TxnManifest(s"$tmp/_commits")
+      Sinks.appendBatch(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("id", "v", "amt"), root, 0)
+      man.commit(0, Seq(s"$root/batch=0"))
+      GraftSqlTables.register("wm",
+        GraftSqlTables.Entry(root, s"$tmp/_commits", keys = Seq("id")))
+      // the reference's watermark MERGE shape (accounts.py:131-140):
+      // update matched, insert unmatched — plus a conditional delete
+      Seq((2L, "B2", 22.0, "U"), (3L, "x", 0.0, "D"), (9L, "i", 90.0, "U"))
+        .toDF("id", "v", "amt", "op").createOrReplaceTempView("updates")
+      s.sql(
+        """MERGE INTO wm AS t USING updates AS src ON t.id = src.id
+          |WHEN MATCHED AND src.op = 'D' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val afterMerge = Sinks.readCommitted(s, root, man)
+        .select("id", "v", "amt").as[(Long, String, Double)].collect().sorted
+      // 1 untouched, 2 updated, 3 deleted, 9 inserted (op rides along
+      // only on the updates view, not the table: SET * replaces with
+      // the table-shaped projection the user selected — here the view
+      // carries op, so it evolves the schema additively; select above
+      // projects the table columns)
+      assert(afterMerge.toSeq == Seq((1L, "a", 10.0), (2L, "B2", 22.0),
+        (9L, "i", 90.0)))
+      // DELETE FROM with a predicate over table columns
+      s.sql("DELETE FROM wm WHERE amt > 15.0")
+      assert(Sinks.readCommitted(s, root, man).select("id")
+        .as[Long].collect().toSeq == Seq(1L))
+      // unregistered targets pass through untouched → Spark's own error
+      val e = intercept[Exception] {
+        s.sql("MERGE INTO not_ours USING updates ON not_ours.id = updates.id " +
+          "WHEN MATCHED THEN UPDATE SET *")
+      }
+      assert(e.getMessage.contains("not_ours"))
+      // unsupported shape on a REGISTERED table fails loudly at parse
+      val bad = intercept[IllegalArgumentException] {
+        s.sql("MERGE INTO wm AS t USING updates AS s ON t.id > s.id " +
+          "WHEN MATCHED THEN UPDATE SET *")
+      }
+      assert(bad.getMessage.contains("same-named"))
+      GraftSqlTables.unregister("wm")
+    }
+    // GraftSql.execute: same grammar without the extensions conf —
+    // MERGE arms that are UPDATE-only must NOT insert, INSERT-only
+    // must NOT update
+    val tmp2 = java.nio.file.Files.createTempDirectory("sqldml2_").toString
+    val root2 = s"$tmp2/t"
+    val man2 = new TxnManifest(s"$tmp2/_commits")
+    Sinks.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root2, 0)
+    man2.commit(0, Seq(s"$root2/batch=0"))
+    GraftSqlTables.register("wm2",
+      GraftSqlTables.Entry(root2, s"$tmp2/_commits", keys = Seq("id")))
+    Seq((2L, "B"), (5L, "E")).toDF("id", "v")
+      .createOrReplaceTempView("upd2")
+    GraftSql.execute(spark,
+      "MERGE INTO wm2 USING upd2 ON wm2.id = upd2.id " +
+        "WHEN MATCHED THEN UPDATE SET v = upd2.v")
+    assert(Sinks.readCommitted(spark, root2, man2).select("id", "v")
+      .as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "B"))) // 5 NOT inserted
+    GraftSql.execute(spark,
+      "MERGE INTO wm2 USING upd2 ON wm2.id = upd2.id " +
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (upd2.id, upd2.v)")
+    assert(Sinks.readCommitted(spark, root2, man2).select("id", "v")
+      .as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "B"), (5L, "E"))) // 2 NOT re-updated
+    // non-DML text falls through to spark.sql and returns its result
+    assert(GraftSql.execute(spark, "SELECT 1 AS one").collect()
+      .head.getInt(0) == 1)
+    GraftSqlTables.unregister("wm2")
+  }
+
   test("per-session register() exposes the same functions on a live session") {
     SimHash64.register(spark)
     TopKStructs.register(spark)
