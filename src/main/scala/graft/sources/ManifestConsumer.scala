@@ -66,6 +66,12 @@ object ManifestConsumer {
       .map { case (id, dirs) => id -> dirs.filter(_.startsWith(root + "/")) }
       .filter(_._2.nonEmpty)
     pending.map { case (id, dirs) =>
+      // a deletion-vector batch has no raw content to serve — its
+      // MEANING is "rows disappeared", which this form cannot express
+      require(!dirs.exists(Sinks.isDvDir),
+        s"batch $id under $root is a deletion-vector delete — the raw " +
+          "consumer cannot express row removal; tail with pollChanges " +
+          "(row-level deltas) instead")
       val batch = spark.read.option("mergeSchema", true).parquet(dirs: _*)
       process(batch, id)
       // offset commit AFTER the sink: the crash window re-delivers,
@@ -92,9 +98,10 @@ object ManifestConsumer {
     if (state.isEmpty)
       throw new IllegalStateException(
         s"no committed batches under $root — nothing to bootstrap from")
-    val dirs = state.toSeq.sortBy(_._1)
-      .flatMap(_._2).filter(_.startsWith(root + "/"))
-    val snapshot = spark.read.option("mergeSchema", true).parquet(dirs: _*)
+    val (dirs, dv) = Sinks.splitDv(state.toSeq.sortBy(_._1)
+      .flatMap(_._2).filter(_.startsWith(root + "/")))
+    val snapshot = Sinks.applyDv(spark,
+      spark.read.option("mergeSchema", true).parquet(dirs: _*), dv)
     val maxId = state.keysIterator.max
     process(snapshot, maxId)
     offsets.upsert(offsetKey(consumer, root), maxId.toLong)
@@ -155,6 +162,10 @@ object ManifestConsumer {
         dirs.filter(_.startsWith(root + "/")).map(id -> _) }
     if (pending.isEmpty) None
     else {
+      require(!pending.exists(p => Sinks.isDvDir(p._2)),
+        s"pending batches under $root include a deletion-vector " +
+          "delete — the raw consumer cannot express row removal; tail " +
+          "with pollChanges (row-level deltas) instead")
       val highWater = pending.map(_._1).max
       val batch = spark.read.option("mergeSchema", true)
         .parquet(pending.map(_._2): _*)

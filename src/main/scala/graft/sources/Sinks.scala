@@ -101,9 +101,12 @@ object Sinks {
   def compact(spark: org.apache.spark.sql.SparkSession, root: String,
               manifest: TxnManifest, compactId: Int, numFiles: Int): Unit =
     withJobDescription(spark, s"graft: compact $root -> batch=$compactId") {
-    val dirs = manifest.committedDirs(root)
+    val (dirs, dvDirs) = splitDv(manifest.committedDirs(root))
     require(dirs.nonEmpty, s"nothing committed under $root to compact")
-    val all = spark.read.option("mergeSchema", true).parquet(dirs: _*)
+    // deletion vectors MATERIALIZE here: the rewrite reads through
+    // them, and replaceAll un-names the _dv entries with the inputs
+    val all = applyDv(spark,
+      spark.read.option("mergeSchema", true).parquet(dirs: _*), dvDirs)
     val target = s"$root/batch=$compactId"
     require(!dirs.contains(target), s"compactId $compactId is a live batch")
     all.coalesce(numFiles).write.mode(SaveMode.Overwrite).parquet(target)
@@ -157,7 +160,7 @@ object Sinks {
       replaced.map(_.toString).mkString("", "\n", "\n"))
   }
 
-  private def readFeedMarker(conf: org.apache.hadoop.conf.Configuration,
+  private[sources] def readFeedMarker(conf: org.apache.hadoop.conf.Configuration,
                              root: String, batchId: Int): Option[Seq[Int]] = {
     val p = new org.apache.hadoop.fs.Path(s"$root/_cdf/batch=$batchId/$ReplacedMarker")
     if (!p.getFileSystem(conf).exists(p)) None
@@ -191,11 +194,14 @@ object Sinks {
                        cols: Seq[org.apache.spark.sql.Column],
                        numFiles: Int): Unit =
     withJobDescription(spark, s"graft: zorder-compact $root -> batch=$compactId") {
-    val dirs = manifest.committedDirs(root)
+    val (dirs, dvDirs) = splitDv(manifest.committedDirs(root))
     require(dirs.nonEmpty, s"nothing committed under $root to compact")
     val target = s"$root/batch=$compactId"
     require(!dirs.contains(target), s"compactId $compactId is a live batch")
-    val all = spark.read.option("mergeSchema", true).parquet(dirs: _*)
+    // deletion vectors materialize (as in compact): read through, then
+    // the replaceAll commit drops the _dv entries with the inputs
+    val all = applyDv(spark,
+      spark.read.option("mergeSchema", true).parquet(dirs: _*), dvDirs)
     Layout.writeZOrderedN(all, target, cols, numFiles)
     BatchStats.writeSidecar(spark, target)
     BloomIndex.carryOver(spark, dirs, target)
@@ -245,14 +251,18 @@ object Sinks {
                                  numFiles: Int): Boolean =
     withJobDescription(spark,
       s"graft: zorder-optimize (incremental) $root -> batch=$compactId") {
-    val dirs = manifest.committedDirs(root)
+    val (dirs, dvDirs) = splitDv(manifest.committedDirs(root))
     require(dirs.nonEmpty, s"nothing committed under $root to compact")
     val target = s"$root/batch=$compactId"
     require(!dirs.contains(target), s"compactId $compactId is a live batch")
     val fresh = dirs.filterNot(isOptimizedFor(_, cols))
     if (fresh.isEmpty) false
     else {
-      val all = spark.read.option("mergeSchema", true).parquet(fresh: _*)
+      // DVs on FRESH dirs materialize into the new generation; DV
+      // entries stay named for the untouched generations they still
+      // cover (their fresh-file positions go inert with the rewrite)
+      val all = applyDv(spark,
+        spark.read.option("mergeSchema", true).parquet(fresh: _*), dvDirs)
       Layout.writeZOrderedN(all, target, cols, numFiles)
       BatchStats.writeSidecar(spark, target)
       BloomIndex.carryOver(spark, fresh, target)
@@ -279,6 +289,134 @@ object Sinks {
     * THEN INSERT *` semantics on plain parquet, the write shape behind
     * the reference's watermark MERGE (`accounts.py:131-140`) and Sync
     * upserts (`categories.py:84,128`). See [[merge]] for the engine. */
+  // ---------------------------------------------------------------
+  // Deletion vectors — merge-on-read deletes (Delta DV shape).
+  //
+  // Copy-on-write deletes pay O(affected dirs) IO even for one row;
+  // at 100 TB with frequent small takedowns that is the dominant
+  // cost. A deletion vector instead records the (file, row position)
+  // of each deleted row in a tiny sidecar dir committed through the
+  // SAME manifest CAS — readers anti-join it at scan, compaction
+  // materializes it. The positions come from Spark's own
+  // `_metadata.row_index` file-source column, so writing AND applying
+  // a DV is a plain distributed join, no custom reader.
+  // ---------------------------------------------------------------
+
+  /** DV sidecar dirs live under `<root>/_dv/batch=<id>` and are
+    * committed as manifest entries (atomicity + time travel + vacuum
+    * for free); every data-reading path splits them out first. */
+  private[graft] def isDvDir(dir: String): Boolean = dir.contains("/_dv/")
+
+  private[graft] def splitDv(dirs: Seq[String]): (Seq[String], Seq[String]) =
+    dirs.partition(d => !isDvDir(d))
+
+  private[graft] val DvFileCol = "__dv_file"
+  private[graft] val DvPosCol = "__dv_pos"
+
+  /** Drop rows a deletion vector names: anti-join on (file path, row
+    * index). `df` must be a direct file-scan frame (the `_metadata`
+    * column exists only there). The DV side is small by the feature's
+    * contract — small deletes — but nothing forces a broadcast: AQE
+    * decides, so a pathological giant DV degrades to a shuffle join
+    * instead of a driver OOM. */
+  private[graft] def applyDv(spark: org.apache.spark.sql.SparkSession,
+                             df: DataFrame, dvDirs: Seq[String]): DataFrame =
+    if (dvDirs.isEmpty) df
+    else {
+      val dv = spark.read.parquet(dvDirs: _*).select(DvFileCol, DvPosCol)
+      df.withColumn(DvFileCol, col("_metadata.file_path"))
+        .withColumn(DvPosCol, col("_metadata.row_index"))
+        .join(dv, Seq(DvFileCol, DvPosCol), "left_anti")
+        .drop(DvFileCol, DvPosCol)
+    }
+
+  /** Row-level DELETE without rewriting a byte of data: the
+    * merge-on-read answer to [[mergeDelete]]'s copy-on-write. Matched
+    * rows' (file, position) pairs land in a `_dv/batch=<mergeId>`
+    * sidecar; ONE manifest commit makes them deleted; every affected
+    * data dir stays byte-untouched (the ScaleSpec-pinned contract).
+    * The probe prunes with the same stats/bloom sidecars as merge, so
+    * a 0.1% delete scans the overlapping dirs, not the table. Rows
+    * already deleted by a PRIOR DV are excluded (a re-delete is a
+    * no-op, and with `cdf` their pre-images are not re-recorded).
+    * Compose: reads apply DVs; [[compact]]/[[compactZOrderedN]]
+    * materialize and drop them; [[vacuum]] sweeps crash orphans;
+    * clones inherit them. Trade-off vs COW, same as Delta's: every
+    * read pays the anti-join until compaction — right for small
+    * frequent deletes, wrong for bulk purges (use [[mergeDelete]]). */
+  def mergeDeleteDV(spark: org.apache.spark.sql.SparkSession,
+                    deleteKeys: DataFrame, root: String,
+                    manifest: TxnManifest, keys: Seq[String],
+                    mergeId: Int, cdf: Boolean = false): Unit =
+    withJobDescription(spark, s"graft: dv-delete $root -> _dv/batch=$mergeId") {
+    import org.apache.spark.sql.functions.lit
+    val (dataDirs, dvDirs) = splitDv(manifest.committedDirs(root))
+    require(dataDirs.nonEmpty, s"nothing committed under $root to delete from")
+    require(!manifest.committed().contains(mergeId),
+      s"mergeId $mergeId is a live batch id")
+    val target = s"$root/_dv/batch=$mergeId"
+    val keyCols = keys.map(col)
+    val delKeys = deleteKeys.select(keyCols: _*).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val range = keyRange(delKeys, keys)
+      val candidates = bloomCandidateDirs(spark,
+        statsCandidateDirs(spark, dataDirs, range, keys), delKeys, keys)
+      val matched =
+        if (candidates.isEmpty) None
+        else {
+          val scan = spark.read.option("mergeSchema", true)
+            .parquet(candidates: _*)
+          val ranged = range.fold(scan) { r =>
+            scan.where(keys.zipWithIndex.map { case (k, i) =>
+              col(k) >= org.apache.spark.sql.functions.lit(r.get(2 * i)) &&
+                col(k) <= org.apache.spark.sql.functions.lit(r.get(2 * i + 1))
+            }.reduce(_ && _))
+          }
+          // capture positions BEFORE any join (the `_metadata` column
+          // exists only on the scan itself), then drop rows an
+          // EARLIER DV already deleted
+          val withPos = ranged
+            .withColumn(DvFileCol, col("_metadata.file_path"))
+            .withColumn(DvPosCol, col("_metadata.row_index"))
+          val live =
+            if (dvDirs.isEmpty) withPos
+            else withPos.join(
+              spark.read.parquet(dvDirs: _*).select(DvFileCol, DvPosCol),
+              Seq(DvFileCol, DvPosCol), "left_anti")
+          Some(live.join(delKeys, keys, "left_semi")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        }
+      // a delete matching nothing still commits: an empty DV, so the
+      // batch id exists and a re-run is idempotent (merge() behaves
+      // the same way with its empty rewrite dir)
+      val positions = matched match {
+        case Some(m) => m.select(DvFileCol, DvPosCol)
+        case None => spark.range(0)
+          .select(lit("").as(DvFileCol), lit(0L).as(DvPosCol))
+      }
+      positions.write.mode(SaveMode.Overwrite).parquet(target)
+      val any = matched.exists(_.limit(1).count() > 0)
+      if (cdf) {
+        val changes = matched match {
+          case Some(m) => m.drop(DvFileCol, DvPosCol)
+            .withColumn(ChangeTypeCol, lit("delete"))
+          case None =>
+            spark.read.option("mergeSchema", true).parquet(dataDirs: _*)
+              .limit(0).withColumn(ChangeTypeCol, lit("delete"))
+        }
+        changes.write.mode(SaveMode.Overwrite)
+          .parquet(s"$root/_cdf/batch=$mergeId")
+      }
+      if (cdf || any)
+        writeFeedMarker(root, mergeId, manifest, Set.empty)
+      manifest.commit(mergeId, Seq(target))
+      matched.foreach(_.unpersist())
+    } finally {
+      delKeys.unpersist(); ()
+    }
+  }
+
   def mergeUpsert(spark: org.apache.spark.sql.SparkSession, updates: DataFrame,
                   root: String, manifest: TxnManifest, keys: Seq[String],
                   mergeId: Int, cdf: Boolean = false): Unit =
@@ -352,9 +490,9 @@ object Sinks {
     import org.apache.spark.sql.functions.{count, lit}
     require(updates.nonEmpty || deletes.nonEmpty,
       "merge needs an upsert arm, a delete arm, or both")
-    val dirs =
+    val (dirs, dvDirs) = splitDv(
       if (unionRoots) manifest.committedDirsAll()
-      else manifest.committedDirs(root)
+      else manifest.committedDirs(root))
     require(dirs.nonEmpty, s"nothing committed under $root to merge into")
     val target = s"$root/batch=$mergeId"
     require(!dirs.contains(target), s"mergeId $mergeId is a live batch")
@@ -417,7 +555,10 @@ object Sinks {
               col(k) <= org.apache.spark.sql.functions.lit(r.get(2 * i + 1))
           }.reduce(_ && _))
         }
-        val probe = affectedFileProbe(ranged, allKeys, keys)
+        // DV-deleted rows must not count as matches (their file would
+        // be rewritten for nothing) nor resurrect in the rewrite
+        val probe = affectedFileProbe(applyDv(spark, ranged, dvDirs),
+          allKeys, keys)
         val affectedFiles = probe.collect().map(r => pathOf(r.getString(0)))
         candidates.filter(d =>
           affectedFiles.exists(_.startsWith(pathOf(d) + "/")))
@@ -428,10 +569,13 @@ object Sinks {
     // def, not val — constructing the frame costs a footer pass over
     // EVERY dir for schema inference, only worth paying on the
     // nothing-matched path
-    def currentAll = spark.read.option("mergeSchema", true).parquet(dirs: _*)
+    def currentAll = applyDv(spark,
+      spark.read.option("mergeSchema", true).parquet(dirs: _*), dvDirs)
     val affected =
       if (affectedDirs.isEmpty) currentAll.limit(0)
-      else spark.read.option("mergeSchema", true).parquet(affectedDirs: _*)
+      else applyDv(spark,
+        spark.read.option("mergeSchema", true).parquet(affectedDirs: _*),
+        dvDirs)
     val kept = affected.join(allKeys, keys, "left_anti")
     val merged = ups.fold(kept)(u =>
       kept.unionByName(u, allowMissingColumns = true))
@@ -590,7 +734,7 @@ object Sinks {
       .sortBy(_._1)
     require(byBatch.nonEmpty,
       s"no commits under $root in batch range ($fromBatch, $toBatch]")
-    val frames = byBatch.map { case (id, ds) =>
+    val frames = byBatch.flatMap { case (id, ds) =>
       // feed-consistency gate: a commit that UN-NAMED batches the
       // consumer had not drained holds their rows only inside its
       // rewrite — serving the range anyway would silently lose them
@@ -614,7 +758,7 @@ object Sinks {
         // zero-row delta files read fine (Spark writes a schema-
         // carrying file for an empty frame): a merge whose deletes
         // matched nothing serves zero deltas, not a crash
-        if (hasDeltas) spark.read.parquet(cdfDir.toString)
+        if (hasDeltas) Some(spark.read.parquet(cdfDir.toString))
         else if (fs.exists(cdfDir))
           // marker-only dir: a MERGE committed with cdf = false — it
           // changed rows but recorded no deltas, so the feed cannot
@@ -624,12 +768,23 @@ object Sinks {
               "without change tracking (cdf = false) — its updates and " +
               "deletes were not recorded. Re-bootstrap from a snapshot, " +
               "or run merges with cdf = true on fed tables.")
-        else spark.read.option("mergeSchema", true)
-          .parquet(ds.filter(_.startsWith(root + "/")): _*)
-          .withColumn(ChangeTypeCol, lit("insert"))
-      df.withColumn("_commit_batch", lit(id))
+        else {
+          // a DV-only batch (nothing-matched delete: no marker, no
+          // deltas) serves zero change rows — its sidecar is not data
+          val data = ds.filter(d => d.startsWith(root + "/") && !isDvDir(d))
+          if (data.isEmpty) None
+          else Some(spark.read.option("mergeSchema", true).parquet(data: _*)
+            .withColumn(ChangeTypeCol, lit("insert")))
+        }
+      df.map(_.withColumn("_commit_batch", lit(id)))
     }
-    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    if (frames.isEmpty)
+      // every batch in range was a no-op (e.g. nothing-matched DV
+      // deletes): zero change rows, schema from the table itself
+      readCommitted(spark, root, manifest).limit(0)
+        .withColumn(ChangeTypeCol, lit("insert"))
+        .withColumn("_commit_batch", lit(0))
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Remove `batch=N` directories under `root` that NO manifest entry
@@ -674,8 +829,21 @@ object Sinks {
           .exists(liveIds.contains))
         .filter(_.getModificationTime <= cutoff)
     cdfOrphans.foreach(st => fc.delete(st.getPath, true))
+    // deletion-vector sidecars are themselves manifest entries, so a
+    // LIVE DV is protected by the `live` set; a `_dv/batch=N` no
+    // entry names is a crash orphan (DV written, commit lost) or a
+    // compacted-away vector — same lifecycle as the data dirs
+    val dvPath = new Path(s"$root/_dv")
+    val dvOrphans =
+      if (!fc.util().exists(dvPath)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fc.util().listStatus(dvPath)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .filterNot(st => live.contains(s"$root/_dv/${st.getPath.getName}"))
+        .filter(_.getModificationTime <= cutoff)
+    dvOrphans.foreach(st => fc.delete(st.getPath, true))
     (candidates.map(_.getPath.getName) ++
-      cdfOrphans.map(st => s"_cdf/${st.getPath.getName}")).toSeq
+      cdfOrphans.map(st => s"_cdf/${st.getPath.getName}") ++
+      dvOrphans.map(st => s"_dv/${st.getPath.getName}")).toSeq
   }
 
   /** One row per committed batch dir — Delta `DESCRIBE DETAIL` at
@@ -733,11 +901,11 @@ object Sinks {
     * parquet's merge rules, which is the safe default). */
   def readCommitted(spark: org.apache.spark.sql.SparkSession, root: String,
                     manifest: TxnManifest): DataFrame = {
-    val dirs = manifest.committedDirs(root)
+    val (dirs, dv) = splitDv(manifest.committedDirs(root))
     if (dirs.isEmpty)
       throw new IllegalStateException(
         s"no committed batches under $root — nothing visible yet")
-    spark.read.option("mergeSchema", true).parquet(dirs: _*)
+    applyDv(spark, spark.read.option("mergeSchema", true).parquet(dirs: _*), dv)
   }
 
   /** [[readCommitted]] across EVERY root the manifest names — how a
@@ -749,10 +917,10 @@ object Sinks {
     * shorter table. Do not use on a dual-write manifest. */
   def readCommittedUnion(spark: org.apache.spark.sql.SparkSession,
                          manifest: TxnManifest): DataFrame = {
-    val dirs = manifest.committedDirsAll()
+    val (dirs, dv) = splitDv(manifest.committedDirsAll())
     if (dirs.isEmpty)
       throw new IllegalStateException("manifest has no committed batches")
-    spark.read.option("mergeSchema", true).parquet(dirs: _*)
+    applyDv(spark, spark.read.option("mergeSchema", true).parquet(dirs: _*), dv)
   }
 
   /** Time travel on the manifest layer: the table as it stood when
@@ -765,13 +933,13 @@ object Sinks {
     * Delta time travel after its VACUUM horizon. */
   def readCommittedAsOf(spark: org.apache.spark.sql.SparkSession, root: String,
                         manifest: TxnManifest, asOfBatch: Int): DataFrame = {
-    val dirs = manifest.committed().toSeq
+    val (dirs, dv) = splitDv(manifest.committed().toSeq
       .filter(_._1 <= asOfBatch).sortBy(_._1)
-      .flatMap(_._2).filter(_.startsWith(root + "/"))
+      .flatMap(_._2).filter(_.startsWith(root + "/")))
     if (dirs.isEmpty)
       throw new IllegalStateException(
         s"nothing committed under $root at or before batch $asOfBatch")
-    spark.read.option("mergeSchema", true).parquet(dirs: _*)
+    applyDv(spark, spark.read.option("mergeSchema", true).parquet(dirs: _*), dv)
   }
 
   /** VERSION-addressed time travel: the table exactly as manifest
@@ -784,12 +952,12 @@ object Sinks {
   def readCommittedAtVersion(spark: org.apache.spark.sql.SparkSession,
                              root: String, manifest: TxnManifest,
                              version: Long): DataFrame = {
-    val dirs = manifest.stateAt(version).toSeq.sortBy(_._1)
-      .flatMap(_._2).filter(_.startsWith(root + "/"))
+    val (dirs, dv) = splitDv(manifest.stateAt(version).toSeq.sortBy(_._1)
+      .flatMap(_._2).filter(_.startsWith(root + "/")))
     if (dirs.isEmpty)
       throw new IllegalStateException(
         s"nothing committed under $root at manifest version $version")
-    spark.read.option("mergeSchema", true).parquet(dirs: _*)
+    applyDv(spark, spark.read.option("mergeSchema", true).parquet(dirs: _*), dv)
   }
 
   /** Delta `TIMESTAMP AS OF`: "the table as of yesterday 09:00".

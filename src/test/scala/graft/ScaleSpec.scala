@@ -212,6 +212,67 @@ class ScaleSpec extends SparkSuite {
     assert(load().count() == 4096)
   }
 
+  test("DV delete: 0.1% takedown touches ZERO data bytes; compact/CDF/clone/vacuum compose") {
+    import graft.sources.{Sinks, StatsSinks, TxnManifest}
+    val base = java.nio.file.Files.createTempDirectory("dv_scale_").toString
+    val root = s"$base/t"
+    val man = new TxnManifest(s"$base/_commits")
+    for (b <- 0 until 4) {
+      StatsSinks.appendBatchStats(
+        (0 until 10000).filter(_ % 4 == b)
+          .map(i => (i.toLong, s"v$i")).toDF("id", "v"), root, b)
+      man.commit(b, Seq(s"$root/batch=$b"))
+    }
+    def dataFiles(): Map[String, (Long, Long)] =
+      (0 until 4).flatMap { b =>
+        new java.io.File(s"$root/batch=$b").listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> (f.length(), f.lastModified()))
+      }.toMap
+    val before = dataFiles()
+
+    // the takedown: 10 of 10000 rows (0.1%), with CDF
+    val victims = (0L until 10000L by 1000L).toDF("id")
+    Sinks.mergeDeleteDV(spark, victims, root, man, Seq("id"),
+      mergeId = 10, cdf = true)
+    // 1. not one data byte moved: same files, same length, same mtime
+    assert(dataFiles() == before, "a DV delete must not rewrite data")
+    // 2. all four data entries still named; the DV rides batch 10
+    val entries = man.committed()
+    assert((0 until 4).forall(entries.contains))
+    assert(entries(10) == Seq(s"$root/_dv/batch=10"))
+    // 3. reads apply the vector
+    assert(Sinks.readCommitted(spark, root, man).count() == 9990)
+    assert(Sinks.readCommitted(spark, root, man)
+      .where($"id" === 3000L).count() == 0)
+    // 4. the change feed serves the 10 delete pre-images
+    val changes = Sinks.readChanges(spark, root, man, 3, 10)
+    assert(changes.where($"_change_type" === "delete").count() == 10)
+    // 5. a clone inherits the vector (entries span the source root)
+    val cloneMan = new TxnManifest(s"$base/_clone")
+    cloneMan.cloneFrom(man, root)
+    assert(Sinks.readCommittedUnion(spark, cloneMan).count() == 9990)
+    // 6. time travel BEFORE the DV still serves all rows
+    assert(Sinks.readCommittedAsOf(spark, root, man, 3).count() == 10000)
+    // 7. the DSv2 reader feature-gates instead of serving deleted rows
+    val gated = intercept[Exception] {
+      spark.read.format("graft-manifest").option("manifest", s"$base/_commits")
+        .load(root).count()
+    }
+    assert(gated.getMessage.contains("deletion-vector"))
+    // 8. compaction MATERIALIZES: result identical, _dv un-named
+    Sinks.compact(spark, root, man, compactId = 20, numFiles = 2)
+    assert(Sinks.readCommitted(spark, root, man).count() == 9990)
+    assert(!man.committed().values.flatten.exists(Sinks.isDvDir))
+    // ... and the DSv2 gate lifts
+    assert(spark.read.format("graft-manifest")
+      .option("manifest", s"$base/_commits").load(root).count() == 9990)
+    // 9. vacuum sweeps the now-orphan vector dir
+    val swept = Sinks.vacuum(root, man, graceMillis = 0)
+    assert(swept.contains("_dv/batch=10"), s"swept: $swept")
+    assert(!new java.io.File(s"$root/_dv/batch=10").exists())
+  }
+
   test("t8_length_deciles plan has no window and no global sort") {
     // the round-1 formulation was ntile() over a partition-less window:
     // a single-task sort of the whole table. The rewrite must keep the
