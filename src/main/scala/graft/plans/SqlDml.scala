@@ -50,9 +50,12 @@ object GraftSqlTables {
   /** A registered SQL-addressable manifest table. `keys` is the
     * row-identity DELETE resolves through (MERGE takes its keys from
     * the ON clause); `cdf` makes every DML statement record its
-    * row-level change feed. */
+    * row-level change feed; `deletionVectors` makes DELETE FROM
+    * merge-on-read ([[graft.sources.Sinks.mergeDeleteDV]] — zero data
+    * rewritten) instead of copy-on-write. */
   final case class Entry(root: String, manifestPath: String,
-                         keys: Seq[String], cdf: Boolean = false)
+                         keys: Seq[String], cdf: Boolean = false,
+                         deletionVectors: Boolean = false)
 
   private val tables =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -182,8 +185,12 @@ object GraftDml {
       val delKeys = Sinks.readCommitted(spark, entry.root, man)
         .where(expr(condSql))
         .select(entry.keys.map(col): _*).distinct()
-      Sinks.mergeDelete(spark, delKeys, entry.root, man, entry.keys, mergeId,
-        cdf = entry.cdf)
+      if (entry.deletionVectors)
+        Sinks.mergeDeleteDV(spark, delKeys, entry.root, man, entry.keys,
+          mergeId, cdf = entry.cdf)
+      else
+        Sinks.mergeDelete(spark, delKeys, entry.root, man, entry.keys, mergeId,
+          cdf = entry.cdf)
   }
 
   private def nextBatchId(man: TxnManifest): Int = {

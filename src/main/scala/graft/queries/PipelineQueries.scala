@@ -410,6 +410,38 @@ object PipelineQueries {
       } finally GraftSqlTables.unregister("s12_wm")
     }),
 
+    // Merge-on-read DELETE via deletion vectors — the takedown shape
+    // at 100 TB: a small delete records (file, row position) pairs in
+    // a sidecar instead of copy-on-writing whole dirs, so the data
+    // stays byte-untouched (ScaleSpec pins that) and one manifest
+    // commit flips visibility. The oracle is the SAME postcondition a
+    // COW delete must satisfy — merge-on-read vs copy-on-write is an
+    // execution strategy, never a semantics change. The query also
+    // round-trips a second overlapping DV delete (re-deletes are
+    // no-ops) before reading.
+    "s13_dv_delete" -> ((s, d) => {
+      import graft.sources.{Sinks, TxnManifest}
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s13_").toString
+      val root = s"$base/t"
+      val man = new TxnManifest(s"$base/manifest.tsv")
+      for (i <- 0 to 1) {
+        Sinks.appendBatch(o.filter(pmod(col("o_orderkey"), lit(2)) === i), root, i)
+        man.commit(i, Seq(s"$root/batch=$i"))
+      }
+      Sinks.mergeDeleteDV(s,
+        o.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+        root, man, Seq("o_orderkey"), mergeId = 2)
+      // overlapping second delete: %21 keys are already gone (no-op
+      // for them), %3-only keys go now — two DV sidecars compose
+      Sinks.mergeDeleteDV(s,
+        o.filter(col("o_orderkey") % 3 === 0).select("o_orderkey"),
+        root, man, Seq("o_orderkey"), mergeId = 3)
+      Sinks.readCommitted(s, root, man)
+    }),
+
     // TIMESTAMP AS OF time travel — Delta's "the table as of
     // yesterday 09:00" idiom over the manifest layer. The claim
     // tombstones carry commit times as file mtimes (pinned here so
@@ -477,6 +509,57 @@ object PipelineQueries {
       Sinks.merge(s, Some(updates), Some(deletes), root, man,
         Seq("o_orderkey"), mergeId = 2, cdf = true)
       Sinks.readChanges(s, root, man, fromBatch = 1, toBatch = 2)
+    }),
+
+    // STREAMING change data feed — st5's row-level deltas consumed
+    // continuously (Delta readChangeFeed as a micro-batch stream):
+    // `.option("changeFeed", "true")` on the graft-manifest source.
+    // Two stream runs against one checkpoint, the real consumer
+    // lifecycle: the first serves committed history as inserts
+    // (_change_type rides as a partition value — zero bytes per
+    // row), then a MERGE lands while the consumer is down, and the
+    // restart serves ONLY the merge's recorded deltas from its _cdf
+    // sidecar, exactly once, never a replay of the rewrite's kept
+    // rows. The oracle predicts the full sunk feed in plain SQL.
+    "st6_cdf_stream" -> ((s, d) => {
+      import graft.sources.{Sinks, TxnManifest}
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_st6_").toString
+      val root = s"$base/t"
+      val manPath = s"$base/manifest.tsv"
+      val man = new TxnManifest(manPath)
+      for (i <- 0 to 1) {
+        Sinks.appendBatch(o.filter(pmod(col("o_orderkey"), lit(2)) === i), root, i)
+        man.commit(i, Seq(s"$root/batch=$i"))
+      }
+      val outDir = s"$base/out"
+      def run(): Unit = {
+        val q = s.readStream.format("graft-manifest")
+          .option("manifest", manPath).option("changeFeed", "true").load(root)
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", s"$base/ckpt")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      run() // phase 1: history as inserts
+      val updates = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+        .unionAll(o.filter(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice")))
+      val deletes = o.filter(col("o_orderkey") % 7 === 0 &&
+          col("o_orderkey") % 10 =!= 0)
+        .select("o_orderkey")
+      Sinks.merge(s, Some(updates), Some(deletes), root, man,
+        Seq("o_orderkey"), mergeId = 2, cdf = true)
+      run() // phase 2: only the merge's deltas
+      s.read.parquet(outDir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice",
+          "_change_type", "_commit_batch")
     }),
 
     // The full-suite orchestrator — the reference's `main.py:41-54`
@@ -1050,6 +1133,9 @@ object PipelineQueries {
         |  AND b.o_orderkey NOT IN (SELECT o_orderkey FROM del)
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd""".stripMargin,
+    "s13_dv_delete" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey % 7 <> 0 AND o_orderkey % 3 <> 0""".stripMargin,
     "s14_ts_travel" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
@@ -1084,6 +1170,41 @@ object PipelineQueries {
         |matched AS (
         |  SELECT o_orderkey FROM upd
         |  WHERE o_orderkey IN (SELECT o_orderkey FROM base))
+        |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice,
+        |  'update_preimage' AS _change_type, 2 AS _commit_batch
+        |FROM base b WHERE b.o_orderkey IN (SELECT o_orderkey FROM matched)
+        |UNION ALL
+        |SELECT u.o_orderkey, u.o_orderstatus, u.o_totalprice,
+        |  'update_postimage', 2
+        |FROM upd u WHERE u.o_orderkey IN (SELECT o_orderkey FROM matched)
+        |UNION ALL
+        |SELECT u.o_orderkey, u.o_orderstatus, u.o_totalprice, 'insert', 2
+        |FROM upd u WHERE u.o_orderkey NOT IN (SELECT o_orderkey FROM matched)
+        |UNION ALL
+        |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice, 'delete', 2
+        |FROM base b WHERE b.o_orderkey IN (SELECT o_orderkey FROM del)""".stripMargin,
+    "st6_cdf_stream" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'X' AS o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey,
+        |    'N' AS o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 1000 = 0),
+        |del AS (
+        |  SELECT o_orderkey FROM base
+        |  WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0),
+        |matched AS (
+        |  SELECT o_orderkey FROM upd
+        |  WHERE o_orderkey IN (SELECT o_orderkey FROM base))
+        |SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  'insert' AS _change_type,
+        |  CAST(o_orderkey % 2 AS INTEGER) AS _commit_batch
+        |FROM base
+        |UNION ALL
         |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice,
         |  'update_preimage' AS _change_type, 2 AS _commit_batch
         |FROM base b WHERE b.o_orderkey IN (SELECT o_orderkey FROM matched)

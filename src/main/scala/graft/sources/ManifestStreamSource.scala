@@ -67,7 +67,7 @@ final class GraftManifestProvider extends TableProvider with DataSourceRegister 
     * tables stream under their current names. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (root, manifestPath) = GraftManifestSource.rootAndManifest(options)
-    GraftManifestSource.mapping(options) match {
+    val base = GraftManifestSource.mapping(options) match {
       case Some(cols) =>
         StructType(cols.map(c => org.apache.spark.sql.types
           .StructField(c.logical, c.dataType)))
@@ -76,6 +76,14 @@ final class GraftManifestProvider extends TableProvider with DataSourceRegister 
           .mergedSchemaOpt(SparkSession.active, root, manifestPath)
           .getOrElse(StructType(Nil))
     }
+    // the change-feed view appends Delta CDF's metadata columns; the
+    // DATA schema stays the inferred one (merge-written `_cdf`
+    // sidecars carry _change_type physically, but the batch dirs a
+    // feed serves as inserts do not — it arrives as a partition value)
+    if (GraftManifestSource.changeFeed(options) && base.nonEmpty)
+      base.add(Sinks.ChangeTypeCol, org.apache.spark.sql.types.StringType)
+        .add("_commit_batch", org.apache.spark.sql.types.IntegerType)
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -145,6 +153,18 @@ final class GraftManifestTable(tableSchema: StructType,
         s"graft-manifest: nothing committed under $root in $manifestPath — " +
           "no schema to serve; commit at least one batch before subscribing " +
           "(same constraint as reading an empty Delta log)")
+    if (GraftManifestSource.changeFeed(options)) {
+      require(!options.containsKey("schemaLog"),
+        "changeFeed does not compose with a schemaLog mapping yet")
+      // no pruning/pushdown: a change feed serves WHOLE delta rows —
+      // downstream appliers need every column plus the change metadata
+      return new ScanBuilder {
+        override def build(): Scan = new GraftManifestCdfScan(tableSchema,
+          root, manifestPath,
+          GraftManifestSource.startingBatchId(options),
+          GraftManifestSource.maxBatchesPerTrigger(options))
+      }
+    }
     new ScanBuilder
       with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
       private var required: StructType = tableSchema
@@ -220,6 +240,51 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
   }
 }
 
+/** Streaming CHANGE DATA FEED over the manifest — Delta's
+  * `readChangeFeed` as a micro-batch stream. Offsets, admission
+  * control, and Trigger.AvailableNow are inherited from the plain
+  * stream (manifest batch ids in Spark's checkpoint WAL — restart
+  * resumes exactly-once); only planning and decoding differ: a batch
+  * with a `_cdf` sidecar serves its ROW-LEVEL deltas (update
+  * pre/post images, inserts, deletes — `_change_type` read from the
+  * sidecar files), an append batch serves its rows as inserts
+  * (`_change_type` arrives as a constant partition value, zero bytes
+  * per row), a compaction serves zero deltas via its no-change
+  * marker, and a merge committed with `cdf = false` fails LOUDLY
+  * ([[Sinks.readChanges]]'s exact rules, including the
+  * collapsed-history feed gate). `_commit_batch` rides every row the
+  * same way, so a downstream applier can order and checkpoint by
+  * commit. */
+final class GraftManifestCdfStream(cdfSchema: StructType, root: String,
+                                   manifestPath: String, starting: Int,
+                                   maxBatches: Option[Int])
+  extends GraftManifestMicroBatchStream(cdfSchema, cdfSchema,
+    Array.empty, root, manifestPath, starting, maxBatches) {
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    GraftManifestSource.cdfPartitionsFor(manifest, root, idOf(start), idOf(end))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftManifestSource.cdfReaderFactory(SparkSession.active, cdfSchema)
+}
+
+/** Scan face of the change feed: streaming-only (the batch twin is
+  * [[Sinks.readChanges]], which serves an explicit id range). */
+final class GraftManifestCdfScan(cdfSchema: StructType, root: String,
+                                 manifestPath: String, starting: Int,
+                                 maxBatches: Option[Int]) extends Scan {
+  override def readSchema(): StructType = cdfSchema
+  override def description(): String =
+    s"GraftManifestCdfScan(root=$root, changeFeed=true)"
+  override def toBatch: Batch =
+    throw new UnsupportedOperationException(
+      "changeFeed is a streaming read option; for a batch range use " +
+        "Sinks.readChanges(root, manifest, fromBatch, toBatch)")
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftManifestCdfStream(cdfSchema, root, manifestPath, starting,
+      maxBatches)
+}
+
 /** Offset = highest manifest batch id consumed (inclusive). */
 final case class ManifestOffset(batchId: Int) extends Offset {
   override def json(): String = batchId.toString
@@ -240,19 +305,19 @@ final class BytesReadMetric extends org.apache.spark.sql.connector.metric.Custom
 private final case class ManifestTaskMetric(name: String, value: Long)
   extends org.apache.spark.sql.connector.metric.CustomTaskMetric
 
-final class GraftManifestMicroBatchStream(dataSchema: StructType,
-                                          required: StructType,
-                                          pushed: Array[Filter],
-                                          root: String,
-                                          manifestPath: String, starting: Int,
-                                          maxBatches: Option[Int] = None,
-                                          mapping: Option[Seq[SchemaLog.Col]] = None)
+class GraftManifestMicroBatchStream(dataSchema: StructType,
+                                    required: StructType,
+                                    pushed: Array[Filter],
+                                    root: String,
+                                    manifestPath: String, starting: Int,
+                                    maxBatches: Option[Int] = None,
+                                    mapping: Option[Seq[SchemaLog.Col]] = None)
   extends MicroBatchStream
   with streaming.SupportsAdmissionControl
   with streaming.SupportsTriggerAvailableNow {
 
-  private def manifest = new TxnManifest(manifestPath)
-  private def idOf(o: Offset): Int = o match {
+  protected def manifest = new TxnManifest(manifestPath)
+  protected def idOf(o: Offset): Int = o match {
     case ManifestOffset(id) => id
     case other              => other.json().trim.toInt
   }
@@ -317,6 +382,54 @@ final class GraftManifestMicroBatchStream(dataSchema: StructType,
 /** One committed parquet file — the unit of read parallelism. */
 final case class ManifestFilePartition(filePath: String, length: Long,
                                        modificationTime: Long) extends InputPartition
+
+/** A change-feed file: `insertFile` distinguishes a data-batch file
+  * (rows serve as inserts; `_change_type` is a constant) from a
+  * `_cdf` sidecar file (rows carry their own `_change_type`). */
+final case class CdfFilePartition(filePath: String, length: Long,
+                                  modificationTime: Long, commitBatch: Int,
+                                  insertFile: Boolean) extends InputPartition
+
+/** Executor-side change-feed reader: two driver-built parquet
+  * closures, both through `buildReaderWithPartitionValues`, so the
+  * constant `_change_type`/`_commit_batch` columns ride Spark's own
+  * partition-value mechanism — appended by the reader at zero
+  * storage cost, exactly how hive-style partition columns serve. */
+final case class CdfReaderFactory(
+    insertRead: PartitionedFile => Iterator[InternalRow],
+    cdfRead: PartitionedFile => Iterator[InternalRow])
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdfFilePartition]
+    val partValues =
+      if (p.insertFile) InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString("insert"),
+        p.commitBatch)
+      else InternalRow(p.commitBatch)
+    val file = PartitionedFile(
+      partitionValues = partValues,
+      filePath = SparkPath.fromPathString(p.filePath),
+      start = 0L,
+      length = p.length,
+      locations = Array.empty,
+      modificationTime = p.modificationTime,
+      fileSize = p.length)
+    val read = if (p.insertFile) insertRead else cdfRead
+    val rows: Iterator[InternalRow] =
+      read(file).asInstanceOf[Iterator[Any]].flatMap {
+        case cb: ColumnarBatch => cb.rowIterator().asScala
+        case row               => Iterator.single(row.asInstanceOf[InternalRow])
+      }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
 
 /** Executor-side reader: delegates decode to the closure
   * `ParquetFileFormat.buildReaderWithPartitionValues` built on the
@@ -428,6 +541,98 @@ private[graft] object GraftManifestSource {
       }
     }
 
+  /** `changeFeed` option: stream ROW-LEVEL deltas (Delta
+    * `readChangeFeed`) instead of batch contents. */
+  def changeFeed(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("changeFeed")).exists(_.toBoolean)
+
+  /** Change-feed planning for the ids in `(from, to]` —
+    * [[Sinks.readChanges]]'s rules at file-partition granularity:
+    * `_cdf` deltas when recorded, data dirs as inserts otherwise
+    * (DV sidecars never serve as data), marker-only merge commits
+    * and collapsed history fail loudly. */
+  def cdfPartitionsFor(manifest: TxnManifest, root: String,
+                       from: Int, to: Int): Array[InputPartition] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val byBatch = manifest.committed().toSeq
+      .filter { case (id, ds) =>
+        id > from && id <= to && ds.exists(_.startsWith(root + "/")) }
+      .sortBy(_._1)
+    def parquetFiles(fs: org.apache.hadoop.fs.FileSystem, p: HPath) =
+      fs.listStatus(p).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") &&
+          !n.startsWith(".") && !n.startsWith("_")
+      }
+    byBatch.flatMap { case (id, ds) =>
+      Sinks.readFeedMarker(conf, root, id).foreach { replaced =>
+        val lost = replaced.filter(_ > from)
+        if (lost.nonEmpty)
+          throw new IllegalStateException(
+            s"change feed under $root: batch $id collapsed batch(es) " +
+              s"${lost.mkString(",")} committed AFTER offset $from — " +
+              "their rows were never delivered to this consumer and exist " +
+              "only inside the rewrite. Re-bootstrap from a readCommitted " +
+              "snapshot, then restart the stream from a fresh checkpoint.")
+      }
+      val cdfDir = new HPath(s"$root/_cdf/batch=$id")
+      val fs = cdfDir.getFileSystem(conf)
+      val cdfFiles =
+        if (fs.exists(cdfDir)) parquetFiles(fs, cdfDir)
+        else Array.empty[org.apache.hadoop.fs.FileStatus]
+      if (cdfFiles.nonEmpty)
+        cdfFiles.toSeq.map(st => CdfFilePartition(st.getPath.toString,
+          st.getLen, st.getModificationTime, id, insertFile = false))
+      else if (fs.exists(cdfDir))
+        throw new IllegalStateException(
+          s"change feed under $root: batch $id is a merge committed " +
+            "without change tracking (cdf = false) — its updates and " +
+            "deletes were not recorded. Re-bootstrap from a snapshot, " +
+            "or run merges with cdf = true on fed tables.")
+      else
+        ds.filter(d => d.startsWith(root + "/") && !Sinks.isDvDir(d))
+          .flatMap { dir =>
+            val p = new HPath(dir)
+            if (!fs.exists(p))
+              throw new IllegalStateException(
+                s"manifest-committed directory missing from the " +
+                  s"filesystem: $dir — committed data was deleted out " +
+                  "from under the manifest")
+            parquetFiles(fs, p).toSeq.map(st =>
+              CdfFilePartition(st.getPath.toString, st.getLen,
+                st.getModificationTime, id, insertFile = true))
+          }
+    }.toArray
+  }
+
+  /** Two parquet closures for the feed's two physical layouts; the
+    * constant columns ride the partition-value mechanism. */
+  def cdfReaderFactory(spark: SparkSession,
+                       cdfSchema: StructType): PartitionReaderFactory = {
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField}
+    val dataSchema = StructType(cdfSchema.fields.filterNot(f =>
+      f.name == Sinks.ChangeTypeCol || f.name == "_commit_batch"))
+    val cdfFileSchema = StructType(dataSchema.fields :+
+      StructField(Sinks.ChangeTypeCol, StringType))
+    val fmt = new ParquetFileFormat()
+    def build(data: StructType, parts: Seq[StructField]) =
+      fmt.buildReaderWithPartitionValues(
+        sparkSession = spark,
+        dataSchema = data,
+        partitionSchema = StructType(parts),
+        requiredSchema = data,
+        filters = Nil,
+        options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> "false"),
+        hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty))
+    CdfReaderFactory(
+      insertRead = build(dataSchema, Seq(
+        StructField(Sinks.ChangeTypeCol, StringType),
+        StructField("_commit_batch", IntegerType))),
+      cdfRead = build(cdfFileSchema, Seq(
+        StructField("_commit_batch", IntegerType))))
+  }
+
   /** `schemaLog` option: resolve reads through a [[SchemaLog]] column
     * mapping (captured at scan/stream build — a rename mid-stream is
     * picked up on restart, the evolution point, as with Delta). */
@@ -478,6 +683,14 @@ private[graft] object GraftManifestSource {
     * comes from a claim tombstone rather than the live manifest. */
   def partitionsForDirs(manifest: TxnManifest, dirs: Seq[String],
                         pushed: Seq[Filter] = Nil): Array[InputPartition] = {
+    // deletion-vector feature gate, Delta's reader-version shape: this
+    // reader does not apply DV sidecars, and serving deleted rows
+    // silently is the one unacceptable outcome. Scala-API reads
+    // (Sinks.readCommitted*) apply them; compaction materializes them.
+    require(!dirs.exists(Sinks.isDvDir),
+      "table has deletion-vector sidecars (_dv) — the graft-manifest " +
+        "DSv2 reader does not apply them yet; read via " +
+        "Sinks.readCommitted or materialize with Sinks.compact first")
     val conf = SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())

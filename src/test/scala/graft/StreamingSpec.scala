@@ -298,6 +298,71 @@ class StreamingSpec extends SparkSuite {
     assert(pruned.as[Long].collect().toSet == Set(4L, 5L, 6L, 7L))
   }
 
+  test("graft-manifest changeFeed stream: row-level deltas, restart exactly-once") {
+    import graft.sources.{Sinks, TxnManifest}
+    val base = java.nio.file.Files.createTempDirectory("graft_cdfs_").toString
+    val root = s"$base/data"
+    val manPath = s"$base/manifest.tsv"
+    val man = new TxnManifest(manPath)
+    def batchDf(ids: Long*) = ids.map(i => (i, s"v$i")).toDF("id", "v")
+    Sinks.appendBatch(batchDf(1, 2), root, 0); man.commit(0, Seq(s"$root/batch=0"))
+    Sinks.appendBatch(batchDf(3, 4), root, 1); man.commit(1, Seq(s"$root/batch=1"))
+
+    val outDir = s"$base/out"
+    def start() = spark.readStream.format("graft-manifest")
+      .option("manifest", manPath).option("changeFeed", "true").load(root)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    def sunk() = spark.read.parquet(outDir)
+      .select("id", "_change_type", "_commit_batch")
+      .as[(Long, String, Int)].collect().toSeq.sorted
+
+    // phase 1: history arrives as inserts
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    assert(sunk() == Seq(
+      (1L, "insert", 0), (2L, "insert", 0),
+      (3L, "insert", 1), (4L, "insert", 1)).sortBy(identity))
+
+    // while DOWN: a MERGE with cdf (update 2, delete 3, insert 9 —
+    // batch 2, which COLLAPSES batches 0/1 the consumer already
+    // drained), a DV delete with cdf (batch 3), and an append (4)
+    Sinks.merge(spark, Some(batchDf(2, 9)), Some(Seq(3L).toDF("id")),
+      root, man, Seq("id"), mergeId = 2, cdf = true)
+    Sinks.mergeDeleteDV(spark, Seq(4L).toDF("id"), root, man, Seq("id"),
+      mergeId = 3, cdf = true)
+    Sinks.appendBatch(batchDf(20), root, 4); man.commit(4, Seq(s"$root/batch=4"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // restart serves ONLY the new commits — row-level deltas, exactly
+    // once, never a replay of the rewritten dirs' kept rows
+    val after = sunk()
+    assert(after.filter(_._3 == 2).sorted == Seq(
+      (2L, "update_postimage", 2), (2L, "update_preimage", 2),
+      (3L, "delete", 2), (9L, "insert", 2)).sorted)
+    assert(after.contains((4L, "delete", 3)))
+    assert(after.contains((20L, "insert", 4)))
+    assert(after.size == 10, s"exactly-once violated: $after")
+
+    // a compaction serves ZERO deltas (no-change marker), not a replay
+    Sinks.compact(spark, root, man, compactId = 10, numFiles = 1)
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(sunk().size == 10, "compaction must not re-deliver rows")
+
+    // a cdf=false merge poisons the feed LOUDLY on the next trigger
+    Sinks.merge(spark, Some(batchDf(1)), None, root, man, Seq("id"),
+      mergeId = 11, cdf = false)
+    val q4 = start()
+    val poisoned = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q4.processAllAvailable() finally q4.stop()
+    }
+    assert(poisoned.getMessage.contains("without change tracking") ||
+      Option(poisoned.getCause).exists(_.getMessage.contains("without change tracking")))
+  }
+
   test("graft-manifest admission control: bounded drain and AvailableNow ceiling") {
     import graft.sources.{Sinks, TxnManifest}
     val base = java.nio.file.Files.createTempDirectory("graft_dsv2ac_").toString
