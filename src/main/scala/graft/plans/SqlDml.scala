@@ -36,6 +36,7 @@ import graft.sources.{Sinks, TxnManifest}
   *     [WHEN MATCHED THEN UPDATE SET * | SET same-name pairs]
   *     [WHEN NOT MATCHED THEN INSERT * | (cols) VALUES (same-name)]
   *   DELETE FROM <graft_table> WHERE <pred over table cols>
+  *   UPDATE <graft_table> SET c = <expr> [, ...] [WHERE <pred>]
   * }}}
   * The ON condition must be a conjunction of same-named key
   * equalities (the engine's merge keys both sides by NAME); an
@@ -87,6 +88,9 @@ final case class GraftMergeSpec(table: String, entry: GraftSqlTables.Entry,
   extends GraftDmlSpec
 final case class GraftDeleteSpec(table: String, entry: GraftSqlTables.Entry,
                                  condSql: String) extends GraftDmlSpec
+final case class GraftUpdateSpec(table: String, entry: GraftSqlTables.Entry,
+                                 assigns: Seq[(String, String)],
+                                 condSql: Option[String]) extends GraftDmlSpec
 
 object GraftDml {
 
@@ -146,6 +150,27 @@ object GraftDml {
           GraftDeleteSpec(name, entry, d.condition.sql)
         }
       }
+    case u: UpdateTable =>
+      relationName(u.table).flatMap { tgt =>
+        GraftSqlTables.lookup(tgt).map { entry =>
+          val name = tgt.mkString(".")
+          require(entry.keys.nonEmpty,
+            s"UPDATE $name: table registered without keys — " +
+              "row identity is undefined")
+          val assigns = u.assignments.map { a =>
+            val target = a.key match {
+              case k: UnresolvedAttribute => k.nameParts.last
+              case k => throw new IllegalArgumentException(
+                s"UPDATE $name: SET target must be a column, got ${k.sql}")
+            }
+            require(!entry.keys.exists(_.equalsIgnoreCase(target)),
+              s"UPDATE $name: SET touches key column '$target' — key " +
+                "rewrites are a delete+insert; use MERGE")
+            target -> a.value.sql
+          }
+          GraftUpdateSpec(name, entry, assigns, u.condition.map(_.sql))
+        }
+      }
     case _ => None
   }
 
@@ -178,6 +203,24 @@ object GraftDml {
         case (false, false) => None
       }
       Sinks.merge(spark, ups, delKeys, entry.root, man, keys, mergeId,
+        cdf = entry.cdf)
+    case GraftUpdateSpec(table, entry, assigns, condSql) =>
+      val man = new TxnManifest(entry.manifestPath)
+      val mergeId = nextBatchId(man)
+      val cur = Sinks.readCommitted(spark, entry.root, man)
+      assigns.foreach { case (c, _) =>
+        require(cur.columns.exists(_.equalsIgnoreCase(c)),
+          s"UPDATE $table: SET names unknown column '$c' " +
+            s"(have: ${cur.columns.mkString(", ")})")
+      }
+      // matched rows with assignments applied, replaced WHOLE through
+      // the same upsert arm a MERGE uses; unmatched rows stay behind
+      // in their dirs (only affected dirs rewrite)
+      val matched = condSql.fold(cur)(c => cur.where(expr(c)))
+      val ups = assigns.foldLeft(matched) { case (df, (c, v)) =>
+        df.withColumn(c, expr(v))
+      }
+      Sinks.mergeUpsert(spark, ups, entry.root, man, entry.keys, mergeId,
         cdf = entry.cdf)
     case GraftDeleteSpec(_, entry, condSql) =>
       val man = new TxnManifest(entry.manifestPath)
@@ -262,16 +305,157 @@ final case class GraftDmlCommand(spec: GraftDmlSpec)
   }
 }
 
+/** Delta's maintenance verb set over registered graft tables — SQL
+  * Spark has NO grammar for, so these statements are recognized
+  * BEFORE delegation (only when the named table is registered;
+  * anything else reaches Spark's parser byte-identical and fails
+  * with its own error):
+  * {{{
+  *   OPTIMIZE <tbl>                          -- bin-pack compaction
+  *   OPTIMIZE <tbl> ZORDER BY (c1[, c2...])  -- incremental z-order
+  *   VACUUM <tbl> [RETAIN <n> HOURS]         -- orphan sweep
+  *   DESCRIBE HISTORY <tbl>                  -- version log + clocks
+  *   RESTORE <tbl> TO VERSION AS OF <v>
+  *   RESTORE <tbl> TO TIMESTAMP AS OF '<ts>' -- epoch ms or UTC wall
+  * }}}
+  * OPTIMIZE sizes its output at ~128 MB per file (Delta's optimize
+  * target) from the live dirs' byte sum; ZORDER runs the INCREMENTAL
+  * path — generations already ordered under the same spec stay
+  * byte-untouched, O(new data) maintenance. */
+object GraftMaintenance {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  private val Opt =
+    """(?is)\s*OPTIMIZE\s+([\w.]+)\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+  private val Vac =
+    """(?is)\s*VACUUM\s+([\w.]+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+  private val Hist = """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
+  private val RestV =
+    """(?is)\s*RESTORE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestT =
+    """(?is)\s*RESTORE\s+([\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+
+  /** Recognize a maintenance statement on a REGISTERED table; None
+    * otherwise (the caller delegates to Spark's parser). */
+  def parse(sqlText: String): Option[LogicalPlan] = {
+    def entryOf(name: String) = GraftSqlTables.lookup(Seq(name))
+    sqlText match {
+      case Opt(name, zcols) => entryOf(name).map(e =>
+        GraftOptimizeCommand(name, e,
+          Option(zcols).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)))
+      case Vac(name, hours) => entryOf(name).map(e =>
+        GraftVacuumCommand(name, e,
+          Option(hours).map(_.toLong * 3600 * 1000)))
+      case Hist(name) => entryOf(name).map(e => GraftHistoryCommand(name, e))
+      case RestV(name, v) => entryOf(name).map(e =>
+        GraftRestoreCommand(name, e, Left(v.toLong)))
+      case RestT(name, ts) => entryOf(name).map(e =>
+        GraftRestoreCommand(name, e, Right(parseTs(ts))))
+      case _ => None
+    }
+  }
+
+  /** Epoch millis, or a UTC wall time `yyyy-MM-dd[ HH:mm:ss]` — the
+    * same forms the DSv2 `timestampAsOf` option takes. */
+  def parseTs(s: String): Long =
+    s.toLongOption.getOrElse {
+      val t = if (s.contains(" ") || s.contains("T"))
+        java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      else java.time.LocalDate.parse(s).atStartOfDay()
+      t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+
+  private[plans] def historyOutput: Seq[AttributeReference] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("timestamp_ms", LongType, nullable = true)(),
+    AttributeReference("added", StringType, nullable = false)(),
+    AttributeReference("removed", StringType, nullable = false)())
+}
+
+final case class GraftOptimizeCommand(table: String,
+                                      entry: GraftSqlTables.Entry,
+                                      zorderCols: Seq[String])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val man = new TxnManifest(entry.manifestPath)
+    val compactId = man.committed().keySet.max + 1
+    // ~128 MB target files (Delta's OPTIMIZE default) from the live
+    // byte sum — a driver-side listing, no Spark job
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = man.committedDirs(entry.root)
+      .filterNot(Sinks.isDvDir).map { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) 0L
+        else fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+      }.sum
+    val numFiles = math.max(1, (bytes / (128L * 1024 * 1024)).toInt)
+    if (zorderCols.isEmpty)
+      Sinks.compact(spark, entry.root, man, compactId, numFiles)
+    else
+      Sinks.compactZOrderedIncremental(spark, entry.root, man, compactId,
+        zorderCols.map(col), numFiles)
+    Seq.empty
+  }
+}
+
+final case class GraftVacuumCommand(table: String,
+                                    entry: GraftSqlTables.Entry,
+                                    retainMillis: Option[Long])
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("deleted", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val man = new TxnManifest(entry.manifestPath)
+    Sinks.vacuum(entry.root, man,
+      retainMillis.getOrElse(7L * 24 * 3600 * 1000)).map(Row(_))
+  }
+}
+
+final case class GraftHistoryCommand(table: String,
+                                     entry: GraftSqlTables.Entry)
+  extends LeafRunnableCommand {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftMaintenance.historyOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val man = new TxnManifest(entry.manifestPath)
+    val clocks = man.commitTimestamps().toMap
+    man.history().map(ch => Row(ch.version, clocks.get(ch.version).orNull,
+      ch.added.mkString(","), ch.removed.mkString(",")))
+  }
+}
+
+final case class GraftRestoreCommand(table: String,
+                                     entry: GraftSqlTables.Entry,
+                                     target: Either[Long, Long])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val man = new TxnManifest(entry.manifestPath)
+    val version = target match {
+      case Left(v)   => v
+      case Right(ts) => man.versionAt(ts)
+    }
+    man.restoreTo(version)
+    Seq.empty
+  }
+}
+
 /** Parser injected by [[GraftExtensions]]: delegates EVERYTHING to
   * Spark's parser, then claims only DML plans whose target is a
   * registered graft table. All other statements — including DML on
   * unregistered names — return byte-identical plans. */
 final class GraftSqlParser(delegate: ParserInterface)
   extends ParserInterface {
-  override def parsePlan(sqlText: String): LogicalPlan = {
-    val plan = delegate.parsePlan(sqlText)
-    GraftDml.translate(plan).map(GraftDmlCommand).getOrElse(plan)
-  }
+  override def parsePlan(sqlText: String): LogicalPlan =
+    // maintenance verbs first: Spark has no grammar for them, and the
+    // guard (registered table name) keeps everything else delegated
+    GraftMaintenance.parse(sqlText).getOrElse {
+      val plan = delegate.parsePlan(sqlText)
+      GraftDml.translate(plan).map(GraftDmlCommand).getOrElse(plan)
+    }
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String)
@@ -304,8 +488,19 @@ object GraftSql {
     * to the engine's merge; anything else falls through to
     * `spark.sql` unchanged (and returns its result). */
   def execute(spark: SparkSession, sqlText: String): DataFrame =
-    GraftDml.translate(CatalystSqlParser.parsePlan(sqlText)) match {
-      case Some(spec) => GraftDml.run(spark, spec); spark.emptyDataFrame
-      case None       => spark.sql(sqlText)
+    GraftMaintenance.parse(sqlText) match {
+      case Some(cmd: LeafRunnableCommand) =>
+        val rows = cmd.run(spark)
+        if (cmd.output.isEmpty) spark.emptyDataFrame
+        else spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+          org.apache.spark.sql.types.StructType(cmd.output.map(a =>
+            org.apache.spark.sql.types.StructField(a.name, a.dataType,
+              a.nullable))))
+      case _ =>
+        GraftDml.translate(CatalystSqlParser.parsePlan(sqlText)) match {
+          case Some(spec) => GraftDml.run(spark, spec); spark.emptyDataFrame
+          case None       => spark.sql(sqlText)
+        }
     }
 }

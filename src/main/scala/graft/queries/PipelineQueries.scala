@@ -442,6 +442,36 @@ object PipelineQueries {
       Sinks.readCommitted(s, root, man)
     }),
 
+    // SQL UPDATE — the third DML verb: arbitrary SET expressions over
+    // the matched rows (guarded price discount on low-priority open
+    // orders), parsed by Spark's grammar, executed as the same
+    // affected-dirs-only COW merge. The oracle is the UPDATE
+    // postcondition in plain SQL.
+    "s15_sql_update" -> ((s, d) => {
+      import graft.plans.{GraftSql, GraftSqlTables}
+      import graft.sources.{Sinks, TxnManifest}
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s15_").toString
+      val root = s"$base/t"
+      val man = new TxnManifest(s"$base/manifest.tsv")
+      for (i <- 0 to 1) {
+        Sinks.appendBatch(o.filter(pmod(col("o_orderkey"), lit(2)) === i), root, i)
+        man.commit(i, Seq(s"$root/batch=$i"))
+      }
+      GraftSqlTables.register("s15_wm",
+        GraftSqlTables.Entry(root, s"$base/manifest.tsv", keys = Seq("o_orderkey")))
+      try {
+        GraftSql.execute(s,
+          """UPDATE s15_wm
+            |SET o_totalprice = o_totalprice * 0.9, o_orderstatus = 'P'
+            |WHERE o_orderstatus = 'O' AND o_orderkey % 5 = 0""".stripMargin)
+        Sinks.readCommitted(s, root, man)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      } finally GraftSqlTables.unregister("s15_wm")
+    }),
+
     // TIMESTAMP AS OF time travel — Delta's "the table as of
     // yesterday 09:00" idiom over the manifest layer. The claim
     // tombstones carry commit times as file mtimes (pinned here so
@@ -1136,6 +1166,13 @@ object PipelineQueries {
     "s13_dv_delete" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey % 7 <> 0 AND o_orderkey % 3 <> 0""".stripMargin,
+    "s15_sql_update" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'O' AND o_orderkey % 5 = 0
+        |    THEN 'P' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'O' AND o_orderkey % 5 = 0
+        |    THEN o_totalprice * 0.9 ELSE o_totalprice END AS o_totalprice
+        |FROM orders""".stripMargin,
     "s14_ts_travel" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

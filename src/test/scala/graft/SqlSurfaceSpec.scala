@@ -168,10 +168,81 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(Sinks.readCommitted(spark, root2, man2).select("id", "v")
       .as[(Long, String)].collect().sorted.toSeq ==
       Seq((1L, "a"), (2L, "B"), (5L, "E"))) // 2 NOT re-updated
+    // UPDATE: assignments are arbitrary expressions over the row;
+    // unmatched rows stay untouched; key rewrites refused
+    GraftSql.execute(spark,
+      "UPDATE wm2 SET v = concat(v, '!') WHERE id < 3")
+    assert(Sinks.readCommitted(spark, root2, man2).select("id", "v")
+      .as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a!"), (2L, "B!"), (5L, "E")))
+    val keyTouch = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, "UPDATE wm2 SET id = id + 1")
+    }
+    assert(keyTouch.getMessage.contains("key column"))
+    val badCol = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, "UPDATE wm2 SET nope = 1")
+    }
+    assert(badCol.getMessage.contains("unknown column"))
     // non-DML text falls through to spark.sql and returns its result
     assert(GraftSql.execute(spark, "SELECT 1 AS one").collect()
       .head.getInt(0) == 1)
     GraftSqlTables.unregister("wm2")
+  }
+
+  test("SQL maintenance verbs: OPTIMIZE / VACUUM / DESCRIBE HISTORY / RESTORE") {
+    import graft.plans.{GraftSql, GraftSqlTables}
+    import graft.sources.{Sinks, TxnManifest}
+    val tmp = java.nio.file.Files.createTempDirectory("sqlmaint_").toString
+    val root = s"$tmp/t"
+    val manPath = s"$tmp/_commits"
+    val man = new TxnManifest(manPath)
+    for (b <- 0 until 3) {
+      Sinks.appendBatch((0 until 300).filter(_ % 3 == b)
+        .map(i => (i.toLong, s"v$i")).toDF("id", "v"), root, b)
+      man.commit(b, Seq(s"$root/batch=$b"))
+    }
+    GraftSqlTables.register("maint",
+      GraftSqlTables.Entry(root, manPath, keys = Seq("id")))
+    try {
+      // DESCRIBE HISTORY: three append versions with their clocks
+      val hist = GraftSql.execute(spark, "DESCRIBE HISTORY maint")
+      assert(hist.columns.toSeq ==
+        Seq("version", "timestamp_ms", "added", "removed"))
+      assert(hist.count() == 3)
+      // RESTORE ... TIMESTAMP AS OF resolves through the commit
+      // clock (while every version's dirs still exist — restore is
+      // only valid inside the vacuum retention window, Delta's rule)
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$manPath.v1"),
+        java.nio.file.attribute.FileTime.fromMillis(1000L))
+      GraftSql.execute(spark, "RESTORE maint TO TIMESTAMP AS OF '1000'")
+      assert(Sinks.readCommitted(spark, root, man).count() == 100)
+      GraftSql.execute(spark, "RESTORE maint TO VERSION AS OF 3")
+      assert(Sinks.readCommitted(spark, root, man).count() == 300)
+      // OPTIMIZE: bin-pack compaction; one entry replaces three
+      GraftSql.execute(spark, "OPTIMIZE maint")
+      assert(man.committed().size == 1)
+      assert(Sinks.readCommitted(spark, root, man).count() == 300)
+      // OPTIMIZE ZORDER BY on a fresh append: incremental — the
+      // compacted generation is not z-ordered under this spec, so it
+      // rewrites once; a SECOND run is a no-op (nothing fresh)
+      GraftSql.execute(spark, "OPTIMIZE maint ZORDER BY (id)")
+      val afterZ = man.version()
+      GraftSql.execute(spark, "OPTIMIZE maint ZORDER BY (id)")
+      assert(man.version() == afterZ, "no-op OPTIMIZE must not commit")
+      // RESTORE to the pre-z-order version by VERSION AS OF
+      GraftSql.execute(spark,
+        s"RESTORE maint TO VERSION AS OF ${afterZ - 1}")
+      assert(Sinks.readCommitted(spark, root, man).count() == 300)
+      // VACUUM RETAIN 0 HOURS sweeps the un-named z-order output
+      val swept = GraftSql.execute(spark, "VACUUM maint RETAIN 0 HOURS")
+      assert(swept.count() >= 1)
+      assert(Sinks.readCommitted(spark, root, man).count() == 300)
+      // unregistered table name → delegate's own parse error, verbatim
+      intercept[Exception] {
+        GraftSql.execute(spark, "OPTIMIZE not_registered")
+      }
+    } finally GraftSqlTables.unregister("maint")
   }
 
   test("per-session register() exposes the same functions on a live session") {
