@@ -317,11 +317,63 @@ final case class GraftDmlCommand(spec: GraftDmlSpec)
   *   DESCRIBE HISTORY <tbl>                  -- version log + clocks
   *   RESTORE <tbl> TO VERSION AS OF <v>
   *   RESTORE <tbl> TO TIMESTAMP AS OF '<ts>' -- epoch ms or UTC wall
+  *   INSERT INTO|OVERWRITE <tbl> <select>    -- see GraftInsertCommand
   * }}}
   * OPTIMIZE sizes its output at ~128 MB per file (Delta's optimize
   * target) from the live dirs' byte sum; ZORDER runs the INCREMENTAL
   * path — generations already ordered under the same spec stay
   * byte-untouched, O(new data) maintenance. */
+/** `INSERT INTO` / `INSERT OVERWRITE` on a registered graft table.
+  * Recognized at TEXT level (the source query's SQL must survive to
+  * run time — it executes as `spark.sql(select)` there, so views,
+  * CTEs, and VALUES all work); the select text is validated by the
+  * delegate parser at statement-parse time so syntax errors surface
+  * immediately. Classic positional semantics: the query must produce
+  * the table's column COUNT, and columns are renamed positionally to
+  * the table's names. INTO appends one stats-indexed batch; OVERWRITE
+  * replaces the table atomically ([[graft.sources.Sinks.insertOverwrite]])
+  * and marks the change feed collapsed. */
+final case class GraftInsertCommand(table: String,
+                                    entry: GraftSqlTables.Entry,
+                                    selectSql: String, overwrite: Boolean)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val man = new TxnManifest(entry.manifestPath)
+    val ids = man.committed().keySet
+    val batchId = if (ids.isEmpty) 0 else ids.max + 1
+    val src = spark.sql(selectSql)
+    val existing = man.committedDirs(entry.root)
+    if (existing.nonEmpty) {
+      val cur = Sinks.readCommitted(spark, entry.root, man)
+      require(src.columns.length == cur.columns.length,
+        s"INSERT into $table: query produces ${src.columns.length} " +
+          s"column(s), table has ${cur.columns.length} " +
+          s"(${cur.columns.mkString(", ")})")
+      // positional rename, then cast to the table's types — classic
+      // INSERT coercion (an INT literal lands in a BIGINT column)
+      val aligned = cur.schema.fields.foldLeft(
+        src.toDF(cur.columns.toIndexedSeq: _*)) { (df, f) =>
+        df.withColumn(f.name, col(f.name).cast(f.dataType))
+      }
+      if (overwrite)
+        Sinks.insertOverwrite(spark, aligned, entry.root, man, batchId)
+      else {
+        graft.sources.StatsSinks.appendBatchStats(aligned, entry.root, batchId)
+        man.commit(batchId, Seq(s"${entry.root}/batch=$batchId"))
+      }
+    } else {
+      // bootstrap: the first insert DEFINES the schema
+      if (overwrite)
+        Sinks.insertOverwrite(spark, src, entry.root, man, batchId)
+      else {
+        graft.sources.StatsSinks.appendBatchStats(src, entry.root, batchId)
+        man.commit(batchId, Seq(s"${entry.root}/batch=$batchId"))
+      }
+    }
+    Seq.empty
+  }
+}
+
 object GraftMaintenance {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
   import org.apache.spark.sql.types.{LongType, StringType}
@@ -335,6 +387,8 @@ object GraftMaintenance {
     """(?is)\s*RESTORE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestT =
     """(?is)\s*RESTORE\s+([\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val Ins =
+    """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)\s+((?:SELECT|VALUES|WITH|TABLE)\b.*)""".r
 
   /** Recognize a maintenance statement on a REGISTERED table; None
     * otherwise (the caller delegates to Spark's parser). */
@@ -352,6 +406,13 @@ object GraftMaintenance {
         GraftRestoreCommand(name, e, Left(v.toLong)))
       case RestT(name, ts) => entryOf(name).map(e =>
         GraftRestoreCommand(name, e, Right(parseTs(ts))))
+      case Ins(mode, name, select) => entryOf(name).map { e =>
+        // validate the source query NOW — a syntax error must surface
+        // at statement parse, not at execution
+        CatalystSqlParser.parsePlan(select)
+        GraftInsertCommand(name, e, select,
+          overwrite = mode.equalsIgnoreCase("OVERWRITE"))
+      }
       case _ => None
     }
   }

@@ -442,6 +442,37 @@ object PipelineQueries {
       Sinks.readCommitted(s, root, man)
     }),
 
+    // SQL INSERT — the load verb: the first INSERT INTO bootstraps
+    // the table (defines its schema), the second appends a
+    // stats-indexed batch; both through the injected-parser grammar
+    // with classic positional column semantics. The oracle is the
+    // union of the two source queries.
+    "s16_sql_insert" -> ((s, d) => {
+      import graft.plans.{GraftSql, GraftSqlTables}
+      import graft.sources.{Sinks, TxnManifest}
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      o.createOrReplaceTempView("s16_orders")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s16_").toString
+      val root = s"$base/t"
+      val man = new TxnManifest(s"$base/manifest.tsv")
+      GraftSqlTables.register("s16_wm",
+        GraftSqlTables.Entry(root, s"$base/manifest.tsv", keys = Seq("o_orderkey")))
+      try {
+        GraftSql.execute(s,
+          """INSERT INTO s16_wm
+            |SELECT o_orderkey, o_orderstatus, o_totalprice
+            |FROM s16_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+        GraftSql.execute(s,
+          """INSERT INTO s16_wm
+            |SELECT o_orderkey, o_orderstatus, o_totalprice
+            |FROM s16_orders WHERE o_orderkey % 2 = 1""".stripMargin)
+        Sinks.readCommitted(s, root, man)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      } finally GraftSqlTables.unregister("s16_wm")
+    }),
+
     // SQL UPDATE — the third DML verb: arbitrary SET expressions over
     // the matched rows (guarded price discount on low-priority open
     // orders), parsed by Spark's grammar, executed as the same
@@ -1166,6 +1197,8 @@ object PipelineQueries {
     "s13_dv_delete" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey % 7 <> 0 AND o_orderkey % 3 <> 0""".stripMargin,
+    "s16_sql_insert" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""",
     "s15_sql_update" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderstatus = 'O' AND o_orderkey % 5 = 0

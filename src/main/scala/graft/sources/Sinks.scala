@@ -289,6 +289,28 @@ object Sinks {
     * THEN INSERT *` semantics on plain parquet, the write shape behind
     * the reference's watermark MERGE (`accounts.py:131-140`) and Sync
     * upserts (`categories.py:84,128`). See [[merge]] for the engine. */
+  /** INSERT OVERWRITE on the manifest layer: land the frame as one
+    * new batch dir, then atomically un-name EVERYTHING under `root`
+    * in its favor — readers see the old table or the new one, never
+    * a mix, and a crash before the commit leaves the old view. The
+    * change feed is marked collapsed (an overwrite retracts rows it
+    * never recorded), so a tailing consumer fails loudly instead of
+    * silently keeping retracted rows — re-bootstrap from a snapshot,
+    * the Delta `overwriteSchema`-replace semantics. */
+  def insertOverwrite(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                      root: String, manifest: TxnManifest,
+                      batchId: Int): Unit =
+    withJobDescription(spark, s"graft: insert-overwrite $root -> batch=$batchId") {
+    val dirs = manifest.committedDirs(root)
+    val target = s"$root/batch=$batchId"
+    require(!dirs.contains(target), s"batchId $batchId is a live batch")
+    df.write.mode(SaveMode.Overwrite).parquet(target)
+    BatchStats.writeSidecar(spark, target)
+    if (dirs.nonEmpty)
+      writeFeedMarker(root, batchId, manifest, dirs.toSet)
+    manifest.replaceAll(root, batchId, Seq(target))
+  }
+
   // ---------------------------------------------------------------
   // Deletion vectors — merge-on-read deletes (Delta DV shape).
   //

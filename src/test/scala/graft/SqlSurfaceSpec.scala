@@ -242,6 +242,29 @@ class SqlSurfaceSpec extends SparkSuite {
       intercept[Exception] {
         GraftSql.execute(spark, "OPTIMIZE not_registered")
       }
+      // INSERT INTO appends one stats-indexed batch (positional
+      // column semantics: query names don't matter, positions do)
+      GraftSql.execute(spark,
+        "INSERT INTO maint SELECT 900 + c AS a, 'new' AS b FROM " +
+          "(SELECT explode(sequence(0, 4)) AS c)")
+      assert(Sinks.readCommitted(spark, root, man).count() == 305)
+      assert(Sinks.readCommitted(spark, root, man)
+        .where($"id" === 902L).select("v").as[String].head() == "new")
+      // column-count mismatch fails loudly
+      val mism = intercept[IllegalArgumentException] {
+        GraftSql.execute(spark, "INSERT INTO maint SELECT 1")
+      }
+      assert(mism.getMessage.contains("column"))
+      // INSERT OVERWRITE atomically replaces the table
+      GraftSql.execute(spark,
+        "INSERT OVERWRITE maint VALUES (1, 'only'), (2, 'rows')")
+      assert(Sinks.readCommitted(spark, root, man)
+        .select("id", "v").as[(Long, String)].collect().sorted.toSeq ==
+        Seq((1L, "only"), (2L, "rows")))
+      // a bad source query errors at PARSE, before any side effect
+      intercept[Exception] {
+        GraftSql.execute(spark, "INSERT INTO maint SELECT FROM nope")
+      }
     } finally GraftSqlTables.unregister("maint")
   }
 
