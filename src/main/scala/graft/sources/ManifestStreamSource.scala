@@ -226,9 +226,17 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
       }
     }
     override def planInputPartitions(): Array[InputPartition] = parts
-    override def createReaderFactory(): PartitionReaderFactory =
+    override def createReaderFactory(): PartitionReaderFactory = {
+      // Spark refuses mixed row/columnar partitions: when any planned
+      // file carries deletion-vector positions (row-path filtering),
+      // the whole scan decodes rows
+      val hasDv = parts.exists {
+        case m: ManifestFilePartition => m.dvPositions.nonEmpty
+        case _                        => false
+      }
       GraftManifestSource.mappedReaderFactory(SparkSession.active, dataSchema,
-        required, pushed, mapping)
+        required, pushed, mapping, allowColumnar = !hasDv)
+    }
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -365,9 +373,22 @@ class GraftManifestMicroBatchStream(dataSchema: StructType,
   override def deserializeOffset(json: String): Offset =
     ManifestOffset(json.trim.toInt)
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    // a deletion-vector batch has no row content — its MEANING is
+    // "rows disappeared", which an append-shaped stream cannot
+    // express; silently serving nothing would leave deleted rows
+    // live downstream forever (the raw-consumer rule, pollOnce)
+    val dvBatch = manifest.committed().toSeq
+      .filter { case (id, _) => id > idOf(start) && id <= idOf(end) }
+      .collectFirst { case (id, ds)
+        if ds.exists(d => d.startsWith(root + "/") && Sinks.isDvDir(d)) => id }
+    dvBatch.foreach(id => throw new IllegalStateException(
+      s"batch $id under $root is a deletion-vector delete — the plain " +
+        "stream cannot express row removal; subscribe with " +
+        ".option(\"changeFeed\", \"true\") for row-level deltas"))
     GraftManifestSource.partitionsFor(manifest, root, idOf(start), idOf(end),
       if (mapping.isEmpty) pushed.toSeq else Nil)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftManifestSource.mappedReaderFactory(SparkSession.active, dataSchema,
@@ -379,9 +400,13 @@ class GraftManifestMicroBatchStream(dataSchema: StructType,
   override def stop(): Unit = ()
 }
 
-/** One committed parquet file — the unit of read parallelism. */
+/** One committed parquet file — the unit of read parallelism.
+  * `dvPositions` (sorted) are the file's deletion-vector row indices;
+  * non-empty forces the row-path decode with position filtering. */
 final case class ManifestFilePartition(filePath: String, length: Long,
-                                       modificationTime: Long) extends InputPartition
+                                       modificationTime: Long,
+                                       dvPositions: Array[Long] = Array.empty)
+  extends InputPartition
 
 /** A change-feed file: `insertFile` distinguishes a data-batch file
   * (rows serve as inserts; `_change_type` is a constant) from a
@@ -442,7 +467,9 @@ final case class CdfReaderFactory(
   * row path (with a defensive batch-flatten) serves everything else. */
 final case class ManifestReaderFactory(
     read: PartitionedFile => Iterator[InternalRow],
-    columnar: Boolean) extends PartitionReaderFactory {
+    columnar: Boolean,
+    dvRead: PartitionedFile => Iterator[InternalRow] = null,
+    required: StructType = StructType(Nil)) extends PartitionReaderFactory {
 
   private def fileOf(partition: InputPartition): (PartitionedFile, ManifestFilePartition) = {
     val p = partition.asInstanceOf[ManifestFilePartition]
@@ -461,6 +488,9 @@ final case class ManifestReaderFactory(
     Array(ManifestTaskMetric("manifestFilesRead", 1L),
       ManifestTaskMetric("manifestBytesRead", p.length))
 
+  // uniform across partitions (Spark refuses mixed modes): the scan
+  // builder disables columnar for the WHOLE scan when any planned
+  // file carries DV positions (see GraftManifestScan.toBatch)
   override def supportColumnarReads(partition: InputPartition): Boolean =
     columnar
 
@@ -483,9 +513,25 @@ final case class ManifestReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val (file, p) = fileOf(partition)
     val rows: Iterator[InternalRow] =
-      read(file).asInstanceOf[Iterator[Any]].flatMap {
-        case cb: ColumnarBatch => cb.rowIterator().asScala
-        case row               => Iterator.single(row.asInstanceOf[InternalRow])
+      if (p.dvPositions.isEmpty)
+        read(file).asInstanceOf[Iterator[Any]].flatMap {
+          case cb: ColumnarBatch => cb.rowIterator().asScala
+          case row               => Iterator.single(row.asInstanceOf[InternalRow])
+        }
+      else {
+        // DV path: the reader GENERATES each row's file position as
+        // the appended row-index column (correct under row-group
+        // skipping); drop vectored positions, project the column away
+        val positions = p.dvPositions
+        val idxOrdinal = required.length
+        val project = org.apache.spark.sql.catalyst.expressions
+          .UnsafeProjection.create(required)
+        dvRead(file).asInstanceOf[Iterator[Any]].flatMap {
+          case cb: ColumnarBatch => cb.rowIterator().asScala
+          case row               => Iterator.single(row.asInstanceOf[InternalRow])
+        }.filter(r =>
+          java.util.Arrays.binarySearch(positions, r.getLong(idxOrdinal)) < 0)
+          .map(project)
       }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
@@ -681,16 +727,41 @@ private[graft] object GraftManifestSource {
   /** [[partitionsFor]] over an EXPLICIT directory list — the planning
     * entry point for version/timestamp-addressed reads, whose dir set
     * comes from a claim tombstone rather than the live manifest. */
-  def partitionsForDirs(manifest: TxnManifest, dirs: Seq[String],
+  /** Hard ceiling on driver-held DV positions: deletion vectors are
+    * for SMALL deletes; past this, compaction is cheaper than every
+    * scan paying the filter — fail with that advice, never OOM. */
+  val MaxDvPositions: Int = 2000000
+
+  private def pathKey(s: String): String = new HPath(s).toUri.getPath
+
+  /** The planned dirs' deletion-vector positions, file → sorted
+    * indices, loaded once per plan (driver-side; bounded by
+    * [[MaxDvPositions]] with a loud compact-first failure). */
+  private def dvPositionsByFile(dvDirs: Seq[String]): Map[String, Array[Long]] =
+    if (dvDirs.isEmpty) Map.empty
+    else {
+      val rows = SparkSession.active.read.parquet(dvDirs: _*)
+        .select(Sinks.DvFileCol, Sinks.DvPosCol)
+        .limit(MaxDvPositions + 1).collect()
+      require(rows.length <= MaxDvPositions,
+        s"table carries more than $MaxDvPositions deletion-vector " +
+          "positions — at that volume every scan pays more than a " +
+          "rewrite would; run Sinks.compact (or OPTIMIZE) to " +
+          "materialize the vectors first")
+      rows.groupBy(r => pathKey(r.getString(0)))
+        .map { case (f, rs) => f -> rs.map(_.getLong(1)).sorted }
+    }
+
+  def partitionsForDirs(manifest: TxnManifest, allDirs: Seq[String],
                         pushed: Seq[Filter] = Nil): Array[InputPartition] = {
-    // deletion-vector feature gate, Delta's reader-version shape: this
-    // reader does not apply DV sidecars, and serving deleted rows
-    // silently is the one unacceptable outcome. Scala-API reads
-    // (Sinks.readCommitted*) apply them; compaction materializes them.
-    require(!dirs.exists(Sinks.isDvDir),
-      "table has deletion-vector sidecars (_dv) — the graft-manifest " +
-        "DSv2 reader does not apply them yet; read via " +
-        "Sinks.readCommitted or materialize with Sinks.compact first")
+    // deletion vectors: _dv sidecar dirs never plan as data; their
+    // positions ride the data files' partitions and the reader
+    // filters them out (Sinks.applyDv semantics, DSv2-native)
+    val (dirs, dvDirs) = Sinks.splitDv(allDirs)
+    val dvByFile = dvPositionsByFile(dvDirs)
+    def dvOf(filePath: String): Array[Long] =
+      if (dvByFile.isEmpty) Array.empty[Long]
+      else dvByFile.getOrElse(pathKey(filePath), Array.empty[Long])
     val conf = SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
@@ -735,7 +806,8 @@ private[graft] object GraftManifestSource {
                 .forall(BloomIndex.mayMatch(_, pushed))
             }
             .map { case (n, len, mtime) =>
-              ManifestFilePartition(s"$dir/$n", len, mtime)
+              ManifestFilePartition(s"$dir/$n", len, mtime,
+                dvOf(s"$dir/$n"))
             }
         case None =>
           // PER-FILE skipping: a file whose sidecar bounds provably
@@ -758,7 +830,7 @@ private[graft] object GraftManifestSource {
                   .forall(BloomIndex.mayMatch(_, pushed))
             }
             .map(st => ManifestFilePartition(st.getPath.toString, st.getLen,
-              st.getModificationTime))
+              st.getModificationTime, dvOf(st.getPath.toString)))
       }
     }
     planned.flatten.toArray
@@ -809,9 +881,11 @@ private[graft] object GraftManifestSource {
     * never correctness). */
   def mappedReaderFactory(spark: SparkSession, dataSchema: StructType,
                           required: StructType, pushed: Array[Filter],
-                          mapping: Option[Seq[SchemaLog.Col]]): PartitionReaderFactory =
+                          mapping: Option[Seq[SchemaLog.Col]],
+                          allowColumnar: Boolean = true): PartitionReaderFactory =
     mapping match {
-      case None => readerFactory(spark, dataSchema, required, pushed)
+      case None =>
+        readerFactory(spark, dataSchema, required, pushed, allowColumnar)
       case Some(cols) =>
         val toPhysical = cols.map(c => c.logical -> c).toMap
         def physical(s: StructType): StructType = StructType(s.fields.map { f =>
@@ -820,7 +894,7 @@ private[graft] object GraftManifestSource {
           f.copy(name = c.physical)
         })
         readerFactory(spark, physical(dataSchema), physical(required),
-          Array.empty)
+          Array.empty, allowColumnar)
     }
 
   /** Driver-side build of Spark's parquet decode closure; serialized
@@ -832,9 +906,27 @@ private[graft] object GraftManifestSource {
     * the same vectorized end-to-end path as the built-in source. */
   def readerFactory(spark: SparkSession, dataSchema: StructType,
                     required: StructType,
-                    pushed: Array[Filter]): PartitionReaderFactory = {
+                    pushed: Array[Filter],
+                    allowColumnar: Boolean = true): PartitionReaderFactory = {
     val fmt = new ParquetFileFormat()
-    val columnar = fmt.supportBatch(spark, required)
+    val columnar = allowColumnar && fmt.supportBatch(spark, required)
+    // DV-carrying files decode through a SECOND closure whose required
+    // schema appends parquet's native row-index generator column
+    // (ROW_INDEX_TEMPORARY_COLUMN_NAME) — indices stay correct under
+    // row-group/page skipping because the READER generates them, then
+    // the factory drops deleted positions and projects the column away
+    val rowIdx = org.apache.spark.sql.types.StructField(
+      ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+      org.apache.spark.sql.types.LongType)
+    val dvRead = fmt.buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = dataSchema,
+      partitionSchema = StructType(Nil),
+      requiredSchema = StructType(required.fields :+ rowIdx),
+      filters = pushed.toSeq,
+      options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty))
     ManifestReaderFactory(fmt.buildReaderWithPartitionValues(
       sparkSession = spark,
       dataSchema = dataSchema,
@@ -844,6 +936,6 @@ private[graft] object GraftManifestSource {
       options = Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> columnar.toString),
       hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty)),
-      columnar)
+      columnar, dvRead, required)
   }
 }

@@ -254,19 +254,33 @@ class ScaleSpec extends SparkSuite {
     assert(Sinks.readCommittedUnion(spark, cloneMan).count() == 9990)
     // 6. time travel BEFORE the DV still serves all rows
     assert(Sinks.readCommittedAsOf(spark, root, man, 3).count() == 10000)
-    // 7. the DSv2 reader feature-gates instead of serving deleted rows
-    val gated = intercept[Exception] {
-      spark.read.format("graft-manifest").option("manifest", s"$base/_commits")
-        .load(root).count()
+    // 7. the DSv2 reader applies the vector NATIVELY: parquet's own
+    // row-index generator feeds a positional filter, so indices stay
+    // correct even under pushed-filter row-group skipping
+    def dsv2() = spark.read.format("graft-manifest")
+      .option("manifest", s"$base/_commits").load(root)
+    assert(dsv2().count() == 9990)
+    assert(dsv2().where($"id" === 3000L).count() == 0)   // DV'd row gone
+    assert(dsv2().where($"id" === 3001L).count() == 1)   // neighbor lives
+    assert(dsv2().select("v").where($"id" === 2999L).as[String].head() == "v2999")
+    // ... but the plain STREAM fails loudly (it cannot express
+    // row removal; changeFeed is the deletion-capable subscription)
+    val sDir = java.nio.file.Files.createTempDirectory("dv_stream_").toString
+    val sq = spark.readStream.format("graft-manifest")
+      .option("manifest", s"$base/_commits").load(root)
+      .writeStream.format("parquet").option("path", s"$sDir/out")
+      .option("checkpointLocation", s"$sDir/ckpt").start()
+    val sErr = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try sq.processAllAvailable() finally sq.stop()
     }
-    assert(gated.getMessage.contains("deletion-vector"))
+    assert(sErr.getMessage.contains("deletion-vector") ||
+      Option(sErr.getCause).exists(_.getMessage.contains("deletion-vector")))
     // 8. compaction MATERIALIZES: result identical, _dv un-named
     Sinks.compact(spark, root, man, compactId = 20, numFiles = 2)
     assert(Sinks.readCommitted(spark, root, man).count() == 9990)
     assert(!man.committed().values.flatten.exists(Sinks.isDvDir))
-    // ... and the DSv2 gate lifts
-    assert(spark.read.format("graft-manifest")
-      .option("manifest", s"$base/_commits").load(root).count() == 9990)
+    // ... and the DSv2 view agrees post-materialization
+    assert(dsv2().count() == 9990)
     // 9. vacuum sweeps the now-orphan vector dir
     val swept = Sinks.vacuum(root, man, graceMillis = 0)
     assert(swept.contains("_dv/batch=10"), s"swept: $swept")
