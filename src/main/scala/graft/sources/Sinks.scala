@@ -895,11 +895,12 @@ object Sinks {
         (id, d, version, files.length.toLong, files.map(_.getLen).sum,
           stats.exists(_.values.exists(_.bounds.nonEmpty)),
           stats.exists(_.values.exists(_.nulls.nonEmpty)),
-          BloomIndex.indexedColumns(conf, d).toSeq.sorted)
+          BloomIndex.indexedColumns(conf, d).toSeq.sorted,
+          isDvDir(d))
       }
     }
     rows.toDF("batch_id", "dir", "table_version", "num_files", "size_bytes",
-      "has_value_stats", "has_null_stats", "bloom_columns")
+      "has_value_stats", "has_null_stats", "bloom_columns", "is_dv")
   }
 
   /** Active session's Hadoop conf when one exists; defaults otherwise

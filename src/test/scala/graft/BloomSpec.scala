@@ -375,6 +375,14 @@ class BloomSpec extends SparkSuite {
       .toMap
     assert(d(0)._1 >= 1 && d(0)._2 && d(0)._3 && d(0)._4 == Seq("id"))
     assert(d(1)._1 >= 1 && !d(1)._2 && !d(1)._3 && d(1)._4.isEmpty)
+    // a deletion-vector entry is flagged, so the operational question
+    // "which entries are vectors awaiting compaction" has an answer
+    Sinks.mergeDeleteDV(spark, Seq(1L).toDF("id"), root,
+      new graft.sources.TxnManifest(manPath), Seq("id"), mergeId = 5)
+    val d2 = Sinks.describeDetail(spark, root,
+      new graft.sources.TxnManifest(manPath))
+      .collect().map(r => r.getInt(0) -> r.getBoolean(8)).toMap
+    assert(!d2(0) && !d2(1) && d2(5))
   }
 
   test("unindexable column type fails loudly at build time") {

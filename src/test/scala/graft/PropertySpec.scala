@@ -211,6 +211,56 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("DV delete == COW delete on random tables, keys, and delete sets") {
+    import graft.sources.{Sinks, TxnManifest}
+    // merge-on-read vs copy-on-write is an execution strategy — for
+    // ANY (table, batch split, delete set, second delete) the two
+    // must agree exactly, including deletes of absent keys, repeated
+    // deletes, and an empty delete
+    val cases = Gen.listOfN(4, for {
+      n      <- Gen.chooseNum(5, 200)
+      splits <- Gen.chooseNum(1, 4)
+      del1   <- Gen.listOf(Gen.chooseNum(-20L, 220L))
+      del2   <- Gen.listOf(Gen.chooseNum(-20L, 220L))
+    } yield (n, splits, del1, del2)).sample.get
+    for (((n, splits, del1, del2), ci) <- cases.zipWithIndex) {
+      val rows = (0 until n).map(i => (i.toLong, s"v$i"))
+      def build(tag: String): (String, TxnManifest) = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"dvprop_${ci}_$tag").toString
+        val root = s"$tmp/t"
+        val man = new TxnManifest(s"$tmp/_commits")
+        for (b <- 0 until splits) {
+          Sinks.appendBatch(
+            rows.filter(_._1 % splits == b).toDF("id", "v"), root, b)
+          man.commit(b, Seq(s"$root/batch=$b"))
+        }
+        (root, man)
+      }
+      val (dvRoot, dvMan) = build("dv")
+      val (cowRoot, cowMan) = build("cow")
+      for ((del, round) <- Seq(del1, del2).zipWithIndex) {
+        val keys = del.toDF("id")
+        Sinks.mergeDeleteDV(spark, keys, dvRoot, dvMan, Seq("id"),
+          mergeId = 100 + round)
+        Sinks.mergeDelete(spark, keys, cowRoot, cowMan, Seq("id"),
+          mergeId = 100 + round)
+        val got = Sinks.readCommitted(spark, dvRoot, dvMan)
+          .select("id", "v").as[(Long, String)].collect().sorted.toSeq
+        val want = Sinks.readCommitted(spark, cowRoot, cowMan)
+          .select("id", "v").as[(Long, String)].collect().sorted.toSeq
+        assert(got == want,
+          s"case $ci round $round: DV ${got.size} rows vs COW ${want.size}")
+        // the DSv2 face agrees with the Scala face
+        val dsv2 = spark.read.format("graft-manifest")
+          .option("manifest", s"${dvRoot.stripSuffix("/t")}/_commits")
+          .load(dvRoot).select("id", "v")
+          .as[(Long, String)].collect().sorted.toSeq
+        assert(dsv2 == want, s"case $ci round $round: DSv2 disagrees")
+      }
+    }
+  }
+
   test("exact z-split write: rows preserved, files bounded, key ranges disjoint") {
     import graft.sources.Layout
     // shapes the cube test never exercises: negative keys (1-column
