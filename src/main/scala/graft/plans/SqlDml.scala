@@ -35,6 +35,7 @@ import graft.sources.{Sinks, TxnManifest}
   *     [WHEN MATCHED [AND <pred over source cols>] THEN DELETE]
   *     [WHEN MATCHED THEN UPDATE SET * | SET same-name pairs]
   *     [WHEN NOT MATCHED THEN INSERT * | (cols) VALUES (same-name)]
+  *     [WHEN NOT MATCHED BY SOURCE THEN DELETE]
   *   DELETE FROM <graft_table> WHERE <pred over table cols>
   *   UPDATE <graft_table> SET c = <expr> [, ...] [WHERE <pred>]
   * }}}
@@ -84,7 +85,8 @@ final case class GraftMergeSpec(table: String, entry: GraftSqlTables.Entry,
                                 sourceName: String, sourceAlias: Option[String],
                                 keys: Seq[String],
                                 updateArm: Boolean, insertArm: Boolean,
-                                deleteArm: Option[Option[String]])
+                                deleteArm: Option[Option[String]],
+                                deleteBySource: Boolean = false)
   extends GraftDmlSpec
 final case class GraftDeleteSpec(table: String, entry: GraftSqlTables.Entry,
                                  condSql: String) extends GraftDmlSpec
@@ -104,8 +106,15 @@ object GraftDml {
       relationName(m.targetTable).flatMap { tgt =>
         GraftSqlTables.lookup(tgt).map { entry =>
           val name = tgt.mkString(".")
-          require(m.notMatchedBySourceActions.isEmpty,
-            s"MERGE INTO $name: WHEN NOT MATCHED BY SOURCE is not supported")
+          // the full-sync clause: target rows absent from the source
+          // disappear (Delta's WHEN NOT MATCHED BY SOURCE DELETE)
+          val deleteBySource = m.notMatchedBySourceActions match {
+            case Nil => false
+            case Seq(DeleteAction(None)) => true
+            case as => throw new IllegalArgumentException(
+              s"MERGE INTO $name: unsupported WHEN NOT MATCHED BY SOURCE " +
+                s"actions (${as.size}) — supported: one unconditional DELETE")
+          }
           val (srcName, srcAlias) = sourceOf(name, m.sourceTable)
           val keys = keysOf(name, m.mergeCondition)
           var update = false
@@ -134,10 +143,10 @@ object GraftDml {
                 s"(${as.size}) — supported: one unconditional INSERT * " +
                 "(or a same-name column list)")
           }
-          require(update || insert || delete.nonEmpty,
+          require(update || insert || delete.nonEmpty || deleteBySource,
             s"MERGE INTO $name has no supported action clause")
           GraftMergeSpec(name, entry, srcName, srcAlias, keys,
-            update, insert, delete)
+            update, insert, delete, deleteBySource)
         }
       }
     case d: DeleteFromTable =>
@@ -179,7 +188,7 @@ object GraftDml {
     * surface never asks a user for one. */
   def run(spark: SparkSession, spec: GraftDmlSpec): Unit = spec match {
     case GraftMergeSpec(_, entry, srcName, srcAlias, keys,
-                        update, insert, delete) =>
+                        update, insert, delete, deleteBySource) =>
       val man = new TxnManifest(entry.manifestPath)
       val mergeId = nextBatchId(man)
       val keyCols = keys.map(col)
@@ -191,9 +200,18 @@ object GraftDml {
       // WHEN MATCHED ... DELETE applies to MATCHED rows only: an
       // unmatched source row satisfying the delete predicate still
       // flows to the INSERT arm (Delta's clause semantics)
-      val delKeys = delete.map { cond =>
+      val matchedDel = delete.map { cond =>
         cond.fold(src)(c => src.where(expr(c))).select(keyCols: _*)
           .join(tgtKeys, keys, "left_semi")
+      }
+      // NOT MATCHED BY SOURCE: target keys absent from the source —
+      // disjoint from the matched arms by construction
+      val bySourceDel =
+        if (!deleteBySource) None
+        else Some(tgtKeys.join(src.select(keyCols: _*), keys, "left_anti"))
+      val delKeys = (matchedDel, bySourceDel) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b))
+        case (a, b)             => a.orElse(b)
       }
       val ups0 = delKeys.fold(src)(d => src.join(d, keys, "left_anti"))
       val ups = (update, insert) match {

@@ -162,7 +162,8 @@ final class GraftManifestTable(tableSchema: StructType,
         override def build(): Scan = new GraftManifestCdfScan(tableSchema,
           root, manifestPath,
           GraftManifestSource.startingBatchId(options),
-          GraftManifestSource.maxBatchesPerTrigger(options))
+          GraftManifestSource.maxBatchesPerTrigger(options),
+          GraftManifestSource.endingBatchId(options))
       }
     }
     new ScanBuilder
@@ -276,21 +277,32 @@ final class GraftManifestCdfStream(cdfSchema: StructType, root: String,
     GraftManifestSource.cdfReaderFactory(SparkSession.active, cdfSchema)
 }
 
-/** Scan face of the change feed: streaming-only (the batch twin is
-  * [[Sinks.readChanges]], which serves an explicit id range). */
+/** Scan face of the change feed. The batch view is Delta's
+  * `table_changes`: `spark.read` with `changeFeed=true` serves the
+  * deltas in `(startingBatchId, endingBatchId]` (defaults: full
+  * history → latest) — [[Sinks.readChanges]] as DSv2, same loud
+  * rules. The stream tails the same planning continuously. */
 final class GraftManifestCdfScan(cdfSchema: StructType, root: String,
                                  manifestPath: String, starting: Int,
-                                 maxBatches: Option[Int]) extends Scan {
+                                 maxBatches: Option[Int],
+                                 ending: Option[Int] = None) extends Scan {
   override def readSchema(): StructType = cdfSchema
   override def description(): String =
     s"GraftManifestCdfScan(root=$root, changeFeed=true)"
-  override def toBatch: Batch =
-    throw new UnsupportedOperationException(
-      "changeFeed is a streaming read option; for a batch range use " +
-        "Sinks.readChanges(root, manifest, fromBatch, toBatch)")
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toBatch: Batch = new Batch {
+    private lazy val parts = GraftManifestSource.cdfPartitionsFor(
+      new TxnManifest(manifestPath), root, starting,
+      ending.getOrElse(Int.MaxValue))
+    override def planInputPartitions(): Array[InputPartition] = parts
+    override def createReaderFactory(): PartitionReaderFactory =
+      GraftManifestSource.cdfReaderFactory(SparkSession.active, cdfSchema)
+  }
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(ending.isEmpty,
+      "endingBatchId is a batch-read option; a stream tails indefinitely")
     new GraftManifestCdfStream(cdfSchema, root, manifestPath, starting,
       maxBatches)
+  }
 }
 
 /** Offset = highest manifest batch id consumed (inclusive). */
@@ -587,10 +599,15 @@ private[graft] object GraftManifestSource {
       }
     }
 
-  /** `changeFeed` option: stream ROW-LEVEL deltas (Delta
-    * `readChangeFeed`) instead of batch contents. */
+  /** `changeFeed` option: ROW-LEVEL deltas (Delta `readChangeFeed`)
+    * instead of batch contents — streaming tail or batch range. */
   def changeFeed(options: CaseInsensitiveStringMap): Boolean =
     Option(options.get("changeFeed")).exists(_.toBoolean)
+
+  /** Inclusive upper bound for a BATCH change-feed read
+    * (`table_changes(..., start, end)`'s end). */
+  def endingBatchId(options: CaseInsensitiveStringMap): Option[Int] =
+    Option(options.get("endingBatchId")).map(_.toInt)
 
   /** Change-feed planning for the ids in `(from, to]` —
     * [[Sinks.readChanges]]'s rules at file-partition granularity:

@@ -168,6 +168,18 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(Sinks.readCommitted(spark, root2, man2).select("id", "v")
       .as[(Long, String)].collect().sorted.toSeq ==
       Seq((1L, "a"), (2L, "B"), (5L, "E"))) // 2 NOT re-updated
+    // full-sync MERGE: NOT MATCHED BY SOURCE deletes target rows the
+    // source no longer carries (1 survives only via upd2's id 2, 5)
+    GraftSql.execute(spark,
+      "MERGE INTO wm2 USING upd2 ON wm2.id = upd2.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT * " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    assert(Sinks.readCommitted(spark, root2, man2).select("id", "v")
+      .as[(Long, String)].collect().sorted.toSeq ==
+      Seq((2L, "B"), (5L, "E"))) // id 1 purged: absent from source
+    // re-seed id 1 for the UPDATE assertions below
+    GraftSql.execute(spark, "INSERT INTO wm2 VALUES (1, 'a')")
     // UPDATE: assignments are arbitrary expressions over the row;
     // unmatched rows stay untouched; key rewrites refused
     GraftSql.execute(spark,

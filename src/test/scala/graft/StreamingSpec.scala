@@ -346,6 +346,19 @@ class StreamingSpec extends SparkSuite {
     assert(after.contains((20L, "insert", 4)))
     assert(after.size == 10, s"exactly-once violated: $after")
 
+    // the BATCH face (Delta table_changes): same deltas for an
+    // explicit (startingBatchId, endingBatchId] range
+    val tc = spark.read.format("graft-manifest")
+      .option("manifest", manPath).option("changeFeed", "true")
+      .option("startingBatchId", "1").option("endingBatchId", "3")
+      .load(root)
+      .select("id", "_change_type", "_commit_batch")
+      .as[(Long, String, Int)].collect().toSeq.sorted
+    assert(tc == Seq(
+      (2L, "update_postimage", 2), (2L, "update_preimage", 2),
+      (3L, "delete", 2), (9L, "insert", 2),
+      (4L, "delete", 3)).sorted)
+
     // a compaction serves ZERO deltas (no-change marker), not a replay
     Sinks.compact(spark, root, man, compactId = 10, numFiles = 1)
     val q3 = start()
