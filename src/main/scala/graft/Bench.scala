@@ -62,6 +62,11 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"passes":$passes,"sf":"$sfDir"}""")
+    // compact summary LAST: the per-query line above grows with the
+    // query count and can overflow a tail-capture window (the round-6
+    // artifact recorded `parsed: null` for exactly that reason) — a
+    // short trailing line keeps the artifact self-contained
+    println(s"""{"metric":"summary","total":$total,"unit":"sec","n":${results.size},"failed":$failedJson,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

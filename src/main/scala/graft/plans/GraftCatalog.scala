@@ -1,0 +1,267 @@
+package graft.plans
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.{GraftManifestSource, GraftManifestTable}
+import graft.util.AtomicText
+
+/** DSv2 `TableCatalog` face of the manifest layer — the last mile of
+  * the SQL surface: with
+  * {{{
+  *   spark.sql.catalog.graft           = graft.plans.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/graft
+  * }}}
+  * a SQL user creates, loads, and drops persistent named manifest
+  * tables with DDL alone — the reference's workflow, whose tables are
+  * DDL-owned names (`/root/reference/Setup/setup.sql:122-125`), needs
+  * no Scala prelude anymore:
+  * {{{
+  *   CREATE TABLE graft.wm (id BIGINT, v STRING) USING `graft-manifest`
+  *     TBLPROPERTIES ('keys' = 'id' [, 'cdf' = 'true']
+  *       [, 'deletionVectors' = 'true'] [, 'schemaEvolution' = 'true']
+  *       [, 'path' = '<root>'] [, 'manifest' = '<commit file>'])
+  *   INSERT INTO graft.wm ... / MERGE INTO graft.wm ... / OPTIMIZE graft.wm
+  *   SELECT * FROM graft.wm
+  *   DROP TABLE graft.wm
+  * }}}
+  * Table metadata (declared schema, root, manifest path, merge keys,
+  * cdf/DV/evolution flags) persists as one small file per table under
+  * `<warehouse>/_catalog/`, written with the same crash-atomic
+  * primitives as the manifest itself — `createExclusive` doubles as
+  * the concurrent-CREATE guard (two racing CREATEs: one wins, one
+  * gets TableAlreadyExists, never a torn metadata file).
+  * [[GraftSqlTables.register]] becomes an implementation detail:
+  * [[GraftSqlTables.lookup]] falls back to the session's catalogs, so
+  * DML on `graft.t` resolves through this file with no prior
+  * registration call.
+  *
+  * Reads resolve to the existing DSv2 provider
+  * ([[graft.sources.GraftManifestTable]]): `SELECT` over a catalog
+  * table plans the same pruned, stats-skipped, DV-aware scan as
+  * `spark.read.format("graft-manifest")`. Writes stay on the verb
+  * surface (INSERT/MERGE/UPDATE/DELETE/OPTIMIZE through the graft
+  * parser/executor) — CTAS is rejected loudly (`CREATE` declares the
+  * schema; the first `INSERT` populates it).
+  *
+  * A table WITHOUT an explicit 'path' is MANAGED: its root lives
+  * under the warehouse and `DROP TABLE` deletes data + metadata
+  * (Delta's managed-table contract). With 'path' it is EXTERNAL:
+  * `DROP TABLE` removes only the catalog entry.
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft catalog '$name' needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  // ---- metadata persistence -------------------------------------
+
+  private def metaPath(table: String) = s"$warehouse/_catalog/$table.tbl"
+
+  private def requireSimpleName(ident: Identifier): String = {
+    if (ident.namespace().nonEmpty)
+      throw new NoSuchNamespaceException(ident.namespace())
+    val n = ident.name()
+    require(n.matches("[A-Za-z0-9_]+"),
+      s"graft catalog table names are [A-Za-z0-9_]+: got '$n'")
+    n
+  }
+
+  /** One `k=v` line per field; the schema is Spark's own compact
+    * DataType JSON, so round-trips are exact. */
+  private def render(meta: Map[String, String]): String =
+    meta.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+      .mkString("", "\n", "\n")
+
+  private def parse(path: String): Option[Map[String, String]] = {
+    val lines = AtomicText.readLines(path)
+    if (lines.isEmpty) None
+    else Some(lines.map { l =>
+      val i = l.indexOf('=')
+      require(i > 0, s"corrupt catalog entry line in $path: $l")
+      l.substring(0, i) -> l.substring(i + 1)
+    }.toMap)
+  }
+
+  private[plans] def entryMeta(table: String): Option[Map[String, String]] =
+    parse(metaPath(table))
+
+  /** The [[GraftSqlTables.Entry]] for `table` — what the DML verbs
+    * execute against; None when the catalog has no such table. */
+  def entryFor(table: String): Option[GraftSqlTables.Entry] =
+    entryMeta(table).map { m =>
+      GraftSqlTables.Entry(
+        root = m("root"), manifestPath = m("manifest"),
+        keys = m.getOrElse("keys", "").split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq,
+        cdf = m.get("cdf").exists(_.toBoolean),
+        deletionVectors = m.get("deletionVectors").exists(_.toBoolean),
+        schemaEvolution = m.get("schemaEvolution").exists(_.toBoolean),
+        schemaJson = m.get("schema"))
+    }
+
+  // ---- TableCatalog ---------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/_catalog")
+    val fs = dir.getFileSystem(hadoopConf)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".tbl"))
+      .map(st => Identifier.of(Array.empty,
+        st.getPath.getName.stripSuffix(".tbl")))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val name = requireSimpleName(ident)
+    val meta = entryMeta(name)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val declared =
+      DataType.fromJson(meta("schema")).asInstanceOf[StructType]
+    val root = meta("root")
+    val manifest = meta("manifest")
+    // live schema wins (additive evolution shows up); the declared
+    // schema serves a created-but-not-yet-loaded table, so the first
+    // SELECT of an empty table returns zero rows, not an error
+    val schema = GraftManifestSource
+      .mergedSchemaOpt(SparkSession.active, root, manifest)
+      .getOrElse(declared)
+    new GraftManifestTable(schema, new CaseInsensitiveStringMap(
+      Map("path" -> root, "manifest" -> manifest).asJava))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val name = requireSimpleName(ident)
+    require(partitions.isEmpty,
+      s"graft catalog: PARTITIONED BY is not supported — layout is " +
+        "manifest-managed (OPTIMIZE [ZORDER BY] instead)")
+    require(schema.nonEmpty,
+      "graft catalog: CREATE TABLE needs an explicit column list " +
+        "(CTAS is not supported — CREATE then INSERT INTO ... SELECT)")
+    Option(properties.get(TableCatalog.PROP_PROVIDER)).foreach { p =>
+      require(p.equalsIgnoreCase("graft-manifest"),
+        s"graft catalog tables must be USING graft-manifest, got '$p'")
+    }
+    def prop(k: String): Option[String] =
+      Option(properties.get(k))
+        .orElse(Option(properties.get(TableCatalog.OPTION_PREFIX + k)))
+    val external = prop("path").isDefined
+    val root = prop("path").map(_.stripSuffix("/"))
+      .getOrElse(s"$warehouse/$name")
+    val manifest = prop("manifest").getOrElse(s"$root/_commits")
+    val keys = prop("keys").toSeq.flatMap(_.split(','))
+      .map(_.trim).filter(_.nonEmpty)
+    keys.foreach(k => require(schema.fieldNames.exists(_.equalsIgnoreCase(k)),
+      s"graft catalog: key '$k' is not a column of the declared schema " +
+        s"(${schema.fieldNames.mkString(", ")})"))
+    val meta = Map(
+      "schema" -> schema.json,
+      "root" -> root,
+      "manifest" -> manifest,
+      "keys" -> keys.mkString(","),
+      "cdf" -> prop("cdf").exists(_.toBoolean).toString,
+      "deletionVectors" -> prop("deletionVectors").exists(_.toBoolean).toString,
+      "schemaEvolution" -> prop("schemaEvolution").exists(_.toBoolean).toString,
+      "external" -> external.toString)
+    // exclusive create IS the exists check — two racing CREATEs
+    // cannot both win, and neither can observe a torn file
+    if (!AtomicText.createExclusive(metaPath(name), render(meta)))
+      throw new TableAlreadyExistsException(ident)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is not supported — schema evolves " +
+        "additively through writes (mergeSchema) or SchemaLog mappings")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val name = requireSimpleName(ident)
+    entryMeta(name) match {
+      case None => false
+      case Some(meta) =>
+        val fs = new org.apache.hadoop.fs.Path(warehouse)
+          .getFileSystem(hadoopConf)
+        // managed tables own their data: root (under the warehouse)
+        // goes with the entry; external tables keep their files
+        if (!meta.get("external").exists(_.toBoolean)) {
+          val root = new org.apache.hadoop.fs.Path(meta("root"))
+          if (fs.exists(root)) fs.delete(root, true)
+          val man = new org.apache.hadoop.fs.Path(meta("manifest"))
+          // version claims live as siblings <manifest>.v<N>
+          val dir = man.getParent
+          if (dir != null && fs.exists(dir))
+            fs.listStatus(dir).filter(_.getPath.getName
+              .startsWith(man.getName)).foreach(st =>
+              fs.delete(st.getPath, false))
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(metaPath(name)), false)
+        GraftSqlTables.unregister(s"$catalogName.$name")
+        true
+    }
+  }
+
+  override def purgeTable(ident: Identifier): Boolean = dropTable(ident)
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: RENAME TABLE is not supported")
+
+  // ---- SupportsNamespaces (single flat namespace) ----------------
+
+  override def listNamespaces(): Array[Array[String]] = Array.empty
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+    : util.Map[String, String] =
+    if (namespace.isEmpty) util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: namespaces are flat — tables live at <catalog>.<name>")
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: namespaces are flat")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      "graft catalog: namespaces are flat")
+
+  private def hadoopConf =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+}

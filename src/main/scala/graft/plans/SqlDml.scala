@@ -28,22 +28,30 @@ import graft.sources.{Sinks, TxnManifest}
   *   - [[GraftSql.execute]] is the runtime equivalent for sessions
   *     without the static extensions conf.
   *
-  * Statement surface (Delta's common MERGE triple):
+  * Statement surface (Delta's common MERGE triple plus the full-sync
+  * pair and column-level updates):
   * {{{
   *   MERGE INTO <graft_table> [AS t] USING <view_or_table> [AS s]
   *     ON t.k1 = s.k1 [AND t.k2 = s.k2 ...]
   *     [WHEN MATCHED [AND <pred over source cols>] THEN DELETE]
-  *     [WHEN MATCHED THEN UPDATE SET * | SET same-name pairs]
+  *     [WHEN MATCHED THEN UPDATE SET * | SET t.c = <expr over t, s> [, ...]]
   *     [WHEN NOT MATCHED THEN INSERT * | (cols) VALUES (same-name)]
-  *     [WHEN NOT MATCHED BY SOURCE THEN DELETE]
+  *     [WHEN NOT MATCHED BY SOURCE THEN DELETE
+  *       | UPDATE SET t.c = <expr over t> [, ...] [AND <pred over t>]]
   *   DELETE FROM <graft_table> WHERE <pred over table cols>
   *   UPDATE <graft_table> SET c = <expr> [, ...] [WHERE <pred>]
   * }}}
   * The ON condition must be a conjunction of same-named key
-  * equalities (the engine's merge keys both sides by NAME); an
-  * explicit UPDATE SET / INSERT column list must map every column to
-  * its same-named source column — matched rows are replaced WHOLE
-  * (`UPDATE SET *` semantics), the same contract as [[Sinks.merge]].
+  * equalities (the engine's merge keys both sides by NAME).
+  * `UPDATE SET *` replaces matched rows WHOLE (the fast path, the
+  * same contract as [[Sinks.merge]]); an explicit SET list is a
+  * COLUMN-LEVEL update — listed columns recompute from arbitrary
+  * expressions over the target and source rows, unlisted columns
+  * keep their target values, and touching a merge key fails loudly
+  * (a key rewrite is a delete+insert, not an update). `SET *` /
+  * `INSERT *` resolve against the TARGET's columns — a source-only
+  * column (an op flag) never evolves the table schema unless the
+  * registration opted in ([[GraftSqlTables.Entry.schemaEvolution]]).
   * Anything outside this surface fails loudly at parse with the
   * unsupported shape named — never a silent semantic change.
   */
@@ -54,10 +62,15 @@ object GraftSqlTables {
     * the ON clause); `cdf` makes every DML statement record its
     * row-level change feed; `deletionVectors` makes DELETE FROM
     * merge-on-read ([[graft.sources.Sinks.mergeDeleteDV]] — zero data
-    * rewritten) instead of copy-on-write. */
+    * rewritten) instead of copy-on-write; `schemaEvolution` lets a
+    * MERGE `SET *` / `INSERT *` carry source-only columns into the
+    * table (Delta's autoMerge opt-in — default is Delta's default:
+    * the source projects to the target's columns). */
   final case class Entry(root: String, manifestPath: String,
                          keys: Seq[String], cdf: Boolean = false,
-                         deletionVectors: Boolean = false)
+                         deletionVectors: Boolean = false,
+                         schemaEvolution: Boolean = false,
+                         schemaJson: Option[String] = None)
 
   private val tables =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -72,8 +85,26 @@ object GraftSqlTables {
 
   def unregister(name: String): Unit = { tables.remove(norm(name)); () }
 
-  def lookup(nameParts: Seq[String]): Option[Entry] =
-    Option(tables.get(norm(nameParts.mkString("."))))
+  /** Programmatic registrations first; otherwise, a 2-part name whose
+    * head is a [[GraftCatalog]] configured on the active session
+    * resolves through the catalog's persisted metadata — DDL-created
+    * tables take DML with no register() call (the catalog made
+    * registration an implementation detail). */
+  def lookup(nameParts: Seq[String]): Option[Entry] = {
+    val joined = norm(nameParts.mkString("."))
+    Option(tables.get(joined)).orElse {
+      joined.split('.') match {
+        case Array(cat, table) =>
+          org.apache.spark.sql.SparkSession.getActiveSession.flatMap { s =>
+            try s.sessionState.catalogManager.catalog(cat) match {
+              case g: GraftCatalog => g.entryFor(table)
+              case _               => None
+            } catch { case scala.util.control.NonFatal(_) => None }
+          }
+        case _ => None
+      }
+    }
+  }
 }
 
 /** The parse-time translation of a supported DML statement — plain
@@ -81,12 +112,21 @@ object GraftSqlTables {
   * must survive, analysis; conditions are re-rendered to SQL text and
   * re-parsed against real DataFrames at run time). */
 sealed trait GraftDmlSpec
+/** `updateAssigns` None = `SET *` whole-row replace (the fast path);
+  * Some = column-level update, `(target column, value SQL)` pairs
+  * evaluated over the joined (target, source) row. `bySourceUpdate`
+  * is the full-sync UPDATE arm: `(optional condition SQL, pairs)`
+  * over unmatched TARGET rows only. */
 final case class GraftMergeSpec(table: String, entry: GraftSqlTables.Entry,
                                 sourceName: String, sourceAlias: Option[String],
+                                targetAlias: Option[String],
                                 keys: Seq[String],
-                                updateArm: Boolean, insertArm: Boolean,
+                                updateArm: Boolean,
+                                updateAssigns: Option[Seq[(String, String)]],
+                                insertArm: Boolean,
                                 deleteArm: Option[Option[String]],
-                                deleteBySource: Boolean = false)
+                                deleteBySource: Boolean = false,
+                                bySourceUpdate: Option[(Option[String], Seq[(String, String)])] = None)
   extends GraftDmlSpec
 final case class GraftDeleteSpec(table: String, entry: GraftSqlTables.Entry,
                                  condSql: String) extends GraftDmlSpec
@@ -106,24 +146,77 @@ object GraftDml {
       relationName(m.targetTable).flatMap { tgt =>
         GraftSqlTables.lookup(tgt).map { entry =>
           val name = tgt.mkString(".")
-          // the full-sync clause: target rows absent from the source
-          // disappear (Delta's WHEN NOT MATCHED BY SOURCE DELETE)
-          val deleteBySource = m.notMatchedBySourceActions match {
-            case Nil => false
-            case Seq(DeleteAction(None)) => true
-            case as => throw new IllegalArgumentException(
-              s"MERGE INTO $name: unsupported WHEN NOT MATCHED BY SOURCE " +
-                s"actions (${as.size}) — supported: one unconditional DELETE")
-          }
           val (srcName, srcAlias) = sourceOf(name, m.sourceTable)
           val keys = keysOf(name, m.mergeCondition)
+          // (column, value SQL) pairs for an explicit SET list; merge
+          // keys and duplicate targets fail loudly here, at parse
+          def assignPairs(clause: String,
+                          assigns: Seq[Assignment]): Seq[(String, String)] = {
+            val pairs = assigns.map { a =>
+              val target = a.key match {
+                case k: UnresolvedAttribute => k.nameParts.last
+                case k => throw new IllegalArgumentException(
+                  s"MERGE INTO $name: $clause target must be a column, " +
+                    s"got ${k.sql}")
+              }
+              require(!keys.exists(_.equalsIgnoreCase(target)),
+                s"MERGE INTO $name: $clause touches merge key '$target' — " +
+                  "a key rewrite is a delete+insert, not an update")
+              target -> a.value.sql
+            }
+            val dup = pairs.map(_._1.toLowerCase(java.util.Locale.ROOT))
+              .groupBy(identity).collect { case (c, vs) if vs.size > 1 => c }
+            require(dup.isEmpty,
+              s"MERGE INTO $name: $clause assigns " +
+                s"${dup.mkString(", ")} more than once")
+            pairs
+          }
+          // the full-sync clauses: target rows absent from the source
+          // disappear (Delta's NOT MATCHED BY SOURCE DELETE) or are
+          // flagged in place (… UPDATE SET active = false)
+          var deleteBySource = false
+          var bySourceUpdate =
+            Option.empty[(Option[String], Seq[(String, String)])]
+          m.notMatchedBySourceActions match {
+            case Nil =>
+            case Seq(DeleteAction(None)) => deleteBySource = true
+            case Seq(UpdateAction(cond, assigns, _)) =>
+              bySourceUpdate = Some((cond.map(_.sql),
+                assignPairs("NOT MATCHED BY SOURCE UPDATE SET", assigns)))
+            case as => throw new IllegalArgumentException(
+              s"MERGE INTO $name: unsupported WHEN NOT MATCHED BY SOURCE " +
+                s"actions (${as.size}) — supported: one unconditional " +
+                "DELETE, or one UPDATE SET [AND pred]")
+          }
+          // Spark's analyzer rule: only the LAST matched clause may
+          // omit its condition — an unconditional earlier clause would
+          // shadow everything after it, and accepting it here would
+          // silently reorder the user's stated semantics
+          m.matchedActions.dropRight(1).foreach { a =>
+            val cond = a match {
+              case UpdateStarAction(c)   => c
+              case UpdateAction(c, _, _) => c
+              case DeleteAction(c)       => c
+              case _                     => None
+            }
+            require(cond.nonEmpty,
+              s"MERGE INTO $name: unconditional WHEN MATCHED clause " +
+                "precedes another matched clause — only the last " +
+                "matched clause may omit its condition")
+          }
           var update = false
+          var updateAssigns = Option.empty[Seq[(String, String)]]
           var delete = Option.empty[Option[String]]
           m.matchedActions.foreach {
-            case UpdateStarAction(None) => update = true
-            case UpdateAction(None, assigns, _) =>
-              requireSameNamePairs(name, "UPDATE SET", assigns)
+            case UpdateStarAction(None) =>
+              require(!update,
+                s"MERGE INTO $name: more than one WHEN MATCHED UPDATE clause")
               update = true
+            case UpdateAction(None, assigns, _) =>
+              require(!update,
+                s"MERGE INTO $name: more than one WHEN MATCHED UPDATE clause")
+              update = true
+              updateAssigns = Some(assignPairs("UPDATE SET", assigns))
             case DeleteAction(cond) =>
               require(delete.isEmpty,
                 s"MERGE INTO $name: more than one WHEN MATCHED DELETE clause")
@@ -131,7 +224,7 @@ object GraftDml {
             case a => throw new IllegalArgumentException(
               s"MERGE INTO $name: unsupported WHEN MATCHED action " +
                 s"${a.getClass.getSimpleName} — supported: UPDATE SET * " +
-                "(or same-name pairs, unconditional) and DELETE [AND pred]")
+                "(or column assignments, unconditional) and DELETE [AND pred]")
           }
           val insert = m.notMatchedActions match {
             case Nil => false
@@ -143,10 +236,12 @@ object GraftDml {
                 s"(${as.size}) — supported: one unconditional INSERT * " +
                 "(or a same-name column list)")
           }
-          require(update || insert || delete.nonEmpty || deleteBySource,
+          require(update || insert || delete.nonEmpty || deleteBySource ||
+              bySourceUpdate.nonEmpty,
             s"MERGE INTO $name has no supported action clause")
-          GraftMergeSpec(name, entry, srcName, srcAlias, keys,
-            update, insert, delete, deleteBySource)
+          GraftMergeSpec(name, entry, srcName, srcAlias,
+            aliasOf(m.targetTable), keys, update, updateAssigns, insert,
+            delete, deleteBySource, bySourceUpdate)
         }
       }
     case d: DeleteFromTable =>
@@ -187,16 +282,42 @@ object GraftDml {
     * batch id is auto-assigned (max committed id + 1) — the SQL
     * surface never asks a user for one. */
   def run(spark: SparkSession, spec: GraftDmlSpec): Unit = spec match {
-    case GraftMergeSpec(_, entry, srcName, srcAlias, keys,
-                        update, insert, delete, deleteBySource) =>
+    case GraftMergeSpec(table, entry, srcName, srcAlias, targetAlias, keys,
+                        update, updateAssigns, insert, delete, deleteBySource,
+                        bySourceUpdate) =>
       val man = new TxnManifest(entry.manifestPath)
       val mergeId = nextBatchId(man)
       val keyCols = keys.map(col)
       val src0 = spark.table(srcName)
       val src = srcAlias.fold(src0)(src0.alias)
-      // target keys drive matched/unmatched splits; read once
-      lazy val tgtKeys = Sinks.readCommitted(spark, entry.root, man)
-        .select(keyCols: _*).distinct()
+      // qualifiers for expression arms: the statement's aliases, with
+      // the table/view name itself as the unaliased fallback (exactly
+      // what an alias-free statement's references resolve against)
+      val tA = targetAlias.getOrElse(table.split('.').last)
+      val sQ = srcAlias.getOrElse(srcName)
+      val tgt = Sinks.readCommitted(spark, entry.root, man)
+      lazy val tgtKeys = tgt.select(keyCols: _*).distinct()
+      // SET * / INSERT * resolve against the TARGET's columns: a
+      // source-only column (an op flag) must not silently evolve the
+      // table schema — Delta's rule, evolution behind the Entry opt-in
+      def aligned(u: DataFrame): DataFrame =
+        if (entry.schemaEvolution) u
+        else {
+          val keep = tgt.columns.filter(c =>
+            u.columns.exists(_.equalsIgnoreCase(c)))
+          u.select(keep.map(col).toIndexedSeq: _*)
+        }
+      // target-schema projection with an explicit SET list applied:
+      // listed columns recompute (cast to the column's type, SQL
+      // assignment semantics), unlisted keep their target values —
+      // all against the OLD row, simultaneously, in one select
+      def applyAssigns(frame: DataFrame,
+                       assigns: Seq[(String, String)]): DataFrame =
+        frame.select(tgt.schema.fields.map { f =>
+          assigns.find(_._1.equalsIgnoreCase(f.name))
+            .map { case (_, v) => expr(v).cast(f.dataType).as(f.name) }
+            .getOrElse(col(s"$tA.${f.name}").as(f.name))
+        }.toIndexedSeq: _*)
       // WHEN MATCHED ... DELETE applies to MATCHED rows only: an
       // unmatched source row satisfying the delete predicate still
       // flows to the INSERT arm (Delta's clause semantics)
@@ -213,12 +334,43 @@ object GraftDml {
         case (Some(a), Some(b)) => Some(a.unionByName(b))
         case (a, b)             => a.orElse(b)
       }
-      val ups0 = delKeys.fold(src)(d => src.join(d, keys, "left_anti"))
-      val ups = (update, insert) match {
-        case (true, true)   => Some(ups0) // full upsert
-        case (true, false)  => Some(ups0.join(tgtKeys, keys, "left_semi"))
-        case (false, true)  => Some(ups0.join(tgtKeys, keys, "left_anti"))
-        case (false, false) => None
+      val notDeleted = delKeys.fold(src)(d => src.join(d, keys, "left_anti"))
+      val upsArm = updateAssigns match {
+        case Some(assigns) =>
+          // column-level UPDATE: matched target rows join their source
+          // row, listed columns recompute from expressions over BOTH
+          val joinCond = keys.map(k => col(s"$tA.$k") === col(s"$sQ.$k"))
+            .reduce(_ && _)
+          val updatedAll =
+            applyAssigns(tgt.alias(tA).join(src, joinCond, "inner"), assigns)
+          val updated = delKeys.fold(updatedAll)(d =>
+            updatedAll.join(d, keys, "left_anti"))
+          if (!insert) Some(updated)
+          else Some(updated.unionByName(
+            aligned(notDeleted.join(tgtKeys, keys, "left_anti")),
+            allowMissingColumns = true))
+        case None =>
+          (update, insert) match {
+            case (true, true)   => Some(aligned(notDeleted)) // full upsert
+            case (true, false)  =>
+              Some(aligned(notDeleted.join(tgtKeys, keys, "left_semi")))
+            case (false, true)  =>
+              Some(aligned(notDeleted.join(tgtKeys, keys, "left_anti")))
+            case (false, false) => None
+          }
+      }
+      // full-sync UPDATE arm: unmatched TARGET rows flagged in place,
+      // same atomic commit as everything else
+      val bySrcUpd = bySourceUpdate.map { case (condSql, assigns) =>
+        val unmatched = tgt.alias(tA)
+          .join(src.select(keyCols: _*), keys, "left_anti")
+        applyAssigns(condSql.fold(unmatched)(c => unmatched.where(expr(c))),
+          assigns)
+      }
+      val ups = (upsArm, bySrcUpd) match {
+        case (Some(a), Some(b)) =>
+          Some(a.unionByName(b, allowMissingColumns = true))
+        case (a, b) => a.orElse(b)
       }
       Sinks.merge(spark, ups, delKeys, entry.root, man, keys, mergeId,
         cdf = entry.cdf)
@@ -231,13 +383,23 @@ object GraftDml {
           s"UPDATE $table: SET names unknown column '$c' " +
             s"(have: ${cur.columns.mkString(", ")})")
       }
+      val dupTargets = assigns.map(_._1.toLowerCase(java.util.Locale.ROOT))
+        .groupBy(identity).collect { case (c, vs) if vs.size > 1 => c }
+      require(dupTargets.isEmpty,
+        s"UPDATE $table: column assigned more than once: " +
+          dupTargets.mkString(", "))
       // matched rows with assignments applied, replaced WHOLE through
       // the same upsert arm a MERGE uses; unmatched rows stay behind
-      // in their dirs (only affected dirs rewrite)
+      // in their dirs (only affected dirs rewrite). SQL SET semantics
+      // are SIMULTANEOUS — every assignment evaluates against the OLD
+      // row (`SET a = b, b = a` swaps), so all expressions project in
+      // ONE select over the original frame, never a sequential fold
       val matched = condSql.fold(cur)(c => cur.where(expr(c)))
-      val ups = assigns.foldLeft(matched) { case (df, (c, v)) =>
-        df.withColumn(c, expr(v))
-      }
+      val ups = matched.select(matched.columns.map { c =>
+        assigns.find(_._1.equalsIgnoreCase(c))
+          .map { case (_, v) => expr(v).as(c) }
+          .getOrElse(col(c))
+      }.toIndexedSeq: _*)
       Sinks.mergeUpsert(spark, ups, entry.root, man, entry.keys, mergeId,
         cdf = entry.cdf)
     case GraftDeleteSpec(_, entry, condSql) =>
@@ -267,6 +429,11 @@ object GraftDml {
         Some(r.multipartIdentifier)
       case _ => None
     }
+
+  private def aliasOf(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(id, _: UnresolvedRelation) => Some(id.name)
+    case _                                        => None
+  }
 
   private def sourceOf(table: String,
                        plan: LogicalPlan): (String, Option[String]) =
@@ -380,11 +547,28 @@ final case class GraftInsertCommand(table: String,
         man.commit(batchId, Seq(s"${entry.root}/batch=$batchId"))
       }
     } else {
-      // bootstrap: the first insert DEFINES the schema
+      // bootstrap: the first insert DEFINES the schema — unless the
+      // registration DECLARED one (catalog tables), which aligns the
+      // query positionally to the declared names and types, exactly
+      // like the live-table path
+      val aligned = entry.schemaJson match {
+        case None => src
+        case Some(json) =>
+          val declared = org.apache.spark.sql.types.DataType.fromJson(json)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          require(src.columns.length == declared.length,
+            s"INSERT into $table: query produces ${src.columns.length} " +
+              s"column(s), table declares ${declared.length} " +
+              s"(${declared.fieldNames.mkString(", ")})")
+          declared.fields.foldLeft(
+            src.toDF(declared.fieldNames.toIndexedSeq: _*)) { (df, f) =>
+            df.withColumn(f.name, col(f.name).cast(f.dataType))
+          }
+      }
       if (overwrite)
-        Sinks.insertOverwrite(spark, src, entry.root, man, batchId)
+        Sinks.insertOverwrite(spark, aligned, entry.root, man, batchId)
       else {
-        graft.sources.StatsSinks.appendBatchStats(src, entry.root, batchId)
+        graft.sources.StatsSinks.appendBatchStats(aligned, entry.root, batchId)
         man.commit(batchId, Seq(s"${entry.root}/batch=$batchId"))
       }
     }
@@ -458,7 +642,10 @@ final case class GraftOptimizeCommand(table: String,
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val man = new TxnManifest(entry.manifestPath)
-    val compactId = man.committed().keySet.max + 1
+    val ids = man.committed().keySet
+    require(ids.nonEmpty,
+      s"OPTIMIZE $table: nothing committed yet — the table is empty")
+    val compactId = ids.max + 1
     // ~128 MB target files (Delta's OPTIMIZE default) from the live
     // byte sum — a driver-side listing, no Spark job
     val conf = spark.sparkContext.hadoopConfiguration

@@ -503,6 +503,138 @@ object PipelineQueries {
       } finally GraftSqlTables.unregister("s15_wm")
     }),
 
+    // MERGE with a COLUMN-LEVEL update — the first statement a Delta
+    // upsert user writes that round 6 rejected: `WHEN MATCHED THEN
+    // UPDATE SET t.c = t.c + s.d` recomputes LISTED columns from
+    // expressions over both rows and keeps every unlisted column's
+    // target value (the reference's own MERGE updates one column of
+    // two, `accounts.py:131-140`). The source carries an extra
+    // `delta` column that must NOT evolve the table schema (it is an
+    // input to the expression, not a column) — the Delta projection
+    // rule. The oracle is the column-level postcondition in SQL.
+    "s18_merge_update_expr" -> ((s, d) => {
+      import graft.plans.{GraftSql, GraftSqlTables}
+      import graft.sources.{Sinks, TxnManifest}
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s18_").toString
+      val root = s"$base/t"
+      val man = new TxnManifest(s"$base/manifest.tsv")
+      for (i <- 0 to 1) {
+        Sinks.appendBatch(o.filter(pmod(col("o_orderkey"), lit(2)) === i), root, i)
+        man.commit(i, Seq(s"$root/batch=$i"))
+      }
+      GraftSqlTables.register("s18_wm",
+        GraftSqlTables.Entry(root, s"$base/manifest.tsv", keys = Seq("o_orderkey")))
+      o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          (col("o_totalprice") * 0.5).as("delta"))
+        .unionAll(o.filter(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice"),
+            lit(0.0).as("delta")))
+        .createOrReplaceTempView("s18_src")
+      try {
+        GraftSql.execute(s,
+          """MERGE INTO s18_wm AS t USING s18_src AS s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET
+            |  t.o_totalprice = t.o_totalprice + s.delta,
+            |  t.o_orderstatus = 'U'
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        Sinks.readCommitted(s, root, man)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      } finally GraftSqlTables.unregister("s18_wm")
+    }),
+
+    // The SQL-user round trip with ZERO Scala prelude — the round-7
+    // catalog: CREATE TABLE ... USING graft-manifest persists the
+    // table (schema, merge keys) in the `spark.sql.catalog.graft`
+    // TableCatalog, INSERT bootstraps it, MERGE upserts through the
+    // same engine, SELECT plans the DSv2 scan — every statement SQL
+    // text, the DDL-owned-names workflow of the reference's setup
+    // (`setup.sql:122-125`). The oracle is the post-MERGE table.
+    "s17_sql_catalog" -> ((s, d) => {
+      import graft.plans.GraftSql
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      o.createOrReplaceTempView("s17_orders")
+      o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+        .unionAll(o.filter(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice")))
+        .createOrReplaceTempView("s17_src")
+      val cat = "graft"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.plans.GraftCatalog].getName)
+      // the catalog instance caches its warehouse at first load (as
+      // Spark's CatalogManager does) — set it once per session; DROP
+      // below makes repeat passes in one session idempotent
+      if (s.conf.getOption(s"spark.sql.catalog.$cat.warehouse").isEmpty)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_s17_wh_").toString)
+      GraftSql.execute(s, s"DROP TABLE IF EXISTS $cat.wm")
+      GraftSql.execute(s,
+        s"""CREATE TABLE $cat.wm (
+           |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE
+           |) USING `graft-manifest` TBLPROPERTIES ('keys' = 'o_orderkey')
+           |""".stripMargin)
+      GraftSql.execute(s,
+        s"INSERT INTO $cat.wm SELECT * FROM s17_orders")
+      GraftSql.execute(s,
+        s"""MERGE INTO $cat.wm AS t USING s17_src AS src
+           |ON t.o_orderkey = src.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      GraftSql.execute(s,
+        s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM $cat.wm")
+    }),
+
+    // The full-sync triple — one atomic MERGE expressing "make the
+    // target mirror the source, and FLAG what the source no longer
+    // has": UPDATE SET * for matched, INSERT * for new, and the
+    // round-7 arm `WHEN NOT MATCHED BY SOURCE AND pred THEN UPDATE`
+    // marking unmatched target rows in place (`active = false` shape)
+    // instead of deleting them. One commit, one feed entry. The
+    // oracle predicts all three arms in plain SQL.
+    "s20_full_sync" -> ((s, d) => {
+      import graft.plans.{GraftSql, GraftSqlTables}
+      import graft.sources.{Sinks, TxnManifest}
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s20_").toString
+      val root = s"$base/t"
+      val man = new TxnManifest(s"$base/manifest.tsv")
+      for (i <- 0 to 1) {
+        Sinks.appendBatch(o.filter(pmod(col("o_orderkey"), lit(2)) === i), root, i)
+        man.commit(i, Seq(s"$root/batch=$i"))
+      }
+      GraftSqlTables.register("s20_t",
+        GraftSqlTables.Entry(root, s"$base/manifest.tsv", keys = Seq("o_orderkey")))
+      o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit("S").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+        .unionAll(o.filter(col("o_orderkey") % 500 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice")))
+        .createOrReplaceTempView("s20_src")
+      try {
+        GraftSql.execute(s,
+          """MERGE INTO s20_t AS t USING s20_src AS s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *
+            |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'O'
+            |  THEN UPDATE SET t.o_orderstatus = 'I'""".stripMargin)
+        Sinks.readCommitted(s, root, man)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      } finally GraftSqlTables.unregister("s20_t")
+    }),
+
     // TIMESTAMP AS OF time travel — Delta's "the table as of
     // yesterday 09:00" idiom over the manifest layer. The claim
     // tombstones carry commit times as file mtimes (pinned here so
@@ -1206,6 +1338,59 @@ object PipelineQueries {
         |  CASE WHEN o_orderstatus = 'O' AND o_orderkey % 5 = 0
         |    THEN o_totalprice * 0.9 ELSE o_totalprice END AS o_totalprice
         |FROM orders""".stripMargin,
+    "s17_sql_catalog" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'X' AS o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey,
+        |    'N' AS o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 1000 = 0)
+        |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM base b
+        |WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd""".stripMargin,
+    "s18_merge_update_expr" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    o_totalprice * 0.5 AS delta
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey,
+        |    'N' AS o_orderstatus, o_totalprice, 0.0 AS delta
+        |  FROM base WHERE o_orderkey % 1000 = 0)
+        |SELECT b.o_orderkey,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN 'U'
+        |    ELSE b.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN b.o_totalprice + s.delta
+        |    ELSE b.o_totalprice END AS o_totalprice
+        |FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)""".stripMargin,
+    "s20_full_sync" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, 'S' AS o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey,
+        |    'N' AS o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 500 = 0)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
+        |UNION ALL
+        |SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'O' THEN 'I'
+        |    ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice
+        |FROM base WHERE o_orderkey % 3 <> 0""".stripMargin,
     "s14_ts_travel" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

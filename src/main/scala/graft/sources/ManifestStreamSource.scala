@@ -219,8 +219,15 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
       val filters = if (mapping.isEmpty) pushed.toSeq else Nil
       asOfTs match {
         case Some(ts) =>
-          val dirs = manifest.stateAt(manifest.versionAt(ts)).toSeq
+          val version = manifest.versionAt(ts)
+          val dirs = manifest.stateAt(version).toSeq
             .sortBy(_._1).flatMap(_._2).filter(_.startsWith(root + "/"))
+          // same loud failure readCommittedAtVersion raises for this
+          // state — an empty scan would misread "no table yet at that
+          // time" as "table was empty at that time"
+          if (dirs.isEmpty)
+            throw new IllegalStateException(
+              s"nothing committed under $root at manifest version $version")
           GraftManifestSource.partitionsForDirs(manifest, dirs, filters)
         case None => GraftManifestSource.partitionsFor(
           manifest, root, Int.MinValue, asOf.getOrElse(Int.MaxValue), filters)

@@ -119,13 +119,15 @@ class SqlSurfaceSpec extends SparkSuite {
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       val afterMerge = Sinks.readCommitted(s, root, man)
         .select("id", "v", "amt").as[(Long, String, Double)].collect().sorted
-      // 1 untouched, 2 updated, 3 deleted, 9 inserted (op rides along
-      // only on the updates view, not the table: SET * replaces with
-      // the table-shaped projection the user selected — here the view
-      // carries op, so it evolves the schema additively; select above
-      // projects the table columns)
+      // 1 untouched, 2 updated, 3 deleted, 9 inserted. The op flag
+      // rides only on the updates view: SET * / INSERT * resolve
+      // against the TARGET's columns, so a source-only column never
+      // evolves the table schema (Delta's projection rule; evolution
+      // is the Entry.schemaEvolution opt-in)
       assert(afterMerge.toSeq == Seq((1L, "a", 10.0), (2L, "B2", 22.0),
         (9L, "i", 90.0)))
+      assert(Sinks.readCommitted(s, root, man).columns.toSeq ==
+        Seq("id", "v", "amt"), "source-only op column must not evolve schema")
       // DELETE FROM with a predicate over table columns
       s.sql("DELETE FROM wm WHERE amt > 15.0")
       assert(Sinks.readCommitted(s, root, man).select("id")
@@ -278,6 +280,199 @@ class SqlSurfaceSpec extends SparkSuite {
         GraftSql.execute(spark, "INSERT INTO maint SELECT FROM nope")
       }
     } finally GraftSqlTables.unregister("maint")
+  }
+
+  test("MERGE column-level UPDATE expressions + full-sync UPDATE arm") {
+    import graft.plans.{GraftSql, GraftSqlTables}
+    import graft.sources.{Sinks, TxnManifest}
+    val tmp = java.nio.file.Files.createTempDirectory("sqlupdx_").toString
+    val root = s"$tmp/t"
+    val man = new TxnManifest(s"$tmp/_commits")
+    Sinks.appendBatch(
+      Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L), (3L, "c", 30.0, 1L))
+        .toDF("id", "v", "amt", "active"), root, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+    GraftSqlTables.register("uex",
+      GraftSqlTables.Entry(root, s"$tmp/_commits", keys = Seq("id")))
+    try {
+      // source carries the target shape PLUS an expression input
+      // (delta) that must never land in the table
+      Seq((2L, "B", 22.0, 1L, 5.0), (7L, "g", 70.0, 1L, 0.0))
+        .toDF("id", "v", "amt", "active", "delta")
+        .createOrReplaceTempView("uex_src")
+      GraftSql.execute(spark,
+        """MERGE INTO uex AS t USING uex_src AS s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET t.amt = t.amt + s.delta
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE AND t.id > 1
+          |  THEN UPDATE SET t.active = 0""".stripMargin)
+      val rows = Sinks.readCommitted(spark, root, man)
+        .select("id", "v", "amt", "active")
+        .as[(Long, String, Double, Long)].collect().sorted.toSeq
+      assert(rows == Seq(
+        (1L, "a", 10.0, 1L),   // unmatched by source, condition false
+        (2L, "b", 25.0, 1L),   // PARTIAL update: amt recomputed, v KEPT
+        (3L, "c", 30.0, 0L),   // full-sync arm flagged it in place
+        (7L, "g", 70.0, 1L)))  // inserted; delta projected away
+      assert(Sinks.readCommitted(spark, root, man).columns.toSeq ==
+        Seq("id", "v", "amt", "active"))
+      // touching a merge key in any SET list fails at parse
+      val keyTouch = intercept[IllegalArgumentException] {
+        GraftSql.execute(spark,
+          "MERGE INTO uex AS t USING uex_src AS s ON t.id = s.id " +
+            "WHEN MATCHED THEN UPDATE SET t.id = s.id + 1")
+      }
+      assert(keyTouch.getMessage.contains("merge key"))
+      // an unconditional matched clause must come LAST — Spark's own
+      // parser enforces it for SQL text; our translation re-checks so
+      // the programmatic plan path cannot smuggle delete-wins ordering
+      val order = intercept[Exception] {
+        GraftSql.execute(spark,
+          "MERGE INTO uex AS t USING uex_src AS s ON t.id = s.id " +
+            "WHEN MATCHED THEN UPDATE SET * " +
+            "WHEN MATCHED AND s.delta > 0 THEN DELETE")
+      }
+      assert(order.getMessage.toLowerCase.contains("condition") ||
+        order.getMessage.contains("unconditional"))
+      // hand-built plan (what the parser refuses): unconditional
+      // UPDATE before conditional DELETE → our translate rejects it,
+      // so the programmatic plan path cannot smuggle delete-wins
+      locally {
+        import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, MergeIntoTable, UpdateStarAction}
+        import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+        import org.apache.spark.sql.catalyst.expressions.{EqualTo, GreaterThan, Literal}
+        val plan = MergeIntoTable(
+          UnresolvedRelation(Seq("uex")), UnresolvedRelation(Seq("uex_src")),
+          EqualTo(UnresolvedAttribute(Seq("uex", "id")),
+            UnresolvedAttribute(Seq("uex_src", "id"))),
+          matchedActions = Seq(UpdateStarAction(None),
+            DeleteAction(Some(GreaterThan(
+              UnresolvedAttribute(Seq("uex_src", "delta")), Literal(0.0))))),
+          notMatchedActions = Nil, notMatchedBySourceActions = Nil,
+          withSchemaEvolution = false)
+        val progOrder = intercept[IllegalArgumentException] {
+          graft.plans.GraftDml.translate(plan)
+        }
+        assert(progOrder.getMessage.contains("unconditional"))
+      }
+      // the full-sync clause takes ONE action, not both (Spark's own
+      // parser already rejects two unconditional ones; a conditional
+      // pair reaches our translation and fails there)
+      val both = intercept[IllegalArgumentException] {
+        GraftSql.execute(spark,
+          "MERGE INTO uex AS t USING uex_src AS s ON t.id = s.id " +
+            "WHEN NOT MATCHED BY SOURCE AND t.active = 1 THEN DELETE " +
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.active = 0")
+      }
+      assert(both.getMessage.contains("NOT MATCHED BY SOURCE"))
+      // duplicate SET targets fail loudly (Spark's own parser rejects
+      // them first; our translation guards the programmatic path)
+      intercept[Exception] {
+        GraftSql.execute(spark,
+          "MERGE INTO uex AS t USING uex_src AS s ON t.id = s.id " +
+            "WHEN MATCHED THEN UPDATE SET t.amt = 1.0, t.amt = 2.0")
+      }
+    } finally GraftSqlTables.unregister("uex")
+    // SQL UPDATE SET is SIMULTANEOUS: every assignment sees the OLD
+    // row — the classic swap must swap, not copy
+    val tmp2 = java.nio.file.Files.createTempDirectory("sqlswap_").toString
+    val root2 = s"$tmp2/t"
+    val man2 = new TxnManifest(s"$tmp2/_commits")
+    Sinks.appendBatch(Seq((1L, 1.0, 2.0)).toDF("id", "a", "b"), root2, 0)
+    man2.commit(0, Seq(s"$root2/batch=0"))
+    GraftSqlTables.register("swp",
+      GraftSqlTables.Entry(root2, s"$tmp2/_commits", keys = Seq("id")))
+    try {
+      GraftSql.execute(spark, "UPDATE swp SET a = b, b = a")
+      assert(Sinks.readCommitted(spark, root2, man2)
+        .select("id", "a", "b").as[(Long, Double, Double)].collect()
+        .toSeq == Seq((1L, 2.0, 1.0)))
+      intercept[Exception] {
+        GraftSql.execute(spark, "UPDATE swp SET a = 1.0, a = 2.0")
+      }
+    } finally GraftSqlTables.unregister("swp")
+  }
+
+  test("GraftCatalog: CREATE/DROP/recreate lifecycle, option persistence, registration-free DML") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat_wh_").toString
+    spark.conf.set("spark.sql.catalog.gcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    GraftSql.execute(spark,
+      """CREATE TABLE gcat.acc (id BIGINT, v STRING, amt DOUBLE)
+        |USING `graft-manifest`
+        |TBLPROPERTIES ('keys' = 'id', 'cdf' = 'true')""".stripMargin)
+    // a created-but-empty table SELECTs as zero rows of the DECLARED
+    // schema (not an error — the table exists)
+    val empty = spark.sql("SELECT * FROM gcat.acc")
+    assert(empty.columns.toSeq == Seq("id", "v", "amt"))
+    assert(empty.count() == 0)
+    // CREATE of an existing name fails loudly (and atomically: the
+    // exclusive metadata create is the race guard)
+    intercept[Exception] {
+      GraftSql.execute(spark,
+        "CREATE TABLE gcat.acc (id BIGINT) USING `graft-manifest`")
+    }
+    // INSERT bootstraps POSITIONALLY against the declared schema:
+    // names from the query don't matter, the declared types do (the
+    // INT literal lands as BIGINT)
+    GraftSql.execute(spark,
+      "INSERT INTO gcat.acc VALUES (1, 'a', 10.0), (2, 'b', 20.0)")
+    assert(spark.sql("SELECT * FROM gcat.acc").schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // DML with NO register() call: lookup resolves through the
+    // catalog's persisted metadata
+    Seq((2L, "B", 5.0), (9L, "i", 90.0)).toDF("id", "v", "delta")
+      .createOrReplaceTempView("gcat_upd")
+    GraftSql.execute(spark,
+      """MERGE INTO gcat.acc AS t USING gcat_upd AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.amt = t.amt + s.delta
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql("SELECT id, v, amt FROM gcat.acc")
+      .as[(Long, String, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a", Some(10.0)), (2L, "b", Some(25.0)),
+      (9L, "i", None))) // 9: insert-* aligned to (id, v); amt NULL
+    // option persistence: a FRESH catalog instance re-reads the
+    // entry from disk — keys, cdf flag, declared schema intact
+    val fresh = new GraftCatalog
+    fresh.initialize("gcat2", new org.apache.spark.sql.util
+      .CaseInsensitiveStringMap(java.util.Map.of("warehouse", wh)))
+    val entry = fresh.entryFor("acc").get
+    assert(entry.keys == Seq("id") && entry.cdf && !entry.deletionVectors)
+    assert(entry.schemaJson.exists(_.contains("amt")),
+      "declared schema must round-trip through the catalog file")
+    // the cdf flag is LIVE: the merge above recorded a change feed
+    val root = entry.root
+    assert(new java.io.File(s"$root/_cdf").exists,
+      "cdf='true' table must record its change feed on MERGE")
+    // DROP on a MANAGED table removes metadata AND data
+    GraftSql.execute(spark, "DROP TABLE gcat.acc")
+    assert(!new java.io.File(root).exists, "managed root must be purged")
+    intercept[Exception](spark.sql("SELECT * FROM gcat.acc").collect())
+    // recreate after drop: clean slate
+    GraftSql.execute(spark,
+      "CREATE TABLE gcat.acc (id BIGINT) USING `graft-manifest` " +
+        "TBLPROPERTIES ('keys' = 'id')")
+    assert(spark.sql("SELECT * FROM gcat.acc").count() == 0)
+    GraftSql.execute(spark, "DROP TABLE gcat.acc")
+    // EXTERNAL table (explicit path): DROP keeps the files
+    val ext = java.nio.file.Files.createTempDirectory("graft_cat_ext_").toString
+    GraftSql.execute(spark,
+      s"CREATE TABLE gcat.ext (id BIGINT) USING `graft-manifest` " +
+        s"TBLPROPERTIES ('keys' = 'id', 'path' = '$ext/t')")
+    GraftSql.execute(spark, "INSERT INTO gcat.ext VALUES (7)")
+    GraftSql.execute(spark, "DROP TABLE gcat.ext")
+    assert(new java.io.File(s"$ext/t/batch=0").exists,
+      "external data must survive DROP TABLE")
+    // DROP TABLE IF EXISTS of an absent table is a quiet no-op
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gcat.nope")
+    // CTAS is rejected with guidance, not silently planned
+    val ctas = intercept[Exception] {
+      GraftSql.execute(spark,
+        "CREATE TABLE gcat.c2 USING `graft-manifest` AS SELECT 1 AS x")
+    }
+    assert(ctas.getMessage.toLowerCase.contains("ctas") ||
+      ctas.getMessage.toLowerCase.contains("not supported"))
   }
 
   test("per-session register() exposes the same functions on a live session") {
