@@ -755,6 +755,63 @@ object PipelineQueries {
           "_change_type", "_commit_batch")
     }),
 
+    // changeFeed ∘ schemaLog — the round-7 composition: a table under
+    // column-mapping evolution serves its change feed under the
+    // CURRENT logical names. Files and `_cdf` sidecars carry physical
+    // ids (p0, p1, ...); a metadata-only RENAME between commits costs
+    // zero data movement AND zero feed migration — the CDF reader
+    // routes through the same mapping as the base reader, so history
+    // written before the rename serves under the name a consumer uses
+    // TODAY (Delta's columnMapping + CDF contract). The oracle
+    // predicts the whole feed with the renamed column.
+    "st7_cdf_mapped" -> ((s, d) => {
+      import graft.sources.{SchemaLog, Sinks, TxnManifest}
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_st7_").toString
+      val root = s"$base/t"
+      val manPath = s"$base/manifest.tsv"
+      val logPath = s"$base/schema.log"
+      val man = new TxnManifest(manPath)
+      val log = new SchemaLog(logPath)
+      log.init(o.schema)
+      for (i <- 0 to 1) {
+        SchemaLog.appendBatchMapped(
+          o.filter(pmod(col("o_orderkey"), lit(2)) === i), root, log, i)
+        man.commit(i, Seq(s"$root/batch=$i"))
+      }
+      // metadata-only rename mid-history: batches 0/1 predate it, yet
+      // the feed serves them under the NEW name below
+      log.rename("o_orderstatus", "status")
+      // a real CDF consumer drains INCREMENTALLY (each range lands in
+      // its sink before the next commit); draining the pre-merge
+      // history after the merge would correctly fail the
+      // collapsed-history gate, because the merge rewrote batch 0
+      val outDir = s"$base/out"
+      def drain(fromExclusive: Option[Int], to: Int): Unit =
+        fromExclusive.foldLeft(
+          s.read.format("graft-manifest")
+            .option("manifest", manPath).option("schemaLog", logPath)
+            .option("changeFeed", "true")
+            .option("endingBatchId", to.toString)) { (r, f) =>
+          r.option("startingBatchId", f.toString)
+        }.load(root).write.mode(SaveMode.Append).parquet(outDir)
+      drain(None, 1) // history as inserts, under the renamed column
+      val updates = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("X").as("status"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+        .unionAll(o.filter(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("status"), col("o_totalprice")))
+      SchemaLog.mergeUpsertMapped(s, updates, root, man, log,
+        Seq("o_orderkey"), mergeId = 2, cdf = true)
+      drain(Some(1), 2) // only the merge's row-level deltas
+      s.read.parquet(outDir)
+        .select("o_orderkey", "status", "o_totalprice",
+          "_change_type", "_commit_batch")
+    }),
+
     // The full-suite orchestrator — the reference's `main.py:41-54`
     // shape: dim/sync builders run BEFORE the facts that join against
     // them, every pipeline keeping its own watermark in ONE shared
@@ -1438,6 +1495,36 @@ object PipelineQueries {
         |UNION ALL
         |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice, 'delete', 2
         |FROM base b WHERE b.o_orderkey IN (SELECT o_orderkey FROM del)""".stripMargin,
+    "st7_cdf_mapped" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'X' AS status,
+        |    o_totalprice * 2 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey,
+        |    'N' AS status, o_totalprice
+        |  FROM base WHERE o_orderkey % 1000 = 0),
+        |matched AS (
+        |  SELECT o_orderkey FROM upd
+        |  WHERE o_orderkey IN (SELECT o_orderkey FROM base))
+        |SELECT o_orderkey, o_orderstatus AS status, o_totalprice,
+        |  'insert' AS _change_type,
+        |  CAST(o_orderkey % 2 AS INTEGER) AS _commit_batch
+        |FROM base
+        |UNION ALL
+        |SELECT b.o_orderkey, b.o_orderstatus AS status, b.o_totalprice,
+        |  'update_preimage' AS _change_type, 2 AS _commit_batch
+        |FROM base b WHERE b.o_orderkey IN (SELECT o_orderkey FROM matched)
+        |UNION ALL
+        |SELECT u.o_orderkey, u.status, u.o_totalprice,
+        |  'update_postimage', 2
+        |FROM upd u WHERE u.o_orderkey IN (SELECT o_orderkey FROM matched)
+        |UNION ALL
+        |SELECT u.o_orderkey, u.status, u.o_totalprice, 'insert', 2
+        |FROM upd u
+        |WHERE u.o_orderkey NOT IN (SELECT o_orderkey FROM matched)""".stripMargin,
     "st6_cdf_stream" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

@@ -154,16 +154,18 @@ final class GraftManifestTable(tableSchema: StructType,
           "no schema to serve; commit at least one batch before subscribing " +
           "(same constraint as reading an empty Delta log)")
     if (GraftManifestSource.changeFeed(options)) {
-      require(!options.containsKey("schemaLog"),
-        "changeFeed does not compose with a schemaLog mapping yet")
       // no pruning/pushdown: a change feed serves WHOLE delta rows —
-      // downstream appliers need every column plus the change metadata
+      // downstream appliers need every column plus the change metadata.
+      // A schemaLog mapping composes: deltas serve under the CURRENT
+      // logical names through the same translation the base reader
+      // uses (a rename needs no feed migration)
       return new ScanBuilder {
         override def build(): Scan = new GraftManifestCdfScan(tableSchema,
           root, manifestPath,
           GraftManifestSource.startingBatchId(options),
           GraftManifestSource.maxBatchesPerTrigger(options),
-          GraftManifestSource.endingBatchId(options))
+          GraftManifestSource.endingBatchId(options),
+          GraftManifestSource.mapping(options))
       }
     }
     new ScanBuilder
@@ -273,7 +275,8 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
   * commit. */
 final class GraftManifestCdfStream(cdfSchema: StructType, root: String,
                                    manifestPath: String, starting: Int,
-                                   maxBatches: Option[Int])
+                                   maxBatches: Option[Int],
+                                   cdfMapping: Option[Seq[SchemaLog.Col]] = None)
   extends GraftManifestMicroBatchStream(cdfSchema, cdfSchema,
     Array.empty, root, manifestPath, starting, maxBatches) {
 
@@ -281,7 +284,8 @@ final class GraftManifestCdfStream(cdfSchema: StructType, root: String,
     GraftManifestSource.cdfPartitionsFor(manifest, root, idOf(start), idOf(end))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftManifestSource.cdfReaderFactory(SparkSession.active, cdfSchema)
+    GraftManifestSource.cdfReaderFactory(SparkSession.active, cdfSchema,
+      cdfMapping)
 }
 
 /** Scan face of the change feed. The batch view is Delta's
@@ -292,7 +296,9 @@ final class GraftManifestCdfStream(cdfSchema: StructType, root: String,
 final class GraftManifestCdfScan(cdfSchema: StructType, root: String,
                                  manifestPath: String, starting: Int,
                                  maxBatches: Option[Int],
-                                 ending: Option[Int] = None) extends Scan {
+                                 ending: Option[Int] = None,
+                                 mapping: Option[Seq[SchemaLog.Col]] = None)
+  extends Scan {
   override def readSchema(): StructType = cdfSchema
   override def description(): String =
     s"GraftManifestCdfScan(root=$root, changeFeed=true)"
@@ -302,13 +308,14 @@ final class GraftManifestCdfScan(cdfSchema: StructType, root: String,
       ending.getOrElse(Int.MaxValue))
     override def planInputPartitions(): Array[InputPartition] = parts
     override def createReaderFactory(): PartitionReaderFactory =
-      GraftManifestSource.cdfReaderFactory(SparkSession.active, cdfSchema)
+      GraftManifestSource.cdfReaderFactory(SparkSession.active, cdfSchema,
+        mapping)
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(ending.isEmpty,
       "endingBatchId is a batch-read option; a stream tails indefinitely")
     new GraftManifestCdfStream(cdfSchema, root, manifestPath, starting,
-      maxBatches)
+      maxBatches, mapping)
   }
 }
 
@@ -676,12 +683,28 @@ private[graft] object GraftManifestSource {
   }
 
   /** Two parquet closures for the feed's two physical layouts; the
-    * constant columns ride the partition-value mechanism. */
-  def cdfReaderFactory(spark: SparkSession,
-                       cdfSchema: StructType): PartitionReaderFactory = {
+    * constant columns ride the partition-value mechanism. With a
+    * schemaLog `mapping`, the data fields translate to their physical
+    * file names (rows come back positionally identical, so only the
+    * NAMES change — the DSv2 engine serves them under the logical
+    * `readSchema()`); the `_change_type` column a `_cdf` sidecar
+    * carries physically is a feed invariant, never mapped. */
+  def cdfReaderFactory(spark: SparkSession, cdfSchema: StructType,
+                       mapping: Option[Seq[SchemaLog.Col]] = None)
+    : PartitionReaderFactory = {
     import org.apache.spark.sql.types.{IntegerType, StringType, StructField}
-    val dataSchema = StructType(cdfSchema.fields.filterNot(f =>
+    val logicalData = StructType(cdfSchema.fields.filterNot(f =>
       f.name == Sinks.ChangeTypeCol || f.name == "_commit_batch"))
+    val dataSchema = mapping match {
+      case None => logicalData
+      case Some(cols) =>
+        val toPhysical = cols.map(c => c.logical -> c).toMap
+        StructType(logicalData.fields.map { f =>
+          val c = toPhysical.getOrElse(f.name,
+            throw new IllegalArgumentException(s"no mapping for ${f.name}"))
+          f.copy(name = c.physical)
+        })
+    }
     val cdfFileSchema = StructType(dataSchema.fields :+
       StructField(Sinks.ChangeTypeCol, StringType))
     val fmt = new ParquetFileFormat()

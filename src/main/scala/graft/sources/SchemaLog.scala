@@ -123,7 +123,8 @@ object SchemaLog {
     * needs no data migration. */
   def mergeUpsertMapped(spark: SparkSession, updates: DataFrame, root: String,
                         manifest: TxnManifest, log: SchemaLog,
-                        keys: Seq[String], mergeId: Int): Unit = {
+                        keys: Seq[String], mergeId: Int,
+                        cdf: Boolean = false): Unit = {
     val (_, cols) = log.current()
     require(cols.nonEmpty, "schema log not initialized")
     val toPhysical = cols.map(c => c.logical -> c.physical).toMap
@@ -134,7 +135,7 @@ object SchemaLog {
     Sinks.mergeUpsert(spark,
       updates.select(updates.columns.map(c =>
         col(c).as(toPhysical(c))).toSeq: _*),
-      root, manifest, keys.map(toPhysical), mergeId)
+      root, manifest, keys.map(toPhysical), mergeId, cdf = cdf)
   }
 
   /** Row-level DELETE through the mapping — [[mergeUpsertMapped]]'s
@@ -143,7 +144,8 @@ object SchemaLog {
     * a takedown purge composes with renames the same way upserts do. */
   def mergeDeleteMapped(spark: SparkSession, deleteKeys: DataFrame,
                         root: String, manifest: TxnManifest, log: SchemaLog,
-                        keys: Seq[String], mergeId: Int): Unit = {
+                        keys: Seq[String], mergeId: Int,
+                        cdf: Boolean = false): Unit = {
     val (_, cols) = log.current()
     require(cols.nonEmpty, "schema log not initialized")
     val toPhysical = cols.map(c => c.logical -> c.physical).toMap
@@ -151,7 +153,7 @@ object SchemaLog {
     require(missingKeys.isEmpty, s"unknown merge keys $missingKeys")
     Sinks.mergeDelete(spark,
       deleteKeys.select(keys.map(k => col(k).as(toPhysical(k))): _*),
-      root, manifest, keys.map(toPhysical), mergeId)
+      root, manifest, keys.map(toPhysical), mergeId, cdf = cdf)
   }
 
   /** Manifest-resolved read through the mapping: committed dirs only,

@@ -376,6 +376,78 @@ class StreamingSpec extends SparkSuite {
       Option(poisoned.getCause).exists(_.getMessage.contains("without change tracking")))
   }
 
+  test("changeFeed composes with schemaLog: rename mid-stream, deltas under current names") {
+    import graft.sources.{SchemaLog, Sinks, TxnManifest}
+    val base = java.nio.file.Files.createTempDirectory("graft_cdfmap_").toString
+    val root = s"$base/data"
+    val manPath = s"$base/manifest.tsv"
+    val logPath = s"$base/schema.log"
+    val man = new TxnManifest(manPath)
+    val log = new SchemaLog(logPath)
+    def batchDf(ids: Long*) = ids.map(i => (i, s"v$i")).toDF("id", "v")
+    log.init(batchDf().schema)
+    SchemaLog.appendBatchMapped(batchDf(1, 2), root, log, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+    SchemaLog.appendBatchMapped(batchDf(3, 4), root, log, 1)
+    man.commit(1, Seq(s"$root/batch=1"))
+
+    // (id, 2nd-column NAME, 2nd-column value, change type, commit)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Int)]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-manifest")
+        .option("manifest", manPath).option("schemaLog", logPath)
+        .option("changeFeed", "true").load(root)
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val name = df.columns(1)
+          got.synchronized {
+            got ++= df.collect().map(r => (r.getLong(0), name,
+              r.getString(1),
+              r.getString(df.columns.indexOf("_change_type")),
+              r.getInt(df.columns.indexOf("_commit_batch"))))
+          }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // phase 1: history as inserts under the ORIGINAL logical name
+    run()
+    assert(got.sorted.toSeq == Seq(
+      (1L, "v", "v1", "insert", 0), (2L, "v", "v2", "insert", 0),
+      (3L, "v", "v3", "insert", 1), (4L, "v", "v4", "insert", 1)).sorted)
+
+    // while the stream is DOWN: metadata-only rename, then a tracked
+    // merge — the restart must serve the new deltas under the NEW
+    // name from the SAME checkpoint (mapping re-captured at build,
+    // Delta's evolution-at-restart contract)
+    log.rename("v", "w")
+    SchemaLog.mergeUpsertMapped(spark,
+      Seq((2L, "V2"), (9L, "V9")).toDF("id", "w"), root, man, log,
+      Seq("id"), mergeId = 2, cdf = true)
+    got.clear()
+    run()
+    assert(got.sorted.toSeq == Seq(
+      (2L, "w", "V2", "update_postimage", 2),
+      (2L, "w", "v2", "update_preimage", 2),
+      (9L, "w", "V9", "insert", 2)).sorted,
+      s"got: ${got.sorted.toSeq}")
+
+    // the BATCH face (table_changes) under the same mapping: history
+    // written BEFORE the rename serves under the name used TODAY
+    val tc = spark.read.format("graft-manifest")
+      .option("manifest", manPath).option("schemaLog", logPath)
+      .option("changeFeed", "true")
+      .option("startingBatchId", "1").option("endingBatchId", "2")
+      .load(root)
+    assert(tc.columns.toSeq ==
+      Seq("id", "w", "_change_type", "_commit_batch"))
+    assert(tc.select("id", "w", "_change_type")
+      .as[(Long, String, String)].collect().sorted.toSeq == Seq(
+      (2L, "V2", "update_postimage"), (2L, "v2", "update_preimage"),
+      (9L, "V9", "insert")).sorted)
+  }
+
   test("graft-manifest admission control: bounded drain and AvailableNow ceiling") {
     import graft.sources.{Sinks, TxnManifest}
     val base = java.nio.file.Files.createTempDirectory("graft_dsv2ac_").toString
