@@ -400,8 +400,14 @@ object GraftDml {
           .map { case (_, v) => expr(v).as(c) }
           .getOrElse(col(c))
       }.toIndexedSeq: _*)
-      Sinks.mergeUpsert(spark, ups, entry.root, man, entry.keys, mergeId,
-        cdf = entry.cdf)
+      // deletionVectors registration makes UPDATE merge-on-read too:
+      // old versions vectored, new versions appended, O(changed rows)
+      if (entry.deletionVectors)
+        Sinks.mergeUpdateDV(spark, ups, entry.root, man, entry.keys, mergeId,
+          cdf = entry.cdf)
+      else
+        Sinks.mergeUpsert(spark, ups, entry.root, man, entry.keys, mergeId,
+          cdf = entry.cdf)
     case GraftDeleteSpec(_, entry, condSql) =>
       val man = new TxnManifest(entry.manifestPath)
       val mergeId = nextBatchId(man)

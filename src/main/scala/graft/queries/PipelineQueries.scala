@@ -442,6 +442,45 @@ object PipelineQueries {
       Sinks.readCommitted(s, root, man)
     }),
 
+    // Merge-on-read UPDATE via deletion vectors — the round-7
+    // completion of the DV story: a small update marks the old row
+    // versions in a `_dv` sidecar and appends the new versions in the
+    // SAME commit, O(changed rows) instead of O(affected dirs)
+    // (ScaleSpec pins the untouched bytes). The oracle is the COW
+    // upsert postcondition — merge-on-read is an execution strategy,
+    // never a semantics change. A second OVERLAPPING update proves
+    // composition: it vectors the first update's appended version.
+    "s19_dv_update" -> ((s, d) => {
+      import graft.sources.{Sinks, TxnManifest}
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s19_").toString
+      val root = s"$base/t"
+      val man = new TxnManifest(s"$base/manifest.tsv")
+      for (i <- 0 to 1) {
+        Sinks.appendBatch(o.filter(pmod(col("o_orderkey"), lit(2)) === i), root, i)
+        man.commit(i, Seq(s"$root/batch=$i"))
+      }
+      // update 1: %10 keys re-priced + brand-new keys inserted
+      Sinks.mergeUpdateDV(s,
+        o.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+            (col("o_totalprice") * 2).as("o_totalprice"))
+          .unionAll(o.filter(col("o_orderkey") % 1000 === 0)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              lit("N").as("o_orderstatus"), col("o_totalprice"))),
+        root, man, Seq("o_orderkey"), mergeId = 2)
+      // update 2 overlaps update 1 (%20 ⊂ %10): the second vector
+      // hides the version batch 2 appended
+      Sinks.mergeUpdateDV(s,
+        o.filter(col("o_orderkey") % 20 === 0)
+          .select(col("o_orderkey"), lit("Y").as("o_orderstatus"),
+            (col("o_totalprice") * 4).as("o_totalprice")),
+        root, man, Seq("o_orderkey"), mergeId = 3)
+      Sinks.readCommitted(s, root, man)
+    }),
+
     // SQL INSERT — the load verb: the first INSERT INTO bootstraps
     // the table (defines its schema), the second appends a
     // stats-indexed batch; both through the injected-parser grammar
@@ -1388,6 +1427,21 @@ object PipelineQueries {
         |WHERE o_orderkey % 7 <> 0 AND o_orderkey % 3 <> 0""".stripMargin,
     "s16_sql_insert" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""",
+    "s19_dv_update" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+        |SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN 'Y'
+        |       WHEN o_orderkey % 10 = 0 THEN 'X'
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice * 4
+        |       WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM base
+        |UNION ALL
+        |SELECT o_orderkey + 10000000 AS o_orderkey,
+        |  'N' AS o_orderstatus, o_totalprice
+        |FROM base WHERE o_orderkey % 1000 = 0""".stripMargin,
     "s15_sql_update" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderstatus = 'O' AND o_orderkey % 5 = 0

@@ -439,6 +439,114 @@ object Sinks {
     }
   }
 
+  /** Merge-on-read UPSERT — [[mergeDeleteDV]]'s update sibling and the
+    * round-7 completion of the DV story: matched target rows are
+    * marked deleted in a `_dv/batch=<mergeId>` sidecar and their NEW
+    * versions (plus unmatched inserts) land in one appended
+    * `batch=<mergeId>` dir; a single manifest commit names BOTH, so
+    * readers flip atomically from old versions to new. Cost is
+    * O(changed rows) — no affected-dir rewrite, the Delta DV-update
+    * shape — vs [[mergeUpsert]]'s copy-on-write O(affected dirs).
+    * Result is EXACTLY the COW answer (PropertySpec pins equivalence);
+    * the probe prunes with the same stats/bloom/range sidecars; rows
+    * a PRIOR DV already deleted never re-match; successive DV updates
+    * compose (the second vectors the first's appended version).
+    * Trade-off as with DV deletes: every read pays the positional
+    * anti-filter until compaction materializes — right for frequent
+    * small updates, wrong for bulk rewrites (use [[mergeUpsert]]).
+    * With `cdf`, update pre/post images and inserts land in the
+    * `_cdf` sidecar — the feed serves row-level deltas as for a COW
+    * merge. */
+  def mergeUpdateDV(spark: org.apache.spark.sql.SparkSession,
+                    updates: DataFrame, root: String,
+                    manifest: TxnManifest, keys: Seq[String],
+                    mergeId: Int, cdf: Boolean = false): Unit =
+    withJobDescription(spark, s"graft: dv-update $root -> batch=$mergeId") {
+    import org.apache.spark.sql.functions.{count, lit}
+    val (dataDirs, dvDirs) = splitDv(manifest.committedDirs(root))
+    require(dataDirs.nonEmpty, s"nothing committed under $root to update")
+    require(!manifest.committed().contains(mergeId),
+      s"mergeId $mergeId is a live batch id")
+    val dvTarget = s"$root/_dv/batch=$mergeId"
+    val dataTarget = s"$root/batch=$mergeId"
+    val keyCols = keys.map(col)
+    val ups = updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dup = ups.groupBy(keyCols: _*).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"updates are not unique on (${keys.mkString(", ")}): e.g. " +
+          dup.headOption.map(_.toString).getOrElse(""))
+      val upKeys = ups.select(keyCols: _*).distinct()
+      val range = keyRange(upKeys, keys)
+      val candidates = bloomCandidateDirs(spark,
+        statsCandidateDirs(spark, dataDirs, range, keys), upKeys, keys)
+      // old versions of matched keys, with their (file, position) —
+      // the same probe shape as the DV delete, prior DVs excluded
+      val matched =
+        if (candidates.isEmpty) None
+        else {
+          val scan = spark.read.option("mergeSchema", true)
+            .parquet(candidates: _*)
+          val ranged = range.fold(scan) { r =>
+            scan.where(keys.zipWithIndex.map { case (k, i) =>
+              col(k) >= org.apache.spark.sql.functions.lit(r.get(2 * i)) &&
+                col(k) <= org.apache.spark.sql.functions.lit(r.get(2 * i + 1))
+            }.reduce(_ && _))
+          }
+          val withPos = ranged
+            .withColumn(DvFileCol, col("_metadata.file_path"))
+            .withColumn(DvPosCol, col("_metadata.row_index"))
+          val live =
+            if (dvDirs.isEmpty) withPos
+            else withPos.join(
+              spark.read.parquet(dvDirs: _*).select(DvFileCol, DvPosCol),
+              Seq(DvFileCol, DvPosCol), "left_anti")
+          Some(live.join(upKeys, keys, "left_semi")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        }
+      val positions = matched match {
+        case Some(m) => m.select(DvFileCol, DvPosCol)
+        case None => spark.range(0)
+          .select(lit("").as(DvFileCol), lit(0L).as(DvPosCol))
+      }
+      positions.write.mode(SaveMode.Overwrite).parquet(dvTarget)
+      // ALL update rows land in the appended dir: matched keys' new
+      // versions and unmatched inserts alike — stats-indexed so the
+      // new generation skips like any other batch
+      ups.write.mode(SaveMode.Overwrite).parquet(dataTarget)
+      BatchStats.writeSidecar(spark, dataTarget)
+      val matchedAny = matched.exists(_.limit(1).count() > 0)
+      if (cdf) {
+        val ct = (t: String) => lit(t).as(ChangeTypeCol)
+        val pre = matched.map(_.drop(DvFileCol, DvPosCol)
+          .withColumn(ChangeTypeCol, ct("update_preimage")))
+        val matchedKeys = matched.map(_.select(keyCols: _*).distinct())
+        val post = matchedKeys.map(mk =>
+          ups.join(mk, keys, "left_semi")
+            .withColumn(ChangeTypeCol, ct("update_postimage")))
+        val ins = matchedKeys.fold(
+          ups.withColumn(ChangeTypeCol, ct("insert")))(mk =>
+          ups.join(mk, keys, "left_anti")
+            .withColumn(ChangeTypeCol, ct("insert")))
+        val changes = (pre.toSeq ++ post.toSeq :+ ins)
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        changes.write.mode(SaveMode.Overwrite)
+          .parquet(s"$root/_cdf/batch=$mergeId")
+      }
+      // same feed rule as the COW merge: a commit that CHANGED rows
+      // without recording deltas must poison the feed loudly, and a
+      // tracked commit must carry its marker; a nothing-matched
+      // cdf=false update is a pure insert batch (no marker)
+      if (cdf || matchedAny)
+        writeFeedMarker(root, mergeId, manifest, Set.empty)
+      manifest.commit(mergeId, Seq(dataTarget, dvTarget))
+      matched.foreach(_.unpersist())
+    } finally {
+      ups.unpersist(); ()
+    }
+  }
+
   def mergeUpsert(spark: org.apache.spark.sql.SparkSession, updates: DataFrame,
                   root: String, manifest: TxnManifest, keys: Seq[String],
                   mergeId: Int, cdf: Boolean = false): Unit =

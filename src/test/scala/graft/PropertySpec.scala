@@ -261,6 +261,56 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("DV update == COW upsert on random tables, keys, and update sets") {
+    import graft.sources.{Sinks, TxnManifest}
+    // the update sibling of the delete property: for ANY (table,
+    // batch split, update set, second OVERLAPPING update set) the
+    // merge-on-read answer must equal copy-on-write exactly —
+    // including pure inserts, re-updates of the same key (the second
+    // vector hides the first's appended version), and empty updates
+    val cases = Gen.listOfN(4, for {
+      n    <- Gen.chooseNum(5, 200)
+      splits <- Gen.chooseNum(1, 4)
+      up1  <- Gen.listOf(Gen.chooseNum(-20L, 220L))
+      up2  <- Gen.listOf(Gen.chooseNum(-20L, 220L))
+    } yield (n, splits, up1, up2)).sample.get
+    for (((n, splits, up1, up2), ci) <- cases.zipWithIndex) {
+      val rows = (0 until n).map(i => (i.toLong, s"v$i"))
+      def build(tag: String): (String, TxnManifest) = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"dvuprop_${ci}_$tag").toString
+        val root = s"$tmp/t"
+        val man = new TxnManifest(s"$tmp/_commits")
+        for (b <- 0 until splits) {
+          Sinks.appendBatch(
+            rows.filter(_._1 % splits == b).toDF("id", "v"), root, b)
+          man.commit(b, Seq(s"$root/batch=$b"))
+        }
+        (root, man)
+      }
+      val (dvRoot, dvMan) = build("dv")
+      val (cowRoot, cowMan) = build("cow")
+      for ((up, round) <- Seq(up1, up2).zipWithIndex) {
+        val ups = up.distinct.map(i => (i, s"u$round-$i")).toDF("id", "v")
+        Sinks.mergeUpdateDV(spark, ups, dvRoot, dvMan, Seq("id"),
+          mergeId = 100 + round)
+        Sinks.mergeUpsert(spark, ups, cowRoot, cowMan, Seq("id"),
+          mergeId = 100 + round)
+        val got = Sinks.readCommitted(spark, dvRoot, dvMan)
+          .select("id", "v").as[(Long, String)].collect().sorted.toSeq
+        val want = Sinks.readCommitted(spark, cowRoot, cowMan)
+          .select("id", "v").as[(Long, String)].collect().sorted.toSeq
+        assert(got == want,
+          s"case $ci round $round: DV ${got.size} rows vs COW ${want.size}")
+        val dsv2 = spark.read.format("graft-manifest")
+          .option("manifest", s"${dvRoot.stripSuffix("/t")}/_commits")
+          .load(dvRoot).select("id", "v")
+          .as[(Long, String)].collect().sorted.toSeq
+        assert(dsv2 == want, s"case $ci round $round: DSv2 disagrees")
+      }
+    }
+  }
+
   test("exact z-split write: rows preserved, files bounded, key ranges disjoint") {
     import graft.sources.Layout
     // shapes the cube test never exercises: negative keys (1-column

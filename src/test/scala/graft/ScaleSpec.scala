@@ -287,6 +287,69 @@ class ScaleSpec extends SparkSuite {
     assert(!new java.io.File(s"$root/_dv/batch=10").exists())
   }
 
+  test("DV update: 0.1% update touches ZERO existing data bytes; CDF serves pre/post images") {
+    import graft.sources.{Sinks, StatsSinks, TxnManifest}
+    val base = java.nio.file.Files.createTempDirectory("dvu_scale_").toString
+    val root = s"$base/t"
+    val man = new TxnManifest(s"$base/_commits")
+    for (b <- 0 until 4) {
+      StatsSinks.appendBatchStats(
+        (0 until 10000).filter(_ % 4 == b)
+          .map(i => (i.toLong, s"v$i")).toDF("id", "v"), root, b)
+      man.commit(b, Seq(s"$root/batch=$b"))
+    }
+    def dataFiles(): Map[String, (Long, Long)] =
+      (0 until 4).flatMap { b =>
+        new java.io.File(s"$root/batch=$b").listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> (f.length(), f.lastModified()))
+      }.toMap
+    val before = dataFiles()
+
+    // the update: 10 of 10000 rows (0.1%) re-valued + 1 insert, CDF on
+    val ups = ((0L until 10000L by 1000L).map(i => (i, s"U$i")) :+
+      (20000L, "NEW")).toDF("id", "v")
+    Sinks.mergeUpdateDV(spark, ups, root, man, Seq("id"),
+      mergeId = 10, cdf = true)
+    // 1. not one EXISTING data byte moved — old versions are vectored,
+    // new versions live in the appended batch=10 dir
+    assert(dataFiles() == before, "a DV update must not rewrite data")
+    val entries = man.committed()
+    assert((0 until 4).forall(entries.contains))
+    assert(entries(10).toSet ==
+      Set(s"$root/batch=10", s"$root/_dv/batch=10"),
+      "ONE commit must name the append and the vector together")
+    // 2. reads serve the new versions exactly once
+    val t = Sinks.readCommitted(spark, root, man)
+    assert(t.count() == 10001)
+    assert(t.where($"id" === 3000L).select("v").as[String].head() == "U3000")
+    assert(t.where($"id" === 2999L).select("v").as[String].head() == "v2999")
+    assert(t.where($"id" === 20000L).count() == 1)
+    // 3. the change feed serves update pre/post images + the insert
+    val changes = Sinks.readChanges(spark, root, man, 3, 10)
+    assert(changes.where($"_change_type" === "update_preimage").count() == 10)
+    assert(changes.where($"_change_type" === "update_postimage").count() == 10)
+    assert(changes.where($"_change_type" === "insert").count() == 1)
+    // 4. a SECOND overlapping update vectors the first's appended
+    // version — composition, still zero bytes of history rewritten
+    Sinks.mergeUpdateDV(spark, Seq((3000L, "W3000")).toDF("id", "v"),
+      root, man, Seq("id"), mergeId = 11)
+    val t2 = Sinks.readCommitted(spark, root, man)
+    assert(t2.count() == 10001)
+    assert(t2.where($"id" === 3000L).select("v").as[String].head() == "W3000")
+    // 5. the DSv2 reader agrees (native positional filtering)
+    def dsv2() = spark.read.format("graft-manifest")
+      .option("manifest", s"$base/_commits").load(root)
+    assert(dsv2().count() == 10001)
+    assert(dsv2().where($"id" === 3000L).select("v").as[String].head() == "W3000")
+    // 6. compaction materializes both vectors; result identical
+    Sinks.compact(spark, root, man, compactId = 20, numFiles = 2)
+    assert(Sinks.readCommitted(spark, root, man).count() == 10001)
+    assert(!man.committed().values.flatten.exists(Sinks.isDvDir))
+    assert(Sinks.readCommitted(spark, root, man)
+      .where($"id" === 3000L).select("v").as[String].head() == "W3000")
+  }
+
   test("t8_length_deciles plan has no window and no global sort") {
     // the round-1 formulation was ntile() over a partition-less window:
     // a single-task sort of the whole table. The rewrite must keep the
