@@ -61,7 +61,40 @@ object Multimodal {
     else if (p.length >= 28 && ascii(0, "RIFF") && ascii(8, "WAVE") &&
              ascii(12, "fmt "))
       ("wav", le32(24), le16(22))
+    else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8)
+      decodeJpegSof(p)
     else ("bin", 0, 0)
+  }
+
+  /** JPEG dimensions — the real-corpus image format (round-7 task):
+    * walk the marker segments from SOI until a SOFn frame header
+    * (C0–CF except the non-frame C4/C8/CC) and read height/width
+    * big-endian from its payload (`precision(1) height(2) width(2)`,
+    * ITU T.81 §B.2.2). The walk respects segment lengths, skips
+    * standalone markers, and stops at SOS (entropy-coded data — no
+    * frame header past it) or any malformed length; a JPEG with no
+    * parseable SOF reports ("jpeg", 0, 0) — malformed media is data,
+    * not an exception. */
+  private def decodeJpegSof(p: Array[Byte]): (String, Int, Int) = {
+    def u8(i: Int)   = p(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    var i = 2
+    while (i + 3 < p.length && u8(i) == 0xff) {
+      val m = u8(i + 1)
+      if (m == 0xff) i += 1 // fill byte
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+      else {
+        val len = be16(i + 2)
+        if (len < 2 || i + 2 + len > p.length) return ("jpeg", 0, 0)
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          if (i + 9 <= p.length) return ("jpeg", be16(i + 7), be16(i + 5))
+          return ("jpeg", 0, 0)
+        }
+        if (m == 0xda) return ("jpeg", 0, 0) // SOS before any SOF
+        i += 2 + len
+      }
+    }
+    ("jpeg", 0, 0)
   }
 
   /** Decode/feature-extract over partitions (pandas-UDF-equivalent
@@ -125,6 +158,119 @@ object Multimodal {
       case _ => wavBytes(w, h, body)
     }
 
+  /** Minimal REAL JPEG: SOI, JFIF APP0, a SOF0 frame header carrying
+    * the dimensions (3 components, the baseline layout), body as
+    * trailing bytes — 39 header bytes total. Every segment has a
+    * correct big-endian length, so [[decodeJpegSof]]'s marker walk is
+    * exercised on genuine JPEG structure. */
+  private def jpegBytes(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(39 + body.length) // big-endian
+    bb.putShort(0xffd8.toShort)                              // SOI
+    bb.putShort(0xffe0.toShort).putShort(16)                 // APP0 len 16
+    bb.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    bb.put(1.toByte).put(1.toByte)                           // version 1.1
+    bb.put(0.toByte).putShort(1).putShort(1)                 // units, density
+    bb.put(0.toByte).put(0.toByte)                           // no thumbnail
+    bb.putShort(0xffc0.toShort).putShort(17)                 // SOF0 len 8+3*3
+    bb.put(8.toByte)                                         // precision
+    bb.putShort(h.toShort).putShort(w.toShort)
+    bb.put(3.toByte)                                         // components
+    bb.put(Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    bb.put(body).array()
+  }
+
+  // ---- ISO BMFF (MP4) containers ----
+
+  /** Minimal REAL MP4: `ftyp` (16) + `moov` { `mvhd` v0 (timescale,
+    * duration) + `trak` { `tkhd` v0 (16.16 fixed width/height) } }
+    * (216) + `mdat` header (8) + body — 240 header bytes, every box
+    * size correct, so the box walk parses genuine BMFF structure. */
+  private def mp4Bytes(w: Int, h: Int, timescale: Int, duration: Int,
+                       body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(240 + body.length) // big-endian
+    def fourcc(s: String) = bb.put(s.getBytes("US-ASCII"))
+    bb.putInt(16); fourcc("ftyp"); fourcc("isom"); bb.putInt(0)
+    bb.putInt(216); fourcc("moov")
+    bb.putInt(108); fourcc("mvhd")
+    bb.putInt(0)                           // version 0 + flags
+    bb.putInt(0).putInt(0)                 // creation, modification
+    bb.putInt(timescale).putInt(duration)
+    bb.putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+    bb.put(new Array[Byte](10))            // reserved
+    bb.putInt(0x00010000).putInt(0).putInt(0)      // identity matrix
+    bb.putInt(0).putInt(0x00010000).putInt(0)
+    bb.putInt(0).putInt(0).putInt(0x40000000)
+    bb.put(new Array[Byte](24))            // pre_defined[6]
+    bb.putInt(2)                           // next_track_ID
+    bb.putInt(100); fourcc("trak")
+    bb.putInt(92); fourcc("tkhd")
+    bb.putInt(0)                           // version 0 + flags
+    bb.putInt(0).putInt(0)                 // creation, modification
+    bb.putInt(1).putInt(0)                 // track id, reserved
+    bb.putInt(duration)
+    bb.put(new Array[Byte](8))             // reserved
+    bb.putShort(0).putShort(0).putShort(0).putShort(0) // layer, alt, volume, rsvd
+    bb.putInt(0x00010000).putInt(0).putInt(0)      // identity matrix
+    bb.putInt(0).putInt(0x00010000).putInt(0)
+    bb.putInt(0).putInt(0).putInt(0x40000000)
+    bb.putInt(w << 16).putInt(h << 16)     // 16.16 fixed dims
+    bb.putInt(8 + body.length); fourcc("mdat")
+    bb.put(body).array()
+  }
+
+  /** Parse an MP4 header: (width, height, duration_ms) from the
+    * `moov/mvhd` clock (duration·1000/timescale, truncating integer
+    * math an oracle can predict) and the first `trak/tkhd`'s 16.16
+    * fixed dimensions; None when the payload is not ftyp/moov BMFF.
+    * The walk is a real box traversal — sizes, not offsets — so boxes
+    * in any order and with extra siblings parse correctly. */
+  def decodeMp4Header(p: Array[Byte]): Option[(Int, Int, Long)] = {
+    def u8(i: Int)   = p(i) & 0xff
+    def be32(i: Int) = ((u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)).toInt
+    def ascii(i: Int, s: String) = i + s.length <= p.length &&
+      s.indices.forall(j => u8(i + j) == s.charAt(j))
+    if (p.length < 16 || !ascii(4, "ftyp")) return None
+    // (start, end) of each box's CONTENT within [from, to)
+    def boxes(from: Int, to: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var i = from
+      while (i + 8 <= to) {
+        val size = be32(i)
+        if (size < 8 || i + size > to) return out.result()
+        out += ((new String(p.slice(i + 4, i + 8), "US-ASCII"), i + 8, i + size))
+        i += size
+      }
+      out.result()
+    }
+    val top = boxes(0, p.length)
+    top.collectFirst { case ("moov", s, e) =>
+      val inner = boxes(s, e)
+      val clock = inner.collectFirst { case ("mvhd", ms, me)
+        if me - ms >= 20 && u8(ms) == 0 =>
+        (be32(ms + 12), be32(ms + 16)) // timescale, duration (v0)
+      }
+      val dims = inner.collectFirst { case ("trak", ts, te) =>
+        boxes(ts, te).collectFirst { case ("tkhd", ks, ke)
+          if ke - ks >= 84 && u8(ks) == 0 =>
+          (be32(ks + 76) >>> 16, be32(ks + 80) >>> 16) // 16.16 fixed (v0)
+        }
+      }.flatten
+      for ((ts, dur) <- clock; (w, h) <- dims; if ts > 0)
+        yield (w, h, dur.toLong * 1000 / ts)
+    }.flatten
+  }
+
+  /** Spec hooks: synthesize with explicit params and parse back — the
+    * encode→decode property surface for generators. */
+  private[graft] def jpegRoundTrip(w: Int, h: Int,
+                                   body: Array[Byte]): (String, Int, Int) =
+    decodeHeader(jpegBytes(w, h, body))
+  private[graft] def mp4RoundTrip(w: Int, h: Int, timescale: Int,
+                                  duration: Int,
+                                  body: Array[Byte]): Option[(Int, Int, Long)] =
+    decodeMp4Header(mp4Bytes(w, h, timescale, duration, body))
+
   // ---- video containers (RIFF/AVI) ----
 
   final case class VideoMeta(id: Long, format: String, width: Int, height: Int,
@@ -183,8 +329,14 @@ object Multimodal {
         case Some((w, h, usf, tf)) =>
           VideoMeta(r.id, "avi", w, h, usf, tf,
             tf.toLong * usf / 1000, r.payload.length.toLong)
-        case None =>
-          VideoMeta(r.id, "bin", 0, 0, 0, 0, 0L, r.payload.length.toLong)
+        case None => decodeMp4Header(r.payload) match {
+          // MP4 carries a clock (mvhd), not a frame count — rate
+          // fields stay 0; duration_ms comes from timescale math
+          case Some((w, h, durMs)) =>
+            VideoMeta(r.id, "mp4", w, h, 0, 0, durMs, r.payload.length.toLong)
+          case None =>
+            VideoMeta(r.id, "bin", 0, 0, 0, 0, 0L, r.payload.length.toLong)
+        }
       }
     })
   }
@@ -199,6 +351,24 @@ object Multimodal {
       val w = (64 + r.id * 7 % 1920).toInt
       val h = (64 + r.id * 13 % 1080).toInt
       MediaRow(r.id, aviBytes(w, h, 1000000 / fps, (10 + r.id % 240).toInt, r.payload))
+    })(org.apache.spark.sql.Encoders.product[MediaRow])
+  }
+
+  /** `documents` → the REAL-corpus container pair (round-7 task):
+    * even ids become JPEGs (SOI/APP0/SOF0, dims by the same formulas
+    * as [[mediaFromDocuments]]), odd ids become MP4s (ftyp/moov/mdat,
+    * timescale 1000 so duration units ARE milliseconds, duration
+    * `(10 + id % 240) * 100` ms) — all arithmetic an oracle can
+    * predict, recovered by PARSING the bytes. */
+  def jpegMp4FromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    fromDocuments(spark, docs).mapPartitions(_.map { r =>
+      val w = (64 + r.id * 7 % 1920).toInt
+      val h = (64 + r.id * 13 % 1080).toInt
+      val payload =
+        if (r.id % 2 == 0) jpegBytes(w, h, r.payload)
+        else mp4Bytes(w, h, timescale = 1000,
+          duration = ((10 + r.id % 240) * 100).toInt, r.payload)
+      MediaRow(r.id, payload)
     })(org.apache.spark.sql.Encoders.product[MediaRow])
   }
 

@@ -125,6 +125,26 @@ object SimQueries {
         // string (both arms emit the identical CSV form).
         .withColumn("sample_idx",
           array_join(col("sample_idx").cast("array<string>"), ","))
+    }),
+
+    // The REAL-corpus container pair (round 7): JPEG SOFn dims and
+    // MP4 moov/mvhd+tkhd clock/dims, both parsed from genuine binary
+    // layouts (marker walk / box traversal) synthesized from the
+    // documents table — even ids JPEG, odd ids MP4. The oracle
+    // predicts every field arithmetically (header sizes 39 / 240,
+    // duration = mvhd duration·1000/timescale), so a hash match
+    // certifies both encode→decode round trips.
+    "mm3_jpeg_mp4_meta" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val media = Multimodal.jpegMp4FromDocuments(s, docs)
+      val img = Multimodal.extractMeta(media.filter(_.id % 2 == 0)).toDF()
+        .select(col("id").as("doc_id"), col("format"), col("width"),
+          col("height"), lit(0L).as("duration_ms"), col("n_bytes"))
+      val vid = Multimodal.extractVideoMeta(media.filter(_.id % 2 == 1)).toDF()
+        .select(col("id").as("doc_id"), col("format"), col("width"),
+          col("height"), col("duration_ms"), col("n_bytes"))
+      img.unionByName(vid)
     })
   )
 
@@ -372,6 +392,23 @@ object SimQueries {
         |    THEN array_to_string(list_transform(range(0, n),
         |           i -> CAST(i * total_s // n AS INTEGER)), ',')
         |    ELSE '' END AS sample_idx
-        |FROM v3""".stripMargin
+        |FROM v3""".stripMargin,
+    // JPEG header = 39 bytes (SOI 2 + APP0 18 + SOF0 19); MP4 header
+    // = 240 (ftyp 16 + moov 216 + mdat header 8); mp4 duration_ms =
+    // (10 + doc_id % 240) * 100 with timescale 1000.
+    "mm3_jpeg_mp4_meta" ->
+      """SELECT doc_id, 'jpeg' AS format,
+        |  CAST(64 + doc_id * 7 % 1920 AS INTEGER) AS width,
+        |  CAST(64 + doc_id * 13 % 1080 AS INTEGER) AS height,
+        |  CAST(0 AS BIGINT) AS duration_ms,
+        |  CAST(octet_length(encode(text)) + 39 AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, 'mp4' AS format,
+        |  CAST(64 + doc_id * 7 % 1920 AS INTEGER) AS width,
+        |  CAST(64 + doc_id * 13 % 1080 AS INTEGER) AS height,
+        |  CAST((10 + doc_id % 240) * 100 AS BIGINT) AS duration_ms,
+        |  CAST(octet_length(encode(text)) + 240 AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin
   )
 }

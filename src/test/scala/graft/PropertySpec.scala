@@ -187,6 +187,16 @@ class PropertySpec extends SparkSuite {
       // derived duration uses truncating integer math
       val avi = Multimodal.aviRoundTrip(w, h, usf, tf, body)
       assert(avi.contains((w, h, usf, tf)))
+      // JPEG: dims recovered by the SOFn marker walk (width/height
+      // are 16-bit in the frame header, so clamp the generator range)
+      val (jw, jh) = (w % 30000, h % 30000)
+      val (jfmt, gjw, gjh) = Multimodal.jpegRoundTrip(jw, jh, body)
+      assert(jfmt == "jpeg" && (gjw, gjh) == ((jw, jh)))
+      // MP4: tkhd 16.16 dims and the mvhd clock recovered; duration
+      // converts with truncating timescale math
+      val ts = 1 + (usf % 90000)
+      val mp4 = Multimodal.mp4RoundTrip(jw, jh, ts, tf, body)
+      assert(mp4.contains((jw, jh, tf.toLong * 1000 / ts)))
     }
   }
 
