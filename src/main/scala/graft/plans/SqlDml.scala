@@ -112,17 +112,25 @@ object GraftSqlTables {
   * must survive, analysis; conditions are re-rendered to SQL text and
   * re-parsed against real DataFrames at run time). */
 sealed trait GraftDmlSpec
-/** `updateAssigns` None = `SET *` whole-row replace (the fast path);
-  * Some = column-level update, `(target column, value SQL)` pairs
-  * evaluated over the joined (target, source) row. `bySourceUpdate`
-  * is the full-sync UPDATE arm: `(optional condition SQL, pairs)`
-  * over unmatched TARGET rows only. */
+/** `updateAssigns` None = `SET *` whole-row replace (the fast path
+  * when also unconditional); Some = column-level update, `(target
+  * column, value SQL)` pairs evaluated over the joined (target,
+  * source) row. `updateCond` is the `WHEN MATCHED AND pred` guard —
+  * matched rows failing it stay untouched (unless a delete clause
+  * claims them). `updateFirst` records CLAUSE ORDER: per SQL MERGE,
+  * the first clause whose condition holds wins the row, so
+  * [UPDATE AND q, DELETE] deletes only ¬q, while [DELETE AND p,
+  * UPDATE] updates only ¬p. `bySourceUpdate` is the full-sync UPDATE
+  * arm: `(optional condition SQL, pairs)` over unmatched TARGET rows
+  * only. */
 final case class GraftMergeSpec(table: String, entry: GraftSqlTables.Entry,
                                 sourceName: String, sourceAlias: Option[String],
                                 targetAlias: Option[String],
                                 keys: Seq[String],
                                 updateArm: Boolean,
                                 updateAssigns: Option[Seq[(String, String)]],
+                                updateCond: Option[String],
+                                updateFirst: Boolean,
                                 insertArm: Boolean,
                                 deleteArm: Option[Option[String]],
                                 deleteBySource: Boolean = false,
@@ -206,25 +214,31 @@ object GraftDml {
           }
           var update = false
           var updateAssigns = Option.empty[Seq[(String, String)]]
+          var updateCond = Option.empty[String]
           var delete = Option.empty[Option[String]]
+          var updateFirst = false
           m.matchedActions.foreach {
-            case UpdateStarAction(None) =>
+            case UpdateStarAction(cond) =>
               require(!update,
                 s"MERGE INTO $name: more than one WHEN MATCHED UPDATE clause")
               update = true
-            case UpdateAction(None, assigns, _) =>
+              updateCond = cond.map(_.sql)
+              updateFirst = delete.isEmpty
+            case UpdateAction(cond, assigns, _) =>
               require(!update,
                 s"MERGE INTO $name: more than one WHEN MATCHED UPDATE clause")
               update = true
+              updateCond = cond.map(_.sql)
               updateAssigns = Some(assignPairs("UPDATE SET", assigns))
+              updateFirst = delete.isEmpty
             case DeleteAction(cond) =>
               require(delete.isEmpty,
                 s"MERGE INTO $name: more than one WHEN MATCHED DELETE clause")
               delete = Some(cond.map(_.sql))
             case a => throw new IllegalArgumentException(
               s"MERGE INTO $name: unsupported WHEN MATCHED action " +
-                s"${a.getClass.getSimpleName} — supported: UPDATE SET * " +
-                "(or column assignments, unconditional) and DELETE [AND pred]")
+                s"${a.getClass.getSimpleName} — supported: one " +
+                "UPDATE [AND pred] SET */assignments and one DELETE [AND pred]")
           }
           val insert = m.notMatchedActions match {
             case Nil => false
@@ -240,8 +254,9 @@ object GraftDml {
               bySourceUpdate.nonEmpty,
             s"MERGE INTO $name has no supported action clause")
           GraftMergeSpec(name, entry, srcName, srcAlias,
-            aliasOf(m.targetTable), keys, update, updateAssigns, insert,
-            delete, deleteBySource, bySourceUpdate)
+            aliasOf(m.targetTable), keys, update, updateAssigns,
+            updateCond, updateFirst, insert, delete, deleteBySource,
+            bySourceUpdate)
         }
       }
     case d: DeleteFromTable =>
@@ -283,8 +298,9 @@ object GraftDml {
     * surface never asks a user for one. */
   def run(spark: SparkSession, spec: GraftDmlSpec): Unit = spec match {
     case GraftMergeSpec(table, entry, srcName, srcAlias, targetAlias, keys,
-                        update, updateAssigns, insert, delete, deleteBySource,
-                        bySourceUpdate) =>
+                        update, updateAssigns, updateCond, updateFirst,
+                        insert, delete, deleteBySource, bySourceUpdate) =>
+      import org.apache.spark.sql.functions.{coalesce, lit}
       val man = new TxnManifest(entry.manifestPath)
       val mergeId = nextBatchId(man)
       val keyCols = keys.map(col)
@@ -318,13 +334,60 @@ object GraftDml {
             .map { case (_, v) => expr(v).cast(f.dataType).as(f.name) }
             .getOrElse(col(s"$tA.${f.name}").as(f.name))
         }.toIndexedSeq: _*)
-      // WHEN MATCHED ... DELETE applies to MATCHED rows only: an
-      // unmatched source row satisfying the delete predicate still
-      // flows to the INSERT arm (Delta's clause semantics)
-      val matchedDel = delete.map { cond =>
-        cond.fold(src)(c => src.where(expr(c))).select(keyCols: _*)
-          .join(tgtKeys, keys, "left_semi")
-      }
+      // ---- matched arms. Two evaluation strategies:
+      //   FAST PATH (unconditional SET * / no update): the delete
+      //   condition evaluates over SOURCE columns and whole source
+      //   rows feed the merge — no target join before the probe.
+      //   JOINED PATH (conditional and/or column-level UPDATE): the
+      //   (target ⋈ source) row evaluates both clauses' conditions,
+      //   and CLAUSE ORDER decides which arm claims a row (the first
+      //   true condition wins — SQL MERGE semantics; a NULL condition
+      //   is false). Either way, WHEN MATCHED clauses see MATCHED
+      //   rows only: an unmatched source row satisfying the delete
+      //   predicate still flows to the INSERT arm.
+      val useJoined = update && (updateAssigns.isDefined || updateCond.isDefined)
+      val (matchedDel, updArm): (Option[DataFrame], Option[DataFrame]) =
+        if (!useJoined) {
+          val mDel = delete.map { cond =>
+            cond.fold(src)(c => src.where(expr(c))).select(keyCols: _*)
+              .join(tgtKeys, keys, "left_semi")
+          }
+          val updateRows =
+            if (!update) None
+            else {
+              val notDel = mDel.fold(src)(d => src.join(d, keys, "left_anti"))
+              Some(aligned(notDel.join(tgtKeys, keys, "left_semi")))
+            }
+          (mDel, updateRows)
+        } else {
+          val joinCond = keys.map(k => col(s"$tA.$k") === col(s"$sQ.$k"))
+            .reduce(_ && _)
+          val joined = tgt.alias(tA).join(src, joinCond, "inner")
+          def condOf(c: Option[String]) =
+            c.map(x => coalesce(expr(x), lit(false))).getOrElse(lit(true))
+          val uRaw = condOf(updateCond)
+          val (updPred, delPred) = delete match {
+            case None => (uRaw, None)
+            case Some(dCond) =>
+              val dRaw = condOf(dCond)
+              if (updateFirst) (uRaw, Some(!uRaw && dRaw))
+              else (!dRaw && uRaw, Some(dRaw))
+          }
+          val updHit = joined.where(updPred)
+          val updateRows = Some(updateAssigns match {
+            case Some(as) => applyAssigns(updHit, as)
+            case None => // conditional SET *: source side, target shape
+              val srcCols = src.columns.toSeq
+              val keep =
+                if (entry.schemaEvolution) srcCols
+                else tgt.columns.toSeq
+                  .filter(c => srcCols.exists(_.equalsIgnoreCase(c)))
+              updHit.select(keep.map(c => col(s"$sQ.$c").as(c)): _*)
+          })
+          val mDel = delPred.map(p => joined.where(p)
+            .select(keys.map(k => col(s"$tA.$k").as(k)): _*).distinct())
+          (mDel, updateRows)
+        }
       // NOT MATCHED BY SOURCE: target keys absent from the source —
       // disjoint from the matched arms by construction
       val bySourceDel =
@@ -334,31 +397,9 @@ object GraftDml {
         case (Some(a), Some(b)) => Some(a.unionByName(b))
         case (a, b)             => a.orElse(b)
       }
-      val notDeleted = delKeys.fold(src)(d => src.join(d, keys, "left_anti"))
-      val upsArm = updateAssigns match {
-        case Some(assigns) =>
-          // column-level UPDATE: matched target rows join their source
-          // row, listed columns recompute from expressions over BOTH
-          val joinCond = keys.map(k => col(s"$tA.$k") === col(s"$sQ.$k"))
-            .reduce(_ && _)
-          val updatedAll =
-            applyAssigns(tgt.alias(tA).join(src, joinCond, "inner"), assigns)
-          val updated = delKeys.fold(updatedAll)(d =>
-            updatedAll.join(d, keys, "left_anti"))
-          if (!insert) Some(updated)
-          else Some(updated.unionByName(
-            aligned(notDeleted.join(tgtKeys, keys, "left_anti")),
-            allowMissingColumns = true))
-        case None =>
-          (update, insert) match {
-            case (true, true)   => Some(aligned(notDeleted)) // full upsert
-            case (true, false)  =>
-              Some(aligned(notDeleted.join(tgtKeys, keys, "left_semi")))
-            case (false, true)  =>
-              Some(aligned(notDeleted.join(tgtKeys, keys, "left_anti")))
-            case (false, false) => None
-          }
-      }
+      val inserts =
+        if (!insert) None
+        else Some(aligned(src.join(tgtKeys, keys, "left_anti")))
       // full-sync UPDATE arm: unmatched TARGET rows flagged in place,
       // same atomic commit as everything else
       val bySrcUpd = bySourceUpdate.map { case (condSql, assigns) =>
@@ -367,11 +408,8 @@ object GraftDml {
         applyAssigns(condSql.fold(unmatched)(c => unmatched.where(expr(c))),
           assigns)
       }
-      val ups = (upsArm, bySrcUpd) match {
-        case (Some(a), Some(b)) =>
-          Some(a.unionByName(b, allowMissingColumns = true))
-        case (a, b) => a.orElse(b)
-      }
+      val ups = Seq(updArm, inserts, bySrcUpd).flatten
+        .reduceOption(_.unionByName(_, allowMissingColumns = true))
       Sinks.merge(spark, ups, delKeys, entry.root, man, keys, mergeId,
         cdf = entry.cdf)
     case GraftUpdateSpec(table, entry, assigns, condSql) =>

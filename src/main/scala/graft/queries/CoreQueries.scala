@@ -327,6 +327,43 @@ object CoreQueries {
           Repair.decSum(col("c_acctbal")).as("idle_balance"))
     }),
 
+    // TPC-H Q21 shape — the hardest planner shape a SQL analytics
+    // user brings: a DOUBLE-correlated EXISTS / NOT-EXISTS against
+    // the same fact table. "Suppliers who alone failed an order":
+    // supplier's line returned ('R') on a finished order, EXISTS
+    // another supplier's line on the SAME order, NOT EXISTS another
+    // supplier's line on it that also returned. Decorrelated the way
+    // Spark's own subquery rewrite would: one LEFT SEMI and one LEFT
+    // ANTI join, each an equi-join on l_orderkey with the supplier
+    // inequality as a residual condition — never a cartesian
+    // (ScaleSpec pins the plan). The dim joins broadcast.
+    "q21_waiting_supplier" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+      val finished = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F").select("o_orderkey")
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .join(finished, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l2 = li.select(col("l_orderkey").as("l2_orderkey"),
+        col("l_suppkey").as("l2_suppkey"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("l3_orderkey"),
+          col("l_suppkey").as("l3_suppkey"))
+      val alone = l1
+        .join(l2, col("l_orderkey") === col("l2_orderkey") &&
+          col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
+        .join(l3, col("l_orderkey") === col("l3_orderkey") &&
+          col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_name", "s_nationkey")
+        .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name") === "NATION_3").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+      alone.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
     // A5 — referential-integrity count (`orders.py:121-133`): unresolved
     // FKs after remap against a deliberately holed dimension.
     "a5_integrity_count" -> ((s, d) => {
@@ -544,6 +581,23 @@ object CoreQueries {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_orderdate >= DATE '2001-01-01')
         |GROUP BY c.c_mktsegment""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |  AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_3'
+        |GROUP BY s_name""".stripMargin,
     "a5_integrity_count" ->
       """SELECT 'lineitem->part' AS check_name, count(CASE WHEN p.p_brand IS NULL THEN 1 END) AS missing,
         |  count(*) AS total

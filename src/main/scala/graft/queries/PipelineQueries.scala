@@ -632,6 +632,56 @@ object PipelineQueries {
         s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM $cat.wm")
     }),
 
+    // Conditional WHEN MATCHED clauses — the CDC op-routing idiom
+    // (round 7): `WHEN MATCHED AND s.op = 'D' THEN DELETE / WHEN
+    // MATCHED AND s.op = 'U' THEN UPDATE SET *` routes each matched
+    // row by its flag, and a matched row claimed by NEITHER clause
+    // (op 'K' here, carrying decoy values that must NOT land) stays
+    // byte-untouched — the semantics round 6's all-or-nothing update
+    // arm could not express. The oracle routes the same flags in SQL.
+    "s21_merge_conditional" -> ((s, d) => {
+      import graft.plans.{GraftSql, GraftSqlTables}
+      import graft.sources.{Sinks, TxnManifest}
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s21_").toString
+      val root = s"$base/t"
+      val man = new TxnManifest(s"$base/manifest.tsv")
+      for (i <- 0 to 1) {
+        Sinks.appendBatch(o.filter(pmod(col("o_orderkey"), lit(2)) === i), root, i)
+        man.commit(i, Seq(s"$root/batch=$i"))
+      }
+      GraftSqlTables.register("s21_t",
+        GraftSqlTables.Entry(root, s"$base/manifest.tsv", keys = Seq("o_orderkey")))
+      o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"), lit("U").as("op"))
+        .unionAll(o.filter(col("o_orderkey") % 7 === 0 &&
+            col("o_orderkey") % 10 =!= 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"), lit("D").as("op")))
+        .unionAll(o.filter(col("o_orderkey") % 13 === 0 &&
+            col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey"), lit("DECOY").as("o_orderstatus"),
+            lit(-1.0).as("o_totalprice"), lit("K").as("op")))
+        .unionAll(o.filter(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice"),
+            lit("U").as("op")))
+        .createOrReplaceTempView("s21_src")
+      try {
+        GraftSql.execute(s,
+          """MERGE INTO s21_t AS t USING s21_src AS s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED AND s.op = 'D' THEN DELETE
+            |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        Sinks.readCommitted(s, root, man)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      } finally GraftSqlTables.unregister("s21_t")
+    }),
+
     // The full-sync triple — one atomic MERGE expressing "make the
     // target mirror the source, and FLAG what the source no longer
     // has": UPDATE SET * for matched, INSERT * for new, and the
@@ -1484,6 +1534,25 @@ object PipelineQueries {
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)""".stripMargin,
+    "s21_merge_conditional" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'X' AS o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey,
+        |    'N' AS o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 1000 = 0),
+        |del AS (
+        |  SELECT o_orderkey FROM base
+        |  WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0)
+        |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM base b
+        |WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  AND b.o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd""".stripMargin,
     "s20_full_sync" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

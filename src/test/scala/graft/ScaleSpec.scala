@@ -350,6 +350,26 @@ class ScaleSpec extends SparkSuite {
       .where($"id" === 3000L).select("v").as[String].head() == "W3000")
   }
 
+  test("q21_waiting_supplier plan: semi/anti joins only, never a cartesian") {
+    // the double-correlated EXISTS / NOT-EXISTS decorrelation must
+    // stay equi-keyed on l_orderkey (supplier inequality as residual
+    // condition) — a cartesian or nested-loop here is the plan that
+    // dies at 100 TB
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val df = graft.queries.CoreQueries.queries("q21_waiting_supplier")(spark, sf)
+    val plan = df.queryExecution.sparkPlan
+    val loops = plan.collectWithSubqueries {
+      case c: CartesianProductExec => c
+      case l: BroadcastNestedLoopJoinExec => l
+    }
+    assert(loops.isEmpty, s"cartesian/nested-loop in q21 plan:\n$plan")
+    val joinTypes = plan.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType.toString
+    }
+    assert(joinTypes.exists(_.contains("LeftSemi")), s"no semi join: $joinTypes")
+    assert(joinTypes.exists(_.contains("LeftAnti")), s"no anti join: $joinTypes")
+  }
+
   test("t8_length_deciles plan has no window and no global sort") {
     // the round-1 formulation was ntile() over a partition-less window:
     // a single-task sort of the whole table. The rewrite must keep the

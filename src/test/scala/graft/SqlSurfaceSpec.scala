@@ -393,6 +393,60 @@ class SqlSurfaceSpec extends SparkSuite {
     } finally GraftSqlTables.unregister("swp")
   }
 
+  test("MERGE conditional WHEN MATCHED UPDATE: op routing and clause order") {
+    import graft.plans.{GraftSql, GraftSqlTables}
+    import graft.sources.{Sinks, TxnManifest}
+    val tmp = java.nio.file.Files.createTempDirectory("sqlcond_").toString
+    val root = s"$tmp/t"
+    val man = new TxnManifest(s"$tmp/_commits")
+    Sinks.appendBatch(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+        .toDF("id", "v", "amt"), root, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+    GraftSqlTables.register("cnd",
+      GraftSqlTables.Entry(root, s"$tmp/_commits", keys = Seq("id")))
+    try {
+      Seq((1L, "A1", 11.0, "U"), (2L, "x", 0.0, "D"),
+        (3L, "MUST-NOT-APPLY", 99.0, "K"), (9L, "i", 90.0, "U"))
+        .toDF("id", "v", "amt", "op").createOrReplaceTempView("cnd_src")
+      // the CDC op-routing idiom: a matched row claimed by NEITHER
+      // conditional clause stays untouched (round-6 had no way to
+      // express this — update was all-or-nothing)
+      GraftSql.execute(spark,
+        """MERGE INTO cnd AS t USING cnd_src AS s ON t.id = s.id
+          |WHEN MATCHED AND s.op = 'D' THEN DELETE
+          |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET t.v = s.v, t.amt = s.amt
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      def rows() = Sinks.readCommitted(spark, root, man)
+        .select("id", "v", "amt").as[(Long, String, Double)]
+        .collect().sorted.toSeq
+      assert(rows() == Seq(
+        (1L, "A1", 11.0),  // op U: updated
+        (3L, "c", 30.0),   // op K: matched, claimed by neither — KEPT
+        (4L, "d", 40.0),   // not in source
+        (9L, "i", 90.0)))  // inserted
+      // clause order: the update claims its rows FIRST, the trailing
+      // unconditional DELETE takes only the remainder
+      GraftSql.execute(spark,
+        """MERGE INTO cnd AS t USING cnd_src AS s ON t.id = s.id
+          |WHEN MATCHED AND s.op = 'K' THEN UPDATE SET t.v = 'seen'
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+      assert(rows() == Seq(
+        (3L, "seen", 30.0), // claimed by the update, NOT deleted
+        (4L, "d", 40.0)))   // unmatched by source: untouched
+      // conditional SET *: whole-row replace gated on the predicate —
+      // id 3 matches (s.amt = 99 > 50) and is replaced by its source
+      // row (projected to the table's columns, op never lands); id 4
+      // is unmatched and stays
+      GraftSql.execute(spark,
+        """MERGE INTO cnd AS t USING cnd_src AS s ON t.id = s.id
+          |WHEN MATCHED AND s.amt > 50.0 THEN UPDATE SET *""".stripMargin)
+      assert(rows() == Seq(
+        (3L, "MUST-NOT-APPLY", 99.0),
+        (4L, "d", 40.0)))
+    } finally GraftSqlTables.unregister("cnd")
+  }
+
   test("GraftCatalog: CREATE/DROP/recreate lifecycle, option persistence, registration-free DML") {
     import graft.plans.{GraftCatalog, GraftSql}
     val wh = java.nio.file.Files.createTempDirectory("graft_cat_wh_").toString
