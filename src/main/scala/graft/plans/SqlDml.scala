@@ -33,9 +33,11 @@ import graft.sources.{Sinks, TxnManifest}
   * {{{
   *   MERGE INTO <graft_table> [AS t] USING <view_or_table> [AS s]
   *     ON t.k1 = s.k1 [AND t.k2 = s.k2 ...]
-  *     [WHEN MATCHED [AND <pred over source cols>] THEN DELETE]
-  *     [WHEN MATCHED THEN UPDATE SET * | SET t.c = <expr over t, s> [, ...]]
-  *     [WHEN NOT MATCHED THEN INSERT * | (cols) VALUES (same-name)]
+  *     [WHEN MATCHED [AND <pred>] THEN DELETE]
+  *     [WHEN MATCHED [AND <pred>] THEN UPDATE
+  *        SET * | SET t.c = <expr over t, s> [, ...]]
+  *     [WHEN NOT MATCHED [AND <pred over s>] THEN INSERT
+  *        * | (cols) VALUES (<exprs over s>)]
   *     [WHEN NOT MATCHED BY SOURCE THEN DELETE
   *       | UPDATE SET t.c = <expr over t> [, ...] [AND <pred over t>]]
   *   DELETE FROM <graft_table> WHERE <pred over table cols>
@@ -132,6 +134,8 @@ final case class GraftMergeSpec(table: String, entry: GraftSqlTables.Entry,
                                 updateCond: Option[String],
                                 updateFirst: Boolean,
                                 insertArm: Boolean,
+                                insertAssigns: Option[Seq[(String, String)]],
+                                insertCond: Option[String],
                                 deleteArm: Option[Option[String]],
                                 deleteBySource: Boolean = false,
                                 bySourceUpdate: Option[(Option[String], Seq[(String, String)])] = None)
@@ -240,23 +244,51 @@ object GraftDml {
                 s"${a.getClass.getSimpleName} — supported: one " +
                 "UPDATE [AND pred] SET */assignments and one DELETE [AND pred]")
           }
-          val insert = m.notMatchedActions match {
-            case Nil => false
-            case Seq(InsertStarAction(None)) => true
-            case Seq(InsertAction(None, assigns)) =>
-              requireSameNamePairs(name, "INSERT", assigns); true
+          // INSERT [AND pred] * | (cols) VALUES (exprs over s) — the
+          // column list may be partial (unlisted target columns land
+          // NULL, Delta's rule) but must assign every merge key (a
+          // NULL-keyed insert has no row identity)
+          var insert = false
+          var insertAssigns = Option.empty[Seq[(String, String)]]
+          var insertCond = Option.empty[String]
+          m.notMatchedActions match {
+            case Nil =>
+            case Seq(InsertStarAction(cond)) =>
+              insert = true; insertCond = cond.map(_.sql)
+            case Seq(InsertAction(cond, assigns)) =>
+              insert = true
+              insertCond = cond.map(_.sql)
+              val pairs = assigns.map { a =>
+                val target = a.key match {
+                  case k: UnresolvedAttribute => k.nameParts.last
+                  case k => throw new IllegalArgumentException(
+                    s"MERGE INTO $name: INSERT target must be a column, " +
+                      s"got ${k.sql}")
+                }
+                target -> a.value.sql
+              }
+              val dup = pairs.map(_._1.toLowerCase(java.util.Locale.ROOT))
+                .groupBy(identity).collect { case (c, vs) if vs.size > 1 => c }
+              require(dup.isEmpty,
+                s"MERGE INTO $name: INSERT assigns " +
+                  s"${dup.mkString(", ")} more than once")
+              keys.foreach(k => require(
+                pairs.exists(_._1.equalsIgnoreCase(k)),
+                s"MERGE INTO $name: INSERT column list must assign merge " +
+                  s"key '$k' — an unkeyed insert has no row identity"))
+              insertAssigns = Some(pairs)
             case as => throw new IllegalArgumentException(
               s"MERGE INTO $name: unsupported WHEN NOT MATCHED actions " +
-                s"(${as.size}) — supported: one unconditional INSERT * " +
-                "(or a same-name column list)")
+                s"(${as.size}) — supported: one INSERT [AND pred] * " +
+                "(or a column list with expressions over the source)")
           }
           require(update || insert || delete.nonEmpty || deleteBySource ||
               bySourceUpdate.nonEmpty,
             s"MERGE INTO $name has no supported action clause")
           GraftMergeSpec(name, entry, srcName, srcAlias,
             aliasOf(m.targetTable), keys, update, updateAssigns,
-            updateCond, updateFirst, insert, delete, deleteBySource,
-            bySourceUpdate)
+            updateCond, updateFirst, insert, insertAssigns, insertCond,
+            delete, deleteBySource, bySourceUpdate)
         }
       }
     case d: DeleteFromTable =>
@@ -299,7 +331,8 @@ object GraftDml {
   def run(spark: SparkSession, spec: GraftDmlSpec): Unit = spec match {
     case GraftMergeSpec(table, entry, srcName, srcAlias, targetAlias, keys,
                         update, updateAssigns, updateCond, updateFirst,
-                        insert, delete, deleteBySource, bySourceUpdate) =>
+                        insert, insertAssigns, insertCond, delete,
+                        deleteBySource, bySourceUpdate) =>
       import org.apache.spark.sql.functions.{coalesce, lit}
       val man = new TxnManifest(entry.manifestPath)
       val mergeId = nextBatchId(man)
@@ -399,7 +432,26 @@ object GraftDml {
       }
       val inserts =
         if (!insert) None
-        else Some(aligned(src.join(tgtKeys, keys, "left_anti")))
+        else {
+          // INSERT [AND pred] sees UNMATCHED source rows only; the
+          // predicate (over s) gates which of them insert at all
+          val srcIns = insertCond.fold(src)(c =>
+            src.where(org.apache.spark.sql.functions
+              .coalesce(expr(c), org.apache.spark.sql.functions.lit(false))))
+          val unmatched = srcIns.join(tgtKeys, keys, "left_anti")
+          Some(insertAssigns match {
+            case None => aligned(unmatched)
+            case Some(as) =>
+              // explicit column list: listed columns compute from
+              // expressions over the source row, unlisted land NULL
+              unmatched.select(tgt.schema.fields.map { f =>
+                as.find(_._1.equalsIgnoreCase(f.name))
+                  .map { case (_, v) => expr(v).cast(f.dataType).as(f.name) }
+                  .getOrElse(org.apache.spark.sql.functions.lit(null)
+                    .cast(f.dataType).as(f.name))
+              }.toIndexedSeq: _*)
+          })
+        }
       // full-sync UPDATE arm: unmatched TARGET rows flagged in place,
       // same atomic commit as everything else
       val bySrcUpd = bySourceUpdate.map { case (condSql, assigns) =>
@@ -507,21 +559,6 @@ object GraftDml {
     }.distinct
   }
 
-  /** An explicit SET / INSERT column list is accepted only as the
-    * identity mapping (every column ← its same-named source column):
-    * matched rows are replaced WHOLE, so a partial or renaming SET
-    * would silently drop or misroute columns. */
-  private def requireSameNamePairs(table: String, clause: String,
-                                   assigns: Seq[Assignment]): Unit =
-    assigns.foreach { a =>
-      (a.key, a.value) match {
-        case (k: UnresolvedAttribute, v: UnresolvedAttribute)
-            if k.nameParts.last.equalsIgnoreCase(v.nameParts.last) => ()
-        case _ => throw new IllegalArgumentException(
-          s"MERGE INTO $table: $clause supports only * or same-name " +
-            s"column pairs (c = s.c); got ${a.sql}")
-      }
-    }
 }
 
 /** The eagerly-executed command a DML statement parses to (commands

@@ -682,6 +682,51 @@ object PipelineQueries {
       } finally GraftSqlTables.unregister("s21_t")
     }),
 
+    // Conditional INSERT with expression VALUES (round 7): the
+    // second half of Delta's clause surface — `WHEN NOT MATCHED AND
+    // pred THEN INSERT (cols) VALUES (exprs over s)` gates which new
+    // rows enter and computes their columns (unlisted columns land
+    // NULL — here the list is total, so none do). Matched rows take
+    // a column-level update in the same statement. The oracle routes
+    // and computes identically in SQL.
+    "s22_merge_insert_expr" -> ((s, d) => {
+      import graft.plans.{GraftSql, GraftSqlTables}
+      import graft.sources.{Sinks, TxnManifest}
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s22_").toString
+      val root = s"$base/t"
+      val man = new TxnManifest(s"$base/manifest.tsv")
+      for (i <- 0 to 1) {
+        Sinks.appendBatch(o.filter(pmod(col("o_orderkey"), lit(2)) === i), root, i)
+        man.commit(i, Seq(s"$root/batch=$i"))
+      }
+      GraftSqlTables.register("s22_t",
+        GraftSqlTables.Entry(root, s"$base/manifest.tsv", keys = Seq("o_orderkey")))
+      o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), (col("o_totalprice") * 0.25).as("bump"))
+        .unionAll(o.filter(col("o_orderkey") % 500 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            (col("o_totalprice") * 0.5).as("bump")))
+        .createOrReplaceTempView("s22_src")
+      try {
+        GraftSql.execute(s,
+          """MERGE INTO s22_t AS t USING s22_src AS s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET
+            |  t.o_totalprice = t.o_totalprice + s.bump
+            |WHEN NOT MATCHED AND s.o_orderkey % 1000 = 0 THEN INSERT
+            |  (o_orderkey, o_orderstatus, o_totalprice)
+            |  VALUES (s.o_orderkey, concat('Z', s.o_orderstatus),
+            |          s.o_totalprice + s.bump)""".stripMargin)
+        Sinks.readCommitted(s, root, man)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      } finally GraftSqlTables.unregister("s22_t")
+    }),
+
     // The full-sync triple — one atomic MERGE expressing "make the
     // target mirror the source, and FLAG what the source no longer
     // has": UPDATE SET * for matched, INSERT * for new, and the
@@ -1553,6 +1598,19 @@ object PipelineQueries {
         |  AND b.o_orderkey NOT IN (SELECT o_orderkey FROM del)
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd""".stripMargin,
+    "s22_merge_insert_expr" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+        |SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0
+        |    THEN o_totalprice + o_totalprice * 0.25
+        |    ELSE o_totalprice END AS o_totalprice
+        |FROM base
+        |UNION ALL
+        |SELECT o_orderkey + 10000000 AS o_orderkey,
+        |  'Z' || o_orderstatus AS o_orderstatus,
+        |  o_totalprice + o_totalprice * 0.5 AS o_totalprice
+        |FROM base WHERE o_orderkey % 1000 = 0""".stripMargin,
     "s20_full_sync" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

@@ -444,6 +444,28 @@ class SqlSurfaceSpec extends SparkSuite {
       assert(rows() == Seq(
         (3L, "MUST-NOT-APPLY", 99.0),
         (4L, "d", 40.0)))
+      // conditional INSERT with expression VALUES and a PARTIAL
+      // column list: only op='U' unmatched rows enter (1, 9 — id 2's
+      // op is 'D'), v computes from an expression, amt lands NULL
+      GraftSql.execute(spark,
+        """MERGE INTO cnd AS t USING cnd_src AS s ON t.id = s.id
+          |WHEN NOT MATCHED AND s.op = 'U' THEN INSERT (id, v)
+          |  VALUES (s.id, concat(s.v, '+'))""".stripMargin)
+      val withNulls = Sinks.readCommitted(spark, root, man)
+        .select("id", "v", "amt").as[(Long, String, Option[Double])]
+        .collect().sorted.toSeq
+      assert(withNulls == Seq(
+        (1L, "A1+", None),          // inserted by expression; amt NULL
+        (3L, "MUST-NOT-APPLY", Some(99.0)),
+        (4L, "d", Some(40.0)),
+        (9L, "i+", None)))          // inserted; id 2 (op D) did NOT
+      // an INSERT list that skips a merge key fails at parse
+      val unkeyed = intercept[IllegalArgumentException] {
+        GraftSql.execute(spark,
+          "MERGE INTO cnd AS t USING cnd_src AS s ON t.id = s.id " +
+            "WHEN NOT MATCHED THEN INSERT (v) VALUES (s.v)")
+      }
+      assert(unkeyed.getMessage.contains("merge key"))
     } finally GraftSqlTables.unregister("cnd")
   }
 
