@@ -47,10 +47,13 @@ import graft.util.AtomicText
   * Reads resolve to the existing DSv2 provider
   * ([[graft.sources.GraftManifestTable]]): `SELECT` over a catalog
   * table plans the same pruned, stats-skipped, DV-aware scan as
-  * `spark.read.format("graft-manifest")`. Writes stay on the verb
-  * surface (INSERT/MERGE/UPDATE/DELETE/OPTIMIZE through the graft
-  * parser/executor) — CTAS is rejected loudly (`CREATE` declares the
-  * schema; the first `INSERT` populates it).
+  * `spark.read.format("graft-manifest")`. Batch writes ride the
+  * table's V1 InsertableRelation fallback, so Spark's NATIVE
+  * `INSERT INTO` / `INSERT OVERWRITE` / `CREATE TABLE ... AS
+  * SELECT` / `df.writeTo(...).append()` all plan against catalog
+  * tables (each lands one stats-indexed batch dir + one manifest
+  * CAS); MERGE/UPDATE/DELETE/OPTIMIZE route through the graft
+  * parser/executor as before.
   *
   * A table WITHOUT an explicit 'path' is MANAGED: its root lives
   * under the warehouse and `DROP TABLE` deletes data + metadata
@@ -158,8 +161,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"graft catalog: PARTITIONED BY is not supported — layout is " +
         "manifest-managed (OPTIMIZE [ZORDER BY] instead)")
     require(schema.nonEmpty,
-      "graft catalog: CREATE TABLE needs an explicit column list " +
-        "(CTAS is not supported — CREATE then INSERT INTO ... SELECT)")
+      "graft catalog: CREATE TABLE needs a schema — an explicit " +
+        "column list, or AS SELECT (the query's schema)")
     Option(properties.get(TableCatalog.PROP_PROVIDER)).foreach { p =>
       require(p.equalsIgnoreCase("graft-manifest"),
         s"graft catalog tables must be USING graft-manifest, got '$p'")

@@ -102,7 +102,14 @@ final class GraftManifestTable(tableSchema: StructType,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      // batch writes ride the V1 InsertableRelation fallback: the
+      // whole-frame append/overwrite IS this engine's commit unit
+      // (one stats-indexed batch dir + one manifest CAS), so a
+      // distributed per-task commit protocol would only re-implement
+      // what the manifest already guarantees
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -130,9 +137,35 @@ final class GraftManifestTable(tableSchema: StructType,
           s"bloomColumns column '$c' has unindexable type " +
             s"${f.dataType.simpleString} (string and signed integral only)")
     }
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      // INSERT OVERWRITE / writeTo(...).overwritePartitions: truncate
+      // = replace the whole table atomically (the manifest's
+      // insertOverwrite — old view or new, never a mix)
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
       override def build(): org.apache.spark.sql.connector.write.Write =
-        new org.apache.spark.sql.connector.write.Write {
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  legacyOverwrite: Boolean): Unit = {
+                val man = new TxnManifest(manifestPath)
+                val ids = man.committed().keySet
+                val batchId = if (ids.isEmpty) 0 else ids.max + 1
+                if (overwrite || legacyOverwrite)
+                  Sinks.insertOverwrite(data.sparkSession, data, root, man,
+                    batchId)
+                else {
+                  StatsSinks.appendBatchStats(data, root, batchId,
+                    bloomColumns = bloomCols)
+                  man.commit(batchId, Seq(s"$root/batch=$batchId"))
+                }
+              }
+            }
           override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
             new GraftManifestStreamingWrite(root, manifestPath, info.schema(),

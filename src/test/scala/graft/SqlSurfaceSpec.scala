@@ -542,13 +542,35 @@ class SqlSurfaceSpec extends SparkSuite {
       "external data must survive DROP TABLE")
     // DROP TABLE IF EXISTS of an absent table is a quiet no-op
     GraftSql.execute(spark, "DROP TABLE IF EXISTS gcat.nope")
-    // CTAS is rejected with guidance, not silently planned
-    val ctas = intercept[Exception] {
-      GraftSql.execute(spark,
-        "CREATE TABLE gcat.c2 USING `graft-manifest` AS SELECT 1 AS x")
+    // CTAS: schema comes from the query, the table populates in the
+    // same statement (the V1 batch-write fallback makes Spark's own
+    // CreateTableAsSelect exec work against the catalog)
+    GraftSql.execute(spark,
+      "CREATE TABLE gcat.c2 USING `graft-manifest` " +
+        "TBLPROPERTIES ('keys' = 'x') AS SELECT 1 AS x, 'a' AS y")
+    def c2() = spark.sql("SELECT x, y FROM gcat.c2")
+      .as[(Int, String)].collect().sorted.toSeq
+    assert(c2() == Seq((1, "a")))
+    // Spark's NATIVE write paths (no graft statement interception):
+    // DataFrameWriterV2 append plans AppendData against the table
+    Seq((2, "b")).toDF("x", "y").writeTo("gcat.c2").append()
+    assert(c2() == Seq((1, "a"), (2, "b")))
+    // ... and a true-literal overwrite truncates atomically
+    Seq((9, "z")).toDF("x", "y").writeTo("gcat.c2")
+      .overwrite(org.apache.spark.sql.functions.lit(true))
+    assert(c2() == Seq((9, "z")))
+    // the appended batches carry stats sidecars like any graft batch
+    val c2root = {
+      val fresh2 = new GraftCatalog
+      fresh2.initialize("gcat3", new org.apache.spark.sql.util
+        .CaseInsensitiveStringMap(java.util.Map.of("warehouse", wh)))
+      fresh2.entryFor("c2").get.root
     }
-    assert(ctas.getMessage.toLowerCase.contains("ctas") ||
-      ctas.getMessage.toLowerCase.contains("not supported"))
+    assert(new java.io.File(s"$c2root/batch=0/_stats.tsv").exists ||
+      new java.io.File(s"$c2root/batch=0").listFiles()
+        .exists(_.getName.startsWith("_stats")),
+      "native writes must stay stats-indexed")
+    GraftSql.execute(spark, "DROP TABLE gcat.c2")
   }
 
   test("per-session register() exposes the same functions on a live session") {
