@@ -118,7 +118,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         cdf = m.get("cdf").exists(_.toBoolean),
         deletionVectors = m.get("deletionVectors").exists(_.toBoolean),
         schemaEvolution = m.get("schemaEvolution").exists(_.toBoolean),
-        schemaJson = m.get("schema"))
+        schemaJson = m.get("schema"),
+        bloomColumns = m.getOrElse("bloomColumns", "").split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq)
     }
 
   // ---- TableCatalog ---------------------------------------------
@@ -149,8 +151,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val schema = GraftManifestSource
       .mergedSchemaOpt(SparkSession.active, root, manifest)
       .getOrElse(declared)
-    new GraftManifestTable(schema, new CaseInsensitiveStringMap(
-      Map("path" -> root, "manifest" -> manifest).asJava))
+    val opts = Map("path" -> root, "manifest" -> manifest) ++
+      meta.get("bloomColumns").filter(_.nonEmpty).map("bloomColumns" -> _)
+    new GraftManifestTable(schema, new CaseInsensitiveStringMap(opts.asJava))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -179,6 +182,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     keys.foreach(k => require(schema.fieldNames.exists(_.equalsIgnoreCase(k)),
       s"graft catalog: key '$k' is not a column of the declared schema " +
         s"(${schema.fieldNames.mkString(", ")})"))
+    val bloomCols = prop("bloomColumns").toSeq.flatMap(_.split(','))
+      .map(_.trim).filter(_.nonEmpty)
+    bloomCols.foreach { c =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft catalog: bloomColumns names '$c', absent from the schema"))
+      require(graft.sources.BloomIndex.indexable(f.dataType),
+        s"graft catalog: bloomColumns column '$c' has unindexable type " +
+          f.dataType.simpleString)
+    }
     val meta = Map(
       "schema" -> schema.json,
       "root" -> root,
@@ -187,6 +200,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "cdf" -> prop("cdf").exists(_.toBoolean).toString,
       "deletionVectors" -> prop("deletionVectors").exists(_.toBoolean).toString,
       "schemaEvolution" -> prop("schemaEvolution").exists(_.toBoolean).toString,
+      "bloomColumns" -> bloomCols.mkString(","),
       "external" -> external.toString)
     // exclusive create IS the exists check — two racing CREATEs
     // cannot both win, and neither can observe a torn file

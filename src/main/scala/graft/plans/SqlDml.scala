@@ -38,8 +38,8 @@ import graft.sources.{Sinks, TxnManifest}
   *        SET * | SET t.c = <expr over t, s> [, ...]]
   *     [WHEN NOT MATCHED [AND <pred over s>] THEN INSERT
   *        * | (cols) VALUES (<exprs over s>)]
-  *     [WHEN NOT MATCHED BY SOURCE THEN DELETE
-  *       | UPDATE SET t.c = <expr over t> [, ...] [AND <pred over t>]]
+  *     [WHEN NOT MATCHED BY SOURCE [AND <pred over t>] THEN DELETE
+  *       | UPDATE SET t.c = <expr over t> [, ...]]
   *   DELETE FROM <graft_table> WHERE <pred over table cols>
   *   UPDATE <graft_table> SET c = <expr> [, ...] [WHERE <pred>]
   * }}}
@@ -72,7 +72,8 @@ object GraftSqlTables {
                          keys: Seq[String], cdf: Boolean = false,
                          deletionVectors: Boolean = false,
                          schemaEvolution: Boolean = false,
-                         schemaJson: Option[String] = None)
+                         schemaJson: Option[String] = None,
+                         bloomColumns: Seq[String] = Nil)
 
   private val tables =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -138,6 +139,7 @@ final case class GraftMergeSpec(table: String, entry: GraftSqlTables.Entry,
                                 insertCond: Option[String],
                                 deleteArm: Option[Option[String]],
                                 deleteBySource: Boolean = false,
+                                bySourceDeleteCond: Option[String] = None,
                                 bySourceUpdate: Option[(Option[String], Seq[(String, String)])] = None)
   extends GraftDmlSpec
 final case class GraftDeleteSpec(table: String, entry: GraftSqlTables.Entry,
@@ -187,18 +189,21 @@ object GraftDml {
           // disappear (Delta's NOT MATCHED BY SOURCE DELETE) or are
           // flagged in place (… UPDATE SET active = false)
           var deleteBySource = false
+          var bySourceDeleteCond = Option.empty[String]
           var bySourceUpdate =
             Option.empty[(Option[String], Seq[(String, String)])]
           m.notMatchedBySourceActions match {
             case Nil =>
-            case Seq(DeleteAction(None)) => deleteBySource = true
+            case Seq(DeleteAction(cond)) =>
+              deleteBySource = true
+              bySourceDeleteCond = cond.map(_.sql)
             case Seq(UpdateAction(cond, assigns, _)) =>
               bySourceUpdate = Some((cond.map(_.sql),
                 assignPairs("NOT MATCHED BY SOURCE UPDATE SET", assigns)))
             case as => throw new IllegalArgumentException(
               s"MERGE INTO $name: unsupported WHEN NOT MATCHED BY SOURCE " +
-                s"actions (${as.size}) — supported: one unconditional " +
-                "DELETE, or one UPDATE SET [AND pred]")
+                s"actions (${as.size}) — supported: one DELETE [AND pred] " +
+                "or one UPDATE SET [AND pred]")
           }
           // Spark's analyzer rule: only the LAST matched clause may
           // omit its condition — an unconditional earlier clause would
@@ -288,7 +293,7 @@ object GraftDml {
           GraftMergeSpec(name, entry, srcName, srcAlias,
             aliasOf(m.targetTable), keys, update, updateAssigns,
             updateCond, updateFirst, insert, insertAssigns, insertCond,
-            delete, deleteBySource, bySourceUpdate)
+            delete, deleteBySource, bySourceDeleteCond, bySourceUpdate)
         }
       }
     case d: DeleteFromTable =>
@@ -332,7 +337,7 @@ object GraftDml {
     case GraftMergeSpec(table, entry, srcName, srcAlias, targetAlias, keys,
                         update, updateAssigns, updateCond, updateFirst,
                         insert, insertAssigns, insertCond, delete,
-                        deleteBySource, bySourceUpdate) =>
+                        deleteBySource, bySourceDeleteCond, bySourceUpdate) =>
       import org.apache.spark.sql.functions.{coalesce, lit}
       val man = new TxnManifest(entry.manifestPath)
       val mergeId = nextBatchId(man)
@@ -422,10 +427,19 @@ object GraftDml {
           (mDel, updateRows)
         }
       // NOT MATCHED BY SOURCE: target keys absent from the source —
-      // disjoint from the matched arms by construction
+      // disjoint from the matched arms by construction. Unconditional
+      // stays keys-only (cheap); a condition needs the full target row
       val bySourceDel =
         if (!deleteBySource) None
-        else Some(tgtKeys.join(src.select(keyCols: _*), keys, "left_anti"))
+        else Some(bySourceDeleteCond match {
+          case None =>
+            tgtKeys.join(src.select(keyCols: _*), keys, "left_anti")
+          case Some(c) =>
+            tgt.alias(tA).join(src.select(keyCols: _*), keys, "left_anti")
+              .where(org.apache.spark.sql.functions
+                .coalesce(expr(c), org.apache.spark.sql.functions.lit(false)))
+              .select(keys.map(k => col(s"$tA.$k").as(k)): _*).distinct()
+        })
       val delKeys = (matchedDel, bySourceDel) match {
         case (Some(a), Some(b)) => Some(a.unionByName(b))
         case (a, b)             => a.orElse(b)
@@ -624,7 +638,8 @@ final case class GraftInsertCommand(table: String,
       if (overwrite)
         Sinks.insertOverwrite(spark, aligned, entry.root, man, batchId)
       else {
-        graft.sources.StatsSinks.appendBatchStats(aligned, entry.root, batchId)
+        graft.sources.StatsSinks.appendBatchStats(aligned, entry.root, batchId,
+          bloomColumns = entry.bloomColumns)
         man.commit(batchId, Seq(s"${entry.root}/batch=$batchId"))
       }
     } else {
@@ -649,7 +664,8 @@ final case class GraftInsertCommand(table: String,
       if (overwrite)
         Sinks.insertOverwrite(spark, aligned, entry.root, man, batchId)
       else {
-        graft.sources.StatsSinks.appendBatchStats(aligned, entry.root, batchId)
+        graft.sources.StatsSinks.appendBatchStats(aligned, entry.root, batchId,
+          bloomColumns = entry.bloomColumns)
         man.commit(batchId, Seq(s"${entry.root}/batch=$batchId"))
       }
     }

@@ -466,6 +466,21 @@ class SqlSurfaceSpec extends SparkSuite {
             "WHEN NOT MATCHED THEN INSERT (v) VALUES (s.v)")
       }
       assert(unkeyed.getMessage.contains("merge key"))
+      // conditional full-sync DELETE: only unmatched target rows
+      // satisfying the predicate purge. Table: {1(A1+,amt NULL),
+      // 3(MUST-NOT-APPLY,99), 4(d,40), 9(i+,NULL)}; source keys
+      // {1,2,3,9} → unmatched target = {4}; predicate amt > 50 is
+      // false for id 4 → NOTHING deleted
+      GraftSql.execute(spark,
+        """MERGE INTO cnd AS t USING cnd_src AS s ON t.id = s.id
+          |WHEN NOT MATCHED BY SOURCE AND t.amt > 50.0 THEN DELETE""".stripMargin)
+      assert(Sinks.readCommitted(spark, root, man).count() == 4)
+      // ... and with a predicate id 4 satisfies, it purges
+      GraftSql.execute(spark,
+        """MERGE INTO cnd AS t USING cnd_src AS s ON t.id = s.id
+          |WHEN NOT MATCHED BY SOURCE AND t.amt > 30.0 THEN DELETE""".stripMargin)
+      assert(Sinks.readCommitted(spark, root, man)
+        .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 9L))
     } finally GraftSqlTables.unregister("cnd")
   }
 
@@ -570,7 +585,39 @@ class SqlSurfaceSpec extends SparkSuite {
       new java.io.File(s"$c2root/batch=0").listFiles()
         .exists(_.getName.startsWith("_stats")),
       "native writes must stay stats-indexed")
+    // SHOW TABLES lists the catalog's persisted entries
+    val shown = spark.sql("SHOW TABLES IN gcat")
+      .select("tableName").as[String].collect().toSet
+    assert(shown == Set("c2"), // acc and ext were dropped above
+      s"SHOW TABLES expected exactly the live entry: $shown")
     GraftSql.execute(spark, "DROP TABLE gcat.c2")
+    // bloomColumns TBLPROPERTY: every write through the table —
+    // native OR statement path — bloom-indexes the column
+    GraftSql.execute(spark,
+      "CREATE TABLE gcat.bl (id BIGINT, v STRING) USING `graft-manifest` " +
+        "TBLPROPERTIES ('keys' = 'id', 'bloomColumns' = 'id')")
+    GraftSql.execute(spark, "INSERT INTO gcat.bl VALUES (1, 'a')")
+    Seq((2L, "b")).toDF("id", "v").writeTo("gcat.bl").append()
+    val blRoot = {
+      val f3 = new GraftCatalog
+      f3.initialize("gcat4", new org.apache.spark.sql.util
+        .CaseInsensitiveStringMap(java.util.Map.of("warehouse", wh)))
+      f3.entryFor("bl").get.root
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(graft.sources.BloomIndex
+      .indexedColumns(conf, s"$blRoot/batch=0") == Set("id"),
+      "statement-path INSERT must bloom-index declared columns")
+    assert(graft.sources.BloomIndex
+      .indexedColumns(conf, s"$blRoot/batch=1") == Set("id"),
+      "native-path append must bloom-index declared columns")
+    // unindexable bloom column type fails at CREATE, not first write
+    intercept[Exception] {
+      GraftSql.execute(spark,
+        "CREATE TABLE gcat.bl2 (id BIGINT, x DOUBLE) USING `graft-manifest` " +
+          "TBLPROPERTIES ('keys' = 'id', 'bloomColumns' = 'x')")
+    }
+    GraftSql.execute(spark, "DROP TABLE gcat.bl")
   }
 
   test("per-session register() exposes the same functions on a live session") {
