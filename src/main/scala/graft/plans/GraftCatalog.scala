@@ -156,6 +156,51 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftManifestTable(schema, new CaseInsensitiveStringMap(opts.asJava))
   }
 
+  /** SQL time travel — `SELECT ... FROM <cat>.<t> VERSION AS OF <v>`:
+    * `v` is a MANIFEST version (the numbers `DESCRIBE HISTORY` and
+    * `RESTORE TO VERSION AS OF` use), served from that version's
+    * claim tombstone so merges/restores replay faithfully. The schema
+    * is the HISTORICAL one (inferred over that version's dirs), not
+    * today's — a column added later does not appear in the past. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog: VERSION AS OF takes a manifest version " +
+          s"number (DESCRIBE HISTORY's versions), got '$version'"))
+    travelTable(ident, v)
+  }
+
+  /** `... TIMESTAMP AS OF <ts>` — Spark hands the timestamp in
+    * MICROseconds; resolved against the commit clock
+    * ([[graft.sources.TxnManifest.versionAt]], millis). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val name = requireSimpleName(ident)
+    val meta = entryMeta(name)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val man = new graft.sources.TxnManifest(meta("manifest"))
+    travelTable(ident, man.versionAt(timestampMicros / 1000))
+  }
+
+  private def travelTable(ident: Identifier, version: Long): Table = {
+    val name = requireSimpleName(ident)
+    val meta = entryMeta(name)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val root = meta("root")
+    val manifest = meta("manifest")
+    val man = new graft.sources.TxnManifest(manifest)
+    val dirs = man.stateAt(version).toSeq.sortBy(_._1)
+      .flatMap(_._2).filter(_.startsWith(root + "/"))
+    if (dirs.isEmpty)
+      throw new IllegalStateException(
+        s"nothing committed under $root at manifest version $version")
+    val (dataDirs, _) = graft.sources.Sinks.splitDv(dirs)
+    val schema = SparkSession.active.read
+      .option("mergeSchema", true).parquet(dataDirs: _*).schema
+    new GraftManifestTable(schema, new CaseInsensitiveStringMap(Map(
+      "path" -> root, "manifest" -> manifest,
+      "atVersion" -> version.toString).asJava))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {

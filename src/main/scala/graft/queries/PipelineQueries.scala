@@ -632,6 +632,47 @@ object PipelineQueries {
         s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM $cat.wm")
     }),
 
+    // SQL time travel through the catalog (round 7): `VERSION AS OF`
+    // in plain SELECT text — versions are MANIFEST versions (the
+    // DESCRIBE HISTORY / RESTORE numbers), served from the claim
+    // tombstone via the catalog's time-travel loadTable, with the
+    // HISTORICAL schema. One query reads the pre-merge and post-merge
+    // snapshots of the same table; the oracle predicts both.
+    "s23_sql_time_travel" -> ((s, d) => {
+      import graft.plans.GraftSql
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      o.createOrReplaceTempView("s23_orders")
+      o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("T").as("o_orderstatus"),
+          (col("o_totalprice") * 3).as("o_totalprice"))
+        .createOrReplaceTempView("s23_src")
+      val cat = "graft"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.plans.GraftCatalog].getName)
+      if (s.conf.getOption(s"spark.sql.catalog.$cat.warehouse").isEmpty)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_s23_wh_").toString)
+      GraftSql.execute(s, s"DROP TABLE IF EXISTS $cat.ttw")
+      GraftSql.execute(s,
+        s"""CREATE TABLE $cat.ttw (
+           |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE
+           |) USING `graft-manifest` TBLPROPERTIES ('keys' = 'o_orderkey')
+           |""".stripMargin)
+      GraftSql.execute(s,
+        s"INSERT INTO $cat.ttw SELECT * FROM s23_orders") // version 1
+      GraftSql.execute(s,
+        s"""MERGE INTO $cat.ttw AS t USING s23_src AS src
+           |ON t.o_orderkey = src.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin) // version 2
+      GraftSql.execute(s,
+        s"""SELECT o_orderkey, o_orderstatus, o_totalprice, 'pre' AS snap
+           |FROM $cat.ttw VERSION AS OF 1
+           |UNION ALL
+           |SELECT o_orderkey, o_orderstatus, o_totalprice, 'post' AS snap
+           |FROM $cat.ttw VERSION AS OF 2""".stripMargin)
+    }),
+
     // Conditional WHEN MATCHED clauses — the CDC op-routing idiom
     // (round 7): `WHEN MATCHED AND s.op = 'D' THEN DELETE / WHEN
     // MATCHED AND s.op = 'U' THEN UPDATE SET *` routes each matched
@@ -1579,6 +1620,23 @@ object PipelineQueries {
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)""".stripMargin,
+    "s23_sql_time_travel" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'T' AS o_orderstatus,
+        |    o_totalprice * 3 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, 'pre' AS snap
+        |FROM base
+        |UNION ALL
+        |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice,
+        |  'post' AS snap
+        |FROM base b
+        |WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, 'post' AS snap
+        |FROM upd""".stripMargin,
     "s21_merge_conditional" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

@@ -220,7 +220,8 @@ final class GraftManifestTable(tableSchema: StructType,
           GraftManifestSource.maxBatchesPerTrigger(options),
           GraftManifestSource.mapping(options),
           GraftManifestSource.versionAsOf(options),
-          GraftManifestSource.timestampAsOf(options))
+          GraftManifestSource.timestampAsOf(options),
+          GraftManifestSource.atManifestVersion(options))
     }
   }
 }
@@ -231,10 +232,11 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
                               maxBatches: Option[Int],
                               mapping: Option[Seq[SchemaLog.Col]] = None,
                               asOf: Option[Int] = None,
-                              asOfTs: Option[Long] = None)
+                              asOfTs: Option[Long] = None,
+                              atVersion: Option[Long] = None)
   extends Scan {
-  require(asOf.isEmpty || asOfTs.isEmpty,
-    "versionAsOf and timestampAsOf are mutually exclusive")
+  require(Seq(asOf, asOfTs, atVersion).count(_.isDefined) <= 1,
+    "versionAsOf, timestampAsOf, and atVersion are mutually exclusive")
   override def readSchema(): StructType = required
   override def description(): String =
     s"GraftManifestScan(root=$root, " +
@@ -252,9 +254,10 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
     private lazy val parts = {
       val manifest = new TxnManifest(manifestPath)
       val filters = if (mapping.isEmpty) pushed.toSeq else Nil
-      asOfTs match {
-        case Some(ts) =>
-          val version = manifest.versionAt(ts)
+      // atVersion = a MANIFEST version (DESCRIBE HISTORY's numbers —
+      // the SQL `VERSION AS OF` face); timestampAsOf resolves to one
+      atVersion.orElse(asOfTs.map(manifest.versionAt)) match {
+        case Some(version) =>
           val dirs = manifest.stateAt(version).toSeq
             .sortBy(_._1).flatMap(_._2).filter(_.startsWith(root + "/"))
           // same loud failure readCommittedAtVersion raises for this
@@ -283,8 +286,8 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-    require(asOf.isEmpty && asOfTs.isEmpty,
-      "versionAsOf/timestampAsOf are batch-read options; use " +
+    require(asOf.isEmpty && asOfTs.isEmpty && atVersion.isEmpty,
+      "versionAsOf/timestampAsOf/atVersion are batch-read options; use " +
         "startingBatchId on a stream")
     new GraftManifestMicroBatchStream(dataSchema, required, pushed,
       root, manifestPath, starting, maxBatches, mapping)
@@ -645,6 +648,12 @@ private[graft] object GraftManifestSource {
         t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
       }
     }
+
+  /** MANIFEST-version time travel (the numbers `DESCRIBE HISTORY` /
+    * `RESTORE TO VERSION AS OF` use; the SQL `VERSION AS OF` face set
+    * by [[graft.plans.GraftCatalog]]'s time-travel loadTable). */
+  def atManifestVersion(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("atVersion")).map(_.toLong)
 
   /** `changeFeed` option: ROW-LEVEL deltas (Delta `readChangeFeed`)
     * instead of batch contents — streaming tail or batch range. */

@@ -620,6 +620,44 @@ class SqlSurfaceSpec extends SparkSuite {
     GraftSql.execute(spark, "DROP TABLE gcat.bl")
   }
 
+  test("catalog SQL time travel: VERSION AS OF / TIMESTAMP AS OF") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    val wh = java.nio.file.Files.createTempDirectory("graft_tt_wh_").toString
+    spark.conf.set("spark.sql.catalog.gtt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtt.warehouse", wh)
+    GraftSql.execute(spark,
+      "CREATE TABLE gtt.t (id BIGINT, v STRING) USING `graft-manifest` " +
+        "TBLPROPERTIES ('keys' = 'id')")
+    GraftSql.execute(spark, "INSERT INTO gtt.t VALUES (1, 'a')") // v1
+    Seq((2L, "b")).toDF("id", "v").writeTo("gtt.t").append()     // v2
+    def ids(sql: String) =
+      spark.sql(sql).select("id").as[Long].collect().sorted.toSeq
+    assert(ids("SELECT * FROM gtt.t") == Seq(1L, 2L))
+    assert(ids("SELECT * FROM gtt.t VERSION AS OF 1") == Seq(1L))
+    assert(ids("SELECT * FROM gtt.t VERSION AS OF 2") == Seq(1L, 2L))
+    // TIMESTAMP AS OF resolves through the commit clock (claim-file
+    // mtimes, pinned here for determinism): 1.5 s lands between the
+    // two commits → the earlier one
+    val manPath = {
+      val f = new GraftCatalog
+      f.initialize("gtt2", new org.apache.spark.sql.util
+        .CaseInsensitiveStringMap(java.util.Map.of("warehouse", wh)))
+      f.entryFor("t").get.manifestPath
+    }
+    for ((v, t) <- Seq(1 -> 1000L, 2 -> 2000L))
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$manPath.v$v"),
+        java.nio.file.attribute.FileTime.fromMillis(t))
+    assert(ids("SELECT * FROM gtt.t TIMESTAMP AS OF '1970-01-01 00:00:01.5'")
+      == Seq(1L))
+    assert(ids("SELECT * FROM gtt.t TIMESTAMP AS OF '1970-01-01 00:00:02'")
+      == Seq(1L, 2L))
+    // out-of-range version fails loudly, not an empty table
+    intercept[Exception](
+      spark.sql("SELECT * FROM gtt.t VERSION AS OF 99").collect())
+    GraftSql.execute(spark, "DROP TABLE gtt.t")
+  }
+
   test("per-session register() exposes the same functions on a live session") {
     SimHash64.register(spark)
     TopKStructs.register(spark)
