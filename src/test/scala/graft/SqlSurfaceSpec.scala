@@ -658,6 +658,44 @@ class SqlSurfaceSpec extends SparkSuite {
     GraftSql.execute(spark, "DROP TABLE gtt.t")
   }
 
+  test("empty-state guards: OPTIMIZE on an empty table, timestampAsOf with no dirs under root") {
+    import graft.plans.{GraftSql, GraftSqlTables}
+    import graft.sources.{Sinks, TxnManifest}
+    // OPTIMIZE on a registered-but-never-committed table: a guided
+    // error, not an opaque empty-max crash
+    val tmp = java.nio.file.Files.createTempDirectory("sqlempty_").toString
+    GraftSqlTables.register("emp",
+      GraftSqlTables.Entry(s"$tmp/t", s"$tmp/_commits", keys = Seq("id")))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.execute(spark, "OPTIMIZE emp")
+      }
+      assert(e.getMessage.contains("nothing committed"))
+    } finally GraftSqlTables.unregister("emp")
+    // timestampAsOf resolving to a version with NO dirs under the
+    // requested root (a dual-root manifest whose root-b history
+    // starts LATER) fails with readCommittedAtVersion's loud error,
+    // never an empty scan that misreads "no table yet at that time"
+    // as "table was empty at that time"
+    val man = new TxnManifest(s"$tmp/_commits2")
+    Sinks.appendBatch(Seq((1L, "a")).toDF("id", "v"), s"$tmp/a", 0)
+    man.commit(0, Seq(s"$tmp/a/batch=0"))                 // version 1
+    Sinks.appendBatch(Seq((2L, "b")).toDF("id", "v"), s"$tmp/b", 1)
+    man.commit(1, Seq(s"$tmp/b/batch=1"))                 // version 2
+    for ((v, t) <- Seq(1 -> 1000L, 2 -> 2000L))
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$tmp/_commits2.v$v"),
+        java.nio.file.attribute.FileTime.fromMillis(t))
+    val e2 = intercept[IllegalStateException] {
+      spark.read.format("graft-manifest")
+        .option("manifest", s"$tmp/_commits2")
+        .option("timestampAsOf", "1500") // resolves to version 1
+        .load(s"$tmp/b")
+        .collect()
+    }
+    assert(e2.getMessage.contains("nothing committed under"))
+  }
+
   test("per-session register() exposes the same functions on a live session") {
     SimHash64.register(spark)
     TopKStructs.register(spark)
