@@ -21,10 +21,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ CleanseQueries.queries ++ PipelineQueries.queries ++
       DocQueries.queries ++ SimQueries.queries ++ ExtraQueries.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++ TpchQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ CleanseQueries.oracle ++ PipelineQueries.oracle ++
       DocQueries.oracle ++ SimQueries.oracle ++ ExtraQueries.oracle ++
-      CurationQueries.oracle
+      CurationQueries.oracle ++ TpchQueries.oracle
 }
