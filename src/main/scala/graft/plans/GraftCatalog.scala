@@ -28,11 +28,17 @@ import graft.util.AtomicText
   *   CREATE TABLE graft.wm (id BIGINT, v STRING) USING `graft-manifest`
   *     TBLPROPERTIES ('keys' = 'id' [, 'cdf' = 'true']
   *       [, 'deletionVectors' = 'true'] [, 'schemaEvolution' = 'true']
+  *       [, 'columnMapping' = 'true']
   *       [, 'path' = '<root>'] [, 'manifest' = '<commit file>'])
   *   INSERT INTO graft.wm ... / MERGE INTO graft.wm ... / OPTIMIZE graft.wm
+  *   ALTER TABLE graft.wm RENAME COLUMN v TO val     -- columnMapping only
   *   SELECT * FROM graft.wm
   *   DROP TABLE graft.wm
   * }}}
+  * `columnMapping` gives the table a [[graft.sources.SchemaLog]]:
+  * files carry immutable physical names, so ALTER TABLE
+  * RENAME/ADD/DROP COLUMN are metadata-only edits (see [[alterTable]])
+  * and every DML verb evaluates under the CURRENT logical names.
   * Table metadata (declared schema, root, manifest path, merge keys,
   * cdf/DV/evolution flags) persists as one small file per table under
   * `<warehouse>/_catalog/`, written with the same crash-atomic
@@ -120,7 +126,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         schemaEvolution = m.get("schemaEvolution").exists(_.toBoolean),
         schemaJson = m.get("schema"),
         bloomColumns = m.getOrElse("bloomColumns", "").split(',')
-          .map(_.trim).filter(_.nonEmpty).toSeq)
+          .map(_.trim).filter(_.nonEmpty).toSeq,
+        schemaLogPath = m.get("schemaLog"))
     }
 
   // ---- TableCatalog ---------------------------------------------
@@ -141,18 +148,27 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val name = requireSimpleName(ident)
     val meta = entryMeta(name)
       .getOrElse(throw new NoSuchTableException(ident))
-    val declared =
-      DataType.fromJson(meta("schema")).asInstanceOf[StructType]
     val root = meta("root")
     val manifest = meta("manifest")
-    // live schema wins (additive evolution shows up); the declared
-    // schema serves a created-but-not-yet-loaded table, so the first
-    // SELECT of an empty table returns zero rows, not an error
-    val schema = GraftManifestSource
-      .mergedSchemaOpt(SparkSession.active, root, manifest)
-      .getOrElse(declared)
+    // columnMapping tables: the SchemaLog is the schema authority —
+    // the CREATE-time declared schema is only its first version, and
+    // every read/write resolves through the log's current mapping
+    val schema = meta.get("schemaLog") match {
+      case Some(lp) =>
+        val (_, cols) = new graft.sources.SchemaLog(lp).current()
+        StructType(cols.map(c =>
+          org.apache.spark.sql.types.StructField(c.logical, c.dataType)))
+      case None =>
+        // live schema wins (additive evolution shows up); the declared
+        // schema serves a created-but-not-yet-loaded table, so the first
+        // SELECT of an empty table returns zero rows, not an error
+        GraftManifestSource
+          .mergedSchemaOpt(SparkSession.active, root, manifest)
+          .getOrElse(DataType.fromJson(meta("schema")).asInstanceOf[StructType])
+    }
     val opts = Map("path" -> root, "manifest" -> manifest) ++
-      meta.get("bloomColumns").filter(_.nonEmpty).map("bloomColumns" -> _)
+      meta.get("bloomColumns").filter(_.nonEmpty).map("bloomColumns" -> _) ++
+      meta.get("schemaLog").map("schemaLog" -> _)
     new GraftManifestTable(schema, new CaseInsensitiveStringMap(opts.asJava))
   }
 
@@ -194,11 +210,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalStateException(
         s"nothing committed under $root at manifest version $version")
     val (dataDirs, _) = graft.sources.Sinks.splitDv(dirs)
-    val schema = SparkSession.active.read
-      .option("mergeSchema", true).parquet(dataDirs: _*).schema
-    new GraftManifestTable(schema, new CaseInsensitiveStringMap(Map(
+    // a mapped table time-travels under its CURRENT logical names
+    // (the SchemaLog is not manifest-versioned — same rule as the
+    // change feed, which serves history under today's names); plain
+    // tables serve the HISTORICAL file schema
+    val schema = meta.get("schemaLog") match {
+      case Some(lp) =>
+        val (_, cols) = new graft.sources.SchemaLog(lp).current()
+        StructType(cols.map(c =>
+          org.apache.spark.sql.types.StructField(c.logical, c.dataType)))
+      case None =>
+        SparkSession.active.read
+          .option("mergeSchema", true).parquet(dataDirs: _*).schema
+    }
+    new GraftManifestTable(schema, new CaseInsensitiveStringMap((Map(
       "path" -> root, "manifest" -> manifest,
-      "atVersion" -> version.toString).asJava))
+      "atVersion" -> version.toString) ++
+      meta.get("schemaLog").map("schemaLog" -> _)).asJava))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -237,6 +265,21 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"graft catalog: bloomColumns column '$c' has unindexable type " +
           f.dataType.simpleString)
     }
+    // columnMapping: files carry immutable physical names resolved
+    // through a SchemaLog, which unlocks ALTER TABLE RENAME/ADD/DROP
+    // COLUMN as metadata-only edits (zero data rewritten)
+    val mapping = prop("columnMapping").exists(_.toBoolean)
+    if (mapping) {
+      require(bloomCols.isEmpty,
+        "graft catalog: columnMapping and bloomColumns are mutually " +
+          "exclusive — bloom sidecars index physical file columns the " +
+          "mapped scan does not consult")
+      require(!prop("schemaEvolution").exists(_.toBoolean),
+        "graft catalog: columnMapping and schemaEvolution are mutually " +
+          "exclusive — mapped tables evolve through ALTER TABLE ADD " +
+          "COLUMN, not write-side drift")
+    }
+    val schemaLogPath = if (mapping) Some(s"$root/_schema_log") else None
     val meta = Map(
       "schema" -> schema.json,
       "root" -> root,
@@ -246,18 +289,105 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "deletionVectors" -> prop("deletionVectors").exists(_.toBoolean).toString,
       "schemaEvolution" -> prop("schemaEvolution").exists(_.toBoolean).toString,
       "bloomColumns" -> bloomCols.mkString(","),
-      "external" -> external.toString)
+      "external" -> external.toString) ++
+      schemaLogPath.map("schemaLog" -> _)
     // exclusive create IS the exists check — two racing CREATEs
     // cannot both win, and neither can observe a torn file
     if (!AtomicText.createExclusive(metaPath(name), render(meta)))
       throw new TableAlreadyExistsException(ident)
+    // init the mapping only after winning the metadata race; an
+    // EXTERNAL table whose root already carries a log re-attaches to
+    // it (the log, not the CREATE statement, owns the evolved schema)
+    schemaLogPath.foreach { lp =>
+      val log = new graft.sources.SchemaLog(lp)
+      if (log.current()._2.isEmpty) log.init(schema)
+    }
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported — schema evolves " +
-        "additively through writes (mergeSchema) or SchemaLog mappings")
+  /** Column DDL on columnMapping tables — each change is one
+    * metadata-only [[graft.sources.SchemaLog]] edit (zero data files
+    * touched, Delta's columnMapping contract):
+    * {{{
+    *   ALTER TABLE graft.t RENAME COLUMN a TO b
+    *   ALTER TABLE graft.t ADD COLUMN c STRING
+    *   ALTER TABLE graft.t DROP COLUMN c
+    *   ALTER TABLE graft.t SET TBLPROPERTIES ('cdf' = 'true')
+    * }}}
+    * Renaming a merge-key column follows it into the table's `keys`.
+    * Property changes are limited to the behavior toggles the catalog
+    * understands; retype (UpdateColumnType) is deliberately rejected —
+    * the SchemaLog's no-silent-cast rule (widen by ADD + backfill).
+    * Non-mapped tables reject column DDL with guidance: physical file
+    * columns ARE their names there, so a rename would need a rewrite. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val name = requireSimpleName(ident)
+    val meta = entryMeta(name)
+      .getOrElse(throw new NoSuchTableException(ident))
+    def log = new graft.sources.SchemaLog(meta.getOrElse("schemaLog",
+      throw new UnsupportedOperationException(
+        "graft catalog: column DDL needs a columnMapping table — " +
+          "CREATE TABLE ... TBLPROPERTIES ('columnMapping' = 'true'); " +
+          "this table's files carry logical names, so a rename would " +
+          "rewrite data (schema still evolves additively through writes)")))
+    val behaviorProps = Set("cdf", "deletionVectors", "schemaEvolution")
+    var newMeta = meta
+    def single(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"graft catalog: nested-column $what is not supported " +
+          s"(got ${fieldNames.mkString(".")})")
+      fieldNames.head
+    }
+    def keysOf(m: Map[String, String]): Seq[String] =
+      m.getOrElse("keys", "").split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        val from = single(r.fieldNames(), "rename")
+        log.rename(from, r.newName())
+        val ks = keysOf(newMeta)
+        if (ks.exists(_.equalsIgnoreCase(from)))
+          newMeta += ("keys" -> ks.map(k =>
+            if (k.equalsIgnoreCase(from)) r.newName() else k).mkString(","))
+      case a: TableChange.AddColumn =>
+        require(a.position() == null,
+          "graft catalog: ADD COLUMN FIRST/AFTER is not supported — " +
+            "column order is the mapping's add order")
+        log.add(single(a.fieldNames(), "add"), a.dataType())
+      case d: TableChange.DeleteColumn =>
+        val c = single(d.fieldNames(), "drop")
+        require(!keysOf(newMeta).exists(_.equalsIgnoreCase(c)),
+          s"graft catalog: cannot DROP merge-key column '$c' — row " +
+            "identity would be undefined; change keys first")
+        log.drop(c)
+      case sp: TableChange.SetProperty =>
+        require(behaviorProps.contains(sp.property()),
+          s"graft catalog: ALTER ... SET TBLPROPERTIES supports only " +
+            s"${behaviorProps.mkString(", ")}; '${sp.property()}' is " +
+            "CREATE-time-only")
+        require(sp.value() == "true" || sp.value() == "false",
+          s"graft catalog: property '${sp.property()}' takes " +
+            s"'true'/'false', got '${sp.value()}'")
+        require(!(sp.property() == "schemaEvolution" && sp.value() == "true" &&
+            meta.contains("schemaLog")),
+          "graft catalog: columnMapping and schemaEvolution are mutually " +
+            "exclusive — mapped tables evolve through ALTER TABLE ADD COLUMN")
+        newMeta += (sp.property() -> sp.value())
+      case rp: TableChange.RemoveProperty =>
+        require(behaviorProps.contains(rp.property()),
+          s"graft catalog: ALTER ... UNSET TBLPROPERTIES supports only " +
+            s"${behaviorProps.mkString(", ")}")
+        newMeta += (rp.property() -> "false")
+      case c => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change " +
+          s"${c.getClass.getSimpleName} — supported: RENAME COLUMN, " +
+          "ADD COLUMN, DROP COLUMN (columnMapping tables), and " +
+          "SET/UNSET TBLPROPERTIES for the behavior toggles; retype is " +
+          "deliberately rejected (widen by ADD + backfill)")
+    }
+    if (newMeta != meta)
+      AtomicText.writeAtomically(metaPath(name), render(newMeta))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val name = requireSimpleName(ident)

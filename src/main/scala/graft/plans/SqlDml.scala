@@ -73,7 +73,8 @@ object GraftSqlTables {
                          deletionVectors: Boolean = false,
                          schemaEvolution: Boolean = false,
                          schemaJson: Option[String] = None,
-                         bloomColumns: Seq[String] = Nil)
+                         bloomColumns: Seq[String] = Nil,
+                         schemaLogPath: Option[String] = None)
 
   private val tables =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -349,7 +350,16 @@ object GraftDml {
       // what an alias-free statement's references resolve against)
       val tA = targetAlias.getOrElse(table.split('.').last)
       val sQ = srcAlias.getOrElse(srcName)
-      val tgt = Sinks.readCommitted(spark, entry.root, man)
+      // a columnMapping table merges in LOGICAL space — the statement
+      // keeps working across renames — and translates to physical
+      // names only at the Sinks.merge boundary (the file layer)
+      val mapLog = mappedLogOf(table, entry)
+      val tgt = mapLog match {
+        case Some(log) =>
+          graft.sources.SchemaLog.readCommittedMapped(spark, entry.root,
+            man, log)
+        case None => Sinks.readCommitted(spark, entry.root, man)
+      }
       lazy val tgtKeys = tgt.select(keyCols: _*).distinct()
       // SET * / INSERT * resolve against the TARGET's columns: a
       // source-only column (an op flag) must not silently evolve the
@@ -476,12 +486,25 @@ object GraftDml {
       }
       val ups = Seq(updArm, inserts, bySrcUpd).flatten
         .reduceOption(_.unionByName(_, allowMissingColumns = true))
-      Sinks.merge(spark, ups, delKeys, entry.root, man, keys, mergeId,
-        cdf = entry.cdf)
+      mapLog match {
+        case None =>
+          Sinks.merge(spark, ups, delKeys, entry.root, man, keys, mergeId,
+            cdf = entry.cdf)
+        case Some(log) =>
+          val phys = physicalizer(table, log)
+          Sinks.merge(spark, ups.map(phys.frame), delKeys.map(phys.frame),
+            entry.root, man, keys.map(phys.column), mergeId, cdf = entry.cdf)
+      }
     case GraftUpdateSpec(table, entry, assigns, condSql) =>
       val man = new TxnManifest(entry.manifestPath)
       val mergeId = nextBatchId(man)
-      val cur = Sinks.readCommitted(spark, entry.root, man)
+      val mapLog = mappedLogOf(table, entry)
+      val cur = mapLog match {
+        case Some(log) =>
+          graft.sources.SchemaLog.readCommittedMapped(spark, entry.root,
+            man, log)
+        case None => Sinks.readCommitted(spark, entry.root, man)
+      }
       assigns.foreach { case (c, _) =>
         require(cur.columns.exists(_.equalsIgnoreCase(c)),
           s"UPDATE $table: SET names unknown column '$c' " +
@@ -499,32 +522,83 @@ object GraftDml {
       // row (`SET a = b, b = a` swaps), so all expressions project in
       // ONE select over the original frame, never a sequential fold
       val matched = condSql.fold(cur)(c => cur.where(expr(c)))
-      val ups = matched.select(matched.columns.map { c =>
+      val ups0 = matched.select(matched.columns.map { c =>
         assigns.find(_._1.equalsIgnoreCase(c))
           .map { case (_, v) => expr(v).as(c) }
           .getOrElse(col(c))
       }.toIndexedSeq: _*)
+      val (ups, physKeys) = mapLog match {
+        case None => (ups0, entry.keys)
+        case Some(log) =>
+          val phys = physicalizer(table, log)
+          (phys.frame(ups0), entry.keys.map(phys.column))
+      }
       // deletionVectors registration makes UPDATE merge-on-read too:
       // old versions vectored, new versions appended, O(changed rows)
       if (entry.deletionVectors)
-        Sinks.mergeUpdateDV(spark, ups, entry.root, man, entry.keys, mergeId,
+        Sinks.mergeUpdateDV(spark, ups, entry.root, man, physKeys, mergeId,
           cdf = entry.cdf)
       else
-        Sinks.mergeUpsert(spark, ups, entry.root, man, entry.keys, mergeId,
+        Sinks.mergeUpsert(spark, ups, entry.root, man, physKeys, mergeId,
           cdf = entry.cdf)
-    case GraftDeleteSpec(_, entry, condSql) =>
+    case GraftDeleteSpec(table, entry, condSql) =>
       val man = new TxnManifest(entry.manifestPath)
       val mergeId = nextBatchId(man)
-      val delKeys = Sinks.readCommitted(spark, entry.root, man)
-        .where(expr(condSql))
+      val mapLog = mappedLogOf(table, entry)
+      val cur = mapLog match {
+        case Some(log) =>
+          graft.sources.SchemaLog.readCommittedMapped(spark, entry.root,
+            man, log)
+        case None => Sinks.readCommitted(spark, entry.root, man)
+      }
+      val delKeys0 = cur.where(expr(condSql))
         .select(entry.keys.map(col): _*).distinct()
+      val (delKeys, physKeys) = mapLog match {
+        case None => (delKeys0, entry.keys)
+        case Some(log) =>
+          val phys = physicalizer(table, log)
+          (phys.frame(delKeys0), entry.keys.map(phys.column))
+      }
       if (entry.deletionVectors)
-        Sinks.mergeDeleteDV(spark, delKeys, entry.root, man, entry.keys,
+        Sinks.mergeDeleteDV(spark, delKeys, entry.root, man, physKeys,
           mergeId, cdf = entry.cdf)
       else
-        Sinks.mergeDelete(spark, delKeys, entry.root, man, entry.keys, mergeId,
+        Sinks.mergeDelete(spark, delKeys, entry.root, man, physKeys, mergeId,
           cdf = entry.cdf)
   }
+
+  /** The table's live [[graft.sources.SchemaLog]], when it is a
+    * columnMapping table. DML on mapped tables evaluates in LOGICAL
+    * space and physicalizes at the sink boundary; schema-evolution
+    * drift cannot combine with a mapping (the catalog rejects the
+    * combination at CREATE, re-checked here for programmatic
+    * registrations). */
+  private def mappedLogOf(table: String, entry: GraftSqlTables.Entry)
+    : Option[graft.sources.SchemaLog] =
+    entry.schemaLogPath.map { p =>
+      require(!entry.schemaEvolution,
+        s"$table: columnMapping and schemaEvolution are mutually " +
+          "exclusive — mapped tables evolve through ALTER TABLE ADD COLUMN")
+      new graft.sources.SchemaLog(p)
+    }
+
+  /** Logical → physical renames against one snapshot of the mapping
+    * (one `current()` read per statement, so a concurrent rename
+    * cannot split a statement across two schema versions). */
+  private final case class Physicalizer(table: String,
+                                        cols: Seq[graft.sources.SchemaLog.Col]) {
+    def column(c: String): String =
+      cols.find(_.logical.equalsIgnoreCase(c)).map(_.physical)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$table: column '$c' is not in the table's column mapping " +
+            s"(have: ${cols.map(_.logical).mkString(", ")})"))
+    def frame(df: DataFrame): DataFrame =
+      df.select(df.columns.map(c => col(c).as(column(c))).toIndexedSeq: _*)
+  }
+
+  private def physicalizer(table: String,
+                           log: graft.sources.SchemaLog): Physicalizer =
+    Physicalizer(table, log.current()._2)
 
   private def nextBatchId(man: TxnManifest): Int = {
     val ids = man.committed().keySet
@@ -623,6 +697,36 @@ final case class GraftInsertCommand(table: String,
     val batchId = if (ids.isEmpty) 0 else ids.max + 1
     val src = spark.sql(selectSql)
     val existing = man.committedDirs(entry.root)
+    // a columnMapping table aligns positionally to the LOG's logical
+    // schema (the authority across renames/adds/drops) and
+    // physicalizes just before the files; the mapped scan ignores
+    // stats sidecars, so the plain append suffices
+    entry.schemaLogPath.map(new graft.sources.SchemaLog(_)) match {
+      case Some(log) =>
+        val (_, cols) = log.current()
+        require(src.columns.length == cols.length,
+          s"INSERT into $table: query produces ${src.columns.length} " +
+            s"column(s), table has ${cols.length} " +
+            s"(${cols.map(_.logical).mkString(", ")})")
+        val aligned = cols.foldLeft(
+          src.toDF(cols.map(_.logical).toIndexedSeq: _*)) { (df, c) =>
+          df.withColumn(c.logical, col(c.logical).cast(c.dataType))
+        }
+        val physical = aligned.select(cols.map(c =>
+          col(c.logical).as(c.physical)).toIndexedSeq: _*)
+        if (overwrite)
+          Sinks.insertOverwrite(spark, physical, entry.root, man, batchId)
+        else {
+          // stats sidecars carry PHYSICAL names; the mapped scan
+          // translates its pushed filters to match, so data skipping
+          // holds on mapped tables too
+          graft.sources.StatsSinks.appendBatchStats(physical, entry.root,
+            batchId)
+          man.commit(batchId, Seq(s"${entry.root}/batch=$batchId"))
+        }
+        return Seq.empty
+      case None =>
+    }
     if (existing.nonEmpty) {
       val cur = Sinks.readCommitted(spark, entry.root, man)
       require(src.columns.length == cur.columns.length,
@@ -754,11 +858,25 @@ final case class GraftOptimizeCommand(table: String,
         else fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
       }.sum
     val numFiles = math.max(1, (bytes / (128L * 1024 * 1024)).toInt)
-    if (zorderCols.isEmpty)
+    // a columnMapping table's files carry physical names — the
+    // statement's ZORDER columns are logical, translated through the
+    // same snapshot rule DML uses
+    val physCols = entry.schemaLogPath match {
+      case None => zorderCols
+      case Some(p) =>
+        val cols = new graft.sources.SchemaLog(p).current()._2
+        zorderCols.map(c =>
+          cols.find(_.logical.equalsIgnoreCase(c)).map(_.physical)
+            .getOrElse(throw new IllegalArgumentException(
+              s"OPTIMIZE $table: ZORDER column '$c' is not in the " +
+                s"table's column mapping " +
+                s"(have: ${cols.map(_.logical).mkString(", ")})")))
+    }
+    if (physCols.isEmpty)
       Sinks.compact(spark, entry.root, man, compactId, numFiles)
     else
       Sinks.compactZOrderedIncremental(spark, entry.root, man, compactId,
-        zorderCols.map(col), numFiles)
+        physCols.map(col), numFiles)
     Seq.empty
   }
 }

@@ -673,6 +673,61 @@ object PipelineQueries {
            |FROM $cat.ttw VERSION AS OF 2""".stripMargin)
     }),
 
+    // ALTER TABLE column DDL through the catalog (round 7
+    // continuation): a columnMapping table renames/adds columns as
+    // metadata-only SchemaLog edits — zero data files rewritten — and
+    // every DML verb keeps working under the CURRENT names.
+    // Lifecycle, all SQL text: CREATE mapped → INSERT → RENAME
+    // o_totalprice→price → MERGE (column-level update under the NEW
+    // name + inserts, evaluated in logical space) → ADD COLUMN note →
+    // INSERT carrying it → SELECT under the evolved schema (pre-ADD
+    // rows serve NULL note). The oracle predicts the final state.
+    "s24_sql_alter" -> ((s, d) => {
+      import graft.plans.GraftSql
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      o.createOrReplaceTempView("s24_orders")
+      o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").as("price"),
+          (col("o_totalprice") * 0.5).as("delta"))
+        .unionAll(o.filter(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"),
+            col("o_totalprice").as("price"), lit(0.0).as("delta")))
+        .createOrReplaceTempView("s24_src")
+      o.filter(col("o_orderkey") % 500 === 0)
+        .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+          lit("Z").as("o_orderstatus"), col("o_totalprice").as("price"),
+          lit("late").as("note"))
+        .createOrReplaceTempView("s24_ins")
+      val cat = "graft"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.plans.GraftCatalog].getName)
+      if (s.conf.getOption(s"spark.sql.catalog.$cat.warehouse").isEmpty)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_s24_wh_").toString)
+      GraftSql.execute(s, s"DROP TABLE IF EXISTS $cat.alt")
+      GraftSql.execute(s,
+        s"""CREATE TABLE $cat.alt (
+           |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE
+           |) USING `graft-manifest`
+           |TBLPROPERTIES ('keys' = 'o_orderkey', 'columnMapping' = 'true')
+           |""".stripMargin)
+      GraftSql.execute(s, s"INSERT INTO $cat.alt SELECT * FROM s24_orders")
+      GraftSql.execute(s,
+        s"ALTER TABLE $cat.alt RENAME COLUMN o_totalprice TO price")
+      GraftSql.execute(s,
+        s"""MERGE INTO $cat.alt AS t USING s24_src AS src
+           |ON t.o_orderkey = src.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET t.price = t.price + src.delta
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      GraftSql.execute(s, s"ALTER TABLE $cat.alt ADD COLUMN note STRING")
+      GraftSql.execute(s, s"INSERT INTO $cat.alt SELECT * FROM s24_ins")
+      GraftSql.execute(s,
+        s"SELECT o_orderkey, o_orderstatus, price, note FROM $cat.alt")
+    }),
+
     // Conditional WHEN MATCHED clauses — the CDC op-routing idiom
     // (round 7): `WHEN MATCHED AND s.op = 'D' THEN DELETE / WHEN
     // MATCHED AND s.op = 'U' THEN UPDATE SET *` routes each matched
@@ -1620,6 +1675,24 @@ object PipelineQueries {
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)""".stripMargin,
+    "s24_sql_alter" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+        |  FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN price + price * 0.5
+        |         ELSE price END AS price
+        |  FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', price
+        |  FROM base WHERE o_orderkey % 1000 = 0)
+        |SELECT o_orderkey, o_orderstatus, price,
+        |  CAST(NULL AS VARCHAR) AS note
+        |FROM merged
+        |UNION ALL
+        |SELECT o_orderkey + 20000000, 'Z', price, 'late'
+        |FROM base WHERE o_orderkey % 500 = 0""".stripMargin,
     "s23_sql_time_travel" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

@@ -114,19 +114,24 @@ final class GraftManifestTable(tableSchema: StructType,
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
     : org.apache.spark.sql.connector.write.WriteBuilder = {
-    // the sink writes the query's column names verbatim; writing into a
-    // MAPPED table that way would put logical names in files and break
-    // the mapping invariant silently — fail loudly instead
-    if (options.containsKey("schemaLog"))
-      throw new UnsupportedOperationException(
-        "graft-manifest sink does not write through a schemaLog mapping; " +
-          "use SchemaLog.appendBatchMapped (or drop the schemaLog option)")
+    // a MAPPED table's batch writes translate logical → physical names
+    // through the SchemaLog before anything reaches a file (writing
+    // the query's names verbatim would break the mapping invariant
+    // silently); the STREAMING write keeps rejecting below — its
+    // per-epoch schema is fixed at stream start, so a rename mid-
+    // stream would fork columns
+    val mappedLog: Option[SchemaLog] =
+      Option(options.get("schemaLog")).map(new SchemaLog(_))
     // opt-in per-epoch bloom indexing (Delta's bloomFilterIndex shape,
     // declared at the sink): validate names and types NOW, at plan
     // time — a bad column must not fail the first epoch's commit
     val bloomCols: Seq[String] =
       Option(options.get("bloomColumns")).toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    require(mappedLog.isEmpty || bloomCols.isEmpty,
+      "graft-manifest: bloomColumns and schemaLog are mutually exclusive " +
+        "— bloom sidecars index physical file columns the mapped scan " +
+        "does not consult")
     bloomCols.foreach { c =>
       val f = info.schema().fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
@@ -156,20 +161,45 @@ final class GraftManifestTable(tableSchema: StructType,
                 val man = new TxnManifest(manifestPath)
                 val ids = man.committed().keySet
                 val batchId = if (ids.isEmpty) 0 else ids.max + 1
+                // mapped tables: logical → physical at the last moment
+                // before files; the mapped scan ignores stats sidecars
+                // (their filters are physical-name), so the plain
+                // append suffices
+                val frame = mappedLog match {
+                  case None => data
+                  case Some(log) =>
+                    val (_, cols) = log.current()
+                    val missing =
+                      cols.map(_.logical).toSet -- data.columns.toSet
+                    require(missing.isEmpty,
+                      s"graft-manifest mapped write is missing logical " +
+                        s"columns $missing")
+                    data.select(cols.map(c => org.apache.spark.sql
+                      .functions.col(c.logical).as(c.physical)): _*)
+                }
                 if (overwrite || legacyOverwrite)
-                  Sinks.insertOverwrite(data.sparkSession, data, root, man,
+                  Sinks.insertOverwrite(data.sparkSession, frame, root, man,
                     batchId)
                 else {
-                  StatsSinks.appendBatchStats(data, root, batchId,
+                  // stats sidecars carry PHYSICAL names on mapped
+                  // tables; the scan translates its filters to match
+                  StatsSinks.appendBatchStats(frame, root, batchId,
                     bloomColumns = bloomCols)
                   man.commit(batchId, Seq(s"$root/batch=$batchId"))
                 }
               }
             }
           override def toStreaming
-            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            if (mappedLog.isDefined)
+              throw new UnsupportedOperationException(
+                "graft-manifest streaming sink does not write through a " +
+                  "schemaLog mapping — a rename mid-stream would fork " +
+                  "columns; use SchemaLog.appendBatchMapped per batch " +
+                  "(or drop the schemaLog option)")
             new GraftManifestStreamingWrite(root, manifestPath, info.schema(),
               info.queryId(), bloomCols)
+          }
         }
     }
   }
@@ -253,7 +283,12 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
     // until compaction/vacuum collapse the history horizon)
     private lazy val parts = {
       val manifest = new TxnManifest(manifestPath)
-      val filters = if (mapping.isEmpty) pushed.toSeq else Nil
+      // mapped tables: translate the filters' names to their physical
+      // twins so sidecar stats/bloom skipping holds there too
+      val filters = mapping match {
+        case None       => pushed.toSeq
+        case Some(cols) => GraftManifestSource.translateFilters(pushed.toSeq, cols)
+      }
       // atVersion = a MANIFEST version (DESCRIBE HISTORY's numbers —
       // the SQL `VERSION AS OF` face); timestampAsOf resolves to one
       atVersion.orElse(asOfTs.map(manifest.versionAt)) match {
@@ -449,7 +484,10 @@ class GraftManifestMicroBatchStream(dataSchema: StructType,
         "stream cannot express row removal; subscribe with " +
         ".option(\"changeFeed\", \"true\") for row-level deltas"))
     GraftManifestSource.partitionsFor(manifest, root, idOf(start), idOf(end),
-      if (mapping.isEmpty) pushed.toSeq else Nil)
+      mapping match {
+        case None       => pushed.toSeq
+        case Some(cols) => GraftManifestSource.translateFilters(pushed.toSeq, cols)
+      })
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -786,6 +824,39 @@ private[graft] object GraftManifestSource {
     else Some(spark.read.option("mergeSchema", true).parquet(dirs: _*).schema)
   }
 
+  /** Pushed filters with attribute names translated logical →
+    * physical through a column mapping, so stats / bloom / row-group
+    * skipping hold on MAPPED tables too. A filter touching a name
+    * without a mapping (or an unknown filter shape) is DROPPED, never
+    * mistranslated — skipping is best-effort and Spark re-evaluates
+    * every filter post-scan. */
+  def translateFilters(pushed: Seq[Filter],
+                       cols: Seq[SchemaLog.Col]): Seq[Filter] = {
+    val m = cols.map(c => c.logical -> c.physical).toMap
+    import org.apache.spark.sql.sources._
+    def rename(f: Filter): Option[Filter] = f match {
+      case EqualTo(a, v)            => m.get(a).map(EqualTo(_, v))
+      case EqualNullSafe(a, v)      => m.get(a).map(EqualNullSafe(_, v))
+      case GreaterThan(a, v)        => m.get(a).map(GreaterThan(_, v))
+      case GreaterThanOrEqual(a, v) => m.get(a).map(GreaterThanOrEqual(_, v))
+      case LessThan(a, v)           => m.get(a).map(LessThan(_, v))
+      case LessThanOrEqual(a, v)    => m.get(a).map(LessThanOrEqual(_, v))
+      case In(a, vs)                => m.get(a).map(In(_, vs))
+      case IsNull(a)                => m.get(a).map(IsNull(_))
+      case IsNotNull(a)             => m.get(a).map(IsNotNull(_))
+      case StringStartsWith(a, v)   => m.get(a).map(StringStartsWith(_, v))
+      case StringEndsWith(a, v)     => m.get(a).map(StringEndsWith(_, v))
+      case StringContains(a, v)     => m.get(a).map(StringContains(_, v))
+      case And(l, r) =>
+        for { ll <- rename(l); rr <- rename(r) } yield And(ll, rr)
+      case Or(l, r) =>
+        for { ll <- rename(l); rr <- rename(r) } yield Or(ll, rr)
+      case Not(c) => rename(c).map(Not(_))
+      case _      => None
+    }
+    pushed.flatMap(rename(_).toSeq)
+  }
+
   /** True when the filter (or any branch of it) is a membership probe
     * a [[BloomIndex]] sidecar could answer — the gate that keeps
     * range-only scans from paying the bloom deserialization. */
@@ -964,10 +1035,10 @@ private[graft] object GraftManifestSource {
     * schemas translate to their physical twins for the parquet reader
     * — rows come back positionally identical, so only the NAMES
     * change, and the DSv2 engine consumes them under `readSchema()`'s
-    * logical names. Filter pushdown is skipped when mapped (filters
-    * reference logical names the files do not carry; Spark still
-    * evaluates every filter post-scan, so this costs row-group skips,
-    * never correctness). */
+    * logical names. Filters translate through the same mapping
+    * ([[translateFilters]]) so parquet row-group/page skipping holds
+    * on mapped tables too; an untranslatable filter is dropped, never
+    * mistranslated (Spark re-evaluates every filter post-scan). */
   def mappedReaderFactory(spark: SparkSession, dataSchema: StructType,
                           required: StructType, pushed: Array[Filter],
                           mapping: Option[Seq[SchemaLog.Col]],
@@ -983,7 +1054,7 @@ private[graft] object GraftManifestSource {
           f.copy(name = c.physical)
         })
         readerFactory(spark, physical(dataSchema), physical(required),
-          Array.empty, allowColumnar)
+          translateFilters(pushed.toSeq, cols).toArray, allowColumnar)
     }
 
   /** Driver-side build of Spark's parquet decode closure; serialized

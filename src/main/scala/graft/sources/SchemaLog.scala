@@ -104,14 +104,16 @@ object SchemaLog {
 
   /** Write one batch through the mapping: `df` carries LOGICAL names
     * (any subset order, all current columns required), files carry
-    * physical ones. */
+    * physical ones — with their [[BatchStats]] sidecar (physical
+    * names; the mapped scan translates its filters to match, so data
+    * skipping holds on mapped tables). */
   def appendBatchMapped(df: DataFrame, root: String, log: SchemaLog,
                         batchId: Int): Unit = {
     val (_, cols) = log.current()
     require(cols.nonEmpty, "schema log not initialized")
     val missing = cols.map(_.logical).toSet -- df.columns.toSet
     require(missing.isEmpty, s"batch is missing logical columns $missing")
-    Sinks.appendBatch(
+    StatsSinks.appendBatchStats(
       df.select(cols.map(c => col(c.logical).as(c.physical)): _*),
       root, batchId)
   }

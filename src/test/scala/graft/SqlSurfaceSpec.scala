@@ -696,6 +696,105 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(e2.getMessage.contains("nothing committed under"))
   }
 
+  test("GraftCatalog columnMapping: ALTER COLUMN DDL, DML in logical space") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files.createTempDirectory("graft_alter_wh_").toString
+    spark.conf.set("spark.sql.catalog.galt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.galt.warehouse", wh)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS galt.m")
+    GraftSql.execute(spark,
+      """CREATE TABLE galt.m (id BIGINT, v STRING, amt DOUBLE)
+        |USING `graft-manifest`
+        |TBLPROPERTIES ('keys' = 'id', 'columnMapping' = 'true')""".stripMargin)
+    spark.range(0, 10)
+      .selectExpr("id", "concat('v', id) AS v", "CAST(id AS DOUBLE) AS amt")
+      .createOrReplaceTempView("galt_src")
+    GraftSql.execute(spark, "INSERT INTO galt.m SELECT * FROM galt_src")
+    // the mapping invariant: files carry PHYSICAL names only
+    val fileCols = spark.read.parquet(s"$wh/m/batch=0").columns.toSet
+    assert(fileCols == Set("p0", "p1", "p2"), s"files carry $fileCols")
+    assert(spark.sql("SELECT id, v, amt FROM galt.m").count() == 10)
+
+    // RENAME COLUMN: metadata-only — zero data bytes change
+    val batch0 = new java.io.File(s"$wh/m/batch=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    spark.sql("ALTER TABLE galt.m RENAME COLUMN amt TO amount")
+    val batch0b = new java.io.File(s"$wh/m/batch=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(batch0 == batch0b, "rename touched data files")
+    assert(spark.sql("SELECT amount FROM galt.m").count() == 10)
+
+    // MERGE under the NEW name: logical-space evaluation, one commit
+    spark.range(0, 3).selectExpr("id", "CAST(100 AS DOUBLE) AS amount")
+      .createOrReplaceTempView("galt_upd")
+    GraftSql.execute(spark,
+      """MERGE INTO galt.m AS t USING galt_upd AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.amount = s.amount + t.amount""".stripMargin)
+    val merged = spark.sql("SELECT id, amount FROM galt.m ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(merged(1L) == 101.0 && merged(5L) == 5.0, s"merged: $merged")
+
+    // ADD COLUMN: old rows serve NULL, new INSERT carries it
+    spark.sql("ALTER TABLE galt.m ADD COLUMN note STRING")
+    spark.range(100, 102)
+      .selectExpr("id", "concat('n', id) AS v", "CAST(0 AS DOUBLE) AS amount",
+        "'fresh' AS note")
+      .createOrReplaceTempView("galt_src2")
+    GraftSql.execute(spark, "INSERT INTO galt.m SELECT * FROM galt_src2")
+    val notes = spark.sql("SELECT note FROM galt.m").collect().map(_.getString(0))
+    assert(notes.count(_ == null) == 10 && notes.count(_ == "fresh") == 2)
+
+    // SQL UPDATE and DELETE evaluate logical names
+    GraftSql.execute(spark,
+      "UPDATE galt.m SET note = 'old' WHERE amount > 100.0")
+    GraftSql.execute(spark, "DELETE FROM galt.m WHERE id = 101")
+    val after = spark.sql("SELECT id, note FROM galt.m").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after(1L) == "old" && after(100L) == "fresh" && !after.contains(101L))
+
+    // DROP COLUMN, then re-ADD: fresh physical id — dropped data is
+    // NOT resurrected (the mergeSchema hazard the mapping removes)
+    spark.sql("ALTER TABLE galt.m DROP COLUMN v")
+    assert(!spark.table("galt.m").columns.contains("v"))
+    spark.sql("ALTER TABLE galt.m ADD COLUMN v STRING")
+    assert(spark.sql("SELECT v FROM galt.m").collect().forall(_.isNullAt(0)))
+
+    // OPTIMIZE ZORDER takes logical names on mapped tables
+    GraftSql.execute(spark, "OPTIMIZE galt.m ZORDER BY (amount)")
+    assert(spark.sql("SELECT id FROM galt.m").count() == 11)
+
+    // loud rejections: key drop, retype, nested, non-mapped table
+    val eKey = intercept[Exception] {
+      spark.sql("ALTER TABLE galt.m DROP COLUMN id") }
+    assert(eKey.getMessage.contains("merge-key"))
+    val eType = intercept[Exception] {
+      spark.sql("ALTER TABLE galt.m ALTER COLUMN amount TYPE STRING") }
+    assert(eType.getMessage.contains("retype") ||
+      eType.getMessage.contains("Unsupported"), eType.getMessage)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS galt.plain")
+    GraftSql.execute(spark,
+      """CREATE TABLE galt.plain (id BIGINT, v STRING) USING `graft-manifest`
+        |TBLPROPERTIES ('keys' = 'id')""".stripMargin)
+    val ePlain = intercept[Exception] {
+      spark.sql("ALTER TABLE galt.plain RENAME COLUMN v TO w") }
+    assert(ePlain.getMessage.contains("columnMapping"), ePlain.getMessage)
+    // behavior toggles flow through SET TBLPROPERTIES on any table
+    spark.sql("ALTER TABLE galt.plain SET TBLPROPERTIES ('cdf' = 'true')")
+    val fresh = new GraftCatalog
+    fresh.initialize("galt", new org.apache.spark.sql.util
+      .CaseInsensitiveStringMap(java.util.Map.of("warehouse", wh)))
+    assert(fresh.entryFor("plain").exists(_.cdf))
+    val eProp = intercept[Exception] {
+      spark.sql("ALTER TABLE galt.plain SET TBLPROPERTIES ('keys' = 'v')") }
+    assert(eProp.getMessage.contains("CREATE-time-only"), eProp.getMessage)
+    // mapped streaming sink still rejects loudly
+    val log = fresh.entryFor("m").flatMap(_.schemaLogPath)
+    assert(log.isDefined)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS galt.plain")
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS galt.m")
+  }
+
   test("per-session register() exposes the same functions on a live session") {
     SimHash64.register(spark)
     TopKStructs.register(spark)

@@ -246,6 +246,43 @@ class StatsSpec extends SparkSuite {
     assert(!BatchStats.mayMatch(bounds, Seq(EqualTo("name", "￿￿"))))
   }
 
+  test("data skipping holds through a schemaLog mapping (filters translate)") {
+    // a mapped table's stats sidecars carry PHYSICAL names; the scan
+    // must translate its logical pushed filters so files still prune —
+    // a mapped table losing skipping is a silent 100×-scan regression
+    import graft.sources.SchemaLog
+    val (root, manPath, man) = freshTable("stats_mapped_")
+    val logPath = s"$root/_schema_log"
+    val log = new SchemaLog(logPath)
+    log.init(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType))))
+    // two disjoint-range single-file batches → disjoint id bounds
+    SchemaLog.appendBatchMapped(
+      (0L until 100L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1),
+      root, log, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+    SchemaLog.appendBatchMapped(
+      (1000L until 1100L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1),
+      root, log, 1)
+    man.commit(1, Seq(s"$root/batch=1"))
+    def mapped = spark.read.format("graft-manifest")
+      .option("manifest", manPath).option("schemaLog", logPath).load(root)
+    // the LOGICAL filter prunes down to one file
+    assert(scanFiles(mapped.where($"id" >= 1000L)) == 1L)
+    assert(mapped.where($"id" >= 1000L).count() == 100L)
+    // after a metadata-only RENAME the new name prunes identically
+    log.rename("id", "doc_id")
+    assert(scanFiles(mapped.where($"doc_id" < 100L)) == 1L)
+    assert(mapped.where($"doc_id" < 100L).count() == 100L)
+    // correctness under a filter that cannot translate post-drop:
+    // dropped column's stats never consulted, rows still exact
+    log.rename("doc_id", "id")
+    assert(mapped.where($"id" === 50L).count() == 1L)
+  }
+
   test("Infinity/NaN in double data never crashes a filtered scan") {
     // a column containing +/-Infinity gets infinite footer bounds —
     // the sidecar must poison that column (no pruning), and any
