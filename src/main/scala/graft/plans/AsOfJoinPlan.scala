@@ -170,6 +170,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // per-join width: the RANGE_JOIN(w) hint — analyzer-time, because
     // unrecognized hints are stripped before the optimizer runs
     ext.injectResolutionRule(_ => RangeJoinHint)
+    // (Delta's table_changes TVF substitutes inside the injected
+    // parser — see TableChangesSubstitution: analysis rejects an
+    // unknown TVF before any injected resolution rule could run)
     ext.injectFunction((FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => {

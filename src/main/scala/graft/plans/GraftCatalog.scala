@@ -417,9 +417,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def purgeTable(ident: Identifier): Boolean = dropTable(ident)
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "graft catalog: RENAME TABLE is not supported")
+  /** `ALTER TABLE <cat>.<old> RENAME TO <new>` — a metadata-only move
+    * of the catalog entry; the data root and manifest stay where they
+    * are (for a MANAGED table the root keeps its creation-time
+    * directory name — the name in the catalog, not the path, is the
+    * table's identity, Delta's rule). The exclusive create on the new
+    * entry is the race guard: two renames (or a rename racing a
+    * CREATE) cannot both win. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = requireSimpleName(oldIdent)
+    val to = requireSimpleName(newIdent)
+    val meta = entryMeta(from)
+      .getOrElse(throw new NoSuchTableException(oldIdent))
+    if (!AtomicText.createExclusive(metaPath(to), render(meta)))
+      throw new TableAlreadyExistsException(newIdent)
+    val fs = new org.apache.hadoop.fs.Path(warehouse)
+      .getFileSystem(hadoopConf)
+    fs.delete(new org.apache.hadoop.fs.Path(metaPath(from)), false)
+    GraftSqlTables.unregister(s"$catalogName.$from")
+  }
 
   // ---- SupportsNamespaces (single flat namespace) ----------------
 

@@ -935,7 +935,12 @@ final class GraftSqlParser(delegate: ParserInterface)
     // guard (registered table name) keeps everything else delegated
     GraftMaintenance.parse(sqlText).getOrElse {
       val plan = delegate.parsePlan(sqlText)
-      GraftDml.translate(plan).map(GraftDmlCommand).getOrElse(plan)
+      GraftDml.translate(plan).map(GraftDmlCommand).getOrElse {
+        // table_changes substitutes at parse time — analysis rejects
+        // an unknown TVF before any injected resolution rule runs
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .map(TableChangesSubstitution(_, plan)).getOrElse(plan)
+      }
     }
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -960,13 +965,98 @@ final class GraftSqlParser(delegate: ParserInterface)
     delegate.parseTableSchema(sqlText)
 }
 
+/** Delta's `table_changes` table-valued function over graft tables —
+  * the SQL-text face of the change data feed:
+  * {{{
+  *   SELECT * FROM table_changes('<table>', <fromBatch> [, <toBatch>])
+  * }}}
+  * Batch ids are INCLUSIVE on both ends (Delta's startingVersion/
+  * endingVersion contract); the rows carry the data columns plus
+  * `_change_type` / `_commit_batch` exactly like the DSv2
+  * `changeFeed` read (it IS that read — the TVF resolves to the same
+  * scan, so pruning, DV handling, the collapsed-history loud failure,
+  * and schemaLog-mapped current-name serving all apply). Composable
+  * anywhere a table is ([[TableChangesRule]] on extension sessions,
+  * [[GraftSql.execute]] elsewhere): joins, filters, aggregates over
+  * the feed all plan normally. An UNREGISTERED name is left for
+  * Spark's own resolution error; non-literal arguments fail loudly. */
+object TableChanges {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
+  /** The CDF read for `table_changes(name, from[, to])`. */
+  def dataFrame(spark: SparkSession, table: String, from: Int,
+                to: Option[Int]): DataFrame = {
+    val entry = GraftSqlTables.lookup(table.split('.').toSeq).getOrElse(
+      throw new IllegalArgumentException(
+        s"table_changes: '$table' is not a registered graft table " +
+          "(register it, or address it through a graft catalog)"))
+    var r = spark.read.format("graft-manifest")
+      .option("manifest", entry.manifestPath)
+      .option("changeFeed", "true")
+      // the DSv2 option is an EXCLUSIVE lower bound; the TVF argument
+      // is inclusive, Delta's startingVersion shape
+      .option("startingBatchId", (from - 1).toString)
+    to.foreach(t => r = r.option("endingBatchId", t.toString))
+    entry.schemaLogPath.foreach(p => r = r.option("schemaLog", p))
+    r.load(entry.root)
+  }
+
+  /** True when this TVF node is ours to resolve: the right name AND a
+    * literal first argument naming a registered table. Anything else
+    * stays Spark's (its own unresolved-TVF error names the function). */
+  private[plans] def claims(u: UnresolvedTableValuedFunction): Boolean =
+    u.name.length == 1 &&
+      u.name.head.equalsIgnoreCase("table_changes") &&
+      (u.functionArgs.headOption match {
+        case Some(Literal(v, org.apache.spark.sql.types.StringType)) =>
+          GraftSqlTables.lookup(v.toString.split('.').toSeq).isDefined
+        case _ => false
+      })
+
+  private[plans] def resolve(spark: SparkSession,
+                             u: UnresolvedTableValuedFunction): LogicalPlan = {
+    val args = u.functionArgs
+    require(args.length == 2 || args.length == 3,
+      s"table_changes('<table>', <fromBatch> [, <toBatch>]) takes 2 or 3 " +
+        s"arguments, got ${args.length}")
+    def intArg(i: Int): Int = args(i) match {
+      case Literal(v: Int, _)  => v
+      case Literal(v: Long, _) => v.toInt
+      case e => throw new IllegalArgumentException(
+        s"table_changes: argument ${i + 1} must be an integer literal, " +
+          s"got ${e.sql}")
+    }
+    val table = args.head.asInstanceOf[Literal].value.toString
+    dataFrame(spark, table, intArg(1),
+      if (args.length == 3) Some(intArg(2)) else None)
+      .queryExecution.analyzed
+  }
+}
+
+/** Parse-time substitution of [[TableChanges]]'s TVF — it must happen
+  * BEFORE analysis (Spark's ResolveFunctions fails an unknown TVF
+  * hard, so an injected resolution rule never sees the node): the
+  * injected parser and [[GraftSql.execute]] both run this transform
+  * on the freshly-parsed tree. */
+object TableChangesSubstitution {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+  def apply(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case u: UnresolvedTableValuedFunction if TableChanges.claims(u) =>
+        TableChanges.resolve(spark, u)
+    }
+}
+
 /** Runtime SQL DML for sessions built WITHOUT the static extensions
   * conf (the injected parser is the first-class path). Uses Spark's
   * Catalyst parser, so the accepted grammar is identical. */
 object GraftSql {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
 
   /** Execute one statement. DML on a registered graft table routes
-    * to the engine's merge; anything else falls through to
+    * to the engine's merge; a query embedding [[TableChanges]]'s TVF
+    * resolves it in place; anything else falls through to
     * `spark.sql` unchanged (and returns its result). */
   def execute(spark: SparkSession, sqlText: String): DataFrame =
     GraftMaintenance.parse(sqlText) match {
@@ -979,9 +1069,17 @@ object GraftSql {
             org.apache.spark.sql.types.StructField(a.name, a.dataType,
               a.nullable))))
       case _ =>
-        GraftDml.translate(CatalystSqlParser.parsePlan(sqlText)) match {
+        val parsed = CatalystSqlParser.parsePlan(sqlText)
+        GraftDml.translate(parsed) match {
           case Some(spec) => GraftDml.run(spark, spec); spark.emptyDataFrame
-          case None       => spark.sql(sqlText)
+          case None =>
+            val hasTvf = parsed.collectFirst {
+              case u: UnresolvedTableValuedFunction
+                  if TableChanges.claims(u) => u
+            }.isDefined
+            if (!hasTvf) spark.sql(sqlText)
+            else org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark,
+              TableChangesSubstitution(spark, parsed))
         }
     }
 }

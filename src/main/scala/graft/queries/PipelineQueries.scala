@@ -908,6 +908,46 @@ object PipelineQueries {
     // reference's whole CDC idiom, `accounts.py:36-41`, upgraded to
     // row granularity). readChanges serves merge batches from their
     // `_cdf` sidecar; the oracle predicts every change row in SQL.
+    // Delta's `table_changes` TVF — the SQL-text change-feed read
+    // (round-7 continuation): the st5 scenario consumed as
+    // `SELECT ... FROM table_changes('<t>', 2, 2)` (inclusive batch
+    // ids, Delta's startingVersion shape), resolving to the same
+    // DSv2 changeFeed scan. The TVF composes inside a normal query
+    // (projection ordering here); the oracle is st5's.
+    "st8_sql_table_changes" -> ((s, d) => {
+      import graft.plans.{GraftSql, GraftSqlTables}
+      import graft.sources.{Sinks, TxnManifest}
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_st8_").toString
+      val root = s"$base/t"
+      val man = new TxnManifest(s"$base/manifest.tsv")
+      for (i <- 0 to 1) {
+        Sinks.appendBatch(o.filter(pmod(col("o_orderkey"), lit(2)) === i), root, i)
+        man.commit(i, Seq(s"$root/batch=$i"))
+      }
+      val updates = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+        .unionAll(o.filter(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice")))
+      val deletes = o.filter(col("o_orderkey") % 7 === 0 &&
+          col("o_orderkey") % 10 =!= 0)
+        .select("o_orderkey")
+      Sinks.merge(s, Some(updates), Some(deletes), root, man,
+        Seq("o_orderkey"), mergeId = 2, cdf = true)
+      GraftSqlTables.register("st8_t",
+        GraftSqlTables.Entry(root, s"$base/manifest.tsv",
+          keys = Seq("o_orderkey")))
+      try GraftSql.execute(s,
+        """SELECT o_orderkey, o_orderstatus, o_totalprice,
+          |  _change_type, _commit_batch
+          |FROM table_changes('st8_t', 2, 2)""".stripMargin)
+      finally GraftSqlTables.unregister("st8_t")
+    }),
+
     "st5_cdf_read" -> ((s, d) => {
       import graft.sources.{Sinks, TxnManifest}
       val o = Tables.orders(s, d)
@@ -1777,6 +1817,37 @@ object PipelineQueries {
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, o_totalprice, 'post' AS snap
         |FROM upd""".stripMargin,
+    // identical scenario and deltas as st5 — the TVF is the same read
+    "st8_sql_table_changes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'X' AS o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey,
+        |    'N' AS o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 1000 = 0),
+        |del AS (
+        |  SELECT o_orderkey FROM base
+        |  WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0),
+        |matched AS (
+        |  SELECT o_orderkey FROM upd
+        |  WHERE o_orderkey IN (SELECT o_orderkey FROM base))
+        |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice,
+        |  'update_preimage' AS _change_type, 2 AS _commit_batch
+        |FROM base b WHERE b.o_orderkey IN (SELECT o_orderkey FROM matched)
+        |UNION ALL
+        |SELECT u.o_orderkey, u.o_orderstatus, u.o_totalprice,
+        |  'update_postimage', 2
+        |FROM upd u WHERE u.o_orderkey IN (SELECT o_orderkey FROM matched)
+        |UNION ALL
+        |SELECT u.o_orderkey, u.o_orderstatus, u.o_totalprice, 'insert', 2
+        |FROM upd u WHERE u.o_orderkey NOT IN (SELECT o_orderkey FROM matched)
+        |UNION ALL
+        |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice, 'delete', 2
+        |FROM base b WHERE b.o_orderkey IN (SELECT o_orderkey FROM del)""".stripMargin,
     "st5_cdf_read" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

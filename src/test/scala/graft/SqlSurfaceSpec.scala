@@ -795,6 +795,98 @@ class SqlSurfaceSpec extends SparkSuite {
     GraftSql.execute(spark, "DROP TABLE IF EXISTS galt.m")
   }
 
+  test("table_changes TVF: SQL-text CDF, composable, loud rejections") {
+    import graft.plans.{GraftSql, GraftSqlTables}
+    import graft.sources.{Sinks, TxnManifest}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tvf_").toString
+    val root = s"$tmp/t"
+    val man = new TxnManifest(s"$tmp/manifest.tsv")
+    Sinks.appendBatch(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      root, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+    Sinks.merge(spark,
+      Some(Seq((2L, "B"), (9L, "i")).toDF("id", "v")),
+      Some(Seq(Tuple1(3L)).toDF("id")),
+      root, man, Seq("id"), mergeId = 1, cdf = true)
+    GraftSqlTables.register("tvf_t",
+      GraftSqlTables.Entry(root, s"$tmp/manifest.tsv", keys = Seq("id")))
+    try {
+      // non-extension session: GraftSql resolves the TVF in place,
+      // inside a normal aggregate
+      val counts = GraftSql.execute(spark,
+        """SELECT _change_type, count(*) AS n
+          |FROM table_changes('tvf_t', 1, 1)
+          |GROUP BY _change_type""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("update_preimage" -> 1L, "update_postimage" -> 1L,
+        "insert" -> 1L, "delete" -> 1L), s"got $counts")
+      // inclusive-from: the open-ended form serves batch 1's deltas
+      assert(GraftSql.execute(spark,
+        "SELECT * FROM table_changes('tvf_t', 1)").count() == 4)
+      // from=0 asks for batch 0's rows, which the merge COLLAPSED into
+      // its rewrite — the feed-consistency gate fails loudly instead
+      // of silently dropping them (same rule as the DSv2 read)
+      val eCollapsed = intercept[IllegalStateException] {
+        GraftSql.execute(spark,
+          "SELECT * FROM table_changes('tvf_t', 0)").collect() }
+      assert(eCollapsed.getMessage.contains("collapsed"))
+      // extension session: plain spark.sql resolves it anywhere —
+      // here under a join against a view on that session
+      withExtensionSession { s =>
+        Sinks.readCommitted(s, root, man).createOrReplaceTempView("tvf_live")
+        val joined = s.sql(
+          """SELECT c.id, c._change_type
+            |FROM table_changes('tvf_t', 1, 1) c
+            |JOIN tvf_live l ON c.id = l.id""".stripMargin).collect()
+        // live table post-merge: ids 1,2,9; batch-1 deltas touching
+        // them: update pre+post (id 2), insert (id 9) — the delete
+        // (id 3) has no live twin
+        assert(joined.length == 3, joined.mkString(","))
+      }
+      // non-literal / bad arity fail loudly; unknown table is left to
+      // Spark's own resolution error
+      val eArity = intercept[IllegalArgumentException] {
+        GraftSql.execute(spark, "SELECT * FROM table_changes('tvf_t')") }
+      assert(eArity.getMessage.contains("2 or 3"))
+      val eUnknown = intercept[Exception] {
+        GraftSql.execute(spark,
+          "SELECT * FROM table_changes('no_such_t', 1)").collect() }
+      assert(eUnknown.getMessage.toLowerCase.contains("table_changes") ||
+        eUnknown.getMessage.contains("no_such_t"))
+    } finally GraftSqlTables.unregister("tvf_t")
+  }
+
+  test("catalog RENAME TABLE: metadata move, old name gone, collisions loud") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    val wh = java.nio.file.Files.createTempDirectory("graft_ren_wh_").toString
+    spark.conf.set("spark.sql.catalog.gren", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gren.warehouse", wh)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gren.a")
+    GraftSql.execute(spark,
+      """CREATE TABLE gren.a (id BIGINT, v STRING) USING `graft-manifest`
+        |TBLPROPERTIES ('keys' = 'id')""".stripMargin)
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      .createOrReplaceTempView("gren_src")
+    GraftSql.execute(spark, "INSERT INTO gren.a SELECT * FROM gren_src")
+    spark.sql("ALTER TABLE gren.a RENAME TO b")
+    assert(spark.sql("SELECT id FROM gren.b").count() == 2)
+    // DML follows the new name (catalog lookup path)
+    GraftSql.execute(spark, "DELETE FROM gren.b WHERE id = 1")
+    assert(spark.sql("SELECT id FROM gren.b").count() == 1)
+    val eOld = intercept[Exception] {
+      spark.sql("SELECT * FROM gren.a").collect() }
+    assert(eOld.getMessage.contains("a") || eOld.getMessage.contains("TABLE"))
+    // rename onto an existing name refuses
+    GraftSql.execute(spark,
+      """CREATE TABLE gren.c (id BIGINT) USING `graft-manifest`""")
+    val eClash = intercept[Exception] {
+      spark.sql("ALTER TABLE gren.b RENAME TO c") }
+    assert(eClash.getMessage.toLowerCase.contains("exists") ||
+      eClash.getMessage.toLowerCase.contains("already"), eClash.getMessage)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gren.b")
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gren.c")
+  }
+
   test("per-session register() exposes the same functions on a live session") {
     SimHash64.register(spark)
     TopKStructs.register(spark)
