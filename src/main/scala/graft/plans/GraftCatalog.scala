@@ -81,6 +81,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
+  override def capabilities()
+    : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   // ---- metadata persistence -------------------------------------
 
   private def metaPath(table: String) = s"$warehouse/_catalog/$table.tbl"
@@ -127,7 +132,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         schemaJson = m.get("schema"),
         bloomColumns = m.getOrElse("bloomColumns", "").split(',')
           .map(_.trim).filter(_.nonEmpty).toSeq,
-        schemaLogPath = m.get("schemaLog"))
+        schemaLogPath = m.get("schemaLog"),
+        checks = m.collect { case (k, v) if k.startsWith("check.") =>
+          k.stripPrefix("check.") -> v }.toSeq.sortBy(_._1))
     }
 
   // ---- TableCatalog ---------------------------------------------
@@ -168,7 +175,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     val opts = Map("path" -> root, "manifest" -> manifest) ++
       meta.get("bloomColumns").filter(_.nonEmpty).map("bloomColumns" -> _) ++
-      meta.get("schemaLog").map("schemaLog" -> _)
+      meta.get("schemaLog").map("schemaLog" -> _) ++
+      // CHECK constraints ride as options so the native V1 batch
+      // write enforces them too (option keys lowercase by contract)
+      meta.collect { case (k, v) if k.startsWith("check.") => k -> v }
     new GraftManifestTable(schema, new CaseInsensitiveStringMap(opts.asJava))
   }
 
@@ -377,6 +387,53 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"graft catalog: ALTER ... UNSET TBLPROPERTIES supports only " +
             s"${behaviorProps.mkString(", ")}")
         newMeta += (rp.property() -> "false")
+      // CHECK constraints (Delta's ADD CONSTRAINT ... CHECK): stored
+      // as predicate SQL in the table metadata, enforced by EVERY
+      // write path (statement INSERT, native V1 write, MERGE/UPDATE
+      // arms) with a batch-aborting loud failure — the reference's
+      // integrity-assert-and-abort semantics
+      // (`utils/custom_err.py:1-6`) as a declarative table property
+      case ac: TableChange.AddConstraint =>
+        ac.constraint() match {
+          case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            val cname = chk.name().toLowerCase(java.util.Locale.ROOT)
+            require(cname.matches("[a-z0-9_]+"),
+              s"graft catalog: constraint names are [a-z0-9_]+: got '$cname'")
+            require(!newMeta.contains(s"check.$cname"),
+              s"graft catalog: constraint '$cname' already exists")
+            val sql = Option(chk.predicateSql()).filter(_.nonEmpty)
+              .getOrElse(throw new IllegalArgumentException(
+                s"graft catalog: CHECK constraint '$cname' has no " +
+                  "predicate SQL"))
+            // Delta's rule: existing rows must already satisfy it —
+            // an ADD over violating data fails, never quietly lies
+            val spark = SparkSession.active
+            val man = new graft.sources.TxnManifest(meta("manifest"))
+            if (man.committedDirs(meta("root")).nonEmpty) {
+              val cur = meta.get("schemaLog") match {
+                case Some(lp) => graft.sources.SchemaLog.readCommittedMapped(
+                  spark, meta("root"), man, new graft.sources.SchemaLog(lp))
+                case None =>
+                  graft.sources.Sinks.readCommitted(spark, meta("root"), man)
+              }
+              import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+              val bad = cur.where(not(coalesce(expr(sql), lit(true))))
+                .limit(1).count()
+              require(bad == 0,
+                s"graft catalog: cannot ADD CONSTRAINT '$cname' — existing " +
+                  s"rows violate CHECK ($sql)")
+            }
+            newMeta += (s"check.$cname" -> sql)
+          case c => throw new UnsupportedOperationException(
+            s"graft catalog: only CHECK constraints are supported, got " +
+              c.toDDL)
+        }
+      case dc: TableChange.DropConstraint =>
+        val cname = dc.name().toLowerCase(java.util.Locale.ROOT)
+        if (newMeta.contains(s"check.$cname")) newMeta -= s"check.$cname"
+        else require(dc.ifExists(),
+          s"graft catalog: no constraint '$cname' to drop " +
+            "(use IF EXISTS to tolerate)")
       case c => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change " +
           s"${c.getClass.getSimpleName} — supported: RENAME COLUMN, " +

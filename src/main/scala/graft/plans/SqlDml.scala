@@ -74,7 +74,8 @@ object GraftSqlTables {
                          schemaEvolution: Boolean = false,
                          schemaJson: Option[String] = None,
                          bloomColumns: Seq[String] = Nil,
-                         schemaLogPath: Option[String] = None)
+                         schemaLogPath: Option[String] = None,
+                         checks: Seq[(String, String)] = Nil)
 
   private val tables =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -486,6 +487,10 @@ object GraftDml {
       }
       val ups = Seq(updArm, inserts, bySrcUpd).flatten
         .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      // CHECK constraints see the incoming LOGICAL rows (updated +
+      // inserted + flagged) before anything physicalizes or commits
+      ups.foreach(graft.sources.CheckConstraints.enforce(table, entry.checks,
+        _, "MERGE INTO"))
       mapLog match {
         case None =>
           Sinks.merge(spark, ups, delKeys, entry.root, man, keys, mergeId,
@@ -527,6 +532,8 @@ object GraftDml {
           .map { case (_, v) => expr(v).as(c) }
           .getOrElse(col(c))
       }.toIndexedSeq: _*)
+      graft.sources.CheckConstraints.enforce(table, entry.checks, ups0,
+        "UPDATE")
       val (ups, physKeys) = mapLog match {
         case None => (ups0, entry.keys)
         case Some(log) =>
@@ -712,6 +719,8 @@ final case class GraftInsertCommand(table: String,
           src.toDF(cols.map(_.logical).toIndexedSeq: _*)) { (df, c) =>
           df.withColumn(c.logical, col(c.logical).cast(c.dataType))
         }
+        graft.sources.CheckConstraints.enforce(table, entry.checks, aligned,
+          "INSERT into")
         val physical = aligned.select(cols.map(c =>
           col(c.logical).as(c.physical)).toIndexedSeq: _*)
         if (overwrite)
@@ -739,6 +748,8 @@ final case class GraftInsertCommand(table: String,
         src.toDF(cur.columns.toIndexedSeq: _*)) { (df, f) =>
         df.withColumn(f.name, col(f.name).cast(f.dataType))
       }
+      graft.sources.CheckConstraints.enforce(table, entry.checks, aligned,
+        "INSERT into")
       if (overwrite)
         Sinks.insertOverwrite(spark, aligned, entry.root, man, batchId)
       else {
@@ -765,6 +776,8 @@ final case class GraftInsertCommand(table: String,
             df.withColumn(f.name, col(f.name).cast(f.dataType))
           }
       }
+      graft.sources.CheckConstraints.enforce(table, entry.checks, aligned,
+        "INSERT into")
       if (overwrite)
         Sinks.insertOverwrite(spark, aligned, entry.root, man, batchId)
       else {

@@ -728,6 +728,64 @@ object PipelineQueries {
         s"SELECT o_orderkey, o_orderstatus, price, note FROM $cat.alt")
     }),
 
+    // CHECK constraints (round-7 continuation) — the reference's
+    // integrity-assert-and-abort (`custom_err.py:1-6`) as Delta's
+    // declarative `ADD CONSTRAINT ... CHECK`: a violating INSERT
+    // aborts WHOLE (its valid rows must not land either — the
+    // transactional contract the reference gets from engine.begin()),
+    // a valid MERGE passes, and the final state is exactly
+    // base+merge. The abort is asserted in-query: reaching the final
+    // SELECT with the oracle-predicted rows proves both arms.
+    "s25_sql_constraints" -> ((s, d) => {
+      import graft.plans.GraftSql
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      o.createOrReplaceTempView("s25_orders")
+      o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * 1.1).as("o_totalprice"))
+        .createOrReplaceTempView("s25_upd")
+      o.filter(col("o_orderkey") % 100 === 0)
+        .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+          col("o_orderstatus"), (col("o_totalprice") * -1).as("o_totalprice"))
+        .unionAll(o.filter(col("o_orderkey") % 200 === 0)
+          .select((col("o_orderkey") + 40000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice")))
+        .createOrReplaceTempView("s25_bad")
+      val cat = "graft"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.plans.GraftCatalog].getName)
+      if (s.conf.getOption(s"spark.sql.catalog.$cat.warehouse").isEmpty)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_s25_wh_").toString)
+      GraftSql.execute(s, s"DROP TABLE IF EXISTS $cat.chk")
+      GraftSql.execute(s,
+        s"""CREATE TABLE $cat.chk (
+           |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE
+           |) USING `graft-manifest` TBLPROPERTIES ('keys' = 'o_orderkey')
+           |""".stripMargin)
+      GraftSql.execute(s, s"INSERT INTO $cat.chk SELECT * FROM s25_orders")
+      GraftSql.execute(s,
+        s"ALTER TABLE $cat.chk ADD CONSTRAINT price_pos " +
+          "CHECK (o_totalprice > 0)")
+      // the violating batch carries VALID rows too — the abort must
+      // drop them with it, or the final row count betrays it
+      val aborted =
+        try {
+          GraftSql.execute(s, s"INSERT INTO $cat.chk SELECT * FROM s25_bad")
+          false
+        } catch {
+          case e: IllegalArgumentException => e.getMessage.contains("price_pos")
+        }
+      require(aborted, "violating INSERT must abort naming the constraint")
+      GraftSql.execute(s,
+        s"""MERGE INTO $cat.chk AS t USING s25_upd AS src
+           |ON t.o_orderkey = src.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      GraftSql.execute(s,
+        s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM $cat.chk")
+    }),
+
     // Conditional WHEN MATCHED clauses — the CDC op-routing idiom
     // (round 7): `WHEN MATCHED AND s.op = 'D' THEN DELETE / WHEN
     // MATCHED AND s.op = 'U' THEN UPDATE SET *` routes each matched
@@ -1715,6 +1773,13 @@ object PipelineQueries {
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)""".stripMargin,
+    "s25_sql_constraints" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'U'
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders""".stripMargin,
     "s24_sql_alter" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice AS price

@@ -161,6 +161,12 @@ final class GraftManifestTable(tableSchema: StructType,
                 val man = new TxnManifest(manifestPath)
                 val ids = man.committed().keySet
                 val batchId = if (ids.isEmpty) 0 else ids.max + 1
+                // catalog CHECK constraints ride as check.* options —
+                // the native write path aborts on violation exactly
+                // like the statement INSERT
+                CheckConstraints.enforce(s"`$root`",
+                  CheckConstraints.fromOptions(options), data,
+                  "INSERT into")
                 // mapped tables: logical → physical at the last moment
                 // before files; the mapped scan ignores stats sidecars
                 // (their filters are physical-name), so the plain

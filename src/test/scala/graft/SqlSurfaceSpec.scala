@@ -887,6 +887,62 @@ class SqlSurfaceSpec extends SparkSuite {
     GraftSql.execute(spark, "DROP TABLE IF EXISTS gren.c")
   }
 
+  test("CHECK constraints: ADD/DROP, every write path enforces, batch aborts") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    val wh = java.nio.file.Files.createTempDirectory("graft_chk_wh_").toString
+    spark.conf.set("spark.sql.catalog.gchk", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gchk.warehouse", wh)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gchk.t")
+    GraftSql.execute(spark,
+      """CREATE TABLE gchk.t (id BIGINT, amt DOUBLE) USING `graft-manifest`
+        |TBLPROPERTIES ('keys' = 'id')""".stripMargin)
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amt")
+      .createOrReplaceTempView("chk_ok")
+    GraftSql.execute(spark, "INSERT INTO gchk.t SELECT * FROM chk_ok")
+    spark.sql("ALTER TABLE gchk.t ADD CONSTRAINT amt_pos CHECK (amt > 0)")
+    def total() = spark.sql("SELECT * FROM gchk.t").count()
+    assert(total() == 2)
+    // violating INSERT aborts the WHOLE batch (valid rows included)
+    Seq((3L, 5.0), (4L, -1.0)).toDF("id", "amt")
+      .createOrReplaceTempView("chk_bad")
+    val eIns = intercept[Exception] {
+      GraftSql.execute(spark, "INSERT INTO gchk.t SELECT * FROM chk_bad") }
+    assert(eIns.getMessage.contains("amt_pos"), eIns.getMessage)
+    assert(total() == 2, "aborted insert must commit nothing")
+    // violating MERGE update arm aborts
+    val eMrg = intercept[Exception] {
+      GraftSql.execute(spark,
+        """MERGE INTO gchk.t AS t USING chk_ok AS s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET t.amt = -1 * s.amt""".stripMargin) }
+    assert(eMrg.getMessage.contains("amt_pos"), eMrg.getMessage)
+    // violating UPDATE aborts
+    val eUpd = intercept[Exception] {
+      GraftSql.execute(spark, "UPDATE gchk.t SET amt = amt - 100.0") }
+    assert(eUpd.getMessage.contains("amt_pos"))
+    assert(spark.sql("SELECT sum(amt) FROM gchk.t").collect()
+      .head.getDouble(0) == 30.0, "aborted DML must leave values intact")
+    // NULL passes — the ANSI CHECK rule
+    spark.sql("SELECT CAST(5 AS BIGINT) AS id, CAST(NULL AS DOUBLE) AS amt")
+      .createOrReplaceTempView("chk_null")
+    GraftSql.execute(spark, "INSERT INTO gchk.t SELECT * FROM chk_null")
+    assert(total() == 3)
+    // ADD over violating existing data refuses (the NULL row passes,
+    // but a bound every live amt fails must refuse)
+    val eAdd = intercept[Exception] {
+      spark.sql("ALTER TABLE gchk.t ADD CONSTRAINT amt_small CHECK (amt < 1)") }
+    assert(eAdd.getMessage.contains("existing"), eAdd.getMessage)
+    // DROP lifts enforcement; IF EXISTS tolerates a second drop
+    spark.sql("ALTER TABLE gchk.t DROP CONSTRAINT amt_pos")
+    Seq((9L, -2.0)).toDF("id", "amt").createOrReplaceTempView("chk_neg")
+    GraftSql.execute(spark, "INSERT INTO gchk.t SELECT * FROM chk_neg")
+    assert(total() == 4)
+    val eDrop = intercept[Exception] {
+      spark.sql("ALTER TABLE gchk.t DROP CONSTRAINT amt_pos") }
+    assert(eDrop.getMessage.contains("no constraint") ||
+      eDrop.getMessage.toLowerCase.contains("not"), eDrop.getMessage)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gchk.t")
+  }
+
   test("per-session register() exposes the same functions on a live session") {
     SimHash64.register(spark)
     TopKStructs.register(spark)
