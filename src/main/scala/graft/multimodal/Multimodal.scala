@@ -63,6 +63,17 @@ object Multimodal {
       ("wav", le32(24), le16(22))
     else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8)
       decodeJpegSof(p)
+    else if (p.length >= 10 && ascii(0, "GIF8") &&
+             (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
+      // GIF87a/89a Logical Screen Descriptor: width/height LE16 at 6/8
+      ("gif", le16(6), le16(8))
+    else if (p.length >= 42 && ascii(0, "fLaC") && (u8(4) & 0x7f) == 0)
+      // FLAC STREAMINFO (spec requires it first): within the 34-byte
+      // block at offset 8, sample rate is 20 bits at block offset 10
+      // and channels-1 the next 3 bits — absolute bytes 18-20.
+      // (sample_rate, channels), the WAV convention
+      ("flac", (u8(18) << 12) | (u8(19) << 4) | (u8(20) >> 4),
+        ((u8(20) >> 1) & 0x7) + 1)
     else ("bin", 0, 0)
   }
 
@@ -371,6 +382,71 @@ object Multimodal {
       MediaRow(r.id, payload)
     })(org.apache.spark.sql.Encoders.product[MediaRow])
   }
+
+  /** GIF89a: signature + Logical Screen Descriptor (13 bytes),
+    * dimensions little-endian — the web-corpus image sibling. */
+  private def gifBytes(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(13 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GIF89a".getBytes("US-ASCII"))
+    bb.putShort(w.toShort).putShort(h.toShort)
+    bb.put(0.toByte).put(0.toByte).put(0.toByte) // packed, bg, aspect
+    bb.put(body)
+    bb.array()
+  }
+
+  /** FLAC: "fLaC" + STREAMINFO metadata block (34 bytes, spec-first):
+    * the 20-bit sample rate / 3-bit channels-1 / 5-bit bps-1 / 36-bit
+    * total-samples bitfield packed exactly as §9.1.2 lays it out. */
+  private def flacBytes(sampleRate: Int, channels: Int, totalSamples: Long,
+                        body: Array[Byte]): Array[Byte] = {
+    require(sampleRate < (1 << 20) && channels >= 1 && channels <= 8)
+    val bb = java.nio.ByteBuffer.allocate(42 + body.length)
+    bb.put("fLaC".getBytes("US-ASCII"))
+    bb.put(0x80.toByte) // last-metadata-block | type 0 = STREAMINFO
+    bb.put(0.toByte).put(0.toByte).put(34.toByte) // block length BE24
+    bb.putShort(4096.toShort).putShort(4096.toShort) // min/max blocksize
+    bb.put(0.toByte).put(0.toByte).put(0.toByte)     // min framesize BE24
+    bb.put(0.toByte).put(0.toByte).put(0.toByte)     // max framesize BE24
+    val bps = 16
+    bb.put((sampleRate >> 12).toByte)
+    bb.put(((sampleRate >> 4) & 0xff).toByte)
+    bb.put((((sampleRate & 0xf) << 4) | ((channels - 1) << 1) |
+      ((bps - 1) >> 4)).toByte)
+    bb.put(((((bps - 1) & 0xf) << 4) |
+      ((totalSamples >> 32) & 0xf).toInt).toByte)
+    bb.putInt((totalSamples & 0xffffffffL).toInt)
+    bb.put(new Array[Byte](16)) // md5 of the (absent) audio stream
+    bb.put(body)
+    bb.array()
+  }
+
+  /** `documents` → GIF (even ids) / FLAC (odd ids) containers — the
+    * web-corpus image + lossless-audio pair next to mm3's JPEG/MP4;
+    * dimensions/rates by oracle-predictable arithmetic, body = text. */
+  def gifFlacFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    fromDocuments(spark, docs).mapPartitions(_.map { r =>
+      val payload =
+        if (r.id % 2 == 0)
+          gifBytes((64 + r.id * 7 % 1920).toInt, (64 + r.id * 13 % 1080).toInt,
+            r.payload)
+        else {
+          val sr = (8000 + r.id * 37 % 40000).toInt
+          flacBytes(sr, channels = (1 + r.id % 8).toInt,
+            totalSamples = sr.toLong * (1 + r.id % 30), r.payload)
+        }
+      MediaRow(r.id, payload)
+    })(org.apache.spark.sql.Encoders.product[MediaRow])
+  }
+
+  private[graft] def gifRoundTrip(w: Int, h: Int,
+                                  body: Array[Byte]): (String, Int, Int) =
+    decodeHeader(gifBytes(w, h, body))
+
+  private[graft] def flacRoundTrip(sampleRate: Int, channels: Int,
+                                   body: Array[Byte]): (String, Int, Int) =
+    decodeHeader(flacBytes(sampleRate, channels,
+      totalSamples = sampleRate.toLong, body))
 
   /** Frame-sampling plan for video payloads: deterministic frame
     * indices at `fps` over `durationMs`, capped at `maxFrames` —

@@ -134,6 +134,21 @@ object SimQueries {
     // predicts every field arithmetically (header sizes 39 / 240,
     // duration = mvhd duration·1000/timescale), so a hash match
     // certifies both encode→decode round trips.
+    // The web-corpus sibling pair (round-7 continuation): GIF
+    // Logical-Screen-Descriptor dims (LE16) and FLAC STREAMINFO
+    // sample-rate/channels (the spec's 20/3-bit packed field), both
+    // parsed from genuine binary layouts. Oracle predicts every field
+    // arithmetically (headers 13 / 42 bytes) — a hash match certifies
+    // the encode→decode round trips.
+    "mm4_gif_flac_meta" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val media = Multimodal.gifFlacFromDocuments(s, docs)
+      Multimodal.extractMeta(media).toDF()
+        .select(col("id").as("doc_id"), col("format"), col("width"),
+          col("height"), col("n_bytes"))
+    }),
+
     "mm3_jpeg_mp4_meta" -> ((s, d) => {
       import graft.multimodal.Multimodal
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -357,6 +372,17 @@ object SimQueries {
     // PNG/BMP/WAV bytes; the oracle predicts them arithmetically
     // (header sizes: PNG 33, BMP 54, WAV 44). A hash match therefore
     // certifies the binary encode→decode round trip.
+    "mm4_gif_flac_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'flac' END AS format,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 64 + doc_id * 7 % 1920
+        |       ELSE 8000 + doc_id * 37 % 40000 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 64 + doc_id * 13 % 1080
+        |       ELSE 1 + doc_id % 8 END AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text)) +
+        |       CASE WHEN doc_id % 2 = 0 THEN 13 ELSE 42 END AS BIGINT)
+        |    AS n_bytes
+        |FROM documents""".stripMargin,
     "mm1_media_meta" ->
       """SELECT doc_id,
         |  ['png', 'bmp', 'wav'][CAST(doc_id % 3 + 1 AS INTEGER)] AS format,

@@ -197,6 +197,14 @@ class PropertySpec extends SparkSuite {
       val ts = 1 + (usf % 90000)
       val mp4 = Multimodal.mp4RoundTrip(jw, jh, ts, tf, body)
       assert(mp4.contains((jw, jh, tf.toLong * 1000 / ts)))
+      // GIF: LE16 screen-descriptor dims recovered exactly
+      val (gfmt, ggw, ggh) = Multimodal.gifRoundTrip(jw % 65536, jh % 65536, body)
+      assert(gfmt == "gif" && (ggw, ggh) == ((jw % 65536, jh % 65536)))
+      // FLAC: the 20-bit sample rate and 3-bit channel count recovered
+      // from the STREAMINFO bitfield
+      val (sr, ch) = (1 + (usf % 655350), 1 + (tf % 8))
+      val flac = Multimodal.flacRoundTrip(sr, ch, body)
+      assert(flac == (("flac", sr, ch)), s"sr=$sr ch=$ch got $flac")
     }
   }
 
