@@ -83,8 +83,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def capabilities()
     : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      // CREATE TABLE (c INT DEFAULT 5): Spark delivers the default as
+      // CURRENT_DEFAULT column metadata inside the declared schema,
+      // which the catalog stores verbatim — INSERT column lists and
+      // MERGE partial INSERT lists fill from it
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   // ---- metadata persistence -------------------------------------
 
@@ -134,7 +141,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           .map(_.trim).filter(_.nonEmpty).toSeq,
         schemaLogPath = m.get("schemaLog"),
         checks = m.collect { case (k, v) if k.startsWith("check.") =>
-          k.stripPrefix("check.") -> v }.toSeq.sortBy(_._1))
+          k.stripPrefix("check.") -> v }.toSeq.sortBy(_._1),
+        clusterBy = m.getOrElse("clusterBy", "").split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq)
     }
 
   // ---- TableCatalog ---------------------------------------------
@@ -290,6 +299,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "COLUMN, not write-side drift")
     }
     val schemaLogPath = if (mapping) Some(s"$root/_schema_log") else None
+    // clusterBy: declared clustering columns — a bare OPTIMIZE
+    // maintains this z-order (Delta's liquid-clustering UX)
+    val clusterBy = prop("clusterBy").toSeq.flatMap(_.split(','))
+      .map(_.trim).filter(_.nonEmpty)
+    clusterBy.foreach(c => require(
+      schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"graft catalog: clusterBy names '$c', absent from the schema " +
+        s"(${schema.fieldNames.mkString(", ")})"))
     val meta = Map(
       "schema" -> schema.json,
       "root" -> root,
@@ -299,6 +316,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "deletionVectors" -> prop("deletionVectors").exists(_.toBoolean).toString,
       "schemaEvolution" -> prop("schemaEvolution").exists(_.toBoolean).toString,
       "bloomColumns" -> bloomCols.mkString(","),
+      "clusterBy" -> clusterBy.mkString(","),
       "external" -> external.toString) ++
       schemaLogPath.map("schemaLog" -> _)
     // exclusive create IS the exists check — two racing CREATEs
@@ -369,11 +387,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"graft catalog: cannot DROP merge-key column '$c' — row " +
             "identity would be undefined; change keys first")
         log.drop(c)
+      case sp: TableChange.SetProperty if sp.property() == "clusterBy" =>
+        // re-clustering declaration: takes effect at the next bare
+        // OPTIMIZE (Delta's ALTER TABLE ... CLUSTER BY shape)
+        val cols = sp.value().split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val have = meta.get("schemaLog") match {
+          case Some(lp) =>
+            new graft.sources.SchemaLog(lp).current()._2.map(_.logical)
+          case None => DataType.fromJson(meta("schema"))
+            .asInstanceOf[StructType].fieldNames.toSeq
+        }
+        cols.foreach(c => require(have.exists(_.equalsIgnoreCase(c)),
+          s"graft catalog: clusterBy names '$c', absent from the schema " +
+            s"(${have.mkString(", ")})"))
+        newMeta += ("clusterBy" -> cols.mkString(","))
       case sp: TableChange.SetProperty =>
         require(behaviorProps.contains(sp.property()),
           s"graft catalog: ALTER ... SET TBLPROPERTIES supports only " +
-            s"${behaviorProps.mkString(", ")}; '${sp.property()}' is " +
-            "CREATE-time-only")
+            s"${behaviorProps.mkString(", ")} and clusterBy; " +
+            s"'${sp.property()}' is CREATE-time-only")
         require(sp.value() == "true" || sp.value() == "false",
           s"graft catalog: property '${sp.property()}' takes " +
             s"'true'/'false', got '${sp.value()}'")

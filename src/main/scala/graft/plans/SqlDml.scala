@@ -75,7 +75,8 @@ object GraftSqlTables {
                          schemaJson: Option[String] = None,
                          bloomColumns: Seq[String] = Nil,
                          schemaLogPath: Option[String] = None,
-                         checks: Seq[(String, String)] = Nil)
+                         checks: Seq[(String, String)] = Nil,
+                         clusterBy: Seq[String] = Nil)
 
   private val tables =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -89,6 +90,19 @@ object GraftSqlTables {
   }
 
   def unregister(name: String): Unit = { tables.remove(norm(name)); () }
+
+  /** The column's declared DEFAULT expression SQL, when the table's
+    * declared schema carries one (Spark's `CURRENT_DEFAULT` column
+    * metadata — the catalog stores the CREATE-time schema verbatim;
+    * parquet-read live schemas never carry it). */
+  def defaultFor(entry: Entry, column: String): Option[String] =
+    entry.schemaJson.flatMap { json =>
+      org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fields.find(_.name.equalsIgnoreCase(column))
+        .filter(_.metadata.contains("CURRENT_DEFAULT"))
+        .map(_.metadata.getString("CURRENT_DEFAULT"))
+    }
 
   /** Programmatic registrations first; otherwise, a 2-part name whose
     * head is a [[GraftCatalog]] configured on the active session
@@ -468,12 +482,15 @@ object GraftDml {
             case None => aligned(unmatched)
             case Some(as) =>
               // explicit column list: listed columns compute from
-              // expressions over the source row, unlisted land NULL
+              // expressions over the source row, unlisted fill from
+              // their declared DEFAULT (Delta's rule) or NULL
               unmatched.select(tgt.schema.fields.map { f =>
                 as.find(_._1.equalsIgnoreCase(f.name))
                   .map { case (_, v) => expr(v).cast(f.dataType).as(f.name) }
-                  .getOrElse(org.apache.spark.sql.functions.lit(null)
-                    .cast(f.dataType).as(f.name))
+                  .getOrElse(GraftSqlTables.defaultFor(entry, f.name)
+                    .map(d => expr(d).cast(f.dataType).as(f.name))
+                    .getOrElse(org.apache.spark.sql.functions.lit(null)
+                      .cast(f.dataType).as(f.name)))
               }.toIndexedSeq: _*)
           })
         }
@@ -689,36 +706,76 @@ final case class GraftDmlCommand(spec: GraftDmlSpec)
   * run time — it executes as `spark.sql(select)` there, so views,
   * CTEs, and VALUES all work); the select text is validated by the
   * delegate parser at statement-parse time so syntax errors surface
-  * immediately. Classic positional semantics: the query must produce
-  * the table's column COUNT, and columns are renamed positionally to
-  * the table's names. INTO appends one stats-indexed batch; OVERWRITE
-  * replaces the table atomically ([[graft.sources.Sinks.insertOverwrite]])
-  * and marks the change feed collapsed. */
+  * immediately. Classic positional semantics: without a column list
+  * the query must produce the table's column COUNT and columns rename
+  * positionally; WITH a column list (`INSERT INTO t (a, c) SELECT`)
+  * the query feeds the LISTED columns and every unlisted column fills
+  * from its declared DEFAULT (ANSI / Delta rule) or NULL. INTO
+  * appends one stats-indexed batch; OVERWRITE replaces the table
+  * atomically ([[graft.sources.Sinks.insertOverwrite]]) and marks the
+  * change feed collapsed. */
 final case class GraftInsertCommand(table: String,
                                     entry: GraftSqlTables.Entry,
-                                    selectSql: String, overwrite: Boolean)
+                                    selectSql: String, overwrite: Boolean,
+                                    insertCols: Option[Seq[String]] = None)
   extends LeafRunnableCommand {
+
+  /** Align the query's output to `target`: positional rename +
+    * cast without a column list; listed-columns + DEFAULT/NULL fill
+    * with one. Default expressions come from the DECLARED schema's
+    * column metadata (Spark's `CURRENT_DEFAULT` key — parquet-read
+    * live schemas do not carry it). */
+  private def alignTo(src: DataFrame,
+                      target: org.apache.spark.sql.types.StructType)
+    : DataFrame = insertCols match {
+    case None =>
+      require(src.columns.length == target.length,
+        s"INSERT into $table: query produces ${src.columns.length} " +
+          s"column(s), table has ${target.length} " +
+          s"(${target.fieldNames.mkString(", ")})")
+      target.fields.foldLeft(
+        src.toDF(target.fieldNames.toIndexedSeq: _*)) { (df, f) =>
+        df.withColumn(f.name, col(f.name).cast(f.dataType))
+      }
+    case Some(listed) =>
+      listed.foreach(c => require(
+        target.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"INSERT into $table: listed column '$c' is not a table column " +
+          s"(${target.fieldNames.mkString(", ")})"))
+      val dup = listed.map(_.toLowerCase(java.util.Locale.ROOT))
+        .groupBy(identity).collect { case (c, vs) if vs.size > 1 => c }
+      require(dup.isEmpty,
+        s"INSERT into $table: column listed twice: ${dup.mkString(", ")}")
+      require(src.columns.length == listed.length,
+        s"INSERT into $table: query produces ${src.columns.length} " +
+          s"column(s), the column list names ${listed.length}")
+      val renamed = src.toDF(listed.toIndexedSeq: _*)
+      renamed.select(target.fields.map { f =>
+        if (listed.exists(_.equalsIgnoreCase(f.name)))
+          col(f.name).cast(f.dataType).as(f.name)
+        else
+          GraftSqlTables.defaultFor(entry, f.name)
+            .map(sql => expr(sql).cast(f.dataType).as(f.name))
+            .getOrElse(org.apache.spark.sql.functions.lit(null)
+              .cast(f.dataType).as(f.name))
+      }.toIndexedSeq: _*)
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
     val man = new TxnManifest(entry.manifestPath)
     val ids = man.committed().keySet
     val batchId = if (ids.isEmpty) 0 else ids.max + 1
     val src = spark.sql(selectSql)
     val existing = man.committedDirs(entry.root)
-    // a columnMapping table aligns positionally to the LOG's logical
-    // schema (the authority across renames/adds/drops) and
-    // physicalizes just before the files; the mapped scan ignores
-    // stats sidecars, so the plain append suffices
+    // a columnMapping table aligns to the LOG's logical schema (the
+    // authority across renames/adds/drops) and physicalizes just
+    // before the files
     entry.schemaLogPath.map(new graft.sources.SchemaLog(_)) match {
       case Some(log) =>
         val (_, cols) = log.current()
-        require(src.columns.length == cols.length,
-          s"INSERT into $table: query produces ${src.columns.length} " +
-            s"column(s), table has ${cols.length} " +
-            s"(${cols.map(_.logical).mkString(", ")})")
-        val aligned = cols.foldLeft(
-          src.toDF(cols.map(_.logical).toIndexedSeq: _*)) { (df, c) =>
-          df.withColumn(c.logical, col(c.logical).cast(c.dataType))
-        }
+        val target = org.apache.spark.sql.types.StructType(cols.map(c =>
+          org.apache.spark.sql.types.StructField(c.logical, c.dataType)))
+        val aligned = alignTo(src, target)
         graft.sources.CheckConstraints.enforce(table, entry.checks, aligned,
           "INSERT into")
         val physical = aligned.select(cols.map(c =>
@@ -736,55 +793,29 @@ final case class GraftInsertCommand(table: String,
         return Seq.empty
       case None =>
     }
-    if (existing.nonEmpty) {
-      val cur = Sinks.readCommitted(spark, entry.root, man)
-      require(src.columns.length == cur.columns.length,
-        s"INSERT into $table: query produces ${src.columns.length} " +
-          s"column(s), table has ${cur.columns.length} " +
-          s"(${cur.columns.mkString(", ")})")
-      // positional rename, then cast to the table's types — classic
-      // INSERT coercion (an INT literal lands in a BIGINT column)
-      val aligned = cur.schema.fields.foldLeft(
-        src.toDF(cur.columns.toIndexedSeq: _*)) { (df, f) =>
-        df.withColumn(f.name, col(f.name).cast(f.dataType))
-      }
-      graft.sources.CheckConstraints.enforce(table, entry.checks, aligned,
-        "INSERT into")
-      if (overwrite)
-        Sinks.insertOverwrite(spark, aligned, entry.root, man, batchId)
-      else {
-        graft.sources.StatsSinks.appendBatchStats(aligned, entry.root, batchId,
-          bloomColumns = entry.bloomColumns)
-        man.commit(batchId, Seq(s"${entry.root}/batch=$batchId"))
-      }
-    } else {
-      // bootstrap: the first insert DEFINES the schema — unless the
-      // registration DECLARED one (catalog tables), which aligns the
-      // query positionally to the declared names and types, exactly
-      // like the live-table path
-      val aligned = entry.schemaJson match {
-        case None => src
+    val aligned =
+      if (existing.nonEmpty)
+        alignTo(src, Sinks.readCommitted(spark, entry.root, man).schema)
+      else entry.schemaJson match {
+        // bootstrap: the first insert DEFINES the schema — unless the
+        // registration DECLARED one (catalog tables)
+        case None =>
+          require(insertCols.isEmpty,
+            s"INSERT into $table: a column list needs a declared or " +
+              "live schema to fill the unlisted columns")
+          src
         case Some(json) =>
-          val declared = org.apache.spark.sql.types.DataType.fromJson(json)
-            .asInstanceOf[org.apache.spark.sql.types.StructType]
-          require(src.columns.length == declared.length,
-            s"INSERT into $table: query produces ${src.columns.length} " +
-              s"column(s), table declares ${declared.length} " +
-              s"(${declared.fieldNames.mkString(", ")})")
-          declared.fields.foldLeft(
-            src.toDF(declared.fieldNames.toIndexedSeq: _*)) { (df, f) =>
-            df.withColumn(f.name, col(f.name).cast(f.dataType))
-          }
+          alignTo(src, org.apache.spark.sql.types.DataType.fromJson(json)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
       }
-      graft.sources.CheckConstraints.enforce(table, entry.checks, aligned,
-        "INSERT into")
-      if (overwrite)
-        Sinks.insertOverwrite(spark, aligned, entry.root, man, batchId)
-      else {
-        graft.sources.StatsSinks.appendBatchStats(aligned, entry.root, batchId,
-          bloomColumns = entry.bloomColumns)
-        man.commit(batchId, Seq(s"${entry.root}/batch=$batchId"))
-      }
+    graft.sources.CheckConstraints.enforce(table, entry.checks, aligned,
+      "INSERT into")
+    if (overwrite)
+      Sinks.insertOverwrite(spark, aligned, entry.root, man, batchId)
+    else {
+      graft.sources.StatsSinks.appendBatchStats(aligned, entry.root, batchId,
+        bloomColumns = entry.bloomColumns)
+      man.commit(batchId, Seq(s"${entry.root}/batch=$batchId"))
     }
     Seq.empty
   }
@@ -804,7 +835,7 @@ object GraftMaintenance {
   private val RestT =
     """(?is)\s*RESTORE\s+([\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val Ins =
-    """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)\s+((?:SELECT|VALUES|WITH|TABLE)\b.*)""".r
+    """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)\s*(?:\(([\w\s,]+)\))?\s*((?:SELECT|VALUES|WITH|TABLE)\b.*)""".r
 
   /** Recognize a maintenance statement on a REGISTERED table; None
     * otherwise (the caller delegates to Spark's parser). */
@@ -822,12 +853,14 @@ object GraftMaintenance {
         GraftRestoreCommand(name, e, Left(v.toLong)))
       case RestT(name, ts) => entryOf(name).map(e =>
         GraftRestoreCommand(name, e, Right(parseTs(ts))))
-      case Ins(mode, name, select) => entryOf(name).map { e =>
+      case Ins(mode, name, colList, select) => entryOf(name).map { e =>
         // validate the source query NOW — a syntax error must surface
         // at statement parse, not at execution
         CatalystSqlParser.parsePlan(select)
         GraftInsertCommand(name, e, select,
-          overwrite = mode.equalsIgnoreCase("OVERWRITE"))
+          overwrite = mode.equalsIgnoreCase("OVERWRITE"),
+          insertCols = Option(colList).map(_.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq))
       }
       case _ => None
     }
@@ -871,14 +904,18 @@ final case class GraftOptimizeCommand(table: String,
         else fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
       }.sum
     val numFiles = math.max(1, (bytes / (128L * 1024 * 1024)).toInt)
+    // a bare OPTIMIZE on a table declared `clusterBy` maintains that
+    // z-order (Delta's liquid-clustering UX); an explicit ZORDER BY
+    // clause overrides per statement
+    val effective = if (zorderCols.nonEmpty) zorderCols else entry.clusterBy
     // a columnMapping table's files carry physical names — the
     // statement's ZORDER columns are logical, translated through the
     // same snapshot rule DML uses
     val physCols = entry.schemaLogPath match {
-      case None => zorderCols
+      case None => effective
       case Some(p) =>
         val cols = new graft.sources.SchemaLog(p).current()._2
-        zorderCols.map(c =>
+        effective.map(c =>
           cols.find(_.logical.equalsIgnoreCase(c)).map(_.physical)
             .getOrElse(throw new IllegalArgumentException(
               s"OPTIMIZE $table: ZORDER column '$c' is not in the " +

@@ -786,6 +786,44 @@ object PipelineQueries {
         s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM $cat.chk")
     }),
 
+    // Column DEFAULT values (round-7 continuation): declared at
+    // CREATE (`c STRING DEFAULT 'NEW'`), filled by the column-list
+    // INSERT for unlisted columns and by MERGE's partial INSERT list
+    // — the ANSI/Delta rule the round-6 NULL-fill approximated. The
+    // oracle predicts the defaulted columns exactly.
+    "s26_sql_defaults" -> ((s, d) => {
+      import graft.plans.GraftSql
+      val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      o.createOrReplaceTempView("s26_orders")
+      o.filter(col("o_orderkey") % 100 === 0)
+        .select((col("o_orderkey") + 50000000L).as("o_orderkey"))
+        .createOrReplaceTempView("s26_new")
+      val cat = "graft"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.plans.GraftCatalog].getName)
+      if (s.conf.getOption(s"spark.sql.catalog.$cat.warehouse").isEmpty)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_s26_wh_").toString)
+      GraftSql.execute(s, s"DROP TABLE IF EXISTS $cat.defs")
+      GraftSql.execute(s,
+        s"""CREATE TABLE $cat.defs (
+           |  o_orderkey BIGINT,
+           |  o_orderstatus STRING DEFAULT 'NEW',
+           |  o_totalprice DOUBLE DEFAULT 0.0
+           |) USING `graft-manifest` TBLPROPERTIES ('keys' = 'o_orderkey')
+           |""".stripMargin)
+      GraftSql.execute(s,
+        s"""INSERT INTO $cat.defs (o_orderkey, o_totalprice)
+           |SELECT o_orderkey, o_totalprice FROM s26_orders""".stripMargin)
+      GraftSql.execute(s,
+        s"""MERGE INTO $cat.defs AS t USING s26_new AS s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey)
+           |  VALUES (s.o_orderkey)""".stripMargin)
+      GraftSql.execute(s,
+        s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM $cat.defs")
+    }),
+
     // Conditional WHEN MATCHED clauses — the CDC op-routing idiom
     // (round 7): `WHEN MATCHED AND s.op = 'D' THEN DELETE / WHEN
     // MATCHED AND s.op = 'U' THEN UPDATE SET *` routes each matched
@@ -1773,6 +1811,12 @@ object PipelineQueries {
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)""".stripMargin,
+    "s26_sql_defaults" ->
+      """SELECT o_orderkey, 'NEW' AS o_orderstatus, o_totalprice
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 50000000, 'NEW', 0.0
+        |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
     "s25_sql_constraints" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 10 = 0 THEN 'U'

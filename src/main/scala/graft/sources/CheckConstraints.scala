@@ -19,15 +19,28 @@ import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
 object CheckConstraints {
 
   /** Fail loudly if any `frame` row violates any of `checks`
-    * (name → predicate SQL over the table's LOGICAL columns). */
+    * (name → predicate SQL over the table's LOGICAL columns). ONE
+    * probe job regardless of constraint count: all predicates project
+    * as violation flags in a single pass, the early-exit `limit(1)`
+    * fetches the first bad row, and the error names every constraint
+    * that row breaks. */
   def enforce(table: String, checks: Seq[(String, String)],
               frame: DataFrame, verb: String): Unit =
-    checks.foreach { case (name, sql) =>
-      val bad = frame.where(not(coalesce(expr(sql), lit(true))))
-        .limit(1).count()
-      require(bad == 0,
-        s"$verb $table: rows violate CHECK constraint '$name' " +
-          s"($sql) — batch aborted, nothing committed")
+    if (checks.nonEmpty) {
+      import org.apache.spark.sql.functions.col
+      val flags = checks.map { case (name, sql) =>
+        not(coalesce(expr(sql), lit(true))).as(name) }
+      val bad = frame.select(flags: _*)
+        .where(checks.map(c => col(c._1)).reduce(_ || _))
+        .limit(1).collect()
+      bad.headOption.foreach { r =>
+        val broken = checks.filter { case (n, _) => r.getAs[Boolean](n) }
+        throw new IllegalArgumentException(
+          s"$verb $table: rows violate CHECK constraint" +
+            (if (broken.size > 1) "s " else " ") +
+            broken.map { case (n, s) => s"'$n' ($s)" }.mkString(", ") +
+            " — batch aborted, nothing committed")
+      }
     }
 
   /** The `check.<name>` options a [[graft.plans.GraftCatalog]] table

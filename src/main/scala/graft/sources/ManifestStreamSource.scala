@@ -100,6 +100,16 @@ final class GraftManifestTable(tableSchema: StructType,
 
   override def name(): String = s"graft-manifest `$root`"
   override def schema(): StructType = tableSchema
+
+  /** Surface the effective options (root, manifest, bloomColumns,
+    * schemaLog, check.* constraints, …) as table properties, so
+    * Spark's native `SHOW TBLPROPERTIES` / `DESCRIBE EXTENDED`
+    * introspect a catalog table without any graft-specific verb. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    options.entrySet().forEach(e => m.put(e.getKey, e.getValue))
+    m
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
       TableCapability.STREAMING_WRITE,

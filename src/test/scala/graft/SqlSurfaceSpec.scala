@@ -931,6 +931,12 @@ class SqlSurfaceSpec extends SparkSuite {
     val eAdd = intercept[Exception] {
       spark.sql("ALTER TABLE gchk.t ADD CONSTRAINT amt_small CHECK (amt < 1)") }
     assert(eAdd.getMessage.contains("existing"), eAdd.getMessage)
+    // native SHOW TBLPROPERTIES surfaces the constraint (and the
+    // table plumbing) — Table.properties() is the options map
+    val props = spark.sql("SHOW TBLPROPERTIES gchk.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("check.amt_pos").contains("amt > 0"), props)
+    assert(props.contains("manifest"), props)
     // DROP lifts enforcement; IF EXISTS tolerates a second drop
     spark.sql("ALTER TABLE gchk.t DROP CONSTRAINT amt_pos")
     Seq((9L, -2.0)).toDF("id", "amt").createOrReplaceTempView("chk_neg")
@@ -941,6 +947,88 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(eDrop.getMessage.contains("no constraint") ||
       eDrop.getMessage.toLowerCase.contains("not"), eDrop.getMessage)
     GraftSql.execute(spark, "DROP TABLE IF EXISTS gchk.t")
+  }
+
+  test("column DEFAULT values: CREATE-time declaration, INSERT/MERGE fill") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    val wh = java.nio.file.Files.createTempDirectory("graft_def_wh_").toString
+    spark.conf.set("spark.sql.catalog.gdef", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdef.warehouse", wh)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gdef.t")
+    GraftSql.execute(spark,
+      """CREATE TABLE gdef.t (
+        |  id BIGINT, v STRING DEFAULT 'none', score DOUBLE DEFAULT 0.5
+        |) USING `graft-manifest` TBLPROPERTIES ('keys' = 'id')""".stripMargin)
+    // column-list INSERT: unlisted columns fill from their defaults
+    GraftSql.execute(spark,
+      "INSERT INTO gdef.t (id) SELECT * FROM range(0, 3)")
+    val r1 = spark.sql("SELECT id, v, score FROM gdef.t ORDER BY id").collect()
+    assert(r1.forall(r => r.getString(1) == "none" && r.getDouble(2) == 0.5),
+      r1.mkString(","))
+    // partial list with one provided, others defaulted
+    GraftSql.execute(spark,
+      "INSERT INTO gdef.t (v, id) SELECT 'set', 10")
+    val r2 = spark.sql("SELECT v, score FROM gdef.t WHERE id = 10").collect()
+    assert(r2.head.getString(0) == "set" && r2.head.getDouble(1) == 0.5)
+    // MERGE partial INSERT list: unlisted falls back to the DEFAULT,
+    // not NULL
+    Seq((20L, 2.0)).toDF("id", "delta").createOrReplaceTempView("gdef_src")
+    GraftSql.execute(spark,
+      """MERGE INTO gdef.t AS t USING gdef_src AS s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, score) VALUES (s.id, s.delta)
+        |""".stripMargin)
+    val r3 = spark.sql("SELECT v, score FROM gdef.t WHERE id = 20").collect()
+    assert(r3.head.getString(0) == "none" && r3.head.getDouble(1) == 2.0, r3.mkString)
+    // loud rejections: unknown listed column, count mismatch, a
+    // column list against an undeclared-schema registration
+    val eCol = intercept[Exception] {
+      GraftSql.execute(spark, "INSERT INTO gdef.t (nope) SELECT 1") }
+    assert(eCol.getMessage.contains("nope"), eCol.getMessage)
+    val eCnt = intercept[Exception] {
+      GraftSql.execute(spark, "INSERT INTO gdef.t (id, v) SELECT 1") }
+    assert(eCnt.getMessage.contains("column list names"), eCnt.getMessage)
+    assert(spark.sql("SELECT * FROM gdef.t").count() == 5)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gdef.t")
+  }
+
+  test("clusterBy declaration: bare OPTIMIZE maintains the declared z-order") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    val wh = java.nio.file.Files.createTempDirectory("graft_clu_wh_").toString
+    spark.conf.set("spark.sql.catalog.gclu", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gclu.warehouse", wh)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gclu.t")
+    GraftSql.execute(spark,
+      """CREATE TABLE gclu.t (id BIGINT, v DOUBLE) USING `graft-manifest`
+        |TBLPROPERTIES ('keys' = 'id', 'clusterBy' = 'v')""".stripMargin)
+    spark.range(0, 2000).selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v")
+      .createOrReplaceTempView("gclu_src")
+    GraftSql.execute(spark, "INSERT INTO gclu.t SELECT * FROM gclu_src")
+    // bare OPTIMIZE (no ZORDER clause) must run the declared z-order —
+    // observable via the incremental path's _optimized generation marker
+    GraftSql.execute(spark, "OPTIMIZE gclu.t")
+    def markers() = {
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$wh/t"), true)
+      var found = List.empty[String]
+      while (it.hasNext) {
+        val f = it.next().getPath.toString
+        if (f.contains("_optimized")) found ::= f
+      }
+      found
+    }
+    assert(markers().nonEmpty, "bare OPTIMIZE did not run the declared z-order")
+    assert(spark.sql("SELECT count(*) FROM gclu.t").collect().head.getLong(0) == 2000)
+    // re-declare the clustering; a bad column refuses
+    spark.sql("ALTER TABLE gclu.t SET TBLPROPERTIES ('clusterBy' = 'id')")
+    val fresh = new GraftCatalog
+    fresh.initialize("gclu", new org.apache.spark.sql.util
+      .CaseInsensitiveStringMap(java.util.Map.of("warehouse", wh)))
+    assert(fresh.entryFor("t").exists(_.clusterBy == Seq("id")))
+    val eBad = intercept[Exception] {
+      spark.sql("ALTER TABLE gclu.t SET TBLPROPERTIES ('clusterBy' = 'zz')") }
+    assert(eBad.getMessage.contains("zz"), eBad.getMessage)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gclu.t")
   }
 
   test("per-session register() exposes the same functions on a live session") {

@@ -197,6 +197,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("spark.readStream.table over a catalog table streams commits") {
+    // the catalog's loadTable serves MICRO_BATCH_READ, so a SQL user
+    // tails a DDL-owned named table with .table() — no format/options
+    import graft.plans.{GraftCatalog, GraftSql}
+    val wh = java.nio.file.Files.createTempDirectory("graft_rst_wh_").toString
+    spark.conf.set("spark.sql.catalog.grst", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grst.warehouse", wh)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS grst.ev")
+    GraftSql.execute(spark,
+      """CREATE TABLE grst.ev (id BIGINT, v STRING) USING `graft-manifest`
+        |TBLPROPERTIES ('keys' = 'id')""".stripMargin)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .createOrReplaceTempView("grst_src1")
+    GraftSql.execute(spark, "INSERT INTO grst.ev SELECT * FROM grst_src1")
+    val outDir = s"$wh/out"
+    val q = spark.readStream.table("grst.ev")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$wh/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).select("id").as[Long]
+        .collect().toSet == Set(1L, 2L))
+      Seq((3L, "c")).toDF("id", "v").createOrReplaceTempView("grst_src2")
+      GraftSql.execute(spark, "INSERT INTO grst.ev SELECT * FROM grst_src2")
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).select("id").as[Long]
+        .collect().toSet == Set(1L, 2L, 3L))
+    } finally q.stop()
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS grst.ev")
+  }
+
   test("graft-manifest DSv2 source: committed-only, incremental, restart exactly-once") {
     import graft.sources.{Sinks, TxnManifest}
     val base = java.nio.file.Files.createTempDirectory("graft_dsv2_").toString
