@@ -91,7 +91,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       // which the catalog stores verbatim — INSERT column lists and
       // MERGE partial INSERT lists fill from it
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      // c GENERATED ALWAYS AS (expr): the expression rides column
+      // metadata; write paths compute unlisted generated columns and
+      // VALIDATE provided ones (Delta's contract)
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   // ---- metadata persistence -------------------------------------
 
@@ -182,12 +187,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           .mergedSchemaOpt(SparkSession.active, root, manifest)
           .getOrElse(DataType.fromJson(meta("schema")).asInstanceOf[StructType])
     }
+    // generated-column invariants ride the native write path as
+    // synthesized check options — a V1 insert that PROVIDES a
+    // generated column gets the same provided-must-match validation
+    // the statement INSERT applies
+    val genChecks = DataType.fromJson(meta("schema"))
+      .asInstanceOf[StructType].fields.toSeq.flatMap(f =>
+        org.apache.spark.sql.catalyst.util.GeneratedColumn
+          .getGenerationExpression(f)
+          .map(g => s"check.generated_${f.name}" -> s"${f.name} <=> ($g)"))
     val opts = Map("path" -> root, "manifest" -> manifest) ++
       meta.get("bloomColumns").filter(_.nonEmpty).map("bloomColumns" -> _) ++
       meta.get("schemaLog").map("schemaLog" -> _) ++
       // CHECK constraints ride as options so the native V1 batch
       // write enforces them too (option keys lowercase by contract)
-      meta.collect { case (k, v) if k.startsWith("check.") => k -> v }
+      meta.collect { case (k, v) if k.startsWith("check.") => k -> v } ++
+      genChecks
     new GraftManifestTable(schema, new CaseInsensitiveStringMap(opts.asJava))
   }
 
@@ -248,6 +263,38 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       meta.get("schemaLog").map("schemaLog" -> _)).asJava))
   }
 
+  /** The connector-Column overload Spark's CREATE TABLE exec calls:
+    * the stock Column[]→StructType bridge keeps DEFAULT metadata but
+    * DROPS generation expressions, so fold them back into column
+    * metadata before delegating — the write paths read them from the
+    * stored schema ([[GraftSqlTables.generatedCols]]). Identity
+    * columns are rejected loudly (no distributed high-water-mark
+    * allocator here — an honest gap, not a silent one). */
+  override def createTable(
+      ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    columns.foreach(c => require(c.identityColumnSpec() == null,
+      s"graft catalog: IDENTITY column '${c.name()}' is not supported — " +
+        "generate ids with monotonically-increasing expressions or " +
+        "graft.ops.Ids.denseIds"))
+    val base = org.apache.spark.sql.graftbridge.CatalogBridge
+      .v2ColumnsToStructType(columns)
+    val withGen = StructType(base.fields.zip(columns).map { case (f, c) =>
+      Option(c.generationExpression()) match {
+        case Some(g) =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(org.apache.spark.sql.catalyst.util.GeneratedColumn
+              .GENERATION_EXPRESSION_METADATA_KEY, g)
+            .build())
+        case None => f
+      }
+    })
+    createTable(ident, withGen, partitions, properties)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -297,6 +344,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         "graft catalog: columnMapping and schemaEvolution are mutually " +
           "exclusive — mapped tables evolve through ALTER TABLE ADD " +
           "COLUMN, not write-side drift")
+      require(!org.apache.spark.sql.catalyst.util.GeneratedColumn
+          .hasGeneratedColumns(schema),
+        "graft catalog: columnMapping and GENERATED columns are mutually " +
+          "exclusive — the mapping's SchemaLog does not carry generation " +
+          "expressions")
     }
     val schemaLogPath = if (mapping) Some(s"$root/_schema_log") else None
     // clusterBy: declared clustering columns — a bare OPTIMIZE

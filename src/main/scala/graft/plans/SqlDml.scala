@@ -97,12 +97,34 @@ object GraftSqlTables {
     * parquet-read live schemas never carry it). */
   def defaultFor(entry: Entry, column: String): Option[String] =
     entry.schemaJson.flatMap { json =>
-      org.apache.spark.sql.types.DataType.fromJson(json)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-        .fields.find(_.name.equalsIgnoreCase(column))
+      declaredOf(json).fields.find(_.name.equalsIgnoreCase(column))
         .filter(_.metadata.contains("CURRENT_DEFAULT"))
         .map(_.metadata.getString("CURRENT_DEFAULT"))
     }
+
+  /** (column, generation-expression SQL) for every GENERATED ALWAYS
+    * AS column of the declared schema (Spark's generation-expression
+    * column metadata). */
+  def generatedCols(entry: Entry): Seq[(String, String)] =
+    entry.schemaJson.toSeq.flatMap { json =>
+      declaredOf(json).fields.toSeq.flatMap(f =>
+        org.apache.spark.sql.catalyst.util.GeneratedColumn
+          .getGenerationExpression(f).map(f.name -> _))
+    }
+
+  /** The write-side invariants a DML result frame must satisfy:
+    * declared CHECK constraints plus one null-safe equality per
+    * generated column — a path that RECOMPUTES generated columns
+    * passes trivially; a path that lets the user provide them
+    * (positional INSERT, MERGE `SET *`) gets Delta's
+    * provided-must-match-expression validation for free. */
+  def writeChecks(entry: Entry): Seq[(String, String)] =
+    entry.checks ++ generatedCols(entry).map { case (c, g) =>
+      s"generated_$c" -> s"$c <=> ($g)" }
+
+  private def declaredOf(json: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   /** Programmatic registrations first; otherwise, a 2-part name whose
     * head is a [[GraftCatalog]] configured on the active session
@@ -182,6 +204,7 @@ object GraftDml {
           // keys and duplicate targets fail loudly here, at parse
           def assignPairs(clause: String,
                           assigns: Seq[Assignment]): Seq[(String, String)] = {
+            val gens = GraftSqlTables.generatedCols(entry).map(_._1)
             val pairs = assigns.map { a =>
               val target = a.key match {
                 case k: UnresolvedAttribute => k.nameParts.last
@@ -192,6 +215,9 @@ object GraftDml {
               require(!keys.exists(_.equalsIgnoreCase(target)),
                 s"MERGE INTO $name: $clause touches merge key '$target' — " +
                   "a key rewrite is a delete+insert, not an update")
+              require(!gens.exists(_.equalsIgnoreCase(target)),
+                s"MERGE INTO $name: $clause assigns GENERATED column " +
+                  s"'$target' — it always recomputes from its expression")
               target -> a.value.sql
             }
             val dup = pairs.map(_._1.toLowerCase(java.util.Locale.ROOT))
@@ -279,6 +305,7 @@ object GraftDml {
             case Seq(InsertAction(cond, assigns)) =>
               insert = true
               insertCond = cond.map(_.sql)
+              val insGens = GraftSqlTables.generatedCols(entry).map(_._1)
               val pairs = assigns.map { a =>
                 val target = a.key match {
                   case k: UnresolvedAttribute => k.nameParts.last
@@ -286,6 +313,9 @@ object GraftDml {
                     s"MERGE INTO $name: INSERT target must be a column, " +
                       s"got ${k.sql}")
                 }
+                require(!insGens.exists(_.equalsIgnoreCase(target)),
+                  s"MERGE INTO $name: INSERT assigns GENERATED column " +
+                    s"'$target' — it always computes from its expression")
                 target -> a.value.sql
               }
               val dup = pairs.map(_._1.toLowerCase(java.util.Locale.ROOT))
@@ -329,6 +359,7 @@ object GraftDml {
           require(entry.keys.nonEmpty,
             s"UPDATE $name: table registered without keys — " +
               "row identity is undefined")
+          val gens = GraftSqlTables.generatedCols(entry).map(_._1)
           val assigns = u.assignments.map { a =>
             val target = a.key match {
               case k: UnresolvedAttribute => k.nameParts.last
@@ -338,6 +369,9 @@ object GraftDml {
             require(!entry.keys.exists(_.equalsIgnoreCase(target)),
               s"UPDATE $name: SET touches key column '$target' — key " +
                 "rewrites are a delete+insert; use MERGE")
+            require(!gens.exists(_.equalsIgnoreCase(target)),
+              s"UPDATE $name: SET assigns GENERATED column '$target' — " +
+                "it always recomputes from its expression")
             target -> a.value.sql
           }
           GraftUpdateSpec(name, entry, assigns, u.condition.map(_.sql))
@@ -389,14 +423,16 @@ object GraftDml {
       // target-schema projection with an explicit SET list applied:
       // listed columns recompute (cast to the column's type, SQL
       // assignment semantics), unlisted keep their target values —
-      // all against the OLD row, simultaneously, in one select
+      // all against the OLD row, simultaneously, in one select;
+      // GENERATED columns then recompute from the NEW values
       def applyAssigns(frame: DataFrame,
                        assigns: Seq[(String, String)]): DataFrame =
-        frame.select(tgt.schema.fields.map { f =>
-          assigns.find(_._1.equalsIgnoreCase(f.name))
-            .map { case (_, v) => expr(v).cast(f.dataType).as(f.name) }
-            .getOrElse(col(s"$tA.${f.name}").as(f.name))
-        }.toIndexedSeq: _*)
+        GraftDml.recomputeGenerated(entry,
+          frame.select(tgt.schema.fields.map { f =>
+            assigns.find(_._1.equalsIgnoreCase(f.name))
+              .map { case (_, v) => expr(v).cast(f.dataType).as(f.name) }
+              .getOrElse(col(s"$tA.${f.name}").as(f.name))
+          }.toIndexedSeq: _*))
       // ---- matched arms. Two evaluation strategies:
       //   FAST PATH (unconditional SET * / no update): the delete
       //   condition evaluates over SOURCE columns and whole source
@@ -483,15 +519,17 @@ object GraftDml {
             case Some(as) =>
               // explicit column list: listed columns compute from
               // expressions over the source row, unlisted fill from
-              // their declared DEFAULT (Delta's rule) or NULL
-              unmatched.select(tgt.schema.fields.map { f =>
-                as.find(_._1.equalsIgnoreCase(f.name))
-                  .map { case (_, v) => expr(v).cast(f.dataType).as(f.name) }
-                  .getOrElse(GraftSqlTables.defaultFor(entry, f.name)
-                    .map(d => expr(d).cast(f.dataType).as(f.name))
-                    .getOrElse(org.apache.spark.sql.functions.lit(null)
-                      .cast(f.dataType).as(f.name)))
-              }.toIndexedSeq: _*)
+              // their declared DEFAULT (Delta's rule) or NULL;
+              // GENERATED columns compute from the resolved values
+              GraftDml.recomputeGenerated(entry,
+                unmatched.select(tgt.schema.fields.map { f =>
+                  as.find(_._1.equalsIgnoreCase(f.name))
+                    .map { case (_, v) => expr(v).cast(f.dataType).as(f.name) }
+                    .getOrElse(GraftSqlTables.defaultFor(entry, f.name)
+                      .map(d => expr(d).cast(f.dataType).as(f.name))
+                      .getOrElse(org.apache.spark.sql.functions.lit(null)
+                        .cast(f.dataType).as(f.name)))
+                }.toIndexedSeq: _*))
           })
         }
       // full-sync UPDATE arm: unmatched TARGET rows flagged in place,
@@ -504,10 +542,11 @@ object GraftDml {
       }
       val ups = Seq(updArm, inserts, bySrcUpd).flatten
         .reduceOption(_.unionByName(_, allowMissingColumns = true))
-      // CHECK constraints see the incoming LOGICAL rows (updated +
-      // inserted + flagged) before anything physicalizes or commits
-      ups.foreach(graft.sources.CheckConstraints.enforce(table, entry.checks,
-        _, "MERGE INTO"))
+      // CHECK constraints + generated-column invariants see the
+      // incoming LOGICAL rows (updated + inserted + flagged) before
+      // anything physicalizes or commits
+      ups.foreach(graft.sources.CheckConstraints.enforce(table,
+        GraftSqlTables.writeChecks(entry), _, "MERGE INTO"))
       mapLog match {
         case None =>
           Sinks.merge(spark, ups, delKeys, entry.root, man, keys, mergeId,
@@ -544,13 +583,14 @@ object GraftDml {
       // row (`SET a = b, b = a` swaps), so all expressions project in
       // ONE select over the original frame, never a sequential fold
       val matched = condSql.fold(cur)(c => cur.where(expr(c)))
-      val ups0 = matched.select(matched.columns.map { c =>
-        assigns.find(_._1.equalsIgnoreCase(c))
-          .map { case (_, v) => expr(v).as(c) }
-          .getOrElse(col(c))
-      }.toIndexedSeq: _*)
-      graft.sources.CheckConstraints.enforce(table, entry.checks, ups0,
-        "UPDATE")
+      val ups0 = GraftDml.recomputeGenerated(entry,
+        matched.select(matched.columns.map { c =>
+          assigns.find(_._1.equalsIgnoreCase(c))
+            .map { case (_, v) => expr(v).as(c) }
+            .getOrElse(col(c))
+        }.toIndexedSeq: _*))
+      graft.sources.CheckConstraints.enforce(table,
+        GraftSqlTables.writeChecks(entry), ups0, "UPDATE")
       val (ups, physKeys) = mapLog match {
         case None => (ups0, entry.keys)
         case Some(log) =>
@@ -590,6 +630,20 @@ object GraftDml {
         Sinks.mergeDelete(spark, delKeys, entry.root, man, physKeys, mergeId,
           cdf = entry.cdf)
   }
+
+  /** GENERATED ALWAYS AS columns recomputed from the frame's CURRENT
+    * values (post-assignment) — generation expressions may reference
+    * only non-generated columns (Spark validates at CREATE), so one
+    * pass suffices. */
+  private[plans] def recomputeGenerated(entry: GraftSqlTables.Entry,
+                                        frame: DataFrame): DataFrame =
+    GraftSqlTables.generatedCols(entry).foldLeft(frame) {
+      case (df, (c, g)) =>
+        df.schema.fields.find(_.name.equalsIgnoreCase(c)) match {
+          case Some(f) => df.withColumn(f.name, expr(g).cast(f.dataType))
+          case None    => df
+        }
+    }
 
   /** The table's live [[graft.sources.SchemaLog]], when it is a
     * columnMapping table. DML on mapped tables evaluates in LOGICAL
@@ -742,6 +796,11 @@ final case class GraftInsertCommand(table: String,
         target.fieldNames.exists(_.equalsIgnoreCase(c)),
         s"INSERT into $table: listed column '$c' is not a table column " +
           s"(${target.fieldNames.mkString(", ")})"))
+      val gens = GraftSqlTables.generatedCols(entry)
+      listed.foreach(c => require(
+        !gens.exists(_._1.equalsIgnoreCase(c)),
+        s"INSERT into $table: column '$c' is GENERATED ALWAYS AS — it " +
+          "cannot be inserted; it computes from its expression"))
       val dup = listed.map(_.toLowerCase(java.util.Locale.ROOT))
         .groupBy(identity).collect { case (c, vs) if vs.size > 1 => c }
       require(dup.isEmpty,
@@ -750,15 +809,24 @@ final case class GraftInsertCommand(table: String,
         s"INSERT into $table: query produces ${src.columns.length} " +
           s"column(s), the column list names ${listed.length}")
       val renamed = src.toDF(listed.toIndexedSeq: _*)
-      renamed.select(target.fields.map { f =>
+      // base projection first (listed / defaulted / NULL), generated
+      // columns then compute over the resolved base values
+      val base = renamed.select(target.fields.map { f =>
         if (listed.exists(_.equalsIgnoreCase(f.name)))
           col(f.name).cast(f.dataType).as(f.name)
+        else if (gens.exists(_._1.equalsIgnoreCase(f.name)))
+          org.apache.spark.sql.functions.lit(null)
+            .cast(f.dataType).as(f.name)
         else
           GraftSqlTables.defaultFor(entry, f.name)
             .map(sql => expr(sql).cast(f.dataType).as(f.name))
             .getOrElse(org.apache.spark.sql.functions.lit(null)
               .cast(f.dataType).as(f.name))
       }.toIndexedSeq: _*)
+      gens.foldLeft(base) { case (df, (c, g)) =>
+        val f = target.fields.find(_.name.equalsIgnoreCase(c)).get
+        df.withColumn(f.name, expr(g).cast(f.dataType))
+      }
   }
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -776,8 +844,8 @@ final case class GraftInsertCommand(table: String,
         val target = org.apache.spark.sql.types.StructType(cols.map(c =>
           org.apache.spark.sql.types.StructField(c.logical, c.dataType)))
         val aligned = alignTo(src, target)
-        graft.sources.CheckConstraints.enforce(table, entry.checks, aligned,
-          "INSERT into")
+        graft.sources.CheckConstraints.enforce(table,
+          GraftSqlTables.writeChecks(entry), aligned, "INSERT into")
         val physical = aligned.select(cols.map(c =>
           col(c.logical).as(c.physical)).toIndexedSeq: _*)
         if (overwrite)
@@ -808,8 +876,8 @@ final case class GraftInsertCommand(table: String,
           alignTo(src, org.apache.spark.sql.types.DataType.fromJson(json)
             .asInstanceOf[org.apache.spark.sql.types.StructType])
       }
-    graft.sources.CheckConstraints.enforce(table, entry.checks, aligned,
-      "INSERT into")
+    graft.sources.CheckConstraints.enforce(table,
+      GraftSqlTables.writeChecks(entry), aligned, "INSERT into")
     if (overwrite)
       Sinks.insertOverwrite(spark, aligned, entry.root, man, batchId)
     else {

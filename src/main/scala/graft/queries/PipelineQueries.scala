@@ -728,6 +728,43 @@ object PipelineQueries {
         s"SELECT o_orderkey, o_orderstatus, price, note FROM $cat.alt")
     }),
 
+    // GENERATED ALWAYS AS columns (round-7 continuation): the
+    // derived-column idiom the reference hand-maintains in every
+    // transform (`orders.py:111` order-type recodes), declared ONCE
+    // at CREATE and recomputed by the engine on every write — the
+    // column-list INSERT computes it, UPDATE recomputes it from the
+    // new values. The oracle derives the same expression over the
+    // post-update state.
+    "s27_sql_generated" -> ((s, d) => {
+      import graft.plans.GraftSql
+      val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      o.createOrReplaceTempView("s27_orders")
+      val cat = "graft"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.plans.GraftCatalog].getName)
+      if (s.conf.getOption(s"spark.sql.catalog.$cat.warehouse").isEmpty)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_s27_wh_").toString)
+      GraftSql.execute(s, s"DROP TABLE IF EXISTS $cat.gen")
+      GraftSql.execute(s,
+        s"""CREATE TABLE $cat.gen (
+           |  o_orderkey BIGINT, o_totalprice DOUBLE,
+           |  price_band STRING GENERATED ALWAYS AS (
+           |    CASE WHEN o_totalprice > 50000.0 THEN 'high'
+           |         WHEN o_totalprice > 10000.0 THEN 'mid'
+           |         ELSE 'low' END)
+           |) USING `graft-manifest` TBLPROPERTIES ('keys' = 'o_orderkey')
+           |""".stripMargin)
+      GraftSql.execute(s,
+        s"""INSERT INTO $cat.gen (o_orderkey, o_totalprice)
+           |SELECT o_orderkey, o_totalprice FROM s27_orders""".stripMargin)
+      GraftSql.execute(s,
+        s"""UPDATE $cat.gen SET o_totalprice = o_totalprice * 3.0
+           |WHERE o_orderkey % 10 = 0""".stripMargin)
+      GraftSql.execute(s,
+        s"SELECT o_orderkey, o_totalprice, price_band FROM $cat.gen")
+    }),
+
     // CHECK constraints (round-7 continuation) — the reference's
     // integrity-assert-and-abort (`custom_err.py:1-6`) as Delta's
     // declarative `ADD CONSTRAINT ... CHECK`: a violating INSERT
@@ -1811,6 +1848,17 @@ object PipelineQueries {
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)""".stripMargin,
+    "s27_sql_generated" ->
+      """WITH post AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 3.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders)
+        |SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_totalprice > 50000.0 THEN 'high'
+        |       WHEN o_totalprice > 10000.0 THEN 'mid'
+        |       ELSE 'low' END AS price_band
+        |FROM post""".stripMargin,
     "s26_sql_defaults" ->
       """SELECT o_orderkey, 'NEW' AS o_orderstatus, o_totalprice
         |FROM orders

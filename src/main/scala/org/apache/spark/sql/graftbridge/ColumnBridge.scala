@@ -16,6 +16,18 @@ object ColumnBridge {
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Connector-Column → StructType bridge: `CatalogV2Util` is
+  * private[sql]; a TableCatalog overriding the Column[] createTable
+  * overload needs exactly this one conversion (to then re-attach the
+  * generation expressions the stock bridge drops). */
+object CatalogBridge {
+  def v2ColumnsToStructType(
+      cols: Array[org.apache.spark.sql.connector.catalog.Column])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util
+      .v2ColumnsToStructType(cols)
+}
+
 /** LogicalPlan → DataFrame bridge for custom plan nodes:
   * `Dataset.ofRows` is private[sql], and extension libraries that ship
   * their own logical operators need exactly this one constructor. */

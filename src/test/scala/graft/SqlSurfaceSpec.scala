@@ -1031,6 +1031,57 @@ class SqlSurfaceSpec extends SparkSuite {
     GraftSql.execute(spark, "DROP TABLE IF EXISTS gclu.t")
   }
 
+  test("GENERATED ALWAYS AS columns: compute, recompute, validate") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    val wh = java.nio.file.Files.createTempDirectory("graft_gen_wh_").toString
+    spark.conf.set("spark.sql.catalog.ggen", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ggen.warehouse", wh)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS ggen.t")
+    GraftSql.execute(spark,
+      """CREATE TABLE ggen.t (
+        |  id BIGINT, amt DOUBLE,
+        |  amt_cents BIGINT GENERATED ALWAYS AS (CAST(amt * 100 AS BIGINT))
+        |) USING `graft-manifest` TBLPROPERTIES ('keys' = 'id')""".stripMargin)
+    // column-list INSERT: the generated column COMPUTES
+    GraftSql.execute(spark,
+      "INSERT INTO ggen.t (id, amt) SELECT id, CAST(id AS DOUBLE) + 0.25 FROM range(0, 3)")
+    val r1 = spark.sql("SELECT id, amt_cents FROM ggen.t ORDER BY id").collect()
+    assert(r1.map(r => r.getLong(0) -> r.getLong(1)).toSeq ==
+      Seq(0L -> 25L, 1L -> 125L, 2L -> 225L), r1.mkString(","))
+    // listing the generated column refuses
+    val eList = intercept[Exception] {
+      GraftSql.execute(spark,
+        "INSERT INTO ggen.t (id, amt, amt_cents) SELECT 9, 1.0, 42") }
+    assert(eList.getMessage.contains("GENERATED"), eList.getMessage)
+    // positional INSERT providing a WRONG value fails validation;
+    // a consistent value passes
+    val eBad = intercept[Exception] {
+      GraftSql.execute(spark, "INSERT INTO ggen.t SELECT 10, 2.0, 999") }
+    assert(eBad.getMessage.contains("generated_amt_cents"), eBad.getMessage)
+    GraftSql.execute(spark, "INSERT INTO ggen.t SELECT 10, 2.0, 200")
+    // UPDATE of a source column RECOMPUTES the generated one; SET of
+    // the generated column itself refuses
+    GraftSql.execute(spark, "UPDATE ggen.t SET amt = amt + 1.0 WHERE id = 10")
+    assert(spark.sql("SELECT amt_cents FROM ggen.t WHERE id = 10")
+      .collect().head.getLong(0) == 300L)
+    val eSet = intercept[Exception] {
+      GraftSql.execute(spark, "UPDATE ggen.t SET amt_cents = 7") }
+    assert(eSet.getMessage.contains("GENERATED"), eSet.getMessage)
+    // MERGE column-level update recomputes too; partial INSERT list
+    // computes for new rows
+    Seq((10L, 5.0), (20L, 3.5)).toDF("id", "namt")
+      .createOrReplaceTempView("ggen_src")
+    GraftSql.execute(spark,
+      """MERGE INTO ggen.t AS t USING ggen_src AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.amt = s.namt
+        |WHEN NOT MATCHED THEN INSERT (id, amt) VALUES (s.id, s.namt)
+        |""".stripMargin)
+    val r2 = spark.sql("SELECT id, amt_cents FROM ggen.t WHERE id >= 10 ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(r2 == Seq(10L -> 500L, 20L -> 350L), r2.mkString(","))
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS ggen.t")
+  }
+
   test("per-session register() exposes the same functions on a live session") {
     SimHash64.register(spark)
     TopKStructs.register(spark)
