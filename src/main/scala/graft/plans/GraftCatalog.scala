@@ -197,11 +197,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           .getGenerationExpression(f)
           .map(g => s"check.generated_${f.name}" -> s"${f.name} <=> ($g)"))
     val opts = Map("path" -> root, "manifest" -> manifest) ++
+      // merge keys + behavior flags ride as options so the native
+      // SupportsDeleteV2 path has row identity and the DV/CDF config
+      meta.get("keys").filter(_.nonEmpty).map("keys" -> _) ++
+      meta.get("cdf").map("cdf" -> _) ++
+      meta.get("deletionVectors").map("deletionVectors" -> _) ++
       meta.get("bloomColumns").filter(_.nonEmpty).map("bloomColumns" -> _) ++
       meta.get("schemaLog").map("schemaLog" -> _) ++
       // CHECK constraints ride as options so the native V1 batch
       // write enforces them too (option keys lowercase by contract)
       meta.collect { case (k, v) if k.startsWith("check.") => k -> v } ++
+      // informational key constraints surface through SHOW TBLPROPERTIES
+      meta.collect { case (k, v) if k.startsWith("info.") => k -> v } ++
       genChecks
     new GraftManifestTable(schema, new CaseInsensitiveStringMap(opts.asJava))
   }
@@ -508,13 +515,34 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
                   s"rows violate CHECK ($sql)")
             }
             newMeta += (s"check.$cname" -> sql)
+          // PRIMARY KEY / UNIQUE / FOREIGN KEY: informational only
+          // (Delta/Databricks RELY semantics) — enforcing uniqueness
+          // would cost a full shuffle probe per write at 100 TB, and
+          // row identity already comes from the merge keys. Declared
+          // NOT ENFORCED they persist (optimizer hints, DDL-migration
+          // compatibility with the reference's PK-carrying setup.sql);
+          // ENFORCED refuses loudly.
+          case c@(_: org.apache.spark.sql.connector.catalog.constraints.PrimaryKey |
+                  _: org.apache.spark.sql.connector.catalog.constraints.Unique |
+                  _: org.apache.spark.sql.connector.catalog.constraints.ForeignKey) =>
+            require(!c.enforced(),
+              s"graft catalog: ${c.name()} cannot be ENFORCED — key/unique " +
+                "enforcement is a full shuffle per write at scale; declare " +
+                "it NOT ENFORCED (informational) — row identity is already " +
+                "the table's merge keys")
+            val cname = c.name().toLowerCase(java.util.Locale.ROOT)
+            require(cname.matches("[a-z0-9_]+"),
+              s"graft catalog: constraint names are [a-z0-9_]+: got '$cname'")
+            newMeta += (s"info.$cname" -> c.toDDL)
           case c => throw new UnsupportedOperationException(
-            s"graft catalog: only CHECK constraints are supported, got " +
-              c.toDDL)
+            s"graft catalog: unsupported constraint type for " +
+              s"'${c.name()}' — supported: CHECK (enforced), " +
+              "PRIMARY KEY / UNIQUE / FOREIGN KEY (informational)")
         }
       case dc: TableChange.DropConstraint =>
         val cname = dc.name().toLowerCase(java.util.Locale.ROOT)
         if (newMeta.contains(s"check.$cname")) newMeta -= s"check.$cname"
+        else if (newMeta.contains(s"info.$cname")) newMeta -= s"info.$cname"
         else require(dc.ifExists(),
           s"graft catalog: no constraint '$cname' to drop " +
             "(use IF EXISTS to tolerate)")

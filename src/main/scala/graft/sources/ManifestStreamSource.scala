@@ -94,9 +94,100 @@ final class GraftManifestProvider extends TableProvider with DataSourceRegister 
 final class GraftManifestTable(tableSchema: StructType,
                                options: CaseInsensitiveStringMap)
   extends Table with SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.TruncatableTable
+  with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
 
   private val (root, manifestPath) = GraftManifestSource.rootAndManifest(options)
+
+  /** Native `DELETE FROM <table> WHERE <cond>` on a PLAIN session (no
+    * extension parser, no GraftSql): Spark hands the condition as V2
+    * predicates; they convert to V1 filters, evaluate as a WHERE over
+    * the committed read (logical space on mapped tables), and the
+    * matching keys route through the same mergeDelete / DV-delete the
+    * SQL verb uses. Supported only when the table carries merge keys
+    * (the `keys` option a [[graft.plans.GraftCatalog]] table always
+    * has) and every predicate has a filter/Column twin — anything
+    * else refuses, steering to the full-surface GraftSql path. */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+    : Boolean =
+    deleteKeys.nonEmpty && predicates.forall(p =>
+      org.apache.spark.sql.graftbridge.PredicateBridge.toV1(p)
+        .exists(f => GraftManifestSource.filterColumn(f).isDefined))
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+    : Unit = {
+    require(deleteKeys.nonEmpty,
+      s"graft-manifest: DELETE needs merge keys — row identity is " +
+        "undefined without the 'keys' option (catalog tables carry it)")
+    val conds = predicates.toSeq.map { p =>
+      org.apache.spark.sql.graftbridge.PredicateBridge.toV1(p)
+        .flatMap(GraftManifestSource.filterColumn).getOrElse(
+          throw new UnsupportedOperationException(
+            s"graft-manifest: DELETE condition $p has no filter " +
+              "translation — run the statement through GraftSql.execute " +
+              "or a GraftExtensions session"))
+    }
+    val spark = SparkSession.active
+    val man = new TxnManifest(manifestPath)
+    val ids = man.committed().keySet
+    require(ids.nonEmpty, "nothing committed yet — DELETE needs a live table")
+    val mergeId = ids.max + 1
+    val mapping = GraftManifestSource.mapping(options)
+    val cur = mapping match {
+      case Some(_) =>
+        val logPath = options.get("schemaLog")
+        SchemaLog.readCommittedMapped(spark, root, man,
+          new SchemaLog(logPath))
+      case None => Sinks.readCommitted(spark, root, man)
+    }
+    val matched = conds.foldLeft(cur)((df, c) => df.where(c))
+    val toPhys: String => String = mapping match {
+      case Some(cols) => l => cols.find(_.logical.equalsIgnoreCase(l))
+        .map(_.physical).getOrElse(l)
+      case None => identity
+    }
+    val physKeys = deleteKeys.map(toPhys)
+    val delKeys = matched
+      .select(deleteKeys.map(org.apache.spark.sql.functions.col): _*)
+      .distinct()
+      .select(deleteKeys.zip(physKeys).map { case (l, p) =>
+        org.apache.spark.sql.functions.col(l).as(p) }: _*)
+    val cdf = Option(options.get("cdf")).exists(_.toBoolean)
+    if (Option(options.get("deletionVectors")).exists(_.toBoolean))
+      Sinks.mergeDeleteDV(spark, delKeys, root, man, physKeys, mergeId,
+        cdf = cdf)
+    else
+      Sinks.mergeDelete(spark, delKeys, root, man, physKeys, mergeId,
+        cdf = cdf)
+  }
+
+  private def deleteKeys: Seq[String] =
+    Option(options.get("keys")).toSeq.flatMap(_.split(','))
+      .map(_.trim).filter(_.nonEmpty)
+
+  /** `TRUNCATE TABLE` — one atomic manifest commit replacing the
+    * whole view with an EMPTY batch ([[Sinks.insertOverwrite]]'s
+    * contract: readers see old view or empty, never a mix; history
+    * stays restorable until vacuum; change feed marks collapsed).
+    * Mapped tables truncate with physical names like any write. */
+  override def truncateTable(): Boolean = {
+    val spark = SparkSession.active
+    val man = new TxnManifest(manifestPath)
+    val ids = man.committed().keySet
+    val batchId = if (ids.isEmpty) 0 else ids.max + 1
+    val physSchema = GraftManifestSource.mapping(options) match {
+      case Some(cols) => StructType(cols.map(c => org.apache.spark.sql.types
+        .StructField(c.physical, c.dataType)))
+      case None => tableSchema
+    }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physSchema)
+    Sinks.insertOverwrite(spark, empty, root, man, batchId)
+    true
+  }
 
   override def name(): String = s"graft-manifest `$root`"
   override def schema(): StructType = tableSchema
@@ -871,6 +962,38 @@ private[graft] object GraftManifestSource {
       case _      => None
     }
     pushed.flatMap(rename(_).toSeq)
+  }
+
+  /** A V1 Filter as a boolean Column — the delete path's predicate
+    * evaluation (SupportsDeleteV2 hands the table filters; the
+    * key-extraction read evaluates them as a normal WHERE). None for
+    * shapes with no Column twin: the caller must then refuse the
+    * operation, never approximate it. */
+  def filterColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col => c, lit, not => notc}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v)            => Some(c(a) === lit(v))
+      case EqualNullSafe(a, v)      => Some(c(a) <=> lit(v))
+      case GreaterThan(a, v)        => Some(c(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+      case LessThan(a, v)           => Some(c(a) < lit(v))
+      case LessThanOrEqual(a, v)    => Some(c(a) <= lit(v))
+      case In(a, vs)                => Some(c(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a)                => Some(c(a).isNull)
+      case IsNotNull(a)             => Some(c(a).isNotNull)
+      case StringStartsWith(a, v)   => Some(c(a).startsWith(v))
+      case StringEndsWith(a, v)     => Some(c(a).endsWith(v))
+      case StringContains(a, v)     => Some(c(a).contains(v))
+      case And(l, r) =>
+        for { ll <- filterColumn(l); rr <- filterColumn(r) } yield ll && rr
+      case Or(l, r) =>
+        for { ll <- filterColumn(l); rr <- filterColumn(r) } yield ll || rr
+      case Not(x)          => filterColumn(x).map(notc)
+      case AlwaysTrue()    => Some(lit(true))
+      case AlwaysFalse()   => Some(lit(false))
+      case _               => None
+    }
   }
 
   /** True when the filter (or any branch of it) is a membership probe

@@ -28,6 +28,15 @@ object CatalogBridge {
       .v2ColumnsToStructType(cols)
 }
 
+/** V2 Predicate → V1 Filter bridge: `PredicateUtils` is
+  * private[sql]; a table implementing SupportsDeleteV2 receives V2
+  * predicates and the engine's delete path speaks V1 filters. */
+object PredicateBridge {
+  def toV1(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
+}
+
 /** LogicalPlan → DataFrame bridge for custom plan nodes:
   * `Dataset.ofRows` is private[sql], and extension libraries that ship
   * their own logical operators need exactly this one constructor. */

@@ -1082,6 +1082,65 @@ class SqlSurfaceSpec extends SparkSuite {
     GraftSql.execute(spark, "DROP TABLE IF EXISTS ggen.t")
   }
 
+  test("informational key constraints and native TRUNCATE TABLE") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    val wh = java.nio.file.Files.createTempDirectory("graft_pk_wh_").toString
+    spark.conf.set("spark.sql.catalog.gpk", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gpk.warehouse", wh)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gpk.t")
+    GraftSql.execute(spark,
+      """CREATE TABLE gpk.t (id BIGINT, v STRING) USING `graft-manifest`
+        |TBLPROPERTIES ('keys' = 'id')""".stripMargin)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .createOrReplaceTempView("gpk_src")
+    GraftSql.execute(spark, "INSERT INTO gpk.t SELECT * FROM gpk_src")
+    // PRIMARY KEY declares informationally (RELY shape); ENFORCED
+    // refuses with the at-scale rationale
+    spark.sql("ALTER TABLE gpk.t ADD CONSTRAINT pk_id PRIMARY KEY (id) NOT ENFORCED")
+    val props = spark.sql("SHOW TBLPROPERTIES gpk.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("info.pk_id").exists(_.contains("PRIMARY KEY")), props)
+    val eEnf = intercept[Exception] {
+      spark.sql("ALTER TABLE gpk.t ADD CONSTRAINT uq_v UNIQUE (v) ENFORCED") }
+    assert(eEnf.getMessage.contains("ENFORCED"), eEnf.getMessage)
+    spark.sql("ALTER TABLE gpk.t DROP CONSTRAINT pk_id")
+    assert(!spark.sql("SHOW TBLPROPERTIES gpk.t").collect()
+      .exists(_.getString(0) == "info.pk_id"))
+    // native TRUNCATE TABLE: one atomic commit to the empty view;
+    // the table stays writable after
+    spark.sql("TRUNCATE TABLE gpk.t")
+    assert(spark.sql("SELECT * FROM gpk.t").count() == 0)
+    GraftSql.execute(spark, "INSERT INTO gpk.t SELECT * FROM gpk_src")
+    assert(spark.sql("SELECT * FROM gpk.t").count() == 2)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gpk.t")
+  }
+
+  test("native DELETE FROM on a plain session (SupportsDeleteV2)") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    val wh = java.nio.file.Files.createTempDirectory("graft_del_wh_").toString
+    spark.conf.set("spark.sql.catalog.gdel", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdel.warehouse", wh)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gdel.t")
+    GraftSql.execute(spark,
+      """CREATE TABLE gdel.t (id BIGINT, v STRING) USING `graft-manifest`
+        |TBLPROPERTIES ('keys' = 'id')""".stripMargin)
+    (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v")
+      .createOrReplaceTempView("gdel_src")
+    GraftSql.execute(spark, "INSERT INTO gdel.t SELECT * FROM gdel_src")
+    // plain spark.sql — no GraftSql, no extension parser: Spark's own
+    // DeleteFromTable routes through SupportsDeleteV2
+    spark.sql("DELETE FROM gdel.t WHERE id > 4")
+    assert(spark.sql("SELECT id FROM gdel.t").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L))
+    spark.sql("DELETE FROM gdel.t WHERE v = 'v1' OR v = 'v3'")
+    assert(spark.sql("SELECT id FROM gdel.t").as[Long].collect().toSet ==
+      Set(2L, 4L))
+    // unconditioned DELETE sweeps the table (AlwaysTrue predicate)
+    spark.sql("DELETE FROM gdel.t")
+    assert(spark.sql("SELECT * FROM gdel.t").count() == 0)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gdel.t")
+  }
+
   test("per-session register() exposes the same functions on a live session") {
     SimHash64.register(spark)
     TopKStructs.register(spark)
