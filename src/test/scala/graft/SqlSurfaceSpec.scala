@@ -1141,6 +1141,36 @@ class SqlSurfaceSpec extends SparkSuite {
     GraftSql.execute(spark, "DROP TABLE IF EXISTS gdel.t")
   }
 
+  test("CREATE OR REPLACE TABLE and writeStream.toTable work natively") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    val wh = java.nio.file.Files.createTempDirectory("graft_cor_wh_").toString
+    spark.conf.set("spark.sql.catalog.gcor", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcor.warehouse", wh)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gcor.a")
+    GraftSql.execute(spark,
+      "CREATE TABLE gcor.a (id BIGINT) USING `graft-manifest`")
+    // CREATE OR REPLACE drops + recreates through the catalog (non-
+    // staging: not atomic across the pair, like any non-staging v2
+    // catalog — each half is crash-atomic on its own)
+    GraftSql.execute(spark,
+      "CREATE OR REPLACE TABLE gcor.a (id BIGINT, v STRING) USING `graft-manifest`")
+    assert(spark.table("gcor.a").columns.toSeq == Seq("id", "v"))
+    // a streaming writer lands micro-batches into a catalog table by
+    // NAME — the V2 streaming write (stats-indexed dirs + manifest CAS)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gcor.s")
+    GraftSql.execute(spark,
+      "CREATE TABLE gcor.s (value BIGINT) USING `graft-manifest`")
+    val srcDir = s"$wh/in"
+    spark.range(0, 3).toDF("value").write.parquet(s"$srcDir/p1")
+    val q = spark.readStream.schema("value LONG").parquet(s"$srcDir/p1")
+      .writeStream.option("checkpointLocation", s"$wh/ckpt")
+      .toTable("gcor.s")
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("gcor.s").count() == 3)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gcor.a")
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gcor.s")
+  }
+
   test("per-session register() exposes the same functions on a live session") {
     SimHash64.register(spark)
     TopKStructs.register(spark)
