@@ -52,6 +52,32 @@ object SimQueries {
     // code per 4-dim subspace, queries score code lookup tables
     // instead of vectors — the memory leg of the ANN triad (sim2
     // prunes candidates, sim4 prunes scans, sim5 shrinks residency).
+    // Deterministic Lloyd's k-means — the semantic-diversity sampler
+    // (cluster-balanced selection, topic mixing) run before corpus
+    // sampling. k = the label cardinality, 8 iterations; output is
+    // per-cluster size + majority true label + purity, a shape that
+    // is deterministic end to end (integer distances, id-tie argmin,
+    // lowest-id seeds). No SQL oracle — Lloyd's has no DuckDB twin —
+    // so the driver records the rows-only check; SimSpec pins purity
+    // against the planted labels and run-to-run determinism.
+    "sim7_kmeans_diversity" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val k = emb.select("label").distinct().count().toInt
+      val assigned = Embeddings.kMeans(emb, "vec_id", "embedding",
+        k = k, iters = 8)
+      assigned.join(emb.select(col("vec_id").as("vid"), col("label")), "vid")
+        .groupBy(col("cluster"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+            .orderBy(col("n").desc, col("label").asc)))
+        .groupBy(col("cluster"))
+        .agg(sum(col("n")).as("n_members"),
+          max(when(col("rk") === 1, col("label"))).as("majority_label"),
+          (max(when(col("rk") === 1, col("n"))).cast("double") /
+            sum(col("n"))).as("purity"))
+    }),
+
     "sim5_pq_topk" -> ((s, d) => {
       Embeddings.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryPred = col("id") % 50 === 0, k = 5, m = Sim5M, subDim = Sim5Sub)

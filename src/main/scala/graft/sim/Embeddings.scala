@@ -225,6 +225,54 @@ object Embeddings {
         when(col("cl") === col("true_label"), 1).otherwise(0).as("is_match"))
   }
 
+  /** Deterministic Lloyd's k-means over quantized embeddings — the
+    * semantic-diversity primitive (cluster-balanced sampling, semantic
+    * dedup buckets, topic mixing) a curation pipeline runs before
+    * sampling. Fully deterministic at any parallelism:
+    *   - seeds are the `k` LOWEST-id vectors (no RNG — reproducible
+    *     and testable; k-means++ randomization adds recall, not
+    *     correctness, and a caller can pre-shuffle ids);
+    *   - distances are the integer n²·d² form ([[dist2n2]] — exact
+    *     int arithmetic, no float-sum order sensitivity);
+    *   - argmin ties break on cluster id.
+    * Per iteration: one broadcast of k centroid rows + one shuffle for
+    * the re-aggregation — at corpus scale the iteration cost is a
+    * single pass regardless of k. Clusters that lose all members
+    * disappear (documented Lloyd's behavior). Returns
+    * (vid, cluster) — the final assignment. */
+  def kMeans(vectors: DataFrame, idCol: String, embCol: String, k: Int,
+             iters: Int, dim: Int = 64): DataFrame = {
+    require(k >= 1 && iters >= 1, s"kMeans needs k >= 1, iters >= 1")
+    val q = cacheTracked(vectors.select(col(idCol).as("vid"),
+      quantizeChecked(col(embCol), dim, 1e4).as("v")))
+    val seeds = q.orderBy(col("vid").asc).limit(k)
+      .select(row_number().over(Window.orderBy(col("vid").asc))
+        .cast("int").as("cl"),
+        lit(1L).as("n"), col("v").as("s"))
+    def assign(cents: DataFrame): DataFrame = {
+      // dist2n2 is the n²-scaled |n·x − s|²; clusters carry DIFFERENT
+      // member counts, so the cross-cluster argmin must normalize by
+      // n² (labelCentroids-based assignment within equal-n labels can
+      // skip this; k-means cannot — unnormalized argmin silently
+      // biases toward small clusters)
+      val scored = q.join(broadcast(cents))
+        .select(col("vid"), col("v"), col("cl"),
+          (dist2n2.cast("double") / (col("n") * col("n"))).as("d2"))
+      val w = Window.partitionBy("vid").orderBy(col("d2").asc, col("cl").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1).select("vid", "v", "cl")
+    }
+    var assigned = assign(seeds)
+    for (_ <- 2 to iters) {
+      // re-center on the integer per-dimension sums of the current
+      // members (labelCentroids' exact shape, cluster id as label);
+      // localCheckpoint caps the lineage across iterations
+      val cents = labelCentroids(assigned.select(col("cl"), col("v")), "cl")
+      assigned = assign(cents).localCheckpoint(true)
+    }
+    assigned.select(col("vid"), col("cl").as("cluster"))
+  }
+
   /** IVF search — the pruned-scan ANN path [[centroidAssign]]'s coarse
     * quantizer exists FOR: each query probes its `nprobe` nearest
     * label centroids (exact integer n²·d², ties by label) and scores
