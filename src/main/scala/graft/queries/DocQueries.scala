@@ -416,7 +416,16 @@ object DocQueries {
         .groupBy("ngram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram").asc)
         .limit(100)
-    })
+    }),
+
+    // Sliding 30-char-window duplicate spans (the suffix-array
+    // approximation — catches duplicated text at ANY alignment, which
+    // dd11's fixed passage boundaries cannot). dedupCorpus's perturbed
+    // copies cover their originals end-to-end, and the small synthetic
+    // vocabulary yields a tail of coincidental 6-word repeats, so both
+    // the full-coverage and the sparse-island code paths run.
+    "dd13_dup_spans" -> ((s, d) =>
+      graft.text.DupSpans.profile(dedupCorpus(s, d), col("text"), k = 30))
   )
 
   private val mhSigCols: String =
@@ -735,7 +744,36 @@ object DocQueries {
         |FROM pairs p
         |LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
         |JOIN counts ca ON ca.doc_id = p.a
-        |JOIN counts cb ON cb.doc_id = p.b""".stripMargin
+        |JOIN counts cb ON cb.doc_id = p.b""".stripMargin,
+
+    "dd13_dup_spans" ->
+      s"""WITH $corpusCte,
+        |grams AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(length(text) - 29, 0)),
+        |      i -> {'pos': CAST(i AS BIGINT),
+        |            'g': substr(text, CAST(i + 1 AS INTEGER), 30)})) AS u
+        |  FROM corpus)),
+        |cov AS (SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS occ
+        |    FROM grams) WHERE occ >= 2),
+        |isl AS (SELECT doc_id, pos,
+        |    sum(CASE WHEN prev IS NULL OR pos - prev > 30
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM (SELECT doc_id, pos,
+        |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |    FROM cov)),
+        |spans AS (SELECT doc_id, max(pos) + 30 - min(pos) AS chars
+        |  FROM isl GROUP BY doc_id, island),
+        |agg AS (SELECT doc_id, CAST(sum(chars) AS BIGINT) AS dup_chars,
+        |    CAST(count(*) AS BIGINT) AS n_spans FROM spans GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars,
+        |  COALESCE(a.dup_chars, 0) AS dup_chars,
+        |  COALESCE(a.n_spans, 0) AS n_spans,
+        |  CAST(COALESCE(a.dup_chars, 0) AS DOUBLE) /
+        |    greatest(length(c.text), 1) AS dup_frac
+        |FROM corpus c LEFT JOIN agg a USING (doc_id)""".stripMargin
   )
 
   private lazy val ccOracle: String =

@@ -112,4 +112,47 @@ class TextSpec extends SparkSuite {
       SimHash.hamming(lit(sigs(1)), lit(sigs(3)))).first().getInt(0)
     assert(dist > 0)
   }
+
+  test("dup spans: any-alignment overlap merges into one maximal span") {
+    import graft.text.DupSpans
+    // "abcdefghij" sits offset-shifted inside doc 2 — every one of its
+    // 5-grams occurs in both docs, nothing else repeats
+    val docs = Seq(
+      (1L, "abcdefghij"),
+      (2L, "zzabcdefghijyy")).toDF("doc_id", "text")
+    val r = DupSpans.profile(docs, $"text", k = 5).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4)))).toMap
+    assert(r(1L) == ((10L, 10L, 1L, 1.0)))
+    assert(r(2L)._1 == 14L && r(2L)._2 == 10L && r(2L)._3 == 1L)
+    assert(math.abs(r(2L)._4 - 10.0 / 14) < 1e-12)
+  }
+
+  test("dup spans: within-document repetition counts (suffix-array rule)") {
+    import graft.text.DupSpans
+    // every 3-gram of "abcabcabc" recurs within the one document
+    val docs = Seq((1L, "abcabcabc"), (2L, "qrstuvwxy"))
+      .toDF("doc_id", "text")
+    val r = DupSpans.profile(docs, $"text", k = 3).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((9L, 1L)))
+    assert(r(2L) == ((0L, 0L))) // clean doc keeps its row with zeros
+  }
+
+  test("dup spans: gap wider than k splits islands; short docs no grams") {
+    import graft.text.DupSpans
+    // two shared 6-char regions separated by >k unique filler on each
+    // side → two spans in each doc; doc 3 is shorter than k
+    val docs = Seq(
+      (1L, "AAAAAA 123456789 BBBBBB"),
+      (2L, "AAAAAA 987654321 BBBBBB"),
+      (3L, "tiny")).toDF("doc_id", "text")
+    val r = DupSpans.profile(docs, $"text", k = 6).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getLong(3)))).toMap
+    // shared regions are "AAAAAA " and " BBBBBB" (7 chars each: the
+    // adjoining space windows also match)
+    assert(r(1L)._2 == 2L && r(2L)._2 == 2L)
+    assert(r(1L) == r(2L))
+    assert(r(3L) == ((0L, 0L)))
+  }
 }
