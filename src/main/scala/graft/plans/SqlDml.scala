@@ -750,6 +750,8 @@ final case class GraftDmlCommand(spec: GraftDmlSpec)
   *   RESTORE <tbl> TO VERSION AS OF <v>
   *   RESTORE <tbl> TO TIMESTAMP AS OF '<ts>' -- epoch ms or UTC wall
   *   INSERT INTO|OVERWRITE <tbl> <select>    -- see GraftInsertCommand
+  *   COPY INTO <tbl> FROM '<loc>' FILEFORMAT = PARQUET
+  *     [PATTERN = '<glob>'] [COPY_OPTIONS ('force' = 'true')]
   * }}}
   * OPTIMIZE sizes its output at ~128 MB per file (Delta's optimize
   * target) from the live dirs' byte sum; ZORDER runs the INCREMENTAL
@@ -773,13 +775,31 @@ final case class GraftInsertCommand(table: String,
                                     selectSql: String, overwrite: Boolean,
                                     insertCols: Option[Seq[String]] = None)
   extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = spark.sql(selectSql)
+    GraftInsertCommand.write(spark, table, entry, src, insertCols, overwrite)
+    Seq.empty
+  }
+}
+
+/** The one append/overwrite write path for registered graft tables —
+  * statement INSERT, the V1 batch-write fallback's sibling, and COPY
+  * INTO all land here: schema alignment (positional or listed-column
+  * with DEFAULT / generated-column handling), CHECK enforcement,
+  * mapped-table physicalization, stats/bloom sidecars, one manifest
+  * CAS. `beforeCommit(batchId)` runs after the batch's data + sidecar
+  * files land and immediately before the manifest CAS — COPY INTO
+  * hangs its file-tracking entry there so tracking and data commit
+  * as one unit (an entry counts only once its batch committed). */
+object GraftInsertCommand {
 
   /** Align the query's output to `target`: positional rename +
     * cast without a column list; listed-columns + DEFAULT/NULL fill
     * with one. Default expressions come from the DECLARED schema's
     * column metadata (Spark's `CURRENT_DEFAULT` key — parquet-read
     * live schemas do not carry it). */
-  private def alignTo(src: DataFrame,
+  private def alignTo(table: String, entry: GraftSqlTables.Entry,
+                      insertCols: Option[Seq[String]], src: DataFrame,
                       target: org.apache.spark.sql.types.StructType)
     : DataFrame = insertCols match {
     case None =>
@@ -829,11 +849,19 @@ final case class GraftInsertCommand(table: String,
       }
   }
 
-  override def run(spark: SparkSession): Seq[Row] = {
+  private[plans] def write(spark: SparkSession, table: String,
+                           entry: GraftSqlTables.Entry, src: DataFrame,
+                           insertCols: Option[Seq[String]],
+                           overwrite: Boolean,
+                           explicitBatchId: Option[Int] = None,
+                           beforeCommit: Int => Unit = _ => ()): Unit = {
+    def alignTo(src: DataFrame,
+                target: org.apache.spark.sql.types.StructType): DataFrame =
+      GraftInsertCommand.alignTo(table, entry, insertCols, src, target)
     val man = new TxnManifest(entry.manifestPath)
     val ids = man.committed().keySet
-    val batchId = if (ids.isEmpty) 0 else ids.max + 1
-    val src = spark.sql(selectSql)
+    val batchId = explicitBatchId.getOrElse(
+      if (ids.isEmpty) 0 else ids.max + 1)
     val existing = man.committedDirs(entry.root)
     // a columnMapping table aligns to the LOG's logical schema (the
     // authority across renames/adds/drops) and physicalizes just
@@ -848,17 +876,19 @@ final case class GraftInsertCommand(table: String,
           GraftSqlTables.writeChecks(entry), aligned, "INSERT into")
         val physical = aligned.select(cols.map(c =>
           col(c.logical).as(c.physical)).toIndexedSeq: _*)
-        if (overwrite)
+        if (overwrite) {
+          beforeCommit(batchId)
           Sinks.insertOverwrite(spark, physical, entry.root, man, batchId)
-        else {
+        } else {
           // stats sidecars carry PHYSICAL names; the mapped scan
           // translates its pushed filters to match, so data skipping
           // holds on mapped tables too
           graft.sources.StatsSinks.appendBatchStats(physical, entry.root,
             batchId)
+          beforeCommit(batchId)
           man.commit(batchId, Seq(s"${entry.root}/batch=$batchId"))
         }
-        return Seq.empty
+        return
       case None =>
     }
     val aligned =
@@ -878,14 +908,106 @@ final case class GraftInsertCommand(table: String,
       }
     graft.sources.CheckConstraints.enforce(table,
       GraftSqlTables.writeChecks(entry), aligned, "INSERT into")
-    if (overwrite)
+    if (overwrite) {
+      beforeCommit(batchId)
       Sinks.insertOverwrite(spark, aligned, entry.root, man, batchId)
-    else {
+    } else {
       graft.sources.StatsSinks.appendBatchStats(aligned, entry.root, batchId,
         bloomColumns = entry.bloomColumns)
+      beforeCommit(batchId)
       man.commit(batchId, Seq(s"${entry.root}/batch=$batchId"))
     }
-    Seq.empty
+  }
+}
+
+/** `COPY INTO <tbl> FROM '<loc>' FILEFORMAT = PARQUET [PATTERN =
+  * '<glob>'] [COPY_OPTIONS ('force' = 'true')]` — Delta's idempotent
+  * bulk-ingest verb: each listed source file loads AT MOST ONCE
+  * across re-runs of the statement ([[graft.sources.CopyLog]] tracks
+  * the loaded set, keyed to committed manifest history), so an
+  * hourly `COPY INTO` over a landing directory ingests exactly the
+  * new files. `FORCE` ignores the tracking and appends everything
+  * listed (Delta's escape hatch); tracking survives TRUNCATE /
+  * compaction / RESTORE, per Delta's rule.
+  *
+  * The data path is [[GraftInsertCommand.write]] — the same schema
+  * alignment (by NAME: file columns must all be table columns;
+  * missing ones fill DEFAULT/NULL; generated columns compute), CHECK
+  * enforcement, mapped-table physicalization, stats/bloom sidecars,
+  * and one-CAS commit as statement INSERT — with the tracking entry
+  * written in the `beforeCommit` window so a crash can never mark
+  * files loaded without their rows being visible.
+  *
+  * Scale shape (100 TB): the listing is one driver-side glob; the
+  * row count comes from parquet FOOTER metadata (no counting pass
+  * over data); the read plans one scan over exactly the fresh files.
+  */
+final case class GraftCopyIntoCommand(table: String,
+                                      entry: GraftSqlTables.Entry,
+                                      from: String,
+                                      pattern: Option[String],
+                                      fileFormat: String,
+                                      force: Boolean)
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.LongType
+
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("num_inserted_rows", LongType, nullable = false)(),
+      AttributeReference("num_inserted_files", LongType, nullable = false)(),
+      AttributeReference("num_skipped_files", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(fileFormat.equalsIgnoreCase("PARQUET"),
+      s"COPY INTO $table: FILEFORMAT = $fileFormat is not supported — " +
+        "PARQUET only (the engine's storage format)")
+    val hconf = spark.sessionState.newHadoopConf()
+    val fromPath = new org.apache.hadoop.fs.Path(from)
+    val fs = fromPath.getFileSystem(hconf)
+    val listed: Seq[String] = {
+      val base =
+        if (fs.exists(fromPath) && fs.getFileStatus(fromPath).isFile)
+          Array(fs.getFileStatus(fromPath))
+        else {
+          val glob = new org.apache.hadoop.fs.Path(fromPath,
+            pattern.getOrElse("*"))
+          Option(fs.globStatus(glob)).getOrElse(Array.empty)
+        }
+      base.filter(s => s.isFile && {
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }).map(_.getPath.toUri.getPath).sorted.toSeq
+    }
+    require(listed.nonEmpty || pattern.isDefined,
+      s"COPY INTO $table: no files under $from — a COPY over an empty " +
+        "landing dir is usually a path typo; use PATTERN to allow it")
+    val man = new TxnManifest(entry.manifestPath)
+    graft.sources.CopyLog.sweepStale(entry.root, man)
+    val loaded =
+      if (force) Set.empty[String]
+      else graft.sources.CopyLog.loadedFiles(entry.root, man)
+    val fresh = listed.filterNot(loaded)
+    val skipped = (listed.size - fresh.size).toLong
+    if (fresh.isEmpty) return Seq(Row(0L, 0L, skipped))
+    // row count from footers: metadata only, never a data pass
+    val nRows = fresh.map { f =>
+      val in = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+        new org.apache.hadoop.fs.Path(f))
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(in, hconf))
+      try reader.getRecordCount finally reader.close()
+    }.sum
+    val src = spark.read.parquet(fresh: _*)
+    val ever = graft.sources.CopyLog.everAdded(man)
+    val batchId = graft.sources.CopyLog.nextBatchId(entry.root, man, ever)
+    val hasSchema = entry.schemaJson.isDefined ||
+      entry.schemaLogPath.isDefined || man.committedDirs(entry.root).nonEmpty
+    GraftInsertCommand.write(spark, table, entry, src,
+      insertCols = if (hasSchema) Some(src.columns.toSeq) else None,
+      overwrite = false, explicitBatchId = Some(batchId),
+      beforeCommit = id =>
+        graft.sources.CopyLog.record(entry.root, id, fresh))
+    Seq(Row(nRows, fresh.size.toLong, skipped))
   }
 }
 
@@ -904,6 +1026,8 @@ object GraftMaintenance {
     """(?is)\s*RESTORE\s+([\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val Ins =
     """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)\s*(?:\(([\w\s,]+)\))?\s*((?:SELECT|VALUES|WITH|TABLE)\b.*)""".r
+  private val Copy =
+    """(?is)\s*COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)\s*(?:PATTERN\s*=\s*'([^']+)'\s*)?(?:COPY_OPTIONS\s*\(\s*'force'\s*=\s*'(true|false)'\s*\)\s*)?;?\s*""".r
 
   /** Recognize a maintenance statement on a REGISTERED table; None
     * otherwise (the caller delegates to Spark's parser). */
@@ -921,6 +1045,9 @@ object GraftMaintenance {
         GraftRestoreCommand(name, e, Left(v.toLong)))
       case RestT(name, ts) => entryOf(name).map(e =>
         GraftRestoreCommand(name, e, Right(parseTs(ts))))
+      case Copy(name, from, fmt, pat, force) => entryOf(name).map(e =>
+        GraftCopyIntoCommand(name, e, from, Option(pat), fmt,
+          force = Option(force).exists(_.equalsIgnoreCase("true"))))
       case Ins(mode, name, colList, select) => entryOf(name).map { e =>
         // validate the source query NOW — a syntax error must surface
         // at statement parse, not at execution

@@ -765,6 +765,43 @@ object PipelineQueries {
         s"SELECT o_orderkey, o_totalprice, price_band FROM $cat.gen")
     }),
 
+    // COPY INTO (round-7 continuation) — Delta's idempotent bulk
+    // ingest: a landing directory grows a second wave of files
+    // between statements; the first COPY loads wave 1, an immediate
+    // re-COPY is a tracked no-op (if it re-loaded, the final hash
+    // would double), and the third COPY picks up exactly wave 2.
+    // Waves are disjoint key halves, so the oracle is plain `orders`.
+    "s28_copy_into" -> ((s, d) => {
+      import graft.plans.GraftSql
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_s28_land_").toString
+      o.filter(col("o_orderkey") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$landing/wave1")
+      val cat = "graft"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.plans.GraftCatalog].getName)
+      if (s.conf.getOption(s"spark.sql.catalog.$cat.warehouse").isEmpty)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_s28_wh_").toString)
+      GraftSql.execute(s, s"DROP TABLE IF EXISTS $cat.cp")
+      GraftSql.execute(s,
+        s"""CREATE TABLE $cat.cp (
+           |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE
+           |) USING `graft-manifest` TBLPROPERTIES ('keys' = 'o_orderkey')
+           |""".stripMargin)
+      val copy = s"COPY INTO $cat.cp FROM '$landing' " +
+        "FILEFORMAT = PARQUET PATTERN = '*/*.parquet'"
+      GraftSql.execute(s, copy)
+      GraftSql.execute(s, copy) // tracked no-op
+      o.filter(col("o_orderkey") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$landing/wave2")
+      GraftSql.execute(s, copy) // wave 2 only
+      GraftSql.execute(s,
+        s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM $cat.cp")
+    }),
+
     // CHECK constraints (round-7 continuation) — the reference's
     // integrity-assert-and-abort (`custom_err.py:1-6`) as Delta's
     // declarative `ADD CONSTRAINT ... CHECK`: a violating INSERT
@@ -1865,6 +1902,8 @@ object PipelineQueries {
         |UNION ALL
         |SELECT o_orderkey + 50000000, 'NEW', 0.0
         |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
+    "s28_copy_into" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
     "s25_sql_constraints" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 10 = 0 THEN 'U'

@@ -1171,6 +1171,73 @@ class SqlSurfaceSpec extends SparkSuite {
     GraftSql.execute(spark, "DROP TABLE IF EXISTS gcor.s")
   }
 
+  test("COPY INTO: idempotent loads, incremental waves, FORCE, survives TRUNCATE") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    val wh = java.nio.file.Files.createTempDirectory("graft_copy_wh_").toString
+    spark.conf.set("spark.sql.catalog.gcp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcp.warehouse", wh)
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_copy_land_").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .repartition(1).write.parquet(s"$landing/w1")
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gcp.cp")
+    GraftSql.execute(spark,
+      """CREATE TABLE gcp.cp (id BIGINT, v STRING)
+        |USING `graft-manifest` TBLPROPERTIES ('keys' = 'id')""".stripMargin)
+    val copy = s"COPY INTO gcp.cp FROM '$landing' " +
+      "FILEFORMAT = PARQUET PATTERN = '*/*.parquet'"
+    def count() = spark.sql("SELECT count(*) FROM gcp.cp").first().getLong(0)
+    val r1 = GraftSql.execute(spark, copy).collect()(0)
+    assert(r1.getLong(0) == 2 && r1.getLong(1) == 1 && r1.getLong(2) == 0)
+    // immediate re-run: a tracked NO-OP, every listed file skipped
+    val r2 = GraftSql.execute(spark, copy).collect()(0)
+    assert(r2.getLong(0) == 0 && r2.getLong(1) == 0 && r2.getLong(2) == 1)
+    assert(count() == 2)
+    // a second wave lands between statements: exactly the new files load
+    Seq((3L, "c")).toDF("id", "v")
+      .repartition(1).write.parquet(s"$landing/w2")
+    val r3 = GraftSql.execute(spark, copy).collect()(0)
+    assert(r3.getLong(0) == 1 && r3.getLong(1) == 1 && r3.getLong(2) == 1)
+    assert(count() == 3)
+    // FORCE ignores the tracking and appends everything listed
+    val rf = GraftSql.execute(spark,
+      copy + " COPY_OPTIONS ('force' = 'true')").collect()(0)
+    assert(rf.getLong(0) == 3 && rf.getLong(2) == 0)
+    assert(count() == 6)
+    // tracking survives TRUNCATE (Delta's rule: a loaded file stays
+    // loaded even after its rows are deleted; FORCE is the escape)
+    GraftSql.execute(spark, "TRUNCATE TABLE gcp.cp")
+    assert(count() == 0)
+    val r4 = GraftSql.execute(spark, copy).collect()(0)
+    assert(r4.getLong(0) == 0 && r4.getLong(1) == 0 && r4.getLong(2) == 2)
+    assert(count() == 0)
+    // non-parquet FILEFORMAT refuses loudly
+    val eFmt = intercept[Exception](GraftSql.execute(spark,
+      s"COPY INTO gcp.cp FROM '$landing' FILEFORMAT = CSV"))
+    assert(eFmt.getMessage.contains("PARQUET only"))
+    // a file column that is not a table column refuses loudly, before
+    // any tracking entry lands
+    Seq((9L, "x", 1.0)).toDF("id", "v", "extra")
+      .repartition(1).write.parquet(s"$landing/w3")
+    val eCol = intercept[Exception](GraftSql.execute(spark, copy))
+    assert(eCol.getMessage.contains("extra"))
+    // ... so once the bad file is gone, the rest still reconciles
+    val w3 = new java.io.File(s"$landing/w3")
+    w3.listFiles().foreach(_.delete()); w3.delete()
+    val r5 = GraftSql.execute(spark, copy).collect()(0)
+    assert(r5.getLong(1) == 0 && r5.getLong(2) == 2)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gcp.cp")
+  }
+
+  test("CopyLog.record: concurrent same-id entry refuses loudly") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_copylog_").toString + "/t"
+    graft.sources.CopyLog.record(root, 7, Seq("/f1"))
+    val e = intercept[IllegalStateException](
+      graft.sources.CopyLog.record(root, 7, Seq("/f2")))
+    assert(e.getMessage.contains("b7.list"))
+  }
+
   test("per-session register() exposes the same functions on a live session") {
     SimHash64.register(spark)
     TopKStructs.register(spark)
