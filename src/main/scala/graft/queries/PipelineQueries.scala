@@ -1599,6 +1599,28 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"),
           Repair.decSum(col("value")).as("sum_value"))
         .select("bucket_start", "event_type", "n", "sum_value")
+    }),
+
+    // Batch sessionization — the SAME native session_window the
+    // streaming twin (EventStreams.sessionizeStream) groups on, here
+    // over the full history: per-user sessions split by a 30-minute
+    // inactivity gap, window end = last event + gap (Spark's
+    // half-open merge rule; the oracle's gaps-and-islands uses
+    // strictly-less-than to match). Session bounds travel as integer
+    // microseconds — raw timestamp hashing across engines is the
+    // documented ns/µs trap. Scale shape: ONE shuffle on user_id;
+    // the session assembly is a per-key sort inside the aggregation,
+    // never a global sort.
+    "st9_sessionize" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          Repair.decSum(col("value")).as("value_sum"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          unix_micros(col("w.end")).as("session_end_us"),
+          col("n_events"), col("value_sum"))
     })
   )
 
@@ -2192,6 +2214,20 @@ object PipelineQueries {
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start, event_type,
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "st9_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+        |  FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |                      ROWS UNBOUNDED PRECEDING) AS sess FROM x)
+        |SELECT user_id,
+        |  epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM s GROUP BY user_id, sess""".stripMargin
   )
 }

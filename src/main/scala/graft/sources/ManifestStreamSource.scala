@@ -371,9 +371,37 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
                               asOf: Option[Int] = None,
                               asOfTs: Option[Long] = None,
                               atVersion: Option[Long] = None)
-  extends Scan {
+  extends Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   require(Seq(asOf, asOfTs, atVersion).count(_.isDefined) <= 1,
     "versionAsOf, timestampAsOf, and atVersion are mutually exclusive")
+
+  /** Runtime (dynamic) file pruning — the DSv2 twin of dynamic
+    * partition pruning: when this table joins a BROADCAST side whose
+    * filter is selective, Spark re-plans the scan with the join keys'
+    * runtime value set, and the same sidecar machinery that serves
+    * static pushdown (typed min/max bounds, null counts, per-file
+    * blooms) skips files against values known only at RUN time. A
+    * `dim.filter(...).join(fact)` then reads the matching fact files
+    * instead of the whole table — at 100 TB the difference between a
+    * dim-driven lookup and a full scan. Every column is offered:
+    * which keys arrive depends on the join, and a column without
+    * sidecar coverage degrades to no pruning, never to a wrong
+    * result ([[BatchStats.mayMatch]] is conservative). Offered from
+    * the PRUNED read schema, not the table schema: Spark resolves
+    * these against the scan relation's output, and a projected-away
+    * column there fails resolution (a join key is always in the
+    * output, so nothing prunable is lost). */
+  override def filterAttributes()
+    : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+  override def filter(runtime: Array[Filter]): Unit = synchronized {
+    runtimeFilters = runtime
+    partsMemo = null // next planInputPartitions re-plans with them
+  }
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
   override def readSchema(): StructType = required
   override def description(): String =
     s"GraftManifestScan(root=$root, " +
@@ -383,18 +411,53 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
     : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new FilesReadMetric, new BytesReadMetric)
 
-  override def toBatch: Batch = new Batch {
-    // the batch view ignores `starting`: it is readCommitted-as-DSv2;
-    // versionAsOf serves the table as of a batch id, timestampAsOf as
-    // of a wall time via the claim tombstones (time travel — valid
-    // until compaction/vacuum collapse the history horizon)
-    private lazy val parts = {
+  /** Post-pruning scan statistics — the bytes the plan will actually
+    * read after stats/bloom file skipping, from the planned
+    * partitions' parquet file lengths (metadata already in hand: no
+    * extra IO). Without this, a DSv2 relation reports the session
+    * default (effectively ∞), so a join against even a tiny
+    * graft-manifest table could NEVER auto-broadcast and every such
+    * join paid a full shuffle — the single worst silent plan
+    * regression at 100 TB, where the dims are exactly the tables this
+    * format serves. Compressed on-disk bytes understate in-memory
+    * row size (Delta reports the same basis), so the broadcast
+    * decision stays conservative in the safe direction for dense
+    * parquet. */
+  override def estimateStatistics()
+    : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes = batchParts.map {
+        case p: ManifestFilePartition => p.length
+        case _                        => 0L
+      }.sum
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+
+  // the batch view ignores `starting`: it is readCommitted-as-DSv2;
+  // versionAsOf serves the table as of a batch id, timestampAsOf as
+  // of a wall time via the claim tombstones (time travel — valid
+  // until compaction/vacuum collapse the history horizon). Shared by
+  // toBatch and estimateStatistics — planned once per scan, and
+  // re-planned when a runtime filter arrives after the first plan
+  // (estimateStatistics runs at optimization, BEFORE runtime
+  // filtering; serving that memo to the post-filter read would
+  // silently drop the pruning).
+  @volatile private var partsMemo: Array[InputPartition] = _
+  private def batchParts: Array[InputPartition] = synchronized {
+    if (partsMemo == null) partsMemo = planBatchParts()
+    partsMemo
+  }
+  private def planBatchParts(): Array[InputPartition] = {
       val manifest = new TxnManifest(manifestPath)
       // mapped tables: translate the filters' names to their physical
       // twins so sidecar stats/bloom skipping holds there too
+      val all = pushed.toSeq ++ runtimeFilters
       val filters = mapping match {
-        case None       => pushed.toSeq
-        case Some(cols) => GraftManifestSource.translateFilters(pushed.toSeq, cols)
+        case None       => all
+        case Some(cols) => GraftManifestSource.translateFilters(all, cols)
       }
       // atVersion = a MANIFEST version (DESCRIBE HISTORY's numbers —
       // the SQL `VERSION AS OF` face); timestampAsOf resolves to one
@@ -412,13 +475,15 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
         case None => GraftManifestSource.partitionsFor(
           manifest, root, Int.MinValue, asOf.getOrElse(Int.MaxValue), filters)
       }
-    }
-    override def planInputPartitions(): Array[InputPartition] = parts
+  }
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = batchParts
     override def createReaderFactory(): PartitionReaderFactory = {
       // Spark refuses mixed row/columnar partitions: when any planned
       // file carries deletion-vector positions (row-path filtering),
       // the whole scan decodes rows
-      val hasDv = parts.exists {
+      val hasDv = batchParts.exists {
         case m: ManifestFilePartition => m.dvPositions.nonEmpty
         case _                        => false
       }

@@ -686,4 +686,99 @@ class ScaleSpec extends SparkSuite {
       assert(joined.count() == 1000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
+
+  test("DSv2 scan reports post-pruning statistics; small tables auto-broadcast") {
+    import graft.sources.{StatsSinks, TxnManifest}
+    val base = java.nio.file.Files.createTempDirectory("stats_man_").toString
+    val root = s"$base/t"
+    val man = new TxnManifest(s"$base/_commits")
+    // two batches with DISJOINT id ranges, so a pushed range filter
+    // skips one of them entirely
+    StatsSinks.appendBatchStats(
+      (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v"), root, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+    StatsSinks.appendBatchStats(
+      (1000L until 1100L).map(i => (i, s"v$i")).toDF("id", "v"), root, 1)
+    man.commit(1, Seq(s"$root/batch=1"))
+    def load() = spark.read.format("graft-manifest")
+      .option("manifest", s"$base/_commits").load(root)
+    def scanBytes(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats.sizeInBytes
+      }.head
+    // without stats a DSv2 relation reports the session default
+    // (effectively infinite); with them, real file bytes
+    val full = scanBytes(load())
+    assert(full > 0 && full < 1000000,
+      s"expected real file bytes, got $full")
+    // a pushed range filter prunes batch=1's files OUT of the estimate
+    // (post-pruning stats, not table totals)
+    val pruned = scanBytes(load().filter(col("id") < 100))
+    assert(pruned < full, s"expected pruned < full, got $pruned >= $full")
+    // ... which is what lets a join against a big side auto-broadcast
+    // the small manifest table with NO broadcast() hint
+    val big = spark.range(0, 200000).toDF("id")
+    val joined = big.join(load(), Seq("id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected auto-broadcast, got:\n$plan")
+    assert(joined.count() == 200)
+  }
+
+  test("DSv2 runtime filtering: a broadcast dim join prunes fact files at run time") {
+    import graft.sources.{StatsSinks, TxnManifest}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val s2 = spark.newSession()
+    import s2.implicits._
+    // dim must broadcast, fact must NOT (a broadcast fact would make
+    // the runtime filter moot) — pin the threshold between their sizes
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "32768")
+    val base = java.nio.file.Files.createTempDirectory("rtf_man_").toString
+    val root = s"$base/t"
+    val man = new TxnManifest(s"$base/_commits")
+    // 4 one-file batches with DISJOINT id ranges and fat payloads:
+    // only runtime knowledge of the join keys can skip 3 of them
+    for (b <- 0 until 4) {
+      StatsSinks.appendBatchStats(
+        (b * 1000 until (b + 1) * 1000)
+          .map(i => (i.toLong, "p" * 100 + i)).toDF("id", "payload")
+          .repartition(1),
+        root, b)
+      man.commit(b, Seq(s"$root/batch=$b"))
+    }
+    // dim from parquet: a memory relation's filter would constant-fold
+    // away, and runtime pruning requires a live selective predicate
+    (0 until 200).map(i => (i.toLong, if (i < 5) "keep" else "drop"))
+      .toDF("id", "tag").write.parquet(s"$base/dim")
+    val dim = s2.read.parquet(s"$base/dim").filter($"tag" === "keep")
+    val fact = s2.read.format("graft-manifest")
+      .option("manifest", s"$base/_commits").load(root)
+    val joined = fact.join(dim, "id")
+    assert(joined.collect().length == 5)
+    // AQE wraps stages as leaf nodes: descend through them explicitly
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ inner).flatMap(allNodes)
+    }
+    val fin = joined.queryExecution.executedPlan
+    assert(fin.toString.contains("dynamicpruningexpression"),
+      s"no runtime filter on the scan in:\n$fin")
+    val scans = allNodes(fin).collect {
+      case s: BatchScanExec if s.toString.contains("GraftManifestScan") => s
+    }
+    assert(scans.nonEmpty, s"no manifest scan in:\n$fin")
+    // keys 0..4 all live in batch=0: the runtime IN-set + min/max
+    // sidecar bounds must skip the other three files
+    val files = scans.head.metrics("manifestFilesRead").value
+    assert(files == 1, s"expected 1 fact file read after runtime " +
+      s"pruning, got $files; plan:\n$fin")
+  }
 }
