@@ -1621,6 +1621,57 @@ object PipelineQueries {
           unix_micros(col("w.start")).as("session_start_us"),
           unix_micros(col("w.end")).as("session_end_us"),
           col("n_events"), col("value_sum"))
+    }),
+
+    // Streaming CDC APPLY (Delta's "apply change data with
+    // foreachBatch" recipe as a library function): an upstream table's
+    // change feed replicates into a DOWNSTREAM manifest table —
+    // micro-batches collapse to net per-key changes and apply as one
+    // atomic bootstrap-append or merge each, with the applied-epoch
+    // log making restarts exactly-once. Phase 1 streams the append
+    // history (downstream bootstraps), the upstream then merges
+    // updates + deletes with cdf=true, phase 2 streams just those
+    // deltas from the same checkpoint (st6's incremental-drain
+    // discipline). The oracle predicts the REPLICA's final contents.
+    "st10_cdc_apply" -> ((s, d) => {
+      import graft.sources.{Sinks, TxnManifest}
+      import graft.streaming.CdcApply
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_st10_").toString
+      val root = s"$base/src"
+      val manPath = s"$base/manifest.tsv"
+      val man = new TxnManifest(manPath)
+      for (i <- 0 to 1) {
+        Sinks.appendBatch(o.filter(pmod(col("o_orderkey"), lit(2)) === i), root, i)
+        man.commit(i, Seq(s"$root/batch=$i"))
+      }
+      val dstRoot = s"$base/dst"
+      val dstMan = s"$base/dst_manifest.tsv"
+      def run(): Unit = {
+        val changes = s.readStream.format("graft-manifest")
+          .option("manifest", manPath).option("changeFeed", "true").load(root)
+        val q = CdcApply.start(changes, dstRoot, dstMan,
+          keys = Seq("o_orderkey"), checkpoint = s"$base/ckpt",
+          appId = "st10")
+        try q.processAllAvailable() finally q.stop()
+      }
+      run() // phase 1: history bootstraps the replica
+      val updates = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+        .unionAll(o.filter(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice")))
+      val deletes = o.filter(col("o_orderkey") % 7 === 0 &&
+          col("o_orderkey") % 10 =!= 0)
+        .select("o_orderkey")
+      Sinks.merge(s, Some(updates), Some(deletes), root, man,
+        Seq("o_orderkey"), mergeId = 2, cdf = true)
+      run() // phase 2: just the merge's deltas
+      Sinks.readCommitted(s, dstRoot, new TxnManifest(dstMan))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
     })
   )
 
@@ -2228,6 +2279,24 @@ object PipelineQueries {
         |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
-        |FROM s GROUP BY user_id, sess""".stripMargin
+        |FROM s GROUP BY user_id, sess""".stripMargin,
+    "st10_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'X' AS o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey,
+        |    'N' AS o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 1000 = 0),
+        |del AS (SELECT o_orderkey FROM base
+        |  WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0)
+        |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM base b
+        |WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  AND b.o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd""".stripMargin
   )
 }

@@ -918,4 +918,62 @@ class StreamingSpec extends SparkSuite {
     }
     ()
   }
+
+  test("CdcApply.collapse: preimages drop, last commit wins, deletes split") {
+    import graft.streaming.CdcApply
+    val batch = Seq(
+      // key 1: inserted then updated — the postimage wins
+      (1L, "a", "insert", 0), (1L, "a", "update_preimage", 2),
+      (1L, "a2", "update_postimage", 2),
+      // key 2: inserted then deleted across commits — nets to a delete
+      (2L, "b", "insert", 1), (2L, "b", "delete", 3),
+      // key 3: a plain insert survives as an upsert
+      (3L, "c", "insert", 1)
+    ).toDF("id", "v", "_change_type", "_commit_batch")
+    val (ups, dels) = CdcApply.collapse(batch, Seq("id"))
+    assert(ups.columns.toSeq == Seq("id", "v"))
+    assert(ups.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a2", 3L -> "c"))
+    assert(dels.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // a non-change-feed frame refuses loudly
+    val e = intercept[IllegalArgumentException](
+      CdcApply.collapse(Seq((1L, "a")).toDF("id", "v"), Seq("id")))
+    assert(e.getMessage.contains("_change_type"))
+  }
+
+  test("CdcApply.applyBatch: exactly-once epochs, state-idempotent re-apply") {
+    import graft.sources.{Sinks, TxnManifest}
+    import graft.streaming.CdcApply
+    val base = java.nio.file.Files.createTempDirectory("cdc_apply_").toString
+    val root = s"$base/t"
+    val manPath = s"$base/manifest.tsv"
+    def state(): Map[Long, String] =
+      Sinks.readCommitted(spark, root, new TxnManifest(manPath))
+        .collect().map(r => r.getLong(r.fieldIndex("id")) ->
+          r.getString(r.fieldIndex("v"))).toMap
+    val e0 = Seq((1L, "a", "insert", 0), (2L, "b", "insert", 0))
+      .toDF("id", "v", "_change_type", "_commit_batch")
+    // epoch 0 bootstraps the empty downstream as an append
+    assert(CdcApply.applyBatch(spark, e0, root, manPath, Seq("id"), "app", 0L))
+    assert(state() == Map(1L -> "a", 2L -> "b"))
+    // same epoch again: skipped (restart semantics), state untouched
+    assert(!CdcApply.applyBatch(spark, e0, root, manPath, Seq("id"), "app", 0L))
+    assert(state() == Map(1L -> "a", 2L -> "b"))
+    // epoch 1 merges: update 1, delete 2, insert 3
+    val e1 = Seq(
+      (1L, "a", "update_preimage", 1), (1L, "A", "update_postimage", 1),
+      (2L, "b", "delete", 1), (3L, "c", "insert", 1)
+    ).toDF("id", "v", "_change_type", "_commit_batch")
+    assert(CdcApply.applyBatch(spark, e1, root, manPath, Seq("id"), "app", 1L))
+    assert(state() == Map(1L -> "A", 3L -> "c"))
+    // the crash window: merge committed but the applied-log write was
+    // lost — re-applying the SAME epoch's net changes must converge to
+    // the same state (upsert same values, delete already-absent keys)
+    new java.io.File(CdcApply.appliedPath(manPath, "app")).delete()
+    assert(CdcApply.applyBatch(spark, e1, root, manPath, Seq("id"), "app", 1L))
+    assert(state() == Map(1L -> "A", 3L -> "c"))
+    assert(CdcApply.lastApplied(manPath, "app").contains(1L))
+    // a second consumer app has its own epoch log
+    assert(CdcApply.lastApplied(manPath, "other").isEmpty)
+  }
 }
