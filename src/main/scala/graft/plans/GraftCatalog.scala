@@ -148,7 +148,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         checks = m.collect { case (k, v) if k.startsWith("check.") =>
           k.stripPrefix("check.") -> v }.toSeq.sortBy(_._1),
         clusterBy = m.getOrElse("clusterBy", "").split(',')
-          .map(_.trim).filter(_.nonEmpty).toSeq)
+          .map(_.trim).filter(_.nonEmpty).toSeq,
+        isClone = m.get("clone").exists(_.toBoolean))
     }
 
   // ---- TableCatalog ---------------------------------------------
@@ -179,6 +180,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val (_, cols) = new graft.sources.SchemaLog(lp).current()
         StructType(cols.map(c =>
           org.apache.spark.sql.types.StructField(c.logical, c.dataType)))
+      case None if meta.get("clone").exists(_.toBoolean) =>
+        // a clone's view spans inherited roots — the union merged
+        // schema (post-divergence columns included); declared schema
+        // serves the (crash-window) empty-manifest state
+        val man = new graft.sources.TxnManifest(manifest)
+        val (dataDirs, _) = graft.sources.Sinks.splitDv(man.committedDirsAll())
+        if (dataDirs.isEmpty)
+          DataType.fromJson(meta("schema")).asInstanceOf[StructType]
+        else SparkSession.active.read
+          .option("mergeSchema", true).parquet(dataDirs: _*).schema
       case None =>
         // live schema wins (additive evolution shows up); the declared
         // schema serves a created-but-not-yet-loaded table, so the first
@@ -209,8 +220,60 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       meta.collect { case (k, v) if k.startsWith("check.") => k -> v } ++
       // informational key constraints surface through SHOW TBLPROPERTIES
       meta.collect { case (k, v) if k.startsWith("info.") => k -> v } ++
+      // shallow clones read the UNION of every root the manifest
+      // names (inherited + own); per-root write paths refuse
+      meta.get("clone").filter(_.toBoolean).map("union" -> _) ++
       genChecks
     new GraftManifestTable(schema, new CaseInsensitiveStringMap(opts.asJava))
+  }
+
+  /** `CREATE TABLE <this-catalog>.<name> SHALLOW CLONE <src>` — the
+    * zero-copy fork: a fresh MANAGED table whose manifest names the
+    * source's committed dirs ([[graft.sources.TxnManifest.cloneFrom]],
+    * one CAS commit, no data moved). The clone diverges through its
+    * own DML (inserts append under its root; merges copy-on-write
+    * affected SOURCE dirs into clone-root rewrites — the source never
+    * changes); the source's later commits stay invisible. Inherited
+    * flags: merge keys only — cdf / deletionVectors / bloom /
+    * columnMapping / clusterBy do not survive the fork (their state
+    * is root-scoped), and OPTIMIZE / TRUNCATE / time travel /
+    * streaming refuse on clones until materialization lands. Delta's
+    * vacuum hazard applies: vacuuming the SOURCE can delete history a
+    * live clone still references. */
+  def createShallowClone(ident: Identifier,
+                         src: GraftSqlTables.Entry,
+                         srcSchema: StructType): Table = {
+    val name = requireSimpleName(ident)
+    require(src.schemaLogPath.isEmpty,
+      "graft catalog: SHALLOW CLONE of a columnMapping table is not " +
+        "supported — the SchemaLog is root-scoped state the clone " +
+        "cannot share")
+    require(!src.isClone,
+      "graft catalog: SHALLOW CLONE of a shallow clone is not " +
+        "supported — cloneFrom snapshots one root, and a clone's view " +
+        "spans several; materialize the first clone before forking it")
+    val root = s"$warehouse/$name"
+    val manifest = s"$root/_commits"
+    val meta = Map(
+      "schema" -> srcSchema.json,
+      "root" -> root,
+      "manifest" -> manifest,
+      "keys" -> src.keys.mkString(","),
+      "cdf" -> "false",
+      "deletionVectors" -> "false",
+      "schemaEvolution" -> src.schemaEvolution.toString,
+      "bloomColumns" -> "",
+      "clusterBy" -> "",
+      "external" -> "false",
+      "clone" -> "true")
+    if (!AtomicText.createExclusive(metaPath(name), render(meta)))
+      throw new TableAlreadyExistsException(ident)
+    // after winning the name: one CAS snapshot of the source's view.
+    // A crash here leaves an empty-manifest clone (reads serve the
+    // declared schema, zero rows) — DROP and re-CREATE it.
+    new graft.sources.TxnManifest(manifest)
+      .cloneFrom(new graft.sources.TxnManifest(src.manifestPath), src.root)
+    loadTable(ident)
   }
 
   /** SQL time travel — `SELECT ... FROM <cat>.<t> VERSION AS OF <v>`:

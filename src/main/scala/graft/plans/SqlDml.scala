@@ -76,7 +76,8 @@ object GraftSqlTables {
                          bloomColumns: Seq[String] = Nil,
                          schemaLogPath: Option[String] = None,
                          checks: Seq[(String, String)] = Nil,
-                         clusterBy: Seq[String] = Nil)
+                         clusterBy: Seq[String] = Nil,
+                         isClone: Boolean = false)
 
   private val tables =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -407,7 +408,7 @@ object GraftDml {
         case Some(log) =>
           graft.sources.SchemaLog.readCommittedMapped(spark, entry.root,
             man, log)
-        case None => Sinks.readCommitted(spark, entry.root, man)
+        case None => GraftDml.committedRead(spark, entry, man)
       }
       lazy val tgtKeys = tgt.select(keyCols: _*).distinct()
       // SET * / INSERT * resolve against the TARGET's columns: a
@@ -550,7 +551,7 @@ object GraftDml {
       mapLog match {
         case None =>
           Sinks.merge(spark, ups, delKeys, entry.root, man, keys, mergeId,
-            cdf = entry.cdf)
+            cdf = entry.cdf, unionRoots = entry.isClone)
         case Some(log) =>
           val phys = physicalizer(table, log)
           Sinks.merge(spark, ups.map(phys.frame), delKeys.map(phys.frame),
@@ -564,7 +565,7 @@ object GraftDml {
         case Some(log) =>
           graft.sources.SchemaLog.readCommittedMapped(spark, entry.root,
             man, log)
-        case None => Sinks.readCommitted(spark, entry.root, man)
+        case None => GraftDml.committedRead(spark, entry, man)
       }
       assigns.foreach { case (c, _) =>
         require(cur.columns.exists(_.equalsIgnoreCase(c)),
@@ -604,7 +605,7 @@ object GraftDml {
           cdf = entry.cdf)
       else
         Sinks.mergeUpsert(spark, ups, entry.root, man, physKeys, mergeId,
-          cdf = entry.cdf)
+          cdf = entry.cdf, unionRoots = entry.isClone)
     case GraftDeleteSpec(table, entry, condSql) =>
       val man = new TxnManifest(entry.manifestPath)
       val mergeId = nextBatchId(man)
@@ -613,7 +614,7 @@ object GraftDml {
         case Some(log) =>
           graft.sources.SchemaLog.readCommittedMapped(spark, entry.root,
             man, log)
-        case None => Sinks.readCommitted(spark, entry.root, man)
+        case None => GraftDml.committedRead(spark, entry, man)
       }
       val delKeys0 = cur.where(expr(condSql))
         .select(entry.keys.map(col): _*).distinct()
@@ -628,8 +629,18 @@ object GraftDml {
           mergeId, cdf = entry.cdf)
       else
         Sinks.mergeDelete(spark, delKeys, entry.root, man, physKeys, mergeId,
-          cdf = entry.cdf)
+          cdf = entry.cdf, unionRoots = entry.isClone)
   }
+
+  /** The committed view a DML statement evaluates against — a SHALLOW
+    * CLONE's manifest spans the source's root (inherited, zero-copy)
+    * and its own (divergence), so clone reads union every root the
+    * manifest names; plain tables filter to their own. */
+  private[plans] def committedRead(spark: SparkSession,
+                                   entry: GraftSqlTables.Entry,
+                                   man: TxnManifest): DataFrame =
+    if (entry.isClone) Sinks.readCommittedUnion(spark, man)
+    else Sinks.readCommitted(spark, entry.root, man)
 
   /** GENERATED ALWAYS AS columns recomputed from the frame's CURRENT
     * values (post-assignment) — generation expressions may reference
@@ -862,7 +873,14 @@ object GraftInsertCommand {
     val ids = man.committed().keySet
     val batchId = explicitBatchId.getOrElse(
       if (ids.isEmpty) 0 else ids.max + 1)
-    val existing = man.committedDirs(entry.root)
+    require(!(overwrite && entry.isClone),
+      s"INSERT OVERWRITE on shallow clone $table is not supported — " +
+        "the overwrite would un-name only the clone's own dirs and " +
+        "leave inherited source dirs visible; DELETE then INSERT, or " +
+        "materialize the clone first (compaction)")
+    val existing =
+      if (entry.isClone) man.committedDirsAll()
+      else man.committedDirs(entry.root)
     // a columnMapping table aligns to the LOG's logical schema (the
     // authority across renames/adds/drops) and physicalizes just
     // before the files
@@ -893,7 +911,7 @@ object GraftInsertCommand {
     }
     val aligned =
       if (existing.nonEmpty)
-        alignTo(src, Sinks.readCommitted(spark, entry.root, man).schema)
+        alignTo(src, GraftDml.committedRead(spark, entry, man).schema)
       else entry.schemaJson match {
         // bootstrap: the first insert DEFINES the schema — unless the
         // registration DECLARED one (catalog tables)
@@ -1028,6 +1046,8 @@ object GraftMaintenance {
     """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)\s*(?:\(([\w\s,]+)\))?\s*((?:SELECT|VALUES|WITH|TABLE)\b.*)""".r
   private val Copy =
     """(?is)\s*COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)\s*(?:PATTERN\s*=\s*'([^']+)'\s*)?(?:COPY_OPTIONS\s*\(\s*'force'\s*=\s*'(true|false)'\s*\)\s*)?;?\s*""".r
+  private val CloneRe =
+    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)\s*;?\s*""".r
 
   /** Recognize a maintenance statement on a REGISTERED table; None
     * otherwise (the caller delegates to Spark's parser). */
@@ -1048,6 +1068,8 @@ object GraftMaintenance {
       case Copy(name, from, fmt, pat, force) => entryOf(name).map(e =>
         GraftCopyIntoCommand(name, e, from, Option(pat), fmt,
           force = Option(force).exists(_.equalsIgnoreCase("true"))))
+      case CloneRe(dst, src) => entryOf(src).map(e =>
+        GraftCloneCommand(dst, src, e))
       case Ins(mode, name, colList, select) => entryOf(name).map { e =>
         // validate the source query NOW — a syntax error must surface
         // at statement parse, not at execution
@@ -1078,11 +1100,57 @@ object GraftMaintenance {
     AttributeReference("removed", StringType, nullable = false)())
 }
 
+/** `CREATE TABLE <cat>.<t> SHALLOW CLONE <src>` — Delta's zero-copy
+  * fork as SQL text. The destination must live in a [[GraftCatalog]]
+  * (the clone needs persisted metadata + a managed root); the source
+  * is any resolvable graft table. See
+  * [[GraftCatalog.createShallowClone]] for the contract. */
+final case class GraftCloneCommand(dst: String, srcName: String,
+                                   src: GraftSqlTables.Entry)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val parts = dst.split('.')
+    require(parts.length == 2,
+      s"SHALLOW CLONE destination must be <catalog>.<table>, got '$dst'")
+    val cat = try spark.sessionState.catalogManager.catalog(parts(0)) catch {
+      case scala.util.control.NonFatal(_) =>
+        throw new IllegalArgumentException(
+          s"SHALLOW CLONE: '$dst' names no registered catalog " +
+            s"'${parts(0)}' — configure spark.sql.catalog.${parts(0)}")
+    }
+    val gcat = cat match {
+      case g: GraftCatalog => g
+      case other => throw new IllegalArgumentException(
+        s"SHALLOW CLONE destination catalog '${parts(0)}' is " +
+          s"${other.getClass.getName}, not a GraftCatalog")
+    }
+    val man = new TxnManifest(src.manifestPath)
+    val srcSchema =
+      if (man.committedDirsAll().isEmpty)
+        src.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .getOrElse(throw new IllegalStateException(
+            s"SHALLOW CLONE: source $srcName has no committed data and " +
+              "no declared schema — nothing to clone"))
+      else GraftDml.committedRead(spark, src, man).schema
+    gcat.createShallowClone(
+      org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array.empty, parts(1)),
+      src, srcSchema)
+    Seq.empty
+  }
+}
+
 final case class GraftOptimizeCommand(table: String,
                                       entry: GraftSqlTables.Entry,
                                       zorderCols: Seq[String])
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    require(!entry.isClone,
+      s"OPTIMIZE $table: compaction on a shallow clone is not " +
+        "supported yet — it would rewrite only the clone-root view " +
+        "while the manifest still names inherited source dirs; " +
+        "DML divergence works, materialization does not")
     val man = new TxnManifest(entry.manifestPath)
     val ids = man.committed().keySet
     require(ids.nonEmpty,

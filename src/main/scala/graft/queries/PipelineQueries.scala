@@ -765,6 +765,54 @@ object PipelineQueries {
         s"SELECT o_orderkey, o_totalprice, price_band FROM $cat.gen")
     }),
 
+    // SHALLOW CLONE (round-7 continuation) — the zero-copy fork as
+    // SQL text: the clone's manifest snapshots the source's committed
+    // dirs in one CAS (no data moved), then DIVERGES through its own
+    // DML (the merge copy-on-writes affected source dirs into
+    // clone-root rewrites). One result returns BOTH tables tagged, so
+    // the oracle pins divergence AND source-untouched at once.
+    "s29_sql_clone" -> ((s, d) => {
+      import graft.plans.GraftSql
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      o.createOrReplaceTempView("s29_orders")
+      o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("C").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+        .createOrReplaceTempView("s29_upd")
+      val cat = "graft"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.plans.GraftCatalog].getName)
+      if (s.conf.getOption(s"spark.sql.catalog.$cat.warehouse").isEmpty)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_s29_wh_").toString)
+      GraftSql.execute(s, s"DROP TABLE IF EXISTS $cat.clsrc")
+      GraftSql.execute(s, s"DROP TABLE IF EXISTS $cat.cldst")
+      GraftSql.execute(s,
+        s"""CREATE TABLE $cat.clsrc (
+           |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE
+           |) USING `graft-manifest` TBLPROPERTIES ('keys' = 'o_orderkey')
+           |""".stripMargin)
+      GraftSql.execute(s,
+        s"INSERT INTO $cat.clsrc SELECT * FROM s29_orders")
+      GraftSql.execute(s,
+        s"CREATE TABLE $cat.cldst SHALLOW CLONE $cat.clsrc")
+      GraftSql.execute(s,
+        s"""MERGE INTO $cat.cldst AS t USING s29_upd AS src
+           |ON t.o_orderkey = src.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      GraftSql.execute(s,
+        s"DELETE FROM $cat.cldst WHERE o_orderkey % 7 = 0 " +
+          "AND o_orderkey % 10 != 0")
+      GraftSql.execute(s,
+        s"""SELECT 'clone' AS side, o_orderkey, o_orderstatus, o_totalprice
+           |FROM $cat.cldst
+           |UNION ALL
+           |SELECT 'src' AS side, o_orderkey, o_orderstatus, o_totalprice
+           |FROM $cat.clsrc""".stripMargin)
+    }),
+
     // COPY INTO (round-7 continuation) — Delta's idempotent bulk
     // ingest: a landing directory grows a second wave of files
     // between statements; the first COPY loads wave 1, an immediate
@@ -1977,6 +2025,23 @@ object PipelineQueries {
         |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
     "s28_copy_into" ->
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    "s29_sql_clone" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'C' AS o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0)
+        |SELECT 'clone' AS side, o_orderkey, o_orderstatus, o_totalprice
+        |FROM (
+        |  SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM base b
+        |  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd)
+        |WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0)
+        |UNION ALL
+        |SELECT 'src' AS side, o_orderkey, o_orderstatus, o_totalprice
+        |FROM base""".stripMargin,
     "s25_sql_constraints" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 10 = 0 THEN 'U'

@@ -100,6 +100,14 @@ final class GraftManifestTable(tableSchema: StructType,
 
   private val (root, manifestPath) = GraftManifestSource.rootAndManifest(options)
 
+  /** `union=true` — a SHALLOW CLONE's read view: the manifest names
+    * dirs under the source's root (inherited, zero-copy) and this
+    * table's own (divergence); scans union them all. Write paths that
+    * reason per-root (truncate, native DELETE, change feed, streams)
+    * refuse loudly on such tables. */
+  private val unionView: Boolean =
+    Option(options.get("union")).exists(_.toBoolean)
+
   /** Native `DELETE FROM <table> WHERE <cond>` on a PLAIN session (no
     * extension parser, no GraftSql): Spark hands the condition as V2
     * predicates; they convert to V1 filters, evaluate as a WHERE over
@@ -112,7 +120,7 @@ final class GraftManifestTable(tableSchema: StructType,
   override def canDeleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
     : Boolean =
-    deleteKeys.nonEmpty && predicates.forall(p =>
+    !unionView && deleteKeys.nonEmpty && predicates.forall(p =>
       org.apache.spark.sql.graftbridge.PredicateBridge.toV1(p)
         .exists(f => GraftManifestSource.filterColumn(f).isDefined))
 
@@ -174,6 +182,10 @@ final class GraftManifestTable(tableSchema: StructType,
     * stays restorable until vacuum; change feed marks collapsed).
     * Mapped tables truncate with physical names like any write. */
   override def truncateTable(): Boolean = {
+    require(!unionView,
+      s"graft-manifest: TRUNCATE on a shallow clone is not supported — " +
+        "the overwrite would un-name only the clone-root dirs and leave " +
+        "inherited source dirs visible; DELETE FROM <clone> instead")
     val spark = SparkSession.active
     val man = new TxnManifest(manifestPath)
     val ids = man.committed().keySet
@@ -324,6 +336,10 @@ final class GraftManifestTable(tableSchema: StructType,
           "no schema to serve; commit at least one batch before subscribing " +
           "(same constraint as reading an empty Delta log)")
     if (GraftManifestSource.changeFeed(options)) {
+      require(!unionView,
+        "graft-manifest: changeFeed on a shallow clone is not supported " +
+          "— read the SOURCE table's feed (inherited history belongs to " +
+          "it), or the clone's own commits via its manifest directly")
       // no pruning/pushdown: a change feed serves WHOLE delta rows —
       // downstream appliers need every column plus the change metadata.
       // A schemaLog mapping composes: deltas serve under the CURRENT
@@ -358,7 +374,8 @@ final class GraftManifestTable(tableSchema: StructType,
           GraftManifestSource.mapping(options),
           GraftManifestSource.versionAsOf(options),
           GraftManifestSource.timestampAsOf(options),
-          GraftManifestSource.atManifestVersion(options))
+          GraftManifestSource.atManifestVersion(options),
+          union = unionView)
     }
   }
 }
@@ -370,12 +387,21 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
                               mapping: Option[Seq[SchemaLog.Col]] = None,
                               asOf: Option[Int] = None,
                               asOfTs: Option[Long] = None,
-                              atVersion: Option[Long] = None)
+                              atVersion: Option[Long] = None,
+                              union: Boolean = false)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   require(Seq(asOf, asOfTs, atVersion).count(_.isDefined) <= 1,
     "versionAsOf, timestampAsOf, and atVersion are mutually exclusive")
+  // a union (shallow-clone) scan serves EVERY dir the manifest names;
+  // version addressing filters by root and would misread that view
+  require(!union || (asOf.isEmpty && asOfTs.isEmpty && atVersion.isEmpty),
+    "union=true (shallow clone) does not compose with time travel — " +
+      "the historical root filter is undefined across inherited roots")
+  require(!union || mapping.isEmpty,
+    "union=true (shallow clone) does not compose with schemaLog " +
+      "column mapping")
 
   /** Runtime (dynamic) file pruning — the DSv2 twin of dynamic
     * partition pruning: when this table joins a BROADCAST side whose
@@ -472,6 +498,11 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
             throw new IllegalStateException(
               s"nothing committed under $root at manifest version $version")
           GraftManifestSource.partitionsForDirs(manifest, dirs, filters)
+        case None if union =>
+          // shallow clone: the view spans the source's root (inherited
+          // dirs) and the clone's own — readCommittedUnion as DSv2
+          GraftManifestSource.partitionsForDirs(manifest,
+            manifest.committedDirsAll(), filters)
         case None => GraftManifestSource.partitionsFor(
           manifest, root, Int.MinValue, asOf.getOrElse(Int.MaxValue), filters)
       }
@@ -493,6 +524,9 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(!union,
+      "graft-manifest: streaming a shallow clone is not supported — " +
+        "tail the SOURCE table's stream, or materialize the clone first")
     require(asOf.isEmpty && asOfTs.isEmpty && atVersion.isEmpty,
       "versionAsOf/timestampAsOf/atVersion are batch-read options; use " +
         "startingBatchId on a stream")

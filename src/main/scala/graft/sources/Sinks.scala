@@ -549,8 +549,10 @@ object Sinks {
 
   def mergeUpsert(spark: org.apache.spark.sql.SparkSession, updates: DataFrame,
                   root: String, manifest: TxnManifest, keys: Seq[String],
-                  mergeId: Int, cdf: Boolean = false): Unit =
-    merge(spark, Some(updates), None, root, manifest, keys, mergeId, cdf)
+                  mergeId: Int, cdf: Boolean = false,
+                  unionRoots: Boolean = false): Unit =
+    merge(spark, Some(updates), None, root, manifest, keys, mergeId, cdf,
+      unionRoots)
 
   /** Row-level DELETE — `MERGE ... WHEN MATCHED THEN DELETE` (the
     * opt-out/takedown purge a training corpus needs as a first-class
@@ -559,8 +561,10 @@ object Sinks {
     * copy-on-write + atomic swap as the upsert arm. */
   def mergeDelete(spark: org.apache.spark.sql.SparkSession,
                   deleteKeys: DataFrame, root: String, manifest: TxnManifest,
-                  keys: Seq[String], mergeId: Int, cdf: Boolean = false): Unit =
-    merge(spark, None, Some(deleteKeys), root, manifest, keys, mergeId, cdf)
+                  keys: Seq[String], mergeId: Int, cdf: Boolean = false,
+                  unionRoots: Boolean = false): Unit =
+    merge(spark, None, Some(deleteKeys), root, manifest, keys, mergeId, cdf,
+      unionRoots)
 
   /** The MERGE engine: upsert arm, delete arm, or both in one commit
     * (Delta `WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN NOT

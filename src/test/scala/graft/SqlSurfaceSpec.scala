@@ -1229,6 +1229,59 @@ class SqlSurfaceSpec extends SparkSuite {
     GraftSql.execute(spark, "DROP TABLE IF EXISTS gcp.cp")
   }
 
+  test("SHALLOW CLONE: zero-copy fork, divergence by DML, source untouched") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    val wh = java.nio.file.Files.createTempDirectory("graft_cl_wh_").toString
+    spark.conf.set("spark.sql.catalog.gcl", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcl.warehouse", wh)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gcl.src")
+    GraftSql.execute(spark,
+      """CREATE TABLE gcl.src (id BIGINT, v STRING)
+        |USING `graft-manifest` TBLPROPERTIES ('keys' = 'id')""".stripMargin)
+    GraftSql.execute(spark,
+      "INSERT INTO gcl.src VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    GraftSql.execute(spark, "CREATE TABLE gcl.cl SHALLOW CLONE gcl.src")
+    def rows(t: String): Map[Long, String] =
+      spark.sql(s"SELECT id, v FROM $t").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the clone serves the source's snapshot without copying a byte:
+    // its own root holds NO data dirs yet
+    assert(rows("gcl.cl") == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(!new java.io.File(s"$wh/cl/batch=0").exists())
+    // divergence: insert + merge into the CLONE — the source never
+    // changes; a source append stays invisible to the clone
+    GraftSql.execute(spark, "INSERT INTO gcl.cl VALUES (4, 'd')")
+    Seq((2L, "B2"), (9L, "i")).toDF("id", "v")
+      .createOrReplaceTempView("gcl_upd")
+    GraftSql.execute(spark,
+      """MERGE INTO gcl.cl AS t USING gcl_upd AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    GraftSql.execute(spark, "INSERT INTO gcl.src VALUES (7, 'srconly')")
+    assert(rows("gcl.cl") ==
+      Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d", 9L -> "i"))
+    assert(rows("gcl.src") ==
+      Map(1L -> "a", 2L -> "b", 3L -> "c", 7L -> "srconly"))
+    // DELETE works on the clone (clone-manifest copy-on-write)
+    GraftSql.execute(spark, "DELETE FROM gcl.cl WHERE id = 1")
+    assert(!rows("gcl.cl").contains(1L) && rows("gcl.src").contains(1L))
+    // root-scoped verbs refuse on clones, with guidance
+    val eOpt = intercept[Exception](GraftSql.execute(spark, "OPTIMIZE gcl.cl"))
+    assert(eOpt.getMessage.contains("shallow clone"))
+    val eTr = intercept[Exception](
+      GraftSql.execute(spark, "TRUNCATE TABLE gcl.cl"))
+    assert(eTr.getMessage.contains("shallow clone"))
+    intercept[Exception](
+      GraftSql.execute(spark, "CREATE TABLE gcl.cl2 SHALLOW CLONE gcl.cl"))
+    // name collision refuses; DROP of the managed clone keeps the
+    // source's data intact
+    intercept[Exception](
+      GraftSql.execute(spark, "CREATE TABLE gcl.cl SHALLOW CLONE gcl.src"))
+    GraftSql.execute(spark, "DROP TABLE gcl.cl")
+    assert(rows("gcl.src").contains(1L))
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gcl.src")
+  }
+
   test("CopyLog.record: concurrent same-id entry refuses loudly") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_copylog_").toString + "/t"
