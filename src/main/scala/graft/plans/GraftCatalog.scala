@@ -276,6 +276,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  /** Flip a materialized clone to a plain table (its manifest now
+    * references only its own root — [[GraftOptimizeCommand]]'s
+    * materialization commit precedes this metadata edit; a crash
+    * between them leaves a clone-flagged table whose union view ==
+    * its root view, correct just conservative). */
+  private[plans] def markMaterialized(table: String): Unit = {
+    val meta = entryMeta(table).getOrElse(throw new NoSuchTableException(
+      Identifier.of(Array.empty, table)))
+    AtomicText.writeAtomically(metaPath(table),
+      render(meta.updated("clone", "false")))
+  }
+
   /** SQL time travel — `SELECT ... FROM <cat>.<t> VERSION AS OF <v>`:
     * `v` is a MANIFEST version (the numbers `DESCRIBE HISTORY` and
     * `RESTORE TO VERSION AS OF` use), served from that version's

@@ -1146,11 +1146,7 @@ final case class GraftOptimizeCommand(table: String,
                                       zorderCols: Seq[String])
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    require(!entry.isClone,
-      s"OPTIMIZE $table: compaction on a shallow clone is not " +
-        "supported yet — it would rewrite only the clone-root view " +
-        "while the manifest still names inherited source dirs; " +
-        "DML divergence works, materialization does not")
+    if (entry.isClone) { materializeClone(spark); return Seq.empty }
     val man = new TxnManifest(entry.manifestPath)
     val ids = man.committed().keySet
     require(ids.nonEmpty,
@@ -1191,6 +1187,55 @@ final case class GraftOptimizeCommand(table: String,
       Sinks.compactZOrderedIncremental(spark, entry.root, man, compactId,
         physCols.map(col), numFiles)
     Seq.empty
+  }
+
+  /** `OPTIMIZE` on a SHALLOW CLONE = MATERIALIZATION: the union view
+    * (inherited source dirs + own divergence) rewrites as compacted
+    * files under the clone's OWN root, one atomic commit un-names
+    * every entry across all roots, and the table stops being a clone
+    * (the catalog flag flips) — ending the shared-fate hazard with
+    * the source's vacuum and unlocking the root-scoped verbs
+    * (TRUNCATE, time travel forward of here, ZORDER on the next
+    * OPTIMIZE). ZORDER BY in the same statement is refused: z-order
+    * the materialized table with a second OPTIMIZE. */
+  private def materializeClone(spark: SparkSession): Unit = {
+    require(zorderCols.isEmpty,
+      s"OPTIMIZE $table: ZORDER BY on a shallow clone is not supported " +
+        "in one step — a bare OPTIMIZE materializes it first, then " +
+        "OPTIMIZE ZORDER BY orders the materialized table")
+    val man = new TxnManifest(entry.manifestPath)
+    val all = man.committedDirsAll()
+    require(all.nonEmpty,
+      s"OPTIMIZE $table: nothing committed yet — the clone is empty")
+    val materializeId = man.committed().keySet.max + 1
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = all.filterNot(Sinks.isDvDir).map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+    }.sum
+    val numFiles = math.max(1, (bytes / (128L * 1024 * 1024)).toInt)
+    val target = s"${entry.root}/batch=$materializeId"
+    // readCommittedUnion applies inherited deletion vectors, so the
+    // materialized files carry the POST-delete rows and the DV dirs
+    // drop with the old entries
+    Sinks.readCommittedUnion(spark, man)
+      .repartition(numFiles)
+      .write.parquet(target)
+    graft.sources.BatchStats.writeSidecar(spark, target)
+    man.replaceEverything(materializeId, Seq(target))
+    // flip the clone flag where the table's metadata lives
+    table.split('.') match {
+      case Array(cat, name) =>
+        (try Some(spark.sessionState.catalogManager.catalog(cat))
+        catch { case scala.util.control.NonFatal(_) => None }) match {
+          case Some(g: GraftCatalog) => g.markMaterialized(name)
+          case _ => GraftSqlTables.register(table,
+              entry.copy(isClone = false))
+        }
+      case _ => GraftSqlTables.register(table, entry.copy(isClone = false))
+    }
   }
 }
 

@@ -86,6 +86,42 @@ object CurationQueries {
         when(b < thr, 1).otherwise(0).as("kept"))
     }),
 
+    // Temperature sampling (the multilingual/multi-domain LM mixing
+    // recipe): target proportions q_d ∝ p_d^α flatten the domain
+    // distribution (α = 0.5), realized by DOWNSAMPLING with per-domain
+    // keep rates r_d ∝ n_d^(α-1), normalized so the most-boosted
+    // domain keeps everything — rates COMPUTED from observed corpus
+    // counts, not hand-declared (t7's fixed-weight sibling). The rate
+    // quantizes through DECIMAL(18,6) BEFORE the integer threshold
+    // (floor over exact decimal arithmetic), so Spark and DuckDB
+    // agree bit-for-bit at bucket boundaries. Scale shape: one
+    // 5-row groupBy + a broadcast back — the assignment itself is a
+    // free per-row column on the same deterministic hash bucket every
+    // sampler here uses.
+    "t20_temperature_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_source"))
+      val minN = counts.agg(min(col("n_source")).as("min_n"))
+      // r_d = sqrt(min_n / n_d): sqrt and division are IEEE
+      // correctly-rounded in BOTH engines (pow is not — a 1-ulp
+      // platform split at a bucket boundary would flip `kept`)
+      val rate = sqrt(col("min_n").cast(DoubleType)) /
+        sqrt(col("n_source").cast(DoubleType))
+      val rates = counts.crossJoin(broadcast(minN))
+        .select(col("source"), col("n_source"),
+          rate.cast("decimal(18,6)").as("keep_rate"),
+          floor(rate.cast("decimal(18,6)") * 256).cast("int")
+            .as("keep_threshold"))
+      val b = hashBucket(col("doc_id"))
+      docs.join(broadcast(rates), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_source"),
+          col("keep_rate").cast(DoubleType).as("keep_rate"),
+          b.as("bucket"), col("keep_threshold").cast("long")
+            .as("keep_threshold"),
+          when(b < col("keep_threshold"), 1).otherwise(0).as("kept"))
+    }),
+
     // Length stratification: decile buckets by document length — the
     // sampling strata a curriculum/mixture builder keys on.
     // Scale-safe formulation (round 1 used a global ntile window — a
@@ -214,6 +250,26 @@ object CurationQueries {
         |       ELSE 'test' END AS split,
         |  CASE WHEN bucket % 10 = 0 THEN 1 ELSE 0 END AS in_sample
         |FROM b""".stripMargin,
+    "t20_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_source
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT source, n_source,
+        |    CAST(sqrt(CAST((SELECT min(n_source) FROM c) AS DOUBLE)) /
+        |         sqrt(CAST(n_source AS DOUBLE)) AS DECIMAL(18,6))
+        |      AS keep_rate FROM c),
+        |t AS (SELECT source, n_source,
+        |    CAST(keep_rate AS DOUBLE) AS keep_rate,
+        |    CAST(floor(keep_rate * 256) AS BIGINT) AS keep_threshold
+        |  FROM r),
+        |b AS (SELECT doc_id, source,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+        |  FROM documents)
+        |SELECT b.doc_id, b.source, t.n_source, t.keep_rate, b.bucket,
+        |  t.keep_threshold,
+        |  CASE WHEN b.bucket < t.keep_threshold THEN 1 ELSE 0 END AS kept
+        |FROM b JOIN t USING (source)""".stripMargin,
     "t7_domain_mix" ->
       """WITH b AS (
         |  SELECT doc_id, source,

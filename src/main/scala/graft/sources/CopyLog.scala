@@ -7,11 +7,13 @@ import graft.util.AtomicText
   * number of re-runs (re-running the statement after new files land
   * picks up only the new ones; `FORCE` reloads regardless).
   *
-  * One entry file per ingest batch under `<root>_copylog/b<id>.list`
-  * (a SIBLING of the data root: dirs under `<root>/` are the table's
-  * read view — committedDirs filters by that prefix — and compaction
-  * un-names them wholesale, so tracking state cannot live there).
-  * The entry is written with an EXCLUSIVE create BEFORE the manifest
+  * One entry file per ingest batch under `<root>/_copy_log/b<id>.list`
+  * — INSIDE the table root, so a managed DROP purges the tracking
+  * with the table (a recreated table must not inherit a dead table's
+  * loaded set). Safe there: reads are manifest-driven (entries are
+  * named dirs, not a disk listing) and vacuum sweeps only
+  * `batch=*`-shaped orphans. The entry is written with an EXCLUSIVE
+  * create BEFORE the manifest
   * CAS that commits the same batch, and counts only once its batch
   * dir appears in the manifest's HISTORY:
   *
@@ -42,7 +44,7 @@ object CopyLog {
     * treats it as a crashed attempt rather than a copy in flight. */
   val staleAfterMs: Long = 60L * 60 * 1000
 
-  def dir(root: String): String = root.stripSuffix("/") + "_copylog"
+  def dir(root: String): String = root.stripSuffix("/") + "/_copy_log"
 
   private def entryPath(root: String, batchId: Int): String =
     s"${dir(root)}/b$batchId.list"

@@ -116,6 +116,16 @@ final class TxnManifest(val path: String) {
     replaceWith(removed.contains, batchId, dirs,
       s"pick a fresh id for the merge output")
 
+  /** Materialization commit (shallow-clone OPTIMIZE): atomically
+    * un-name EVERY entry — across ALL roots, the clone-manifest shape
+    * where inherited source dirs and own divergence dirs coexist —
+    * and name `dirs` as batch `batchId` instead. After this commit
+    * the manifest references nothing outside its own table's root,
+    * which ends the shared-fate hazard with the source's vacuum. */
+  def replaceEverything(batchId: Int, dirs: Seq[String]): Unit =
+    replaceWith(_ => true, batchId, dirs,
+      s"pick a fresh id for the materialized output")
+
   private def replaceWith(drop: String => Boolean, batchId: Int,
                           dirs: Seq[String], hint: String): Unit = {
     requireNotSinkOwned(batchId, sinkQueryId = None)

@@ -1226,6 +1226,16 @@ class SqlSurfaceSpec extends SparkSuite {
     w3.listFiles().foreach(_.delete()); w3.delete()
     val r5 = GraftSql.execute(spark, copy).collect()(0)
     assert(r5.getLong(1) == 0 && r5.getLong(2) == 2)
+    // DROP purges the tracking WITH the managed table: a recreated
+    // table of the same name must not inherit the dead one's loaded
+    // set (caught live: the bench's second pass re-runs the scenario)
+    GraftSql.execute(spark, "DROP TABLE gcp.cp")
+    GraftSql.execute(spark,
+      """CREATE TABLE gcp.cp (id BIGINT, v STRING)
+        |USING `graft-manifest` TBLPROPERTIES ('keys' = 'id')""".stripMargin)
+    val r6 = GraftSql.execute(spark, copy).collect()(0)
+    assert(r6.getLong(0) == 3 && r6.getLong(2) == 0)
+    assert(count() == 3)
     GraftSql.execute(spark, "DROP TABLE IF EXISTS gcp.cp")
   }
 
@@ -1266,17 +1276,31 @@ class SqlSurfaceSpec extends SparkSuite {
     GraftSql.execute(spark, "DELETE FROM gcl.cl WHERE id = 1")
     assert(!rows("gcl.cl").contains(1L) && rows("gcl.src").contains(1L))
     // root-scoped verbs refuse on clones, with guidance
-    val eOpt = intercept[Exception](GraftSql.execute(spark, "OPTIMIZE gcl.cl"))
-    assert(eOpt.getMessage.contains("shallow clone"))
     val eTr = intercept[Exception](
       GraftSql.execute(spark, "TRUNCATE TABLE gcl.cl"))
     assert(eTr.getMessage.contains("shallow clone"))
     intercept[Exception](
       GraftSql.execute(spark, "CREATE TABLE gcl.cl2 SHALLOW CLONE gcl.cl"))
-    // name collision refuses; DROP of the managed clone keeps the
-    // source's data intact
+    val eZo = intercept[Exception](
+      GraftSql.execute(spark, "OPTIMIZE gcl.cl ZORDER BY (id)"))
+    assert(eZo.getMessage.contains("materializes"))
+    // name collision refuses
     intercept[Exception](
       GraftSql.execute(spark, "CREATE TABLE gcl.cl SHALLOW CLONE gcl.src"))
+    // bare OPTIMIZE = MATERIALIZATION: same rows, now owned by the
+    // clone's root; the table stops being a clone, so the root-scoped
+    // verbs unlock
+    val pre = rows("gcl.cl")
+    GraftSql.execute(spark, "OPTIMIZE gcl.cl")
+    assert(rows("gcl.cl") == pre)
+    import scala.jdk.CollectionConverters._
+    val ownDirs = new graft.sources.TxnManifest(s"$wh/cl/_commits")
+      .committedDirsAll()
+    assert(ownDirs.nonEmpty && ownDirs.forall(_.startsWith(s"$wh/cl/")),
+      s"materialized manifest still references foreign roots: $ownDirs")
+    GraftSql.execute(spark, "TRUNCATE TABLE gcl.cl") // unlocked now
+    assert(rows("gcl.cl").isEmpty)
+    // DROP of the managed clone keeps the source's data intact
     GraftSql.execute(spark, "DROP TABLE gcl.cl")
     assert(rows("gcl.src").contains(1L))
     GraftSql.execute(spark, "DROP TABLE IF EXISTS gcl.src")
