@@ -98,16 +98,30 @@ object SimQueries {
     // (id+3e6, x*0.9+0.05 → cosine ≈ 0.92 vs original; natural pairs
     // max ≈ 0.51 on this corpus) so duplicate groups exist at every
     // sf. LSH-bucketed candidates, exact integer cosine ≥ 0.9.
-    "dd7_embed_neardup" -> ((s, d) => {
-      val base = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val exact = base.filter(col("vec_id") % 100 === 0)
-        .select((col("vec_id") + 2000000L).as("vec_id"), col("e"))
-      val pert = base.filter(col("vec_id") % 100 === 50)
-        .select((col("vec_id") + 3000000L).as("vec_id"),
-          transform(col("e"), x => x * lit(0.9) + lit(0.05)).as("e"))
-      Embeddings.nearDupPairs(base.unionAll(exact).unionAll(pert),
+    "dd7_embed_neardup" -> ((s, d) =>
+      Embeddings.nearDupPairs(dd7Corpus(s, d),
+        "vec_id", "e", threshold = 0.9, bits = Dd7Bits, tables = Dd7Tables)),
+
+    // SEMANTIC dedup canonicalization (SemDeDup's shape): the
+    // embedding near-dup pair graph (dd7's exact-integer cosine over
+    // LSH candidates) contracts to connected components, and each
+    // semantic duplicate group keeps its min-id vector as canonical —
+    // the row a curation filter joins on to drop paraphrase-level
+    // copies that no lexical dedup (dd1/dd2/dd13) can see. Scale
+    // shape: the pair graph is the expensive intermediate (never
+    // all-pairs — banded LSH); CC is O(log n) label-propagation
+    // rounds over the EDGE subgraph only (singletons re-enter via one
+    // left join).
+    "dd14_semantic_dedup" -> ((s, d) => {
+      val corpus = dd7Corpus(s, d)
+      val pairs = Embeddings.nearDupPairs(corpus,
         "vec_id", "e", threshold = 0.9, bits = Dd7Bits, tables = Dd7Tables)
+      graft.text.DedupClusters.connectedComponents(
+          corpus.select(col("vec_id").as("id")),
+          pairs.select(col("a_id").as("a"), col("b_id").as("b")))
+        .select(col("id").as("vec_id"), col("canonical_id"),
+          when(col("id") === col("canonical_id"), 1).otherwise(0)
+            .as("is_canonical"))
     }),
 
     // Multimodal metadata over REAL binary containers: each document
@@ -208,6 +222,48 @@ object SimQueries {
   private val Dd7Bits   = 8
   private val Dd7Tables = 6
 
+  /** dd7/dd14's shared oracle CTE chain (through `scored`): the
+    * extended corpus, integer-quantized vectors, banded sign-LSH
+    * candidate keys, and exact integer-cosine scoring. */
+  private lazy val dd7OracleCte: String = {
+    val keyArms = (0 until Dd7Tables).map { t =>
+      s"SELECT id, $t AS t, CAST(${sim2BucketSql(t, Dd7Bits)} AS BIGINT) AS b FROM v"
+    }.mkString("\n        |  UNION ALL ")
+    s"""base AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |corpus AS (
+      |  SELECT vec_id, e FROM base
+      |  UNION ALL SELECT vec_id + 2000000, e FROM base WHERE vec_id % 100 = 0
+      |  UNION ALL SELECT vec_id + 3000000, list_transform(e, x -> x * 0.9 + 0.05)
+      |    FROM base WHERE vec_id % 100 = 50),
+      |v AS (SELECT vec_id AS id,
+      |  list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS v FROM corpus),
+      |keys AS (
+      |  $keyArms),
+      |cand AS (SELECT DISTINCT k1.id AS a_id, k2.id AS b_id
+      |  FROM keys k1 JOIN keys k2 ON k1.t = k2.t AND k1.b = k2.b AND k1.id < k2.id),
+      |scored AS (SELECT c.a_id, c.b_id,
+      |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> va.v[i] * vb.v[i])) AS BIGINT) AS DOUBLE) /
+      |    sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> va.v[i] * va.v[i])) AS BIGINT) AS DOUBLE) *
+      |         CAST(CAST(list_sum(list_transform(range(1, 65), i -> vb.v[i] * vb.v[i])) AS BIGINT) AS DOUBLE)) AS cos_sim
+      |  FROM cand c JOIN v va ON va.id = c.a_id JOIN v vb ON vb.id = c.b_id)""".stripMargin
+  }
+
+  /** dd7/dd14's extended corpus: base ∪ exact copies (id+2e6) ∪
+    * perturbed copies (id+3e6, x*0.9+0.05 → cosine ≈ 0.92 vs the
+    * original; natural pairs max ≈ 0.51), so duplicate groups exist
+    * at every sf. */
+  private def dd7Corpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val exact = base.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("e"))
+    val pert = base.filter(col("vec_id") % 100 === 50)
+      .select((col("vec_id") + 3000000L).as("vec_id"),
+        transform(col("e"), x => x * lit(0.9) + lit(0.05)).as("e"))
+    base.unionAll(exact).unionAll(pert)
+  }
+
   // PQ geometry: 16 subspaces of 4 dims (4× compression). The corpus
   // is near-uniform random — vector quantization's adversarial case —
   // and finer subspaces carry it: m=8/subDim=8 measures recall@5 0.18
@@ -264,30 +320,23 @@ object SimQueries {
         |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored)
         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin
     },
-    "dd7_embed_neardup" -> {
-      val keyArms = (0 until Dd7Tables).map { t =>
-        s"SELECT id, $t AS t, CAST(${sim2BucketSql(t, Dd7Bits)} AS BIGINT) AS b FROM v"
-      }.mkString("\n        |  UNION ALL ")
-      s"""WITH base AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-        |corpus AS (
-        |  SELECT vec_id, e FROM base
-        |  UNION ALL SELECT vec_id + 2000000, e FROM base WHERE vec_id % 100 = 0
-        |  UNION ALL SELECT vec_id + 3000000, list_transform(e, x -> x * 0.9 + 0.05)
-        |    FROM base WHERE vec_id % 100 = 50),
-        |v AS (SELECT vec_id AS id,
-        |  list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS v FROM corpus),
-        |keys AS (
-        |  $keyArms),
-        |cand AS (SELECT DISTINCT k1.id AS a_id, k2.id AS b_id
-        |  FROM keys k1 JOIN keys k2 ON k1.t = k2.t AND k1.b = k2.b AND k1.id < k2.id),
-        |scored AS (SELECT c.a_id, c.b_id,
-        |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> va.v[i] * vb.v[i])) AS BIGINT) AS DOUBLE) /
-        |    sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> va.v[i] * va.v[i])) AS BIGINT) AS DOUBLE) *
-        |         CAST(CAST(list_sum(list_transform(range(1, 65), i -> vb.v[i] * vb.v[i])) AS BIGINT) AS DOUBLE)) AS cos_sim
-        |  FROM cand c JOIN v va ON va.id = c.a_id JOIN v vb ON vb.id = c.b_id)
-        |SELECT a_id, b_id, cos_sim FROM scored WHERE cos_sim >= 0.9""".stripMargin
-    },
+    "dd7_embed_neardup" ->
+      s"""WITH $dd7OracleCte
+        |SELECT a_id, b_id, cos_sim FROM scored WHERE cos_sim >= 0.9""".stripMargin,
+    // the same pair graph contracted to components (recursive reach
+    // over the symmetric ≥0.9 edges), min id canonical
+    "dd14_semantic_dedup" ->
+      s"""WITH RECURSIVE $dd7OracleCte,
+        |edges AS (SELECT a_id AS a, b_id AS b FROM scored
+        |  WHERE cos_sim >= 0.9),
+        |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        |reach(start, node) AS (
+        |  SELECT vec_id, vec_id FROM corpus
+        |  UNION
+        |  SELECT r.start, s.b FROM reach r JOIN sym s ON s.a = r.node)
+        |SELECT start AS vec_id, min(node) AS canonical_id,
+        |  CASE WHEN start = min(node) THEN 1 ELSE 0 END AS is_canonical
+        |FROM reach GROUP BY start""".stripMargin,
     "sim5_pq_topk" ->
       s"""WITH v AS (SELECT vec_id AS id, ${qv("10000")} AS v FROM embeddings),
         |js AS (SELECT unnest(range(0, $Sim5M)) AS j),
