@@ -211,6 +211,11 @@ final class GraftManifestTable(tableSchema: StructType,
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
     options.entrySet().forEach(e => m.put(e.getKey, e.getValue))
+    // the reserved provider property: SHOW CREATE TABLE renders it as
+    // the USING clause — without it the emitted DDL would recreate
+    // the table under the session's default source
+    m.put(org.apache.spark.sql.connector.catalog.TableCatalog.PROP_PROVIDER,
+      "graft-manifest")
     m
   }
   override def capabilities(): util.Set[TableCapability] =
