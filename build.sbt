@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains are driver-parsed from the stdout TAIL: the
+// forked JVM's stdout must reach the console raw (no "[info] " prefix)
+// and sbt's trailing "[success] Total time" banner must not displace
+// the bench summary JSON as the last line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

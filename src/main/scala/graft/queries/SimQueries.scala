@@ -57,9 +57,8 @@ object SimQueries {
     // sampling. k = the label cardinality, 8 iterations; output is
     // per-cluster size + majority true label + purity, a shape that
     // is deterministic end to end (integer distances, id-tie argmin,
-    // lowest-id seeds). No SQL oracle — Lloyd's has no DuckDB twin —
-    // so the driver records the rows-only check; SimSpec pins purity
-    // against the planted labels and run-to-run determinism.
+    // lowest-id seeds) — deliberately so: the DuckDB oracle unrolls
+    // the 8 fixed iterations as staged CTEs and matches bit-for-bit.
     "sim7_kmeans_diversity" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val k = emb.select("label").distinct().count().toInt
@@ -122,6 +121,42 @@ object SimQueries {
         .select(col("id").as("vec_id"), col("canonical_id"),
           when(col("id") === col("canonical_id"), 1).otherwise(0)
             .as("is_canonical"))
+    }),
+
+    // ANN recall@k certified by the HARD gate: each approximate
+    // method's top-k (sign-LSH, IVF) joined against its brute-force
+    // ground truth — every leg integer-exact, so the DuckDB oracle
+    // reproduces both the approximate and the exact lists and the
+    // recall fractions hash-match. SimSpec pins thresholds; this row
+    // lets the driver certify ANN QUALITY, not just result shape.
+    // Scale: the truth leg is |Q|×|C| on the 1-in-50 query sample —
+    // recall certification always samples; the ANN legs are the
+    // production paths (bucketed / partition-pruned).
+    "sim8_recall_report" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+      def pairs(df: DataFrame) = df.select("query_id", "neighbor_id")
+      def report(method: String, k: Int, ann: DataFrame,
+                 truth: DataFrame): DataFrame = {
+        val hits = pairs(truth)
+          .join(pairs(ann), Seq("query_id", "neighbor_id"), "left_semi")
+        pairs(truth)
+          .agg(countDistinct(col("query_id")).as("n_queries"),
+            count(lit(1)).as("truth_pairs"))
+          .crossJoin(hits.agg(count(lit(1)).as("hit_pairs")))
+          .select(lit(method).as("method"), lit(k).as("k"),
+            col("n_queries"), col("truth_pairs"), col("hit_pairs"),
+            (col("hit_pairs").cast("double") / col("truth_pairs"))
+              .as("recall"))
+      }
+      val lsh = Embeddings.lshTopK(emb, "vec_id", "embedding",
+          k = 3, bits = Sim2Bits, tables = Sim2Tables)
+        .filter(col("query_id") % 50 === 0)
+      val bf3 = Embeddings.bruteForceTopK(qs, emb, "vec_id", "embedding", k = 3)
+      val ivf = Embeddings.ivfSearch(emb, "vec_id", "embedding", "label",
+        queryPred = col("id") % 50 === 0, k = 5, nprobe = 2)
+      val bf5 = Embeddings.bruteForceTopK(qs, emb, "vec_id", "embedding", k = 5)
+      report("lsh", 3, lsh, bf3).unionAll(report("ivf", 5, ivf, bf5))
     }),
 
     // Multimodal metadata over REAL binary containers: each document
@@ -290,7 +325,114 @@ object SimQueries {
   private val n2 = (v: String) =>
     s"CAST(list_sum(list_transform(range(1, 65), i -> $v[i] * $v[i])) AS BIGINT)"
 
+  /** Lloyd's k-means unrolled as staged DuckDB CTEs — possible only
+    * because [[Embeddings.kMeans]] is RNG-free and integer-exact:
+    * lowest-id seeds, n²·d² integer distances, argmin tie on cluster
+    * id, exactly 8 iterations. Both engines perform the identical
+    * long arithmetic and the identical IEEE double division for the
+    * cross-cluster normalization, so assignments (and therefore the
+    * per-cluster rollup) match bit-for-bit. */
+  private def sim7OracleSql: String = {
+    // one assignment step: vid → argmin_cl (n·x − s)²/n², tie cl asc
+    def assign(cents: String, out: String): String =
+      s"""d$out AS (SELECT c.vid, ct.cl, max(ct.n) AS n,
+        |    CAST(sum((ct.n * c.x - ct.si) * (ct.n * c.x - ct.si)) AS BIGINT) AS d2n2
+        |  FROM comp c JOIN $cents ct ON ct.i = c.i GROUP BY 1, 2),
+        |$out AS (SELECT vid, cl FROM (SELECT vid, cl, row_number() OVER (
+        |    PARTITION BY vid ORDER BY CAST(d2n2 AS DOUBLE) / (n * n) ASC, cl ASC) AS rk
+        |  FROM d$out) WHERE rk = 1)""".stripMargin
+    // one recenter step: per (cluster, dim) integer member sums
+    def recenter(a: String, out: String): String =
+      s"""$out AS (SELECT a.cl, c.i, CAST(sum(c.x) AS BIGINT) AS si,
+        |    count(*) AS n
+        |  FROM $a a JOIN comp c ON c.vid = a.vid GROUP BY 1, 2)""".stripMargin
+    val iters = (1 to 7).map(t =>
+      recenter(s"a$t", s"cents$t") + ",\n" +
+        assign(s"cents$t", s"a${t + 1}")).mkString(",\n")
+    s"""WITH v AS (SELECT vec_id AS vid, label, ${qv("10000")} AS v FROM embeddings),
+      |kk AS (SELECT count(DISTINCT label) AS k FROM v),
+      |comp AS (SELECT vid, u.i, v[u.i] AS x FROM v,
+      |  (SELECT unnest(range(1, 65)) AS i) u),
+      |seedids AS (SELECT vid, CAST(row_number() OVER (ORDER BY vid ASC) AS INTEGER) AS cl
+      |  FROM v QUALIFY cl <= (SELECT k FROM kk)),
+      |cents0 AS (SELECT s.cl, c.i, c.x AS si, CAST(1 AS BIGINT) AS n
+      |  FROM seedids s JOIN comp c ON c.vid = s.vid),
+      |${assign("cents0", "a1")},
+      |$iters,
+      |bylabel AS (SELECT a.cl AS cluster, v.label, count(*) AS n
+      |  FROM a8 a JOIN v ON v.vid = a.vid GROUP BY 1, 2),
+      |rked AS (SELECT *, row_number() OVER (PARTITION BY cluster
+      |    ORDER BY n DESC, label ASC) AS rk FROM bylabel)
+      |SELECT CAST(cluster AS INTEGER) AS cluster,
+      |  CAST(sum(n) AS BIGINT) AS n_members,
+      |  max(CASE WHEN rk = 1 THEN label END) AS majority_label,
+      |  CAST(max(CASE WHEN rk = 1 THEN n END) AS DOUBLE) /
+      |    CAST(sum(n) AS BIGINT) AS purity
+      |FROM rked GROUP BY 1""".stripMargin
+  }
+
+  /** Exact integer cosine between `$a.v6` and `$b.v6` (the 1e6
+    * quantization) — the DuckDB twin of [[Embeddings.cosine]]. */
+  private def cosSql(a: String, b: String): String =
+    s"CAST(CAST(list_sum(list_transform(range(1, 65), i -> $a.v6[i] * $b.v6[i])) AS BIGINT) AS DOUBLE) / " +
+      s"sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> $a.v6[i] * $a.v6[i])) AS BIGINT) AS DOUBLE) * " +
+      s"CAST(CAST(list_sum(list_transform(range(1, 65), i -> $b.v6[i] * $b.v6[i])) AS BIGINT) AS DOUBLE))"
+
+  /** Recall@k oracle: recomputes BOTH the approximate lists (sign-LSH
+    * buckets, IVF probe) and the brute-force ground truth in DuckDB,
+    * then the hit-count join — certifying the engine's recall numbers
+    * end to end, not just their shape. */
+  private def sim8OracleSql: String = {
+    def arm(method: String, k: Int, ann: String): String =
+      s"""SELECT method, k, n_queries, truth_pairs, hit_pairs,
+        |  CAST(hit_pairs AS DOUBLE) / truth_pairs AS recall FROM (
+        |  SELECT '$method' AS method, CAST($k AS INTEGER) AS k,
+        |    (SELECT count(DISTINCT query_id) FROM bf WHERE rank <= $k) AS n_queries,
+        |    (SELECT count(*) FROM bf WHERE rank <= $k) AS truth_pairs,
+        |    (SELECT count(*) FROM bf t JOIN $ann a ON a.query_id = t.query_id
+        |      AND a.neighbor_id = t.neighbor_id AND a.rank <= $k
+        |      WHERE t.rank <= $k) AS hit_pairs)""".stripMargin
+    s"""WITH v AS (SELECT vec_id AS id, label, ${qv("10000")} AS v4,
+      |    ${qv("1000000")} AS v6 FROM embeddings),
+      |bf AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.id
+      |      ORDER BY ${cosSql("q", "c")} DESC, c.id ASC) AS rank
+      |  FROM v q JOIN v c ON q.id % 50 = 0 AND q.id <> c.id),
+      |vv AS (SELECT id, v6 AS v FROM v),
+      |keys AS (SELECT id, 0 AS t, CAST(${sim2BucketSql(0)} AS BIGINT) AS b FROM vv
+      |  UNION ALL SELECT id, 1 AS t, CAST(${sim2BucketSql(1)} AS BIGINT) AS b FROM vv),
+      |cand AS (SELECT DISTINCT k1.id AS query_id, k2.id AS neighbor_id
+      |  FROM keys k1 JOIN keys k2 ON k1.t = k2.t AND k1.b = k2.b AND k1.id <> k2.id
+      |  WHERE k1.id % 50 = 0),
+      |lsh AS (SELECT cd.query_id, cd.neighbor_id,
+      |    row_number() OVER (PARTITION BY cd.query_id
+      |      ORDER BY ${cosSql("qa", "cb")} DESC, cd.neighbor_id ASC) AS rank
+      |  FROM cand cd JOIN v qa ON qa.id = cd.query_id
+      |  JOIN v cb ON cb.id = cd.neighbor_id),
+      |ncnt AS (SELECT label AS cl, count(*) AS n FROM v GROUP BY 1),
+      |comp AS (SELECT id, label, v4, u.i FROM v,
+      |  (SELECT unnest(range(1, 65)) AS i) u),
+      |csum AS (SELECT label AS cl, i, CAST(sum(v4[i]) AS BIGINT) AS si
+      |  FROM comp GROUP BY 1, 2),
+      |qd AS (SELECT c.id AS qid, s.cl,
+      |    CAST(sum((n.n * c.v4[c.i] - s.si) * (n.n * c.v4[c.i] - s.si)) AS BIGINT) AS d2
+      |  FROM comp c JOIN csum s ON s.i = c.i JOIN ncnt n ON n.cl = s.cl
+      |  WHERE c.id % 50 = 0 GROUP BY 1, 2),
+      |probed AS (SELECT qid, cl FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY qid ORDER BY d2 ASC, cl ASC) AS pr FROM qd) WHERE pr <= 2),
+      |ivf AS (SELECT p.qid AS query_id, c.id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY p.qid
+      |      ORDER BY ${cosSql("q", "c")} DESC, c.id ASC) AS rank
+      |  FROM probed p JOIN v c ON c.label = p.cl JOIN v q ON q.id = p.qid
+      |  WHERE c.id <> p.qid)
+      |${arm("lsh", 3, "lsh")}
+      |UNION ALL
+      |${arm("ivf", 5, "ivf")}""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "sim7_kmeans_diversity" -> sim7OracleSql,
+    "sim8_recall_report" -> sim8OracleSql,
     "sim1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, ${qv("1000000")} AS qv
         |  FROM embeddings WHERE vec_id % 50 = 0),

@@ -187,6 +187,36 @@ object TpchQueries {
         .limit(20)
     }),
 
+    // Q12 — shipping-mode priority counts (adapted: the testdata
+    // lineitem has no l_shipmode / l_commitdate / l_receiptdate, so
+    // l_linestatus plays the two-mode grouping role and the Q12
+    // ordering chain "shipped before committed before received"
+    // becomes the available two-date ordering "shipped after ordered,
+    // within 90 days" — the planner shape is identical: orders⋈
+    // lineitem with cross-table date predicates riding the join, then
+    // two conditional counts per mode). The receipt-year window is
+    // pushed to the lineitem scan. (Q11 is NOT expressible here: it
+    // is entirely a partsupp aggregation and the testdata has no
+    // partsupp table — same gap q9 notes for supply cost.)
+    "q12_ship_modes" -> ((s, d) => {
+      val hi = Seq("1-URGENT", "2-HIGH")
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1997-01-01").cast("date"))
+        .select("l_orderkey", "l_linestatus", "l_shipdate")
+      l.join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("l_linestatus").as("ship_mode"))
+        .agg(
+          sum(when(col("o_orderpriority").isin(hi: _*), 1).otherwise(0))
+            .as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin(hi: _*), 1).otherwise(0))
+            .as("low_line_count"))
+    }),
+
     // Q13 — customer order-count distribution: LEFT OUTER join whose
     // condition carries a non-equi residual on the RIGHT side
     // (priority filter must not drop customer rows — pushing it into
@@ -376,6 +406,19 @@ object TpchQueries {
         |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
         |ORDER BY revenue DESC, c.c_custkey ASC
         |LIMIT 20""".stripMargin,
+    "q12_ship_modes" ->
+      """SELECT l.l_linestatus AS ship_mode,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  AND l.l_shipdate > o.o_orderdate
+        |  AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+        |WHERE l.l_shipdate >= DATE '1996-01-01'
+        |  AND l.l_shipdate < DATE '1997-01-01'
+        |GROUP BY l.l_linestatus""".stripMargin,
     "q13_customer_distribution" ->
       """WITH c_orders AS (
         |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
