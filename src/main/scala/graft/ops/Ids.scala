@@ -50,4 +50,40 @@ object Ids {
       }
     PlanBridge.ofInternalRows(df.sparkSession, withIds, schema)
   }
+
+  /** IDENTITY-column allocation for one committed batch:
+    * `start + step · (batchId · 2³³ + i)` with `i` the batch-dense
+    * row index ([[denseIds]]'s zipWithIndex ride, input partitioning
+    * kept — no sort, no shuffle). Collision-free WITHOUT coordination
+    * because the manifest's CAS already serializes batch ids: two
+    * concurrent inserts cannot commit the same `batchId`, and within
+    * a batch the dense index is unique. Monotonic across batches for
+    * `step > 0` (every batch-N id sorts before every batch-N+1 id)
+    * — Delta's identity contract (unique, direction-monotonic, gaps
+    * allowed) without its high-water-mark round trips. Capacity:
+    * 2³³ ≈ 8.6e9 rows per batch, loudly enforced per row. */
+  def fillIdentity(df: DataFrame, idCol: String, start: Long, step: Long,
+                   batchId: Long): DataFrame = {
+    require(step != 0, "identity step must be non-zero")
+    require(batchId >= 0 && batchId < (1L << 30),
+      s"identity batch id $batchId outside [0, 2^30)")
+    val order = df.columns.toSeq
+    val without = df.drop(idCol)
+    val schema = StructType(without.schema.fields :+
+      StructField(idCol, LongType, nullable = false))
+    val withIds = without.queryExecution.toRdd.zipWithIndex()
+      .mapPartitions { it =>
+        val joined = new JoinedRow
+        val idRow = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(1)
+        it.map { case (r, i) =>
+          require(i < (1L << 33),
+            s"identity batch exceeds 2^33 rows — split the insert")
+          idRow.update(0, start + step * ((batchId << 33) + i))
+          joined(r, idRow): InternalRow
+        }
+      }
+    PlanBridge.ofInternalRows(df.sparkSession, withIds, schema)
+      .select(order.map(c => org.apache.spark.sql.functions.col(c)): _*)
+  }
 }

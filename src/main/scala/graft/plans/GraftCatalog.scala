@@ -96,7 +96,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       // metadata; write paths compute unlisted generated columns and
       // VALIDATE provided ones (Delta's contract)
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      // c BIGINT GENERATED ALWAYS AS IDENTITY [(START WITH s
+      // INCREMENT BY k)]: values allocate from the CAS-fenced batch
+      // id (high bits) + a batch-dense row index — unique and
+      // direction-monotonic with ZERO coordination beyond the commit
+      // the write performs anyway (graft.ops.Ids.fillIdentity)
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   // ---- metadata persistence -------------------------------------
 
@@ -198,6 +205,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           .mergedSchemaOpt(SparkSession.active, root, manifest)
           .getOrElse(DataType.fromJson(meta("schema")).asInstanceOf[StructType])
     }
+    // IDENTITY metadata lives on the DECLARED schema only (live
+    // parquet schemas carry no field metadata) — overlay it onto the
+    // served schema so the native write path sees the allocation
+    // contract and refuses explicit GENERATED ALWAYS values
+    val declaredFields = DataType.fromJson(meta("schema"))
+      .asInstanceOf[StructType].fields
+    val schemaServed = StructType(schema.fields.map { f =>
+      declaredFields.find(df => df.name.equalsIgnoreCase(f.name) &&
+          org.apache.spark.sql.catalyst.util.IdentityColumn
+            .getIdentityInfo(df).nonEmpty)
+        .map(df => f.copy(metadata = df.metadata))
+        .getOrElse(f)
+    })
     // generated-column invariants ride the native write path as
     // synthesized check options — a V1 insert that PROVIDES a
     // generated column gets the same provided-must-match validation
@@ -224,7 +244,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       // names (inherited + own); per-root write paths refuse
       meta.get("clone").filter(_.toBoolean).map("union" -> _) ++
       genChecks
-    new GraftManifestTable(schema, new CaseInsensitiveStringMap(opts.asJava))
+    new GraftManifestTable(schemaServed,
+      new CaseInsensitiveStringMap(opts.asJava))
   }
 
   /** `CREATE TABLE <this-catalog>.<name> SHALLOW CLONE <src>` — the
@@ -242,16 +263,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * live clone still references. */
   def createShallowClone(ident: Identifier,
                          src: GraftSqlTables.Entry,
-                         srcSchema: StructType): Table = {
+                         srcSchema: StructType,
+                         asOfVersion: Option[Long] = None): Table = {
     val name = requireSimpleName(ident)
     require(src.schemaLogPath.isEmpty,
       "graft catalog: SHALLOW CLONE of a columnMapping table is not " +
         "supported — the SchemaLog is root-scoped state the clone " +
         "cannot share")
-    require(!src.isClone,
-      "graft catalog: SHALLOW CLONE of a shallow clone is not " +
-        "supported — cloneFrom snapshots one root, and a clone's view " +
-        "spans several; materialize the first clone before forking it")
+    // a clone CAN fork a clone: the new manifest snapshots the
+    // parent's whole union view (allRoots below), and union reads /
+    // cross-root merges already span arbitrary root sets. A SNAPSHOT
+    // clone of a clone stays refused for the same reason time travel
+    // on clones does — the parent's historical view would drop
+    // inherited rows.
+    require(!(src.isClone && asOfVersion.nonEmpty),
+      "graft catalog: VERSION/TIMESTAMP AS OF clone of a shallow " +
+        "clone is not supported — materialize the parent first, or " +
+        "snapshot-clone the original SOURCE table")
     val root = s"$warehouse/$name"
     val manifest = s"$root/_commits"
     val meta = Map(
@@ -272,7 +300,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // A crash here leaves an empty-manifest clone (reads serve the
     // declared schema, zero rows) — DROP and re-CREATE it.
     new graft.sources.TxnManifest(manifest)
-      .cloneFrom(new graft.sources.TxnManifest(src.manifestPath), src.root)
+      .cloneFrom(new graft.sources.TxnManifest(src.manifestPath), src.root,
+        atVersion = asOfVersion, allRoots = src.isClone)
     loadTable(ident)
   }
 
@@ -317,6 +346,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val name = requireSimpleName(ident)
     val meta = entryMeta(name)
       .getOrElse(throw new NoSuchTableException(ident))
+    // a shallow clone's historical view spans the SOURCE's dirs too;
+    // the root filter below would silently drop every inherited row.
+    // Refuse (matching the scaladoc) until the clone is materialized.
+    require(!meta.get("clone").contains("true"),
+      s"graft catalog: time travel on shallow clone '$name' is not " +
+        "supported — the historical view would drop inherited source " +
+        "rows; materialize the clone (OPTIMIZE) first, or time-travel " +
+        "the SOURCE table")
     val root = meta("root")
     val manifest = meta("manifest")
     val man = new graft.sources.TxnManifest(manifest)
@@ -357,22 +394,34 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    columns.foreach(c => require(c.identityColumnSpec() == null,
-      s"graft catalog: IDENTITY column '${c.name()}' is not supported — " +
-        "generate ids with monotonically-increasing expressions or " +
-        "graft.ops.Ids.denseIds"))
     val base = org.apache.spark.sql.graftbridge.CatalogBridge
       .v2ColumnsToStructType(columns)
     val withGen = StructType(base.fields.zip(columns).map { case (f, c) =>
-      Option(c.generationExpression()) match {
-        case Some(g) =>
-          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putString(org.apache.spark.sql.catalyst.util.GeneratedColumn
-              .GENERATION_EXPRESSION_METADATA_KEY, g)
-            .build())
-        case None => f
+      val gen = Option(c.generationExpression()).map { g =>
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(org.apache.spark.sql.catalyst.util.GeneratedColumn
+            .GENERATION_EXPRESSION_METADATA_KEY, g)
+          .build()
       }
+      // identity spec folds into the stored schema the same way the
+      // generation expression does (the stock bridge drops both);
+      // the write paths read it back via IdentityColumn.getIdentityInfo
+      val idn = Option(c.identityColumnSpec()).map { spec =>
+        require(f.dataType == org.apache.spark.sql.types.LongType,
+          s"graft catalog: IDENTITY column '${c.name()}' must be BIGINT " +
+            s"(got ${f.dataType.sql}) — the batch-id allocation needs " +
+            "the full 64-bit range")
+        val ic = org.apache.spark.sql.catalyst.util.IdentityColumn
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(gen.getOrElse(f.metadata))
+          .putLong(ic.IDENTITY_INFO_START, spec.getStart)
+          .putLong(ic.IDENTITY_INFO_STEP, spec.getStep)
+          .putBoolean(ic.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+            spec.isAllowExplicitInsert)
+          .build()
+      }
+      idn.orElse(gen).map(m => f.copy(metadata = m)).getOrElse(f)
     })
     createTable(ident, withGen, partitions, properties)
   }
@@ -478,8 +527,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * }}}
     * Renaming a merge-key column follows it into the table's `keys`.
     * Property changes are limited to the behavior toggles the catalog
-    * understands; retype (UpdateColumnType) is deliberately rejected —
-    * the SchemaLog's no-silent-cast rule (widen by ADD + backfill).
+    * understands; retype (UpdateColumnType) is WIDEN-ONLY — int chain
+    * up / float→double / decimal precision-up are metadata-only
+    * (readers promote old files); narrowing still refuses with the
+    * SchemaLog's no-silent-cast rule (ADD + backfill instead).
     * Non-mapped tables reject column DDL with guidance: physical file
     * columns ARE their names there, so a rename would need a rewrite. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -521,6 +572,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"graft catalog: cannot DROP merge-key column '$c' — row " +
             "identity would be undefined; change keys first")
         log.drop(c)
+      // ALTER COLUMN c TYPE <t> — WIDEN-ONLY retype (Delta's
+      // type-widening feature): metadata-only, zero files touched;
+      // every reader requests the widened type and the parquet
+      // reader promotes narrower old files. Narrowing refuses inside
+      // SchemaLog.retype.
+      case t: TableChange.UpdateColumnType =>
+        log.retype(single(t.fieldNames(), "retype"), t.newDataType())
       case sp: TableChange.SetProperty if sp.property() == "clusterBy" =>
         // re-clustering declaration: takes effect at the next bare
         // OPTIMIZE (Delta's ALTER TABLE ... CLUSTER BY shape)

@@ -113,6 +113,17 @@ object GraftSqlTables {
           .getGenerationExpression(f).map(f.name -> _))
     }
 
+  /** (column, spec) for every `GENERATED ... AS IDENTITY` column of
+    * the declared schema (Spark's identity column metadata, folded in
+    * by [[GraftCatalog.createTable]]). */
+  def identityCols(entry: Entry)
+    : Seq[(String, org.apache.spark.sql.connector.catalog.IdentityColumnSpec)] =
+    entry.schemaJson.toSeq.flatMap { json =>
+      declaredOf(json).fields.toSeq.flatMap(f =>
+        org.apache.spark.sql.catalyst.util.IdentityColumn
+          .getIdentityInfo(f).map(f.name -> _))
+    }
+
   /** The write-side invariants a DML result frame must satisfy:
     * declared CHECK constraints plus one null-safe equality per
     * generated column — a path that RECOMPUTES generated columns
@@ -403,6 +414,14 @@ object GraftDml {
       // a columnMapping table merges in LOGICAL space — the statement
       // keeps working across renames — and translates to physical
       // names only at the Sinks.merge boundary (the file layer)
+      // IDENTITY tables refuse MERGE wholesale (Delta's historical
+      // restriction): the insert arm would need allocation and SET *
+      // would clobber allocated values — INSERT / UPDATE / DELETE
+      // statements cover the same work safely
+      require(GraftSqlTables.identityCols(entry).isEmpty,
+        s"MERGE INTO $table: tables with IDENTITY columns do not " +
+          "support MERGE — use INSERT (allocates), UPDATE, and DELETE " +
+          "statements instead")
       val mapLog = mappedLogOf(table, entry)
       val tgt = mapLog match {
         case Some(log) =>
@@ -555,7 +574,8 @@ object GraftDml {
         case Some(log) =>
           val phys = physicalizer(table, log)
           Sinks.merge(spark, ups.map(phys.frame), delKeys.map(phys.frame),
-            entry.root, man, keys.map(phys.column), mergeId, cdf = entry.cdf)
+            entry.root, man, keys.map(phys.column), mergeId, cdf = entry.cdf,
+            physSchema = Some(phys.physSchema))
       }
     case GraftUpdateSpec(table, entry, assigns, condSql) =>
       val man = new TxnManifest(entry.manifestPath)
@@ -571,6 +591,10 @@ object GraftDml {
         require(cur.columns.exists(_.equalsIgnoreCase(c)),
           s"UPDATE $table: SET names unknown column '$c' " +
             s"(have: ${cur.columns.mkString(", ")})")
+        require(!GraftSqlTables.identityCols(entry)
+            .exists(_._1.equalsIgnoreCase(c)),
+          s"UPDATE $table: IDENTITY column '$c' cannot be updated — " +
+            "its values are engine-allocated")
       }
       val dupTargets = assigns.map(_._1.toLowerCase(java.util.Locale.ROOT))
         .groupBy(identity).collect { case (c, vs) if vs.size > 1 => c }
@@ -592,20 +616,22 @@ object GraftDml {
         }.toIndexedSeq: _*))
       graft.sources.CheckConstraints.enforce(table,
         GraftSqlTables.writeChecks(entry), ups0, "UPDATE")
-      val (ups, physKeys) = mapLog match {
-        case None => (ups0, entry.keys)
+      val (ups, physKeys, physSchema) = mapLog match {
+        case None => (ups0, entry.keys, None)
         case Some(log) =>
           val phys = physicalizer(table, log)
-          (phys.frame(ups0), entry.keys.map(phys.column))
+          (phys.frame(ups0), entry.keys.map(phys.column),
+            Some(phys.physSchema))
       }
       // deletionVectors registration makes UPDATE merge-on-read too:
       // old versions vectored, new versions appended, O(changed rows)
       if (entry.deletionVectors)
         Sinks.mergeUpdateDV(spark, ups, entry.root, man, physKeys, mergeId,
-          cdf = entry.cdf)
+          cdf = entry.cdf, physSchema = physSchema)
       else
         Sinks.mergeUpsert(spark, ups, entry.root, man, physKeys, mergeId,
-          cdf = entry.cdf, unionRoots = entry.isClone)
+          cdf = entry.cdf, unionRoots = entry.isClone,
+          physSchema = physSchema)
     case GraftDeleteSpec(table, entry, condSql) =>
       val man = new TxnManifest(entry.manifestPath)
       val mergeId = nextBatchId(man)
@@ -618,18 +644,20 @@ object GraftDml {
       }
       val delKeys0 = cur.where(expr(condSql))
         .select(entry.keys.map(col): _*).distinct()
-      val (delKeys, physKeys) = mapLog match {
-        case None => (delKeys0, entry.keys)
+      val (delKeys, physKeys, physSchema) = mapLog match {
+        case None => (delKeys0, entry.keys, None)
         case Some(log) =>
           val phys = physicalizer(table, log)
-          (phys.frame(delKeys0), entry.keys.map(phys.column))
+          (phys.frame(delKeys0), entry.keys.map(phys.column),
+            Some(phys.physSchema))
       }
       if (entry.deletionVectors)
         Sinks.mergeDeleteDV(spark, delKeys, entry.root, man, physKeys,
-          mergeId, cdf = entry.cdf)
+          mergeId, cdf = entry.cdf, physSchema = physSchema)
       else
         Sinks.mergeDelete(spark, delKeys, entry.root, man, physKeys, mergeId,
-          cdf = entry.cdf, unionRoots = entry.isClone)
+          cdf = entry.cdf, unionRoots = entry.isClone,
+          physSchema = physSchema)
   }
 
   /** The committed view a DML statement evaluates against — a SHALLOW
@@ -676,6 +704,11 @@ object GraftDml {
     * cannot split a statement across two schema versions). */
   private final case class Physicalizer(table: String,
                                         cols: Seq[graft.sources.SchemaLog.Col]) {
+    /** The explicit file-read schema DML passes to the Sinks layer —
+      * a widen-only retype makes physical file types heterogeneous,
+      * which mergeSchema refuses and an explicit schema promotes. */
+    def physSchema: org.apache.spark.sql.types.StructType =
+      graft.sources.SchemaLog.physicalSchema(cols)
     def column(c: String): String =
       cols.find(_.logical.equalsIgnoreCase(c)).map(_.physical)
         .getOrElse(throw new IllegalArgumentException(
@@ -860,6 +893,33 @@ object GraftInsertCommand {
       }
   }
 
+  /** IDENTITY handling for one insert batch: an explicit value for a
+    * GENERATED ALWAYS column refuses (BY DEFAULT accepts it); omitted
+    * columns allocate `start + step·(batchId·2³³ + rowIdx)` — unique
+    * and direction-monotonic with no coordination beyond the manifest
+    * CAS the write already performs ([[graft.ops.Ids.fillIdentity]]). */
+  private def applyIdentity(table: String, entry: GraftSqlTables.Entry,
+                            insertCols: Option[Seq[String]],
+                            aligned: DataFrame, batchId: Int): DataFrame = {
+    val idents = GraftSqlTables.identityCols(entry)
+    if (idents.isEmpty) return aligned
+    def provided(c: String) =
+      insertCols.forall(_.exists(_.equalsIgnoreCase(c)))
+    idents.foreach { case (c, spec) =>
+      if (provided(c))
+        require(spec.isAllowExplicitInsert,
+          s"INSERT into $table: column '$c' is GENERATED ALWAYS AS " +
+            "IDENTITY — omit it from an explicit column list and the " +
+            "engine allocates (GENERATED BY DEFAULT accepts explicit " +
+            "values)")
+    }
+    idents.filterNot(i => provided(i._1)).foldLeft(aligned) {
+      case (df, (c, spec)) =>
+        graft.ops.Ids.fillIdentity(df, c, spec.getStart, spec.getStep,
+          batchId.toLong)
+    }
+  }
+
   private[plans] def write(spark: SparkSession, table: String,
                            entry: GraftSqlTables.Entry, src: DataFrame,
                            insertCols: Option[Seq[String]],
@@ -889,7 +949,8 @@ object GraftInsertCommand {
         val (_, cols) = log.current()
         val target = org.apache.spark.sql.types.StructType(cols.map(c =>
           org.apache.spark.sql.types.StructField(c.logical, c.dataType)))
-        val aligned = alignTo(src, target)
+        val aligned = applyIdentity(table, entry, insertCols,
+          alignTo(src, target), batchId)
         graft.sources.CheckConstraints.enforce(table,
           GraftSqlTables.writeChecks(entry), aligned, "INSERT into")
         val physical = aligned.select(cols.map(c =>
@@ -909,7 +970,7 @@ object GraftInsertCommand {
         return
       case None =>
     }
-    val aligned =
+    val aligned0 =
       if (existing.nonEmpty)
         alignTo(src, GraftDml.committedRead(spark, entry, man).schema)
       else entry.schemaJson match {
@@ -924,6 +985,7 @@ object GraftInsertCommand {
           alignTo(src, org.apache.spark.sql.types.DataType.fromJson(json)
             .asInstanceOf[org.apache.spark.sql.types.StructType])
       }
+    val aligned = applyIdentity(table, entry, insertCols, aligned0, batchId)
     graft.sources.CheckConstraints.enforce(table,
       GraftSqlTables.writeChecks(entry), aligned, "INSERT into")
     if (overwrite) {
@@ -1047,7 +1109,7 @@ object GraftMaintenance {
   private val Copy =
     """(?is)\s*COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)\s*(?:PATTERN\s*=\s*'([^']+)'\s*)?(?:COPY_OPTIONS\s*\(\s*'force'\s*=\s*'(true|false)'\s*\)\s*)?;?\s*""".r
   private val CloneRe =
-    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
 
   /** Recognize a maintenance statement on a REGISTERED table; None
     * otherwise (the caller delegates to Spark's parser). */
@@ -1068,8 +1130,10 @@ object GraftMaintenance {
       case Copy(name, from, fmt, pat, force) => entryOf(name).map(e =>
         GraftCopyIntoCommand(name, e, from, Option(pat), fmt,
           force = Option(force).exists(_.equalsIgnoreCase("true"))))
-      case CloneRe(dst, src) => entryOf(src).map(e =>
-        GraftCloneCommand(dst, src, e))
+      case CloneRe(dst, src, ver, ts) => entryOf(src).map(e =>
+        GraftCloneCommand(dst, src, e,
+          asOfVersion = Option(ver).map(_.toLong),
+          asOfTsMillis = Option(ts).map(parseTs)))
       case Ins(mode, name, colList, select) => entryOf(name).map { e =>
         // validate the source query NOW — a syntax error must surface
         // at statement parse, not at execution
@@ -1106,7 +1170,9 @@ object GraftMaintenance {
   * is any resolvable graft table. See
   * [[GraftCatalog.createShallowClone]] for the contract. */
 final case class GraftCloneCommand(dst: String, srcName: String,
-                                   src: GraftSqlTables.Entry)
+                                   src: GraftSqlTables.Entry,
+                                   asOfVersion: Option[Long] = None,
+                                   asOfTsMillis: Option[Long] = None)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val parts = dst.split('.')
@@ -1125,18 +1191,34 @@ final case class GraftCloneCommand(dst: String, srcName: String,
           s"${other.getClass.getName}, not a GraftCatalog")
     }
     val man = new TxnManifest(src.manifestPath)
-    val srcSchema =
-      if (man.committedDirsAll().isEmpty)
-        src.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-            .asInstanceOf[org.apache.spark.sql.types.StructType])
-          .getOrElse(throw new IllegalStateException(
-            s"SHALLOW CLONE: source $srcName has no committed data and " +
-              "no declared schema — nothing to clone"))
-      else GraftDml.committedRead(spark, src, man).schema
+    // TIMESTAMP AS OF resolves to a manifest version against the same
+    // commit clock the DSv2 option and RESTORE use
+    val version = asOfVersion.orElse(asOfTsMillis.map(man.versionAt))
+    def declaredSchema =
+      src.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .getOrElse(throw new IllegalStateException(
+          s"SHALLOW CLONE: source $srcName has no committed data and " +
+            "no declared schema — nothing to clone"))
+    val srcSchema = version match {
+      case Some(v) =>
+        // the snapshot clone serves the HISTORICAL schema: inferred
+        // over the dirs that version named (travelTable's rule)
+        val dirs = man.stateAt(v).toSeq.sortBy(_._1).flatMap(_._2)
+          .filter(_.startsWith(src.root + "/"))
+        if (dirs.isEmpty) declaredSchema
+        else {
+          val (dataDirs, _) = graft.sources.Sinks.splitDv(dirs)
+          spark.read.option("mergeSchema", true).parquet(dataDirs: _*).schema
+        }
+      case None =>
+        if (man.committedDirsAll().isEmpty) declaredSchema
+        else GraftDml.committedRead(spark, src, man).schema
+    }
     gcat.createShallowClone(
       org.apache.spark.sql.connector.catalog.Identifier
         .of(Array.empty, parts(1)),
-      src, srcSchema)
+      src, srcSchema, asOfVersion = version)
     Seq.empty
   }
 }
@@ -1181,11 +1263,15 @@ final case class GraftOptimizeCommand(table: String,
                 s"table's column mapping " +
                 s"(have: ${cols.map(_.logical).mkString(", ")})")))
     }
+    val physSchema = entry.schemaLogPath.map(p =>
+      graft.sources.SchemaLog.physicalSchema(
+        new graft.sources.SchemaLog(p).current()._2))
     if (physCols.isEmpty)
-      Sinks.compact(spark, entry.root, man, compactId, numFiles)
+      Sinks.compact(spark, entry.root, man, compactId, numFiles,
+        physSchema = physSchema)
     else
       Sinks.compactZOrderedIncremental(spark, entry.root, man, compactId,
-        physCols.map(col), numFiles)
+        physCols.map(col), numFiles, physSchema = physSchema)
     Seq.empty
   }
 

@@ -682,6 +682,100 @@ object PipelineQueries {
     // name + inserts, evaluated in logical space) → ADD COLUMN note →
     // INSERT carrying it → SELECT under the evolved schema (pre-ADD
     // rows serve NULL note). The oracle predicts the final state.
+    // IDENTITY columns (round 8): engine-allocated surrogate keys
+    // from the CAS-fenced batch id (high bits) + a batch-dense row
+    // index — unique and monotonic across commits with ZERO extra
+    // coordination (graft.ops.Ids.fillIdentity). Raw values are
+    // allocation-dependent (scan order within the batch), so the
+    // query surfaces the CONTRACT as deterministic aggregates:
+    // cardinalities (uniqueness), cross-batch range separation
+    // (monotonicity), start/step conformance, and the exact first
+    // id — each a value the oracle pins bit-for-bit.
+    "s31_sql_identity" -> ((s, d) => {
+      import graft.plans.GraftSql
+      val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      o.createOrReplaceTempView("s31_orders")
+      val cat = "graft"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.plans.GraftCatalog].getName)
+      if (s.conf.getOption(s"spark.sql.catalog.$cat.warehouse").isEmpty)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_s31_wh_").toString)
+      GraftSql.execute(s, s"DROP TABLE IF EXISTS $cat.idn")
+      GraftSql.execute(s,
+        s"""CREATE TABLE $cat.idn (
+           |  id BIGINT GENERATED ALWAYS AS IDENTITY
+           |    (START WITH 100 INCREMENT BY 3),
+           |  k BIGINT, amt DOUBLE
+           |) USING `graft-manifest` TBLPROPERTIES ('keys' = 'k')
+           |""".stripMargin)
+      GraftSql.execute(s,
+        s"""INSERT INTO $cat.idn (k, amt)
+           |SELECT o_orderkey, o_totalprice FROM s31_orders""".stripMargin)
+      GraftSql.execute(s,
+        s"""INSERT INTO $cat.idn (k, amt)
+           |SELECT o_orderkey + 10000000, 0.0 FROM s31_orders
+           |WHERE o_orderkey % 10 = 0""".stripMargin)
+      GraftSql.execute(s,
+        s"""SELECT
+           |  count(*) AS n_rows,
+           |  count(DISTINCT id) AS n_ids,
+           |  CAST(max(CASE WHEN k < 10000000 THEN id END) <
+           |       min(CASE WHEN k >= 10000000 THEN id END) AS INT)
+           |    AS batches_monotone,
+           |  CAST(max(CASE WHEN (id - 100) % 3 != 0 THEN 1 ELSE 0 END)
+           |    AS INT) AS step_violations,
+           |  min(id) AS first_id
+           |FROM $cat.idn""".stripMargin)
+    }),
+
+    // Type widening (round 8 — Delta's type-widening table feature):
+    // ALTER COLUMN ... TYPE is metadata-only for WIDENING changes on
+    // columnMapping tables (int→bigint, float→double here) — the
+    // SchemaLog records the new type and every reader (scan, UPDATE's
+    // merge probe) requests it, letting Spark 4's parquet reader
+    // promote the narrower old files in place. The statement sequence
+    // deliberately leaves the table with MIXED physical file types
+    // (pre-widen int/float files, post-widen bigint/double files and
+    // a merge rewrite spanning both), so the final SELECT certifies
+    // the whole read path. Narrowing rejection is pinned in
+    // SqlSurfaceSpec.
+    "s30_sql_widen" -> ((s, d) => {
+      import graft.plans.GraftSql
+      val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      o.createOrReplaceTempView("s30_orders")
+      val cat = "graft"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.plans.GraftCatalog].getName)
+      if (s.conf.getOption(s"spark.sql.catalog.$cat.warehouse").isEmpty)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_s30_wh_").toString)
+      GraftSql.execute(s, s"DROP TABLE IF EXISTS $cat.wid")
+      GraftSql.execute(s,
+        s"""CREATE TABLE $cat.wid (k BIGINT, v INT, f FLOAT)
+           |USING `graft-manifest`
+           |TBLPROPERTIES ('keys' = 'k', 'columnMapping' = 'true')
+           |""".stripMargin)
+      GraftSql.execute(s,
+        s"""INSERT INTO $cat.wid
+           |SELECT o_orderkey, CAST(o_orderkey % 1000 AS INT),
+           |  CAST(o_totalprice AS FLOAT) FROM s30_orders""".stripMargin)
+      GraftSql.execute(s, s"ALTER TABLE $cat.wid ALTER COLUMN v TYPE BIGINT")
+      GraftSql.execute(s, s"ALTER TABLE $cat.wid ALTER COLUMN f TYPE DOUBLE")
+      // post-widen rows need the full 64-bit range — unrepresentable
+      // before the retype
+      GraftSql.execute(s,
+        s"""INSERT INTO $cat.wid
+           |SELECT o_orderkey + 30000000,
+           |  CAST(o_orderkey AS BIGINT) * 10000000000,
+           |  CAST(o_totalprice AS DOUBLE)
+           |FROM s30_orders WHERE o_orderkey % 100 = 0""".stripMargin)
+      // the merge probe + rewrite reads pre-widen files through the
+      // widened schema (the mergeSchema int/long mix would refuse)
+      GraftSql.execute(s, s"UPDATE $cat.wid SET v = v + 1 WHERE k % 10 = 0")
+      GraftSql.execute(s, s"SELECT k, v, f FROM $cat.wid")
+    }),
+
     "s24_sql_alter" -> ((s, d) => {
       import graft.plans.GraftSql
       val o = Tables.orders(s, d)
@@ -805,12 +899,35 @@ object PipelineQueries {
       GraftSql.execute(s,
         s"DELETE FROM $cat.cldst WHERE o_orderkey % 7 = 0 " +
           "AND o_orderkey % 10 != 0")
+      // round 8: clone-of-clone inherits the diverged view, then
+      // diverges again (its UPDATE must leak into neither ancestor)
+      GraftSql.execute(s, s"DROP TABLE IF EXISTS $cat.clgrand")
+      GraftSql.execute(s,
+        s"CREATE TABLE $cat.clgrand SHALLOW CLONE $cat.cldst")
+      GraftSql.execute(s,
+        s"""UPDATE $cat.clgrand SET o_totalprice = o_totalprice + 1
+           |WHERE o_orderkey % 3 = 0""".stripMargin)
+      // round 8: a SNAPSHOT clone pins version 1 — the src append
+      // right before it must not appear in it
+      GraftSql.execute(s,
+        s"""INSERT INTO $cat.clsrc
+           |SELECT o_orderkey + 40000000, 'E', 0.0
+           |FROM s29_orders WHERE o_orderkey % 100 = 0""".stripMargin)
+      GraftSql.execute(s, s"DROP TABLE IF EXISTS $cat.clsnap")
+      GraftSql.execute(s,
+        s"CREATE TABLE $cat.clsnap SHALLOW CLONE $cat.clsrc VERSION AS OF 1")
       GraftSql.execute(s,
         s"""SELECT 'clone' AS side, o_orderkey, o_orderstatus, o_totalprice
            |FROM $cat.cldst
            |UNION ALL
            |SELECT 'src' AS side, o_orderkey, o_orderstatus, o_totalprice
-           |FROM $cat.clsrc""".stripMargin)
+           |FROM $cat.clsrc
+           |UNION ALL
+           |SELECT 'snap' AS side, o_orderkey, o_orderstatus, o_totalprice
+           |FROM $cat.clsnap
+           |UNION ALL
+           |SELECT 'grand' AS side, o_orderkey, o_orderstatus, o_totalprice
+           |FROM $cat.clgrand""".stripMargin)
     }),
 
     // COPY INTO (round-7 continuation) — Delta's idempotent bulk
@@ -2031,17 +2148,31 @@ object PipelineQueries {
         |upd AS (
         |  SELECT o_orderkey, 'C' AS o_orderstatus,
         |    o_totalprice * 2 AS o_totalprice
-        |  FROM base WHERE o_orderkey % 10 = 0)
+        |  FROM base WHERE o_orderkey % 10 = 0),
+        |cl AS (
+        |  SELECT * FROM (
+        |    SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM base b
+        |    WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |    UNION ALL
+        |    SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd)
+        |  WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0)),
+        |extra AS (
+        |  SELECT o_orderkey + 40000000 AS o_orderkey, 'E' AS o_orderstatus,
+        |    0.0 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 100 = 0)
         |SELECT 'clone' AS side, o_orderkey, o_orderstatus, o_totalprice
-        |FROM (
-        |  SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM base b
-        |  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
-        |  UNION ALL
-        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd)
-        |WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0)
+        |FROM cl
         |UNION ALL
         |SELECT 'src' AS side, o_orderkey, o_orderstatus, o_totalprice
-        |FROM base""".stripMargin,
+        |FROM (SELECT * FROM base UNION ALL SELECT * FROM extra)
+        |UNION ALL
+        |SELECT 'snap' AS side, o_orderkey, o_orderstatus, o_totalprice
+        |FROM base
+        |UNION ALL
+        |SELECT 'grand' AS side, o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM cl""".stripMargin,
     "s25_sql_constraints" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 10 = 0 THEN 'U'
@@ -2049,6 +2180,29 @@ object PipelineQueries {
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1
         |       ELSE o_totalprice END AS o_totalprice
         |FROM orders""".stripMargin,
+    "s31_sql_identity" ->
+      """SELECT
+        |  CAST((SELECT count(*) FROM orders) +
+        |       (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0)
+        |    AS BIGINT) AS n_rows,
+        |  CAST((SELECT count(*) FROM orders) +
+        |       (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0)
+        |    AS BIGINT) AS n_ids,
+        |  CAST(1 AS INT) AS batches_monotone,
+        |  CAST(0 AS INT) AS step_violations,
+        |  CAST(100 AS BIGINT) AS first_id""".stripMargin,
+    "s30_sql_widen" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(o_orderkey % 1000 AS BIGINT) AS v,
+        |    CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE) AS f FROM orders),
+        |big AS (
+        |  SELECT o_orderkey + 30000000 AS k,
+        |    CAST(o_orderkey AS BIGINT) * 10000000000 AS v,
+        |    CAST(o_totalprice AS DOUBLE) AS f
+        |  FROM orders WHERE o_orderkey % 100 = 0),
+        |allr AS (SELECT * FROM base UNION ALL SELECT * FROM big)
+        |SELECT k, CASE WHEN k % 10 = 0 THEN v + 1 ELSE v END AS v, f
+        |FROM allr""".stripMargin,
     "s24_sql_alter" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice AS price

@@ -69,13 +69,20 @@ object CopyLog {
     if (ids.isEmpty) 0 else ids.max + 1
   }
 
+  /** The session's Hadoop conf (credentials, fs.impl overrides) when a
+    * session is active — every filesystem touch in this object resolves
+    * through it, so s3a/abfs credentials in the Spark conf reach the
+    * delete path too, not just the listing. */
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    new org.apache.hadoop.conf.Configuration(
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration()))
+
   private def listEntries(root: String)
     : Seq[org.apache.hadoop.fs.FileStatus] = {
     val p = new org.apache.hadoop.fs.Path(dir(root))
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration(
-      org.apache.spark.sql.SparkSession.getActiveSession
-        .map(_.sparkContext.hadoopConfiguration)
-        .getOrElse(new org.apache.hadoop.conf.Configuration())))
+    val fs = p.getFileSystem(hadoopConf())
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).toSeq.filter(s =>
       s.isFile && s.getPath.getName.matches("b\\d+\\.list"))
@@ -103,8 +110,7 @@ object CopyLog {
       val id = s.getPath.getName.stripPrefix("b").stripSuffix(".list").toInt
       if (!ever.contains(s"${root.stripSuffix("/")}/batch=$id") &&
           s.getModificationTime < cutoff)
-        s.getPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          .delete(s.getPath, false)
+        s.getPath.getFileSystem(hadoopConf()).delete(s.getPath, false)
     }
   }
 

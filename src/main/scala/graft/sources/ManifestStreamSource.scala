@@ -276,6 +276,19 @@ final class GraftManifestTable(tableSchema: StructType,
             new org.apache.spark.sql.sources.InsertableRelation {
               override def insert(data: org.apache.spark.sql.DataFrame,
                                   legacyOverwrite: Boolean): Unit = {
+                // Spark's own resolution already demands EVERY table
+                // column from a native write, so an IDENTITY column
+                // would have to arrive with caller-chosen values —
+                // exactly what GENERATED ALWAYS forbids. Only the
+                // statement INSERT path can allocate; route there.
+                tableSchema.fields.foreach { f =>
+                  org.apache.spark.sql.catalyst.util.IdentityColumn
+                    .getIdentityInfo(f).foreach(spec =>
+                      require(spec.isAllowExplicitInsert,
+                        s"graft-manifest: native write cannot allocate " +
+                          s"GENERATED ALWAYS AS IDENTITY column " +
+                          s"'${f.name}' — use the INSERT INTO statement"))
+                }
                 val man = new TxnManifest(manifestPath)
                 val ids = man.committed().keySet
                 val batchId = if (ids.isEmpty) 0 else ids.max + 1
@@ -301,9 +314,22 @@ final class GraftManifestTable(tableSchema: StructType,
                     data.select(cols.map(c => org.apache.spark.sql
                       .functions.col(c.logical).as(c.physical)): _*)
                 }
-                if (overwrite || legacyOverwrite)
+                if (overwrite || legacyOverwrite) {
+                  // mirror truncateTable / the statement path
+                  // (SqlDml's overwrite guard): insertOverwrite
+                  // un-names only clone-root dirs, so on a shallow
+                  // clone the inherited source dirs would stay
+                  // visible — old source rows silently union'd with
+                  // the new data. Refuse until materialized.
+                  require(!unionView,
+                    "graft-manifest: INSERT OVERWRITE on a shallow " +
+                      "clone is not supported — the overwrite can " +
+                      "only un-name the clone's own dirs, leaving " +
+                      "inherited source rows visible; materialize " +
+                      "the clone (OPTIMIZE) first")
                   Sinks.insertOverwrite(data.sparkSession, frame, root, man,
                     batchId)
+                }
                 else {
                   // stats sidecars carry PHYSICAL names on mapped
                   // tables; the scan translates its filters to match
@@ -315,12 +341,28 @@ final class GraftManifestTable(tableSchema: StructType,
             }
           override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            if (unionView)
+              throw new UnsupportedOperationException(
+                "graft-manifest: streaming write into a shallow clone " +
+                  "is not supported — epoch N commits as batch id N and " +
+                  "would silently REPLACE the clone's inherited entry N " +
+                  "(the read side refuses union tables for the same " +
+                  "reason); materialize the clone (OPTIMIZE) first")
             if (mappedLog.isDefined)
               throw new UnsupportedOperationException(
                 "graft-manifest streaming sink does not write through a " +
                   "schemaLog mapping — a rename mid-stream would fork " +
                   "columns; use SchemaLog.appendBatchMapped per batch " +
                   "(or drop the schemaLog option)")
+            tableSchema.fields.foreach { f =>
+              org.apache.spark.sql.catalyst.util.IdentityColumn
+                .getIdentityInfo(f).foreach(_ =>
+                  throw new UnsupportedOperationException(
+                    s"graft-manifest: streaming sink cannot allocate " +
+                      s"IDENTITY column '${f.name}' — stream into a " +
+                      "plain table and INSERT ... SELECT into the " +
+                      "identity table per epoch"))
+            }
             new GraftManifestStreamingWrite(root, manifestPath, info.schema(),
               info.queryId(), bloomCols)
           }

@@ -31,9 +31,11 @@ import graft.util.AtomicText
   * [[AtomicText]] (same crash-atomicity as the manifest): line 0 is
   * `next-physical-id`, then one line per column
   * `logical<TAB>physical<TAB>typeDDL`, newest version wins via the
-  * atomic whole-file replace. Retype is deliberately NOT offered:
-  * silent cast-on-read is the class of surprise this engine fails
-  * loudly on; widen by ADD + backfill instead.
+  * atomic whole-file replace. Retype is WIDEN-ONLY ([[retype]]):
+  * promotions the parquet reader performs losslessly (int chain up,
+  * float→double, decimal precision-up) are metadata-only; anything
+  * lossy still refuses loudly — silent narrowing cast-on-read is the
+  * class of surprise this engine fails loudly on.
   *
   * Single-writer contract (same as [[TxnManifest]] and the CDC
   * watermark): evolution commands are read-modify-write of the whole
@@ -96,11 +98,68 @@ final class SchemaLog(path: String) {
     require(!cols.exists(_.logical == name), s"column $name already exists")
     write(next + 1, cols :+ Col(name, s"p$next", dataType))
   }
+
+  /** WIDEN-ONLY retype (Delta's type-widening table feature): the
+    * physical id keeps its files untouched and every reader requests
+    * the widened type — Spark 4's parquet reader promotes old files'
+    * narrower physical type natively (int32→long, float→double,
+    * decimal precision-up), so this is a metadata-only edit like
+    * rename. NARROWING (or any lossy change) still refuses loudly:
+    * silent cast-on-read stays the class of surprise this engine
+    * rejects. */
+  def retype(name: String, to: DataType): Unit = {
+    val (next, cols) = current()
+    val cur = cols.find(_.logical == name)
+      .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    require(SchemaLog.canWiden(cur.dataType, to),
+      s"retype of '$name' from ${cur.dataType.sql} to ${to.sql} is not a " +
+        "widening — only byte/short/int->long-chain, integral/float->" +
+        "double, and decimal precision-up (integer digits and scale " +
+        "never shrink) are metadata-only; anything else needs ADD + " +
+        "backfill")
+    write(next, cols.map(c => if (c.logical == name) c.copy(dataType = to)
+                              else c))
+  }
 }
 
 object SchemaLog {
 
   final case class Col(logical: String, physical: String, dataType: DataType)
+
+  /** The widen-only lattice [[SchemaLog.retype]] accepts — exactly the
+    * promotions Spark 4's parquet reader performs on narrower file
+    * types (SPARK-40876), so a widened column reads old and new files
+    * through one requested schema with zero rewrites. */
+  private[graft] def canWiden(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val intChain: Map[DataType, Int] =
+      Map(ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
+    (from, to) match {
+      case (f, t) if f == t => false // a no-op retype is a user mistake
+      case (f, t) if intChain.contains(f) && intChain.contains(t) =>
+        intChain(t) > intChain(f)
+      case (FloatType, DoubleType) => true
+      case (f, DoubleType) if intChain.contains(f) && f != LongType =>
+        true // long->double loses precision past 2^53 — refused
+      case (f: DecimalType, t: DecimalType) =>
+        // integer digits and scale may only GROW: every old value is
+        // exactly representable in the new type
+        t.scale >= f.scale && (t.precision - t.scale) >= (f.precision - f.scale) &&
+          (t.precision > f.precision || t.scale > f.scale)
+      case _ => false
+    }
+  }
+
+  /** The PHYSICAL file-read schema the mapping implies: one field per
+    * mapped column, physical name, the LOG's (possibly widened) type.
+    * Passing this as an explicit read schema replaces `mergeSchema`
+    * on mapped tables — required after a retype (parquet schema merge
+    * refuses int/long mixes; the reader's widening promotion does
+    * not), and strictly better before one: missing columns clip to
+    * NULL and dropped physical columns are never even requested. */
+  def physicalSchema(cols: Seq[Col]): StructType =
+    StructType(cols.map(c =>
+      org.apache.spark.sql.types.StructField(c.physical, c.dataType)))
 
   /** Write one batch through the mapping: `df` carries LOGICAL names
     * (any subset order, all current columns required), files carry
@@ -137,7 +196,8 @@ object SchemaLog {
     Sinks.mergeUpsert(spark,
       updates.select(updates.columns.map(c =>
         col(c).as(toPhysical(c))).toSeq: _*),
-      root, manifest, keys.map(toPhysical), mergeId, cdf = cdf)
+      root, manifest, keys.map(toPhysical), mergeId, cdf = cdf,
+      physSchema = Some(physicalSchema(cols)))
   }
 
   /** Row-level DELETE through the mapping — [[mergeUpsertMapped]]'s
@@ -155,7 +215,8 @@ object SchemaLog {
     require(missingKeys.isEmpty, s"unknown merge keys $missingKeys")
     Sinks.mergeDelete(spark,
       deleteKeys.select(keys.map(k => col(k).as(toPhysical(k))): _*),
-      root, manifest, keys.map(toPhysical), mergeId, cdf = cdf)
+      root, manifest, keys.map(toPhysical), mergeId, cdf = cdf,
+      physSchema = Some(physicalSchema(cols)))
   }
 
   /** Manifest-resolved read through the mapping: committed dirs only,
@@ -165,11 +226,12 @@ object SchemaLog {
                           manifest: TxnManifest, log: SchemaLog): DataFrame = {
     val (_, cols) = log.current()
     require(cols.nonEmpty, "schema log not initialized")
-    val physical = Sinks.readCommitted(spark, root, manifest)
-    val present = physical.columns.toSet
-    physical.select(cols.map { c =>
-      (if (present.contains(c.physical)) col(c.physical)
-       else lit(null).cast(c.dataType)).as(c.logical)
-    }: _*)
+    // the EXPLICIT physical schema replaces mergeSchema inference:
+    // batches older than an ADD clip their missing column to NULL,
+    // batches older than a widen-only RETYPE promote in the parquet
+    // reader, and dropped physical columns are never decoded
+    Sinks.readCommitted(spark, root, manifest,
+        physSchema = Some(physicalSchema(cols)))
+      .select(cols.map(c => col(c.physical).as(c.logical)): _*)
   }
 }

@@ -17,6 +17,22 @@ import org.apache.spark.sql.types.DataType
   */
 object Sinks {
 
+  /** Physical read over manifest dirs. Without `physSchema`: parquet
+    * `mergeSchema` union (the additive-evolution path). With it (a
+    * columnMapping table's [[SchemaLog.physicalSchema]]): an EXPLICIT
+    * requested schema — required after a widen-only retype, where old
+    * files carry the narrower physical type (schema MERGE refuses an
+    * int/long mix; the reader's widening PROMOTION does not), and
+    * also what clips missing columns to NULL and skips dropped
+    * physical columns entirely. */
+  private[graft] def readDirs(spark: org.apache.spark.sql.SparkSession,
+                              dirs: Seq[String],
+                              physSchema: Option[org.apache.spark.sql.types.StructType])
+    : DataFrame = physSchema match {
+    case Some(s) => spark.read.schema(s).parquet(dirs: _*)
+    case None    => spark.read.option("mergeSchema", true).parquet(dirs: _*)
+  }
+
   /** S12 — apply the reference's dtype maps (`accounts.py:93-108`,
     * `locations.py:186-188`) as casts immediately before the sink. */
   def applySinkTypes(df: DataFrame, types: Map[String, DataType]): DataFrame =
@@ -99,14 +115,15 @@ object Sinks {
     * @param compactId batch id for the compacted output; must not
     *   collide with a live batch id. */
   def compact(spark: org.apache.spark.sql.SparkSession, root: String,
-              manifest: TxnManifest, compactId: Int, numFiles: Int): Unit =
+              manifest: TxnManifest, compactId: Int, numFiles: Int,
+              physSchema: Option[org.apache.spark.sql.types.StructType] = None)
+    : Unit =
     withJobDescription(spark, s"graft: compact $root -> batch=$compactId") {
     val (dirs, dvDirs) = splitDv(manifest.committedDirs(root))
     require(dirs.nonEmpty, s"nothing committed under $root to compact")
     // deletion vectors MATERIALIZE here: the rewrite reads through
     // them, and replaceAll un-names the _dv entries with the inputs
-    val all = applyDv(spark,
-      spark.read.option("mergeSchema", true).parquet(dirs: _*), dvDirs)
+    val all = applyDv(spark, readDirs(spark, dirs, physSchema), dvDirs)
     val target = s"$root/batch=$compactId"
     require(!dirs.contains(target), s"compactId $compactId is a live batch")
     all.coalesce(numFiles).write.mode(SaveMode.Overwrite).parquet(target)
@@ -192,7 +209,9 @@ object Sinks {
   def compactZOrderedN(spark: org.apache.spark.sql.SparkSession, root: String,
                        manifest: TxnManifest, compactId: Int,
                        cols: Seq[org.apache.spark.sql.Column],
-                       numFiles: Int): Unit =
+                       numFiles: Int,
+                       physSchema: Option[org.apache.spark.sql.types.StructType] = None)
+    : Unit =
     withJobDescription(spark, s"graft: zorder-compact $root -> batch=$compactId") {
     val (dirs, dvDirs) = splitDv(manifest.committedDirs(root))
     require(dirs.nonEmpty, s"nothing committed under $root to compact")
@@ -200,8 +219,7 @@ object Sinks {
     require(!dirs.contains(target), s"compactId $compactId is a live batch")
     // deletion vectors materialize (as in compact): read through, then
     // the replaceAll commit drops the _dv entries with the inputs
-    val all = applyDv(spark,
-      spark.read.option("mergeSchema", true).parquet(dirs: _*), dvDirs)
+    val all = applyDv(spark, readDirs(spark, dirs, physSchema), dvDirs)
     Layout.writeZOrderedN(all, target, cols, numFiles)
     BatchStats.writeSidecar(spark, target)
     BloomIndex.carryOver(spark, dirs, target)
@@ -248,7 +266,9 @@ object Sinks {
                                  root: String, manifest: TxnManifest,
                                  compactId: Int,
                                  cols: Seq[org.apache.spark.sql.Column],
-                                 numFiles: Int): Boolean =
+                                 numFiles: Int,
+                                 physSchema: Option[org.apache.spark.sql.types.StructType] = None)
+    : Boolean =
     withJobDescription(spark,
       s"graft: zorder-optimize (incremental) $root -> batch=$compactId") {
     val (dirs, dvDirs) = splitDv(manifest.committedDirs(root))
@@ -261,8 +281,7 @@ object Sinks {
       // DVs on FRESH dirs materialize into the new generation; DV
       // entries stay named for the untouched generations they still
       // cover (their fresh-file positions go inert with the rewrite)
-      val all = applyDv(spark,
-        spark.read.option("mergeSchema", true).parquet(fresh: _*), dvDirs)
+      val all = applyDv(spark, readDirs(spark, fresh, physSchema), dvDirs)
       Layout.writeZOrderedN(all, target, cols, numFiles)
       BatchStats.writeSidecar(spark, target)
       BloomIndex.carryOver(spark, fresh, target)
@@ -369,7 +388,9 @@ object Sinks {
   def mergeDeleteDV(spark: org.apache.spark.sql.SparkSession,
                     deleteKeys: DataFrame, root: String,
                     manifest: TxnManifest, keys: Seq[String],
-                    mergeId: Int, cdf: Boolean = false): Unit =
+                    mergeId: Int, cdf: Boolean = false,
+                    physSchema: Option[org.apache.spark.sql.types.StructType] = None)
+    : Unit =
     withJobDescription(spark, s"graft: dv-delete $root -> _dv/batch=$mergeId") {
     import org.apache.spark.sql.functions.lit
     val (dataDirs, dvDirs) = splitDv(manifest.committedDirs(root))
@@ -387,8 +408,7 @@ object Sinks {
       val matched =
         if (candidates.isEmpty) None
         else {
-          val scan = spark.read.option("mergeSchema", true)
-            .parquet(candidates: _*)
+          val scan = readDirs(spark, candidates, physSchema)
           val ranged = range.fold(scan) { r =>
             scan.where(keys.zipWithIndex.map { case (k, i) =>
               col(k) >= org.apache.spark.sql.functions.lit(r.get(2 * i)) &&
@@ -460,7 +480,9 @@ object Sinks {
   def mergeUpdateDV(spark: org.apache.spark.sql.SparkSession,
                     updates: DataFrame, root: String,
                     manifest: TxnManifest, keys: Seq[String],
-                    mergeId: Int, cdf: Boolean = false): Unit =
+                    mergeId: Int, cdf: Boolean = false,
+                    physSchema: Option[org.apache.spark.sql.types.StructType] = None)
+    : Unit =
     withJobDescription(spark, s"graft: dv-update $root -> batch=$mergeId") {
     import org.apache.spark.sql.functions.{count, lit}
     val (dataDirs, dvDirs) = splitDv(manifest.committedDirs(root))
@@ -486,8 +508,7 @@ object Sinks {
       val matched =
         if (candidates.isEmpty) None
         else {
-          val scan = spark.read.option("mergeSchema", true)
-            .parquet(candidates: _*)
+          val scan = readDirs(spark, candidates, physSchema)
           val ranged = range.fold(scan) { r =>
             scan.where(keys.zipWithIndex.map { case (k, i) =>
               col(k) >= org.apache.spark.sql.functions.lit(r.get(2 * i)) &&
@@ -550,9 +571,11 @@ object Sinks {
   def mergeUpsert(spark: org.apache.spark.sql.SparkSession, updates: DataFrame,
                   root: String, manifest: TxnManifest, keys: Seq[String],
                   mergeId: Int, cdf: Boolean = false,
-                  unionRoots: Boolean = false): Unit =
+                  unionRoots: Boolean = false,
+                  physSchema: Option[org.apache.spark.sql.types.StructType] = None)
+    : Unit =
     merge(spark, Some(updates), None, root, manifest, keys, mergeId, cdf,
-      unionRoots)
+      unionRoots, physSchema)
 
   /** Row-level DELETE — `MERGE ... WHEN MATCHED THEN DELETE` (the
     * opt-out/takedown purge a training corpus needs as a first-class
@@ -562,9 +585,11 @@ object Sinks {
   def mergeDelete(spark: org.apache.spark.sql.SparkSession,
                   deleteKeys: DataFrame, root: String, manifest: TxnManifest,
                   keys: Seq[String], mergeId: Int, cdf: Boolean = false,
-                  unionRoots: Boolean = false): Unit =
+                  unionRoots: Boolean = false,
+                  physSchema: Option[org.apache.spark.sql.types.StructType] = None)
+    : Unit =
     merge(spark, None, Some(deleteKeys), root, manifest, keys, mergeId, cdf,
-      unionRoots)
+      unionRoots, physSchema)
 
   /** The MERGE engine: upsert arm, delete arm, or both in one commit
     * (Delta `WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN NOT
@@ -619,7 +644,9 @@ object Sinks {
             updates: Option[DataFrame], deletes: Option[DataFrame],
             root: String, manifest: TxnManifest, keys: Seq[String],
             mergeId: Int, cdf: Boolean = false,
-            unionRoots: Boolean = false): Unit =
+            unionRoots: Boolean = false,
+            physSchema: Option[org.apache.spark.sql.types.StructType] = None)
+    : Unit =
     withJobDescription(spark, s"graft: merge $root -> batch=$mergeId") {
     import org.apache.spark.sql.functions.{count, lit}
     require(updates.nonEmpty || deletes.nonEmpty,
@@ -682,7 +709,7 @@ object Sinks {
     val affectedDirs =
       if (candidates.isEmpty) Seq.empty[String]
       else {
-        val scan = spark.read.option("mergeSchema", true).parquet(candidates: _*)
+        val scan = readDirs(spark, candidates, physSchema)
         val ranged = range.fold(scan) { r =>
           scan.where(keys.zipWithIndex.map { case (k, i) =>
             col(k) >= org.apache.spark.sql.functions.lit(r.get(2 * i)) &&
@@ -703,13 +730,10 @@ object Sinks {
     // def, not val — constructing the frame costs a footer pass over
     // EVERY dir for schema inference, only worth paying on the
     // nothing-matched path
-    def currentAll = applyDv(spark,
-      spark.read.option("mergeSchema", true).parquet(dirs: _*), dvDirs)
+    def currentAll = applyDv(spark, readDirs(spark, dirs, physSchema), dvDirs)
     val affected =
       if (affectedDirs.isEmpty) currentAll.limit(0)
-      else applyDv(spark,
-        spark.read.option("mergeSchema", true).parquet(affectedDirs: _*),
-        dvDirs)
+      else applyDv(spark, readDirs(spark, affectedDirs, physSchema), dvDirs)
     val kept = affected.join(allKeys, keys, "left_anti")
     val merged = ups.fold(kept)(u =>
       kept.unionByName(u, allowMissingColumns = true))
@@ -1035,12 +1059,14 @@ object Sinks {
     * mergeSchema-on-write (column REMOVAL/retype stays an error by
     * parquet's merge rules, which is the safe default). */
   def readCommitted(spark: org.apache.spark.sql.SparkSession, root: String,
-                    manifest: TxnManifest): DataFrame = {
+                    manifest: TxnManifest,
+                    physSchema: Option[org.apache.spark.sql.types.StructType] = None)
+    : DataFrame = {
     val (dirs, dv) = splitDv(manifest.committedDirs(root))
     if (dirs.isEmpty)
       throw new IllegalStateException(
         s"no committed batches under $root — nothing visible yet")
-    applyDv(spark, spark.read.option("mergeSchema", true).parquet(dirs: _*), dv)
+    applyDv(spark, readDirs(spark, dirs, physSchema), dv)
   }
 
   /** [[readCommitted]] across EVERY root the manifest names — how a

@@ -160,15 +160,40 @@ final class TxnManifest(val path: String) {
     * same CAS as any other commit, so a racing writer on the DEST
     * manifest is fenced. The dest must be fresh — cloning over a
     * live table would silently discard it. */
-  def cloneFrom(src: TxnManifest, srcRoot: String): Unit = {
+  /** @param atVersion snapshot the source at this MANIFEST version
+    *   (Delta's `CLONE ... VERSION AS OF`) instead of HEAD — the
+    *   clone then serves the table exactly as that version did,
+    *   subject to the same vacuum hazard (un-named historical dirs
+    *   must still exist).
+    * @param allRoots keep entries under EVERY root the source
+    *   manifest names, not just `srcRoot` — how a clone OF a clone
+    *   snapshots its parent's union view (source root + parent's
+    *   divergence); never set on a dual-write manifest. */
+  def cloneFrom(src: TxnManifest, srcRoot: String,
+                atVersion: Option[Long] = None,
+                allRoots: Boolean = false): Unit = {
     val (v, cur) = readState()
     require(v == 0 && cur.isEmpty,
       s"clone destination $path is not a fresh manifest " +
         s"(version $v, ${cur.size} entries)")
-    val entries = src.committed().view
-      .mapValues(_.filter(_.startsWith(srcRoot + "/")))
-      .filter(_._2.nonEmpty).toMap
-    require(entries.nonEmpty, s"nothing committed under $srcRoot to clone")
+    val all = atVersion match {
+      case Some(ver) => src.stateAt(ver)
+      case None      => src.committed()
+    }
+    val entries =
+      if (allRoots) all.filter(_._2.nonEmpty)
+      else all.view
+        .mapValues(_.filter(_.startsWith(srcRoot + "/")))
+        .filter(_._2.nonEmpty).toMap
+    // an EMPTY source (zero commits anywhere) clones fine: version 1
+    // with zero entries — reads serve the declared schema and zero
+    // rows, exactly like a freshly created table. Refusing that used
+    // to strand orphan catalog metadata written before this call. But
+    // a manifest that HAS commits, none under `srcRoot`, is a wrong
+    // root (typo / dual-write misuse) — stay loud.
+    require(entries.nonEmpty || all.isEmpty,
+      s"nothing committed under $srcRoot to clone (the source manifest " +
+        "has commits under other roots — wrong root?)")
     writeCas(v, entries)
   }
 

@@ -795,6 +795,81 @@ class SqlSurfaceSpec extends SparkSuite {
     GraftSql.execute(spark, "DROP TABLE IF EXISTS galt.m")
   }
 
+  test("type widening: ALTER COLUMN TYPE widens metadata-only, narrows refuse") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    val wh = java.nio.file.Files.createTempDirectory("graft_widen_wh_").toString
+    spark.conf.set("spark.sql.catalog.gwid", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwid.warehouse", wh)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gwid.t")
+    GraftSql.execute(spark,
+      """CREATE TABLE gwid.t (id BIGINT, v INT, f FLOAT, d DECIMAL(5,2))
+        |USING `graft-manifest`
+        |TBLPROPERTIES ('keys' = 'id', 'columnMapping' = 'true')""".stripMargin)
+    spark.range(0, 5).selectExpr("id", "CAST(id AS INT) AS v",
+        "CAST(id AS FLOAT) AS f", "CAST(id AS DECIMAL(5,2)) AS d")
+      .createOrReplaceTempView("gwid_src")
+    GraftSql.execute(spark, "INSERT INTO gwid.t SELECT * FROM gwid_src")
+
+    // widen all three: METADATA-ONLY — data files byte-untouched
+    val files = new java.io.File(s"$wh/t/batch=0").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> ((f.lastModified, f.length))).toMap
+    spark.sql("ALTER TABLE gwid.t ALTER COLUMN v TYPE BIGINT")
+    spark.sql("ALTER TABLE gwid.t ALTER COLUMN f TYPE DOUBLE")
+    spark.sql("ALTER TABLE gwid.t ALTER COLUMN d TYPE DECIMAL(10,4)")
+    val filesAfter = new java.io.File(s"$wh/t/batch=0").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> ((f.lastModified, f.length))).toMap
+    assert(files == filesAfter, "widen touched data files")
+
+    // the table serves the widened schema; OLD files promote on read
+    val sch = spark.table("gwid.t").schema.fields.map(f =>
+      f.name -> f.dataType.sql).toMap
+    assert(sch("v") == "BIGINT" && sch("f") == "DOUBLE" &&
+      sch("d") == "DECIMAL(10,4)", sch.toString)
+    // post-widen inserts need the wide range; reads span MIXED files
+    spark.sql("SELECT 100 AS id, CAST(40000000000 AS BIGINT) AS v, " +
+        "CAST(1.5 AS DOUBLE) AS f, CAST(123456.7890 AS DECIMAL(10,4)) AS d")
+      .createOrReplaceTempView("gwid_big")
+    GraftSql.execute(spark, "INSERT INTO gwid.t SELECT * FROM gwid_big")
+    val got = spark.sql("SELECT id, v FROM gwid.t ORDER BY id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(3L) == 3L && got(100L) == 40000000000L, got.toString)
+    // UPDATE's merge probe/rewrite also reads through the widened
+    // schema (mixed int/long files under one statement)
+    GraftSql.execute(spark, "UPDATE gwid.t SET v = v + 1 WHERE id = 3")
+    assert(spark.sql("SELECT v FROM gwid.t WHERE id = 3")
+      .head().getLong(0) == 4L)
+
+    // NARROWING and lossy changes refuse loudly. Down-casts die in
+    // Spark's own analyzer (NOT_SUPPORTED_CHANGE_COLUMN — it only
+    // forwards up-casts to the catalog); long->double is an up-cast
+    // to SPARK but lossy past 2^53, so OUR guard catches it.
+    for (bad <- Seq("ALTER COLUMN v TYPE INT",      // narrow
+                    "ALTER COLUMN f TYPE FLOAT",    // narrow
+                    "ALTER COLUMN d TYPE DECIMAL(5,1)", // scale shrink
+                    "ALTER COLUMN id TYPE DOUBLE")) { // long->double lossy
+      val e = intercept[Exception] { spark.sql(s"ALTER TABLE gwid.t $bad") }
+      assert(e.getMessage.contains("not a widening") ||
+        e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+        s"$bad: ${e.getMessage}")
+    }
+    // the lossy up-cast specifically reaches the SchemaLog guard
+    val eLossy = intercept[Exception] {
+      spark.sql("ALTER TABLE gwid.t ALTER COLUMN id TYPE DOUBLE") }
+    assert(eLossy.getMessage.contains("not a widening"), eLossy.getMessage)
+    // non-mapped tables still reject all column DDL
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gwid.plain")
+    GraftSql.execute(spark,
+      """CREATE TABLE gwid.plain (id BIGINT, v INT) USING `graft-manifest`
+        |TBLPROPERTIES ('keys' = 'id')""".stripMargin)
+    val ePlain = intercept[Exception] {
+      spark.sql("ALTER TABLE gwid.plain ALTER COLUMN v TYPE BIGINT") }
+    assert(ePlain.getMessage.contains("columnMapping"), ePlain.getMessage)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gwid.plain")
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gwid.t")
+  }
+
   test("table_changes TVF: SQL-text CDF, composable, loud rejections") {
     import graft.plans.{GraftSql, GraftSqlTables}
     import graft.sources.{Sinks, TxnManifest}
@@ -1276,11 +1351,11 @@ class SqlSurfaceSpec extends SparkSuite {
     GraftSql.execute(spark, "DELETE FROM gcl.cl WHERE id = 1")
     assert(!rows("gcl.cl").contains(1L) && rows("gcl.src").contains(1L))
     // root-scoped verbs refuse on clones, with guidance
+    // (clone-of-clone is ALLOWED since round 8 — covered in the
+    // snapshot-clone test below)
     val eTr = intercept[Exception](
       GraftSql.execute(spark, "TRUNCATE TABLE gcl.cl"))
     assert(eTr.getMessage.contains("shallow clone"))
-    intercept[Exception](
-      GraftSql.execute(spark, "CREATE TABLE gcl.cl2 SHALLOW CLONE gcl.cl"))
     val eZo = intercept[Exception](
       GraftSql.execute(spark, "OPTIMIZE gcl.cl ZORDER BY (id)"))
     assert(eZo.getMessage.contains("materializes"))
@@ -1304,6 +1379,154 @@ class SqlSurfaceSpec extends SparkSuite {
     GraftSql.execute(spark, "DROP TABLE gcl.cl")
     assert(rows("gcl.src").contains(1L))
     GraftSql.execute(spark, "DROP TABLE IF EXISTS gcl.src")
+  }
+
+  test("snapshot clones (VERSION/TIMESTAMP AS OF) and clone-of-clone") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    val wh = java.nio.file.Files.createTempDirectory("graft_scl_wh_").toString
+    spark.conf.set("spark.sql.catalog.gsc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsc.warehouse", wh)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gsc.src")
+    GraftSql.execute(spark,
+      """CREATE TABLE gsc.src (id BIGINT, v STRING)
+        |USING `graft-manifest` TBLPROPERTIES ('keys' = 'id')""".stripMargin)
+    GraftSql.execute(spark, "INSERT INTO gsc.src VALUES (1, 'a'), (2, 'b')")
+    GraftSql.execute(spark, "INSERT INTO gsc.src VALUES (3, 'c')")
+    GraftSql.execute(spark, "UPDATE gsc.src SET v = 'B' WHERE id = 2")
+    def rows(t: String): Map[Long, String] =
+      spark.sql(s"SELECT id, v FROM $t").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows("gsc.src") == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+
+    // VERSION AS OF 1 = after the first INSERT only
+    GraftSql.execute(spark,
+      "CREATE TABLE gsc.snap SHALLOW CLONE gsc.src VERSION AS OF 1")
+    assert(rows("gsc.snap") == Map(1L -> "a", 2L -> "b"))
+    // the snapshot clone diverges independently; head src untouched
+    GraftSql.execute(spark, "INSERT INTO gsc.snap VALUES (8, 'h')")
+    GraftSql.execute(spark, "UPDATE gsc.snap SET v = 'A' WHERE id = 1")
+    assert(rows("gsc.snap") == Map(1L -> "A", 2L -> "b", 8L -> "h"))
+    assert(rows("gsc.src") == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+
+    // TIMESTAMP AS OF resolves on the commit clock (epoch-ms form,
+    // read back from DESCRIBE HISTORY)
+    val tsV2 = GraftSql.execute(spark, "DESCRIBE HISTORY gsc.src")
+      .collect().find(_.getLong(0) == 2L).get.getLong(1)
+    GraftSql.execute(spark,
+      s"CREATE TABLE gsc.tsnap SHALLOW CLONE gsc.src TIMESTAMP AS OF '$tsV2'")
+    assert(rows("gsc.tsnap") == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+
+    // clone-of-clone: the child snapshots the parent's UNION view
+    GraftSql.execute(spark, "CREATE TABLE gsc.cl SHALLOW CLONE gsc.src")
+    GraftSql.execute(spark, "INSERT INTO gsc.cl VALUES (4, 'd')")
+    GraftSql.execute(spark, "CREATE TABLE gsc.cl2 SHALLOW CLONE gsc.cl")
+    assert(rows("gsc.cl2") ==
+      Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d"))
+    // grandchild diverges; parent and grandparent untouched
+    GraftSql.execute(spark, "UPDATE gsc.cl2 SET v = 'X' WHERE id = 4")
+    GraftSql.execute(spark, "DELETE FROM gsc.cl2 WHERE id = 1")
+    assert(rows("gsc.cl2") == Map(2L -> "B", 3L -> "c", 4L -> "X"))
+    assert(rows("gsc.cl") ==
+      Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d"))
+    assert(rows("gsc.src") == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    // ... and materializes like any clone
+    GraftSql.execute(spark, "OPTIMIZE gsc.cl2")
+    val ownDirs = new graft.sources.TxnManifest(s"$wh/cl2/_commits")
+      .committedDirsAll()
+    assert(ownDirs.forall(_.startsWith(s"$wh/cl2/")), ownDirs.toString)
+
+    // refusals hold: SNAPSHOT clone of a clone; time travel ON a clone
+    val eSnapCl = intercept[Exception](GraftSql.execute(spark,
+      "CREATE TABLE gsc.bad SHALLOW CLONE gsc.cl VERSION AS OF 1"))
+    assert(eSnapCl.getMessage.contains("materialize"), eSnapCl.getMessage)
+    val eTravel = intercept[Exception](
+      spark.sql("SELECT * FROM gsc.cl VERSION AS OF 1").collect())
+    assert(eTravel.getMessage.contains("materialize"), eTravel.getMessage)
+    // the native (non-statement) overwrite path refuses on the union
+    // view too — the V1 WriteBuilder truncate guard
+    val eOw = intercept[Exception] {
+      Seq((9L, "z")).toDF("id", "v").writeTo("gsc.cl")
+        .overwrite(org.apache.spark.sql.functions.lit(true))
+    }
+    assert(eOw.getMessage.contains("clone"), eOw.getMessage)
+    Seq("snap", "tsnap", "cl2", "cl", "src").foreach(t =>
+      GraftSql.execute(spark, s"DROP TABLE IF EXISTS gsc.$t"))
+  }
+
+  test("IDENTITY columns: batch-fenced allocation + rejection matrix") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    val wh = java.nio.file.Files.createTempDirectory("graft_idn_wh_").toString
+    spark.conf.set("spark.sql.catalog.gid", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gid.warehouse", wh)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gid.t")
+    GraftSql.execute(spark,
+      """CREATE TABLE gid.t (
+        |  id BIGINT GENERATED ALWAYS AS IDENTITY, k BIGINT, v BIGINT
+        |) USING `graft-manifest` TBLPROPERTIES ('keys' = 'k')""".stripMargin)
+    spark.range(0, 5).selectExpr("id AS k", "id AS v")
+      .createOrReplaceTempView("gid_src")
+    GraftSql.execute(spark,
+      "INSERT INTO gid.t (k, v) SELECT k, v FROM gid_src")
+    GraftSql.execute(spark,
+      "INSERT INTO gid.t (k, v) SELECT k + 100, v FROM gid_src")
+    val rows = spark.sql("SELECT id, k FROM gid.t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // unique, default START 1 INCREMENT 1 (first batch ids = 1..),
+    // second batch strictly above the first (batch-id high bits)
+    assert(rows.length == 10 && rows.map(_._1).distinct.length == 10)
+    val (b1, b2) = rows.partition(_._2 < 100)
+    assert(b1.map(_._1).min == 1L, rows.toSeq.toString)
+    assert(b1.map(_._1).max < b2.map(_._1).min, "batches not monotone")
+
+    // ALWAYS: explicit values refuse — listed, positional, and native
+    val eList = intercept[Exception](GraftSql.execute(spark,
+      "INSERT INTO gid.t (id, k, v) SELECT k, k, v FROM gid_src"))
+    assert(eList.getMessage.contains("GENERATED ALWAYS"), eList.getMessage)
+    val ePos = intercept[Exception](GraftSql.execute(spark,
+      "INSERT INTO gid.t SELECT k, k, v FROM gid_src"))
+    assert(ePos.getMessage.contains("GENERATED ALWAYS"), ePos.getMessage)
+    val eNat = intercept[Exception] {
+      spark.range(0, 2).selectExpr("id", "id AS k", "id AS v")
+        .writeTo("gid.t").append()
+    }
+    assert(eNat.getMessage.contains("IDENTITY"), eNat.getMessage)
+    // UPDATE of the identity column refuses; other columns work
+    val eUpd = intercept[Exception](GraftSql.execute(spark,
+      "UPDATE gid.t SET id = 0 WHERE k = 1"))
+    assert(eUpd.getMessage.contains("IDENTITY"), eUpd.getMessage)
+    GraftSql.execute(spark, "UPDATE gid.t SET v = 999 WHERE k = 1")
+    assert(spark.sql("SELECT count(*) FROM gid.t WHERE v = 999")
+      .head().getLong(0) == 1L)
+    // MERGE refuses wholesale
+    val eMrg = intercept[Exception](GraftSql.execute(spark,
+      """MERGE INTO gid.t AS t USING gid_src AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin))
+    assert(eMrg.getMessage.contains("IDENTITY"), eMrg.getMessage)
+
+    // BY DEFAULT: explicit values pass through; omitted allocate
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gid.d")
+    GraftSql.execute(spark,
+      """CREATE TABLE gid.d (
+        |  id BIGINT GENERATED BY DEFAULT AS IDENTITY
+        |    (START WITH 10 INCREMENT BY 2),
+        |  k BIGINT
+        |) USING `graft-manifest` TBLPROPERTIES ('keys' = 'k')""".stripMargin)
+    GraftSql.execute(spark,
+      "INSERT INTO gid.d (id, k) VALUES (7777, 1), (8888, 2)")
+    GraftSql.execute(spark, "INSERT INTO gid.d (k) VALUES (3), (4)")
+    val dIds = spark.sql("SELECT id FROM gid.d").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(dIds.contains(7777L) && dIds.contains(8888L) &&
+      dIds.count(i => (i - 10) % 2 == 0 && i != 8888L) >= 2, dIds.toString)
+
+    // non-BIGINT identity refuses at CREATE
+    val eTyp = intercept[Exception](GraftSql.execute(spark,
+      """CREATE TABLE gid.bad (
+        |  id INT GENERATED ALWAYS AS IDENTITY, k BIGINT
+        |) USING `graft-manifest` TBLPROPERTIES ('keys' = 'k')""".stripMargin))
+    assert(eTyp.getMessage.contains("BIGINT"), eTyp.getMessage)
+    Seq("t", "d").foreach(t =>
+      GraftSql.execute(spark, s"DROP TABLE IF EXISTS gid.$t"))
   }
 
   test("SHOW CREATE TABLE round-trips a catalog table's DDL") {
