@@ -67,6 +67,17 @@ object Multimodal {
              (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
       // GIF87a/89a Logical Screen Descriptor: width/height LE16 at 6/8
       ("gif", le16(6), le16(8))
+    else if (p.length >= 30 && ascii(0, "RIFF") && ascii(8, "WEBP") &&
+             ascii(12, "VP8X"))
+      // WebP extended (VP8X) header: canvas width-1 / height-1 LE24
+      // at chunk-payload offsets 4/7 (absolute 24/27) — the layout
+      // every animated/alpha WebP carries (spec §Extended File Format)
+      ("webp", 1 + (le16(24) | (u8(26) << 16)),
+        1 + (le16(27) | (u8(29) << 16)))
+    else if (p.length >= 14 && ascii(0, "ID3"))
+      // MP3 = ID3v2 tag then the first MPEG audio frame header;
+      // (sample_rate, channels) per the WAV convention
+      decodeMp3(p)
     else if (p.length >= 42 && ascii(0, "fLaC") && (u8(4) & 0x7f) == 0)
       // FLAC STREAMINFO (spec requires it first): within the 34-byte
       // block at offset 8, sample rate is 20 bits at block offset 10
@@ -106,6 +117,31 @@ object Multimodal {
       }
     }
     ("jpeg", 0, 0)
+  }
+
+  /** MP3: skip the ID3v2 tag (syncsafe 28-bit size at bytes 6-9, ISO
+    * layout every tagged MP3 carries), then parse the first MPEG
+    * audio frame header — 11-bit sync, MPEG1/Layer III accepted,
+    * sample rate from the version's index table, channels from the
+    * mode bits (mono = 3). Unparseable → ("mp3", 0, 0): malformed
+    * media is data, not an exception. */
+  private def decodeMp3(p: Array[Byte]): (String, Int, Int) = {
+    def u8(i: Int) = p(i) & 0xff
+    val tagSize = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+    val f = 10 + tagSize
+    if (f + 4 > p.length || u8(f) != 0xff || (u8(f + 1) & 0xe0) != 0xe0)
+      return ("mp3", 0, 0)
+    val versionBits = (u8(f + 1) >> 3) & 0x3 // 3 = MPEG1, 2 = MPEG2
+    val srIdx = (u8(f + 2) >> 2) & 0x3
+    if (srIdx == 3) return ("mp3", 0, 0) // reserved
+    val rates = versionBits match {
+      case 3 => Array(44100, 48000, 32000)
+      case 2 => Array(22050, 24000, 16000)
+      case 0 => Array(11025, 12000, 8000)
+      case _ => return ("mp3", 0, 0)
+    }
+    val channels = if (((u8(f + 3) >> 6) & 0x3) == 3) 1 else 2
+    ("mp3", rates(srIdx), channels)
   }
 
   /** Decode/feature-extract over partitions (pandas-UDF-equivalent
@@ -438,6 +474,71 @@ object Multimodal {
       MediaRow(r.id, payload)
     })(org.apache.spark.sql.Encoders.product[MediaRow])
   }
+
+  /** WebP extended format: RIFF/WEBP + VP8X chunk (10-byte payload,
+    * canvas dims LE24 minus-one) — 30 header bytes, the layout of
+    * every animated/alpha WebP. */
+  private def webpBytes(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= (1 << 24) && h <= (1 << 24))
+    val bb = java.nio.ByteBuffer.allocate(30 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+    bb.putInt(4 + 8 + 10 + body.length) // riff size: WEBP + VP8X chunk
+    bb.put("WEBP".getBytes("US-ASCII"))
+    bb.put("VP8X".getBytes("US-ASCII"))
+    bb.putInt(10) // VP8X payload size
+    bb.put(0.toByte)                                  // flags
+    bb.put(0.toByte).put(0.toByte).put(0.toByte)      // reserved
+    def le24(v: Int): Unit = {
+      bb.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte)
+        .put(((v >> 16) & 0xff).toByte); ()
+    }
+    le24(w - 1); le24(h - 1)
+    bb.put(body)
+    bb.array()
+  }
+
+  /** MP3: 10-byte empty ID3v2.3 tag + one MPEG1 Layer III frame
+    * header (128 kbps, no padding) — 14 header bytes. `srIdx`
+    * selects 44100/48000/32000; `mono` sets the channel mode. */
+  private def mp3Bytes(srIdx: Int, mono: Boolean,
+                       body: Array[Byte]): Array[Byte] = {
+    require(srIdx >= 0 && srIdx <= 2)
+    val bb = java.nio.ByteBuffer.allocate(14 + body.length)
+    bb.put("ID3".getBytes("US-ASCII"))
+    bb.put(3.toByte).put(0.toByte) // v2.3.0
+    bb.put(0.toByte)               // flags
+    bb.putInt(0)                   // syncsafe size: empty tag
+    bb.put(0xff.toByte).put(0xfb.toByte) // sync + MPEG1 Layer III
+    bb.put((0x90 | (srIdx << 2)).toByte) // 128kbps + sample-rate index
+    bb.put((if (mono) 0xc0 else 0x00).toByte)
+    bb.put(body)
+    bb.array()
+  }
+
+  /** `documents` → WebP (even ids) / MP3 (odd ids) containers — the
+    * web image + lossy-audio pair completing the mm family;
+    * dims/rates by oracle-predictable arithmetic, body = text. */
+  def webpMp3FromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    fromDocuments(spark, docs).mapPartitions(_.map { r =>
+      val payload =
+        if (r.id % 2 == 0)
+          webpBytes((64 + r.id * 7 % 1920).toInt,
+            (64 + r.id * 13 % 1080).toInt, r.payload)
+        else
+          mp3Bytes((r.id % 3).toInt, mono = r.id % 2 == 1 && r.id % 4 == 1,
+            r.payload)
+      MediaRow(r.id, payload)
+    })(org.apache.spark.sql.Encoders.product[MediaRow])
+  }
+
+  private[graft] def webpRoundTrip(w: Int, h: Int,
+                                   body: Array[Byte]): (String, Int, Int) =
+    decodeHeader(webpBytes(w, h, body))
+
+  private[graft] def mp3RoundTrip(srIdx: Int, mono: Boolean,
+                                  body: Array[Byte]): (String, Int, Int) =
+    decodeHeader(mp3Bytes(srIdx, mono, body))
 
   private[graft] def gifRoundTrip(w: Int, h: Int,
                                   body: Array[Byte]): (String, Int, Int) =

@@ -224,6 +224,21 @@ object SimQueries {
           col("height"), col("n_bytes"))
     }),
 
+    // WebP (VP8X extended header, LE24 canvas dims) + MP3 (ID3v2 tag
+    // skip + MPEG frame-header sample-rate/channel bits) — the two
+    // most common remaining web-corpus container types (round-8
+    // task). Same contract as mm1-mm4: REAL binary layouts
+    // synthesized from documents, values recovered by PARSING, the
+    // oracle predicts them arithmetically, so a hash match certifies
+    // the encode→decode round trips.
+    "mm5_webp_mp3_meta" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      Multimodal.extractMeta(Multimodal.webpMp3FromDocuments(s, docs)).toDF()
+        .select(col("id").as("doc_id"), col("format"), col("width"),
+          col("height"), col("n_bytes"))
+    }),
+
     "mm3_jpeg_mp4_meta" -> ((s, d) => {
       import graft.multimodal.Multimodal
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -639,6 +654,23 @@ object SimQueries {
     // JPEG header = 39 bytes (SOI 2 + APP0 18 + SOF0 19); MP4 header
     // = 240 (ftyp 16 + moov 216 + mdat header 8); mp4 duration_ms =
     // (10 + doc_id % 240) * 100 with timescale 1000.
+    // WebP header = 30 bytes (RIFF 12 + VP8X chunk 8 + payload 10);
+    // MP3 header = 14 (empty ID3v2 10 + frame header 4); sample rate
+    // by the MPEG1 index table, mono exactly when doc_id % 4 = 1.
+    "mm5_webp_mp3_meta" ->
+      """SELECT doc_id, 'webp' AS format,
+        |  CAST(64 + doc_id * 7 % 1920 AS INTEGER) AS width,
+        |  CAST(64 + doc_id * 13 % 1080 AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text)) + 30 AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, 'mp3' AS format,
+        |  CAST([44100, 48000, 32000][CAST(doc_id % 3 + 1 AS INTEGER)]
+        |    AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END AS INTEGER)
+        |    AS height,
+        |  CAST(octet_length(encode(text)) + 14 AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
     "mm3_jpeg_mp4_meta" ->
       """SELECT doc_id, 'jpeg' AS format,
         |  CAST(64 + doc_id * 7 % 1920 AS INTEGER) AS width,

@@ -50,8 +50,44 @@ import org.apache.spark.sql.types.StructType
   */
 final class GraftManifestStreamingWrite(root: String, manifestPath: String,
                                         schema: StructType, queryId: String,
-                                        bloomCols: Seq[String] = Nil)
+                                        bloomCols: Seq[String] = Nil,
+                                        schemaLogPath: Option[String] = None)
   extends StreamingWrite {
+
+  // columnMapping tables: resolve the logical->physical BINDING once
+  // per QUERY — the binding keys on PHYSICAL ids, so a metadata-only
+  // RENAME during the stream's lifetime never touches the writer
+  // (files carry physical names; readers pick up the new logical name
+  // immediately). Spark re-constructs the streaming write every
+  // micro-batch, so the first resolution persists to a query-scoped
+  // sidecar (`<manifest>.sink/<queryId>.binding`) and later
+  // constructions read it back — a rename between epochs therefore
+  // cannot re-bind a RUNNING query. A RESTART whose plan schema no
+  // longer matches the stored binding's logical names re-binds
+  // against the current log (the user evolved the query with the
+  // table). The stream's schema must cover exactly the mapping's
+  // logical columns, the appendBatchMapped contract.
+  private val binding: Option[Seq[SchemaLog.Col]] = schemaLogPath.map { lp =>
+    val bindPath = SinkEpochLog.dir(manifestPath) + s"/$queryId.binding"
+    val stored = SchemaLog.parseCols(
+      graft.util.AtomicText.readLines(bindPath))
+    if (stored.nonEmpty &&
+        stored.map(_.logical).toSet == schema.fieldNames.toSet) stored
+    else {
+      val (_, cols) = new SchemaLog(lp).current()
+      require(cols.nonEmpty, s"schema log $lp not initialized")
+      val missing = cols.map(_.logical).toSet -- schema.fieldNames.toSet
+      require(missing.isEmpty,
+        s"graft-manifest streaming sink is missing mapped logical " +
+          s"columns $missing")
+      val extra = schema.fieldNames.toSet -- cols.map(_.logical).toSet
+      require(extra.isEmpty,
+        s"graft-manifest streaming sink carries unmapped columns $extra")
+      graft.util.AtomicText.writeAtomically(bindPath,
+        SchemaLog.renderCols(cols))
+      cols
+    }
+  }
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -76,7 +112,8 @@ final class GraftManifestStreamingWrite(root: String, manifestPath: String,
     hconf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
       sql.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
     GraftManifestWriterFactory(root, manifestPath, queryId, schema.json,
-      new org.apache.spark.util.SerializableConfiguration(hconf))
+      new org.apache.spark.util.SerializableConfiguration(hconf),
+      schemaLogPath, binding.map(SchemaLog.renderCols))
   }
 
   override def commit(epochId: Long,
@@ -97,6 +134,14 @@ final class GraftManifestStreamingWrite(root: String, manifestPath: String,
     }.toSet
     val dir = new HPath(s"$root/batch=$epochId")
     val fc = fileContextFor(dir)
+    // an epoch that planned ZERO partitions wrote no files and never
+    // created its dir — the manifest commit below names it regardless
+    // (epoch id = batch id is the exactly-once invariant), so make
+    // the dir exist: parquet listing over an EMPTY dir is benign,
+    // over a MISSING dir it fails the whole table's read
+    if (!fc.util().exists(dir))
+      fc.mkdir(dir, org.apache.hadoop.fs.permission.FsPermission
+        .getDirDefault, true)
     if (fc.util().exists(dir)) {
       fc.util().listStatus(dir)
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
@@ -186,6 +231,11 @@ private[graft] object SinkEpochLog {
   def ownerOf(manifestPath: String, epochId: Int): Option[String] =
     graft.util.AtomicText.readLines(path(manifestPath, epochId)).headOption
 
+  /** The claim's payload lines (everything after the owner id) — the
+    * epoch-pinned column-mapping snapshot for mapped-table sinks. */
+  def payloadOf(manifestPath: String, epochId: Int): Seq[String] =
+    graft.util.AtomicText.readLines(path(manifestPath, epochId)).drop(1)
+
   /** Release a claim this query holds on a NEVER-COMMITTED epoch (the
     * abort path) so the id stays usable by a future query. No-op when
     * the claim is absent or held by someone else. */
@@ -200,7 +250,7 @@ private[graft] object SinkEpochLog {
     }
 
   def claim(manifestPath: String, epochId: Int, queryId: String,
-            manifest: TxnManifest): Unit = {
+            manifest: TxnManifest, payload: String = ""): Unit = {
     val key = (manifestPath, epochId, queryId)
     if (passed.contains(key)) return
     ownerOf(manifestPath, epochId) match {
@@ -213,7 +263,8 @@ private[graft] object SinkEpochLog {
               "(from a non-sink producer) — committing would un-name its " +
               "dirs; choose a manifest this sink owns exclusively")
         if (!graft.util.AtomicText.createExclusive(
-            path(manifestPath, epochId), queryId + "\n")) {
+            path(manifestPath, epochId),
+            queryId + "\n" + (if (payload.isEmpty) "" else payload + "\n"))) {
           // lost the create race: the winner writes its id right after
           // the exclusive create, so briefly poll through the
           // created-but-not-yet-written window (concurrent tasks of
@@ -247,7 +298,9 @@ private[graft] object SinkEpochLog {
 
 private final case class GraftManifestWriterFactory(
     root: String, manifestPath: String, queryId: String, schemaJson: String,
-    serConf: org.apache.spark.util.SerializableConfiguration)
+    serConf: org.apache.spark.util.SerializableConfiguration,
+    schemaLogPath: Option[String] = None,
+    bindingLines: Option[String] = None)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -257,11 +310,40 @@ private final case class GraftManifestWriterFactory(
     // driver's manifest commit, so a wrong-writer epoch is refused here,
     // race-free via the exclusive create. Metadata-scale (memoized per
     // executor per epoch).
+    //
+    // columnMapping tables additionally pin ONE SchemaLog snapshot per
+    // epoch in the claim payload (atomic with the exclusive create):
+    // every task of the epoch validates the query-start binding against
+    // THAT snapshot, so a concurrent ALTER lands between epochs, never
+    // inside one. The binding itself keys on PHYSICAL ids — a RENAME
+    // passes validation untouched; a DROP (or drop+re-ADD, which mints
+    // a fresh physical id) of a bound column refuses loudly: writing
+    // to a dead physical id would be silently invisible data.
     require(epochId <= Int.MaxValue, s"epoch $epochId exceeds manifest id range")
+    val payload = schemaLogPath.fold("") { lp =>
+      SchemaLog.renderCols(new SchemaLog(lp).current()._2)
+    }
     SinkEpochLog.claim(manifestPath, epochId.toInt, queryId,
-      new TxnManifest(manifestPath))
-    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      new TxnManifest(manifestPath), payload = payload)
+    val logical = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[StructType]
+    val schema = bindingLines match {
+      case None => logical
+      case Some(lines) =>
+        val bound = SchemaLog.parseCols(lines.split('\n').toSeq)
+        val pinned = SchemaLog.parseCols(
+          SinkEpochLog.payloadOf(manifestPath, epochId.toInt))
+        val live = pinned.map(_.physical).toSet
+        val dead = bound.map(_.physical).filterNot(live.contains)
+        require(dead.isEmpty,
+          s"epoch $epochId: bound physical columns $dead no longer " +
+            "exist in the column mapping (a mid-stream DROP COLUMN, or " +
+            "drop + re-ADD) — restart the query against the current " +
+            "schema; rows written to a dead physical id would be " +
+            "invisible")
+        val toPhys = bound.map(c => c.logical -> c.physical).toMap
+        StructType(logical.fields.map(f => f.copy(name = toPhys(f.name))))
+    }
     val conf = new Configuration(serConf.value)
     ParquetWriteSupport.setSchema(schema, conf)
     // attempt-UNIQUE temp, renamed to the deterministic target only in

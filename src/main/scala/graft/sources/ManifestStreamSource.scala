@@ -348,12 +348,6 @@ final class GraftManifestTable(tableSchema: StructType,
                   "would silently REPLACE the clone's inherited entry N " +
                   "(the read side refuses union tables for the same " +
                   "reason); materialize the clone (OPTIMIZE) first")
-            if (mappedLog.isDefined)
-              throw new UnsupportedOperationException(
-                "graft-manifest streaming sink does not write through a " +
-                  "schemaLog mapping — a rename mid-stream would fork " +
-                  "columns; use SchemaLog.appendBatchMapped per batch " +
-                  "(or drop the schemaLog option)")
             tableSchema.fields.foreach { f =>
               org.apache.spark.sql.catalyst.util.IdentityColumn
                 .getIdentityInfo(f).foreach(_ =>
@@ -363,8 +357,14 @@ final class GraftManifestTable(tableSchema: StructType,
                       "plain table and INSERT ... SELECT into the " +
                       "identity table per epoch"))
             }
+            // columnMapping tables stream through an EPOCH-PINNED
+            // mapping snapshot (recorded in the epoch's ownership
+            // claim): a concurrent rename lands between epochs, never
+            // inside one, and replays rewrite under the original
+            // physical names — see GraftManifestWriterFactory
             new GraftManifestStreamingWrite(root, manifestPath, info.schema(),
-              info.queryId(), bloomCols)
+              info.queryId(), bloomCols,
+              schemaLogPath = Option(options.get("schemaLog")))
           }
         }
     }

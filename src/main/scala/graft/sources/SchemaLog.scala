@@ -150,6 +150,20 @@ object SchemaLog {
     }
   }
 
+  /** Serialize mapping columns as the log's own line format (no
+    * next-id header) — the epoch-claim payload the streaming sink
+    * pins a snapshot into. */
+  def renderCols(cols: Seq[Col]): String =
+    cols.map(c => s"${c.logical}\t${c.physical}\t${c.dataType.sql}")
+      .mkString("\n")
+
+  /** Parse [[renderCols]] lines back into mapping columns. */
+  def parseCols(lines: Seq[String]): Seq[Col] =
+    lines.filter(_.nonEmpty).map { l =>
+      val Array(lg, ph, ddl) = l.split('\t')
+      Col(lg, ph, DataType.fromDDL(ddl))
+    }
+
   /** The PHYSICAL file-read schema the mapping implies: one field per
     * mapped column, physical name, the LOG's (possibly widened) type.
     * Passing this as an explicit read schema replaces `mergeSchema`

@@ -205,6 +205,16 @@ class PropertySpec extends SparkSuite {
       val (sr, ch) = (1 + (usf % 655350), 1 + (tf % 8))
       val flac = Multimodal.flacRoundTrip(sr, ch, body)
       assert(flac == (("flac", sr, ch)), s"sr=$sr ch=$ch got $flac")
+      // WebP: VP8X LE24 canvas dims (minus-one encoding) recovered
+      val (ww, wh) = (1 + (w % 16000), 1 + (h % 16000))
+      val webp = Multimodal.webpRoundTrip(ww, wh, body)
+      assert(webp == (("webp", ww, wh)), s"w=$ww h=$wh got $webp")
+      // MP3: ID3v2 skip + MPEG1 frame sample-rate index and mode bits
+      val srIdx = (tf % 3).toInt
+      val mono = tf % 2 == 0
+      val mp3 = Multimodal.mp3RoundTrip(srIdx, mono, body)
+      assert(mp3 == (("mp3", Seq(44100, 48000, 32000)(srIdx),
+        if (mono) 1 else 2)), s"srIdx=$srIdx mono=$mono got $mp3")
     }
   }
 

@@ -661,6 +661,73 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming WRITE into a columnMapping table: rename lands between epochs") {
+    import graft.sources.{SchemaLog, Sinks, TxnManifest}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_mapsink_").toString
+    val root = s"$base/t"
+    val manPath = s"$base/_commits"
+    val logPath = s"$base/_schema"
+    val log = new SchemaLog(logPath)
+    log.init(StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType))))
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("id", "v")
+      .writeStream.format("graft-manifest")
+      .option("manifest", manPath).option("schemaLog", logPath)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start(root)
+    try {
+      ms.addData((1L, "a"))
+      q.processAllAvailable()
+      // files carry PHYSICAL names
+      val fileCols = spark.read.parquet(s"$root/batch=0").columns.toSet
+      assert(fileCols == Set("p0", "p1"), fileCols.toString)
+      // RENAME between epochs: the binding keys on physical ids, so
+      // the stream keeps writing; readers serve the NEW logical name
+      // for old and new epochs alike
+      log.rename("v", "w")
+      ms.addData((2L, "b"))
+      q.processAllAvailable()
+      val got = SchemaLog.readCommittedMapped(spark, root,
+        new TxnManifest(manPath), log)
+      assert(got.columns.toSeq == Seq("id", "w"))
+      assert(got.orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "b")))
+    } finally q.stop()
+
+    // DROP of a bound column mid-stream refuses at the next epoch
+    // (writing to a dead physical id would be invisible data) —
+    // fresh table: the epoch-ownership guard correctly refuses a new
+    // checkpoint against the first manifest
+    val root2 = s"$base/t2"
+    val man2 = s"$base/_commits2"
+    val log2Path = s"$base/_schema2"
+    val log2 = new SchemaLog(log2Path)
+    log2.init(StructType(Seq(StructField("id", LongType),
+      StructField("w", StringType))))
+    val ms2 = MemoryStream[(Long, String)]
+    val q2 = ms2.toDF().toDF("id", "w")
+      .writeStream.format("graft-manifest")
+      .option("manifest", man2).option("schemaLog", log2Path)
+      .option("checkpointLocation", s"$base/ckpt2")
+      .start(root2)
+    try {
+      ms2.addData((3L, "c"))
+      q2.processAllAvailable()
+      log2.drop("w")
+      log2.add("w", StringType) // fresh physical id p2 — p1 is dead
+      ms2.addData((4L, "d"))
+      val e = intercept[Exception](q2.processAllAvailable())
+      assert(e.getMessage.contains("no longer exist") ||
+        Option(e.getCause).exists(_.getMessage.contains("no longer exist")),
+        e.getMessage)
+    } finally q2.stop()
+  }
+
   test("graft-manifest stream over a MERGE is an upsert feed for keyed sinks") {
     import graft.sources.{Sinks, TxnManifest}
     val base = java.nio.file.Files.createTempDirectory("graft_upfeed_").toString
