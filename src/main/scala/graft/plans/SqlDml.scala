@@ -1098,8 +1098,9 @@ object GraftMaintenance {
   private val Opt =
     """(?is)\s*OPTIMIZE\s+([\w.]+)\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val Vac =
-    """(?is)\s*VACUUM\s+([\w.]+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([\w.]+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*(DRY\s+RUN)?\s*;?\s*""".r
   private val Hist = """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
+  private val Detail = """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
   private val RestV =
     """(?is)\s*RESTORE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestT =
@@ -1119,10 +1120,12 @@ object GraftMaintenance {
       case Opt(name, zcols) => entryOf(name).map(e =>
         GraftOptimizeCommand(name, e,
           Option(zcols).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)))
-      case Vac(name, hours) => entryOf(name).map(e =>
+      case Vac(name, hours, dry) => entryOf(name).map(e =>
         GraftVacuumCommand(name, e,
-          Option(hours).map(_.toLong * 3600 * 1000)))
+          Option(hours).map(_.toLong * 3600 * 1000),
+          dryRun = dry != null))
       case Hist(name) => entryOf(name).map(e => GraftHistoryCommand(name, e))
+      case Detail(name) => entryOf(name).map(e => GraftDetailCommand(name, e))
       case RestV(name, v) => entryOf(name).map(e =>
         GraftRestoreCommand(name, e, Left(v.toLong)))
       case RestT(name, ts) => entryOf(name).map(e =>
@@ -1327,7 +1330,8 @@ final case class GraftOptimizeCommand(table: String,
 
 final case class GraftVacuumCommand(table: String,
                                     entry: GraftSqlTables.Entry,
-                                    retainMillis: Option[Long])
+                                    retainMillis: Option[Long],
+                                    dryRun: Boolean = false)
   extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
   override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
@@ -1335,8 +1339,42 @@ final case class GraftVacuumCommand(table: String,
       nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val man = new TxnManifest(entry.manifestPath)
+    // DRY RUN (Delta's): report what a real vacuum would reclaim,
+    // delete nothing — the operator's pre-flight on a shared table
     Sinks.vacuum(entry.root, man,
-      retainMillis.getOrElse(7L * 24 * 3600 * 1000)).map(Row(_))
+      retainMillis.getOrElse(7L * 24 * 3600 * 1000),
+      dryRun = dryRun).map(Row(_))
+  }
+}
+
+/** `DESCRIBE DETAIL <t>` — Delta's table-inspection verb at BATCH
+  * granularity ([[Sinks.describeDetail]]): one row per committed dir
+  * with file/byte counts (driver-side listing, no Spark job) and
+  * which data-skipping surfaces cover it (value/null stats, bloom
+  * columns, DV flag) — "is the thing I filter on actually indexed,
+  * and which batches aren't?" */
+final case class GraftDetailCommand(table: String,
+                                    entry: GraftSqlTables.Entry)
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("batch_id", LongType, nullable = false)(),
+      AttributeReference("dir", StringType, nullable = false)(),
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("num_files", LongType, nullable = false)(),
+      AttributeReference("size_bytes", LongType, nullable = false)(),
+      AttributeReference("value_stats", BooleanType, nullable = false)(),
+      AttributeReference("null_stats", BooleanType, nullable = false)(),
+      AttributeReference("bloom_columns", StringType, nullable = false)(),
+      AttributeReference("is_dv", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val man = new TxnManifest(entry.manifestPath)
+    Sinks.describeDetail(spark, entry.root, man).collect().toSeq.map { r =>
+      Row(r.getInt(0).toLong, r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6),
+        r.getSeq[String](7).mkString(","), r.getBoolean(8))
+    }
   }
 }
 

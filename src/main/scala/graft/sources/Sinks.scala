@@ -958,7 +958,8 @@ object Sinks {
     * pointer to a deleted directory. Pass 0 only when no writer can be
     * in flight (tests, exclusive maintenance). */
   def vacuum(root: String, manifest: TxnManifest,
-             graceMillis: Long = 24L * 3600 * 1000): Seq[String] = {
+             graceMillis: Long = 24L * 3600 * 1000,
+             dryRun: Boolean = false): Seq[String] = {
     import org.apache.hadoop.fs.{FileContext, Path}
     val live = manifest.committedDirs(root).toSet
     val cutoff = System.currentTimeMillis() - graceMillis
@@ -972,7 +973,8 @@ object Sinks {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
       .filterNot(st => live.contains(s"$root/${st.getPath.getName}"))
       .filter(_.getModificationTime <= cutoff)
-    candidates.foreach(st => fc.delete(st.getPath, /* recursive = */ true))
+    if (!dryRun)
+      candidates.foreach(st => fc.delete(st.getPath, /* recursive = */ true))
     // change-feed sidecars follow their merge batch's lifecycle: a
     // `_cdf/batch=N` whose id no manifest entry names is a crash
     // orphan (the merge died before its replaceDirs commit)
@@ -986,7 +988,7 @@ object Sinks {
         .filterNot(st => st.getPath.getName.stripPrefix("batch=").toIntOption
           .exists(liveIds.contains))
         .filter(_.getModificationTime <= cutoff)
-    cdfOrphans.foreach(st => fc.delete(st.getPath, true))
+    if (!dryRun) cdfOrphans.foreach(st => fc.delete(st.getPath, true))
     // deletion-vector sidecars are themselves manifest entries, so a
     // LIVE DV is protected by the `live` set; a `_dv/batch=N` no
     // entry names is a crash orphan (DV written, commit lost) or a
@@ -998,7 +1000,7 @@ object Sinks {
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
         .filterNot(st => live.contains(s"$root/_dv/${st.getPath.getName}"))
         .filter(_.getModificationTime <= cutoff)
-    dvOrphans.foreach(st => fc.delete(st.getPath, true))
+    if (!dryRun) dvOrphans.foreach(st => fc.delete(st.getPath, true))
     (candidates.map(_.getPath.getName) ++
       cdfOrphans.map(st => s"_cdf/${st.getPath.getName}") ++
       dvOrphans.map(st => s"_dv/${st.getPath.getName}")).toSeq

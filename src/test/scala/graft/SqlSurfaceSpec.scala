@@ -282,6 +282,45 @@ class SqlSurfaceSpec extends SparkSuite {
     } finally GraftSqlTables.unregister("maint")
   }
 
+  test("DESCRIBE DETAIL and VACUUM DRY RUN") {
+    import graft.plans.{GraftSql, GraftSqlTables}
+    import graft.sources.{Sinks, StatsSinks, TxnManifest}
+    val base = java.nio.file.Files.createTempDirectory("graft_detail_").toString
+    val root = s"$base/t"
+    val manPath = s"$base/_commits"
+    val man = new TxnManifest(manPath)
+    StatsSinks.appendBatchStats(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+    StatsSinks.appendBatchStats(Seq((3L, "c")).toDF("id", "v"), root, 1)
+    man.commit(1, Seq(s"$root/batch=1"))
+    GraftSqlTables.register("vdt",
+      GraftSqlTables.Entry(root, manPath, Seq("id")))
+
+    val detail = GraftSql.execute(spark, "DESCRIBE DETAIL vdt").collect()
+    assert(detail.length == 2)
+    assert(detail.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
+    assert(detail.forall(r => r.getLong(3) >= 1 && r.getLong(4) > 0),
+      detail.mkString("; "))
+    assert(detail.forall(_.getBoolean(5)), "value stats missing")
+
+    // orphan a dir (crash shape: written, never committed), old mtime
+    val orphan = s"$root/batch=9"
+    Seq((9L, "x")).toDF("id", "v").write.parquet(orphan)
+    new java.io.File(orphan).setLastModified(
+      System.currentTimeMillis() - 48L * 3600 * 1000)
+    // DRY RUN reports it and deletes NOTHING
+    val dry = GraftSql.execute(spark, "VACUUM vdt RETAIN 24 HOURS DRY RUN")
+      .collect().map(_.getString(0))
+    assert(dry.toSeq == Seq("batch=9"), dry.toSeq.toString)
+    assert(new java.io.File(orphan).exists(), "dry run deleted data")
+    // the real vacuum then reclaims exactly that
+    val real = GraftSql.execute(spark, "VACUUM vdt RETAIN 24 HOURS")
+      .collect().map(_.getString(0))
+    assert(real.toSeq == Seq("batch=9"))
+    assert(!new java.io.File(orphan).exists())
+    assert(Sinks.readCommitted(spark, root, man).count() == 3)
+  }
+
   test("MERGE column-level UPDATE expressions + full-sync UPDATE arm") {
     import graft.plans.{GraftSql, GraftSqlTables}
     import graft.sources.{Sinks, TxnManifest}
