@@ -27,7 +27,91 @@ object CurationQueries {
       (instr(lit("0123456789abcdef"), substring(h, 2, 1)) - 1)
   }
 
+  /** md5-derived 256-way feature bucket shared bit-for-bit with the
+    * DuckDB oracle (the t4 fingerprint trick: hex→decimal digits). */
+  private def tokenBucket(w: org.apache.spark.sql.Column) =
+    translate(substring(md5(w), 1, 6), "abcdef", "012345")
+      .cast("long") % 256
+
   val queries: Map[String, Q] = Map(
+    // DSIR-shaped importance weighting (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling") with
+    // an INTEGER-EXACT linearized score so both engines agree
+    // bit-for-bit: hashed unigram features (256 md5 buckets), target
+    // = the 'en' slice, raw = the whole corpus; score(d) = Σ_{w∈d}
+    // (c_t[h(w)]·N_r − c_r[h(w)]·N_t) — positive ⇔ the document's
+    // feature profile is more target-like than corpus-average (the
+    // sign structure of the log-ratio's linearization, with no log /
+    // no float-sum order sensitivity — the same determinism move as
+    // t20's DECIMAL-quantized sqrt). Scale: ONE 256-cardinality
+    // shuffle for the bucket histogram (map-side partial combine);
+    // scoring is a per-row fold over a broadcast 256-entry map —
+    // scan-parallel at any corpus size. At corpora where c·N exceeds
+    // 2^63, quantize counts per-million through DECIMAL first.
+    "t21_dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .select(col("lang"), tokenBucket(col("w")).as("h"))
+      val cnt = toks.groupBy("h").agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      val tot = cnt.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+      val wmap = cnt.crossJoin(broadcast(tot))
+        .select(col("h"),
+          (col("ct") * col("nr") - col("cr") * col("nt")).as("wgt"))
+        .agg(map_from_entries(collect_list(struct(col("h"), col("wgt"))))
+          .as("m"))
+      docs.crossJoin(broadcast(wmap))
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"),
+          aggregate(transform(split(col("text"), " "),
+            w => element_at(col("m"), tokenBucket(w))), lit(0L), _ + _)
+            .as("score"))
+        .withColumn("keep", when(col("score") > 0, 1).otherwise(0))
+    }),
+
+    // Gopher quality rules (Rae et al. 2021 §A1.1) — the document-
+    // level heuristic filter battery real pretraining pipelines run
+    // before anything model-based: word-count window, mean word
+    // length window, symbol-to-word ratio, bullet / ellipsis line
+    // fractions, alphabetic-word fraction, stop-word presence. Every
+    // signal is a pure per-row fold over the document's own tokens /
+    // lines — zero shuffles, scan-parallel at any corpus size; the
+    // doubles derive from identical integer inputs on both engines,
+    // so the hash gate is exact.
+    "t22_gopher_rules" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      val ls = split(col("text"), "\n")
+      val nWords = size(ws).cast("long")
+      val sumLen = aggregate(transform(ws, w => length(w).cast("long")),
+        lit(0L), _ + _)
+      val alphaWords = size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("long")
+      val hashWords = size(filter(ws, w => w.contains("#"))).cast("long")
+      val ellWords = size(filter(ws, w => w.contains("..."))).cast("long")
+      val nLines = size(ls).cast("long")
+      val bulletLines = size(filter(ls,
+        l => l.startsWith("-") || l.startsWith("*"))).cast("long")
+      val ellLines = size(filter(ls, l => l.endsWith("..."))).cast("long")
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val nStops = stops.map(sw =>
+        when(array_contains(ws, sw), 1).otherwise(0)).reduce(_ + _)
+      val meanLen = sumLen.cast("double") / nWords.cast("double")
+      val symRatio = (hashWords + ellWords).cast("double") / nWords.cast("double")
+      val bulletFrac = bulletLines.cast("double") / nLines.cast("double")
+      val ellFrac = ellLines.cast("double") / nLines.cast("double")
+      val alphaFrac = alphaWords.cast("double") / nWords.cast("double")
+      Tables.documents(s, d).select(col("doc_id"),
+        nWords.as("n_words"), meanLen.as("mean_word_len"),
+        symRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+        ellFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+        nStops.cast("int").as("n_stops"),
+        when(nWords >= 50 && nWords <= 100000 &&
+            meanLen >= 3.0 && meanLen <= 10.0 &&
+            symRatio <= 0.1 && bulletFrac <= 0.9 && ellFrac <= 0.3 &&
+            alphaFrac >= 0.8 && nStops >= 2, 1).otherwise(0).as("keep"))
+    }),
     // Deterministic stratified sample + train/val/test split
     // (~80/10/10 by hash bucket; 10% systematic sample flag).
     // The operators COMPOSED — one pass of the curation flow a
@@ -207,6 +291,70 @@ object CurationQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "t21_dsir_weights" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(translate(substr(md5(u.w), 1, 6), 'abcdef', '012345')
+        |      AS BIGINT) % 256 AS h
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents) u),
+        |cnt AS (SELECT h,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(count(*) AS BIGINT) AS cr
+        |  FROM b GROUP BY h),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+        |    CAST(sum(cr) AS BIGINT) AS nr FROM cnt),
+        |ds AS (SELECT b.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_toks,
+        |    CAST(sum(c.ct * t.nr - c.cr * t.nt) AS BIGINT) AS score
+        |  FROM b JOIN cnt c USING (h) CROSS JOIN tot t
+        |  GROUP BY b.doc_id)
+        |SELECT doc_id, n_toks, score,
+        |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM ds""".stripMargin,
+    "t22_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |    string_split(text, chr(10)) AS ls FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(ws,
+        |      w -> CAST(length(w) AS BIGINT))) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(ws,
+        |      w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+        |    CAST(len(list_filter(ws, w -> contains(w, '#'))) AS BIGINT)
+        |      AS hash_words,
+        |    CAST(len(list_filter(ws, w -> contains(w, '...'))) AS BIGINT)
+        |      AS ell_words,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ls, l -> starts_with(l, '-')
+        |      OR starts_with(l, '*'))) AS BIGINT) AS bullet_lines,
+        |    CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS BIGINT)
+        |      AS ell_lines,
+        |    CAST((CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END) +
+        |         (CASE WHEN list_contains(ws, 'be') THEN 1 ELSE 0 END) +
+        |         (CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END) +
+        |         (CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END) +
+        |         (CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END) +
+        |         (CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END) +
+        |         (CASE WHEN list_contains(ws, 'have') THEN 1 ELSE 0 END) +
+        |         (CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END)
+        |      AS INT) AS n_stops
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+        |  CAST(hash_words + ell_words AS DOUBLE) / n_words AS symbol_ratio,
+        |  CAST(bullet_lines AS DOUBLE) / n_lines AS bullet_frac,
+        |  CAST(ell_lines AS DOUBLE) / n_lines AS ellipsis_frac,
+        |  CAST(alpha_words AS DOUBLE) / n_words AS alpha_frac,
+        |  n_stops,
+        |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+        |    AND CAST(sum_len AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0
+        |    AND CAST(hash_words + ell_words AS DOUBLE) / n_words <= 0.1
+        |    AND CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9
+        |    AND CAST(ell_lines AS DOUBLE) / n_lines <= 0.3
+        |    AND CAST(alpha_words AS DOUBLE) / n_words >= 0.8
+        |    AND n_stops >= 2 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM m""".stripMargin,
     "cur1_curation_pipeline" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

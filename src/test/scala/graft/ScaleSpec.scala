@@ -429,13 +429,32 @@ class ScaleSpec extends SparkSuite {
   }
 
   test("per-row text queries plan with zero exchanges") {
-    // t10/t11 are pure per-row curation passes: ANY exchange in the
-    // plan means a shuffle snuck into what must stay scan-parallel.
-    for (q <- Seq("t10_redact", "t11_repetition")) {
+    // t10/t11/t22 are pure per-row curation passes: ANY exchange in
+    // the plan means a shuffle snuck into what must stay scan-parallel.
+    for (q <- Seq("t10_redact", "t11_repetition", "t22_gopher_rules")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
       val ex = plan.collectWithSubqueries { case e: ShuffleExchangeExec => e }
       assert(ex.isEmpty, s"$q expected exchange-free plan, got:\n$plan")
     }
+  }
+
+  test("DSIR weights: the only data shuffle is the 256-bucket histogram") {
+    // scoring must be a per-row fold over a BROADCAST weight map —
+    // any exchange keyed on doc_id / token would mean the corpus is
+    // being shuffled to score itself
+    val plan = graft.SparkEntry.queries("t21_dsir_weights")(spark, sf)
+      .queryExecution.sparkPlan
+    val ex = plan.collectWithSubqueries { case e: ShuffleExchangeExec => e }
+    // whatever exchanges plan (the histogram's h-keyed pair may sit
+    // inside the broadcast stage), NONE may key on doc_id — and the
+    // scoring side must reach the scan through a broadcast, never a
+    // shuffled join
+    assert(!ex.exists(_.outputPartitioning.toString.contains("doc_id")),
+      s"a doc_id shuffle snuck into DSIR scoring:\n$plan")
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    assert(plan.collectWithSubqueries {
+      case j: SortMergeJoinExec => j }.isEmpty,
+      s"DSIR scoring must not sort-merge join the corpus:\n$plan")
   }
 
   test("sim4 IVF search broadcasts centroids and never goes cartesian") {
