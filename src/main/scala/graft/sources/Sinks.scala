@@ -444,7 +444,7 @@ object Sinks {
           case Some(m) => m.drop(DvFileCol, DvPosCol)
             .withColumn(ChangeTypeCol, lit("delete"))
           case None =>
-            spark.read.option("mergeSchema", true).parquet(dataDirs: _*)
+            readDirs(spark, dataDirs, physSchema)
               .limit(0).withColumn(ChangeTypeCol, lit("delete"))
         }
         changes.write.mode(SaveMode.Overwrite)

@@ -897,6 +897,25 @@ class SqlSurfaceSpec extends SparkSuite {
     val eLossy = intercept[Exception] {
       spark.sql("ALTER TABLE gwid.t ALTER COLUMN id TYPE DOUBLE") }
     assert(eLossy.getMessage.contains("not a widening"), eLossy.getMessage)
+    // deletionVectors + columnMapping + widen compose: the DV probe
+    // reads pre-widen files through the widened physical schema
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gwid.dv")
+    GraftSql.execute(spark,
+      """CREATE TABLE gwid.dv (id BIGINT, v INT)
+        |USING `graft-manifest` TBLPROPERTIES ('keys' = 'id',
+        |  'columnMapping' = 'true', 'deletionVectors' = 'true')""".stripMargin)
+    spark.range(0, 6).selectExpr("id", "CAST(id AS INT) AS v")
+      .createOrReplaceTempView("gwid_dv_src")
+    GraftSql.execute(spark, "INSERT INTO gwid.dv SELECT * FROM gwid_dv_src")
+    spark.sql("ALTER TABLE gwid.dv ALTER COLUMN v TYPE BIGINT")
+    GraftSql.execute(spark, "DELETE FROM gwid.dv WHERE v = 2")
+    GraftSql.execute(spark, "UPDATE gwid.dv SET v = v + 100 WHERE id = 4")
+    val dvGot = spark.sql("SELECT id, v FROM gwid.dv").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dvGot == Map(0L -> 0L, 1L -> 1L, 3L -> 3L, 4L -> 104L, 5L -> 5L),
+      dvGot.toString)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gwid.dv")
+
     // non-mapped tables still reject all column DDL
     GraftSql.execute(spark, "DROP TABLE IF EXISTS gwid.plain")
     GraftSql.execute(spark,
