@@ -123,6 +123,17 @@ object SimQueries {
             .as("is_canonical"))
     }),
 
+    // Embedding outlier filter (round-8 continuation): exact integer
+    // n²·d² distance of every vector to its OWN label centroid,
+    // deterministic per-label ranking, top-5% flagged — the
+    // embedding-space noise filter (mislabeled / off-topic / garbled
+    // rows) a curation pipeline runs before sampling. Centroids
+    // broadcast; one shuffle on label.
+    "sim9_outlier_filter" -> ((s, d) => {
+      Embeddings.centroidOutliers(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label", denom = 20)
+    }),
+
     // ANN recall@k certified by the HARD gate: each approximate
     // method's top-k (sign-LSH, IVF) joined against its brute-force
     // ground truth — every leg integer-exact, so the DuckDB oracle
@@ -448,6 +459,29 @@ object SimQueries {
   val oracle: Map[String, String] = Map(
     "sim7_kmeans_diversity" -> sim7OracleSql,
     "sim8_recall_report" -> sim8OracleSql,
+    "sim9_outlier_filter" ->
+      s"""WITH q AS (SELECT vec_id AS vid, label AS cl, ${qv("10000")} AS v
+        |  FROM embeddings),
+        |ncnt AS (SELECT cl, count(*) AS n FROM q GROUP BY 1),
+        |comp AS (SELECT q.vid, q.cl, q.v, u.i FROM q,
+        |  (SELECT unnest(range(1, 65)) AS i) u),
+        |csum AS (SELECT cl, i, CAST(sum(v[i]) AS BIGINT) AS si
+        |  FROM comp GROUP BY 1, 2),
+        |dist AS (SELECT c.vid, c.cl,
+        |    CAST(sum((n.n * c.v[c.i] - s.si) * (n.n * c.v[c.i] - s.si))
+        |      AS BIGINT) AS d2n2
+        |  FROM comp c JOIN csum s ON s.cl = c.cl AND s.i = c.i
+        |  JOIN ncnt n ON n.cl = c.cl
+        |  GROUP BY c.vid, c.cl),
+        |rked AS (SELECT vid, cl, d2n2,
+        |    row_number() OVER (PARTITION BY cl
+        |      ORDER BY d2n2 DESC, vid ASC) AS rk,
+        |    count(*) OVER (PARTITION BY cl) AS n_label
+        |  FROM dist)
+        |SELECT vid, cl AS label, d2n2,
+        |  CAST(CASE WHEN rk <= n_label // 20 THEN 1 ELSE 0 END AS INT)
+        |    AS is_outlier
+        |FROM rked""".stripMargin,
     "sim1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, ${qv("1000000")} AS qv
         |  FROM embeddings WHERE vec_id % 50 = 0),

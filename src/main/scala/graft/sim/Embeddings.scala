@@ -209,6 +209,41 @@ object Embeddings {
       val d = col("n") * x - si; d * d
     }), lit(0L), _ + _)
 
+  /** Centroid-distance OUTLIER flagging — the embedding-space noise
+    * filter (mislabeled / off-topic / garbled documents sit far from
+    * their cluster's center) a curation pipeline runs before
+    * sampling. Each vector scores the exact integer n²·d² distance
+    * to its OWN label centroid ([[labelCentroids]] — never a
+    * floating mean), ranks within the label (distance desc, id asc —
+    * fully deterministic), and the top 1/`denom` per label flag as
+    * outliers (integer division; every label keeps at least one
+    * flagged row when it has ≥ denom members, zero otherwise — a
+    * pure count rule, no quantile estimation). Scale: centroids are
+    * |labels| rows (broadcast); the rank is one shuffle on label —
+    * at 100 TB the corpus is already partitioned by label for IVF,
+    * making the window exchange-free. */
+  def centroidOutliers(vectors: DataFrame, idCol: String, embCol: String,
+                       labelCol: String, denom: Int = 20,
+                       dim: Int = 64): DataFrame = {
+    require(denom >= 2, "denom must be >= 2")
+    val q = cacheTracked(vectors.select(col(idCol).as("vid"),
+      col(labelCol).as("cl"),
+      quantizeChecked(col(embCol), dim, 1e4).as("v")))
+    val cents = labelCentroids(q, "cl")
+    val scored = q.join(broadcast(cents), "cl")
+      .select(col("vid"), col("cl").as("label"), dist2n2.as("d2n2"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("d2n2").desc, col("vid").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_label", count(lit(1)).over(Window.partitionBy("label")))
+      .select(col("vid"), col("label"), col("d2n2"),
+        // floor-division threshold: exact for any count < 2^53, and
+        // identical to DuckDB's `//` integer division
+        when(col("rk") <= floor(col("n_label") / lit(denom)), 1)
+          .otherwise(0).as("is_outlier"))
+  }
+
   def centroidAssign(vectors: DataFrame, idCol: String, embCol: String,
                      labelCol: String, dim: Int = 64): DataFrame = {
     // cached: feeds both the centroid aggregation and the scoring join

@@ -1577,6 +1577,24 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(dIds.contains(7777L) && dIds.contains(8888L) &&
       dIds.count(i => (i - 10) % 2 == 0 && i != 8888L) >= 2, dIds.toString)
 
+    // COPY INTO allocates for files LACKING the identity column
+    // (listed-column alignment → fill), and the new ids extend the
+    // monotone sequence
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_idn_land_").toString
+    spark.range(200, 203).selectExpr("id AS k", "id AS v")
+      .repartition(1).write.parquet(s"$landing/w1")
+    GraftSql.execute(spark,
+      s"COPY INTO gid.t FROM '$landing' FILEFORMAT = PARQUET " +
+        "PATTERN = '*/*.parquet'")
+    val afterCopy = spark.sql("SELECT id, k FROM gid.t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(afterCopy.length == 13 &&
+      afterCopy.map(_._1).distinct.length == 13, afterCopy.toSeq.toString)
+    val copied = afterCopy.filter(_._2 >= 200).map(_._1)
+    assert(copied.length == 3 && copied.min > b2.map(_._1).max,
+      s"copied ids not above prior batches: ${copied.toSeq}")
+
     // non-BIGINT identity refuses at CREATE
     val eTyp = intercept[Exception](GraftSql.execute(spark,
       """CREATE TABLE gid.bad (
