@@ -916,6 +916,35 @@ class SqlSurfaceSpec extends SparkSuite {
       dvGot.toString)
     GraftSql.execute(spark, "DROP TABLE IF EXISTS gwid.dv")
 
+    // the change feed spans PRE- and POST-widen batches: per-batch
+    // frames carry their own physical type and the union coerces
+    // int→long (each single commit is type-homogeneous, so the
+    // per-batch mergeSchema read stays safe)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gwid.cf")
+    GraftSql.execute(spark,
+      """CREATE TABLE gwid.cf (id BIGINT, v INT)
+        |USING `graft-manifest` TBLPROPERTIES ('keys' = 'id',
+        |  'columnMapping' = 'true', 'cdf' = 'true')""".stripMargin)
+    spark.range(0, 3).selectExpr("id", "CAST(id AS INT) AS v")
+      .createOrReplaceTempView("gwid_cf_src")
+    GraftSql.execute(spark, "INSERT INTO gwid.cf SELECT * FROM gwid_cf_src")
+    spark.sql("ALTER TABLE gwid.cf ALTER COLUMN v TYPE BIGINT")
+    // pre-widen insert batch serves through the WIDENED logical type
+    val ins = GraftSql.execute(spark,
+      "SELECT * FROM table_changes('gwid.cf', 0)").collect()
+    assert(ins.length == 3 &&
+      ins.forall(_.getAs[String]("_change_type") == "insert"))
+    assert(ins.head.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType, ins.head.schema.toString)
+    GraftSql.execute(spark,
+      "UPDATE gwid.cf SET v = CAST(40000000000 AS BIGINT) WHERE id = 1")
+    val upd = GraftSql.execute(spark,
+      "SELECT * FROM table_changes('gwid.cf', 1)").collect()
+    val types = upd.map(_.getAs[String]("_change_type")).sorted.toSeq
+    assert(types == Seq("update_postimage", "update_preimage"), types.toString)
+    assert(upd.exists(_.getAs[Long]("v") == 40000000000L))
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gwid.cf")
+
     // non-mapped tables still reject all column DDL
     GraftSql.execute(spark, "DROP TABLE IF EXISTS gwid.plain")
     GraftSql.execute(spark,

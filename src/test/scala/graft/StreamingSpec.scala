@@ -661,6 +661,29 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup == batch canonical form (dropDuplicates state)") {
+    // the streaming twin of dd1: content-hash dedup with streaming
+    // state — first arrival wins across micro-batches, exactly the
+    // batch canonical form when arrival order == the batch tiebreak
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .withColumn("h", md5(col("text")))
+      .dropDuplicates("h")
+      .writeStream.format("memory").queryName("sdd_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "aa"), (2L, "bb"))
+      q.processAllAvailable()
+      // duplicates arriving in LATER micro-batches are state-filtered
+      mem.addData((3L, "aa"), (4L, "cc"), (5L, "bb"))
+      q.processAllAvailable()
+      val got = spark.table("sdd_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L, 4L), got.toString)
+    } finally q.stop()
+  }
+
   test("streaming WRITE into a columnMapping table: rename lands between epochs") {
     import graft.sources.{SchemaLog, Sinks, TxnManifest}
     import org.apache.spark.sql.types._
