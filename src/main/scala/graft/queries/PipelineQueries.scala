@@ -1753,6 +1753,54 @@ object PipelineQueries {
         .select("event_id", "user_id", "event_type_l", "value3")
     }),
 
+    // Streaming write INTO a columnMapping table (round 8): the sink
+    // binds logical→physical once per query (keyed on PHYSICAL ids)
+    // and pins one mapping snapshot per epoch, so the RENAME issued
+    // between the two epochs below never disturbs the writer — files
+    // carry physical names throughout, and the final mapped read
+    // serves everything under the post-rename logical name. The
+    // oracle aliases the same column, so the hash gate certifies the
+    // whole mapped-sink path end to end.
+    "st11_mapped_sink" -> ((s, d) => {
+      import graft.sources.{SchemaLog, Sinks, TxnManifest}
+      import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+      val ev = Tables.events(s, d)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_ms_").toString
+      val rootA = s"$base/in"
+      val manA = new TxnManifest(s"$base/man_a.tsv")
+      val slice = (i: Int) => ev.filter(pmod(col("event_id"), lit(3)) === i)
+        .select("event_id", "user_id", "value")
+      for (i <- 0 to 1) {
+        Sinks.appendBatch(slice(i), rootA, i)
+        manA.commit(i, Seq(s"$rootA/batch=$i"))
+      }
+      val rootB = s"$base/out"
+      val manBPath = s"$base/man_b.tsv"
+      val logPath = s"$base/_schema"
+      val log = new SchemaLog(logPath)
+      log.init(StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("value", DoubleType))))
+      val q = s.readStream.format("graft-manifest")
+        .option("manifest", s"$base/man_a.tsv").load(rootA)
+        .writeStream.format("graft-manifest")
+        .option("manifest", manBPath)
+        .option("path", rootB)
+        .option("schemaLog", logPath)
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // metadata-only rename BETWEEN epochs; the running stream
+        // keeps writing (physical-id binding)
+        log.rename("value", "amount")
+        Sinks.appendBatch(slice(2), rootA, 9)
+        manA.commit(9, Seq(s"$rootA/batch=9"))
+        q.processAllAvailable()
+      } finally q.stop()
+      SchemaLog.readCommittedMapped(s, rootB, new TxnManifest(manBPath), log)
+    }),
+
     // Event-time tumbling-window aggregation — batch form of the
     // Structured Streaming query in `graft.streaming` (SURVEY §2.9:
     // the reference's poll loop is hand-rolled micro-batching; this is
@@ -2480,6 +2528,8 @@ object PipelineQueries {
       """SELECT event_id, user_id, lower(event_type) AS event_type_l,
         |  value * 3 AS value3
         |FROM events""".stripMargin,
+    "st11_mapped_sink" ->
+      """SELECT event_id, user_id, value AS amount FROM events""".stripMargin,
     "st1_time_bucket" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start, event_type,
         |  count(*) AS n,
