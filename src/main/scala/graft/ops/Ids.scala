@@ -79,7 +79,20 @@ object Ids {
         it.map { case (r, i) =>
           require(i < (1L << 33),
             s"identity batch exceeds 2^33 rows — split the insert")
-          idRow.update(0, start + step * ((batchId << 33) + i))
+          // checked arithmetic: start/step combinations can overflow
+          // Long well inside the batchId bound (e.g. step 3 past
+          // batchId ~3.6e8) — wrap-around would silently break the
+          // uniqueness/monotonicity contract, so fail loudly instead
+          val id =
+            try Math.addExact(start,
+              Math.multiplyExact(step, (batchId << 33) + i))
+            catch { case _: ArithmeticException =>
+              throw new ArithmeticException(
+                s"identity value start=$start + step=$step * " +
+                  s"(batch=$batchId * 2^33 + $i) overflows BIGINT — " +
+                  "the table has exhausted its allocation range")
+            }
+          idRow.update(0, id)
           joined(r, idRow): InternalRow
         }
       }

@@ -556,7 +556,36 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     changes.foreach {
       case r: TableChange.RenameColumn =>
         val from = single(r.fieldNames(), "rename")
+        // stored EXPRESSIONS (CHECK constraints, generation
+        // expressions, column DEFAULTs) reference columns by NAME in
+        // SQL text a metadata rename cannot rewrite — refuse instead
+        // of silently orphaning the reference
+        val declared0 = DataType.fromJson(newMeta("schema"))
+          .asInstanceOf[StructType]
+        val exprSqls =
+          newMeta.collect { case (k, v) if k.startsWith("check.") => v } ++
+            declared0.fields.toSeq.flatMap { f =>
+              org.apache.spark.sql.catalyst.util.GeneratedColumn
+                .getGenerationExpression(f).toSeq ++
+                (if (f.metadata.contains("CURRENT_DEFAULT"))
+                   Seq(f.metadata.getString("CURRENT_DEFAULT"))
+                 else Nil)
+            }
+        val ref = ("(?i)(?<![A-Za-z0-9_`])" +
+          java.util.regex.Pattern.quote(from) + "(?![A-Za-z0-9_`])").r
+        require(!exprSqls.exists(e => ref.findFirstIn(e).isDefined),
+          s"graft catalog: cannot RENAME '$from' — a CHECK constraint, " +
+            "GENERATED expression, or DEFAULT references it by name; " +
+            "drop the referencing constraint/column first")
         log.rename(from, r.newName())
+        // the rename follows into the DECLARED schema too: IDENTITY /
+        // DEFAULT / GENERATED metadata key on the declared field name,
+        // and a stale name would silently detach them (identity
+        // allocation writing NULLs was the concrete failure)
+        if (declared0.fieldNames.exists(_.equalsIgnoreCase(from)))
+          newMeta += ("schema" -> StructType(declared0.fields.map(f =>
+            if (f.name.equalsIgnoreCase(from)) f.copy(name = r.newName())
+            else f)).json)
         val ks = keysOf(newMeta)
         if (ks.exists(_.equalsIgnoreCase(from)))
           newMeta += ("keys" -> ks.map(k =>

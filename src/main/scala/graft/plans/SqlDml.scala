@@ -1370,7 +1370,8 @@ final case class GraftDetailCommand(table: String,
       AttributeReference("is_dv", BooleanType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val man = new TxnManifest(entry.manifestPath)
-    Sinks.describeDetail(spark, entry.root, man).collect().toSeq.map { r =>
+    Sinks.describeDetail(spark, entry.root, man, allRoots = entry.isClone)
+      .collect().toSeq.map { r =>
       Row(r.getInt(0).toLong, r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getBoolean(5), r.getBoolean(6),
         r.getSeq[String](7).mkString(","), r.getBoolean(8))

@@ -68,19 +68,23 @@ final class GraftManifestStreamingWrite(root: String, manifestPath: String,
   // table). The stream's schema must cover exactly the mapping's
   // logical columns, the appendBatchMapped contract.
   private val binding: Option[Seq[SchemaLog.Col]] = schemaLogPath.map { lp =>
+    // logical-name matching is CASE-INSENSITIVE, like every other
+    // mapped path (Physicalizer/alignTo) and Spark's own resolution
+    def lower(ns: Iterable[String]) =
+      ns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val bindPath = SinkEpochLog.dir(manifestPath) + s"/$queryId.binding"
     val stored = SchemaLog.parseCols(
       graft.util.AtomicText.readLines(bindPath))
     if (stored.nonEmpty &&
-        stored.map(_.logical).toSet == schema.fieldNames.toSet) stored
+        lower(stored.map(_.logical)) == lower(schema.fieldNames)) stored
     else {
       val (_, cols) = new SchemaLog(lp).current()
       require(cols.nonEmpty, s"schema log $lp not initialized")
-      val missing = cols.map(_.logical).toSet -- schema.fieldNames.toSet
+      val missing = lower(cols.map(_.logical)) -- lower(schema.fieldNames)
       require(missing.isEmpty,
         s"graft-manifest streaming sink is missing mapped logical " +
           s"columns $missing")
-      val extra = schema.fieldNames.toSet -- cols.map(_.logical).toSet
+      val extra = lower(schema.fieldNames) -- lower(cols.map(_.logical))
       require(extra.isEmpty,
         s"graft-manifest streaming sink carries unmapped columns $extra")
       graft.util.AtomicText.writeAtomically(bindPath,
@@ -122,8 +126,15 @@ final class GraftManifestStreamingWrite(root: String, manifestPath: String,
     val id = epochId.toInt
     val manifest = new TxnManifest(manifestPath)
     // ownership re-check (the authoritative claim happened task-side
-    // at write start, before any bytes moved); idempotent for replays
-    SinkEpochLog.claim(manifestPath, id, queryId, manifest)
+    // at write start, before any bytes moved); idempotent for replays.
+    // The mapping payload rides along for the ZERO-PARTITION epoch
+    // case — without it a crash after this claim would leave an
+    // empty-payload claim that wedges every replay's binding
+    // validation ('bound physical columns no longer exist')
+    SinkEpochLog.claim(manifestPath, id, queryId, manifest,
+      payload = schemaLogPath.fold("") { lp =>
+        SchemaLog.renderCols(new SchemaLog(lp).current()._2)
+      })
     // prune STRAY deterministic part files from a previous, WIDER
     // attempt of this epoch: a replay with fewer partitions (changed
     // parallelism after a crash) rewrites part-0..k but would leave
@@ -341,8 +352,10 @@ private final case class GraftManifestWriterFactory(
             "drop + re-ADD) — restart the query against the current " +
             "schema; rows written to a dead physical id would be " +
             "invisible")
-        val toPhys = bound.map(c => c.logical -> c.physical).toMap
-        StructType(logical.fields.map(f => f.copy(name = toPhys(f.name))))
+        val toPhys = bound.map(c =>
+          c.logical.toLowerCase(java.util.Locale.ROOT) -> c.physical).toMap
+        StructType(logical.fields.map(f =>
+          f.copy(name = toPhys(f.name.toLowerCase(java.util.Locale.ROOT)))))
     }
     val conf = new Configuration(serConf.value)
     ParquetWriteSupport.setSchema(schema, conf)

@@ -164,12 +164,17 @@ final class GraftManifestTable(tableSchema: StructType,
       .select(deleteKeys.zip(physKeys).map { case (l, p) =>
         org.apache.spark.sql.functions.col(l).as(p) }: _*)
     val cdf = Option(options.get("cdf")).exists(_.toBoolean)
+    // mapped tables hand the merge the EXPLICIT physical schema — a
+    // widen-only retype leaves mixed physical file types, which
+    // mergeSchema refuses and the explicit schema promotes (same
+    // threading as every statement-path DML)
+    val physSchema = mapping.map(SchemaLog.physicalSchema)
     if (Option(options.get("deletionVectors")).exists(_.toBoolean))
       Sinks.mergeDeleteDV(spark, delKeys, root, man, physKeys, mergeId,
-        cdf = cdf)
+        cdf = cdf, physSchema = physSchema)
     else
       Sinks.mergeDelete(spark, delKeys, root, man, physKeys, mergeId,
-        cdf = cdf)
+        cdf = cdf, physSchema = physSchema)
   }
 
   private def deleteKeys: Seq[String] =
@@ -235,9 +240,9 @@ final class GraftManifestTable(tableSchema: StructType,
     // a MAPPED table's batch writes translate logical → physical names
     // through the SchemaLog before anything reaches a file (writing
     // the query's names verbatim would break the mapping invariant
-    // silently); the STREAMING write keeps rejecting below — its
-    // per-epoch schema is fixed at stream start, so a rename mid-
-    // stream would fork columns
+    // silently); the STREAMING write binds logical → physical once
+    // per query (physical-id keyed) and pins one mapping snapshot per
+    // epoch — see GraftManifestWriterFactory
     val mappedLog: Option[SchemaLog] =
       Option(options.get("schemaLog")).map(new SchemaLog(_))
     // opt-in per-epoch bloom indexing (Delta's bloomFilterIndex shape,

@@ -1013,13 +1013,19 @@ object Sinks {
     * question this answers on a big table: "is the thing I filter on
     * actually indexed, and which batches aren't?" */
   def describeDetail(spark: org.apache.spark.sql.SparkSession, root: String,
-                     manifest: TxnManifest): DataFrame = {
+                     manifest: TxnManifest,
+                     allRoots: Boolean = false): DataFrame = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val version = manifest.version()
     val rows = manifest.committed().toSeq.sortBy(_._1).flatMap {
-      case (id, dirs) => dirs.filter(_.startsWith(root + "/")).map { d =>
+      // a SHALLOW CLONE's view spans inherited source roots — its
+      // detail must report them too, or file/byte totals silently
+      // drop everything the clone inherits (allRoots = the clone's
+      // union view; plain tables filter to their own root)
+      case (id, dirs) => dirs
+        .filter(d => allRoots || d.startsWith(root + "/")).map { d =>
         val p = new Path(d)
         val fs = p.getFileSystem(conf)
         val files =

@@ -9,6 +9,10 @@ import graft.plans.GraftExtensions
   * the per-session `register` helpers (how a live session adds them).
   */
 class SqlSurfaceSpec extends SparkSuite {
+
+  /** The throwable and its whole cause chain. */
+  private def exceptionChain(t: Throwable): Seq[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
   import spark.implicits._
 
   // withExtensionSession lives in SparkSuite (shared with RangeRewriteSpec)
@@ -1301,6 +1305,25 @@ class SqlSurfaceSpec extends SparkSuite {
     spark.sql("DELETE FROM gdel.t")
     assert(spark.sql("SELECT * FROM gdel.t").count() == 0)
     GraftSql.execute(spark, "DROP TABLE IF EXISTS gdel.t")
+
+    // native DELETE on a columnMapping table AFTER a widen-only
+    // retype: the merge probe reads the mixed int/long physical files
+    // through the explicit widened schema (review-caught omission)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gdel.m")
+    GraftSql.execute(spark,
+      """CREATE TABLE gdel.m (id BIGINT, v INT) USING `graft-manifest`
+        |TBLPROPERTIES ('keys' = 'id', 'columnMapping' = 'true')""".stripMargin)
+    spark.range(0, 4).selectExpr("id", "CAST(id AS INT) AS v")
+      .createOrReplaceTempView("gdel_msrc")
+    GraftSql.execute(spark, "INSERT INTO gdel.m SELECT * FROM gdel_msrc")
+    spark.sql("ALTER TABLE gdel.m ALTER COLUMN v TYPE BIGINT")
+    spark.sql("SELECT CAST(7 AS BIGINT) AS id, CAST(40000000000 AS BIGINT) AS v")
+      .createOrReplaceTempView("gdel_mbig")
+    GraftSql.execute(spark, "INSERT INTO gdel.m SELECT * FROM gdel_mbig")
+    spark.sql("DELETE FROM gdel.m WHERE id = 2") // native path, mixed files
+    assert(spark.sql("SELECT id FROM gdel.m").as[Long].collect().toSet ==
+      Set(0L, 1L, 3L, 7L))
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gdel.m")
   }
 
   test("CREATE OR REPLACE TABLE and writeStream.toTable work natively") {
@@ -1522,6 +1545,15 @@ class SqlSurfaceSpec extends SparkSuite {
       .committedDirsAll()
     assert(ownDirs.forall(_.startsWith(s"$wh/cl2/")), ownDirs.toString)
 
+    // DESCRIBE DETAIL on a clone spans the union view — inherited
+    // source dirs included (review-caught: the root filter silently
+    // dropped them)
+    val clDetail = GraftSql.execute(spark, "DESCRIBE DETAIL gsc.cl")
+      .collect()
+    assert(clDetail.nonEmpty &&
+      clDetail.exists(_.getString(1).contains("/src/")),
+      clDetail.map(_.getString(1)).mkString("; "))
+
     // refusals hold: SNAPSHOT clone of a clone; time travel ON a clone
     val eSnapCl = intercept[Exception](GraftSql.execute(spark,
       "CREATE TABLE gsc.bad SHALLOW CLONE gsc.cl VERSION AS OF 1"))
@@ -1623,6 +1655,38 @@ class SqlSurfaceSpec extends SparkSuite {
     val copied = afterCopy.filter(_._2 >= 200).map(_._1)
     assert(copied.length == 3 && copied.min > b2.map(_._1).max,
       s"copied ids not above prior batches: ${copied.toSeq}")
+
+    // IDENTITY on a columnMapping table: RENAME of the identity
+    // column follows into the declared schema, so allocation and the
+    // guards keep working under the NEW name (review-caught: a stale
+    // declared name silently wrote NULL ids)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gid.m")
+    GraftSql.execute(spark,
+      """CREATE TABLE gid.m (
+        |  id BIGINT GENERATED ALWAYS AS IDENTITY, k BIGINT
+        |) USING `graft-manifest`
+        |TBLPROPERTIES ('keys' = 'k', 'columnMapping' = 'true')""".stripMargin)
+    GraftSql.execute(spark, "INSERT INTO gid.m (k) VALUES (1), (2)")
+    spark.sql("ALTER TABLE gid.m RENAME COLUMN id TO rid")
+    GraftSql.execute(spark, "INSERT INTO gid.m (k) VALUES (3)")
+    val mIds = spark.sql("SELECT rid FROM gid.m").collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+    assert(mIds.forall(_.isDefined) && mIds.flatten.distinct.length == 3,
+      mIds.toSeq.toString)
+    val eRid = intercept[Exception](GraftSql.execute(spark,
+      "UPDATE gid.m SET rid = 0 WHERE k = 1"))
+    assert(eRid.getMessage.contains("IDENTITY"), eRid.getMessage)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gid.m")
+
+    // allocation overflow fails LOUDLY (checked arithmetic), never
+    // wraps into duplicate ids
+    val eOvf = intercept[Exception] {
+      graft.ops.Ids.fillIdentity(
+        spark.range(0, 2).selectExpr("id AS k", "CAST(NULL AS BIGINT) AS i2"),
+        "i2", Long.MaxValue - 10, 3L, 5L).collect()
+    }
+    assert(exceptionChain(eOvf).exists(_.isInstanceOf[ArithmeticException]),
+      eOvf.toString)
 
     // non-BIGINT identity refuses at CREATE
     val eTyp = intercept[Exception](GraftSql.execute(spark,
