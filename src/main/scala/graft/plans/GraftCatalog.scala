@@ -66,7 +66,28 @@ import graft.util.AtomicText
   * (Delta's managed-table contract). With 'path' it is EXTERNAL:
   * `DROP TABLE` removes only the catalog entry.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  // ---- FunctionCatalog: the `bucket` transform resolver -----------
+  // Storage-partitioned joins resolve a table's reported
+  // `bucket(n, col)` transform against the TABLE'S catalog; serving
+  // the function here is what lets Spark prove two graft scans
+  // cluster identically (and shuffle a non-bucketed side to match).
+  override def listFunctions(namespace: Array[String])
+    : Array[Identifier] = {
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+    Array(Identifier.of(Array.empty, "bucket"))
+  }
+
+  override def loadFunction(ident: Identifier)
+    : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    if (ident.namespace().isEmpty &&
+        ident.name().equalsIgnoreCase("bucket"))
+      graft.sources.Bucketing.BucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+  }
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -156,7 +177,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           k.stripPrefix("check.") -> v }.toSeq.sortBy(_._1),
         clusterBy = m.getOrElse("clusterBy", "").split(',')
           .map(_.trim).filter(_.nonEmpty).toSeq,
-        isClone = m.get("clone").exists(_.toBoolean))
+        isClone = m.get("clone").exists(_.toBoolean),
+        bucketBy = m.get("bucketBy").filter(_.nonEmpty)
+          .map(graft.sources.Bucketing.parse))
     }
 
   // ---- TableCatalog ---------------------------------------------
@@ -235,6 +258,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       meta.get("deletionVectors").map("deletionVectors" -> _) ++
       meta.get("bloomColumns").filter(_.nonEmpty).map("bloomColumns" -> _) ++
       meta.get("schemaLog").map("schemaLog" -> _) ++
+      meta.get("bucketBy").filter(_.nonEmpty).map("bucketBy" -> _) ++
       // CHECK constraints ride as options so the native V1 batch
       // write enforces them too (option keys lowercase by contract)
       meta.collect { case (k, v) if k.startsWith("check.") => k -> v } ++
@@ -482,6 +506,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "expressions")
     }
     val schemaLogPath = if (mapping) Some(s"$root/_schema_log") else None
+    // bucketBy: hash-bucketed layout for storage-partitioned joins —
+    // append-shaped writes only (merge-family verbs refuse), so the
+    // combinations that rewrite files refuse up front
+    val bucketBy = prop("bucketBy").map(graft.sources.Bucketing.parse)
+    bucketBy.foreach { b =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(b.key)),
+        s"graft catalog: bucketBy names '${b.key}', absent from the " +
+          s"schema (${schema.fieldNames.mkString(", ")})")
+      require(!mapping,
+        "graft catalog: bucketBy and columnMapping are mutually " +
+          "exclusive — bucket layout keys on a physical column layout " +
+          "renames would detach")
+      require(!prop("deletionVectors").exists(_.toBoolean),
+        "graft catalog: bucketBy and deletionVectors are mutually " +
+          "exclusive in round 8 — DV merges rewrite files outside the " +
+          "bucketed write path")
+    }
     // clusterBy: declared clustering columns — a bare OPTIMIZE
     // maintains this z-order (Delta's liquid-clustering UX)
     val clusterBy = prop("clusterBy").toSeq.flatMap(_.split(','))
@@ -501,7 +542,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "bloomColumns" -> bloomCols.mkString(","),
       "clusterBy" -> clusterBy.mkString(","),
       "external" -> external.toString) ++
-      schemaLogPath.map("schemaLog" -> _)
+      schemaLogPath.map("schemaLog" -> _) ++
+      bucketBy.map(b => "bucketBy" -> graft.sources.Bucketing.render(b))
     // exclusive create IS the exists check — two racing CREATEs
     // cannot both win, and neither can observe a torn file
     if (!AtomicText.createExclusive(metaPath(name), render(meta)))

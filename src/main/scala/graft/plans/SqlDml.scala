@@ -77,7 +77,8 @@ object GraftSqlTables {
                          schemaLogPath: Option[String] = None,
                          checks: Seq[(String, String)] = Nil,
                          clusterBy: Seq[String] = Nil,
-                         isClone: Boolean = false)
+                         isClone: Boolean = false,
+                         bucketBy: Option[graft.sources.Bucketing.Spec] = None)
 
   private val tables =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -414,6 +415,10 @@ object GraftDml {
       // a columnMapping table merges in LOGICAL space — the statement
       // keeps working across renames — and translates to physical
       // names only at the Sinks.merge boundary (the file layer)
+      require(entry.bucketBy.isEmpty,
+        s"MERGE INTO $table: bucketed tables support append-shaped " +
+          "writes only (round-8 scope) — a merge rewrite would break " +
+          "the bucket layout invariant")
       // IDENTITY tables refuse MERGE wholesale (Delta's historical
       // restriction): the insert arm would need allocation and SET *
       // would clobber allocated values — INSERT / UPDATE / DELETE
@@ -578,6 +583,9 @@ object GraftDml {
             physSchema = Some(phys.physSchema))
       }
     case GraftUpdateSpec(table, entry, assigns, condSql) =>
+      require(entry.bucketBy.isEmpty,
+        s"UPDATE $table: bucketed tables support append-shaped writes " +
+          "only (round-8 scope)")
       val man = new TxnManifest(entry.manifestPath)
       val mergeId = nextBatchId(man)
       val mapLog = mappedLogOf(table, entry)
@@ -633,6 +641,9 @@ object GraftDml {
           cdf = entry.cdf, unionRoots = entry.isClone,
           physSchema = physSchema)
     case GraftDeleteSpec(table, entry, condSql) =>
+      require(entry.bucketBy.isEmpty,
+        s"DELETE FROM $table: bucketed tables support append-shaped " +
+          "writes only (round-8 scope)")
       val man = new TxnManifest(entry.manifestPath)
       val mergeId = nextBatchId(man)
       val mapLog = mappedLogOf(table, entry)
@@ -988,14 +999,30 @@ object GraftInsertCommand {
     val aligned = applyIdentity(table, entry, insertCols, aligned0, batchId)
     graft.sources.CheckConstraints.enforce(table,
       GraftSqlTables.writeChecks(entry), aligned, "INSERT into")
-    if (overwrite) {
-      beforeCommit(batchId)
-      Sinks.insertOverwrite(spark, aligned, entry.root, man, batchId)
-    } else {
-      graft.sources.StatsSinks.appendBatchStats(aligned, entry.root, batchId,
-        bloomColumns = entry.bloomColumns)
-      beforeCommit(batchId)
-      man.commit(batchId, Seq(s"${entry.root}/batch=$batchId"))
+    entry.bucketBy match {
+      case Some(b) =>
+        // bucketed layout: repartition routes each row to its bucket
+        // (HashPartitioning = pmod(murmur3_42, n) — the function the
+        // scan reports), each task writes exactly one bucket, and the
+        // part-file index in the name IS the bucket id the scan
+        // groups on. Explicit numPartitions keeps AQE from coalescing
+        // the 1:1 partition↔bucket mapping away.
+        require(!overwrite,
+          s"INSERT OVERWRITE on bucketed table $table is not supported " +
+            "(round-8 scope) — TRUNCATE TABLE, then INSERT")
+        val framed = aligned.repartition(b.n, col(b.key))
+        graft.sources.StatsSinks.appendBatchStats(framed, entry.root,
+          batchId, bloomColumns = entry.bloomColumns)
+        beforeCommit(batchId)
+        man.commit(batchId, Seq(s"${entry.root}/batch=$batchId"))
+      case None if overwrite =>
+        beforeCommit(batchId)
+        Sinks.insertOverwrite(spark, aligned, entry.root, man, batchId)
+      case None =>
+        graft.sources.StatsSinks.appendBatchStats(aligned, entry.root,
+          batchId, bloomColumns = entry.bloomColumns)
+        beforeCommit(batchId)
+        man.commit(batchId, Seq(s"${entry.root}/batch=$batchId"))
     }
   }
 }
@@ -1232,6 +1259,10 @@ final case class GraftOptimizeCommand(table: String,
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     if (entry.isClone) { materializeClone(spark); return Seq.empty }
+    require(entry.bucketBy.isEmpty,
+      s"OPTIMIZE $table: bucketed tables support append-shaped writes " +
+        "only (round-8 scope) — a compaction rewrite would break the " +
+        "bucket layout invariant")
     val man = new TxnManifest(entry.manifestPath)
     val ids = man.committed().keySet
     require(ids.nonEmpty,

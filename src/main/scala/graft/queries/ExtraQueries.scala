@@ -419,6 +419,49 @@ object ExtraQueries {
           col("sum_qty_dec").cast(DoubleType).as("sum_qty"))
     }),
 
+    // Storage-partitioned join (round 8): two catalog tables bucketed
+    // 16 ways on the order key — orders, and per-order lineitem
+    // revenue — joined WITHOUT any shuffle: each side's scan reports
+    // bucket(16, key) partitioning (resolved through the catalog's
+    // bucket function), so Spark zips the bucket groups directly.
+    // The 100 TB story: pay the ingest-time repartition once, never
+    // re-shuffle the fact table on its key again. ScaleSpec pins the
+    // zero-exchange join and aggregation plans; this query puts the
+    // RESULT under the driver's hash gate.
+    "sk2_bucketed_join" -> ((s, d) => {
+      import graft.plans.GraftSql
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val cat = "graft"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.plans.GraftCatalog].getName)
+      if (s.conf.getOption(s"spark.sql.catalog.$cat.warehouse").isEmpty)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_sk2_wh_").toString)
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .createOrReplaceTempView("sk2_orders")
+      Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(Repair.decSum(col("l_extendedprice")).as("rev"))
+        .createOrReplaceTempView("sk2_rev")
+      GraftSql.execute(s, s"DROP TABLE IF EXISTS $cat.bko")
+      GraftSql.execute(s, s"DROP TABLE IF EXISTS $cat.bkr")
+      GraftSql.execute(s,
+        s"""CREATE TABLE $cat.bko (o_orderkey BIGINT, o_totalprice DOUBLE)
+           |USING `graft-manifest`
+           |TBLPROPERTIES ('keys' = 'o_orderkey', 'bucketBy' = '16,o_orderkey')
+           |""".stripMargin)
+      GraftSql.execute(s,
+        s"""CREATE TABLE $cat.bkr (l_orderkey BIGINT, rev DOUBLE)
+           |USING `graft-manifest`
+           |TBLPROPERTIES ('keys' = 'l_orderkey', 'bucketBy' = '16,l_orderkey')
+           |""".stripMargin)
+      GraftSql.execute(s, s"INSERT INTO $cat.bko SELECT * FROM sk2_orders")
+      GraftSql.execute(s, s"INSERT INTO $cat.bkr SELECT * FROM sk2_rev")
+      GraftSql.execute(s,
+        s"""SELECT o.o_orderkey, o.o_totalprice, r.rev
+           |FROM $cat.bko o JOIN $cat.bkr r
+           |ON o.o_orderkey = r.l_orderkey""".stripMargin)
+    }),
+
     // Staged conversion funnel (signup → first later view → first
     // later purchase): each stage is a per-user min over the events
     // AFTER the previous stage's timestamp, left-joined so drop-off
@@ -754,6 +797,14 @@ object ExtraQueries {
         |SELECT g.event_type, g.bucket, coalesce(a.n, 0) AS n,
         |  coalesce(a.sum_value, 0.0) AS sum_value
         |FROM grid g LEFT JOIN agg a USING (event_type, bucket)""".stripMargin,
+    // The bucketed layout must be INVISIBLE in the result: the oracle
+    // is the plain join over the same inputs.
+    "sk2_bucketed_join" ->
+      """SELECT o.o_orderkey, o.o_totalprice,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS rev
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderkey, o.o_totalprice""".stripMargin,
     // The salted plan must be INVISIBLE in the result: the oracle is
     // the plain unsalted join + group-by.
     "sk1_skew_salted" ->

@@ -108,6 +108,18 @@ final class GraftManifestTable(tableSchema: StructType,
   private val unionView: Boolean =
     Option(options.get("union")).exists(_.toBoolean)
 
+  /** `bucketBy` — hash-bucketed layout (see [[Bucketing]]): the table
+    * REPORTS `bucket(n, col)` partitioning, which Spark resolves
+    * against the owning catalog's bucket function for
+    * storage-partitioned joins. */
+  private val bucketSpec: Option[Bucketing.Spec] =
+    Option(options.get("bucketBy")).map(Bucketing.parse)
+
+  override def partitioning()
+    : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    bucketSpec.map(b => org.apache.spark.sql.connector.expressions
+      .Expressions.bucket(b.n, b.key)).toArray
+
   /** Native `DELETE FROM <table> WHERE <cond>` on a PLAIN session (no
     * extension parser, no GraftSql): Spark hands the condition as V2
     * predicates; they convert to V1 filters, evaluate as a WHERE over
@@ -120,7 +132,8 @@ final class GraftManifestTable(tableSchema: StructType,
   override def canDeleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
     : Boolean =
-    !unionView && deleteKeys.nonEmpty && predicates.forall(p =>
+    !unionView && bucketSpec.isEmpty && deleteKeys.nonEmpty &&
+      predicates.forall(p =>
       org.apache.spark.sql.graftbridge.PredicateBridge.toV1(p)
         .exists(f => GraftManifestSource.filterColumn(f).isDefined))
 
@@ -319,6 +332,15 @@ final class GraftManifestTable(tableSchema: StructType,
                     data.select(cols.map(c => org.apache.spark.sql
                       .functions.col(c.logical).as(c.physical)): _*)
                 }
+                val framed2 = bucketSpec match {
+                  case None => frame
+                  case Some(b) =>
+                    // route rows to their buckets exactly like the
+                    // statement INSERT (HashPartitioning = the bucket
+                    // function the scan reports)
+                    frame.repartition(b.n,
+                      org.apache.spark.sql.functions.col(b.key))
+                }
                 if (overwrite || legacyOverwrite) {
                   // mirror truncateTable / the statement path
                   // (SqlDml's overwrite guard): insertOverwrite
@@ -332,13 +354,17 @@ final class GraftManifestTable(tableSchema: StructType,
                       "only un-name the clone's own dirs, leaving " +
                       "inherited source rows visible; materialize " +
                       "the clone (OPTIMIZE) first")
+                  require(bucketSpec.isEmpty,
+                    "graft-manifest: INSERT OVERWRITE on a bucketed " +
+                      "table is not supported (round-8 scope) — " +
+                      "TRUNCATE TABLE, then INSERT")
                   Sinks.insertOverwrite(data.sparkSession, frame, root, man,
                     batchId)
                 }
                 else {
                   // stats sidecars carry PHYSICAL names on mapped
                   // tables; the scan translates its filters to match
-                  StatsSinks.appendBatchStats(frame, root, batchId,
+                  StatsSinks.appendBatchStats(framed2, root, batchId,
                     bloomColumns = bloomCols)
                   man.commit(batchId, Seq(s"$root/batch=$batchId"))
                 }
@@ -353,6 +379,12 @@ final class GraftManifestTable(tableSchema: StructType,
                   "would silently REPLACE the clone's inherited entry N " +
                   "(the read side refuses union tables for the same " +
                   "reason); materialize the clone (OPTIMIZE) first")
+            if (bucketSpec.isDefined)
+              throw new UnsupportedOperationException(
+                "graft-manifest: streaming sink into a bucketed table " +
+                  "is not supported — the sink's per-partition file " +
+                  "names are not bucket-indexed; stream into a plain " +
+                  "table and INSERT ... SELECT per epoch")
             tableSchema.fields.foreach { f =>
               org.apache.spark.sql.catalyst.util.IdentityColumn
                 .getIdentityInfo(f).foreach(_ =>
@@ -427,7 +459,8 @@ final class GraftManifestTable(tableSchema: StructType,
           GraftManifestSource.versionAsOf(options),
           GraftManifestSource.timestampAsOf(options),
           GraftManifestSource.atManifestVersion(options),
-          union = unionView)
+          union = unionView,
+          bucketBy = Option(options.get("bucketBy")).map(Bucketing.parse))
     }
   }
 }
@@ -440,9 +473,11 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
                               asOf: Option[Int] = None,
                               asOfTs: Option[Long] = None,
                               atVersion: Option[Long] = None,
-                              union: Boolean = false)
+                              union: Boolean = false,
+                              bucketBy: Option[Bucketing.Spec] = None)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   require(Seq(asOf, asOfTs, atVersion).count(_.isDefined) <= 1,
     "versionAsOf, timestampAsOf, and atVersion are mutually exclusive")
@@ -473,7 +508,12 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
     * output, so nothing prunable is lost). */
   override def filterAttributes()
     : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    required.fieldNames.map(
+    // bucketed scans opt OUT of runtime filtering: a filter arriving
+    // after planning would re-plan the memo and could change the
+    // reported bucket-group count out from under the SPJ planner.
+    // Static pushdown (stats/bloom) still applies before grouping.
+    if (bucketBy.isDefined) Array.empty
+    else required.fieldNames.map(
       org.apache.spark.sql.connector.expressions.Expressions.column)
   override def filter(runtime: Array[Filter]): Unit = synchronized {
     runtimeFilters = runtime
@@ -560,8 +600,33 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
       }
   }
 
+  /** Bucket groups for the SPJ report: per-file partitions grouped
+    * by the bucket id in their file names — None when the table is
+    * not bucketed or any file has a foreign layout (then the scan
+    * reports unknown partitioning, never a wrong one). Shares the
+    * parts memo, so the reported group count and the planned
+    * partitions always agree. */
+  private def bucketGroups: Option[Array[InputPartition]] =
+    bucketBy.flatMap(_ => Bucketing.groupByBucket(batchParts.collect {
+      case f: ManifestFilePartition => f: InputPartition
+    }))
+
+  override def outputPartitioning()
+    : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    (bucketBy, bucketGroups) match {
+      case (Some(b), Some(groups)) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(b.n, b.key)), groups.length)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(batchParts.length)
+    }
+
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] = batchParts
+    override def planInputPartitions(): Array[InputPartition] =
+      bucketGroups.getOrElse(batchParts)
     override def createReaderFactory(): PartitionReaderFactory = {
       // Spark refuses mixed row/columnar partitions: when any planned
       // file carries deletion-vector positions (row-path filtering),
@@ -829,8 +894,15 @@ final case class ManifestReaderFactory(
     dvRead: PartitionedFile => Iterator[InternalRow] = null,
     required: StructType = StructType(Nil)) extends PartitionReaderFactory {
 
-  private def fileOf(partition: InputPartition): (PartitionedFile, ManifestFilePartition) = {
-    val p = partition.asInstanceOf[ManifestFilePartition]
+  private def filesOf(partition: InputPartition): Array[ManifestFilePartition] =
+    partition match {
+      case b: Bucketing.BucketPartition => b.files
+      case m: ManifestFilePartition     => Array(m)
+      case other => throw new IllegalStateException(
+        s"unexpected partition type ${other.getClass.getName}")
+    }
+
+  private def fileOf(p: ManifestFilePartition): (PartitionedFile, ManifestFilePartition) =
     (PartitionedFile(
       partitionValues = InternalRow.empty,
       filePath = SparkPath.fromPathString(p.filePath),
@@ -839,12 +911,36 @@ final case class ManifestReaderFactory(
       locations = Array.empty,
       modificationTime = p.modificationTime,
       fileSize = p.length), p)
-  }
 
   private def metricsOf(p: ManifestFilePartition)
     : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(ManifestTaskMetric("manifestFilesRead", 1L),
       ManifestTaskMetric("manifestBytesRead", p.length))
+
+  /** One file's row iterator — DV positions dropped when present. */
+  private def rowsOfFile(p: ManifestFilePartition): Iterator[InternalRow] = {
+    val file = fileOf(p)._1
+    if (p.dvPositions.isEmpty)
+      read(file).asInstanceOf[Iterator[Any]].flatMap {
+        case cb: ColumnarBatch => cb.rowIterator().asScala
+        case row               => Iterator.single(row.asInstanceOf[InternalRow])
+      }
+    else {
+      // DV path: the reader GENERATES each row's file position as
+      // the appended row-index column (correct under row-group
+      // skipping); drop vectored positions, project the column away
+      val positions = p.dvPositions
+      val idxOrdinal = required.length
+      val project = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(required)
+      dvRead(file).asInstanceOf[Iterator[Any]].flatMap {
+        case cb: ColumnarBatch => cb.rowIterator().asScala
+        case row               => Iterator.single(row.asInstanceOf[InternalRow])
+      }.filter(r =>
+        java.util.Arrays.binarySearch(positions, r.getLong(idxOrdinal)) < 0)
+        .map(project)
+    }
+  }
 
   // uniform across partitions (Spark refuses mixed modes): the scan
   // builder disables columnar for the WHOLE scan when any planned
@@ -854,43 +950,44 @@ final case class ManifestReaderFactory(
 
   override def createColumnarReader(partition: InputPartition)
     : PartitionReader[ColumnarBatch] = {
-    val (file, p) = fileOf(partition)
+    val files = filesOf(partition)
     // the closure was built with returning_batch=true: elements ARE
-    // ColumnarBatches disguised behind the InternalRow signature
-    val batches = read(file).asInstanceOf[Iterator[ColumnarBatch]]
+    // ColumnarBatches disguised behind the InternalRow signature;
+    // a bucket partition concatenates its files' batches
+    val batches = files.iterator.flatMap(p =>
+      read(fileOf(p)._1).asInstanceOf[Iterator[ColumnarBatch]])
+    val metrics = Array[org.apache.spark.sql.connector.metric.CustomTaskMetric](
+      ManifestTaskMetric("manifestFilesRead", files.length.toLong),
+      ManifestTaskMetric("manifestBytesRead", files.map(_.length).sum))
     new PartitionReader[ColumnarBatch] {
       private var current: ColumnarBatch = _
       override def next(): Boolean =
         if (batches.hasNext) { current = batches.next(); true } else false
       override def get(): ColumnarBatch = current
       override def close(): Unit = ()
-      override def currentMetricsValues() = metricsOf(p)
+      override def currentMetricsValues() = metrics
     }
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val (file, p) = fileOf(partition)
-    val rows: Iterator[InternalRow] =
-      if (p.dvPositions.isEmpty)
-        read(file).asInstanceOf[Iterator[Any]].flatMap {
-          case cb: ColumnarBatch => cb.rowIterator().asScala
-          case row               => Iterator.single(row.asInstanceOf[InternalRow])
-        }
-      else {
-        // DV path: the reader GENERATES each row's file position as
-        // the appended row-index column (correct under row-group
-        // skipping); drop vectored positions, project the column away
-        val positions = p.dvPositions
-        val idxOrdinal = required.length
-        val project = org.apache.spark.sql.catalyst.expressions
-          .UnsafeProjection.create(required)
-        dvRead(file).asInstanceOf[Iterator[Any]].flatMap {
-          case cb: ColumnarBatch => cb.rowIterator().asScala
-          case row               => Iterator.single(row.asInstanceOf[InternalRow])
-        }.filter(r =>
-          java.util.Arrays.binarySearch(positions, r.getLong(idxOrdinal)) < 0)
-          .map(project)
+    val files = filesOf(partition)
+    if (files.length > 1) {
+      // bucket partition: concatenate the files' row iterators
+      val rows = files.iterator.flatMap(p => rowsOfFile(p))
+      val metrics = Array[org.apache.spark.sql.connector.metric.CustomTaskMetric](
+        ManifestTaskMetric("manifestFilesRead", files.length.toLong),
+        ManifestTaskMetric("manifestBytesRead", files.map(_.length).sum))
+      return new PartitionReader[InternalRow] {
+        private var current: InternalRow = _
+        override def next(): Boolean =
+          if (rows.hasNext) { current = rows.next(); true } else false
+        override def get(): InternalRow = current
+        override def close(): Unit = ()
+        override def currentMetricsValues() = metrics
       }
+    }
+    val p = files.head
+    val rows: Iterator[InternalRow] = rowsOfFile(p)
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =

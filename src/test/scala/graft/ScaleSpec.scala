@@ -438,6 +438,73 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("bucketed tables: storage-partitioned join and agg plan with no shuffle") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val wh = java.nio.file.Files.createTempDirectory("graft_bkt_wh_").toString
+    spark.conf.set("spark.sql.catalog.gbk", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbk.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      for (t <- Seq("a", "b")) {
+        GraftSql.execute(spark, s"DROP TABLE IF EXISTS gbk.$t")
+        GraftSql.execute(spark,
+          s"""CREATE TABLE gbk.$t (id BIGINT, v STRING) USING `graft-manifest`
+             |TBLPROPERTIES ('keys' = 'id', 'bucketBy' = '8,id')""".stripMargin)
+      }
+      spark.range(0, 100).selectExpr("id", "concat('a', id) AS v")
+        .createOrReplaceTempView("gbk_sa")
+      spark.range(50, 150).selectExpr("id", "concat('b', id) AS v")
+        .createOrReplaceTempView("gbk_sb")
+      GraftSql.execute(spark, "INSERT INTO gbk.a SELECT * FROM gbk_sa")
+      GraftSql.execute(spark, "INSERT INTO gbk.b SELECT * FROM gbk_sb")
+      // a second append per side: bucket groups span BATCHES
+      spark.range(1000, 1010).selectExpr("id", "concat('a', id) AS v")
+        .createOrReplaceTempView("gbk_sa2")
+      GraftSql.execute(spark, "INSERT INTO gbk.a SELECT * FROM gbk_sa2")
+
+      def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+        df.collect()
+        df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p                        => p
+        }
+      }
+      // the STORAGE-PARTITIONED JOIN: both sides report
+      // bucket(8, id) partitioning resolved through the catalog's
+      // bucket function — Spark joins the bucket groups directly,
+      // ZERO exchanges (at 100 TB: the fact tables never re-shuffle
+      // on a key they were ingested bucketed by)
+      val j = spark.sql(
+        "SELECT a.id, a.v, b.v AS w FROM gbk.a a JOIN gbk.b b ON a.id = b.id")
+      assert(j.count() == 50)
+      val jex = finalPlan(j).collectWithSubqueries {
+        case e: ShuffleExchangeExec => e }
+      assert(jex.isEmpty, s"SPJ expected no exchange:\n${finalPlan(j)}")
+      // correctness against the plain computed join
+      val got = spark.sql(
+        "SELECT a.id FROM gbk.a a JOIN gbk.b b ON a.id = b.id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == (50L until 100L).toSeq, got.take(10).toString)
+      // aggregation on the bucket column: the reported clustering
+      // satisfies the group-by distribution — no exchange either
+      val g = spark.sql("SELECT id, count(*) AS c FROM gbk.a GROUP BY id")
+      assert(g.count() == 110)
+      val gex = finalPlan(g).collectWithSubqueries {
+        case e: ShuffleExchangeExec => e }
+      assert(gex.isEmpty, s"bucketed agg expected no exchange:\n${finalPlan(g)}")
+      // merge-family verbs refuse with the layout rationale
+      val eUpd = intercept[Exception](GraftSql.execute(spark,
+        "UPDATE gbk.a SET v = 'x' WHERE id = 1"))
+      assert(eUpd.getMessage.contains("bucket"), eUpd.getMessage)
+      val eOpt = intercept[Exception](GraftSql.execute(spark,
+        "OPTIMIZE gbk.a"))
+      assert(eOpt.getMessage.contains("bucket"), eOpt.getMessage)
+      Seq("a", "b").foreach(t =>
+        GraftSql.execute(spark, s"DROP TABLE IF EXISTS gbk.$t"))
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("DSIR weights: the only data shuffle is the 256-bucket histogram") {
     // scoring must be a per-row fold over a BROADCAST weight map —
     // any exchange keyed on doc_id / token would mean the corpus is
