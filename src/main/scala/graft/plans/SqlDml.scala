@@ -1013,6 +1013,8 @@ object GraftInsertCommand {
         val framed = aligned.repartition(b.n, col(b.key))
         graft.sources.StatsSinks.appendBatchStats(framed, entry.root,
           batchId, bloomColumns = entry.bloomColumns)
+        graft.sources.Bucketing.writeMarker(
+          s"${entry.root}/batch=$batchId", b)
         beforeCommit(batchId)
         man.commit(batchId, Seq(s"${entry.root}/batch=$batchId"))
       case None if overwrite =>

@@ -86,20 +86,38 @@ object Bucketing {
         .GenericInternalRow(Array[Any](bucketId))
   }
 
-  /** Group per-file partitions by bucket id; None when ANY data file
-    * was not written through the bucketed path (foreign layout —
-    * report unknown partitioning rather than a wrong one). */
-  def groupByBucket(parts: Array[InputPartition])
+  /** Per-batch-dir LAYOUT MARKER (`_bucketed`, content `n,key`):
+    * written ONLY by the bucket-routing write paths, and demanded by
+    * the scan before it reports partitioning. Without it, ANY spark
+    * write's `part-i` file names would parse as bucket ids while the
+    * rows are NOT bucket-routed — the scan would report a clustering
+    * that is false and joins would silently drop matches. */
+  val Marker = "_bucketed"
+
+  def writeMarker(dir: String, spec: Spec): Unit =
+    graft.util.AtomicText.writeAtomically(s"$dir/$Marker", render(spec) + "\n")
+
+  def markerMatches(dir: String, spec: Spec): Boolean =
+    graft.util.AtomicText.readLines(s"$dir/$Marker").headOption
+      .contains(render(spec))
+
+  /** Group per-file partitions by bucket id; None — report unknown
+    * partitioning, never a wrong one — when any file's BATCH DIR
+    * lacks a matching layout marker or any file name does not parse. */
+  def groupByBucket(parts: Array[InputPartition], spec: Spec)
     : Option[Array[InputPartition]] = {
     val files = parts.map {
       case f: ManifestFilePartition => f
       case _                        => return None
     }
+    val dirs = files.map(f =>
+      f.filePath.substring(0, f.filePath.lastIndexOf('/'))).distinct
+    if (!dirs.forall(markerMatches(_, spec))) return None
     val withBucket = files.map { f =>
       val name = f.filePath.substring(f.filePath.lastIndexOf('/') + 1)
       bucketOfFile(name) match {
-        case Some(b) => b -> f
-        case None    => return None
+        case Some(b) if b < spec.n => b -> f
+        case _                     => return None
       }
     }
     Some(withBucket.groupBy(_._1).toArray.sortBy(_._1).map {

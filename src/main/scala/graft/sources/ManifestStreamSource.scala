@@ -216,6 +216,10 @@ final class GraftManifestTable(tableSchema: StructType,
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physSchema)
     Sinks.insertOverwrite(spark, empty, root, man, batchId)
+    // an empty dir is trivially bucket-consistent — marking it keeps
+    // the table's reported partitioning alive across TRUNCATE
+    bucketSpec.foreach(b =>
+      Bucketing.writeMarker(s"$root/batch=$batchId", b))
     true
   }
 
@@ -366,6 +370,8 @@ final class GraftManifestTable(tableSchema: StructType,
                   // tables; the scan translates its filters to match
                   StatsSinks.appendBatchStats(framed2, root, batchId,
                     bloomColumns = bloomCols)
+                  bucketSpec.foreach(b =>
+                    Bucketing.writeMarker(s"$root/batch=$batchId", b))
                   man.commit(batchId, Seq(s"$root/batch=$batchId"))
                 }
               }
@@ -607,9 +613,9 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
     * parts memo, so the reported group count and the planned
     * partitions always agree. */
   private def bucketGroups: Option[Array[InputPartition]] =
-    bucketBy.flatMap(_ => Bucketing.groupByBucket(batchParts.collect {
+    bucketBy.flatMap(b => Bucketing.groupByBucket(batchParts.collect {
       case f: ManifestFilePartition => f: InputPartition
-    }))
+    }, b))
 
   override def outputPartitioning()
     : org.apache.spark.sql.connector.read.partitioning.Partitioning =

@@ -445,6 +445,11 @@ class ScaleSpec extends SparkSuite {
     spark.conf.set("spark.sql.catalog.gbk", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.gbk.warehouse", wh)
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // the scan's OWN statistics would auto-broadcast these test-sized
+    // tables and hide whether SPJ engaged — force the shuffled-join
+    // path so a missing exchange proves storage partitioning
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
       for (t <- Seq("a", "b")) {
         GraftSql.execute(spark, s"DROP TABLE IF EXISTS gbk.$t")
@@ -470,6 +475,12 @@ class ScaleSpec extends SparkSuite {
           case p                        => p
         }
       }
+      // under AQE the final plan is query-stage LEAVES whose inner
+      // plans are invisible to collect — the printed tree (which
+      // inlines stages) is the reliable witness, the same string
+      // check the AQE skew test uses
+      def hasShuffle(df: org.apache.spark.sql.DataFrame): Boolean =
+        finalPlan(df).toString.contains("Exchange hashpartitioning")
       // the STORAGE-PARTITIONED JOIN: both sides report
       // bucket(8, id) partitioning resolved through the catalog's
       // bucket function — Spark joins the bucket groups directly,
@@ -478,9 +489,7 @@ class ScaleSpec extends SparkSuite {
       val j = spark.sql(
         "SELECT a.id, a.v, b.v AS w FROM gbk.a a JOIN gbk.b b ON a.id = b.id")
       assert(j.count() == 50)
-      val jex = finalPlan(j).collectWithSubqueries {
-        case e: ShuffleExchangeExec => e }
-      assert(jex.isEmpty, s"SPJ expected no exchange:\n${finalPlan(j)}")
+      assert(!hasShuffle(j), s"SPJ expected no exchange:\n${finalPlan(j)}")
       // correctness against the plain computed join
       val got = spark.sql(
         "SELECT a.id FROM gbk.a a JOIN gbk.b b ON a.id = b.id")
@@ -490,9 +499,26 @@ class ScaleSpec extends SparkSuite {
       // satisfies the group-by distribution — no exchange either
       val g = spark.sql("SELECT id, count(*) AS c FROM gbk.a GROUP BY id")
       assert(g.count() == 110)
-      val gex = finalPlan(g).collectWithSubqueries {
-        case e: ShuffleExchangeExec => e }
-      assert(gex.isEmpty, s"bucketed agg expected no exchange:\n${finalPlan(g)}")
+      assert(!hasShuffle(g),
+        s"bucketed agg expected no exchange:\n${finalPlan(g)}")
+      // a FOREIGN batch (raw append, not bucket-routed — no layout
+      // marker) degrades the REPORT, never the results: the scan
+      // falls back to unknown partitioning, the join shuffles again,
+      // and every row still matches. Without the marker gate this
+      // batch's part-file names would masquerade as bucket ids and
+      // the join would silently DROP matches.
+      graft.sources.Sinks.appendBatch(
+        Seq((50L, "raw")).toDF("id", "v"), s"$wh/a", 99)
+      new graft.sources.TxnManifest(s"$wh/a/_commits")
+        .commit(99, Seq(s"$wh/a/batch=99"))
+      val j2 = spark.sql(
+        "SELECT a.id FROM gbk.a a JOIN gbk.b b ON a.id = b.id")
+      val got2 = j2.collect().map(_.getLong(0)).sorted.toSeq
+      assert(got2 == (50L +: (50L until 100L)).sorted.toSeq, // 50 twice
+        got2.take(10).toString)
+      assert(hasShuffle(j2),
+        s"foreign batch must degrade to a shuffle:\n${finalPlan(j2)}")
+
       // merge-family verbs refuse with the layout rationale
       val eUpd = intercept[Exception](GraftSql.execute(spark,
         "UPDATE gbk.a SET v = 'x' WHERE id = 1"))
@@ -502,7 +528,11 @@ class ScaleSpec extends SparkSuite {
       assert(eOpt.getMessage.contains("bucket"), eOpt.getMessage)
       Seq("a", "b").foreach(t =>
         GraftSql.execute(spark, s"DROP TABLE IF EXISTS gbk.$t"))
-    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
   }
 
   test("DSIR weights: the only data shuffle is the 256-bucket histogram") {
