@@ -676,6 +676,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             meta.contains("schemaLog")),
           "graft catalog: columnMapping and schemaEvolution are mutually " +
             "exclusive — mapped tables evolve through ALTER TABLE ADD COLUMN")
+        require(!(sp.property() == "deletionVectors" && sp.value() == "true" &&
+            meta.get("bucketBy").exists(_.nonEmpty)),
+          "graft catalog: bucketBy and deletionVectors are mutually " +
+            "exclusive — DV merges rewrite files outside the bucketed " +
+            "write path (same rule as CREATE)")
         newMeta += (sp.property() -> sp.value())
       case rp: TableChange.RemoveProperty =>
         require(behaviorProps.contains(rp.property()),

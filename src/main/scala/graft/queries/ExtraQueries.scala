@@ -430,6 +430,9 @@ object ExtraQueries {
     // RESULT under the driver's hash gate.
     "sk2_bucketed_join" -> ((s, d) => {
       import graft.plans.GraftSql
+      // stays set for the session: the returned frame plans lazily
+      // (after this function returns), and the conf is inert for
+      // every non-bucketed table (no reported partitioning to use)
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       val cat = "graft"
       s.conf.set(s"spark.sql.catalog.$cat",

@@ -466,7 +466,7 @@ final class GraftManifestTable(tableSchema: StructType,
           GraftManifestSource.timestampAsOf(options),
           GraftManifestSource.atManifestVersion(options),
           union = unionView,
-          bucketBy = Option(options.get("bucketBy")).map(Bucketing.parse))
+          bucketBy = bucketSpec)
     }
   }
 }
@@ -524,6 +524,7 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
   override def filter(runtime: Array[Filter]): Unit = synchronized {
     runtimeFilters = runtime
     partsMemo = null // next planInputPartitions re-plans with them
+    groupsMemo = None
   }
   @volatile private var runtimeFilters: Array[Filter] = Array.empty
   override def readSchema(): StructType = required
@@ -609,13 +610,20 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
   /** Bucket groups for the SPJ report: per-file partitions grouped
     * by the bucket id in their file names — None when the table is
     * not bucketed or any file has a foreign layout (then the scan
-    * reports unknown partitioning, never a wrong one). Shares the
-    * parts memo, so the reported group count and the planned
-    * partitions always agree. */
-  private def bucketGroups: Option[Array[InputPartition]] =
-    bucketBy.flatMap(b => Bucketing.groupByBucket(batchParts.collect {
-      case f: ManifestFilePartition => f: InputPartition
-    }, b))
+    * reports unknown partitioning, never a wrong one). Memoized WITH
+    * the parts memo (same lock, cleared together), so the reported
+    * group count and the planned partitions always agree AND the
+    * per-dir marker reads (one tiny object-store round trip per
+    * batch dir) are paid once per scan, not once per planner call. */
+  @volatile private var groupsMemo: Option[Option[Array[InputPartition]]] = None
+  private def bucketGroups: Option[Array[InputPartition]] = synchronized {
+    if (groupsMemo.isEmpty)
+      groupsMemo = Some(bucketBy.flatMap(b =>
+        Bucketing.groupByBucket(batchParts.collect {
+          case f: ManifestFilePartition => f: InputPartition
+        }, b)))
+    groupsMemo.get
+  }
 
   override def outputPartitioning()
     : org.apache.spark.sql.connector.read.partitioning.Partitioning =
@@ -976,31 +984,21 @@ final case class ManifestReaderFactory(
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    // one concatenating body serves both shapes: a single file and a
+    // bucket partition's file group (one-file groups reduce to the
+    // plain per-file read and metrics)
     val files = filesOf(partition)
-    if (files.length > 1) {
-      // bucket partition: concatenate the files' row iterators
-      val rows = files.iterator.flatMap(p => rowsOfFile(p))
-      val metrics = Array[org.apache.spark.sql.connector.metric.CustomTaskMetric](
-        ManifestTaskMetric("manifestFilesRead", files.length.toLong),
-        ManifestTaskMetric("manifestBytesRead", files.map(_.length).sum))
-      return new PartitionReader[InternalRow] {
-        private var current: InternalRow = _
-        override def next(): Boolean =
-          if (rows.hasNext) { current = rows.next(); true } else false
-        override def get(): InternalRow = current
-        override def close(): Unit = ()
-        override def currentMetricsValues() = metrics
-      }
-    }
-    val p = files.head
-    val rows: Iterator[InternalRow] = rowsOfFile(p)
+    val rows = files.iterator.flatMap(p => rowsOfFile(p))
+    val metrics = Array[org.apache.spark.sql.connector.metric.CustomTaskMetric](
+      ManifestTaskMetric("manifestFilesRead", files.length.toLong),
+      ManifestTaskMetric("manifestBytesRead", files.map(_.length).sum))
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =
         if (rows.hasNext) { current = rows.next(); true } else false
       override def get(): InternalRow = current
       override def close(): Unit = ()
-      override def currentMetricsValues() = metricsOf(p)
+      override def currentMetricsValues() = metrics
     }
   }
 }

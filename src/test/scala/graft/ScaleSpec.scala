@@ -13,6 +13,11 @@ import graft.sources.Sinks
 class ScaleSpec extends SparkSuite {
   import spark.implicits._
 
+  /** Messages of a throwable and its whole cause chain. */
+  private def exMessageChain(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+      .flatMap(e => Option(e.getMessage)).toSeq
+
   test("saltedJoin == plain join on skewed data") {
     // one hot key (90% of rows) + long tail
     val fact = ((1 to 900).map(i => (7L, i.toLong)) ++
@@ -519,13 +524,59 @@ class ScaleSpec extends SparkSuite {
       assert(hasShuffle(j2),
         s"foreign batch must degrade to a shuffle:\n${finalPlan(j2)}")
 
-      // merge-family verbs refuse with the layout rationale
-      val eUpd = intercept[Exception](GraftSql.execute(spark,
-        "UPDATE gbk.a SET v = 'x' WHERE id = 1"))
-      assert(eUpd.getMessage.contains("bucket"), eUpd.getMessage)
-      val eOpt = intercept[Exception](GraftSql.execute(spark,
-        "OPTIMIZE gbk.a"))
-      assert(eOpt.getMessage.contains("bucket"), eOpt.getMessage)
+      // the FULL refusal matrix: every rewrite-shaped verb names the
+      // bucket layout as its reason
+      spark.range(0, 1).selectExpr("id", "'u' AS v")
+        .createOrReplaceTempView("gbk_upd")
+      for ((label, stmt) <- Seq(
+        "update" -> "UPDATE gbk.a SET v = 'x' WHERE id = 1",
+        "delete" -> "DELETE FROM gbk.a WHERE id = 1",
+        "merge" -> ("MERGE INTO gbk.a AS t USING gbk_upd AS s " +
+          "ON t.id = s.id WHEN MATCHED THEN UPDATE SET t.v = s.v"),
+        "optimize" -> "OPTIMIZE gbk.a",
+        "insert overwrite" ->
+          "INSERT OVERWRITE gbk.a SELECT * FROM gbk_sa")) {
+        val e = intercept[Exception](GraftSql.execute(spark, stmt))
+        assert(e.getMessage.toLowerCase.contains("bucket"),
+          s"$label: ${e.getMessage}")
+      }
+      // streaming sink refuses; CREATE-time combos refuse
+      val eStream = intercept[Exception] {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val ms = MemoryStream[(Long, String)]
+        val q = ms.toDF().toDF("id", "v").writeStream
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("gbk_ck_").toString)
+          .toTable("gbk.a")
+        try { ms.addData((1L, "s")); q.processAllAvailable() }
+        finally q.stop()
+      }
+      assert(exMessageChain(eStream).exists(_.contains("bucket")),
+        eStream.getMessage)
+      for (bad <- Seq("'columnMapping' = 'true'", "'deletionVectors' = 'true'")) {
+        val e = intercept[Exception](GraftSql.execute(spark,
+          s"""CREATE TABLE gbk.bad (id BIGINT) USING `graft-manifest`
+             |TBLPROPERTIES ('keys' = 'id', 'bucketBy' = '4,id', $bad)
+             |""".stripMargin))
+        assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
+      }
+      // ... and the ALTER route cannot re-introduce DV on a bucketed table
+      val eAlter = intercept[Exception](spark.sql(
+        "ALTER TABLE gbk.a SET TBLPROPERTIES ('deletionVectors' = 'true')"))
+      assert(eAlter.getMessage.contains("mutually exclusive"), eAlter.getMessage)
+
+      // the NATIVE (non-statement) append also bucket-routes + marks:
+      // SPJ must survive a df.writeTo append
+      spark.range(2000, 2010).selectExpr("id", "concat('n', id) AS v")
+        .writeTo("gbk.a").append()
+      val j3 = spark.sql(
+        "SELECT a.id FROM gbk.a a JOIN gbk.b b ON a.id = b.id")
+      j3.collect()
+      // j3 includes batch=99's foreign dir, so partitioning stays
+      // degraded — but after dropping to just-marked batches it
+      // would return; here we assert correctness only
+      assert(j3.count() == 51)
       Seq("a", "b").foreach(t =>
         GraftSql.execute(spark, s"DROP TABLE IF EXISTS gbk.$t"))
     } finally {
