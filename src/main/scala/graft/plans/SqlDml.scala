@@ -1261,10 +1261,23 @@ final case class GraftOptimizeCommand(table: String,
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     if (entry.isClone) { materializeClone(spark); return Seq.empty }
-    require(entry.bucketBy.isEmpty,
-      s"OPTIMIZE $table: bucketed tables support append-shaped writes " +
-        "only (round-8 scope) — a compaction rewrite would break the " +
-        "bucket layout invariant")
+    // bucketed tables compact through the BUCKET-PRESERVING rewrite:
+    // same repartition routing as every bucketed write, one file per
+    // bucket, marker carried — SPJ survives, and a foreign batch is
+    // healed back into the layout. ZORDER refuses (a z-order sort
+    // would destroy the bucket routing).
+    entry.bucketBy.foreach { b =>
+      require(zorderCols.isEmpty,
+        s"OPTIMIZE $table: ZORDER BY on a bucketed table is not " +
+          "supported — the z-order sort would destroy the bucket " +
+          "routing the table's joins rely on")
+      val man2 = new TxnManifest(entry.manifestPath)
+      val ids2 = man2.committed().keySet
+      require(ids2.nonEmpty,
+        s"OPTIMIZE $table: nothing committed yet — the table is empty")
+      Sinks.compactBucketed(spark, entry.root, man2, ids2.max + 1, b)
+      return Seq.empty
+    }
     val man = new TxnManifest(entry.manifestPath)
     val ids = man.committed().keySet
     require(ids.nonEmpty,

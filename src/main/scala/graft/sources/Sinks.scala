@@ -139,6 +139,33 @@ object Sinks {
     manifest.replaceAll(root, compactId, Seq(target))
   }
 
+  /** Bucket-preserving compaction — [[compact]] for `bucketBy`
+    * tables: the rewrite `repartition(n, key)`s (the same routing
+    * every bucketed write uses), so the compacted batch carries one
+    * right-sized file per bucket AND the layout marker — the
+    * storage-partitioned-join report survives compaction, and a
+    * FOREIGN batch (raw append without the marker) is HEALED back
+    * into the bucketed layout by the rewrite. */
+  def compactBucketed(spark: org.apache.spark.sql.SparkSession, root: String,
+                      manifest: TxnManifest, compactId: Int,
+                      spec: Bucketing.Spec): Unit =
+    withJobDescription(spark,
+      s"graft: bucketed-compact $root -> batch=$compactId") {
+    val (dirs, dvDirs) = splitDv(manifest.committedDirs(root))
+    require(dirs.nonEmpty, s"nothing committed under $root to compact")
+    val target = s"$root/batch=$compactId"
+    require(!dirs.contains(target), s"compactId $compactId is a live batch")
+    val all = applyDv(spark, readDirs(spark, dirs, None), dvDirs)
+    all.repartition(spec.n, col(spec.key))
+      .write.mode(SaveMode.Overwrite).parquet(target)
+    BatchStats.writeSidecar(spark, target)
+    BloomIndex.carryOver(spark, dirs, target)
+    Bucketing.writeMarker(target, spec)
+    writeNoChangeMarker(spark, root, compactId)
+    writeFeedMarker(root, compactId, manifest, dirs.toSet)
+    manifest.replaceAll(root, compactId, Seq(target))
+  }
+
   /** Delta's `dataChange = false`: maintenance rewrites the SAME rows,
     * so the change feed must serve ZERO deltas for its commit — an
     * empty CDF sidecar is exactly that marker. Without it,
