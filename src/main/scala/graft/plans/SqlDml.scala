@@ -415,10 +415,6 @@ object GraftDml {
       // a columnMapping table merges in LOGICAL space — the statement
       // keeps working across renames — and translates to physical
       // names only at the Sinks.merge boundary (the file layer)
-      require(entry.bucketBy.isEmpty,
-        s"MERGE INTO $table: bucketed tables support append-shaped " +
-          "writes only (round-8 scope) — a merge rewrite would break " +
-          "the bucket layout invariant")
       // IDENTITY tables refuse MERGE wholesale (Delta's historical
       // restriction): the insert arm would need allocation and SET *
       // would clobber allocated values — INSERT / UPDATE / DELETE
@@ -575,7 +571,8 @@ object GraftDml {
       mapLog match {
         case None =>
           Sinks.merge(spark, ups, delKeys, entry.root, man, keys, mergeId,
-            cdf = entry.cdf, unionRoots = entry.isClone)
+            cdf = entry.cdf, unionRoots = entry.isClone,
+            bucketBy = entry.bucketBy)
         case Some(log) =>
           val phys = physicalizer(table, log)
           Sinks.merge(spark, ups.map(phys.frame), delKeys.map(phys.frame),
@@ -583,9 +580,6 @@ object GraftDml {
             physSchema = Some(phys.physSchema))
       }
     case GraftUpdateSpec(table, entry, assigns, condSql) =>
-      require(entry.bucketBy.isEmpty,
-        s"UPDATE $table: bucketed tables support append-shaped writes " +
-          "only (round-8 scope)")
       val man = new TxnManifest(entry.manifestPath)
       val mergeId = nextBatchId(man)
       val mapLog = mappedLogOf(table, entry)
@@ -639,11 +633,8 @@ object GraftDml {
       else
         Sinks.mergeUpsert(spark, ups, entry.root, man, physKeys, mergeId,
           cdf = entry.cdf, unionRoots = entry.isClone,
-          physSchema = physSchema)
+          physSchema = physSchema, bucketBy = entry.bucketBy)
     case GraftDeleteSpec(table, entry, condSql) =>
-      require(entry.bucketBy.isEmpty,
-        s"DELETE FROM $table: bucketed tables support append-shaped " +
-          "writes only (round-8 scope)")
       val man = new TxnManifest(entry.manifestPath)
       val mergeId = nextBatchId(man)
       val mapLog = mappedLogOf(table, entry)
@@ -668,7 +659,7 @@ object GraftDml {
       else
         Sinks.mergeDelete(spark, delKeys, entry.root, man, physKeys, mergeId,
           cdf = entry.cdf, unionRoots = entry.isClone,
-          physSchema = physSchema)
+          physSchema = physSchema, bucketBy = entry.bucketBy)
   }
 
   /** The committed view a DML statement evaluates against — a SHALLOW
@@ -1007,9 +998,12 @@ object GraftInsertCommand {
         // part-file index in the name IS the bucket id the scan
         // groups on. Explicit numPartitions keeps AQE from coalescing
         // the 1:1 partition↔bucket mapping away.
-        require(!overwrite,
-          s"INSERT OVERWRITE on bucketed table $table is not supported " +
-            "(round-8 scope) — TRUNCATE TABLE, then INSERT")
+        if (overwrite) {
+          beforeCommit(batchId)
+          Sinks.insertOverwrite(spark, aligned, entry.root, man, batchId,
+            bucketBy = Some(b))
+          return
+        }
         val framed = aligned.repartition(b.n, col(b.key))
         graft.sources.StatsSinks.appendBatchStats(framed, entry.root,
           batchId, bloomColumns = entry.bloomColumns)

@@ -132,7 +132,7 @@ final class GraftManifestTable(tableSchema: StructType,
   override def canDeleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
     : Boolean =
-    !unionView && bucketSpec.isEmpty && deleteKeys.nonEmpty &&
+    !unionView && deleteKeys.nonEmpty &&
       predicates.forall(p =>
       org.apache.spark.sql.graftbridge.PredicateBridge.toV1(p)
         .exists(f => GraftManifestSource.filterColumn(f).isDefined))
@@ -187,7 +187,8 @@ final class GraftManifestTable(tableSchema: StructType,
         cdf = cdf, physSchema = physSchema)
     else
       Sinks.mergeDelete(spark, delKeys, root, man, physKeys, mergeId,
-        cdf = cdf, physSchema = physSchema)
+        cdf = cdf, physSchema = physSchema,
+        bucketBy = Option(options.get("bucketBy")).map(Bucketing.parse))
   }
 
   private def deleteKeys: Seq[String] =
@@ -358,12 +359,8 @@ final class GraftManifestTable(tableSchema: StructType,
                       "only un-name the clone's own dirs, leaving " +
                       "inherited source rows visible; materialize " +
                       "the clone (OPTIMIZE) first")
-                  require(bucketSpec.isEmpty,
-                    "graft-manifest: INSERT OVERWRITE on a bucketed " +
-                      "table is not supported (round-8 scope) — " +
-                      "TRUNCATE TABLE, then INSERT")
                   Sinks.insertOverwrite(data.sparkSession, frame, root, man,
-                    batchId)
+                    batchId, bucketBy = bucketSpec)
                 }
                 else {
                   // stats sidecars carry PHYSICAL names on mapped

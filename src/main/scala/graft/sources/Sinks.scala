@@ -345,13 +345,16 @@ object Sinks {
     * the Delta `overwriteSchema`-replace semantics. */
   def insertOverwrite(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
                       root: String, manifest: TxnManifest,
-                      batchId: Int): Unit =
+                      batchId: Int,
+                      bucketBy: Option[Bucketing.Spec] = None): Unit =
     withJobDescription(spark, s"graft: insert-overwrite $root -> batch=$batchId") {
     val dirs = manifest.committedDirs(root)
     val target = s"$root/batch=$batchId"
     require(!dirs.contains(target), s"batchId $batchId is a live batch")
-    df.write.mode(SaveMode.Overwrite).parquet(target)
+    val out = bucketBy.fold(df)(b => df.repartition(b.n, col(b.key)))
+    out.write.mode(SaveMode.Overwrite).parquet(target)
     BatchStats.writeSidecar(spark, target)
+    bucketBy.foreach(b => Bucketing.writeMarker(target, b))
     if (dirs.nonEmpty)
       writeFeedMarker(root, batchId, manifest, dirs.toSet)
     manifest.replaceAll(root, batchId, Seq(target))
@@ -599,10 +602,11 @@ object Sinks {
                   root: String, manifest: TxnManifest, keys: Seq[String],
                   mergeId: Int, cdf: Boolean = false,
                   unionRoots: Boolean = false,
-                  physSchema: Option[org.apache.spark.sql.types.StructType] = None)
+                  physSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                  bucketBy: Option[Bucketing.Spec] = None)
     : Unit =
     merge(spark, Some(updates), None, root, manifest, keys, mergeId, cdf,
-      unionRoots, physSchema)
+      unionRoots, physSchema, bucketBy)
 
   /** Row-level DELETE — `MERGE ... WHEN MATCHED THEN DELETE` (the
     * opt-out/takedown purge a training corpus needs as a first-class
@@ -613,10 +617,11 @@ object Sinks {
                   deleteKeys: DataFrame, root: String, manifest: TxnManifest,
                   keys: Seq[String], mergeId: Int, cdf: Boolean = false,
                   unionRoots: Boolean = false,
-                  physSchema: Option[org.apache.spark.sql.types.StructType] = None)
+                  physSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                  bucketBy: Option[Bucketing.Spec] = None)
     : Unit =
     merge(spark, None, Some(deleteKeys), root, manifest, keys, mergeId, cdf,
-      unionRoots, physSchema)
+      unionRoots, physSchema, bucketBy)
 
   /** The MERGE engine: upsert arm, delete arm, or both in one commit
     * (Delta `WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN NOT
@@ -672,7 +677,8 @@ object Sinks {
             root: String, manifest: TxnManifest, keys: Seq[String],
             mergeId: Int, cdf: Boolean = false,
             unionRoots: Boolean = false,
-            physSchema: Option[org.apache.spark.sql.types.StructType] = None)
+            physSchema: Option[org.apache.spark.sql.types.StructType] = None,
+            bucketBy: Option[Bucketing.Spec] = None)
     : Unit =
     withJobDescription(spark, s"graft: merge $root -> batch=$mergeId") {
     import org.apache.spark.sql.functions.{count, lit}
@@ -762,14 +768,21 @@ object Sinks {
       if (affectedDirs.isEmpty) currentAll.limit(0)
       else applyDv(spark, readDirs(spark, affectedDirs, physSchema), dvDirs)
     val kept = affected.join(allKeys, keys, "left_anti")
-    val merged = ups.fold(kept)(u =>
+    val merged0 = ups.fold(kept)(u =>
       kept.unionByName(u, allowMissingColumns = true))
+    // bucketed tables: the rewrite batch routes through the same
+    // repartition every bucketed write uses (+ the layout marker
+    // below), so the merge output joins exchange-free like any other
+    // batch — copy-on-write preserves the layout
+    val merged = bucketBy.fold(merged0)(b =>
+      merged0.repartition(b.n, col(b.key)))
     merged.write.mode(SaveMode.Overwrite).parquet(target)
     // rewritten dirs may have carried stats sidecars — the merge
     // output keeps the table skippable (cheap footer pass), and any
     // bloom coverage the rewritten dirs carried is rebuilt with it
     BatchStats.writeSidecar(spark, target)
     BloomIndex.carryOver(spark, affectedDirs, target)
+    bucketBy.foreach(b => Bucketing.writeMarker(target, b))
 
     if (cdf) {
       val ct = (t: String) => lit(t).as(ChangeTypeCol)

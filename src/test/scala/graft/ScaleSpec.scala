@@ -524,22 +524,15 @@ class ScaleSpec extends SparkSuite {
       assert(hasShuffle(j2),
         s"foreign batch must degrade to a shuffle:\n${finalPlan(j2)}")
 
-      // the FULL refusal matrix: every rewrite-shaped verb names the
-      // bucket layout as its reason
-      spark.range(0, 1).selectExpr("id", "'u' AS v")
-        .createOrReplaceTempView("gbk_upd")
-      for ((label, stmt) <- Seq(
-        "update" -> "UPDATE gbk.a SET v = 'x' WHERE id = 1",
-        "delete" -> "DELETE FROM gbk.a WHERE id = 1",
-        "merge" -> ("MERGE INTO gbk.a AS t USING gbk_upd AS s " +
-          "ON t.id = s.id WHEN MATCHED THEN UPDATE SET t.v = s.v"),
-        "optimize zorder" -> "OPTIMIZE gbk.a ZORDER BY (id)",
-        "insert overwrite" ->
-          "INSERT OVERWRITE gbk.a SELECT * FROM gbk_sa")) {
-        val e = intercept[Exception](GraftSql.execute(spark, stmt))
-        assert(e.getMessage.toLowerCase.contains("bucket"),
-          s"$label: ${e.getMessage}")
-      }
+      // the rewrite-shaped DML verbs are BUCKET-PRESERVING: each
+      // rewrite batch routes through the same repartition + layout
+      // marker, so results change and SPJ keeps planning shuffle-free
+      // (run after the OPTIMIZE below heals the foreign batch; here
+      // they run first against the marked-batches-only view)
+      // remaining refusals: ZORDER (the sort would destroy routing)
+      val eZo = intercept[Exception](GraftSql.execute(spark,
+        "OPTIMIZE gbk.a ZORDER BY (id)"))
+      assert(eZo.getMessage.toLowerCase.contains("bucket"), eZo.getMessage)
       // streaming sink refuses; CREATE-time combos refuse
       val eStream = intercept[Exception] {
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -585,6 +578,29 @@ class ScaleSpec extends SparkSuite {
       assert(j4.count() == 51)
       assert(!hasShuffle(j4),
         s"OPTIMIZE must restore SPJ:\n${finalPlan(j4)}")
+      // ... and so are MERGE / UPDATE / DELETE / INSERT OVERWRITE:
+      // each rewrite lands marked, results change, SPJ persists
+      spark.range(0, 1).selectExpr("id + 60 AS id", "'m' AS v")
+        .createOrReplaceTempView("gbk_m")
+      GraftSql.execute(spark,
+        """MERGE INTO gbk.a AS t USING gbk_m AS s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+      GraftSql.execute(spark, "UPDATE gbk.a SET v = 'u' WHERE id = 61")
+      GraftSql.execute(spark, "DELETE FROM gbk.a WHERE id = 62")
+      val j5 = spark.sql(
+        "SELECT a.id, a.v FROM gbk.a a JOIN gbk.b b ON a.id = b.id")
+      val j5got = j5.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(j5got(60L) == "m" && j5got(61L) == "u" &&
+        !j5got.contains(62L) && j5.count() == 50)
+      assert(!hasShuffle(j5),
+        s"bucketed DML must preserve SPJ:\n${finalPlan(j5)}")
+      GraftSql.execute(spark,
+        "INSERT OVERWRITE gbk.a SELECT * FROM gbk_sa")
+      val j6 = spark.sql(
+        "SELECT a.id FROM gbk.a a JOIN gbk.b b ON a.id = b.id")
+      assert(j6.count() == 50)
+      assert(!hasShuffle(j6),
+        s"bucketed INSERT OVERWRITE must preserve SPJ:\n${finalPlan(j6)}")
       Seq("a", "b").foreach(t =>
         GraftSql.execute(spark, s"DROP TABLE IF EXISTS gbk.$t"))
     } finally {
