@@ -583,26 +583,80 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
       }
       // atVersion = a MANIFEST version (DESCRIBE HISTORY's numbers —
       // the SQL `VERSION AS OF` face); timestampAsOf resolves to one
-      atVersion.orElse(asOfTs.map(manifest.versionAt)) match {
-        case Some(version) =>
-          val dirs = manifest.stateAt(version).toSeq
-            .sortBy(_._1).flatMap(_._2).filter(_.startsWith(root + "/"))
-          // same loud failure readCommittedAtVersion raises for this
-          // state — an empty scan would misread "no table yet at that
-          // time" as "table was empty at that time"
-          if (dirs.isEmpty)
-            throw new IllegalStateException(
-              s"nothing committed under $root at manifest version $version")
-          GraftManifestSource.partitionsForDirs(manifest, dirs, filters)
-        case None if union =>
-          // shallow clone: the view spans the source's root (inherited
-          // dirs) and the clone's own — readCommittedUnion as DSv2
-          GraftManifestSource.partitionsForDirs(manifest,
-            manifest.committedDirsAll(), filters)
-        case None => GraftManifestSource.partitionsFor(
-          manifest, root, Int.MinValue, asOf.getOrElse(Int.MaxValue), filters)
-      }
+      val parts =
+        atVersion.orElse(asOfTs.map(manifest.versionAt)) match {
+          case Some(version) =>
+            val dirs = manifest.stateAt(version).toSeq
+              .sortBy(_._1).flatMap(_._2).filter(_.startsWith(root + "/"))
+            // same loud failure readCommittedAtVersion raises for this
+            // state — an empty scan would misread "no table yet at that
+            // time" as "table was empty at that time"
+            if (dirs.isEmpty)
+              throw new IllegalStateException(
+                s"nothing committed under $root at manifest version $version")
+            GraftManifestSource.partitionsForDirs(manifest, dirs, filters)
+          case None if union =>
+            // shallow clone: the view spans the source's root (inherited
+            // dirs) and the clone's own — readCommittedUnion as DSv2
+            GraftManifestSource.partitionsForDirs(manifest,
+              manifest.committedDirsAll(), filters)
+          case None => GraftManifestSource.partitionsFor(
+            manifest, root, Int.MinValue, asOf.getOrElse(Int.MaxValue), filters)
+        }
+      pruneByBucket(parts)
   }
+
+  /** BUCKET PRUNING — the free point-lookup win of the bucketed
+    * layout: an equality / IN filter on the bucket key can only match
+    * rows in the value's bucket(s), so every OTHER bucket's files
+    * drop from the plan before stats or blooms even look. The same
+    * routing function the writer used computes the target bucket
+    * (null-keyed values included — the writer routed them through the
+    * identical hash-of-null), and only files in MARKED dirs prune
+    * (a foreign batch's names prove nothing about its rows). n-fold
+    * scan reduction on keyed lookups, composing with the sidecar
+    * skipping that runs after. */
+  private def pruneByBucket(parts: Array[InputPartition]): Array[InputPartition] =
+    bucketBy match {
+      case None => parts
+      case Some(b) =>
+        val keyType = dataSchema.fields
+          .find(_.name.equalsIgnoreCase(b.key)).map(_.dataType)
+        val targets: Option[Set[Int]] = keyType.flatMap { dt =>
+          val sets = pushed.toSeq.collect {
+            case org.apache.spark.sql.sources.EqualTo(a, v)
+              if a.equalsIgnoreCase(b.key) =>
+              Set(Bucketing.bucketOf(
+                org.apache.spark.sql.catalyst.CatalystTypeConverters
+                  .convertToCatalyst(v), dt, b.n))
+            case org.apache.spark.sql.sources.In(a, vs)
+              if a.equalsIgnoreCase(b.key) =>
+              vs.map(v => Bucketing.bucketOf(
+                org.apache.spark.sql.catalyst.CatalystTypeConverters
+                  .convertToCatalyst(v), dt, b.n)).toSet
+          }
+          // AND semantics across pushed filters: intersect
+          sets.reduceOption(_ intersect _)
+        }
+        targets match {
+          case None => parts
+          case Some(ts) =>
+            val markerMemo = scala.collection.mutable.Map.empty[String, Boolean]
+            parts.filter {
+              case f: ManifestFilePartition =>
+                val dir = f.filePath.substring(0, f.filePath.lastIndexOf('/'))
+                val marked = markerMemo.getOrElseUpdate(dir,
+                  Bucketing.markerMatches(dir, b))
+                if (!marked) true // foreign layout: never prune on names
+                else {
+                  val name = f.filePath
+                    .substring(f.filePath.lastIndexOf('/') + 1)
+                  Bucketing.bucketOfFile(name).forall(ts.contains)
+                }
+              case _ => true
+            }
+        }
+    }
 
   /** Bucket groups for the SPJ report: per-file partitions grouped
     * by the bucket id in their file names — None when the table is

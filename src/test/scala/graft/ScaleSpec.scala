@@ -610,6 +610,38 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("bucket pruning: an equality lookup on the bucket key reads one bucket's files") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val wh = java.nio.file.Files.createTempDirectory("graft_bkp_wh_").toString
+    spark.conf.set("spark.sql.catalog.gbp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbp.warehouse", wh)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gbp.t")
+    GraftSql.execute(spark,
+      """CREATE TABLE gbp.t (id BIGINT, v STRING) USING `graft-manifest`
+        |TBLPROPERTIES ('keys' = 'id', 'bucketBy' = '8,id')""".stripMargin)
+    spark.range(0, 512).selectExpr("id", "concat('v', id) AS v")
+      .createOrReplaceTempView("gbp_src")
+    GraftSql.execute(spark, "INSERT INTO gbp.t SELECT * FROM gbp_src")
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectWithSubqueries {
+        case s: BatchScanExec => s }
+        .map(_.metrics("manifestFilesRead").value).sum
+    }
+    val all = filesRead(spark.sql("SELECT id FROM gbp.t"))
+    assert(all == 8, s"expected 8 bucket files, read $all")
+    // point lookup: ONE bucket's file planned, value still found
+    val one = spark.sql("SELECT v FROM gbp.t WHERE id = 137")
+    assert(one.collect().map(_.getString(0)).toSeq == Seq("v137"))
+    assert(filesRead(spark.sql("SELECT v FROM gbp.t WHERE id = 137")) == 1)
+    // IN-list: at most |values| buckets
+    val inl = spark.sql("SELECT v FROM gbp.t WHERE id IN (3, 137, 500)")
+    assert(inl.count() == 3)
+    assert(filesRead(inl) <= 3)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gbp.t")
+  }
+
   test("DSIR weights: the only data shuffle is the 256-bucket histogram") {
     // scoring must be a per-row fold over a BROADCAST weight map —
     // any exchange keyed on doc_id / token would mean the corpus is
