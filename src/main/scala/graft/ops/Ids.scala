@@ -68,7 +68,18 @@ object Ids {
     require(batchId >= 0 && batchId < (1L << 30),
       s"identity batch id $batchId outside [0, 2^30)")
     val order = df.columns.toSeq
-    val without = df.drop(idCol)
+    // zipWithIndex runs TWO jobs over the input (partition counts,
+    // then the id-assigning write) — a nondeterministic source
+    // (rand(), an unordered LIMIT) could size partitions differently
+    // between them and collide one partition's id range with the
+    // next's. Pin nondeterministic inputs once (batch-sized by the
+    // insert contract); deterministic plans skip the materialization.
+    val deterministic = df.queryExecution.analyzed.collectFirst {
+      case p if p.expressions.exists(e =>
+        e.exists(!_.deterministic)) => p
+    }.isEmpty
+    val src = if (deterministic) df else df.localCheckpoint(eager = true)
+    val without = src.drop(idCol)
     val schema = StructType(without.schema.fields :+
       StructField(idCol, LongType, nullable = false))
     val withIds = without.queryExecution.toRdd.zipWithIndex()
@@ -98,5 +109,19 @@ object Ids {
       }
     PlanBridge.ofInternalRows(df.sparkSession, withIds, schema)
       .select(order.map(c => org.apache.spark.sql.functions.col(c)): _*)
+  }
+
+  /** Explicitly-provided IDENTITY values must not be NULL: the column
+    * is implicitly NOT NULL (Delta's rule) — a null id would quietly
+    * undermine the uniqueness/monotonicity contract the allocator
+    * certifies. One `limit(1)` probe over the batch. */
+  def requireNoNullIdentity(table: String, df: DataFrame,
+                            idCol: String): Unit = {
+    val bad = df.where(org.apache.spark.sql.functions.col(idCol).isNull)
+      .limit(1).count()
+    require(bad == 0,
+      s"INSERT into $table: IDENTITY column '$idCol' received an explicit " +
+        "NULL — identity columns are implicitly NOT NULL; omit the column " +
+        "to let the engine allocate")
   }
 }

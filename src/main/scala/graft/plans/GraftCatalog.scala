@@ -506,23 +506,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           "expressions")
     }
     val schemaLogPath = if (mapping) Some(s"$root/_schema_log") else None
-    // bucketBy: hash-bucketed layout for storage-partitioned joins —
-    // append-shaped writes only (merge-family verbs refuse), so the
-    // combinations that rewrite files refuse up front
+    // bucketBy: hash-bucketed layout for storage-partitioned joins.
+    // Composes with columnMapping (markers carry the immutable
+    // PHYSICAL key names, so renames never detach the layout) and
+    // with deletionVectors (DV deletes move no rows; DV updates'
+    // appended batches bucket-route like any other write).
     val bucketBy = prop("bucketBy").map(graft.sources.Bucketing.parse)
-    bucketBy.foreach { b =>
-      require(schema.fieldNames.exists(_.equalsIgnoreCase(b.key)),
-        s"graft catalog: bucketBy names '${b.key}', absent from the " +
+    bucketBy.foreach(_.keys.foreach { k =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(k)),
+        s"graft catalog: bucketBy names '$k', absent from the " +
           s"schema (${schema.fieldNames.mkString(", ")})")
-      require(!mapping,
-        "graft catalog: bucketBy and columnMapping are mutually " +
-          "exclusive — bucket layout keys on a physical column layout " +
-          "renames would detach")
-      require(!prop("deletionVectors").exists(_.toBoolean),
-        "graft catalog: bucketBy and deletionVectors are mutually " +
-          "exclusive in round 8 — DV merges rewrite files outside the " +
-          "bucketed write path")
-    }
+    })
     // clusterBy: declared clustering columns — a bare OPTIMIZE
     // maintains this z-order (Delta's liquid-clustering UX)
     val clusterBy = prop("clusterBy").toSeq.flatMap(_.split(','))
@@ -615,7 +609,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             }
         val ref = ("(?i)(?<![A-Za-z0-9_`])" +
           java.util.regex.Pattern.quote(from) + "(?![A-Za-z0-9_`])").r
-        require(!exprSqls.exists(e => ref.findFirstIn(e).isDefined),
+        // backtick-QUOTED references (CHECK (`v` > 0)) must hit the
+        // guard too: the quoted form slips past the word-boundary
+        // lookarounds, so scan with the backticks blanked out —
+        // tokens never merge (each backtick becomes a separator)
+        require(!exprSqls.exists(e =>
+            ref.findFirstIn(e.replace('`', ' ')).isDefined),
           s"graft catalog: cannot RENAME '$from' — a CHECK constraint, " +
             "GENERATED expression, or DEFAULT references it by name; " +
             "drop the referencing constraint/column first")
@@ -632,6 +631,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (ks.exists(_.equalsIgnoreCase(from)))
           newMeta += ("keys" -> ks.map(k =>
             if (k.equalsIgnoreCase(from)) r.newName() else k).mkString(","))
+        // the rename follows into the bucket spec too (the spec's
+        // keys are LOGICAL; the recorded layout markers carry the
+        // immutable physical twins, so nothing on disk moves)
+        newMeta.get("bucketBy").filter(_.nonEmpty)
+          .map(graft.sources.Bucketing.parse)
+          .filter(_.keys.exists(_.equalsIgnoreCase(from)))
+          .foreach { b =>
+            newMeta += ("bucketBy" -> graft.sources.Bucketing.render(
+              b.copy(keys = b.keys.map(k =>
+                if (k.equalsIgnoreCase(from)) r.newName() else k))))
+          }
       case a: TableChange.AddColumn =>
         require(a.position() == null,
           "graft catalog: ADD COLUMN FIRST/AFTER is not supported — " +
@@ -642,6 +652,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!keysOf(newMeta).exists(_.equalsIgnoreCase(c)),
           s"graft catalog: cannot DROP merge-key column '$c' — row " +
             "identity would be undefined; change keys first")
+        require(!newMeta.get("bucketBy").filter(_.nonEmpty)
+            .map(graft.sources.Bucketing.parse)
+            .exists(_.keys.exists(_.equalsIgnoreCase(c))),
+          s"graft catalog: cannot DROP bucket-key column '$c' — the " +
+            "bucketed layout routes every write and join on it")
         log.drop(c)
       // ALTER COLUMN c TYPE <t> — WIDEN-ONLY retype (Delta's
       // type-widening feature): metadata-only, zero files touched;
@@ -649,7 +664,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       // reader promotes narrower old files. Narrowing refuses inside
       // SchemaLog.retype.
       case t: TableChange.UpdateColumnType =>
-        log.retype(single(t.fieldNames(), "retype"), t.newDataType())
+        val rc = single(t.fieldNames(), "retype")
+        // a bucket key's TYPE is part of the routing function:
+        // murmur3 of the same value differs between int and bigint,
+        // so a widen-only retype of the key would silently mis-route
+        // every existing file's bucket — the one widen that refuses
+        require(!newMeta.get("bucketBy").filter(_.nonEmpty)
+            .map(graft.sources.Bucketing.parse)
+            .exists(_.keys.exists(_.equalsIgnoreCase(rc))),
+          s"graft catalog: cannot retype bucket-key column '$rc' — " +
+            "murmur3 hashes int and bigint values differently, so the " +
+            "widened key would mis-route existing buckets; re-create " +
+            "the table with the wider key type")
+        log.retype(rc, t.newDataType())
       case sp: TableChange.SetProperty if sp.property() == "clusterBy" =>
         // re-clustering declaration: takes effect at the next bare
         // OPTIMIZE (Delta's ALTER TABLE ... CLUSTER BY shape)
@@ -676,11 +703,6 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             meta.contains("schemaLog")),
           "graft catalog: columnMapping and schemaEvolution are mutually " +
             "exclusive — mapped tables evolve through ALTER TABLE ADD COLUMN")
-        require(!(sp.property() == "deletionVectors" && sp.value() == "true" &&
-            meta.get("bucketBy").exists(_.nonEmpty)),
-          "graft catalog: bucketBy and deletionVectors are mutually " +
-            "exclusive — DV merges rewrite files outside the bucketed " +
-            "write path (same rule as CREATE)")
         newMeta += (sp.property() -> sp.value())
       case rp: TableChange.RemoveProperty =>
         require(behaviorProps.contains(rp.property()),

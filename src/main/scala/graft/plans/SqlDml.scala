@@ -209,7 +209,13 @@ object GraftDml {
   def translate(plan: LogicalPlan): Option[GraftDmlSpec] = plan match {
     case m: MergeIntoTable =>
       relationName(m.targetTable).flatMap { tgt =>
-        GraftSqlTables.lookup(tgt).map { entry =>
+        GraftSqlTables.lookup(tgt).map { entry0 =>
+          // `MERGE ... WITH SCHEMA EVOLUTION` (Delta's per-statement
+          // clause): source-only columns evolve the table for THIS
+          // statement, on top of the table-level registration opt-in
+          val entry =
+            if (m.withSchemaEvolution) entry0.copy(schemaEvolution = true)
+            else entry0
           val name = tgt.mkString(".")
           val (srcName, srcAlias) = sourceOf(name, m.sourceTable)
           val keys = keysOf(name, m.mergeCondition)
@@ -577,7 +583,8 @@ object GraftDml {
           val phys = physicalizer(table, log)
           Sinks.merge(spark, ups.map(phys.frame), delKeys.map(phys.frame),
             entry.root, man, keys.map(phys.column), mergeId, cdf = entry.cdf,
-            physSchema = Some(phys.physSchema))
+            physSchema = Some(phys.physSchema),
+            bucketBy = entry.bucketBy.map(phys.bucket))
       }
     case GraftUpdateSpec(table, entry, assigns, condSql) =>
       val man = new TxnManifest(entry.manifestPath)
@@ -618,26 +625,52 @@ object GraftDml {
         }.toIndexedSeq: _*))
       graft.sources.CheckConstraints.enforce(table,
         GraftSqlTables.writeChecks(entry), ups0, "UPDATE")
-      val (ups, physKeys, physSchema) = mapLog match {
-        case None => (ups0, entry.keys, None)
+      val (ups, physKeys, physSchema, physBucket) = mapLog match {
+        case None => (ups0, entry.keys, None, entry.bucketBy)
         case Some(log) =>
           val phys = physicalizer(table, log)
           (phys.frame(ups0), entry.keys.map(phys.column),
-            Some(phys.physSchema))
+            Some(phys.physSchema), entry.bucketBy.map(phys.bucket))
       }
       // deletionVectors registration makes UPDATE merge-on-read too:
       // old versions vectored, new versions appended, O(changed rows)
       if (entry.deletionVectors)
         Sinks.mergeUpdateDV(spark, ups, entry.root, man, physKeys, mergeId,
-          cdf = entry.cdf, physSchema = physSchema)
+          cdf = entry.cdf, physSchema = physSchema, bucketBy = physBucket)
       else
         Sinks.mergeUpsert(spark, ups, entry.root, man, physKeys, mergeId,
           cdf = entry.cdf, unionRoots = entry.isClone,
-          physSchema = physSchema, bucketBy = entry.bucketBy)
+          physSchema = physSchema, bucketBy = physBucket)
     case GraftDeleteSpec(table, entry, condSql) =>
       val man = new TxnManifest(entry.manifestPath)
       val mergeId = nextBatchId(man)
       val mapLog = mappedLogOf(table, entry)
+      // RETENTION fast path — the O(1) aged-slice drop: when the
+      // predicate translates to exact V1 filters and the stats
+      // sidecars prove every dir fully-covered-or-untouched, the
+      // delete is ONE metadata swap (zero data files read/written,
+      // Sinks.retentionDelete). cdf tables and clones take the
+      // row-level path (the feed needs deltas; clones span roots).
+      val fastDone = !entry.cdf && !entry.isClone &&
+        GraftDml.simpleFilters(condSql).exists { fs0 =>
+          val (fsPhys, physSchemaF, physBucketF) = mapLog match {
+            case None => (Some(fs0), None, entry.bucketBy)
+            case Some(log) =>
+              val cols = log.current()._2
+              val t = graft.sources.GraftManifestSource
+                .translateFilters(fs0, cols)
+              // EVERY conjunct must survive translation — a dropped
+              // one would widen the predicate and delete live rows
+              (if (t.length == fs0.length) Some(t) else None,
+                Some(graft.sources.SchemaLog.physicalSchema(cols)),
+                entry.bucketBy.map(b => b.copy(keys = b.keys.map(k =>
+                  cols.find(_.logical.equalsIgnoreCase(k))
+                    .map(_.physical).getOrElse(k)))))
+          }
+          fsPhys.exists(f => Sinks.retentionDelete(spark, entry.root, man,
+            mergeId, f, physSchema = physSchemaF, bucketBy = physBucketF))
+        }
+      if (fastDone) return
       val cur = mapLog match {
         case Some(log) =>
           graft.sources.SchemaLog.readCommittedMapped(spark, entry.root,
@@ -646,12 +679,12 @@ object GraftDml {
       }
       val delKeys0 = cur.where(expr(condSql))
         .select(entry.keys.map(col): _*).distinct()
-      val (delKeys, physKeys, physSchema) = mapLog match {
-        case None => (delKeys0, entry.keys, None)
+      val (delKeys, physKeys, physSchema, physBucket) = mapLog match {
+        case None => (delKeys0, entry.keys, None, entry.bucketBy)
         case Some(log) =>
           val phys = physicalizer(table, log)
           (phys.frame(delKeys0), entry.keys.map(phys.column),
-            Some(phys.physSchema))
+            Some(phys.physSchema), entry.bucketBy.map(phys.bucket))
       }
       if (entry.deletionVectors)
         Sinks.mergeDeleteDV(spark, delKeys, entry.root, man, physKeys,
@@ -659,7 +692,61 @@ object GraftDml {
       else
         Sinks.mergeDelete(spark, delKeys, entry.root, man, physKeys, mergeId,
           cdf = entry.cdf, unionRoots = entry.isClone,
-          physSchema = physSchema, bucketBy = entry.bucketBy)
+          physSchema = physSchema, bucketBy = physBucket)
+  }
+
+  /** The DELETE condition as exact V1 filters — simple comparisons
+    * of a column against a literal, combined with AND/OR, nothing
+    * else: the retention fast path must never widen OR narrow the
+    * predicate, so any shape without a perfect filter twin yields
+    * None (the row-level delete takes over). */
+  private[plans] def simpleFilters(condSql: String)
+    : Option[Seq[org.apache.spark.sql.sources.Filter]] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.{sources => fs}
+    def attr(e: ce.Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(a.nameParts.head)
+      case _ => None
+    }
+    def litOf(e: ce.Expression): Option[Any] = e match {
+      case ce.Literal(v, dt) if v != null =>
+        Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(v, dt))
+      case _ => None
+    }
+    def one(e: ce.Expression): Option[fs.Filter] = e match {
+      case ce.LessThan(a, v) =>
+        (for { c <- attr(a); x <- litOf(v) } yield fs.LessThan(c, x))
+          .orElse(for { c <- attr(v); x <- litOf(a) } yield fs.GreaterThan(c, x))
+      case ce.LessThanOrEqual(a, v) =>
+        (for { c <- attr(a); x <- litOf(v) } yield fs.LessThanOrEqual(c, x))
+          .orElse(for { c <- attr(v); x <- litOf(a) }
+            yield fs.GreaterThanOrEqual(c, x))
+      case ce.GreaterThan(a, v) =>
+        (for { c <- attr(a); x <- litOf(v) } yield fs.GreaterThan(c, x))
+          .orElse(for { c <- attr(v); x <- litOf(a) } yield fs.LessThan(c, x))
+      case ce.GreaterThanOrEqual(a, v) =>
+        (for { c <- attr(a); x <- litOf(v) } yield fs.GreaterThanOrEqual(c, x))
+          .orElse(for { c <- attr(v); x <- litOf(a) }
+            yield fs.LessThanOrEqual(c, x))
+      case ce.EqualTo(a, v) =>
+        (for { c <- attr(a); x <- litOf(v) } yield fs.EqualTo(c, x))
+          .orElse(for { c <- attr(v); x <- litOf(a) } yield fs.EqualTo(c, x))
+      case ce.In(a, vs) =>
+        for { c <- attr(a)
+              xs <- Some(vs.map(litOf)) if xs.forall(_.isDefined) }
+          yield fs.In(c, xs.map(_.get).toArray)
+      case ce.IsNull(a)    => attr(a).map(fs.IsNull)
+      case ce.IsNotNull(a) => attr(a).map(fs.IsNotNull)
+      case ce.And(l, r) => for { x <- one(l); y <- one(r) } yield fs.And(x, y)
+      case ce.Or(l, r)  => for { x <- one(l); y <- one(r) } yield fs.Or(x, y)
+      case _ => None
+    }
+    val parsed =
+      try CatalystSqlParser.parseExpression(condSql)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    one(parsed).map(Seq(_))
   }
 
   /** The committed view a DML statement evaluates against — a SHALLOW
@@ -718,6 +805,10 @@ object GraftDml {
             s"(have: ${cols.map(_.logical).mkString(", ")})"))
     def frame(df: DataFrame): DataFrame =
       df.select(df.columns.map(c => col(c).as(column(c))).toIndexedSeq: _*)
+    /** The bucket spec's PHYSICAL twin — what the Sinks layer routes
+      * and marks with. */
+    def bucket(b: graft.sources.Bucketing.Spec): graft.sources.Bucketing.Spec =
+      b.copy(keys = b.keys.map(column))
   }
 
   private def physicalizer(table: String,
@@ -908,12 +999,14 @@ object GraftInsertCommand {
     def provided(c: String) =
       insertCols.forall(_.exists(_.equalsIgnoreCase(c)))
     idents.foreach { case (c, spec) =>
-      if (provided(c))
+      if (provided(c)) {
         require(spec.isAllowExplicitInsert,
           s"INSERT into $table: column '$c' is GENERATED ALWAYS AS " +
             "IDENTITY — omit it from an explicit column list and the " +
             "engine allocates (GENERATED BY DEFAULT accepts explicit " +
             "values)")
+        graft.ops.Ids.requireNoNullIdentity(table, aligned, c)
+      }
     }
     idents.filterNot(i => provided(i._1)).foldLeft(aligned) {
       case (df, (c, spec)) =>
@@ -957,15 +1050,34 @@ object GraftInsertCommand {
           GraftSqlTables.writeChecks(entry), aligned, "INSERT into")
         val physical = aligned.select(cols.map(c =>
           col(c.logical).as(c.physical)).toIndexedSeq: _*)
+        // bucketed + mapped: route on the PHYSICAL key names (same
+        // values, so the same murmur3 routing the scan reports under
+        // the logical names) — markers record physical identity
+        val physBucket = entry.bucketBy.map(b => b.copy(keys =
+          b.keys.map(k => cols.find(_.logical.equalsIgnoreCase(k))
+            .map(_.physical).getOrElse(throw new IllegalArgumentException(
+              s"INSERT into $table: bucketBy key '$k' is not in the " +
+                "table's column mapping")))))
         if (overwrite) {
           beforeCommit(batchId)
-          Sinks.insertOverwrite(spark, physical, entry.root, man, batchId)
+          Sinks.insertOverwrite(spark, physical, entry.root, man, batchId,
+            bucketBy = physBucket)
         } else {
+          val framed = physBucket.fold(physical)(b =>
+            graft.sources.Bucketing.routed(physical, b))
           // stats sidecars carry PHYSICAL names; the mapped scan
           // translates its pushed filters to match, so data skipping
           // holds on mapped tables too
-          graft.sources.StatsSinks.appendBatchStats(physical, entry.root,
-            batchId)
+          physBucket match {
+            case Some(_) => graft.sources.Bucketing.withStablePartitions(spark) {
+              graft.sources.StatsSinks.appendBatchStats(framed, entry.root,
+                batchId)
+            }
+            case None => graft.sources.StatsSinks.appendBatchStats(framed,
+              entry.root, batchId)
+          }
+          physBucket.foreach(b => graft.sources.Bucketing
+            .writeMarkerWithFiles(spark, s"${entry.root}/batch=$batchId", b))
           beforeCommit(batchId)
           man.commit(batchId, Seq(s"${entry.root}/batch=$batchId"))
         }
@@ -1004,10 +1116,12 @@ object GraftInsertCommand {
             bucketBy = Some(b))
           return
         }
-        val framed = aligned.repartition(b.n, col(b.key))
-        graft.sources.StatsSinks.appendBatchStats(framed, entry.root,
-          batchId, bloomColumns = entry.bloomColumns)
-        graft.sources.Bucketing.writeMarker(
+        val framed = graft.sources.Bucketing.routed(aligned, b)
+        graft.sources.Bucketing.withStablePartitions(spark) {
+          graft.sources.StatsSinks.appendBatchStats(framed, entry.root,
+            batchId, bloomColumns = entry.bloomColumns)
+        }
+        graft.sources.Bucketing.writeMarkerWithFiles(spark,
           s"${entry.root}/batch=$batchId", b)
         beforeCommit(batchId)
         man.commit(batchId, Seq(s"${entry.root}/batch=$batchId"))
@@ -1269,7 +1383,22 @@ final case class GraftOptimizeCommand(table: String,
       val ids2 = man2.committed().keySet
       require(ids2.nonEmpty,
         s"OPTIMIZE $table: nothing committed yet — the table is empty")
-      Sinks.compactBucketed(spark, entry.root, man2, ids2.max + 1, b)
+      // mapped tables compact under physical names: the rewrite reads
+      // with the explicit physical schema and routes on the physical
+      // key twins (what the markers record)
+      val (bPhys, physSchema2) = entry.schemaLogPath match {
+        case None => (b, None)
+        case Some(p) =>
+          val cols = new graft.sources.SchemaLog(p).current()._2
+          (b.copy(keys = b.keys.map(k =>
+            cols.find(_.logical.equalsIgnoreCase(k)).map(_.physical)
+              .getOrElse(throw new IllegalArgumentException(
+                s"OPTIMIZE $table: bucketBy key '$k' is not in the " +
+                  "table's column mapping")))),
+            Some(graft.sources.SchemaLog.physicalSchema(cols)))
+      }
+      Sinks.compactBucketed(spark, entry.root, man2, ids2.max + 1, bPhys,
+        physSchema = physSchema2)
       return Seq.empty
     }
     val man = new TxnManifest(entry.manifestPath)

@@ -465,6 +465,117 @@ object ExtraQueries {
            |ON o.o_orderkey = r.l_orderkey""".stripMargin)
     }),
 
+    // Composite-key storage-partitioned join (round 9): tables
+    // bucketed on the PRODUCT grid '4,l_orderkey,l_linenumber' — one
+    // bucket(4, key) transform reported per key (Spark's SPJ planner
+    // accepts only single-column transforms), files carrying the
+    // flat grid index routed through DirectShufflePartitionID. The
+    // two-key join then plans with zero exchanges (ScaleSpec pins
+    // the plan); this query puts the RESULT under the hash gate.
+    "sk3_bucketed_multikey" -> ((s, d) => {
+      import graft.plans.GraftSql
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val cat = "graft"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.plans.GraftCatalog].getName)
+      if (s.conf.getOption(s"spark.sql.catalog.$cat.warehouse").isEmpty)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_sk3_wh_").toString)
+      // the synthetic lineitem is NOT unique on (orderkey, lineno):
+      // pre-aggregate each side so the composite-key join is 1:1
+      Tables.lineitem(s, d).groupBy("l_orderkey", "l_linenumber")
+        .agg(Repair.decSum(col("l_quantity")).as("l_quantity"))
+        .createOrReplaceTempView("sk3_q")
+      Tables.lineitem(s, d).groupBy("l_orderkey", "l_linenumber")
+        .agg(Repair.decSum(col("l_extendedprice")).as("l_extendedprice"))
+        .createOrReplaceTempView("sk3_p")
+      GraftSql.execute(s, s"DROP TABLE IF EXISTS $cat.mkq")
+      GraftSql.execute(s, s"DROP TABLE IF EXISTS $cat.mkp")
+      GraftSql.execute(s,
+        s"""CREATE TABLE $cat.mkq (l_orderkey BIGINT, l_linenumber INT,
+           |  l_quantity DOUBLE) USING `graft-manifest`
+           |TBLPROPERTIES ('keys' = 'l_orderkey,l_linenumber',
+           |  'bucketBy' = '4,l_orderkey,l_linenumber')""".stripMargin)
+      GraftSql.execute(s,
+        s"""CREATE TABLE $cat.mkp (l_orderkey BIGINT, l_linenumber INT,
+           |  l_extendedprice DOUBLE) USING `graft-manifest`
+           |TBLPROPERTIES ('keys' = 'l_orderkey,l_linenumber',
+           |  'bucketBy' = '4,l_orderkey,l_linenumber')""".stripMargin)
+      GraftSql.execute(s, s"INSERT INTO $cat.mkq SELECT * FROM sk3_q")
+      GraftSql.execute(s, s"INSERT INTO $cat.mkp SELECT * FROM sk3_p")
+      GraftSql.execute(s,
+        s"""SELECT q.l_orderkey, q.l_linenumber, q.l_quantity,
+           |  p.l_extendedprice
+           |FROM $cat.mkq q JOIN $cat.mkp p
+           |ON q.l_orderkey = p.l_orderkey
+           |AND q.l_linenumber = p.l_linenumber""".stripMargin)
+    }),
+
+    // Bucket-pruned point lookup (round 9): the ScaleSpec pin proves
+    // the 1-of-n file read; THIS query puts the pruned scan's
+    // RESULTS under the driver's hash gate — the failure class
+    // pruning can introduce is wrong rows, exactly what the gate
+    // catches.
+    "sk4_bucket_pruned_lookup" -> ((s, d) => {
+      import graft.plans.GraftSql
+      val cat = "graft"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.plans.GraftCatalog].getName)
+      if (s.conf.getOption(s"spark.sql.catalog.$cat.warehouse").isEmpty)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_sk4_wh_").toString)
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .createOrReplaceTempView("sk4_src")
+      GraftSql.execute(s, s"DROP TABLE IF EXISTS $cat.bkp")
+      GraftSql.execute(s,
+        s"""CREATE TABLE $cat.bkp (o_orderkey BIGINT, o_totalprice DOUBLE)
+           |USING `graft-manifest`
+           |TBLPROPERTIES ('keys' = 'o_orderkey',
+           |  'bucketBy' = '16,o_orderkey')""".stripMargin)
+      GraftSql.execute(s, s"INSERT INTO $cat.bkp SELECT * FROM sk4_src")
+      GraftSql.execute(s,
+        s"""SELECT o_orderkey, o_totalprice FROM $cat.bkp
+           |WHERE o_orderkey IN (1, 7, 32, 33, 64, 12345, 999999)
+           |""".stripMargin)
+    }),
+
+    // Bucketed × columnMapping × DV (round 9 flagship composition):
+    // the long-lived 100 TB fact table's real life — created
+    // bucketed WITH column mapping and deletion vectors, its bucket
+    // key RENAMED mid-life (metadata-only: markers carry immutable
+    // physical ids), a DV DELETE (no file rewritten — rows cannot
+    // move, so the layout holds trivially) and a DV UPDATE (the
+    // appended version batch bucket-routes like any write). ScaleSpec
+    // pins the zero-exchange join; this query hash-gates the
+    // surviving CONTENT under the post-rename logical names.
+    "sk5_bucketed_mapped_dv" -> ((s, d) => {
+      import graft.plans.GraftSql
+      val cat = "graft"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.plans.GraftCatalog].getName)
+      if (s.conf.getOption(s"spark.sql.catalog.$cat.warehouse").isEmpty)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_sk5_wh_").toString)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .createOrReplaceTempView("sk5_src")
+      GraftSql.execute(s, s"DROP TABLE IF EXISTS $cat.bmd")
+      GraftSql.execute(s,
+        s"""CREATE TABLE $cat.bmd (o_orderkey BIGINT, status STRING,
+           |  price DOUBLE) USING `graft-manifest`
+           |TBLPROPERTIES ('keys' = 'o_orderkey',
+           |  'bucketBy' = '8,o_orderkey', 'columnMapping' = 'true',
+           |  'deletionVectors' = 'true')""".stripMargin)
+      GraftSql.execute(s, s"INSERT INTO $cat.bmd SELECT * FROM sk5_src")
+      s.sql(s"ALTER TABLE $cat.bmd RENAME COLUMN status TO st")
+      GraftSql.execute(s,
+        s"DELETE FROM $cat.bmd WHERE o_orderkey % 7 = 0")
+      GraftSql.execute(s,
+        s"UPDATE $cat.bmd SET price = price * 2 WHERE o_orderkey % 10 = 0")
+      GraftSql.execute(s,
+        s"SELECT o_orderkey, st, price FROM $cat.bmd")
+    }),
+
     // Staged conversion funnel (signup → first later view → first
     // later purchase): each stage is a per-user min over the events
     // AFTER the previous stage's timestamp, left-joined so drop-off
@@ -808,6 +919,21 @@ object ExtraQueries {
         |    AS rev
         |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |GROUP BY o.o_orderkey, o.o_totalprice""".stripMargin,
+    "sk3_bucketed_multikey" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS l_quantity,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS l_extendedprice
+        |FROM lineitem GROUP BY l_orderkey, l_linenumber""".stripMargin,
+    "sk4_bucket_pruned_lookup" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (1, 7, 32, 33, 64, 12345, 999999)""".stripMargin,
+    "sk5_bucketed_mapped_dv" ->
+      """SELECT o_orderkey, o_orderstatus AS st,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS price
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
     // The salted plan must be INVISIBLE in the result: the oracle is
     // the plain unsalted join + group-by.
     "sk1_skew_salted" ->

@@ -1801,6 +1801,86 @@ object PipelineQueries {
       SchemaLog.readCommittedMapped(s, rootB, new TxnManifest(manBPath), log)
     }),
 
+    // Streaming write INTO a BUCKETED table (round 9): the sink
+    // declares clustered-on-key distribution with exactly n required
+    // partitions, so Spark routes every epoch through the same
+    // HashPartitioning repartition a statement INSERT applies —
+    // partition id = bucket id, verified PER ROW task-side, recorded
+    // as the explicit file → bucket map in the epoch's layout marker.
+    // "Pay the fact-table shuffle once" therefore holds on the
+    // STREAMING ingest path too (ScaleSpec pins the zero-exchange
+    // join on a streamed-in table); the oracle certifies content.
+    "st12_bucketed_sink" -> ((s, d) => {
+      import graft.sources.{Sinks, TxnManifest}
+      val ev = Tables.events(s, d)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_bs_").toString
+      val rootA = s"$base/in"
+      val manA = new TxnManifest(s"$base/man_a.tsv")
+      val slice = (i: Int) => ev.filter(pmod(col("event_id"), lit(3)) === i)
+        .select("event_id", "user_id", "value")
+      for (i <- 0 to 1) {
+        Sinks.appendBatch(slice(i), rootA, i)
+        manA.commit(i, Seq(s"$rootA/batch=$i"))
+      }
+      val rootB = s"$base/out"
+      val manBPath = s"$base/man_b.tsv"
+      val q = s.readStream.format("graft-manifest")
+        .option("manifest", s"$base/man_a.tsv").load(rootA)
+        .writeStream.format("graft-manifest")
+        .option("manifest", manBPath)
+        .option("path", rootB)
+        .option("bucketBy", "8,event_id")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        Sinks.appendBatch(slice(2), rootA, 9)
+        manA.commit(9, Seq(s"$rootA/batch=9"))
+        q.processAllAvailable()
+      } finally q.stop()
+      // the read goes through the bucketed DSv2 scan (bucket groups
+      // reported from the epoch markers' file maps)
+      s.read.format("graft-manifest").option("manifest", manBPath)
+        .option("bucketBy", "8,event_id").load(rootB)
+        .select("event_id", "user_id", "value")
+    }),
+
+    // RETENTION fast delete (round 9): date-sliced ingest (one batch
+    // per year band — the daily-partition shape at test scale), then
+    // `DELETE WHERE o_orderdate < cutoff`. The stats sidecars prove
+    // every batch either fully covered or untouched, so the delete
+    // commits as ONE metadata swap — zero data files read or written
+    // (ScaleSpec pins the zero-read property; Sinks.retentionDelete).
+    // This is the O(1) aged-slice drop `PARTITIONED BY` tables get
+    // from directory naming, recovered from stats alone. The oracle
+    // recomputes the surviving rows.
+    "s32_retention_delete" -> ((s, d) => {
+      import graft.plans.{GraftSql, GraftSqlTables}
+      import graft.sources.{Sinks, StatsSinks, TxnManifest}
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s32_").toString
+      val root = s"$base/t"
+      val man = new TxnManifest(s"$base/manifest.tsv")
+      val cuts = Seq("1994-01-01", "1996-01-01")
+      val bands = Seq(
+        o.filter(col("o_orderdate") < lit(cuts(0)).cast("date")),
+        o.filter(col("o_orderdate") >= lit(cuts(0)).cast("date") &&
+          col("o_orderdate") < lit(cuts(1)).cast("date")),
+        o.filter(col("o_orderdate") >= lit(cuts(1)).cast("date")))
+      bands.zipWithIndex.foreach { case (b, i) =>
+        StatsSinks.appendBatchStats(b, root, i)
+        man.commit(i, Seq(s"$root/batch=$i"))
+      }
+      GraftSqlTables.register("s32_t", GraftSqlTables.Entry(root,
+        s"$base/manifest.tsv", keys = Seq("o_orderkey")))
+      GraftSql.execute(s,
+        "DELETE FROM s32_t WHERE o_orderdate < DATE '1996-01-01'")
+      Sinks.readCommitted(s, root, man)
+    }),
+
     // Event-time tumbling-window aggregation — batch form of the
     // Structured Streaming query in `graft.streaming` (SURVEY §2.9:
     // the reference's poll loop is hand-rolled micro-batching; this is
@@ -2530,6 +2610,11 @@ object PipelineQueries {
         |FROM events""".stripMargin,
     "st11_mapped_sink" ->
       """SELECT event_id, user_id, value AS amount FROM events""".stripMargin,
+    "st12_bucketed_sink" ->
+      """SELECT event_id, user_id, value FROM events""".stripMargin,
+    "s32_retention_delete" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01'""".stripMargin,
     "st1_time_bucket" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start, event_type,
         |  count(*) AS n,

@@ -455,6 +455,60 @@ object BatchStats {
       case _         => false
     }
   }
+
+  /** Provable FULL coverage — the dual of [[excludes]]: TRUE only
+    * when EVERY row of the file satisfies `f`, from bounds + null
+    * counts alone. The retention fast-path uses it to un-name whole
+    * dirs without reading a byte; false negatives only cost the fast
+    * path (the row-level delete takes over), false positives would
+    * DELETE LIVE ROWS — so every branch demands a zero null count
+    * (comparisons are null-rejecting: one NULL row breaks coverage)
+    * and bounds that provably pin every value. Sidecar bounds cover
+    * every row group by construction ([[writeSidecar]] drops a
+    * column whose coverage is partial), so "bounds present" means
+    * "bounds bound every row". */
+  def mustMatch(st: FileStats, f: Filter): Boolean = {
+    val b = st.bounds
+    def allNull(c: String): Boolean =
+      st.nulls.get(c).exists(nc => nc.nulls == nc.rows)
+    def noNull(c: String): Boolean = st.nulls.get(c).exists(_.nulls == 0)
+    // p receives (filterValue.compare(lo), filterValue.compare(hi))
+    def cmp(c: String, v: Any)(p: (Int, Int) => Boolean): Boolean =
+      noNull(c) && b.get(c).exists { bd =>
+        comparable(bd, v) match {
+          case Some((lo, hi, x)) => p(x.compare(lo), x.compare(hi))
+          case None => (bd, strBytes(v)) match {
+            case (BytesBounds(lo, hi), Some(s)) =>
+              p(unsignedCompare(s, lo), unsignedCompare(s, hi))
+            case _ => false
+          }
+        }
+      }
+    f match {
+      case LessThan(c, v) if v != null           => cmp(c, v)((_, h) => h > 0)
+      case LessThanOrEqual(c, v) if v != null    => cmp(c, v)((_, h) => h >= 0)
+      case GreaterThan(c, v) if v != null        => cmp(c, v)((l, _) => l < 0)
+      case GreaterThanOrEqual(c, v) if v != null => cmp(c, v)((l, _) => l <= 0)
+      case EqualTo(c, v) if v != null  => cmp(c, v)((l, h) => l == 0 && h == 0)
+      case In(c, vs) => vs.exists(v =>
+        v != null && cmp(c, v)((l, h) => l == 0 && h == 0))
+      case IsNotNull(c) => noNull(c)
+      case IsNull(c)    => allNull(c)
+      case StringStartsWith(c, prefix) =>
+        // lo >= prefix and hi < bump(prefix) pin every value (all are
+        // within [lo, hi]) to the prefix window
+        noNull(c) && b.get(c).exists {
+          case BytesBounds(lo, hi) =>
+            val p = prefix.getBytes(StandardCharsets.UTF_8)
+            unsignedCompare(lo, p) >= 0 &&
+              bump(p).exists(up => unsignedCompare(hi, up) < 0)
+          case _ => false
+        }
+      case And(l, r) => mustMatch(st, l) && mustMatch(st, r)
+      case Or(l, r)  => mustMatch(st, l) || mustMatch(st, r)
+      case _         => false
+    }
+  }
 }
 
 /** Convenience: batch append + stats sidecar in one call. */

@@ -11,19 +11,25 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   * `graft-manifest` tables — the "pay the shuffle once at write"
   * contract of classic bucketed tables, on the manifest layer.
   *
-  * Declared at CREATE with `TBLPROPERTIES ('bucketBy' = '<n>,<col>')`:
+  * Declared at CREATE with
+  * `TBLPROPERTIES ('bucketBy' = '<n>,<col>[,<col2>...]')`:
   *
-  *   - every INSERT/COPY batch `repartition(n, col)`s before writing,
-  *     so each task writes the rows of exactly one bucket and the
-  *     part-file INDEX in the file name IS the bucket id
+  *   - every INSERT/COPY batch `repartition(n, cols...)`s before
+  *     writing, so each task writes the rows of exactly one bucket
+  *     and the task's partition index IS the bucket id
   *     (`HashPartitioning` routes row → partition
-  *     `pmod(murmur3(col, seed 42), n)` — the same function
+  *     `pmod(murmur3(cols..., seed 42), n)` — the same function
   *     [[GraftBucketFunction]] exposes to Spark);
+  *   - each bucketed write records an EXPLICIT file → bucket map in
+  *     the dir's `_bucketed` sidecar (see [[writeMarkerFiles]]), so
+  *     bucket identity never depends on Spark's part-file naming
+  *     surviving version upgrades or custom committers;
   *   - the scan groups planned files by bucket across ALL batches and
-  *     reports `KeyGroupedPartitioning(bucket(n, col))`, so a join of
-  *     two graft tables bucketed the same way — or an aggregation on
-  *     the bucket column — plans with NO shuffle on the bucketed
-  *     side(s) (Spark's storage-partitioned join, v2.bucketing);
+  *     reports `KeyGroupedPartitioning(bucket(n, cols...))`, so a
+  *     join of two graft tables bucketed the same way — or an
+  *     aggregation on the bucket columns — plans with NO shuffle on
+  *     the bucketed side(s) (Spark's storage-partitioned join,
+  *     v2.bucketing);
   *   - [[graft.plans.GraftCatalog]] doubles as the FunctionCatalog
   *     that resolves the `bucket` transform, which is how Spark
   *     proves both sides cluster identically.
@@ -31,115 +37,312 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   * At 100 TB this is the difference between shuffling the fact table
   * on every key join and never shuffling it again after ingest.
   *
-  * Scope (round 8): append-shaped writes only — MERGE / UPDATE /
-  * DELETE / OPTIMIZE refuse on bucketed tables (a rewrite that does
-  * not preserve bucketing would silently break the layout invariant;
-  * bucket-preserving rewrites are the follow-up). Runtime file
-  * pruning is disabled on bucketed scans: a filter arriving after
-  * planning could change the reported group count out from under the
-  * planner. Static stats/bloom skipping still applies — skipped
-  * files only shrink their bucket's group.
+  * Composition scope (round 9): the FULL DML surface is
+  * bucket-preserving — INSERT/COPY, INSERT OVERWRITE, TRUNCATE,
+  * MERGE / UPDATE / DELETE (copy-on-write), OPTIMIZE (which also
+  * heals foreign batches), the native V1 batch write, AND the
+  * streaming sink (each epoch routes through the write's required
+  * distribution). `columnMapping` composes (the spec's keys are
+  * LOGICAL; markers and the Sinks layer carry their immutable
+  * PHYSICAL twins, so renames never detach the layout) and
+  * `deletionVectors` composes (a DV delete moves no rows; a DV
+  * update's appended batch bucket-routes like any other write).
+  * Remaining refusals: OPTIMIZE ZORDER BY (the sort would destroy
+  * the routing), ALTER COLUMN TYPE on a bucket key (murmur3 of the
+  * same value differs across types — a widened key would silently
+  * mis-route old files' buckets), and DROP COLUMN of a bucket key.
+  * Runtime file pruning on bucketed scans filters files WITHIN each
+  * reported bucket group and keeps empty groups present, so the
+  * reported partitioning stays sound. Static stats/bloom skipping
+  * applies before grouping — skipped files only shrink their
+  * bucket's group.
   */
 object Bucketing {
 
-  /** `'bucketBy' = '<n>,<col>'`. */
-  final case class Spec(n: Int, key: String)
+  /** `'bucketBy' = '<n>,<col>[,<col2>...]'`: `n` buckets PER KEY —
+    * multi-key tables lay out the PRODUCT grid (n^k groups), because
+    * Spark's SPJ machinery requires every reported partition
+    * transform to reference exactly one column
+    * (KeyGroupedShuffleSpec asserts one leaf per expression), so a
+    * composite key is expressed as one `bucket(n, k_i)` transform
+    * per key. Keys are LOGICAL column names at the catalog/scan
+    * layer; the Sinks/file layer receives the PHYSICAL twins on
+    * columnMapping tables. */
+  final case class Spec(n: Int, keys: Seq[String]) {
+    def key: String = keys.head // single-key convenience
+    /** Product-grid size: the number of bucket groups (and of write
+      * partitions) — n for one key, n² for two, … */
+    def totalGroups: Int = BigInt(n).pow(keys.size).toInt
+  }
 
   def parse(s: String): Spec = {
     val parts = s.split(',').map(_.trim)
-    require(parts.length == 2 && parts(0).toIntOption.exists(_ >= 2),
-      s"bucketBy must be '<numBuckets>,<column>' with numBuckets >= 2, " +
-        s"got '$s'")
-    require(parts(0).toInt <= (1 << 16),
-      s"bucketBy numBuckets capped at 65536, got ${parts(0)}")
-    Spec(parts(0).toInt, parts(1))
+    require(parts.length >= 2 && parts(0).toIntOption.exists(_ >= 2),
+      s"bucketBy must be '<numBuckets>,<column>[,<column2>...]' with " +
+        s"numBuckets >= 2, got '$s'")
+    require(parts.tail.forall(_.nonEmpty), s"bucketBy has an empty column: '$s'")
+    require(parts.tail.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+      .length == parts.length - 1, s"bucketBy repeats a column: '$s'")
+    require(BigInt(parts(0).toInt).pow(parts.length - 1) <= (1 << 16),
+      s"bucketBy group grid capped at 65536 " +
+        s"(${parts(0)}^${parts.length - 1} buckets), got '$s'")
+    Spec(parts(0).toInt, parts.tail.toSeq)
   }
 
-  def render(s: Spec): String = s"${s.n},${s.key}"
+  def render(s: Spec): String = s"${s.n},${s.keys.mkString(",")}"
 
-  /** Row → bucket, EXACTLY Spark's `HashPartitioning` routing
-    * (`pmod(murmur3(value, seed 42), n)`) — what makes the write-side
-    * `repartition(n, col)` layout and this function's answers agree,
-    * and therefore makes the reported partitioning sound. */
+  /** ONE key column's bucket — EXACTLY Spark's single-column
+    * `pmod(hash(col), n)` (Murmur3, seed 42): the same function the
+    * single-key write's `repartition(n, col)` routes with, the
+    * multi-key flat index composes from, and [[BucketBound]] exposes
+    * to Spark's SPJ planner. */
   def bucketOf(value: Any, dt: DataType, n: Int): Int = {
     val h = Murmur3HashFunction.hash(value, dt, 42L).toInt
     ((h % n) + n) % n
   }
 
-  /** Bucket id from a written part-file name (`part-00003-...` →
-    * bucket 3): the repartition's partition index IS the bucket, and
-    * Spark's writer puts that index first in the file name. None for
-    * files not written through the bucketed path. */
-  private val PartIdx = "part-(\\d+)-.*".r
+  def bucketOf(values: Seq[Any], dts: Seq[DataType], n: Int): Int = {
+    require(values.length == 1 && dts.length == 1,
+      "bucketOf folds one key; multi-key specs flatten per-key buckets")
+    bucketOf(values.head, dts.head, n)
+  }
+
+  /** Flat group index of a per-key bucket vector — Horner over the
+    * product grid: `((b₁·n)+b₂)·n+…`. The write stage's partition
+    * index IS this number, and the `_bucketed` map records it. */
+  def flatten(dims: Seq[Int], spec: Spec): Int =
+    dims.foldLeft(0)((acc, b) => acc * spec.n + b)
+
+  /** Flat index → per-key bucket vector (the partition KEY Spark
+    * groups on: one value per reported `bucket(n, k_i)` transform). */
+  def dims(flat: Int, spec: Spec): Seq[Int] = {
+    var f = flat
+    val out = new Array[Int](spec.keys.size)
+    var i = spec.keys.size - 1
+    while (i >= 0) { out(i) = f % spec.n; f /= spec.n; i -= 1 }
+    out.toSeq
+  }
+
+  /** Route `df` so the write stage's partition index equals the flat
+    * bucket index. Single key: `repartition(n, col)` — classic
+    * HashPartitioning, partition = `pmod(hash(col), n)`. Multi key:
+    * the flat product index computed per row and passed through as
+    * the partition id VERBATIM ([[org.apache.spark.sql.catalyst
+    * .expressions.DirectShufflePartitionID]]) — a plain
+    * `repartition(n^k, cols…)` would hash the tuple into an index
+    * unrelated to the per-key buckets the scan reports. Callers wrap
+    * the subsequent write in [[withStablePartitions]]. */
+  def routed(df: org.apache.spark.sql.DataFrame, spec: Spec)
+    : org.apache.spark.sql.DataFrame =
+    if (spec.keys.size == 1)
+      df.repartition(spec.n, org.apache.spark.sql.functions.col(spec.key))
+    else {
+      import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+      val flat = spec.keys.map(k => pmod(hash(col(k)), lit(spec.n)))
+        .reduce((a, b) => a * spec.n + b)
+      val plan = org.apache.spark.sql.catalyst.plans.logical
+        .RepartitionByExpression(
+          Seq(org.apache.spark.sql.catalyst.expressions
+            .DirectShufflePartitionID(
+              org.apache.spark.sql.graftbridge.ColumnBridge
+                .toExpression(flat.cast("int")))),
+          df.queryExecution.analyzed,
+          Some(spec.totalGroups))
+      org.apache.spark.sql.graftbridge.PlanBridge.ofRows(df.sparkSession, plan)
+    }
+
+  /** Bucket id from a written part-file name (`part-00003-uuid…` →
+    * bucket 3; the streaming sink's `part-3.parquet` → bucket 3):
+    * the repartition's partition index IS the bucket, and Spark's
+    * writers put that index first in the file name. FALLBACK only —
+    * dirs written since round 9 carry the explicit file → bucket map
+    * in their `_bucketed` sidecar, which [[fileBuckets]] prefers. */
+  private val PartIdx = "part-(\\d+)[-.].*".r
   def bucketOfFile(fileName: String): Option[Int] = fileName match {
     case PartIdx(i) => i.toIntOption
     case _          => None
   }
 
-  /** All files of one bucket across every committed batch — the unit
-    * of SPJ parallelism, keyed by the bucket id Spark groups on. */
-  final case class BucketPartition(bucketId: Int,
+  /** All files of one bucket group across every committed batch —
+    * the unit of SPJ parallelism. `bucketId` is the FLAT product
+    * index; `dims` its per-key vector, which is the partition key
+    * Spark groups on (one value per reported `bucket(n, k_i)`
+    * transform). `files` may be EMPTY: runtime filtering prunes
+    * files within a group but must keep the group present (the
+    * reported partition count is part of the plan). */
+  final case class BucketPartition(bucketId: Int, dims: Seq[Int],
                                    files: Array[ManifestFilePartition])
     extends InputPartition with HasPartitionKey {
     override def partitionKey(): InternalRow =
       new org.apache.spark.sql.catalyst.expressions
-        .GenericInternalRow(Array[Any](bucketId))
+        .GenericInternalRow(dims.map(b => b: Any).toArray)
   }
 
-  /** Per-batch-dir LAYOUT MARKER (`_bucketed`, content `n,key`):
-    * written ONLY by the bucket-routing write paths, and demanded by
-    * the scan before it reports partitioning. Without it, ANY spark
-    * write's `part-i` file names would parse as bucket ids while the
-    * rows are NOT bucket-routed — the scan would report a clustering
-    * that is false and joins would silently drop matches. */
+  /** Per-batch-dir LAYOUT MARKER (`_bucketed`): written ONLY by the
+    * bucket-routing write paths, and demanded by the scan before it
+    * reports partitioning. Without it, ANY spark write's `part-i`
+    * file names would parse as bucket ids while the rows are NOT
+    * bucket-routed — the scan would report a clustering that is
+    * false and joins would silently drop matches.
+    *
+    * Format: line 1 is `render(spec)` (with PHYSICAL key names on
+    * columnMapping tables — physical ids never change, so a rename
+    * cannot orphan the marker); every following line is
+    * `<fileName>\t<bucketId>` — the explicit map recorded AT WRITE
+    * TIME, when the partition-index ↔ bucket equivalence provably
+    * held, so reads never re-derive bucket identity from file-name
+    * conventions. Markers without map lines (round-8 dirs) fall back
+    * to [[bucketOfFile]] name parsing. */
   val Marker = "_bucketed"
 
+  /** Run `body` (a bucketed write) with AQE partition coalescing
+    * OFF. The routing invariant is "the write stage's partition index
+    * IS the bucket id"; two plan rewrites can break it SILENTLY:
+    * EnsureRequirements elides the routing repartition when the
+    * child already carries HashPartitioning(keys, n) (e.g. an
+    * aggregation on the bucket keys under shuffle.partitions == n),
+    * and AQE may then COALESCE that satisfying upstream exchange —
+    * one output file holding several buckets' rows while the marker
+    * claims one. Coalescing is the unsound rewrite (elision alone
+    * preserves the invariant), so it is scoped OFF for the write;
+    * the session value is restored after. The streaming sink needs
+    * no guard: its epochs verify every row's bucket task-side. */
+  def withStablePartitions[A](spark: org.apache.spark.sql.SparkSession)
+                             (body: => A): A = {
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Bare marker — the EMPTY-dir case (TRUNCATE, a nothing-matched
+    * rewrite): trivially bucket-consistent, no files to map. */
   def writeMarker(dir: String, spec: Spec): Unit =
     graft.util.AtomicText.writeAtomically(s"$dir/$Marker", render(spec) + "\n")
+
+  /** Marker with an EXPLICIT file → bucket map (ADVICE round 8: name
+    * parsing is a convention, not a contract — freeze the
+    * interpretation at write time). Used right after a bucket-routed
+    * write: lists the dir's data files and records each one's bucket
+    * from the partition index in its name, failing loudly if any
+    * name does not parse (a bucket-routed write always names its
+    * files by partition index — an unparseable name here means the
+    * write was NOT routed and the marker must not be written). */
+  def writeMarkerWithFiles(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, spec: Spec): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && n.endsWith(".parquet") &&
+            !n.startsWith(".") && !n.startsWith("_")
+        }
+        .map { st =>
+          val n = st.getPath.getName
+          val b = bucketOfFile(n).getOrElse(throw new IllegalStateException(
+            s"bucketed write produced unmappable file name $n under $dir"))
+          require(b < spec.totalGroups,
+            s"file $n parses to bucket $b >= ${spec.totalGroups} groups — " +
+              "the write was not bucket-routed")
+          n -> b
+        }
+    writeMarkerFiles(dir, spec, entries)
+  }
+
+  /** Marker from KNOWN (fileName, bucketId) pairs — the streaming
+    * sink's commit path, where each epoch file's bucket is its
+    * writer task's partition id. */
+  def writeMarkerFiles(dir: String, spec: Spec,
+                       entries: Seq[(String, Int)]): Unit =
+    graft.util.AtomicText.writeAtomically(s"$dir/$Marker",
+      (render(spec) +: entries.sortBy(_._1).map { case (f, b) => s"$f\t$b" })
+        .mkString("", "\n", "\n"))
 
   def markerMatches(dir: String, spec: Spec): Boolean =
     graft.util.AtomicText.readLines(s"$dir/$Marker").headOption
       .contains(render(spec))
 
+  /** The dir's file → bucket resolver under `spec`: None when the
+    * dir carries no matching layout marker (FOREIGN layout — its
+    * names prove nothing about its rows). With a matching marker,
+    * the returned function answers from the explicit map when the
+    * marker carries one (a file ABSENT from the map is foreign →
+    * None), and falls back to name parsing for round-8 bare
+    * markers. */
+  def fileBuckets(dir: String, spec: Spec): Option[String => Option[Int]] = {
+    val lines = graft.util.AtomicText.readLines(s"$dir/$Marker")
+    if (!lines.headOption.contains(render(spec))) None
+    else {
+      val mapped = lines.drop(1).flatMap { l =>
+        val i = l.indexOf('\t')
+        if (i <= 0) None
+        else l.substring(i + 1).toIntOption.map(l.substring(0, i) -> _)
+      }.toMap
+      if (mapped.nonEmpty) Some(mapped.get _)
+      else Some(bucketOfFile _)
+    }
+  }
+
   /** Group per-file partitions by bucket id; None — report unknown
     * partitioning, never a wrong one — when any file's BATCH DIR
-    * lacks a matching layout marker or any file name does not parse. */
-  def groupByBucket(parts: Array[InputPartition], spec: Spec)
+    * lacks a matching layout marker or any file fails to resolve.
+    * `requiredKeys` (runtime filtering) pads the result with EMPTY
+    * groups so the reported partition-key set never shrinks out
+    * from under the planner. */
+  def groupByBucket(parts: Array[InputPartition], spec: Spec,
+                    requiredKeys: Option[Seq[Int]] = None)
     : Option[Array[InputPartition]] = {
     val files = parts.map {
       case f: ManifestFilePartition => f
       case _                        => return None
     }
-    val dirs = files.map(f =>
-      f.filePath.substring(0, f.filePath.lastIndexOf('/'))).distinct
-    if (!dirs.forall(markerMatches(_, spec))) return None
+    val resolverMemo = scala.collection.mutable.Map
+      .empty[String, Option[String => Option[Int]]]
     val withBucket = files.map { f =>
+      val dir = f.filePath.substring(0, f.filePath.lastIndexOf('/'))
       val name = f.filePath.substring(f.filePath.lastIndexOf('/') + 1)
-      bucketOfFile(name) match {
-        case Some(b) if b < spec.n => b -> f
-        case _                     => return None
+      resolverMemo.getOrElseUpdate(dir, fileBuckets(dir, spec))
+        .flatMap(_(name)) match {
+        case Some(b) if b < spec.totalGroups => b -> f
+        case _                               => return None
       }
     }
-    Some(withBucket.groupBy(_._1).toArray.sortBy(_._1).map {
-      case (b, fs) => BucketPartition(b, fs.map(_._2)): InputPartition
-    })
+    val grouped = withBucket.groupBy(_._1)
+    val keys = requiredKeys match {
+      case Some(req) =>
+        // runtime filtering must PRESERVE the reported key set —
+        // a bucket whose files all pruned still plans, empty
+        if (!grouped.keySet.subsetOf(req.toSet)) return None
+        req.sorted
+      case None => grouped.keys.toSeq.sorted
+    }
+    Some(keys.map(b => BucketPartition(b, dims(b, spec),
+      grouped.getOrElse(b, Array.empty).map(_._2)): InputPartition).toArray)
   }
 
   /** The `bucket` function [[graft.plans.GraftCatalog]] serves —
-    * Spark resolves the table-reported `bucket(n, col)` transform
-    * against it and uses (canonicalName, numBuckets, column) equality
-    * to prove two scans cluster identically. `produceResult` computes
-    * the same routing the writer used, so Spark may also SHUFFLE a
-    * non-bucketed join side into this partitioning
+    * Spark resolves the table-reported `bucket(n, cols...)` transform
+    * against it and uses (canonicalName, numBuckets, columns)
+    * equality to prove two scans cluster identically. `produceResult`
+    * computes the same routing the writer used, so Spark may also
+    * SHUFFLE a non-bucketed join side into this partitioning
     * (spark.sql.sources.v2.bucketing.shuffle.enabled). */
   object BucketUnbound extends UnboundFunction {
     override def name(): String = "bucket"
     override def description(): String =
       "bucket(numBuckets, col): graft-manifest hash bucket " +
-        "(pmod(murmur3_42(col), numBuckets))"
+        "(pmod(murmur3_42(col), numBuckets)); composite keys report " +
+        "one bucket transform per column (product grid)"
     override def bind(inputType: StructType): BoundFunction = {
       require(inputType.fields.length == 2,
-        s"bucket takes (numBuckets, col), got ${inputType.simpleString}")
+        s"bucket takes (numBuckets, col) — composite keys bind one " +
+          s"transform per column; got ${inputType.simpleString}")
       BucketBound(inputType.fields(1).dataType)
     }
   }
@@ -155,8 +358,7 @@ object Bucketing {
     override def isResultNullable: Boolean = false
     override def produceResult(input: InternalRow): Integer = {
       val n = input.getInt(0)
-      val v = input.get(1, keyType)
-      Integer.valueOf(bucketOf(v, keyType, n))
+      Integer.valueOf(bucketOf(input.get(1, keyType), keyType, n))
     }
   }
 }

@@ -51,7 +51,8 @@ import org.apache.spark.sql.types.StructType
 final class GraftManifestStreamingWrite(root: String, manifestPath: String,
                                         schema: StructType, queryId: String,
                                         bloomCols: Seq[String] = Nil,
-                                        schemaLogPath: Option[String] = None)
+                                        schemaLogPath: Option[String] = None,
+                                        bucketSpec: Option[Bucketing.Spec] = None)
   extends StreamingWrite {
 
   // columnMapping tables: resolve the logical->physical BINDING once
@@ -117,7 +118,7 @@ final class GraftManifestStreamingWrite(root: String, manifestPath: String,
       sql.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
     GraftManifestWriterFactory(root, manifestPath, queryId, schema.json,
       new org.apache.spark.util.SerializableConfiguration(hconf),
-      schemaLogPath, binding.map(SchemaLog.renderCols))
+      schemaLogPath, binding.map(SchemaLog.renderCols), bucketSpec)
   }
 
   override def commit(epochId: Long,
@@ -141,7 +142,7 @@ final class GraftManifestStreamingWrite(root: String, manifestPath: String,
     // the dead attempt's part-(k+1).. visible after the commit —
     // the commit messages name exactly this attempt's files
     val committedNames = messages.collect {
-      case GraftManifestFileCommitted(p) => new HPath(p).getName
+      case GraftManifestFileCommitted(p, _) => new HPath(p).getName
     }.toSet
     val dir = new HPath(s"$root/batch=$epochId")
     val fc = fileContextFor(dir)
@@ -168,6 +169,18 @@ final class GraftManifestStreamingWrite(root: String, manifestPath: String,
       BatchStats.writeSidecar(s, s"$root/batch=$epochId")
       if (bloomCols.nonEmpty)
         BloomIndex.writeSidecar(s, s"$root/batch=$epochId", bloomCols)
+    }
+    // bucketed tables: the epoch routed through the write's required
+    // distribution (partition id = bucket id — every task verified
+    // its rows against that claim at write time), so the layout
+    // marker + EXPLICIT file → bucket map land before the commit —
+    // SPJ survives streaming ingest
+    bucketSpec.foreach { b =>
+      val entries = messages.collect {
+        case GraftManifestFileCommitted(p, bucket) =>
+          new HPath(p).getName -> bucket
+      }.toSeq
+      Bucketing.writeMarkerFiles(s"$root/batch=$epochId", b, entries)
     }
     manifest.commit(id, Seq(s"$root/batch=$epochId"), Some(queryId))
   }
@@ -311,7 +324,8 @@ private final case class GraftManifestWriterFactory(
     root: String, manifestPath: String, queryId: String, schemaJson: String,
     serConf: org.apache.spark.util.SerializableConfiguration,
     schemaLogPath: Option[String] = None,
-    bindingLines: Option[String] = None)
+    bindingLines: Option[String] = None,
+    bucketSpec: Option[Bucketing.Spec] = None)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -359,6 +373,23 @@ private final case class GraftManifestWriterFactory(
     }
     val conf = new Configuration(serConf.value)
     ParquetWriteSupport.setSchema(schema, conf)
+    // bucketed sinks: the epoch routed through the write's required
+    // distribution, so THIS task's partition id IS the bucket id —
+    // verified per row below (the check turns a planner that stopped
+    // honoring the distribution into a loud failure, never a marker
+    // that silently mis-groups joins). Keys are PHYSICAL names,
+    // resolved against the physical write schema.
+    val routing = bucketSpec.map { b =>
+      val idx = b.keys.map { k =>
+        val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(k))
+        require(i >= 0,
+          s"bucketBy key '$k' is missing from the sink's write schema " +
+            schema.simpleString)
+        i
+      }
+      BucketRouting(b.n, idx.toArray, idx.map(schema.fields(_).dataType).toArray,
+        partitionId)
+    }
     // attempt-UNIQUE temp, renamed to the deterministic target only in
     // the coordinator-authorized commit(): under speculation two
     // attempts of one partition write concurrently, and bytes-level
@@ -369,12 +400,32 @@ private final case class GraftManifestWriterFactory(
     val dir = s"$root/batch=$epochId"
     new GraftManifestDataWriter(
       new HPath(s"$dir/.part-$partitionId-$taskId.tmp.parquet"),
-      new HPath(s"$dir/part-$partitionId.parquet"), conf)
+      new HPath(s"$dir/part-$partitionId.parquet"), conf, partitionId, routing)
+  }
+}
+
+/** Per-row bucket verification for a bucketed streaming epoch: every
+  * row this task writes must hash to the task's partition id under
+  * the table's routing function. */
+private final case class BucketRouting(n: Int, keyIdx: Array[Int],
+                                       keyTypes: Array[org.apache.spark.sql
+                                         .types.DataType],
+                                       partitionId: Int) {
+  def check(row: InternalRow): Unit = {
+    val vs = keyIdx.indices.map(i => row.get(keyIdx(i), keyTypes(i)))
+    val b = Bucketing.bucketOf(vs, keyTypes.toSeq, n)
+    if (b != partitionId)
+      throw new IllegalStateException(
+        s"bucketed streaming sink: a row of partition $partitionId hashes " +
+          s"to bucket $b — the epoch was not routed through the write's " +
+          "required distribution; the layout marker would lie")
   }
 }
 
 private final class GraftManifestDataWriter(tmp: HPath, target: HPath,
-                                            conf: Configuration)
+                                            conf: Configuration,
+                                            partitionId: Int = -1,
+                                            routing: Option[BucketRouting] = None)
   extends DataWriter[InternalRow] {
 
   private final class B(p: HPath)
@@ -397,14 +448,17 @@ private final class GraftManifestDataWriter(tmp: HPath, target: HPath,
   // the manifest commit
   private def fs = target.getFileSystem(conf)
 
-  override def write(record: InternalRow): Unit = writer.write(record)
+  override def write(record: InternalRow): Unit = {
+    routing.foreach(_.check(record))
+    writer.write(record)
+  }
 
   override def commit(): WriterCommitMessage = {
     writer.close()
     if (fs.exists(target)) fs.delete(target, false)
     if (!fs.rename(tmp, target))
       throw new java.io.IOException(s"rename $tmp -> $target failed")
-    GraftManifestFileCommitted(target.toString)
+    GraftManifestFileCommitted(target.toString, partitionId)
   }
 
   override def abort(): Unit = {
@@ -415,5 +469,6 @@ private final class GraftManifestDataWriter(tmp: HPath, target: HPath,
   override def close(): Unit = ()
 }
 
-private[graft] final case class GraftManifestFileCommitted(path: String)
+private[graft] final case class GraftManifestFileCommitted(path: String,
+                                                           partitionId: Int = -1)
   extends WriterCommitMessage

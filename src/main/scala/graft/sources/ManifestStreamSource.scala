@@ -109,16 +109,35 @@ final class GraftManifestTable(tableSchema: StructType,
     Option(options.get("union")).exists(_.toBoolean)
 
   /** `bucketBy` — hash-bucketed layout (see [[Bucketing]]): the table
-    * REPORTS `bucket(n, col)` partitioning, which Spark resolves
+    * REPORTS `bucket(n, cols...)` partitioning, which Spark resolves
     * against the owning catalog's bucket function for
-    * storage-partitioned joins. */
+    * storage-partitioned joins. The spec's keys are LOGICAL names. */
   private val bucketSpec: Option[Bucketing.Spec] =
     Option(options.get("bucketBy")).map(Bucketing.parse)
 
+  /** The spec with PHYSICAL key names — what the file layer
+    * (repartition targets, `_bucketed` markers) carries on
+    * columnMapping tables, so a metadata-only RENAME of a bucket key
+    * never detaches the recorded layout (physical ids are
+    * immutable). Identity on unmapped tables. */
+  private def physBucketSpec: Option[Bucketing.Spec] =
+    bucketSpec.map { b =>
+      GraftManifestSource.mapping(options) match {
+        case None => b
+        case Some(cols) => b.copy(keys = b.keys.map(k =>
+          cols.find(_.logical.equalsIgnoreCase(k)).map(_.physical)
+            .getOrElse(throw new IllegalArgumentException(
+              s"bucketBy key '$k' is not in the table's column mapping"))))
+      }
+    }
+
   override def partitioning()
     : Array[org.apache.spark.sql.connector.expressions.Transform] =
-    bucketSpec.map(b => org.apache.spark.sql.connector.expressions
-      .Expressions.bucket(b.n, b.key)).toArray
+    // one single-column transform PER KEY (the product grid): Spark's
+    // SPJ planner requires one leaf per partition expression
+    bucketSpec.toSeq.flatMap(b => b.keys.map(k =>
+      org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(b.n, k))).toArray
 
   /** Native `DELETE FROM <table> WHERE <cond>` on a PLAIN session (no
     * extension parser, no GraftSql): Spark hands the condition as V2
@@ -187,8 +206,7 @@ final class GraftManifestTable(tableSchema: StructType,
         cdf = cdf, physSchema = physSchema)
     else
       Sinks.mergeDelete(spark, delKeys, root, man, physKeys, mergeId,
-        cdf = cdf, physSchema = physSchema,
-        bucketBy = Option(options.get("bucketBy")).map(Bucketing.parse))
+        cdf = cdf, physSchema = physSchema, bucketBy = physBucketSpec)
   }
 
   private def deleteKeys: Seq[String] =
@@ -219,7 +237,7 @@ final class GraftManifestTable(tableSchema: StructType,
     Sinks.insertOverwrite(spark, empty, root, man, batchId)
     // an empty dir is trivially bucket-consistent — marking it keeps
     // the table's reported partitioning alive across TRUNCATE
-    bucketSpec.foreach(b =>
+    physBucketSpec.foreach(b =>
       Bucketing.writeMarker(s"$root/batch=$batchId", b))
     true
   }
@@ -293,7 +311,33 @@ final class GraftManifestTable(tableSchema: StructType,
         overwrite = true; this
       }
       override def build(): org.apache.spark.sql.connector.write.Write =
-        new org.apache.spark.sql.connector.write.V1Write {
+        new org.apache.spark.sql.connector.write.V1Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          // bucketed tables DECLARE their routing to Spark: clustered
+          // on the bucket keys with exactly n partitions, so the
+          // planner inserts the same HashPartitioning repartition the
+          // statement INSERT applies. This is what routes STREAMING
+          // epochs (the writer factory cannot repartition); on the
+          // V1 batch path it composes with insert()'s own repartition
+          // (CollapseRepartition folds the identical pair).
+          override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+            bucketSpec.filter(_.keys.size == 1) match {
+              case Some(b) =>
+                org.apache.spark.sql.connector.distributions.Distributions
+                  .clustered(Array(
+                    org.apache.spark.sql.connector.expressions.Expressions
+                      .column(b.key): org.apache.spark.sql.connector
+                      .expressions.Expression))
+              case None =>
+                org.apache.spark.sql.connector.distributions.Distributions
+                  .unspecified()
+            }
+          override def requiredNumPartitions(): Int =
+            bucketSpec.filter(_.keys.size == 1).map(_.n).getOrElse(0)
+          override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            Array.empty
           override def toInsertableRelation
             : org.apache.spark.sql.sources.InsertableRelation =
             new org.apache.spark.sql.sources.InsertableRelation {
@@ -306,11 +350,17 @@ final class GraftManifestTable(tableSchema: StructType,
                 // statement INSERT path can allocate; route there.
                 tableSchema.fields.foreach { f =>
                   org.apache.spark.sql.catalyst.util.IdentityColumn
-                    .getIdentityInfo(f).foreach(spec =>
+                    .getIdentityInfo(f).foreach { spec =>
                       require(spec.isAllowExplicitInsert,
                         s"graft-manifest: native write cannot allocate " +
                           s"GENERATED ALWAYS AS IDENTITY column " +
-                          s"'${f.name}' — use the INSERT INTO statement"))
+                          s"'${f.name}' — use the INSERT INTO statement")
+                      // identity columns are implicitly NOT NULL: an
+                      // explicit NULL here would silently break the
+                      // uniqueness contract the allocator certifies
+                      graft.ops.Ids.requireNoNullIdentity(s"`$root`",
+                        data, f.name)
+                    }
                 }
                 val man = new TxnManifest(manifestPath)
                 val ids = man.committed().keySet
@@ -337,14 +387,16 @@ final class GraftManifestTable(tableSchema: StructType,
                     data.select(cols.map(c => org.apache.spark.sql
                       .functions.col(c.logical).as(c.physical)): _*)
                 }
-                val framed2 = bucketSpec match {
+                // `frame` is PHYSICAL here (mapped tables translated
+                // above), so the routing keys are the physical twins
+                val physBucket = physBucketSpec
+                val framed2 = physBucket match {
                   case None => frame
                   case Some(b) =>
                     // route rows to their buckets exactly like the
-                    // statement INSERT (HashPartitioning = the bucket
-                    // function the scan reports)
-                    frame.repartition(b.n,
-                      org.apache.spark.sql.functions.col(b.key))
+                    // statement INSERT (partition index = flat
+                    // bucket index, the id the scan groups on)
+                    Bucketing.routed(frame, b)
                 }
                 if (overwrite || legacyOverwrite) {
                   // mirror truncateTable / the statement path
@@ -360,15 +412,23 @@ final class GraftManifestTable(tableSchema: StructType,
                       "inherited source rows visible; materialize " +
                       "the clone (OPTIMIZE) first")
                   Sinks.insertOverwrite(data.sparkSession, frame, root, man,
-                    batchId, bucketBy = bucketSpec)
+                    batchId, bucketBy = physBucket)
                 }
                 else {
                   // stats sidecars carry PHYSICAL names on mapped
                   // tables; the scan translates its filters to match
-                  StatsSinks.appendBatchStats(framed2, root, batchId,
-                    bloomColumns = bloomCols)
-                  bucketSpec.foreach(b =>
-                    Bucketing.writeMarker(s"$root/batch=$batchId", b))
+                  physBucket match {
+                    case Some(_) =>
+                      Bucketing.withStablePartitions(data.sparkSession) {
+                        StatsSinks.appendBatchStats(framed2, root, batchId,
+                          bloomColumns = bloomCols)
+                      }
+                    case None =>
+                      StatsSinks.appendBatchStats(framed2, root, batchId,
+                        bloomColumns = bloomCols)
+                  }
+                  physBucket.foreach(b => Bucketing.writeMarkerWithFiles(
+                    data.sparkSession, s"$root/batch=$batchId", b))
                   man.commit(batchId, Seq(s"$root/batch=$batchId"))
                 }
               }
@@ -382,12 +442,13 @@ final class GraftManifestTable(tableSchema: StructType,
                   "would silently REPLACE the clone's inherited entry N " +
                   "(the read side refuses union tables for the same " +
                   "reason); materialize the clone (OPTIMIZE) first")
-            if (bucketSpec.isDefined)
+            bucketSpec.filter(_.keys.size > 1).foreach(_ =>
               throw new UnsupportedOperationException(
-                "graft-manifest: streaming sink into a bucketed table " +
-                  "is not supported — the sink's per-partition file " +
-                  "names are not bucket-indexed; stream into a plain " +
-                  "table and INSERT ... SELECT per epoch")
+                "graft-manifest: streaming sink into a MULTI-key " +
+                  "bucketed table is not supported — the product-grid " +
+                  "routing cannot be declared as a connector required " +
+                  "distribution; stream into a plain table and " +
+                  "INSERT ... SELECT per epoch"))
             tableSchema.fields.foreach { f =>
               org.apache.spark.sql.catalyst.util.IdentityColumn
                 .getIdentityInfo(f).foreach(_ =>
@@ -404,7 +465,10 @@ final class GraftManifestTable(tableSchema: StructType,
             // physical names — see GraftManifestWriterFactory
             new GraftManifestStreamingWrite(root, manifestPath, info.schema(),
               info.queryId(), bloomCols,
-              schemaLogPath = Option(options.get("schemaLog")))
+              schemaLogPath = Option(options.get("schemaLog")),
+              // the sink carries the PHYSICAL spec: markers and the
+              // per-row routing check live at the file layer
+              bucketSpec = physBucketSpec)
           }
         }
     }
@@ -509,21 +573,42 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
     * these against the scan relation's output, and a projected-away
     * column there fails resolution (a join key is always in the
     * output, so nothing prunable is lost). */
+  /** The spec with PHYSICAL key names — markers record the file
+    * layer's immutable column identity on columnMapping tables, so a
+    * RENAME of a bucket key never detaches recorded layouts. The
+    * REPORTED partitioning (and filter pruning) stays logical. */
+  private val physBucket: Option[Bucketing.Spec] = bucketBy.map { b =>
+    mapping match {
+      case None => b
+      case Some(cols) => b.copy(keys = b.keys.map(k =>
+        cols.find(_.logical.equalsIgnoreCase(k)).map(_.physical)
+          .getOrElse(throw new IllegalArgumentException(
+            s"bucketBy key '$k' is not in the table's column mapping"))))
+    }
+  }
+
   override def filterAttributes()
     : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    // bucketed scans opt OUT of runtime filtering: a filter arriving
-    // after planning would re-plan the memo and could change the
-    // reported bucket-group count out from under the SPJ planner.
-    // Static pushdown (stats/bloom) still applies before grouping.
-    if (bucketBy.isDefined) Array.empty
-    else required.fieldNames.map(
+    // bucketed scans included: runtime filtering prunes files WITHIN
+    // each bucket group and keeps every group present (empty-filed),
+    // so the reported group count and key set survive the re-plan —
+    // a bucketed fact joined to a filtered broadcast dim reads the
+    // matching files, not the table.
+    required.fieldNames.map(
       org.apache.spark.sql.connector.expressions.Expressions.column)
   override def filter(runtime: Array[Filter]): Unit = synchronized {
+    // lock the reported partition-key set BEFORE dropping the memo:
+    // Spark demands the re-planned partitions carry exactly the keys
+    // it planned the storage-partitioned join around
+    if (lockedKeys.isEmpty)
+      lockedKeys = groupsMemo.flatten.map(_.collect {
+        case b: Bucketing.BucketPartition => b.bucketId }.toSeq)
     runtimeFilters = runtime
     partsMemo = null // next planInputPartitions re-plans with them
     groupsMemo = None
   }
   @volatile private var runtimeFilters: Array[Filter] = Array.empty
+  @volatile private var lockedKeys: Option[Seq[Int]] = None
   override def readSchema(): StructType = required
   override def description(): String =
     s"GraftManifestScan(root=$root, " +
@@ -617,45 +702,57 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
     * scan reduction on keyed lookups, composing with the sidecar
     * skipping that runs after. */
   private def pruneByBucket(parts: Array[InputPartition]): Array[InputPartition] =
-    bucketBy match {
-      case None => parts
-      case Some(b) =>
-        val keyType = dataSchema.fields
-          .find(_.name.equalsIgnoreCase(b.key)).map(_.dataType)
-        val targets: Option[Set[Int]] = keyType.flatMap { dt =>
-          val sets = pushed.toSeq.collect {
-            case org.apache.spark.sql.sources.EqualTo(a, v)
-              if a.equalsIgnoreCase(b.key) =>
-              Set(Bucketing.bucketOf(
+    (bucketBy, physBucket) match {
+      case (Some(b), Some(pb)) =>
+        // per-key candidate BUCKET sets from the pushed equality / IN
+        // filters (logical names). The grid is a PRODUCT, so pruning
+        // per key composes: a constrained key drops every file whose
+        // bucket vector has that component outside the set —
+        // equality on a SUBSET of the keys already prunes (n-fold
+        // per constrained key). AND semantics across filters on the
+        // same key: intersect.
+        val perKey: Seq[Option[Set[Int]]] = b.keys.map { k =>
+          dataSchema.fields.find(_.name.equalsIgnoreCase(k))
+            .map(_.dataType).flatMap { dt =>
+              def toBucket(v: Any): Int = Bucketing.bucketOf(
                 org.apache.spark.sql.catalyst.CatalystTypeConverters
-                  .convertToCatalyst(v), dt, b.n))
-            case org.apache.spark.sql.sources.In(a, vs)
-              if a.equalsIgnoreCase(b.key) =>
-              vs.map(v => Bucketing.bucketOf(
-                org.apache.spark.sql.catalyst.CatalystTypeConverters
-                  .convertToCatalyst(v), dt, b.n)).toSet
-          }
-          // AND semantics across pushed filters: intersect
-          sets.reduceOption(_ intersect _)
-        }
-        targets match {
-          case None => parts
-          case Some(ts) =>
-            val markerMemo = scala.collection.mutable.Map.empty[String, Boolean]
-            parts.filter {
-              case f: ManifestFilePartition =>
-                val dir = f.filePath.substring(0, f.filePath.lastIndexOf('/'))
-                val marked = markerMemo.getOrElseUpdate(dir,
-                  Bucketing.markerMatches(dir, b))
-                if (!marked) true // foreign layout: never prune on names
-                else {
-                  val name = f.filePath
-                    .substring(f.filePath.lastIndexOf('/') + 1)
-                  Bucketing.bucketOfFile(name).forall(ts.contains)
-                }
-              case _ => true
+                  .convertToCatalyst(v), dt, b.n)
+              val sets = pushed.toSeq.collect {
+                case org.apache.spark.sql.sources.EqualTo(a, v)
+                  if a.equalsIgnoreCase(k) => Set(toBucket(v))
+                case org.apache.spark.sql.sources.In(a, vs)
+                  if a.equalsIgnoreCase(k) && vs.length <= 256 =>
+                  vs.map(toBucket).toSet
+              }
+              sets.reduceOption(_ intersect _)
             }
         }
+        if (perKey.forall(_.isEmpty)) parts
+        else {
+          // markers carry the PHYSICAL spec; a file resolves through
+          // the explicit map first, name parse for round-8 markers
+          val resolverMemo = scala.collection.mutable.Map
+            .empty[String, Option[String => Option[Int]]]
+          parts.filter {
+            case f: ManifestFilePartition =>
+              val dir = f.filePath.substring(0, f.filePath.lastIndexOf('/'))
+              resolverMemo.getOrElseUpdate(dir,
+                Bucketing.fileBuckets(dir, pb)) match {
+                case None => true // foreign layout: never prune
+                case Some(resolve) =>
+                  val name = f.filePath
+                    .substring(f.filePath.lastIndexOf('/') + 1)
+                  resolve(name).forall { flat =>
+                    if (flat >= pb.totalGroups) true // foreign: keep
+                    else Bucketing.dims(flat, pb).zip(perKey).forall {
+                      case (d, set) => set.forall(_.contains(d))
+                    }
+                  }
+              }
+            case _ => true
+          }
+        }
+      case _ => parts
     }
 
   /** Bucket groups for the SPJ report: per-file partitions grouped
@@ -669,10 +766,10 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
   @volatile private var groupsMemo: Option[Option[Array[InputPartition]]] = None
   private def bucketGroups: Option[Array[InputPartition]] = synchronized {
     if (groupsMemo.isEmpty)
-      groupsMemo = Some(bucketBy.flatMap(b =>
+      groupsMemo = Some(physBucket.flatMap(b =>
         Bucketing.groupByBucket(batchParts.collect {
           case f: ManifestFilePartition => f: InputPartition
-        }, b)))
+        }, b, requiredKeys = lockedKeys)))
     groupsMemo.get
   }
 
@@ -682,8 +779,10 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
       case (Some(b), Some(groups)) =>
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
-            Array(org.apache.spark.sql.connector.expressions.Expressions
-              .bucket(b.n, b.key)), groups.length)
+            b.keys.map(k => org.apache.spark.sql.connector.expressions
+              .Expressions.bucket(b.n, k)
+              : org.apache.spark.sql.connector.expressions.Expression)
+              .toArray, groups.length)
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(batchParts.length)

@@ -148,19 +148,23 @@ object Sinks {
     * into the bucketed layout by the rewrite. */
   def compactBucketed(spark: org.apache.spark.sql.SparkSession, root: String,
                       manifest: TxnManifest, compactId: Int,
-                      spec: Bucketing.Spec): Unit =
+                      spec: Bucketing.Spec,
+                      physSchema: Option[org.apache.spark.sql.types.StructType] = None)
+    : Unit =
     withJobDescription(spark,
       s"graft: bucketed-compact $root -> batch=$compactId") {
     val (dirs, dvDirs) = splitDv(manifest.committedDirs(root))
     require(dirs.nonEmpty, s"nothing committed under $root to compact")
     val target = s"$root/batch=$compactId"
     require(!dirs.contains(target), s"compactId $compactId is a live batch")
-    val all = applyDv(spark, readDirs(spark, dirs, None), dvDirs)
-    all.repartition(spec.n, col(spec.key))
-      .write.mode(SaveMode.Overwrite).parquet(target)
+    val all = applyDv(spark, readDirs(spark, dirs, physSchema), dvDirs)
+    Bucketing.withStablePartitions(spark) {
+      Bucketing.routed(all, spec)
+        .write.mode(SaveMode.Overwrite).parquet(target)
+    }
     BatchStats.writeSidecar(spark, target)
     BloomIndex.carryOver(spark, dirs, target)
-    Bucketing.writeMarker(target, spec)
+    Bucketing.writeMarkerWithFiles(spark, target, spec)
     writeNoChangeMarker(spark, root, compactId)
     writeFeedMarker(root, compactId, manifest, dirs.toSet)
     manifest.replaceAll(root, compactId, Seq(target))
@@ -351,10 +355,14 @@ object Sinks {
     val dirs = manifest.committedDirs(root)
     val target = s"$root/batch=$batchId"
     require(!dirs.contains(target), s"batchId $batchId is a live batch")
-    val out = bucketBy.fold(df)(b => df.repartition(b.n, col(b.key)))
-    out.write.mode(SaveMode.Overwrite).parquet(target)
+    val out = bucketBy.fold(df)(b => Bucketing.routed(df, b))
+    if (bucketBy.isDefined)
+      Bucketing.withStablePartitions(spark) {
+        out.write.mode(SaveMode.Overwrite).parquet(target)
+      }
+    else out.write.mode(SaveMode.Overwrite).parquet(target)
     BatchStats.writeSidecar(spark, target)
-    bucketBy.foreach(b => Bucketing.writeMarker(target, b))
+    bucketBy.foreach(b => Bucketing.writeMarkerWithFiles(spark, target, b))
     if (dirs.nonEmpty)
       writeFeedMarker(root, batchId, manifest, dirs.toSet)
     manifest.replaceAll(root, batchId, Seq(target))
@@ -511,7 +519,8 @@ object Sinks {
                     updates: DataFrame, root: String,
                     manifest: TxnManifest, keys: Seq[String],
                     mergeId: Int, cdf: Boolean = false,
-                    physSchema: Option[org.apache.spark.sql.types.StructType] = None)
+                    physSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                    bucketBy: Option[Bucketing.Spec] = None)
     : Unit =
     withJobDescription(spark, s"graft: dv-update $root -> batch=$mergeId") {
     import org.apache.spark.sql.functions.{count, lit}
@@ -564,9 +573,17 @@ object Sinks {
       positions.write.mode(SaveMode.Overwrite).parquet(dvTarget)
       // ALL update rows land in the appended dir: matched keys' new
       // versions and unmatched inserts alike — stats-indexed so the
-      // new generation skips like any other batch
-      ups.write.mode(SaveMode.Overwrite).parquet(dataTarget)
+      // new generation skips like any other batch. Bucketed tables
+      // route the appended versions like any other write (the DV
+      // side moves no rows, so the layout survives a DV update).
+      val upsOut = bucketBy.fold(ups: DataFrame)(b => Bucketing.routed(ups, b))
+      if (bucketBy.isDefined)
+        Bucketing.withStablePartitions(spark) {
+          upsOut.write.mode(SaveMode.Overwrite).parquet(dataTarget)
+        }
+      else upsOut.write.mode(SaveMode.Overwrite).parquet(dataTarget)
       BatchStats.writeSidecar(spark, dataTarget)
+      bucketBy.foreach(b => Bucketing.writeMarkerWithFiles(spark, dataTarget, b))
       val matchedAny = matched.exists(_.limit(1).count() > 0)
       if (cdf) {
         val ct = (t: String) => lit(t).as(ChangeTypeCol)
@@ -774,15 +791,18 @@ object Sinks {
     // repartition every bucketed write uses (+ the layout marker
     // below), so the merge output joins exchange-free like any other
     // batch — copy-on-write preserves the layout
-    val merged = bucketBy.fold(merged0)(b =>
-      merged0.repartition(b.n, col(b.key)))
-    merged.write.mode(SaveMode.Overwrite).parquet(target)
+    val merged = bucketBy.fold(merged0)(b => Bucketing.routed(merged0, b))
+    if (bucketBy.isDefined)
+      Bucketing.withStablePartitions(spark) {
+        merged.write.mode(SaveMode.Overwrite).parquet(target)
+      }
+    else merged.write.mode(SaveMode.Overwrite).parquet(target)
     // rewritten dirs may have carried stats sidecars — the merge
     // output keeps the table skippable (cheap footer pass), and any
     // bloom coverage the rewritten dirs carried is rebuilt with it
     BatchStats.writeSidecar(spark, target)
     BloomIndex.carryOver(spark, affectedDirs, target)
-    bucketBy.foreach(b => Bucketing.writeMarker(target, b))
+    bucketBy.foreach(b => Bucketing.writeMarkerWithFiles(spark, target, b))
 
     if (cdf) {
       val ct = (t: String) => lit(t).as(ChangeTypeCol)
@@ -819,6 +839,67 @@ object Sinks {
       pinned.foreach(_.unpersist())
       ()
     }
+  }
+
+  /** RETENTION fast path for `DELETE WHERE <predicate>` — the O(1)
+    * aged-slice drop `PARTITIONED BY` tables get for free, recovered
+    * from stats sidecars: when every committed dir is PROVABLY either
+    * fully covered by the predicate ([[BatchStats.mustMatch]] on
+    * every file — all rows match, the whole dir can be un-named) or
+    * provably untouched ([[BatchStats.mayMatch]] false — no row
+    * matches), the delete commits as ONE metadata swap: covered dirs
+    * un-named, a schema-carrying EMPTY batch named in their place,
+    * ZERO data files read or written. Any dir the sidecars cannot
+    * decide (mixed coverage, missing stats, an untranslatable
+    * predicate) returns false untouched — the row-level delete takes
+    * over. Classic shape: date-aligned batches (daily ingest, or a
+    * clusterBy-date OPTIMIZE) + `DELETE WHERE d < cutoff`.
+    *
+    * Caller contract: cdf tables fall back (the feed needs row-level
+    * deltas); the collapse marker still poisons a lagging feed
+    * consumer loudly, same as any cdf-less rewrite. Filters carry
+    * PHYSICAL names on mapped tables (the sidecars' namespace). */
+  def retentionDelete(spark: org.apache.spark.sql.SparkSession, root: String,
+                      manifest: TxnManifest, mergeId: Int,
+                      filters: Seq[org.apache.spark.sql.sources.Filter],
+                      physSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                      bucketBy: Option[Bucketing.Spec] = None): Boolean = {
+    if (filters.isEmpty) return false
+    val (dataDirs, _) = splitDv(manifest.committedDirs(root))
+    if (dataDirs.isEmpty) return false
+    require(!manifest.committed().contains(mergeId),
+      s"mergeId $mergeId is a live batch id")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val covered = Seq.newBuilder[String]
+    for (dir <- dataDirs) {
+      BatchStats.read(conf, dir) match {
+        case None => return false // no sidecar: cannot decide
+        case Some(stats) if stats.isEmpty => () // empty dir: untouched
+        case Some(stats) =>
+          if (stats.values.forall(fs =>
+              filters.forall(BatchStats.mustMatch(fs, _))))
+            covered += dir
+          else if (!stats.values.forall(fs =>
+              !BatchStats.mayMatch(fs, filters)))
+            return false // mixed / undecidable: row-level path
+      }
+    }
+    val coveredDirs = covered.result()
+    withJobDescription(spark,
+      s"graft: retention-delete $root -> batch=$mergeId") {
+      val target = s"$root/batch=$mergeId"
+      // schema-carrying EMPTY batch: limit(0) folds to an empty
+      // local relation, so the write reads no data file — and a
+      // delete that dropped EVERY dir still serves the schema
+      readDirs(spark, Seq(dataDirs.head), physSchema).limit(0)
+        .write.mode(SaveMode.Overwrite).parquet(target)
+      BatchStats.writeSidecar(spark, target)
+      bucketBy.foreach(b => Bucketing.writeMarker(target, b))
+      if (coveredDirs.nonEmpty)
+        writeFeedMarker(root, mergeId, manifest, coveredDirs.toSet)
+      manifest.replaceDirs(coveredDirs.toSet, mergeId, Seq(target))
+    }
+    true
   }
 
   /** Change-type column the CDF sidecar carries (Delta's name). */

@@ -529,35 +529,12 @@ class ScaleSpec extends SparkSuite {
       // marker, so results change and SPJ keeps planning shuffle-free
       // (run after the OPTIMIZE below heals the foreign batch; here
       // they run first against the marked-batches-only view)
-      // remaining refusals: ZORDER (the sort would destroy routing)
+      // remaining refusal matrix (round 9 lifted columnMapping, DV,
+      // and the streaming sink): ZORDER still refuses — the z-order
+      // sort would destroy the bucket routing
       val eZo = intercept[Exception](GraftSql.execute(spark,
         "OPTIMIZE gbk.a ZORDER BY (id)"))
       assert(eZo.getMessage.toLowerCase.contains("bucket"), eZo.getMessage)
-      // streaming sink refuses; CREATE-time combos refuse
-      val eStream = intercept[Exception] {
-        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-        val ms = MemoryStream[(Long, String)]
-        val q = ms.toDF().toDF("id", "v").writeStream
-          .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("gbk_ck_").toString)
-          .toTable("gbk.a")
-        try { ms.addData((1L, "s")); q.processAllAvailable() }
-        finally q.stop()
-      }
-      assert(exMessageChain(eStream).exists(_.contains("bucket")),
-        eStream.getMessage)
-      for (bad <- Seq("'columnMapping' = 'true'", "'deletionVectors' = 'true'")) {
-        val e = intercept[Exception](GraftSql.execute(spark,
-          s"""CREATE TABLE gbk.bad (id BIGINT) USING `graft-manifest`
-             |TBLPROPERTIES ('keys' = 'id', 'bucketBy' = '4,id', $bad)
-             |""".stripMargin))
-        assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
-      }
-      // ... and the ALTER route cannot re-introduce DV on a bucketed table
-      val eAlter = intercept[Exception](spark.sql(
-        "ALTER TABLE gbk.a SET TBLPROPERTIES ('deletionVectors' = 'true')"))
-      assert(eAlter.getMessage.contains("mutually exclusive"), eAlter.getMessage)
 
       // the NATIVE (non-statement) append also bucket-routes + marks:
       // SPJ must survive a df.writeTo append
@@ -640,6 +617,305 @@ class ScaleSpec extends SparkSuite {
     assert(inl.count() == 3)
     assert(filesRead(inl) <= 3)
     GraftSql.execute(spark, "DROP TABLE IF EXISTS gbp.t")
+  }
+
+  test("retention DELETE: stats-covered dirs drop with ZERO data-file reads") {
+    import graft.plans.{GraftSql, GraftSqlTables}
+    import graft.sources.{Sinks, StatsSinks, TxnManifest}
+    val base = java.nio.file.Files.createTempDirectory("graft_ret_").toString
+    val root = s"$base/t"
+    val man = new TxnManifest(s"$base/manifest.tsv")
+    // three disjoint id bands, one dir each — stats bounds decide
+    // every dir: two fully covered by the predicate, one untouched
+    for ((lo, i) <- Seq(0, 1000, 2000).zipWithIndex) {
+      StatsSinks.appendBatchStats(
+        spark.range(lo, lo + 1000).selectExpr("id", "concat('p', id) AS v"),
+        root, i)
+      man.commit(i, Seq(s"$root/batch=$i"))
+    }
+    GraftSqlTables.register("ret_t", GraftSqlTables.Entry(root,
+      s"$base/manifest.tsv", keys = Seq("id")))
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recordsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      GraftSql.execute(spark, "DELETE FROM ret_t WHERE id < 2000")
+      // drain the listener bus before reading the counter
+      Thread.sleep(1500)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(recordsRead.get == 0,
+      s"retention delete read ${recordsRead.get} records — expected a " +
+        "metadata-only commit")
+    // the swap un-named the two covered dirs in ONE commit
+    val dirs = man.committedDirs(root)
+    assert(!dirs.contains(s"$root/batch=0") && !dirs.contains(s"$root/batch=1"),
+      dirs.toString)
+    assert(dirs.contains(s"$root/batch=2") && dirs.contains(s"$root/batch=3"),
+      dirs.toString)
+    val left = Sinks.readCommitted(spark, root, man)
+    assert(left.count() == 1000)
+    assert(left.agg(min($"id")).collect().head.getLong(0) == 2000L)
+    // a MIXED predicate falls back to the row-level path and still
+    // answers correctly (the fast path must never approximate)
+    GraftSql.execute(spark, "DELETE FROM ret_t WHERE id < 2500")
+    assert(Sinks.readCommitted(spark, root, man).count() == 500)
+    GraftSqlTables.unregister("ret_t")
+  }
+
+  test("bucketed × columnMapping × DV: rename + DV delete/update keep SPJ zero-exchange") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val wh = java.nio.file.Files.createTempDirectory("graft_gbc_wh_").toString
+    spark.conf.set("spark.sql.catalog.gbc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbc.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      GraftSql.execute(spark, "DROP TABLE IF EXISTS gbc.t1")
+      GraftSql.execute(spark, "DROP TABLE IF EXISTS gbc.t2")
+      // INT keys: the retype-refusal edge below needs a key that HAS
+      // a wider type to attempt (murmur3(int) ≠ murmur3(bigint))
+      GraftSql.execute(spark,
+        """CREATE TABLE gbc.t1 (id INT, v STRING) USING `graft-manifest`
+          |TBLPROPERTIES ('keys' = 'id', 'bucketBy' = '8,id',
+          |  'columnMapping' = 'true', 'deletionVectors' = 'true')
+          |""".stripMargin)
+      GraftSql.execute(spark,
+        """CREATE TABLE gbc.t2 (id INT, w STRING) USING `graft-manifest`
+          |TBLPROPERTIES ('keys' = 'id', 'bucketBy' = '8,id')""".stripMargin)
+      spark.range(0, 100).selectExpr("id", "concat('v', id) AS v")
+        .createOrReplaceTempView("gbc_s1")
+      spark.range(50, 150).selectExpr("id", "concat('w', id) AS w")
+        .createOrReplaceTempView("gbc_s2")
+      GraftSql.execute(spark, "INSERT INTO gbc.t1 SELECT * FROM gbc_s1")
+      GraftSql.execute(spark, "INSERT INTO gbc.t2 SELECT * FROM gbc_s2")
+      // the BUCKET KEY renames — metadata only: the spec follows the
+      // logical name, markers already carry the immutable physical id
+      spark.sql("ALTER TABLE gbc.t1 RENAME COLUMN id TO key_id")
+      spark.range(1000, 1008)
+        .selectExpr("id AS key_id", "concat('n', id) AS v")
+        .createOrReplaceTempView("gbc_s3")
+      GraftSql.execute(spark, "INSERT INTO gbc.t1 SELECT * FROM gbc_s3")
+      // DV DELETE moves no rows (no file rewritten — the layout holds
+      // trivially); DV UPDATE appends a bucket-routed version batch
+      GraftSql.execute(spark, "DELETE FROM gbc.t1 WHERE key_id = 60")
+      GraftSql.execute(spark, "UPDATE gbc.t1 SET v = 'upd' WHERE key_id = 61")
+      def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+        df.collect()
+        df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p                        => p
+        }
+      }
+      val j = spark.sql(
+        """SELECT a.key_id, a.v, b.w FROM gbc.t1 a JOIN gbc.t2 b
+          |ON a.key_id = b.id""".stripMargin)
+      val got = j.collect().map(r => r.getInt(0).toLong -> r.getString(1)).toMap
+      assert(!got.contains(60L), "DV-deleted row resurfaced")
+      assert(got(61L) == "upd", s"DV update lost: ${got.get(61L)}")
+      assert(j.count() == 49) // 50..99 minus deleted 60
+      assert(!finalPlan(j).toString.contains("Exchange hashpartitioning"),
+        s"bucketed × mapped × DV must keep SPJ:\n${finalPlan(j)}")
+      // markers record the EXPLICIT file → bucket map (round-9 ADVICE:
+      // bucket identity must not hang on part-file naming conventions)
+      val marker = graft.util.AtomicText.readLines(s"$wh/t1/batch=0/_bucketed")
+      assert(marker.length > 1 && marker.tail.forall(_.contains("\t")),
+        s"expected file map lines in marker, got: $marker")
+      // the refusal edge: retyping or dropping a bucket key would
+      // change/remove the routing domain — both refuse loudly
+      val eRetype = intercept[Exception](spark.sql(
+        "ALTER TABLE gbc.t1 ALTER COLUMN key_id TYPE BIGINT"))
+      assert(exMessageChain(eRetype).exists(_.contains("bucket")),
+        eRetype.getMessage)
+      val eDrop = intercept[Exception](spark.sql(
+        "ALTER TABLE gbc.t1 DROP COLUMN key_id"))
+      // key_id is both the merge key and the bucket key — either
+      // guard refusing keeps the routing column alive
+      assert(exMessageChain(eDrop).exists(m =>
+        m.contains("bucket") || m.contains("merge-key")), eDrop.getMessage)
+      Seq("t1", "t2").foreach(t =>
+        GraftSql.execute(spark, s"DROP TABLE IF EXISTS gbc.$t"))
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("streaming sink into a bucketed table: epochs route, marker maps files, SPJ joins") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val wh = java.nio.file.Files.createTempDirectory("graft_gbt_wh_").toString
+    spark.conf.set("spark.sql.catalog.gbt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbt.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      GraftSql.execute(spark, "DROP TABLE IF EXISTS gbt.t")
+      GraftSql.execute(spark, "DROP TABLE IF EXISTS gbt.r")
+      GraftSql.execute(spark,
+        """CREATE TABLE gbt.t (id BIGINT, v STRING) USING `graft-manifest`
+          |TBLPROPERTIES ('keys' = 'id', 'bucketBy' = '8,id')""".stripMargin)
+      GraftSql.execute(spark,
+        """CREATE TABLE gbt.r (id BIGINT, w STRING) USING `graft-manifest`
+          |TBLPROPERTIES ('keys' = 'id', 'bucketBy' = '8,id')""".stripMargin)
+      spark.range(0, 64).selectExpr("id", "concat('w', id) AS w")
+        .createOrReplaceTempView("gbt_sr")
+      GraftSql.execute(spark, "INSERT INTO gbt.r SELECT * FROM gbt_sr")
+      // two streamed epochs: the write's required distribution routes
+      // each epoch through the SAME repartition the statement INSERT
+      // applies (partition id = bucket id, verified per row task-side)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(Long, String)]
+      val q = ms.toDF().toDF("id", "v").writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("gbt_ck_").toString)
+        .toTable("gbt.t")
+      try {
+        ms.addData((0L until 32L).map(i => (i, s"v$i")): _*)
+        q.processAllAvailable()
+        ms.addData((32L until 48L).map(i => (i, s"v$i")): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      // the epoch dirs carry the marker + explicit file → bucket map
+      val marker = graft.util.AtomicText.readLines(s"$wh/t/batch=0/_bucketed")
+      assert(marker.headOption.contains("8,id") && marker.length > 1,
+        s"expected bucketed marker with file map, got: $marker")
+      def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+        df.collect()
+        df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p                        => p
+        }
+      }
+      val j = spark.sql(
+        "SELECT t.id, t.v, r.w FROM gbt.t t JOIN gbt.r r ON t.id = r.id")
+      assert(j.count() == 48, s"expected 48 joined rows, got ${j.count()}")
+      assert(!finalPlan(j).toString.contains("Exchange hashpartitioning"),
+        s"streaming-ingested bucketed table must keep SPJ:\n${finalPlan(j)}")
+      Seq("t", "r").foreach(t =>
+        GraftSql.execute(spark, s"DROP TABLE IF EXISTS gbt.$t"))
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("multi-column bucketBy: composite-key SPJ join plans with no shuffle") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val wh = java.nio.file.Files.createTempDirectory("graft_gbm_wh_").toString
+    spark.conf.set("spark.sql.catalog.gbm", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbm.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (t <- Seq("a", "b")) {
+        GraftSql.execute(spark, s"DROP TABLE IF EXISTS gbm.$t")
+        GraftSql.execute(spark,
+          s"""CREATE TABLE gbm.$t (k1 BIGINT, k2 STRING, v BIGINT)
+             |USING `graft-manifest`
+             |TBLPROPERTIES ('keys' = 'k1,k2', 'bucketBy' = '4,k1,k2')
+             |""".stripMargin)
+      }
+      spark.range(0, 200)
+        .selectExpr("id % 20 AS k1", "concat('g', id % 7) AS k2", "id AS v")
+        .createOrReplaceTempView("gbm_src")
+      GraftSql.execute(spark,
+        "INSERT INTO gbm.a SELECT k1, k2, sum(v) FROM gbm_src GROUP BY k1, k2")
+      GraftSql.execute(spark,
+        "INSERT INTO gbm.b SELECT k1, k2, count(*) FROM gbm_src GROUP BY k1, k2")
+      def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+        df.collect()
+        df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p                        => p
+        }
+      }
+      val j = spark.sql(
+        """SELECT a.k1, a.k2, a.v, b.v AS n FROM gbm.a a JOIN gbm.b b
+          |ON a.k1 = b.k1 AND a.k2 = b.k2""".stripMargin)
+      val expect = spark.sql(
+        """SELECT count(*) FROM (SELECT DISTINCT k1, k2 FROM gbm_src)""")
+        .collect().head.getLong(0)
+      assert(j.count() == expect, s"expected $expect rows, got ${j.count()}")
+      assert(!finalPlan(j).toString.contains("Exchange hashpartitioning"),
+        s"composite-key SPJ expected no exchange:\n${finalPlan(j)}")
+      Seq("a", "b").foreach(t =>
+        GraftSql.execute(spark, s"DROP TABLE IF EXISTS gbm.$t"))
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("runtime file pruning within bucket groups: filtered dim join reads a file subset, groups preserved") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val wh = java.nio.file.Files.createTempDirectory("graft_gbr_wh_").toString
+    val s2 = spark.newSession()
+    import s2.implicits._
+    s2.conf.set("spark.sql.catalog.gbr", classOf[GraftCatalog].getName)
+    s2.conf.set("spark.sql.catalog.gbr.warehouse", wh)
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // dim must broadcast (the runtime filter's source); fact must not
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "32768")
+    GraftSql.execute(s2, "DROP TABLE IF EXISTS gbr.f")
+    GraftSql.execute(s2,
+      """CREATE TABLE gbr.f (id BIGINT, payload STRING) USING `graft-manifest`
+        |TBLPROPERTIES ('keys' = 'id', 'bucketBy' = '4,id')""".stripMargin)
+    // 4 batches with DISJOINT id ranges: each bucket group spans 4
+    // files whose sidecar bounds only runtime join keys can separate
+    for (b <- 0 until 4) {
+      (b * 1000 until (b + 1) * 1000)
+        .map(i => (i.toLong, "p" * 100 + i)).toDF("id", "payload")
+        .createOrReplaceTempView("gbr_src")
+      GraftSql.execute(s2, "INSERT INTO gbr.f SELECT * FROM gbr_src")
+    }
+    (0 until 200).map(i => (i.toLong, if (i < 5) "keep" else "drop"))
+      .toDF("id", "tag").write.parquet(s"$wh/dim")
+    val dim = s2.read.parquet(s"$wh/dim").filter($"tag" === "keep")
+    val joined = s2.table("gbr.f").join(dim, "id")
+    // correctness through the re-planned (pruned, group-preserving)
+    // partitions — BatchScanExec itself validates the key set did not
+    // change, so a green run IS the partitioning-soundness witness
+    assert(joined.collect().length == 5)
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ inner).flatMap(allNodes)
+    }
+    val fin = joined.queryExecution.executedPlan
+    assert(fin.toString.contains("dynamicpruningexpression"),
+      s"no runtime filter on the bucketed scan in:\n$fin")
+    val scans = allNodes(fin).collect {
+      case s: BatchScanExec if s.toString.contains("GraftManifestScan") => s
+    }
+    assert(scans.nonEmpty, s"no manifest scan in:\n$fin")
+    // keys 0..4 live in the FIRST insert's files only: the runtime
+    // IN-set + sidecar bounds prune the other 3 batches' files from
+    // every bucket group (16 files total, ≤4 survive)
+    val files = scans.head.metrics("manifestFilesRead").value
+    assert(files <= 4, s"expected ≤4 fact files read after in-group " +
+      s"runtime pruning, got $files; plan:\n$fin")
+    GraftSql.execute(s2, "DROP TABLE IF EXISTS gbr.f")
   }
 
   test("DSIR weights: the only data shuffle is the 256-bucket histogram") {

@@ -1743,4 +1743,91 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(r.getLong(0) == 1L)
     assert(r.getSeq[Long](1) == Seq(2L))
   }
+
+  test("MERGE ... WITH SCHEMA EVOLUTION: per-statement opt-in (Delta parity)") {
+    import graft.plans.{GraftSql, GraftSqlTables}
+    import graft.sources.{Sinks, TxnManifest}
+    val tmp = java.nio.file.Files.createTempDirectory("mwse_").toString
+    val root = s"$tmp/t"
+    val man = new TxnManifest(s"$tmp/_commits")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$root/batch=0")
+    man.commit(0, Seq(s"$root/batch=0"))
+    GraftSqlTables.register("mwse_t",
+      GraftSqlTables.Entry(root, s"$tmp/_commits", keys = Seq("id")))
+    Seq((2L, "B", 9L), (5L, "E", 7L)).toDF("id", "v", "extra")
+      .createOrReplaceTempView("mwse_src")
+    // WITHOUT the clause (and without the registration opt-in) the
+    // source-only column projects away — Delta's default
+    GraftSql.execute(spark,
+      "MERGE INTO mwse_t USING mwse_src ON mwse_t.id = mwse_src.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(Sinks.readCommitted(spark, root, man).columns.toSeq ==
+      Seq("id", "v"), "source-only column must not evolve without the clause")
+    // WITH SCHEMA EVOLUTION: this statement evolves the table —
+    // `extra` lands, kept rows serve NULL for it
+    GraftSql.execute(spark,
+      "MERGE WITH SCHEMA EVOLUTION INTO mwse_t USING mwse_src " +
+        "ON mwse_t.id = mwse_src.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val after = Sinks.readCommitted(spark, root, man)
+    assert(after.columns.toSet == Set("id", "v", "extra"),
+      after.columns.mkString(","))
+    val byId = after.collect()
+      .map(r => r.getLong(0) -> Option(r.get(after.columns.indexOf("extra"))))
+      .toMap
+    assert(byId(2L).contains(9L) && byId(5L).contains(7L) && byId(1L).isEmpty)
+    GraftSqlTables.unregister("mwse_t")
+  }
+
+  test("IDENTITY columns are implicitly NOT NULL: explicit NULLs refuse") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    val wh = java.nio.file.Files.createTempDirectory("graft_idnn_wh_").toString
+    spark.conf.set("spark.sql.catalog.ginn", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ginn.warehouse", wh)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS ginn.t")
+    GraftSql.execute(spark,
+      """CREATE TABLE ginn.t (
+        |  id BIGINT GENERATED BY DEFAULT AS IDENTITY, k BIGINT
+        |) USING `graft-manifest` TBLPROPERTIES ('keys' = 'k')""".stripMargin)
+    // explicit non-null values pass (BY DEFAULT)
+    GraftSql.execute(spark,
+      "INSERT INTO ginn.t (id, k) VALUES (100, 1), (101, 2)")
+    // a NULL id would quietly void the uniqueness contract — refuse
+    val e = intercept[Exception](GraftSql.execute(spark,
+      "INSERT INTO ginn.t (id, k) VALUES (CAST(NULL AS BIGINT), 3)"))
+    assert(e.getMessage.contains("NOT NULL"), e.getMessage)
+    // ... on the native V1 write path too
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT CAST(NULL AS BIGINT) AS id, 4L AS k")
+        .writeTo("ginn.t").append()
+    }
+    assert(e2.getMessage != null && (e2.getMessage.contains("NOT NULL") ||
+      Option(e2.getCause).exists(_.getMessage.contains("NOT NULL"))),
+      e2.toString)
+    assert(spark.sql("SELECT count(*) FROM ginn.t").collect().head.getLong(0) == 2)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS ginn.t")
+  }
+
+  test("RENAME guard catches backtick-quoted references in stored expressions") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    val wh = java.nio.file.Files.createTempDirectory("graft_btk_wh_").toString
+    spark.conf.set("spark.sql.catalog.gbtk", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbtk.warehouse", wh)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gbtk.m")
+    GraftSql.execute(spark,
+      """CREATE TABLE gbtk.m (id BIGINT, v DOUBLE) USING `graft-manifest`
+        |TBLPROPERTIES ('keys' = 'id', 'columnMapping' = 'true')""".stripMargin)
+    // the constraint references the column BACKTICK-QUOTED: the guard
+    // must still see it (pre-fix, the quoted form slipped past the
+    // word-boundary regex and the rename orphaned the stored SQL)
+    spark.sql("ALTER TABLE gbtk.m ADD CONSTRAINT vpos CHECK (`v` > 0)")
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE gbtk.m RENAME COLUMN v TO w"))
+    assert(e.getMessage.contains("cannot RENAME"), e.getMessage)
+    // dropping the constraint unblocks the rename
+    spark.sql("ALTER TABLE gbtk.m DROP CONSTRAINT vpos")
+    spark.sql("ALTER TABLE gbtk.m RENAME COLUMN v TO w")
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gbtk.m")
+  }
 }
