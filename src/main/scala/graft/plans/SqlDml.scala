@@ -1375,10 +1375,6 @@ final case class GraftOptimizeCommand(table: String,
     // healed back into the layout. ZORDER refuses (a z-order sort
     // would destroy the bucket routing).
     entry.bucketBy.foreach { b =>
-      require(zorderCols.isEmpty,
-        s"OPTIMIZE $table: ZORDER BY on a bucketed table is not " +
-          "supported — the z-order sort would destroy the bucket " +
-          "routing the table's joins rely on")
       val man2 = new TxnManifest(entry.manifestPath)
       val ids2 = man2.committed().keySet
       require(ids2.nonEmpty,
@@ -1386,19 +1382,27 @@ final case class GraftOptimizeCommand(table: String,
       // mapped tables compact under physical names: the rewrite reads
       // with the explicit physical schema and routes on the physical
       // key twins (what the markers record)
-      val (bPhys, physSchema2) = entry.schemaLogPath match {
-        case None => (b, None)
+      val (bPhys, physSchema2, toPhys) = entry.schemaLogPath match {
+        case None => (b, None, identity[String] _)
         case Some(p) =>
           val cols = new graft.sources.SchemaLog(p).current()._2
-          (b.copy(keys = b.keys.map(k =>
+          val f = (k: String) =>
             cols.find(_.logical.equalsIgnoreCase(k)).map(_.physical)
               .getOrElse(throw new IllegalArgumentException(
-                s"OPTIMIZE $table: bucketBy key '$k' is not in the " +
-                  "table's column mapping")))),
-            Some(graft.sources.SchemaLog.physicalSchema(cols)))
+                s"OPTIMIZE $table: column '$k' is not in the " +
+                  "table's column mapping"))
+          (b.copy(keys = b.keys.map(f)),
+            Some(graft.sources.SchemaLog.physicalSchema(cols)), f)
       }
+      // ZORDER BY (or declared clusterBy) on a bucketed table sorts
+      // WITHIN each bucket: the routing is untouchable (a range sort
+      // would destroy it) but per-bucket clustering is free — row
+      // groups and per-file bounds tighten on the z-columns while
+      // SPJ keeps planning exchange-free
+      val zCols = (if (zorderCols.nonEmpty) zorderCols else entry.clusterBy)
+        .map(c => col(toPhys(c)))
       Sinks.compactBucketed(spark, entry.root, man2, ids2.max + 1, bPhys,
-        physSchema = physSchema2)
+        physSchema = physSchema2, zorderCols = zCols)
       return Seq.empty
     }
     val man = new TxnManifest(entry.manifestPath)

@@ -148,15 +148,21 @@ object Layout {
     * to a plain range-clustered sort on that (integral) column — the
     * valid single-key OPTIMIZE spec — and 3+ interleave via
     * [[mortonKeyN]]. */
+  /** The z-order sort key for a column list — single column as-is,
+    * two via the magic-mask fast path, 3+ interleaved. Shared by the
+    * full rewrite ([[writeZOrderedN]]) and the WITHIN-BUCKET sort of
+    * a bucketed OPTIMIZE (where a cross-partition range sort would
+    * destroy the bucket routing, but a per-partition sort clusters
+    * each bucket's files/row-groups for min/max pruning for free). */
+  def zKeyOf(cols: Seq[Column]): Column = cols match {
+    case Seq(only) => only.cast(LongType)
+    case Seq(a, b) => mortonKey(a, b)
+    case more      => mortonKeyN(more)
+  }
+
   def writeZOrderedN(df: DataFrame, path: String, cols: Seq[Column],
                      numFiles: Int): Unit =
-    writeZOrderedBy(df, path,
-      cols match {
-        case Seq(only)  => only.cast(LongType)
-        case Seq(a, b)  => mortonKey(a, b)
-        case more       => mortonKeyN(more)
-      },
-      numFiles)
+    writeZOrderedBy(df, path, zKeyOf(cols), numFiles)
 
   /** The write: exact histogram split + one hash-routed shuffle.
     *

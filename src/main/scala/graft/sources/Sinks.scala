@@ -140,16 +140,25 @@ object Sinks {
   }
 
   /** Bucket-preserving compaction — [[compact]] for `bucketBy`
-    * tables: the rewrite `repartition(n, key)`s (the same routing
-    * every bucketed write uses), so the compacted batch carries one
+    * tables: the rewrite routes through the same bucket function
+    * every bucketed write uses, so the compacted batch carries one
     * right-sized file per bucket AND the layout marker — the
     * storage-partitioned-join report survives compaction, and a
     * FOREIGN batch (raw append without the marker) is HEALED back
-    * into the bucketed layout by the rewrite. */
+    * into the bucketed layout by the rewrite.
+    *
+    * `zorderCols` (OPTIMIZE ZORDER BY on a bucketed table) z-orders
+    * WITHIN each bucket: a cross-partition range sort would destroy
+    * the routing, but `sortWithinPartitions` on the Morton key moves
+    * no row across buckets — each bucket's rows come out clustered,
+    * so parquet row-group min/max (and the per-file sidecar bounds,
+    * once buckets split across files) prune on the z-columns while
+    * SPJ keeps its zero-exchange joins. */
   def compactBucketed(spark: org.apache.spark.sql.SparkSession, root: String,
                       manifest: TxnManifest, compactId: Int,
                       spec: Bucketing.Spec,
-                      physSchema: Option[org.apache.spark.sql.types.StructType] = None)
+                      physSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                      zorderCols: Seq[org.apache.spark.sql.Column] = Nil)
     : Unit =
     withJobDescription(spark,
       s"graft: bucketed-compact $root -> batch=$compactId") {
@@ -159,8 +168,11 @@ object Sinks {
     require(!dirs.contains(target), s"compactId $compactId is a live batch")
     val all = applyDv(spark, readDirs(spark, dirs, physSchema), dvDirs)
     Bucketing.withStablePartitions(spark) {
-      Bucketing.routed(all, spec)
-        .write.mode(SaveMode.Overwrite).parquet(target)
+      val routed = Bucketing.routed(all, spec)
+      val out =
+        if (zorderCols.isEmpty) routed
+        else routed.sortWithinPartitions(Layout.zKeyOf(zorderCols))
+      out.write.mode(SaveMode.Overwrite).parquet(target)
     }
     BatchStats.writeSidecar(spark, target)
     BloomIndex.carryOver(spark, dirs, target)

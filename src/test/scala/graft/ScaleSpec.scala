@@ -529,12 +529,9 @@ class ScaleSpec extends SparkSuite {
       // marker, so results change and SPJ keeps planning shuffle-free
       // (run after the OPTIMIZE below heals the foreign batch; here
       // they run first against the marked-batches-only view)
-      // remaining refusal matrix (round 9 lifted columnMapping, DV,
-      // and the streaming sink): ZORDER still refuses — the z-order
-      // sort would destroy the bucket routing
-      val eZo = intercept[Exception](GraftSql.execute(spark,
-        "OPTIMIZE gbk.a ZORDER BY (id)"))
-      assert(eZo.getMessage.toLowerCase.contains("bucket"), eZo.getMessage)
+      // (round 9 lifted every composition refusal: columnMapping, DV,
+      // the streaming sink, and ZORDER — which now sorts WITHIN
+      // buckets; see the dedicated tests)
 
       // the NATIVE (non-statement) append also bucket-routes + marks:
       // SPJ must survive a df.writeTo append
@@ -803,6 +800,115 @@ class ScaleSpec extends SparkSuite {
         s"streaming-ingested bucketed table must keep SPJ:\n${finalPlan(j)}")
       Seq("t", "r").foreach(t =>
         GraftSql.execute(spark, s"DROP TABLE IF EXISTS gbt.$t"))
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("large buckets split across files (maxRecordsPerFile): map stays sound, SPJ holds") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val wh = java.nio.file.Files.createTempDirectory("graft_gbf_wh_").toString
+    spark.conf.set("spark.sql.catalog.gbf", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbf.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // at 100 TB one file per bucket would be enormous — a task's
+    // output SPLITS across files (part-i-...-c000/c001) and the
+    // partition-index prefix keeps every piece on its bucket
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "60")
+    try {
+      GraftSql.execute(spark, "DROP TABLE IF EXISTS gbf.t")
+      GraftSql.execute(spark,
+        """CREATE TABLE gbf.t (id BIGINT, v STRING) USING `graft-manifest`
+          |TBLPROPERTIES ('keys' = 'id', 'bucketBy' = '4,id')""".stripMargin)
+      spark.range(0, 400).selectExpr("id", "concat('v', id) AS v")
+        .createOrReplaceTempView("gbf_src")
+      GraftSql.execute(spark, "INSERT INTO gbf.t SELECT * FROM gbf_src")
+      val marker = graft.util.AtomicText.readLines(s"$wh/t/batch=0/_bucketed")
+      assert(marker.length > 5, // > 4 file lines: buckets split
+        s"expected multi-file buckets in the map, got: $marker")
+      def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+        df.collect()
+        df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p                        => p
+        }
+      }
+      val g = spark.sql("SELECT id, count(*) AS c FROM gbf.t GROUP BY id")
+      assert(g.count() == 400)
+      assert(!finalPlan(g).toString.contains("Exchange hashpartitioning"),
+        s"split-bucket agg must keep SPJ:\n${finalPlan(g)}")
+      // point lookup prunes to ONE bucket's file set (≤ its pieces)
+      val one = spark.sql("SELECT v FROM gbf.t WHERE id = 137")
+      assert(one.collect().map(_.getString(0)).toSeq == Seq("v137"))
+      one.collect()
+      val files = one.queryExecution.executedPlan.collectWithSubqueries {
+        case s: BatchScanExec => s }
+        .map(_.metrics("manifestFilesRead").value).sum
+      val total = marker.length - 1
+      assert(files < total, s"lookup read $files of $total files")
+      GraftSql.execute(spark, "DROP TABLE IF EXISTS gbf.t")
+    } finally {
+      spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("bucketed OPTIMIZE ZORDER BY: within-bucket sort keeps SPJ, each bucket file clustered") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val wh = java.nio.file.Files.createTempDirectory("graft_gbz_wh_").toString
+    spark.conf.set("spark.sql.catalog.gbz", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbz.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      GraftSql.execute(spark, "DROP TABLE IF EXISTS gbz.t")
+      GraftSql.execute(spark,
+        """CREATE TABLE gbz.t (id BIGINT, v BIGINT) USING `graft-manifest`
+          |TBLPROPERTIES ('keys' = 'id', 'bucketBy' = '4,id')""".stripMargin)
+      // v arrives in DESCENDING order — the within-bucket sort must
+      // visibly reorder it
+      spark.range(0, 400).selectExpr("id", "399 - id AS v")
+        .orderBy(org.apache.spark.sql.functions.desc("v"))
+        .createOrReplaceTempView("gbz_src")
+      GraftSql.execute(spark, "INSERT INTO gbz.t SELECT * FROM gbz_src")
+      GraftSql.execute(spark, "OPTIMIZE gbz.t ZORDER BY (v)")
+      // every compacted bucket file is internally sorted by v (row
+      // groups carry tight min/max on the z-column)
+      val dirs = new java.io.File(s"$wh/t").listFiles()
+        .filter(_.getName.startsWith("batch=")).map(_.toString).sorted
+      val files = new java.io.File(dirs.last).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("."))
+      assert(files.length == 4, files.map(_.getName).mkString(","))
+      files.foreach { f =>
+        val vs = spark.read.parquet(f.toString).select("v")
+          .collect().map(_.getLong(0)).toSeq
+        assert(vs == vs.sorted, s"${f.getName} not z-sorted: ${vs.take(8)}")
+      }
+      // ... and the layout survives: the aggregation on the bucket
+      // key still plans exchange-free
+      def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+        df.collect()
+        df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p                        => p
+        }
+      }
+      val g = spark.sql("SELECT id, count(*) AS c FROM gbz.t GROUP BY id")
+      assert(g.count() == 400)
+      assert(!finalPlan(g).toString.contains("Exchange hashpartitioning"),
+        s"within-bucket zorder must keep SPJ:\n${finalPlan(g)}")
+      GraftSql.execute(spark, "DROP TABLE IF EXISTS gbz.t")
     } finally {
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
