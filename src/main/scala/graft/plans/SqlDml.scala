@@ -1401,8 +1401,10 @@ final case class GraftOptimizeCommand(table: String,
       // SPJ keeps planning exchange-free
       val zCols = (if (zorderCols.nonEmpty) zorderCols else entry.clusterBy)
         .map(c => col(toPhys(c)))
-      Sinks.compactBucketed(spark, entry.root, man2, ids2.max + 1, bPhys,
-        physSchema = physSchema2, zorderCols = zCols)
+      // INCREMENTAL: generations stamped under the same spec + sort
+      // stay byte-untouched — nightly OPTIMIZE costs O(new data)
+      Sinks.compactBucketedIncremental(spark, entry.root, man2,
+        ids2.max + 1, bPhys, physSchema = physSchema2, zorderCols = zCols)
       return Seq.empty
     }
     val man = new TxnManifest(entry.manifestPath)

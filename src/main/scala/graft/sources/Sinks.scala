@@ -177,9 +177,69 @@ object Sinks {
     BatchStats.writeSidecar(spark, target)
     BloomIndex.carryOver(spark, dirs, target)
     Bucketing.writeMarkerWithFiles(spark, target, spec)
+    writeOptimizedMarker(target, bucketedGenSpec(spec, zorderCols))
     writeNoChangeMarker(spark, root, compactId)
     writeFeedMarker(root, compactId, manifest, dirs.toSet)
     manifest.replaceAll(root, compactId, Seq(target))
+  }
+
+  /** The generation tag a bucketed compaction stamps — spec + sort
+    * columns, so a re-bucketed or re-clustered table treats every
+    * old generation as fresh input. Rides the same `_optimized`
+    * marker file the z-order generations use (as pseudo-columns). */
+  private def bucketedGenSpec(spec: Bucketing.Spec,
+                              zorderCols: Seq[org.apache.spark.sql.Column])
+    : Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.lit
+    lit(s"bucketed:${Bucketing.render(spec)}") +: zorderCols
+  }
+
+  /** INCREMENTAL bucketed compaction — [[compactBucketed]] with the
+    * O(new data) maintenance contract of
+    * [[compactZOrderedIncremental]]: dirs already stamped as a
+    * generation of the SAME spec (and same within-bucket sort) are
+    * left byte-untouched; everything else — fresh appends, merge
+    * rewrites, FOREIGN batches (which it heals into the layout),
+    * generations of a different spec — rewrites into one new
+    * generation, swapped in by a single atomic commit. At 100 TB a
+    * bucketed fact table's nightly OPTIMIZE costs the day's ingest,
+    * not the table. Returns false (nothing committed) when no fresh
+    * dir exists. DVs on fresh dirs materialize; DV entries stay
+    * named for the untouched generations they still cover. */
+  def compactBucketedIncremental(spark: org.apache.spark.sql.SparkSession,
+                                 root: String, manifest: TxnManifest,
+                                 compactId: Int, spec: Bucketing.Spec,
+                                 physSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                                 zorderCols: Seq[org.apache.spark.sql.Column] = Nil)
+    : Boolean =
+    withJobDescription(spark,
+      s"graft: bucketed-compact (incremental) $root -> batch=$compactId") {
+    val (dirs, dvDirs) = splitDv(manifest.committedDirs(root))
+    require(dirs.nonEmpty, s"nothing committed under $root to compact")
+    val target = s"$root/batch=$compactId"
+    require(!dirs.contains(target), s"compactId $compactId is a live batch")
+    val gen = bucketedGenSpec(spec, zorderCols)
+    val fresh = dirs.filterNot(d =>
+      isOptimizedFor(d, gen) && Bucketing.markerMatches(d, spec))
+    if (fresh.isEmpty) false
+    else {
+      val all = applyDv(spark, readDirs(spark, fresh, physSchema), dvDirs)
+      Bucketing.withStablePartitions(spark) {
+        val routed = Bucketing.routed(all, spec)
+        val out =
+          if (zorderCols.isEmpty) routed
+          else routed.sortWithinPartitions(Layout.zKeyOf(zorderCols))
+        out.write.mode(SaveMode.Overwrite).parquet(target)
+      }
+      BatchStats.writeSidecar(spark, target)
+      BloomIndex.carryOver(spark, fresh, target)
+      Bucketing.writeMarkerWithFiles(spark, target, spec)
+      writeOptimizedMarker(target, gen)
+      writeNoChangeMarker(spark, root, compactId)
+      writeFeedMarker(root, compactId, manifest, fresh.toSet)
+      manifest.replaceDirs(fresh.toSet, compactId, Seq(target))
+      true
+    }
   }
 
   /** Delta's `dataChange = false`: maintenance rewrites the SAME rows,

@@ -861,6 +861,73 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("bucketed OPTIMIZE is INCREMENTAL: prior generations stay byte-untouched") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    import graft.sources.TxnManifest
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val wh = java.nio.file.Files.createTempDirectory("graft_gbi_wh_").toString
+    spark.conf.set("spark.sql.catalog.gbi", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbi.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      GraftSql.execute(spark, "DROP TABLE IF EXISTS gbi.t")
+      GraftSql.execute(spark,
+        """CREATE TABLE gbi.t (id BIGINT, v STRING) USING `graft-manifest`
+          |TBLPROPERTIES ('keys' = 'id', 'bucketBy' = '4,id')""".stripMargin)
+      for (i <- 0 until 3) {
+        spark.range(i * 100, (i + 1) * 100)
+          .selectExpr("id", "concat('v', id) AS v")
+          .createOrReplaceTempView("gbi_src")
+        GraftSql.execute(spark, "INSERT INTO gbi.t SELECT * FROM gbi_src")
+      }
+      GraftSql.execute(spark, "OPTIMIZE gbi.t") // generation 1
+      val man = new TxnManifest(s"$wh/t/_commits")
+      val gen1 = man.committedDirs(s"$wh/t")
+      assert(gen1.size == 1, gen1.toString)
+      def filesOf(dir: String) = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("."))
+        .map(f => f.getName -> f.lastModified).toMap
+      val gen1Files = filesOf(gen1.head)
+      // more ingest + a FOREIGN raw append (no marker)
+      spark.range(300, 400).selectExpr("id", "concat('v', id) AS v")
+        .createOrReplaceTempView("gbi_src2")
+      GraftSql.execute(spark, "INSERT INTO gbi.t SELECT * FROM gbi_src2")
+      graft.sources.Sinks.appendBatch(
+        Seq((400L, "raw")).toDF("id", "v"), s"$wh/t", 99)
+      man.commit(99, Seq(s"$wh/t/batch=99"))
+      GraftSql.execute(spark, "OPTIMIZE gbi.t") // generation 2: fresh only
+      val after = man.committedDirs(s"$wh/t")
+      assert(after.size == 2 && after.contains(gen1.head),
+        s"generation 1 must survive untouched: $after")
+      assert(filesOf(gen1.head) == gen1Files,
+        "incremental OPTIMIZE rewrote a prior generation's bytes")
+      // healed + layout intact: agg on the key plans exchange-free
+      def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+        df.collect()
+        df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p                        => p
+        }
+      }
+      val g = spark.sql("SELECT id, count(*) AS c FROM gbi.t GROUP BY id")
+      assert(g.count() == 401)
+      assert(!finalPlan(g).toString.contains("Exchange hashpartitioning"),
+        s"incremental OPTIMIZE must keep SPJ:\n${finalPlan(g)}")
+      // a THIRD bare OPTIMIZE finds nothing fresh: no commit at all
+      val v0 = man.version()
+      GraftSql.execute(spark, "OPTIMIZE gbi.t")
+      assert(man.version() == v0, "no-op OPTIMIZE must not commit")
+      GraftSql.execute(spark, "DROP TABLE IF EXISTS gbi.t")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("bucketed OPTIMIZE ZORDER BY: within-bucket sort keeps SPJ, each bucket file clustered") {
     import graft.plans.{GraftCatalog, GraftSql}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
