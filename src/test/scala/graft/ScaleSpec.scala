@@ -807,6 +807,58 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("one-side SPJ shuffle: a plain side shuffles INTO the bucket function's partitioning") {
+    // spark.sql.sources.v2.bucketing.shuffle.enabled: the planner may
+    // hash the NON-bucketed side with OUR bucket function instead of
+    // shuffling both sides — possible only because BucketBound
+    // .produceResult computes the writer's exact routing. This test
+    // is the produceResult/writer agreement witness: a divergence
+    // would not shuffle rows to their matching bucket groups and the
+    // join would DROP matches.
+    import graft.plans.{GraftCatalog, GraftSql}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val wh = java.nio.file.Files.createTempDirectory("graft_gbo_wh_").toString
+    spark.conf.set("spark.sql.catalog.gbo", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbo.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      GraftSql.execute(spark, "DROP TABLE IF EXISTS gbo.f")
+      GraftSql.execute(spark,
+        """CREATE TABLE gbo.f (id BIGINT, v STRING) USING `graft-manifest`
+          |TBLPROPERTIES ('keys' = 'id', 'bucketBy' = '8,id')""".stripMargin)
+      spark.range(0, 500).selectExpr("id", "concat('v', id) AS v")
+        .createOrReplaceTempView("gbo_src")
+      GraftSql.execute(spark, "INSERT INTO gbo.f SELECT * FROM gbo_src")
+      // the plain side comes from parquet (no reported partitioning)
+      spark.range(250, 750).selectExpr("id", "concat('p', id) AS p")
+        .write.mode("overwrite").parquet(s"$wh/plain")
+      val plain = spark.read.parquet(s"$wh/plain")
+      val j = spark.table("gbo.f").join(plain, "id")
+      assert(j.count() == 250, s"got ${j.count()}") // ids 250..499
+      j.collect()
+      val fin = (j.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p                        => p
+      }).toString
+      // exactly ONE side shuffles, and it shuffles by the FUNCTION
+      // (TransformExpression over bucket), not plain hashpartitioning
+      val exchanges = "Exchange ".r.findAllIn(fin).length
+      assert(exchanges == 1, s"expected exactly one exchange:\n$fin")
+      assert(fin.contains("keygroupedpartitioning") &&
+          fin.contains("BucketBound"),
+        s"the single exchange must key on the bucket function:\n$fin")
+      GraftSql.execute(spark, "DROP TABLE IF EXISTS gbo.f")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.shuffle.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("large buckets split across files (maxRecordsPerFile): map stays sound, SPJ holds") {
     import graft.plans.{GraftCatalog, GraftSql}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
