@@ -1068,14 +1068,8 @@ object GraftInsertCommand {
           // stats sidecars carry PHYSICAL names; the mapped scan
           // translates its pushed filters to match, so data skipping
           // holds on mapped tables too
-          physBucket match {
-            case Some(_) => graft.sources.Bucketing.withStablePartitions(spark) {
-              graft.sources.StatsSinks.appendBatchStats(framed, entry.root,
-                batchId)
-            }
-            case None => graft.sources.StatsSinks.appendBatchStats(framed,
-              entry.root, batchId)
-          }
+          graft.sources.StatsSinks.appendBatchStats(framed, entry.root,
+            batchId)
           physBucket.foreach(b => graft.sources.Bucketing
             .writeMarkerWithFiles(spark, s"${entry.root}/batch=$batchId", b))
           beforeCommit(batchId)
@@ -1117,10 +1111,8 @@ object GraftInsertCommand {
           return
         }
         val framed = graft.sources.Bucketing.routed(aligned, b)
-        graft.sources.Bucketing.withStablePartitions(spark) {
-          graft.sources.StatsSinks.appendBatchStats(framed, entry.root,
-            batchId, bloomColumns = entry.bloomColumns)
-        }
+        graft.sources.StatsSinks.appendBatchStats(framed, entry.root,
+          batchId, bloomColumns = entry.bloomColumns)
         graft.sources.Bucketing.writeMarkerWithFiles(spark,
           s"${entry.root}/batch=$batchId", b)
         beforeCommit(batchId)

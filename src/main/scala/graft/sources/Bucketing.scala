@@ -123,33 +123,46 @@ object Bucketing {
     out.toSeq
   }
 
-  /** Route `df` so the write stage's partition index equals the flat
-    * bucket index. Single key: `repartition(n, col)` — classic
-    * HashPartitioning, partition = `pmod(hash(col), n)`. Multi key:
-    * the flat product index computed per row and passed through as
-    * the partition id VERBATIM ([[org.apache.spark.sql.catalyst
-    * .expressions.DirectShufflePartitionID]]) — a plain
-    * `repartition(n^k, cols…)` would hash the tuple into an index
-    * unrelated to the per-key buckets the scan reports. Callers wrap
-    * the subsequent write in [[withStablePartitions]]. */
+  /** Route `df` so the write stage's partition index EQUALS the flat
+    * bucket index: the per-row index (`pmod(hash(k_i), n)` Horner'd
+    * over the keys — identical to [[bucketOf]]/[[flatten]]) passes
+    * through as the partition id VERBATIM
+    * ([[org.apache.spark.sql.catalyst.expressions
+    * .DirectShufflePartitionID]] → ShufflePartitionIdPassThrough).
+    *
+    * Deliberately NOT `repartition(n, cols)`: the HashPartitioning
+    * spelling has two silent failure modes — EnsureRequirements can
+    * ELIDE the exchange when the child already carries
+    * HashPartitioning(keys, n) (an aggregation on the bucket keys
+    * under shuffle.partitions == n) and AQE may then COALESCE that
+    * satisfying upstream exchange, leaving one file holding several
+    * buckets' rows under a one-bucket marker (silently dropped SPJ
+    * matches). The pass-through requirement is never satisfied by an
+    * upstream hash exchange (no elision) and its REPARTITION_BY_NUM
+    * origin is never coalesced — the invariant holds by plan
+    * construction, with no session-conf gymnastics. (The streaming
+    * sink, which cannot use this operator, verifies every row's
+    * bucket task-side instead.) */
   def routed(df: org.apache.spark.sql.DataFrame, spec: Spec)
-    : org.apache.spark.sql.DataFrame =
-    if (spec.keys.size == 1)
-      df.repartition(spec.n, org.apache.spark.sql.functions.col(spec.key))
-    else {
-      import org.apache.spark.sql.functions.{col, hash, lit, pmod}
-      val flat = spec.keys.map(k => pmod(hash(col(k)), lit(spec.n)))
-        .reduce((a, b) => a * spec.n + b)
-      val plan = org.apache.spark.sql.catalyst.plans.logical
-        .RepartitionByExpression(
-          Seq(org.apache.spark.sql.catalyst.expressions
-            .DirectShufflePartitionID(
-              org.apache.spark.sql.graftbridge.ColumnBridge
-                .toExpression(flat.cast("int")))),
-          df.queryExecution.analyzed,
-          Some(spec.totalGroups))
-      org.apache.spark.sql.graftbridge.PlanBridge.ofRows(df.sparkSession, plan)
-    }
+    : org.apache.spark.sql.DataFrame = {
+    // catalyst expressions built DIRECTLY (a functions._ Column rides
+    // a ColumnNode wrapper that does not survive analysis inside a
+    // hand-built plan): pmod(murmur3_42(k_i), n) Horner'd — the exact
+    // bucketOf/flatten arithmetic, codegen'd per row
+    import org.apache.spark.sql.catalyst.expressions.{Add, Literal, Multiply, Murmur3Hash, Pmod}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val flat = spec.keys
+      .map(k => Pmod(new Murmur3Hash(Seq(UnresolvedAttribute.quoted(k))),
+        Literal(spec.n)): org.apache.spark.sql.catalyst.expressions.Expression)
+      .reduceLeft((a, b) => Add(Multiply(a, Literal(spec.n)), b))
+    val plan = org.apache.spark.sql.catalyst.plans.logical
+      .RepartitionByExpression(
+        Seq(org.apache.spark.sql.catalyst.expressions
+          .DirectShufflePartitionID(flat)),
+        df.queryExecution.analyzed,
+        Some(spec.totalGroups))
+    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(df.sparkSession, plan)
+  }
 
   /** Bucket id from a written part-file name (`part-00003-uuid…` →
     * bucket 3; the streaming sink's `part-3.parquet` → bucket 3):
@@ -194,29 +207,6 @@ object Bucketing {
     * conventions. Markers without map lines (round-8 dirs) fall back
     * to [[bucketOfFile]] name parsing. */
   val Marker = "_bucketed"
-
-  /** Run `body` (a bucketed write) with AQE partition coalescing
-    * OFF. The routing invariant is "the write stage's partition index
-    * IS the bucket id"; two plan rewrites can break it SILENTLY:
-    * EnsureRequirements elides the routing repartition when the
-    * child already carries HashPartitioning(keys, n) (e.g. an
-    * aggregation on the bucket keys under shuffle.partitions == n),
-    * and AQE may then COALESCE that satisfying upstream exchange —
-    * one output file holding several buckets' rows while the marker
-    * claims one. Coalescing is the unsound rewrite (elision alone
-    * preserves the invariant), so it is scoped OFF for the write;
-    * the session value is restored after. The streaming sink needs
-    * no guard: its epochs verify every row's bucket task-side. */
-  def withStablePartitions[A](spark: org.apache.spark.sql.SparkSession)
-                             (body: => A): A = {
-    val key = "spark.sql.adaptive.coalescePartitions.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try body finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
-  }
 
   /** Bare marker — the EMPTY-dir case (TRUNCATE, a nothing-matched
     * rewrite): trivially bucket-consistent, no files to map. */

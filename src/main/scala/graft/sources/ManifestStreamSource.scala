@@ -417,16 +417,8 @@ final class GraftManifestTable(tableSchema: StructType,
                 else {
                   // stats sidecars carry PHYSICAL names on mapped
                   // tables; the scan translates its filters to match
-                  physBucket match {
-                    case Some(_) =>
-                      Bucketing.withStablePartitions(data.sparkSession) {
-                        StatsSinks.appendBatchStats(framed2, root, batchId,
-                          bloomColumns = bloomCols)
-                      }
-                    case None =>
-                      StatsSinks.appendBatchStats(framed2, root, batchId,
-                        bloomColumns = bloomCols)
-                  }
+                  StatsSinks.appendBatchStats(framed2, root, batchId,
+                    bloomColumns = bloomCols)
                   physBucket.foreach(b => Bucketing.writeMarkerWithFiles(
                     data.sparkSession, s"$root/batch=$batchId", b))
                   man.commit(batchId, Seq(s"$root/batch=$batchId"))

@@ -167,13 +167,11 @@ object Sinks {
     val target = s"$root/batch=$compactId"
     require(!dirs.contains(target), s"compactId $compactId is a live batch")
     val all = applyDv(spark, readDirs(spark, dirs, physSchema), dvDirs)
-    Bucketing.withStablePartitions(spark) {
-      val routed = Bucketing.routed(all, spec)
-      val out =
-        if (zorderCols.isEmpty) routed
-        else routed.sortWithinPartitions(Layout.zKeyOf(zorderCols))
-      out.write.mode(SaveMode.Overwrite).parquet(target)
-    }
+    val routed = Bucketing.routed(all, spec)
+    val out =
+      if (zorderCols.isEmpty) routed
+      else routed.sortWithinPartitions(Layout.zKeyOf(zorderCols))
+    out.write.mode(SaveMode.Overwrite).parquet(target)
     BatchStats.writeSidecar(spark, target)
     BloomIndex.carryOver(spark, dirs, target)
     Bucketing.writeMarkerWithFiles(spark, target, spec)
@@ -224,13 +222,11 @@ object Sinks {
     if (fresh.isEmpty) false
     else {
       val all = applyDv(spark, readDirs(spark, fresh, physSchema), dvDirs)
-      Bucketing.withStablePartitions(spark) {
-        val routed = Bucketing.routed(all, spec)
-        val out =
-          if (zorderCols.isEmpty) routed
-          else routed.sortWithinPartitions(Layout.zKeyOf(zorderCols))
-        out.write.mode(SaveMode.Overwrite).parquet(target)
-      }
+      val routed = Bucketing.routed(all, spec)
+      val out =
+        if (zorderCols.isEmpty) routed
+        else routed.sortWithinPartitions(Layout.zKeyOf(zorderCols))
+      out.write.mode(SaveMode.Overwrite).parquet(target)
       BatchStats.writeSidecar(spark, target)
       BloomIndex.carryOver(spark, fresh, target)
       Bucketing.writeMarkerWithFiles(spark, target, spec)
@@ -428,11 +424,7 @@ object Sinks {
     val target = s"$root/batch=$batchId"
     require(!dirs.contains(target), s"batchId $batchId is a live batch")
     val out = bucketBy.fold(df)(b => Bucketing.routed(df, b))
-    if (bucketBy.isDefined)
-      Bucketing.withStablePartitions(spark) {
-        out.write.mode(SaveMode.Overwrite).parquet(target)
-      }
-    else out.write.mode(SaveMode.Overwrite).parquet(target)
+    out.write.mode(SaveMode.Overwrite).parquet(target)
     BatchStats.writeSidecar(spark, target)
     bucketBy.foreach(b => Bucketing.writeMarkerWithFiles(spark, target, b))
     if (dirs.nonEmpty)
@@ -649,11 +641,7 @@ object Sinks {
       // route the appended versions like any other write (the DV
       // side moves no rows, so the layout survives a DV update).
       val upsOut = bucketBy.fold(ups: DataFrame)(b => Bucketing.routed(ups, b))
-      if (bucketBy.isDefined)
-        Bucketing.withStablePartitions(spark) {
-          upsOut.write.mode(SaveMode.Overwrite).parquet(dataTarget)
-        }
-      else upsOut.write.mode(SaveMode.Overwrite).parquet(dataTarget)
+      upsOut.write.mode(SaveMode.Overwrite).parquet(dataTarget)
       BatchStats.writeSidecar(spark, dataTarget)
       bucketBy.foreach(b => Bucketing.writeMarkerWithFiles(spark, dataTarget, b))
       val matchedAny = matched.exists(_.limit(1).count() > 0)
@@ -864,11 +852,7 @@ object Sinks {
     // below), so the merge output joins exchange-free like any other
     // batch — copy-on-write preserves the layout
     val merged = bucketBy.fold(merged0)(b => Bucketing.routed(merged0, b))
-    if (bucketBy.isDefined)
-      Bucketing.withStablePartitions(spark) {
-        merged.write.mode(SaveMode.Overwrite).parquet(target)
-      }
-    else merged.write.mode(SaveMode.Overwrite).parquet(target)
+    merged.write.mode(SaveMode.Overwrite).parquet(target)
     // rewritten dirs may have carried stats sidecars — the merge
     // output keeps the table skippable (cheap footer pass), and any
     // bloom coverage the rewritten dirs carried is rebuilt with it
