@@ -317,7 +317,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       "bloomColumns" -> "",
       "clusterBy" -> "",
       "external" -> "false",
-      "clone" -> "true")
+      "clone" -> "true") ++
+      // bucketBy SURVIVES the fork: layout markers live per batch dir
+      // (inherited dirs carry theirs), the routing function is
+      // global, and every clone write path (insert, cross-root
+      // merge, materialization) routes + marks under the clone's
+      // root — the zero-copy fork of a bucketed fact table keeps its
+      // exchange-free joins
+      src.bucketBy.map(b =>
+        "bucketBy" -> graft.sources.Bucketing.render(b))
     if (!AtomicText.createExclusive(metaPath(name), render(meta)))
       throw new TableAlreadyExistsException(ident)
     // after winning the name: one CAS snapshot of the source's view.
@@ -456,7 +464,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val name = requireSimpleName(ident)
     require(partitions.isEmpty,
       s"graft catalog: PARTITIONED BY is not supported — layout is " +
-        "manifest-managed (OPTIMIZE [ZORDER BY] instead)")
+        "manifest-managed: 'bucketBy' for join co-location, " +
+        "'clusterBy' / OPTIMIZE ZORDER BY for skipping, and " +
+        "stats-proved retention DELETEs give the O(1) aged-slice " +
+        "drop directory partitioning would")
     require(schema.nonEmpty,
       "graft catalog: CREATE TABLE needs a schema — an explicit " +
         "column list, or AS SELECT (the query's schema)")

@@ -1475,11 +1475,19 @@ final case class GraftOptimizeCommand(table: String,
     val target = s"${entry.root}/batch=$materializeId"
     // readCommittedUnion applies inherited deletion vectors, so the
     // materialized files carry the POST-delete rows and the DV dirs
-    // drop with the old entries
-    Sinks.readCommittedUnion(spark, man)
-      .repartition(numFiles)
-      .write.parquet(target)
-    graft.sources.BatchStats.writeSidecar(spark, target)
+    // drop with the old entries. A BUCKETED clone materializes
+    // through the bucket routing (+ marker) so SPJ survives the
+    // flip from clone to plain table.
+    val unionAll = Sinks.readCommittedUnion(spark, man)
+    entry.bucketBy match {
+      case Some(b) =>
+        graft.sources.Bucketing.routed(unionAll, b).write.parquet(target)
+        graft.sources.BatchStats.writeSidecar(spark, target)
+        graft.sources.Bucketing.writeMarkerWithFiles(spark, target, b)
+      case None =>
+        unionAll.repartition(numFiles).write.parquet(target)
+        graft.sources.BatchStats.writeSidecar(spark, target)
+    }
     man.replaceEverything(materializeId, Seq(target))
     // flip the clone flag where the table's metadata lives
     table.split('.') match {

@@ -913,6 +913,75 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("bucketed SHALLOW CLONE keeps SPJ: inherited markers, divergence, materialization") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val wh = java.nio.file.Files.createTempDirectory("graft_gbc2_wh_").toString
+    spark.conf.set("spark.sql.catalog.gbc2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbc2.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (t <- Seq("src", "dim", "fork")) GraftSql.execute(spark,
+        s"DROP TABLE IF EXISTS gbc2.$t")
+      GraftSql.execute(spark,
+        """CREATE TABLE gbc2.src (id BIGINT, v STRING) USING `graft-manifest`
+          |TBLPROPERTIES ('keys' = 'id', 'bucketBy' = '8,id')""".stripMargin)
+      GraftSql.execute(spark,
+        """CREATE TABLE gbc2.dim (id BIGINT, w STRING) USING `graft-manifest`
+          |TBLPROPERTIES ('keys' = 'id', 'bucketBy' = '8,id')""".stripMargin)
+      spark.range(0, 200).selectExpr("id", "concat('v', id) AS v")
+        .createOrReplaceTempView("gbc2_s")
+      spark.range(0, 200).selectExpr("id", "concat('w', id) AS w")
+        .createOrReplaceTempView("gbc2_d")
+      GraftSql.execute(spark, "INSERT INTO gbc2.src SELECT * FROM gbc2_s")
+      GraftSql.execute(spark, "INSERT INTO gbc2.dim SELECT * FROM gbc2_d")
+      GraftSql.execute(spark, "CREATE TABLE gbc2.fork SHALLOW CLONE gbc2.src")
+      def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+        df.collect()
+        df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p                        => p
+        }
+      }
+      def spjJoin() = spark.sql(
+        "SELECT f.id, f.v, d.w FROM gbc2.fork f JOIN gbc2.dim d ON f.id = d.id")
+      // the ZERO-COPY fork inherits the layout: its join plans
+      // exchange-free from the source's markers alone
+      val j1 = spjJoin()
+      assert(j1.count() == 200)
+      assert(!finalPlan(j1).toString.contains("Exchange hashpartitioning"),
+        s"clone must inherit SPJ:\n${finalPlan(j1)}")
+      // divergence (insert + cross-root merge rewrite) stays routed
+      spark.range(1000, 1010).selectExpr("id", "concat('n', id) AS v")
+        .createOrReplaceTempView("gbc2_s2")
+      GraftSql.execute(spark, "INSERT INTO gbc2.fork SELECT * FROM gbc2_s2")
+      GraftSql.execute(spark, "UPDATE gbc2.fork SET v = 'u' WHERE id = 7")
+      val j2 = spjJoin()
+      val got = j2.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got(7L) == "u" && j2.count() == 200)
+      assert(!finalPlan(j2).toString.contains("Exchange hashpartitioning"),
+        s"clone divergence must keep SPJ:\n${finalPlan(j2)}")
+      // the source never changed
+      assert(spark.sql("SELECT v FROM gbc2.src WHERE id = 7")
+        .collect().head.getString(0) == "v7")
+      // materialization (bare OPTIMIZE) routes through the bucket
+      // function — SPJ survives the flip to a plain table
+      GraftSql.execute(spark, "OPTIMIZE gbc2.fork")
+      val j3 = spjJoin()
+      assert(j3.count() == 200)
+      assert(!finalPlan(j3).toString.contains("Exchange hashpartitioning"),
+        s"materialized clone must keep SPJ:\n${finalPlan(j3)}")
+      for (t <- Seq("src", "dim", "fork")) GraftSql.execute(spark,
+        s"DROP TABLE IF EXISTS gbc2.$t")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("bucketed OPTIMIZE is INCREMENTAL: prior generations stay byte-untouched") {
     import graft.plans.{GraftCatalog, GraftSql}
     import graft.sources.TxnManifest
