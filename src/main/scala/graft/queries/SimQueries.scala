@@ -48,6 +48,36 @@ object SimQueries {
         "label", queryPred = col("id") % 50 === 0, k = 5, nprobe = 2)
     }),
 
+    // IVF over a BUCKETED manifest table (round 9: the ANN and SPJ
+    // threads composed): the corpus lives in a catalog table bucketed
+    // on the IVF cell (label), so the probe's cell set — a broadcast
+    // join at run time — prunes files WITHIN each bucket group via
+    // runtime filtering, and a same-bucketed second corpus would join
+    // exchange-free. Same semantics as sim4 (the oracle is shared):
+    // the hash gate certifies that the bucket-pruned storage path
+    // returns bit-identical neighbors.
+    "sim10_bucketed_ivf" -> ((s, d) => {
+      import graft.plans.GraftSql
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val cat = "graft"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.plans.GraftCatalog].getName)
+      if (s.conf.getOption(s"spark.sql.catalog.$cat.warehouse").isEmpty)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_sim10_wh_").toString)
+      Tables.embeddings(s, d).select("vec_id", "label", "embedding")
+        .createOrReplaceTempView("sim10_src")
+      GraftSql.execute(s, s"DROP TABLE IF EXISTS $cat.ivfb")
+      GraftSql.execute(s,
+        s"""CREATE TABLE $cat.ivfb (vec_id BIGINT, label INT,
+           |  embedding ARRAY<FLOAT>) USING `graft-manifest`
+           |TBLPROPERTIES ('keys' = 'vec_id', 'bucketBy' = '8,label')
+           |""".stripMargin)
+      GraftSql.execute(s, s"INSERT INTO $cat.ivfb SELECT * FROM sim10_src")
+      Embeddings.ivfSearch(s.table(s"$cat.ivfb"), "vec_id", "embedding",
+        "label", queryPred = col("id") % 50 === 0, k = 5, nprobe = 2)
+    }),
+
     // Product-quantization ANN (ADC): corpus compressed 4× to one
     // code per 4-dim subspace, queries score code lookup tables
     // instead of vectors — the memory leg of the ANN triad (sim2
@@ -456,6 +486,33 @@ object SimQueries {
       |${arm("ivf", 5, "ivf")}""".stripMargin
   }
 
+  /** sim4's staged-CTE oracle — shared with sim10, whose bucketed
+    * storage must be invisible in the results. */
+  private def sim4OracleSql: String =
+    s"""WITH v AS (SELECT vec_id, label, ${qv("10000")} AS v4, ${qv("1000000")} AS v6
+        |  FROM embeddings),
+        |ncnt AS (SELECT label AS cl, count(*) AS n FROM v GROUP BY 1),
+        |comp AS (SELECT vec_id, label, v4, u.i FROM v,
+        |  (SELECT unnest(range(1, 65)) AS i) u),
+        |csum AS (SELECT label AS cl, i, CAST(sum(v4[i]) AS BIGINT) AS si
+        |  FROM comp GROUP BY 1, 2),
+        |qd AS (SELECT c.vec_id AS qid, s.cl,
+        |    CAST(sum((n.n * c.v4[c.i] - s.si) * (n.n * c.v4[c.i] - s.si)) AS BIGINT) AS d2
+        |  FROM comp c JOIN csum s ON s.i = c.i JOIN ncnt n ON n.cl = s.cl
+        |  WHERE c.vec_id % 50 = 0
+        |  GROUP BY 1, 2),
+        |probed AS (SELECT qid, cl FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY d2 ASC, cl ASC) AS pr FROM qd) WHERE pr <= 2),
+        |scored AS (SELECT p.qid AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> q.v6[i] * c.v6[i])) AS BIGINT) AS DOUBLE) /
+        |    sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> q.v6[i] * q.v6[i])) AS BIGINT) AS DOUBLE) *
+        |         CAST(CAST(list_sum(list_transform(range(1, 65), i -> c.v6[i] * c.v6[i])) AS BIGINT) AS DOUBLE)) AS cos_sim
+        |  FROM probed p JOIN v c ON c.label = p.cl JOIN v q ON q.vec_id = p.qid
+        |  WHERE c.vec_id <> p.qid),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "sim7_kmeans_diversity" -> sim7OracleSql,
     "sim8_recall_report" -> sim8OracleSql,
@@ -593,30 +650,11 @@ object SimQueries {
         |    ORDER BY adc_d2, neighbor_id) AS rank FROM adc)
         |SELECT query_id, neighbor_id, adc_d2, rank FROM ranked
         |WHERE rank <= 5""".stripMargin,
-    "sim4_ivf_search" ->
-      s"""WITH v AS (SELECT vec_id, label, ${qv("10000")} AS v4, ${qv("1000000")} AS v6
-        |  FROM embeddings),
-        |ncnt AS (SELECT label AS cl, count(*) AS n FROM v GROUP BY 1),
-        |comp AS (SELECT vec_id, label, v4, u.i FROM v,
-        |  (SELECT unnest(range(1, 65)) AS i) u),
-        |csum AS (SELECT label AS cl, i, CAST(sum(v4[i]) AS BIGINT) AS si
-        |  FROM comp GROUP BY 1, 2),
-        |qd AS (SELECT c.vec_id AS qid, s.cl,
-        |    CAST(sum((n.n * c.v4[c.i] - s.si) * (n.n * c.v4[c.i] - s.si)) AS BIGINT) AS d2
-        |  FROM comp c JOIN csum s ON s.i = c.i JOIN ncnt n ON n.cl = s.cl
-        |  WHERE c.vec_id % 50 = 0
-        |  GROUP BY 1, 2),
-        |probed AS (SELECT qid, cl FROM (SELECT *, row_number() OVER (
-        |    PARTITION BY qid ORDER BY d2 ASC, cl ASC) AS pr FROM qd) WHERE pr <= 2),
-        |scored AS (SELECT p.qid AS query_id, c.vec_id AS neighbor_id,
-        |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> q.v6[i] * c.v6[i])) AS BIGINT) AS DOUBLE) /
-        |    sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> q.v6[i] * q.v6[i])) AS BIGINT) AS DOUBLE) *
-        |         CAST(CAST(list_sum(list_transform(range(1, 65), i -> c.v6[i] * c.v6[i])) AS BIGINT) AS DOUBLE)) AS cos_sim
-        |  FROM probed p JOIN v c ON c.label = p.cl JOIN v q ON q.vec_id = p.qid
-        |  WHERE c.vec_id <> p.qid),
-        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored)
-        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "sim4_ivf_search" -> sim4OracleSql,
+    // same storage-invisible semantics: the bucketed layout must not
+    // change a single neighbor or score
+    "sim10_bucketed_ivf" -> sim4OracleSql,
+
     "sim3_ivf_centroid" ->
       s"""WITH q AS (SELECT vec_id AS vid, label AS true_label, ${qv("10000")} AS v
         |  FROM embeddings),
