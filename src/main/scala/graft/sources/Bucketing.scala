@@ -14,48 +14,50 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   * Declared at CREATE with
   * `TBLPROPERTIES ('bucketBy' = '<n>,<col>[,<col2>...]')`:
   *
-  *   - every INSERT/COPY batch `repartition(n, cols...)`s before
-  *     writing, so each task writes the rows of exactly one bucket
-  *     and the task's partition index IS the bucket id
-  *     (`HashPartitioning` routes row → partition
-  *     `pmod(murmur3(cols..., seed 42), n)` — the same function
-  *     [[GraftBucketFunction]] exposes to Spark);
+  *   - every bucketed batch write routes through [[routed]]: the
+  *     per-row flat bucket index (`pmod(murmur3_42(k_i), n)`
+  *     Horner'd) passes through as the shuffle partition id
+  *     VERBATIM, so each task writes the rows of exactly one bucket
+  *     group and the task's partition index IS the flat index;
   *   - each bucketed write records an EXPLICIT file → bucket map in
   *     the dir's `_bucketed` sidecar (see [[writeMarkerFiles]]), so
   *     bucket identity never depends on Spark's part-file naming
   *     surviving version upgrades or custom committers;
   *   - the scan groups planned files by bucket across ALL batches and
-  *     reports `KeyGroupedPartitioning(bucket(n, cols...))`, so a
-  *     join of two graft tables bucketed the same way — or an
-  *     aggregation on the bucket columns — plans with NO shuffle on
-  *     the bucketed side(s) (Spark's storage-partitioned join,
-  *     v2.bucketing);
+  *     reports `KeyGroupedPartitioning` with one `bucket(n, k_i)`
+  *     transform per key, so a join of two graft tables bucketed the
+  *     same way — or an aggregation on the bucket columns — plans
+  *     with NO shuffle on the bucketed side(s) (Spark's
+  *     storage-partitioned join, v2.bucketing);
   *   - [[graft.plans.GraftCatalog]] doubles as the FunctionCatalog
   *     that resolves the `bucket` transform, which is how Spark
-  *     proves both sides cluster identically.
+  *     proves both sides cluster identically (and can shuffle a
+  *     NON-bucketed side into this partitioning).
   *
   * At 100 TB this is the difference between shuffling the fact table
   * on every key join and never shuffling it again after ingest.
   *
   * Composition scope (round 9): the FULL DML surface is
   * bucket-preserving — INSERT/COPY, INSERT OVERWRITE, TRUNCATE,
-  * MERGE / UPDATE / DELETE (copy-on-write), OPTIMIZE (which also
-  * heals foreign batches), the native V1 batch write, AND the
-  * streaming sink (each epoch routes through the write's required
-  * distribution). `columnMapping` composes (the spec's keys are
-  * LOGICAL; markers and the Sinks layer carry their immutable
+  * MERGE / UPDATE / DELETE (copy-on-write AND merge-on-read DV),
+  * OPTIMIZE (incremental, healing foreign batches; ZORDER BY sorts
+  * WITHIN buckets), the native V1 batch write, the streaming sink
+  * (epochs route through the write's required distribution, verified
+  * per row), and SHALLOW CLONE (markers are per-dir, so the fork
+  * inherits the layout). `columnMapping` composes (the spec's keys
+  * are LOGICAL; markers and the Sinks layer carry their immutable
   * PHYSICAL twins, so renames never detach the layout) and
   * `deletionVectors` composes (a DV delete moves no rows; a DV
   * update's appended batch bucket-routes like any other write).
-  * Remaining refusals: OPTIMIZE ZORDER BY (the sort would destroy
-  * the routing), ALTER COLUMN TYPE on a bucket key (murmur3 of the
-  * same value differs across types — a widened key would silently
-  * mis-route old files' buckets), and DROP COLUMN of a bucket key.
-  * Runtime file pruning on bucketed scans filters files WITHIN each
-  * reported bucket group and keeps empty groups present, so the
-  * reported partitioning stays sound. Static stats/bloom skipping
-  * applies before grouping — skipped files only shrink their
-  * bucket's group.
+  * Remaining refusals: ALTER COLUMN TYPE on a bucket key (murmur3 of
+  * the same value differs across types — a widened key would
+  * silently mis-route old files' buckets), DROP COLUMN of a bucket
+  * key, and the streaming sink on MULTI-key specs (the product-grid
+  * routing has no connector-distribution spelling). Runtime file
+  * pruning on bucketed scans filters files WITHIN each reported
+  * bucket group and keeps empty groups present, so the reported
+  * partitioning stays sound. Static stats/bloom skipping applies
+  * before grouping — skipped files only shrink their bucket's group.
   */
 object Bucketing {
 
