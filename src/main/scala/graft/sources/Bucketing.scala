@@ -286,21 +286,31 @@ object Bucketing {
     * lacks a matching layout marker or any file fails to resolve.
     * `requiredKeys` (runtime filtering) pads the result with EMPTY
     * groups so the reported partition-key set never shrinks out
-    * from under the planner. */
+    * from under the planner. `resolverOf` lets the scan share one
+    * marker-read cache across pruning and grouping (the default
+    * reads per call). */
   def groupByBucket(parts: Array[InputPartition], spec: Spec,
-                    requiredKeys: Option[Seq[Int]] = None)
+                    requiredKeys: Option[Seq[Int]] = None,
+                    resolverOf: Option[String => Option[String => Option[Int]]] = None)
     : Option[Array[InputPartition]] = {
     val files = parts.map {
       case f: ManifestFilePartition => f
       case _                        => return None
     }
-    val resolverMemo = scala.collection.mutable.Map
-      .empty[String, Option[String => Option[Int]]]
+    // per-dir marker reads fan out over the shared namespace pool —
+    // a 1000-dir table must not pay 1000 SEQUENTIAL object-store
+    // round trips at plan time
+    val dirs = files.map(f =>
+      f.filePath.substring(0, f.filePath.lastIndexOf('/'))).distinct.toSeq
+    val resolve = resolverOf.getOrElse {
+      val m = GraftManifestSource
+        .parallelMap(dirs)(d => d -> fileBuckets(d, spec)).toMap
+      m.apply _
+    }
     val withBucket = files.map { f =>
       val dir = f.filePath.substring(0, f.filePath.lastIndexOf('/'))
       val name = f.filePath.substring(f.filePath.lastIndexOf('/') + 1)
-      resolverMemo.getOrElseUpdate(dir, fileBuckets(dir, spec))
-        .flatMap(_(name)) match {
+      resolve(dir).flatMap(_(name)) match {
         case Some(b) if b < spec.totalGroups => b -> f
         case _                               => return None
       }

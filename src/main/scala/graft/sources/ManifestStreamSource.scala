@@ -722,14 +722,16 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
         if (perKey.forall(_.isEmpty)) parts
         else {
           // markers carry the PHYSICAL spec; a file resolves through
-          // the explicit map first, name parse for round-8 markers
-          val resolverMemo = scala.collection.mutable.Map
-            .empty[String, Option[String => Option[Int]]]
+          // the explicit map first, name parse for round-8 markers.
+          // Marker reads go through the scan-shared parallel cache.
+          prewarmResolvers(pb, parts.collect {
+            case f: ManifestFilePartition =>
+              f.filePath.substring(0, f.filePath.lastIndexOf('/'))
+          }.distinct.toSeq)
           parts.filter {
             case f: ManifestFilePartition =>
               val dir = f.filePath.substring(0, f.filePath.lastIndexOf('/'))
-              resolverMemo.getOrElseUpdate(dir,
-                Bucketing.fileBuckets(dir, pb)) match {
+              resolverFor(pb)(dir) match {
                 case None => true // foreign layout: never prune
                 case Some(resolve) =>
                   val name = f.filePath
@@ -747,6 +749,26 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
       case _ => parts
     }
 
+  /** One marker-read cache per scan: bucket pruning and group
+    * reporting both resolve the same dirs, and each dir costs one
+    * tiny namespace read — paid once, prefetched in parallel
+    * (committed dirs are immutable, so entries never go stale). */
+  private val markerResolvers = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[String => Option[Int]]]()
+  private def resolverFor(pb: Bucketing.Spec)(dir: String)
+    : Option[String => Option[Int]] =
+    markerResolvers.computeIfAbsent(dir, d => Bucketing.fileBuckets(d, pb))
+  private def prewarmResolvers(pb: Bucketing.Spec,
+                               dirs: Seq[String]): Unit = {
+    val missing = dirs.filterNot(markerResolvers.containsKey)
+    if (missing.nonEmpty) {
+      GraftManifestSource.parallelMap(missing)(d =>
+        markerResolvers.computeIfAbsent(d,
+          dd => Bucketing.fileBuckets(dd, pb)))
+      ()
+    }
+  }
+
   /** Bucket groups for the SPJ report: per-file partitions grouped
     * by the bucket id in their file names — None when the table is
     * not bucketed or any file has a foreign layout (then the scan
@@ -758,10 +780,17 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
   @volatile private var groupsMemo: Option[Option[Array[InputPartition]]] = None
   private def bucketGroups: Option[Array[InputPartition]] = synchronized {
     if (groupsMemo.isEmpty)
-      groupsMemo = Some(physBucket.flatMap(b =>
-        Bucketing.groupByBucket(batchParts.collect {
+      groupsMemo = Some(physBucket.flatMap { b =>
+        val parts = batchParts.collect {
           case f: ManifestFilePartition => f: InputPartition
-        }, b, requiredKeys = lockedKeys)))
+        }
+        prewarmResolvers(b, parts.collect {
+          case f: ManifestFilePartition =>
+            f.filePath.substring(0, f.filePath.lastIndexOf('/'))
+        }.distinct.toSeq)
+        Bucketing.groupByBucket(parts, b, requiredKeys = lockedKeys,
+          resolverOf = Some(resolverFor(b)))
+      })
     groupsMemo.get
   }
 
