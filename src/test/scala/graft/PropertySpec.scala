@@ -371,4 +371,55 @@ class PropertySpec extends SparkSuite {
         assert(hi1 <= lo2, s"gen $gi overlapping file ranges: ${ranges.toSeq}")
     }
   }
+
+  test("bucket routing property: every written row's bucketOf == its file's recorded bucket") {
+    // THE layout invariant everything else (SPJ, pruning, markers)
+    // rests on, checked end to end over generated keys of both a
+    // numeric and a string type, single- and multi-key specs: write
+    // through Bucketing.routed, map files via the recorded marker,
+    // read each file back and recompute every row's bucket with the
+    // scan-side function — one mismatch means joins would drop rows.
+    import graft.sources.Bucketing
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val keysGen = Gen.listOfN(200, for {
+      a <- Gen.chooseNum(-100000L, 100000L)
+      s <- Gen.alphaNumStr.map(_.take(12))
+    } yield (a, s))
+    val data = keysGen.sample.get
+    for ((spec, label) <- Seq(
+      Bucketing.Spec(8, Seq("k1")) -> "single-long",
+      Bucketing.Spec(4, Seq("k2")) -> "single-string",
+      Bucketing.Spec(4, Seq("k1", "k2")) -> "multi")) {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_brt_${label}_").toString
+      val df = data.toDF("k1", "k2")
+      Bucketing.routed(df, spec).write.parquet(s"$tmp/b")
+      Bucketing.writeMarkerWithFiles(spark, s"$tmp/b", spec)
+      val resolve = Bucketing.fileBuckets(s"$tmp/b", spec)
+        .getOrElse(fail(s"$label: marker unreadable"))
+      val files = new java.io.File(s"$tmp/b").listFiles()
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("."))
+      assert(files.nonEmpty)
+      var seen = 0
+      files.foreach { f =>
+        val flat = resolve(f.getName).getOrElse(
+          fail(s"$label: ${f.getName} not in map"))
+        val dims = Bucketing.dims(flat, spec)
+        spark.read.parquet(f.toString).collect().foreach { r =>
+          val got = spec.keys.zipWithIndex.map {
+            case ("k1", _) => Bucketing.bucketOf(r.getLong(
+              r.fieldIndex("k1")), LongType, spec.n)
+            case ("k2", _) => Bucketing.bucketOf(
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                r.getString(r.fieldIndex("k2"))), StringType, spec.n)
+          }
+          assert(got == dims,
+            s"$label: row $r in file of bucket $dims hashes to $got")
+          seen += 1
+        }
+      }
+      assert(seen == data.length, s"$label: $seen of ${data.length} rows")
+    }
+  }
 }

@@ -1145,6 +1145,26 @@ class ScaleSpec extends SparkSuite {
       assert(j.count() == expect, s"expected $expect rows, got ${j.count()}")
       assert(!finalPlan(j).toString.contains("Exchange hashpartitioning"),
         s"composite-key SPJ expected no exchange:\n${finalPlan(j)}")
+      // PARTIAL-key pruning — the product grid's bonus over a
+      // composite hash: equality on ONE of the two keys drops every
+      // file whose grid vector has that component elsewhere (≤ n of
+      // the n² groups survive)
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collectWithSubqueries {
+          case s: BatchScanExec => s }
+          .map(_.metrics("manifestFilesRead").value).sum
+      }
+      val all = filesRead(spark.sql("SELECT k1 FROM gbm.a"))
+      val partial = filesRead(spark.sql("SELECT k2 FROM gbm.a WHERE k1 = 3"))
+      assert(partial <= all / 4 && partial > 0,
+        s"one-key equality read $partial of $all files")
+      val both = filesRead(spark.sql(
+        "SELECT v FROM gbm.a WHERE k1 = 3 AND k2 = 'g3'"))
+      assert(both <= partial, s"two-key equality read $both > $partial")
+      assert(spark.sql("SELECT v FROM gbm.a WHERE k1 = 3 AND k2 = 'g3'")
+        .count() >= 1)
       Seq("a", "b").foreach(t =>
         GraftSql.execute(spark, s"DROP TABLE IF EXISTS gbm.$t"))
     } finally {
