@@ -380,15 +380,13 @@ private final case class GraftManifestWriterFactory(
     // that silently mis-groups joins). Keys are PHYSICAL names,
     // resolved against the physical write schema.
     val routing = bucketSpec.map { b =>
-      val idx = b.keys.map { k =>
-        val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(k))
-        require(i >= 0,
-          s"bucketBy key '$k' is missing from the sink's write schema " +
-            schema.simpleString)
-        i
-      }
-      BucketRouting(b.n, idx.toArray, idx.map(schema.fields(_).dataType).toArray,
-        partitionId)
+      // single-key only: the multi-key streaming sink refuses at
+      // toStreaming (product-grid routing has no connector spelling)
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(b.key))
+      require(i >= 0,
+        s"bucketBy key '${b.key}' is missing from the sink's write " +
+          s"schema ${schema.simpleString}")
+      BucketRouting(b.n, i, schema.fields(i).dataType, partitionId)
     }
     // attempt-UNIQUE temp, renamed to the deterministic target only in
     // the coordinator-authorized commit(): under speculation two
@@ -406,14 +404,13 @@ private final case class GraftManifestWriterFactory(
 
 /** Per-row bucket verification for a bucketed streaming epoch: every
   * row this task writes must hash to the task's partition id under
-  * the table's routing function. */
-private final case class BucketRouting(n: Int, keyIdx: Array[Int],
-                                       keyTypes: Array[org.apache.spark.sql
-                                         .types.DataType],
+  * the table's routing function — allocation-free on the hot path. */
+private final case class BucketRouting(n: Int, keyIdx: Int,
+                                       keyType: org.apache.spark.sql
+                                         .types.DataType,
                                        partitionId: Int) {
   def check(row: InternalRow): Unit = {
-    val vs = keyIdx.indices.map(i => row.get(keyIdx(i), keyTypes(i)))
-    val b = Bucketing.bucketOf(vs, keyTypes.toSeq, n)
+    val b = Bucketing.bucketOf(row.get(keyIdx, keyType), keyType, n)
     if (b != partitionId)
       throw new IllegalStateException(
         s"bucketed streaming sink: a row of partition $partitionId hashes " +
