@@ -223,10 +223,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case None =>
         // live schema wins (additive evolution shows up); the declared
         // schema serves a created-but-not-yet-loaded table, so the first
-        // SELECT of an empty table returns zero rows, not an error
+        // SELECT of an empty table returns zero rows, not an error.
+        // Declared columns no file carries yet (ALTER ADD COLUMN on a
+        // plain table) OVERLAY the live schema — parquet clips them
+        // to NULL for every existing file, Delta's metadata-only ADD.
         GraftManifestSource
-          .mergedSchemaOpt(SparkSession.active, root, manifest)
-          .getOrElse(DataType.fromJson(meta("schema")).asInstanceOf[StructType])
+          .mergedSchemaOpt(SparkSession.active, root, manifest) match {
+          case None => DataType.fromJson(meta("schema")).asInstanceOf[StructType]
+          case Some(live) =>
+            val declared = DataType.fromJson(meta("schema"))
+              .asInstanceOf[StructType].fields
+            StructType(live.fields ++ declared.filterNot(df =>
+              live.fieldNames.exists(_.equalsIgnoreCase(df.name))))
+        }
     }
     // IDENTITY metadata lives on the DECLARED schema only (live
     // parquet schemas carry no field metadata) — overlay it onto the
@@ -586,10 +595,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(throw new NoSuchTableException(ident))
     def log = new graft.sources.SchemaLog(meta.getOrElse("schemaLog",
       throw new UnsupportedOperationException(
-        "graft catalog: column DDL needs a columnMapping table — " +
-          "CREATE TABLE ... TBLPROPERTIES ('columnMapping' = 'true'); " +
-          "this table's files carry logical names, so a rename would " +
-          "rewrite data (schema still evolves additively through writes)")))
+        "graft catalog: RENAME/DROP COLUMN and retype need a " +
+          "columnMapping table — CREATE TABLE ... TBLPROPERTIES " +
+          "('columnMapping' = 'true'); this table's files carry logical " +
+          "names, so a rename would rewrite data (ADD COLUMN works on " +
+          "plain tables, and schema still evolves additively through " +
+          "writes)")))
     val behaviorProps = Set("cdf", "deletionVectors", "schemaEvolution")
     var newMeta = meta
     def single(fieldNames: Array[String], what: String): String = {
@@ -656,8 +667,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case a: TableChange.AddColumn =>
         require(a.position() == null,
           "graft catalog: ADD COLUMN FIRST/AFTER is not supported — " +
-            "column order is the mapping's add order")
-        log.add(single(a.fieldNames(), "add"), a.dataType())
+            "column order is the add order")
+        val ac = single(a.fieldNames(), "add")
+        meta.get("schemaLog") match {
+          case Some(_) => log.add(ac, a.dataType())
+          case None =>
+            // PLAIN tables take metadata-only ADD too (Delta needs no
+            // column mapping for it): the column appends to the
+            // DECLARED schema, the served schema overlays it, and
+            // parquet clips it to NULL for every existing file. Only
+            // rename/drop need the mapping (physical file columns
+            // ARE their names there).
+            val declared = DataType.fromJson(newMeta("schema"))
+              .asInstanceOf[StructType]
+            require(!declared.fieldNames.exists(_.equalsIgnoreCase(ac)),
+              s"graft catalog: column '$ac' already exists")
+            newMeta += ("schema" -> declared
+              .add(org.apache.spark.sql.types.StructField(ac, a.dataType()))
+              .json)
+        }
       case d: TableChange.DeleteColumn =>
         val c = single(d.fieldNames(), "drop")
         require(!keysOf(newMeta).exists(_.equalsIgnoreCase(c)),

@@ -617,11 +617,15 @@ object GraftDml {
       // row (`SET a = b, b = a` swaps), so all expressions project in
       // ONE select over the original frame, never a sequential fold
       val matched = condSql.fold(cur)(c => cur.where(expr(c)))
+      // SQL assignment semantics CAST to the column's type (what
+      // MERGE's applyAssigns does) — a bare literal must not drift
+      // the column (SET score = 1.5 on a DOUBLE column stays DOUBLE,
+      // not decimal(2,1))
       val ups0 = GraftDml.recomputeGenerated(entry,
-        matched.select(matched.columns.map { c =>
-          assigns.find(_._1.equalsIgnoreCase(c))
-            .map { case (_, v) => expr(v).as(c) }
-            .getOrElse(col(c))
+        matched.select(matched.schema.fields.map { f =>
+          assigns.find(_._1.equalsIgnoreCase(f.name))
+            .map { case (_, v) => expr(v).cast(f.dataType).as(f.name) }
+            .getOrElse(col(f.name))
         }.toIndexedSeq: _*))
       graft.sources.CheckConstraints.enforce(table,
         GraftSqlTables.writeChecks(entry), ups0, "UPDATE")
@@ -755,9 +759,22 @@ object GraftDml {
     * manifest names; plain tables filter to their own. */
   private[plans] def committedRead(spark: SparkSession,
                                    entry: GraftSqlTables.Entry,
-                                   man: TxnManifest): DataFrame =
-    if (entry.isClone) Sinks.readCommittedUnion(spark, man)
-    else Sinks.readCommitted(spark, entry.root, man)
+                                   man: TxnManifest): DataFrame = {
+    val base =
+      if (entry.isClone) Sinks.readCommittedUnion(spark, man)
+      else Sinks.readCommitted(spark, entry.root, man)
+    // declared columns no file carries yet (ALTER ADD COLUMN on a
+    // plain table) serve as typed NULLs, so every DML verb sees the
+    // full table schema before the first write lands in the column
+    entry.schemaJson.fold(base) { json =>
+      val declared = org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fields
+      declared.filterNot(f =>
+          base.columns.exists(_.equalsIgnoreCase(f.name)))
+        .foldLeft(base)((df, f) => df.withColumn(f.name,
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+    }
+  }
 
   /** GENERATED ALWAYS AS columns recomputed from the frame's CURRENT
     * values (post-assignment) — generation expressions may reference

@@ -1809,6 +1809,59 @@ class SqlSurfaceSpec extends SparkSuite {
     GraftSql.execute(spark, "DROP TABLE IF EXISTS ginn.t")
   }
 
+  test("ADD COLUMN on a PLAIN table is metadata-only (no columnMapping needed)") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    val wh = java.nio.file.Files.createTempDirectory("graft_gadd_wh_").toString
+    spark.conf.set("spark.sql.catalog.gadd", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gadd.warehouse", wh)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gadd.t")
+    GraftSql.execute(spark,
+      """CREATE TABLE gadd.t (id BIGINT, v STRING) USING `graft-manifest`
+        |TBLPROPERTIES ('keys' = 'id')""".stripMargin)
+    spark.range(0, 10).selectExpr("id", "concat('v', id) AS v")
+      .createOrReplaceTempView("gadd_src")
+    GraftSql.execute(spark, "INSERT INTO gadd.t SELECT * FROM gadd_src")
+    val before = new java.io.File(s"$wh/t/batch=0").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    spark.sql("ALTER TABLE gadd.t ADD COLUMN score DOUBLE")
+    val after = new java.io.File(s"$wh/t/batch=0").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(before == after, "ADD COLUMN touched data files")
+    // served immediately, NULL for every existing row
+    val r0 = spark.sql("SELECT id, score FROM gadd.t WHERE id = 3")
+      .collect().head
+    assert(r0.isNullAt(1), r0.toString)
+    // DML sees the new column before any file carries it
+    GraftSql.execute(spark, "UPDATE gadd.t SET score = 1.5 WHERE id = 3")
+    // positional INSERT now takes the full 3-column shape
+    spark.sql("SELECT 100L AS id, 'n' AS v, 2.5 AS score")
+      .createOrReplaceTempView("gadd_src2")
+    GraftSql.execute(spark, "INSERT INTO gadd.t SELECT * FROM gadd_src2")
+    val got = spark.sql("SELECT id, score FROM gadd.t").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(3L).contains(1.5) && got(100L).contains(2.5) &&
+      got(0L).isEmpty, got.toString)
+    assert(got.size == 11)
+    // duplicate add refuses; rename still needs the mapping
+    val eDup = intercept[Exception](
+      spark.sql("ALTER TABLE gadd.t ADD COLUMN score DOUBLE"))
+    assert(exMessageChain2(eDup).exists(_.contains("already exists")),
+      eDup.getMessage)
+    val eRen = intercept[Exception](
+      spark.sql("ALTER TABLE gadd.t RENAME COLUMN v TO w"))
+    assert(exMessageChain2(eRen).exists(_.contains("columnMapping")),
+      eRen.getMessage)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gadd.t")
+  }
+
+  /** Messages of a throwable and its cause chain. */
+  private def exMessageChain2(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+      .flatMap(e => Option(e.getMessage)).toSeq
+
   test("RENAME guard catches backtick-quoted references in stored expressions") {
     import graft.plans.{GraftCatalog, GraftSql}
     val wh = java.nio.file.Files.createTempDirectory("graft_btk_wh_").toString
