@@ -114,14 +114,22 @@ object Ids {
   /** Explicitly-provided IDENTITY values must not be NULL: the column
     * is implicitly NOT NULL (Delta's rule) — a null id would quietly
     * undermine the uniqueness/monotonicity contract the allocator
-    * certifies. One `limit(1)` probe over the batch. */
-  def requireNoNullIdentity(table: String, df: DataFrame,
-                            idCol: String): Unit = {
-    val bad = df.where(org.apache.spark.sql.functions.col(idCol).isNull)
-      .limit(1).count()
-    require(bad == 0,
-      s"INSERT into $table: IDENTITY column '$idCol' received an explicit " +
-        "NULL — identity columns are implicitly NOT NULL; omit the column " +
-        "to let the engine allocate")
+    * certifies. The guard is IN the write plan (a `raise_error`
+    * branch on the column), so it evaluates on exactly the rows
+    * being written — a separate probe job would re-execute the
+    * source, doubling insert cost, and for a nondeterministic source
+    * its verdict would not even bind the written rows. */
+  def guardNoNullIdentity(table: String, df: DataFrame,
+                          idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, raise_error, when}
+    df.schema.fields.find(_.name.equalsIgnoreCase(idCol)) match {
+      case None => df
+      case Some(f) => df.withColumn(f.name,
+        when(col(f.name).isNotNull, col(f.name))
+          .otherwise(raise_error(lit(
+            s"INSERT into $table: IDENTITY column '${f.name}' received " +
+              "an explicit NULL — identity columns are implicitly " +
+              "NOT NULL; omit the column to let the engine allocate"))))
+    }
   }
 }

@@ -213,13 +213,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case None if meta.get("clone").exists(_.toBoolean) =>
         // a clone's view spans inherited roots — the union merged
         // schema (post-divergence columns included); declared schema
-        // serves the (crash-window) empty-manifest state
+        // serves the (crash-window) empty-manifest state. Declared
+        // columns no file carries yet (ALTER ADD COLUMN) overlay the
+        // union schema exactly like the plain-table branch below —
+        // without this, an ADD on a clone would silently succeed
+        // while SELECT of the column failed to resolve.
         val man = new graft.sources.TxnManifest(manifest)
         val (dataDirs, _) = graft.sources.Sinks.splitDv(man.committedDirsAll())
-        if (dataDirs.isEmpty)
-          DataType.fromJson(meta("schema")).asInstanceOf[StructType]
-        else SparkSession.active.read
-          .option("mergeSchema", true).parquet(dataDirs: _*).schema
+        val declaredC = DataType.fromJson(meta("schema"))
+          .asInstanceOf[StructType]
+        if (dataDirs.isEmpty) declaredC
+        else {
+          val live = SparkSession.active.read
+            .option("mergeSchema", true).parquet(dataDirs: _*).schema
+          StructType(live.fields ++ declaredC.fields.filterNot(df =>
+            live.fieldNames.exists(_.equalsIgnoreCase(df.name))))
+        }
       case None =>
         // live schema wins (additive evolution shows up); the declared
         // schema serves a created-but-not-yet-loaded table, so the first
@@ -653,9 +662,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (ks.exists(_.equalsIgnoreCase(from)))
           newMeta += ("keys" -> ks.map(k =>
             if (k.equalsIgnoreCase(from)) r.newName() else k).mkString(","))
-        // the rename follows into the bucket spec too (the spec's
-        // keys are LOGICAL; the recorded layout markers carry the
-        // immutable physical twins, so nothing on disk moves)
+        // the rename follows into clusterBy: a stale declared
+        // clustering column would wedge the next bare OPTIMIZE with
+        // an unmappable-name failure
+        val cb = newMeta.getOrElse("clusterBy", "").split(',')
+          .map(_.trim).filter(_.nonEmpty)
+        if (cb.exists(_.equalsIgnoreCase(from)))
+          newMeta += ("clusterBy" -> cb.map(c =>
+            if (c.equalsIgnoreCase(from)) r.newName() else c).mkString(","))
+        // ... and into the bucket spec (the spec's keys are LOGICAL;
+        // the recorded layout markers carry the immutable physical
+        // twins, so nothing on disk moves)
         newMeta.get("bucketBy").filter(_.nonEmpty)
           .map(graft.sources.Bucketing.parse)
           .filter(_.keys.exists(_.equalsIgnoreCase(from)))
@@ -669,6 +686,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           "graft catalog: ADD COLUMN FIRST/AFTER is not supported — " +
             "column order is the add order")
         val ac = single(a.fieldNames(), "add")
+        // a NOT NULL addition over existing rows is a lie (they all
+        // serve NULL) — Delta refuses it on non-empty tables; we
+        // refuse it always (add nullable + backfill + constraint)
+        require(a.isNullable,
+          s"graft catalog: ADD COLUMN '$ac' NOT NULL is not supported " +
+            "— existing rows would serve NULL for it; add it nullable " +
+            "and backfill, then ADD CONSTRAINT")
         meta.get("schemaLog") match {
           case Some(_) => log.add(ac, a.dataType())
           case None =>
@@ -682,9 +706,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
               .asInstanceOf[StructType]
             require(!declared.fieldNames.exists(_.equalsIgnoreCase(ac)),
               s"graft catalog: column '$ac' already exists")
-            newMeta += ("schema" -> declared
-              .add(org.apache.spark.sql.types.StructField(ac, a.dataType()))
-              .json)
+            val withComment = Option(a.comment()).fold(
+              org.apache.spark.sql.types.StructField(ac, a.dataType()))(c =>
+              org.apache.spark.sql.types.StructField(ac, a.dataType())
+                .withComment(c))
+            newMeta += ("schema" -> declared.add(withComment).json)
         }
       case d: TableChange.DeleteColumn =>
         val c = single(d.fieldNames(), "drop")

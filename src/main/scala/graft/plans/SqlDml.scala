@@ -667,9 +667,7 @@ object GraftDml {
               // one would widen the predicate and delete live rows
               (if (t.length == fs0.length) Some(t) else None,
                 Some(graft.sources.SchemaLog.physicalSchema(cols)),
-                entry.bucketBy.map(b => b.copy(keys = b.keys.map(k =>
-                  cols.find(_.logical.equalsIgnoreCase(k))
-                    .map(_.physical).getOrElse(k)))))
+                entry.bucketBy.map(graft.sources.Bucketing.physical(_, cols)))
           }
           fsPhys.exists(f => Sinks.retentionDelete(spark, entry.root, man,
             mergeId, f, physSchema = physSchemaF, bucketBy = physBucketF))
@@ -825,7 +823,7 @@ object GraftDml {
     /** The bucket spec's PHYSICAL twin — what the Sinks layer routes
       * and marks with. */
     def bucket(b: graft.sources.Bucketing.Spec): graft.sources.Bucketing.Spec =
-      b.copy(keys = b.keys.map(column))
+      graft.sources.Bucketing.physical(b, cols)
   }
 
   private def physicalizer(table: String,
@@ -1015,18 +1013,15 @@ object GraftInsertCommand {
     if (idents.isEmpty) return aligned
     def provided(c: String) =
       insertCols.forall(_.exists(_.equalsIgnoreCase(c)))
-    idents.foreach { case (c, spec) =>
+    idents.foldLeft(aligned) { case (df, (c, spec)) =>
       if (provided(c)) {
         require(spec.isAllowExplicitInsert,
           s"INSERT into $table: column '$c' is GENERATED ALWAYS AS " +
             "IDENTITY — omit it from an explicit column list and the " +
             "engine allocates (GENERATED BY DEFAULT accepts explicit " +
             "values)")
-        graft.ops.Ids.requireNoNullIdentity(table, aligned, c)
-      }
-    }
-    idents.filterNot(i => provided(i._1)).foldLeft(aligned) {
-      case (df, (c, spec)) =>
+        graft.ops.Ids.guardNoNullIdentity(table, df, c)
+      } else
         graft.ops.Ids.fillIdentity(df, c, spec.getStart, spec.getStep,
           batchId.toLong)
     }
@@ -1070,11 +1065,8 @@ object GraftInsertCommand {
         // bucketed + mapped: route on the PHYSICAL key names (same
         // values, so the same murmur3 routing the scan reports under
         // the logical names) — markers record physical identity
-        val physBucket = entry.bucketBy.map(b => b.copy(keys =
-          b.keys.map(k => cols.find(_.logical.equalsIgnoreCase(k))
-            .map(_.physical).getOrElse(throw new IllegalArgumentException(
-              s"INSERT into $table: bucketBy key '$k' is not in the " +
-                "table's column mapping")))))
+        val physBucket =
+          entry.bucketBy.map(graft.sources.Bucketing.physical(_, cols))
         if (overwrite) {
           beforeCommit(batchId)
           Sinks.insertOverwrite(spark, physical, entry.root, man, batchId,
@@ -1400,7 +1392,7 @@ final case class GraftOptimizeCommand(table: String,
               .getOrElse(throw new IllegalArgumentException(
                 s"OPTIMIZE $table: column '$k' is not in the " +
                   "table's column mapping"))
-          (b.copy(keys = b.keys.map(f)),
+          (graft.sources.Bucketing.physical(b, cols),
             Some(graft.sources.SchemaLog.physicalSchema(cols)), f)
       }
       // ZORDER BY (or declared clusterBy) on a bucketed table sorts

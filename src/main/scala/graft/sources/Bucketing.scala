@@ -103,11 +103,17 @@ object Bucketing {
     ((h % n) + n) % n
   }
 
-  def bucketOf(values: Seq[Any], dts: Seq[DataType], n: Int): Int = {
-    require(values.length == 1 && dts.length == 1,
-      "bucketOf folds one key; multi-key specs flatten per-key buckets")
-    bucketOf(values.head, dts.head, n)
-  }
+  /** The spec's PHYSICAL twin under a column mapping — what the file
+    * layer (routing, markers) carries; identity when `cols` is
+    * empty. A bucket key missing from the mapping is corrupt table
+    * state and fails loudly at every call site identically. */
+  def physical(spec: Spec, cols: Seq[SchemaLog.Col]): Spec =
+    if (cols.isEmpty) spec
+    else spec.copy(keys = spec.keys.map(k =>
+      cols.find(_.logical.equalsIgnoreCase(k)).map(_.physical)
+        .getOrElse(throw new IllegalArgumentException(
+          s"bucketBy key '$k' is not in the table's column mapping " +
+            s"(have: ${cols.map(_.logical).mkString(", ")})"))))
 
   /** Flat group index of a per-key bucket vector — Horner over the
     * product grid: `((b₁·n)+b₂)·n+…`. The write stage's partition

@@ -121,15 +121,8 @@ final class GraftManifestTable(tableSchema: StructType,
     * never detaches the recorded layout (physical ids are
     * immutable). Identity on unmapped tables. */
   private def physBucketSpec: Option[Bucketing.Spec] =
-    bucketSpec.map { b =>
-      GraftManifestSource.mapping(options) match {
-        case None => b
-        case Some(cols) => b.copy(keys = b.keys.map(k =>
-          cols.find(_.logical.equalsIgnoreCase(k)).map(_.physical)
-            .getOrElse(throw new IllegalArgumentException(
-              s"bucketBy key '$k' is not in the table's column mapping"))))
-      }
-    }
+    bucketSpec.map(b => Bucketing.physical(b,
+      GraftManifestSource.mapping(options).getOrElse(Nil)))
 
   override def partitioning()
     : Array[org.apache.spark.sql.connector.expressions.Transform] =
@@ -348,19 +341,21 @@ final class GraftManifestTable(tableSchema: StructType,
                 // would have to arrive with caller-chosen values —
                 // exactly what GENERATED ALWAYS forbids. Only the
                 // statement INSERT path can allocate; route there.
-                tableSchema.fields.foreach { f =>
+                // identity columns are implicitly NOT NULL: the guard
+                // rides IN the write plan (evaluated on exactly the
+                // written rows — no extra source execution)
+                val data1 = tableSchema.fields.foldLeft(data) { (df, f) =>
                   org.apache.spark.sql.catalyst.util.IdentityColumn
-                    .getIdentityInfo(f).foreach { spec =>
+                    .getIdentityInfo(f) match {
+                    case None => df
+                    case Some(spec) =>
                       require(spec.isAllowExplicitInsert,
                         s"graft-manifest: native write cannot allocate " +
                           s"GENERATED ALWAYS AS IDENTITY column " +
                           s"'${f.name}' — use the INSERT INTO statement")
-                      // identity columns are implicitly NOT NULL: an
-                      // explicit NULL here would silently break the
-                      // uniqueness contract the allocator certifies
-                      graft.ops.Ids.requireNoNullIdentity(s"`$root`",
-                        data, f.name)
-                    }
+                      graft.ops.Ids.guardNoNullIdentity(s"`$root`",
+                        df, f.name)
+                  }
                 }
                 val man = new TxnManifest(manifestPath)
                 val ids = man.committed().keySet
@@ -369,22 +364,22 @@ final class GraftManifestTable(tableSchema: StructType,
                 // the native write path aborts on violation exactly
                 // like the statement INSERT
                 CheckConstraints.enforce(s"`$root`",
-                  CheckConstraints.fromOptions(options), data,
+                  CheckConstraints.fromOptions(options), data1,
                   "INSERT into")
                 // mapped tables: logical → physical at the last moment
                 // before files; the mapped scan ignores stats sidecars
                 // (their filters are physical-name), so the plain
                 // append suffices
                 val frame = mappedLog match {
-                  case None => data
+                  case None => data1
                   case Some(log) =>
                     val (_, cols) = log.current()
                     val missing =
-                      cols.map(_.logical).toSet -- data.columns.toSet
+                      cols.map(_.logical).toSet -- data1.columns.toSet
                     require(missing.isEmpty,
                       s"graft-manifest mapped write is missing logical " +
                         s"columns $missing")
-                    data.select(cols.map(c => org.apache.spark.sql
+                    data1.select(cols.map(c => org.apache.spark.sql
                       .functions.col(c.logical).as(c.physical)): _*)
                 }
                 // `frame` is PHYSICAL here (mapped tables translated
@@ -569,15 +564,8 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
     * layer's immutable column identity on columnMapping tables, so a
     * RENAME of a bucket key never detaches recorded layouts. The
     * REPORTED partitioning (and filter pruning) stays logical. */
-  private val physBucket: Option[Bucketing.Spec] = bucketBy.map { b =>
-    mapping match {
-      case None => b
-      case Some(cols) => b.copy(keys = b.keys.map(k =>
-        cols.find(_.logical.equalsIgnoreCase(k)).map(_.physical)
-          .getOrElse(throw new IllegalArgumentException(
-            s"bucketBy key '$k' is not in the table's column mapping"))))
-    }
-  }
+  private val physBucket: Option[Bucketing.Spec] =
+    bucketBy.map(b => Bucketing.physical(b, mapping.getOrElse(Nil)))
 
   override def filterAttributes()
     : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -713,7 +701,7 @@ final class GraftManifestScan(dataSchema: StructType, required: StructType,
                 case org.apache.spark.sql.sources.EqualTo(a, v)
                   if a.equalsIgnoreCase(k) => Set(toBucket(v))
                 case org.apache.spark.sql.sources.In(a, vs)
-                  if a.equalsIgnoreCase(k) && vs.length <= 256 =>
+                  if a.equalsIgnoreCase(k) =>
                   vs.map(toBucket).toSet
               }
               sets.reduceOption(_ intersect _)

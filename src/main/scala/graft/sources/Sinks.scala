@@ -941,6 +941,10 @@ object Sinks {
       }
     }
     val coveredDirs = covered.result()
+    // the predicate provably matches NOTHING: the delete is complete
+    // without a commit — a junk empty batch per no-op DELETE would
+    // grow the manifest for free
+    if (coveredDirs.isEmpty) return true
     withJobDescription(spark,
       s"graft: retention-delete $root -> batch=$mergeId") {
       val target = s"$root/batch=$mergeId"

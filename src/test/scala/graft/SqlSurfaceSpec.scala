@@ -1854,6 +1854,25 @@ class SqlSurfaceSpec extends SparkSuite {
       spark.sql("ALTER TABLE gadd.t RENAME COLUMN v TO w"))
     assert(exMessageChain2(eRen).exists(_.contains("columnMapping")),
       eRen.getMessage)
+    // NOT NULL additions refuse (existing rows would all serve NULL)
+    val eNn = intercept[Exception](
+      spark.sql("ALTER TABLE gadd.t ADD COLUMN req BIGINT NOT NULL"))
+    assert(exMessageChain2(eNn).exists(_.contains("NOT NULL")),
+      eNn.getMessage)
+    // ... and ADD COLUMN serves on SHALLOW CLONES too (the clone's
+    // union schema overlays declared-only columns)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gadd.fork")
+    GraftSql.execute(spark,
+      "CREATE TABLE gadd.fork SHALLOW CLONE gadd.t")
+    spark.sql("ALTER TABLE gadd.fork ADD COLUMN tag STRING")
+    val forkRow = spark.sql(
+      "SELECT score, tag FROM gadd.fork WHERE id = 3").collect().head
+    assert(forkRow.getDouble(0) == 1.5 && forkRow.isNullAt(1),
+      forkRow.toString)
+    GraftSql.execute(spark, "UPDATE gadd.fork SET tag = 'x' WHERE id = 3")
+    assert(spark.sql("SELECT tag FROM gadd.fork WHERE id = 3")
+      .collect().head.getString(0) == "x")
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gadd.fork")
     GraftSql.execute(spark, "DROP TABLE IF EXISTS gadd.t")
   }
 
