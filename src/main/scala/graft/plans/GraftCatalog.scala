@@ -756,6 +756,30 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"graft catalog: clusterBy names '$c', absent from the schema " +
             s"(${have.mkString(", ")})"))
         newMeta += ("clusterBy" -> cols.mkString(","))
+      case sp: TableChange.SetProperty if sp.property() == "bucketBy" =>
+        // REBUCKET — the grown-table lifecycle op ("10× the data,
+        // double the buckets"): the spec changes as metadata; every
+        // existing dir's marker now MISMATCHES, so the scan degrades
+        // to a shuffle (correct results, never a wrong grouping)
+        // until the next OPTIMIZE heals the whole table into the new
+        // width (nothing matches the new generation tag, so the
+        // incremental pass rewrites everything once). New writes
+        // route under the new spec immediately.
+        val b = graft.sources.Bucketing.parse(sp.value())
+        val haveB = meta.get("schemaLog") match {
+          case Some(lp) =>
+            new graft.sources.SchemaLog(lp).current()._2.map(_.logical)
+          case None => DataType.fromJson(meta("schema"))
+            .asInstanceOf[StructType].fieldNames.toSeq
+        }
+        b.keys.foreach(k => require(haveB.exists(_.equalsIgnoreCase(k)),
+          s"graft catalog: bucketBy names '$k', absent from the schema " +
+            s"(${haveB.mkString(", ")})"))
+        newMeta += ("bucketBy" -> graft.sources.Bucketing.render(b))
+      case rp: TableChange.RemoveProperty if rp.property() == "bucketBy" =>
+        // UNBUCKET: the table serves as plain from here (markers
+        // become inert); reversible with a later SET + OPTIMIZE
+        newMeta += ("bucketBy" -> "")
       case sp: TableChange.SetProperty =>
         require(behaviorProps.contains(sp.property()),
           s"graft catalog: ALTER ... SET TBLPROPERTIES supports only " +

@@ -913,6 +913,69 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("REBUCKET: ALTER bucketBy degrades to shuffle, OPTIMIZE heals into the new width") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val wh = java.nio.file.Files.createTempDirectory("graft_grb_wh_").toString
+    spark.conf.set("spark.sql.catalog.grb", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grb.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      GraftSql.execute(spark, "DROP TABLE IF EXISTS grb.t")
+      GraftSql.execute(spark,
+        """CREATE TABLE grb.t (id BIGINT, v STRING) USING `graft-manifest`
+          |TBLPROPERTIES ('keys' = 'id', 'bucketBy' = '4,id')""".stripMargin)
+      spark.range(0, 300).selectExpr("id", "concat('v', id) AS v")
+        .createOrReplaceTempView("grb_src")
+      GraftSql.execute(spark, "INSERT INTO grb.t SELECT * FROM grb_src")
+      def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+        df.collect()
+        df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p                        => p
+        }
+      }
+      def agg() = spark.sql("SELECT id, count(*) AS c FROM grb.t GROUP BY id")
+      assert(!finalPlan(agg()).toString.contains("Exchange hashpartitioning"))
+      // the table grew: double the buckets. Old markers mismatch the
+      // new spec — the report DEGRADES (correct results, shuffled)
+      spark.sql("ALTER TABLE grb.t SET TBLPROPERTIES ('bucketBy' = '8,id')")
+      val degraded = agg()
+      assert(degraded.count() == 300)
+      assert(finalPlan(degraded).toString.contains("Exchange hashpartitioning"),
+        s"stale markers must degrade, not lie:\n${finalPlan(degraded)}")
+      // new writes route under the NEW spec immediately
+      spark.range(1000, 1010).selectExpr("id", "concat('n', id) AS v")
+        .createOrReplaceTempView("grb_src2")
+      GraftSql.execute(spark, "INSERT INTO grb.t SELECT * FROM grb_src2")
+      // OPTIMIZE heals everything into the 8-wide grid
+      GraftSql.execute(spark, "OPTIMIZE grb.t")
+      val healed = agg()
+      assert(healed.count() == 310)
+      assert(!finalPlan(healed).toString.contains("Exchange hashpartitioning"),
+        s"OPTIMIZE must heal into the new width:\n${finalPlan(healed)}")
+      // superseded dirs stay on disk until vacuum — count the
+      // manifest-NAMED view only
+      val live = new graft.sources.TxnManifest(s"$wh/t/_commits")
+        .committedDirs(s"$wh/t")
+      val files = live.flatMap(d => new java.io.File(d).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).toSeq)
+      assert(files.size == 8,
+        s"expected 8 live bucket files after rebucket, got ${files.size}")
+      // UNBUCKET serves as plain (and refuses nothing)
+      spark.sql("ALTER TABLE grb.t UNSET TBLPROPERTIES ('bucketBy')")
+      assert(agg().count() == 310)
+      GraftSql.execute(spark, "DROP TABLE IF EXISTS grb.t")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("bucketed SHALLOW CLONE keeps SPJ: inherited markers, divergence, materialization") {
     import graft.plans.{GraftCatalog, GraftSql}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
