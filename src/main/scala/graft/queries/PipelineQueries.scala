@@ -1846,6 +1846,49 @@ object PipelineQueries {
         .select("event_id", "user_id", "value")
     }),
 
+    // Streaming write into a MULTI-key bucketed table (round 10): the
+    // product-grid flat index is no HashPartitioning's partition id,
+    // so these epochs route TASK-side — the rolling writer splits each
+    // task's rows into per-bucket files (single-bucket by
+    // construction) and the commit records the explicit file → bucket
+    // map. ScaleSpec pins the zero-exchange join on a table ingested
+    // this way; the oracle certifies content.
+    "st13_multikey_sink" -> ((s, d) => {
+      import graft.sources.{Sinks, TxnManifest}
+      val ev = Tables.events(s, d)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_mks_").toString
+      val rootA = s"$base/in"
+      val manA = new TxnManifest(s"$base/man_a.tsv")
+      val slice = (i: Int) => ev.filter(pmod(col("event_id"), lit(3)) === i)
+        .select("event_id", "user_id", "value")
+      for (i <- 0 to 1) {
+        Sinks.appendBatch(slice(i), rootA, i)
+        manA.commit(i, Seq(s"$rootA/batch=$i"))
+      }
+      val rootB = s"$base/out"
+      val manBPath = s"$base/man_b.tsv"
+      val q = s.readStream.format("graft-manifest")
+        .option("manifest", s"$base/man_a.tsv").load(rootA)
+        .writeStream.format("graft-manifest")
+        .option("manifest", manBPath)
+        .option("path", rootB)
+        .option("bucketBy", "4,event_id,user_id")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        Sinks.appendBatch(slice(2), rootA, 9)
+        manA.commit(9, Seq(s"$rootA/batch=9"))
+        q.processAllAvailable()
+      } finally q.stop()
+      // the read goes through the bucketed DSv2 scan (16 bucket
+      // groups reported from the epoch markers' file maps)
+      s.read.format("graft-manifest").option("manifest", manBPath)
+        .option("bucketBy", "4,event_id,user_id").load(rootB)
+        .select("event_id", "user_id", "value")
+    }),
+
     // RETENTION fast delete (round 9): date-sliced ingest (one batch
     // per year band — the daily-partition shape at test scale), then
     // `DELETE WHERE o_orderdate < cutoff`. The stats sidecars prove
@@ -2611,6 +2654,8 @@ object PipelineQueries {
     "st11_mapped_sink" ->
       """SELECT event_id, user_id, value AS amount FROM events""".stripMargin,
     "st12_bucketed_sink" ->
+      """SELECT event_id, user_id, value FROM events""".stripMargin,
+    "st13_multikey_sink" ->
       """SELECT event_id, user_id, value FROM events""".stripMargin,
     "s32_retention_delete" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders

@@ -187,6 +187,41 @@ object TpchQueries {
         .limit(20)
     }),
 
+    // Q11 — important stock identification (adapted: the testdata has
+    // no partsupp, so — like q9/q16/q20 — lineitem is the
+    // part↔supplier bridge and `l_extendedprice × l_quantity` plays
+    // ps_supplycost × ps_availqty; the single-nation supplier filter
+    // becomes the NATION_1* prefix band so the slice is non-empty at
+    // every test SF). Shape preserved exactly: per-part value over
+    // one nation group's suppliers, kept above a scalar threshold
+    // derived from the GLOBAL total. The threshold is scale-FREE
+    // (1.3 × mean part value) instead of TPC-H's 0.0001/SF constant,
+    // so the selectivity survives any SF. One shuffle on l_partkey;
+    // suppliers broadcast; the total/count ride a 1-row broadcast
+    // crossJoin off the SAME aggregate (no second fact scan — the
+    // per-part decimal sums re-aggregate exactly, and only the final
+    // comparison casts to double).
+    "q11_important_stock" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+        .filter(col("n_name").startsWith("NATION_1"))
+        .select("n_nationkey")
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val vals = Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sum((col("l_extendedprice") * col("l_quantity"))
+          .cast("decimal(18,6)")).as("sdec"))
+      val stats = vals.agg(sum(col("sdec")).cast("double").as("tot"),
+        count(lit(1)).as("nparts"))
+      vals.crossJoin(broadcast(stats))
+        .filter(col("sdec").cast("double") >
+          lit(1.3) * (col("tot") / col("nparts")))
+        .select(col("l_partkey"), col("sdec").cast("double").as("value"))
+    }),
+
     // Q12 — shipping-mode priority counts (adapted: the testdata
     // lineitem has no l_shipmode / l_commitdate / l_receiptdate, so
     // l_linestatus plays the two-mode grouping role and the Q12
@@ -195,9 +230,7 @@ object TpchQueries {
     // within 90 days" — the planner shape is identical: orders⋈
     // lineitem with cross-table date predicates riding the join, then
     // two conditional counts per mode). The receipt-year window is
-    // pushed to the lineitem scan. (Q11 is NOT expressible here: it
-    // is entirely a partsupp aggregation and the testdata has no
-    // partsupp table — same gap q9 notes for supply cost.)
+    // pushed to the lineitem scan.
     "q12_ship_modes" -> ((s, d) => {
       val hi = Seq("1-URGENT", "2-HIGH")
       val o = Tables.orders(s, d)
@@ -406,6 +439,22 @@ object TpchQueries {
         |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
         |ORDER BY revenue DESC, c.c_custkey ASC
         |LIMIT 20""".stripMargin,
+    "q11_important_stock" ->
+      """WITH filt AS (
+        |  SELECT l.l_partkey, l.l_extendedprice * l.l_quantity AS v
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_name LIKE 'NATION\_1%' ESCAPE '\'),
+        |vals AS (
+        |  SELECT l_partkey, sum(CAST(v AS DECIMAL(18,6))) AS sdec
+        |  FROM filt GROUP BY l_partkey),
+        |stats AS (
+        |  SELECT CAST(sum(sdec) AS DOUBLE) AS tot, count(*) AS nparts
+        |  FROM vals)
+        |SELECT v.l_partkey, CAST(v.sdec AS DOUBLE) AS value
+        |FROM vals v, stats
+        |WHERE CAST(v.sdec AS DOUBLE) > 1.3 * (stats.tot / stats.nparts)""".stripMargin,
     "q12_ship_modes" ->
       """SELECT l.l_linestatus AS ship_mode,
         |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')

@@ -37,23 +37,24 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   * At 100 TB this is the difference between shuffling the fact table
   * on every key join and never shuffling it again after ingest.
   *
-  * Composition scope (round 9): the FULL DML surface is
+  * Composition scope (round 10): the FULL DML surface is
   * bucket-preserving — INSERT/COPY, INSERT OVERWRITE, TRUNCATE,
   * MERGE / UPDATE / DELETE (copy-on-write AND merge-on-read DV),
   * OPTIMIZE (incremental, healing foreign batches; ZORDER BY sorts
   * WITHIN buckets), the native V1 batch write, the streaming sink
-  * (epochs route through the write's required distribution, verified
-  * per row), and SHALLOW CLONE (markers are per-dir, so the fork
-  * inherits the layout). `columnMapping` composes (the spec's keys
-  * are LOGICAL; markers and the Sinks layer carry their immutable
-  * PHYSICAL twins, so renames never detach the layout) and
-  * `deletionVectors` composes (a DV delete moves no rows; a DV
-  * update's appended batch bucket-routes like any other write).
-  * Remaining refusals: ALTER COLUMN TYPE on a bucket key (murmur3 of
-  * the same value differs across types — a widened key would
-  * silently mis-route old files' buckets), DROP COLUMN of a bucket
-  * key, and the streaming sink on MULTI-key specs (the product-grid
-  * routing has no connector-distribution spelling). Runtime file
+  * (single-key epochs route through the write's required
+  * distribution, verified per row; MULTI-key epochs route TASK-side
+  * through the rolling per-bucket writer — see
+  * GraftManifestRollingBucketWriter), and SHALLOW CLONE (markers are
+  * per-dir, so the fork inherits the layout). `columnMapping`
+  * composes (the spec's keys are LOGICAL; markers and the Sinks
+  * layer carry their immutable PHYSICAL twins, so renames never
+  * detach the layout) and `deletionVectors` composes (a DV delete
+  * moves no rows; a DV update's appended batch bucket-routes like
+  * any other write). Remaining refusals: ALTER COLUMN TYPE on a
+  * bucket key (murmur3 of the same value differs across types — a
+  * widened key would silently mis-route old files' buckets) and
+  * DROP COLUMN of a bucket key. Runtime file
   * pruning on bucketed scans filters files WITHIN each reported
   * bucket group and keeps empty groups present, so the reported
   * partitioning stays sound. Static stats/bloom skipping applies

@@ -141,8 +141,11 @@ final class GraftManifestStreamingWrite(root: String, manifestPath: String,
     // parallelism after a crash) rewrites part-0..k but would leave
     // the dead attempt's part-(k+1).. visible after the commit —
     // the commit messages name exactly this attempt's files
-    val committedNames = messages.collect {
-      case GraftManifestFileCommitted(p, _) => new HPath(p).getName
+    val committedNames = messages.flatMap {
+      case GraftManifestFileCommitted(p, _)  => Seq(new HPath(p).getName)
+      case GraftManifestFilesCommitted(files) =>
+        files.map(f => new HPath(f._1).getName)
+      case _ => Nil
     }.toSet
     val dir = new HPath(s"$root/batch=$epochId")
     val fc = fileContextFor(dir)
@@ -170,15 +173,20 @@ final class GraftManifestStreamingWrite(root: String, manifestPath: String,
       if (bloomCols.nonEmpty)
         BloomIndex.writeSidecar(s, s"$root/batch=$epochId", bloomCols)
     }
-    // bucketed tables: the epoch routed through the write's required
-    // distribution (partition id = bucket id — every task verified
-    // its rows against that claim at write time), so the layout
-    // marker + EXPLICIT file → bucket map land before the commit —
-    // SPJ survives streaming ingest
+    // bucketed tables: single-key epochs routed through the write's
+    // required distribution (partition id = bucket id — every task
+    // verified its rows against that claim at write time); MULTI-key
+    // epochs routed task-side through the rolling per-bucket writer
+    // (each file holds exactly one flat-grid bucket by construction).
+    // Either way the layout marker + EXPLICIT file → bucket map land
+    // before the commit — SPJ survives streaming ingest
     bucketSpec.foreach { b =>
-      val entries = messages.collect {
+      val entries = messages.flatMap {
         case GraftManifestFileCommitted(p, bucket) =>
-          new HPath(p).getName -> bucket
+          Seq(new HPath(p).getName -> bucket)
+        case GraftManifestFilesCommitted(files) =>
+          files.map { case (p, bucket) => new HPath(p).getName -> bucket }
+        case _ => Nil
       }.toSeq
       Bucketing.writeMarkerFiles(s"$root/batch=$epochId", b, entries)
     }
@@ -373,21 +381,6 @@ private final case class GraftManifestWriterFactory(
     }
     val conf = new Configuration(serConf.value)
     ParquetWriteSupport.setSchema(schema, conf)
-    // bucketed sinks: the epoch routed through the write's required
-    // distribution, so THIS task's partition id IS the bucket id —
-    // verified per row below (the check turns a planner that stopped
-    // honoring the distribution into a loud failure, never a marker
-    // that silently mis-groups joins). Keys are PHYSICAL names,
-    // resolved against the physical write schema.
-    val routing = bucketSpec.map { b =>
-      // single-key only: the multi-key streaming sink refuses at
-      // toStreaming (product-grid routing has no connector spelling)
-      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(b.key))
-      require(i >= 0,
-        s"bucketBy key '${b.key}' is missing from the sink's write " +
-          s"schema ${schema.simpleString}")
-      BucketRouting(b.n, i, schema.fields(i).dataType, partitionId)
-    }
     // attempt-UNIQUE temp, renamed to the deterministic target only in
     // the coordinator-authorized commit(): under speculation two
     // attempts of one partition write concurrently, and bytes-level
@@ -396,9 +389,44 @@ private final case class GraftManifestWriterFactory(
     // rename has a single owner. Epoch replays re-rename over the old
     // target; everything stays invisible until the manifest commit.
     val dir = s"$root/batch=$epochId"
-    new GraftManifestDataWriter(
-      new HPath(s"$dir/.part-$partitionId-$taskId.tmp.parquet"),
-      new HPath(s"$dir/part-$partitionId.parquet"), conf, partitionId, routing)
+    bucketSpec match {
+      case Some(b) if b.keys.size > 1 =>
+        // MULTI-key (product-grid) routing has no connector
+        // distribution spelling (partition id would have to equal the
+        // Horner'd flat index, which no HashPartitioning produces) —
+        // so the TASK routes instead: the rolling writer splits its
+        // rows into per-bucket files (each file holds exactly ONE
+        // flat-grid bucket by construction, whatever the upstream
+        // distribution did), and the commit records the explicit
+        // file → bucket map. Keys are PHYSICAL names.
+        val idx = b.keys.map { k =>
+          val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(k))
+          require(i >= 0,
+            s"bucketBy key '$k' is missing from the sink's write " +
+              s"schema ${schema.simpleString}")
+          i
+        }
+        new GraftManifestRollingBucketWriter(dir, partitionId, taskId,
+          conf, b, idx.toArray, idx.map(schema.fields(_).dataType).toArray)
+      case b =>
+        // single-key: the epoch routed through the write's required
+        // distribution, so THIS task's partition id IS the bucket id —
+        // verified per row (the check turns a planner that stopped
+        // honoring the distribution into a loud failure, never a
+        // marker that silently mis-groups joins). Keys are PHYSICAL
+        // names, resolved against the physical write schema.
+        val routing = b.map { spec =>
+          val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(spec.key))
+          require(i >= 0,
+            s"bucketBy key '${spec.key}' is missing from the sink's write " +
+              s"schema ${schema.simpleString}")
+          BucketRouting(spec.n, i, schema.fields(i).dataType, partitionId)
+        }
+        new GraftManifestDataWriter(
+          new HPath(s"$dir/.part-$partitionId-$taskId.tmp.parquet"),
+          new HPath(s"$dir/part-$partitionId.parquet"), conf, partitionId,
+          routing)
+    }
   }
 }
 
@@ -419,24 +447,30 @@ private final case class BucketRouting(n: Int, keyIdx: Int,
   }
 }
 
-private final class GraftManifestDataWriter(tmp: HPath, target: HPath,
-                                            conf: Configuration,
-                                            partitionId: Int = -1,
-                                            routing: Option[BucketRouting] = None)
-  extends DataWriter[InternalRow] {
-
+/** One InternalRow parquet writer, overwrite mode — shared by the
+  * single-file epoch writer and the rolling per-bucket writer. */
+private object SinkParquet {
   private final class B(p: HPath)
     extends ParquetWriter.Builder[InternalRow, B](p) {
     override def self(): B = this
     override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
       new ParquetWriteSupport
   }
+  def open(p: HPath, conf: Configuration): ParquetWriter[InternalRow] =
+    new B(p)
+      .withConf(conf)
+      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+}
 
-  private val writer = new B(tmp)
-    .withConf(conf)
-    .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
-    .withCompressionCodec(CompressionCodecName.SNAPPY)
-    .build()
+private final class GraftManifestDataWriter(tmp: HPath, target: HPath,
+                                            conf: Configuration,
+                                            partitionId: Int = -1,
+                                            routing: Option[BucketRouting] = None)
+  extends DataWriter[InternalRow] {
+
+  private val writer = SinkParquet.open(tmp, conf)
 
   // FileSystem (not FileContext): on a checksummed local FS the facade
   // renames/deletes the .crc sidecar together with the file, and the
@@ -466,6 +500,114 @@ private final class GraftManifestDataWriter(tmp: HPath, target: HPath,
   override def close(): Unit = ()
 }
 
+/** Task-side routing for a MULTI-key bucketed streaming epoch: the
+  * product-grid flat index has no connector-distribution spelling
+  * (no HashPartitioning makes partition id equal the Horner'd index),
+  * so instead of demanding a distribution this writer SPLITS its rows
+  * into per-bucket files — each file holds exactly one flat-grid
+  * bucket BY CONSTRUCTION, whatever the upstream distribution did,
+  * and the commit message carries the explicit (file, bucket) map the
+  * epoch marker records. Soundness therefore never depends on the
+  * planner; the upstream clustered-on-keys distribution the write
+  * still requests only keeps the FILE COUNT down (equal key tuples
+  * co-locate). At most [[GraftManifestRollingBucketWriter.MaxOpen]]
+  * parquet writers are open per task — an evicted bucket that
+  * reappears opens a NEW file (seq suffix), so handles and writer
+  * buffers stay bounded at any grid size; many small files heal at
+  * the next OPTIMIZE (compactBucketed preserves the layout).
+  *
+  * File names are deterministic in (partition, seq): a replayed epoch
+  * overwrites its own bytes, and the driver commit prunes stray names
+  * from any wider previous attempt — the same exactly-once story as
+  * the single-file writer. */
+private final class GraftManifestRollingBucketWriter(
+    dir: String, partitionId: Int, taskId: Long, conf: Configuration,
+    spec: Bucketing.Spec, keyIdx: Array[Int],
+    keyTypes: Array[org.apache.spark.sql.types.DataType])
+  extends DataWriter[InternalRow] {
+
+  import GraftManifestRollingBucketWriter.MaxOpen
+
+  // access-ordered: iteration starts at the least-recently-written
+  // bucket, which is the one evicted when the open-writer cap hits
+  private val open = new java.util.LinkedHashMap[
+    Int, (HPath, HPath, ParquetWriter[InternalRow])](16, 0.75f, true)
+  private val closed =
+    scala.collection.mutable.ArrayBuffer.empty[(HPath, HPath, Int)]
+  private var seq = 0
+
+  private def fs = new HPath(dir).getFileSystem(conf)
+
+  private def writerFor(bucket: Int): ParquetWriter[InternalRow] = {
+    val have = open.get(bucket)
+    if (have != null) have._3
+    else {
+      if (open.size() >= MaxOpen) {
+        val it = open.entrySet().iterator()
+        val eldest = it.next()
+        val (tmp, target, w) = eldest.getValue
+        w.close()
+        closed += ((tmp, target, eldest.getKey))
+        it.remove()
+      }
+      val tmp = new HPath(
+        s"$dir/.part-$partitionId-$taskId-$seq.tmp.parquet")
+      val target = new HPath(s"$dir/part-$partitionId-$seq.parquet")
+      seq += 1
+      val w = SinkParquet.open(tmp, conf)
+      open.put(bucket, (tmp, target, w))
+      w
+    }
+  }
+
+  override def write(record: InternalRow): Unit = {
+    var flat = 0
+    var i = 0
+    while (i < keyIdx.length) {
+      flat = flat * spec.n +
+        Bucketing.bucketOf(record.get(keyIdx(i), keyTypes(i)),
+          keyTypes(i), spec.n)
+      i += 1
+    }
+    writerFor(flat).write(record)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.forEach((b, v) => { v._3.close(); closed += ((v._1, v._2, b)) })
+    open.clear()
+    val committed = closed.map { case (tmp, target, bucket) =>
+      if (fs.exists(target)) fs.delete(target, false)
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"rename $tmp -> $target failed")
+      target.toString -> bucket
+    }.toSeq
+    GraftManifestFilesCommitted(committed)
+  }
+
+  override def abort(): Unit = {
+    open.forEach((_, v) => { v._3.close(); closed += ((v._1, v._2, -1)) })
+    open.clear()
+    closed.foreach { case (tmp, _, _) =>
+      if (fs.exists(tmp)) { fs.delete(tmp, false); () }
+    }
+  }
+
+  override def close(): Unit = ()
+}
+
+private object GraftManifestRollingBucketWriter {
+  /** Concurrently open parquet writers per task — bounds file handles
+    * and writer buffers independently of the bucket-grid size. */
+  val MaxOpen = 64
+}
+
 private[graft] final case class GraftManifestFileCommitted(path: String,
                                                            partitionId: Int = -1)
+  extends WriterCommitMessage
+
+/** Commit message of [[GraftManifestRollingBucketWriter]]: every file
+  * this task renamed into the epoch dir, with the flat-grid bucket id
+  * each file's rows all share. */
+private[graft] final case class GraftManifestFilesCommitted(
+    files: Seq[(String, Int)])
   extends WriterCommitMessage

@@ -315,13 +315,20 @@ final class GraftManifestTable(tableSchema: StructType,
           // (CollapseRepartition folds the identical pair).
           override def requiredDistribution()
             : org.apache.spark.sql.connector.distributions.Distribution =
-            bucketSpec.filter(_.keys.size == 1) match {
+            bucketSpec match {
               case Some(b) =>
+                // single-key: with requiredNumPartitions = n below,
+                // partition id = pmod(murmur3_42(key), n) = bucket id.
+                // MULTI-key: the flat grid index is NOT any
+                // HashPartitioning's partition id, so the task-side
+                // rolling writer routes instead — clustering on the
+                // keys here only co-locates equal tuples (fewer
+                // rolled files), it carries no soundness weight.
                 org.apache.spark.sql.connector.distributions.Distributions
-                  .clustered(Array(
+                  .clustered(b.keys.map(k =>
                     org.apache.spark.sql.connector.expressions.Expressions
-                      .column(b.key): org.apache.spark.sql.connector
-                      .expressions.Expression))
+                      .column(k): org.apache.spark.sql.connector
+                      .expressions.Expression).toArray)
               case None =>
                 org.apache.spark.sql.connector.distributions.Distributions
                   .unspecified()
@@ -429,13 +436,6 @@ final class GraftManifestTable(tableSchema: StructType,
                   "would silently REPLACE the clone's inherited entry N " +
                   "(the read side refuses union tables for the same " +
                   "reason); materialize the clone (OPTIMIZE) first")
-            bucketSpec.filter(_.keys.size > 1).foreach(_ =>
-              throw new UnsupportedOperationException(
-                "graft-manifest: streaming sink into a MULTI-key " +
-                  "bucketed table is not supported — the product-grid " +
-                  "routing cannot be declared as a connector required " +
-                  "distribution; stream into a plain table and " +
-                  "INSERT ... SELECT per epoch"))
             tableSchema.fields.foreach { f =>
               org.apache.spark.sql.catalyst.util.IdentityColumn
                 .getIdentityInfo(f).foreach(_ =>

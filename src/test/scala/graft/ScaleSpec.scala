@@ -807,6 +807,72 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("streaming sink into a MULTI-key bucketed table keeps SPJ") {
+    // the product-grid flat index has no connector-distribution
+    // spelling, so multi-key epochs route TASK-side (the rolling
+    // per-bucket writer) — this pins that a table ingested that way
+    // still joins a same-bucketed batch table with ZERO exchanges
+    import graft.plans.{GraftCatalog, GraftSql}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val wh = java.nio.file.Files.createTempDirectory("graft_gbm_wh_").toString
+    spark.conf.set("spark.sql.catalog.gbm", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbm.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      GraftSql.execute(spark, "DROP TABLE IF EXISTS gbm.t")
+      GraftSql.execute(spark, "DROP TABLE IF EXISTS gbm.r")
+      GraftSql.execute(spark,
+        """CREATE TABLE gbm.t (id BIGINT, g BIGINT, v STRING)
+          |USING `graft-manifest`
+          |TBLPROPERTIES ('keys' = 'id', 'bucketBy' = '4,id,g')""".stripMargin)
+      GraftSql.execute(spark,
+        """CREATE TABLE gbm.r (id BIGINT, g BIGINT, w STRING)
+          |USING `graft-manifest`
+          |TBLPROPERTIES ('keys' = 'id', 'bucketBy' = '4,id,g')""".stripMargin)
+      spark.range(0, 64)
+        .selectExpr("id", "id % 5 AS g", "concat('w', id) AS w")
+        .createOrReplaceTempView("gbm_sr")
+      GraftSql.execute(spark, "INSERT INTO gbm.r SELECT * FROM gbm_sr")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(Long, Long, String)]
+      val q = ms.toDF().toDF("id", "g", "v").writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("gbm_ck_").toString)
+        .toTable("gbm.t")
+      try {
+        ms.addData((0L until 32L).map(i => (i, i % 5, s"v$i")): _*)
+        q.processAllAvailable()
+        ms.addData((32L until 48L).map(i => (i, i % 5, s"v$i")): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val marker = graft.util.AtomicText.readLines(s"$wh/t/batch=0/_bucketed")
+      assert(marker.headOption.contains("4,id,g") && marker.length > 1,
+        s"expected multi-key marker with file map, got: $marker")
+      def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+        df.collect()
+        df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p                        => p
+        }
+      }
+      val j = spark.sql(
+        "SELECT t.id, t.g, t.v, r.w FROM gbm.t t " +
+          "JOIN gbm.r r ON t.id = r.id AND t.g = r.g")
+      assert(j.count() == 48, s"expected 48 joined rows, got ${j.count()}")
+      assert(!finalPlan(j).toString.contains("Exchange hashpartitioning"),
+        s"multi-key streamed bucketed table must keep SPJ:\n${finalPlan(j)}")
+      Seq("t", "r").foreach(t =>
+        GraftSql.execute(spark, s"DROP TABLE IF EXISTS gbm.$t"))
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("one-side SPJ shuffle: a plain side shuffles INTO the bucket function's partitioning") {
     // spark.sql.sources.v2.bucketing.shuffle.enabled: the planner may
     // hash the NON-bucketed side with OUR bucket function instead of

@@ -935,6 +935,73 @@ class StreamingSpec extends SparkSuite {
       .select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("graft-manifest sink: MULTI-key bucketed epochs roll per-bucket files") {
+    import graft.sources.{Bucketing, Sinks, TxnManifest}
+    import org.apache.spark.sql.types.LongType
+    val base = java.nio.file.Files.createTempDirectory("graft_mkbs_").toString
+    val rootA = s"$base/in"
+    val manAPath = s"$base/man_a.tsv"
+    val manA = new TxnManifest(manAPath)
+    // 500 rows over a 9×9 = 81-bucket grid, written by ONE task
+    // (shuffle.partitions = 1): 81 > MaxOpen = 64, so the rolling
+    // writer MUST evict, close, and reopen per-bucket files — the
+    // invariant under test is that every written file still holds
+    // exactly one flat-grid bucket and the marker map says which
+    val src = spark.range(0, 500)
+      .selectExpr("id AS a", "id % 37 AS b", "concat('v', id) AS v")
+    Sinks.appendBatch(src, rootA, 0)
+    manA.commit(0, Seq(s"$rootA/batch=0"))
+    val rootB = s"$base/out"
+    val manBPath = s"$base/man_b.tsv"
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val q = spark.readStream.format("graft-manifest")
+        .option("manifest", manAPath).load(rootA)
+        .writeStream.format("graft-manifest")
+        .option("manifest", manBPath)
+        .option("path", rootB)
+        .option("bucketBy", "9,a,b")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    // content round-trips exactly
+    val back = Sinks.readCommitted(spark, rootB, new TxnManifest(manBPath))
+    assert(back.count() == 500)
+    assert(back.selectExpr("sum(a)").as[Long].head() == (0L until 500L).sum)
+    // the marker carries the explicit file → bucket map, more files
+    // than buckets touched once proves eviction-reopen happened
+    val spec = Bucketing.parse("9,a,b")
+    val dir = s"$rootB/batch=0"
+    val resolve = Bucketing.fileBuckets(dir, spec)
+      .getOrElse(fail(s"no matching _bucketed marker under $dir"))
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")
+        && !f.getName.startsWith("_"))
+    assert(files.length > 64,
+      s"expected eviction-reopened rolls (> MaxOpen files), got ${files.length}")
+    // every file holds exactly one bucket and the map names it
+    files.foreach { f =>
+      val mapped = resolve(f.getName).getOrElse(
+        fail(s"${f.getName} missing from the marker's file map"))
+      spark.read.parquet(f.getPath).select("a", "b").collect().foreach { r =>
+        val flat = Bucketing.flatten(Seq(
+          Bucketing.bucketOf(r.getLong(0), LongType, spec.n),
+          Bucketing.bucketOf(r.getLong(1), LongType, spec.n)), spec)
+        assert(flat == mapped,
+          s"file ${f.getName} mapped to bucket $mapped holds a row of $flat")
+      }
+    }
+    // the bucketed scan accepts the layout: grouping succeeds (no
+    // degradation), so SPJ is available on the streamed-in table
+    val parts = files.map(f => graft.sources.ManifestFilePartition(
+      f.getPath, f.length, f.lastModified)
+      : org.apache.spark.sql.connector.read.InputPartition)
+    assert(Bucketing.groupByBucket(parts, spec).isDefined,
+      "streamed multi-key epoch must group by bucket without degradation")
+  }
+
   test("graft-manifest sink abort never deletes a committed epoch dir") {
     import graft.sources.{GraftManifestStreamingWrite, TxnManifest}
     val base = java.nio.file.Files.createTempDirectory("graft_dsv2ab_").toString
