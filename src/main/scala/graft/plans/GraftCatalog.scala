@@ -541,11 +541,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // with deletionVectors (DV deletes move no rows; DV updates'
     // appended batches bucket-route like any other write).
     val bucketBy = prop("bucketBy").map(graft.sources.Bucketing.parse)
-    bucketBy.foreach(_.keys.foreach { k =>
-      require(schema.fieldNames.exists(_.equalsIgnoreCase(k)),
-        s"graft catalog: bucketBy names '$k', absent from the " +
-          s"schema (${schema.fieldNames.mkString(", ")})")
-    })
+    bucketBy.foreach { b =>
+      require(b.gen == 0,
+        "graft catalog: the ';gen=' layout-generation suffix is " +
+          "engine-managed (bumped by ALTER COLUMN TYPE on a bucket " +
+          "key) — declare bucketBy without it")
+      b.keys.foreach { k =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(k)),
+          s"graft catalog: bucketBy names '$k', absent from the " +
+            s"schema (${schema.fieldNames.mkString(", ")})")
+      }
+    }
     // clusterBy: declared clustering columns — a bare OPTIMIZE
     // maintains this z-order (Delta's liquid-clustering UX)
     val clusterBy = prop("clusterBy").toSeq.flatMap(_.split(','))
@@ -566,7 +572,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       "clusterBy" -> clusterBy.mkString(","),
       "external" -> external.toString) ++
       schemaLogPath.map("schemaLog" -> _) ++
-      bucketBy.map(b => "bucketBy" -> graft.sources.Bucketing.render(b))
+      bucketBy.map(b => "bucketBy" -> graft.sources.Bucketing.render(b)) ++
+      // a later UNSET keeps this flag (and the bucketGen counter):
+      // surviving markers mean a re-SET must account for them
+      bucketBy.map(_ => "everBucketed" -> "true")
     // exclusive create IS the exists check — two racing CREATEs
     // cannot both win, and neither can observe a torn file
     if (!AtomicText.createExclusive(metaPath(name), render(meta)))
@@ -730,18 +739,38 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       // SchemaLog.retype.
       case t: TableChange.UpdateColumnType =>
         val rc = single(t.fieldNames(), "retype")
-        // a bucket key's TYPE is part of the routing function:
-        // murmur3 of the same value differs between int and bigint,
-        // so a widen-only retype of the key would silently mis-route
-        // every existing file's bucket — the one widen that refuses
-        require(!newMeta.get("bucketBy").filter(_.nonEmpty)
-            .map(graft.sources.Bucketing.parse)
-            .exists(_.keys.exists(_.equalsIgnoreCase(rc))),
-          s"graft catalog: cannot retype bucket-key column '$rc' — " +
-            "murmur3 hashes int and bigint values differently, so the " +
-            "widened key would mis-route existing buckets; re-create " +
-            "the table with the wider key type")
         log.retype(rc, t.newDataType())
+        // a bucket key's TYPE is part of the routing function:
+        // murmur3 hashes int 5 and bigint 5 differently, so after a
+        // widen every existing file's recorded bucket is computed by
+        // a DIFFERENT function than the one reads/joins now hash
+        // with. The key name and count survive, so the marker header
+        // alone would still MATCH — bump the layout GENERATION
+        // instead: every existing header mismatches, the scan
+        // degrades to a shuffle (correct, never a stale grouping),
+        // and the next OPTIMIZE rewrites each dir hashed under the
+        // widened type and stamps the new generation (its
+        // `_optimized` tag carries the same render, so incremental
+        // passes treat every pre-widen generation as fresh input).
+        // The REBUCKET degrade→heal lifecycle, triggered by type.
+        // While UNBUCKETED, any widen on an ever-bucketed table
+        // still bumps the stored counter: surviving markers were
+        // hashed under pre-widen types, and a later SET bucketBy
+        // must never render a header they match.
+        val curSpec = newMeta.get("bucketBy").filter(_.nonEmpty)
+          .map(graft.sources.Bucketing.parse)
+        val curGen = math.max(
+          newMeta.get("bucketGen").flatMap(_.toIntOption).getOrElse(0),
+          curSpec.map(_.gen).getOrElse(0))
+        val everBucketed = curSpec.isDefined ||
+          newMeta.get("everBucketed").exists(_.toBoolean)
+        val isKey = curSpec.exists(_.keys.exists(_.equalsIgnoreCase(rc)))
+        if (isKey || (curSpec.isEmpty && everBucketed)) {
+          newMeta += ("bucketGen" -> (curGen + 1).toString)
+          curSpec.filter(_.keys.exists(_.equalsIgnoreCase(rc)))
+            .foreach(b => newMeta += ("bucketBy" ->
+              graft.sources.Bucketing.render(b.copy(gen = curGen + 1))))
+        }
       case sp: TableChange.SetProperty if sp.property() == "clusterBy" =>
         // re-clustering declaration: takes effect at the next bare
         // OPTIMIZE (Delta's ALTER TABLE ... CLUSTER BY shape)
@@ -765,7 +794,21 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         // width (nothing matches the new generation tag, so the
         // incremental pass rewrites everything once). New writes
         // route under the new spec immediately.
-        val b = graft.sources.Bucketing.parse(sp.value())
+        val b0 = graft.sources.Bucketing.parse(sp.value())
+        require(b0.gen == 0,
+          "graft catalog: the ';gen=' layout-generation suffix is " +
+            "engine-managed — declare bucketBy without it")
+        // the CURRENT generation carries over (and survives an
+        // UNSET via the stored counter): after a bucket-key retype
+        // (gen >= 1), a rebucket back to the original '<n>,<keys>'
+        // string must NOT render the pre-retype header — those dirs'
+        // buckets were hashed under the narrower type and matching
+        // them again would silently mis-group joins
+        val b = b0.copy(gen = math.max(
+          newMeta.get("bucketGen").flatMap(_.toIntOption).getOrElse(0),
+          newMeta.get("bucketBy").filter(_.nonEmpty)
+            .map(graft.sources.Bucketing.parse(_).gen).getOrElse(0)))
+        newMeta += ("everBucketed" -> "true")
         val haveB = meta.get("schemaLog") match {
           case Some(lp) =>
             new graft.sources.SchemaLog(lp).current()._2.map(_.logical)

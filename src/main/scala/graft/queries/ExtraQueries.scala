@@ -576,6 +576,81 @@ object ExtraQueries {
         s"SELECT o_orderkey, st, price FROM $cat.bmd")
     }),
 
+    // REBUCKET lifecycle under the hash gate — the grown-table op
+    // ("10× the data, double the buckets") end to end: ingest at 4
+    // buckets, ALTER bucketBy to 8 (metadata-only; stale markers
+    // DEGRADE the SPJ report, never lie), ingest more under the new
+    // width, OPTIMIZE heals every dir into the 8-wide grid, then a
+    // bucket-preserving UPDATE proves DML composes post-rebucket.
+    // ScaleSpec pins the degrade→heal plan shapes; this query puts
+    // the RESULTS of the whole lifecycle under the DuckDB oracle
+    // (the failure class a re-route can introduce is lost/duplicated
+    // rows — exactly what the hash gate catches).
+    "sk6_rebucket" -> ((s, d) => {
+      import graft.plans.GraftSql
+      val cat = "graft"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.plans.GraftCatalog].getName)
+      if (s.conf.getOption(s"spark.sql.catalog.$cat.warehouse").isEmpty)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_sk6_wh_").toString)
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .createOrReplaceTempView("sk6_src")
+      GraftSql.execute(s, s"DROP TABLE IF EXISTS $cat.rb")
+      GraftSql.execute(s,
+        s"""CREATE TABLE $cat.rb (o_orderkey BIGINT, price DOUBLE)
+           |USING `graft-manifest`
+           |TBLPROPERTIES ('keys' = 'o_orderkey',
+           |  'bucketBy' = '4,o_orderkey')""".stripMargin)
+      GraftSql.execute(s,
+        s"INSERT INTO $cat.rb SELECT * FROM sk6_src WHERE o_orderkey % 2 = 0")
+      s.sql(s"ALTER TABLE $cat.rb SET TBLPROPERTIES ('bucketBy' = '8,o_orderkey')")
+      GraftSql.execute(s,
+        s"INSERT INTO $cat.rb SELECT * FROM sk6_src WHERE o_orderkey % 2 = 1")
+      GraftSql.execute(s, s"OPTIMIZE $cat.rb")
+      GraftSql.execute(s,
+        s"UPDATE $cat.rb SET price = price * 2 WHERE o_orderkey % 10 = 0")
+      GraftSql.execute(s, s"SELECT o_orderkey, price FROM $cat.rb")
+    }),
+
+    // Widened-bucket-key lifecycle under the hash gate (round 10):
+    // the ONE widen that used to refuse. murmur3 hashes int 5 and
+    // bigint 5 differently, so ALTER COLUMN TYPE on the bucket key
+    // bumps the layout GENERATION — stale markers degrade the SPJ
+    // report (correct, shuffled), post-widen inserts route hashed as
+    // BIGINT (values past 2³¹ prove it), OPTIMIZE heals every dir
+    // under the widened type, and a bucket-preserving UPDATE runs on
+    // the healed layout. The oracle certifies no row was lost,
+    // duplicated, or mis-routed across the whole lifecycle.
+    "sk7_widened_bucket_key" -> ((s, d) => {
+      import graft.plans.GraftSql
+      val cat = "graft"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.plans.GraftCatalog].getName)
+      if (s.conf.getOption(s"spark.sql.catalog.$cat.warehouse").isEmpty)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_sk7_wh_").toString)
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .createOrReplaceTempView("sk7_src")
+      GraftSql.execute(s, s"DROP TABLE IF EXISTS $cat.wb")
+      GraftSql.execute(s,
+        s"""CREATE TABLE $cat.wb (k INT, price DOUBLE)
+           |USING `graft-manifest`
+           |TBLPROPERTIES ('keys' = 'k', 'bucketBy' = '8,k',
+           |  'columnMapping' = 'true')""".stripMargin)
+      GraftSql.execute(s,
+        s"""INSERT INTO $cat.wb SELECT CAST(o_orderkey AS INT), o_totalprice
+           |FROM sk7_src WHERE o_orderkey % 2 = 0""".stripMargin)
+      s.sql(s"ALTER TABLE $cat.wb ALTER COLUMN k TYPE BIGINT")
+      GraftSql.execute(s,
+        s"""INSERT INTO $cat.wb SELECT o_orderkey + 5000000000, o_totalprice
+           |FROM sk7_src WHERE o_orderkey % 2 = 1""".stripMargin)
+      GraftSql.execute(s, s"OPTIMIZE $cat.wb")
+      GraftSql.execute(s,
+        s"UPDATE $cat.wb SET price = price * 2 WHERE k % 10 = 0")
+      GraftSql.execute(s, s"SELECT k, price FROM $cat.wb")
+    }),
+
     // Staged conversion funnel (signup → first later view → first
     // later purchase): each stage is a per-user min over the events
     // AFTER the previous stage's timestamp, left-joined so drop-off
@@ -934,6 +1009,19 @@ object ExtraQueries {
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
         |       ELSE o_totalprice END AS price
         |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+    "sk7_widened_bucket_key" ->
+      """WITH w AS (
+        |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey
+        |              ELSE o_orderkey + 5000000000 END AS k,
+        |    o_totalprice AS price
+        |  FROM orders)
+        |SELECT k, CASE WHEN k % 10 = 0 THEN price * 2 ELSE price END AS price
+        |FROM w""".stripMargin,
+    "sk6_rebucket" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS price
+        |FROM orders""".stripMargin,
     // The salted plan must be INVISIBLE in the result: the oracle is
     // the plain unsalted join + group-by.
     "sk1_skew_salted" ->

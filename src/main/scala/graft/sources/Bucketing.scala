@@ -51,10 +51,12 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   * layer carry their immutable PHYSICAL twins, so renames never
   * detach the layout) and `deletionVectors` composes (a DV delete
   * moves no rows; a DV update's appended batch bucket-routes like
-  * any other write). Remaining refusals: ALTER COLUMN TYPE on a
-  * bucket key (murmur3 of the same value differs across types — a
-  * widened key would silently mis-route old files' buckets) and
-  * DROP COLUMN of a bucket key. Runtime file
+  * any other write). ALTER COLUMN TYPE on a bucket key (round 10)
+  * widens via the layout GENERATION (murmur3 of the same value
+  * differs across types, so the widen bumps [[Spec.gen]]: stale
+  * markers degrade the report, OPTIMIZE heals hashed under the
+  * widened type). Remaining refusal: DROP COLUMN of a bucket key.
+  * Runtime file
   * pruning on bucketed scans filters files WITHIN each reported
   * bucket group and keeps empty groups present, so the reported
   * partitioning stays sound. Static stats/bloom skipping applies
@@ -71,7 +73,18 @@ object Bucketing {
     * per key. Keys are LOGICAL column names at the catalog/scan
     * layer; the Sinks/file layer receives the PHYSICAL twins on
     * columnMapping tables. */
-  final case class Spec(n: Int, keys: Seq[String]) {
+  /** `gen` is the LAYOUT GENERATION: part of the rendered identity
+    * (and so of every marker header) but not of the routing
+    * arithmetic. It exists for the one metadata change that leaves
+    * `n` and the key NAMES intact while silently changing the
+    * routing FUNCTION — widening a bucket key's type (murmur3 hashes
+    * int 5 and bigint 5 differently). The retype bumps `gen`, every
+    * existing dir's marker header mismatches, the scan degrades to a
+    * shuffle (correct results, never a stale grouping), and the next
+    * OPTIMIZE — whose `_optimized` stamp also carries the render —
+    * rewrites every dir hashed under the widened type and stamps the
+    * new generation. The same degrade→heal lifecycle as REBUCKET. */
+  final case class Spec(n: Int, keys: Seq[String], gen: Int = 0) {
     def key: String = keys.head // single-key convenience
     /** Product-grid size: the number of bucket groups (and of write
       * partitions) — n for one key, n² for two, … */
@@ -79,7 +92,17 @@ object Bucketing {
   }
 
   def parse(s: String): Spec = {
-    val parts = s.split(',').map(_.trim)
+    val (main, gen) = s.split(';') match {
+      case Array(m)    => (m, 0)
+      case Array(m, g) =>
+        (m, g.trim.stripPrefix("gen=").toIntOption.filter(_ > 0)
+          .getOrElse(throw new IllegalArgumentException(
+            s"bucketBy generation suffix must be ';gen=<positive int>', " +
+              s"got '$s'")))
+      case _ => throw new IllegalArgumentException(
+        s"bucketBy has more than one ';' suffix: '$s'")
+    }
+    val parts = main.split(',').map(_.trim)
     require(parts.length >= 2 && parts(0).toIntOption.exists(_ >= 2),
       s"bucketBy must be '<numBuckets>,<column>[,<column2>...]' with " +
         s"numBuckets >= 2, got '$s'")
@@ -89,10 +112,12 @@ object Bucketing {
     require(BigInt(parts(0).toInt).pow(parts.length - 1) <= (1 << 16),
       s"bucketBy group grid capped at 65536 " +
         s"(${parts(0)}^${parts.length - 1} buckets), got '$s'")
-    Spec(parts(0).toInt, parts.tail.toSeq)
+    Spec(parts(0).toInt, parts.tail.toSeq, gen)
   }
 
-  def render(s: Spec): String = s"${s.n},${s.keys.mkString(",")}"
+  def render(s: Spec): String =
+    s"${s.n},${s.keys.mkString(",")}" +
+      (if (s.gen > 0) s";gen=${s.gen}" else "")
 
   /** ONE key column's bucket — EXACTLY Spark's single-column
     * `pmod(hash(col), n)` (Murmur3, seed 42): the same function the

@@ -372,6 +372,31 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("bucket spec render/parse round-trips, including the layout generation") {
+    import graft.sources.Bucketing
+    val cases = Gen.listOfN(100, for {
+      n <- Gen.chooseNum(2, 64)
+      g <- Gen.chooseNum(0, 5)
+      k1 <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+      k2 <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+    } yield (n, g, List(k1, k2))).sample.get
+    cases.foreach { case (n, gen, keys0) =>
+      val keys = if (keys0.map(_.toLowerCase).distinct.size == 2) keys0
+                 else List(keys0.head, keys0.head + "x")
+      val spec = Bucketing.Spec(n, keys, gen)
+      assert(Bucketing.parse(Bucketing.render(spec)) == spec)
+      // a generation MISMATCH is a header mismatch — the scan
+      // degrades instead of matching a stale routing function
+      assert(Bucketing.render(spec) !=
+        Bucketing.render(spec.copy(gen = gen + 1)))
+    }
+    // gen 0 renders the round-8/9 header byte-for-byte (old markers
+    // keep matching old specs)
+    assert(Bucketing.render(Bucketing.Spec(8, Seq("id"))) == "8,id")
+    intercept[IllegalArgumentException](Bucketing.parse("8,id;gen=0"))
+    intercept[IllegalArgumentException](Bucketing.parse("8,id;gen=x"))
+  }
+
   test("bucket routing property: every written row's bucketOf == its file's recorded bucket") {
     // THE layout invariant everything else (SPJ, pruning, markers)
     // rests on, checked end to end over generated keys of both a

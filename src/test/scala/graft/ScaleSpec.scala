@@ -724,12 +724,35 @@ class ScaleSpec extends SparkSuite {
       val marker = graft.util.AtomicText.readLines(s"$wh/t1/batch=0/_bucketed")
       assert(marker.length > 1 && marker.tail.forall(_.contains("\t")),
         s"expected file map lines in marker, got: $marker")
-      // the refusal edge: retyping or dropping a bucket key would
-      // change/remove the routing domain — both refuse loudly
-      val eRetype = intercept[Exception](spark.sql(
-        "ALTER TABLE gbc.t1 ALTER COLUMN key_id TYPE BIGINT"))
-      assert(exMessageChain(eRetype).exists(_.contains("bucket")),
-        eRetype.getMessage)
+      // retype of a bucket key (round 10): no longer refuses —
+      // murmur3 hashes int 5 and bigint 5 differently, so the widen
+      // bumps the layout GENERATION: stale markers (old gen header)
+      // degrade the report to a shuffle, and OPTIMIZE heals every
+      // dir hashed under the widened type and stamps the new gen
+      spark.sql("ALTER TABLE gbc.t1 ALTER COLUMN key_id TYPE BIGINT")
+      def agg1() = spark.sql(
+        "SELECT key_id, count(*) AS c FROM gbc.t1 GROUP BY key_id")
+      val degraded = agg1()
+      assert(degraded.count() == 107) // 100 + 8 inserted - 1 DV-deleted
+      assert(finalPlan(degraded).toString.contains("Exchange hashpartitioning"),
+        s"stale-generation markers must degrade, not lie:\n${finalPlan(degraded)}")
+      GraftSql.execute(spark, "OPTIMIZE gbc.t1")
+      val healed = agg1()
+      assert(healed.count() == 107)
+      assert(!finalPlan(healed).toString.contains("Exchange hashpartitioning"),
+        s"OPTIMIZE must heal the widened-key layout:\n${finalPlan(healed)}")
+      // the healed markers carry the bumped generation in the header
+      val liveDirs = new graft.sources.TxnManifest(s"$wh/t1/_commits")
+        .committedDirs(s"$wh/t1")
+        .filterNot(_.contains("/_dv/")) // DV sidecar dirs hold no rows
+        .filter(dir => Option(new java.io.File(dir).listFiles()).toSeq
+          .flatten.exists(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".") && !f.getName.startsWith("_")))
+      val headers = liveDirs.map(dir => graft.util.AtomicText
+        .readLines(s"$dir/_bucketed").headOption.getOrElse(""))
+      assert(headers.nonEmpty && headers.forall(_.endsWith(";gen=1")),
+        s"expected ';gen=1' marker headers after heal, got: " +
+          liveDirs.zip(headers).mkString("; "))
       val eDrop = intercept[Exception](spark.sql(
         "ALTER TABLE gbc.t1 DROP COLUMN key_id"))
       // key_id is both the merge key and the bucket key — either
@@ -1035,6 +1058,60 @@ class ScaleSpec extends SparkSuite {
       spark.sql("ALTER TABLE grb.t UNSET TBLPROPERTIES ('bucketBy')")
       assert(agg().count() == 310)
       GraftSql.execute(spark, "DROP TABLE IF EXISTS grb.t")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("UNSET -> widen -> re-SET bucketBy cannot resurrect pre-widen markers") {
+    // the adversarial cycle for the layout generation: while
+    // UNbucketed the markers survive on disk; a widen in that state
+    // still bumps the stored counter, so the later re-SET renders a
+    // gen>=1 header the narrow-type-era markers can never match —
+    // the scan degrades instead of silently mis-grouping joins
+    import graft.plans.{GraftCatalog, GraftSql}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val wh = java.nio.file.Files.createTempDirectory("graft_gcy_wh_").toString
+    spark.conf.set("spark.sql.catalog.gcy", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcy.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      GraftSql.execute(spark, "DROP TABLE IF EXISTS gcy.t")
+      GraftSql.execute(spark,
+        """CREATE TABLE gcy.t (id INT, v STRING) USING `graft-manifest`
+          |TBLPROPERTIES ('keys' = 'id', 'bucketBy' = '4,id',
+          |  'columnMapping' = 'true')""".stripMargin)
+      spark.range(0, 50).selectExpr("CAST(id AS INT) AS id",
+          "concat('v', id) AS v")
+        .createOrReplaceTempView("gcy_src")
+      GraftSql.execute(spark, "INSERT INTO gcy.t SELECT * FROM gcy_src")
+      spark.sql("ALTER TABLE gcy.t UNSET TBLPROPERTIES ('bucketBy')")
+      spark.sql("ALTER TABLE gcy.t ALTER COLUMN id TYPE BIGINT")
+      spark.sql("ALTER TABLE gcy.t SET TBLPROPERTIES ('bucketBy' = '4,id')")
+      def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+        df.collect()
+        df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p                        => p
+        }
+      }
+      def agg() = spark.sql("SELECT id, count(*) AS c FROM gcy.t GROUP BY id")
+      val resurrect = agg()
+      assert(resurrect.count() == 50)
+      assert(finalPlan(resurrect).toString
+          .contains("Exchange hashpartitioning"),
+        "pre-widen markers matched a post-widen spec — the layout " +
+          s"generation failed:\n${finalPlan(resurrect)}")
+      GraftSql.execute(spark, "OPTIMIZE gcy.t")
+      val healed = agg()
+      assert(healed.count() == 50)
+      assert(!finalPlan(healed).toString.contains("Exchange hashpartitioning"),
+        s"OPTIMIZE must heal into the re-set layout:\n${finalPlan(healed)}")
+      GraftSql.execute(spark, "DROP TABLE IF EXISTS gcy.t")
     } finally {
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
