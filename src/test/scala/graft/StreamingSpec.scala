@@ -684,6 +684,86 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming MinHash-LSH near-dup == batch candidate pairs (band-bucket state)") {
+    // the streaming twin of dd2: near-dup detection AT INGEST. The
+    // batch pipeline's groupBy signature step has a per-ROW spelling
+    // (array_min over the shingle hashes — identical min, identical
+    // md5'#seed' domain), so each doc carries its own signature with
+    // NO aggregation; docs explode to band keys and
+    // flatMapGroupsWithState keyed by band bucket holds the
+    // first-arrival doc id per bucket — a later doc sharing any
+    // band emits as a near-dup of that first. At 100 TB state is
+    // one long per OCCUPIED bucket (not per doc), the same banding
+    // economics as the batch job.
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val k = 3; val numHashes = 8; val rowsPerBand = 2
+    val numBands = numHashes / rowsPerBand
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "an entirely different document about spark shuffles here",
+      3L -> "the quick brown fox jumps over the lazy dog tonight", // ~1
+      4L -> "catalyst plans optimize logical trees into physical plans",
+      5L -> "an entirely different document about spark shuffles there", // ~2
+      6L -> "the quick brown fox jumps over the lazy dog today") // ==1
+    def withBands(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val toks = split(col("text"), " ")
+      val shing = array_distinct(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      val sigs = (0 until numHashes).map(s =>
+        array_min(transform(col("shing"),
+          x => md5(concat(x, lit(s"#$s"))))).as(s"mh$s"))
+      df.filter(size(toks) >= k).withColumn("shing", shing)
+        .select(col("doc_id") +: sigs: _*)
+        .select(col("doc_id"), explode(array((0 until numBands).map { b =>
+          concat_ws("|", lit(b.toString) +: (0 until rowsPerBand)
+            .map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+        }: _*)).as("bkey"))
+    }
+    val mem = MemoryStream[(Long, String)]
+    val q = withBands(mem.toDF().toDF("doc_id", "text"))
+      .as[(Long, String)].map(_.swap)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(String, Long)],
+         st: org.apache.spark.sql.streaming.GroupState[Long]) => {
+          // sort within the micro-batch so "first" matches the batch
+          // job's min-id canonical pick under id-ordered arrival
+          val ids = rows.map(_._2).toSeq.sorted.distinct
+          val first = if (st.exists) st.get else ids.head
+          if (!st.exists) st.update(first)
+          ids.filter(_ != first).map(id => (id, first)).iterator
+        })
+      .toDF("doc_id", "dup_of")
+      .writeStream.format("memory").queryName("slsh_out")
+      .outputMode("append").start()
+    try {
+      // first four docs in one epoch, the rest later — state carries
+      // the occupied buckets across micro-batches
+      mem.addData(docs.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(4): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("slsh_out").select("doc_id")
+        .as[Long].collect().toSet
+      // batch twin on the same corpus: a doc is a near-dup iff it
+      // pairs (shared band) with a LOWER id
+      val batchDocs = docs.toDF("doc_id", "text")
+      val sig = graft.text.MinHash.signatures(
+        graft.text.MinHash.shingles(batchDocs, "doc_id", "text", k),
+        "doc_id", numHashes)
+      val expect = graft.text.MinHash
+        .candidatePairs(sig, "doc_id", numHashes, rowsPerBand)
+        .select("b").as[Long].collect().toSet
+      assert(streamed == expect,
+        s"streaming flagged $streamed, batch candidate pairs say $expect")
+      assert(expect.nonEmpty && !expect.contains(1L) && !expect.contains(2L))
+    } finally q.stop()
+  }
+
   test("streaming WRITE into a columnMapping table: rename lands between epochs") {
     import graft.sources.{SchemaLog, Sinks, TxnManifest}
     import org.apache.spark.sql.types._
