@@ -1138,8 +1138,9 @@ object GraftInsertCommand {
   }
 }
 
-/** `COPY INTO <tbl> FROM '<loc>' FILEFORMAT = PARQUET [PATTERN =
-  * '<glob>'] [COPY_OPTIONS ('force' = 'true')]` — Delta's idempotent
+/** `COPY INTO <tbl> FROM '<loc>' FILEFORMAT = PARQUET|CSV|JSON
+  * [PATTERN = '<glob>'] [FORMAT_OPTIONS ('header' = 'true', ...)]
+  * [COPY_OPTIONS ('force' = 'true')]` — Delta's idempotent
   * bulk-ingest verb: each listed source file loads AT MOST ONCE
   * across re-runs of the statement ([[graft.sources.CopyLog]] tracks
   * the loaded set, keyed to committed manifest history), so an
@@ -1157,15 +1158,20 @@ object GraftInsertCommand {
   * files loaded without their rows being visible.
   *
   * Scale shape (100 TB): the listing is one driver-side glob; the
-  * row count comes from parquet FOOTER metadata (no counting pass
+  * parquet row count comes from FOOTER metadata (no counting pass
   * over data); the read plans one scan over exactly the fresh files.
+  * CSV/JSON parse against the table's DECLARED schema (inference
+  * would make two COPYs of one dir parse differently) and pay one
+  * extra parse pass for the row-count report.
   */
 final case class GraftCopyIntoCommand(table: String,
                                       entry: GraftSqlTables.Entry,
                                       from: String,
                                       pattern: Option[String],
                                       fileFormat: String,
-                                      force: Boolean)
+                                      force: Boolean,
+                                      formatOptions: Map[String, String] =
+                                        Map.empty)
   extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
   import org.apache.spark.sql.types.LongType
@@ -1176,9 +1182,13 @@ final case class GraftCopyIntoCommand(table: String,
       AttributeReference("num_skipped_files", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    require(fileFormat.equalsIgnoreCase("PARQUET"),
+    val fmt = fileFormat.toUpperCase(java.util.Locale.ROOT)
+    require(Set("PARQUET", "CSV", "JSON")(fmt),
       s"COPY INTO $table: FILEFORMAT = $fileFormat is not supported — " +
-        "PARQUET only (the engine's storage format)")
+        "PARQUET, CSV, or JSON")
+    require(fmt != "PARQUET" || formatOptions.isEmpty,
+      s"COPY INTO $table: FORMAT_OPTIONS apply to CSV/JSON sources " +
+        "only — parquet files are self-describing")
     val hconf = spark.sessionState.newHadoopConf()
     val fromPath = new org.apache.hadoop.fs.Path(from)
     val fs = fromPath.getFileSystem(hconf)
@@ -1207,15 +1217,47 @@ final case class GraftCopyIntoCommand(table: String,
     val fresh = listed.filterNot(loaded)
     val skipped = (listed.size - fresh.size).toLong
     if (fresh.isEmpty) return Seq(Row(0L, 0L, skipped))
-    // row count from footers: metadata only, never a data pass
-    val nRows = fresh.map { f =>
-      val in = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
-        new org.apache.hadoop.fs.Path(f))
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(in, hconf))
-      try reader.getRecordCount finally reader.close()
-    }.sum
-    val src = spark.read.parquet(fresh: _*)
+    // row count: parquet answers from FOOTER metadata (no data
+    // pass); text formats have no row-count metadata, so the report
+    // costs one extra parse pass — the ingest itself parses anyway
+    val (src, nRows) = fmt match {
+      case "PARQUET" =>
+        (spark.read.parquet(fresh: _*), fresh.map { f =>
+          val in = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+            new org.apache.hadoop.fs.Path(f))
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(in, hconf))
+          try reader.getRecordCount finally reader.close()
+        }.sum)
+      case _ =>
+        // CSV/JSON carry no types: the read schema is the TABLE's
+        // declared logical schema (never inference — two COPYs of
+        // the same dir must parse identically), minus generated and
+        // identity columns, which never come from landing files —
+        // the write computes/allocates them via the listed-column
+        // fill, exactly the parquet-without-them path
+        val declared = entry.schemaLogPath match {
+          case Some(p) => org.apache.spark.sql.types.StructType(
+            new graft.sources.SchemaLog(p).current()._2.map(c =>
+              org.apache.spark.sql.types.StructField(c.logical, c.dataType)))
+          case None => entry.schemaJson
+            .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+            .getOrElse(throw new IllegalArgumentException(
+              s"COPY INTO $table: FILEFORMAT = $fmt needs a declared " +
+                "table schema to parse against"))
+        }
+        val skip = (GraftSqlTables.generatedCols(entry).map(_._1) ++
+          GraftSqlTables.identityCols(entry).map(_._1))
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        val readSchema = org.apache.spark.sql.types.StructType(
+          declared.fields.filterNot(f =>
+            skip(f.name.toLowerCase(java.util.Locale.ROOT))))
+        val reader = spark.read.schema(readSchema).options(formatOptions)
+        val df = if (fmt == "CSV") reader.csv(fresh: _*)
+                 else reader.json(fresh: _*)
+        (df, df.count())
+    }
     val ever = graft.sources.CopyLog.everAdded(man)
     val batchId = graft.sources.CopyLog.nextBatchId(entry.root, man, ever)
     val hasSchema = entry.schemaJson.isDefined ||
@@ -1246,7 +1288,18 @@ object GraftMaintenance {
   private val Ins =
     """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)\s*(?:\(([\w\s,]+)\))?\s*((?:SELECT|VALUES|WITH|TABLE)\b.*)""".r
   private val Copy =
-    """(?is)\s*COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)\s*(?:PATTERN\s*=\s*'([^']+)'\s*)?(?:COPY_OPTIONS\s*\(\s*'force'\s*=\s*'(true|false)'\s*\)\s*)?;?\s*""".r
+    """(?is)\s*COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)\s*(?:PATTERN\s*=\s*'([^']+)'\s*)?(?:FORMAT_OPTIONS\s*\(([^)]*)\)\s*)?(?:COPY_OPTIONS\s*\(\s*'force'\s*=\s*'(true|false)'\s*\)\s*)?;?\s*""".r
+
+  /** `FORMAT_OPTIONS ('k' = 'v', ...)` body → options map. */
+  private[plans] def parseFormatOptions(body: String): Map[String, String] = {
+    val Pair = """\s*'([^']+)'\s*=\s*'([^']*)'\s*""".r
+    if (body == null || body.trim.isEmpty) Map.empty
+    else body.split(',').map {
+      case Pair(k, v) => k -> v
+      case other => throw new IllegalArgumentException(
+        s"FORMAT_OPTIONS entry \"$other\" is not 'key' = 'value'")
+    }.toMap
+  }
   private val CloneRe =
     """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
 
@@ -1268,9 +1321,10 @@ object GraftMaintenance {
         GraftRestoreCommand(name, e, Left(v.toLong)))
       case RestT(name, ts) => entryOf(name).map(e =>
         GraftRestoreCommand(name, e, Right(parseTs(ts))))
-      case Copy(name, from, fmt, pat, force) => entryOf(name).map(e =>
+      case Copy(name, from, fmt, pat, fmtOpts, force) => entryOf(name).map(e =>
         GraftCopyIntoCommand(name, e, from, Option(pat), fmt,
-          force = Option(force).exists(_.equalsIgnoreCase("true"))))
+          force = Option(force).exists(_.equalsIgnoreCase("true")),
+          formatOptions = parseFormatOptions(fmtOpts)))
       case CloneRe(dst, src, ver, ts) => entryOf(src).map(e =>
         GraftCloneCommand(dst, src, e,
           asOfVersion = Option(ver).map(_.toLong),

@@ -967,6 +967,47 @@ object PipelineQueries {
         s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM $cat.cp")
     }),
 
+    // COPY INTO from TEXT landing formats (round 10): the same
+    // idempotent file-tracked ingest over CSV (header, declared-
+    // schema parse — never inference) and JSON lines. Doubles
+    // round-trip exactly (shortest-repr serialization on write,
+    // exact parse on read), so the oracle compares against the
+    // ORIGINAL parquet values. The CSV COPY re-runs as a tracked
+    // no-op before the JSON wave lands.
+    "s33_copy_text" -> ((s, d) => {
+      import graft.plans.GraftSql
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_s33_land_").toString
+      o.filter(col("o_orderkey") % 2 === 0)
+        .write.mode("overwrite").option("header", "true")
+        .csv(s"$landing/csv")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .write.mode("overwrite").json(s"$landing/json")
+      val cat = "graft"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.plans.GraftCatalog].getName)
+      if (s.conf.getOption(s"spark.sql.catalog.$cat.warehouse").isEmpty)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_s33_wh_").toString)
+      GraftSql.execute(s, s"DROP TABLE IF EXISTS $cat.ct")
+      GraftSql.execute(s,
+        s"""CREATE TABLE $cat.ct (
+           |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE
+           |) USING `graft-manifest` TBLPROPERTIES ('keys' = 'o_orderkey')
+           |""".stripMargin)
+      val copyCsv = s"COPY INTO $cat.ct FROM '$landing/csv' " +
+        "FILEFORMAT = CSV PATTERN = '*.csv' " +
+        "FORMAT_OPTIONS ('header' = 'true')"
+      GraftSql.execute(s, copyCsv)
+      GraftSql.execute(s, copyCsv) // tracked no-op
+      GraftSql.execute(s, s"COPY INTO $cat.ct FROM '$landing/json' " +
+        "FILEFORMAT = JSON PATTERN = '*.json'")
+      GraftSql.execute(s,
+        s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM $cat.ct")
+    }),
+
     // CHECK constraints (round-7 continuation) — the reference's
     // integrity-assert-and-abort (`custom_err.py:1-6`) as Delta's
     // declarative `ADD CONSTRAINT ... CHECK`: a violating INSERT
@@ -2312,6 +2353,8 @@ object PipelineQueries {
         |SELECT o_orderkey + 50000000, 'NEW', 0.0
         |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
     "s28_copy_into" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    "s33_copy_text" ->
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
     "s29_sql_clone" ->
       """WITH base AS (

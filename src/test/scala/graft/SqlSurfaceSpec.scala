@@ -1396,10 +1396,15 @@ class SqlSurfaceSpec extends SparkSuite {
     val r4 = GraftSql.execute(spark, copy).collect()(0)
     assert(r4.getLong(0) == 0 && r4.getLong(1) == 0 && r4.getLong(2) == 2)
     assert(count() == 0)
-    // non-parquet FILEFORMAT refuses loudly
+    // an unsupported FILEFORMAT refuses loudly; FORMAT_OPTIONS are
+    // text-format-only (parquet is self-describing)
     val eFmt = intercept[Exception](GraftSql.execute(spark,
-      s"COPY INTO gcp.cp FROM '$landing' FILEFORMAT = CSV"))
-    assert(eFmt.getMessage.contains("PARQUET only"))
+      s"COPY INTO gcp.cp FROM '$landing' FILEFORMAT = AVRO"))
+    assert(eFmt.getMessage.contains("PARQUET, CSV, or JSON"))
+    val eOpts = intercept[Exception](GraftSql.execute(spark,
+      s"COPY INTO gcp.cp FROM '$landing' FILEFORMAT = PARQUET " +
+        "FORMAT_OPTIONS ('header' = 'true')"))
+    assert(eOpts.getMessage.contains("self-describing"))
     // a file column that is not a table column refuses loudly, before
     // any tracking entry lands
     Seq((9L, "x", 1.0)).toDF("id", "v", "extra")
@@ -1422,6 +1427,44 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(r6.getLong(0) == 3 && r6.getLong(2) == 0)
     assert(count() == 3)
     GraftSql.execute(spark, "DROP TABLE IF EXISTS gcp.cp")
+  }
+
+  test("COPY INTO CSV/JSON: declared-schema parse, identity allocates, generated computes") {
+    import graft.plans.{GraftCatalog, GraftSql}
+    val wh = java.nio.file.Files.createTempDirectory("graft_ctx_wh_").toString
+    spark.conf.set("spark.sql.catalog.gct", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gct.warehouse", wh)
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_ctx_land_").toString
+    // header order differs from table column order — the parse is
+    // by NAME against the declared schema, never positional-inferred
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$landing/a.csv"),
+      "v,amount\nx,1.5\ny,2.5\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$landing/b.json"),
+      """{"v":"z","amount":4.0}""".getBytes("UTF-8"))
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gct.t")
+    GraftSql.execute(spark,
+      """CREATE TABLE gct.t (
+        |  id BIGINT GENERATED ALWAYS AS IDENTITY,
+        |  v STRING, amount DOUBLE,
+        |  twice DOUBLE GENERATED ALWAYS AS (amount * 2)
+        |) USING `graft-manifest` TBLPROPERTIES ('keys' = 'v')""".stripMargin)
+    GraftSql.execute(spark, s"COPY INTO gct.t FROM '$landing' " +
+      "FILEFORMAT = CSV PATTERN = '*.csv' " +
+      "FORMAT_OPTIONS ('header' = 'true')")
+    GraftSql.execute(spark, s"COPY INTO gct.t FROM '$landing' " +
+      "FILEFORMAT = JSON PATTERN = '*.json'")
+    val got = spark.sql("SELECT id, v, amount, twice FROM gct.t")
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(0), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set("x", "y", "z"), got.toString)
+    assert(got("x")._2 == 1.5 && got("x")._3 == 3.0)
+    assert(got("z")._2 == 4.0 && got("z")._3 == 8.0)
+    // identity allocated distinct values for all three text rows
+    assert(got.values.map(_._1).toSet.size == 3, got.toString)
+    GraftSql.execute(spark, "DROP TABLE IF EXISTS gct.t")
   }
 
   test("SHALLOW CLONE: zero-copy fork, divergence by DML, source untouched") {
