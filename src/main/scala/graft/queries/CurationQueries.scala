@@ -112,6 +112,85 @@ object CurationQueries {
             symRatio <= 0.1 && bulletFrac <= 0.9 && ellFrac <= 0.3 &&
             alphaFrac >= 0.8 && nStops >= 2, 1).otherwise(0).as("keep"))
     }),
+    // CCNet-family perplexity filter (Wenzek et al. 2020) with a
+    // hashed-BIGRAM language model trained on the corpus itself and
+    // an INTEGER-EXACT linearized score: P(w2|w1) ≈ c(h(w1w2)) /
+    // c(h(w1·)) over 4096 md5 buckets; per-bigram probability scaled
+    // ×10⁶ and floor-divided (both engines truncate positives
+    // identically), per-doc score = mean scaled probability, keep =
+    // above corpus mean (CCNet's head/tail split collapsed to one
+    // data-relative threshold — a PERCENTILE split would need a
+    // global sort; the mean is one scalar aggregate). Scale: two
+    // bucket-cardinality shuffles for the LM histograms (map-side
+    // combine), scoring is a per-row fold over two broadcast
+    // 4096-entry maps, the threshold is a broadcast scalar —
+    // scan-parallel at any corpus size, no sort anywhere.
+    "t23_perplexity_filter" -> ((s, d) => {
+      def bucket(c: org.apache.spark.sql.Column) =
+        translate(substring(md5(c), 1, 6), "abcdef", "012345")
+          .cast("long") % 4096
+      def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        ((a - pmod(a, b)) / b).cast("long")
+      val docs = Tables.documents(s, d)
+      val ws = split(col("text"), " ")
+      val bigrams = zip_with(
+        slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      val pairs = docs.select(col("doc_id"), explode(bigrams).as("b"))
+        .select(col("doc_id"), col("b"), bucket(col("b")).as("hb"),
+          bucket(element_at(split(col("b"), " "), 1)).as("hu"))
+      val cb = pairs.groupBy("hb").agg(count(lit(1)).as("cb"))
+        .agg(map_from_entries(collect_list(struct(col("hb"), col("cb"))))
+          .as("mb"))
+      val cu = pairs.groupBy("hu").agg(count(lit(1)).as("cu"))
+        .agg(map_from_entries(collect_list(struct(col("hu"), col("cu"))))
+          .as("mu"))
+      val scored = docs
+        .select(col("doc_id"), bigrams.as("bg"))
+        .crossJoin(broadcast(cb)).crossJoin(broadcast(cu))
+        .select(col("doc_id"), size(col("bg")).cast("long").as("n_bigrams"),
+          aggregate(col("bg"), lit(0L), (acc, b) => acc +
+            idiv(element_at(col("mb"), bucket(b)) * 1000000L,
+              element_at(col("mu"), bucket(element_at(split(b, " "), 1)))))
+            .as("raw"))
+        .select(col("doc_id"), col("n_bigrams"),
+          when(col("n_bigrams") > 0, idiv(col("raw"), col("n_bigrams")))
+            .otherwise(0L).as("score"))
+      val mean = scored.filter(col("n_bigrams") > 0)
+        .agg(sum("score").as("ssum"), count(lit(1)).as("sn"))
+      scored.crossJoin(broadcast(mean))
+        .select(col("doc_id"), col("n_bigrams"), col("score"),
+          when(col("n_bigrams") > 0 &&
+            col("score") * col("sn") >= col("ssum"), 1).otherwise(0)
+            .as("keep"))
+    }),
+
+    // C4's line-level cleaning rules (Raffel et al. 2020 §2.2) — the
+    // boilerplate pass every web-scale corpus runs before any
+    // model-based scoring: keep a line only when it ends in terminal
+    // punctuation, has ≥3 words, and mentions no javascript; keep a
+    // doc only when ≥3 lines survive and it carries no code brace /
+    // "lorem ipsum" marker. Pure per-row list folds — zero shuffles,
+    // scan-parallel at any corpus size; all outputs integer so the
+    // hash gate is exact.
+    "t24_c4_line_filter" -> ((s, d) => {
+      val ls = split(col("text"), "\n")
+      def lineKeep(l: org.apache.spark.sql.Column) =
+        l.rlike("[.!?\"]\\s*$") &&
+          size(split(trim(l), " ")) >= 3 && (trim(l) =!= "") &&
+          !lower(l).contains("javascript")
+      val kept = filter(ls, l => lineKeep(l))
+      val nKept = size(kept).cast("long")
+      val keptChars = aggregate(transform(kept, l => length(l).cast("long")),
+        lit(0L), _ + _)
+      val docKeep = nKept >= 3 && !col("text").contains("{") &&
+        !lower(col("text")).contains("lorem ipsum")
+      Tables.documents(s, d).select(col("doc_id"),
+        size(ls).cast("long").as("n_lines"), nKept.as("n_kept"),
+        keptChars.as("kept_chars"),
+        when(docKeep, 1).otherwise(0).as("doc_keep"))
+    }),
+
     // Deterministic stratified sample + train/val/test split
     // (~80/10/10 by hash bucket; 10% systematic sample flag).
     // The operators COMPOSED — one pass of the curation flow a
@@ -291,6 +370,52 @@ object CurationQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "t23_perplexity_filter" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i+1])) AS b
+        |  FROM w),
+        |p AS (SELECT doc_id,
+        |    CAST(translate(substr(md5(b), 1, 6), 'abcdef', '012345')
+        |      AS BIGINT) % 4096 AS hb,
+        |    CAST(translate(substr(md5(string_split(b, ' ')[1]), 1, 6),
+        |      'abcdef', '012345') AS BIGINT) % 4096 AS hu
+        |  FROM bg),
+        |cb AS (SELECT hb, CAST(count(*) AS BIGINT) AS cb FROM p GROUP BY hb),
+        |cu AS (SELECT hu, CAST(count(*) AS BIGINT) AS cu FROM p GROUP BY hu),
+        |ds AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum((c1.cb * 1000000) // c2.cu) AS BIGINT) AS raw
+        |  FROM p JOIN cb c1 USING (hb) JOIN cu c2 USING (hu)
+        |  GROUP BY p.doc_id),
+        |sc AS (SELECT d.doc_id,
+        |    CAST(coalesce(ds.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |    CAST(CASE WHEN coalesce(ds.n_bigrams, 0) > 0
+        |         THEN ds.raw // ds.n_bigrams ELSE 0 END AS BIGINT) AS score
+        |  FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id),
+        |tot AS (SELECT CAST(sum(score) AS BIGINT) AS ssum,
+        |    CAST(count(*) AS BIGINT) AS sn FROM sc WHERE n_bigrams > 0)
+        |SELECT sc.doc_id, sc.n_bigrams, sc.score,
+        |  CAST(CASE WHEN sc.n_bigrams > 0 AND sc.score * t.sn >= t.ssum
+        |       THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM sc CROSS JOIN tot t""".stripMargin,
+    "t24_c4_line_filter" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls
+        |  FROM documents),
+        |m AS (SELECT doc_id, text, ls,
+        |    list_filter(ls, l -> regexp_matches(l, '[.!?"]\s*$')
+        |      AND len(string_split(trim(l), ' ')) >= 3 AND trim(l) <> ''
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM t)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(list_sum(list_transform(kept,
+        |    l -> CAST(length(l) AS BIGINT))), 0) AS BIGINT) AS kept_chars,
+        |  CAST(CASE WHEN len(kept) >= 3 AND NOT contains(text, '{')
+        |       AND NOT contains(lower(text), 'lorem ipsum')
+        |       THEN 1 ELSE 0 END AS INT) AS doc_keep
+        |FROM m""".stripMargin,
     "t21_dsir_weights" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

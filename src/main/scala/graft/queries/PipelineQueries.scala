@@ -1008,6 +1008,89 @@ object PipelineQueries {
         s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM $cat.ct")
     }),
 
+    // Incremental materialized view, ADDITIVE mode (round 10): the
+    // Delta "MV over a CDF table" recipe as an engine statement —
+    // the reference's analogue is the per-account summary its
+    // pipelines recompute whole each run. CREATE + bootstrap REFRESH
+    // over the seed wave, then an append + a column-level UPDATE + a
+    // DELETE, then one incremental REFRESH that reads ONLY the change
+    // feed (MvSpec pins the no-base-scan bound) and merges signed
+    // per-group deltas into the stored accumulators. The oracle
+    // recomputes the final aggregate from the predicted final source.
+    // Scale shape: refresh cost is O(delta)+O(touched groups) — the
+    // 100 TB summary table never re-reads the fact table.
+    "s34_mv_incremental" -> ((s, d) => {
+      import graft.plans.{GraftMvs, GraftSql, GraftSqlTables}
+      import graft.sources.{StatsSinks, TxnManifest}
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("id"),
+        col("o_orderstatus").as("status"),
+        when(col("o_orderkey") % 17 === 0, lit(null))
+          .otherwise(col("o_totalprice")).cast("decimal(18,6)").as("price"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s34_").toString
+      val root = s"$base/src"
+      val man = new TxnManifest(s"$base/manifest.tsv")
+      StatsSinks.appendBatchStats(o.filter(col("id") % 3 === 0), root, 0)
+      man.commit(0, Seq(s"$root/batch=0"))
+      GraftSqlTables.register("s34_src", GraftSqlTables.Entry(root,
+        s"$base/manifest.tsv", keys = Seq("id"), cdf = true))
+      GraftSql.execute(s,
+        s"CREATE MATERIALIZED VIEW s34_mv LOCATION '$base/mv' AS " +
+          "SELECT status, count(*) AS n_orders, count(price) AS n_priced, " +
+          "sum(price) AS sum_price FROM s34_src WHERE id % 7 != 2 " +
+          "GROUP BY status")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s34_mv")
+      StatsSinks.appendBatchStats(o.filter(col("id") % 3 === 1), root, 1)
+      man.commit(1, Seq(s"$root/batch=1"))
+      GraftSql.execute(s,
+        "UPDATE s34_src SET price = price * 2 WHERE id % 11 = 3")
+      GraftSql.execute(s, "DELETE FROM s34_src WHERE id % 13 = 5")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s34_mv")
+      val out = GraftMvs.read(s, "s34_mv").select(col("status"),
+        col("n_orders"), col("n_priced"),
+        col("sum_price").cast("double").as("sum_price"))
+      GraftMvs.drop("s34_mv")
+      out
+    }),
+
+    // Incremental materialized view, RECOMPUTE mode (round 10):
+    // min/max cannot decrement, so groups touched by the delta
+    // recompute from the base restricted by a semi-join the
+    // stats/bloom sidecars prune — O(affected groups' rows), never a
+    // full rebuild. The DELETE waves remove per-group maxima (the
+    // case a naive incremental max silently gets wrong) and kill one
+    // whole group (death must reach the stored view as a row delete).
+    "s35_mv_minmax" -> ((s, d) => {
+      import graft.plans.{GraftMvs, GraftSql, GraftSqlTables}
+      import graft.sources.{StatsSinks, TxnManifest}
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("id"),
+        col("o_orderstatus").as("status"),
+        col("o_custkey").as("cust"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s35_").toString
+      val root = s"$base/src"
+      val man = new TxnManifest(s"$base/manifest.tsv")
+      StatsSinks.appendBatchStats(o, root, 0)
+      man.commit(0, Seq(s"$root/batch=0"))
+      GraftSqlTables.register("s35_src", GraftSqlTables.Entry(root,
+        s"$base/manifest.tsv", keys = Seq("id"), cdf = true))
+      GraftSql.execute(s,
+        s"CREATE MATERIALIZED VIEW s35_mv LOCATION '$base/mv' AS " +
+          "SELECT status, min(id) AS min_id, max(id) AS max_id, " +
+          "max(cust) AS max_cust, count(*) AS n FROM s35_src " +
+          "GROUP BY status")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s35_mv")
+      // shave every group's top id band, then kill a whole group
+      GraftSql.execute(s, "DELETE FROM s35_src WHERE id % 10 = 9")
+      GraftSql.execute(s, "DELETE FROM s35_src WHERE status = 'P'")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s35_mv")
+      val out = GraftMvs.read(s, "s35_mv")
+      GraftMvs.drop("s35_mv")
+      out
+    }),
+
     // CHECK constraints (round-7 continuation) — the reference's
     // integrity-assert-and-abort (`custom_err.py:1-6`) as Delta's
     // declarative `ADD CONSTRAINT ... CHECK`: a violating INSERT
@@ -2356,6 +2439,27 @@ object PipelineQueries {
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
     "s33_copy_text" ->
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    "s34_mv_incremental" ->
+      """WITH src0 AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS status,
+        |    CASE WHEN o_orderkey % 17 = 0 THEN NULL
+        |         ELSE CAST(o_totalprice AS DECIMAL(18,6)) END AS price
+        |  FROM orders WHERE o_orderkey % 3 IN (0, 1)),
+        |final AS (
+        |  SELECT id, status,
+        |    CASE WHEN id % 11 = 3 THEN CAST(price * 2 AS DECIMAL(18,6))
+        |         ELSE price END AS price
+        |  FROM src0 WHERE NOT (id % 13 = 5))
+        |SELECT status, count(*) AS n_orders, count(price) AS n_priced,
+        |  CAST(sum(price) AS DOUBLE) AS sum_price
+        |FROM final WHERE id % 7 != 2 GROUP BY status""".stripMargin,
+    "s35_mv_minmax" ->
+      """SELECT o_orderstatus AS status, min(o_orderkey) AS min_id,
+        |  max(o_orderkey) AS max_id, max(o_custkey) AS max_cust,
+        |  count(*) AS n
+        |FROM orders
+        |WHERE NOT (o_orderkey % 10 = 9) AND o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus""".stripMargin,
     "s29_sql_clone" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

@@ -1239,45 +1239,102 @@ private[graft] object GraftManifestSource {
         st.isFile && n.endsWith(".parquet") &&
           !n.startsWith(".") && !n.startsWith("_")
       }
-    byBatch.flatMap { case (id, ds) =>
-      Sinks.readFeedMarker(conf, root, id).foreach { replaced =>
-        val lost = replaced.filter(_ > from)
-        if (lost.nonEmpty)
-          throw new IllegalStateException(
-            s"change feed under $root: batch $id collapsed batch(es) " +
-              s"${lost.mkString(",")} committed AFTER offset $from — " +
-              "their rows were never delivered to this consumer and exist " +
-              "only inside the rewrite. Re-bootstrap from a readCommitted " +
-              "snapshot, then restart the stream from a fresh checkpoint.")
-      }
+    def sidecar(id: Int): Option[Seq[org.apache.hadoop.fs.FileStatus]] = {
       val cdfDir = new HPath(s"$root/_cdf/batch=$id")
       val fs = cdfDir.getFileSystem(conf)
-      val cdfFiles =
-        if (fs.exists(cdfDir)) parquetFiles(fs, cdfDir)
-        else Array.empty[org.apache.hadoop.fs.FileStatus]
-      if (cdfFiles.nonEmpty)
-        cdfFiles.toSeq.map(st => CdfFilePartition(st.getPath.toString,
-          st.getLen, st.getModificationTime, id, insertFile = false))
-      else if (fs.exists(cdfDir))
-        throw new IllegalStateException(
-          s"change feed under $root: batch $id is a merge committed " +
-            "without change tracking (cdf = false) — its updates and " +
-            "deletes were not recorded. Re-bootstrap from a snapshot, " +
-            "or run merges with cdf = true on fed tables.")
-      else
-        ds.filter(d => d.startsWith(root + "/") && !Sinks.isDvDir(d))
-          .flatMap { dir =>
-            val p = new HPath(dir)
-            if (!fs.exists(p))
+      if (fs.exists(cdfDir)) Some(parquetFiles(fs, cdfDir).toSeq) else None
+    }
+    val out = Seq.newBuilder[InputPartition]
+    val served = scala.collection.mutable.Set.empty[Int]
+    // A rewrite that UN-NAMED undrained batches does not poison the
+    // feed (consecutive DML between reads must serve): a collapsed
+    // MERGE still serves its deltas from the on-disk `_cdf` sidecar
+    // (never part of the collapsed data dirs), and a collapsed APPEND
+    // serves its commit-time dirs recovered from the manifest's claim
+    // tombstones — rewrites un-name dirs from the CURRENT state only,
+    // so historical batches stay addressable exactly as Delta's
+    // version-v files do, with VACUUM the one loud hazard. Only a
+    // collapsed cdf=false merge (changes never recorded) or a batch
+    // whose claims/dirs are gone refuses. Collapsed merges' own
+    // markers are honored transitively.
+    def handleMarker(id: Int): Unit =
+      Sinks.readFeedMarker(conf, root, id).foreach { replaced =>
+        replaced.filter(l => l > from && !served(l)).foreach { lostId =>
+          served += lostId
+          sidecar(lostId) match {
+            case Some(files) if files.nonEmpty =>
+              handleMarker(lostId)
+              out ++= files.map(st => CdfFilePartition(st.getPath.toString,
+                st.getLen, st.getModificationTime, lostId,
+                insertFile = false))
+            case Some(_) =>
               throw new IllegalStateException(
-                s"manifest-committed directory missing from the " +
-                  s"filesystem: $dir — committed data was deleted out " +
-                  "from under the manifest")
-            parquetFiles(fs, p).toSeq.map(st =>
-              CdfFilePartition(st.getPath.toString, st.getLen,
-                st.getModificationTime, id, insertFile = true))
+                s"change feed under $root: batch $lostId (collapsed by " +
+                  s"batch $id) is a merge committed without change " +
+                  "tracking (cdf = false) — its updates and deletes were " +
+                  "never recorded. Re-bootstrap from a snapshot, or run " +
+                  "merges with cdf = true on fed tables.")
+            case None =>
+              val dirs = manifest.lastKnownDirs(lostId).getOrElse(
+                throw new IllegalStateException(
+                  s"change feed under $root: batch $id collapsed batch " +
+                    s"$lostId committed AFTER offset $from, and no claim " +
+                    "tombstone records its directories — its rows exist " +
+                    "only inside the rewrite. Re-bootstrap from a " +
+                    "readCommitted snapshot, then restart the stream " +
+                    "from a fresh checkpoint."))
+              out ++= dirs
+                .filter(d => d.startsWith(root + "/") && !Sinks.isDvDir(d))
+                .flatMap { dir =>
+                  val p = new HPath(dir)
+                  val fs = p.getFileSystem(conf)
+                  if (!fs.exists(p))
+                    throw new IllegalStateException(
+                      s"change feed under $root: collapsed batch " +
+                        s"$lostId's directory $dir is no longer on disk " +
+                        "(vacuumed) — the feed history this consumer " +
+                        "needs is gone. Re-bootstrap from a readCommitted " +
+                        "snapshot, then restart from a fresh checkpoint.")
+                  parquetFiles(fs, p).toSeq.map(st =>
+                    CdfFilePartition(st.getPath.toString, st.getLen,
+                      st.getModificationTime, lostId, insertFile = true))
+                }
           }
-    }.toArray
+        }
+      }
+    byBatch.foreach { case (id, ds) =>
+      if (!served(id)) {
+        served += id
+        handleMarker(id)
+        val cdfDir = new HPath(s"$root/_cdf/batch=$id")
+        val fs = cdfDir.getFileSystem(conf)
+        sidecar(id) match {
+          case Some(files) if files.nonEmpty =>
+            out ++= files.map(st => CdfFilePartition(st.getPath.toString,
+              st.getLen, st.getModificationTime, id, insertFile = false))
+          case Some(_) =>
+            throw new IllegalStateException(
+              s"change feed under $root: batch $id is a merge committed " +
+                "without change tracking (cdf = false) — its updates and " +
+                "deletes were not recorded. Re-bootstrap from a snapshot, " +
+                "or run merges with cdf = true on fed tables.")
+          case None =>
+            out ++= ds.filter(d => d.startsWith(root + "/") && !Sinks.isDvDir(d))
+              .flatMap { dir =>
+                val p = new HPath(dir)
+                if (!fs.exists(p))
+                  throw new IllegalStateException(
+                    s"manifest-committed directory missing from the " +
+                      s"filesystem: $dir — committed data was deleted out " +
+                      "from under the manifest")
+                parquetFiles(fs, p).toSeq.map(st =>
+                  CdfFilePartition(st.getPath.toString, st.getLen,
+                    st.getModificationTime, id, insertFile = true))
+              }
+        }
+      }
+    }
+    out.result().toArray
   }
 
   /** Two parquet closures for the feed's two physical layouts; the

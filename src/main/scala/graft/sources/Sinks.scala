@@ -1073,50 +1073,101 @@ object Sinks {
       .sortBy(_._1)
     require(byBatch.nonEmpty,
       s"no commits under $root in batch range ($fromBatch, $toBatch]")
-    val frames = byBatch.flatMap { case (id, ds) =>
-      // feed-consistency gate: a commit that UN-NAMED batches the
-      // consumer had not drained holds their rows only inside its
-      // rewrite — serving the range anyway would silently lose them
-      readFeedMarker(conf, root, id).foreach { replaced =>
-        val lost = replaced.filter(_ > fromBatch)
-        if (lost.nonEmpty)
-          throw new IllegalStateException(
-            s"change feed under $root: batch $id collapsed batch(es) " +
-              s"${lost.mkString(",")} committed AFTER offset $fromBatch — " +
-              "their rows were never delivered to this consumer and exist " +
-              "only inside the rewrite. Re-bootstrap from a readCommitted " +
-              "snapshot (ManifestConsumer.bootstrap), then tail.")
-      }
+    def sidecarState(id: Int): (Boolean, Boolean) = { // (dirExists, hasDeltas)
       val cdfDir = new org.apache.hadoop.fs.Path(s"$root/_cdf/batch=$id")
       val fs = cdfDir.getFileSystem(conf)
-      val hasDeltas = fs.exists(cdfDir) && fs.listStatus(cdfDir).exists(st =>
+      val exists = fs.exists(cdfDir)
+      val deltas = exists && fs.listStatus(cdfDir).exists(st =>
         st.isFile && st.getPath.getName.endsWith(".parquet") &&
           !st.getPath.getName.startsWith(".") &&
           !st.getPath.getName.startsWith("_"))
-      val df =
-        // zero-row delta files read fine (Spark writes a schema-
-        // carrying file for an empty frame): a merge whose deletes
-        // matched nothing serves zero deltas, not a crash
-        if (hasDeltas) Some(spark.read.parquet(cdfDir.toString))
-        else if (fs.exists(cdfDir))
-          // marker-only dir: a MERGE committed with cdf = false — it
-          // changed rows but recorded no deltas, so the feed cannot
-          // serve this range truthfully
-          throw new IllegalStateException(
-            s"change feed under $root: batch $id is a merge committed " +
-              "without change tracking (cdf = false) — its updates and " +
-              "deletes were not recorded. Re-bootstrap from a snapshot, " +
-              "or run merges with cdf = true on fed tables.")
-        else {
-          // a DV-only batch (nothing-matched delete: no marker, no
-          // deltas) serves zero change rows — its sidecar is not data
-          val data = ds.filter(d => d.startsWith(root + "/") && !isDvDir(d))
-          if (data.isEmpty) None
-          else Some(spark.read.option("mergeSchema", true).parquet(data: _*)
-            .withColumn(ChangeTypeCol, lit("insert")))
-        }
-      df.map(_.withColumn("_commit_batch", lit(id)))
+      (exists, deltas)
     }
+    val served = scala.collection.mutable.Set.empty[Int]
+    val frameList = Seq.newBuilder[DataFrame]
+    // feed-consistency gate: a rewrite that UN-NAMED undrained batches
+    // does not poison the feed — a collapsed MERGE serves its deltas
+    // from the on-disk `_cdf` sidecar, and a collapsed APPEND serves
+    // its commit-time dirs recovered from the claim tombstones
+    // (rewrites un-name from the CURRENT state only; VACUUM is the
+    // one loud hazard). Only a collapsed cdf=false merge or a batch
+    // with no claims/dirs left refuses. Collapsed merges' own markers
+    // are honored transitively.
+    def handleMarker(id: Int): Unit =
+      readFeedMarker(conf, root, id).foreach { replaced =>
+        replaced.filter(l => l > fromBatch && !served(l)).foreach { lostId =>
+          served += lostId
+          val (dirExists, hasDeltas) = sidecarState(lostId)
+          if (hasDeltas) {
+            handleMarker(lostId)
+            frameList += spark.read.parquet(s"$root/_cdf/batch=$lostId")
+              .withColumn("_commit_batch", lit(lostId))
+          } else if (dirExists)
+            throw new IllegalStateException(
+              s"change feed under $root: batch $lostId (collapsed by " +
+                s"batch $id) is a merge committed without change " +
+                "tracking (cdf = false) — its updates and deletes were " +
+                "never recorded. Re-bootstrap from a snapshot, or run " +
+                "merges with cdf = true on fed tables.")
+          else {
+            val dirs = manifest.lastKnownDirs(lostId).getOrElse(
+              throw new IllegalStateException(
+                s"change feed under $root: batch $id collapsed batch " +
+                  s"$lostId committed AFTER offset $fromBatch, and no " +
+                  "claim tombstone records its directories — its rows " +
+                  "exist only inside the rewrite. Re-bootstrap from a " +
+                  "readCommitted snapshot (ManifestConsumer.bootstrap), " +
+                  "then tail."))
+              .filter(d => d.startsWith(root + "/") && !isDvDir(d))
+            dirs.foreach { d =>
+              val p = new org.apache.hadoop.fs.Path(d)
+              if (!p.getFileSystem(conf).exists(p))
+                throw new IllegalStateException(
+                  s"change feed under $root: collapsed batch $lostId's " +
+                    s"directory $d is no longer on disk (vacuumed) — " +
+                    "the feed history this consumer needs is gone. " +
+                    "Re-bootstrap from a readCommitted snapshot " +
+                    "(ManifestConsumer.bootstrap), then tail.")
+            }
+            if (dirs.nonEmpty)
+              frameList += spark.read.option("mergeSchema", true)
+                .parquet(dirs: _*)
+                .withColumn(ChangeTypeCol, lit("insert"))
+                .withColumn("_commit_batch", lit(lostId))
+          }
+        }
+      }
+    byBatch.foreach { case (id, ds) =>
+      if (!served(id)) {
+        served += id
+        handleMarker(id)
+        val (dirExists, hasDeltas) = sidecarState(id)
+        val df =
+          // zero-row delta files read fine (Spark writes a schema-
+          // carrying file for an empty frame): a merge whose deletes
+          // matched nothing serves zero deltas, not a crash
+          if (hasDeltas) Some(spark.read.parquet(s"$root/_cdf/batch=$id"))
+          else if (dirExists)
+            // marker-only dir: a MERGE committed with cdf = false — it
+            // changed rows but recorded no deltas, so the feed cannot
+            // serve this range truthfully
+            throw new IllegalStateException(
+              s"change feed under $root: batch $id is a merge committed " +
+                "without change tracking (cdf = false) — its updates and " +
+                "deletes were not recorded. Re-bootstrap from a snapshot, " +
+                "or run merges with cdf = true on fed tables.")
+          else {
+            // a DV-only batch (nothing-matched delete: no marker, no
+            // deltas) serves zero change rows — its sidecar is not data
+            val data = ds.filter(d => d.startsWith(root + "/") && !isDvDir(d))
+            if (data.isEmpty) None
+            else Some(spark.read.option("mergeSchema", true).parquet(data: _*)
+              .withColumn(ChangeTypeCol, lit("insert")))
+          }
+        df.foreach(f => frameList += f.withColumn("_commit_batch", lit(id)))
+      }
+    }
+    val frames = frameList.result()
     if (frames.isEmpty)
       // every batch in range was a no-op (e.g. nothing-matched DV
       // deletes): zero change rows, schema from the table itself

@@ -197,6 +197,23 @@ final class TxnManifest(val path: String) {
     writeCas(v, entries)
   }
 
+  /** The dirs `batchId` last named — from the CURRENT state when the
+    * batch is live, else from the claim tombstones, walking versions
+    * DOWNWARD until a snapshot names it (the walk is short when the
+    * collapse is recent, the common lagging-consumer case). The CDF
+    * planner serves a collapsed-but-undrained append batch through
+    * this: a rewrite un-names dirs from the current state only, never
+    * from the claims, so historical batches stay addressable exactly
+    * as Delta's version-v files do — until VACUUM removes them, at
+    * which point the read fails loudly. None when no claim ever
+    * names the id (pre-CAS history, or a vacuumed claim set). */
+  def lastKnownDirs(batchId: Int): Option[Seq[String]] = {
+    val (current, cur) = readState()
+    cur.get(batchId).orElse(
+      Iterator.iterate(current - 1)(_ - 1).takeWhile(_ >= 1).map(entriesAt)
+        .collectFirst { case Some(m) if m.contains(batchId) => m(batchId) })
+  }
+
   /** Commit history from the persisted claim files — Delta
     * `DESCRIBE HISTORY` on the version-CAS log. Each entry diffs a
     * version against its predecessor: which directories the commit

@@ -567,16 +567,24 @@ class SourcesSpec extends SparkSuite {
     // drained: nothing re-delivered; a second consumer group tails
     // independently from ITS offset
     assert(drain().isEmpty)
-    // the bootstrap rule is ENFORCED, not prose: the merge UN-NAMED
-    // batch 1, whose rows a from-scratch consumer never received — a
-    // cold-start replay fails loudly instead of serving a feed that
-    // silently lost them
-    val cold = intercept[IllegalStateException] {
-      ManifestConsumer.pollChanges(spark, man, root, offsets, "c2") {
-        (_, _) => fail("must not deliver a lossy feed")
-      }
+    // cold-start replay: the merge UN-NAMED batch 1, but batch 1's
+    // commit-time dirs are recovered from the claim tombstones
+    // (round 10 — Delta's version-v files stay addressable until
+    // VACUUM), so a from-scratch consumer receives the COMPLETE
+    // history: batch 1's six inserts plus batch 2's deltas
+    var cold = Vector.empty[(Long, String, String, Int)]
+    ManifestConsumer.pollChanges(spark, man, root, offsets, "c2") {
+      (df, _) => cold ++= df
+        .select($"id", $"v", col(Sinks.ChangeTypeCol), $"_commit_batch")
+        .collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
     }
-    assert(cold.getMessage.contains("Re-bootstrap"))
+    assert(cold.filter(_._4 == 1).toSet ==
+      (1L to 6L).map(i => (i, s"v$i", "insert", 1)).toSet,
+      "collapsed append must replay from its claim-recorded dirs")
+    assert(cold.filter(_._4 == 2).toSet == Set(
+      (2L, "v2", "update_preimage", 2), (2L, "u2", "update_postimage", 2),
+      (10L, "new", "insert", 2), (5L, "v5", "delete", 2)))
     // bootstrap: snapshot handed to the consumer FIRST, offset
     // committed after (offset-after-sink, like every poll form)
     var snapCount = -1L

@@ -990,12 +990,19 @@ class SqlSurfaceSpec extends SparkSuite {
       assert(GraftSql.execute(spark,
         "SELECT * FROM table_changes('tvf_t', 1)").count() == 4)
       // from=0 asks for batch 0's rows, which the merge COLLAPSED into
-      // its rewrite — the feed-consistency gate fails loudly instead
-      // of silently dropping them (same rule as the DSv2 read)
-      val eCollapsed = intercept[IllegalStateException] {
-        GraftSql.execute(spark,
-          "SELECT * FROM table_changes('tvf_t', 0)").collect() }
-      assert(eCollapsed.getMessage.contains("collapsed"))
+      // its rewrite — the planner recovers batch 0's commit-time dirs
+      // from the claim tombstones (round 10), so the full history
+      // serves: 3 original inserts + batch 1's 4 deltas (same rule as
+      // the DSv2 read; VACUUMed history still refuses loudly)
+      val full = GraftSql.execute(spark,
+        "SELECT _commit_batch, _change_type, id, v " +
+          "FROM table_changes('tvf_t', 0)")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+          r.getString(3))).toSet
+      assert(full == Set((0, "insert", 1L, "a"), (0, "insert", 2L, "b"),
+        (0, "insert", 3L, "c"), (1, "update_preimage", 2L, "b"),
+        (1, "update_postimage", 2L, "B"), (1, "insert", 9L, "i"),
+        (1, "delete", 3L, "c")), s"got $full")
       // extension session: plain spark.sql resolves it anywhere —
       // here under a join against a view on that session
       withExtensionSession { s =>
