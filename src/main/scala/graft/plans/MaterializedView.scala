@@ -24,10 +24,22 @@ import graft.util.AtomicText
   *
   * Shape: `CREATE MATERIALIZED VIEW mv LOCATION '<dir>' AS SELECT
   * k1[, k2…], agg(..) AS out[, …] FROM <registered graft table>
-  * [WHERE <pred>] GROUP BY k1[, k2…]` with aggs drawn from
-  * count(*) / count(c) / sum(c) / avg(c) / min(c) / max(c).
+  * [JOIN <registered dim table> ON fk = k [AND …]] [WHERE <pred>]
+  * GROUP BY k1[, k2…]` with aggs drawn from count(*) / count(c) /
+  * count(DISTINCT c) / sum(c) / avg(c) / min(c) / max(c).
   * Anything outside that surface refuses loudly at CREATE — never a
   * silently-wrong refresh.
+  *
+  * The JOIN form is the star-schema summary (the reference's J1
+  * FK-remap + A1 rollup composite, `items.py`-style): keys and
+  * aggregate args may come from either side. Maintenance exploits
+  * Δ(F ⋈ D) = ΔF ⋈ D when the dim is unmoved — the fact delta joins
+  * the (broadcast-sized) dim and folds exactly as the single-table
+  * case, an identity that holds for inner joins under bag semantics
+  * with NO uniqueness assumption on the dim key. A refresh that
+  * finds the DIM moved falls back to one full recompute (group
+  * deaths included) — dims move rarely; facts move constantly, and
+  * the fact path is the incremental one.
   *
   * REFRESH reads the source's change feed `(lastV, curV]` — the same
   * `table_changes` scan the CDC surface serves — and:
@@ -63,9 +75,11 @@ object GraftMvs {
 
   final case class MvDef(name: String, src: String, groupKeys: Seq[String],
                          aggs: Seq[AggSpec], where: Option[String],
-                         outSchema: StructType, storSchema: StructType) {
-    def additive: Boolean =
-      aggs.forall(a => a.func != "min" && a.func != "max")
+                         outSchema: StructType, storSchema: StructType,
+                         src2: Option[String] = None,
+                         joinPairs: Seq[(String, String)] = Nil) {
+    def additive: Boolean = aggs.forall(a =>
+      a.func != "min" && a.func != "max" && a.func != "count_distinct")
   }
 
   private val views =
@@ -74,6 +88,37 @@ object GraftMvs {
 
   def lookup(name: String): Option[String] = Option(views.get(norm(name)))
   def unregister(name: String): Unit = { views.remove(norm(name)); () }
+
+  /** All registered view names (normalized) — the rewrite's candidate
+    * walk ([[MvRewrite]]). */
+  private[plans] def allViews: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    views.keySet.asScala.toSeq.sorted
+  }
+
+  /** The view's definition when its last refresh consumed the
+    * source's CURRENT manifest version — the gate for serving a
+    * query FROM the view's store instead of the base table. A stale
+    * or never-refreshed view yields None and the query computes from
+    * the base (results never depend on refresh recency). */
+  private[plans] def freshFor(spark: SparkSession, name: String)
+    : Option[MvDef] = {
+    val baseDir = lookup(name).getOrElse(return None)
+    val d = scala.util.Try(readDef(baseDir)).getOrElse(return None)
+    def curOf(src: String): Option[Int] =
+      GraftSqlTables.lookup(src.split('.').toSeq).map(e =>
+        new TxnManifest(e.manifestPath).committed().keys.maxOption
+          .getOrElse(-1))
+    val curV = curOf(d.src).getOrElse(return None)
+    val curD = d.src2 match {
+      case Some(s2) => curOf(s2).getOrElse(return None)
+      case None     => -1
+    }
+    val mvMan = new TxnManifest(manifestPath(baseDir))
+    val mvB = mvMan.committed().keys.maxOption.getOrElse(-1)
+    if (mvB >= 0 && stateFor(baseDir, mvB) == ((curV, curD))) Some(d)
+    else None
+  }
 
   private def dataRoot(base: String) = s"$base/data"
   private def manifestPath(base: String) = s"$base/manifest.tsv"
@@ -90,6 +135,10 @@ object GraftMvs {
       s"name\t${d.name}",
       s"src\t${d.src}",
       s"keys\t${d.groupKeys.mkString(",")}") ++
+      d.src2.map(s2 => s"src2\t$s2").toSeq ++
+      (if (d.joinPairs.nonEmpty)
+        Seq(s"joinon\t${d.joinPairs.map(p => s"${p._1}=${p._2}").mkString(",")}")
+      else Nil) ++
       d.aggs.map(a => s"agg\t${a.out}\t${a.func}\t${a.arg.getOrElse("")}") ++
       d.where.map(w => s"where\t$w").toSeq ++ Seq(
       s"outschema\t${d.outSchema.json}",
@@ -112,30 +161,60 @@ object GraftMvs {
     MvDef(one("name"), one("src"), one("keys").split(',').toSeq, aggs,
       opt("where"),
       DataType.fromJson(one("outschema")).asInstanceOf[StructType],
-      DataType.fromJson(one("storschema")).asInstanceOf[StructType])
+      DataType.fromJson(one("storschema")).asInstanceOf[StructType],
+      src2 = opt("src2"),
+      joinPairs = opt("joinon").toSeq.flatMap(_.split(',').toSeq.map { p =>
+        val Array(a, b) = p.split('=')
+        (a, b)
+      }))
   }
 
   // ------------------------------------------------------------- state IO
 
-  /** Source batch id consumed by MV batch `mvBatch`; written BEFORE
-    * that batch commits (see class doc for the crash argument). */
-  private def writeState(base: String, mvBatch: Int, srcV: Int): Unit =
-    AtomicText.writeAtomically(s"$base/state/$mvBatch", s"$srcV\n")
+  /** Source batch id(s) consumed by MV batch `mvBatch` — `(fact
+    * version, dim version)`, dim −1 for single-table views; written
+    * BEFORE that batch commits (see class doc for the crash
+    * argument). */
+  private def writeState(base: String, mvBatch: Int, srcV: Int,
+                         dimV: Int = -1): Unit =
+    AtomicText.writeAtomically(s"$base/state/$mvBatch",
+      if (dimV < 0) s"$srcV\n" else s"$srcV,$dimV\n")
 
-  private def stateFor(base: String, mvBatch: Int): Int = {
+  private def stateFor(base: String, mvBatch: Int): (Int, Int) = {
     val l = AtomicText.readLines(s"$base/state/$mvBatch")
     require(l.nonEmpty, s"mv state file missing for committed batch " +
       s"$mvBatch under $base — state must be written before the commit")
-    l.head.trim.toInt
+    l.head.trim.split(',') match {
+      case Array(f)    => (f.trim.toInt, -1)
+      case Array(f, d) => (f.trim.toInt, d.trim.toInt)
+      case _ => throw new IllegalStateException(
+        s"malformed mv state for batch $mvBatch under $base: '${l.head}'")
+    }
   }
 
   // ------------------------------------------------------------- parsing
 
-  /** Extract (source table, group keys, aggs, where-SQL) from the
-    * CREATE's SELECT body, refusing anything outside the maintained
-    * surface with the unsupported shape named. */
-  private[plans] def parseSelect(selectSql: String)
-    : (String, Seq[String], Seq[AggSpec], Option[String]) = {
+  /** One FROM-clause relation: registered-table name + optional SQL
+    * alias. `quals` is every qualifier that addresses it. */
+  private[plans] final case class ParsedRel(name: String,
+                                            alias: Option[String]) {
+    def quals: Seq[String] =
+      alias.map(Seq(_)).getOrElse(Seq(name.split('.').last))
+        .map(_.toLowerCase(Locale.ROOT))
+  }
+
+  /** The CREATE's SELECT body, structurally validated but with
+    * qualifiers unresolved — [[create]] resolves names against the
+    * actual schemas (parse has no SparkSession). */
+  private[plans] final case class ParsedSelect(
+      fact: ParsedRel, dim: Option[ParsedRel],
+      joinCond: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      keys: Seq[Seq[String]], aggs: Seq[AggSpec],
+      where: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+
+  /** Extract the maintained shape from the CREATE's SELECT body,
+    * refusing anything outside it with the unsupported shape named. */
+  private[plans] def parseSelect(selectSql: String): ParsedSelect = {
     val plan = CatalystSqlParser.parsePlan(selectSql)
     val agg = plan match {
       case a: Aggregate => a
@@ -143,16 +222,30 @@ object GraftMvs {
         "CREATE MATERIALIZED VIEW: the SELECT must be a single " +
           s"GROUP BY aggregation over one table; got ${other.nodeName}")
     }
-    val (srcName, where) = agg.child match {
-      case UnresolvedRelation(parts, _, _) => (parts.mkString("."), None)
-      case Filter(cond, UnresolvedRelation(parts, _, _)) =>
-        (parts.mkString("."), Some(cond.sql))
+    val (where, fromPlan) = agg.child match {
+      case Filter(cond, ch) => (Some(cond), ch)
+      case ch               => (None, ch)
+    }
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, SubqueryAlias}
+    def rel(p: LogicalPlan): Option[ParsedRel] = p match {
+      case UnresolvedRelation(parts, _, _) =>
+        Some(ParsedRel(parts.mkString("."), None))
+      case SubqueryAlias(id, UnresolvedRelation(parts, _, _)) =>
+        Some(ParsedRel(parts.mkString("."), Some(id.name)))
+      case _ => None
+    }
+    val (factRel, dimRel, joinCond) = fromPlan match {
+      case p if rel(p).isDefined => (rel(p).get, None, None)
+      case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
+          Some(c), _) if rel(l).isDefined && rel(r).isDefined =>
+        (rel(l).get, rel(r), Some(c))
       case other => throw new IllegalArgumentException(
         "CREATE MATERIALIZED VIEW: FROM must be a bare registered " +
-          s"table (optionally WHERE-filtered); got ${other.nodeName}")
+          "table, optionally INNER JOINed to one registered dim table " +
+          s"with an ON clause; got ${other.nodeName}")
     }
     val keys = agg.groupingExpressions.map {
-      case a: UnresolvedAttribute => a.nameParts.mkString(".")
+      case a: UnresolvedAttribute => a.nameParts
       case other => throw new IllegalArgumentException(
         "CREATE MATERIALIZED VIEW: GROUP BY must list plain columns; " +
           s"got ${other.sql}")
@@ -160,7 +253,7 @@ object GraftMvs {
     val aggs = agg.aggregateExpressions.flatMap {
       case a: UnresolvedAttribute =>
         val n = a.nameParts.mkString(".")
-        require(keys.exists(_.equalsIgnoreCase(n)),
+        require(keys.exists(_.last.equalsIgnoreCase(a.nameParts.last)),
           s"CREATE MATERIALIZED VIEW: select column '$n' is not a " +
             "GROUP BY key and not an aggregate")
         None // served as a key; order follows groupKeys
@@ -184,19 +277,27 @@ object GraftMvs {
     aggs.foreach(a => require(!a.out.startsWith("__"),
       s"CREATE MATERIALIZED VIEW: output name '${a.out}' collides with " +
         "the engine's internal accumulator prefix '__'"))
-    (srcName, keys, aggs, where)
+    ParsedSelect(factRel, dimRel, joinCond, keys, aggs, where)
   }
 
-  private def parseAgg(f: UnresolvedFunction, out: String): AggSpec = {
-    require(!f.isDistinct, "CREATE MATERIALIZED VIEW: DISTINCT " +
-      "aggregates are not incrementally maintainable — " +
-      s"'${f.sql}' refused")
+  private[plans] def parseAgg(f: UnresolvedFunction, out: String): AggSpec = {
     val name = f.nameParts.last.toLowerCase(Locale.ROOT)
     def argCol: String = f.arguments match {
       case Seq(a: UnresolvedAttribute) => a.nameParts.mkString(".")
       case other => throw new IllegalArgumentException(
         s"CREATE MATERIALIZED VIEW: $name takes one plain column, " +
           s"got (${other.map(_.sql).mkString(", ")})")
+    }
+    if (f.isDistinct) {
+      // count(DISTINCT c) maintains in RECOMPUTE mode only: a delete
+      // may or may not remove the last occurrence of a value, so no
+      // per-group scalar accumulator can fold it — the affected
+      // groups re-count from the base (still never a full rebuild).
+      // Other DISTINCT aggregates stay refused.
+      require(name == "count", "CREATE MATERIALIZED VIEW: DISTINCT " +
+        "aggregates other than count are not maintainable — " +
+        s"'${f.sql}' refused")
+      return AggSpec(out, "count_distinct", Some(argCol))
     }
     name match {
       case "count" => f.arguments match {
@@ -208,7 +309,8 @@ object GraftMvs {
       case "sum" | "avg" | "min" | "max" => AggSpec(out, name, Some(argCol))
       case other => throw new IllegalArgumentException(
         s"CREATE MATERIALIZED VIEW: aggregate '$other' is not " +
-          "maintainable here (supported: count, sum, avg, min, max)")
+          "maintainable here (supported: count, count(DISTINCT), sum, " +
+          "avg, min, max)")
     }
   }
 
@@ -235,7 +337,7 @@ object GraftMvs {
     val keyFields = keys.map(k => fieldOf(srcSchema, k))
     val aggFields = aggs.flatMap { a =>
       a.func match {
-        case "count_star" | "count" =>
+        case "count_star" | "count" | "count_distinct" =>
           Seq(StructField(a.out, LongType, nullable = false))
         case "min" | "max" =>
           Seq(StructField(a.out, fieldOf(srcSchema, a.arg.get).dataType))
@@ -257,22 +359,19 @@ object GraftMvs {
     * the served output types (probed once at CREATE). */
   private def realAggCols(aggs: Seq[AggSpec]): Seq[Column] = aggs.map { a =>
     (a.func match {
-      case "count_star" => count(lit(1))
-      case "count"      => count(col(a.arg.get))
-      case "sum"        => sum(col(a.arg.get))
-      case "avg"        => avg(col(a.arg.get))
-      case "min"        => min(col(a.arg.get))
-      case "max"        => max(col(a.arg.get))
+      case "count_star"     => count(lit(1))
+      case "count"          => count(col(a.arg.get))
+      case "count_distinct" => countDistinct(col(a.arg.get))
+      case "sum"            => sum(col(a.arg.get))
+      case "avg"            => avg(col(a.arg.get))
+      case "min"            => min(col(a.arg.get))
+      case "max"            => max(col(a.arg.get))
     }).as(a.out)
   }
 
   // --------------------------------------------------------------- create
 
-  def create(spark: SparkSession, name: String, location: String,
-             selectSql: String): Unit = {
-    require(lookup(name).isEmpty,
-      s"materialized view '$name' already exists")
-    val (srcName, keys, aggs, where) = parseSelect(selectSql)
+  private def resolveEntry(srcName: String): GraftSqlTables.Entry = {
     val entry = GraftSqlTables.lookup(srcName.split('.').toSeq).getOrElse(
       throw new IllegalArgumentException(
         s"CREATE MATERIALIZED VIEW: '$srcName' is not a registered " +
@@ -280,13 +379,131 @@ object GraftMvs {
     require(!entry.isClone, "CREATE MATERIALIZED VIEW over a shallow " +
       "clone is not supported — materialize the clone first (OPTIMIZE), " +
       "or define the view on the clone source")
-    val base = snapshotRead(spark, entry)
+    entry
+  }
+
+  /** The fact ⋈ dim enrichment frame: inner join on the resolved
+    * `(fact col, dim col)` pairs, dim join-key columns dropped (the
+    * fact FK addresses them). Shared by create-time probe, refresh
+    * delta, and recompute — one definition of the joined relation. */
+  private def joinFrames(fact: DataFrame, dim: DataFrame,
+                         pairs: Seq[(String, String)]): DataFrame = {
+    val cond = pairs.map { case (a, b) => fact(a) === dim(b) }
+      .reduce(_ && _)
+    pairs.foldLeft(fact.join(dim, cond, "inner")) {
+      case (df, (_, b)) => df.drop(dim(b))
+    }
+  }
+
+  def create(spark: SparkSession, name: String, location: String,
+             selectSql: String): Unit = {
+    require(lookup(name).isEmpty,
+      s"materialized view '$name' already exists")
+    val ps = parseSelect(selectSql)
+    ps.dim.foreach { d =>
+      require(!norm(d.name).equals(norm(ps.fact.name)),
+        s"CREATE MATERIALIZED VIEW: a self-join of '${ps.fact.name}' " +
+          "is not supported — Δ(F ⋈ F) needs deltas on both sides; " +
+          "register one side as its own table")
+    }
+    val entry = resolveEntry(ps.fact.name)
+    val entryD = ps.dim.map(r => resolveEntry(r.name))
+    val factDf = snapshotRead(spark, entry)
+    val dimDf = entryD.map(snapshotRead(spark, _))
+
+    // ------- qualifier resolution (join form only needs the work)
+    val factQuals = ps.fact.quals
+    val dimQuals = ps.dim.toSeq.flatMap(_.quals)
+    require(factQuals.intersect(dimQuals).isEmpty,
+      "CREATE MATERIALIZED VIEW: the two FROM relations share a " +
+        s"qualifier (${factQuals.intersect(dimQuals).mkString(", ")}) — " +
+        "alias them apart")
+    def sideOf(parts: Seq[String]): Char = {
+      require(parts.length <= 2, "CREATE MATERIALIZED VIEW: column " +
+        s"reference '${parts.mkString(".")}' is too deep — use " +
+        "[alias.]column")
+      val last = parts.last
+      def inF = factDf.columns.exists(_.equalsIgnoreCase(last))
+      def inD = dimDf.exists(_.columns.exists(_.equalsIgnoreCase(last)))
+      if (parts.length == 2) {
+        val q = norm(parts.head)
+        if (factQuals.contains(q)) { require(inF, s"CREATE MATERIALIZED " +
+          s"VIEW: '${parts.mkString(".")}' is not a column of " +
+          s"'${ps.fact.name}'"); 'f' }
+        else if (dimQuals.contains(q)) { require(inD, s"CREATE " +
+          s"MATERIALIZED VIEW: '${parts.mkString(".")}' is not a column " +
+          s"of '${ps.dim.get.name}'"); 'd' }
+        else throw new IllegalArgumentException(
+          s"CREATE MATERIALIZED VIEW: unknown qualifier '${parts.head}' " +
+            s"(have: ${(factQuals ++ dimQuals).mkString(", ")})")
+      } else {
+        (inF, inD) match {
+          case (true, false) => 'f'
+          case (false, true) => 'd'
+          case (true, true) => throw new IllegalArgumentException(
+            s"CREATE MATERIALIZED VIEW: column '$last' exists on both " +
+              "sides of the join — qualify it")
+          case _ => throw new IllegalArgumentException(
+            s"CREATE MATERIALIZED VIEW: column '$last' is not in " +
+              "either source schema")
+        }
+      }
+    }
+    val joinPairs: Seq[(String, String)] = ps.joinCond.toSeq.flatMap { c =>
+      import org.apache.spark.sql.catalyst.expressions.EqualTo
+      def conj(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+        e match {
+          case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+            conj(l) ++ conj(r)
+          case x => Seq(x)
+        }
+      conj(c).map {
+        case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+          (sideOf(a.nameParts), sideOf(b.nameParts)) match {
+            case ('f', 'd') => (a.nameParts.last, b.nameParts.last)
+            case ('d', 'f') => (b.nameParts.last, a.nameParts.last)
+            case _ => throw new IllegalArgumentException(
+              "CREATE MATERIALIZED VIEW: each ON equality must join " +
+                s"the two tables; '${EqualTo(a, b).sql}' does not")
+          }
+        case other => throw new IllegalArgumentException(
+          "CREATE MATERIALIZED VIEW: ON must be a conjunction of " +
+            s"column equalities; got '${other.sql}'")
+      }
+    }
+    // strip known relation qualifiers so stored names/predicates
+    // resolve against the joined frame (struct access stays intact:
+    // only a LEADING part matching a FROM qualifier strips)
+    def strip(parts: Seq[String]): String =
+      if (parts.length == 2) { sideOf(parts); parts.last }
+      else { if (dimDf.isDefined) sideOf(parts); parts.mkString(".") }
+    val keys = ps.keys.map(strip)
+    val aggs = ps.aggs.map(a =>
+      a.copy(arg = a.arg.map(arg => strip(arg.split('.').toSeq))))
+    val where = ps.where.map { e =>
+      e.transform {
+        case a: UnresolvedAttribute if a.nameParts.length == 2 &&
+            (factQuals ++ dimQuals).contains(norm(a.nameParts.head)) =>
+          sideOf(a.nameParts)
+          UnresolvedAttribute(Seq(a.nameParts.last))
+      }.sql
+    }
+    // CDF internal columns ride the refresh delta through the join —
+    // a dim column named like one would collide there
+    dimDf.foreach(dd => Seq(Sinks.ChangeTypeCol).foreach(c =>
+      require(!dd.columns.exists(_.equalsIgnoreCase(c)),
+        s"CREATE MATERIALIZED VIEW: dim column '$c' collides with the " +
+          "change-feed metadata the refresh joins through")))
+
+    val base = dimDf.fold(factDf)(dd => joinFrames(factDf, dd, joinPairs))
     val live = where.fold(base)(w => base.where(expr(w)))
     keys.foreach(k => fieldOf(base.schema, k))
     val outSchema = live.groupBy(keys.map(col): _*)
       .agg(realAggCols(aggs).head, realAggCols(aggs).tail: _*).schema
     val stor = storageSchema(base.schema, keys, aggs)
-    val d = MvDef(name, srcName, keys, aggs, where, outSchema, stor)
+    val d = MvDef(name, ps.fact.name, keys, aggs, where, outSchema, stor,
+      src2 = ps.dim.map(_.name), joinPairs = joinPairs)
     writeDef(location, d)
     views.put(norm(name), location)
     read(spark, name).createOrReplaceTempView(tempViewName(name))
@@ -315,30 +532,51 @@ object GraftMvs {
     val baseDir = lookup(name).getOrElse(throw new IllegalArgumentException(
       s"materialized view '$name' is not registered"))
     val d = readDef(baseDir)
-    val entry = GraftSqlTables.lookup(d.src.split('.').toSeq).getOrElse(
-      throw new IllegalStateException(
-        s"materialized view '$name': source table '${d.src}' is no " +
-          "longer registered"))
-    val srcMan = new TxnManifest(entry.manifestPath)
-    val curV = srcMan.committed().keys.maxOption.getOrElse(-1)
+    def entryOf(src: String): GraftSqlTables.Entry =
+      GraftSqlTables.lookup(src.split('.').toSeq).getOrElse(
+        throw new IllegalStateException(
+          s"materialized view '$name': source table '$src' is no " +
+            "longer registered"))
+    val entry = entryOf(d.src)
+    val entryD = d.src2.map(entryOf)
+    val curV = new TxnManifest(entry.manifestPath)
+      .committed().keys.maxOption.getOrElse(-1)
+    val curD = entryD.map(e => new TxnManifest(e.manifestPath)
+      .committed().keys.maxOption.getOrElse(-1)).getOrElse(-1)
     val mvMan = new TxnManifest(manifestPath(baseDir))
     val mvB = mvMan.committed().keys.maxOption.getOrElse(-1)
-    val lastV = if (mvB < 0) -1 else stateFor(baseDir, mvB)
-    if (curV <= lastV) return (lastV, curV, false)
-
-    var r = spark.read.format("graft-manifest")
-      .option("manifest", entry.manifestPath)
-      .option("changeFeed", "true")
-      .option("startingBatchId", lastV.toString) // exclusive lower bound
-      .option("endingBatchId", curV.toString)
-    entry.schemaLogPath.foreach(p => r = r.option("schemaLog", p))
-    val changes = r.load(entry.root)
-    val delta = d.where.fold(changes)(w => changes.where(expr(w)))
+    val (lastV, lastD) = if (mvB < 0) (-1, -1) else stateFor(baseDir, mvB)
+    if (curV <= lastV && curD == lastD) return (lastV, curV, false)
 
     val newBatch = mvB + 1
-    writeState(baseDir, newBatch, curV) // inert until the commit below
-    if (d.additive) refreshAdditive(spark, d, baseDir, mvMan, mvB, newBatch, delta)
-    else refreshRecompute(spark, d, entry, baseDir, mvMan, mvB, newBatch, delta)
+    writeState(baseDir, newBatch, curV, curD) // inert until the commit below
+    val dimDf = entryD.map(snapshotRead(spark, _))
+
+    if (mvB >= 0 && entryD.isDefined && curD != lastD) {
+      // the DIM moved: ΔF ⋈ D no longer equals Δ(F ⋈ D) — one full
+      // recompute (group death included); dims move rarely, facts
+      // constantly, so this is the exceptional arm
+      val live0 = joinFrames(snapshotRead(spark, entry), dimDf.get,
+        d.joinPairs)
+      val live = d.where.fold(live0)(w => live0.where(expr(w)))
+      refreshFull(spark, d, baseDir, mvMan, newBatch, live)
+    } else {
+      var r = spark.read.format("graft-manifest")
+        .option("manifest", entry.manifestPath)
+        .option("changeFeed", "true")
+        .option("startingBatchId", lastV.toString) // exclusive lower bound
+        .option("endingBatchId", curV.toString)
+      entry.schemaLogPath.foreach(p => r = r.option("schemaLog", p))
+      val changes0 = r.load(entry.root)
+      val changes =
+        dimDf.fold(changes0)(dd => joinFrames(changes0, dd, d.joinPairs))
+      val delta = d.where.fold(changes)(w => changes.where(expr(w)))
+      if (d.additive)
+        refreshAdditive(spark, d, baseDir, mvMan, mvB, newBatch, delta)
+      else
+        refreshRecompute(spark, d, entry, dimDf, baseDir, mvMan, mvB,
+          newBatch, delta)
+    }
     read(spark, name).createOrReplaceTempView(tempViewName(name))
     (lastV, curV, true)
   }
@@ -410,28 +648,35 @@ object GraftMvs {
     }
   }
 
+  /** Storage-schema aggregates computed from BASE rows (bootstrap,
+    * per-group recompute, and the dim-moved full recompute). */
+  private def storageAggs(d: MvDef): Seq[Column] = d.aggs.flatMap { a =>
+    a.func match {
+      case "count_star"     => Seq(count(lit(1)).as(a.out))
+      case "count"          => Seq(count(col(a.arg.get)).as(a.out))
+      case "count_distinct" => Seq(countDistinct(col(a.arg.get)).as(a.out))
+      case "min"            => Seq(min(col(a.arg.get)).as(a.out))
+      case "max"            => Seq(max(col(a.arg.get)).as(a.out))
+      case "sum" => Seq(sum(col(a.arg.get)).as(a.out),
+        count(col(a.arg.get)).as(nCol(a.out)))
+      case "avg" => Seq(sum(col(a.arg.get)).as(sCol(a.out)),
+        count(col(a.arg.get)).as(nCol(a.out)))
+    }
+  } :+ count(lit(1)).as(GRows)
+
   private def refreshRecompute(spark: SparkSession, d: MvDef,
-                               entry: GraftSqlTables.Entry, baseDir: String,
+                               entry: GraftSqlTables.Entry,
+                               dimDf: Option[DataFrame], baseDir: String,
                                mvMan: TxnManifest, mvB: Int, newBatch: Int,
                                delta: DataFrame): Unit = {
-    val storageAggs: Seq[Column] = d.aggs.flatMap { a =>
-      a.func match {
-        case "count_star" => Seq(count(lit(1)).as(a.out))
-        case "count"      => Seq(count(col(a.arg.get)).as(a.out))
-        case "min"        => Seq(min(col(a.arg.get)).as(a.out))
-        case "max"        => Seq(max(col(a.arg.get)).as(a.out))
-        case "sum" => Seq(sum(col(a.arg.get)).as(a.out),
-          count(col(a.arg.get)).as(nCol(a.out)))
-        case "avg" => Seq(sum(col(a.arg.get)).as(sCol(a.out)),
-          count(col(a.arg.get)).as(nCol(a.out)))
-      }
-    } :+ count(lit(1)).as(GRows)
-    val base = snapshotRead(spark, entry)
+    val aggsCols = storageAggs(d)
+    val base0 = snapshotRead(spark, entry)
+    val base = dimDf.fold(base0)(dd => joinFrames(base0, dd, d.joinPairs))
     val live = d.where.fold(base)(w => base.where(expr(w)))
 
     if (mvB < 0) {
       val full = conform(live.groupBy(guardedKeys(d.groupKeys): _*)
-        .agg(storageAggs.head, storageAggs.tail: _*), d.storSchema)
+        .agg(aggsCols.head, aggsCols.tail: _*), d.storSchema)
       StatsSinks.appendBatchStats(full, dataRoot(baseDir), newBatch)
       mvMan.commit(newBatch, Seq(s"${dataRoot(baseDir)}/batch=$newBatch"))
     } else {
@@ -441,7 +686,7 @@ object GraftMvs {
       val rec = conform(
         live.join(affected, d.groupKeys, "left_semi")
           .groupBy(d.groupKeys.map(col): _*)
-          .agg(storageAggs.head, storageAggs.tail: _*), d.storSchema)
+          .agg(aggsCols.head, aggsCols.tail: _*), d.storSchema)
       val gone = affected.join(rec.select(d.groupKeys.map(col): _*),
         d.groupKeys, "left_anti")
       Sinks.merge(spark, Some(rec), Some(gone), dataRoot(baseDir),
@@ -449,25 +694,48 @@ object GraftMvs {
     }
   }
 
+  /** Full recompute into one merge: every group rewritten, stored
+    * groups absent from the recomputed state deleted. The dim-moved
+    * arm — the base scan IS the cost, so it runs only when the
+    * incremental identity does not hold. */
+  private def refreshFull(spark: SparkSession, d: MvDef, baseDir: String,
+                          mvMan: TxnManifest, newBatch: Int,
+                          live: DataFrame): Unit = {
+    val aggsCols = storageAggs(d)
+    val full = conform(live.groupBy(guardedKeys(d.groupKeys): _*)
+      .agg(aggsCols.head, aggsCols.tail: _*), d.storSchema)
+    val cur = Sinks.readCommitted(spark, dataRoot(baseDir), mvMan)
+    val gone = cur.select(d.groupKeys.map(col): _*)
+      .join(full.select(d.groupKeys.map(col): _*), d.groupKeys, "left_anti")
+    Sinks.merge(spark, Some(full), Some(gone), dataRoot(baseDir),
+      mvMan, d.groupKeys, newBatch)
+  }
+
   // ----------------------------------------------------------------- read
 
   /** The view's contents under its DECLARED output schema (exactly
     * the types Spark's own aggregate over the source would produce —
     * probed and pinned at CREATE). */
+  /** The stored accumulator frame (storage schema) — shared by the
+    * declared-output serve and the rewrite's rollup re-aggregation. */
+  private def rawStorage(spark: SparkSession, baseDir: String,
+                         d: MvDef): DataFrame = {
+    val mvMan = new TxnManifest(manifestPath(baseDir))
+    if (mvMan.committed().isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], d.storSchema)
+    else Sinks.readCommitted(spark, dataRoot(baseDir), mvMan)
+  }
+
   def read(spark: SparkSession, name: String): DataFrame = {
     val baseDir = lookup(name).getOrElse(throw new IllegalArgumentException(
       s"materialized view '$name' is not registered"))
     val d = readDef(baseDir)
-    val mvMan = new TxnManifest(manifestPath(baseDir))
-    val raw =
-      if (mvMan.committed().isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], d.storSchema)
-      else Sinks.readCommitted(spark, dataRoot(baseDir), mvMan)
+    val raw = rawStorage(spark, baseDir, d)
     val served: Seq[Column] = d.groupKeys.map(col) ++ d.aggs.map { a =>
       val outT = d.outSchema(d.outSchema.fieldIndex(a.out)).dataType
       a.func match {
-        case "count_star" | "count" | "min" | "max" =>
+        case "count_star" | "count" | "count_distinct" | "min" | "max" =>
           col(a.out).cast(outT).as(a.out)
         case "sum" =>
           when(col(nCol(a.out)) === 0, lit(null))
@@ -485,6 +753,80 @@ object GraftMvs {
     require(lookup(name).isDefined,
       s"materialized view '$name' is not registered")
     unregister(name)
+  }
+
+  // -------------------------------------------------- rewrite serving
+
+  /** One output item of a rewritten query, in the query's SELECT
+    * order: a group key or a matched view aggregate, under the
+    * query's own alias. */
+  private[plans] sealed trait ServeItem { def alias: String }
+  private[plans] final case class ServeKey(key: String, alias: String)
+    extends ServeItem
+  private[plans] final case class ServeAgg(spec: AggSpec, alias: String)
+    extends ServeItem
+
+  /** Can `spec` be re-aggregated ACROSS stored groups (a query whose
+    * GROUP BY is a strict subset of the view's keys)? Everything but
+    * count(DISTINCT) — distinct counts don't compose across groups. */
+  private[plans] def rollupable(spec: AggSpec): Boolean =
+    spec.func != "count_distinct"
+
+  /** Serve a matched query from the view's store ([[MvRewrite]]).
+    *
+    * Direct (`rollup=false`, query keys == view keys): a projection
+    * over the declared-output serve — zero aggregation at query time.
+    *
+    * Rollup (`rollup=true`, query keys ⊂ view keys): re-aggregate the
+    * stored EXACT accumulators at the query's grain — count/sum fold
+    * by addition, avg re-divides summed (sum, n) pairs, min/max
+    * re-extremize; output types pinned to the view's probed output
+    * schema (aggregate result types don't depend on grouping, so the
+    * view's probe IS the query's direct-execution type). An empty
+    * grouping list is the global-aggregate query: one row, count 0 /
+    * sums NULL over an empty store, matching direct execution. */
+  private[plans] def serve(spark: SparkSession, name: String,
+                           rollup: Boolean, groupKeys: Seq[String],
+                           items: Seq[ServeItem]): DataFrame = {
+    val baseDir = lookup(name).getOrElse(throw new IllegalStateException(
+      s"materialized view '$name' vanished mid-rewrite"))
+    val d = readDef(baseDir)
+    if (!rollup) {
+      read(spark, name).select(items.map {
+        case ServeKey(k, al) => col(k).as(al)
+        case ServeAgg(a, al) => col(a.out).as(al)
+      }: _*)
+    } else {
+      val raw = rawStorage(spark, baseDir, d)
+      def outT(a: AggSpec): DataType =
+        d.outSchema(d.outSchema.fieldIndex(a.out)).dataType
+      val aggCols = items.collect { case ServeAgg(a, al) =>
+        (a.func match {
+          case "count_star" | "count" =>
+            coalesce(sum(col(a.out)), lit(0L)).cast(outT(a))
+          case "sum" =>
+            when(coalesce(sum(col(nCol(a.out))), lit(0L)) === 0, lit(null))
+              .otherwise(sum(col(a.out))).cast(outT(a))
+          case "avg" =>
+            when(coalesce(sum(col(nCol(a.out))), lit(0L)) === 0, lit(null))
+              .otherwise(sum(col(sCol(a.out))) / sum(col(nCol(a.out))))
+              .cast(outT(a))
+          case "min" => min(col(a.out)).cast(outT(a))
+          case "max" => max(col(a.out)).cast(outT(a))
+          case other => throw new IllegalStateException(
+            s"rollup over non-rollupable aggregate '$other'") // guarded upstream
+        }).as(al)
+      }
+      val served =
+        if (aggCols.isEmpty) // pure-DISTINCT query: SELECT keys GROUP BY keys
+          raw.select(groupKeys.map(col): _*).distinct()
+        else if (groupKeys.isEmpty) raw.groupBy().agg(aggCols.head, aggCols.tail: _*)
+        else raw.groupBy(groupKeys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      served.select(items.map {
+        case ServeKey(k, al) => col(k).as(al)
+        case ServeAgg(_, al) => col(al)
+      }: _*)
+    }
   }
 }
 

@@ -1671,9 +1671,14 @@ final class GraftSqlParser(delegate: ParserInterface)
       val plan = delegate.parsePlan(sqlText)
       GraftDml.translate(plan).map(GraftDmlCommand).getOrElse {
         // table_changes substitutes at parse time — analysis rejects
-        // an unknown TVF before any injected resolution rule runs
-        org.apache.spark.sql.SparkSession.getActiveSession
-          .map(TableChangesSubstitution(_, plan)).getOrElse(plan)
+        // an unknown TVF before any injected resolution rule runs.
+        // Then the MV rewrite: serve a matching aggregate from a
+        // fresh materialized view, and resolve FROM references to
+        // registered views/tables the vanilla catalog can't.
+        org.apache.spark.sql.SparkSession.getActiveSession.map { s =>
+          val p0 = TableChangesSubstitution(s, plan)
+          MvRewrite(s, p0).getOrElse(p0)
+        }.getOrElse(plan)
       }
     }
   override def parseExpression(sqlText: String): Expression =
@@ -1811,9 +1816,16 @@ object GraftSql {
               case u: UnresolvedTableValuedFunction
                   if TableChanges.claims(u) => u
             }.isDefined
-            if (!hasTvf) spark.sql(sqlText)
-            else org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark,
-              TableChangesSubstitution(spark, parsed))
+            val p0 =
+              if (hasTvf) TableChangesSubstitution(spark, parsed) else parsed
+            MvRewrite(spark, p0) match {
+              case Some(rew) =>
+                org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, rew)
+              case None =>
+                if (!hasTvf) spark.sql(sqlText)
+                else org.apache.spark.sql.graftbridge.PlanBridge
+                  .ofRows(spark, p0)
+            }
         }
     }
 }

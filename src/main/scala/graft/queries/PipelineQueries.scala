@@ -1091,6 +1091,149 @@ object PipelineQueries {
       out
     }),
 
+    // count(DISTINCT) materialized view (round 10): distinct counts
+    // have no per-group scalar accumulator under deletes (removing a
+    // row may or may not remove the last occurrence of its value), so
+    // the view maintains in RECOMPUTE mode — only delta-touched
+    // groups re-count from the base, semi-join-pruned. The UPDATE
+    // wave collapses values (shrinking the distinct set without
+    // deleting rows) and the DELETE removes partial occurrences —
+    // both cases a signed-delta fold would get wrong.
+    "s36_mv_distinct" -> ((s, d) => {
+      import graft.plans.{GraftMvs, GraftSql, GraftSqlTables}
+      import graft.sources.{StatsSinks, TxnManifest}
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("id"),
+        col("o_orderstatus").as("status"),
+        (col("o_custkey") % 97).as("cust"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s36_").toString
+      val root = s"$base/src"
+      val man = new TxnManifest(s"$base/manifest.tsv")
+      StatsSinks.appendBatchStats(o, root, 0)
+      man.commit(0, Seq(s"$root/batch=0"))
+      GraftSqlTables.register("s36_src", GraftSqlTables.Entry(root,
+        s"$base/manifest.tsv", keys = Seq("id"), cdf = true))
+      GraftSql.execute(s,
+        s"CREATE MATERIALIZED VIEW s36_mv LOCATION '$base/mv' AS " +
+          "SELECT status, count(DISTINCT cust) AS n_cust, " +
+          "count(*) AS n_rows FROM s36_src GROUP BY status")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s36_mv")
+      GraftSql.execute(s, "DELETE FROM s36_src WHERE id % 5 = 4")
+      GraftSql.execute(s, "UPDATE s36_src SET cust = cust % 13 " +
+        "WHERE id % 7 = 1")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s36_mv")
+      val out = GraftMvs.read(s, "s36_mv")
+      GraftMvs.drop("s36_mv")
+      out
+    }),
+
+    // Transparent MV rewrite (round 10): the user keeps writing the
+    // aggregate over the BASE table; the engine serves it from a
+    // FRESH materialized view when result-identical — direct grain as
+    // a pure projection, a COARSER GROUP BY by re-aggregating the
+    // stored exact accumulators (rollup), residual group-key
+    // predicates re-applied above the serve. Acceleration is
+    // asserted in-query: the served plans must not reference the
+    // base table's directory; staleness is asserted the other way
+    // (post-DML, pre-refresh, the same text reads the base). At
+    // 100 TB this turns a dashboard's fact-table scan+shuffle into a
+    // summary-store projection with the query text unchanged.
+    "s37_mv_rewrite" -> ((s, d) => {
+      import graft.plans.{GraftSql, GraftSqlTables, GraftMvs}
+      import graft.sources.{StatsSinks, TxnManifest}
+      val li = Tables.lineitem(s, d).select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+        col("l_returnflag").as("flag"),
+        col("l_linestatus").as("lstat"),
+        col("l_quantity").cast("decimal(18,6)").as("qty"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s37_").toString
+      val root = s"$base/src"
+      val man = new TxnManifest(s"$base/manifest.tsv")
+      StatsSinks.appendBatchStats(li, root, 0)
+      man.commit(0, Seq(s"$root/batch=0"))
+      GraftSqlTables.register("s37_src", GraftSqlTables.Entry(root,
+        s"$base/manifest.tsv", keys = Seq("id"), cdf = true))
+      GraftSql.execute(s,
+        s"CREATE MATERIALIZED VIEW s37_mv LOCATION '$base/mv' AS " +
+          "SELECT flag, lstat, count(*) AS n, sum(qty) AS sq " +
+          "FROM s37_src GROUP BY flag, lstat")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s37_mv")
+      val q2 = "SELECT flag, count(*) AS n_items, sum(qty) AS sum_qty " +
+        "FROM s37_src WHERE flag != 'X' GROUP BY flag"
+      val fresh = GraftSql.execute(s, q2)
+      require(!fresh.queryExecution.executedPlan.toString.contains(root),
+        "s37: fresh MV must serve the rollup without reading the base")
+      // stale: DML moves the base; the same text must read the base
+      GraftSql.execute(s, "DELETE FROM s37_src WHERE id % 9 = 7")
+      val stale = GraftSql.execute(s, q2)
+      require(stale.queryExecution.executedPlan.toString.contains(root),
+        "s37: a stale MV must never serve")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s37_mv")
+      val served = GraftSql.execute(s, q2)
+      require(!served.queryExecution.executedPlan.toString.contains(root),
+        "s37: refreshed MV must serve again")
+      val out = served.select(col("flag"), col("n_items"),
+        col("sum_qty").cast("double").as("sum_qty"))
+      GraftMvs.drop("s37_mv") // store files outlive the registration
+      out
+    }),
+
+    // Join-form materialized view (round 10): the star-schema summary
+    // — fact ⋈ dim GROUP BY dim attribute. Maintenance exploits
+    // Δ(F ⋈ D) = ΔF ⋈ D when the dim is unmoved: the fact delta
+    // joins the broadcast-sized dim and folds additively (the fact
+    // base is never re-read); a refresh that finds the DIM moved
+    // falls back to one full recompute with group deaths. The
+    // scenario drives both arms: fact DELETE+UPDATE → incremental,
+    // then a dim relabel that collapses groups → recompute.
+    "s38_mv_join" -> ((s, d) => {
+      import graft.plans.{GraftMvs, GraftSql, GraftSqlTables}
+      import graft.sources.{StatsSinks, TxnManifest}
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s38_").toString
+      def reg(tag: String, rows: org.apache.spark.sql.DataFrame,
+              keys: Seq[String]): Unit = {
+        val root = s"$base/$tag"
+        val man = new TxnManifest(s"$base/$tag.manifest.tsv")
+        StatsSinks.appendBatchStats(rows, root, 0)
+        man.commit(0, Seq(s"$root/batch=0"))
+        GraftSqlTables.register(s"s38_$tag", GraftSqlTables.Entry(root,
+          s"$base/$tag.manifest.tsv", keys = keys, cdf = true))
+      }
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+      // testdata — pre-aggregate to the id grain so the keyed UPDATE
+      // below sees unique keys (min/sum are order-insensitive, so the
+      // grain is deterministic and the oracle mirrors it exactly)
+      reg("fact", Tables.lineitem(s, d).select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+        col("l_suppkey").as("sk"),
+        col("l_quantity").cast("decimal(18,6)").as("qty"))
+        .groupBy(col("id")).agg(
+          min(col("sk")).as("sk"),
+          sum(col("qty")).cast("decimal(18,6)").as("qty")), Seq("id"))
+      reg("dim", Tables.supplier(s, d).select(
+        col("s_suppkey").as("k"),
+        col("s_nationkey").cast("int").as("nk")), Seq("k"))
+      GraftSql.execute(s,
+        s"CREATE MATERIALIZED VIEW s38_mv LOCATION '$base/mv' AS " +
+          "SELECT d.nk, count(*) AS n, sum(f.qty) AS sq " +
+          "FROM s38_fact f JOIN s38_dim d ON f.sk = d.k GROUP BY d.nk")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s38_mv")
+      // fact wave → incremental arm
+      GraftSql.execute(s, "DELETE FROM s38_fact WHERE id % 7 = 2")
+      GraftSql.execute(s, "UPDATE s38_fact SET qty = qty + 5 WHERE id % 11 = 0")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s38_mv")
+      // dim relabel → full-recompute arm, groups 7..24 collapse
+      GraftSql.execute(s, "UPDATE s38_dim SET nk = nk % 7")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s38_mv")
+      val out = GraftMvs.read(s, "s38_mv").select(col("nk"), col("n"),
+        col("sq").cast("double").as("sq"))
+      GraftMvs.drop("s38_mv")
+      out
+    }),
+
     // CHECK constraints (round-7 continuation) — the reference's
     // integrity-assert-and-abort (`custom_err.py:1-6`) as Delta's
     // declarative `ADD CONSTRAINT ... CHECK`: a violating INSERT
@@ -2460,6 +2603,43 @@ object PipelineQueries {
         |FROM orders
         |WHERE NOT (o_orderkey % 10 = 9) AND o_orderstatus <> 'P'
         |GROUP BY o_orderstatus""".stripMargin,
+    "s36_mv_distinct" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS status,
+        |    o_custkey % 97 AS cust
+        |  FROM orders),
+        |final AS (
+        |  SELECT id, status,
+        |    CASE WHEN id % 7 = 1 THEN cust % 13 ELSE cust END AS cust
+        |  FROM src WHERE NOT (id % 5 = 4))
+        |SELECT status, count(DISTINCT cust) AS n_cust, count(*) AS n_rows
+        |FROM final GROUP BY status""".stripMargin,
+    "s37_mv_rewrite" ->
+      """WITH src AS (
+        |  SELECT l_orderkey * 8 + l_linenumber AS id,
+        |    l_returnflag AS flag,
+        |    CAST(l_quantity AS DECIMAL(18,6)) AS qty
+        |  FROM lineitem),
+        |final AS (SELECT * FROM src WHERE NOT (id % 9 = 7))
+        |SELECT flag, count(*) AS n_items,
+        |  CAST(sum(qty) AS DOUBLE) AS sum_qty
+        |FROM final WHERE flag != 'X' GROUP BY flag""".stripMargin,
+    "s38_mv_join" ->
+      """WITH fact0 AS (
+        |  SELECT l_orderkey * 8 + l_linenumber AS id,
+        |    min(l_suppkey) AS sk,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+        |      AS DECIMAL(18,6)) AS qty
+        |  FROM lineitem GROUP BY 1),
+        |fact AS (
+        |  SELECT id, sk,
+        |    CASE WHEN id % 11 = 0 THEN qty + 5 ELSE qty END AS qty
+        |  FROM fact0 WHERE NOT (id % 7 = 2)),
+        |dim AS (
+        |  SELECT s_suppkey AS k, CAST(s_nationkey AS INT) % 7 AS nk
+        |  FROM supplier)
+        |SELECT nk, count(*) AS n, CAST(sum(qty) AS DOUBLE) AS sq
+        |FROM fact JOIN dim ON fact.sk = dim.k GROUP BY nk""".stripMargin,
     "s29_sql_clone" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
