@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.sources.{Sinks, StatsSinks, TxnManifest}
+import graft.sources.{BatchStats, Bucketing, Sinks, StatsSinks, TxnManifest}
 import graft.util.AtomicText
 
 /** Incremental MATERIALIZED VIEWs over graft manifest tables — the
@@ -48,11 +48,17 @@ import graft.util.AtomicText
   *    per-group accumulators and MERGEs only the touched groups.
   *    The BASE TABLE IS NEVER READ — refresh cost is O(delta) +
   *    O(touched groups), the 100 TB contract.
-  *  - **recompute mode** (any min/max — not incrementally
-  *    maintainable under deletes): recomputes ONLY the groups whose
-  *    keys appear in the delta, via a semi-join the stats/bloom
-  *    sidecars prune on the base scan. Cost is O(delta) + O(affected
-  *    groups' rows), still never a full rebuild.
+  *  - **recompute mode** (any min/max or count(DISTINCT) — not
+  *    incrementally maintainable under deletes): deletes are
+  *    per-GROUP events, so groups whose delta is insert-only still
+  *    FOLD (min/max extend via least/greatest), and only groups a
+  *    negative image touched recompute from the base, via a
+  *    semi-join the stats/bloom sidecars prune. An insert-only
+  *    refresh never reads the base at all; a delete costs O(delta) +
+  *    O(delete-touched groups' rows), still never a full rebuild.
+  *    count(DISTINCT) never folds (an inserted value may or may not
+  *    be new), so its presence sends every touched group to the
+  *    recompute arm.
   *
   * Crash safety: the source version consumed by MV batch B is
   * recorded at `<loc>/state/<B>` BEFORE B commits — a crash between
@@ -77,9 +83,13 @@ object GraftMvs {
                          aggs: Seq[AggSpec], where: Option[String],
                          outSchema: StructType, storSchema: StructType,
                          src2: Option[String] = None,
-                         joinPairs: Seq[(String, String)] = Nil) {
+                         joinPairs: Seq[(String, String)] = Nil,
+                         bucket: Option[String] = None) {
     def additive: Boolean = aggs.forall(a =>
       a.func != "min" && a.func != "max" && a.func != "count_distinct")
+    /** Parsed storage-layout bucket spec ([[graft.sources.Bucketing]]). */
+    def bucketSpec: Option[graft.sources.Bucketing.Spec] =
+      bucket.map(graft.sources.Bucketing.parse)
   }
 
   private val views =
@@ -140,7 +150,8 @@ object GraftMvs {
         Seq(s"joinon\t${d.joinPairs.map(p => s"${p._1}=${p._2}").mkString(",")}")
       else Nil) ++
       d.aggs.map(a => s"agg\t${a.out}\t${a.func}\t${a.arg.getOrElse("")}") ++
-      d.where.map(w => s"where\t$w").toSeq ++ Seq(
+      d.where.map(w => s"where\t$w").toSeq ++
+      d.bucket.map(b => s"bucket\t$b").toSeq ++ Seq(
       s"outschema\t${d.outSchema.json}",
       s"storschema\t${d.storSchema.json}")
     AtomicText.writeAtomically(defPath(base), lines.mkString("\n") + "\n")
@@ -166,7 +177,8 @@ object GraftMvs {
       joinPairs = opt("joinon").toSeq.flatMap(_.split(',').toSeq.map { p =>
         val Array(a, b) = p.split('=')
         (a, b)
-      }))
+      }),
+      bucket = opt("bucket"))
   }
 
   // ------------------------------------------------------------- state IO
@@ -278,6 +290,99 @@ object GraftMvs {
       s"CREATE MATERIALIZED VIEW: output name '${a.out}' collides with " +
         "the engine's internal accumulator prefix '__'"))
     ParsedSelect(factRel, dimRel, joinCond, keys, aggs, where)
+  }
+
+  /** Column-reference resolution over the (optionally joined) FROM
+    * clause: which side a `[qualifier.]column` addresses, qualifier
+    * stripping (stored names and predicates resolve against the
+    * joined frame), and ON-clause pair extraction. Shared by CREATE
+    * and the join-query rewrite ([[MvRewrite]]) so both resolve
+    * references identically. */
+  private[plans] final class SideResolver(fact: ParsedRel,
+                                          factCols: Seq[String],
+                                          dim: Option[ParsedRel],
+                                          dimCols: Option[Seq[String]]) {
+    private val factQuals = fact.quals
+    private val dimQuals = dim.toSeq.flatMap(_.quals)
+    require(factQuals.intersect(dimQuals).isEmpty,
+      "CREATE MATERIALIZED VIEW: the two FROM relations share a " +
+        s"qualifier (${factQuals.intersect(dimQuals).mkString(", ")}) — " +
+        "alias them apart")
+
+    def sideOf(parts: Seq[String]): Char = {
+      require(parts.length <= 2, "CREATE MATERIALIZED VIEW: column " +
+        s"reference '${parts.mkString(".")}' is too deep — use " +
+        "[alias.]column")
+      val last = parts.last
+      def inF = factCols.exists(_.equalsIgnoreCase(last))
+      def inD = dimCols.exists(_.exists(_.equalsIgnoreCase(last)))
+      if (parts.length == 2) {
+        val q = norm(parts.head)
+        if (factQuals.contains(q)) { require(inF, s"CREATE MATERIALIZED " +
+          s"VIEW: '${parts.mkString(".")}' is not a column of " +
+          s"'${fact.name}'"); 'f' }
+        else if (dimQuals.contains(q)) { require(inD, s"CREATE " +
+          s"MATERIALIZED VIEW: '${parts.mkString(".")}' is not a column " +
+          s"of '${dim.get.name}'"); 'd' }
+        else throw new IllegalArgumentException(
+          s"CREATE MATERIALIZED VIEW: unknown qualifier '${parts.head}' " +
+            s"(have: ${(factQuals ++ dimQuals).mkString(", ")})")
+      } else {
+        (inF, inD) match {
+          case (true, false) => 'f'
+          case (false, true) => 'd'
+          case (true, true) => throw new IllegalArgumentException(
+            s"CREATE MATERIALIZED VIEW: column '$last' exists on both " +
+              "sides of the join — qualify it")
+          case _ => throw new IllegalArgumentException(
+            s"CREATE MATERIALIZED VIEW: column '$last' is not in " +
+              "either source schema")
+        }
+      }
+    }
+
+    /** ON as normalized `(fact col, dim col)` pairs. */
+    def resolveJoinPairs(
+        cond: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[(String, String)] = cond.toSeq.flatMap { c =>
+      import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+      def conj(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+        e match {
+          case And(l, r) => conj(l) ++ conj(r)
+          case x         => Seq(x)
+        }
+      conj(c).map {
+        case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+          (sideOf(a.nameParts), sideOf(b.nameParts)) match {
+            case ('f', 'd') => (a.nameParts.last, b.nameParts.last)
+            case ('d', 'f') => (b.nameParts.last, a.nameParts.last)
+            case _ => throw new IllegalArgumentException(
+              "CREATE MATERIALIZED VIEW: each ON equality must join " +
+                s"the two tables; '${EqualTo(a, b).sql}' does not")
+          }
+        case other => throw new IllegalArgumentException(
+          "CREATE MATERIALIZED VIEW: ON must be a conjunction of " +
+            s"column equalities; got '${other.sql}'")
+      }
+    }
+
+    /** Strip known relation qualifiers so names resolve against the
+      * joined frame (struct access stays intact: only a LEADING part
+      * matching a FROM qualifier strips). Validates side membership
+      * along the way. */
+    def strip(parts: Seq[String]): String =
+      if (parts.length == 2) { sideOf(parts); parts.last }
+      else { if (dimCols.isDefined) sideOf(parts); parts.mkString(".") }
+
+    def stripQuals(
+        e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length == 2 &&
+          (factQuals ++ dimQuals).contains(norm(a.nameParts.head)) =>
+        sideOf(a.nameParts)
+        UnresolvedAttribute(Seq(a.nameParts.last))
+    }
   }
 
   private[plans] def parseAgg(f: UnresolvedFunction, out: String): AggSpec = {
@@ -396,7 +501,7 @@ object GraftMvs {
   }
 
   def create(spark: SparkSession, name: String, location: String,
-             selectSql: String): Unit = {
+             selectSql: String, buckets: Option[Int] = None): Unit = {
     require(lookup(name).isEmpty,
       s"materialized view '$name' already exists")
     val ps = parseSelect(selectSql)
@@ -412,83 +517,13 @@ object GraftMvs {
     val dimDf = entryD.map(snapshotRead(spark, _))
 
     // ------- qualifier resolution (join form only needs the work)
-    val factQuals = ps.fact.quals
-    val dimQuals = ps.dim.toSeq.flatMap(_.quals)
-    require(factQuals.intersect(dimQuals).isEmpty,
-      "CREATE MATERIALIZED VIEW: the two FROM relations share a " +
-        s"qualifier (${factQuals.intersect(dimQuals).mkString(", ")}) — " +
-        "alias them apart")
-    def sideOf(parts: Seq[String]): Char = {
-      require(parts.length <= 2, "CREATE MATERIALIZED VIEW: column " +
-        s"reference '${parts.mkString(".")}' is too deep — use " +
-        "[alias.]column")
-      val last = parts.last
-      def inF = factDf.columns.exists(_.equalsIgnoreCase(last))
-      def inD = dimDf.exists(_.columns.exists(_.equalsIgnoreCase(last)))
-      if (parts.length == 2) {
-        val q = norm(parts.head)
-        if (factQuals.contains(q)) { require(inF, s"CREATE MATERIALIZED " +
-          s"VIEW: '${parts.mkString(".")}' is not a column of " +
-          s"'${ps.fact.name}'"); 'f' }
-        else if (dimQuals.contains(q)) { require(inD, s"CREATE " +
-          s"MATERIALIZED VIEW: '${parts.mkString(".")}' is not a column " +
-          s"of '${ps.dim.get.name}'"); 'd' }
-        else throw new IllegalArgumentException(
-          s"CREATE MATERIALIZED VIEW: unknown qualifier '${parts.head}' " +
-            s"(have: ${(factQuals ++ dimQuals).mkString(", ")})")
-      } else {
-        (inF, inD) match {
-          case (true, false) => 'f'
-          case (false, true) => 'd'
-          case (true, true) => throw new IllegalArgumentException(
-            s"CREATE MATERIALIZED VIEW: column '$last' exists on both " +
-              "sides of the join — qualify it")
-          case _ => throw new IllegalArgumentException(
-            s"CREATE MATERIALIZED VIEW: column '$last' is not in " +
-              "either source schema")
-        }
-      }
-    }
-    val joinPairs: Seq[(String, String)] = ps.joinCond.toSeq.flatMap { c =>
-      import org.apache.spark.sql.catalyst.expressions.EqualTo
-      def conj(e: org.apache.spark.sql.catalyst.expressions.Expression)
-        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-        e match {
-          case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-            conj(l) ++ conj(r)
-          case x => Seq(x)
-        }
-      conj(c).map {
-        case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
-          (sideOf(a.nameParts), sideOf(b.nameParts)) match {
-            case ('f', 'd') => (a.nameParts.last, b.nameParts.last)
-            case ('d', 'f') => (b.nameParts.last, a.nameParts.last)
-            case _ => throw new IllegalArgumentException(
-              "CREATE MATERIALIZED VIEW: each ON equality must join " +
-                s"the two tables; '${EqualTo(a, b).sql}' does not")
-          }
-        case other => throw new IllegalArgumentException(
-          "CREATE MATERIALIZED VIEW: ON must be a conjunction of " +
-            s"column equalities; got '${other.sql}'")
-      }
-    }
-    // strip known relation qualifiers so stored names/predicates
-    // resolve against the joined frame (struct access stays intact:
-    // only a LEADING part matching a FROM qualifier strips)
-    def strip(parts: Seq[String]): String =
-      if (parts.length == 2) { sideOf(parts); parts.last }
-      else { if (dimDf.isDefined) sideOf(parts); parts.mkString(".") }
-    val keys = ps.keys.map(strip)
+    val res = new SideResolver(ps.fact, factDf.columns.toSeq, ps.dim,
+      dimDf.map(_.columns.toSeq))
+    val joinPairs = res.resolveJoinPairs(ps.joinCond)
+    val keys = ps.keys.map(res.strip)
     val aggs = ps.aggs.map(a =>
-      a.copy(arg = a.arg.map(arg => strip(arg.split('.').toSeq))))
-    val where = ps.where.map { e =>
-      e.transform {
-        case a: UnresolvedAttribute if a.nameParts.length == 2 &&
-            (factQuals ++ dimQuals).contains(norm(a.nameParts.head)) =>
-          sideOf(a.nameParts)
-          UnresolvedAttribute(Seq(a.nameParts.last))
-      }.sql
-    }
+      a.copy(arg = a.arg.map(arg => res.strip(arg.split('.').toSeq))))
+    val where = ps.where.map(e => res.stripQuals(e).sql)
     // CDF internal columns ride the refresh delta through the join —
     // a dim column named like one would collide there
     dimDf.foreach(dd => Seq(Sinks.ChangeTypeCol).foreach(c =>
@@ -502,8 +537,17 @@ object GraftMvs {
     val outSchema = live.groupBy(keys.map(col): _*)
       .agg(realAggCols(aggs).head, realAggCols(aggs).tail: _*).schema
     val stor = storageSchema(base.schema, keys, aggs)
+    // BUCKETED BY (n): the STORE is laid out on the group keys — the
+    // refresh merge only rewrites touched buckets and the layout
+    // survives every refresh (markers stamped per batch dir)
+    val bucket = buckets.map { n =>
+      require(n >= 2, s"BUCKETED BY ($n): need at least 2 buckets")
+      val spec = s"$n,${keys.mkString(",")}"
+      graft.sources.Bucketing.parse(spec) // validates shape now
+      spec
+    }
     val d = MvDef(name, ps.fact.name, keys, aggs, where, outSchema, stor,
-      src2 = ps.dim.map(_.name), joinPairs = joinPairs)
+      src2 = ps.dim.map(_.name), joinPairs = joinPairs, bucket = bucket)
     writeDef(location, d)
     views.put(norm(name), location)
     read(spark, name).createOrReplaceTempView(tempViewName(name))
@@ -581,6 +625,24 @@ object GraftMvs {
     (lastV, curV, true)
   }
 
+  /** Bootstrap commit of the full aggregate — routed through the
+    * store's bucket layout when the view is BUCKETED BY. */
+  private def bootstrapCommit(spark: SparkSession, d: MvDef,
+                              baseDir: String, mvMan: TxnManifest,
+                              newBatch: Int, full: DataFrame): Unit = {
+    val target = s"${dataRoot(baseDir)}/batch=$newBatch"
+    d.bucketSpec match {
+      case None =>
+        StatsSinks.appendBatchStats(full, dataRoot(baseDir), newBatch)
+      case Some(b) =>
+        Bucketing.routed(full, b).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(target)
+        BatchStats.writeSidecar(spark, target)
+        Bucketing.writeMarkerWithFiles(spark, target, b)
+    }
+    mvMan.commit(newBatch, Seq(target))
+  }
+
   /** Group-key columns with an IN-PLAN null refusal: the MV's storage
     * identity is key equality ([[Sinks.merge]]), and SQL `=` never
     * matches NULL — a null-keyed group would duplicate on every
@@ -623,8 +685,7 @@ object GraftMvs {
 
     if (mvB < 0) { // bootstrap: the feed from −1 IS the full history
       val boot = conform(dAgg.filter(col(GRows) > 0), d.storSchema)
-      StatsSinks.appendBatchStats(boot, dataRoot(baseDir), newBatch)
-      mvMan.commit(newBatch, Seq(s"${dataRoot(baseDir)}/batch=$newBatch"))
+      bootstrapCommit(spark, d, baseDir, mvMan, newBatch, boot)
     } else {
       val accCols = d.storSchema.fieldNames.filterNot(n =>
         d.groupKeys.exists(_.equalsIgnoreCase(n))).toSeq
@@ -644,7 +705,7 @@ object GraftMvs {
       val deletes = merged.filter(col(GRows) <= 0)
         .select(d.groupKeys.map(col): _*)
       Sinks.merge(spark, Some(updates), Some(deletes), dataRoot(baseDir),
-        mvMan, d.groupKeys, newBatch)
+        mvMan, d.groupKeys, newBatch, bucketBy = d.bucketSpec)
     }
   }
 
@@ -664,22 +725,39 @@ object GraftMvs {
     }
   } :+ count(lit(1)).as(GRows)
 
+  /** Non-additive refresh. min/max cannot fold a DELETE out of a
+    * scalar accumulator, but they fold an INSERT in (`least` /
+    * `greatest` against the stored extreme) — and deletes are
+    * per-GROUP events, not per-view: groups whose delta carries only
+    * insert images (insert / update_postimage) FOLD like the additive
+    * path, and only groups a negative image touched recompute from
+    * the semi-join-pruned base. An append-mostly 100 TB fact refreshes
+    * its min/max summary without reading the base at all.
+    * count(DISTINCT) never folds (an inserted value may or may not be
+    * new to the group), so its presence sends every touched group to
+    * the recompute arm. */
   private def refreshRecompute(spark: SparkSession, d: MvDef,
                                entry: GraftSqlTables.Entry,
                                dimDf: Option[DataFrame], baseDir: String,
                                mvMan: TxnManifest, mvB: Int, newBatch: Int,
                                delta: DataFrame): Unit = {
     val aggsCols = storageAggs(d)
-    val base0 = snapshotRead(spark, entry)
-    val base = dimDf.fold(base0)(dd => joinFrames(base0, dd, d.joinPairs))
-    val live = d.where.fold(base)(w => base.where(expr(w)))
+    lazy val live = {
+      val base0 = snapshotRead(spark, entry)
+      val base = dimDf.fold(base0)(dd => joinFrames(base0, dd, d.joinPairs))
+      d.where.fold(base)(w => base.where(expr(w)))
+    }
 
     if (mvB < 0) {
       val full = conform(live.groupBy(guardedKeys(d.groupKeys): _*)
         .agg(aggsCols.head, aggsCols.tail: _*), d.storSchema)
-      StatsSinks.appendBatchStats(full, dataRoot(baseDir), newBatch)
-      mvMan.commit(newBatch, Seq(s"${dataRoot(baseDir)}/batch=$newBatch"))
-    } else {
+      bootstrapCommit(spark, d, baseDir, mvMan, newBatch, full)
+      return
+    }
+
+    val canFold = !d.aggs.exists(_.func == "count_distinct")
+    val neg = col(Sinks.ChangeTypeCol).isin("delete", "update_preimage")
+    if (!canFold) {
       // groups touched by ANY delta image (a pre-image that matched
       // the WHERE marks its group even when the post-image left it)
       val affected = delta.select(guardedKeys(d.groupKeys): _*).distinct()
@@ -690,7 +768,79 @@ object GraftMvs {
       val gone = affected.join(rec.select(d.groupKeys.map(col): _*),
         d.groupKeys, "left_anti")
       Sinks.merge(spark, Some(rec), Some(gone), dataRoot(baseDir),
-        mvMan, d.groupKeys, newBatch)
+        mvMan, d.groupKeys, newBatch, bucketBy = d.bucketSpec)
+      return
+    }
+
+    // one pass over the delta: additive accumulators, insert-image
+    // extremes, and the per-group negative-image flag
+    val w = when(neg, lit(-1L)).otherwise(lit(1L))
+    val HasNeg = "__hasneg"
+    val deltaAggs: Seq[Column] = d.aggs.flatMap { a =>
+      a.func match {
+        case "count_star" => Seq(sum(w).as(a.out))
+        case "count" => Seq(
+          sum(when(col(a.arg.get).isNotNull, w).otherwise(0L)).as(a.out))
+        case "sum" => Seq(
+          sum(when(col(a.arg.get).isNotNull, w * col(a.arg.get))).as(a.out),
+          sum(when(col(a.arg.get).isNotNull, w).otherwise(0L)).as(nCol(a.out)))
+        case "avg" => Seq(
+          sum(when(col(a.arg.get).isNotNull, w * col(a.arg.get))).as(sCol(a.out)),
+          sum(when(col(a.arg.get).isNotNull, w).otherwise(0L)).as(nCol(a.out)))
+        case "min" => Seq(min(when(!neg, col(a.arg.get))).as(a.out))
+        case "max" => Seq(max(when(!neg, col(a.arg.get))).as(a.out))
+        case other => sys.error(s"fold refresh on $other") // unreachable
+      }
+    } ++ Seq(sum(w).as(GRows), max(when(neg, 1).otherwise(0)).as(HasNeg))
+    val dAgg = delta.groupBy(guardedKeys(d.groupKeys): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+      .localCheckpoint() // both arms consume it; scan the delta once
+
+    // FOLD arm: insert-only groups — additive accumulators add,
+    // min/max extend via least/greatest (null-skipping, so a stored
+    // all-NULL extreme picks up the first non-null insert and a new
+    // group takes the delta extreme outright). GRows only grew, so no
+    // fold group can die.
+    val minMax = d.aggs.filter(a => a.func == "min" || a.func == "max")
+      .map(a => norm(a.out)).toSet
+    val accCols = d.storSchema.fieldNames.filterNot(n =>
+      d.groupKeys.exists(_.equalsIgnoreCase(n))).toSeq
+    val dd = dAgg.filter(col(HasNeg) === 0).select((d.groupKeys.map(col) ++
+      accCols.map(n => col(n).as(s"__d_$n"))): _*)
+    val cur = Sinks.readCommitted(spark, dataRoot(baseDir), mvMan)
+    val merged0 = cur.join(dd, d.groupKeys, "right")
+    val merged = accCols.foldLeft(merged0) { (df, n) =>
+      val t = d.storSchema(d.storSchema.fieldIndex(n)).dataType
+      df.withColumn(n,
+        if (minMax.contains(norm(n))) {
+          val f = d.aggs.find(a => norm(a.out) == norm(n)).get.func
+          if (f == "min") least(col(n), col(s"__d_$n"))
+          else greatest(col(n), col(s"__d_$n"))
+        } else
+          coalesce(col(n), lit(0).cast(t)) +
+            coalesce(col(s"__d_$n"), lit(0).cast(t)))
+    }
+    val folded = conform(merged, d.storSchema)
+
+    // RECOMPUTE arm: only the groups a negative image touched. The
+    // emptiness probe reads the checkpointed dAgg, not the delta —
+    // an insert-only refresh must leave the base scan out of the
+    // PLAN, not just prune it to zero tasks.
+    val negKeys = dAgg.filter(col(HasNeg) === 1)
+      .select(d.groupKeys.map(col): _*)
+    if (negKeys.isEmpty)
+      Sinks.merge(spark, Some(folded), None, dataRoot(baseDir),
+        mvMan, d.groupKeys, newBatch, bucketBy = d.bucketSpec)
+    else {
+      val rec = conform(
+        live.join(negKeys, d.groupKeys, "left_semi")
+          .groupBy(d.groupKeys.map(col): _*)
+          .agg(aggsCols.head, aggsCols.tail: _*), d.storSchema)
+      val gone = negKeys.join(rec.select(d.groupKeys.map(col): _*),
+        d.groupKeys, "left_anti")
+      Sinks.merge(spark, Some(folded.unionByName(rec)), Some(gone),
+        dataRoot(baseDir), mvMan, d.groupKeys, newBatch,
+        bucketBy = d.bucketSpec)
     }
   }
 
@@ -708,7 +858,7 @@ object GraftMvs {
     val gone = cur.select(d.groupKeys.map(col): _*)
       .join(full.select(d.groupKeys.map(col): _*), d.groupKeys, "left_anti")
     Sinks.merge(spark, Some(full), Some(gone), dataRoot(baseDir),
-      mvMan, d.groupKeys, newBatch)
+      mvMan, d.groupKeys, newBatch, bucketBy = d.bucketSpec)
   }
 
   // ----------------------------------------------------------------- read
@@ -753,6 +903,50 @@ object GraftMvs {
     require(lookup(name).isDefined,
       s"materialized view '$name' is not registered")
     unregister(name)
+  }
+
+  /** (name, source, location, is_fresh) per registered view —
+    * `SHOW MATERIALIZED VIEWS`. */
+  private[plans] def describeAll(spark: SparkSession)
+    : Seq[(String, String, String, Boolean)] =
+    allViews.map { name =>
+      val loc = lookup(name).get
+      val d = scala.util.Try(readDef(loc)).toOption
+      val src = d.map(x =>
+        x.src + x.src2.map(" ⋈ " + _).getOrElse("")).getOrElse("?")
+      (name, src, loc, freshFor(spark, name).isDefined)
+    }
+
+  /** (property, value) rows — `DESCRIBE MATERIALIZED VIEW`. */
+  private[plans] def describe(spark: SparkSession, name: String)
+    : Seq[(String, String)] = {
+    val loc = lookup(name).getOrElse(throw new IllegalArgumentException(
+      s"materialized view '$name' is not registered"))
+    val d = readDef(loc)
+    val mvMan = new TxnManifest(manifestPath(loc))
+    val mvB = mvMan.committed().keys.maxOption.getOrElse(-1)
+    val state = if (mvB < 0) None else Some(stateFor(loc, mvB))
+    Seq(
+      "name" -> d.name,
+      "source" -> d.src) ++
+      d.src2.map("dim" -> _).toSeq ++
+      (if (d.joinPairs.nonEmpty)
+        Seq("join_on" -> d.joinPairs.map(p => s"${p._1} = ${p._2}")
+          .mkString(" AND "))
+      else Nil) ++ Seq(
+      "location" -> loc,
+      "group_keys" -> d.groupKeys.mkString(", "),
+      "aggregates" -> d.aggs.map(a =>
+        s"${a.out} = ${a.func}(${a.arg.getOrElse("*")})").mkString(", ")) ++
+      d.where.map("where" -> _).toSeq ++
+      d.bucket.map("bucketed_by" -> _).toSeq ++ Seq(
+      "maintenance" -> (if (d.additive) "additive"
+        else "fold + delete-affected recompute"),
+      "refresh_batch" -> mvB.toString,
+      "consumed_source_version" -> state.map(_._1.toString).getOrElse("-")) ++
+      state.filter(_ => d.src2.isDefined)
+        .map(s => "consumed_dim_version" -> s._2.toString).toSeq ++ Seq(
+      "is_fresh" -> freshFor(spark, name).isDefined.toString)
   }
 
   // -------------------------------------------------- rewrite serving
@@ -830,12 +1024,15 @@ object GraftMvs {
   }
 }
 
-/** `CREATE MATERIALIZED VIEW <name> LOCATION '<dir>' AS <select>` */
+/** `CREATE MATERIALIZED VIEW <name> LOCATION '<dir>'
+  * [BUCKETED BY (<n>)] AS <select>` — BUCKETED BY lays the store out
+  * on the group keys (n buckets per key). */
 final case class GraftMvCreateCommand(name: String, location: String,
-                                      select: String)
+                                      select: String,
+                                      buckets: Option[Int] = None)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftMvs.create(spark, name, location, select); Seq.empty
+    GraftMvs.create(spark, name, location, select, buckets); Seq.empty
   }
 }
 
@@ -861,4 +1058,29 @@ final case class GraftMvDropCommand(name: String)
   override def run(spark: SparkSession): Seq[Row] = {
     GraftMvs.drop(name); Seq.empty
   }
+}
+
+/** `SHOW MATERIALIZED VIEWS` → (name, source, location, is_fresh). */
+final case class GraftMvShowCommand() extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("name", StringType, nullable = false)(),
+      AttributeReference("source", StringType, nullable = false)(),
+      AttributeReference("location", StringType, nullable = false)(),
+      AttributeReference("is_fresh", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftMvs.describeAll(spark).map { case (name, src, loc, fresh) =>
+      Row(name, src, loc, fresh)
+    }
+}
+
+/** `DESCRIBE MATERIALIZED VIEW <name>` → (property, value) rows. */
+final case class GraftMvDescribeCommand(name: String)
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("property", StringType, nullable = false)(),
+      AttributeReference("value", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftMvs.describe(spark, name).map { case (k, v) => Row(k, v) }
 }

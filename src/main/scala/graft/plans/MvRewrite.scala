@@ -23,13 +23,18 @@ import graft.sources.TxnManifest
   * store when (and only when) that is result-identical.
   *
   * `accelerate` fires when the whole statement is
-  * `[ORDER BY/LIMIT]? SELECT keys+aggs FROM t [WHERE ...] GROUP BY
-  * keys` and some registered view over `t` is FRESH (its last
-  * refresh consumed the source's current manifest version — a stale
-  * view never serves, so results can never depend on refresh
-  * recency). Matching is syntactic after parser normalization
-  * (identifier case folded; both sides render through the same
-  * Catalyst parser):
+  * `[ORDER BY/LIMIT]? SELECT keys+aggs FROM t [JOIN t2 ON ...]
+  * [WHERE ...] GROUP BY keys` and some registered view over the same
+  * FROM is FRESH (its last refresh consumed every source's current
+  * manifest version — a stale view never serves, so results can
+  * never depend on refresh recency). The join form serves star
+  * queries that KEEP their join text: the table pair and the ON
+  * equality pairs must equal the view's (inner joins commute, so the
+  * written order is free); qualifiers resolve through the same
+  * [[GraftMvs.SideResolver]] CREATE used, so `f.qty` in the query
+  * matches the stored `qty`. Matching is syntactic after parser
+  * normalization (identifier case folded; both sides render through
+  * the same Catalyst parser):
   *  - the view's WHERE conjuncts must all appear in the query's
   *    WHERE; leftover query conjuncts must reference only group
   *    keys and are re-applied ABOVE the serve (key predicates
@@ -104,6 +109,21 @@ object MvRewrite {
     case x         => Seq(x)
   }
 
+  /** One FROM relation of the query, with the qualifiers that may
+    * address it. */
+  private final case class QRel(name: String, quals: Seq[String])
+
+  private def qrel(p: LogicalPlan): Option[QRel] = {
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    p match {
+      case UnresolvedRelation(parts, _, _) =>
+        Some(QRel(parts.mkString("."), Seq(norm(parts.last))))
+      case SubqueryAlias(id, UnresolvedRelation(parts, _, _)) =>
+        Some(QRel(parts.mkString("."), Seq(norm(id.name))))
+      case _ => None
+    }
+  }
+
   private def accelerate(spark: SparkSession,
                          plan: LogicalPlan): Option[LogicalPlan] = {
     val outer = unwrapOuter(plan)
@@ -117,64 +137,189 @@ object MvRewrite {
         Aggregate(Nil, p.projectList, p.child)
       case _ => return None
     }
-    val (srcName, qWhere) = agg.child match {
-      case UnresolvedRelation(parts, _, _) => (parts.mkString("."), None)
-      case Filter(c, UnresolvedRelation(parts, _, _)) =>
-        (parts.mkString("."), Some(c))
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val (qWhere, fromPlan) = agg.child match {
+      case Filter(c, ch) => (Some(c), ch)
+      case ch            => (None, ch)
+    }
+    // FROM shape: one registered table, or fact INNER JOIN dim — the
+    // same surface CREATE accepts. strip() resolves a column
+    // reference to its stored (unqualified) name, or None = decline.
+    val (srcName, src2Name, strip, stripExpr):
+      (String, Option[String], Seq[String] => Option[String],
+        Expression => Option[Expression]) = fromPlan match {
+      case p if qrel(p).isDefined =>
+        val r = qrel(p).get
+        val st: Seq[String] => Option[String] = {
+          case Seq(c)                                  => Some(c)
+          case Seq(q, c) if r.quals.contains(norm(q)) => Some(c)
+          case _                                       => None
+        }
+        val se: Expression => Option[Expression] = e => {
+          var ok = true
+          val out = e.transform {
+            case a: UnresolvedAttribute =>
+              st(a.nameParts) match {
+                case Some(c) => UnresolvedAttribute(Seq(c))
+                case None    => ok = false; a
+              }
+          }
+          if (ok) Some(out) else None
+        }
+        (r.name, None, st, se)
+      case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
+          Some(cond), _) if qrel(l).isDefined && qrel(r).isDefined =>
+        joinResolution(spark, qrel(l).get, qrel(r).get, cond) match {
+          case Some(jr) => jr
+          case None     => return None
+        }
       case _ => return None
     }
     // a single-part name Spark itself resolves is a temp view — it
     // shadows the registered graft table, so the view must not serve
-    if (!srcName.contains('.') &&
-        (try spark.catalog.tableExists(srcName)
-         catch { case scala.util.control.NonFatal(_) => false }))
-      return None
+    def shadowed(n: String): Boolean = !n.contains('.') &&
+      (try spark.catalog.tableExists(n)
+       catch { case scala.util.control.NonFatal(_) => false })
+    if (shadowed(srcName) || src2Name.exists(shadowed)) return None
     // plain-column GROUP BY only (matching the CREATE surface)
     val qKeys: Seq[String] = agg.groupingExpressions.map {
-      case a: UnresolvedAttribute => norm(a.nameParts.last)
-      case _                      => return None
+      case a: UnresolvedAttribute =>
+        strip(a.nameParts) match {
+          case Some(c) => norm(c)
+          case None    => return None
+        }
+      case _ => return None
     }
     // SELECT items, in order, under the query's aliases
     val items: Seq[GraftMvs.ServeItem] = agg.aggregateExpressions.map {
       case a: UnresolvedAttribute =>
-        val k = norm(a.nameParts.last)
+        val k = strip(a.nameParts).map(norm).getOrElse(return None)
         if (!qKeys.contains(k)) return None // not grouped: invalid SQL, decline
         GraftMvs.ServeKey(k, a.nameParts.last)
       case Alias(a: UnresolvedAttribute, n) =>
-        val k = norm(a.nameParts.last)
+        val k = strip(a.nameParts).map(norm).getOrElse(return None)
         if (!qKeys.contains(k)) return None
         GraftMvs.ServeKey(k, n)
       case Alias(f: UnresolvedFunction, n) =>
-        scala.util.Try(GraftMvs.parseAgg(f, n)).getOrElse(return None) match {
-          case spec => GraftMvs.ServeAgg(spec, n)
+        val spec =
+          scala.util.Try(GraftMvs.parseAgg(f, n)).getOrElse(return None)
+        val stripped = spec.arg match {
+          case Some(arg) =>
+            strip(arg.split('.').toSeq) match {
+              case Some(c) => spec.copy(arg = Some(c))
+              case None    => return None
+            }
+          case None => spec
         }
+        GraftMvs.ServeAgg(stripped, n)
       case _ => return None
     }
     val aliases = items.map(i => norm(i.alias))
     if (aliases.distinct.size != aliases.size) return None
     if (!outer.refs.forall(r => aliases.contains(norm(r)))) return None
 
+    // WHERE conjuncts, qualifier-stripped so they compare (and
+    // re-apply) against the view's stored names
     val qConj = qWhere.toSeq.flatMap(conjuncts)
+      .map(e => stripExpr(e).getOrElse(return None))
     val qConjSql = qConj.map(canonSql)
+    val joinKey = (norm(srcName), src2Name.map(norm))
 
     GraftMvs.allViews.iterator.flatMap { mvName =>
-      serveFrom(spark, mvName, srcName, qKeys, items, qConj, qConjSql)
+      serveFrom(spark, mvName, joinKey, qKeys, items, qConj, qConjSql)
     }.nextOption().map { served =>
       outer.rewrap(served)
     }
   }
 
+  /** Resolve the join-query FROM: orientation against some candidate
+    * view is NOT decided here — the fact side is whichever relation a
+    * view's `src` names; this just builds the strip functions from
+    * the two schemas and validates the ON shape. Returns None when
+    * the sides don't resolve (unknown table, ambiguous column, non-
+    * equi ON) — the rewrite then declines. */
+  private def joinResolution(spark: SparkSession, l: QRel, r: QRel,
+                             cond: Expression)
+    : Option[(String, Option[String],
+        Seq[String] => Option[String], Expression => Option[Expression])] = {
+    // both relations must be registered graft tables (snapshot
+    // schemas come from their committed reads)
+    def entryOf(n: String) = GraftSqlTables.lookup(n.split('.').toSeq)
+    val (el, er) = (entryOf(l.name), entryOf(r.name))
+    if (el.isEmpty || er.isEmpty) return None
+    if (norm(l.name) == norm(r.name)) return None // self-join: no view exists
+    // any join view over this table PAIR? (cheap gate before schema IO)
+    val pair = Set(norm(l.name), norm(r.name))
+    val candidates = GraftMvs.allViews.flatMap(v =>
+      GraftMvs.lookup(v).flatMap(base =>
+        scala.util.Try(GraftMvs.readDef(base)).toOption))
+      .filter(d => d.src2.isDefined &&
+        Set(norm(d.src), norm(d.src2.get)) == pair)
+    if (candidates.isEmpty) return None
+    val colsL = scala.util.Try(tableFrame(spark, el.get).columns.toSeq)
+      .getOrElse(return None)
+    val colsR = scala.util.Try(tableFrame(spark, er.get).columns.toSeq)
+      .getOrElse(return None)
+    // orient fact = the side the candidate views' `src` names (all
+    // candidates share the pair; orientation differs per view, but
+    // the RESOLUTION is symmetric — strip() only needs side
+    // membership, and serveFrom() re-checks the pair orientation)
+    val d0 = candidates.head
+    val (fRel, fCols, dRel, dCols) =
+      if (norm(d0.src) == norm(l.name)) (l, colsL, r, colsR)
+      else (r, colsR, l, colsL)
+    val res = scala.util.Try(new GraftMvs.SideResolver(
+      GraftMvs.ParsedRel(fRel.name, fRel.quals.headOption),
+      fCols, Some(GraftMvs.ParsedRel(dRel.name, dRel.quals.headOption)),
+      Some(dCols))).getOrElse(return None)
+    val pairs = scala.util.Try(res.resolveJoinPairs(Some(cond)))
+      .getOrElse(return None)
+    // every candidate view must agree on the ON pairs to serve; the
+    // pair set rides via a closure check in serveFrom — encode it in
+    // the srcName/src2Name slot by filtering candidates there. The ON
+    // set is stored here for the equality check.
+    pendingJoinPairs.set(pairs.map { case (a, b) => (norm(a), norm(b)) }.toSet)
+    val st: Seq[String] => Option[String] =
+      parts => scala.util.Try(res.strip(parts)).toOption
+    val se: Expression => Option[Expression] = e => {
+      var ok = true
+      val out = e.transform {
+        case a: UnresolvedAttribute =>
+          st(a.nameParts) match {
+            case Some(c) => UnresolvedAttribute(Seq(c))
+            case None    => ok = false; a
+          }
+      }
+      if (ok) Some(out) else None
+    }
+    Some((fRel.name, Some(dRel.name), st, se))
+  }
+
+  /** The ON pairs of the join query currently being matched —
+    * thread-local because accelerate() is re-entrant across sessions
+    * but the parse→match window is single-threaded per statement. */
+  private val pendingJoinPairs =
+    new ThreadLocal[Set[(String, String)]] {
+      override def initialValue(): Set[(String, String)] = Set.empty
+    }
+
   /** Try one candidate view; Some(served logical plan) when it
     * matches and is fresh. */
   private def serveFrom(spark: SparkSession, mvName: String,
-                        srcName: String, qKeys: Seq[String],
+                        joinKey: (String, Option[String]),
+                        qKeys: Seq[String],
                         items: Seq[GraftMvs.ServeItem],
                         qConj: Seq[Expression],
                         qConjSql: Seq[String]): Option[LogicalPlan] = {
     val d = GraftMvs.freshFor(spark, mvName) match {
-      case Some(d0) if norm(d0.src) == norm(srcName) &&
-          d0.src2.isEmpty => d0 // join views serve only join queries
+      case Some(d0) if (norm(d0.src), d0.src2.map(norm)) == joinKey => d0
       case _ => return None
+    }
+    // join form: the query's ON pairs must equal the view's
+    if (d.src2.isDefined) {
+      val mvPairs = d.joinPairs
+        .map { case (a, b) => (norm(a), norm(b)) }.toSet
+      if (mvPairs != pendingJoinPairs.get()) return None
     }
     val mvKeys = d.groupKeys.map(norm)
     if (!qKeys.forall(mvKeys.contains)) return None
@@ -191,8 +336,8 @@ object MvRewrite {
     }
     val residualOk = residual.forall { e =>
       !e.exists(_.isInstanceOf[SubqueryExpression]) &&
-        e.collect { case a: UnresolvedAttribute => norm(a.nameParts.last) }
-          .forall(qKeys.contains)
+        e.collect { case a: UnresolvedAttribute => a.nameParts }
+          .forall(p => p.length == 1 && qKeys.contains(norm(p.head)))
     }
     if (!residualOk) return None
     // every selected aggregate must be stored by the view (and

@@ -1303,11 +1303,15 @@ object GraftMaintenance {
   private val CloneRe =
     """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
   private val MvCreate =
-    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+LOCATION\s+'([^']+)'\s+AS\s+(SELECT\b.+?)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+LOCATION\s+'([^']+)'\s+(?:BUCKETED\s+BY\s*\(\s*(\d+)\s*\)\s+)?AS\s+(SELECT\b.+?)\s*;?\s*""".r
   private val MvRefresh =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
   private val MvDrop =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
+  private val MvShow =
+    """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*""".r
+  private val MvDescribe =
+    """(?is)\s*DESCRIBE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
 
   /** Recognize a maintenance statement on a REGISTERED table; None
     * otherwise (the caller delegates to Spark's parser). */
@@ -1331,13 +1335,16 @@ object GraftMaintenance {
         GraftCopyIntoCommand(name, e, from, Option(pat), fmt,
           force = Option(force).exists(_.equalsIgnoreCase("true")),
           formatOptions = parseFormatOptions(fmtOpts)))
-      case MvCreate(name, loc, select) =>
+      case MvCreate(name, loc, buckets, select) =>
         // validate the SELECT shape NOW — a refused aggregate must
         // surface at statement parse, not mid-create
         GraftMvs.parseSelect(select)
-        Some(GraftMvCreateCommand(name, loc, select))
+        Some(GraftMvCreateCommand(name, loc, select,
+          Option(buckets).map(_.toInt)))
       case MvRefresh(name) => Some(GraftMvRefreshCommand(name))
       case MvDrop(name) => Some(GraftMvDropCommand(name))
+      case MvShow() => Some(GraftMvShowCommand())
+      case MvDescribe(name) => Some(GraftMvDescribeCommand(name))
       case CloneRe(dst, src, ver, ts) => entryOf(src).map(e =>
         GraftCloneCommand(dst, src, e,
           asOfVersion = Option(ver).map(_.toLong),

@@ -1086,6 +1086,13 @@ object PipelineQueries {
       GraftSql.execute(s, "DELETE FROM s35_src WHERE id % 10 = 9")
       GraftSql.execute(s, "DELETE FROM s35_src WHERE status = 'P'")
       GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s35_mv")
+      // insert-only wave: extends two groups' extremes and births a
+      // group — the refresh takes the FOLD arm (least/greatest against
+      // the stored extremes; the base table is not read)
+      GraftSql.execute(s, "INSERT INTO s35_src VALUES " +
+        "(90000001, 'O', 9000001), (90000002, 'F', 9000002), " +
+        "(99999999, 'Z', 424242)")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s35_mv")
       val out = GraftMvs.read(s, "s35_mv")
       GraftMvs.drop("s35_mv")
       out
@@ -1231,6 +1238,61 @@ object PipelineQueries {
       val out = GraftMvs.read(s, "s38_mv").select(col("nk"), col("n"),
         col("sq").cast("double").as("sq"))
       GraftMvs.drop("s38_mv")
+      out
+    }),
+
+    // Join-query MV acceleration (round 10): the star-schema query
+    // KEEPS its join text — `SELECT d.x, aggs FROM fact f JOIN dim d
+    // ON ... GROUP BY d.x` — and the engine serves it from a FRESH
+    // join-form materialized view when the table pair, the ON pairs,
+    // the WHERE and the grain all match. Freshness checks BOTH
+    // manifests; the post-DML stale read computes the real join.
+    // At 100 TB: the dashboard's fact⋈dim scan+shuffle+agg becomes a
+    // summary-store projection without touching the query text.
+    "s39_mv_join_accel" -> ((s, d) => {
+      import graft.plans.{GraftMvs, GraftSql, GraftSqlTables}
+      import graft.sources.{StatsSinks, TxnManifest}
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s39_").toString
+      def reg(tag: String, rows: org.apache.spark.sql.DataFrame,
+              keys: Seq[String]): String = {
+        val root = s"$base/$tag"
+        val man = new TxnManifest(s"$base/$tag.manifest.tsv")
+        StatsSinks.appendBatchStats(rows, root, 0)
+        man.commit(0, Seq(s"$root/batch=0"))
+        GraftSqlTables.register(s"s39_$tag", GraftSqlTables.Entry(root,
+          s"$base/$tag.manifest.tsv", keys = keys, cdf = true))
+        root
+      }
+      val factRoot = reg("fact", Tables.supplier(s, d).select(
+        col("s_suppkey").as("id"),
+        col("s_nationkey").as("nk"),
+        col("s_acctbal").cast("decimal(18,6)").as("bal")), Seq("id"))
+      reg("dim", Tables.nation(s, d).select(
+        col("n_nationkey").as("k"),
+        col("n_name").as("nname")), Seq("k"))
+      GraftSql.execute(s,
+        s"CREATE MATERIALIZED VIEW s39_mv LOCATION '$base/mv' AS " +
+          "SELECT d.nname, count(*) AS n, sum(f.bal) AS sb " +
+          "FROM s39_fact f JOIN s39_dim d ON f.nk = d.k GROUP BY d.nname")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s39_mv")
+      val q = "SELECT d.nname AS nation, count(*) AS n_sup, " +
+        "sum(f.bal) AS sum_bal FROM s39_fact f JOIN s39_dim d " +
+        "ON f.nk = d.k GROUP BY d.nname"
+      val fresh = GraftSql.execute(s, q)
+      require(!fresh.queryExecution.executedPlan.toString.contains(factRoot),
+        "s39: a fresh join MV must serve the join query from its store")
+      GraftSql.execute(s, "DELETE FROM s39_fact WHERE id % 4 = 0")
+      val stale = GraftSql.execute(s, q)
+      require(stale.queryExecution.executedPlan.toString.contains(factRoot),
+        "s39: a stale join MV must never serve — the query joins live")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s39_mv")
+      val served = GraftSql.execute(s, q)
+      require(!served.queryExecution.executedPlan.toString.contains(factRoot),
+        "s39: the refreshed join MV must serve again")
+      val out = served.select(col("nation"), col("n_sup"),
+        col("sum_bal").cast("double").as("sum_bal"))
+      GraftMvs.drop("s39_mv")
       out
     }),
 
@@ -2597,12 +2659,20 @@ object PipelineQueries {
         |  CAST(sum(price) AS DOUBLE) AS sum_price
         |FROM final WHERE id % 7 != 2 GROUP BY status""".stripMargin,
     "s35_mv_minmax" ->
-      """SELECT o_orderstatus AS status, min(o_orderkey) AS min_id,
-        |  max(o_orderkey) AS max_id, max(o_custkey) AS max_cust,
-        |  count(*) AS n
-        |FROM orders
-        |WHERE NOT (o_orderkey % 10 = 9) AND o_orderstatus <> 'P'
-        |GROUP BY o_orderstatus""".stripMargin,
+      """WITH kept AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS status,
+        |    o_custkey AS cust
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 10 = 9) AND o_orderstatus <> 'P'),
+        |final AS (
+        |  SELECT * FROM kept
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (90000001, 'O', 9000001),
+        |    (90000002, 'F', 9000002),
+        |    (99999999, 'Z', 424242)) v(id, status, cust))
+        |SELECT status, min(id) AS min_id, max(id) AS max_id,
+        |  max(cust) AS max_cust, count(*) AS n
+        |FROM final GROUP BY status""".stripMargin,
     "s36_mv_distinct" ->
       """WITH src AS (
         |  SELECT o_orderkey AS id, o_orderstatus AS status,
@@ -2624,6 +2694,16 @@ object PipelineQueries {
         |SELECT flag, count(*) AS n_items,
         |  CAST(sum(qty) AS DOUBLE) AS sum_qty
         |FROM final WHERE flag != 'X' GROUP BY flag""".stripMargin,
+    "s39_mv_join_accel" ->
+      """WITH fact AS (
+        |  SELECT s_suppkey AS id, s_nationkey AS nk,
+        |    CAST(s_acctbal AS DECIMAL(18,6)) AS bal
+        |  FROM supplier WHERE NOT (s_suppkey % 4 = 0)),
+        |dim AS (
+        |  SELECT n_nationkey AS k, n_name AS nname FROM nation)
+        |SELECT nname AS nation, count(*) AS n_sup,
+        |  CAST(sum(bal) AS DOUBLE) AS sum_bal
+        |FROM fact JOIN dim ON fact.nk = dim.k GROUP BY nname""".stripMargin,
     "s38_mv_join" ->
       """WITH fact0 AS (
         |  SELECT l_orderkey * 8 + l_linenumber AS id,

@@ -147,6 +147,54 @@ class MvSpec extends SparkSuite {
     GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_mm")
   }
 
+  test("min/max MV: insert-only delta folds without reading the base") {
+    val (src, base, man) = newSource("mmf", seed(20000))
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_mmf LOCATION '$base/mv' AS " +
+        s"SELECT grp, min(m) AS mn, max(m) AS mx, count(*) AS n, " +
+        s"sum(m) AS sm FROM $src GROUP BY grp")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_mmf")
+    def expected: DataFrame = {
+      val e = GraftSqlTables.lookup(Seq(src)).get
+      Sinks.readCommitted(spark, e.root, new TxnManifest(e.manifestPath))
+        .groupBy("grp").agg(min("m").as("mn"), max("m").as("mx"),
+          count(lit(1)).as("n"), sum("m").as("sm"))
+    }
+    // 50-row append: every touched group's delta is insert-only, so
+    // min/max FOLD (least/greatest against the stored extremes) and
+    // the 20000-row base is never scanned
+    val e = GraftSqlTables.lookup(Seq(src)).get
+    StatsSinks.appendBatchStats(seed(20050).where("id >= 20000"), e.root, 1)
+    man.commit(1, Seq(s"${e.root}/batch=1"))
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recordsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_mmf")
+      Thread.sleep(1500) // drain the listener bus
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(recordsRead.get < 2000,
+      s"insert-only min/max refresh read ${recordsRead.get} records — " +
+        "the 20000-row base table must not be scanned")
+    assert(sortedRows(GraftMvs.read(spark, "mv_mmf")) == sortedRows(expected))
+
+    // a delete sends ONLY its group to the recompute arm; the other
+    // groups' deltas (one also gets inserts) still fold
+    GraftSql.execute(spark, s"DELETE FROM $src WHERE grp = 2 AND m >= 59900")
+    val b3 = new TxnManifest(e.manifestPath).committed().keys.max + 1
+    StatsSinks.appendBatchStats(
+      seed(20060).where("id >= 20050 AND id % 4 = 1"), e.root, b3)
+    man.commit(b3, Seq(s"${e.root}/batch=$b3"))
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_mmf")
+    assert(sortedRows(GraftMvs.read(spark, "mv_mmf")) == sortedRows(expected))
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_mmf")
+  }
+
   test("CREATE refusals name the unsupported shape") {
     val (src, base, _) = newSource("bad", seed(10))
     def refuse(select: String, frag: String): Unit = {
@@ -346,6 +394,207 @@ class MvSpec extends SparkSuite {
       "a group emptied by the dim relabel must vanish")
     assert(sortedRows(after) == sortedRows(expected))
     GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_join")
+  }
+
+  test("join-query acceleration: table pair + ON pairs + grain must match") {
+    val base = tempBase("jacc")
+    def mkTable(tag: String, rows: DataFrame, keys: Seq[String]): String = {
+      val root = s"$base/$tag"
+      val man = new TxnManifest(s"$base/$tag.manifest.tsv")
+      StatsSinks.appendBatchStats(rows, root, 0)
+      man.commit(0, Seq(s"$root/batch=0"))
+      GraftSqlTables.register(s"mv_jacc_$tag", GraftSqlTables.Entry(root,
+        s"$base/$tag.manifest.tsv", keys = keys, cdf = true))
+      s"mv_jacc_$tag"
+    }
+    val fact = mkTable("fact", spark.range(2000).select(col("id"),
+      (col("id") % 8).cast("int").as("sk"),
+      (col("id") * 2).as("qty")), Seq("id"))
+    val dim = mkTable("dim", spark.range(8).select(
+      col("id").cast("int").as("k"),
+      (col("id") % 3).cast("int").as("nk")), Seq("k"))
+    val factRoot = GraftSqlTables.lookup(Seq(fact)).get.root
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_jacc LOCATION '$base/mv' AS " +
+        s"SELECT d.nk, count(*) AS n, sum(f.qty) AS sq " +
+        s"FROM $fact f JOIN $dim d ON f.sk = d.k GROUP BY d.nk")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_jacc")
+    def direct: DataFrame = {
+      val ef = GraftSqlTables.lookup(Seq(fact)).get
+      val ed = GraftSqlTables.lookup(Seq(dim)).get
+      val f = Sinks.readCommitted(spark, ef.root,
+        new TxnManifest(ef.manifestPath))
+      val dd = Sinks.readCommitted(spark, ed.root,
+        new TxnManifest(ed.manifestPath))
+      f.join(dd, f("sk") === dd("k")).groupBy("nk")
+        .agg(count(lit(1)).as("n"), sum("qty").as("sq"))
+    }
+
+    // the matching join query serves from the view's store
+    val q = s"SELECT d.nk, count(*) AS n, sum(f.qty) AS sq " +
+      s"FROM $fact f JOIN $dim d ON f.sk = d.k GROUP BY d.nk"
+    val served = GraftSql.execute(spark, q)
+    assert(!served.queryExecution.executedPlan.toString.contains(factRoot),
+      "a fresh join MV must serve the matching join query")
+    assert(sortedRows(served) == sortedRows(direct))
+
+    // FROM order flipped (dim JOIN fact): inner joins commute
+    val flipped = GraftSql.execute(spark,
+      s"SELECT d.nk, count(*) AS n FROM $dim d JOIN $fact f " +
+        s"ON d.k = f.sk GROUP BY d.nk")
+    assert(!flipped.queryExecution.executedPlan.toString.contains(factRoot),
+      "a flipped FROM order must still serve")
+    assert(sortedRows(flipped) ==
+      sortedRows(direct.select(col("nk"), col("n"))))
+
+    // rollup to the global grain over the join
+    val global = GraftSql.execute(spark,
+      s"SELECT count(*) AS n, sum(f.qty) AS sq FROM $fact f " +
+        s"JOIN $dim d ON f.sk = d.k")
+    assert(!global.queryExecution.executedPlan.toString.contains(factRoot))
+    assert(sortedRows(global) == sortedRows(
+      direct.agg(sum("n").cast("long").as("n"), sum("sq").as("sq"))))
+
+    // residual key predicate re-applies above the serve
+    val res = GraftSql.execute(spark,
+      s"SELECT d.nk, sum(f.qty) AS sq FROM $fact f JOIN $dim d " +
+        s"ON f.sk = d.k WHERE d.nk >= 1 GROUP BY d.nk")
+    assert(!res.queryExecution.executedPlan.toString.contains(factRoot))
+    assert(sortedRows(res) == sortedRows(
+      direct.where("nk >= 1").select(col("nk"), col("sq"))))
+
+    // DECLINES: different ON pairs, and a non-key residual — both
+    // must compute the real join, never mis-serve
+    val wrongOn = GraftSql.execute(spark,
+      s"SELECT d.nk, count(*) AS n FROM $fact f JOIN $dim d " +
+        s"ON f.sk = d.nk GROUP BY d.nk")
+    assert(wrongOn.queryExecution.executedPlan.toString.contains(factRoot),
+      "a different ON clause must decline the rewrite")
+    val nonKey = GraftSql.execute(spark,
+      s"SELECT d.nk, count(*) AS n FROM $fact f JOIN $dim d " +
+        s"ON f.sk = d.k WHERE f.qty > 10 GROUP BY d.nk")
+    assert(nonKey.queryExecution.executedPlan.toString.contains(factRoot),
+      "a non-key residual predicate must decline the rewrite")
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_jacc")
+  }
+
+  test("BUCKETED BY store: every refresh batch keeps the layout") {
+    val (src, base, _) = newSource("bkt", seed(2000))
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_bkt LOCATION '$base/mv' " +
+        s"BUCKETED BY (4) AS SELECT grp, count(*) AS n, sum(m) AS sm, " +
+        s"min(m) AS mn, max(m) AS mx FROM $src GROUP BY grp")
+    def expected: DataFrame = {
+      val e = GraftSqlTables.lookup(Seq(src)).get
+      Sinks.readCommitted(spark, e.root, new TxnManifest(e.manifestPath))
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum("m").as("sm"),
+          min("m").as("mn"), max("m").as("mx"))
+    }
+    def markers(): (Int, Int) = {
+      val man = new TxnManifest(s"$base/mv/manifest.tsv")
+      val dirs = man.committedDirs(s"$base/mv/data")
+        .filterNot(_.contains("_dv"))
+      (dirs.size, dirs.count(d =>
+        new java.io.File(d, graft.sources.Bucketing.Marker).exists()))
+    }
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_bkt")
+    val (d1, m1) = markers()
+    assert(d1 > 0 && m1 == d1,
+      s"bootstrap: $m1 of $d1 committed dirs carry the bucket marker")
+    assert(sortedRows(GraftMvs.read(spark, "mv_bkt")) == sortedRows(expected))
+
+    // fold arm (insert-only) and recompute arm (delete) both route
+    // their merge output through the bucket layout
+    val e = GraftSqlTables.lookup(Seq(src)).get
+    val b1 = new TxnManifest(e.manifestPath).committed().keys.max + 1
+    StatsSinks.appendBatchStats(seed(2080).where("id >= 2000"), e.root, b1)
+    new TxnManifest(e.manifestPath).commit(b1, Seq(s"${e.root}/batch=$b1"))
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_bkt")
+    GraftSql.execute(spark, s"DELETE FROM $src WHERE id % 5 = 3")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_bkt")
+    val (d2, m2) = markers()
+    assert(m2 == d2,
+      s"after fold+recompute refreshes: $m2 of $d2 dirs carry the marker")
+    assert(sortedRows(GraftMvs.read(spark, "mv_bkt")) == sortedRows(expected))
+
+    // DESCRIBE / SHOW surface the layout and freshness
+    val desc = GraftSql.execute(spark, "DESCRIBE MATERIALIZED VIEW mv_bkt")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("bucketed_by") == "4,grp")
+    assert(desc("is_fresh") == "true")
+    val shown = GraftSql.execute(spark, "SHOW MATERIALIZED VIEWS")
+      .collect().map(r => (r.getString(0), r.getBoolean(3))).toMap
+    assert(shown.get("mv_bkt").contains(true))
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_bkt")
+  }
+
+  test("MV over a bucketed CDF catalog table: refresh rides the feed") {
+    val cat = "graft"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.plans.GraftCatalog].getName)
+    if (spark.conf.getOption(s"spark.sql.catalog.$cat.warehouse").isEmpty)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_mvcat_wh_").toString)
+    GraftSql.execute(spark, s"DROP TABLE IF EXISTS $cat.mvfact")
+    GraftSql.execute(spark,
+      s"""CREATE TABLE $cat.mvfact (id BIGINT, grp INT, v BIGINT)
+         |USING `graft-manifest`
+         |TBLPROPERTIES ('keys' = 'id', 'cdf' = 'true',
+         |  'bucketBy' = '4,id')""".stripMargin)
+    seed(500).select(col("id"), col("grp"),
+      coalesce(col("m"), lit(0L)).as("v"))
+      .createOrReplaceTempView("mv_cat_seed")
+    GraftSql.execute(spark,
+      s"INSERT INTO $cat.mvfact SELECT * FROM mv_cat_seed")
+    val base = tempBase("cat")
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_cat LOCATION '$base/mv' AS " +
+        s"SELECT grp, count(*) AS n, sum(v) AS sv FROM $cat.mvfact " +
+        "GROUP BY grp")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_cat")
+    def expected: DataFrame = spark.sql(
+      s"SELECT grp, count(*) AS n, sum(v) AS sv FROM $cat.mvfact GROUP BY grp")
+    assert(sortedRows(GraftMvs.read(spark, "mv_cat")) == sortedRows(expected))
+    // bucket-preserving DML on the source feeds the same CDF the MV
+    // consumes; the bucketed layout never perturbs the delta
+    GraftSql.execute(spark, s"DELETE FROM $cat.mvfact WHERE id % 6 = 1")
+    GraftSql.execute(spark,
+      s"UPDATE $cat.mvfact SET v = v + 10 WHERE id % 9 = 2")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_cat")
+    assert(sortedRows(GraftMvs.read(spark, "mv_cat")) == sortedRows(expected))
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_cat")
+    GraftSql.execute(spark, s"DROP TABLE $cat.mvfact")
+  }
+
+  test("source column rename breaks the view LOUDLY, never silently") {
+    val (src, base, _) = newSource("ren", seed(100))
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_ren LOCATION '$base/mv' AS " +
+        s"SELECT grp, sum(m) AS sm FROM $src GROUP BY grp")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_ren")
+    // swap the registered schema out from under the view (the
+    // blunt-instrument stand-in for a rename): refresh must name the
+    // missing column, not fold garbage
+    val e = GraftSqlTables.lookup(Seq(src)).get
+    val renamed = Sinks.readCommitted(spark, e.root,
+      new TxnManifest(e.manifestPath)).withColumnRenamed("m", "m2")
+    val before = sortedRows(GraftMvs.read(spark, "mv_ren"))
+    val root2 = s"$base/src2"
+    val man2 = new TxnManifest(s"$base/manifest2.tsv")
+    StatsSinks.appendBatchStats(renamed, root2, 0)
+    man2.commit(0, Seq(s"$root2/batch=0"))
+    StatsSinks.appendBatchStats(
+      seed(120).where("id >= 100").withColumnRenamed("m", "m2"), root2, 1)
+    man2.commit(1, Seq(s"$root2/batch=1"))
+    GraftSqlTables.register(src, GraftSqlTables.Entry(root2,
+      s"$base/manifest2.tsv", keys = Seq("id"), cdf = true))
+    intercept[Exception](
+      GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_ren"))
+    // the failed refresh must leave the store intact (the state file
+    // written before the commit is inert)
+    assert(sortedRows(GraftMvs.read(spark, "mv_ren")) == before,
+      "a failed refresh must not corrupt the stored accumulators")
+    GraftMvs.drop("mv_ren")
   }
 
   test("FROM substitution: registered tables and views without temp views") {
