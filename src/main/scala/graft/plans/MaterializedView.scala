@@ -84,7 +84,8 @@ object GraftMvs {
                          outSchema: StructType, storSchema: StructType,
                          src2: Option[String] = None,
                          joinPairs: Seq[(String, String)] = Nil,
-                         bucket: Option[String] = None) {
+                         bucket: Option[String] = None,
+                         keyExprs: Seq[(String, String)] = Nil) {
     def additive: Boolean = aggs.forall(a =>
       a.func != "min" && a.func != "max" && a.func != "count_distinct")
     /** Parsed storage-layout bucket spec ([[graft.sources.Bucketing]]). */
@@ -150,6 +151,7 @@ object GraftMvs {
         Seq(s"joinon\t${d.joinPairs.map(p => s"${p._1}=${p._2}").mkString(",")}")
       else Nil) ++
       d.aggs.map(a => s"agg\t${a.out}\t${a.func}\t${a.arg.getOrElse("")}") ++
+      d.keyExprs.map { case (a, s) => s"keyexpr\t$a\t$s" } ++
       d.where.map(w => s"where\t$w").toSeq ++
       d.bucket.map(b => s"bucket\t$b").toSeq ++ Seq(
       s"outschema\t${d.outSchema.json}",
@@ -178,7 +180,11 @@ object GraftMvs {
         val Array(a, b) = p.split('=')
         (a, b)
       }),
-      bucket = opt("bucket"))
+      bucket = opt("bucket"),
+      keyExprs = lines.filter(_.startsWith("keyexpr\t")).map { l =>
+        val p = l.split('\t')
+        (p(1), p(2))
+      })
   }
 
   // ------------------------------------------------------------- state IO
@@ -222,7 +228,15 @@ object GraftMvs {
       fact: ParsedRel, dim: Option[ParsedRel],
       joinCond: Option[org.apache.spark.sql.catalyst.expressions.Expression],
       keys: Seq[Seq[String]], aggs: Seq[AggSpec],
-      where: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      where: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      keyExprs: Seq[(String,
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+
+  /** Names of the aggregate functions the MV surface maintains — an
+    * aliased call to one of these is an aggregate column; any OTHER
+    * aliased expression whose alias is a GROUP BY name is a COMPUTED
+    * KEY (`date_trunc('day', ts) AS d ... GROUP BY d`). */
+  private val AggFuncs = Set("count", "sum", "avg", "min", "max")
 
   /** Extract the maintained shape from the CREATE's SELECT body,
     * refusing anything outside it with the unsupported shape named. */
@@ -256,11 +270,42 @@ object GraftMvs {
           "table, optionally INNER JOINed to one registered dim table " +
           s"with an ON clause; got ${other.nodeName}")
     }
+    // computed keys: an aliased NON-aggregate select item whose alias
+    // a GROUP BY element names (or whose expression the GROUP BY
+    // repeats verbatim)
+    def isAggCall(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Boolean = e match {
+      case f: UnresolvedFunction =>
+        AggFuncs.contains(f.nameParts.last.toLowerCase(Locale.ROOT))
+      case _ => false
+    }
+    val groupNames = agg.groupingExpressions.collect {
+      case a: UnresolvedAttribute => norm(a.nameParts.last)
+    }
+    val groupSqls = agg.groupingExpressions.collect {
+      case e if !e.isInstanceOf[UnresolvedAttribute] => norm(e.sql)
+    }
+    val keyExprs: Seq[(String,
+        org.apache.spark.sql.catalyst.expressions.Expression)] =
+      agg.aggregateExpressions.collect {
+        case Alias(e, out) if !isAggCall(e) &&
+            !e.isInstanceOf[UnresolvedAttribute] &&
+            (groupNames.contains(norm(out)) ||
+              groupSqls.contains(norm(e.sql))) =>
+          require(!e.exists(isAggCall),
+            s"CREATE MATERIALIZED VIEW: group-key expression '${e.sql}' " +
+              "contains an aggregate")
+          out -> e
+      }
+    val keyExprAliases = keyExprs.map(k => norm(k._1))
     val keys = agg.groupingExpressions.map {
       case a: UnresolvedAttribute => a.nameParts
+      case e if keyExprs.exists(k => norm(k._2.sql) == norm(e.sql)) =>
+        // GROUP BY repeats the aliased select expression verbatim
+        Seq(keyExprs.find(k => norm(k._2.sql) == norm(e.sql)).get._1)
       case other => throw new IllegalArgumentException(
-        "CREATE MATERIALIZED VIEW: GROUP BY must list plain columns; " +
-          s"got ${other.sql}")
+        "CREATE MATERIALIZED VIEW: GROUP BY must list plain columns " +
+          "or expressions aliased in the SELECT; got " + other.sql)
     }
     val aggs = agg.aggregateExpressions.flatMap {
       case a: UnresolvedAttribute =>
@@ -269,6 +314,8 @@ object GraftMvs {
           s"CREATE MATERIALIZED VIEW: select column '$n' is not a " +
             "GROUP BY key and not an aggregate")
         None // served as a key; order follows groupKeys
+      case Alias(e, out) if keyExprAliases.contains(norm(out)) &&
+          !isAggCall(e) => None // computed key, collected above
       case Alias(f: UnresolvedFunction, out) => Some(parseAgg(f, out))
       case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAlias
           if ua.child.isInstanceOf[UnresolvedFunction] =>
@@ -289,7 +336,10 @@ object GraftMvs {
     aggs.foreach(a => require(!a.out.startsWith("__"),
       s"CREATE MATERIALIZED VIEW: output name '${a.out}' collides with " +
         "the engine's internal accumulator prefix '__'"))
-    ParsedSelect(factRel, dimRel, joinCond, keys, aggs, where)
+    keyExprs.foreach { case (a, _) => require(!a.startsWith("__"),
+      s"CREATE MATERIALIZED VIEW: key alias '$a' collides with the " +
+        "engine's internal accumulator prefix '__'") }
+    ParsedSelect(factRel, dimRel, joinCond, keys, aggs, where, keyExprs)
   }
 
   /** Column-reference resolution over the (optionally joined) FROM
@@ -532,11 +582,37 @@ object GraftMvs {
           "change-feed metadata the refresh joins through")))
 
     val base = dimDf.fold(factDf)(dd => joinFrames(factDf, dd, joinPairs))
-    val live = where.fold(base)(w => base.where(expr(w)))
-    keys.foreach(k => fieldOf(base.schema, k))
+    // computed group keys: resolve qualifiers, refuse source-column
+    // shadowing, then gate on determinism — a key that moves between
+    // refreshes (rand, current_date) would scatter one logical group
+    // across store rows and no maintenance mode could merge them
+    val keyExprs = ps.keyExprs.map { case (a, e) =>
+      require(!base.columns.exists(_.equalsIgnoreCase(a)),
+        s"CREATE MATERIALIZED VIEW: key alias '$a' shadows a source " +
+          "column — pick a different alias")
+      (a, res.stripQuals(e).sql)
+    }
+    val derived = keyExprs.foldLeft(base) { case (f, (a, s)) =>
+      f.withColumn(a, expr(s)) }
+    val timeDependent = Set("CurrentDate", "CurrentTimestamp", "Now",
+      "LocalTimestamp", "CurrentTimeZone", "CurrentBatchTimestamp")
+    keyExprs.foreach { case (a, s) =>
+      base.select(expr(s).as(a)).queryExecution.analyzed.foreach(
+        _.expressions.foreach(_.foreach { e =>
+          require(e.deterministic, "CREATE MATERIALIZED VIEW: key " +
+            s"expression '$s' is nondeterministic — refreshes could " +
+            "never reproduce the group")
+          require(!timeDependent.contains(e.getClass.getSimpleName),
+            "CREATE MATERIALIZED VIEW: key expression " +
+              s"'$s' depends on evaluation time — the group a row " +
+              "belongs to must not move between refreshes")
+        }))
+    }
+    val live = where.fold(derived)(w => derived.where(expr(w)))
+    keys.foreach(k => fieldOf(derived.schema, k))
     val outSchema = live.groupBy(keys.map(col): _*)
       .agg(realAggCols(aggs).head, realAggCols(aggs).tail: _*).schema
-    val stor = storageSchema(base.schema, keys, aggs)
+    val stor = storageSchema(derived.schema, keys, aggs)
     // BUCKETED BY (n): the STORE is laid out on the group keys — the
     // refresh merge only rewrites touched buckets and the layout
     // survives every refresh (markers stamped per batch dir)
@@ -547,7 +623,8 @@ object GraftMvs {
       spec
     }
     val d = MvDef(name, ps.fact.name, keys, aggs, where, outSchema, stor,
-      src2 = ps.dim.map(_.name), joinPairs = joinPairs, bucket = bucket)
+      src2 = ps.dim.map(_.name), joinPairs = joinPairs, bucket = bucket,
+      keyExprs = keyExprs)
     writeDef(location, d)
     views.put(norm(name), location)
     read(spark, name).createOrReplaceTempView(tempViewName(name))
@@ -600,8 +677,8 @@ object GraftMvs {
       // the DIM moved: ΔF ⋈ D no longer equals Δ(F ⋈ D) — one full
       // recompute (group death included); dims move rarely, facts
       // constantly, so this is the exceptional arm
-      val live0 = joinFrames(snapshotRead(spark, entry), dimDf.get,
-        d.joinPairs)
+      val live0 = derive(joinFrames(snapshotRead(spark, entry), dimDf.get,
+        d.joinPairs), d)
       val live = d.where.fold(live0)(w => live0.where(expr(w)))
       refreshFull(spark, d, baseDir, mvMan, newBatch, live)
     } else {
@@ -612,8 +689,8 @@ object GraftMvs {
         .option("endingBatchId", curV.toString)
       entry.schemaLogPath.foreach(p => r = r.option("schemaLog", p))
       val changes0 = r.load(entry.root)
-      val changes =
-        dimDf.fold(changes0)(dd => joinFrames(changes0, dd, d.joinPairs))
+      val changes = derive(
+        dimDf.fold(changes0)(dd => joinFrames(changes0, dd, d.joinPairs)), d)
       val delta = d.where.fold(changes)(w => changes.where(expr(w)))
       if (d.additive)
         refreshAdditive(spark, d, baseDir, mvMan, mvB, newBatch, delta)
@@ -624,6 +701,12 @@ object GraftMvs {
     read(spark, name).createOrReplaceTempView(tempViewName(name))
     (lastV, curV, true)
   }
+
+  /** Materialize the view's computed group keys over a source (or
+    * joined / delta) frame — every maintenance path groups on the
+    * derived columns, never re-parsing per row. */
+  private def derive(df: DataFrame, d: MvDef): DataFrame =
+    d.keyExprs.foldLeft(df) { case (f, (a, s)) => f.withColumn(a, expr(s)) }
 
   /** Bootstrap commit of the full aggregate — routed through the
     * store's bucket layout when the view is BUCKETED BY. */
@@ -744,7 +827,8 @@ object GraftMvs {
     val aggsCols = storageAggs(d)
     lazy val live = {
       val base0 = snapshotRead(spark, entry)
-      val base = dimDf.fold(base0)(dd => joinFrames(base0, dd, d.joinPairs))
+      val base = derive(
+        dimDf.fold(base0)(dd => joinFrames(base0, dd, d.joinPairs)), d)
       d.where.fold(base)(w => base.where(expr(w)))
     }
 
@@ -935,7 +1019,8 @@ object GraftMvs {
           .mkString(" AND "))
       else Nil) ++ Seq(
       "location" -> loc,
-      "group_keys" -> d.groupKeys.mkString(", "),
+      "group_keys" -> d.groupKeys.mkString(", ")) ++
+      d.keyExprs.map { case (a, s) => s"key_expr ($a)" -> s } ++ Seq(
       "aggregates" -> d.aggs.map(a =>
         s"${a.out} = ${a.func}(${a.arg.getOrElse("*")})").mkString(", ")) ++
       d.where.map("where" -> _).toSeq ++
@@ -958,6 +1043,11 @@ object GraftMvs {
   private[plans] final case class ServeKey(key: String, alias: String)
     extends ServeItem
   private[plans] final case class ServeAgg(spec: AggSpec, alias: String)
+    extends ServeItem
+  /** A SELECT item whose expression must match one of the view's
+    * COMPUTED keys (`date_trunc('day', ts) AS d`) — bound to the
+    * stored key alias per candidate view ([[MvRewrite]]). */
+  private[plans] final case class ServeKeyExpr(canon: String, alias: String)
     extends ServeItem
 
   /** Can `spec` be re-aggregated ACROSS stored groups (a query whose

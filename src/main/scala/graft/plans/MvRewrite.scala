@@ -181,28 +181,33 @@ object MvRewrite {
       (try spark.catalog.tableExists(n)
        catch { case scala.util.control.NonFatal(_) => false })
     if (shadowed(srcName) || src2Name.exists(shadowed)) return None
-    // plain-column GROUP BY only (matching the CREATE surface)
-    val qKeys: Seq[String] = agg.groupingExpressions.map {
+    // GROUP BY: a plain/aliased column (Left of its stripped name) or
+    // a computed-key expression (Right of its canonical SQL) — bound
+    // to a concrete view's keys per candidate in serveFrom
+    val qGroup: Seq[Either[String, String]] = agg.groupingExpressions.map {
       case a: UnresolvedAttribute =>
         strip(a.nameParts) match {
-          case Some(c) => norm(c)
+          case Some(c) => Left(norm(c))
           case None    => return None
         }
-      case _ => return None
+      case e => stripExpr(e) match {
+        case Some(se) => Right(canonSql(se))
+        case None     => return None
+      }
     }
-    // SELECT items, in order, under the query's aliases
+    // SELECT items, in order, under the query's aliases; key
+    // membership is validated per-view in serveFrom (an alias-named
+    // GROUP BY binds through the item)
     val items: Seq[GraftMvs.ServeItem] = agg.aggregateExpressions.map {
       case a: UnresolvedAttribute =>
         val k = strip(a.nameParts).map(norm).getOrElse(return None)
-        if (!qKeys.contains(k)) return None // not grouped: invalid SQL, decline
         GraftMvs.ServeKey(k, a.nameParts.last)
       case Alias(a: UnresolvedAttribute, n) =>
         val k = strip(a.nameParts).map(norm).getOrElse(return None)
-        if (!qKeys.contains(k)) return None
         GraftMvs.ServeKey(k, n)
-      case Alias(f: UnresolvedFunction, n) =>
-        val spec =
-          scala.util.Try(GraftMvs.parseAgg(f, n)).getOrElse(return None)
+      case Alias(f: UnresolvedFunction, n)
+          if scala.util.Try(GraftMvs.parseAgg(f, n)).isSuccess =>
+        val spec = GraftMvs.parseAgg(f, n)
         val stripped = spec.arg match {
           case Some(arg) =>
             strip(arg.split('.').toSeq) match {
@@ -212,6 +217,11 @@ object MvRewrite {
           case None => spec
         }
         GraftMvs.ServeAgg(stripped, n)
+      case Alias(e, n) => // computed-key select item
+        stripExpr(e) match {
+          case Some(se) => GraftMvs.ServeKeyExpr(canonSql(se), n)
+          case None     => return None
+        }
       case _ => return None
     }
     val aliases = items.map(i => norm(i.alias))
@@ -226,11 +236,12 @@ object MvRewrite {
     val joinKey = (norm(srcName), src2Name.map(norm))
 
     GraftMvs.allViews.iterator.flatMap { mvName =>
-      serveFrom(spark, mvName, joinKey, qKeys, items, qConj, qConjSql)
+      serveFrom(spark, mvName, joinKey, qGroup, items, qConj, qConjSql)
     }.nextOption().map { served =>
       outer.rewrap(served)
     }
   }
+
 
   /** Resolve the join-query FROM: orientation against some candidate
     * view is NOT decided here — the fact side is whichever relation a
@@ -307,8 +318,8 @@ object MvRewrite {
     * matches and is fresh. */
   private def serveFrom(spark: SparkSession, mvName: String,
                         joinKey: (String, Option[String]),
-                        qKeys: Seq[String],
-                        items: Seq[GraftMvs.ServeItem],
+                        qGroup: Seq[Either[String, String]],
+                        items0: Seq[GraftMvs.ServeItem],
                         qConj: Seq[Expression],
                         qConjSql: Seq[String]): Option[LogicalPlan] = {
     val d = GraftMvs.freshFor(spark, mvName) match {
@@ -322,6 +333,36 @@ object MvRewrite {
       if (mvPairs != pendingJoinPairs.get()) return None
     }
     val mvKeys = d.groupKeys.map(norm)
+    // the view's computed keys, addressable by canonical expression
+    val canonOfStored: Map[String, String] = d.keyExprs.map { case (a, s) =>
+      canonSql(CatalystSqlParser.parseExpression(s)) -> norm(a)
+    }.toMap
+    // bind computed-key select items to stored key aliases
+    val items: Seq[GraftMvs.ServeItem] = items0.map {
+      case GraftMvs.ServeKeyExpr(canon, al) =>
+        canonOfStored.get(canon) match {
+          case Some(k) => GraftMvs.ServeKey(k, al)
+          case None    => return None
+        }
+      case other => other
+    }
+    // resolve the query's grouping list against this view: a name is
+    // a view key directly or the alias of a bound key item; an
+    // expression must be one of the view's computed keys
+    val qKeys: Seq[String] = qGroup.map {
+      case Left(name) =>
+        if (mvKeys.contains(name)) name
+        else items.collectFirst {
+          case GraftMvs.ServeKey(k, al) if norm(al) == name => k
+        }.getOrElse(return None)
+      case Right(canon) => canonOfStored.getOrElse(canon, return None)
+    }.distinct
+    // every selected key must be grouped (else the SQL is invalid —
+    // decline and let vanilla execution produce the real error)
+    if (items.exists {
+      case GraftMvs.ServeKey(k, _) => !qKeys.contains(k)
+      case _                       => false
+    }) return None
     if (!qKeys.forall(mvKeys.contains)) return None
     val rollup = !(mvKeys.forall(qKeys.contains)) // strict-subset grain
     // the view's WHERE conjuncts must all be present in the query's

@@ -1241,6 +1241,51 @@ object PipelineQueries {
       out
     }),
 
+    // Expression group keys (round 10): the canonical time-bucketed
+    // rollup — `date_trunc('day', ts) AS day ... GROUP BY day`. The
+    // computed key materializes once per maintenance pass (bootstrap,
+    // delta fold, recompute all group on the derived column); CREATE
+    // gates the expression on determinism and evaluation-time
+    // independence, since a key that moves between refreshes would
+    // scatter one logical group across store rows. At 100 TB this IS
+    // the daily-dashboard summary: the events fact keeps raw timestamps,
+    // the view folds per-day counts/sums from the CDF delta alone.
+    "s40_mv_timebucket" -> ((s, d) => {
+      import graft.plans.{GraftMvs, GraftSql, GraftSqlTables}
+      import graft.sources.{StatsSinks, TxnManifest}
+      val ev = Tables.events(s, d).select(
+        col("event_id").as("id"), col("ts"),
+        col("value").cast("decimal(18,6)").as("v"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s40_").toString
+      val root = s"$base/src"
+      val man = new TxnManifest(s"$base/manifest.tsv")
+      StatsSinks.appendBatchStats(ev, root, 0)
+      man.commit(0, Seq(s"$root/batch=0"))
+      GraftSqlTables.register("s40_src", GraftSqlTables.Entry(root,
+        s"$base/manifest.tsv", keys = Seq("id"), cdf = true))
+      GraftSql.execute(s,
+        s"CREATE MATERIALIZED VIEW s40_mv LOCATION '$base/mv' AS " +
+          "SELECT date_trunc('day', ts) AS day, count(*) AS n, " +
+          "sum(v) AS sv FROM s40_src GROUP BY day")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s40_mv")
+      GraftSql.execute(s, "DELETE FROM s40_src WHERE id % 6 = 5")
+      GraftSql.execute(s, "UPDATE s40_src SET v = v + 1 WHERE id % 11 = 3")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s40_mv")
+      // the dashboard query — same expression, its own alias — must
+      // serve from the summary store, not re-scan the fact table
+      val dash = GraftSql.execute(s,
+        "SELECT date_trunc('day', ts) AS d, count(*) AS n_ev " +
+          "FROM s40_src GROUP BY d")
+      require(!dash.queryExecution.executedPlan.toString.contains(root),
+        "s40: the fresh time-bucket view must serve the dashboard query")
+      val out = GraftMvs.read(s, "s40_mv").select(
+        unix_micros(col("day")).as("day_us"), col("n"),
+        col("sv").cast("double").as("sv"))
+      GraftMvs.drop("s40_mv")
+      out
+    }),
+
     // Join-query MV acceleration (round 10): the star-schema query
     // KEEPS its join text — `SELECT d.x, aggs FROM fact f JOIN dim d
     // ON ... GROUP BY d.x` — and the engine serves it from a FRESH
@@ -2694,6 +2739,17 @@ object PipelineQueries {
         |SELECT flag, count(*) AS n_items,
         |  CAST(sum(qty) AS DOUBLE) AS sum_qty
         |FROM final WHERE flag != 'X' GROUP BY flag""".stripMargin,
+    "s40_mv_timebucket" ->
+      """WITH src AS (
+        |  SELECT event_id AS id, ts, CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events),
+        |final AS (
+        |  SELECT id, ts,
+        |    CASE WHEN id % 11 = 3 THEN v + 1 ELSE v END AS v
+        |  FROM src WHERE NOT (id % 6 = 5))
+        |SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+        |  count(*) AS n, CAST(sum(v) AS DOUBLE) AS sv
+        |FROM final GROUP BY 1""".stripMargin,
     "s39_mv_join_accel" ->
       """WITH fact AS (
         |  SELECT s_suppkey AS id, s_nationkey AS nk,

@@ -597,6 +597,87 @@ class MvSpec extends SparkSuite {
     GraftMvs.drop("mv_ren")
   }
 
+  test("expression group keys: computed buckets maintain through DML") {
+    val (src, base, _) = newSource("kx", seed(600))
+    // two computed keys: an arithmetic bucket and a CASE label; min
+    // and sum exercise both the fold and recompute arms on them
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_kx LOCATION '$base/mv' AS " +
+        s"SELECT id % 7 AS b, CASE WHEN grp < 2 THEN 'lo' ELSE 'hi' END " +
+        s"AS band, count(*) AS n, sum(m) AS sm, max(m) AS mx " +
+        s"FROM $src GROUP BY b, band")
+    def expected: DataFrame = {
+      val e = GraftSqlTables.lookup(Seq(src)).get
+      Sinks.readCommitted(spark, e.root, new TxnManifest(e.manifestPath))
+        .withColumn("b", col("id") % 7)
+        .withColumn("band", when(col("grp") < 2, "lo").otherwise("hi"))
+        .groupBy("b", "band").agg(count(lit(1)).as("n"),
+          sum("m").as("sm"), max("m").as("mx"))
+    }
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_kx")
+    assert(sortedRows(GraftMvs.read(spark, "mv_kx")) == sortedRows(expected))
+    // insert-only wave folds; a delete recomputes its groups
+    val e = GraftSqlTables.lookup(Seq(src)).get
+    val b1 = new TxnManifest(e.manifestPath).committed().keys.max + 1
+    StatsSinks.appendBatchStats(seed(660).where("id >= 600"), e.root, b1)
+    new TxnManifest(e.manifestPath).commit(b1, Seq(s"${e.root}/batch=$b1"))
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_kx")
+    assert(sortedRows(GraftMvs.read(spark, "mv_kx")) == sortedRows(expected))
+    GraftSql.execute(spark, s"DELETE FROM $src WHERE id % 13 = 4")
+    GraftSql.execute(spark, s"UPDATE $src SET m = m + 2 WHERE id % 17 = 6")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_kx")
+    assert(sortedRows(GraftMvs.read(spark, "mv_kx")) == sortedRows(expected))
+    val desc = GraftSql.execute(spark, "DESCRIBE MATERIALIZED VIEW mv_kx")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.contains("key_expr (b)") && desc.contains("key_expr (band)"))
+
+    // acceleration: the same computed-key expression (any alias)
+    // serves from the store; a coarser grain over one computed key
+    // rolls up; a DIFFERENT expression declines
+    val accel = GraftSql.execute(spark,
+      s"SELECT id % 7 AS bucket, CASE WHEN grp < 2 THEN 'lo' ELSE 'hi' " +
+        s"END AS band, sum(m) AS total FROM $src GROUP BY bucket, band")
+    assert(!accel.queryExecution.executedPlan.toString.contains(e.root),
+      "a computed-key query must serve from the fresh view")
+    assert(sortedRows(accel) == sortedRows(expected.select(
+      col("b").as("bucket"), col("band"), col("sm").as("total"))))
+    val coarse = GraftSql.execute(spark,
+      s"SELECT id % 7 AS b, count(*) AS n FROM $src GROUP BY b")
+    assert(!coarse.queryExecution.executedPlan.toString.contains(e.root),
+      "the coarser computed-key grain must roll up from the store")
+    assert(sortedRows(coarse) == sortedRows(
+      expected.groupBy("b").agg(sum("n").cast("long").as("n"))))
+    val other = GraftSql.execute(spark,
+      s"SELECT id % 9 AS b9, count(*) AS n FROM $src GROUP BY b9")
+    assert(other.queryExecution.executedPlan.toString.contains(e.root),
+      "a different key expression must decline the rewrite")
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_kx")
+
+    // GROUP BY repeating the expression verbatim also works
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_kx2 LOCATION '$base/mv2' AS " +
+        s"SELECT id % 5 AS b5, count(*) AS n FROM $src GROUP BY id % 5")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_kx2")
+    assert(GraftMvs.read(spark, "mv_kx2").count() == 5)
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_kx2")
+
+    // refusals: nondeterministic and evaluation-time-dependent keys,
+    // and a key alias shadowing a source column
+    def refuse(select: String, frag: String): Unit = {
+      val ex = intercept[Exception](GraftSql.execute(spark,
+        s"CREATE MATERIALIZED VIEW mv_kxbad LOCATION '$base/bad' " +
+          s"AS $select"))
+      assert(ex.getMessage != null && ex.getMessage.contains(frag),
+        s"message '${ex.getMessage}' should mention '$frag'")
+    }
+    refuse(s"SELECT CAST(rand() * 10 AS INT) AS r, count(*) AS n " +
+      s"FROM $src GROUP BY r", "nondeterministic")
+    refuse(s"SELECT date_add(current_date(), grp) AS age, count(*) AS n " +
+      s"FROM $src GROUP BY age", "evaluation time")
+    refuse(s"SELECT id % 3 AS grp, count(*) AS n FROM $src GROUP BY grp",
+      "shadows")
+  }
+
   test("FROM substitution: registered tables and views without temp views") {
     val (src, base, _) = newSource("sub", seed(50))
     val e = GraftSqlTables.lookup(Seq(src)).get
