@@ -649,7 +649,8 @@ object GraftMvs {
   /** Returns (fromExclusive, toInclusive, applied?) — applied=false
     * is the no-op refresh (nothing new committed upstream, nothing
     * committed here). */
-  def refresh(spark: SparkSession, name: String): (Int, Int, Boolean) = {
+  def refresh(spark: SparkSession, name: String,
+              full: Boolean = false): (Int, Int, Boolean) = {
     val baseDir = lookup(name).getOrElse(throw new IllegalArgumentException(
       s"materialized view '$name' is not registered"))
     val d = readDef(baseDir)
@@ -667,13 +668,21 @@ object GraftMvs {
     val mvMan = new TxnManifest(manifestPath(baseDir))
     val mvB = mvMan.committed().keys.maxOption.getOrElse(-1)
     val (lastV, lastD) = if (mvB < 0) (-1, -1) else stateFor(baseDir, mvB)
-    if (curV <= lastV && curD == lastD) return (lastV, curV, false)
+    if (!full && curV <= lastV && curD == lastD) return (lastV, curV, false)
 
     val newBatch = mvB + 1
     writeState(baseDir, newBatch, curV, curD) // inert until the commit below
     val dimDf = entryD.map(snapshotRead(spark, _))
 
-    if (mvB >= 0 && entryD.isDefined && curD != lastD) {
+    if (full && mvB >= 0) {
+      // REFRESH ... FULL: one recompute from the current snapshot —
+      // the recovery lever when the CDF window is gone (VACUUM, a
+      // collapsed cdf=false merge) or trust in the store is in doubt
+      val live0 = derive(dimDf.fold(snapshotRead(spark, entry))(dd =>
+        joinFrames(snapshotRead(spark, entry), dd, d.joinPairs)), d)
+      val live = d.where.fold(live0)(w => live0.where(expr(w)))
+      refreshFull(spark, d, baseDir, mvMan, newBatch, live)
+    } else if (mvB >= 0 && entryD.isDefined && curD != lastD) {
       // the DIM moved: ΔF ⋈ D no longer equals Δ(F ⋈ D) — one full
       // recompute (group death included); dims move rarely, facts
       // constantly, so this is the exceptional arm
@@ -1126,9 +1135,11 @@ final case class GraftMvCreateCommand(name: String, location: String,
   }
 }
 
-/** `REFRESH MATERIALIZED VIEW <name>` → one row
-  * (from_version, to_version, applied). */
-final case class GraftMvRefreshCommand(name: String)
+/** `REFRESH MATERIALIZED VIEW <name> [FULL]` → one row
+  * (from_version, to_version, applied). FULL forces one recompute
+  * from the current snapshot — the recovery lever when the change
+  * feed window is gone. */
+final case class GraftMvRefreshCommand(name: String, full: Boolean = false)
   extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
   override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
@@ -1136,7 +1147,7 @@ final case class GraftMvRefreshCommand(name: String)
       AttributeReference("to_version", IntegerType, nullable = false)(),
       AttributeReference("applied", BooleanType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val (from, to, applied) = GraftMvs.refresh(spark, name)
+    val (from, to, applied) = GraftMvs.refresh(spark, name, full)
     Seq(Row(from, to, applied))
   }
 }

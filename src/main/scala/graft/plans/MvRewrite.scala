@@ -24,7 +24,8 @@ import graft.sources.TxnManifest
   *
   * `accelerate` fires when the whole statement is
   * `[ORDER BY/LIMIT]? SELECT keys+aggs FROM t [JOIN t2 ON ...]
-  * [WHERE ...] GROUP BY keys` and some registered view over the same
+  * [WHERE ...] GROUP BY keys [HAVING <over output aliases>]` and
+  * some registered view over the same
   * FROM is FRESH (its last refresh consumed every source's current
   * manifest version — a stale view never serves, so results can
   * never depend on refresh recency). The join form serves star
@@ -127,7 +128,15 @@ object MvRewrite {
   private def accelerate(spark: SparkSession,
                          plan: LogicalPlan): Option[LogicalPlan] = {
     val outer = unwrapOuter(plan)
-    val agg = outer.core match {
+    // HAVING filters AFTER aggregation — exactly a Filter above the
+    // serve, provided it references only output aliases (an agg call
+    // inside HAVING would need its own view matching: decline)
+    val (qHaving, core) = outer.core match {
+      case org.apache.spark.sql.catalyst.analysis
+          .UnresolvedHaving(c, a: Aggregate) => (Some(c), a)
+      case other => (None, other)
+    }
+    val agg = core match {
       case a: Aggregate => a
       // a global aggregate (`SELECT count(*) FROM t`, no GROUP BY)
       // parses as Project — the analyzer's GlobalAggregates turn;
@@ -227,6 +236,13 @@ object MvRewrite {
     val aliases = items.map(i => norm(i.alias))
     if (aliases.distinct.size != aliases.size) return None
     if (!outer.refs.forall(r => aliases.contains(norm(r)))) return None
+    val havingOk = qHaving.forall { h =>
+      !h.exists(e => e.isInstanceOf[SubqueryExpression] ||
+        e.isInstanceOf[UnresolvedFunction]) &&
+        h.collect { case a: UnresolvedAttribute => a.nameParts }
+          .forall(p => p.length == 1 && aliases.contains(norm(p.head)))
+    }
+    if (!havingOk) return None
 
     // WHERE conjuncts, qualifier-stripped so they compare (and
     // re-apply) against the view's stored names
@@ -238,7 +254,7 @@ object MvRewrite {
     GraftMvs.allViews.iterator.flatMap { mvName =>
       serveFrom(spark, mvName, joinKey, qGroup, items, qConj, qConjSql)
     }.nextOption().map { served =>
-      outer.rewrap(served)
+      outer.rewrap(qHaving.foldLeft(served)((p, c) => Filter(c, p)))
     }
   }
 

@@ -1305,7 +1305,7 @@ object GraftMaintenance {
   private val MvCreate =
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+LOCATION\s+'([^']+)'\s+(?:BUCKETED\s+BY\s*\(\s*(\d+)\s*\)\s+)?AS\s+(SELECT\b.+?)\s*;?\s*""".r
   private val MvRefresh =
-    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)(\s+FULL)?\s*;?\s*""".r
   private val MvDrop =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
   private val MvShow =
@@ -1341,7 +1341,8 @@ object GraftMaintenance {
         GraftMvs.parseSelect(select)
         Some(GraftMvCreateCommand(name, loc, select,
           Option(buckets).map(_.toInt)))
-      case MvRefresh(name) => Some(GraftMvRefreshCommand(name))
+      case MvRefresh(name, full) =>
+        Some(GraftMvRefreshCommand(name, full != null))
       case MvDrop(name) => Some(GraftMvDropCommand(name))
       case MvShow() => Some(GraftMvShowCommand())
       case MvDescribe(name) => Some(GraftMvDescribeCommand(name))

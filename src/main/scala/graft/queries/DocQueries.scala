@@ -198,6 +198,52 @@ object DocQueries {
         .select("doc_id", "tok", "tf", "df", "score_ppm")
     }),
 
+    // BM25 retrieval (round 10): rank the corpus for a fixed query
+    // ('hash', 'join', 'vector') — the retrieval primitive next to
+    // t14's TF-IDF. Scale shape: tf and doc lengths from one
+    // explode+groupBy family over the corpus; document frequencies
+    // and corpus stats broadcast; scoring is per-row double
+    // arithmetic in a FIXED evaluation order — only IEEE +,-,*,/
+    // (each correctly rounded, no ln/exp), and the per-term partial
+    // scores fold in a FIXED order — so the DuckDB oracle reproduces
+    // the scores bit-for-bit. k1 = 1.2, b = 0.75 (the classic
+    // Robertson constants), idf in the rational (N-df+.5)/(df+.5)
+    // form.
+    "t25_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val toks = docs.select(col("doc_id"),
+        explode(TA.tokens(col("text"))).as("tok"))
+      val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val terms = Seq("hash", "join", "vector")
+      val tf = toks.filter(col("tok").isin(terms: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+        .crossJoin(lens.agg(sum(col("len")).cast("double").as("s_toks")))
+      val scored = tf
+        .join(broadcast(dfreq), "tok")
+        .join(lens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("score",
+          ((col("n_docs") - col("df") + lit(0.5d)) /
+            (col("df") + lit(0.5d))) *
+          ((col("tf") * lit(2.2d)) /
+            (col("tf") + lit(0.3d) +
+              (lit(0.9d) * col("len")) / (col("s_toks") / col("n_docs")))))
+      // one conditional sum per query term: each folds at most one
+      // value (order-free), and the final three-way add is left-assoc in
+      // both engines
+      scored.groupBy("doc_id").agg(
+        sum(when(col("tok") === "hash", col("score"))).as("s1"),
+        sum(when(col("tok") === "join", col("score"))).as("s2"),
+        sum(when(col("tok") === "vector", col("score"))).as("s3"))
+        .select(col("doc_id"),
+          (coalesce(col("s1"), lit(0d)) + coalesce(col("s2"), lit(0d)) +
+            coalesce(col("s3"), lit(0d))).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
     // Exact dedup: content-hash grouping, canonical = min doc_id.
     // Corpus extended with EXACT copies (id+2e6) so duplicate groups
     // exist at every sf.
@@ -632,6 +678,35 @@ object DocQueries {
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY score_ppm DESC, tok ASC) AS rn FROM scored)
         |SELECT doc_id, tok, tf, df, score_ppm FROM ranked WHERE rn <= 3""".stripMargin,
+    "t25_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |  WHERE tok IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT
+        |  CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n_docs,
+        |  CAST((SELECT sum(len) FROM lens) AS DOUBLE) AS s_toks),
+        |scored AS (
+        |  SELECT t.doc_id, t.tok,
+        |    ((st.n_docs - f.df + CAST(0.5 AS DOUBLE)) /
+        |      (f.df + CAST(0.5 AS DOUBLE))) *
+        |    ((t.tf * CAST(2.2 AS DOUBLE)) /
+        |      (t.tf + CAST(0.3 AS DOUBLE) +
+        |        (CAST(0.9 AS DOUBLE) * l.len) /
+        |          (st.s_toks / st.n_docs))) AS score
+        |  FROM tf t JOIN dfreq f USING (tok) JOIN lens l USING (doc_id),
+        |    stats st),
+        |agg AS (SELECT doc_id,
+        |    sum(CASE WHEN tok = 'hash' THEN score END) AS s1,
+        |    sum(CASE WHEN tok = 'join' THEN score END) AS s2,
+        |    sum(CASE WHEN tok = 'vector' THEN score END) AS s3
+        |  FROM scored GROUP BY 1)
+        |SELECT doc_id,
+        |  coalesce(s1, CAST(0 AS DOUBLE)) + coalesce(s2, CAST(0 AS DOUBLE))
+        |    + coalesce(s3, CAST(0 AS DOUBLE)) AS bm25
+        |FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
     "dd1_exact_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -478,6 +478,52 @@ class MvSpec extends SparkSuite {
     GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_jacc")
   }
 
+  test("HAVING over output aliases serves; agg-call HAVING declines") {
+    val (src, base, _) = newSource("hav", seed(300))
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_hav LOCATION '$base/mv' AS " +
+        s"SELECT grp, count(*) AS n, sum(m) AS sm FROM $src GROUP BY grp")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_hav")
+    val e = GraftSqlTables.lookup(Seq(src)).get
+    def direct: DataFrame =
+      Sinks.readCommitted(spark, e.root, new TxnManifest(e.manifestPath))
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum("m").as("sm"))
+
+    // HAVING references output aliases → a Filter above the serve
+    val served = GraftSql.execute(spark,
+      s"SELECT grp, count(*) AS n, sum(m) AS sm FROM $src GROUP BY grp " +
+        "HAVING n > 70 AND sm > 0")
+    assert(!served.queryExecution.executedPlan.toString.contains(e.root),
+      "alias-only HAVING must serve from the view")
+    assert(sortedRows(served) ==
+      sortedRows(direct.where("n > 70 AND sm > 0")))
+    // ... and composes with ORDER BY/LIMIT wrappers
+    val top = GraftSql.execute(spark,
+      s"SELECT grp, sum(m) AS sm FROM $src GROUP BY grp " +
+        "HAVING sm > 0 ORDER BY sm DESC LIMIT 2")
+    assert(!top.queryExecution.executedPlan.toString.contains(e.root))
+    assert(top.collect().map(_.getInt(0)).toSeq ==
+      direct.where("sm > 0").orderBy(col("sm").desc).limit(2)
+        .collect().map(_.getInt(0)).toSeq)
+
+    // an aggregate CALL in HAVING needs its own matching — decline
+    val agg = GraftSql.execute(spark,
+      s"SELECT grp, sum(m) AS sm FROM $src GROUP BY grp " +
+        "HAVING count(*) > 70")
+    assert(agg.queryExecution.executedPlan.toString.contains(e.root),
+      "agg-call HAVING must decline the rewrite")
+    assert(sortedRows(agg) == sortedRows(
+      direct.where("n > 70").select(col("grp"), col("sm"))))
+
+    // REFRESH ... FULL: always applies, one recompute, same contents
+    GraftSql.execute(spark, s"DELETE FROM $src WHERE id % 8 = 5")
+    val r = GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_hav FULL")
+      .collect().head
+    assert(r.getBoolean(2), "FULL refresh must always apply")
+    assert(sortedRows(GraftMvs.read(spark, "mv_hav")) == sortedRows(direct))
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_hav")
+  }
+
   test("BUCKETED BY store: every refresh batch keeps the layout") {
     val (src, base, _) = newSource("bkt", seed(2000))
     GraftSql.execute(spark,
