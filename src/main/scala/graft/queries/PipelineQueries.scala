@@ -1022,7 +1022,9 @@ object PipelineQueries {
     "s34_mv_incremental" -> ((s, d) => {
       import graft.plans.{GraftMvs, GraftSql, GraftSqlTables}
       import graft.sources.{StatsSinks, TxnManifest}
-      val o = Tables.orders(s, d).select(
+      // scenario slice: the refresh arms are input-size independent,
+      // so the fact rides a half-slice (bench stays scenario-IO sane)
+      val o = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0).select(
         col("o_orderkey").as("id"),
         col("o_orderstatus").as("status"),
         when(col("o_orderkey") % 17 === 0, lit(null))
@@ -1064,7 +1066,7 @@ object PipelineQueries {
     "s35_mv_minmax" -> ((s, d) => {
       import graft.plans.{GraftMvs, GraftSql, GraftSqlTables}
       import graft.sources.{StatsSinks, TxnManifest}
-      val o = Tables.orders(s, d).select(
+      val o = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0).select(
         col("o_orderkey").as("id"),
         col("o_orderstatus").as("status"),
         col("o_custkey").as("cust"))
@@ -1109,7 +1111,7 @@ object PipelineQueries {
     "s36_mv_distinct" -> ((s, d) => {
       import graft.plans.{GraftMvs, GraftSql, GraftSqlTables}
       import graft.sources.{StatsSinks, TxnManifest}
-      val o = Tables.orders(s, d).select(
+      val o = Tables.orders(s, d).filter(col("o_orderkey") % 4 === 0).select(
         col("o_orderkey").as("id"),
         col("o_orderstatus").as("status"),
         (col("o_custkey") % 97).as("cust"))
@@ -1149,7 +1151,8 @@ object PipelineQueries {
     "s37_mv_rewrite" -> ((s, d) => {
       import graft.plans.{GraftSql, GraftSqlTables, GraftMvs}
       import graft.sources.{StatsSinks, TxnManifest}
-      val li = Tables.lineitem(s, d).select(
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 4 === 0).select(
         (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
         col("l_returnflag").as("flag"),
         col("l_linestatus").as("lstat"),
@@ -1213,7 +1216,8 @@ object PipelineQueries {
       // testdata — pre-aggregate to the id grain so the keyed UPDATE
       // below sees unique keys (min/sum are order-insensitive, so the
       // grain is deterministic and the oracle mirrors it exactly)
-      reg("fact", Tables.lineitem(s, d).select(
+      reg("fact", Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 4 === 0).select(
         (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
         col("l_suppkey").as("sk"),
         col("l_quantity").cast("decimal(18,6)").as("qty"))
@@ -1253,7 +1257,8 @@ object PipelineQueries {
     "s40_mv_timebucket" -> ((s, d) => {
       import graft.plans.{GraftMvs, GraftSql, GraftSqlTables}
       import graft.sources.{StatsSinks, TxnManifest}
-      val ev = Tables.events(s, d).select(
+      val ev = Tables.events(s, d)
+        .filter(col("event_id") % 2 === 0).select(
         col("event_id").as("id"), col("ts"),
         col("value").cast("decimal(18,6)").as("v"))
       val base = java.nio.file.Files
@@ -2694,7 +2699,8 @@ object PipelineQueries {
         |  SELECT o_orderkey AS id, o_orderstatus AS status,
         |    CASE WHEN o_orderkey % 17 = 0 THEN NULL
         |         ELSE CAST(o_totalprice AS DECIMAL(18,6)) END AS price
-        |  FROM orders WHERE o_orderkey % 3 IN (0, 1)),
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |    AND o_orderkey % 3 IN (0, 1)),
         |final AS (
         |  SELECT id, status,
         |    CASE WHEN id % 11 = 3 THEN CAST(price * 2 AS DECIMAL(18,6))
@@ -2708,7 +2714,8 @@ object PipelineQueries {
         |  SELECT o_orderkey AS id, o_orderstatus AS status,
         |    o_custkey AS cust
         |  FROM orders
-        |  WHERE NOT (o_orderkey % 10 = 9) AND o_orderstatus <> 'P'),
+        |  WHERE o_orderkey % 2 = 0
+        |    AND NOT (o_orderkey % 10 = 9) AND o_orderstatus <> 'P'),
         |final AS (
         |  SELECT * FROM kept
         |  UNION ALL
@@ -2722,7 +2729,7 @@ object PipelineQueries {
       """WITH src AS (
         |  SELECT o_orderkey AS id, o_orderstatus AS status,
         |    o_custkey % 97 AS cust
-        |  FROM orders),
+        |  FROM orders WHERE o_orderkey % 4 = 0),
         |final AS (
         |  SELECT id, status,
         |    CASE WHEN id % 7 = 1 THEN cust % 13 ELSE cust END AS cust
@@ -2734,7 +2741,7 @@ object PipelineQueries {
         |  SELECT l_orderkey * 8 + l_linenumber AS id,
         |    l_returnflag AS flag,
         |    CAST(l_quantity AS DECIMAL(18,6)) AS qty
-        |  FROM lineitem),
+        |  FROM lineitem WHERE l_orderkey % 4 = 0),
         |final AS (SELECT * FROM src WHERE NOT (id % 9 = 7))
         |SELECT flag, count(*) AS n_items,
         |  CAST(sum(qty) AS DOUBLE) AS sum_qty
@@ -2742,7 +2749,7 @@ object PipelineQueries {
     "s40_mv_timebucket" ->
       """WITH src AS (
         |  SELECT event_id AS id, ts, CAST(value AS DECIMAL(18,6)) AS v
-        |  FROM events),
+        |  FROM events WHERE event_id % 2 = 0),
         |final AS (
         |  SELECT id, ts,
         |    CASE WHEN id % 11 = 3 THEN v + 1 ELSE v END AS v
@@ -2766,7 +2773,7 @@ object PipelineQueries {
         |    min(l_suppkey) AS sk,
         |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
         |      AS DECIMAL(18,6)) AS qty
-        |  FROM lineitem GROUP BY 1),
+        |  FROM lineitem WHERE l_orderkey % 4 = 0 GROUP BY 1),
         |fact AS (
         |  SELECT id, sk,
         |    CASE WHEN id % 11 = 0 THEN qty + 5 ELSE qty END AS qty
