@@ -1213,4 +1213,64 @@ class StreamingSpec extends SparkSuite {
     // a second consumer app has its own epoch log
     assert(CdcApply.lastApplied(manPath, "other").isEmpty)
   }
+
+  test("streaming MV twin: CDF-stream fold state equals the batch view") {
+    import graft.plans.{GraftMvs, GraftSql, GraftSqlTables}
+    import graft.sources.{StatsSinks, TxnManifest}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stmv_").toString
+    val root = s"$base/src"
+    val manPath = s"$base/manifest.tsv"
+    val man = new TxnManifest(manPath)
+    def seed(n: Int) = spark.range(n).select(col("id"),
+      (col("id") % 5).cast("int").as("grp"),
+      when(col("id") % 7 === 0, lit(null).cast("long"))
+        .otherwise(col("id") * 3).as("v"))
+    StatsSinks.appendBatchStats(seed(400), root, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+    GraftSqlTables.register("stmv_src", GraftSqlTables.Entry(root,
+      manPath, keys = Seq("id"), cdf = true))
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW stmv LOCATION '$base/mv' AS " +
+        "SELECT grp, count(*) AS n, sum(v) AS sv FROM stmv_src GROUP BY grp")
+    GraftSql.execute(spark, "DELETE FROM stmv_src WHERE id % 9 = 2")
+    GraftSql.execute(spark, "UPDATE stmv_src SET v = v + 1 WHERE id % 4 = 1")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW stmv")
+
+    // the SS twin: a streaming aggregation over the SAME change feed,
+    // folding the SAME signed weights the batch refresh folds — the
+    // streaming state and the stored view must agree exactly
+    val w = when(col(graft.sources.Sinks.ChangeTypeCol)
+      .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+    def startTwin() = spark.readStream.format("graft-manifest")
+      .option("manifest", manPath).option("changeFeed", "true").load(root)
+      .select(col("grp"), w.as("w"), col("v"))
+      .groupBy("grp").agg(sum(col("w")).as("n"),
+        sum(col("w") * col("v")).as("sv"))
+      .writeStream.format("memory").queryName("stmv_twin")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("complete").start()
+    def twinRows() = spark.table("stmv_twin").filter(col("n") > 0)
+      .collect().map(_.toString).sorted.toSeq
+    def mvRows() = GraftMvs.read(spark, "stmv")
+      .collect().map(_.toString).sorted.toSeq
+    val q = startTwin()
+    try q.processAllAvailable() finally q.stop()
+    assert(twinRows() == mvRows(),
+      "streaming fold state must equal the refreshed view")
+
+    // more DML while the stream is DOWN; restart resumes the state
+    // from the checkpoint and both sides converge again
+    GraftSql.execute(spark, "DELETE FROM stmv_src WHERE grp = 3")
+    GraftSql.execute(spark, "UPDATE stmv_src SET v = v * 2 WHERE id % 10 = 6")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW stmv")
+    val q2 = startTwin()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(twinRows() == mvRows(),
+      "restarted twin must converge with the second refresh")
+    assert(!twinRows().exists(_.contains("[3,")),
+      "the killed group must be absent from both sides")
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW stmv")
+    GraftSqlTables.unregister("stmv_src")
+  }
 }
