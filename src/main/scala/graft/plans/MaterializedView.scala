@@ -649,8 +649,25 @@ object GraftMvs {
   /** Returns (fromExclusive, toInclusive, applied?) — applied=false
     * is the no-op refresh (nothing new committed upstream, nothing
     * committed here). */
+  /** Per-view refresh serialization. Two refreshes racing the same
+    * view could interleave state-file writes with the manifest CAS:
+    * the loser's state overwrite would mark source versions consumed
+    * that the winner's committed batch never folded — silent delta
+    * loss. In-process the lock removes the race; ACROSS processes
+    * refresh is single-writer by contract (run it from one
+    * maintenance job, the same discipline every MV scheduler
+    * applies), and the manifest CAS turns a violation into a loud
+    * commit failure rather than corruption for the loser. */
+  private val refreshLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def refresh(spark: SparkSession, name: String,
-              full: Boolean = false): (Int, Int, Boolean) = {
+              full: Boolean = false): (Int, Int, Boolean) =
+    refreshLocks.computeIfAbsent(norm(name), _ => new Object)
+      .synchronized { refreshLocked(spark, name, full) }
+
+  private def refreshLocked(spark: SparkSession, name: String,
+                            full: Boolean): (Int, Int, Boolean) = {
     val baseDir = lookup(name).getOrElse(throw new IllegalArgumentException(
       s"materialized view '$name' is not registered"))
     val d = readDef(baseDir)
