@@ -76,21 +76,28 @@ object MvRewrite {
     * re-attached around the serve (their unresolved column refs
     * re-resolve against the served output by name). `refs` is every
     * column name the wrappers mention — each must be an output alias
-    * or the rewrite declines. */
+    * or the rewrite declines. `ok=false` declines outright: a sort
+    * expression containing a FUNCTION call (`ORDER BY count(*)`)
+    * resolves against the aggregate in vanilla execution but would
+    * re-aggregate — or fail analysis — above the serve. */
   private final case class Outer(rewrap: LogicalPlan => LogicalPlan,
-                                 refs: Seq[String], core: LogicalPlan)
+                                 refs: Seq[String], core: LogicalPlan,
+                                 ok: Boolean = true)
 
   private def unwrapOuter(plan: LogicalPlan): Outer = plan match {
     case s @ Sort(order, true, child, _) =>
       val inner = unwrapOuter(child)
       val refs = order.flatMap(_.collect {
         case a: UnresolvedAttribute => a.nameParts.last })
+      val plain = order.forall(o => !o.child.exists(e =>
+        e.isInstanceOf[UnresolvedFunction] ||
+          e.isInstanceOf[SubqueryExpression]))
       Outer(p => s.copy(child = inner.rewrap(p)), refs ++ inner.refs,
-        inner.core)
+        inner.core, plain && inner.ok)
     case g @ GlobalLimit(_, l: LocalLimit) =>
       val inner = unwrapOuter(l.child)
       Outer(p => g.copy(child = l.copy(child = inner.rewrap(p))),
-        inner.refs, inner.core)
+        inner.refs, inner.core, inner.ok)
     case other => Outer(identity, Nil, other)
   }
 
@@ -128,6 +135,7 @@ object MvRewrite {
   private def accelerate(spark: SparkSession,
                          plan: LogicalPlan): Option[LogicalPlan] = {
     val outer = unwrapOuter(plan)
+    if (!outer.ok) return None
     // HAVING filters AFTER aggregation — exactly a Filter above the
     // serve, provided it references only output aliases (an agg call
     // inside HAVING would need its own view matching: decline)

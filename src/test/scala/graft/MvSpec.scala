@@ -521,6 +521,15 @@ class MvSpec extends SparkSuite {
       .collect().head
     assert(r.getBoolean(2), "FULL refresh must always apply")
     assert(sortedRows(GraftMvs.read(spark, "mv_hav")) == sortedRows(direct))
+
+    // an aggregate call in ORDER BY resolves against the aggregate in
+    // vanilla execution — above the serve it would re-aggregate, so
+    // the rewrite must decline
+    val sortAgg = GraftSql.execute(spark,
+      s"SELECT grp, sum(m) AS sm FROM $src GROUP BY grp " +
+        "ORDER BY count(*) DESC, grp")
+    assert(sortAgg.queryExecution.executedPlan.toString.contains(e.root),
+      "ORDER BY with an aggregate call must decline the rewrite")
     GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_hav")
   }
 
