@@ -1140,15 +1140,18 @@ object GraftMvs {
   }
 }
 
-/** `CREATE MATERIALIZED VIEW <name> LOCATION '<dir>'
+/** `CREATE MATERIALIZED VIEW [IF NOT EXISTS] <name> LOCATION '<dir>'
   * [BUCKETED BY (<n>)] AS <select>` — BUCKETED BY lays the store out
   * on the group keys (n buckets per key). */
 final case class GraftMvCreateCommand(name: String, location: String,
                                       select: String,
-                                      buckets: Option[Int] = None)
+                                      buckets: Option[Int] = None,
+                                      ifNotExists: Boolean = false)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftMvs.create(spark, name, location, select, buckets); Seq.empty
+    if (!(ifNotExists && GraftMvs.lookup(name).isDefined))
+      GraftMvs.create(spark, name, location, select, buckets)
+    Seq.empty
   }
 }
 
@@ -1171,10 +1174,11 @@ final case class GraftMvRefreshCommand(name: String, full: Boolean = false)
 
 /** `DROP MATERIALIZED VIEW <name>` — unregisters (files remain; the
   * location is caller-owned, the VACUUM contract of temp state). */
-final case class GraftMvDropCommand(name: String)
+final case class GraftMvDropCommand(name: String, ifExists: Boolean = false)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftMvs.drop(name); Seq.empty
+    if (!(ifExists && GraftMvs.lookup(name).isEmpty)) GraftMvs.drop(name)
+    Seq.empty
   }
 }
 

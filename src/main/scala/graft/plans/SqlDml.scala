@@ -1303,11 +1303,11 @@ object GraftMaintenance {
   private val CloneRe =
     """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
   private val MvCreate =
-    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+LOCATION\s+'([^']+)'\s+(?:BUCKETED\s+BY\s*\(\s*(\d+)\s*\)\s+)?AS\s+(SELECT\b.+?)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s+LOCATION\s+'([^']+)'\s+(?:BUCKETED\s+BY\s*\(\s*(\d+)\s*\)\s+)?AS\s+(SELECT\b.+?)\s*;?\s*""".r
   private val MvRefresh =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)(\s+FULL)?\s*;?\s*""".r
   private val MvDrop =
-    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([\w.]+)\s*;?\s*""".r
   private val MvShow =
     """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*""".r
   private val MvDescribe =
@@ -1335,15 +1335,16 @@ object GraftMaintenance {
         GraftCopyIntoCommand(name, e, from, Option(pat), fmt,
           force = Option(force).exists(_.equalsIgnoreCase("true")),
           formatOptions = parseFormatOptions(fmtOpts)))
-      case MvCreate(name, loc, buckets, select) =>
+      case MvCreate(ifNot, name, loc, buckets, select) =>
         // validate the SELECT shape NOW — a refused aggregate must
         // surface at statement parse, not mid-create
         GraftMvs.parseSelect(select)
         Some(GraftMvCreateCommand(name, loc, select,
-          Option(buckets).map(_.toInt)))
+          Option(buckets).map(_.toInt), ifNotExists = ifNot != null))
       case MvRefresh(name, full) =>
         Some(GraftMvRefreshCommand(name, full != null))
-      case MvDrop(name) => Some(GraftMvDropCommand(name))
+      case MvDrop(ifEx, name) =>
+        Some(GraftMvDropCommand(name, ifExists = ifEx != null))
       case MvShow() => Some(GraftMvShowCommand())
       case MvDescribe(name) => Some(GraftMvDescribeCommand(name))
       case CloneRe(dst, src, ver, ts) => entryOf(src).map(e =>

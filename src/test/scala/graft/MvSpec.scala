@@ -215,6 +215,18 @@ class MvSpec extends SparkSuite {
       s"CREATE MATERIALIZED VIEW mv_bad LOCATION '$base/mv' AS " +
         "SELECT x, count(*) AS n FROM not_a_table GROUP BY x"))
     assert(ex.getMessage.contains("not a registered"))
+
+    // IF NOT EXISTS / IF EXISTS conveniences
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW IF EXISTS mv_ine")
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW IF NOT EXISTS mv_ine LOCATION " +
+        s"'$base/ine' AS SELECT grp, count(*) AS n FROM $src GROUP BY grp")
+    GraftSql.execute(spark, // second create: no-op, original wins
+      s"CREATE MATERIALIZED VIEW IF NOT EXISTS mv_ine LOCATION " +
+        s"'$base/other' AS SELECT grp, count(*) AS n FROM $src GROUP BY grp")
+    assert(GraftMvs.lookup("mv_ine").exists(_.endsWith("/ine")))
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW IF EXISTS mv_ine")
+    assert(GraftMvs.lookup("mv_ine").isEmpty)
   }
 
   test("count(DISTINCT) MV maintains through recompute mode") {
