@@ -1015,6 +1015,14 @@ object GraftMvs {
     unregister(name)
   }
 
+  /** Refresh every registered view (sorted, independent commits) —
+    * `REFRESH ALL MATERIALIZED VIEWS`. */
+  def refreshAll(spark: SparkSession): Seq[(String, Int, Int, Boolean)] =
+    allViews.map { n =>
+      val (f, t, a) = refresh(spark, n)
+      (n, f, t, a)
+    }
+
   /** (name, source, location, is_fresh) per registered view —
     * `SHOW MATERIALIZED VIEWS`. */
   private[plans] def describeAll(spark: SparkSession)
@@ -1180,6 +1188,22 @@ final case class GraftMvDropCommand(name: String, ifExists: Boolean = false)
     if (!(ifExists && GraftMvs.lookup(name).isEmpty)) GraftMvs.drop(name)
     Seq.empty
   }
+}
+
+/** `REFRESH ALL MATERIALIZED VIEWS` → one row per registered view
+  * (name, from_version, to_version, applied) — the nightly
+  * maintenance sweep as one statement. Views refresh independently;
+  * a failing view fails the statement AFTER the prior views
+  * committed (each refresh is its own atomic commit). */
+final case class GraftMvRefreshAllCommand() extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("name", StringType, nullable = false)(),
+      AttributeReference("from_version", IntegerType, nullable = false)(),
+      AttributeReference("to_version", IntegerType, nullable = false)(),
+      AttributeReference("applied", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftMvs.refreshAll(spark).map { case (n, f, t, a) => Row(n, f, t, a) }
 }
 
 /** `SHOW MATERIALIZED VIEWS` → (name, source, location, is_fresh). */

@@ -1310,6 +1310,8 @@ object GraftMaintenance {
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([\w.]+)\s*;?\s*""".r
   private val MvShow =
     """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*""".r
+  private val MvRefreshAll =
+    """(?is)\s*REFRESH\s+ALL\s+MATERIALIZED\s+VIEWS\s*;?\s*""".r
   private val MvDescribe =
     """(?is)\s*DESCRIBE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
 
@@ -1341,6 +1343,7 @@ object GraftMaintenance {
         GraftMvs.parseSelect(select)
         Some(GraftMvCreateCommand(name, loc, select,
           Option(buckets).map(_.toInt), ifNotExists = ifNot != null))
+      case MvRefreshAll() => Some(GraftMvRefreshAllCommand())
       case MvRefresh(name, full) =>
         Some(GraftMvRefreshCommand(name, full != null))
       case MvDrop(ifEx, name) =>

@@ -52,6 +52,82 @@ object SimQueries {
     // threads composed): the corpus lives in a catalog table bucketed
     // on the IVF cell (label), so the probe's cell set — a broadcast
     // join at run time — prunes files WITHIN each bucket group via
+    // Hybrid retrieval (round 10): lexical BM25 over documents fused
+    // with embedding cosine via integer RECIPROCAL RANK FUSION —
+    // the two-arm retrieval stack every RAG pipeline runs. Each arm
+    // ranks its own top-50 (BM25 doubles are bit-deterministic by
+    // t25's construction; cosine is exact-integer-parts); the fusion
+    // score 10^6/(60+r) folds in INTEGER division, so the fused
+    // ranking is integer-exact end to end. Scale shape: the lexical
+    // arm is one corpus aggregation family + broadcast df; the
+    // semantic arm broadcasts the single query vector over the
+    // embedding scan; fusion joins two 50-row frames.
+    "sim11_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // lexical arm: t25's BM25 (same constants, same fixed-order
+      // IEEE arithmetic), ranked top-50
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val terms = Seq("hash", "join", "vector")
+      val tf = toks.filter(col("tok").isin(terms: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+        .crossJoin(lens.agg(sum(col("len")).cast("double").as("s_toks")))
+      val scored = tf.join(broadcast(dfreq), "tok").join(lens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("score",
+          ((col("n_docs") - col("df") + lit(0.5d)) /
+            (col("df") + lit(0.5d))) *
+          ((col("tf") * lit(2.2d)) /
+            (col("tf") + lit(0.3d) +
+              (lit(0.9d) * col("len")) / (col("s_toks") / col("n_docs")))))
+      val bm25 = scored.groupBy("doc_id").agg(
+        sum(when(col("tok") === "hash", col("score"))).as("s1"),
+        sum(when(col("tok") === "join", col("score"))).as("s2"),
+        sum(when(col("tok") === "vector", col("score"))).as("s3"))
+        .select(col("doc_id"),
+          (coalesce(col("s1"), lit(0d)) + coalesce(col("s2"), lit(0d)) +
+            coalesce(col("s3"), lit(0d))).as("bm25"))
+      // distributed top-k FIRST (TakeOrderedAndProject — no global
+      // single-partition window over the corpus), then rank the
+      // 50-row result
+      val wl = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+      val lex = bm25.orderBy(col("bm25").desc, col("doc_id").asc).limit(50)
+        .withColumn("r_lex", row_number().over(wl))
+        .select(col("doc_id"), col("r_lex"))
+      // semantic arm: exact-integer cosine against ONE query vector
+      val emb = Tables.embeddings(s, d)
+      val qvec = emb.filter(col("vec_id") === 0).select(
+        Embeddings.quantize(col("embedding")).as("qv"))
+        .withColumn("qn2", Embeddings.qnorm2(col("qv")))
+      val cosScored = emb.select(col("vec_id"),
+        Embeddings.quantize(col("embedding")).as("cv"))
+        .withColumn("cn2", Embeddings.qnorm2(col("cv")))
+        .crossJoin(broadcast(qvec))
+        .select(col("vec_id"),
+          Embeddings.cosine(Embeddings.qdot(col("qv"), col("cv")),
+            col("qn2"), col("cn2")).as("cos"))
+      val ws = Window.orderBy(col("cos").desc, col("vec_id").asc)
+      val sem = cosScored.orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(50)
+        .withColumn("r_sem", row_number().over(ws))
+        .select(col("vec_id"), col("r_sem"))
+      // reciprocal rank fusion, k=60, ppm-scaled integer division;
+      // an id absent from one arm rides rank 1000
+      lex.join(sem, lex("doc_id") === sem("vec_id"), "full_outer")
+        .select(coalesce(col("doc_id"), col("vec_id")).as("id"),
+          col("r_lex").cast("long").as("r_lex"),
+          col("r_sem").cast("long").as("r_sem"),
+          (expr("1000000 div (60 + coalesce(r_lex, 1000))") +
+            expr("1000000 div (60 + coalesce(r_sem, 1000))"))
+            .cast("long").as("rrf_ppm"))
+        .orderBy(col("rrf_ppm").desc, col("id").asc)
+        .limit(10)
+    }),
+
     // runtime filtering, and a same-bucketed second corpus would join
     // exchange-free. Same semantics as sim4 (the oracle is shared):
     // the hash gate certifies that the bucket-pruned storage path
@@ -654,6 +730,57 @@ object SimQueries {
     // same storage-invisible semantics: the bucketed layout must not
     // change a single neighbor or score
     "sim10_bucketed_ivf" -> sim4OracleSql,
+    "sim11_hybrid_rrf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+        |tfx AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |  WHERE tok IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tfx GROUP BY 1),
+        |stats AS (SELECT
+        |  CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n_docs,
+        |  CAST((SELECT sum(len) FROM lens) AS DOUBLE) AS s_toks),
+        |bmscored AS (
+        |  SELECT t.doc_id, t.tok,
+        |    ((st.n_docs - f.df + CAST(0.5 AS DOUBLE)) /
+        |      (f.df + CAST(0.5 AS DOUBLE))) *
+        |    ((t.tf * CAST(2.2 AS DOUBLE)) /
+        |      (t.tf + CAST(0.3 AS DOUBLE) +
+        |        (CAST(0.9 AS DOUBLE) * l.len) /
+        |          (st.s_toks / st.n_docs))) AS score
+        |  FROM tfx t JOIN dfreq f USING (tok) JOIN lens l USING (doc_id),
+        |    stats st),
+        |bm AS (SELECT doc_id,
+        |    coalesce(sum(CASE WHEN tok = 'hash' THEN score END),
+        |      CAST(0 AS DOUBLE))
+        |    + coalesce(sum(CASE WHEN tok = 'join' THEN score END),
+        |      CAST(0 AS DOUBLE))
+        |    + coalesce(sum(CASE WHEN tok = 'vector' THEN score END),
+        |      CAST(0 AS DOUBLE)) AS bm25
+        |  FROM bmscored GROUP BY 1),
+        |lex AS (SELECT doc_id, r_lex FROM (SELECT doc_id, row_number()
+        |    OVER (ORDER BY bm25 DESC, doc_id) AS r_lex FROM bm)
+        |  WHERE r_lex <= 50),
+        |qv0 AS (SELECT ${qv("1000000")} AS qv FROM embeddings
+        |  WHERE vec_id = 0),
+        |cand AS (SELECT vec_id, ${qv("1000000")} AS cv FROM embeddings),
+        |semscored AS (SELECT vec_id,
+        |    CAST($dot64 AS DOUBLE) /
+        |    sqrt(CAST(${n2("qv")} AS DOUBLE) *
+        |         CAST(${n2("cv")} AS DOUBLE)) AS cos
+        |  FROM cand, qv0),
+        |sem AS (SELECT vec_id, r_sem FROM (SELECT vec_id, row_number()
+        |    OVER (ORDER BY cos DESC, vec_id) AS r_sem FROM semscored)
+        |  WHERE r_sem <= 50),
+        |fused AS (SELECT coalesce(l.doc_id, s.vec_id) AS id,
+        |    CAST(l.r_lex AS BIGINT) AS r_lex,
+        |    CAST(s.r_sem AS BIGINT) AS r_sem,
+        |    CAST(1000000 // (60 + coalesce(l.r_lex, 1000))
+        |      + 1000000 // (60 + coalesce(s.r_sem, 1000)) AS BIGINT)
+        |      AS rrf_ppm
+        |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.vec_id)
+        |SELECT id, r_lex, r_sem, rrf_ppm FROM fused
+        |ORDER BY rrf_ppm DESC, id LIMIT 10""".stripMargin,
 
     "sim3_ivf_centroid" ->
       s"""WITH q AS (SELECT vec_id AS vid, label AS true_label, ${qv("10000")} AS v

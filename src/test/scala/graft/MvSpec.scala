@@ -542,6 +542,14 @@ class MvSpec extends SparkSuite {
         "ORDER BY count(*) DESC, grp")
     assert(sortAgg.queryExecution.executedPlan.toString.contains(e.root),
       "ORDER BY with an aggregate call must decline the rewrite")
+
+    // the maintenance sweep: one statement refreshes every view
+    GraftSql.execute(spark, s"DELETE FROM $src WHERE id % 12 = 7")
+    val sweep = GraftSql.execute(spark, "REFRESH ALL MATERIALIZED VIEWS")
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(sweep.get("mv_hav").contains(true),
+      s"sweep must refresh mv_hav: $sweep")
+    assert(sortedRows(GraftMvs.read(spark, "mv_hav")) == sortedRows(direct))
     GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_hav")
   }
 
