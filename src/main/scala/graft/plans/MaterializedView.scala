@@ -85,7 +85,9 @@ object GraftMvs {
                          src2: Option[String] = None,
                          joinPairs: Seq[(String, String)] = Nil,
                          bucket: Option[String] = None,
-                         keyExprs: Seq[(String, String)] = Nil) {
+                         keyExprs: Seq[(String, String)] = Nil,
+                         srcMan: Option[String] = None,
+                         dimMan: Option[String] = None) {
     def additive: Boolean = aggs.forall(a =>
       a.func != "min" && a.func != "max" && a.func != "count_distinct")
     /** Parsed storage-layout bucket spec ([[graft.sources.Bucketing]]). */
@@ -116,13 +118,17 @@ object GraftMvs {
     : Option[MvDef] = {
     val baseDir = lookup(name).getOrElse(return None)
     val d = scala.util.Try(readDef(baseDir)).getOrElse(return None)
-    def curOf(src: String): Option[Int] =
-      GraftSqlTables.lookup(src.split('.').toSeq).map(e =>
-        new TxnManifest(e.manifestPath).committed().keys.maxOption
-          .getOrElse(-1))
-    val curV = curOf(d.src).getOrElse(return None)
+    // the NAME must still resolve to the manifest the view was built
+    // over — a re-registration at a different location could align
+    // versions by coincidence and serve foreign data as "fresh"
+    def curOf(src: String, pinned: Option[String]): Option[Int] =
+      GraftSqlTables.lookup(src.split('.').toSeq)
+        .filter(e => pinned.forall(_ == e.manifestPath))
+        .map(e => new TxnManifest(e.manifestPath).committed()
+          .keys.maxOption.getOrElse(-1))
+    val curV = curOf(d.src, d.srcMan).getOrElse(return None)
     val curD = d.src2 match {
-      case Some(s2) => curOf(s2).getOrElse(return None)
+      case Some(s2) => curOf(s2, d.dimMan).getOrElse(return None)
       case None     => -1
     }
     val mvMan = new TxnManifest(manifestPath(baseDir))
@@ -153,7 +159,9 @@ object GraftMvs {
       d.aggs.map(a => s"agg\t${a.out}\t${a.func}\t${a.arg.getOrElse("")}") ++
       d.keyExprs.map { case (a, s) => s"keyexpr\t$a\t$s" } ++
       d.where.map(w => s"where\t$w").toSeq ++
-      d.bucket.map(b => s"bucket\t$b").toSeq ++ Seq(
+      d.bucket.map(b => s"bucket\t$b").toSeq ++
+      d.srcMan.map(m => s"srcman\t$m").toSeq ++
+      d.dimMan.map(m => s"dimman\t$m").toSeq ++ Seq(
       s"outschema\t${d.outSchema.json}",
       s"storschema\t${d.storSchema.json}")
     AtomicText.writeAtomically(defPath(base), lines.mkString("\n") + "\n")
@@ -184,7 +192,9 @@ object GraftMvs {
       keyExprs = lines.filter(_.startsWith("keyexpr\t")).map { l =>
         val p = l.split('\t')
         (p(1), p(2))
-      })
+      },
+      srcMan = opt("srcman"),
+      dimMan = opt("dimman"))
   }
 
   // ------------------------------------------------------------- state IO
@@ -624,7 +634,9 @@ object GraftMvs {
     }
     val d = MvDef(name, ps.fact.name, keys, aggs, where, outSchema, stor,
       src2 = ps.dim.map(_.name), joinPairs = joinPairs, bucket = bucket,
-      keyExprs = keyExprs)
+      keyExprs = keyExprs,
+      srcMan = Some(entry.manifestPath),
+      dimMan = entryD.map(_.manifestPath))
     writeDef(location, d)
     views.put(norm(name), location)
     read(spark, name).createOrReplaceTempView(tempViewName(name))
@@ -678,6 +690,19 @@ object GraftMvs {
             "longer registered"))
     val entry = entryOf(d.src)
     val entryD = d.src2.map(entryOf)
+    // the NAME re-registered at a different manifest: the stored
+    // state's versions refer to the OLD history, so incremental
+    // deltas are meaningless — only FULL (which recomputes from the
+    // current snapshot and re-pins the paths) may proceed
+    val moved = d.srcMan.exists(_ != entry.manifestPath) ||
+      d.dimMan.exists(m => entryD.exists(_.manifestPath != m))
+    if (moved) {
+      require(full, s"materialized view '$name': source table " +
+        "re-registered at a different location — incremental deltas " +
+        "no longer apply; REFRESH MATERIALIZED VIEW ... FULL rebuilds")
+      writeDef(baseDir, d.copy(srcMan = Some(entry.manifestPath),
+        dimMan = entryD.map(_.manifestPath)))
+    }
     val curV = new TxnManifest(entry.manifestPath)
       .committed().keys.maxOption.getOrElse(-1)
     val curD = entryD.map(e => new TxnManifest(e.manifestPath)

@@ -753,6 +753,39 @@ class MvSpec extends SparkSuite {
       "shadows")
   }
 
+  test("source re-registered elsewhere: never fresh, FULL re-pins") {
+    val (src, base, _) = newSource("mov", seed(100))
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_mov LOCATION '$base/mv' AS " +
+        s"SELECT grp, count(*) AS n FROM $src GROUP BY grp")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_mov")
+
+    // same NAME, different manifest, version numbers coincide (both
+    // at batch 0) — versions alone would claim freshness
+    val root2 = s"$base/src2"
+    val man2 = new TxnManifest(s"$base/manifest2.tsv")
+    StatsSinks.appendBatchStats(seed(40), root2, 0)
+    man2.commit(0, Seq(s"$root2/batch=0"))
+    GraftSqlTables.register(src, GraftSqlTables.Entry(root2,
+      s"$base/manifest2.tsv", keys = Seq("id"), cdf = true))
+
+    // the rewrite must NOT serve (the view is over the OLD manifest)
+    val q = s"SELECT grp, count(*) AS n FROM $src GROUP BY grp"
+    val direct = GraftSql.execute(spark, q)
+    assert(direct.queryExecution.executedPlan.toString.contains(root2),
+      "a view over a re-registered source must never serve")
+    // incremental refresh refuses; FULL rebuilds over the new data
+    val ex = intercept[Exception](
+      GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_mov"))
+    assert(ex.getMessage.contains("re-registered"), ex.getMessage)
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_mov FULL")
+    assert(sortedRows(GraftMvs.read(spark, "mv_mov")) ==
+      sortedRows(seed(40).groupBy("grp").agg(count(lit(1)).as("n"))))
+    assert(!GraftSql.execute(spark, q).queryExecution.executedPlan
+      .toString.contains(root2), "re-pinned view serves again")
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_mov")
+  }
+
   test("FROM substitution: registered tables and views without temp views") {
     val (src, base, _) = newSource("sub", seed(50))
     val e = GraftSqlTables.lookup(Seq(src)).get
