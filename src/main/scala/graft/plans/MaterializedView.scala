@@ -79,15 +79,20 @@ object GraftMvs {
     * sum, avg, min, max; `arg` is None only for count_star. */
   final case class AggSpec(out: String, func: String, arg: Option[String])
 
+  /** One dim table of a star-join view: `pairs` are the normalized
+    * `(fact col, dim col)` ON equalities (pure star — every dim joins
+    * the FACT, never another dim), `man` the manifest path pinned at
+    * CREATE ([[MvDef.srcMan]]'s re-registration guard, per dim). */
+  final case class DimRef(name: String, pairs: Seq[(String, String)],
+                          man: Option[String] = None)
+
   final case class MvDef(name: String, src: String, groupKeys: Seq[String],
                          aggs: Seq[AggSpec], where: Option[String],
                          outSchema: StructType, storSchema: StructType,
-                         src2: Option[String] = None,
-                         joinPairs: Seq[(String, String)] = Nil,
+                         dims: Seq[DimRef] = Nil,
                          bucket: Option[String] = None,
                          keyExprs: Seq[(String, String)] = Nil,
-                         srcMan: Option[String] = None,
-                         dimMan: Option[String] = None) {
+                         srcMan: Option[String] = None) {
     def additive: Boolean = aggs.forall(a =>
       a.func != "min" && a.func != "max" && a.func != "count_distinct")
     /** Parsed storage-layout bucket spec ([[graft.sources.Bucketing]]). */
@@ -99,15 +104,87 @@ object GraftMvs {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def norm(n: String): String = n.toLowerCase(Locale.ROOT)
 
-  def lookup(name: String): Option[String] = Option(views.get(norm(name)))
-  def unregister(name: String): Unit = { views.remove(norm(name)); () }
+  // ---------------------------------------------- persistent registry
+  //
+  // The view's DEFINITION already persists at its LOCATION
+  // (`mvdef.tsv`); what a new session lacks is the name→location
+  // registry. When a [[GraftCatalog]] is configured on the active
+  // session, registrations also land as one line at
+  // `<warehouse>/_catalog/<name>.mv` — written with the same
+  // crash-atomic exclusive-create as table metadata (two racing
+  // CREATEs: one wins, one fails loudly, never a torn file) — so
+  // SHOW / REFRESH ALL / the transparent rewrite see every view from
+  // any session. With no catalog configured the registry stays
+  // process-scoped (the original temp-view-like contract).
 
-  /** All registered view names (normalized) — the rewrite's candidate
-    * walk ([[MvRewrite]]). */
+  /** Warehouse roots of every GraftCatalog configured on the active
+    * session. MV names are single-part (not catalog-qualified), so
+    * the registry is global — a registration mirrors into EVERY
+    * configured warehouse and a lookup accepts any, keeping all
+    * catalogs' registries in agreement. */
+  private def warehouses(): Seq[String] =
+    org.apache.spark.sql.SparkSession.getActiveSession.toSeq.flatMap { s =>
+      s.conf.getAll.toSeq.collect {
+        case (k, v) if k.startsWith("spark.sql.catalog.") &&
+            k.count(_ == '.') == 3 &&
+            v == classOf[GraftCatalog].getName =>
+          s.conf.getOption(s"$k.warehouse")
+      }.flatten.map(_.stripSuffix("/"))
+    }.distinct.sorted
+
+  /** Catalog residency needs a filesystem-safe simple name; other
+    * names (quoted exotica) stay session-only. */
+  private def persistable(n: String): Boolean = n.matches("[A-Za-z0-9_]+")
+  private def mvFile(wh: String, n: String) = s"$wh/_catalog/${norm(n)}.mv"
+
+  private def persistedLookup(name: String): Option[String] =
+    if (!persistable(name)) None
+    else warehouses().iterator.flatMap(wh =>
+      AtomicText.readLines(mvFile(wh, name)).headOption
+        .map(_.trim).filter(_.nonEmpty)).nextOption()
+
+  private def persist(name: String, location: String): Unit =
+    if (persistable(name)) warehouses().foreach { wh =>
+      require(AtomicText.createExclusive(mvFile(wh, name), location + "\n"),
+        s"materialized view '$name' already exists in the catalog")
+    }
+
+  def lookup(name: String): Option[String] =
+    Option(views.get(norm(name))).orElse(persistedLookup(name))
+
+  def unregister(name: String): Unit = {
+    views.remove(norm(name))
+    if (persistable(name)) warehouses().foreach { wh =>
+      val p = new org.apache.hadoop.fs.Path(mvFile(wh, name))
+      val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
+        .sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+    ()
+  }
+
+  /** All registered view names (normalized), in-memory and
+    * catalog-persisted — the rewrite's candidate walk
+    * ([[MvRewrite]]), SHOW, and REFRESH ALL. */
   private[plans] def allViews: Seq[String] = {
     import scala.jdk.CollectionConverters._
-    views.keySet.asScala.toSeq.sorted
+    val mem = views.keySet.asScala.toSeq
+    val persisted = warehouses().flatMap { wh =>
+      val dir = new org.apache.hadoop.fs.Path(s"$wh/_catalog")
+      val fs = dir.getFileSystem(org.apache.spark.sql.SparkSession.active
+        .sessionState.newHadoopConf())
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".mv"))
+        .map(_.getPath.getName.stripSuffix(".mv"))
+    }
+    (mem ++ persisted).map(norm).distinct.sorted
   }
+
+  /** TEST HOOK: forget the in-memory registry (views persisted via a
+    * configured catalog remain addressable — the fresh-session
+    * simulation). */
+  private[graft] def clearInMemory(): Unit = views.clear()
 
   /** The view's definition when its last refresh consumed the
     * source's CURRENT manifest version — the gate for serving a
@@ -127,13 +204,11 @@ object GraftMvs {
         .map(e => new TxnManifest(e.manifestPath).committed()
           .keys.maxOption.getOrElse(-1))
     val curV = curOf(d.src, d.srcMan).getOrElse(return None)
-    val curD = d.src2 match {
-      case Some(s2) => curOf(s2, d.dimMan).getOrElse(return None)
-      case None     => -1
-    }
+    val curDs = d.dims.map(dim =>
+      curOf(dim.name, dim.man).getOrElse(return None))
     val mvMan = new TxnManifest(manifestPath(baseDir))
     val mvB = mvMan.committed().keys.maxOption.getOrElse(-1)
-    if (mvB >= 0 && stateFor(baseDir, mvB) == ((curV, curD))) Some(d)
+    if (mvB >= 0 && stateFor(baseDir, mvB) == ((curV, curDs))) Some(d)
     else None
   }
 
@@ -152,16 +227,14 @@ object GraftMvs {
       s"name\t${d.name}",
       s"src\t${d.src}",
       s"keys\t${d.groupKeys.mkString(",")}") ++
-      d.src2.map(s2 => s"src2\t$s2").toSeq ++
-      (if (d.joinPairs.nonEmpty)
-        Seq(s"joinon\t${d.joinPairs.map(p => s"${p._1}=${p._2}").mkString(",")}")
-      else Nil) ++
+      d.dims.map(dim => s"dim\t${dim.name}\t" +
+        dim.pairs.map(p => s"${p._1}=${p._2}").mkString(",") +
+        s"\t${dim.man.getOrElse("")}") ++
       d.aggs.map(a => s"agg\t${a.out}\t${a.func}\t${a.arg.getOrElse("")}") ++
       d.keyExprs.map { case (a, s) => s"keyexpr\t$a\t$s" } ++
       d.where.map(w => s"where\t$w").toSeq ++
       d.bucket.map(b => s"bucket\t$b").toSeq ++
-      d.srcMan.map(m => s"srcman\t$m").toSeq ++
-      d.dimMan.map(m => s"dimman\t$m").toSeq ++ Seq(
+      d.srcMan.map(m => s"srcman\t$m").toSeq ++ Seq(
       s"outschema\t${d.outSchema.json}",
       s"storschema\t${d.storSchema.json}")
     AtomicText.writeAtomically(defPath(base), lines.mkString("\n") + "\n")
@@ -183,41 +256,40 @@ object GraftMvs {
       opt("where"),
       DataType.fromJson(one("outschema")).asInstanceOf[StructType],
       DataType.fromJson(one("storschema")).asInstanceOf[StructType],
-      src2 = opt("src2"),
-      joinPairs = opt("joinon").toSeq.flatMap(_.split(',').toSeq.map { p =>
-        val Array(a, b) = p.split('=')
-        (a, b)
-      }),
+      dims = lines.filter(_.startsWith("dim\t")).map { l =>
+        val p = l.split('\t')
+        DimRef(p(1), p(2).split(',').toSeq.map { pr =>
+          val Array(a, b) = pr.split('=')
+          (a, b)
+        }, if (p.length > 3 && p(3).nonEmpty) Some(p(3)) else None)
+      },
       bucket = opt("bucket"),
       keyExprs = lines.filter(_.startsWith("keyexpr\t")).map { l =>
         val p = l.split('\t')
         (p(1), p(2))
       },
-      srcMan = opt("srcman"),
-      dimMan = opt("dimman"))
+      srcMan = opt("srcman"))
   }
 
   // ------------------------------------------------------------- state IO
 
-  /** Source batch id(s) consumed by MV batch `mvBatch` — `(fact
-    * version, dim version)`, dim −1 for single-table views; written
-    * BEFORE that batch commits (see class doc for the crash
-    * argument). */
+  /** Source batch id(s) consumed by MV batch `mvBatch` — the fact
+    * version followed by one version per dim (in the view's declared
+    * dim order); written BEFORE that batch commits (see class doc for
+    * the crash argument). */
   private def writeState(base: String, mvBatch: Int, srcV: Int,
-                         dimV: Int = -1): Unit =
+                         dimVs: Seq[Int] = Nil): Unit =
     AtomicText.writeAtomically(s"$base/state/$mvBatch",
-      if (dimV < 0) s"$srcV\n" else s"$srcV,$dimV\n")
+      (srcV +: dimVs).mkString(",") + "\n")
 
-  private def stateFor(base: String, mvBatch: Int): (Int, Int) = {
+  private def stateFor(base: String, mvBatch: Int): (Int, Seq[Int]) = {
     val l = AtomicText.readLines(s"$base/state/$mvBatch")
     require(l.nonEmpty, s"mv state file missing for committed batch " +
       s"$mvBatch under $base — state must be written before the commit")
-    l.head.trim.split(',') match {
-      case Array(f)    => (f.trim.toInt, -1)
-      case Array(f, d) => (f.trim.toInt, d.trim.toInt)
-      case _ => throw new IllegalStateException(
-        s"malformed mv state for batch $mvBatch under $base: '${l.head}'")
-    }
+    val parts = l.head.trim.split(',').toSeq.map(_.trim.toInt)
+    require(parts.nonEmpty, s"malformed mv state for batch $mvBatch " +
+      s"under $base: '${l.head}'")
+    (parts.head, parts.tail)
   }
 
   // ------------------------------------------------------------- parsing
@@ -233,10 +305,13 @@ object GraftMvs {
 
   /** The CREATE's SELECT body, structurally validated but with
     * qualifiers unresolved — [[create]] resolves names against the
-    * actual schemas (parse has no SparkSession). */
+    * actual schemas (parse has no SparkSession). `dims` holds each
+    * INNER-joined dim relation with its ON expression, in FROM
+    * order. */
   private[plans] final case class ParsedSelect(
-      fact: ParsedRel, dim: Option[ParsedRel],
-      joinCond: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      fact: ParsedRel,
+      dims: Seq[(ParsedRel,
+        org.apache.spark.sql.catalyst.expressions.Expression)],
       keys: Seq[Seq[String]], aggs: Seq[AggSpec],
       where: Option[org.apache.spark.sql.catalyst.expressions.Expression],
       keyExprs: Seq[(String,
@@ -270,16 +345,22 @@ object GraftMvs {
         Some(ParsedRel(parts.mkString("."), Some(id.name)))
       case _ => None
     }
-    val (factRel, dimRel, joinCond) = fromPlan match {
-      case p if rel(p).isDefined => (rel(p).get, None, None)
-      case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
-          Some(c), _) if rel(l).isDefined && rel(r).isDefined =>
-        (rel(l).get, rel(r), Some(c))
-      case other => throw new IllegalArgumentException(
-        "CREATE MATERIALIZED VIEW: FROM must be a bare registered " +
-          "table, optionally INNER JOINed to one registered dim table " +
-          s"with an ON clause; got ${other.nodeName}")
-    }
+    // FROM: one registered fact, optionally a left-deep chain of
+    // INNER JOINs to registered dim tables, each with an ON clause
+    def unjoin(p: LogicalPlan): (LogicalPlan,
+        Seq[(ParsedRel, org.apache.spark.sql.catalyst.expressions.Expression)]) =
+      p match {
+        case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
+            Some(c), _) if rel(r).isDefined =>
+          val (base, ds) = unjoin(l)
+          (base, ds :+ ((rel(r).get, c)))
+        case other => (other, Nil)
+      }
+    val (basePlan, dimRels) = unjoin(fromPlan)
+    val factRel = rel(basePlan).getOrElse(throw new IllegalArgumentException(
+      "CREATE MATERIALIZED VIEW: FROM must be a bare registered " +
+        "table, optionally INNER JOINed to registered dim tables " +
+        s"each with an ON clause; got ${basePlan.nodeName}"))
     // computed keys: an aliased NON-aggregate select item whose alias
     // a GROUP BY element names (or whose expression the GROUP BY
     // repeats verbatim)
@@ -349,81 +430,112 @@ object GraftMvs {
     keyExprs.foreach { case (a, _) => require(!a.startsWith("__"),
       s"CREATE MATERIALIZED VIEW: key alias '$a' collides with the " +
         "engine's internal accumulator prefix '__'") }
-    ParsedSelect(factRel, dimRel, joinCond, keys, aggs, where, keyExprs)
+    ParsedSelect(factRel, dimRels, keys, aggs, where, keyExprs)
   }
 
-  /** Column-reference resolution over the (optionally joined) FROM
-    * clause: which side a `[qualifier.]column` addresses, qualifier
-    * stripping (stored names and predicates resolve against the
-    * joined frame), and ON-clause pair extraction. Shared by CREATE
-    * and the join-query rewrite ([[MvRewrite]]) so both resolve
-    * references identically. */
-  private[plans] final class SideResolver(fact: ParsedRel,
+  /** Column-reference resolution over the (optionally star-joined)
+    * FROM clause: which relation a `[qualifier.]column` addresses,
+    * qualifier stripping (stored names and predicates resolve against
+    * the joined frame), and ON-clause pair extraction. Shared by
+    * CREATE and the star-query rewrite ([[MvRewrite]]) so both
+    * resolve references identically. Relation index 0 is the fact;
+    * `i ≥ 1` is `dims(i-1)`. */
+  private[plans] final class StarResolver(fact: ParsedRel,
                                           factCols: Seq[String],
-                                          dim: Option[ParsedRel],
-                                          dimCols: Option[Seq[String]]) {
+                                          dims: Seq[(ParsedRel, Seq[String])]) {
     private val factQuals = fact.quals
-    private val dimQuals = dim.toSeq.flatMap(_.quals)
-    require(factQuals.intersect(dimQuals).isEmpty,
-      "CREATE MATERIALIZED VIEW: the two FROM relations share a " +
-        s"qualifier (${factQuals.intersect(dimQuals).mkString(", ")}) — " +
-        "alias them apart")
+    private val dimQuals: Seq[Seq[String]] = dims.map(_._1.quals)
+    private val allQuals = factQuals ++ dimQuals.flatten
+    require(allQuals.distinct.size == allQuals.size,
+      "CREATE MATERIALIZED VIEW: FROM relations share a qualifier (" +
+        allQuals.diff(allQuals.distinct).distinct.mkString(", ") +
+        ") — alias them apart")
 
-    def sideOf(parts: Seq[String]): Char = {
+    def sideOf(parts: Seq[String]): Int = {
       require(parts.length <= 2, "CREATE MATERIALIZED VIEW: column " +
         s"reference '${parts.mkString(".")}' is too deep — use " +
         "[alias.]column")
       val last = parts.last
       def inF = factCols.exists(_.equalsIgnoreCase(last))
-      def inD = dimCols.exists(_.exists(_.equalsIgnoreCase(last)))
+      def dimHits = dims.zipWithIndex.collect {
+        case ((_, cols), i) if cols.exists(_.equalsIgnoreCase(last)) => i + 1
+      }
       if (parts.length == 2) {
         val q = norm(parts.head)
-        if (factQuals.contains(q)) { require(inF, s"CREATE MATERIALIZED " +
-          s"VIEW: '${parts.mkString(".")}' is not a column of " +
-          s"'${fact.name}'"); 'f' }
-        else if (dimQuals.contains(q)) { require(inD, s"CREATE " +
-          s"MATERIALIZED VIEW: '${parts.mkString(".")}' is not a column " +
-          s"of '${dim.get.name}'"); 'd' }
-        else throw new IllegalArgumentException(
-          s"CREATE MATERIALIZED VIEW: unknown qualifier '${parts.head}' " +
-            s"(have: ${(factQuals ++ dimQuals).mkString(", ")})")
+        if (factQuals.contains(q)) {
+          require(inF, s"CREATE MATERIALIZED VIEW: " +
+            s"'${parts.mkString(".")}' is not a column of '${fact.name}'")
+          0
+        } else dimQuals.indexWhere(_.contains(q)) match {
+          case -1 => throw new IllegalArgumentException(
+            s"CREATE MATERIALIZED VIEW: unknown qualifier " +
+              s"'${parts.head}' (have: ${allQuals.mkString(", ")})")
+          case i =>
+            require(dims(i)._2.exists(_.equalsIgnoreCase(last)),
+              s"CREATE MATERIALIZED VIEW: '${parts.mkString(".")}' is " +
+                s"not a column of '${dims(i)._1.name}'")
+            i + 1
+        }
       } else {
-        (inF, inD) match {
-          case (true, false) => 'f'
-          case (false, true) => 'd'
-          case (true, true) => throw new IllegalArgumentException(
-            s"CREATE MATERIALIZED VIEW: column '$last' exists on both " +
-              "sides of the join — qualify it")
+        (if (inF) Seq(0) else Nil) ++ dimHits match {
+          case Seq(one) => one
+          case Seq() => throw new IllegalArgumentException(
+            s"CREATE MATERIALIZED VIEW: column '$last' is not in any " +
+              "source schema")
           case _ => throw new IllegalArgumentException(
-            s"CREATE MATERIALIZED VIEW: column '$last' is not in " +
-              "either source schema")
+            s"CREATE MATERIALIZED VIEW: column '$last' exists in more " +
+              "than one FROM relation — qualify it")
         }
       }
     }
 
-    /** ON as normalized `(fact col, dim col)` pairs. */
-    def resolveJoinPairs(
-        cond: Option[org.apache.spark.sql.catalyst.expressions.Expression])
-      : Seq[(String, String)] = cond.toSeq.flatMap { c =>
-      import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
-      def conj(e: org.apache.spark.sql.catalyst.expressions.Expression)
-        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-        e match {
-          case And(l, r) => conj(l) ++ conj(r)
-          case x         => Seq(x)
-        }
-      conj(c).map {
+    private def conj(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+      import org.apache.spark.sql.catalyst.expressions.And
+      e match {
+        case And(l, r) => conj(l) ++ conj(r)
+        case x         => Seq(x)
+      }
+    }
+
+    /** Classify one ON conjunct as `(dim index ≥ 1, fact col, dim
+      * col)` — every equality must join the FACT to a dim (pure star;
+      * a dim-dim equality refuses). */
+    def classify(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : (Int, String, String) = {
+      import org.apache.spark.sql.catalyst.expressions.EqualTo
+      e match {
         case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
           (sideOf(a.nameParts), sideOf(b.nameParts)) match {
-            case ('f', 'd') => (a.nameParts.last, b.nameParts.last)
-            case ('d', 'f') => (b.nameParts.last, a.nameParts.last)
+            case (0, i) if i > 0 => (i, a.nameParts.last, b.nameParts.last)
+            case (i, 0) if i > 0 => (i, b.nameParts.last, a.nameParts.last)
             case _ => throw new IllegalArgumentException(
               "CREATE MATERIALIZED VIEW: each ON equality must join " +
-                s"the two tables; '${EqualTo(a, b).sql}' does not")
+                s"the fact table to a dim table; '${EqualTo(a, b).sql}' " +
+                "does not")
           }
         case other => throw new IllegalArgumentException(
           "CREATE MATERIALIZED VIEW: ON must be a conjunction of " +
             s"column equalities; got '${other.sql}'")
+      }
+    }
+
+    /** All ON conjuncts of the star, grouped per dim as normalized
+      * `(fact col, dim col)` pairs (conjunct placement across the ON
+      * clauses is free — inner-join conjunctions commute — but every
+      * dim must receive at least one pair: a pairless dim would be a
+      * cross join). */
+    def resolveStarPairs(
+        conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[Seq[(String, String)]] = {
+      val classified = conds.flatMap(conj).map(classify)
+      dims.indices.map { i =>
+        val pairs = classified.collect { case (d, f, c) if d == i + 1 =>
+          (f, c) }
+        require(pairs.nonEmpty, "CREATE MATERIALIZED VIEW: no ON " +
+          s"equality joins '${dims(i)._1.name}' — a pairless dim would " +
+          "be a cross join")
+        pairs
       }
     }
 
@@ -433,13 +545,13 @@ object GraftMvs {
       * along the way. */
     def strip(parts: Seq[String]): String =
       if (parts.length == 2) { sideOf(parts); parts.last }
-      else { if (dimCols.isDefined) sideOf(parts); parts.mkString(".") }
+      else { if (dims.nonEmpty) sideOf(parts); parts.mkString(".") }
 
     def stripQuals(
         e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.catalyst.expressions.Expression = e.transform {
       case a: UnresolvedAttribute if a.nameParts.length == 2 &&
-          (factQuals ++ dimQuals).contains(norm(a.nameParts.head)) =>
+          allQuals.contains(norm(a.nameParts.head)) =>
         sideOf(a.nameParts)
         UnresolvedAttribute(Seq(a.nameParts.last))
     }
@@ -560,38 +672,56 @@ object GraftMvs {
     }
   }
 
+  /** The full star frame: the fact (or its delta) inner-joined to
+    * every dim in declared order. Δ(F ⋈ D1 ⋈ … ⋈ Dn) = ΔF ⋈ D1 ⋈ … ⋈
+    * Dn when ALL dims are unmoved — the single-dim bag-semantics
+    * identity applies dim-by-dim (each join is a fact-side enrich;
+    * no dim references another). */
+  private def joinStar(fact: DataFrame,
+                       dims: Seq[(DataFrame, Seq[(String, String)])])
+    : DataFrame =
+    dims.foldLeft(fact) { case (acc, (dim, pairs)) =>
+      joinFrames(acc, dim, pairs) }
+
   def create(spark: SparkSession, name: String, location: String,
              selectSql: String, buckets: Option[Int] = None): Unit = {
     require(lookup(name).isEmpty,
       s"materialized view '$name' already exists")
     val ps = parseSelect(selectSql)
-    ps.dim.foreach { d =>
+    ps.dims.foreach { case (d, _) =>
       require(!norm(d.name).equals(norm(ps.fact.name)),
         s"CREATE MATERIALIZED VIEW: a self-join of '${ps.fact.name}' " +
           "is not supported — Δ(F ⋈ F) needs deltas on both sides; " +
           "register one side as its own table")
     }
+    require(ps.dims.map(d => norm(d._1.name)).distinct.size == ps.dims.size,
+      "CREATE MATERIALIZED VIEW: the same dim table appears twice — " +
+        "register a second name for the second role")
     val entry = resolveEntry(ps.fact.name)
-    val entryD = ps.dim.map(r => resolveEntry(r.name))
+    val entryDs = ps.dims.map { case (r, _) => resolveEntry(r.name) }
     val factDf = snapshotRead(spark, entry)
-    val dimDf = entryD.map(snapshotRead(spark, _))
+    val dimDfs = entryDs.map(snapshotRead(spark, _))
 
     // ------- qualifier resolution (join form only needs the work)
-    val res = new SideResolver(ps.fact, factDf.columns.toSeq, ps.dim,
-      dimDf.map(_.columns.toSeq))
-    val joinPairs = res.resolveJoinPairs(ps.joinCond)
+    val res = new StarResolver(ps.fact, factDf.columns.toSeq,
+      ps.dims.map(_._1).zip(dimDfs.map(_.columns.toSeq)))
+    val starPairs = res.resolveStarPairs(ps.dims.map(_._2))
+    val dimRefs = ps.dims.zip(starPairs).zip(entryDs).map {
+      case (((r, _), pairs), e) =>
+        DimRef(r.name, pairs, Some(e.manifestPath))
+    }
     val keys = ps.keys.map(res.strip)
     val aggs = ps.aggs.map(a =>
       a.copy(arg = a.arg.map(arg => res.strip(arg.split('.').toSeq))))
     val where = ps.where.map(e => res.stripQuals(e).sql)
     // CDF internal columns ride the refresh delta through the join —
     // a dim column named like one would collide there
-    dimDf.foreach(dd => Seq(Sinks.ChangeTypeCol).foreach(c =>
+    dimDfs.foreach(dd => Seq(Sinks.ChangeTypeCol).foreach(c =>
       require(!dd.columns.exists(_.equalsIgnoreCase(c)),
         s"CREATE MATERIALIZED VIEW: dim column '$c' collides with the " +
           "change-feed metadata the refresh joins through")))
 
-    val base = dimDf.fold(factDf)(dd => joinFrames(factDf, dd, joinPairs))
+    val base = joinStar(factDf, dimDfs.zip(starPairs))
     // computed group keys: resolve qualifiers, refuse source-column
     // shadowing, then gate on determinism — a key that moves between
     // refreshes (rand, current_date) would scatter one logical group
@@ -633,11 +763,10 @@ object GraftMvs {
       spec
     }
     val d = MvDef(name, ps.fact.name, keys, aggs, where, outSchema, stor,
-      src2 = ps.dim.map(_.name), joinPairs = joinPairs, bucket = bucket,
-      keyExprs = keyExprs,
-      srcMan = Some(entry.manifestPath),
-      dimMan = entryD.map(_.manifestPath))
+      dims = dimRefs, bucket = bucket, keyExprs = keyExprs,
+      srcMan = Some(entry.manifestPath))
     writeDef(location, d)
+    persist(name, location) // exclusive create = the concurrent-CREATE guard
     views.put(norm(name), location)
     read(spark, name).createOrReplaceTempView(tempViewName(name))
     ()
@@ -645,14 +774,22 @@ object GraftMvs {
 
   private def tempViewName(name: String): String = name.replace('.', '_')
 
-  /** Latest-snapshot read of the SOURCE table (logical names when it
-    * is a columnMapping table — the same option set `table_changes`
-    * passes). */
+  /** Snapshot read of the SOURCE table (logical names when it is a
+    * columnMapping table — the same option set `table_changes`
+    * passes). `asOf` pins the scan to a recorded manifest version:
+    * DSv2 scan planning is lazy, so an UNpinned read inside a refresh
+    * could fold a source commit that lands mid-job while the state
+    * file records only the pre-commit version — the next incremental
+    * refresh would then re-deliver that commit's delta and silently
+    * double-apply it. Every refresh-path read pins; only the
+    * CREATE-time schema probe reads latest. */
   private def snapshotRead(spark: SparkSession,
-                           entry: GraftSqlTables.Entry): DataFrame = {
+                           entry: GraftSqlTables.Entry,
+                           asOf: Option[Int] = None): DataFrame = {
     var r = spark.read.format("graft-manifest")
       .option("manifest", entry.manifestPath)
     entry.schemaLogPath.foreach(p => r = r.option("schemaLog", p))
+    asOf.foreach(v => r = r.option("versionAsOf", v.toString))
     r.load(entry.root)
   }
 
@@ -689,49 +826,69 @@ object GraftMvs {
           s"materialized view '$name': source table '$src' is no " +
             "longer registered"))
     val entry = entryOf(d.src)
-    val entryD = d.src2.map(entryOf)
-    // the NAME re-registered at a different manifest: the stored
+    val entryDs = d.dims.map(x => entryOf(x.name))
+    // a NAME re-registered at a different manifest: the stored
     // state's versions refer to the OLD history, so incremental
     // deltas are meaningless — only FULL (which recomputes from the
     // current snapshot and re-pins the paths) may proceed
     val moved = d.srcMan.exists(_ != entry.manifestPath) ||
-      d.dimMan.exists(m => entryD.exists(_.manifestPath != m))
+      d.dims.zip(entryDs).exists { case (dim, e) =>
+        dim.man.exists(_ != e.manifestPath) }
     if (moved) {
       require(full, s"materialized view '$name': source table " +
         "re-registered at a different location — incremental deltas " +
         "no longer apply; REFRESH MATERIALIZED VIEW ... FULL rebuilds")
       writeDef(baseDir, d.copy(srcMan = Some(entry.manifestPath),
-        dimMan = entryD.map(_.manifestPath)))
+        dims = d.dims.zip(entryDs).map { case (dim, e) =>
+          dim.copy(man = Some(e.manifestPath)) }))
     }
     val curV = new TxnManifest(entry.manifestPath)
       .committed().keys.maxOption.getOrElse(-1)
-    val curD = entryD.map(e => new TxnManifest(e.manifestPath)
-      .committed().keys.maxOption.getOrElse(-1)).getOrElse(-1)
+    val curDs = entryDs.map(e => new TxnManifest(e.manifestPath)
+      .committed().keys.maxOption.getOrElse(-1))
     val mvMan = new TxnManifest(manifestPath(baseDir))
     val mvB = mvMan.committed().keys.maxOption.getOrElse(-1)
-    val (lastV, lastD) = if (mvB < 0) (-1, -1) else stateFor(baseDir, mvB)
-    if (!full && curV <= lastV && curD == lastD) return (lastV, curV, false)
+    val (lastV, lastDs) =
+      if (mvB < 0) (-1, d.dims.map(_ => -1))
+      else stateFor(baseDir, mvB)
+    if (!full && curV <= lastV && curDs == lastDs) return (lastV, curV, false)
 
     val newBatch = mvB + 1
-    writeState(baseDir, newBatch, curV, curD) // inert until the commit below
-    val dimDf = entryD.map(snapshotRead(spark, _))
+    writeState(baseDir, newBatch, curV, curDs) // inert until the commit below
+    // every refresh read pins to the recorded state versions — a
+    // source commit landing while this job plans/runs must neither be
+    // folded now (the state file says it wasn't) nor lost later (the
+    // next refresh's feed starts exactly where this state ends)
+    val factAsOf = Some(curV).filter(_ >= 0)
+    val starDims = entryDs.zip(curDs).map { case (e, v) =>
+      snapshotRead(spark, e, Some(v).filter(_ >= 0)) }
+      .zip(d.dims.map(_.pairs))
+    // the pinned full-star frame — the full / dim-moved / recompute
+    // arms' base scan, built once here so every arm reads identically
+    def liveSnapshot: DataFrame = {
+      val live0 = derive(
+        joinStar(snapshotRead(spark, entry, factAsOf), starDims), d)
+      d.where.fold(live0)(w => live0.where(expr(w)))
+    }
 
-    if (full && mvB >= 0) {
-      // REFRESH ... FULL: one recompute from the current snapshot —
+    if (full) {
+      // REFRESH ... FULL: one recompute from the pinned snapshot —
       // the recovery lever when the CDF window is gone (VACUUM, a
-      // collapsed cdf=false merge) or trust in the store is in doubt
-      val live0 = derive(dimDf.fold(snapshotRead(spark, entry))(dd =>
-        joinFrames(snapshotRead(spark, entry), dd, d.joinPairs)), d)
-      val live = d.where.fold(live0)(w => live0.where(expr(w)))
-      refreshFull(spark, d, baseDir, mvMan, newBatch, live)
-    } else if (mvB >= 0 && entryD.isDefined && curD != lastD) {
-      // the DIM moved: ΔF ⋈ D no longer equals Δ(F ⋈ D) — one full
-      // recompute (group death included); dims move rarely, facts
-      // constantly, so this is the exceptional arm
-      val live0 = derive(joinFrames(snapshotRead(spark, entry), dimDf.get,
-        d.joinPairs), d)
-      val live = d.where.fold(live0)(w => live0.where(expr(w)))
-      refreshFull(spark, d, baseDir, mvMan, newBatch, live)
+      // collapsed cdf=false merge) or trust in the store is in doubt.
+      // Honored on bootstrap too (mvB < 0): the first refresh of a
+      // view whose feed history is unservable must not fall through
+      // to the change-feed arm.
+      if (mvB < 0) {
+        val aggsCols = storageAggs(d)
+        bootstrapCommit(spark, d, baseDir, mvMan, newBatch,
+          conform(liveSnapshot.groupBy(guardedKeys(d.groupKeys): _*)
+            .agg(aggsCols.head, aggsCols.tail: _*), d.storSchema))
+      } else refreshFull(spark, d, baseDir, mvMan, newBatch, liveSnapshot)
+    } else if (mvB >= 0 && d.dims.nonEmpty && curDs != lastDs) {
+      // ANY dim moved: ΔF ⋈ D1 ⋈ … no longer equals Δ(F ⋈ D1 ⋈ …) —
+      // one full recompute (group death included); dims move rarely,
+      // facts constantly, so this is the exceptional arm
+      refreshFull(spark, d, baseDir, mvMan, newBatch, liveSnapshot)
     } else {
       var r = spark.read.format("graft-manifest")
         .option("manifest", entry.manifestPath)
@@ -740,14 +897,13 @@ object GraftMvs {
         .option("endingBatchId", curV.toString)
       entry.schemaLogPath.foreach(p => r = r.option("schemaLog", p))
       val changes0 = r.load(entry.root)
-      val changes = derive(
-        dimDf.fold(changes0)(dd => joinFrames(changes0, dd, d.joinPairs)), d)
+      val changes = derive(joinStar(changes0, starDims), d)
       val delta = d.where.fold(changes)(w => changes.where(expr(w)))
       if (d.additive)
         refreshAdditive(spark, d, baseDir, mvMan, mvB, newBatch, delta)
       else
-        refreshRecompute(spark, d, entry, dimDf, baseDir, mvMan, mvB,
-          newBatch, delta)
+        refreshRecompute(spark, d, liveSnapshot, baseDir, mvMan,
+          mvB, newBatch, delta)
     }
     read(spark, name).createOrReplaceTempView(tempViewName(name))
     (lastV, curV, true)
@@ -871,17 +1027,12 @@ object GraftMvs {
     * new to the group), so its presence sends every touched group to
     * the recompute arm. */
   private def refreshRecompute(spark: SparkSession, d: MvDef,
-                               entry: GraftSqlTables.Entry,
-                               dimDf: Option[DataFrame], baseDir: String,
+                               liveDf: => DataFrame, baseDir: String,
                                mvMan: TxnManifest, mvB: Int, newBatch: Int,
                                delta: DataFrame): Unit = {
     val aggsCols = storageAggs(d)
-    lazy val live = {
-      val base0 = snapshotRead(spark, entry)
-      val base = derive(
-        dimDf.fold(base0)(dd => joinFrames(base0, dd, d.joinPairs)), d)
-      d.where.fold(base)(w => base.where(expr(w)))
-    }
+    lazy val live = liveDf // the pinned star snapshot; never built on
+                           // the insert-only path
 
     if (mvB < 0) {
       val full = conform(live.groupBy(guardedKeys(d.groupKeys): _*)
@@ -1038,6 +1189,10 @@ object GraftMvs {
     require(lookup(name).isDefined,
       s"materialized view '$name' is not registered")
     unregister(name)
+    // the serve-by-name temp view would otherwise keep resolving the
+    // dropped name to the last-refreshed snapshot
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(_.catalog.dropTempView(tempViewName(name)))
   }
 
   /** Refresh every registered view (sorted, independent commits) —
@@ -1056,7 +1211,7 @@ object GraftMvs {
       val loc = lookup(name).get
       val d = scala.util.Try(readDef(loc)).toOption
       val src = d.map(x =>
-        x.src + x.src2.map(" ⋈ " + _).getOrElse("")).getOrElse("?")
+        x.src + x.dims.map(" ⋈ " + _.name).mkString).getOrElse("?")
       (name, src, loc, freshFor(spark, name).isDefined)
     }
 
@@ -1072,11 +1227,10 @@ object GraftMvs {
     Seq(
       "name" -> d.name,
       "source" -> d.src) ++
-      d.src2.map("dim" -> _).toSeq ++
-      (if (d.joinPairs.nonEmpty)
-        Seq("join_on" -> d.joinPairs.map(p => s"${p._1} = ${p._2}")
-          .mkString(" AND "))
-      else Nil) ++ Seq(
+      d.dims.flatMap(dim => Seq(
+        "dim" -> dim.name,
+        s"join_on (${dim.name})" -> dim.pairs.map(p =>
+          s"${p._1} = ${p._2}").mkString(" AND "))) ++ Seq(
       "location" -> loc,
       "group_keys" -> d.groupKeys.mkString(", ")) ++
       d.keyExprs.map { case (a, s) => s"key_expr ($a)" -> s } ++ Seq(
@@ -1088,8 +1242,8 @@ object GraftMvs {
         else "fold + delete-affected recompute"),
       "refresh_batch" -> mvB.toString,
       "consumed_source_version" -> state.map(_._1.toString).getOrElse("-")) ++
-      state.filter(_ => d.src2.isDefined)
-        .map(s => "consumed_dim_version" -> s._2.toString).toSeq ++ Seq(
+      state.toSeq.flatMap(s => d.dims.zip(s._2).map { case (dim, v) =>
+        s"consumed_dim_version (${dim.name})" -> v.toString }) ++ Seq(
       "is_fresh" -> freshFor(spark, name).isDefined.toString)
   }
 

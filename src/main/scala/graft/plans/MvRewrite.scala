@@ -72,33 +72,83 @@ object MvRewrite {
 
   private def norm(s: String): String = s.toLowerCase(Locale.ROOT)
 
-  /** Outer ORDER BY / LIMIT wrappers around the aggregate, kept and
-    * re-attached around the serve (their unresolved column refs
-    * re-resolve against the served output by name). `refs` is every
-    * column name the wrappers mention — each must be an output alias
-    * or the rewrite declines. `ok=false` declines outright: a sort
-    * expression containing a FUNCTION call (`ORDER BY count(*)`)
-    * resolves against the aggregate in vanilla execution but would
-    * re-aggregate — or fail analysis — above the serve. */
-  private final case class Outer(rewrap: LogicalPlan => LogicalPlan,
-                                 refs: Seq[String], core: LogicalPlan,
-                                 ok: Boolean = true)
+  /** Outer ORDER BY / LIMIT wrappers around the aggregate, collected
+    * outermost-first and re-attached around the serve after their
+    * sort expressions are BOUND to served output aliases
+    * ([[bindWrappers]] — binding needs the SELECT items, which aren't
+    * known until the core aggregate is matched). */
+  private final case class Outer(wrappers: Seq[LogicalPlan],
+                                 core: LogicalPlan)
 
   private def unwrapOuter(plan: LogicalPlan): Outer = plan match {
-    case s @ Sort(order, true, child, _) =>
+    case s @ Sort(_, true, child, _) =>
       val inner = unwrapOuter(child)
-      val refs = order.flatMap(_.collect {
-        case a: UnresolvedAttribute => a.nameParts.last })
-      val plain = order.forall(o => !o.child.exists(e =>
-        e.isInstanceOf[UnresolvedFunction] ||
-          e.isInstanceOf[SubqueryExpression]))
-      Outer(p => s.copy(child = inner.rewrap(p)), refs ++ inner.refs,
-        inner.core, plain && inner.ok)
+      Outer(s +: inner.wrappers, inner.core)
     case g @ GlobalLimit(_, l: LocalLimit) =>
       val inner = unwrapOuter(l.child)
-      Outer(p => g.copy(child = l.copy(child = inner.rewrap(p))),
-        inner.refs, inner.core, inner.ok)
-    case other => Outer(identity, Nil, other)
+      Outer(g +: inner.wrappers, inner.core)
+    case other => Outer(Nil, other)
+  }
+
+  /** Re-attach the collected wrappers (outermost-first) around the
+    * served plan. */
+  private def rewrap(wrappers: Seq[LogicalPlan],
+                     inner: LogicalPlan): LogicalPlan =
+    wrappers.foldRight(inner) {
+      case (s: Sort, p)                           => s.copy(child = p)
+      case (g @ GlobalLimit(_, l: LocalLimit), p) =>
+        g.copy(child = l.copy(child = p))
+      case (_, p) => p // unreachable: unwrapOuter collects only the above
+    }
+
+  /** Bind every ORDER BY expression to the served output: a bare
+    * single-part name must be an output alias (a QUALIFIED ref like
+    * `t.k` cannot resolve against the served plan even when `k` is an
+    * alias — decline, vanilla execution handles it); an aggregate
+    * CALL (`ORDER BY count(*)`) binds to the alias of a SELECT item
+    * computing the same aggregate — per SQL semantics the sort key is
+    * that item's per-group value, so sorting the serve by the alias
+    * is result-identical. A call the SELECT does not list, any other
+    * function, or a subquery declines (None). */
+  private def bindWrappers(wrappers: Seq[LogicalPlan],
+                           aliases: Seq[String],
+                           items: Seq[GraftMvs.ServeItem],
+                           strip: Seq[String] => Option[String])
+    : Option[Seq[LogicalPlan]] = {
+    def bindExpr(e: Expression): Option[Expression] = e match {
+      case a: UnresolvedAttribute =>
+        if (a.nameParts.length == 1 && aliases.contains(norm(a.nameParts.head)))
+          Some(a)
+        else None
+      case f: UnresolvedFunction if !f.exists(
+          _.isInstanceOf[SubqueryExpression]) =>
+        scala.util.Try(GraftMvs.parseAgg(f, "__sort")).toOption.flatMap {
+          spec0 =>
+            val spec = spec0.arg match {
+              case Some(arg) => strip(arg.split('.').toSeq) match {
+                case Some(c) => Some(spec0.copy(arg = Some(c)))
+                case None    => None
+              }
+              case None => Some(spec0)
+            }
+            spec.flatMap(s => items.collectFirst {
+              case GraftMvs.ServeAgg(m, al) if m.func == s.func &&
+                  m.arg.map(norm) == s.arg.map(norm) =>
+                UnresolvedAttribute(Seq(al))
+            })
+        }
+      case _ => None
+    }
+    val bound = wrappers.map {
+      case s: Sort =>
+        val orders = s.order.map(o => bindExpr(o.child) match {
+          case Some(b) => o.copy(child = b)
+          case None    => return None
+        })
+        s.copy(order = orders)
+      case w => w
+    }
+    Some(bound)
   }
 
   /** Case-folded canonical SQL of an unresolved predicate — the
@@ -135,7 +185,6 @@ object MvRewrite {
   private def accelerate(spark: SparkSession,
                          plan: LogicalPlan): Option[LogicalPlan] = {
     val outer = unwrapOuter(plan)
-    if (!outer.ok) return None
     // HAVING filters AFTER aggregation — exactly a Filter above the
     // serve, provided it references only output aliases (an agg call
     // inside HAVING would need its own view matching: decline)
@@ -159,14 +208,22 @@ object MvRewrite {
       case Filter(c, ch) => (Some(c), ch)
       case ch            => (None, ch)
     }
-    // FROM shape: one registered table, or fact INNER JOIN dim — the
-    // same surface CREATE accepts. strip() resolves a column
-    // reference to its stored (unqualified) name, or None = decline.
-    val (srcName, src2Name, strip, stripExpr):
-      (String, Option[String], Seq[String] => Option[String],
-        Expression => Option[Expression]) = fromPlan match {
-      case p if qrel(p).isDefined =>
-        val r = qrel(p).get
+    // FROM shape: one registered table, or a fact INNER JOINed to one
+    // or more dims — the same star surface CREATE accepts. strip()
+    // resolves a column reference to its stored (unqualified) name,
+    // or None = decline.
+    def unjoin(p: LogicalPlan): Option[(Seq[QRel], Seq[Expression])] =
+      p match {
+        case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
+            Some(c), _) if qrel(r).isDefined =>
+          unjoin(l).map { case (rels, cs) => (rels :+ qrel(r).get, cs :+ c) }
+        case p0 if qrel(p0).isDefined => Some((Seq(qrel(p0).get), Nil))
+        case _ => None
+      }
+    val (srcName, dimNames, strip, stripExpr):
+      (String, Seq[String], Seq[String] => Option[String],
+        Expression => Option[Expression]) = unjoin(fromPlan) match {
+      case Some((Seq(r), _)) =>
         val st: Seq[String] => Option[String] = {
           case Seq(c)                                  => Some(c)
           case Seq(q, c) if r.quals.contains(norm(q)) => Some(c)
@@ -183,21 +240,20 @@ object MvRewrite {
           }
           if (ok) Some(out) else None
         }
-        (r.name, None, st, se)
-      case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
-          Some(cond), _) if qrel(l).isDefined && qrel(r).isDefined =>
-        joinResolution(spark, qrel(l).get, qrel(r).get, cond) match {
+        (r.name, Nil, st, se)
+      case Some((rels, conds)) =>
+        starResolution(spark, rels, conds) match {
           case Some(jr) => jr
           case None     => return None
         }
-      case _ => return None
+      case None => return None
     }
     // a single-part name Spark itself resolves is a temp view — it
     // shadows the registered graft table, so the view must not serve
     def shadowed(n: String): Boolean = !n.contains('.') &&
       (try spark.catalog.tableExists(n)
        catch { case scala.util.control.NonFatal(_) => false })
-    if (shadowed(srcName) || src2Name.exists(shadowed)) return None
+    if (shadowed(srcName) || dimNames.exists(shadowed)) return None
     // GROUP BY: a plain/aliased column (Left of its stripped name) or
     // a computed-key expression (Right of its canonical SQL) — bound
     // to a concrete view's keys per candidate in serveFrom
@@ -243,7 +299,8 @@ object MvRewrite {
     }
     val aliases = items.map(i => norm(i.alias))
     if (aliases.distinct.size != aliases.size) return None
-    if (!outer.refs.forall(r => aliases.contains(norm(r)))) return None
+    val wrappers = bindWrappers(outer.wrappers, aliases, items, strip)
+      .getOrElse(return None)
     val havingOk = qHaving.forall { h =>
       !h.exists(e => e.isInstanceOf[SubqueryExpression] ||
         e.isInstanceOf[UnresolvedFunction]) &&
@@ -257,63 +314,68 @@ object MvRewrite {
     val qConj = qWhere.toSeq.flatMap(conjuncts)
       .map(e => stripExpr(e).getOrElse(return None))
     val qConjSql = qConj.map(canonSql)
-    val joinKey = (norm(srcName), src2Name.map(norm))
+    val joinKey = (norm(srcName), dimNames.map(norm).toSet)
 
     GraftMvs.allViews.iterator.flatMap { mvName =>
       serveFrom(spark, mvName, joinKey, qGroup, items, qConj, qConjSql)
     }.nextOption().map { served =>
-      outer.rewrap(qHaving.foldLeft(served)((p, c) => Filter(c, p)))
+      rewrap(wrappers, qHaving.foldLeft(served)((p, c) => Filter(c, p)))
     }
   }
 
 
-  /** Resolve the join-query FROM: orientation against some candidate
+  /** Resolve the star-query FROM: orientation against some candidate
     * view is NOT decided here — the fact side is whichever relation a
     * view's `src` names; this just builds the strip functions from
-    * the two schemas and validates the ON shape. Returns None when
-    * the sides don't resolve (unknown table, ambiguous column, non-
-    * equi ON) — the rewrite then declines. */
-  private def joinResolution(spark: SparkSession, l: QRel, r: QRel,
-                             cond: Expression)
-    : Option[(String, Option[String],
+    * the relation schemas and validates the ON shape (every conjunct
+    * a fact↔dim equality, wherever in the join chain it was written —
+    * inner-join conjunctions commute). Returns None when the sides
+    * don't resolve (unknown table, ambiguous column, non-equi or
+    * dim-dim ON) — the rewrite then declines. */
+  private def starResolution(spark: SparkSession, rels: Seq[QRel],
+                             conds: Seq[Expression])
+    : Option[(String, Seq[String],
         Seq[String] => Option[String], Expression => Option[Expression])] = {
-    // both relations must be registered graft tables (snapshot
+    // every relation must be a registered graft table (snapshot
     // schemas come from their committed reads)
     def entryOf(n: String) = GraftSqlTables.lookup(n.split('.').toSeq)
-    val (el, er) = (entryOf(l.name), entryOf(r.name))
-    if (el.isEmpty || er.isEmpty) return None
-    if (norm(l.name) == norm(r.name)) return None // self-join: no view exists
-    // any join view over this table PAIR? (cheap gate before schema IO)
-    val pair = Set(norm(l.name), norm(r.name))
+    if (rels.exists(r => entryOf(r.name).isEmpty)) return None
+    val names = rels.map(r => norm(r.name))
+    if (names.distinct.size != names.size) return None // self-join: no view
+    // any star view over this table SET? (cheap gate before schema IO)
+    val nameSet = names.toSet
     val candidates = GraftMvs.allViews.flatMap(v =>
       GraftMvs.lookup(v).flatMap(base =>
         scala.util.Try(GraftMvs.readDef(base)).toOption))
-      .filter(d => d.src2.isDefined &&
-        Set(norm(d.src), norm(d.src2.get)) == pair)
+      .filter(d => d.dims.size == rels.size - 1 &&
+        (d.dims.map(x => norm(x.name)).toSet + norm(d.src)) == nameSet)
     if (candidates.isEmpty) return None
-    val colsL = scala.util.Try(tableFrame(spark, el.get).columns.toSeq)
-      .getOrElse(return None)
-    val colsR = scala.util.Try(tableFrame(spark, er.get).columns.toSeq)
-      .getOrElse(return None)
-    // orient fact = the side the candidate views' `src` names (all
-    // candidates share the pair; orientation differs per view, but
-    // the RESOLUTION is symmetric — strip() only needs side
-    // membership, and serveFrom() re-checks the pair orientation)
+    // orient fact = the relation the candidate views' `src` names
+    // (candidates share the set; orientation differs per view, but
+    // strip() only needs side membership, and serveFrom() re-checks
+    // each candidate's pair sets — a mismatch just declines)
     val d0 = candidates.head
-    val (fRel, fCols, dRel, dCols) =
-      if (norm(d0.src) == norm(l.name)) (l, colsL, r, colsR)
-      else (r, colsR, l, colsL)
-    val res = scala.util.Try(new GraftMvs.SideResolver(
-      GraftMvs.ParsedRel(fRel.name, fRel.quals.headOption),
-      fCols, Some(GraftMvs.ParsedRel(dRel.name, dRel.quals.headOption)),
-      Some(dCols))).getOrElse(return None)
-    val pairs = scala.util.Try(res.resolveJoinPairs(Some(cond)))
+    val factRel = rels.find(r => norm(r.name) == norm(d0.src)).get
+    val dimRels = d0.dims.map(x =>
+      rels.find(r => norm(r.name) == norm(x.name)).get)
+    def colsOf(r: QRel): Option[Seq[String]] =
+      scala.util.Try(tableFrame(spark, entryOf(r.name).get)
+        .columns.toSeq).toOption
+    val factCols = colsOf(factRel).getOrElse(return None)
+    val dimCols = dimRels.map(r => colsOf(r).getOrElse(return None))
+    val res = scala.util.Try(new GraftMvs.StarResolver(
+      GraftMvs.ParsedRel(factRel.name, factRel.quals.headOption), factCols,
+      dimRels.zip(dimCols).map { case (r, cs) =>
+        (GraftMvs.ParsedRel(r.name, r.quals.headOption), cs) }))
       .getOrElse(return None)
-    // every candidate view must agree on the ON pairs to serve; the
-    // pair set rides via a closure check in serveFrom — encode it in
-    // the srcName/src2Name slot by filtering candidates there. The ON
-    // set is stored here for the equality check.
-    pendingJoinPairs.set(pairs.map { case (a, b) => (norm(a), norm(b)) }.toSet)
+    val classified = scala.util.Try(
+      conds.flatMap(conjuncts).map(res.classify)).getOrElse(return None)
+    val byDim = dimRels.indices.map { i =>
+      norm(dimRels(i).name) -> classified.collect {
+        case (d, f, c) if d == i + 1 => (norm(f), norm(c)) }.toSet
+    }.toMap
+    if (byDim.values.exists(_.isEmpty)) return None // cross-join shaped
+    pendingJoinPairs.set(byDim)
     val st: Seq[String] => Option[String] =
       parts => scala.util.Try(res.strip(parts)).toOption
     val se: Expression => Option[Expression] = e => {
@@ -327,33 +389,36 @@ object MvRewrite {
       }
       if (ok) Some(out) else None
     }
-    Some((fRel.name, Some(dRel.name), st, se))
+    Some((factRel.name, dimRels.map(_.name), st, se))
   }
 
-  /** The ON pairs of the join query currently being matched —
-    * thread-local because accelerate() is re-entrant across sessions
-    * but the parse→match window is single-threaded per statement. */
+  /** The per-dim ON pair sets of the star query currently being
+    * matched — thread-local because accelerate() is re-entrant across
+    * sessions but the parse→match window is single-threaded per
+    * statement. */
   private val pendingJoinPairs =
-    new ThreadLocal[Set[(String, String)]] {
-      override def initialValue(): Set[(String, String)] = Set.empty
+    new ThreadLocal[Map[String, Set[(String, String)]]] {
+      override def initialValue(): Map[String, Set[(String, String)]] =
+        Map.empty
     }
 
   /** Try one candidate view; Some(served logical plan) when it
     * matches and is fresh. */
   private def serveFrom(spark: SparkSession, mvName: String,
-                        joinKey: (String, Option[String]),
+                        joinKey: (String, Set[String]),
                         qGroup: Seq[Either[String, String]],
                         items0: Seq[GraftMvs.ServeItem],
                         qConj: Seq[Expression],
                         qConjSql: Seq[String]): Option[LogicalPlan] = {
     val d = GraftMvs.freshFor(spark, mvName) match {
-      case Some(d0) if (norm(d0.src), d0.src2.map(norm)) == joinKey => d0
+      case Some(d0) if (norm(d0.src),
+          d0.dims.map(x => norm(x.name)).toSet) == joinKey => d0
       case _ => return None
     }
-    // join form: the query's ON pairs must equal the view's
-    if (d.src2.isDefined) {
-      val mvPairs = d.joinPairs
-        .map { case (a, b) => (norm(a), norm(b)) }.toSet
+    // star form: the query's per-dim ON pair sets must equal the view's
+    if (d.dims.nonEmpty) {
+      val mvPairs = d.dims.map(x => norm(x.name) ->
+        x.pairs.map { case (a, b) => (norm(a), norm(b)) }.toSet).toMap
       if (mvPairs != pendingJoinPairs.get()) return None
     }
     val mvKeys = d.groupKeys.map(norm)

@@ -1346,6 +1346,77 @@ object PipelineQueries {
       out
     }),
 
+    // Multi-dim star materialized view (round 11): the reference's
+    // actual rollup shape — one fact joined to SEVERAL dims (the
+    // per-account rollup remaps against five, orders.py:120-140).
+    // Maintenance folds ΔF ⋈ D1 ⋈ D2 when ALL dims are unmoved (the
+    // single-dim bag-semantics identity applies dim-by-dim: each join
+    // is a fact-side enrich, no dim references another); ANY dim
+    // moved → one full recompute with group deaths. In-query plan
+    // asserts pin serve → stale → serve around both arms. At 100 TB
+    // the star dashboard never re-joins the fact: refresh cost is
+    // O(fact delta ⋈ broadcast dims) + O(touched groups).
+    "s41_mv_star" -> ((s, d) => {
+      import graft.plans.{GraftMvs, GraftSql, GraftSqlTables}
+      import graft.sources.{StatsSinks, TxnManifest}
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s41_").toString
+      def reg(tag: String, rows: org.apache.spark.sql.DataFrame,
+              keys: Seq[String]): String = {
+        val root = s"$base/$tag"
+        val man = new TxnManifest(s"$base/$tag.manifest.tsv")
+        StatsSinks.appendBatchStats(rows, root, 0)
+        man.commit(0, Seq(s"$root/batch=0"))
+        GraftSqlTables.register(s"s41_$tag", GraftSqlTables.Entry(root,
+          s"$base/$tag.manifest.tsv", keys = keys, cdf = true))
+        root
+      }
+      // id-grain pre-agg: (l_orderkey, l_linenumber) is not unique in
+      // the synthetic data (same rationale as s38)
+      val factRoot = reg("fact", Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 4 === 0).select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+        col("l_suppkey").as("sk"), col("l_partkey").as("pk"),
+        col("l_quantity").cast("decimal(18,6)").as("qty"))
+        .groupBy(col("id")).agg(
+          min(col("sk")).as("sk"), min(col("pk")).as("pk"),
+          sum(col("qty")).cast("decimal(18,6)").as("qty")), Seq("id"))
+      reg("dim1", Tables.supplier(s, d).select(
+        col("s_suppkey").as("k"),
+        (col("s_nationkey").cast("int") % 7).as("nk")), Seq("k"))
+      reg("dim2", Tables.part(s, d).select(
+        col("p_partkey").as("pkk"),
+        (col("p_size").cast("int") % 10).as("bnum")), Seq("pkk"))
+      GraftSql.execute(s,
+        s"CREATE MATERIALIZED VIEW s41_mv LOCATION '$base/mv' AS " +
+          "SELECT d1.nk, d2.bnum, count(*) AS n, sum(f.qty) AS sq " +
+          "FROM s41_fact f JOIN s41_dim1 d1 ON f.sk = d1.k " +
+          "JOIN s41_dim2 d2 ON f.pk = d2.pkk GROUP BY d1.nk, d2.bnum")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s41_mv")
+      val q = "SELECT d1.nk, d2.bnum, count(*) AS n, sum(f.qty) AS sq " +
+        "FROM s41_fact f JOIN s41_dim1 d1 ON f.sk = d1.k " +
+        "JOIN s41_dim2 d2 ON f.pk = d2.pkk GROUP BY d1.nk, d2.bnum"
+      require(!GraftSql.execute(s, q).queryExecution.executedPlan
+        .toString.contains(factRoot),
+        "s41: a fresh 2-dim star MV must serve the star query")
+      // fact wave → the incremental arm: ΔF ⋈ D1 ⋈ D2 folds
+      GraftSql.execute(s, "DELETE FROM s41_fact WHERE id % 7 = 2")
+      require(GraftSql.execute(s, q).queryExecution.executedPlan
+        .toString.contains(factRoot),
+        "s41: a stale star MV must never serve")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s41_mv")
+      // ONE dim relabel → the full-recompute arm, group deaths included
+      GraftSql.execute(s, "UPDATE s41_dim2 SET bnum = bnum % 4")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s41_mv")
+      require(!GraftSql.execute(s, q).queryExecution.executedPlan
+        .toString.contains(factRoot),
+        "s41: the refreshed star MV must serve again")
+      val out = GraftMvs.read(s, "s41_mv").select(col("nk"), col("bnum"),
+        col("n"), col("sq").cast("double").as("sq"))
+      GraftMvs.drop("s41_mv")
+      out
+    }),
+
     // CHECK constraints (round-7 continuation) — the reference's
     // integrity-assert-and-abort (`custom_err.py:1-6`) as Delta's
     // declarative `ADD CONSTRAINT ... CHECK`: a violating INSERT
@@ -2781,6 +2852,25 @@ object PipelineQueries {
         |  FROM supplier)
         |SELECT nk, count(*) AS n, CAST(sum(qty) AS DOUBLE) AS sq
         |FROM fact JOIN dim ON fact.sk = dim.k GROUP BY nk""".stripMargin,
+    "s41_mv_star" ->
+      """WITH fact0 AS (
+        |  SELECT l_orderkey * 8 + l_linenumber AS id,
+        |    min(l_suppkey) AS sk, min(l_partkey) AS pk,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+        |      AS DECIMAL(18,6)) AS qty
+        |  FROM lineitem WHERE l_orderkey % 4 = 0 GROUP BY 1),
+        |fact AS (
+        |  SELECT id, sk, pk, qty FROM fact0 WHERE NOT (id % 7 = 2)),
+        |dim1 AS (
+        |  SELECT s_suppkey AS k, CAST(s_nationkey AS INT) % 7 AS nk
+        |  FROM supplier),
+        |dim2 AS (
+        |  SELECT p_partkey AS pkk, (CAST(p_size AS INT) % 10) % 4 AS bnum
+        |  FROM part)
+        |SELECT nk, bnum, count(*) AS n, CAST(sum(qty) AS DOUBLE) AS sq
+        |FROM fact JOIN dim1 ON fact.sk = dim1.k
+        |JOIN dim2 ON fact.pk = dim2.pkk
+        |GROUP BY nk, bnum""".stripMargin,
     "s29_sql_clone" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

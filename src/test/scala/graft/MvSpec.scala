@@ -408,6 +408,119 @@ class MvSpec extends SparkSuite {
     GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_join")
   }
 
+  test("2-dim star MV: fact delta folds through both dims; any dim move recomputes") {
+    val base = tempBase("star")
+    def mkTable(tag: String, rows: DataFrame, keys: Seq[String])
+      : (String, TxnManifest) = {
+      val root = s"$base/$tag"
+      val man = new TxnManifest(s"$base/$tag.manifest.tsv")
+      StatsSinks.appendBatchStats(rows, root, 0)
+      man.commit(0, Seq(s"$root/batch=0"))
+      GraftSqlTables.register(s"mv_star_$tag", GraftSqlTables.Entry(root,
+        s"$base/$tag.manifest.tsv", keys = keys, cdf = true))
+      (s"mv_star_$tag", man)
+    }
+    val (fact, _) = mkTable("fact", spark.range(4000).select(col("id"),
+      (col("id") % 10).cast("int").as("sk"),
+      (col("id") % 6).cast("int").as("pk"),
+      (col("id") * 2).as("qty")), Seq("id"))
+    val (dim1, _) = mkTable("dim1", spark.range(10).select(
+      col("id").cast("int").as("k"),
+      (col("id") % 3).cast("int").as("nk")), Seq("k"))
+    val (dim2, _) = mkTable("dim2", spark.range(6).select(
+      col("id").cast("int").as("pkk"),
+      (col("id") % 2).cast("int").as("band")), Seq("pkk"))
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_star LOCATION '$base/mv' AS " +
+        s"SELECT d1.nk, d2.band, count(*) AS n, sum(f.qty) AS sq " +
+        s"FROM $fact f JOIN $dim1 d1 ON f.sk = d1.k " +
+        s"JOIN $dim2 d2 ON f.pk = d2.pkk GROUP BY d1.nk, d2.band")
+    def expected: DataFrame = {
+      def committed(n: String): DataFrame = {
+        val e = GraftSqlTables.lookup(Seq(n)).get
+        Sinks.readCommitted(spark, e.root, new TxnManifest(e.manifestPath))
+      }
+      val f = committed(fact); val d1 = committed(dim1)
+      val d2 = committed(dim2)
+      f.join(d1, f("sk") === d1("k")).join(d2, f("pk") === d2("pkk"))
+        .groupBy("nk", "band")
+        .agg(count(lit(1)).as("n"), sum("qty").as("sq"))
+    }
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_star")
+    assert(sortedRows(GraftMvs.read(spark, "mv_star")) == sortedRows(expected))
+
+    // fact wave → incremental: ΔF ⋈ D1 ⋈ D2 folds; the 4000-row fact
+    // base is never re-scanned
+    GraftSql.execute(spark, s"DELETE FROM $fact WHERE id % 9 = 2")
+    GraftSql.execute(spark,
+      s"UPDATE $fact SET qty = qty + 7 WHERE id % 13 = 0")
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recordsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_star")
+      Thread.sleep(1500) // drain the listener bus
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(recordsRead.get < 3200,
+      s"fact-delta star refresh read ${recordsRead.get} records — the " +
+        "4000-row fact base must not be scanned")
+    assert(sortedRows(GraftMvs.read(spark, "mv_star")) == sortedRows(expected))
+
+    // acceleration: the matching 2-join query serves; dims written in
+    // the flipped order still serve (inner joins commute)
+    val factRoot = GraftSqlTables.lookup(Seq(fact)).get.root
+    val q = s"SELECT d1.nk, d2.band, count(*) AS n, sum(f.qty) AS sq " +
+      s"FROM $fact f JOIN $dim1 d1 ON f.sk = d1.k " +
+      s"JOIN $dim2 d2 ON f.pk = d2.pkk GROUP BY d1.nk, d2.band"
+    val served = GraftSql.execute(spark, q)
+    assert(!served.queryExecution.executedPlan.toString.contains(factRoot),
+      "a fresh 2-dim star MV must serve the matching star query")
+    assert(sortedRows(served) == sortedRows(expected))
+    val flipped = GraftSql.execute(spark,
+      s"SELECT d1.nk, d2.band, sum(f.qty) AS sq " +
+        s"FROM $fact f JOIN $dim2 d2 ON d2.pkk = f.pk " +
+        s"JOIN $dim1 d1 ON f.sk = d1.k GROUP BY d1.nk, d2.band")
+    assert(!flipped.queryExecution.executedPlan.toString.contains(factRoot),
+      "flipped dim order must still serve")
+    assert(sortedRows(flipped) == sortedRows(
+      expected.select(col("nk"), col("band"), col("sq"))))
+    // rollup to one dim's grain
+    val coarse = GraftSql.execute(spark,
+      s"SELECT d1.nk, count(*) AS n FROM $fact f " +
+        s"JOIN $dim1 d1 ON f.sk = d1.k JOIN $dim2 d2 ON f.pk = d2.pkk " +
+        "GROUP BY d1.nk")
+    assert(!coarse.queryExecution.executedPlan.toString.contains(factRoot))
+    assert(sortedRows(coarse) == sortedRows(
+      expected.groupBy("nk").agg(sum("n").cast("long").as("n"))))
+    // wrong ON pairs on ONE dim must decline
+    val wrongOn = GraftSql.execute(spark,
+      s"SELECT d1.nk, count(*) AS n FROM $fact f " +
+        s"JOIN $dim1 d1 ON f.sk = d1.nk JOIN $dim2 d2 ON f.pk = d2.pkk " +
+        "GROUP BY d1.nk")
+    assert(wrongOn.queryExecution.executedPlan.toString.contains(factRoot),
+      "a different ON clause must decline the star rewrite")
+
+    // ONE dim moves → full recompute, group death included: fold
+    // band=1 dims onto band=0
+    GraftSql.execute(spark, s"UPDATE $dim2 SET band = 0 WHERE band = 1")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_star")
+    val after = GraftMvs.read(spark, "mv_star")
+    assert(after.where("band = 1").count() == 0,
+      "a group emptied by the dim relabel must vanish")
+    assert(sortedRows(after) == sortedRows(expected))
+    // DESCRIBE lists both dims and their ON pairs
+    val desc = GraftSql.execute(spark, "DESCRIBE MATERIALIZED VIEW mv_star")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc(s"join_on ($dim1)") == "sk = k")
+    assert(desc(s"join_on ($dim2)") == "pk = pkk")
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_star")
+  }
+
   test("join-query acceleration: table pair + ON pairs + grain must match") {
     val base = tempBase("jacc")
     def mkTable(tag: String, rows: DataFrame, keys: Seq[String]): String = {
@@ -534,14 +647,33 @@ class MvSpec extends SparkSuite {
     assert(r.getBoolean(2), "FULL refresh must always apply")
     assert(sortedRows(GraftMvs.read(spark, "mv_hav")) == sortedRows(direct))
 
-    // an aggregate call in ORDER BY resolves against the aggregate in
-    // vanilla execution — above the serve it would re-aggregate, so
-    // the rewrite must decline
+    // an aggregate call in ORDER BY that the SELECT does not list has
+    // nothing served to bind to — decline
     val sortAgg = GraftSql.execute(spark,
       s"SELECT grp, sum(m) AS sm FROM $src GROUP BY grp " +
         "ORDER BY count(*) DESC, grp")
     assert(sortAgg.queryExecution.executedPlan.toString.contains(e.root),
-      "ORDER BY with an aggregate call must decline the rewrite")
+      "ORDER BY with an unselected aggregate call must decline the rewrite")
+
+    // ... but when the SELECT itself lists the aggregate, the sort
+    // binds to that item's output alias and the serve holds
+    val sortBound = GraftSql.execute(spark,
+      s"SELECT grp, count(*) AS n, sum(m) AS sm FROM $src GROUP BY grp " +
+        "ORDER BY count(*) DESC, grp LIMIT 3")
+    assert(!sortBound.queryExecution.executedPlan.toString.contains(e.root),
+      "ORDER BY over a SELECT-listed aggregate must serve")
+    assert(sortBound.collect().map(_.getInt(0)).toSeq ==
+      direct.orderBy(col("n").desc, col("grp")).limit(3).collect()
+        .map(_.getInt(0)).toSeq)
+
+    // a QUALIFIED ORDER BY ref resolves in vanilla execution but not
+    // against the served plan — decline
+    val sortQual = GraftSql.execute(spark,
+      s"SELECT grp, sum(m) AS sm FROM $src t GROUP BY grp ORDER BY t.grp")
+    assert(sortQual.queryExecution.executedPlan.toString.contains(e.root),
+      "a qualified ORDER BY reference must decline the rewrite")
+    assert(sortedRows(sortQual) ==
+      sortedRows(direct.select(col("grp"), col("sm"))))
 
     // the maintenance sweep: one statement refreshes every view
     GraftSql.execute(spark, s"DELETE FROM $src WHERE id % 12 = 7")

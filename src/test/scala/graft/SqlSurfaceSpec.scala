@@ -1952,4 +1952,71 @@ class SqlSurfaceSpec extends SparkSuite {
     spark.sql("ALTER TABLE gbtk.m RENAME COLUMN v TO w")
     GraftSql.execute(spark, "DROP TABLE IF EXISTS gbtk.m")
   }
+  test("materialized views persist in the catalog: fresh-registry lifecycle") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.{GraftMvs, GraftSql, GraftSqlTables}
+    import graft.sources.{StatsSinks, TxnManifest}
+    // a dedicated catalog+warehouse so the .mv residency is observable
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvper_wh_").toString
+    spark.conf.set("spark.sql.catalog.mvper",
+      classOf[graft.plans.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mvper.warehouse", wh)
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft_mvper_").toString
+      val root = s"$base/src"
+      val man = new TxnManifest(s"$base/manifest.tsv")
+      StatsSinks.appendBatchStats(spark.range(300).select(col("id"),
+        (col("id") % 5).cast("int").as("grp"), (col("id") * 2).as("v")),
+        root, 0)
+      man.commit(0, Seq(s"$root/batch=0"))
+      GraftSqlTables.register("mvper_src", GraftSqlTables.Entry(root,
+        s"$base/manifest.tsv", keys = Seq("id"), cdf = true))
+      GraftSql.execute(spark,
+        s"CREATE MATERIALIZED VIEW mvper_mv LOCATION '$base/mv' AS " +
+          "SELECT grp, count(*) AS n, sum(v) AS sv FROM mvper_src GROUP BY grp")
+      GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mvper_mv")
+      // the registration landed as one catalog file
+      assert(new java.io.File(s"$wh/_catalog/mvper_mv.mv").isFile,
+        "CREATE must persist the name\u2192location entry in the catalog")
+
+      // fresh-session simulation: wipe the in-memory registry; the
+      // catalog alone must keep the view addressable
+      GraftMvs.clearInMemory()
+      assert(GraftMvs.lookup("mvper_mv").exists(_ == s"$base/mv"),
+        "a fresh registry must resolve the view through the catalog")
+      val shown = GraftSql.execute(spark, "SHOW MATERIALIZED VIEWS")
+        .collect().map(r => (r.getString(0), r.getBoolean(3))).toMap
+      assert(shown.get("mvper_mv").contains(true),
+        s"SHOW must list the persisted view as fresh: $shown")
+      // the transparent rewrite serves from the persisted registration
+      val served = GraftSql.execute(spark,
+        "SELECT grp, count(*) AS n FROM mvper_src GROUP BY grp")
+      assert(!served.queryExecution.executedPlan.toString.contains(root),
+        "the rewrite must serve a catalog-persisted fresh view")
+      // REFRESH ALL walks the catalog too
+      GraftSql.execute(spark, "DELETE FROM mvper_src WHERE id % 4 = 1")
+      val sweep = GraftSql.execute(spark, "REFRESH ALL MATERIALIZED VIEWS")
+        .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+      assert(sweep.get("mvper_mv").contains(true), s"sweep: $sweep")
+      val got = GraftMvs.read(spark, "mvper_mv")
+        .agg(sum("n")).collect().head.getLong(0)
+      assert(got == 225, s"persisted view must refresh to 225 rows, got $got")
+
+      // racing re-CREATE of a live name fails loudly
+      val ex = intercept[Exception](GraftSql.execute(spark,
+        s"CREATE MATERIALIZED VIEW mvper_mv LOCATION '$base/mv2' AS " +
+          "SELECT grp, count(*) AS n FROM mvper_src GROUP BY grp"))
+      assert(ex.getMessage.contains("already exists"))
+
+      // DROP removes the catalog entry; a fresh registry sees nothing
+      GraftSql.execute(spark, "DROP MATERIALIZED VIEW mvper_mv")
+      assert(!new java.io.File(s"$wh/_catalog/mvper_mv.mv").exists(),
+        "DROP must delete the catalog entry")
+      GraftMvs.clearInMemory()
+      assert(GraftMvs.lookup("mvper_mv").isEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.mvper")
+      spark.conf.unset("spark.sql.catalog.mvper.warehouse")
+    }
+  }
 }
