@@ -94,7 +94,8 @@ object GraftMvs {
                          keyExprs: Seq[(String, String)] = Nil,
                          srcMan: Option[String] = None) {
     def additive: Boolean = aggs.forall(a =>
-      a.func != "min" && a.func != "max" && a.func != "count_distinct")
+      a.func != "min" && a.func != "max" && a.func != "count_distinct" &&
+        a.func != "hll")
     /** Parsed storage-layout bucket spec ([[graft.sources.Bucketing]]). */
     def bucketSpec: Option[graft.sources.Bucketing.Spec] =
       bucket.map(graft.sources.Bucketing.parse)
@@ -321,7 +322,8 @@ object GraftMvs {
     * aliased call to one of these is an aggregate column; any OTHER
     * aliased expression whose alias is a GROUP BY name is a COMPUTED
     * KEY (`date_trunc('day', ts) AS d ... GROUP BY d`). */
-  private val AggFuncs = Set("count", "sum", "avg", "min", "max")
+  private val AggFuncs =
+    Set("count", "sum", "avg", "min", "max", "approx_count_distinct")
 
   /** Extract the maintained shape from the CREATE's SELECT body,
     * refusing anything outside it with the unsupported shape named. */
@@ -584,10 +586,17 @@ object GraftMvs {
         case _ => AggSpec(out, "count", Some(argCol))
       }
       case "sum" | "avg" | "min" | "max" => AggSpec(out, name, Some(argCol))
+      // approximate distinct maintains as a stored HLL SKETCH
+      // (DataSketches via hll_sketch_agg): insert-only deltas FOLD by
+      // sketch union — register-wise max, commutative and
+      // associative — while deletes recompute the touched groups
+      // (sketches don't subtract). The estimate, not the exact count,
+      // is the declared output; stays out of the transparent rewrite.
+      case "approx_count_distinct" => AggSpec(out, "hll", Some(argCol))
       case other => throw new IllegalArgumentException(
         s"CREATE MATERIALIZED VIEW: aggregate '$other' is not " +
-          "maintainable here (supported: count, count(DISTINCT), sum, " +
-          "avg, min, max)")
+          "maintainable here (supported: count, count(DISTINCT), " +
+          "approx_count_distinct, sum, avg, min, max)")
     }
   }
 
@@ -616,6 +625,8 @@ object GraftMvs {
       a.func match {
         case "count_star" | "count" | "count_distinct" =>
           Seq(StructField(a.out, LongType, nullable = false))
+        case "hll" =>
+          Seq(StructField(a.out, BinaryType)) // the serialized sketch
         case "min" | "max" =>
           Seq(StructField(a.out, fieldOf(srcSchema, a.arg.get).dataType))
         case "sum" =>
@@ -639,6 +650,7 @@ object GraftMvs {
       case "count_star"     => count(lit(1))
       case "count"          => count(col(a.arg.get))
       case "count_distinct" => countDistinct(col(a.arg.get))
+      case "hll" => hll_sketch_estimate(hll_sketch_agg(col(a.arg.get)))
       case "sum"            => sum(col(a.arg.get))
       case "avg"            => avg(col(a.arg.get))
       case "min"            => min(col(a.arg.get))
@@ -1006,6 +1018,7 @@ object GraftMvs {
       case "count_star"     => Seq(count(lit(1)).as(a.out))
       case "count"          => Seq(count(col(a.arg.get)).as(a.out))
       case "count_distinct" => Seq(countDistinct(col(a.arg.get)).as(a.out))
+      case "hll"            => Seq(hll_sketch_agg(col(a.arg.get)).as(a.out))
       case "min"            => Seq(min(col(a.arg.get)).as(a.out))
       case "max"            => Seq(max(col(a.arg.get)).as(a.out))
       case "sum" => Seq(sum(col(a.arg.get)).as(a.out),
@@ -1075,6 +1088,8 @@ object GraftMvs {
           sum(when(col(a.arg.get).isNotNull, w).otherwise(0L)).as(nCol(a.out)))
         case "min" => Seq(min(when(!neg, col(a.arg.get))).as(a.out))
         case "max" => Seq(max(when(!neg, col(a.arg.get))).as(a.out))
+        case "hll" =>
+          Seq(hll_sketch_agg(when(!neg, col(a.arg.get))).as(a.out))
         case other => sys.error(s"fold refresh on $other") // unreachable
       }
     } ++ Seq(sum(w).as(GRows), max(when(neg, 1).otherwise(0)).as(HasNeg))
@@ -1085,10 +1100,13 @@ object GraftMvs {
     // FOLD arm: insert-only groups — additive accumulators add,
     // min/max extend via least/greatest (null-skipping, so a stored
     // all-NULL extreme picks up the first non-null insert and a new
-    // group takes the delta extreme outright). GRows only grew, so no
-    // fold group can die.
+    // group takes the delta extreme outright), HLL sketches extend by
+    // union (register-wise max — commutative and associative, so the
+    // folded sketch equals a single-pass sketch over the same rows).
+    // GRows only grew, so no fold group can die.
     val minMax = d.aggs.filter(a => a.func == "min" || a.func == "max")
       .map(a => norm(a.out)).toSet
+    val hlls = d.aggs.filter(_.func == "hll").map(a => norm(a.out)).toSet
     val accCols = d.storSchema.fieldNames.filterNot(n =>
       d.groupKeys.exists(_.equalsIgnoreCase(n))).toSeq
     val dd = dAgg.filter(col(HasNeg) === 0).select((d.groupKeys.map(col) ++
@@ -1098,7 +1116,11 @@ object GraftMvs {
     val merged = accCols.foldLeft(merged0) { (df, n) =>
       val t = d.storSchema(d.storSchema.fieldIndex(n)).dataType
       df.withColumn(n,
-        if (minMax.contains(norm(n))) {
+        if (hlls.contains(norm(n)))
+          when(col(n).isNull, col(s"__d_$n"))
+            .when(col(s"__d_$n").isNull, col(n))
+            .otherwise(hll_union(col(n), col(s"__d_$n")))
+        else if (minMax.contains(norm(n))) {
           val f = d.aggs.find(a => norm(a.out) == norm(n)).get.func
           if (f == "min") least(col(n), col(s"__d_$n"))
           else greatest(col(n), col(s"__d_$n"))
@@ -1173,6 +1195,8 @@ object GraftMvs {
       a.func match {
         case "count_star" | "count" | "count_distinct" | "min" | "max" =>
           col(a.out).cast(outT).as(a.out)
+        case "hll" => // the estimate is the declared output
+          hll_sketch_estimate(col(a.out)).cast(outT).as(a.out)
         case "sum" =>
           when(col(nCol(a.out)) === 0, lit(null))
             .otherwise(col(a.out)).cast(outT).as(a.out)
@@ -1193,6 +1217,46 @@ object GraftMvs {
     // dropped name to the last-refreshed snapshot
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(_.catalog.dropTempView(tempViewName(name)))
+  }
+
+  /** Streaming MV maintenance — the production shape of REFRESH: a
+    * change-feed stream over the view's source triggers one refresh
+    * per delivered micro-batch, so the store tracks the source
+    * continuously. `Trigger.AvailableNow` drains what's committed and
+    * stops (the scheduled-maintenance shape); the default trigger
+    * tails indefinitely.
+    *
+    * The stream is ONLY the trigger: each refresh re-reads the feed
+    * `(lastV, curV]` itself and keeps the state-file-before-commit
+    * exactly-once contract, so a crashed or restarted stream — same
+    * checkpoint or a fresh one — can never double-fold a delta; the
+    * worst case is a no-op refresh. The triggering read projects to
+    * the commit-batch metadata column alone, so Parquet column
+    * pruning keeps the trigger scan data-free; the refresh's own feed
+    * read is the one that touches rows. */
+  def maintainer(spark: SparkSession, name: String, checkpoint: String,
+                 availableNow: Boolean = false)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    val baseDir = lookup(name).getOrElse(throw new IllegalArgumentException(
+      s"materialized view '$name' is not registered"))
+    val d = readDef(baseDir)
+    val entry = GraftSqlTables.lookup(d.src.split('.').toSeq).getOrElse(
+      throw new IllegalStateException(s"materialized view '$name': " +
+        s"source table '${d.src}' is no longer registered"))
+    var r = spark.readStream.format("graft-manifest")
+      .option("manifest", entry.manifestPath)
+      .option("changeFeed", "true")
+    entry.schemaLogPath.foreach(p => r = r.option("schemaLog", p))
+    val feed = r.load(entry.root).select(col("_commit_batch"))
+    var w = feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        refresh(batch.sparkSession, name)
+        ()
+      }
+    if (availableNow) w = w.trigger(
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    w.start()
   }
 
   /** Refresh every registered view (sorted, independent commits) —

@@ -471,11 +471,15 @@ object MvRewrite {
     }
     if (!residualOk) return None
     // every selected aggregate must be stored by the view (and
-    // roll-up-able when the query grain is coarser)
+    // roll-up-able when the query grain is coarser). An
+    // approx_count_distinct never serves: the store's DataSketches
+    // estimate is a DIFFERENT approximation than Spark's native
+    // HLL++, so serving would change the query's result.
     val matched = items.forall {
       case GraftMvs.ServeAgg(spec, _) =>
-        d.aggs.exists(m => m.func == spec.func &&
-          m.arg.map(norm) == spec.arg.map(norm)) &&
+        spec.func != "hll" &&
+          d.aggs.exists(m => m.func == spec.func &&
+            m.arg.map(norm) == spec.arg.map(norm)) &&
           (!rollup || GraftMvs.rollupable(spec))
       case _ => true
     }

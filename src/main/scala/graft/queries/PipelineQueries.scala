@@ -1346,6 +1346,62 @@ object PipelineQueries {
       out
     }),
 
+    // Streaming-maintained materialized view (round 11): the round-10
+    // StreamingSpec fold twin promoted to an engine surface —
+    // GraftMvs.maintainer runs a change-feed stream over the view's
+    // source and triggers one refresh per delivered micro-batch
+    // (Trigger.AvailableNow = the scheduled-maintenance shape).
+    // Exactly-once stays in the refresh layer (state-file-before-
+    // commit), so the restarted second run on the SAME checkpoint
+    // below can only fold the new deltas — never re-fold the old.
+    // The hash gate certifies the maintained store equals a batch
+    // aggregate over the final source state.
+    "st14_mv_maintainer" -> ((s, d) => {
+      import graft.plans.{GraftMvs, GraftSql, GraftSqlTables}
+      import graft.sources.{StatsSinks, TxnManifest}
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_st14_").toString
+      val root = s"$base/src"
+      val man = new TxnManifest(s"$base/manifest.tsv")
+      StatsSinks.appendBatchStats(Tables.orders(s, d)
+        .filter(col("o_orderkey") % 2 === 1).select(
+        col("o_orderkey").as("id"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("decimal(18,6)").as("price")), root, 0)
+      man.commit(0, Seq(s"$root/batch=0"))
+      GraftSqlTables.register("st14_src", GraftSqlTables.Entry(root,
+        s"$base/manifest.tsv", keys = Seq("id"), cdf = true))
+      GraftSql.execute(s,
+        s"CREATE MATERIALIZED VIEW st14_mv LOCATION '$base/mv' AS " +
+          "SELECT status, count(*) AS n, sum(price) AS sp " +
+          "FROM st14_src GROUP BY status")
+      // DML wave 1, then one AvailableNow maintenance pass
+      GraftSql.execute(s, "DELETE FROM st14_src WHERE id % 13 = 5")
+      GraftSql.execute(s,
+        "UPDATE st14_src SET price = price * 2 WHERE id % 11 = 3")
+      val q1 = GraftMvs.maintainer(s, "st14_mv", s"$base/ckpt",
+        availableNow = true)
+      try q1.awaitTermination() finally q1.stop()
+      val desc1 = GraftSql.execute(s, "DESCRIBE MATERIALIZED VIEW st14_mv")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      require(desc1("is_fresh") == "true",
+        "st14: the drained maintainer must leave the view fresh")
+      // DML wave 2, then a RESTART on the same checkpoint — the
+      // refresh layer's exactly-once means only the new delta folds
+      GraftSql.execute(s, "DELETE FROM st14_src WHERE id % 17 = 2")
+      val q2 = GraftMvs.maintainer(s, "st14_mv", s"$base/ckpt",
+        availableNow = true)
+      try q2.awaitTermination() finally q2.stop()
+      val desc2 = GraftSql.execute(s, "DESCRIBE MATERIALIZED VIEW st14_mv")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      require(desc2("is_fresh") == "true",
+        "st14: the restarted maintainer must re-converge the view")
+      val out = GraftMvs.read(s, "st14_mv").select(col("status"),
+        col("n"), col("sp").cast("double").as("sp"))
+      GraftSql.execute(s, "DROP MATERIALIZED VIEW st14_mv")
+      out
+    }),
+
     // Multi-dim star materialized view (round 11): the reference's
     // actual rollup shape — one fact joined to SEVERAL dims (the
     // per-account rollup remaps against five, orders.py:120-140).
@@ -2852,6 +2908,19 @@ object PipelineQueries {
         |  FROM supplier)
         |SELECT nk, count(*) AS n, CAST(sum(qty) AS DOUBLE) AS sq
         |FROM fact JOIN dim ON fact.sk = dim.k GROUP BY nk""".stripMargin,
+    "st14_mv_maintainer" ->
+      """WITH src0 AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS status,
+        |    CAST(o_totalprice AS DECIMAL(18,6)) AS price
+        |  FROM orders WHERE o_orderkey % 2 = 1),
+        |w1 AS (
+        |  SELECT id, status,
+        |    CASE WHEN id % 11 = 3 THEN CAST(price * 2 AS DECIMAL(18,6))
+        |         ELSE price END AS price
+        |  FROM src0 WHERE NOT (id % 13 = 5)),
+        |final AS (SELECT * FROM w1 WHERE NOT (id % 17 = 2))
+        |SELECT status, count(*) AS n, CAST(sum(price) AS DOUBLE) AS sp
+        |FROM final GROUP BY status""".stripMargin,
     "s41_mv_star" ->
       """WITH fact0 AS (
         |  SELECT l_orderkey * 8 + l_linenumber AS id,

@@ -187,6 +187,56 @@ object TpchQueries {
         .limit(20)
     }),
 
+    // Q2 — min-cost supplier (adapted: no partsupp in the testdata,
+    // so — like q9/q11/q16/q20 — lineitem is the part↔supplier bridge
+    // and the pair's supply cost is min(l_extendedprice), an EXACT
+    // decimal so the correlated-min equality join is deterministic.
+    // Shape preserved exactly: region-banded suppliers, a filtered
+    // part slice (equality band + LIKE), the per-part minimum cost
+    // over that region's suppliers DECORRELATED into a window over
+    // the pair aggregate (min(cost) OVER (PARTITION BY part) = the
+    // correlated scalar subquery, evaluated once per part with NO
+    // second fact scan — a self-join re-plans the scan), and the
+    // TPC-H ORDER BY ... LIMIT 100 tail — total order because
+    // (s_name, p_partkey) is unique per result row. Plan shape:
+    // nation⋈region and the supplier slice broadcast; ONE shuffle on
+    // (l_partkey, l_suppkey) for the pair cost; the window reshuffles
+    // only the tiny pair aggregate (TpchSpec pins no-cartesian +
+    // broadcast dims + single lineitem scan).
+    "q2b_min_cost_supplier" -> ((s, d) => {
+      val eur = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")
+          .select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val sup = Tables.supplier(s, d)
+        .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+        .join(broadcast(eur), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val p = Tables.part(s, d)
+        .filter(col("p_type").like("%CO%") && col("p_size") % 5 === 2)
+        .select("p_partkey", "p_brand", "p_type")
+      val cost = Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(broadcast(sup.select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(p.select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(col("l_extendedprice").cast("decimal(18,6)")).as("cost"))
+      cost.withColumn("mincost", min(col("cost")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))))
+        .filter(col("cost") === col("mincost"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"),
+          col("cost").cast("double").as("supply_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
     // Q11 — important stock identification (adapted: the testdata has
     // no partsupp, so — like q9/q16/q20 — lineitem is the
     // part↔supplier bridge and `l_extendedprice × l_quantity` plays
@@ -439,6 +489,35 @@ object TpchQueries {
         |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
         |ORDER BY revenue DESC, c.c_custkey ASC
         |LIMIT 20""".stripMargin,
+    "q2b_min_cost_supplier" ->
+      """WITH eur AS (
+        |  SELECT n_nationkey, n_name FROM nation n
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE'),
+        |sup AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier s
+        |  JOIN eur ON s.s_nationkey = eur.n_nationkey),
+        |p AS (
+        |  SELECT p_partkey, p_brand, p_type FROM part
+        |  WHERE p_type LIKE '%CO%' AND p_size % 5 = 2),
+        |cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(l_extendedprice AS DECIMAL(18,6))) AS cost
+        |  FROM lineitem l
+        |  JOIN sup ON l.l_suppkey = sup.s_suppkey
+        |  JOIN p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |minc AS (
+        |  SELECT l_partkey AS mk, min(cost) AS mincost FROM cost
+        |  GROUP BY 1)
+        |SELECT s.s_acctbal, s.s_name, s.n_name, p.p_partkey, p.p_brand,
+        |  CAST(c.cost AS DOUBLE) AS supply_cost
+        |FROM cost c
+        |JOIN minc ON c.l_partkey = minc.mk AND c.cost = minc.mincost
+        |JOIN sup s ON c.l_suppkey = s.s_suppkey
+        |JOIN p ON c.l_partkey = p.p_partkey
+        |ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p.p_partkey
+        |LIMIT 100""".stripMargin,
     "q11_important_stock" ->
       """WITH filt AS (
         |  SELECT l.l_partkey, l.l_extendedprice * l.l_quantity AS v

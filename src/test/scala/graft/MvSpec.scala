@@ -252,6 +252,103 @@ class MvSpec extends SparkSuite {
     GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_cd")
   }
 
+  test("approx_count_distinct MV: sketch fold on inserts, recompute on deletes") {
+    val base = tempBase("hll")
+    val root = s"$base/src"
+    val man = new TxnManifest(s"$base/manifest.tsv")
+    def rows(lo: Long, hi: Long): DataFrame =
+      spark.range(lo, hi).select(col("id"),
+        (col("id") % 4).cast("int").as("grp"),
+        (col("id") % 50).as("dv")) // ≤50 distinct per group: sketches
+                                   // stay in sparse mode → estimates
+                                   // are EXACT and fold == recompute
+    StatsSinks.appendBatchStats(rows(0, 20000), root, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+    GraftSqlTables.register("mv_hll_src", GraftSqlTables.Entry(root,
+      s"$base/manifest.tsv", keys = Seq("id"), cdf = true))
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_hll LOCATION '$base/mv' AS " +
+        "SELECT grp, approx_count_distinct(dv) AS ad, " +
+        "approx_count_distinct(id) AS aid, count(*) AS n " +
+        "FROM mv_hll_src GROUP BY grp")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_hll")
+    def exact: Map[Int, (Long, Long)] = {
+      val e = GraftSqlTables.lookup(Seq("mv_hll_src")).get
+      Sinks.readCommitted(spark, e.root, new TxnManifest(e.manifestPath))
+        .groupBy("grp").agg(countDistinct(col("dv")).as("xd"),
+          countDistinct(col("id")).as("xi"))
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    }
+    def served: Map[Int, (Long, Long)] =
+      GraftMvs.read(spark, "mv_hll").collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // small-cardinality column: sparse-mode sketches are exact
+    assert(served.map { case (g, v) => g -> v._1 } ==
+      exact.map { case (g, v) => g -> v._1 },
+      "sparse-mode estimates must be exact")
+    // large-cardinality column: estimate within the HLL error envelope
+    served.foreach { case (g, (_, est)) =>
+      val x = exact(g)._2.toDouble
+      assert(math.abs(est - x) / x < 0.05,
+        s"grp $g: estimate $est vs exact $x exceeds 5%")
+    }
+
+    // insert-only wave FOLDS (sketch union) without reading the base
+    StatsSinks.appendBatchStats(rows(20000, 20060), root, 1)
+    man.commit(1, Seq(s"$root/batch=1"))
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recordsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_hll")
+      Thread.sleep(1500) // drain the listener bus
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(recordsRead.get < 2000,
+      s"insert-only sketch refresh read ${recordsRead.get} records — " +
+        "the 20000-row base must not be scanned")
+    val folded = served
+    assert(folded.map { case (g, v) => g -> v._1 } ==
+      exact.map { case (g, v) => g -> v._1 },
+      "folded sparse sketches must still be exact")
+    // fold-vs-recompute equivalence: a FULL refresh recomputes every
+    // sketch single-pass; the sparse estimates must agree exactly and
+    // the dense ones within the documented envelope
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_hll FULL")
+    val recomputed = served
+    assert(recomputed.map { case (g, v) => g -> v._1 } ==
+      folded.map { case (g, v) => g -> v._1 })
+    recomputed.foreach { case (g, (_, est)) =>
+      val f = folded(g)._2.toDouble
+      assert(math.abs(est - f) / f < 0.02,
+        s"grp $g: recompute $est vs fold $f diverged past 2%")
+    }
+
+    // a delete sends its groups to the recompute arm — estimates track
+    // the post-delete exact counts (sketches don't subtract; re-count)
+    GraftSql.execute(spark, "DELETE FROM mv_hll_src WHERE dv >= 40")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_hll")
+    assert(served.map { case (g, v) => g -> v._1 } ==
+      exact.map { case (g, v) => g -> v._1 },
+      "post-delete recompute must re-count the shrunken value sets")
+
+    // the transparent rewrite never serves a DIFFERENT approximation:
+    // a query's native approx_count_distinct computes from the base
+    val e = GraftSqlTables.lookup(Seq("mv_hll_src")).get
+    val q = GraftSql.execute(spark,
+      "SELECT grp, approx_count_distinct(dv) AS ad, count(*) AS n " +
+        "FROM mv_hll_src GROUP BY grp")
+    assert(q.queryExecution.executedPlan.toString.contains(e.root),
+      "approx_count_distinct queries must never serve from the sketch " +
+        "store (different estimator)")
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_hll")
+  }
+
   test("fresh MV accelerates matching SELECTs; stale serves from base") {
     val (src, base, man) = newSource("acc", seed(400))
     GraftSql.execute(spark,

@@ -76,6 +76,22 @@ class TpchSpec extends SparkSuite {
     assert(cart.isEmpty, s"cartesian in q15 plan:\n$p")
   }
 
+  test("q2b decorrelated min-cost: broadcast dims, one fact scan, no loops") {
+    val p = planOf("q2b_min_cost_supplier")
+    assert(loops(p).isEmpty, s"cartesian/nested-loop in q2b plan:\n$p")
+    val bcasts = p.collectWithSubqueries { case b: BroadcastHashJoinExec => b }
+    assert(bcasts.size >= 3,
+      s"q2b: supplier/part/nation sides must broadcast, got ${bcasts.size}")
+    // the decorrelated per-part min must re-join the PAIR aggregate,
+    // never re-scan lineitem: exactly one lineitem file scan
+    val liScans = p.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.getOrElse("Location", "").contains("lineitem") => f
+    }
+    assert(liScans.size == 1,
+      s"q2b: expected one lineitem scan, got ${liScans.size}")
+  }
+
   test("q6 predicates reach the lineitem scan") {
     val p = planOf("q6_forecast_revenue")
     val scans = p.collectWithSubqueries {
