@@ -190,6 +190,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"nfc(text) takes exactly one argument, got ${exprs.length}")
         NfcNormalize(exprs.head)
       }))
+    ext.injectFunction((FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(
+        classOf[graft.expressions.BpeTokenCount].getName, "bpe_token_count"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"bpe_token_count(text) takes exactly one argument, " +
+            s"got ${exprs.length}")
+        graft.expressions.BpeTokenCount(exprs.head)
+      }))
   }
 }
 

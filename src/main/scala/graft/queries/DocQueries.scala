@@ -106,6 +106,23 @@ object DocQueries {
         element_at(toks, 1).as("first_tok"))
     }),
 
+    // Merges-table BPE token counting (round 11): real PRIORITY
+    // byte-pair-encoding over a fixed ranked merges table
+    // ([[graft.expressions.BpeFuncs]] — lowest-ranked pair present
+    // merges everywhere, rescan, repeat), upgrading t9's
+    // boundary-split proxy to an actual subword tokenizer's counts —
+    // the numbers shard packing (t16) and temperature mixing (t20)
+    // are denominated in. One codegen'd expression per row, zero
+    // shuffles; the DuckDB oracle replays the identical algorithm as
+    // a recursive CTE over DISTINCT words.
+    "t26_bpe_tokens" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+          .cast("long").as("n_words"),
+        graft.expressions.BpeTokenCount.bpeTokenCount(col("text"))
+          .as("n_tokens"))
+    }),
+
     // Rolling-hash document fingerprint (order-sensitive).
     "t4_fingerprint" -> ((s, d) => {
       Tables.documents(s, d).select(col("doc_id"),
@@ -588,6 +605,47 @@ object DocQueries {
         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_bpe_distinct,
         |  toks[1] AS first_tok
         |FROM t""".stripMargin,
+    "t26_bpe_tokens" ->
+      """WITH RECURSIVE
+        |consts AS (SELECT ['t|h','th|e','i|n','a|n','an|d','e|r','o|n','r|e','a|t','e|n','o|r','e|s','in|g','s|t','a|r','t|i','te|d','o|u','l|e','m|e'] AS mp),
+        |words AS (
+        |  SELECT doc_id, lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS w
+        |  FROM documents),
+        |uw AS (SELECT DISTINCT w FROM words),
+        |bpe(w, toks, it) AS (
+        |  SELECT w, list_transform(generate_series(1, length(w)), i -> w[i]), 0
+        |  FROM uw
+        |  UNION ALL
+        |  SELECT w,
+        |    list_filter(
+        |      list_transform(generate_series(1, len(s.toks)), i ->
+        |        CASE WHEN s.toks[i-1] = split_part(c.mp[s.br], '|', 1)
+        |                  AND s.toks[i] = split_part(c.mp[s.br], '|', 2)
+        |               THEN NULL
+        |             WHEN s.toks[i] = split_part(c.mp[s.br], '|', 1)
+        |                  AND s.toks[i+1] = split_part(c.mp[s.br], '|', 2)
+        |               THEN split_part(c.mp[s.br], '|', 1) ||
+        |                    split_part(c.mp[s.br], '|', 2)
+        |             ELSE s.toks[i] END),
+        |      x -> x IS NOT NULL),
+        |    s.it + 1
+        |  FROM (
+        |    SELECT w, toks, it,
+        |      list_aggregate(
+        |        list_transform(generate_series(1, len(toks) - 1), i ->
+        |          nullif(list_position(c2.mp, toks[i] || '|' || toks[i+1]), 0)),
+        |        'min') AS br
+        |    FROM bpe, consts c2) s, consts c
+        |  WHERE s.br IS NOT NULL),
+        |final AS (
+        |  SELECT w, len(toks) AS nt FROM bpe b
+        |  WHERE it = (SELECT max(it) FROM bpe b2 WHERE b2.w = b.w)),
+        |counts AS (
+        |  SELECT doc_id, count(*) AS n_words, CAST(sum(nt) AS BIGINT) AS n_tokens
+        |  FROM words JOIN final USING (w) GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(c.n_words, 0) AS BIGINT) AS n_words,
+        |  coalesce(c.n_tokens, 0) AS n_tokens
+        |FROM documents d LEFT JOIN counts c USING (doc_id)""".stripMargin,
     "t3_quality_score" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -86,4 +86,47 @@ class ExpressionSpec extends SparkSuite {
     assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L)))
     assert(ham(h(1L), h(2L)) <= 8)
   }
+  test("bpe_token_count: priority merges, hand-computed values, codegen") {
+    import graft.expressions.{BpeFuncs, BpeTokenCount}
+    // hand-derived under the fixed merges table (priority order,
+    // merge-all-occurrences): "the"->[the], "then"->[the,n],
+    // "and"->[and], "interesting"->[in,t,er,es,t,ing],
+    // "started"->[st,ar,t,e,d] (te|d never fires: t|e is not a rule),
+    // "aaa" has no a|a rule -> 3 chars, "xyz" merges nothing
+    assert(BpeFuncs.tokensOf("the") == 1)
+    assert(BpeFuncs.tokensOf("then") == 2)
+    assert(BpeFuncs.tokensOf("and") == 1)
+    assert(BpeFuncs.tokensOf("interesting") == 6)
+    assert(BpeFuncs.tokensOf("started") == 5)
+    assert(BpeFuncs.tokensOf("aaa") == 3)
+    assert(BpeFuncs.tokensOf("xyz") == 3)
+    assert(BpeFuncs.tokensOf("") == 0)
+    // whole-document: [A-Za-z]+ words, ASCII lowercasing, everything
+    // else a separator: "The THEN and?? started33xyz" ->
+    // the(1) + then(2) + and(1) + started(5) + xyz(3) = 12
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(BpeFuncs.countTokens(
+      UTF8String.fromString("The THEN and?? started33xyz")) == 12L)
+    assert(BpeFuncs.countTokens(UTF8String.fromString("")) == 0L)
+    assert(BpeFuncs.countTokens(UTF8String.fromString("?!3 9")) == 0L)
+
+    // expression path (codegen) agrees with the kernel; null-safe
+    import spark.implicits._
+    val df = Seq((1L, "The THEN and?? started33xyz"), (2L, ""),
+      (3L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val got = df.select($"id",
+      BpeTokenCount.bpeTokenCount($"t").as("n")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got == Map(1L -> 12L, 2L -> 0L, 3L -> -1L))
+
+    // SQL registration
+    BpeTokenCount.register(spark)
+    df.createOrReplaceTempView("bpe_docs")
+    val sql = spark.sql(
+      "SELECT id, bpe_token_count(t) AS n FROM bpe_docs WHERE t IS NOT NULL")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sql == Map(1L -> 12L, 2L -> 0L))
+  }
 }
