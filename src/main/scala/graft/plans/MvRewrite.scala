@@ -101,50 +101,67 @@ object MvRewrite {
       case (_, p) => p // unreachable: unwrapOuter collects only the above
     }
 
-  /** Bind every ORDER BY expression to the served output: a bare
-    * single-part name must be an output alias (a QUALIFIED ref like
-    * `t.k` cannot resolve against the served plan even when `k` is an
-    * alias — decline, vanilla execution handles it); an aggregate
-    * CALL (`ORDER BY count(*)`) binds to the alias of a SELECT item
-    * computing the same aggregate — per SQL semantics the sort key is
-    * that item's per-group value, so sorting the serve by the alias
-    * is result-identical. A call the SELECT does not list, any other
-    * function, or a subquery declines (None). */
+  /** Bind an above-the-aggregate expression (ORDER BY key, HAVING
+    * predicate) to the served output: every aggregate CALL
+    * (`count(*)`, `sum(qty)`) must match a SELECT item computing the
+    * same aggregate and rebinds to that item's alias — per SQL
+    * semantics the call's value IS that item's per-group value, so
+    * evaluating the bound expression above the serve is
+    * result-identical. After substitution, every remaining attribute
+    * must be a bare output alias (a QUALIFIED ref like `t.k` cannot
+    * resolve against the served plan even when `k` is an alias), no
+    * function may remain (a scalar call over non-alias inputs has
+    * nothing served to read), and subqueries decline outright. */
+  private def bindAggRefs(e: Expression, aliases: Seq[String],
+                          items: Seq[GraftMvs.ServeItem],
+                          strip: Seq[String] => Option[String])
+    : Option[Expression] = {
+    if (e.exists(_.isInstanceOf[SubqueryExpression])) return None
+    def bindCall(f: UnresolvedFunction): Option[UnresolvedAttribute] =
+      scala.util.Try(GraftMvs.parseAgg(f, "__bind")).toOption.flatMap {
+        spec0 =>
+          val spec = spec0.arg match {
+            case Some(arg) => strip(arg.split('.').toSeq) match {
+              case Some(c) => Some(spec0.copy(arg = Some(c)))
+              case None    => None
+            }
+            case None => Some(spec0)
+          }
+          spec.flatMap(s => items.collectFirst {
+            case GraftMvs.ServeAgg(m, al) if m.func == s.func &&
+                m.arg.map(norm) == s.arg.map(norm) =>
+              UnresolvedAttribute(Seq(al))
+          })
+      }
+    var ok = true
+    val out = e.transform {
+      case f: UnresolvedFunction => bindCall(f) match {
+        case Some(attr) => attr
+        case None       => ok = false; f
+      }
+    }
+    val attrsOk = out.collect { case a: UnresolvedAttribute => a.nameParts }
+      .forall(p => p.length == 1 && aliases.contains(norm(p.head)))
+    if (ok && attrsOk && !out.exists(_.isInstanceOf[UnresolvedFunction]))
+      Some(out)
+    else None
+  }
+
+  /** Bind every ORDER BY expression via [[bindAggRefs]] — a sort key
+    * may be an output alias, a SELECT-listed aggregate call, or any
+    * composition of the two. */
   private def bindWrappers(wrappers: Seq[LogicalPlan],
                            aliases: Seq[String],
                            items: Seq[GraftMvs.ServeItem],
                            strip: Seq[String] => Option[String])
     : Option[Seq[LogicalPlan]] = {
-    def bindExpr(e: Expression): Option[Expression] = e match {
-      case a: UnresolvedAttribute =>
-        if (a.nameParts.length == 1 && aliases.contains(norm(a.nameParts.head)))
-          Some(a)
-        else None
-      case f: UnresolvedFunction if !f.exists(
-          _.isInstanceOf[SubqueryExpression]) =>
-        scala.util.Try(GraftMvs.parseAgg(f, "__sort")).toOption.flatMap {
-          spec0 =>
-            val spec = spec0.arg match {
-              case Some(arg) => strip(arg.split('.').toSeq) match {
-                case Some(c) => Some(spec0.copy(arg = Some(c)))
-                case None    => None
-              }
-              case None => Some(spec0)
-            }
-            spec.flatMap(s => items.collectFirst {
-              case GraftMvs.ServeAgg(m, al) if m.func == s.func &&
-                  m.arg.map(norm) == s.arg.map(norm) =>
-                UnresolvedAttribute(Seq(al))
-            })
-        }
-      case _ => None
-    }
     val bound = wrappers.map {
       case s: Sort =>
-        val orders = s.order.map(o => bindExpr(o.child) match {
-          case Some(b) => o.copy(child = b)
-          case None    => return None
-        })
+        val orders = s.order.map(o =>
+          bindAggRefs(o.child, aliases, items, strip) match {
+            case Some(b) => o.copy(child = b)
+            case None    => return None
+          })
         s.copy(order = orders)
       case w => w
     }
@@ -301,13 +318,10 @@ object MvRewrite {
     if (aliases.distinct.size != aliases.size) return None
     val wrappers = bindWrappers(outer.wrappers, aliases, items, strip)
       .getOrElse(return None)
-    val havingOk = qHaving.forall { h =>
-      !h.exists(e => e.isInstanceOf[SubqueryExpression] ||
-        e.isInstanceOf[UnresolvedFunction]) &&
-        h.collect { case a: UnresolvedAttribute => a.nameParts }
-          .forall(p => p.length == 1 && aliases.contains(norm(p.head)))
-    }
-    if (!havingOk) return None
+    // HAVING binds exactly like ORDER BY: output aliases and
+    // SELECT-listed aggregate calls, nothing else
+    val havingBound = qHaving.map(h =>
+      bindAggRefs(h, aliases, items, strip).getOrElse(return None))
 
     // WHERE conjuncts, qualifier-stripped so they compare (and
     // re-apply) against the view's stored names
@@ -319,7 +333,7 @@ object MvRewrite {
     GraftMvs.allViews.iterator.flatMap { mvName =>
       serveFrom(spark, mvName, joinKey, qGroup, items, qConj, qConjSql)
     }.nextOption().map { served =>
-      rewrap(wrappers, qHaving.foldLeft(served)((p, c) => Filter(c, p)))
+      rewrap(wrappers, havingBound.foldLeft(served)((p, c) => Filter(c, p)))
     }
   }
 

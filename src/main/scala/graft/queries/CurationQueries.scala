@@ -366,6 +366,24 @@ object CurationQueries {
         Tables.documents(s, d),
         "doc_id", TA.tokenCount(col("text")),
         numBuckets = 8, budgetTokens = 2000L)
+    }),
+
+    // Shard packing denominated in REAL subword-token counts
+    // (round 11): the same greedy per-bucket packing as t16 but the
+    // budget unit is the merges-table BPE count
+    // ([[graft.expressions.BpeTokenCount]]) — what a training run's
+    // token budget actually measures. Whitespace counts over-budget
+    // shards wherever text compresses well (common words merge to 1-2
+    // tokens) and under-budget where it doesn't; the BPE-denominated
+    // packing is the one whose shards cost what they claim. Still
+    // zero extra shuffles: the count is a scan-time codegen'd
+    // expression, the packing stays per-bucket window arithmetic.
+    "t27_bpe_shard_pack" -> ((s, d) => {
+      graft.sources.Layout.packShards(
+        Tables.documents(s, d),
+        "doc_id",
+        graft.expressions.BpeTokenCount.bpeTokenCount(col("text")),
+        numBuckets = 8, budgetTokens = 2000L)
     })
   )
 
@@ -606,6 +624,58 @@ object CurationQueries {
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |    CAST(doc_id % 8 AS BIGINT) AS bucket
         |  FROM documents),
+        |c AS (
+        |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, n_tokens, bucket, cum_before,
+        |  bucket * 1000000000 + cum_before // 2000 AS shard_id
+        |FROM c""".stripMargin,
+    "t27_bpe_shard_pack" ->
+      """WITH RECURSIVE
+        |consts AS (SELECT ['t|h','th|e','i|n','a|n','an|d','e|r','o|n','r|e','a|t','e|n','o|r','e|s','in|g','s|t','a|r','t|i','te|d','o|u','l|e','m|e'] AS mp),
+        |wrds AS (
+        |  SELECT doc_id, lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS w
+        |  FROM documents),
+        |uw AS (SELECT DISTINCT w FROM wrds),
+        |bpe(w, toks, it) AS (
+        |  SELECT w, list_transform(generate_series(1, length(w)), i -> w[i]), 0
+        |  FROM uw
+        |  UNION ALL
+        |  SELECT w,
+        |    list_filter(
+        |      list_transform(generate_series(1, len(s.toks)), i ->
+        |        CASE WHEN s.toks[i-1] = split_part(c.mp[s.br], '|', 1)
+        |                  AND s.toks[i] = split_part(c.mp[s.br], '|', 2)
+        |               THEN NULL
+        |             WHEN s.toks[i] = split_part(c.mp[s.br], '|', 1)
+        |                  AND s.toks[i+1] = split_part(c.mp[s.br], '|', 2)
+        |               THEN split_part(c.mp[s.br], '|', 1) ||
+        |                    split_part(c.mp[s.br], '|', 2)
+        |             ELSE s.toks[i] END),
+        |      x -> x IS NOT NULL),
+        |    s.it + 1
+        |  FROM (
+        |    SELECT w, toks, it,
+        |      list_aggregate(
+        |        list_transform(generate_series(1, len(toks) - 1), i ->
+        |          nullif(list_position(c2.mp, toks[i] || '|' || toks[i+1]), 0)),
+        |        'min') AS br
+        |    FROM bpe, consts c2) s, consts c
+        |  WHERE s.br IS NOT NULL),
+        |fin AS (
+        |  SELECT w, len(toks) AS nt FROM bpe b
+        |  WHERE it = (SELECT max(it) FROM bpe b2 WHERE b2.w = b.w)),
+        |cnts AS (
+        |  SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n_tokens
+        |  FROM wrds JOIN fin USING (w) GROUP BY doc_id),
+        |t AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |    CAST(d.doc_id % 8 AS BIGINT) AS bucket
+        |  FROM documents d LEFT JOIN cnts c USING (doc_id)),
         |c AS (
         |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
         |      PARTITION BY bucket ORDER BY doc_id

@@ -728,14 +728,25 @@ class MvSpec extends SparkSuite {
       direct.where("sm > 0").orderBy(col("sm").desc).limit(2)
         .collect().map(_.getInt(0)).toSeq)
 
-    // an aggregate CALL in HAVING needs its own matching — decline
+    // an aggregate CALL in HAVING that the SELECT does not list has
+    // nothing served to bind to — decline
     val agg = GraftSql.execute(spark,
       s"SELECT grp, sum(m) AS sm FROM $src GROUP BY grp " +
         "HAVING count(*) > 70")
     assert(agg.queryExecution.executedPlan.toString.contains(e.root),
-      "agg-call HAVING must decline the rewrite")
+      "unselected agg-call HAVING must decline the rewrite")
     assert(sortedRows(agg) == sortedRows(
       direct.where("n > 70").select(col("grp"), col("sm"))))
+
+    // ... but a SELECT-listed aggregate call binds to its item's
+    // alias and the HAVING serves (same rule as ORDER BY)
+    val aggBound = GraftSql.execute(spark,
+      s"SELECT grp, count(*) AS n, sum(m) AS sm FROM $src GROUP BY grp " +
+        "HAVING count(*) > 70 AND sm > 0")
+    assert(!aggBound.queryExecution.executedPlan.toString.contains(e.root),
+      "SELECT-listed agg-call HAVING must serve")
+    assert(sortedRows(aggBound) == sortedRows(
+      direct.where("n > 70 AND sm > 0")))
 
     // REFRESH ... FULL: always applies, one recompute, same contents
     GraftSql.execute(spark, s"DELETE FROM $src WHERE id % 8 = 5")
