@@ -1219,6 +1219,53 @@ object GraftMvs {
       .foreach(_.catalog.dropTempView(tempViewName(name)))
   }
 
+  /** `OPTIMIZE MATERIALIZED VIEW` — bin-pack the view's store.
+    * Every refresh commits one batch dir, so a long-lived view
+    * accumulates small files exactly like any frequently-written
+    * table; at a nightly-refresh cadence this is the difference
+    * between a store that serves in one scan and one that lists
+    * hundreds of dirs. BUCKETED BY stores compact through the
+    * bucket-preserving incremental rewrite (layout + markers
+    * survive, SPJ keeps planning exchange-free); plain stores
+    * bin-pack to ~128 MB files. Compaction consumes no source data:
+    * the compact batch CARRIES FORWARD the consumed-version state, so
+    * freshness and the next incremental refresh are unaffected — and
+    * the state file is written before the commit, keeping the
+    * exactly-once ordering. */
+  def optimize(spark: SparkSession, name: String): Unit =
+    refreshLocks.computeIfAbsent(norm(name), _ => new Object)
+      .synchronized {
+        val baseDir = lookup(name).getOrElse(
+          throw new IllegalArgumentException(
+            s"materialized view '$name' is not registered"))
+        val d = readDef(baseDir)
+        val mvMan = new TxnManifest(manifestPath(baseDir))
+        val ids = mvMan.committed().keySet
+        require(ids.nonEmpty, s"OPTIMIZE MATERIALIZED VIEW $name: " +
+          "never refreshed — nothing to compact")
+        val compactId = ids.max + 1
+        val (lastV, lastDs) = stateFor(baseDir, ids.max)
+        writeState(baseDir, compactId, lastV, lastDs) // inert until commit
+        d.bucketSpec match {
+          case Some(b) =>
+            Sinks.compactBucketedIncremental(spark, dataRoot(baseDir),
+              mvMan, compactId, b)
+          case None =>
+            val conf = spark.sparkContext.hadoopConfiguration
+            val bytes = mvMan.committedDirs(dataRoot(baseDir))
+              .filterNot(Sinks.isDvDir).map { dir =>
+                val p = new org.apache.hadoop.fs.Path(dir)
+                val fs = p.getFileSystem(conf)
+                if (!fs.exists(p)) 0L
+                else fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+              }.sum
+            val numFiles = math.max(1, (bytes / (128L * 1024 * 1024)).toInt)
+            Sinks.compact(spark, dataRoot(baseDir), mvMan, compactId,
+              numFiles)
+        }
+        ()
+      }
+
   /** Streaming MV maintenance — the production shape of REFRESH: a
     * change-feed stream over the view's source triggers one refresh
     * per delivered micro-batch, so the store tracks the source
@@ -1447,6 +1494,17 @@ final case class GraftMvRefreshAllCommand() extends LeafRunnableCommand {
       AttributeReference("applied", BooleanType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     GraftMvs.refreshAll(spark).map { case (n, f, t, a) => Row(n, f, t, a) }
+}
+
+/** `OPTIMIZE MATERIALIZED VIEW <name>` — bin-pack the view's store
+  * (bucket-preserving for BUCKETED BY stores); freshness carried
+  * forward. */
+final case class GraftMvOptimizeCommand(name: String)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftMvs.optimize(spark, name)
+    Seq.empty
+  }
 }
 
 /** `SHOW MATERIALIZED VIEWS` → (name, source, location, is_fresh). */

@@ -1314,6 +1314,8 @@ object GraftMaintenance {
     """(?is)\s*REFRESH\s+ALL\s+MATERIALIZED\s+VIEWS\s*;?\s*""".r
   private val MvDescribe =
     """(?is)\s*DESCRIBE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
+  private val MvOptimize =
+    """(?is)\s*OPTIMIZE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
 
   /** Recognize a maintenance statement on a REGISTERED table; None
     * otherwise (the caller delegates to Spark's parser). */
@@ -1350,6 +1352,7 @@ object GraftMaintenance {
         Some(GraftMvDropCommand(name, ifExists = ifEx != null))
       case MvShow() => Some(GraftMvShowCommand())
       case MvDescribe(name) => Some(GraftMvDescribeCommand(name))
+      case MvOptimize(name) => Some(GraftMvOptimizeCommand(name))
       case CloneRe(dst, src, ver, ts) => entryOf(src).map(e =>
         GraftCloneCommand(dst, src, e,
           asOfVersion = Option(ver).map(_.toLong),

@@ -840,7 +840,58 @@ class MvSpec extends SparkSuite {
     val shown = GraftSql.execute(spark, "SHOW MATERIALIZED VIEWS")
       .collect().map(r => (r.getString(0), r.getBoolean(3))).toMap
     assert(shown.get("mv_bkt").contains(true))
+
     GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_bkt")
+  }
+
+  test("OPTIMIZE MATERIALIZED VIEW: bin-packs accumulated refresh batches") {
+    // the canonical accumulating store is the time-bucket shape:
+    // every refresh wave lands NEW groups (pure-insert merge appends
+    // a dir; old dirs stay untouched), so a long-lived view collects
+    // one dir per refresh — exactly what OPTIMIZE collapses
+    val (src, base, man) = newSource("opt", seed(500))
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_opt LOCATION '$base/mv' " +
+        s"BUCKETED BY (4) AS SELECT id DIV 500 AS b, count(*) AS n, " +
+        s"sum(m) AS sm FROM $src GROUP BY b")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_opt")
+    val e = GraftSqlTables.lookup(Seq(src)).get
+    for (wave <- 1 to 3) {
+      val b = new TxnManifest(e.manifestPath).committed().keys.max + 1
+      StatsSinks.appendBatchStats(
+        seed(500 * (wave + 1)).where(s"id >= ${500 * wave}"), e.root, b)
+      man.commit(b, Seq(s"${e.root}/batch=$b"))
+      GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_opt")
+    }
+    def expected: DataFrame =
+      Sinks.readCommitted(spark, e.root, new TxnManifest(e.manifestPath))
+        .groupBy((col("id") / 500).cast("long").as("b"))
+        .agg(count(lit(1)).as("n"), sum("m").as("sm"))
+    def markers(): (Int, Int) = {
+      val m = new TxnManifest(s"$base/mv/manifest.tsv")
+      val dirs = m.committedDirs(s"$base/mv/data").filterNot(_.contains("_dv"))
+      (dirs.size, dirs.count(dd =>
+        new java.io.File(dd, graft.sources.Bucketing.Marker).exists()))
+    }
+    val (d1, _) = markers()
+    assert(d1 > 1, s"precondition: new-group refreshes must accumulate " +
+      s"dirs, got $d1")
+    val before = sortedRows(GraftMvs.read(spark, "mv_opt"))
+    assert(before == sortedRows(expected))
+    GraftSql.execute(spark, "OPTIMIZE MATERIALIZED VIEW mv_opt")
+    val (d2, m2) = markers()
+    assert(d2 == 1 && m2 == 1,
+      s"compaction must collapse the store to one marked dir, got $d2/$m2")
+    assert(sortedRows(GraftMvs.read(spark, "mv_opt")) == before)
+    assert(GraftSql.execute(spark, "DESCRIBE MATERIALIZED VIEW mv_opt")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      .apply("is_fresh") == "true",
+      "compaction must carry freshness forward")
+    // the next incremental refresh rides on the compacted store
+    GraftSql.execute(spark, s"DELETE FROM $src WHERE id % 7 = 1")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_opt")
+    assert(sortedRows(GraftMvs.read(spark, "mv_opt")) == sortedRows(expected))
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_opt")
   }
 
   test("MV over a bucketed CDF catalog table: refresh rides the feed") {
