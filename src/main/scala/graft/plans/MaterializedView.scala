@@ -1373,6 +1373,18 @@ object GraftMvs {
     * stored key alias per candidate view ([[MvRewrite]]). */
   private[plans] final case class ServeKeyExpr(canon: String, alias: String)
     extends ServeItem
+  /** A SELECT item COMPOSING matched aggregates with arithmetic /
+    * CASE / casts over group keys (`sum(m) / count(*) AS ratio`,
+    * `100 * sum(a) / sum(b) AS pct`): `expr` holds placeholder
+    * attributes `__c<i>` where the i-th aggregate call sat, `specs`
+    * the calls in placeholder order — rebound to the candidate
+    * view's stored aggregates in [[MvRewrite.serveFrom]]. The
+    * aggregate VALUES served are exactly the values direct execution
+    * feeds the same expression, so evaluating it above the serve is
+    * result-identical (same input types ⇒ same coercion). */
+  private[plans] final case class ServeCompound(
+      expr: org.apache.spark.sql.catalyst.expressions.Expression,
+      specs: Seq[AggSpec], alias: String) extends ServeItem
 
   /** Can `spec` be re-aggregated ACROSS stored groups (a query whose
     * GROUP BY is a strict subset of the view's keys)? Everything but
@@ -1393,6 +1405,18 @@ object GraftMvs {
     * view's probe IS the query's direct-execution type). An empty
     * grouping list is the global-aggregate query: one row, count 0 /
     * sums NULL over an empty store, matching direct execution. */
+  /** Rewrite a [[ServeCompound]]'s placeholder attributes to the
+    * concrete column each bound aggregate serves under. */
+  private def compoundCol(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      specs: Seq[AggSpec], nameOf: AggSpec => String): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.toColumn(e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+          a.nameParts.head.startsWith("__c") =>
+        UnresolvedAttribute(Seq(nameOf(
+          specs(a.nameParts.head.drop(3).toInt))))
+    })
+
   private[plans] def serve(spark: SparkSession, name: String,
                            rollup: Boolean, groupKeys: Seq[String],
                            items: Seq[ServeItem]): DataFrame = {
@@ -1403,12 +1427,26 @@ object GraftMvs {
       read(spark, name).select(items.map {
         case ServeKey(k, al) => col(k).as(al)
         case ServeAgg(a, al) => col(a.out).as(al)
+        case ServeCompound(e, specs, al) =>
+          compoundCol(e, specs, _.out).as(al)
+        case other => throw new IllegalStateException(
+          s"unbound serve item $other") // ServeKeyExpr binds upstream
       }: _*)
     } else {
       val raw = rawStorage(spark, baseDir, d)
       def outT(a: AggSpec): DataType =
         d.outSchema(d.outSchema.fieldIndex(a.out)).dataType
-      val aggCols = items.collect { case ServeAgg(a, al) =>
+      // every aggregate the items need, computed ONCE at the query's
+      // grain under an internal name — plain items project it,
+      // compound items compose over it
+      val needed = (items.collect { case ServeAgg(a, _) => a } ++
+        items.flatMap { case ServeCompound(_, ss, _) => ss; case _ => Nil })
+        .foldLeft(Vector.empty[AggSpec])((acc, a) =>
+          if (acc.exists(x => x.func == a.func &&
+              x.arg.map(norm) == a.arg.map(norm))) acc else acc :+ a)
+      def rolledName(a: AggSpec): String = "__r_" + needed.indexWhere(x =>
+        x.func == a.func && x.arg.map(norm) == a.arg.map(norm))
+      val aggCols = needed.map { a =>
         (a.func match {
           case "count_star" | "count" =>
             coalesce(sum(col(a.out)), lit(0L)).cast(outT(a))
@@ -1423,7 +1461,7 @@ object GraftMvs {
           case "max" => max(col(a.out)).cast(outT(a))
           case other => throw new IllegalStateException(
             s"rollup over non-rollupable aggregate '$other'") // guarded upstream
-        }).as(al)
+        }).as(rolledName(a))
       }
       val served =
         if (aggCols.isEmpty) // pure-DISTINCT query: SELECT keys GROUP BY keys
@@ -1432,7 +1470,11 @@ object GraftMvs {
         else raw.groupBy(groupKeys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
       served.select(items.map {
         case ServeKey(k, al) => col(k).as(al)
-        case ServeAgg(_, al) => col(al)
+        case ServeAgg(a, al) => col(rolledName(a)).as(al)
+        case ServeCompound(e, specs, al) =>
+          compoundCol(e, specs, rolledName).as(al)
+        case other => throw new IllegalStateException(
+          s"unbound serve item $other")
       }: _*)
     }
   }

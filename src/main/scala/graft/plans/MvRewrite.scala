@@ -101,6 +101,59 @@ object MvRewrite {
       case (_, p) => p // unreachable: unwrapOuter collects only the above
     }
 
+  /** Recognize a SELECT item COMPOSING aggregate calls with
+    * arithmetic / CASE / casts over group keys (`sum(m)/count(*) AS
+    * ratio`, `100 * sum(a) / sum(b) AS pct`). Each aggregate call
+    * becomes a placeholder attribute `__c<i>` with its parsed spec
+    * recorded in order; the serve re-evaluates the expression over
+    * the bound aggregates' SERVED values, which equal direct
+    * execution's inputs — identical types, identical coercion,
+    * identical result. None when the expression has no aggregate
+    * call (the computed-key path handles it) or uses shapes the
+    * serve can't reproduce: leftover non-aggregate functions
+    * (including nondeterministic ones), subqueries, unresolvable
+    * refs. */
+  private def compoundOf(e: Expression, alias: String,
+                         strip: Seq[String] => Option[String])
+    : Option[GraftMvs.ServeItem] = {
+    if (e.exists(_.isInstanceOf[SubqueryExpression])) return None
+    val specs = scala.collection.mutable.ArrayBuffer.empty[GraftMvs.AggSpec]
+    var ok = true
+    val out = e.transform {
+      case f: UnresolvedFunction =>
+        scala.util.Try(GraftMvs.parseAgg(f, s"__c${specs.length}"))
+          .toOption.flatMap { spec0 =>
+            spec0.arg match {
+              case Some(arg) => strip(arg.split('.').toSeq)
+                .map(c => spec0.copy(arg = Some(c)))
+              case None => Some(spec0)
+            }
+          } match {
+          case Some(sp) =>
+            specs += sp
+            UnresolvedAttribute(Seq(sp.out))
+          case None => ok = false; f
+        }
+    }
+    if (!ok || specs.isEmpty) return None
+    if (out.exists(_.isInstanceOf[UnresolvedFunction])) return None
+    // remaining refs strip to stored key names (membership in the
+    // query's grouping is validated per-view in serveFrom); nothing
+    // may collide with the placeholder namespace
+    var refsOk = true
+    val stripped = out.transform {
+      case a: UnresolvedAttribute if !(a.nameParts.length == 1 &&
+          a.nameParts.head.startsWith("__c")) =>
+        strip(a.nameParts) match {
+          case Some(c) if !norm(c).startsWith("__c") =>
+            UnresolvedAttribute(Seq(c))
+          case _ => refsOk = false; a
+        }
+    }
+    if (!refsOk) return None
+    Some(GraftMvs.ServeCompound(stripped, specs.toSeq, alias))
+  }
+
   /** Bind an above-the-aggregate expression (ORDER BY key, HAVING
     * predicate) to the served output: every aggregate CALL
     * (`count(*)`, `sum(qty)`) must match a SELECT item computing the
@@ -307,10 +360,12 @@ object MvRewrite {
           case None => spec
         }
         GraftMvs.ServeAgg(stripped, n)
-      case Alias(e, n) => // computed-key select item
-        stripExpr(e) match {
-          case Some(se) => GraftMvs.ServeKeyExpr(canonSql(se), n)
-          case None     => return None
+      case Alias(e, n) => // compound-aggregate or computed-key item
+        compoundOf(e, n, strip).getOrElse {
+          stripExpr(e) match {
+            case Some(se) => GraftMvs.ServeKeyExpr(canonSql(se), n)
+            case None     => return None
+          }
         }
       case _ => return None
     }
@@ -461,10 +516,16 @@ object MvRewrite {
       case Right(canon) => canonOfStored.getOrElse(canon, return None)
     }.distinct
     // every selected key must be grouped (else the SQL is invalid —
-    // decline and let vanilla execution produce the real error)
+    // decline and let vanilla execution produce the real error);
+    // compound items' key references likewise
     if (items.exists {
       case GraftMvs.ServeKey(k, _) => !qKeys.contains(k)
-      case _                       => false
+      case GraftMvs.ServeCompound(e, _, _) =>
+        !e.collect {
+          case a: UnresolvedAttribute
+            if !a.nameParts.head.startsWith("__c") => norm(a.nameParts.last)
+        }.forall(qKeys.contains)
+      case _ => false
     }) return None
     if (!qKeys.forall(mvKeys.contains)) return None
     val rollup = !(mvKeys.forall(qKeys.contains)) // strict-subset grain
@@ -484,26 +545,30 @@ object MvRewrite {
           .forall(p => p.length == 1 && qKeys.contains(norm(p.head)))
     }
     if (!residualOk) return None
-    // every selected aggregate must be stored by the view (and
-    // roll-up-able when the query grain is coarser). An
-    // approx_count_distinct never serves: the store's DataSketches
-    // estimate is a DIFFERENT approximation than Spark's native
-    // HLL++, so serving would change the query's result.
+    // every selected aggregate — plain item or compound component —
+    // must be stored by the view (and roll-up-able when the query
+    // grain is coarser). An approx_count_distinct never serves: the
+    // store's DataSketches estimate is a DIFFERENT approximation
+    // than Spark's native HLL++, so serving would change the query's
+    // result.
+    def matchSpec(spec: GraftMvs.AggSpec): Option[GraftMvs.AggSpec] =
+      if (spec.func == "hll") None
+      else d.aggs.find(m => m.func == spec.func &&
+          m.arg.map(norm) == spec.arg.map(norm))
+        .filter(_ => !rollup || GraftMvs.rollupable(spec))
     val matched = items.forall {
-      case GraftMvs.ServeAgg(spec, _) =>
-        spec.func != "hll" &&
-          d.aggs.exists(m => m.func == spec.func &&
-            m.arg.map(norm) == spec.arg.map(norm)) &&
-          (!rollup || GraftMvs.rollupable(spec))
+      case GraftMvs.ServeAgg(spec, _) => matchSpec(spec).isDefined
+      case GraftMvs.ServeCompound(_, specs, _) =>
+        specs.forall(s => matchSpec(s).isDefined)
       case _ => true
     }
     if (!matched) return None
-    // rebind each item's agg to the view's stored output name
+    // rebind each item's agg(s) to the view's stored specs
     val bound = items.map {
       case GraftMvs.ServeAgg(spec, al) =>
-        val m = d.aggs.find(m => m.func == spec.func &&
-          m.arg.map(norm) == spec.arg.map(norm)).get
-        GraftMvs.ServeAgg(m, al)
+        GraftMvs.ServeAgg(matchSpec(spec).get, al)
+      case GraftMvs.ServeCompound(e, specs, al) =>
+        GraftMvs.ServeCompound(e, specs.map(s => matchSpec(s).get), al)
       case k => k
     }
     val served = GraftMvs.serve(spark, mvName, rollup, qKeys, bound)

@@ -435,6 +435,36 @@ class MvSpec extends SparkSuite {
     assert(sortedRows(global) == sortedRows(
       committed.agg(count(lit(1)).as("n"), sum("m").as("sm"),
         max("m").as("mx"))))
+
+    // compound aggregate expressions — arithmetic / CASE over matched
+    // aggregates — serve at the direct grain and at a rollup grain
+    val comp = GraftSql.execute(spark,
+      s"SELECT grp, d, sum(m) / count(*) AS ratio, " +
+        s"100 * sum(m) AS pct FROM $src GROUP BY grp, d")
+    assert(!comp.queryExecution.executedPlan.toString.contains(e.root),
+      "compound aggregate items must serve at the view grain")
+    assert(sortedRows(comp) == sortedRows(committed.groupBy("grp", "d")
+      .agg(expr("sum(m) / count(*)").as("ratio"),
+        expr("100 * sum(m)").as("pct"))))
+    assert(comp.schema.map(f => (f.name, f.dataType)) ==
+      committed.groupBy("grp", "d")
+        .agg(expr("sum(m) / count(*)").as("ratio"),
+          expr("100 * sum(m)").as("pct"))
+        .schema.map(f => (f.name, f.dataType)),
+      "compound items must serve direct execution's types")
+    val compRoll = GraftSql.execute(spark,
+      s"SELECT grp, CASE WHEN count(*) > 100 THEN sum(m) ELSE 0 END " +
+        s"AS cm, min(m) AS mn FROM $src GROUP BY grp")
+    assert(!compRoll.queryExecution.executedPlan.toString.contains(e.root),
+      "compound items must roll up from the store")
+    assert(sortedRows(compRoll) == sortedRows(committed.groupBy("grp")
+      .agg(expr("CASE WHEN count(*) > 100 THEN sum(m) ELSE 0 END").as("cm"),
+        min(col("m")).as("mn"))))
+    // a leftover non-aggregate function cannot serve — decline
+    val compFn = GraftSql.execute(spark,
+      s"SELECT grp, round(sum(m) / count(*), 2) AS r FROM $src GROUP BY grp")
+    assert(compFn.queryExecution.executedPlan.toString.contains(e.root),
+      "a scalar function around the compound must decline the rewrite")
     GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_roll")
   }
 
