@@ -1266,6 +1266,21 @@ object GraftMvs {
         ()
       }
 
+  /** `VACUUM MATERIALIZED VIEW` — reclaim the store's un-named batch
+    * dirs (refresh merges and OPTIMIZE both REPLACE manifest entries;
+    * the replaced dirs' bytes linger until vacuumed, exactly like a
+    * table's). Same retention-grace contract as table VACUUM: dirs
+    * younger than the grace survive so an in-flight reader finishes.
+    * The usual CDF caveat applies — vacuuming past a consumer's
+    * offset makes that range unservable (loud, never silent). */
+  def vacuum(name: String, retainMillis: Option[Long],
+             dryRun: Boolean): Seq[String] = {
+    val baseDir = lookup(name).getOrElse(throw new IllegalArgumentException(
+      s"materialized view '$name' is not registered"))
+    Sinks.vacuum(dataRoot(baseDir), new TxnManifest(manifestPath(baseDir)),
+      retainMillis.getOrElse(7L * 24 * 3600 * 1000), dryRun = dryRun)
+  }
+
   /** Streaming MV maintenance — the production shape of REFRESH: a
     * change-feed stream over the view's source triggers one refresh
     * per delivered micro-batch, so the store tracks the source
@@ -1547,6 +1562,19 @@ final case class GraftMvOptimizeCommand(name: String)
     GraftMvs.optimize(spark, name)
     Seq.empty
   }
+}
+
+/** `VACUUM MATERIALIZED VIEW <name> [RETAIN n HOURS] [DRY RUN]` →
+  * one row per reclaimed (or reclaimable, under DRY RUN) dir. */
+final case class GraftMvVacuumCommand(name: String,
+                                      retainMillis: Option[Long],
+                                      dryRun: Boolean = false)
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("deleted", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftMvs.vacuum(name, retainMillis, dryRun).map(Row(_))
 }
 
 /** `SHOW MATERIALIZED VIEWS` → (name, source, location, is_fresh). */

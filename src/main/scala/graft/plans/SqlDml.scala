@@ -1316,6 +1316,8 @@ object GraftMaintenance {
     """(?is)\s*DESCRIBE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
   private val MvOptimize =
     """(?is)\s*OPTIMIZE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
+  private val MvVacuum =
+    """(?is)\s*VACUUM\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*(DRY\s+RUN)?\s*;?\s*""".r
 
   /** Recognize a maintenance statement on a REGISTERED table; None
     * otherwise (the caller delegates to Spark's parser). */
@@ -1353,6 +1355,8 @@ object GraftMaintenance {
       case MvShow() => Some(GraftMvShowCommand())
       case MvDescribe(name) => Some(GraftMvDescribeCommand(name))
       case MvOptimize(name) => Some(GraftMvOptimizeCommand(name))
+      case MvVacuum(name, hours, dry) => Some(GraftMvVacuumCommand(name,
+        Option(hours).map(_.toLong * 3600 * 1000), dryRun = dry != null))
       case CloneRe(dst, src, ver, ts) => entryOf(src).map(e =>
         GraftCloneCommand(dst, src, e,
           asOfVersion = Option(ver).map(_.toLong),

@@ -1346,6 +1346,55 @@ object PipelineQueries {
       out
     }),
 
+    // Compound-aggregate MV acceleration (round 11): the dashboard
+    // text that COMPUTES with its aggregates — integer-exact
+    // percentage via DIV, a scaled sum — served from the view's
+    // store at a ROLLUP grain (query groups by flag, the view by
+    // flag+lstat): each aggregate call binds to a stored accumulator,
+    // the arithmetic re-evaluates over the served values, and the
+    // serve/stale/serve plan asserts ride the same hash gate as s37.
+    "s42_mv_compound" -> ((s, d) => {
+      import graft.plans.{GraftMvs, GraftSql, GraftSqlTables}
+      import graft.sources.{StatsSinks, TxnManifest}
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 4 === 1).select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+        col("l_returnflag").as("flag"),
+        col("l_linestatus").as("lstat"),
+        when(col("l_orderkey") % 17 === 0, lit(null))
+          .otherwise(col("l_extendedprice").cast("decimal(18,6)")).as("px"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s42_").toString
+      val root = s"$base/src"
+      val man = new TxnManifest(s"$base/manifest.tsv")
+      StatsSinks.appendBatchStats(li, root, 0)
+      man.commit(0, Seq(s"$root/batch=0"))
+      GraftSqlTables.register("s42_src", GraftSqlTables.Entry(root,
+        s"$base/manifest.tsv", keys = Seq("id"), cdf = true))
+      GraftSql.execute(s,
+        s"CREATE MATERIALIZED VIEW s42_mv LOCATION '$base/mv' AS " +
+          "SELECT flag, lstat, count(*) AS n, count(px) AS np, " +
+          "sum(px) AS sp FROM s42_src GROUP BY flag, lstat")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s42_mv")
+      val q = "SELECT flag, (100 * count(px)) DIV count(*) AS pct_priced, " +
+        "100 * sum(px) AS cents FROM s42_src GROUP BY flag"
+      val fresh = GraftSql.execute(s, q)
+      require(!fresh.queryExecution.executedPlan.toString.contains(root),
+        "s42: compound aggregates must serve the rollup from the store")
+      GraftSql.execute(s, "DELETE FROM s42_src WHERE id % 9 = 5")
+      val stale = GraftSql.execute(s, q)
+      require(stale.queryExecution.executedPlan.toString.contains(root),
+        "s42: a stale view must never serve")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s42_mv")
+      val served = GraftSql.execute(s, q)
+      require(!served.queryExecution.executedPlan.toString.contains(root),
+        "s42: the refreshed view must serve again")
+      val out = served.select(col("flag"), col("pct_priced"),
+        col("cents").cast("double").as("cents"))
+      GraftMvs.drop("s42_mv")
+      out
+    }),
+
     // Streaming-maintained materialized view (round 11): the round-10
     // StreamingSpec fold twin promoted to an engine surface —
     // GraftMvs.maintainer runs a change-feed stream over the view's
@@ -2908,6 +2957,18 @@ object PipelineQueries {
         |  FROM supplier)
         |SELECT nk, count(*) AS n, CAST(sum(qty) AS DOUBLE) AS sq
         |FROM fact JOIN dim ON fact.sk = dim.k GROUP BY nk""".stripMargin,
+    "s42_mv_compound" ->
+      """WITH src AS (
+        |  SELECT l_orderkey * 8 + l_linenumber AS id,
+        |    l_returnflag AS flag, l_linestatus AS lstat,
+        |    CASE WHEN l_orderkey % 17 = 0 THEN NULL
+        |         ELSE CAST(l_extendedprice AS DECIMAL(18,6)) END AS px
+        |  FROM lineitem WHERE l_orderkey % 4 = 1),
+        |final AS (SELECT * FROM src WHERE NOT (id % 9 = 5))
+        |SELECT flag,
+        |  CAST((100 * count(px)) // count(*) AS BIGINT) AS pct_priced,
+        |  CAST(100 * sum(px) AS DOUBLE) AS cents
+        |FROM final GROUP BY flag""".stripMargin,
     "st14_mv_maintainer" ->
       """WITH src0 AS (
         |  SELECT o_orderkey AS id, o_orderstatus AS status,

@@ -921,6 +921,29 @@ class MvSpec extends SparkSuite {
     GraftSql.execute(spark, s"DELETE FROM $src WHERE id % 7 = 1")
     GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_opt")
     assert(sortedRows(GraftMvs.read(spark, "mv_opt")) == sortedRows(expected))
+
+    // VACUUM reclaims the replaced dirs' bytes: DRY RUN reports
+    // without deleting, the real run deletes exactly those dirs, the
+    // store's contents are untouched
+    val dataDir = new java.io.File(s"$base/mv/data")
+    def onDisk(): Set[String] = Option(dataDir.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSet
+    val liveDirs = new TxnManifest(s"$base/mv/manifest.tsv")
+      .committedDirs(s"$base/mv/data")
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    assert((onDisk() -- liveDirs).nonEmpty,
+      "precondition: compaction must have left un-named dirs behind")
+    val dry = GraftSql.execute(spark,
+      "VACUUM MATERIALIZED VIEW mv_opt RETAIN 0 HOURS DRY RUN")
+      .collect().map(_.getString(0)).toSet
+    assert(dry.nonEmpty && (onDisk() -- liveDirs).nonEmpty,
+      "DRY RUN must report and delete nothing")
+    GraftSql.execute(spark, "VACUUM MATERIALIZED VIEW mv_opt RETAIN 0 HOURS")
+    assert((onDisk() -- liveDirs).isEmpty,
+      s"vacuum must reclaim the un-named dirs, left: ${onDisk() -- liveDirs}")
+    assert(sortedRows(GraftMvs.read(spark, "mv_opt")) == sortedRows(expected),
+      "vacuum must not touch the live store")
     GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_opt")
   }
 
