@@ -1479,7 +1479,7 @@ object PipelineQueries {
       // id-grain pre-agg: (l_orderkey, l_linenumber) is not unique in
       // the synthetic data (same rationale as s38)
       val factRoot = reg("fact", Tables.lineitem(s, d)
-        .filter(col("l_orderkey") % 4 === 0).select(
+        .filter(col("l_orderkey") % 8 === 0).select(
         (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
         col("l_suppkey").as("sk"), col("l_partkey").as("pk"),
         col("l_quantity").cast("decimal(18,6)").as("qty"))
@@ -2988,7 +2988,7 @@ object PipelineQueries {
         |    min(l_suppkey) AS sk, min(l_partkey) AS pk,
         |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
         |      AS DECIMAL(18,6)) AS qty
-        |  FROM lineitem WHERE l_orderkey % 4 = 0 GROUP BY 1),
+        |  FROM lineitem WHERE l_orderkey % 8 = 0 GROUP BY 1),
         |fact AS (
         |  SELECT id, sk, pk, qty FROM fact0 WHERE NOT (id % 7 = 2)),
         |dim1 AS (
