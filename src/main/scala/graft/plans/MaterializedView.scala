@@ -79,10 +79,13 @@ object GraftMvs {
     * sum, avg, min, max; `arg` is None only for count_star. */
   final case class AggSpec(out: String, func: String, arg: Option[String])
 
-  /** One dim table of a star-join view: `pairs` are the normalized
-    * `(fact col, dim col)` ON equalities (pure star — every dim joins
-    * the FACT, never another dim), `man` the manifest path pinned at
-    * CREATE ([[MvDef.srcMan]]'s re-registration guard, per dim). */
+  /** One dim table of a star/snowflake-join view: `pairs` are the
+    * normalized `(left col, dim col)` ON equalities — the left side
+    * is a column of the ACCUMULATED join frame (the fact, or a dim
+    * joined earlier in FROM order), so plain stars and snowflake
+    * chains both fold left-to-right; `man` is the manifest path
+    * pinned at CREATE ([[MvDef.srcMan]]'s re-registration guard, per
+    * dim). */
   final case class DimRef(name: String, pairs: Seq[(String, String)],
                           man: Option[String] = None)
 
@@ -500,21 +503,24 @@ object GraftMvs {
       }
     }
 
-    /** Classify one ON conjunct as `(dim index ≥ 1, fact col, dim
-      * col)` — every equality must join the FACT to a dim (pure star;
-      * a dim-dim equality refuses). */
+    /** Classify one ON conjunct as `(dim index ≥ 1, left col, dim
+      * col)` — every equality must join a dim to an EARLIER relation
+      * (the fact, or a dim already joined): star AND snowflake
+      * shapes, since the join chain folds left-to-right and each
+      * dim's key must already be in the accumulated frame. A
+      * same-dim or forward-referencing equality refuses. */
     def classify(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : (Int, String, String) = {
       import org.apache.spark.sql.catalyst.expressions.EqualTo
       e match {
         case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
           (sideOf(a.nameParts), sideOf(b.nameParts)) match {
-            case (0, i) if i > 0 => (i, a.nameParts.last, b.nameParts.last)
-            case (i, 0) if i > 0 => (i, b.nameParts.last, a.nameParts.last)
+            case (j, i) if j < i => (i, a.nameParts.last, b.nameParts.last)
+            case (i, j) if j < i => (i, b.nameParts.last, a.nameParts.last)
             case _ => throw new IllegalArgumentException(
-              "CREATE MATERIALIZED VIEW: each ON equality must join " +
-                s"the fact table to a dim table; '${EqualTo(a, b).sql}' " +
-                "does not")
+              "CREATE MATERIALIZED VIEW: each ON equality must join a " +
+                "dim table to an EARLIER FROM relation (the fact or a " +
+                s"previously joined dim); '${EqualTo(a, b).sql}' does not")
           }
         case other => throw new IllegalArgumentException(
           "CREATE MATERIALIZED VIEW: ON must be a conjunction of " +
@@ -684,11 +690,12 @@ object GraftMvs {
     }
   }
 
-  /** The full star frame: the fact (or its delta) inner-joined to
-    * every dim in declared order. Δ(F ⋈ D1 ⋈ … ⋈ Dn) = ΔF ⋈ D1 ⋈ … ⋈
-    * Dn when ALL dims are unmoved — the single-dim bag-semantics
-    * identity applies dim-by-dim (each join is a fact-side enrich;
-    * no dim references another). */
+  /** The full star/snowflake frame: the fact (or its delta)
+    * inner-joined to every dim in declared order. Δ(F ⋈ D1 ⋈ … ⋈ Dn)
+    * = ΔF ⋈ D1 ⋈ … ⋈ Dn when ALL dims are unmoved — the single-dim
+    * bag-semantics identity applies dim-by-dim (each join enriches
+    * the accumulated frame; dims may key off the fact or an earlier
+    * dim, never a later one). */
   private def joinStar(fact: DataFrame,
                        dims: Seq[(DataFrame, Seq[(String, String)])])
     : DataFrame =

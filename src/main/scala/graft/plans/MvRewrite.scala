@@ -393,14 +393,15 @@ object MvRewrite {
   }
 
 
-  /** Resolve the star-query FROM: orientation against some candidate
-    * view is NOT decided here — the fact side is whichever relation a
-    * view's `src` names; this just builds the strip functions from
-    * the relation schemas and validates the ON shape (every conjunct
-    * a fact↔dim equality, wherever in the join chain it was written —
-    * inner-join conjunctions commute). Returns None when the sides
-    * don't resolve (unknown table, ambiguous column, non-equi or
-    * dim-dim ON) — the rewrite then declines. */
+  /** Resolve the star/snowflake-query FROM: orientation against some
+    * candidate view is NOT decided here — the fact side is whichever
+    * relation a view's `src` names; this just builds the strip
+    * functions from the relation schemas and validates the ON shape
+    * (every conjunct joins a dim to an earlier relation under the
+    * candidate's dim ordering, wherever in the join chain it was
+    * written — inner-join conjunctions commute). Returns None when
+    * the sides don't resolve (unknown table, ambiguous column,
+    * non-equi or forward-referencing ON) — the rewrite declines. */
   private def starResolution(spark: SparkSession, rels: Seq[QRel],
                              conds: Seq[Expression])
     : Option[(String, Seq[String],

@@ -648,6 +648,74 @@ class MvSpec extends SparkSuite {
     GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_star")
   }
 
+  test("snowflake MV: dim-of-dim chain folds and accelerates") {
+    val base = tempBase("snow")
+    def mkTable(tag: String, rows: DataFrame, keys: Seq[String]): String = {
+      val root = s"$base/$tag"
+      val man = new TxnManifest(s"$base/$tag.manifest.tsv")
+      StatsSinks.appendBatchStats(rows, root, 0)
+      man.commit(0, Seq(s"$root/batch=0"))
+      GraftSqlTables.register(s"mv_snow_$tag", GraftSqlTables.Entry(root,
+        s"$base/$tag.manifest.tsv", keys = keys, cdf = true))
+      s"mv_snow_$tag"
+    }
+    // fact → dim1 (city) → dim2 (region): the classic snowflake —
+    // dim2 keys off dim1's retained attribute, not the fact
+    val fact = mkTable("fact", spark.range(3000).select(col("id"),
+      (col("id") % 12).cast("int").as("ck"),
+      (col("id") * 3).as("amt")), Seq("id"))
+    val dim1 = mkTable("dim1", spark.range(12).select(
+      col("id").cast("int").as("k"),
+      (col("id") % 4).cast("int").as("rid")), Seq("k"))
+    val dim2 = mkTable("dim2", spark.range(4).select(
+      col("id").cast("int").as("r"),
+      concat(lit("R"), col("id")).as("rname")), Seq("r"))
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_snow LOCATION '$base/mv' AS " +
+        s"SELECT d2.rname, count(*) AS n, sum(f.amt) AS sa " +
+        s"FROM $fact f JOIN $dim1 d1 ON f.ck = d1.k " +
+        s"JOIN $dim2 d2 ON d1.rid = d2.r GROUP BY d2.rname")
+    def expected: DataFrame = {
+      def committed(n: String): DataFrame = {
+        val e = GraftSqlTables.lookup(Seq(n)).get
+        Sinks.readCommitted(spark, e.root, new TxnManifest(e.manifestPath))
+      }
+      val f = committed(fact); val d1 = committed(dim1)
+      val d2 = committed(dim2)
+      f.join(d1, f("ck") === d1("k")).join(d2, d1("rid") === d2("r"))
+        .groupBy("rname").agg(count(lit(1)).as("n"), sum("amt").as("sa"))
+    }
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_snow")
+    assert(sortedRows(GraftMvs.read(spark, "mv_snow")) == sortedRows(expected))
+
+    // fact wave → the incremental arm folds ΔF through the chain
+    GraftSql.execute(spark, s"DELETE FROM $fact WHERE id % 6 = 3")
+    GraftSql.execute(spark,
+      s"UPDATE $fact SET amt = amt + 1 WHERE id % 10 = 0")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_snow")
+    assert(sortedRows(GraftMvs.read(spark, "mv_snow")) == sortedRows(expected))
+
+    // acceleration: matching snowflake text serves from the store
+    val factRoot = GraftSqlTables.lookup(Seq(fact)).get.root
+    val q = s"SELECT d2.rname, count(*) AS n, sum(f.amt) AS sa " +
+      s"FROM $fact f JOIN $dim1 d1 ON f.ck = d1.k " +
+      s"JOIN $dim2 d2 ON d1.rid = d2.r GROUP BY d2.rname"
+    val served = GraftSql.execute(spark, q)
+    assert(!served.queryExecution.executedPlan.toString.contains(factRoot),
+      "a fresh snowflake MV must serve the matching chain query")
+    assert(sortedRows(served) == sortedRows(expected))
+
+    // the MID dim moving breaks the identity → full recompute with
+    // group deaths (collapse region 3 into 0)
+    GraftSql.execute(spark, s"UPDATE $dim1 SET rid = 0 WHERE rid = 3")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_snow")
+    val after = GraftMvs.read(spark, "mv_snow")
+    assert(after.where("rname = 'R3'").count() == 0,
+      "a group emptied by the mid-dim relabel must vanish")
+    assert(sortedRows(after) == sortedRows(expected))
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_snow")
+  }
+
   test("join-query acceleration: table pair + ON pairs + grain must match") {
     val base = tempBase("jacc")
     def mkTable(tag: String, rows: DataFrame, keys: Seq[String]): String = {
