@@ -1346,6 +1346,70 @@ object PipelineQueries {
       out
     }),
 
+    // Snowflake MV chain (round 11): fact → supplier → nation, the
+    // dim-of-dim shape — dim2 keys off dim1's retained attribute,
+    // not the fact. The same fold identity applies left-to-right
+    // (ΔF ⋈ D1 ⋈ D2 when both dims unmoved); the MID dim moving
+    // (supplier renationalized) breaks it → one full recompute with
+    // group deaths. Serve/stale/serve plan asserts ride the gate.
+    "s43_mv_snowflake" -> ((s, d) => {
+      import graft.plans.{GraftMvs, GraftSql, GraftSqlTables}
+      import graft.sources.{StatsSinks, TxnManifest}
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s43_").toString
+      def reg(tag: String, rows: org.apache.spark.sql.DataFrame,
+              keys: Seq[String]): String = {
+        val root = s"$base/$tag"
+        val man = new TxnManifest(s"$base/$tag.manifest.tsv")
+        StatsSinks.appendBatchStats(rows, root, 0)
+        man.commit(0, Seq(s"$root/batch=0"))
+        GraftSqlTables.register(s"s43_$tag", GraftSqlTables.Entry(root,
+          s"$base/$tag.manifest.tsv", keys = keys, cdf = true))
+        root
+      }
+      val factRoot = reg("fact", Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 8 === 4).select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+        col("l_suppkey").as("sk"),
+        col("l_quantity").cast("decimal(18,6)").as("qty"))
+        .groupBy(col("id")).agg(
+          min(col("sk")).as("sk"),
+          sum(col("qty")).cast("decimal(18,6)").as("qty")), Seq("id"))
+      reg("dim1", Tables.supplier(s, d).select(
+        col("s_suppkey").as("k"),
+        col("s_nationkey").cast("int").as("nk")), Seq("k"))
+      reg("dim2", Tables.nation(s, d).select(
+        col("n_nationkey").cast("int").as("nkk"),
+        col("n_name").as("nname")), Seq("nkk"))
+      GraftSql.execute(s,
+        s"CREATE MATERIALIZED VIEW s43_mv LOCATION '$base/mv' AS " +
+          "SELECT d2.nname, count(*) AS n, sum(f.qty) AS sq " +
+          "FROM s43_fact f JOIN s43_dim1 d1 ON f.sk = d1.k " +
+          "JOIN s43_dim2 d2 ON d1.nk = d2.nkk GROUP BY d2.nname")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s43_mv")
+      val q = "SELECT d2.nname, count(*) AS n, sum(f.qty) AS sq " +
+        "FROM s43_fact f JOIN s43_dim1 d1 ON f.sk = d1.k " +
+        "JOIN s43_dim2 d2 ON d1.nk = d2.nkk GROUP BY d2.nname"
+      require(!GraftSql.execute(s, q).queryExecution.executedPlan
+        .toString.contains(factRoot),
+        "s43: a fresh snowflake MV must serve the chain query")
+      GraftSql.execute(s, "DELETE FROM s43_fact WHERE id % 5 = 2")
+      require(GraftSql.execute(s, q).queryExecution.executedPlan
+        .toString.contains(factRoot),
+        "s43: a stale snowflake MV must never serve")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s43_mv") // fold arm
+      // mid-dim relabel → recompute arm, group deaths included
+      GraftSql.execute(s, "UPDATE s43_dim1 SET nk = nk % 13")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s43_mv")
+      require(!GraftSql.execute(s, q).queryExecution.executedPlan
+        .toString.contains(factRoot),
+        "s43: the refreshed snowflake MV must serve again")
+      val out = GraftMvs.read(s, "s43_mv").select(col("nname"), col("n"),
+        col("sq").cast("double").as("sq"))
+      GraftMvs.drop("s43_mv")
+      out
+    }),
+
     // Compound-aggregate MV acceleration (round 11): the dashboard
     // text that COMPUTES with its aggregates — integer-exact
     // percentage via DIV, a scaled sum — served from the view's
@@ -2957,6 +3021,24 @@ object PipelineQueries {
         |  FROM supplier)
         |SELECT nk, count(*) AS n, CAST(sum(qty) AS DOUBLE) AS sq
         |FROM fact JOIN dim ON fact.sk = dim.k GROUP BY nk""".stripMargin,
+    "s43_mv_snowflake" ->
+      """WITH fact0 AS (
+        |  SELECT l_orderkey * 8 + l_linenumber AS id,
+        |    min(l_suppkey) AS sk,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+        |      AS DECIMAL(18,6)) AS qty
+        |  FROM lineitem WHERE l_orderkey % 8 = 4 GROUP BY 1),
+        |fact AS (SELECT id, sk, qty FROM fact0 WHERE NOT (id % 5 = 2)),
+        |d1 AS (
+        |  SELECT s_suppkey AS k, CAST(s_nationkey AS INT) % 13 AS nk
+        |  FROM supplier),
+        |d2 AS (
+        |  SELECT CAST(n_nationkey AS INT) AS nkk, n_name AS nname
+        |  FROM nation)
+        |SELECT nname, count(*) AS n, CAST(sum(qty) AS DOUBLE) AS sq
+        |FROM fact JOIN d1 ON fact.sk = d1.k
+        |JOIN d2 ON d1.nk = d2.nkk
+        |GROUP BY nname""".stripMargin,
     "s42_mv_compound" ->
       """WITH src AS (
         |  SELECT l_orderkey * 8 + l_linenumber AS id,
