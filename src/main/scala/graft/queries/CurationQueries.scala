@@ -285,6 +285,35 @@ object CurationQueries {
           when(b < col("keep_threshold"), 1).otherwise(0).as("kept"))
     }),
 
+    // Temperature mixing denominated in TOKEN MASS (round 11): the
+    // same sqrt-temperature resampling as t20 but weighted by each
+    // source's total BPE token count, not its row count — a source of
+    // few long documents and a source of many short ones contribute
+    // what they actually cost a training run. The per-doc count is
+    // the codegen'd merges-table BPE expression (scan-speed, zero
+    // extra shuffles beyond t20's own per-source aggregate).
+    "t28_bpe_temperature_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("n_tok",
+        graft.expressions.BpeTokenCount.bpeTokenCount(col("text")))
+      val counts = docs.groupBy("source")
+        .agg(sum(col("n_tok")).as("tok_source"))
+      val minN = counts.agg(min(col("tok_source")).as("min_tok"))
+      val rate = sqrt(col("min_tok").cast(DoubleType)) /
+        sqrt(col("tok_source").cast(DoubleType))
+      val rates = counts.crossJoin(broadcast(minN))
+        .select(col("source"), col("tok_source"),
+          rate.cast("decimal(18,6)").as("keep_rate"),
+          floor(rate.cast("decimal(18,6)") * 256).cast("int")
+            .as("keep_threshold"))
+      val b = hashBucket(col("doc_id"))
+      docs.join(broadcast(rates), Seq("source"))
+        .select(col("doc_id"), col("source"), col("tok_source"),
+          col("keep_rate").cast(DoubleType).as("keep_rate"),
+          b.as("bucket"), col("keep_threshold").cast("long")
+            .as("keep_threshold"),
+          when(b < col("keep_threshold"), 1).otherwise(0).as("kept"))
+    }),
+
     // Length stratification: decile buckets by document length — the
     // sampling strata a curriculum/mixture builder keys on.
     // Scale-safe formulation (round 1 used a global ntile window — a
@@ -558,6 +587,66 @@ object CurationQueries {
         |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
         |  FROM documents)
         |SELECT b.doc_id, b.source, t.n_source, t.keep_rate, b.bucket,
+        |  t.keep_threshold,
+        |  CASE WHEN b.bucket < t.keep_threshold THEN 1 ELSE 0 END AS kept
+        |FROM b JOIN t USING (source)""".stripMargin,
+    "t28_bpe_temperature_mix" ->
+      """WITH RECURSIVE
+        |consts AS (SELECT ['t|h','th|e','i|n','a|n','an|d','e|r','o|n','r|e','a|t','e|n','o|r','e|s','in|g','s|t','a|r','t|i','te|d','o|u','l|e','m|e'] AS mp),
+        |wrds AS (
+        |  SELECT doc_id, lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS w
+        |  FROM documents),
+        |uw AS (SELECT DISTINCT w FROM wrds),
+        |bpe(w, toks, it) AS (
+        |  SELECT w, list_transform(generate_series(1, length(w)), i -> w[i]), 0
+        |  FROM uw
+        |  UNION ALL
+        |  SELECT w,
+        |    list_filter(
+        |      list_transform(generate_series(1, len(s.toks)), i ->
+        |        CASE WHEN s.toks[i-1] = split_part(c.mp[s.br], '|', 1)
+        |                  AND s.toks[i] = split_part(c.mp[s.br], '|', 2)
+        |               THEN NULL
+        |             WHEN s.toks[i] = split_part(c.mp[s.br], '|', 1)
+        |                  AND s.toks[i+1] = split_part(c.mp[s.br], '|', 2)
+        |               THEN split_part(c.mp[s.br], '|', 1) ||
+        |                    split_part(c.mp[s.br], '|', 2)
+        |             ELSE s.toks[i] END),
+        |      x -> x IS NOT NULL),
+        |    s.it + 1
+        |  FROM (
+        |    SELECT w, toks, it,
+        |      list_aggregate(
+        |        list_transform(generate_series(1, len(toks) - 1), i ->
+        |          nullif(list_position(c2.mp, toks[i] || '|' || toks[i+1]), 0)),
+        |        'min') AS br
+        |    FROM bpe, consts c2) s, consts c
+        |  WHERE s.br IS NOT NULL),
+        |fin AS (
+        |  SELECT w, len(toks) AS nt FROM bpe b
+        |  WHERE it = (SELECT max(it) FROM bpe b2 WHERE b2.w = b.w)),
+        |cnt AS (
+        |  SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n_tok
+        |  FROM wrds JOIN fin USING (w) GROUP BY doc_id),
+        |dtok AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(coalesce(c.n_tok, 0) AS BIGINT) AS n_tok
+        |  FROM documents d LEFT JOIN cnt c USING (doc_id)),
+        |sc AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok_source
+        |  FROM dtok GROUP BY source),
+        |r AS (SELECT source, tok_source,
+        |    CAST(sqrt(CAST((SELECT min(tok_source) FROM sc) AS DOUBLE)) /
+        |         sqrt(CAST(tok_source AS DOUBLE)) AS DECIMAL(18,6))
+        |      AS keep_rate FROM sc),
+        |t AS (SELECT source, tok_source,
+        |    CAST(keep_rate AS DOUBLE) AS keep_rate,
+        |    CAST(floor(keep_rate * 256) AS BIGINT) AS keep_threshold
+        |  FROM r),
+        |b AS (SELECT doc_id, source,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+        |  FROM documents)
+        |SELECT b.doc_id, b.source, t.tok_source, t.keep_rate, b.bucket,
         |  t.keep_threshold,
         |  CASE WHEN b.bucket < t.keep_threshold THEN 1 ELSE 0 END AS kept
         |FROM b JOIN t USING (source)""".stripMargin,

@@ -624,6 +624,16 @@ class MvSpec extends SparkSuite {
     assert(!coarse.queryExecution.executedPlan.toString.contains(factRoot))
     assert(sortedRows(coarse) == sortedRows(
       expected.groupBy("nk").agg(sum("n").cast("long").as("n"))))
+    // compound aggregates serve through the star rewrite too
+    val compStar = GraftSql.execute(spark,
+      s"SELECT d1.nk, sum(f.qty) / count(*) AS avg_qty FROM $fact f " +
+        s"JOIN $dim1 d1 ON f.sk = d1.k JOIN $dim2 d2 ON f.pk = d2.pkk " +
+        "GROUP BY d1.nk")
+    assert(!compStar.queryExecution.executedPlan.toString.contains(factRoot),
+      "a compound aggregate over the star must serve")
+    assert(sortedRows(compStar) == sortedRows(
+      expected.groupBy("nk").agg(
+        (sum(col("sq")) / sum(col("n"))).as("avg_qty"))))
     // wrong ON pairs on ONE dim must decline
     val wrongOn = GraftSql.execute(spark,
       s"SELECT d1.nk, count(*) AS n FROM $fact f " +
