@@ -85,9 +85,16 @@ object GraftMvs {
     * joined earlier in FROM order), so plain stars and snowflake
     * chains both fold left-to-right; `man` is the manifest path
     * pinned at CREATE ([[MvDef.srcMan]]'s re-registration guard, per
-    * dim). */
+    * dim). `joinType` ∈ {"inner", "left"} — LEFT keeps unmatched-FK
+    * fact rows with NULL-extended dim attributes (the reference's
+    * workhorse FK-remap join, orders.py:120-140): the fold identity
+    * Δ(F ⟕ D) = ΔF ⟕ D holds for fact-preserving left joins exactly
+    * like the inner case while the dim is unmoved; a dim INSERT that
+    * would flip a NULL-extension is a dim move, which the recompute
+    * arm already covers. */
   final case class DimRef(name: String, pairs: Seq[(String, String)],
-                          man: Option[String] = None)
+                          man: Option[String] = None,
+                          joinType: String = "inner")
 
   final case class MvDef(name: String, src: String, groupKeys: Seq[String],
                          aggs: Seq[AggSpec], where: Option[String],
@@ -99,6 +106,11 @@ object GraftMvs {
     def additive: Boolean = aggs.forall(a =>
       a.func != "min" && a.func != "max" && a.func != "count_distinct" &&
         a.func != "hll")
+    /** Any LEFT-joined dim ⇒ group keys may be NULL (the
+      * NULL-extension group is the left join's whole point), so the
+      * store's merge identity switches from the key columns to the
+      * internal never-NULL [[GKey]] encoding. */
+    def hasLeft: Boolean = dims.exists(_.joinType == "left")
     /** Parsed storage-layout bucket spec ([[graft.sources.Bucketing]]). */
     def bucketSpec: Option[graft.sources.Bucketing.Spec] =
       bucket.map(graft.sources.Bucketing.parse)
@@ -147,10 +159,37 @@ object GraftMvs {
       AtomicText.readLines(mvFile(wh, name)).headOption
         .map(_.trim).filter(_.nonEmpty)).nextOption()
 
+  /** Mirror the registration into every configured warehouse.
+    * Multi-warehouse writes are not atomic as a set, so: (1) check
+    * ALL warehouses for an existing name before writing any (the
+    * common already-exists case never leaves partial state), and
+    * (2) if a later exclusive-create still loses a race or fails,
+    * roll back the .mv files already written so no warehouse is left
+    * resolving a half-registered name. */
   private def persist(name: String, location: String): Unit =
-    if (persistable(name)) warehouses().foreach { wh =>
-      require(AtomicText.createExclusive(mvFile(wh, name), location + "\n"),
-        s"materialized view '$name' already exists in the catalog")
+    if (persistable(name)) {
+      val whs = warehouses()
+      whs.foreach { wh =>
+        require(AtomicText.readLines(mvFile(wh, name)).isEmpty,
+          s"materialized view '$name' already exists in the catalog")
+      }
+      val written = scala.collection.mutable.ArrayBuffer.empty[String]
+      try whs.foreach { wh =>
+        require(AtomicText.createExclusive(mvFile(wh, name), location + "\n"),
+          s"materialized view '$name' already exists in the catalog")
+        written += wh
+      } catch {
+        case e: Throwable =>
+          written.foreach { wh =>
+            try {
+              val p = new org.apache.hadoop.fs.Path(mvFile(wh, name))
+              val fs = p.getFileSystem(org.apache.spark.sql.SparkSession
+                .active.sessionState.newHadoopConf())
+              if (fs.exists(p)) fs.delete(p, false)
+            } catch { case scala.util.control.NonFatal(_) => () }
+          }
+          throw e
+      }
     }
 
   def lookup(name: String): Option[String] =
@@ -224,6 +263,58 @@ object GraftMvs {
   private def nCol(out: String) = s"__n__$out"
   private def sCol(out: String) = s"__s__$out"
 
+  /** Internal store column carrying the canonical group-key encoding
+    * of LEFT-join views — their merge identity ([[gkCol]]). Inner
+    * views don't store it (their key columns are never NULL, so key
+    * equality is the identity and the round-11 layout stands). */
+  private[plans] val GKey = "__gkey"
+
+  /** Canonical, never-NULL string encoding of the group-key tuple.
+    * A left-join view's dim-sourced keys are NULL for unmatched-FK
+    * fact rows — that NULL group is the left join's whole point — but
+    * SQL `=` never matches NULL, so the key columns themselves cannot
+    * be the store's merge keys. This encoding is injective by
+    * construction: per component, NULL → a lone `\u0000` marker, a
+    * value → `v` + a type-canonical rendering (strings escape the
+    * separator, timestamps render as epoch micros so the encoding is
+    * session-timezone-independent, binary renders base64); components
+    * join on `\u0001`. Group-by on the KEY COLUMNS (SQL groups NULLs
+    * together) stays the aggregation identity; [[GKey]] is attached
+    * after and only carries the merge. */
+  private def gkCol(keys: Seq[String], schema: StructType): Column = {
+    val parts = keys.map { k =>
+      val dt = fieldOf(schema, k).dataType
+      val rendered: Column = dt match {
+        case StringType =>
+          replace(replace(col(k), lit("\\"), lit("\\\\")),
+            lit("\u0001"), lit("\\s"))
+        case TimestampType => unix_micros(col(k)).cast(StringType)
+        case BinaryType    => base64(col(k))
+        case _             => col(k).cast(StringType)
+      }
+      when(col(k).isNull, lit("\u0000"))
+        .otherwise(concat(lit("v"), rendered))
+    }
+    concat_ws("\u0001", parts: _*)
+  }
+
+  /** Group-key columns for a refresh aggregation: inner views refuse
+    * NULL keys in-plan ([[guardedKeys]] — key-equality merge); LEFT
+    * views accept them and merge on [[GKey]] instead. */
+  private def groupCols(d: MvDef): Seq[Column] =
+    if (d.hasLeft) d.groupKeys.map(col) else guardedKeys(d.groupKeys)
+
+  /** Attach the canonical group-key encoding to a grouped frame
+    * (LEFT views only; inner stores stay byte-identical). */
+  private def withGk(df: DataFrame, d: MvDef): DataFrame =
+    if (d.hasLeft) df.withColumn(GKey, gkCol(d.groupKeys, d.storSchema))
+    else df
+
+  /** The store's merge identity: [[GKey]] for LEFT views, the group
+    * keys themselves otherwise. */
+  private def mergeKeys(d: MvDef): Seq[String] =
+    if (d.hasLeft) Seq(GKey) else d.groupKeys
+
   // ---------------------------------------------------------------- def IO
 
   private def writeDef(base: String, d: MvDef): Unit = {
@@ -233,7 +324,7 @@ object GraftMvs {
       s"keys\t${d.groupKeys.mkString(",")}") ++
       d.dims.map(dim => s"dim\t${dim.name}\t" +
         dim.pairs.map(p => s"${p._1}=${p._2}").mkString(",") +
-        s"\t${dim.man.getOrElse("")}") ++
+        s"\t${dim.man.getOrElse("")}\t${dim.joinType}") ++
       d.aggs.map(a => s"agg\t${a.out}\t${a.func}\t${a.arg.getOrElse("")}") ++
       d.keyExprs.map { case (a, s) => s"keyexpr\t$a\t$s" } ++
       d.where.map(w => s"where\t$w").toSeq ++
@@ -247,6 +338,18 @@ object GraftMvs {
   private[plans] def readDef(base: String): MvDef = {
     val lines = AtomicText.readLines(defPath(base))
     require(lines.nonEmpty, s"no materialized-view definition at $base")
+    // a pre-round-11 join-form mvdef used `src2`/`joinon`/`dimman`
+    // lines; silently ignoring them would read the view back as
+    // single-table — refresh would then fold UNJOINED fact deltas
+    // into a joined store (silent corruption) — so fail loudly
+    val legacy = lines.collect {
+      case l if l.startsWith("src2\t") || l.startsWith("joinon\t") ||
+          l.startsWith("dimman\t") => l.takeWhile(_ != '\t')
+    }
+    require(legacy.isEmpty, s"mvdef at $base uses the legacy join " +
+      s"format (${legacy.distinct.mkString(", ")}); this engine reads " +
+      "only the dim\\t format — DROP MATERIALIZED VIEW and recreate it " +
+      "(or rewrite the mvdef.tsv as dim lines and REFRESH ... FULL)")
     def one(k: String): String = lines.collectFirst {
       case l if l.startsWith(k + "\t") => l.drop(k.length + 1) }.getOrElse(
       throw new IllegalStateException(s"mvdef at $base: missing '$k'"))
@@ -262,10 +365,13 @@ object GraftMvs {
       DataType.fromJson(one("storschema")).asInstanceOf[StructType],
       dims = lines.filter(_.startsWith("dim\t")).map { l =>
         val p = l.split('\t')
+        val jt = if (p.length > 4 && p(4).nonEmpty) p(4) else "inner"
+        require(jt == "inner" || jt == "left",
+          s"mvdef at $base: unknown dim join type '$jt'")
         DimRef(p(1), p(2).split(',').toSeq.map { pr =>
           val Array(a, b) = pr.split('=')
           (a, b)
-        }, if (p.length > 3 && p(3).nonEmpty) Some(p(3)) else None)
+        }, if (p.length > 3 && p(3).nonEmpty) Some(p(3)) else None, jt)
       },
       bucket = opt("bucket"),
       keyExprs = lines.filter(_.startsWith("keyexpr\t")).map { l =>
@@ -310,12 +416,12 @@ object GraftMvs {
   /** The CREATE's SELECT body, structurally validated but with
     * qualifiers unresolved — [[create]] resolves names against the
     * actual schemas (parse has no SparkSession). `dims` holds each
-    * INNER-joined dim relation with its ON expression, in FROM
-    * order. */
+    * joined dim relation with its ON expression and join type
+    * ("inner" | "left"), in FROM order. */
   private[plans] final case class ParsedSelect(
       fact: ParsedRel,
       dims: Seq[(ParsedRel,
-        org.apache.spark.sql.catalyst.expressions.Expression)],
+        org.apache.spark.sql.catalyst.expressions.Expression, String)],
       keys: Seq[Seq[String]], aggs: Seq[AggSpec],
       where: Option[org.apache.spark.sql.catalyst.expressions.Expression],
       keyExprs: Seq[(String,
@@ -351,21 +457,27 @@ object GraftMvs {
       case _ => None
     }
     // FROM: one registered fact, optionally a left-deep chain of
-    // INNER JOINs to registered dim tables, each with an ON clause
+    // INNER / LEFT [OUTER] JOINs to registered dim tables, each with
+    // an ON clause
     def unjoin(p: LogicalPlan): (LogicalPlan,
-        Seq[(ParsedRel, org.apache.spark.sql.catalyst.expressions.Expression)]) =
+        Seq[(ParsedRel,
+          org.apache.spark.sql.catalyst.expressions.Expression, String)]) =
       p match {
-        case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
-            Some(c), _) if rel(r).isDefined =>
+        case Join(l, r, jt, Some(c), _)
+            if (jt == org.apache.spark.sql.catalyst.plans.Inner ||
+              jt == org.apache.spark.sql.catalyst.plans.LeftOuter) &&
+              rel(r).isDefined =>
           val (base, ds) = unjoin(l)
-          (base, ds :+ ((rel(r).get, c)))
+          val t = if (jt == org.apache.spark.sql.catalyst.plans.LeftOuter)
+            "left" else "inner"
+          (base, ds :+ ((rel(r).get, c, t)))
         case other => (other, Nil)
       }
     val (basePlan, dimRels) = unjoin(fromPlan)
     val factRel = rel(basePlan).getOrElse(throw new IllegalArgumentException(
       "CREATE MATERIALIZED VIEW: FROM must be a bare registered " +
-        "table, optionally INNER JOINed to registered dim tables " +
-        s"each with an ON clause; got ${basePlan.nodeName}"))
+        "table, optionally INNER or LEFT JOINed to registered dim " +
+        s"tables each with an ON clause; got ${basePlan.nodeName}"))
     // computed keys: an aliased NON-aggregate select item whose alias
     // a GROUP BY element names (or whose expression the GROUP BY
     // repeats verbatim)
@@ -529,13 +641,29 @@ object GraftMvs {
     }
 
     /** All ON conjuncts of the star, grouped per dim as normalized
-      * `(fact col, dim col)` pairs (conjunct placement across the ON
-      * clauses is free — inner-join conjunctions commute — but every
-      * dim must receive at least one pair: a pairless dim would be a
-      * cross join). */
+      * `(fact col, dim col)` pairs. For an all-INNER star, conjunct
+      * placement across the ON clauses is free (inner-join
+      * conjunctions commute); every dim must still receive at least
+      * one pair — a pairless dim would be a cross join. With
+      * `strictPlacement` (any LEFT join present), placement IS
+      * semantic — a conjunct in dim i's ON decides which D_i rows
+      * match (and so which fact rows NULL-extend), it cannot move to
+      * another clause — so every conjunct of ON_i must classify to
+      * dim i, refused loudly otherwise. */
     def resolveStarPairs(
-        conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        strictPlacement: Boolean = false)
       : Seq[Seq[(String, String)]] = {
+      if (strictPlacement) {
+        conds.zipWithIndex.foreach { case (c, i) =>
+          conj(c).map(classify).foreach { case (d, f, cc) =>
+            require(d == i + 1, "CREATE MATERIALIZED VIEW: with a LEFT " +
+              s"JOIN, ON placement is semantic — '$f = $cc' sits in the " +
+              s"ON of '${dims(i)._1.name}' but joins '${dims(d - 1)._1.name}'" +
+              "; move it to that dim's ON clause")
+          }
+        }
+      }
       val classified = conds.flatMap(conj).map(classify)
       dims.indices.map { i =>
         val pairs = classified.collect { case (d, f, c) if d == i + 1 =>
@@ -625,7 +753,8 @@ object GraftMvs {
           s"schema (${schema.fieldNames.mkString(", ")})"))
 
   private def storageSchema(srcSchema: StructType, keys: Seq[String],
-                            aggs: Seq[AggSpec]): StructType = {
+                            aggs: Seq[AggSpec],
+                            withGkCol: Boolean = false): StructType = {
     val keyFields = keys.map(k => fieldOf(srcSchema, k))
     val aggFields = aggs.flatMap { a =>
       a.func match {
@@ -645,7 +774,14 @@ object GraftMvs {
             StructField(nCol(a.out), LongType, nullable = false))
       }
     }
-    StructType(keyFields ++ aggFields :+
+    // LEFT-join views: keys may be NULL (NULL-extension groups), so
+    // the key fields relax to nullable and the canonical merge key
+    // rides alongside
+    val keyFields2 =
+      if (withGkCol) keyFields.map(_.copy(nullable = true)) else keyFields
+    StructType(keyFields2 ++ aggFields ++
+      (if (withGkCol) Seq(StructField(GKey, StringType, nullable = false))
+       else Nil) :+
       StructField(GRows, LongType, nullable = false))
   }
 
@@ -677,37 +813,41 @@ object GraftMvs {
     entry
   }
 
-  /** The fact ⋈ dim enrichment frame: inner join on the resolved
+  /** The fact ⋈/⟕ dim enrichment frame: join on the resolved
     * `(fact col, dim col)` pairs, dim join-key columns dropped (the
-    * fact FK addresses them). Shared by create-time probe, refresh
-    * delta, and recompute — one definition of the joined relation. */
+    * fact FK addresses them; under LEFT the fact side keeps its FK
+    * value while the dim attributes NULL-extend). Shared by
+    * create-time probe, refresh delta, and recompute — one definition
+    * of the joined relation. */
   private def joinFrames(fact: DataFrame, dim: DataFrame,
-                         pairs: Seq[(String, String)]): DataFrame = {
+                         pairs: Seq[(String, String)],
+                         joinType: String): DataFrame = {
     val cond = pairs.map { case (a, b) => fact(a) === dim(b) }
       .reduce(_ && _)
-    pairs.foldLeft(fact.join(dim, cond, "inner")) {
+    pairs.foldLeft(fact.join(dim, cond, joinType)) {
       case (df, (_, b)) => df.drop(dim(b))
     }
   }
 
-  /** The full star/snowflake frame: the fact (or its delta)
-    * inner-joined to every dim in declared order. Δ(F ⋈ D1 ⋈ … ⋈ Dn)
-    * = ΔF ⋈ D1 ⋈ … ⋈ Dn when ALL dims are unmoved — the single-dim
-    * bag-semantics identity applies dim-by-dim (each join enriches
-    * the accumulated frame; dims may key off the fact or an earlier
-    * dim, never a later one). */
+  /** The full star/snowflake frame: the fact (or its delta) joined to
+    * every dim in declared order with its declared join type.
+    * Δ(F ⋈ D1 ⋈ … ⋈ Dn) = ΔF ⋈ D1 ⋈ … ⋈ Dn when ALL dims are
+    * unmoved — the single-dim bag-semantics identity applies
+    * dim-by-dim for INNER and fact-preserving LEFT alike (each join
+    * enriches the accumulated frame row-by-row; dims may key off the
+    * fact or an earlier dim, never a later one). */
   private def joinStar(fact: DataFrame,
-                       dims: Seq[(DataFrame, Seq[(String, String)])])
+                       dims: Seq[(DataFrame, Seq[(String, String)], String)])
     : DataFrame =
-    dims.foldLeft(fact) { case (acc, (dim, pairs)) =>
-      joinFrames(acc, dim, pairs) }
+    dims.foldLeft(fact) { case (acc, (dim, pairs, jt)) =>
+      joinFrames(acc, dim, pairs, jt) }
 
   def create(spark: SparkSession, name: String, location: String,
              selectSql: String, buckets: Option[Int] = None): Unit = {
     require(lookup(name).isEmpty,
       s"materialized view '$name' already exists")
     val ps = parseSelect(selectSql)
-    ps.dims.foreach { case (d, _) =>
+    ps.dims.foreach { case (d, _, _) =>
       require(!norm(d.name).equals(norm(ps.fact.name)),
         s"CREATE MATERIALIZED VIEW: a self-join of '${ps.fact.name}' " +
           "is not supported — Δ(F ⋈ F) needs deltas on both sides; " +
@@ -716,18 +856,20 @@ object GraftMvs {
     require(ps.dims.map(d => norm(d._1.name)).distinct.size == ps.dims.size,
       "CREATE MATERIALIZED VIEW: the same dim table appears twice — " +
         "register a second name for the second role")
+    val anyLeft = ps.dims.exists(_._3 == "left")
     val entry = resolveEntry(ps.fact.name)
-    val entryDs = ps.dims.map { case (r, _) => resolveEntry(r.name) }
+    val entryDs = ps.dims.map { case (r, _, _) => resolveEntry(r.name) }
     val factDf = snapshotRead(spark, entry)
     val dimDfs = entryDs.map(snapshotRead(spark, _))
 
     // ------- qualifier resolution (join form only needs the work)
     val res = new StarResolver(ps.fact, factDf.columns.toSeq,
       ps.dims.map(_._1).zip(dimDfs.map(_.columns.toSeq)))
-    val starPairs = res.resolveStarPairs(ps.dims.map(_._2))
+    val starPairs = res.resolveStarPairs(ps.dims.map(_._2),
+      strictPlacement = anyLeft)
     val dimRefs = ps.dims.zip(starPairs).zip(entryDs).map {
-      case (((r, _), pairs), e) =>
-        DimRef(r.name, pairs, Some(e.manifestPath))
+      case (((r, _, jt), pairs), e) =>
+        DimRef(r.name, pairs, Some(e.manifestPath), jt)
     }
     val keys = ps.keys.map(res.strip)
     val aggs = ps.aggs.map(a =>
@@ -740,7 +882,11 @@ object GraftMvs {
         s"CREATE MATERIALIZED VIEW: dim column '$c' collides with the " +
           "change-feed metadata the refresh joins through")))
 
-    val base = joinStar(factDf, dimDfs.zip(starPairs))
+    val base = joinStar(factDf, dimDfs.zip(starPairs).zip(ps.dims)
+      .map { case ((df, pairs), (_, _, jt)) => (df, pairs, jt) })
+    require(!base.columns.exists(_.equalsIgnoreCase(GKey)),
+      s"CREATE MATERIALIZED VIEW: source column '$GKey' collides with " +
+        "the engine's internal merge-key column")
     // computed group keys: resolve qualifiers, refuse source-column
     // shadowing, then gate on determinism — a key that moves between
     // refreshes (rand, current_date) would scatter one logical group
@@ -771,7 +917,8 @@ object GraftMvs {
     keys.foreach(k => fieldOf(derived.schema, k))
     val outSchema = live.groupBy(keys.map(col): _*)
       .agg(realAggCols(aggs).head, realAggCols(aggs).tail: _*).schema
-    val stor = storageSchema(derived.schema, keys, aggs)
+    val stor = storageSchema(derived.schema, keys, aggs,
+      withGkCol = anyLeft)
     // BUCKETED BY (n): the STORE is laid out on the group keys — the
     // refresh merge only rewrites touched buckets and the layout
     // survives every refresh (markers stamped per batch dir)
@@ -881,7 +1028,7 @@ object GraftMvs {
     val factAsOf = Some(curV).filter(_ >= 0)
     val starDims = entryDs.zip(curDs).map { case (e, v) =>
       snapshotRead(spark, e, Some(v).filter(_ >= 0)) }
-      .zip(d.dims.map(_.pairs))
+      .zip(d.dims).map { case (df, dim) => (df, dim.pairs, dim.joinType) }
     // the pinned full-star frame — the full / dim-moved / recompute
     // arms' base scan, built once here so every arm reads identically
     def liveSnapshot: DataFrame = {
@@ -900,8 +1047,8 @@ object GraftMvs {
       if (mvB < 0) {
         val aggsCols = storageAggs(d)
         bootstrapCommit(spark, d, baseDir, mvMan, newBatch,
-          conform(liveSnapshot.groupBy(guardedKeys(d.groupKeys): _*)
-            .agg(aggsCols.head, aggsCols.tail: _*), d.storSchema))
+          conform(withGk(liveSnapshot.groupBy(groupCols(d): _*)
+            .agg(aggsCols.head, aggsCols.tail: _*), d), d.storSchema))
       } else refreshFull(spark, d, baseDir, mvMan, newBatch, liveSnapshot)
     } else if (mvB >= 0 && d.dims.nonEmpty && curDs != lastDs) {
       // ANY dim moved: ΔF ⋈ D1 ⋈ … no longer equals Δ(F ⋈ D1 ⋈ …) —
@@ -989,21 +1136,29 @@ object GraftMvs {
         case other => sys.error(s"additive refresh on $other") // unreachable
       }
     } :+ sum(w).as(GRows)
-    val dAgg = delta.groupBy(guardedKeys(d.groupKeys): _*)
-      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val dAgg = withGk(delta.groupBy(groupCols(d): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*), d)
 
     if (mvB < 0) { // bootstrap: the feed from −1 IS the full history
       val boot = conform(dAgg.filter(col(GRows) > 0), d.storSchema)
       bootstrapCommit(spark, d, baseDir, mvMan, newBatch, boot)
     } else {
+      val mk = mergeKeys(d)
       val accCols = d.storSchema.fieldNames.filterNot(n =>
-        d.groupKeys.exists(_.equalsIgnoreCase(n))).toSeq
-      val dd = dAgg.select((d.groupKeys.map(col) ++
+        d.groupKeys.exists(_.equalsIgnoreCase(n)) ||
+          n.equalsIgnoreCase(GKey)).toSeq
+      val dd = dAgg.select(((d.groupKeys ++
+        (if (d.hasLeft) Seq(GKey) else Nil)).map(col) ++
         accCols.map(n => col(n).as(s"__d_$n"))): _*)
-      val cur = Sinks.readCommitted(spark, dataRoot(baseDir), mvMan)
+      val cur0 = Sinks.readCommitted(spark, dataRoot(baseDir), mvMan)
+      // LEFT views fold on the canonical key (NULL group keys never
+      // match under `=`); the stored key columns drop here and the
+      // delta side's — equal by the encoding's injectivity — carry
+      val cur = if (d.hasLeft)
+        cur0.select((GKey +: accCols).map(col): _*) else cur0
       // right join: untouched groups are never read into the plan's
       // output — only delta groups (new or existing) flow onward
-      val merged0 = cur.join(dd, d.groupKeys, "right")
+      val merged0 = cur.join(dd, mk, "right")
       val merged = accCols.foldLeft(merged0) { (df, n) =>
         val t = d.storSchema(d.storSchema.fieldIndex(n)).dataType
         df.withColumn(n,
@@ -1012,9 +1167,9 @@ object GraftMvs {
       }
       val updates = conform(merged.filter(col(GRows) > 0), d.storSchema)
       val deletes = merged.filter(col(GRows) <= 0)
-        .select(d.groupKeys.map(col): _*)
+        .select(mk.map(col): _*)
       Sinks.merge(spark, Some(updates), Some(deletes), dataRoot(baseDir),
-        mvMan, d.groupKeys, newBatch, bucketBy = d.bucketSpec)
+        mvMan, mk, newBatch, bucketBy = d.bucketSpec)
     }
   }
 
@@ -1054,9 +1209,10 @@ object GraftMvs {
     lazy val live = liveDf // the pinned star snapshot; never built on
                            // the insert-only path
 
+    val mk = mergeKeys(d)
     if (mvB < 0) {
-      val full = conform(live.groupBy(guardedKeys(d.groupKeys): _*)
-        .agg(aggsCols.head, aggsCols.tail: _*), d.storSchema)
+      val full = conform(withGk(live.groupBy(groupCols(d): _*)
+        .agg(aggsCols.head, aggsCols.tail: _*), d), d.storSchema)
       bootstrapCommit(spark, d, baseDir, mvMan, newBatch, full)
       return
     }
@@ -1066,15 +1222,17 @@ object GraftMvs {
     if (!canFold) {
       // groups touched by ANY delta image (a pre-image that matched
       // the WHERE marks its group even when the post-image left it)
-      val affected = delta.select(guardedKeys(d.groupKeys): _*).distinct()
-      val rec = conform(
-        live.join(affected, d.groupKeys, "left_semi")
+      val affected = withGk(
+        delta.select(groupCols(d): _*).distinct(), d)
+      val rec = conform(withGk(
+        withGk(live, d)
+          .join(affected.select(mk.map(col): _*), mk, "left_semi")
           .groupBy(d.groupKeys.map(col): _*)
-          .agg(aggsCols.head, aggsCols.tail: _*), d.storSchema)
-      val gone = affected.join(rec.select(d.groupKeys.map(col): _*),
-        d.groupKeys, "left_anti")
+          .agg(aggsCols.head, aggsCols.tail: _*), d), d.storSchema)
+      val gone = affected.select(mk.map(col): _*)
+        .join(rec.select(mk.map(col): _*), mk, "left_anti")
       Sinks.merge(spark, Some(rec), Some(gone), dataRoot(baseDir),
-        mvMan, d.groupKeys, newBatch, bucketBy = d.bucketSpec)
+        mvMan, mk, newBatch, bucketBy = d.bucketSpec)
       return
     }
 
@@ -1100,8 +1258,8 @@ object GraftMvs {
         case other => sys.error(s"fold refresh on $other") // unreachable
       }
     } ++ Seq(sum(w).as(GRows), max(when(neg, 1).otherwise(0)).as(HasNeg))
-    val dAgg = delta.groupBy(guardedKeys(d.groupKeys): _*)
-      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val dAgg = withGk(delta.groupBy(groupCols(d): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*), d)
       .localCheckpoint() // both arms consume it; scan the delta once
 
     // FOLD arm: insert-only groups — additive accumulators add,
@@ -1115,11 +1273,15 @@ object GraftMvs {
       .map(a => norm(a.out)).toSet
     val hlls = d.aggs.filter(_.func == "hll").map(a => norm(a.out)).toSet
     val accCols = d.storSchema.fieldNames.filterNot(n =>
-      d.groupKeys.exists(_.equalsIgnoreCase(n))).toSeq
-    val dd = dAgg.filter(col(HasNeg) === 0).select((d.groupKeys.map(col) ++
+      d.groupKeys.exists(_.equalsIgnoreCase(n)) ||
+        n.equalsIgnoreCase(GKey)).toSeq
+    val dd = dAgg.filter(col(HasNeg) === 0).select(((d.groupKeys ++
+      (if (d.hasLeft) Seq(GKey) else Nil)).map(col) ++
       accCols.map(n => col(n).as(s"__d_$n"))): _*)
-    val cur = Sinks.readCommitted(spark, dataRoot(baseDir), mvMan)
-    val merged0 = cur.join(dd, d.groupKeys, "right")
+    val cur0 = Sinks.readCommitted(spark, dataRoot(baseDir), mvMan)
+    val cur = if (d.hasLeft)
+      cur0.select((GKey +: accCols).map(col): _*) else cur0
+    val merged0 = cur.join(dd, mk, "right")
     val merged = accCols.foldLeft(merged0) { (df, n) =>
       val t = d.storSchema(d.storSchema.fieldIndex(n)).dataType
       df.withColumn(n,
@@ -1142,19 +1304,19 @@ object GraftMvs {
     // an insert-only refresh must leave the base scan out of the
     // PLAN, not just prune it to zero tasks.
     val negKeys = dAgg.filter(col(HasNeg) === 1)
-      .select(d.groupKeys.map(col): _*)
+      .select(mk.map(col): _*)
     if (negKeys.isEmpty)
       Sinks.merge(spark, Some(folded), None, dataRoot(baseDir),
-        mvMan, d.groupKeys, newBatch, bucketBy = d.bucketSpec)
+        mvMan, mk, newBatch, bucketBy = d.bucketSpec)
     else {
-      val rec = conform(
-        live.join(negKeys, d.groupKeys, "left_semi")
+      val rec = conform(withGk(
+        withGk(live, d).join(negKeys, mk, "left_semi")
           .groupBy(d.groupKeys.map(col): _*)
-          .agg(aggsCols.head, aggsCols.tail: _*), d.storSchema)
-      val gone = negKeys.join(rec.select(d.groupKeys.map(col): _*),
-        d.groupKeys, "left_anti")
+          .agg(aggsCols.head, aggsCols.tail: _*), d), d.storSchema)
+      val gone = negKeys.join(rec.select(mk.map(col): _*),
+        mk, "left_anti")
       Sinks.merge(spark, Some(folded.unionByName(rec)), Some(gone),
-        dataRoot(baseDir), mvMan, d.groupKeys, newBatch,
+        dataRoot(baseDir), mvMan, mk, newBatch,
         bucketBy = d.bucketSpec)
     }
   }
@@ -1167,13 +1329,14 @@ object GraftMvs {
                           mvMan: TxnManifest, newBatch: Int,
                           live: DataFrame): Unit = {
     val aggsCols = storageAggs(d)
-    val full = conform(live.groupBy(guardedKeys(d.groupKeys): _*)
-      .agg(aggsCols.head, aggsCols.tail: _*), d.storSchema)
+    val mk = mergeKeys(d)
+    val full = conform(withGk(live.groupBy(groupCols(d): _*)
+      .agg(aggsCols.head, aggsCols.tail: _*), d), d.storSchema)
     val cur = Sinks.readCommitted(spark, dataRoot(baseDir), mvMan)
-    val gone = cur.select(d.groupKeys.map(col): _*)
-      .join(full.select(d.groupKeys.map(col): _*), d.groupKeys, "left_anti")
+    val gone = cur.select(mk.map(col): _*)
+      .join(full.select(mk.map(col): _*), mk, "left_anti")
     Sinks.merge(spark, Some(full), Some(gone), dataRoot(baseDir),
-      mvMan, d.groupKeys, newBatch, bucketBy = d.bucketSpec)
+      mvMan, mk, newBatch, bucketBy = d.bucketSpec)
   }
 
   // ----------------------------------------------------------------- read
@@ -1344,7 +1507,9 @@ object GraftMvs {
       val loc = lookup(name).get
       val d = scala.util.Try(readDef(loc)).toOption
       val src = d.map(x =>
-        x.src + x.dims.map(" ⋈ " + _.name).mkString).getOrElse("?")
+        x.src + x.dims.map(dim =>
+          (if (dim.joinType == "left") " ⟕ " else " ⋈ ") + dim.name)
+          .mkString).getOrElse("?")
       (name, src, loc, freshFor(spark, name).isDefined)
     }
 
@@ -1362,6 +1527,7 @@ object GraftMvs {
       "source" -> d.src) ++
       d.dims.flatMap(dim => Seq(
         "dim" -> dim.name,
+        s"join_type (${dim.name})" -> dim.joinType,
         s"join_on (${dim.name})" -> dim.pairs.map(p =>
           s"${p._1} = ${p._2}").mkString(" AND "))) ++ Seq(
       "location" -> loc,

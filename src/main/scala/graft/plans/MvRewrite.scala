@@ -4,7 +4,7 @@ import java.util.Locale
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Expression, SubqueryExpression, UnresolvedWindowExpression, WindowExpression}
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, LocalLimit, LogicalPlan, Sort}
 
@@ -64,9 +64,21 @@ import graft.sources.TxnManifest
 object MvRewrite {
 
   /** The rewritten plan, or None when the statement is untouched
-    * (caller falls through to vanilla execution). */
+    * (caller falls through to vanilla execution). The accelerate arm
+    * is defensive: any throw while matching/serving falls back to
+    * vanilla execution — a rewrite must never make a query that runs
+    * fine without it start failing. */
   def apply(spark: SparkSession, plan: LogicalPlan): Option[LogicalPlan] =
-    accelerate(spark, plan).orElse(substitute(spark, plan))
+    scala.util.Try(accelerate(spark, plan)).toOption.flatten
+      .orElse(substitute(spark, plan))
+
+  /** Shapes neither compound serving nor agg-call binding can
+    * reproduce above a served store: a window function computes over
+    * a FRAME of served rows, not a per-group value, so its result is
+    * not the stored aggregate — decline and run vanilla. */
+  private def hasWindow(e: Expression): Boolean = e.exists(x =>
+    x.isInstanceOf[WindowExpression] ||
+      x.isInstanceOf[UnresolvedWindowExpression])
 
   // ------------------------------------------------------- accelerate
 
@@ -117,6 +129,7 @@ object MvRewrite {
                          strip: Seq[String] => Option[String])
     : Option[GraftMvs.ServeItem] = {
     if (e.exists(_.isInstanceOf[SubqueryExpression])) return None
+    if (hasWindow(e)) return None
     val specs = scala.collection.mutable.ArrayBuffer.empty[GraftMvs.AggSpec]
     var ok = true
     val out = e.transform {
@@ -170,6 +183,7 @@ object MvRewrite {
                           strip: Seq[String] => Option[String])
     : Option[Expression] = {
     if (e.exists(_.isInstanceOf[SubqueryExpression])) return None
+    if (hasWindow(e)) return None
     def bindCall(f: UnresolvedFunction): Option[UnresolvedAttribute] =
       scala.util.Try(GraftMvs.parseAgg(f, "__bind")).toOption.flatMap {
         spec0 =>
@@ -278,15 +292,24 @@ object MvRewrite {
       case Filter(c, ch) => (Some(c), ch)
       case ch            => (None, ch)
     }
-    // FROM shape: one registered table, or a fact INNER JOINed to one
-    // or more dims — the same star surface CREATE accepts. strip()
-    // resolves a column reference to its stored (unqualified) name,
-    // or None = decline.
-    def unjoin(p: LogicalPlan): Option[(Seq[QRel], Seq[Expression])] =
+    // FROM shape: one registered table, or a fact INNER / LEFT
+    // JOINed to one or more dims — the same star surface CREATE
+    // accepts; the query's join TYPE per dim must equal the view's
+    // (an INNER query over a LEFT view drops NULL-extension groups
+    // and vice versa — never interchangeable). strip() resolves a
+    // column reference to its stored (unqualified) name, or None =
+    // decline.
+    def unjoin(p: LogicalPlan)
+      : Option[(Seq[QRel], Seq[(Expression, String)])] =
       p match {
-        case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
-            Some(c), _) if qrel(r).isDefined =>
-          unjoin(l).map { case (rels, cs) => (rels :+ qrel(r).get, cs :+ c) }
+        case Join(l, r, jt, Some(c), _)
+            if (jt == org.apache.spark.sql.catalyst.plans.Inner ||
+              jt == org.apache.spark.sql.catalyst.plans.LeftOuter) &&
+              qrel(r).isDefined =>
+          val t = if (jt == org.apache.spark.sql.catalyst.plans.LeftOuter)
+            "left" else "inner"
+          unjoin(l).map { case (rels, cs) =>
+            (rels :+ qrel(r).get, cs :+ ((c, t))) }
         case p0 if qrel(p0).isDefined => Some((Seq(qrel(p0).get), Nil))
         case _ => None
       }
@@ -403,7 +426,7 @@ object MvRewrite {
     * the sides don't resolve (unknown table, ambiguous column,
     * non-equi or forward-referencing ON) — the rewrite declines. */
   private def starResolution(spark: SparkSession, rels: Seq[QRel],
-                             conds: Seq[Expression])
+                             conds: Seq[(Expression, String)])
     : Option[(String, Seq[String],
         Seq[String] => Option[String], Expression => Option[Expression])] = {
     // every relation must be a registered graft table (snapshot
@@ -428,6 +451,19 @@ object MvRewrite {
     val factRel = rels.find(r => norm(r.name) == norm(d0.src)).get
     val dimRels = d0.dims.map(x =>
       rels.find(r => norm(r.name) == norm(x.name)).get)
+    val anyLeft = conds.exists(_._2 == "left")
+    // join type per dim, keyed by the dim's QUERY position
+    val typeByName: Map[String, String] = rels.drop(1)
+      .map(r => norm(r.name)).zip(conds.map(_._2)).toMap
+    if (anyLeft) {
+      // LEFT joins commute with neither the FROM base nor (in
+      // general) the written order: match only the CREATE's canonical
+      // form — base relation = the view's fact, dims in declared
+      // order. (Inner-only queries keep the r11 any-order freedom.)
+      if (norm(rels.head.name) != norm(d0.src)) return None
+      if (rels.drop(1).map(r => norm(r.name)) !=
+          d0.dims.map(x => norm(x.name))) return None
+    }
     def colsOf(r: QRel): Option[Seq[String]] =
       scala.util.Try(tableFrame(spark, entryOf(r.name).get)
         .columns.toSeq).toOption
@@ -438,13 +474,24 @@ object MvRewrite {
       dimRels.zip(dimCols).map { case (r, cs) =>
         (GraftMvs.ParsedRel(r.name, r.quals.headOption), cs) }))
       .getOrElse(return None)
-    val classified = scala.util.Try(
-      conds.flatMap(conjuncts).map(res.classify)).getOrElse(return None)
+    val classifiedPer = scala.util.Try(
+      conds.map { case (c, _) => conjuncts(c).map(res.classify) })
+      .getOrElse(return None)
+    // placement is semantic under LEFT (a conjunct in dim p's ON
+    // decides which rows NULL-extend): with dims in declared order,
+    // query position p must classify to dim p — else decline
+    if (anyLeft && !classifiedPer.zipWithIndex.forall { case (cs, p) =>
+        cs.forall(_._1 == p + 1) }) return None
+    val classified = classifiedPer.flatten
+    // a dim written as the query's BASE relation (`FROM dim JOIN
+    // fact` — inner-only, since anyLeft pinned base=fact above) has
+    // no ON of its own: every join in the query is inner, so it is
     val byDim = dimRels.indices.map { i =>
-      norm(dimRels(i).name) -> classified.collect {
-        case (d, f, c) if d == i + 1 => (norm(f), norm(c)) }.toSet
+      norm(dimRels(i).name) -> ((classified.collect {
+        case (d, f, c) if d == i + 1 => (norm(f), norm(c)) }.toSet,
+        typeByName.getOrElse(norm(dimRels(i).name), "inner")))
     }.toMap
-    if (byDim.values.exists(_.isEmpty)) return None // cross-join shaped
+    if (byDim.values.exists(_._1.isEmpty)) return None // cross-join shaped
     pendingJoinPairs.set(byDim)
     val st: Seq[String] => Option[String] =
       parts => scala.util.Try(res.strip(parts)).toOption
@@ -462,14 +509,14 @@ object MvRewrite {
     Some((factRel.name, dimRels.map(_.name), st, se))
   }
 
-  /** The per-dim ON pair sets of the star query currently being
-    * matched — thread-local because accelerate() is re-entrant across
-    * sessions but the parse→match window is single-threaded per
-    * statement. */
+  /** The per-dim ON pair sets AND join types of the star query
+    * currently being matched — thread-local because accelerate() is
+    * re-entrant across sessions but the parse→match window is
+    * single-threaded per statement. */
   private val pendingJoinPairs =
-    new ThreadLocal[Map[String, Set[(String, String)]]] {
-      override def initialValue(): Map[String, Set[(String, String)]] =
-        Map.empty
+    new ThreadLocal[Map[String, (Set[(String, String)], String)]] {
+      override def initialValue()
+        : Map[String, (Set[(String, String)], String)] = Map.empty
     }
 
   /** Try one candidate view; Some(served logical plan) when it
@@ -485,10 +532,12 @@ object MvRewrite {
           d0.dims.map(x => norm(x.name)).toSet) == joinKey => d0
       case _ => return None
     }
-    // star form: the query's per-dim ON pair sets must equal the view's
+    // star form: the query's per-dim ON pair sets AND join types must
+    // equal the view's (INNER vs LEFT changes which groups exist)
     if (d.dims.nonEmpty) {
       val mvPairs = d.dims.map(x => norm(x.name) ->
-        x.pairs.map { case (a, b) => (norm(a), norm(b)) }.toSet).toMap
+        ((x.pairs.map { case (a, b) => (norm(a), norm(b)) }.toSet,
+          x.joinType))).toMap
       if (mvPairs != pendingJoinPairs.get()) return None
     }
     val mvKeys = d.groupKeys.map(norm)

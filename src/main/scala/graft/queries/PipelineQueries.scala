@@ -1586,6 +1586,91 @@ object PipelineQueries {
       out
     }),
 
+    // LEFT OUTER star materialized view (round 12): the reference's
+    // WORKHORSE remap is a left join (orders.py:120-140,
+    // locations.py:154-158) — facts with unresolved FKs must be KEPT,
+    // grouped under NULL dim attributes, where an INNER star would
+    // silently drop them. Maintenance: Δ(F ⟕ D1 ⟕ D2) = ΔF ⟕ D1 ⟕ D2
+    // while dims are unmoved (the bag-semantics identity holds for
+    // fact-preserving left joins dim-by-dim); a dim INSERT that flips
+    // a NULL-extension is a dim move → the full-recompute arm. The
+    // store merges on the canonical __gkey encoding because the
+    // NULL-extension groups' key columns are genuinely NULL (SQL `=`
+    // never matches NULL). In-query plan asserts pin serve → stale →
+    // serve around both arms, plus "the INNER twin never serves".
+    "s44_mv_left_star" -> ((s, d) => {
+      import graft.plans.{GraftMvs, GraftSql, GraftSqlTables}
+      import graft.sources.{StatsSinks, TxnManifest}
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s44_").toString
+      def reg(tag: String, rows: org.apache.spark.sql.DataFrame,
+              keys: Seq[String]): (String, TxnManifest) = {
+        val root = s"$base/$tag"
+        val man = new TxnManifest(s"$base/$tag.manifest.tsv")
+        StatsSinks.appendBatchStats(rows, root, 0)
+        man.commit(0, Seq(s"$root/batch=0"))
+        GraftSqlTables.register(s"s44_$tag", GraftSqlTables.Entry(root,
+          s"$base/$tag.manifest.tsv", keys = keys, cdf = true))
+        (root, man)
+      }
+      // id-grain pre-agg (same rationale as s41); dims are SUBSETS so
+      // some fact FKs stay unresolved — the left join's whole point
+      val (factRoot, _) = reg("fact", Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 8 === 0).select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+        col("l_suppkey").as("sk"), col("l_partkey").as("pk"),
+        col("l_quantity").cast("decimal(18,6)").as("qty"))
+        .groupBy(col("id")).agg(
+          min(col("sk")).as("sk"), min(col("pk")).as("pk"),
+          sum(col("qty")).cast("decimal(18,6)").as("qty")), Seq("id"))
+      reg("dim1", Tables.supplier(s, d)
+        .filter(col("s_suppkey") % 5 =!= 2).select(
+        col("s_suppkey").as("k"),
+        (col("s_nationkey").cast("int") % 7).as("nk")), Seq("k"))
+      val (_, d2man) = reg("dim2", Tables.part(s, d)
+        .filter(col("p_partkey") % 3 =!= 1).select(
+        col("p_partkey").as("pkk"),
+        (col("p_size").cast("int") % 10).as("bnum")), Seq("pkk"))
+      GraftSql.execute(s,
+        s"CREATE MATERIALIZED VIEW s44_mv LOCATION '$base/mv' AS " +
+          "SELECT d1.nk, d2.bnum, count(*) AS n, sum(f.qty) AS sq " +
+          "FROM s44_fact f LEFT JOIN s44_dim1 d1 ON f.sk = d1.k " +
+          "LEFT JOIN s44_dim2 d2 ON f.pk = d2.pkk GROUP BY d1.nk, d2.bnum")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s44_mv")
+      val q = "SELECT d1.nk, d2.bnum, count(*) AS n, sum(f.qty) AS sq " +
+        "FROM s44_fact f LEFT JOIN s44_dim1 d1 ON f.sk = d1.k " +
+        "LEFT JOIN s44_dim2 d2 ON f.pk = d2.pkk GROUP BY d1.nk, d2.bnum"
+      require(!GraftSql.execute(s, q).queryExecution.executedPlan
+        .toString.contains(factRoot),
+        "s44: a fresh LEFT star MV must serve the LEFT star query")
+      require(GraftSql.execute(s, q.replace("LEFT JOIN", "JOIN"))
+        .queryExecution.executedPlan.toString.contains(factRoot),
+        "s44: the INNER twin must never serve from a LEFT view")
+      // fact wave (NULL-extension groups touched too) → the fold arm
+      GraftSql.execute(s, "DELETE FROM s44_fact WHERE id % 7 = 2")
+      require(GraftSql.execute(s, q).queryExecution.executedPlan
+        .toString.contains(factRoot),
+        "s44: a stale LEFT star MV must never serve")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s44_mv")
+      // dim INSERT flipping NULL-extensions (missing parts arrive) →
+      // a dim move → the full-recompute arm regroups those facts
+      val d2root = GraftSqlTables.lookup(Seq("s44_dim2")).get.root
+      StatsSinks.appendBatchStats(Tables.part(s, d)
+        .filter(col("p_partkey") % 6 === 1).select(
+        col("p_partkey").as("pkk"), lit(77).as("bnum")), d2root, 1)
+      d2man.commit(1, Seq(s"$d2root/batch=1"))
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s44_mv")
+      require(!GraftSql.execute(s, q).queryExecution.executedPlan
+        .toString.contains(factRoot),
+        "s44: the refreshed LEFT star MV must serve again")
+      val out = GraftMvs.read(s, "s44_mv").select(col("nk"), col("bnum"),
+        col("n"), col("sq").cast("double").as("sq"))
+      require(out.filter(col("nk").isNull).limit(1).count() > 0,
+        "s44: unresolved-FK facts must survive under NULL dim attrs")
+      GraftMvs.drop("s44_mv")
+      out
+    }),
+
     // CHECK constraints (round-7 continuation) — the reference's
     // integrity-assert-and-abort (`custom_err.py:1-6`) as Delta's
     // declarative `ADD CONSTRAINT ... CHECK`: a violating INSERT
@@ -3064,6 +3149,28 @@ object PipelineQueries {
         |final AS (SELECT * FROM w1 WHERE NOT (id % 17 = 2))
         |SELECT status, count(*) AS n, CAST(sum(price) AS DOUBLE) AS sp
         |FROM final GROUP BY status""".stripMargin,
+    "s44_mv_left_star" ->
+      """WITH fact0 AS (
+        |  SELECT l_orderkey * 8 + l_linenumber AS id,
+        |    min(l_suppkey) AS sk, min(l_partkey) AS pk,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+        |      AS DECIMAL(18,6)) AS qty
+        |  FROM lineitem WHERE l_orderkey % 8 = 0 GROUP BY 1),
+        |fact AS (
+        |  SELECT id, sk, pk, qty FROM fact0 WHERE NOT (id % 7 = 2)),
+        |dim1 AS (
+        |  SELECT s_suppkey AS k, CAST(s_nationkey AS INT) % 7 AS nk
+        |  FROM supplier WHERE s_suppkey % 5 <> 2),
+        |dim2 AS (
+        |  SELECT p_partkey AS pkk, CAST(p_size AS INT) % 10 AS bnum
+        |  FROM part WHERE p_partkey % 3 <> 1
+        |  UNION ALL
+        |  SELECT p_partkey AS pkk, 77 AS bnum
+        |  FROM part WHERE p_partkey % 6 = 1)
+        |SELECT nk, bnum, count(*) AS n, CAST(sum(qty) AS DOUBLE) AS sq
+        |FROM fact LEFT JOIN dim1 ON fact.sk = dim1.k
+        |LEFT JOIN dim2 ON fact.pk = dim2.pkk
+        |GROUP BY nk, bnum""".stripMargin,
     "s41_mv_star" ->
       """WITH fact0 AS (
         |  SELECT l_orderkey * 8 + l_linenumber AS id,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.sim.Embeddings
@@ -367,6 +367,75 @@ object SimQueries {
         .select(col("id").as("doc_id"), col("format"), col("width"),
           col("height"), col("duration_ms"), col("n_bytes"))
       img.unionByName(vid)
+    }),
+
+    // Pixel-level perceptual hashing (round 12): REAL pixel grids
+    // (id-derived integer arithmetic) encoded as genuine BMP (24bpp
+    // bottom-up padded rows) and PNG (zlib IDAT + filter bytes, real
+    // CRCs), decoded BACK FROM THE BYTES (Inflater + un-filter), then
+    // dHash/aHash by integer block-average downsample. The oracle
+    // replays the pixel + hash arithmetic straight from doc_id without
+    // seeing the binary — a hash match certifies encoder, decoder,
+    // gray conversion, downsample, and bit packing together. The
+    // 64-bit hashes travel as two 32-bit halves (hi/lo) so the BIGINT
+    // oracle arithmetic never touches the sign bit.
+    "mm6_image_phash" -> ((s, d) => {
+      import graft.multimodal.ImagePixels
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      ImagePixels.hashImages(ImagePixels.imagesFromDocuments(s, docs))
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("dh_hi"), col("dh_lo"), col("ah_hi"), col("ah_lo"))
+    }),
+
+    // Image near-duplicate detection (round 12): Hamming-banded LSH
+    // over the 64-bit dHash — 4 × 16-bit bands (the SimHash64 banding
+    // shape), candidates from band-equality self-joins (NEVER an
+    // all-pairs product; at corpus scale the band join is the only
+    // shuffle), verified by exact Hamming ≤ 8 via bit_count(xor).
+    // Planted pairs (2k, 2k+1) share a pixel pattern across FORMATS
+    // (BMP vs PNG) differing on 2–3 perturbed pixels; the in-query
+    // recall guard pins that the banded search recovers ≥90% of them.
+    "dd15_image_neardup" -> ((s, d) => {
+      import graft.multimodal.ImagePixels
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val hashes = ImagePixels.hashImages(
+        ImagePixels.imagesFromDocuments(s, docs)).toDF()
+        .select(col("doc_id").as("id"), col("dh_hi"), col("dh_lo"))
+        .localCheckpoint() // banding + verify both read it; decode once
+      def band(i: Int): Column = (i match {
+        case 0 => col("dh_lo")
+        case 1 => shiftright(col("dh_lo"), 16)
+        case 2 => col("dh_hi")
+        case _ => shiftright(col("dh_hi"), 16)
+      }).bitwiseAND(lit(65535L))
+      val bands = hashes.select(col("id"), explode(array((0 to 3).map(i =>
+        struct(lit(i).as("bi"), band(i).as("bv"))): _*)).as("b"))
+        .select(col("id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+      val cand = bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+      val h1 = hashes.select(col("id").as("id1"),
+        col("dh_hi").as("hi1"), col("dh_lo").as("lo1"))
+      val h2 = hashes.select(col("id").as("id2"),
+        col("dh_hi").as("hi2"), col("dh_lo").as("lo2"))
+      val pairs = cand.join(h1, Seq("id1")).join(h2, Seq("id2"))
+        .withColumn("hamming",
+          (expr("bit_count(lo1 ^ lo2)") + expr("bit_count(hi1 ^ hi2)"))
+            .cast("long"))
+        .filter(col("hamming") <= 8)
+        .select(col("id1"), col("id2"), col("hamming"))
+        .localCheckpoint() // the recall guard below re-reads it
+      // planted-pair recall ≥ 90% (scalar-aggregate guard)
+      val nDocs = docs.count()
+      val planted = nDocs / 2
+      val found = pairs
+        .filter(col("id1") % 2 === 0 && col("id2") === col("id1") + 1)
+        .count()
+      require(planted == 0 || found >= (planted * 9) / 10,
+        s"dd15: banded search recovered $found of $planted planted pairs")
+      pairs
     })
   )
 
@@ -589,6 +658,75 @@ object SimQueries {
         |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored)
         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** Shared mm6/dd15 oracle prelude: the image corpus's pixel and
+    * perceptual-hash arithmetic replayed in SQL, straight from
+    * doc_id — the DuckDB twin of [[graft.multimodal.ImagePixels]]
+    * (dims by id/2, seeded RGB formula, diagonal perturbation on odd
+    * ids, integer block-average 9×8 / 8×8 grids, 32-bit hi/lo bit
+    * packing). Ends WITHOUT a trailing comma: mm6 appends its SELECT,
+    * dd15 appends further CTEs after ",". */
+  private val ImagePhashCte: String =
+    """WITH ids AS (SELECT doc_id AS id FROM documents),
+      |dims AS (
+      |  SELECT id, 12 + ((id // 2) % 3) * 3 AS w,
+      |    8 + ((id // 2) % 2) * 4 AS h FROM ids),
+      |px AS (
+      |  SELECT d.id, d.w, d.h, xs.range AS x, ys.range AS y,
+      |    (d.id // 2) % 97 AS seed,
+      |    CASE WHEN d.id % 2 = 1 AND xs.range = ys.range
+      |          AND xs.range % 4 = 1 THEN 40 ELSE 0 END AS nz
+      |  FROM dims d
+      |  CROSS JOIN range(0, 18) xs CROSS JOIN range(0, 12) ys
+      |  WHERE xs.range < d.w AND ys.range < d.h),
+      |g AS (
+      |  SELECT id, w, h, x, y,
+      |    (299 * ((seed * 31 + x * 7 + y * 13 + x * y * (seed % 11)
+      |             + nz) % 256)
+      |     + 587 * ((seed * 17 + x * 11 + y * 5 + x * x * (seed % 7)
+      |             + nz) % 256)
+      |     + 114 * ((seed * 23 + x * 3 + y * 19 + y * y * (seed % 13)
+      |             + nz) % 256)) // 1000 AS gray
+      |  FROM px),
+      |c9 AS (
+      |  SELECT id, (x * 9) // w AS cx, (y * 8) // h AS cy,
+      |    CAST(sum(gray) AS BIGINT) // count(*) AS a
+      |  FROM g GROUP BY 1, 2, 3),
+      |dbits AS (
+      |  SELECT l.id, l.cy * 8 + l.cx AS b,
+      |    CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+      |  FROM c9 l JOIN c9 r
+      |    ON l.id = r.id AND r.cy = l.cy AND r.cx = l.cx + 1
+      |  WHERE l.cx < 8),
+      |dh AS (
+      |  SELECT id,
+      |    CAST(sum(CASE WHEN b >= 32
+      |      THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END)
+      |      AS BIGINT) AS dh_hi,
+      |    CAST(sum(CASE WHEN b < 32
+      |      THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END)
+      |      AS BIGINT) AS dh_lo
+      |  FROM dbits GROUP BY id),
+      |c8 AS (
+      |  SELECT id, (x * 8) // w AS cx, (y * 8) // h AS cy,
+      |    CAST(sum(gray) AS BIGINT) // count(*) AS a
+      |  FROM g GROUP BY 1, 2, 3),
+      |am AS (SELECT id, CAST(sum(a) AS BIGINT) // 64 AS m
+      |  FROM c8 GROUP BY id),
+      |abits AS (
+      |  SELECT c.id, c.cy * 8 + c.cx AS b,
+      |    CASE WHEN c.a > am.m THEN 1 ELSE 0 END AS bit
+      |  FROM c8 c JOIN am ON c.id = am.id),
+      |ah AS (
+      |  SELECT id,
+      |    CAST(sum(CASE WHEN b >= 32
+      |      THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END)
+      |      AS BIGINT) AS ah_hi,
+      |    CAST(sum(CASE WHEN b < 32
+      |      THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END)
+      |      AS BIGINT) AS ah_lo
+      |  FROM abits GROUP BY id)
+      |""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "sim7_kmeans_diversity" -> sim7OracleSql,
     "sim8_recall_report" -> sim8OracleSql,
@@ -799,6 +937,37 @@ object SimQueries {
         |SELECT vid, true_label, cl AS assigned_label,
         |  CASE WHEN cl = true_label THEN 1 ELSE 0 END AS is_match
         |FROM ranked WHERE rk = 1""".stripMargin,
+    // The Spark side decodes REAL pixel grids out of genuine BMP/PNG
+    // bytes (zlib inflate + un-filter) and hashes them; the oracle
+    // replays the pixel + block-average + bit-packing arithmetic
+    // straight from doc_id. A hash match certifies encoder, decoder,
+    // gray conversion, downsample, and packing together.
+    "mm6_image_phash" ->
+      (ImagePhashCte +
+      """SELECT dims.id AS doc_id,
+        |  CASE WHEN dims.id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format,
+        |  CAST(dims.w AS INT) AS width, CAST(dims.h AS INT) AS height,
+        |  dh.dh_hi, dh.dh_lo, ah.ah_hi, ah.ah_lo
+        |FROM dims JOIN dh ON dims.id = dh.id
+        |JOIN ah ON dims.id = ah.id""".stripMargin),
+    "dd15_image_neardup" ->
+      (ImagePhashCte + ",\n" +
+      """bands AS (
+        |  SELECT id, 0 AS bi, dh_lo & 65535 AS bv FROM dh
+        |  UNION ALL SELECT id, 1, (dh_lo >> 16) & 65535 FROM dh
+        |  UNION ALL SELECT id, 2, dh_hi & 65535 FROM dh
+        |  UNION ALL SELECT id, 3, (dh_hi >> 16) & 65535 FROM dh),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM bands a JOIN bands b
+        |    ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id)
+        |SELECT c.id1, c.id2,
+        |  CAST(bit_count(xor(h1.dh_lo, h2.dh_lo)) +
+        |       bit_count(xor(h1.dh_hi, h2.dh_hi)) AS BIGINT) AS hamming
+        |FROM cand c JOIN dh h1 ON c.id1 = h1.id
+        |JOIN dh h2 ON c.id2 = h2.id
+        |WHERE bit_count(xor(h1.dh_lo, h2.dh_lo)) +
+        |      bit_count(xor(h1.dh_hi, h2.dh_hi)) <= 8""".stripMargin),
     // The Spark side PARSES these values back out of synthesized
     // PNG/BMP/WAV bytes; the oracle predicts them arithmetically
     // (header sizes: PNG 33, BMP 54, WAV 44). A hash match therefore

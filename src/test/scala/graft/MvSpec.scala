@@ -658,6 +658,220 @@ class MvSpec extends SparkSuite {
     GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_star")
   }
 
+  test("LEFT star MV: NULL-extension groups maintain; dim insert flips via recompute") {
+    val base = tempBase("lstar")
+    def mkTable(tag: String, rows: DataFrame, keys: Seq[String])
+      : (String, TxnManifest) = {
+      val root = s"$base/$tag"
+      val man = new TxnManifest(s"$base/$tag.manifest.tsv")
+      StatsSinks.appendBatchStats(rows, root, 0)
+      man.commit(0, Seq(s"$root/batch=0"))
+      GraftSqlTables.register(s"mv_lstar_$tag", GraftSqlTables.Entry(root,
+        s"$base/$tag.manifest.tsv", keys = keys, cdf = true))
+      (s"mv_lstar_$tag", man)
+    }
+    val (fact, _) = mkTable("fact", spark.range(4000).select(col("id"),
+      (col("id") % 10).cast("int").as("sk"),
+      (col("id") % 6).cast("int").as("pk"),
+      (col("id") * 2).as("qty")), Seq("id"))
+    // dim1 covers sk 0..6 only → sk 7..9 facts NULL-extend on nk;
+    // dim2 covers pk 0..4 only → pk 5 facts NULL-extend on band
+    val (dim1, _) = mkTable("dim1", spark.range(7).select(
+      col("id").cast("int").as("k"),
+      (col("id") % 3).cast("int").as("nk")), Seq("k"))
+    val (dim2, d2man) = mkTable("dim2", spark.range(5).select(
+      col("id").cast("int").as("pkk"),
+      (col("id") % 2).cast("int").as("band")), Seq("pkk"))
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_lstar LOCATION '$base/mv' AS " +
+        s"SELECT d1.nk, d2.band, count(*) AS n, sum(f.qty) AS sq " +
+        s"FROM $fact f LEFT JOIN $dim1 d1 ON f.sk = d1.k " +
+        s"LEFT JOIN $dim2 d2 ON f.pk = d2.pkk GROUP BY d1.nk, d2.band")
+    def expected: DataFrame = {
+      def committed(n: String): DataFrame = {
+        val e = GraftSqlTables.lookup(Seq(n)).get
+        Sinks.readCommitted(spark, e.root, new TxnManifest(e.manifestPath))
+      }
+      val f = committed(fact); val d1 = committed(dim1)
+      val d2 = committed(dim2)
+      f.join(d1, f("sk") === d1("k"), "left")
+        .join(d2, f("pk") === d2("pkk"), "left")
+        .groupBy("nk", "band")
+        .agg(count(lit(1)).as("n"), sum("qty").as("sq"))
+    }
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_lstar")
+    val boot = GraftMvs.read(spark, "mv_lstar")
+    assert(boot.where(col("nk").isNull).count() > 0,
+      "unmatched-FK facts must group under NULL dim attrs")
+    assert(sortedRows(boot) == sortedRows(expected))
+    assert(boot.schema.map(f => (f.name, f.dataType))
+      == expected.schema.map(f => (f.name, f.dataType)))
+
+    // fact wave (NULL groups touched too) → the fold arm; the
+    // 4000-row fact base is never re-scanned
+    GraftSql.execute(spark, s"DELETE FROM $fact WHERE id % 9 = 2")
+    GraftSql.execute(spark,
+      s"UPDATE $fact SET qty = qty + 7 WHERE id % 13 = 0")
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recordsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_lstar")
+      Thread.sleep(1500) // drain the listener bus
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(recordsRead.get < 3200,
+      s"fact-delta LEFT-star refresh read ${recordsRead.get} records — " +
+        "the 4000-row fact base must not be scanned")
+    assert(sortedRows(GraftMvs.read(spark, "mv_lstar")) == sortedRows(expected))
+
+    // acceleration: the LEFT query serves; its INNER twin must not
+    // (it drops the NULL-extension groups the view stores)
+    val factRoot = GraftSqlTables.lookup(Seq(fact)).get.root
+    val served = GraftSql.execute(spark,
+      s"SELECT d1.nk, d2.band, count(*) AS n, sum(f.qty) AS sq " +
+        s"FROM $fact f LEFT JOIN $dim1 d1 ON f.sk = d1.k " +
+        s"LEFT JOIN $dim2 d2 ON f.pk = d2.pkk GROUP BY d1.nk, d2.band")
+    assert(!served.queryExecution.executedPlan.toString.contains(factRoot),
+      "a fresh LEFT star MV must serve the matching LEFT query")
+    assert(sortedRows(served) == sortedRows(expected))
+    val innerTwin = GraftSql.execute(spark,
+      s"SELECT d1.nk, d2.band, count(*) AS n, sum(f.qty) AS sq " +
+        s"FROM $fact f JOIN $dim1 d1 ON f.sk = d1.k " +
+        s"JOIN $dim2 d2 ON f.pk = d2.pkk GROUP BY d1.nk, d2.band")
+    assert(innerTwin.queryExecution.executedPlan.toString.contains(factRoot),
+      "an INNER query must never serve from a LEFT view")
+    // rollup to the coarser grain keeps the NULL groups
+    val coarse = GraftSql.execute(spark,
+      s"SELECT d1.nk, count(*) AS n FROM $fact f " +
+        s"LEFT JOIN $dim1 d1 ON f.sk = d1.k " +
+        s"LEFT JOIN $dim2 d2 ON f.pk = d2.pkk GROUP BY d1.nk")
+    assert(!coarse.queryExecution.executedPlan.toString.contains(factRoot),
+      "the coarser LEFT query must roll up from the view store")
+    assert(sortedRows(coarse) == sortedRows(
+      expected.groupBy("nk").agg(sum("n").cast("long").as("n"))))
+
+    // NULL-group death: remove every unmatched-sk fact row
+    GraftSql.execute(spark, s"DELETE FROM $fact WHERE sk >= 7")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_lstar")
+    val afterDeath = GraftMvs.read(spark, "mv_lstar")
+    assert(afterDeath.where(col("nk").isNull).count() == 0,
+      "a NULL-extension group emptied by the delete must vanish")
+    assert(sortedRows(afterDeath) == sortedRows(expected))
+
+    // dim INSERT that flips a NULL-extension (pkk=5 arrives): a dim
+    // move → the full-recompute arm regroups those facts
+    val e2 = GraftSqlTables.lookup(Seq(dim2)).get
+    StatsSinks.appendBatchStats(spark.range(5, 6).select(
+      col("id").cast("int").as("pkk"),
+      lit(1).cast("int").as("band")), e2.root, 1)
+    d2man.commit(1, Seq(s"${e2.root}/batch=1"))
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_lstar")
+    val afterFlip = GraftMvs.read(spark, "mv_lstar")
+    assert(afterFlip.where(col("band").isNull).count() == 0,
+      "the dim insert must flip every band NULL-extension")
+    assert(sortedRows(afterFlip) == sortedRows(expected))
+    // DESCRIBE names the join type
+    val desc = GraftSql.execute(spark, "DESCRIBE MATERIALIZED VIEW mv_lstar")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc(s"join_type ($dim1)") == "left")
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_lstar")
+  }
+
+  test("LEFT join MV with min/max: NULL groups fold inserts, recompute deletes") {
+    val base = tempBase("lmm")
+    def mkTable(tag: String, rows: DataFrame, keys: Seq[String])
+      : (String, TxnManifest) = {
+      val root = s"$base/$tag"
+      val man = new TxnManifest(s"$base/$tag.manifest.tsv")
+      StatsSinks.appendBatchStats(rows, root, 0)
+      man.commit(0, Seq(s"$root/batch=0"))
+      GraftSqlTables.register(s"mv_lmm_$tag", GraftSqlTables.Entry(root,
+        s"$base/$tag.manifest.tsv", keys = keys, cdf = true))
+      (s"mv_lmm_$tag", man)
+    }
+    val (fact, fman) = mkTable("fact", spark.range(800).select(col("id"),
+      (col("id") % 9).cast("int").as("fk"),
+      (col("id") * 5 % 311).as("v")), Seq("id"))
+    val (dim, _) = mkTable("dim", spark.range(6).select(
+      col("id").cast("int").as("k"),
+      concat(lit("g"), (col("id") % 2).cast("string")).as("g")), Seq("k"))
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_lmm LOCATION '$base/mv' AS " +
+        s"SELECT d.g, count(*) AS n, min(f.v) AS lo, max(f.v) AS hi " +
+        s"FROM $fact f LEFT JOIN $dim d ON f.fk = d.k GROUP BY d.g")
+    def expected: DataFrame = {
+      def committed(n: String): DataFrame = {
+        val e = GraftSqlTables.lookup(Seq(n)).get
+        Sinks.readCommitted(spark, e.root, new TxnManifest(e.manifestPath))
+      }
+      val f = committed(fact); val d = committed(dim)
+      f.join(d, f("fk") === d("k"), "left").groupBy("g")
+        .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+    }
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_lmm")
+    assert(GraftMvs.read(spark, "mv_lmm")
+      .where(col("g").isNull).count() == 1)
+    assert(sortedRows(GraftMvs.read(spark, "mv_lmm")) == sortedRows(expected))
+    // insert-only wave (extends extremes of NULL group too) → folds
+    val e = GraftSqlTables.lookup(Seq(fact)).get
+    StatsSinks.appendBatchStats(spark.range(800, 900).select(col("id"),
+      (col("id") % 9).cast("int").as("fk"),
+      (col("id") * 5 % 311 + 400).as("v")), e.root, 1)
+    fman.commit(1, Seq(s"${e.root}/batch=1"))
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_lmm")
+    assert(sortedRows(GraftMvs.read(spark, "mv_lmm")) == sortedRows(expected))
+    // deletes that take a group's max → the per-group recompute arm,
+    // NULL group included (fk 6..8 rows are unmatched)
+    GraftSql.execute(spark, s"DELETE FROM $fact WHERE v >= 380")
+    GraftSql.execute(spark, s"DELETE FROM $fact WHERE fk = 7 AND v > 150")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_lmm")
+    assert(sortedRows(GraftMvs.read(spark, "mv_lmm")) == sortedRows(expected))
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_lmm")
+  }
+
+  test("LEFT star CREATE: ON conjunct placement is semantic — misplaced refuses") {
+    val base = tempBase("lplace")
+    def mkTable(tag: String, rows: DataFrame, keys: Seq[String]): String = {
+      val root = s"$base/$tag"
+      val man = new TxnManifest(s"$base/$tag.manifest.tsv")
+      StatsSinks.appendBatchStats(rows, root, 0)
+      man.commit(0, Seq(s"$root/batch=0"))
+      GraftSqlTables.register(s"mv_lplace_$tag", GraftSqlTables.Entry(root,
+        s"$base/$tag.manifest.tsv", keys = keys, cdf = true))
+      s"mv_lplace_$tag"
+    }
+    val fact = mkTable("fact", spark.range(50).select(col("id"),
+      (col("id") % 5).cast("int").as("a"),
+      (col("id") % 3).cast("int").as("b")), Seq("id"))
+    val dim1 = mkTable("dim1", spark.range(5).select(
+      col("id").cast("int").as("k1"), col("id").as("x1")), Seq("k1"))
+    val dim2 = mkTable("dim2", spark.range(3).select(
+      col("id").cast("int").as("k2"), col("id").as("x2")), Seq("k2"))
+    // a dim1 equality written inside dim2's ON clause: movable under
+    // INNER, semantic under LEFT — must refuse loudly
+    val ex = intercept[Exception](GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_lplace LOCATION '$base/mv' AS " +
+        s"SELECT d1.x1, count(*) AS n FROM $fact f " +
+        s"LEFT JOIN $dim1 d1 ON f.a = d1.k1 " +
+        s"LEFT JOIN $dim2 d2 ON f.b = d2.k2 AND f.a = d1.k1 " +
+        "GROUP BY d1.x1"))
+    assert(ex.getMessage.contains("ON placement is semantic"),
+      s"got: ${ex.getMessage}")
+    // the same text with INNER joins stays accepted (r11 freedom)
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_lplace LOCATION '$base/mv' AS " +
+        s"SELECT d1.x1, count(*) AS n FROM $fact f " +
+        s"JOIN $dim1 d1 ON f.a = d1.k1 " +
+        s"JOIN $dim2 d2 ON f.b = d2.k2 AND f.a = d1.k1 " +
+        "GROUP BY d1.x1")
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_lplace")
+  }
+
   test("snowflake MV: dim-of-dim chain folds and accelerates") {
     val base = tempBase("snow")
     def mkTable(tag: String, rows: DataFrame, keys: Seq[String]): String = {

@@ -205,6 +205,95 @@ class SimSpec extends SparkSuite {
     assert(Multimodal.decodeHeader(Array.empty[Byte]) == (("bin", 0, 0)))
   }
 
+  test("ImagePixels: BMP and PNG pixel round trips are byte-exact") {
+    import graft.multimodal.ImagePixels
+    for (id <- Seq(0L, 1L, 2L, 3L, 7L, 40L, 97L, 193L, 194L)) {
+      val (fmt, w, h, px) = ImagePixels.decodePixels(
+        ImagePixels.imagePayload(id))
+      assert(fmt == (if (id % 2 == 0) "bmp" else "png"))
+      assert(w == ImagePixels.widthOf(id) && h == ImagePixels.heightOf(id))
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = ImagePixels.rgbAt(id, x, y)
+        assert(px(y * w + x) == ((r << 16) | (g << 8) | b),
+          s"id=$id pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("ImagePixels: PNG decoder reconstructs all five scanline filters") {
+    import graft.multimodal.ImagePixels
+    // target 4×5 RGB grid; encode each row under filter y%5 by
+    // inverting the filter equations (the spec's encoder side), so
+    // the decoder must apply Sub/Up/Average/Paeth to reconstruct
+    val w = 4; val h = 5; val bpp = 3
+    def pix(x: Int, y: Int): Array[Int] =
+      Array((x * 53 + y * 31 + 7) % 256, (x * 17 + y * 89 + 3) % 256,
+        (x * 71 + y * 13 + 11) % 256)
+    val stride = 1 + w * bpp
+    val raw = new Array[Byte](h * stride)
+    val recon = Array.ofDim[Int](h, w * bpp)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until bpp)
+      recon(y)(x * bpp + c) = pix(x, y)(c)
+    for (y <- 0 until h) {
+      val f = y % 5
+      raw(y * stride) = f.toByte
+      for (k <- 0 until w * bpp) {
+        val cur = recon(y)(k)
+        val left = if (k >= bpp) recon(y)(k - bpp) else 0
+        val up = if (y > 0) recon(y - 1)(k) else 0
+        val ul = if (y > 0 && k >= bpp) recon(y - 1)(k - bpp) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        raw(y * stride + 1 + k) = ((cur - pred) & 0xff).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater
+    defl.setInput(raw); defl.finish()
+    val out = new java.io.ByteArrayOutputStream
+    val buf = new Array[Byte](1024)
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val idat = out.toByteArray
+    val bb = java.nio.ByteBuffer.allocate(8 + 25 + 12 + idat.length + 12)
+    bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).putInt(0)
+    bb.putInt(idat.length).put("IDAT".getBytes("US-ASCII")).put(idat)
+      .putInt(0)
+    bb.putInt(0).put("IEND".getBytes("US-ASCII")).putInt(0)
+    val (fmt, dw, dh, px) = ImagePixels.decodePixels(bb.array())
+    assert(fmt == "png" && dw == w && dh == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val e = pix(x, y)
+      assert(px(y * w + x) == ((e(0) << 16) | (e(1) << 8) | e(2)),
+        s"filter ${y % 5} pixel ($x,$y)")
+    }
+  }
+
+  test("ImagePixels: planted cross-format pairs are near; distinct seeds are far") {
+    import graft.multimodal.ImagePixels
+    def dhash(id: Long): (Long, Long) = {
+      val (_, w, h, px) = ImagePixels.decodePixels(ImagePixels.imagePayload(id))
+      ImagePixels.dHash(w, h, px)
+    }
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val planted = (0 until 40 by 2).map(k => ham(dhash(k), dhash(k + 1)))
+    assert(planted.count(_ <= 8) >= 18, s"planted Hammings: $planted")
+    val far = (0 until 40).map(k => ham(dhash(2 * k), dhash(2 * k + 2)))
+    assert(far.count(_ > 8) >= 30, s"cross-seed Hammings: $far")
+  }
+
   test("multimodal extractMeta: batch decode recovers header fields from bytes") {
     val docs  = Seq((9L, "hello world"), (10L, "x"), (11L, "")).toDF("doc_id", "text")
     val metas = Multimodal.extractMeta(Multimodal.mediaFromDocuments(spark, docs))
