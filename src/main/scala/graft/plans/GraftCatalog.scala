@@ -520,10 +520,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // COLUMN as metadata-only edits (zero data rewritten)
     val mapping = prop("columnMapping").exists(_.toBoolean)
     if (mapping) {
-      require(bloomCols.isEmpty,
-        "graft catalog: columnMapping and bloomColumns are mutually " +
-          "exclusive — bloom sidecars index physical file columns the " +
-          "mapped scan does not consult")
+      // columnMapping COMPOSES with bloomColumns (round 12, the
+      // bucketing recipe): sidecars key on the immutable PHYSICAL
+      // file columns — the write path translates the declared
+      // logical names per batch, and the merge/delete probes already
+      // speak physical on mapped tables — so a RENAME COLUMN never
+      // detaches point-lookup pruning (the meta's logical list
+      // follows the rename; nothing on disk moves)
       require(!prop("schemaEvolution").exists(_.toBoolean),
         "graft catalog: columnMapping and schemaEvolution are mutually " +
           "exclusive — mapped tables evolve through ALTER TABLE ADD " +
@@ -679,6 +682,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (cb.exists(_.equalsIgnoreCase(from)))
           newMeta += ("clusterBy" -> cb.map(c =>
             if (c.equalsIgnoreCase(from)) r.newName() else c).mkString(","))
+        // ... and into bloomColumns (the sidecars key on the
+        // immutable PHYSICAL names, so coverage survives; only the
+        // declared logical list needs the new name)
+        val bc = newMeta.getOrElse("bloomColumns", "").split(',')
+          .map(_.trim).filter(_.nonEmpty)
+        if (bc.exists(_.equalsIgnoreCase(from)))
+          newMeta += ("bloomColumns" -> bc.map(c =>
+            if (c.equalsIgnoreCase(from)) r.newName() else c).mkString(","))
         // ... and into the bucket spec (the spec's keys are LOGICAL;
         // the recorded layout markers carry the immutable physical
         // twins, so nothing on disk moves)
@@ -731,6 +742,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             .exists(_.keys.exists(_.equalsIgnoreCase(c))),
           s"graft catalog: cannot DROP bucket-key column '$c' — the " +
             "bucketed layout routes every write and join on it")
+        // an indexed column leaves the bloom list with its drop (the
+        // index is an optimization, not identity — nothing refuses)
+        val dbc = newMeta.getOrElse("bloomColumns", "").split(',')
+          .map(_.trim).filter(_.nonEmpty)
+        if (dbc.exists(_.equalsIgnoreCase(c)))
+          newMeta += ("bloomColumns" ->
+            dbc.filterNot(_.equalsIgnoreCase(c)).mkString(","))
         log.drop(c)
       // ALTER COLUMN c TYPE <t> — WIDEN-ONLY retype (Delta's
       // type-widening feature): metadata-only, zero files touched;

@@ -102,10 +102,11 @@ object GraftMvs {
                          dims: Seq[DimRef] = Nil,
                          bucket: Option[String] = None,
                          keyExprs: Seq[(String, String)] = Nil,
-                         srcMan: Option[String] = None) {
+                         srcMan: Option[String] = None,
+                         maxStalenessMs: Option[Long] = None) {
     def additive: Boolean = aggs.forall(a =>
       a.func != "min" && a.func != "max" && a.func != "count_distinct" &&
-        a.func != "hll")
+        a.func != "hll" && !a.func.startsWith("qtile:"))
     /** Any LEFT-joined dim ⇒ group keys may be NULL (the
       * NULL-extension group is the left join's whole point), so the
       * store's merge identity switches from the key columns to the
@@ -240,11 +241,15 @@ object GraftMvs {
     val d = scala.util.Try(readDef(baseDir)).getOrElse(return None)
     // the NAME must still resolve to the manifest the view was built
     // over — a re-registration at a different location could align
-    // versions by coincidence and serve foreign data as "fresh"
+    // versions by coincidence and serve foreign data as "fresh".
+    // An MV-on-MV source resolves to the CHILD's store manifest: the
+    // parent is fresh when it consumed the child store's current
+    // version (the child's own freshness is the child's question).
     def curOf(src: String, pinned: Option[String]): Option[Int] =
-      GraftSqlTables.lookup(src.split('.').toSeq)
-        .filter(e => pinned.forall(_ == e.manifestPath))
-        .map(e => new TxnManifest(e.manifestPath).committed()
+      GraftSqlTables.lookup(src.split('.').toSeq).map(_.manifestPath)
+        .orElse(lookup(src).map(manifestPath))
+        .filter(p => pinned.forall(_ == p))
+        .map(p => new TxnManifest(p).committed()
           .keys.maxOption.getOrElse(-1))
     val curV = curOf(d.src, d.srcMan).getOrElse(return None)
     val curDs = d.dims.map(dim =>
@@ -253,6 +258,47 @@ object GraftMvs {
     val mvB = mvMan.committed().keys.maxOption.getOrElse(-1)
     if (mvB >= 0 && stateFor(baseDir, mvB) == ((curV, curDs))) Some(d)
     else None
+  }
+
+  /** The serve gate for the transparent rewrite: FRESH (exact
+    * results), or — ONLY when the view opted into `MAX_STALENESS` —
+    * refreshed within the declared bound (the Databricks/Delta
+    * bounded-staleness contract: at 100 TB, refresh cadence is often
+    * slower than query cadence, and a dashboard that accepts
+    * n-minutes-old numbers should not re-scan the fact table for
+    * them). The clock is the MV manifest's last-commit mtime — the
+    * same clock `TIMESTAMP AS OF` reads. Default (no bound declared)
+    * stays stale-never-serves, and the source-identity pin still
+    * applies: a re-registered source never serves, bounded or not. */
+  private[plans] def servableFor(spark: SparkSession, name: String)
+    : Option[MvDef] =
+    freshFor(spark, name).orElse {
+      val baseDir = lookup(name).getOrElse(return None)
+      val d = scala.util.Try(readDef(baseDir)).toOption.getOrElse(return None)
+      d.maxStalenessMs.flatMap { bound =>
+        def pinnedOk(src: String, pinned: Option[String]): Boolean =
+          GraftSqlTables.lookup(src.split('.').toSeq)
+            .exists(e => pinned.forall(_ == e.manifestPath))
+        val mvMan = new TxnManifest(manifestPath(baseDir))
+        val mvB = mvMan.committed().keys.maxOption.getOrElse(-1)
+        if (mvB < 0) None // never refreshed: nothing to serve
+        else if (!pinnedOk(d.src, d.srcMan) ||
+            !d.dims.forall(dim => pinnedOk(dim.name, dim.man))) None
+        else graft.util.AtomicText.mtime(manifestPath(baseDir)) match {
+          case Some(t)
+              if System.currentTimeMillis() - t <= bound => Some(d)
+          case _ => None
+        }
+      }
+    }
+
+  /** `ALTER MATERIALIZED VIEW ... SET/CLEAR MAX_STALENESS` — rewrites
+    * the persisted definition in place (atomic replace). */
+  def setMaxStaleness(name: String, ms: Option[Long]): Unit = {
+    val baseDir = lookup(name).getOrElse(throw new IllegalArgumentException(
+      s"materialized view '$name' is not registered"))
+    ms.foreach(v => require(v > 0, s"MAX_STALENESS must be positive, got $v"))
+    writeDef(baseDir, readDef(baseDir).copy(maxStalenessMs = ms))
   }
 
   private def dataRoot(base: String) = s"$base/data"
@@ -329,7 +375,8 @@ object GraftMvs {
       d.keyExprs.map { case (a, s) => s"keyexpr\t$a\t$s" } ++
       d.where.map(w => s"where\t$w").toSeq ++
       d.bucket.map(b => s"bucket\t$b").toSeq ++
-      d.srcMan.map(m => s"srcman\t$m").toSeq ++ Seq(
+      d.srcMan.map(m => s"srcman\t$m").toSeq ++
+      d.maxStalenessMs.map(ms => s"staleness\t$ms").toSeq ++ Seq(
       s"outschema\t${d.outSchema.json}",
       s"storschema\t${d.storSchema.json}")
     AtomicText.writeAtomically(defPath(base), lines.mkString("\n") + "\n")
@@ -378,7 +425,8 @@ object GraftMvs {
         val p = l.split('\t')
         (p(1), p(2))
       },
-      srcMan = opt("srcman"))
+      srcMan = opt("srcman"),
+      maxStalenessMs = opt("staleness").map(_.trim.toLong))
   }
 
   // ------------------------------------------------------------- state IO
@@ -432,7 +480,8 @@ object GraftMvs {
     * aliased expression whose alias is a GROUP BY name is a COMPUTED
     * KEY (`date_trunc('day', ts) AS d ... GROUP BY d`). */
   private val AggFuncs =
-    Set("count", "sum", "avg", "min", "max", "approx_count_distinct")
+    Set("count", "sum", "avg", "min", "max", "approx_count_distinct",
+      "approx_percentile")
 
   /** Extract the maintained shape from the CREATE's SELECT body,
     * refusing anything outside it with the unsupported shape named. */
@@ -727,10 +776,33 @@ object GraftMvs {
       // (sketches don't subtract). The estimate, not the exact count,
       // is the declared output; stays out of the transparent rewrite.
       case "approx_count_distinct" => AggSpec(out, "hll", Some(argCol))
+      // approximate percentile maintains as a stored GK quantile
+      // summary ([[graft.expressions.QuantileSketch]]): insert-only
+      // deltas FOLD by summary merge (rank error stays ≤ ε·n), deletes
+      // recompute the touched groups. Same estimator policy as HLL:
+      // the estimate is the declared output and the rewrite never
+      // serves it.
+      case "approx_percentile" => f.arguments match {
+        case Seq(a: UnresolvedAttribute, Literal(p, _)) =>
+          val pd = p match {
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case d: Double => d
+            case i: Int    => i.toDouble
+            case other => throw new IllegalArgumentException(
+              "CREATE MATERIALIZED VIEW: approx_percentile's quantile " +
+                s"must be a numeric literal, got $other")
+          }
+          require(pd >= 0.0 && pd <= 1.0,
+            s"CREATE MATERIALIZED VIEW: quantile $pd out of [0, 1]")
+          AggSpec(out, s"qtile:$pd", Some(a.nameParts.mkString(".")))
+        case other => throw new IllegalArgumentException(
+          "CREATE MATERIALIZED VIEW: approx_percentile takes " +
+            s"(column, quantile literal); got (${other.map(_.sql).mkString(", ")})")
+      }
       case other => throw new IllegalArgumentException(
         s"CREATE MATERIALIZED VIEW: aggregate '$other' is not " +
           "maintainable here (supported: count, count(DISTINCT), " +
-          "approx_count_distinct, sum, avg, min, max)")
+          "approx_count_distinct, approx_percentile, sum, avg, min, max)")
     }
   }
 
@@ -762,6 +834,8 @@ object GraftMvs {
           Seq(StructField(a.out, LongType, nullable = false))
         case "hll" =>
           Seq(StructField(a.out, BinaryType)) // the serialized sketch
+        case q if q.startsWith("qtile:") =>
+          Seq(StructField(a.out, BinaryType)) // the serialized GK summary
         case "min" | "max" =>
           Seq(StructField(a.out, fieldOf(srcSchema, a.arg.get).dataType))
         case "sum" =>
@@ -793,12 +867,20 @@ object GraftMvs {
       case "count"          => count(col(a.arg.get))
       case "count_distinct" => countDistinct(col(a.arg.get))
       case "hll" => hll_sketch_estimate(hll_sketch_agg(col(a.arg.get)))
+      case q if q.startsWith("qtile:") => // the serve expression itself
+        graft.expressions.QuantileSketch.estimateCol(
+          graft.expressions.QuantileSketch.sketchAgg(
+            col(a.arg.get).cast("double")), qtileP(q))
       case "sum"            => sum(col(a.arg.get))
       case "avg"            => avg(col(a.arg.get))
       case "min"            => min(col(a.arg.get))
       case "max"            => max(col(a.arg.get))
     }).as(a.out)
   }
+
+  /** The quantile encoded in a `qtile:<p>` func tag. */
+  private def qtileP(func: String): Double =
+    func.stripPrefix("qtile:").toDouble
 
   // --------------------------------------------------------------- create
 
@@ -843,7 +925,10 @@ object GraftMvs {
       joinFrames(acc, dim, pairs, jt) }
 
   def create(spark: SparkSession, name: String, location: String,
-             selectSql: String, buckets: Option[Int] = None): Unit = {
+             selectSql: String, buckets: Option[Int] = None,
+             maxStalenessMs: Option[Long] = None): Unit = {
+    maxStalenessMs.foreach(v => require(v > 0,
+      s"MAX_STALENESS must be positive, got $v"))
     require(lookup(name).isEmpty,
       s"materialized view '$name' already exists")
     val ps = parseSelect(selectSql)
@@ -857,9 +942,28 @@ object GraftMvs {
       "CREATE MATERIALIZED VIEW: the same dim table appears twice — " +
         "register a second name for the second role")
     val anyLeft = ps.dims.exists(_._3 == "left")
-    val entry = resolveEntry(ps.fact.name)
+    // the fact may be a registered TABLE or another registered
+    // MATERIALIZED VIEW (the summary-pyramid chain): an MV fact reads
+    // the child's declared output, refuses cycles loudly, and pins
+    // the child's STORE manifest as srcMan
+    val factIsMv = GraftSqlTables.lookup(ps.fact.name.split('.').toSeq)
+      .isEmpty && lookup(ps.fact.name).isDefined
+    val (factDf, factManPath) =
+      if (factIsMv) {
+        assertNoCycle(name, ps.fact.name)
+        val childLoc = lookup(ps.fact.name).get
+        val served = read(spark, ps.fact.name)
+        require(!served.columns.exists(_.equalsIgnoreCase(
+          graft.sources.Sinks.ChangeTypeCol)),
+          s"CREATE MATERIALIZED VIEW: child view '${ps.fact.name}' " +
+            "exposes a column colliding with the change-feed metadata " +
+            "the refresh reads through")
+        (served, manifestPath(childLoc))
+      } else {
+        val entry = resolveEntry(ps.fact.name)
+        (snapshotRead(spark, entry), entry.manifestPath)
+      }
     val entryDs = ps.dims.map { case (r, _, _) => resolveEntry(r.name) }
-    val factDf = snapshotRead(spark, entry)
     val dimDfs = entryDs.map(snapshotRead(spark, _))
 
     // ------- qualifier resolution (join form only needs the work)
@@ -930,7 +1034,7 @@ object GraftMvs {
     }
     val d = MvDef(name, ps.fact.name, keys, aggs, where, outSchema, stor,
       dims = dimRefs, bucket = bucket, keyExprs = keyExprs,
-      srcMan = Some(entry.manifestPath))
+      srcMan = Some(factManPath), maxStalenessMs = maxStalenessMs)
     writeDef(location, d)
     persist(name, location) // exclusive create = the concurrent-CREATE guard
     views.put(norm(name), location)
@@ -957,6 +1061,114 @@ object GraftMvs {
     entry.schemaLogPath.foreach(p => r = r.option("schemaLog", p))
     asOf.foreach(v => r = r.option("versionAsOf", v.toString))
     r.load(entry.root)
+  }
+
+  // ------------------------------------------------------ MV-on-MV chain
+
+  /** A refresh's fact source: a registered TABLE, or another
+    * registered MATERIALIZED VIEW (the summary-pyramid chain,
+    * round 12). An MV source reads its child's STORE — snapshot or
+    * change feed — and applies the child's declared-output projection
+    * per row ([[servedCols]] is deterministic per storage row, so
+    * pre/post change images transform independently); the store's own
+    * manifest CDF is the parent's feed, which is why every MV store
+    * merge commits with `cdf = true`. Refresh order is the caller's:
+    * REFRESH the child first, then the parent (bottom-up), exactly
+    * like any downstream incremental consumer. */
+  private sealed trait FactSrc {
+    def manifestPath: String
+    def snapshot(spark: SparkSession, asOf: Option[Int]): DataFrame
+    def changes(spark: SparkSession, loEx: Int, hiInc: Int): DataFrame
+    def streamFeed(spark: SparkSession): DataFrame
+  }
+
+  private final case class TableSrc(entry: GraftSqlTables.Entry)
+      extends FactSrc {
+    def manifestPath: String = entry.manifestPath
+    def snapshot(spark: SparkSession, asOf: Option[Int]): DataFrame =
+      snapshotRead(spark, entry, asOf)
+    def changes(spark: SparkSession, loEx: Int, hiInc: Int): DataFrame = {
+      var r = spark.read.format("graft-manifest")
+        .option("manifest", entry.manifestPath)
+        .option("changeFeed", "true")
+        .option("startingBatchId", loEx.toString)
+        .option("endingBatchId", hiInc.toString)
+      entry.schemaLogPath.foreach(p => r = r.option("schemaLog", p))
+      r.load(entry.root)
+    }
+    def streamFeed(spark: SparkSession): DataFrame = {
+      var r = spark.readStream.format("graft-manifest")
+        .option("manifest", entry.manifestPath)
+        .option("changeFeed", "true")
+      entry.schemaLogPath.foreach(p => r = r.option("schemaLog", p))
+      r.load(entry.root)
+    }
+  }
+
+  private final case class MvSrc(childLoc: String, childDef: MvDef)
+      extends FactSrc {
+    def manifestPath: String = GraftMvs.manifestPath(childLoc)
+    def snapshot(spark: SparkSession, asOf: Option[Int]): DataFrame = {
+      var r = spark.read.format("graft-manifest")
+        .option("manifest", manifestPath)
+      asOf.foreach(v => r = r.option("versionAsOf", v.toString))
+      r.load(dataRoot(childLoc)).select(servedCols(childDef): _*)
+    }
+    def changes(spark: SparkSession, loEx: Int, hiInc: Int): DataFrame =
+      spark.read.format("graft-manifest")
+        .option("manifest", manifestPath)
+        .option("changeFeed", "true")
+        .option("startingBatchId", loEx.toString)
+        .option("endingBatchId", hiInc.toString)
+        .load(dataRoot(childLoc))
+        .select(servedCols(childDef) :+ col(Sinks.ChangeTypeCol): _*)
+    def streamFeed(spark: SparkSession): DataFrame =
+      spark.readStream.format("graft-manifest")
+        .option("manifest", manifestPath)
+        .option("changeFeed", "true")
+        .load(dataRoot(childLoc))
+  }
+
+  /** Resolve a view's declared source: tables win a name collision
+    * (the original contract); an MV resolves to its store. */
+  private def factSrcOf(viewName: String, src: String): FactSrc =
+    GraftSqlTables.lookup(src.split('.').toSeq) match {
+      case Some(e) => TableSrc(e)
+      case None => lookup(src) match {
+        case Some(loc) => MvSrc(loc, readDef(loc))
+        case None => throw new IllegalStateException(
+          s"materialized view '$viewName': source '$src' is neither a " +
+            "registered graft table nor a registered materialized view")
+      }
+    }
+
+  /** Refuse a view chain that (transitively) reads itself — a cycle
+    * would make refresh order undefined and every refresh read its
+    * own output. Walked at CREATE and again at refresh (a DROP +
+    * recreate of a mid-chain view could introduce one later). */
+  private def assertNoCycle(viewName: String, firstSrc: String): Unit = {
+    val seen = scala.collection.mutable.Set(norm(viewName))
+    var cur = firstSrc
+    var depth = 0
+    var done = false
+    while (!done) {
+      val isTable = GraftSqlTables.lookup(cur.split('.').toSeq).isDefined
+      val isMv = !isTable && lookup(cur).isDefined
+      // a chain node that names THIS view — registered or a dangling
+      // reference this CREATE would complete — closes the cycle;
+      // tables live in a different namespace and never do
+      val closes = isMv || (!isTable && norm(cur) == norm(viewName))
+      require(!closes || seen.add(norm(cur)),
+        s"materialized view '$viewName': the view chain CYCLES through " +
+          s"'$cur' — a view may not (transitively) read itself")
+      if (isMv) {
+        depth += 1
+        require(depth <= 64,
+          s"materialized view '$viewName': view chain deeper than 64 — " +
+            "refusing (is this a cycle through re-registration?)")
+        cur = readDef(lookup(cur).get).src
+      } else done = true
+    }
   }
 
   // -------------------------------------------------------------- refresh
@@ -991,24 +1203,27 @@ object GraftMvs {
         throw new IllegalStateException(
           s"materialized view '$name': source table '$src' is no " +
             "longer registered"))
-    val entry = entryOf(d.src)
+    val fact = factSrcOf(name, d.src)
+    // an MV source: a DROP + recreate elsewhere in the chain since
+    // CREATE could have introduced a cycle — re-walk before reading
+    if (fact.isInstanceOf[MvSrc]) assertNoCycle(name, d.src)
     val entryDs = d.dims.map(x => entryOf(x.name))
     // a NAME re-registered at a different manifest: the stored
     // state's versions refer to the OLD history, so incremental
     // deltas are meaningless — only FULL (which recomputes from the
     // current snapshot and re-pins the paths) may proceed
-    val moved = d.srcMan.exists(_ != entry.manifestPath) ||
+    val moved = d.srcMan.exists(_ != fact.manifestPath) ||
       d.dims.zip(entryDs).exists { case (dim, e) =>
         dim.man.exists(_ != e.manifestPath) }
     if (moved) {
       require(full, s"materialized view '$name': source table " +
         "re-registered at a different location — incremental deltas " +
         "no longer apply; REFRESH MATERIALIZED VIEW ... FULL rebuilds")
-      writeDef(baseDir, d.copy(srcMan = Some(entry.manifestPath),
+      writeDef(baseDir, d.copy(srcMan = Some(fact.manifestPath),
         dims = d.dims.zip(entryDs).map { case (dim, e) =>
           dim.copy(man = Some(e.manifestPath)) }))
     }
-    val curV = new TxnManifest(entry.manifestPath)
+    val curV = new TxnManifest(fact.manifestPath)
       .committed().keys.maxOption.getOrElse(-1)
     val curDs = entryDs.map(e => new TxnManifest(e.manifestPath)
       .committed().keys.maxOption.getOrElse(-1))
@@ -1033,7 +1248,7 @@ object GraftMvs {
     // arms' base scan, built once here so every arm reads identically
     def liveSnapshot: DataFrame = {
       val live0 = derive(
-        joinStar(snapshotRead(spark, entry, factAsOf), starDims), d)
+        joinStar(fact.snapshot(spark, factAsOf), starDims), d)
       d.where.fold(live0)(w => live0.where(expr(w)))
     }
 
@@ -1056,13 +1271,9 @@ object GraftMvs {
       // facts constantly, so this is the exceptional arm
       refreshFull(spark, d, baseDir, mvMan, newBatch, liveSnapshot)
     } else {
-      var r = spark.read.format("graft-manifest")
-        .option("manifest", entry.manifestPath)
-        .option("changeFeed", "true")
-        .option("startingBatchId", lastV.toString) // exclusive lower bound
-        .option("endingBatchId", curV.toString)
-      entry.schemaLogPath.foreach(p => r = r.option("schemaLog", p))
-      val changes0 = r.load(entry.root)
+      // feed `(lastV, curV]` — exclusive lower bound; an MV source
+      // serves its store's own CDF through the served projection
+      val changes0 = fact.changes(spark, lastV, curV)
       val changes = derive(joinStar(changes0, starDims), d)
       val delta = d.where.fold(changes)(w => changes.where(expr(w)))
       if (d.additive)
@@ -1169,7 +1380,7 @@ object GraftMvs {
       val deletes = merged.filter(col(GRows) <= 0)
         .select(mk.map(col): _*)
       Sinks.merge(spark, Some(updates), Some(deletes), dataRoot(baseDir),
-        mvMan, mk, newBatch, bucketBy = d.bucketSpec)
+        mvMan, mk, newBatch, cdf = true, bucketBy = d.bucketSpec)
     }
   }
 
@@ -1181,6 +1392,9 @@ object GraftMvs {
       case "count"          => Seq(count(col(a.arg.get)).as(a.out))
       case "count_distinct" => Seq(countDistinct(col(a.arg.get)).as(a.out))
       case "hll"            => Seq(hll_sketch_agg(col(a.arg.get)).as(a.out))
+      case q if q.startsWith("qtile:") =>
+        Seq(graft.expressions.QuantileSketch.sketchAgg(
+          col(a.arg.get).cast("double")).as(a.out))
       case "min"            => Seq(min(col(a.arg.get)).as(a.out))
       case "max"            => Seq(max(col(a.arg.get)).as(a.out))
       case "sum" => Seq(sum(col(a.arg.get)).as(a.out),
@@ -1232,7 +1446,7 @@ object GraftMvs {
       val gone = affected.select(mk.map(col): _*)
         .join(rec.select(mk.map(col): _*), mk, "left_anti")
       Sinks.merge(spark, Some(rec), Some(gone), dataRoot(baseDir),
-        mvMan, mk, newBatch, bucketBy = d.bucketSpec)
+        mvMan, mk, newBatch, cdf = true, bucketBy = d.bucketSpec)
       return
     }
 
@@ -1255,6 +1469,9 @@ object GraftMvs {
         case "max" => Seq(max(when(!neg, col(a.arg.get))).as(a.out))
         case "hll" =>
           Seq(hll_sketch_agg(when(!neg, col(a.arg.get))).as(a.out))
+        case q if q.startsWith("qtile:") =>
+          Seq(graft.expressions.QuantileSketch.sketchAgg(
+            when(!neg, col(a.arg.get)).cast("double")).as(a.out))
         case other => sys.error(s"fold refresh on $other") // unreachable
       }
     } ++ Seq(sum(w).as(GRows), max(when(neg, 1).otherwise(0)).as(HasNeg))
@@ -1272,6 +1489,8 @@ object GraftMvs {
     val minMax = d.aggs.filter(a => a.func == "min" || a.func == "max")
       .map(a => norm(a.out)).toSet
     val hlls = d.aggs.filter(_.func == "hll").map(a => norm(a.out)).toSet
+    val qtiles = d.aggs.filter(_.func.startsWith("qtile:"))
+      .map(a => norm(a.out)).toSet
     val accCols = d.storSchema.fieldNames.filterNot(n =>
       d.groupKeys.exists(_.equalsIgnoreCase(n)) ||
         n.equalsIgnoreCase(GKey)).toSeq
@@ -1289,6 +1508,11 @@ object GraftMvs {
           when(col(n).isNull, col(s"__d_$n"))
             .when(col(s"__d_$n").isNull, col(n))
             .otherwise(hll_union(col(n), col(s"__d_$n")))
+        else if (qtiles.contains(norm(n)))
+          // GK summaries extend by merge (NULL absorbs inside the
+          // expression) — the folded summary answers any quantile
+          // within the same ε·n rank bound as a single-pass summary
+          graft.expressions.QuantileSketch.mergeCol(col(n), col(s"__d_$n"))
         else if (minMax.contains(norm(n))) {
           val f = d.aggs.find(a => norm(a.out) == norm(n)).get.func
           if (f == "min") least(col(n), col(s"__d_$n"))
@@ -1307,7 +1531,7 @@ object GraftMvs {
       .select(mk.map(col): _*)
     if (negKeys.isEmpty)
       Sinks.merge(spark, Some(folded), None, dataRoot(baseDir),
-        mvMan, mk, newBatch, bucketBy = d.bucketSpec)
+        mvMan, mk, newBatch, cdf = true, bucketBy = d.bucketSpec)
     else {
       val rec = conform(withGk(
         withGk(live, d).join(negKeys, mk, "left_semi")
@@ -1316,7 +1540,7 @@ object GraftMvs {
       val gone = negKeys.join(rec.select(mk.map(col): _*),
         mk, "left_anti")
       Sinks.merge(spark, Some(folded.unionByName(rec)), Some(gone),
-        dataRoot(baseDir), mvMan, mk, newBatch,
+        dataRoot(baseDir), mvMan, mk, newBatch, cdf = true,
         bucketBy = d.bucketSpec)
     }
   }
@@ -1336,7 +1560,7 @@ object GraftMvs {
     val gone = cur.select(mk.map(col): _*)
       .join(full.select(mk.map(col): _*), mk, "left_anti")
     Sinks.merge(spark, Some(full), Some(gone), dataRoot(baseDir),
-      mvMan, mk, newBatch, bucketBy = d.bucketSpec)
+      mvMan, mk, newBatch, cdf = true, bucketBy = d.bucketSpec)
   }
 
   // ----------------------------------------------------------------- read
@@ -1355,18 +1579,22 @@ object GraftMvs {
     else Sinks.readCommitted(spark, dataRoot(baseDir), mvMan)
   }
 
-  def read(spark: SparkSession, name: String): DataFrame = {
-    val baseDir = lookup(name).getOrElse(throw new IllegalArgumentException(
-      s"materialized view '$name' is not registered"))
-    val d = readDef(baseDir)
-    val raw = rawStorage(spark, baseDir, d)
-    val served: Seq[Column] = d.groupKeys.map(col) ++ d.aggs.map { a =>
+  /** The declared-output projection over a STORAGE-schema frame —
+    * shared by [[read]] and the MV-on-MV source reads (a parent
+    * view's refresh applies it per row to the child store's snapshot
+    * AND change-feed images: the projection is deterministic per
+    * storage row, so pre/post images transform independently). */
+  private def servedCols(d: MvDef): Seq[Column] =
+    d.groupKeys.map(col) ++ d.aggs.map { a =>
       val outT = d.outSchema(d.outSchema.fieldIndex(a.out)).dataType
       a.func match {
         case "count_star" | "count" | "count_distinct" | "min" | "max" =>
           col(a.out).cast(outT).as(a.out)
         case "hll" => // the estimate is the declared output
           hll_sketch_estimate(col(a.out)).cast(outT).as(a.out)
+        case q if q.startsWith("qtile:") => // estimate, NULL when empty
+          graft.expressions.QuantileSketch.estimateCol(col(a.out),
+            qtileP(q)).cast(outT).as(a.out)
         case "sum" =>
           when(col(nCol(a.out)) === 0, lit(null))
             .otherwise(col(a.out)).cast(outT).as(a.out)
@@ -1376,7 +1604,12 @@ object GraftMvs {
             .cast(outT).as(a.out)
       }
     }
-    raw.select(served: _*)
+
+  def read(spark: SparkSession, name: String): DataFrame = {
+    val baseDir = lookup(name).getOrElse(throw new IllegalArgumentException(
+      s"materialized view '$name' is not registered"))
+    val d = readDef(baseDir)
+    rawStorage(spark, baseDir, d).select(servedCols(d): _*)
   }
 
   def drop(name: String): Unit = {
@@ -1472,14 +1705,8 @@ object GraftMvs {
     val baseDir = lookup(name).getOrElse(throw new IllegalArgumentException(
       s"materialized view '$name' is not registered"))
     val d = readDef(baseDir)
-    val entry = GraftSqlTables.lookup(d.src.split('.').toSeq).getOrElse(
-      throw new IllegalStateException(s"materialized view '$name': " +
-        s"source table '${d.src}' is no longer registered"))
-    var r = spark.readStream.format("graft-manifest")
-      .option("manifest", entry.manifestPath)
-      .option("changeFeed", "true")
-    entry.schemaLogPath.foreach(p => r = r.option("schemaLog", p))
-    val feed = r.load(entry.root).select(col("_commit_batch"))
+    val feed = factSrcOf(name, d.src).streamFeed(spark)
+      .select(col("_commit_batch"))
     var w = feed.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -1536,7 +1763,9 @@ object GraftMvs {
       "aggregates" -> d.aggs.map(a =>
         s"${a.out} = ${a.func}(${a.arg.getOrElse("*")})").mkString(", ")) ++
       d.where.map("where" -> _).toSeq ++
-      d.bucket.map("bucketed_by" -> _).toSeq ++ Seq(
+      d.bucket.map("bucketed_by" -> _).toSeq ++
+      d.maxStalenessMs.map(ms => "max_staleness_ms" -> ms.toString).toSeq ++
+      Seq(
       "maintenance" -> (if (d.additive) "additive"
         else "fold + delete-affected recompute"),
       "refresh_batch" -> mvB.toString,
@@ -1674,11 +1903,25 @@ object GraftMvs {
 final case class GraftMvCreateCommand(name: String, location: String,
                                       select: String,
                                       buckets: Option[Int] = None,
-                                      ifNotExists: Boolean = false)
+                                      ifNotExists: Boolean = false,
+                                      maxStalenessMs: Option[Long] = None)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     if (!(ifNotExists && GraftMvs.lookup(name).isDefined))
-      GraftMvs.create(spark, name, location, select, buckets)
+      GraftMvs.create(spark, name, location, select, buckets,
+        maxStalenessMs)
+    Seq.empty
+  }
+}
+
+/** `ALTER MATERIALIZED VIEW <name> SET MAX_STALENESS INTERVAL 'n'
+  * <unit>` / `... CLEAR MAX_STALENESS` — toggles bounded-staleness
+  * serving on a live view. */
+final case class GraftMvAlterStalenessCommand(name: String,
+                                              maxStalenessMs: Option[Long])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftMvs.setMaxStaleness(name, maxStalenessMs)
     Seq.empty
   }
 }

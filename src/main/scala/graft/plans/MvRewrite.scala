@@ -527,7 +527,7 @@ object MvRewrite {
                         items0: Seq[GraftMvs.ServeItem],
                         qConj: Seq[Expression],
                         qConjSql: Seq[String]): Option[LogicalPlan] = {
-    val d = GraftMvs.freshFor(spark, mvName) match {
+    val d = GraftMvs.servableFor(spark, mvName) match {
       case Some(d0) if (norm(d0.src),
           d0.dims.map(x => norm(x.name)).toSet) == joinKey => d0
       case _ => return None
@@ -602,7 +602,7 @@ object MvRewrite {
     // than Spark's native HLL++, so serving would change the query's
     // result.
     def matchSpec(spec: GraftMvs.AggSpec): Option[GraftMvs.AggSpec] =
-      if (spec.func == "hll") None
+      if (spec.func == "hll" || spec.func.startsWith("qtile:")) None
       else d.aggs.find(m => m.func == spec.func &&
           m.arg.map(norm) == spec.arg.map(norm))
         .filter(_ => !rollup || GraftMvs.rollupable(spec))

@@ -1074,11 +1074,16 @@ object GraftInsertCommand {
         } else {
           val framed = physBucket.fold(physical)(b =>
             graft.sources.Bucketing.routed(physical, b))
-          // stats sidecars carry PHYSICAL names; the mapped scan
-          // translates its pushed filters to match, so data skipping
-          // holds on mapped tables too
+          // stats AND bloom sidecars carry PHYSICAL names; the mapped
+          // scan and the (already-physical) merge probes translate to
+          // match, so data skipping and point-lookup pruning hold on
+          // mapped tables too — and survive renames, since physical
+          // names never move
+          val toPhys = cols.map(c => c.logical.toLowerCase -> c.physical)
+            .toMap
           graft.sources.StatsSinks.appendBatchStats(framed, entry.root,
-            batchId)
+            batchId, bloomColumns = entry.bloomColumns
+              .flatMap(c => toPhys.get(c.toLowerCase)))
           physBucket.foreach(b => graft.sources.Bucketing
             .writeMarkerWithFiles(spark, s"${entry.root}/batch=$batchId", b))
           beforeCommit(batchId)
@@ -1303,7 +1308,15 @@ object GraftMaintenance {
   private val CloneRe =
     """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
   private val MvCreate =
-    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s+LOCATION\s+'([^']+)'\s+(?:BUCKETED\s+BY\s*\(\s*(\d+)\s*\)\s+)?AS\s+(SELECT\b.+?)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s+LOCATION\s+'([^']+)'\s+(?:BUCKETED\s+BY\s*\(\s*(\d+)\s*\)\s+)?(?:MAX_STALENESS\s+INTERVAL\s+'(\d+)'\s+(SECONDS?|MINUTES?|HOURS?)\s+)?AS\s+(SELECT\b.+?)\s*;?\s*""".r
+  private val MvAlterStaleness =
+    """(?is)\s*ALTER\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+(?:SET\s+MAX_STALENESS\s+INTERVAL\s+'(\d+)'\s+(SECONDS?|MINUTES?|HOURS?)|(CLEAR)\s+MAX_STALENESS)\s*;?\s*""".r
+  private def stalenessMs(n: String, unit: String): Long = {
+    val u = unit.toLowerCase(java.util.Locale.ROOT)
+    val mult = if (u.startsWith("second")) 1000L
+      else if (u.startsWith("minute")) 60000L else 3600000L
+    n.toLong * mult
+  }
   private val MvRefresh =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)(\s+FULL)?\s*;?\s*""".r
   private val MvDrop =
@@ -1341,12 +1354,17 @@ object GraftMaintenance {
         GraftCopyIntoCommand(name, e, from, Option(pat), fmt,
           force = Option(force).exists(_.equalsIgnoreCase("true")),
           formatOptions = parseFormatOptions(fmtOpts)))
-      case MvCreate(ifNot, name, loc, buckets, select) =>
+      case MvCreate(ifNot, name, loc, buckets, staleN, staleU, select) =>
         // validate the SELECT shape NOW — a refused aggregate must
         // surface at statement parse, not mid-create
         GraftMvs.parseSelect(select)
         Some(GraftMvCreateCommand(name, loc, select,
-          Option(buckets).map(_.toInt), ifNotExists = ifNot != null))
+          Option(buckets).map(_.toInt), ifNotExists = ifNot != null,
+          maxStalenessMs = Option(staleN).map(stalenessMs(_, staleU))))
+      case MvAlterStaleness(name, staleN, staleU, clear) =>
+        Some(GraftMvAlterStalenessCommand(name,
+          if (clear != null) None
+          else Some(stalenessMs(staleN, staleU))))
       case MvRefreshAll() => Some(GraftMvRefreshAllCommand())
       case MvRefresh(name, full) =>
         Some(GraftMvRefreshCommand(name, full != null))

@@ -1586,6 +1586,73 @@ object PipelineQueries {
       out
     }),
 
+    // MV-on-MV chain (round 12): the summary pyramid — a parent view
+    // whose FROM is another registered MATERIALIZED VIEW. The parent's
+    // feed is the CHILD STORE's own manifest CDF (every MV store merge
+    // commits cdf=true exactly for this), transformed per image
+    // through the child's declared-output projection, so refresh cost
+    // stays O(child delta) + O(touched parent groups) all the way up
+    // the pyramid. Refresh order is bottom-up, like any downstream
+    // incremental consumer; cycles refuse loudly at CREATE. In-query
+    // asserts pin the freshness chain: base DML leaves the PARENT
+    // fresh (its source — the child's store — hasn't moved) until the
+    // child refreshes, then the parent folds the child's delta.
+    "s45_mv_chain" -> ((s, d) => {
+      import graft.plans.{GraftMvs, GraftSql, GraftSqlTables}
+      import graft.sources.{StatsSinks, TxnManifest}
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s45_").toString
+      val root = s"$base/src"
+      val man = new TxnManifest(s"$base/src.manifest.tsv")
+      StatsSinks.appendBatchStats(Tables.orders(s, d)
+        .filter(col("o_orderkey") % 2 === 1).select(
+        col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+        (col("o_custkey") % 23).as("cust_b"),
+        col("o_totalprice").cast("decimal(18,6)").as("price")), root, 0)
+      man.commit(0, Seq(s"$root/batch=0"))
+      GraftSqlTables.register("s45_src", GraftSqlTables.Entry(root,
+        s"$base/src.manifest.tsv", keys = Seq("id"), cdf = true))
+      GraftSql.execute(s,
+        s"CREATE MATERIALIZED VIEW s45_daily LOCATION '$base/mv1' AS " +
+          "SELECT status, cust_b, count(*) AS n, sum(price) AS sp " +
+          "FROM s45_src GROUP BY status, cust_b")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s45_daily")
+      GraftSql.execute(s,
+        s"CREATE MATERIALIZED VIEW s45_total LOCATION '$base/mv2' AS " +
+          "SELECT status, sum(n) AS total_n, count(*) AS n_buckets, " +
+          "sum(sp) AS total_sp FROM s45_daily GROUP BY status")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s45_total")
+      def fresh(n: String): Boolean = GraftSql.execute(s,
+        s"DESCRIBE MATERIALIZED VIEW $n").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+        .apply("is_fresh") == "true"
+      require(fresh("s45_daily") && fresh("s45_total"),
+        "s45: both levels fresh after the bottom-up bootstrap")
+      // base DML: the CHILD goes stale; the PARENT stays fresh (its
+      // source — the child's STORE — has not moved yet)
+      GraftSql.execute(s, "DELETE FROM s45_src WHERE id % 19 = 3")
+      GraftSql.execute(s,
+        "UPDATE s45_src SET price = price * 2 WHERE id % 31 = 7")
+      require(!fresh("s45_daily"),
+        "s45: base DML must stale the child")
+      require(fresh("s45_total"),
+        "s45: the parent tracks the child's STORE, which hasn't moved")
+      // bottom-up: child folds the base delta; the child's merge
+      // commits CDF, so the parent folds the CHILD's delta next
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s45_daily")
+      require(!fresh("s45_total"),
+        "s45: the child's refresh commit stales the parent")
+      GraftSql.execute(s, "REFRESH MATERIALIZED VIEW s45_total")
+      require(fresh("s45_total"),
+        "s45: the parent refresh re-converges the pyramid")
+      val out = GraftMvs.read(s, "s45_total").select(col("status"),
+        col("total_n"), col("n_buckets"),
+        col("total_sp").cast("double").as("total_sp"))
+      GraftSql.execute(s, "DROP MATERIALIZED VIEW s45_total")
+      GraftSql.execute(s, "DROP MATERIALIZED VIEW s45_daily")
+      out
+    }),
+
     // LEFT OUTER star materialized view (round 12): the reference's
     // WORKHORSE remap is a left join (orders.py:120-140,
     // locations.py:154-158) — facts with unresolved FKs must be KEPT,
@@ -3149,6 +3216,23 @@ object PipelineQueries {
         |final AS (SELECT * FROM w1 WHERE NOT (id % 17 = 2))
         |SELECT status, count(*) AS n, CAST(sum(price) AS DOUBLE) AS sp
         |FROM final GROUP BY status""".stripMargin,
+    "s45_mv_chain" ->
+      """WITH src0 AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS status,
+        |    o_custkey % 23 AS cust_b,
+        |    CAST(o_totalprice AS DECIMAL(18,6)) AS price
+        |  FROM orders WHERE o_orderkey % 2 = 1),
+        |w1 AS (
+        |  SELECT id, status, cust_b,
+        |    CASE WHEN id % 31 = 7 THEN CAST(price * 2 AS DECIMAL(18,6))
+        |         ELSE price END AS price
+        |  FROM src0 WHERE NOT (id % 19 = 3)),
+        |child AS (
+        |  SELECT status, cust_b, count(*) AS n, sum(price) AS sp
+        |  FROM w1 GROUP BY status, cust_b)
+        |SELECT status, CAST(sum(n) AS BIGINT) AS total_n,
+        |  count(*) AS n_buckets, CAST(sum(sp) AS DOUBLE) AS total_sp
+        |FROM child GROUP BY status""".stripMargin,
     "s44_mv_left_star" ->
       """WITH fact0 AS (
         |  SELECT l_orderkey * 8 + l_linenumber AS id,

@@ -277,14 +277,10 @@ final class GraftManifestTable(tableSchema: StructType,
     // opt-in per-epoch bloom indexing (Delta's bloomFilterIndex shape,
     // declared at the sink): validate names and types NOW, at plan
     // time — a bad column must not fail the first epoch's commit
-    val bloomCols: Seq[String] =
+    val bloomColsDeclared: Seq[String] =
       Option(options.get("bloomColumns")).toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-    require(mappedLog.isEmpty || bloomCols.isEmpty,
-      "graft-manifest: bloomColumns and schemaLog are mutually exclusive " +
-        "— bloom sidecars index physical file columns the mapped scan " +
-        "does not consult")
-    bloomCols.foreach { c =>
+    bloomColsDeclared.foreach { c =>
       val f = info.schema().fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"bloomColumns names '$c', absent from the write schema " +
@@ -293,6 +289,18 @@ final class GraftManifestTable(tableSchema: StructType,
         throw new IllegalArgumentException(
           s"bloomColumns column '$c' has unindexable type " +
             s"${f.dataType.simpleString} (string and signed integral only)")
+    }
+    // mapped tables index the immutable PHYSICAL twins (the write
+    // lands physical files; physical names never move under RENAME,
+    // so coverage survives every metadata-only rename)
+    val bloomCols: Seq[String] = mappedLog match {
+      case None => bloomColsDeclared
+      case Some(log) =>
+        val toPhys = log.current()._2
+          .map(c => c.logical.toLowerCase -> c.physical).toMap
+        bloomColsDeclared.map(c => toPhys.getOrElse(c.toLowerCase,
+          throw new IllegalArgumentException(
+            s"bloomColumns names '$c', absent from the schema log")))
     }
     new org.apache.spark.sql.connector.write.WriteBuilder
       with org.apache.spark.sql.connector.write.SupportsTruncate {

@@ -360,6 +360,84 @@ class BloomSpec extends SparkSuite {
     assert(bad.getMessage.contains("unindexable"))
   }
 
+  test("columnMapping × bloomColumns: physical-keyed sidecars survive RENAME") {
+    import graft.plans.{GraftSql, GraftSqlTables}
+    import graft.sources.Sinks
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_bloommap_wh_").toString
+    spark.conf.set("spark.sql.catalog.bmap",
+      classOf[graft.plans.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bmap.warehouse", wh)
+    try {
+      GraftSql.execute(spark, "DROP TABLE IF EXISTS bmap.t")
+      GraftSql.execute(spark,
+        """CREATE TABLE bmap.t (id BIGINT, v STRING)
+          |USING `graft-manifest` TBLPROPERTIES ('keys' = 'id',
+          |  'columnMapping' = 'true', 'bloomColumns' = 'id')
+          |""".stripMargin)
+      // three interleaved batches (ids mod 3): ranges fully overlap,
+      // so ONLY the blooms can tell the owning dir apart
+      for (m <- 0 until 3) {
+        (0 until 3000).filter(_ % 3 == m).map(i => (i.toLong, s"v$i"))
+          .toDF("id", "v").coalesce(1).createOrReplaceTempView("bmap_src")
+        GraftSql.execute(spark, "INSERT INTO bmap.t SELECT * FROM bmap_src")
+      }
+      val entry = GraftSqlTables.lookup(Seq("bmap", "t")).orElse(
+        GraftSqlTables.lookup(Seq("bmap.t"))).get
+      val log = new graft.sources.SchemaLog(entry.schemaLogPath.get)
+      val physId = log.current()._2.find(_.logical == "id").get.physical
+      assert(physId != "id" || log.current()._2.nonEmpty) // mapping live
+      val man = new graft.sources.TxnManifest(entry.manifestPath)
+      val dirs = man.committedDirs(entry.root)
+      assert(dirs.size == 3)
+      val conf = spark.sparkContext.hadoopConfiguration
+      // the sidecars key on the PHYSICAL column name
+      dirs.foreach(d =>
+        assert(BloomIndex.indexedColumns(conf, d) == Set(physId),
+          s"dir $d should carry a bloom for '$physId'"))
+      // the (physical-speaking) merge probe prunes: keys ≡ 1 mod 3
+      // keep their owning dir and drop at least one of the others
+      val keys1 = Seq(1L, 7L, 601L).toDF(physId)
+      val owning = dirs.find(d => spark.read.parquet(d)
+        .where(col(physId) === 1L).count() > 0).get
+      val pruned = Sinks.bloomCandidateDirs(spark, dirs, keys1, Seq(physId))
+      assert(pruned.contains(owning) && pruned.size < dirs.size,
+        s"bloom probe kept $pruned of $dirs")
+
+      // metadata-only RENAME: physical names never move, so coverage
+      // survives — pruning still works, addressed by the NEW name
+      GraftSql.execute(spark, "ALTER TABLE bmap.t RENAME COLUMN id TO rid")
+      val physAfter = log.current()._2.find(_.logical == "rid").get.physical
+      assert(physAfter == physId, "rename must not move the physical name")
+      dirs.foreach(d =>
+        assert(BloomIndex.indexedColumns(conf, d) == Set(physId)))
+      val prunedAfter = Sinks.bloomCandidateDirs(spark, dirs,
+        Seq(2L, 8L, 602L).toDF(physId), Seq(physId))
+      assert(prunedAfter.size < dirs.size,
+        s"post-rename bloom probe kept $prunedAfter of $dirs")
+      // end-to-end: a point DELETE through the renamed column still
+      // lands (the mapped merge speaks physical underneath)
+      GraftSql.execute(spark, "DELETE FROM bmap.t WHERE rid = 1 OR rid = 7")
+      val left = GraftSql.execute(spark,
+        "SELECT count(*) AS n FROM bmap.t").collect().head.getLong(0)
+      assert(left == 2998)
+      // a fresh INSERT after the rename still indexes the same
+      // physical column
+      Seq((9001L, "x")).toDF("rid", "v")
+        .createOrReplaceTempView("bmap_src2")
+      GraftSql.execute(spark, "INSERT INTO bmap.t SELECT * FROM bmap_src2")
+      val newDirs = new graft.sources.TxnManifest(entry.manifestPath)
+        .committedDirs(entry.root).filterNot(dirs.contains)
+      assert(newDirs.exists(d =>
+        BloomIndex.indexedColumns(conf, d) == Set(physId)),
+        "post-rename inserts must keep indexing the physical column")
+      GraftSql.execute(spark, "DROP TABLE bmap.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.bmap")
+      spark.conf.unset("spark.sql.catalog.bmap.warehouse")
+    }
+  }
+
   test("describeDetail reports coverage per batch dir") {
     import graft.sources.Sinks
     val (root, manPath, man) = freshTable("detail_")

@@ -349,6 +349,167 @@ class MvSpec extends SparkSuite {
     GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_hll")
   }
 
+  test("approx_percentile MV: GK summary folds on inserts, recomputes on deletes") {
+    val base = tempBase("qt")
+    val root = s"$base/src"
+    val man = new TxnManifest(s"$base/manifest.tsv")
+    def rows(lo: Long, hi: Long): DataFrame =
+      spark.range(lo, hi).select(col("id"),
+        (col("id") % 4).cast("int").as("grp"),
+        when(col("id") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("id") * 37 % 10007).as("m"))
+    StatsSinks.appendBatchStats(rows(0, 20000), root, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+    GraftSqlTables.register("mv_qt_src", GraftSqlTables.Entry(root,
+      s"$base/manifest.tsv", keys = Seq("id"), cdf = true))
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_qt LOCATION '$base/mv' AS " +
+        "SELECT grp, approx_percentile(m, 0.5) AS p50, " +
+        "approx_percentile(m, 0.95) AS p95, count(*) AS n " +
+        "FROM mv_qt_src GROUP BY grp")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_qt")
+    // the GK contract: the served value's rank is within ε·n (+1 for
+    // the discrete boundary) of the target rank, per group — checked
+    // against the exact sorted values of the CURRENT base
+    def checkBounds(): Unit = {
+      val e = GraftSqlTables.lookup(Seq("mv_qt_src")).get
+      val byGrp = Sinks.readCommitted(spark, e.root,
+        new TxnManifest(e.manifestPath))
+        .where(col("m").isNotNull).select("grp", "m")
+        .collect().map(r => (r.getInt(0), r.getLong(1).toDouble))
+        .groupBy(_._1).map { case (g, vs) =>
+          g -> vs.map(_._2).sorted.toIndexedSeq }
+      val served = GraftMvs.read(spark, "mv_qt").collect()
+        .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      for ((g, sorted) <- byGrp; (p, est) <- Seq(
+          (0.5, served(g)._1), (0.95, served(g)._2))) {
+        val n = sorted.length
+        val target = p * n
+        val slack = 0.01 * n + 1
+        val loRank = sorted.count(_ < est) // est occupies ranks
+        val hiRank = sorted.count(_ <= est) // (loRank, hiRank]
+        assert(est >= sorted.head && est <= sorted.last,
+          s"grp $g p=$p: estimate $est outside the value range")
+        assert(hiRank >= target - slack && loRank <= target + slack,
+          s"grp $g p=$p: estimate $est at ranks ($loRank, $hiRank] " +
+            s"misses target $target ± $slack over $n values")
+      }
+    }
+    checkBounds()
+
+    // insert-only wave FOLDS (summary merge) without reading the base
+    StatsSinks.appendBatchStats(rows(20000, 20080), root, 1)
+    man.commit(1, Seq(s"$root/batch=1"))
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recordsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_qt")
+      Thread.sleep(1500) // drain the listener bus
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(recordsRead.get < 2000,
+      s"insert-only summary refresh read ${recordsRead.get} records — " +
+        "the 20000-row base must not be scanned")
+    checkBounds()
+
+    // fold-vs-recompute: a FULL refresh rebuilds every summary
+    // single-pass; both sides must satisfy the same rank-error bound
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_qt FULL")
+    checkBounds()
+
+    // deletes shift the distribution — the touched groups recompute
+    // (summaries don't subtract) and the bound holds on the new base
+    GraftSql.execute(spark, "DELETE FROM mv_qt_src WHERE m > 9000")
+    GraftSql.execute(spark, "DELETE FROM mv_qt_src WHERE id % 11 = 5")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_qt")
+    checkBounds()
+
+    // estimator policy: a query's native approx_percentile never
+    // serves from the GK store (different approximation)
+    val e = GraftSqlTables.lookup(Seq("mv_qt_src")).get
+    val q = GraftSql.execute(spark,
+      "SELECT grp, approx_percentile(m, 0.5) AS p50, count(*) AS n " +
+        "FROM mv_qt_src GROUP BY grp")
+    assert(q.queryExecution.executedPlan.toString.contains(e.root),
+      "approx_percentile queries must never serve from the summary " +
+        "store (different estimator)")
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_qt")
+  }
+
+  test("MV-on-MV chain: parent folds the child store's CDF; cycles refuse") {
+    val (src, base, man) = newSource("chain", spark.range(20000).select(
+      col("id"), (col("id") % 100).cast("int").as("g100"),
+      (col("id") * 3 % 1000).as("m")))
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_chain_child LOCATION '$base/mv1' AS " +
+        s"SELECT g100, count(*) AS n, sum(m) AS sm FROM $src GROUP BY g100")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_chain_child")
+    // the parent reads the CHILD's declared output — with a computed
+    // key on top
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_chain_top LOCATION '$base/mv2' AS " +
+        "SELECT g100 % 10 AS g10, sum(n) AS total_n, count(*) AS groups, " +
+        "sum(sm) AS total_m FROM mv_chain_child GROUP BY g10")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_chain_top")
+    def expected: DataFrame = {
+      val e = GraftSqlTables.lookup(Seq(src)).get
+      Sinks.readCommitted(spark, e.root, new TxnManifest(e.manifestPath))
+        .groupBy("g100")
+        .agg(count(lit(1)).as("n"), sum("m").as("sm"))
+        .select((col("g100") % 10).as("g10"), col("n"), col("sm"))
+        .groupBy("g10").agg(sum("n").as("total_n"),
+          count(lit(1)).as("groups"), sum("sm").as("total_m"))
+    }
+    assert(sortedRows(GraftMvs.read(spark, "mv_chain_top"))
+      == sortedRows(expected))
+
+    // DML wave → bottom-up refresh; the parent folds the CHILD's
+    // change feed — neither the 20000-row base nor the child's full
+    // store is re-scanned on the way
+    GraftSql.execute(spark, s"DELETE FROM $src WHERE id % 13 = 5")
+    GraftSql.execute(spark, s"UPDATE $src SET m = m + 100 WHERE id % 29 = 2")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_chain_child")
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recordsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_chain_top")
+      Thread.sleep(1500) // drain the listener bus
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(recordsRead.get < 2000,
+      s"parent refresh read ${recordsRead.get} records — it must fold " +
+        "the child's delta, never re-scan the 20000-row base")
+    assert(sortedRows(GraftMvs.read(spark, "mv_chain_top"))
+      == sortedRows(expected))
+    // group death propagates: empty a whole g10 block of the base
+    GraftSql.execute(spark, s"DELETE FROM $src WHERE g100 % 10 = 7")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_chain_child")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_chain_top")
+    val after = GraftMvs.read(spark, "mv_chain_top")
+    assert(after.where("g10 = 7").count() == 0,
+      "a parent group emptied through the chain must vanish")
+    assert(sortedRows(after) == sortedRows(expected))
+
+    // cycle refusal: re-create the child READING THE PARENT — the
+    // CREATE walk must close the loop and refuse loudly
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_chain_child")
+    val ex = intercept[Exception](GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_chain_child LOCATION '$base/mv3' AS " +
+        "SELECT g10, sum(total_n) AS tn FROM mv_chain_top GROUP BY g10"))
+    assert(ex.getMessage.contains("CYCLES"), s"got: ${ex.getMessage}")
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_chain_top")
+  }
+
   test("fresh MV accelerates matching SELECTs; stale serves from base") {
     val (src, base, man) = newSource("acc", seed(400))
     GraftSql.execute(spark,

@@ -2019,4 +2019,65 @@ class SqlSurfaceSpec extends SparkSuite {
       spark.conf.unset("spark.sql.catalog.mvper.warehouse")
     }
   }
+
+  test("MAX_STALENESS: opt-in bounded-stale serving; default stays stale-never-serves") {
+    import graft.plans.{GraftSql, GraftSqlTables}
+    import graft.sources.{StatsSinks, TxnManifest}
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_mvstale_").toString
+    val root = s"$base/src"
+    val man = new TxnManifest(s"$base/manifest.tsv")
+    StatsSinks.appendBatchStats(spark.range(1000).select(col("id"),
+      (col("id") % 5).cast("int").as("grp")), root, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+    GraftSqlTables.register("mvstale_src", GraftSqlTables.Entry(root,
+      s"$base/manifest.tsv", keys = Seq("id"), cdf = true))
+    val q = "SELECT grp, count(*) AS n FROM mvstale_src GROUP BY grp"
+    def planServes(): Boolean = !GraftSql.execute(spark, q)
+      .queryExecution.executedPlan.toString.contains(root)
+
+    // opt-in: within the bound, a STALE view still serves — the
+    // last-refresh contents, not the current base
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_stale LOCATION '$base/mv' " +
+        s"MAX_STALENESS INTERVAL '1' HOURS AS $q")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_stale")
+    assert(planServes(), "fresh bounded view must serve")
+    val atRefresh = GraftSql.execute(spark, q).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    GraftSql.execute(spark, "DELETE FROM mvstale_src WHERE id % 3 = 1")
+    assert(planServes(),
+      "stale-but-within-bound view must keep serving")
+    val servedStale = GraftSql.execute(spark, q).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(servedStale == atRefresh,
+      "bounded-stale serve must return the LAST-REFRESH contents")
+
+    // out of bound: shrink the bound below the view's age — declines
+    GraftSql.execute(spark, "ALTER MATERIALIZED VIEW mv_stale " +
+      "SET MAX_STALENESS INTERVAL '1' SECONDS")
+    Thread.sleep(1500)
+    assert(!planServes(), "past the bound the view must decline")
+    val fromBase = GraftSql.execute(spark, q).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fromBase != atRefresh, "vanilla execution sees the DELETE")
+
+    // CLEAR restores the default stale-never-serves
+    GraftSql.execute(spark,
+      "ALTER MATERIALIZED VIEW mv_stale CLEAR MAX_STALENESS")
+    assert(!planServes(), "with no bound a stale view never serves")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_stale")
+    assert(planServes(), "refreshed view serves again")
+    assert(GraftSql.execute(spark, q).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap == fromBase)
+    // DESCRIBE surfaces the bound while set
+    GraftSql.execute(spark, "ALTER MATERIALIZED VIEW mv_stale " +
+      "SET MAX_STALENESS INTERVAL '5' MINUTES")
+    val desc = GraftSql.execute(spark,
+      "DESCRIBE MATERIALIZED VIEW mv_stale")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("max_staleness_ms") == (5 * 60 * 1000L).toString)
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_stale")
+  }
 }
