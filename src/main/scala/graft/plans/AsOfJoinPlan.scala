@@ -199,6 +199,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"got ${exprs.length}")
         graft.expressions.BpeTokenCount(exprs.head)
       }))
+    // mergeable quantile sketches (the percentile-MV accumulator) as
+    // ad-hoc SQL: build per-group summaries, union them across rounds
+    // or tables, ask any quantile — the hll_sketch_agg / hll_union /
+    // hll_sketch_estimate triple, for percentiles
+    ext.injectFunction((FunctionIdentifier("qtile_sketch_agg"),
+      new ExpressionInfo(
+        classOf[graft.expressions.QuantileSketchAgg].getName,
+        "qtile_sketch_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"qtile_sketch_agg(col) takes exactly one argument, " +
+            s"got ${exprs.length}")
+        graft.expressions.QuantileSketchAgg(exprs.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("qtile_merge"),
+      new ExpressionInfo(
+        classOf[graft.expressions.QuantileSketchMerge].getName,
+        "qtile_merge"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"qtile_merge(a, b) takes exactly two arguments, " +
+            s"got ${exprs.length}")
+        graft.expressions.QuantileSketchMerge(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("qtile_estimate"),
+      new ExpressionInfo(
+        classOf[graft.expressions.QuantileSketchEstimate].getName,
+        "qtile_estimate"),
+      (exprs: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        require(exprs.length == 2,
+          s"qtile_estimate(sketch, p) takes exactly two arguments, " +
+            s"got ${exprs.length}")
+        val p = exprs(1) match {
+          case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+          case Literal(d: Double, _) => d
+          case Literal(i: Int, _)    => i.toDouble
+          case other => throw new IllegalArgumentException(
+            s"qtile_estimate: p must be a numeric literal, got $other")
+        }
+        graft.expressions.QuantileSketchEstimate(exprs.head, p)
+      }))
   }
 }
 

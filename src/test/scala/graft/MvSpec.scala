@@ -995,6 +995,71 @@ class MvSpec extends SparkSuite {
     GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_lmm")
   }
 
+  test("LEFT join MV × BUCKETED BY: NULL-keyed groups ride the bucket layout") {
+    val base = tempBase("lbkt")
+    def mkTable(tag: String, rows: DataFrame, keys: Seq[String])
+      : (String, TxnManifest) = {
+      val root = s"$base/$tag"
+      val man = new TxnManifest(s"$base/$tag.manifest.tsv")
+      StatsSinks.appendBatchStats(rows, root, 0)
+      man.commit(0, Seq(s"$root/batch=0"))
+      GraftSqlTables.register(s"mv_lbkt_$tag", GraftSqlTables.Entry(root,
+        s"$base/$tag.manifest.tsv", keys = keys, cdf = true))
+      (s"mv_lbkt_$tag", man)
+    }
+    val (fact, _) = mkTable("fact", spark.range(2000).select(col("id"),
+      (col("id") % 12).cast("int").as("fk"), (col("id") * 2).as("v")),
+      Seq("id"))
+    // dim covers fk 0..7 only → fk 8..11 facts NULL-extend
+    val (dim, _) = mkTable("dim", spark.range(8).select(
+      col("id").cast("int").as("k"),
+      (col("id") % 3).cast("int").as("band")), Seq("k"))
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_lbkt LOCATION '$base/mv' " +
+        s"BUCKETED BY (4) AS SELECT d.band, count(*) AS n, sum(f.v) AS sv " +
+        s"FROM $fact f LEFT JOIN $dim d ON f.fk = d.k GROUP BY d.band")
+    def expected: DataFrame = {
+      def committed(n: String): DataFrame = {
+        val e = GraftSqlTables.lookup(Seq(n)).get
+        Sinks.readCommitted(spark, e.root, new TxnManifest(e.manifestPath))
+      }
+      val f = committed(fact); val d = committed(dim)
+      f.join(d, f("fk") === d("k"), "left").groupBy("band")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    }
+    def markers(): (Int, Int) = {
+      val man = new TxnManifest(s"$base/mv/manifest.tsv")
+      val dirs = man.committedDirs(s"$base/mv/data")
+        .filterNot(_.contains("_dv"))
+      (dirs.size, dirs.count(d =>
+        new java.io.File(d, graft.sources.Bucketing.Marker).exists()))
+    }
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_lbkt")
+    val (d1, m1) = markers()
+    assert(d1 > 0 && m1 == d1,
+      s"bootstrap: $m1 of $d1 dirs carry the bucket marker")
+    val boot = GraftMvs.read(spark, "mv_lbkt")
+    assert(boot.where(col("band").isNull).count() == 1,
+      "the NULL-extension group must land in the bucketed store")
+    assert(sortedRows(boot) == sortedRows(expected))
+    // fold (NULL group included) and recompute waves keep the layout
+    GraftSql.execute(spark, s"DELETE FROM $fact WHERE id % 7 = 3")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_lbkt")
+    GraftSql.execute(spark, s"DELETE FROM $fact WHERE fk >= 10")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_lbkt")
+    val (d2, m2) = markers()
+    assert(m2 == d2, s"after refreshes: $m2 of $d2 dirs carry the marker")
+    assert(sortedRows(GraftMvs.read(spark, "mv_lbkt")) ==
+      sortedRows(expected))
+    // OPTIMIZE keeps the layout AND the NULL group
+    GraftSql.execute(spark, "OPTIMIZE MATERIALIZED VIEW mv_lbkt")
+    val (d3, m3) = markers()
+    assert(m3 == d3)
+    assert(sortedRows(GraftMvs.read(spark, "mv_lbkt")) ==
+      sortedRows(expected))
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_lbkt")
+  }
+
   test("LEFT star CREATE: ON conjunct placement is semantic — misplaced refuses") {
     val base = tempBase("lplace")
     def mkTable(tag: String, rows: DataFrame, keys: Seq[String]): String = {

@@ -2020,6 +2020,43 @@ class SqlSurfaceSpec extends SparkSuite {
     }
   }
 
+  test("qtile_* SQL functions: per-group sketches merge and answer within ε·n ranks") {
+    withExtensionSession { s =>
+      import org.apache.spark.sql.functions.col
+      s.range(10000).select(col("id"),
+        (col("id") % 2).cast("int").as("half"),
+        (col("id") * 17 % 4001).cast("double").as("v"))
+        .createOrReplaceTempView("qt_src")
+      // build one sketch per half, union them with qtile_merge, ask
+      // the median of the WHOLE distribution — the mergeability that
+      // lets per-shard sketches at 100 TB combine on the driver side
+      val est = s.sql(
+        """SELECT qtile_estimate(
+          |  qtile_merge(min(CASE WHEN half = 0 THEN sk END),
+          |              min(CASE WHEN half = 1 THEN sk END)), 0.5) AS med
+          |FROM (SELECT half, qtile_sketch_agg(v) AS sk
+          |      FROM qt_src GROUP BY half)""".stripMargin)
+        .collect().head.getDouble(0)
+      val sorted = s.sql("SELECT v FROM qt_src ORDER BY v")
+        .collect().map(_.getDouble(0))
+      val lo = sorted.count(_ < est); val hi = sorted.count(_ <= est)
+      val target = 0.5 * sorted.length
+      val slack = 0.01 * sorted.length + 1
+      assert(hi >= target - slack && lo <= target + slack,
+        s"merged-sketch median $est at ranks ($lo, $hi] misses " +
+          s"$target ± $slack")
+      // NULL absorbs in qtile_merge; the empty sketch estimates NULL
+      val row = s.sql(
+        """SELECT qtile_estimate(qtile_merge(sk, NULL), 0.5) AS a,
+          |       qtile_estimate(esk, 0.5) AS b
+          |FROM (SELECT qtile_sketch_agg(v) AS sk,
+          |             qtile_sketch_agg(CAST(NULL AS DOUBLE)) AS esk
+          |      FROM qt_src)""".stripMargin)
+        .collect().head
+      assert(!row.isNullAt(0) && row.isNullAt(1))
+    }
+  }
+
   test("MAX_STALENESS: opt-in bounded-stale serving; default stays stale-never-serves") {
     import graft.plans.{GraftSql, GraftSqlTables}
     import graft.sources.{StatsSinks, TxnManifest}
