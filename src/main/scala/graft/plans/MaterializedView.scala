@@ -1630,7 +1630,11 @@ object GraftMvs {
     * hundreds of dirs. BUCKETED BY stores compact through the
     * bucket-preserving incremental rewrite (layout + markers
     * survive, SPJ keeps planning exchange-free); plain stores
-    * bin-pack to ~128 MB files. Compaction consumes no source data:
+    * bin-pack to ~128 MB files. A PARENT view chained on this store
+    * inherits the table-CDF caveat: a compaction batch carries no
+    * change images, so a parent whose feed window spans it fails
+    * LOUDLY and recovers with REFRESH ... FULL — refresh parents
+    * past the compaction point first. Compaction consumes no source data:
     * the compact batch CARRIES FORWARD the consumed-version state, so
     * freshness and the next incremental refresh are unaffected — and
     * the state file is written before the commit, keeping the
@@ -1718,13 +1722,32 @@ object GraftMvs {
     w.start()
   }
 
-  /** Refresh every registered view (sorted, independent commits) —
-    * `REFRESH ALL MATERIALIZED VIEWS`. */
-  def refreshAll(spark: SparkSession): Seq[(String, Int, Int, Boolean)] =
-    allViews.map { n =>
+  /** Refresh every registered view — `REFRESH ALL MATERIALIZED
+    * VIEWS`. Order is BOTTOM-UP over the MV-on-MV chains (children
+    * before the views that read them, ties by name), so one sweep
+    * converges a whole summary pyramid: each parent folds the delta
+    * its child just committed. Independent commits per view. */
+  def refreshAll(spark: SparkSession): Seq[(String, Int, Int, Boolean)] = {
+    // chain depth = #MV hops under the view's source (0 = reads a
+    // table); a cycle would loop the walk, so cap it — refresh()
+    // itself refuses cycles loudly, the sort just needs an order
+    def depthOf(n: String): Int = {
+      var cur = n; var d = 0
+      while (d <= 64 && lookup(cur).isDefined && {
+        val src = scala.util.Try(readDef(lookup(cur).get).src).toOption
+        src match {
+          case Some(s) if GraftSqlTables.lookup(s.split('.').toSeq).isEmpty
+              && lookup(s).isDefined => cur = s; d += 1; true
+          case _ => false
+        }
+      }) ()
+      d
+    }
+    allViews.map(n => (depthOf(n), n)).sorted.map { case (_, n) =>
       val (f, t, a) = refresh(spark, n)
       (n, f, t, a)
     }
+  }
 
   /** (name, source, location, is_fresh) per registered view —
     * `SHOW MATERIALIZED VIEWS`. */

@@ -500,6 +500,20 @@ class MvSpec extends SparkSuite {
       "a parent group emptied through the chain must vanish")
     assert(sortedRows(after) == sortedRows(expected))
 
+    // REFRESH ALL converges the pyramid in ONE sweep: the sweep
+    // orders bottom-up (chain depth), so the parent folds the delta
+    // the child just committed
+    GraftSql.execute(spark, s"DELETE FROM $src WHERE id % 23 = 11")
+    GraftSql.execute(spark, "REFRESH ALL MATERIALIZED VIEWS")
+    def freshAll(n: String): Boolean = GraftSql.execute(spark,
+      s"DESCRIBE MATERIALIZED VIEW $n").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .apply("is_fresh") == "true"
+    assert(freshAll("mv_chain_child") && freshAll("mv_chain_top"),
+      "one REFRESH ALL sweep must converge both pyramid levels")
+    assert(sortedRows(GraftMvs.read(spark, "mv_chain_top"))
+      == sortedRows(expected))
+
     // cycle refusal: re-create the child READING THE PARENT — the
     // CREATE walk must close the loop and refuse loudly
     GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_chain_child")
