@@ -290,6 +290,9 @@ object ImagePixels {
     * grays that land in it. */
   private def cellAvgs(w: Int, h: Int, px: Array[Int],
                        gw: Int, gh: Int): Array[Long] = {
+    require(w >= gw && h >= gh,
+      s"image ${w}×$h is smaller than the $gw×$gh downsample grid — " +
+        "every cell needs at least one pixel")
     val sum = new Array[Long](gw * gh)
     val cnt = new Array[Long](gw * gh)
     var y = 0

@@ -561,6 +561,16 @@ object Multimodal {
       i => (i * total / n).cast(IntegerType))).otherwise(array())
   }
 
+  /** Package hooks for the content-level generators
+    * ([[MediaContent]]): the container header layouts are defined
+    * once, here. */
+  private[multimodal] def synthesizeAvi(w: Int, h: Int, usPerFrame: Int,
+      totalFrames: Int, body: Array[Byte]): Array[Byte] =
+    aviBytes(w, h, usPerFrame, totalFrames, body)
+  private[multimodal] def synthesizeWav(sampleRate: Int, channels: Int,
+      body: Array[Byte]): Array[Byte] =
+    wavBytes(sampleRate, channels, body)
+
   /** Wrap a string-keyed table as media rows (payload = UTF-8 bytes) —
     * the testdata stand-in for a real blob store read. */
   def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {

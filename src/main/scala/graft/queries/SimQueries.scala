@@ -388,6 +388,40 @@ object SimQueries {
           col("dh_hi"), col("dh_lo"), col("ah_hi"), col("ah_lo"))
     }),
 
+    // Audio CONTENT (round 12): real WAV payloads carrying 16-bit PCM
+    // mono waveforms (id-derived integers), decoded BACK FROM THE
+    // BYTES and fingerprinted by frame-energy deltas (bit f = "energy
+    // rose frame f-1 → f", the Haitsma–Kalker bit shape — gain-shift
+    // robust, pure integer). The oracle replays the waveform + energy
+    // + bit-packing arithmetic straight from doc_id, so a hash match
+    // certifies WAV encode, PCM decode (sign-extension included), the
+    // 32-sample energy fold, and the packing together.
+    "mm7_audio_fingerprint" -> ((s, d) => {
+      import graft.multimodal.MediaContent
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      MediaContent.fingerprintAudio(
+        MediaContent.audioFromDocuments(s, docs)).toDF()
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("fp_hi"), col("fp_lo"))
+    }),
+
+    // Video CONTENT (round 12): real AVI containers whose movi LIST
+    // carries uncompressed BGR24 DIB frames; the mm2 sampling plan
+    // (2 fps, max 8) is EXECUTED — the decoder seeks to exactly the
+    // sampled frames by walking chunk sizes (skipped frames are never
+    // materialized: O(sampled), not O(video)) and each lands in the
+    // image dHash. The oracle replays sampling arithmetic + frame
+    // pixels + hash from doc_id, certifying container encode, frame
+    // seek, DIB decode, and the hash together.
+    "mm8_video_frames" -> ((s, d) => {
+      import graft.multimodal.MediaContent
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      MediaContent.hashSampledFrames(
+        MediaContent.videosFromDocuments(s, docs)).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"),
+          col("height"), col("dh_hi"), col("dh_lo"))
+    }),
+
     // Image near-duplicate detection (round 12): Hamming-banded LSH
     // over the 64-bit dHash — 4 × 16-bit bands (the SimHash64 banding
     // shape), candidates from band-equality self-joins (NEVER an
@@ -968,6 +1002,85 @@ object SimQueries {
         |JOIN dh h2 ON c.id2 = h2.id
         |WHERE bit_count(xor(h1.dh_lo, h2.dh_lo)) +
         |      bit_count(xor(h1.dh_hi, h2.dh_hi)) <= 8""".stripMargin),
+    "mm7_audio_fingerprint" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |par AS (
+        |  SELECT id, 2112 + (id % 4) * 256 AS n,
+        |    8000 + (id % 3) * 4000 AS sr, (id // 2) % 97 AS seed
+        |  FROM ids),
+        |ts AS (
+        |  SELECT p.id, p.n, p.sr, p.seed, t.range AS t
+        |  FROM par p CROSS JOIN range(0, 2880) t WHERE t.range < p.n),
+        |smp AS (
+        |  SELECT id, n, sr, t // 32 AS f,
+        |    ((seed * 7 + (t * t) % (401 + seed % 37)
+        |      + t * (17 + seed % 29)) % 2048 - 1024
+        |     + CASE WHEN id % 2 = 1 AND t % 97 = 3 THEN 200 ELSE 0 END)
+        |      AS s
+        |  FROM ts),
+        |en AS (
+        |  SELECT id, n, sr, f, CAST(sum(s * s) AS BIGINT) AS e
+        |  FROM smp GROUP BY 1, 2, 3, 4),
+        |bits AS (
+        |  SELECT a.id, a.n, a.sr, a.f - 1 AS b,
+        |    CASE WHEN a.e > prev.e THEN 1 ELSE 0 END AS bit
+        |  FROM en a JOIN en prev ON a.id = prev.id AND prev.f = a.f - 1
+        |  WHERE a.f >= 1 AND a.f <= 64)
+        |SELECT id AS doc_id, CAST(sr AS INT) AS sample_rate,
+        |  CAST(n AS INT) AS n_samples,
+        |  CAST(sum(CASE WHEN b >= 32
+        |    THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END)
+        |    AS BIGINT) AS fp_hi,
+        |  CAST(sum(CASE WHEN b < 32
+        |    THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END)
+        |    AS BIGINT) AS fp_lo
+        |FROM bits GROUP BY 1, 2, 3""".stripMargin,
+    "mm8_video_frames" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |par AS (
+        |  SELECT id, 12 + ((id // 2) % 3) * 4 AS w,
+        |    8 + ((id // 2) % 2) * 4 AS h, 8 + (id % 5) * 3 AS tf,
+        |    id % 97 AS seed
+        |  FROM ids),
+        |plan1 AS (
+        |  SELECT *, least((tf * 100) // 500, 8) AS nf,
+        |    (tf * 100) // 500 AS total FROM par),
+        |sf AS (
+        |  SELECT p.id, p.w, p.h, p.seed,
+        |    least(((i.range * p.total) // p.nf) * 5, p.tf - 1) AS f
+        |  FROM plan1 p CROSS JOIN range(0, 8) i WHERE i.range < p.nf),
+        |px AS (
+        |  SELECT s.id, s.w, s.h, s.f, s.seed, xs.range AS x, ys.range AS y
+        |  FROM sf s CROSS JOIN range(0, 20) xs CROSS JOIN range(0, 12) ys
+        |  WHERE xs.range < s.w AND ys.range < s.h),
+        |g AS (
+        |  SELECT id, w, h, f, x, y,
+        |    (299 * ((seed * 31 + x * 7 + y * 13 + f * 29
+        |             + x * y * (seed % 11)) % 256)
+        |     + 587 * ((seed * 17 + x * 11 + y * 5 + f * 37
+        |             + x * x * (seed % 7)) % 256)
+        |     + 114 * ((seed * 23 + x * 3 + y * 19 + f * 41
+        |             + y * y * (seed % 13)) % 256)) // 1000 AS gray
+        |  FROM px),
+        |c9 AS (
+        |  SELECT id, f, w, h, (x * 9) // w AS cx, (y * 8) // h AS cy,
+        |    CAST(sum(gray) AS BIGINT) // count(*) AS a
+        |  FROM g GROUP BY 1, 2, 3, 4, 5, 6),
+        |dbits AS (
+        |  SELECT l.id, l.f, l.w, l.h, l.cy * 8 + l.cx AS b,
+        |    CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM c9 l JOIN c9 r ON l.id = r.id AND l.f = r.f
+        |    AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8)
+        |SELECT id AS doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(sum(CASE WHEN b >= 32
+        |    THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END)
+        |    AS BIGINT) AS dh_hi,
+        |  CAST(sum(CASE WHEN b < 32
+        |    THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END)
+        |    AS BIGINT) AS dh_lo
+        |FROM dbits GROUP BY 1, 2, 3, 4""".stripMargin,
     // The Spark side PARSES these values back out of synthesized
     // PNG/BMP/WAV bytes; the oracle predicts them arithmetically
     // (header sizes: PNG 33, BMP 54, WAV 44). A hash match therefore

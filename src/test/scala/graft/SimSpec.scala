@@ -294,6 +294,60 @@ class SimSpec extends SparkSuite {
     assert(far.count(_ > 8) >= 30, s"cross-seed Hammings: $far")
   }
 
+  test("MediaContent: WAV PCM round trip is sample-exact (sign-extension included)") {
+    import graft.multimodal.MediaContent
+    for (id <- Seq(0L, 1L, 2L, 3L, 5L, 96L, 97L, 194L)) {
+      val (rate, ch, samples) = MediaContent.decodePcm(
+        MediaContent.wavPcmBytes(id))
+      assert(rate == MediaContent.aRateOf(id) && ch == 1)
+      assert(samples.length == MediaContent.aSamplesOf(id))
+      for (t <- 0 until samples.length)
+        assert(samples(t) == MediaContent.sampleAt(id, t),
+          s"id=$id sample $t") // negatives prove the sign-extension
+      assert(samples.exists(_ < 0), s"id=$id waveform never negative?")
+    }
+    // planted pairs (2k, 2k+1): the energy-delta fingerprint stays
+    // close under the small perturbation, far across seeds
+    def fp(id: Long): (Long, Long) = MediaContent.fingerprint(
+      MediaContent.decodePcm(MediaContent.wavPcmBytes(id))._3)
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+    val planted = (0 until 40 by 2).map(k => ham(fp(k), fp(k + 1)))
+    val far = (0 until 40).map(k => ham(fp(2 * k), fp(2 * k + 2)))
+    assert(planted.count(_ <= 10) >= 18, s"planted: $planted")
+    assert(far.max > 10, s"cross-seed: $far")
+  }
+
+  test("MediaContent: AVI frame seek decodes exactly the sampled frames") {
+    import graft.multimodal.MediaContent
+    for (id <- Seq(0L, 3L, 7L, 11L, 194L)) {
+      val payload = MediaContent.aviPixelBytes(id)
+      // header parses through the standard reader
+      val (w, h, usf, tf) = Multimodal.decodeAviHeader(payload).get
+      assert(w == MediaContent.vWidthOf(id) &&
+        h == MediaContent.vHeightOf(id) &&
+        usf == MediaContent.VUsPerFrame &&
+        tf == MediaContent.vFramesOf(id))
+      val wanted = MediaContent.sampledFrames(usf, tf)
+      assert(wanted.nonEmpty && wanted.forall(f => f >= 0 && f < tf))
+      val (_, _, _, _, frames) =
+        MediaContent.decodeAviFrames(payload, wanted)
+      assert(frames.keySet == wanted.toSet,
+        "seek must return exactly the sampled frames")
+      for (f <- wanted; y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = MediaContent.vRgbAt(id, f, x, y)
+        assert(frames(f)(y * w + x) == ((r << 16) | (g << 8) | b),
+          s"id=$id frame $f pixel ($x,$y)")
+      }
+      // a mid-stream frame request seeks past earlier chunks
+      val mid = tf / 2
+      val (_, _, _, _, one) =
+        MediaContent.decodeAviFrames(payload, Seq(mid))
+      assert(one.keySet == Set(mid))
+    }
+  }
+
   test("multimodal extractMeta: batch decode recovers header fields from bytes") {
     val docs  = Seq((9L, "hello world"), (10L, "x"), (11L, "")).toDF("doc_id", "text")
     val metas = Multimodal.extractMeta(Multimodal.mediaFromDocuments(spark, docs))
