@@ -443,6 +443,28 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("multimodal content queries plan with zero exchanges; dd15 shuffles only on bands") {
+    // mm6/mm7/mm8 are per-row decode+hash passes (mapPartitions at
+    // scan speed): ANY exchange means a shuffle snuck into what must
+    // stay scan-parallel at 100 TB.
+    for (q <- Seq("mm6_image_phash", "mm7_audio_fingerprint",
+        "mm8_video_frames")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+      val ex = plan.collectWithSubqueries { case e: ShuffleExchangeExec => e }
+      assert(ex.isEmpty, s"$q expected exchange-free plan, got:\n$plan")
+    }
+    // dd15's only repartitioning is the banded LSH self-join (plus
+    // its dedup) — never an all-pairs cartesian
+    val plan = graft.SparkEntry.queries("dd15_image_neardup")(spark, sf)
+      .queryExecution.sparkPlan
+    val cart = plan.collectWithSubqueries {
+      case e: org.apache.spark.sql.execution.joins.CartesianProductExec => e
+      case e: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => e
+    }
+    assert(cart.isEmpty, s"dd15 must never plan an all-pairs product:\n$plan")
+  }
+
   test("bucketed tables: storage-partitioned join and agg plan with no shuffle") {
     import graft.plans.{GraftCatalog, GraftSql}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
