@@ -514,6 +514,20 @@ class MvSpec extends SparkSuite {
     assert(sortedRows(GraftMvs.read(spark, "mv_chain_top"))
       == sortedRows(expected))
 
+    // the streaming maintainer drives the PARENT off the child
+    // store's feed: one drained AvailableNow run re-converges it
+    GraftSql.execute(spark, s"DELETE FROM $src WHERE id % 37 = 9")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_chain_child")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_chain_ckpt_").toString
+    val q = GraftMvs.maintainer(spark, "mv_chain_top", ckpt,
+      availableNow = true)
+    try q.awaitTermination() finally q.stop()
+    assert(freshAll("mv_chain_top"),
+      "the drained maintainer must leave the parent fresh")
+    assert(sortedRows(GraftMvs.read(spark, "mv_chain_top"))
+      == sortedRows(expected))
+
     // cycle refusal: re-create the child READING THE PARENT — the
     // CREATE walk must close the loop and refuse loudly
     GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_chain_child")
