@@ -1631,10 +1631,11 @@ object GraftMvs {
     * bucket-preserving incremental rewrite (layout + markers
     * survive, SPJ keeps planning exchange-free); plain stores
     * bin-pack to ~128 MB files. A PARENT view chained on this store
-    * inherits the table-CDF caveat: a compaction batch carries no
-    * change images, so a parent whose feed window spans it fails
-    * LOUDLY and recovers with REFRESH ... FULL — refresh parents
-    * past the compaction point first. Compaction consumes no source data:
+    * keeps folding across it: the compact batch carries the standard
+    * no-change feed marker (the [[Sinks.compact]] contract), so the
+    * parent's feed serves zero deltas for it and its next refresh is
+    * a cheap no-op fold — compaction is physical, never logical.
+    * Compaction consumes no source data:
     * the compact batch CARRIES FORWARD the consumed-version state, so
     * freshness and the next incremental refresh are unaffected — and
     * the state file is written before the commit, keeping the

@@ -514,6 +514,15 @@ class MvSpec extends SparkSuite {
     assert(sortedRows(GraftMvs.read(spark, "mv_chain_top"))
       == sortedRows(expected))
 
+    // OPTIMIZE on the child is PHYSICAL, never logical: its compact
+    // batch serves zero deltas through the feed, so the parent's next
+    // refresh folds across it and stays correct
+    GraftSql.execute(spark, "OPTIMIZE MATERIALIZED VIEW mv_chain_child")
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_chain_top")
+    assert(sortedRows(GraftMvs.read(spark, "mv_chain_top"))
+      == sortedRows(expected),
+      "the parent must fold across the child's compaction batch")
+
     // the streaming maintainer drives the PARENT off the child
     // store's feed: one drained AvailableNow run re-converges it
     GraftSql.execute(spark, s"DELETE FROM $src WHERE id % 37 = 9")
