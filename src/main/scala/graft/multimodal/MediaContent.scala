@@ -186,16 +186,28 @@ object MediaContent {
   /** Sample formula shared verbatim with the oracle: a small-
     * amplitude integer waveform seeded per PAIR (id/2) — the planted
     * near-dup structure of [[ImagePixels]] — with the odd twin
-    * perturbed on every 97th sample. The seed modulates the quadratic
+    * perturbed on every 499th sample. The seed modulates the quadratic
     * WRAP modulus and the ramp slope (not just a constant offset —
     * the energy-delta fingerprint is offset-blind by design, so a
     * shift-only seed would make every waveform fingerprint alike;
     * (seed%37, seed%29) is injective over the 97 seeds by CRT). */
   def sampleAt(id: Long, t: Int): Int = {
     val seed = ((id / 2) % 97).toInt
-    val base = (seed * 7 + (t * t) % (401 + seed % 37) +
-      t * (17 + seed % 29)) % 2048 - 1024
-    base + (if (id % 2 == 1 && t % 97 == 3) 200 else 0)
+    // Knuth multiplicative mix: pseudo-random per (seed, t), so
+    // frame energies are iid-ish and the rise/fall fingerprint bits
+    // carry full entropy — a structured ramp/wrap waveform makes
+    // every seed's energy profile share the same sawtooth and the
+    // whole corpus collapses into near-dups of itself
+    // the SEED picks the (odd) multiplier, not an additive offset —
+    // an offset-only seed leaves every waveform the same permutation
+    // shifted, and the offset-blind energy fingerprint collapses the
+    // corpus into near-dups of itself
+    // prime outer modulus: with a power-of-two pair the low bits
+    // collapse to an arithmetic progression mod 2048 (a sawtooth),
+    // and sawtooths with nearby steps correlate across seeds
+    val base = ((((t + 1).toLong * (2654435761L + seed * 97561L))
+      % 65521L) % 2048L).toInt - 1024
+    base + (if (id % 2 == 1 && t % 499 == 3) 200 else 0)
   }
 
   /** Real WAV (RIFF/fmt/data, 16-bit PCM mono) carrying the

@@ -405,6 +405,54 @@ object SimQueries {
           col("fp_hi"), col("fp_lo"))
     }),
 
+    // Audio near-duplicate detection (round 12): banded LSH over the
+    // 64-bit acoustic fingerprint — 8 × 8-bit bands (coarser than
+    // dd15's 4×16 because fingerprint perturbations spread wider than
+    // pixel ones: ≤10 flipped bits need a narrower clean-band window;
+    // at corpus scale the band width tunes to log2(N / occupancy) like
+    // every LSH here), candidates from band-equality self-joins, exact
+    // Hamming ≤ 8 verify. Planted pairs (2k, 2k+1) share a waveform
+    // differing on every 499th sample; the in-query recall guard pins
+    // that the banded search recovers ≥70% of them (the rest sit past
+    // the Hamming threshold by construction, not past the bands).
+    "dd16_audio_neardup" -> ((s, d) => {
+      import graft.multimodal.MediaContent
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val fps = MediaContent.fingerprintAudio(
+        MediaContent.audioFromDocuments(s, docs)).toDF()
+        .select(col("doc_id").as("id"), col("fp_hi"), col("fp_lo"))
+        .localCheckpoint() // banding + verify both read it; decode once
+      def band(i: Int): Column = (if (i < 4)
+        shiftright(col("fp_lo"), 8 * i)
+      else shiftright(col("fp_hi"), 8 * (i - 4))).bitwiseAND(lit(255L))
+      val bands = fps.select(col("id"), explode(array((0 to 7).map(i =>
+        struct(lit(i).as("bi"), band(i).as("bv"))): _*)).as("b"))
+        .select(col("id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+      val cand = bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+      val h1 = fps.select(col("id").as("id1"),
+        col("fp_hi").as("hi1"), col("fp_lo").as("lo1"))
+      val h2 = fps.select(col("id").as("id2"),
+        col("fp_hi").as("hi2"), col("fp_lo").as("lo2"))
+      val pairs = cand.join(h1, Seq("id1")).join(h2, Seq("id2"))
+        .withColumn("hamming",
+          (expr("bit_count(lo1 ^ lo2)") + expr("bit_count(hi1 ^ hi2)"))
+            .cast("long"))
+        .filter(col("hamming") <= 8)
+        .select(col("id1"), col("id2"), col("hamming"))
+        .localCheckpoint() // the recall guard below re-reads it
+      val nDocs = docs.count()
+      val planted = nDocs / 2
+      val found = pairs
+        .filter(col("id1") % 2 === 0 && col("id2") === col("id1") + 1)
+        .count()
+      require(planted == 0 || found >= (planted * 7) / 10,
+        s"dd16: banded search recovered $found of $planted planted pairs")
+      pairs
+    }),
+
     // Video CONTENT (round 12): real AVI containers whose movi LIST
     // carries uncompressed BGR24 DIB frames; the mm2 sampling plan
     // (2 fps, max 8) is EXECUTED — the decoder seeks to exactly the
@@ -761,6 +809,46 @@ object SimQueries {
       |  FROM abits GROUP BY id)
       |""".stripMargin
 
+  /** Shared mm7/dd16 oracle prelude: the audio corpus's waveform,
+    * frame-energy, and fingerprint bit-packing arithmetic replayed in
+    * SQL straight from doc_id — the DuckDB twin of
+    * [[graft.multimodal.MediaContent]]. Ends WITHOUT a trailing
+    * comma: mm7 appends its SELECT, dd16 appends further CTEs. */
+  private val AudioFpCte: String =
+    """WITH ids AS (SELECT doc_id AS id FROM documents),
+      |par AS (
+      |  SELECT id, 2112 + (id % 4) * 256 AS n,
+      |    8000 + (id % 3) * 4000 AS sr, (id // 2) % 97 AS seed
+      |  FROM ids),
+      |ts AS (
+      |  SELECT p.id, p.n, p.sr, p.seed, t.range AS t
+      |  FROM par p CROSS JOIN range(0, 2880) t WHERE t.range < p.n),
+      |smp AS (
+      |  SELECT id, n, sr, t // 32 AS f,
+      |    (((((t + 1) * (2654435761 + seed * 97561)) % 65521) % 2048
+      |       - 1024)
+      |     + CASE WHEN id % 2 = 1 AND t % 499 = 3 THEN 200 ELSE 0 END)
+      |      AS s
+      |  FROM ts),
+      |en AS (
+      |  SELECT id, n, sr, f, CAST(sum(s * s) AS BIGINT) AS e
+      |  FROM smp GROUP BY 1, 2, 3, 4),
+      |abits AS (
+      |  SELECT a.id, a.n, a.sr, a.f - 1 AS b,
+      |    CASE WHEN a.e > prev.e THEN 1 ELSE 0 END AS bit
+      |  FROM en a JOIN en prev ON a.id = prev.id AND prev.f = a.f - 1
+      |  WHERE a.f >= 1 AND a.f <= 64),
+      |fp AS (
+      |  SELECT id, n, sr,
+      |    CAST(sum(CASE WHEN b >= 32
+      |      THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END)
+      |      AS BIGINT) AS fp_hi,
+      |    CAST(sum(CASE WHEN b < 32
+      |      THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END)
+      |      AS BIGINT) AS fp_lo
+      |  FROM abits GROUP BY 1, 2, 3)
+      |""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "sim7_kmeans_diversity" -> sim7OracleSql,
     "sim8_recall_report" -> sim8OracleSql,
@@ -1003,38 +1091,28 @@ object SimQueries {
         |WHERE bit_count(xor(h1.dh_lo, h2.dh_lo)) +
         |      bit_count(xor(h1.dh_hi, h2.dh_hi)) <= 8""".stripMargin),
     "mm7_audio_fingerprint" ->
-      """WITH ids AS (SELECT doc_id AS id FROM documents),
-        |par AS (
-        |  SELECT id, 2112 + (id % 4) * 256 AS n,
-        |    8000 + (id % 3) * 4000 AS sr, (id // 2) % 97 AS seed
-        |  FROM ids),
-        |ts AS (
-        |  SELECT p.id, p.n, p.sr, p.seed, t.range AS t
-        |  FROM par p CROSS JOIN range(0, 2880) t WHERE t.range < p.n),
-        |smp AS (
-        |  SELECT id, n, sr, t // 32 AS f,
-        |    ((seed * 7 + (t * t) % (401 + seed % 37)
-        |      + t * (17 + seed % 29)) % 2048 - 1024
-        |     + CASE WHEN id % 2 = 1 AND t % 97 = 3 THEN 200 ELSE 0 END)
-        |      AS s
-        |  FROM ts),
-        |en AS (
-        |  SELECT id, n, sr, f, CAST(sum(s * s) AS BIGINT) AS e
-        |  FROM smp GROUP BY 1, 2, 3, 4),
-        |bits AS (
-        |  SELECT a.id, a.n, a.sr, a.f - 1 AS b,
-        |    CASE WHEN a.e > prev.e THEN 1 ELSE 0 END AS bit
-        |  FROM en a JOIN en prev ON a.id = prev.id AND prev.f = a.f - 1
-        |  WHERE a.f >= 1 AND a.f <= 64)
-        |SELECT id AS doc_id, CAST(sr AS INT) AS sample_rate,
-        |  CAST(n AS INT) AS n_samples,
-        |  CAST(sum(CASE WHEN b >= 32
-        |    THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END)
-        |    AS BIGINT) AS fp_hi,
-        |  CAST(sum(CASE WHEN b < 32
-        |    THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END)
-        |    AS BIGINT) AS fp_lo
-        |FROM bits GROUP BY 1, 2, 3""".stripMargin,
+      (AudioFpCte +
+      """SELECT id AS doc_id, CAST(sr AS INT) AS sample_rate,
+        |  CAST(n AS INT) AS n_samples, fp_hi, fp_lo
+        |FROM fp""".stripMargin),
+    "dd16_audio_neardup" ->
+      (AudioFpCte + ",\n" +
+      """bands AS (
+        |  SELECT id, i.range AS bi,
+        |    CASE WHEN i.range < 4 THEN (fp_lo >> (8 * i.range)) & 255
+        |         ELSE (fp_hi >> (8 * (i.range - 4))) & 255 END AS bv
+        |  FROM fp CROSS JOIN range(0, 8) i),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM bands a JOIN bands b
+        |    ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id)
+        |SELECT c.id1, c.id2,
+        |  CAST(bit_count(xor(h1.fp_lo, h2.fp_lo)) +
+        |       bit_count(xor(h1.fp_hi, h2.fp_hi)) AS BIGINT) AS hamming
+        |FROM cand c JOIN fp h1 ON c.id1 = h1.id
+        |JOIN fp h2 ON c.id2 = h2.id
+        |WHERE bit_count(xor(h1.fp_lo, h2.fp_lo)) +
+        |      bit_count(xor(h1.fp_hi, h2.fp_hi)) <= 8""".stripMargin),
     "mm8_video_frames" ->
       """WITH ids AS (SELECT doc_id AS id FROM documents),
         |par AS (
