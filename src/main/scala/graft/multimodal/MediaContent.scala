@@ -40,17 +40,22 @@ object MediaContent {
     * ≥1 pixel), small enough for the oracle's per-pixel SQL replay. */
   def vWidthOf(id: Long): Int  = 12 + ((id / 2) % 3).toInt * 4
   def vHeightOf(id: Long): Int = 8 + ((id / 2) % 2).toInt * 4
-  /** 10 fps fixed — duration math stays exact integer. */
+  /** 10 fps fixed — duration math stays exact integer. Frame count is
+    * pair-keyed (id/2) so planted twins share a sampling plan. */
   val VUsPerFrame = 100000
-  def vFramesOf(id: Long): Int = 8 + (id % 5).toInt * 3
+  def vFramesOf(id: Long): Int = 8 + ((id / 2) % 5).toInt * 3
 
   /** Frame-f pixel formula, shared verbatim with the oracle (the
-    * [[ImagePixels.rgbAt]] texture with the frame index folded in). */
+    * [[ImagePixels.rgbAt]] texture with the frame index folded in).
+    * Pairs (2k, 2k+1) share the texture — the planted video
+    * near-dups — with the odd twin perturbed on 2–3 diagonal pixels
+    * PER FRAME (the image-corpus plant, applied frame-wise). */
   def vRgbAt(id: Long, f: Int, x: Int, y: Int): (Int, Int, Int) = {
-    val seed = (id % 97).toInt
-    ((seed * 31 + x * 7 + y * 13 + f * 29 + x * y * (seed % 11)) % 256,
-     (seed * 17 + x * 11 + y * 5 + f * 37 + x * x * (seed % 7)) % 256,
-     (seed * 23 + x * 3 + y * 19 + f * 41 + y * y * (seed % 13)) % 256)
+    val seed = ((id / 2) % 97).toInt
+    val nz = if (id % 2 == 1 && x == y && x % 4 == 1) 40 else 0
+    ((seed * 31 + x * 7 + y * 13 + f * 29 + x * y * (seed % 11) + nz) % 256,
+     (seed * 17 + x * 11 + y * 5 + f * 37 + x * x * (seed % 7) + nz) % 256,
+     (seed * 23 + x * 3 + y * 19 + f * 41 + y * y * (seed % 13) + nz) % 256)
   }
 
   private def rowSize(w: Int): Int = ((w * 3 + 3) / 4) * 4

@@ -470,6 +470,70 @@ object SimQueries {
           col("height"), col("dh_hi"), col("dh_lo"))
     }),
 
+    // Video near-duplicate detection (round 12): SEQUENCE-level — two
+    // videos are near-dups when their sampling plans align frame for
+    // frame and EVERY aligned sampled frame's dHash sits within
+    // Hamming 8 ("the same video up to small edits"). Candidates come
+    // from per-frame 4×16-bit band-equality joins (never all-pairs);
+    // planted pairs (2k, 2k+1) share texture and frame count with 2–3
+    // diagonal pixels perturbed per frame; the in-query recall guard
+    // pins ≥90%. Completes the near-dup family across all four
+    // modalities (text MinHash/SimHash, image dHash, audio energy
+    // fingerprint, video frame sequences).
+    "dd17_video_neardup" -> ((s, d) => {
+      import graft.multimodal.MediaContent
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val frames = MediaContent.hashSampledFrames(
+        MediaContent.videosFromDocuments(s, docs)).toDF()
+        .select(col("doc_id").as("id"), col("frame_idx"),
+          col("dh_hi"), col("dh_lo"))
+        .localCheckpoint() // banding + align + counts read it; decode once
+      def band(i: Int): Column = (i match {
+        case 0 => col("dh_lo")
+        case 1 => shiftright(col("dh_lo"), 16)
+        case 2 => col("dh_hi")
+        case _ => shiftright(col("dh_hi"), 16)
+      }).bitwiseAND(lit(65535L))
+      val bands = frames.select(col("id"), col("frame_idx"),
+        explode(array((0 to 3).map(i =>
+          struct(lit(i).as("bi"), band(i).as("bv"))): _*)).as("b"))
+        .select(col("id"), col("frame_idx"), col("b.bi").as("bi"),
+          col("b.bv").as("bv"))
+      val cand = bands.as("a").join(bands.as("b"),
+        col("a.frame_idx") === col("b.frame_idx") &&
+          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+      val f1 = frames.select(col("id").as("id1"), col("frame_idx"),
+        col("dh_hi").as("hi1"), col("dh_lo").as("lo1"))
+      val f2 = frames.select(col("id").as("id2"), col("frame_idx"),
+        col("dh_hi").as("hi2"), col("dh_lo").as("lo2"))
+      val aligned = cand.join(f1, Seq("id1"))
+        .join(f2, Seq("id2", "frame_idx"))
+        .withColumn("ham",
+          (expr("bit_count(lo1 ^ lo2)") + expr("bit_count(hi1 ^ hi2)"))
+            .cast("long"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(count(lit(1)).as("aligned"), max(col("ham")).as("max_ham"))
+      val nf = frames.groupBy(col("id")).agg(count(lit(1)).as("nf"))
+      val pairs = aligned
+        .join(nf.select(col("id").as("id1"), col("nf").as("nf1")), Seq("id1"))
+        .join(nf.select(col("id").as("id2"), col("nf").as("nf2")), Seq("id2"))
+        .filter(col("aligned") === col("nf1") &&
+          col("aligned") === col("nf2") && col("max_ham") <= 8)
+        .select(col("id1"), col("id2"), col("nf1").as("n_frames"),
+          col("max_ham"))
+        .localCheckpoint() // the recall guard below re-reads it
+      val nDocs = docs.count()
+      val planted = nDocs / 2
+      val found = pairs
+        .filter(col("id1") % 2 === 0 && col("id2") === col("id1") + 1)
+        .count()
+      require(planted == 0 || found >= (planted * 9) / 10,
+        s"dd17: banded search recovered $found of $planted planted pairs")
+      pairs
+    }),
+
     // Image near-duplicate detection (round 12): Hamming-banded LSH
     // over the 64-bit dHash — 4 × 16-bit bands (the SimHash64 banding
     // shape), candidates from band-equality self-joins (NEVER an
@@ -849,6 +913,62 @@ object SimQueries {
       |  FROM abits GROUP BY 1, 2, 3)
       |""".stripMargin
 
+  /** Shared mm8/dd17 oracle prelude: sampling plan, per-frame pixels,
+    * and per-frame dHash replayed in SQL straight from doc_id — the
+    * DuckDB twin of [[graft.multimodal.MediaContent]]'s video arm
+    * (pair-keyed texture and frame count; diagonal perturbation on
+    * odd ids). Ends WITHOUT a trailing comma: mm8 appends its SELECT,
+    * dd17 appends further CTEs. */
+  private val VideoFrameCte: String =
+    """WITH ids AS (SELECT doc_id AS id FROM documents),
+      |par AS (
+      |  SELECT id, 12 + ((id // 2) % 3) * 4 AS w,
+      |    8 + ((id // 2) % 2) * 4 AS h, 8 + ((id // 2) % 5) * 3 AS tf,
+      |    (id // 2) % 97 AS seed
+      |  FROM ids),
+      |plan1 AS (
+      |  SELECT *, least((tf * 100) // 500, 8) AS nfr,
+      |    (tf * 100) // 500 AS total FROM par),
+      |sfr AS (
+      |  SELECT p.id, p.w, p.h, p.seed,
+      |    least(((i.range * p.total) // p.nfr) * 5, p.tf - 1) AS f
+      |  FROM plan1 p CROSS JOIN range(0, 8) i WHERE i.range < p.nfr),
+      |vpx AS (
+      |  SELECT s.id, s.w, s.h, s.f, s.seed, xs.range AS x, ys.range AS y,
+      |    CASE WHEN s.id % 2 = 1 AND xs.range = ys.range
+      |          AND xs.range % 4 = 1 THEN 40 ELSE 0 END AS nz
+      |  FROM sfr s CROSS JOIN range(0, 20) xs CROSS JOIN range(0, 12) ys
+      |  WHERE xs.range < s.w AND ys.range < s.h),
+      |vg AS (
+      |  SELECT id, w, h, f, x, y,
+      |    (299 * ((seed * 31 + x * 7 + y * 13 + f * 29
+      |             + x * y * (seed % 11) + nz) % 256)
+      |     + 587 * ((seed * 17 + x * 11 + y * 5 + f * 37
+      |             + x * x * (seed % 7) + nz) % 256)
+      |     + 114 * ((seed * 23 + x * 3 + y * 19 + f * 41
+      |             + y * y * (seed % 13) + nz) % 256)) // 1000 AS gray
+      |  FROM vpx),
+      |vc9 AS (
+      |  SELECT id, f, w, h, (x * 9) // w AS cx, (y * 8) // h AS cy,
+      |    CAST(sum(gray) AS BIGINT) // count(*) AS a
+      |  FROM vg GROUP BY 1, 2, 3, 4, 5, 6),
+      |vdbits AS (
+      |  SELECT l.id, l.f, l.w, l.h, l.cy * 8 + l.cx AS b,
+      |    CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+      |  FROM vc9 l JOIN vc9 r ON l.id = r.id AND l.f = r.f
+      |    AND r.cy = l.cy AND r.cx = l.cx + 1
+      |  WHERE l.cx < 8),
+      |vfh AS (
+      |  SELECT id, f, w, h,
+      |    CAST(sum(CASE WHEN b >= 32
+      |      THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END)
+      |      AS BIGINT) AS dh_hi,
+      |    CAST(sum(CASE WHEN b < 32
+      |      THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END)
+      |      AS BIGINT) AS dh_lo
+      |  FROM vdbits GROUP BY 1, 2, 3, 4)
+      |""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "sim7_kmeans_diversity" -> sim7OracleSql,
     "sim8_recall_report" -> sim8OracleSql,
@@ -1114,51 +1234,39 @@ object SimQueries {
         |WHERE bit_count(xor(h1.fp_lo, h2.fp_lo)) +
         |      bit_count(xor(h1.fp_hi, h2.fp_hi)) <= 8""".stripMargin),
     "mm8_video_frames" ->
-      """WITH ids AS (SELECT doc_id AS id FROM documents),
-        |par AS (
-        |  SELECT id, 12 + ((id // 2) % 3) * 4 AS w,
-        |    8 + ((id // 2) % 2) * 4 AS h, 8 + (id % 5) * 3 AS tf,
-        |    id % 97 AS seed
-        |  FROM ids),
-        |plan1 AS (
-        |  SELECT *, least((tf * 100) // 500, 8) AS nf,
-        |    (tf * 100) // 500 AS total FROM par),
-        |sf AS (
-        |  SELECT p.id, p.w, p.h, p.seed,
-        |    least(((i.range * p.total) // p.nf) * 5, p.tf - 1) AS f
-        |  FROM plan1 p CROSS JOIN range(0, 8) i WHERE i.range < p.nf),
-        |px AS (
-        |  SELECT s.id, s.w, s.h, s.f, s.seed, xs.range AS x, ys.range AS y
-        |  FROM sf s CROSS JOIN range(0, 20) xs CROSS JOIN range(0, 12) ys
-        |  WHERE xs.range < s.w AND ys.range < s.h),
-        |g AS (
-        |  SELECT id, w, h, f, x, y,
-        |    (299 * ((seed * 31 + x * 7 + y * 13 + f * 29
-        |             + x * y * (seed % 11)) % 256)
-        |     + 587 * ((seed * 17 + x * 11 + y * 5 + f * 37
-        |             + x * x * (seed % 7)) % 256)
-        |     + 114 * ((seed * 23 + x * 3 + y * 19 + f * 41
-        |             + y * y * (seed % 13)) % 256)) // 1000 AS gray
-        |  FROM px),
-        |c9 AS (
-        |  SELECT id, f, w, h, (x * 9) // w AS cx, (y * 8) // h AS cy,
-        |    CAST(sum(gray) AS BIGINT) // count(*) AS a
-        |  FROM g GROUP BY 1, 2, 3, 4, 5, 6),
-        |dbits AS (
-        |  SELECT l.id, l.f, l.w, l.h, l.cy * 8 + l.cx AS b,
-        |    CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
-        |  FROM c9 l JOIN c9 r ON l.id = r.id AND l.f = r.f
-        |    AND r.cy = l.cy AND r.cx = l.cx + 1
-        |  WHERE l.cx < 8)
-        |SELECT id AS doc_id, CAST(f AS INT) AS frame_idx,
+      (VideoFrameCte +
+      """SELECT id AS doc_id, CAST(f AS INT) AS frame_idx,
         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-        |  CAST(sum(CASE WHEN b >= 32
-        |    THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END)
-        |    AS BIGINT) AS dh_hi,
-        |  CAST(sum(CASE WHEN b < 32
-        |    THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END)
-        |    AS BIGINT) AS dh_lo
-        |FROM dbits GROUP BY 1, 2, 3, 4""".stripMargin,
+        |  dh_hi, dh_lo
+        |FROM vfh""".stripMargin),
+    "dd17_video_neardup" ->
+      (VideoFrameCte + ",\n" +
+      """vbands AS (
+        |  SELECT id, f, i.range AS bi,
+        |    CASE WHEN i.range = 0 THEN dh_lo & 65535
+        |         WHEN i.range = 1 THEN (dh_lo >> 16) & 65535
+        |         WHEN i.range = 2 THEN dh_hi & 65535
+        |         ELSE (dh_hi >> 16) & 65535 END AS bv
+        |  FROM vfh CROSS JOIN range(0, 4) i),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM vbands a JOIN vbands b
+        |    ON a.f = b.f AND a.bi = b.bi AND a.bv = b.bv AND a.id < b.id),
+        |al AS (
+        |  SELECT c.id1, c.id2, f1.f,
+        |    bit_count(xor(f1.dh_lo, f2.dh_lo)) +
+        |    bit_count(xor(f1.dh_hi, f2.dh_hi)) AS ham
+        |  FROM cand c JOIN vfh f1 ON f1.id = c.id1
+        |  JOIN vfh f2 ON f2.id = c.id2 AND f2.f = f1.f),
+        |ag AS (
+        |  SELECT id1, id2, count(*) AS aligned, max(ham) AS maxham
+        |  FROM al GROUP BY 1, 2),
+        |nfv AS (SELECT id, count(*) AS nf FROM vfh GROUP BY id)
+        |SELECT id1, id2, CAST(n1.nf AS BIGINT) AS n_frames,
+        |  CAST(maxham AS BIGINT) AS max_ham
+        |FROM ag JOIN nfv n1 ON n1.id = id1 JOIN nfv n2 ON n2.id = id2
+        |WHERE aligned = n1.nf AND aligned = n2.nf AND maxham <= 8"""
+        .stripMargin),
     // The Spark side PARSES these values back out of synthesized
     // PNG/BMP/WAV bytes; the oracle predicts them arithmetically
     // (header sizes: PNG 33, BMP 54, WAV 44). A hash match therefore
