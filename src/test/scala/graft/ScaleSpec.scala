@@ -453,16 +453,19 @@ class ScaleSpec extends SparkSuite {
       val ex = plan.collectWithSubqueries { case e: ShuffleExchangeExec => e }
       assert(ex.isEmpty, s"$q expected exchange-free plan, got:\n$plan")
     }
-    // dd15's only repartitioning is the banded LSH self-join (plus
-    // its dedup) — never an all-pairs cartesian
-    val plan = graft.SparkEntry.queries("dd15_image_neardup")(spark, sf)
-      .queryExecution.sparkPlan
-    val cart = plan.collectWithSubqueries {
-      case e: org.apache.spark.sql.execution.joins.CartesianProductExec => e
-      case e: org.apache.spark.sql.execution.joins
-          .BroadcastNestedLoopJoinExec => e
+    // the near-dup family's only repartitioning is the banded LSH
+    // self-join (plus its dedup) — never an all-pairs cartesian
+    for (q <- Seq("dd15_image_neardup", "dd16_audio_neardup",
+        "dd17_video_neardup")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sf)
+        .queryExecution.sparkPlan
+      val cart = plan.collectWithSubqueries {
+        case e: org.apache.spark.sql.execution.joins.CartesianProductExec => e
+        case e: org.apache.spark.sql.execution.joins
+            .BroadcastNestedLoopJoinExec => e
+      }
+      assert(cart.isEmpty, s"$q must never plan an all-pairs product:\n$plan")
     }
-    assert(cart.isEmpty, s"dd15 must never plan an all-pairs product:\n$plan")
   }
 
   test("bucketed tables: storage-partitioned join and agg plan with no shuffle") {
