@@ -226,8 +226,16 @@ object ImagePixels {
     val inf = new java.util.zip.Inflater
     inf.setInput(idat.toByteArray)
     var got = 0
-    while (!inf.finished() && got < raw.length)
-      got += inf.inflate(raw, got, raw.length - got)
+    while (!inf.finished() && got < raw.length) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      // a truncated/corrupt IDAT stream makes inflate return 0 with
+      // needsInput() true and finished() false forever — fail the row
+      // instead of spinning the task
+      require(n > 0 || !(inf.needsInput() || inf.needsDictionary()),
+        s"PNG IDAT stream truncated or corrupt after $got of " +
+          s"${raw.length} bytes")
+      got += n
+    }
     inf.end()
     require(got == raw.length,
       s"PNG inflate yielded $got of ${raw.length} bytes")

@@ -266,10 +266,16 @@ object GraftMvs {
     * bounded-staleness contract: at 100 TB, refresh cadence is often
     * slower than query cadence, and a dashboard that accepts
     * n-minutes-old numbers should not re-scan the fact table for
-    * them). The clock is the MV manifest's last-commit mtime — the
-    * same clock `TIMESTAMP AS OF` reads. Default (no bound declared)
+    * them). The clock is the timestamp the last REFRESH stamped into
+    * its consumed-version state file — NOT the manifest mtime, which
+    * every commit (including OPTIMIZE, which is physical-never-
+    * logical) would bump, silently renewing the contract without new
+    * data. OPTIMIZE carries the stamp forward; pre-stamp state files
+    * fall back to the manifest mtime. Default (no bound declared)
     * stays stale-never-serves, and the source-identity pin still
-    * applies: a re-registered source never serves, bounded or not. */
+    * applies: a re-registered source never serves, bounded or not —
+    * with sources resolved like [[freshFor]]'s (table path orElse MV
+    * store manifest), so a chained parent's bound is honored too. */
   private[plans] def servableFor(spark: SparkSession, name: String)
     : Option[MvDef] =
     freshFor(spark, name).orElse {
@@ -277,14 +283,16 @@ object GraftMvs {
       val d = scala.util.Try(readDef(baseDir)).toOption.getOrElse(return None)
       d.maxStalenessMs.flatMap { bound =>
         def pinnedOk(src: String, pinned: Option[String]): Boolean =
-          GraftSqlTables.lookup(src.split('.').toSeq)
-            .exists(e => pinned.forall(_ == e.manifestPath))
+          GraftSqlTables.lookup(src.split('.').toSeq).map(_.manifestPath)
+            .orElse(lookup(src).map(manifestPath))
+            .exists(p => pinned.forall(_ == p))
         val mvMan = new TxnManifest(manifestPath(baseDir))
         val mvB = mvMan.committed().keys.maxOption.getOrElse(-1)
         if (mvB < 0) None // never refreshed: nothing to serve
         else if (!pinnedOk(d.src, d.srcMan) ||
             !d.dims.forall(dim => pinnedOk(dim.name, dim.man))) None
-        else graft.util.AtomicText.mtime(manifestPath(baseDir)) match {
+        else refreshTsFor(baseDir, mvB)
+          .orElse(graft.util.AtomicText.mtime(manifestPath(baseDir))) match {
           case Some(t)
               if System.currentTimeMillis() - t <= bound => Some(d)
           case _ => None
@@ -336,6 +344,13 @@ object GraftMvs {
             lit("\u0001"), lit("\\s"))
         case TimestampType => unix_micros(col(k)).cast(StringType)
         case BinaryType    => base64(col(k))
+        // groupBy normalizes -0.0 to 0.0 (NormalizeFloatingNumbers),
+        // so a per-row render of -0.0 would read "-0.0" and the live
+        // row would miss its group's semi-join in the recompute arms;
+        // `x + 0.0` maps -0.0 → 0.0 and leaves every other value
+        // (incl. NaN, which casts to the single string "NaN") alone
+        case FloatType     => (col(k) + lit(0.0f)).cast(StringType)
+        case DoubleType    => (col(k) + lit(0.0d)).cast(StringType)
         case _             => col(k).cast(StringType)
       }
       when(col(k).isNull, lit("\u0000"))
@@ -436,9 +451,11 @@ object GraftMvs {
     * dim order); written BEFORE that batch commits (see class doc for
     * the crash argument). */
   private def writeState(base: String, mvBatch: Int, srcV: Int,
-                         dimVs: Seq[Int] = Nil): Unit =
+                         dimVs: Seq[Int] = Nil,
+                         refreshTs: Option[Long] = None): Unit =
     AtomicText.writeAtomically(s"$base/state/$mvBatch",
-      (srcV +: dimVs).mkString(",") + "\n")
+      (srcV +: dimVs).mkString(",") + "\n" +
+        refreshTs.map(t => s"ts\t$t\n").getOrElse(""))
 
   private def stateFor(base: String, mvBatch: Int): (Int, Seq[Int]) = {
     val l = AtomicText.readLines(s"$base/state/$mvBatch")
@@ -449,6 +466,17 @@ object GraftMvs {
       s"under $base: '${l.head}'")
     (parts.head, parts.tail)
   }
+
+  /** Wall-clock millis of the REFRESH that produced MV batch
+    * `mvBatch` — the bounded-staleness clock. Refresh stamps it;
+    * OPTIMIZE carries the LAST refresh's stamp forward unchanged
+    * (compaction is physical, never logical — it must not make a
+    * stale view look freshly refreshed). None for pre-stamp state
+    * files (the caller falls back to the manifest mtime). */
+  private def refreshTsFor(base: String, mvBatch: Int): Option[Long] =
+    AtomicText.readLines(s"$base/state/$mvBatch").collectFirst {
+      case l if l.startsWith("ts\t") => l.drop(3).trim.toLong
+    }
 
   // ------------------------------------------------------------- parsing
 
@@ -1235,7 +1263,8 @@ object GraftMvs {
     if (!full && curV <= lastV && curDs == lastDs) return (lastV, curV, false)
 
     val newBatch = mvB + 1
-    writeState(baseDir, newBatch, curV, curDs) // inert until the commit below
+    writeState(baseDir, newBatch, curV, curDs, // inert until the commit below
+      refreshTs = Some(System.currentTimeMillis()))
     // every refresh read pins to the recorded state versions — a
     // source commit landing while this job plans/runs must neither be
     // folded now (the state file says it wasn't) nor lost later (the
@@ -1653,7 +1682,10 @@ object GraftMvs {
           "never refreshed — nothing to compact")
         val compactId = ids.max + 1
         val (lastV, lastDs) = stateFor(baseDir, ids.max)
-        writeState(baseDir, compactId, lastV, lastDs) // inert until commit
+        // carry the LAST refresh's staleness stamp forward: a compact
+        // commit must not renew the bounded-staleness clock
+        writeState(baseDir, compactId, lastV, lastDs, // inert until commit
+          refreshTs = refreshTsFor(baseDir, ids.max))
         d.bucketSpec match {
           case Some(b) =>
             Sinks.compactBucketedIncremental(spark, dataRoot(baseDir),

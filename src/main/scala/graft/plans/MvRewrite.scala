@@ -69,8 +69,20 @@ object MvRewrite {
     * vanilla execution — a rewrite must never make a query that runs
     * fine without it start failing. */
   def apply(spark: SparkSession, plan: LogicalPlan): Option[LogicalPlan] =
-    scala.util.Try(accelerate(spark, plan)).toOption.flatten
-      .orElse(substitute(spark, plan))
+    (scala.util.Try(accelerate(spark, plan)) match {
+      case scala.util.Success(r) => r
+      case scala.util.Failure(e) =>
+        // falling back to vanilla is the contract, but silently eating
+        // the throw turns a corrupt mvdef or a rewrite bug into "query
+        // quietly stopped accelerating" — log it so the regression has
+        // a signal outside the plan-assert tests
+        log.warn(s"MV accelerate declined by exception; running " +
+          s"vanilla: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        None
+    }).orElse(substitute(spark, plan))
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(MvRewrite.getClass)
 
   /** Shapes neither compound serving nor agg-call binding can
     * reproduce above a served store: a window function computes over
