@@ -1,0 +1,183 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.DedupIndex
+import graft.util.AtomicText
+
+/** Incremental perceptual-hash near-dup detection against a PERSISTED
+  * band index — [[graft.text.DedupIndex]]'s operational shape
+  * (bucketed band tables, exchange-free stored-side probes,
+  * dynamic-partition-overwrite idempotency) applied to the 64-bit
+  * Hamming hashes of the multimodal family: image dHash (mm6/dd15),
+  * audio energy fingerprints (mm7/dd16), sampled video frames
+  * (mm8/dd17). Round 12's dd15–dd17 are one-shot whole-corpus passes;
+  * a 100 TB ingest dedups each arriving batch against the accumulated
+  * corpus or it re-pays the whole corpus every day — this is that
+  * batch-against-corpus form.
+  *
+  * Index layout — BUCKETED catalog tables (external, rooted at
+  * `<dir>/bands` and `<dir>/hashes`), partitioned by `batch`:
+  *   - bands  `(id, bi, bv) PARTITIONED BY (batch) CLUSTERED BY
+  *     (bi, bv)` — the Hamming-LSH probe table;
+  *   - hashes `(id, hi, lo) PARTITIONED BY (batch) CLUSTERED BY (id)`
+  *     — full 64-bit hashes for the exact bit_count(xor) verify.
+  *
+  * Band geometry is an INDEX-CREATION parameter, persisted in
+  * `<dir>/_geometry.tsv` and enforced on every ingest: stored bands
+  * are only probe-able by identically-banded keys, so a
+  * corpus-derived width (the [[graft.sim.HammingBands]] occupancy
+  * rule over the EXPECTED corpus size) must be chosen when the index
+  * is created, not re-derived per batch — re-deriving would silently
+  * partition history into incompatible band spaces.
+  *
+  * Hashes are written BEFORE bands (the DedupIndex crash argument:
+  * bands are the probe entry point, so a torn batch must leave a
+  * hashes-orphan — inert — never a bands-orphan whose candidates
+  * would silently drop in the verify join).
+  */
+object PhashIndex {
+
+  private def tableNames(indexDir: String): (String, String) = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(indexDir.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(12)
+    (s"graft_phidx_bands_$tag", s"graft_phidx_hashes_$tag")
+  }
+
+  private def geometryPath(indexDir: String) = s"$indexDir/_geometry.tsv"
+
+  /** Persist the index's band width on first ingest; refuse a
+    * mismatched width afterwards (stored bands keyed under a
+    * different split are unreachable, which reads as silent recall
+    * loss, not an error — so make it an error). */
+  private def pinGeometry(indexDir: String, bandBits: Int): Unit = {
+    AtomicText.readLines(geometryPath(indexDir)) match {
+      case Seq() =>
+        AtomicText.writeAtomically(geometryPath(indexDir),
+          s"bandBits\t$bandBits\n")
+      case lines =>
+        val stored = lines.collectFirst {
+          case l if l.startsWith("bandBits\t") => l.drop(9).trim.toInt }
+        require(stored.contains(bandBits),
+          s"phash index $indexDir was created with bandBits=" +
+            s"${stored.getOrElse("?")}; this ingest asked for $bandBits — " +
+            "stored bands would be unreachable under a different split")
+    }
+  }
+
+  /** Ingest one batch of 64-bit hashes (`id`, `hi`, `lo` — the hash's
+    * 32-bit halves as longs, the mm6/mm7/mm8 output shape): returns
+    * the VERIFIED near-dup pairs involving this batch (new-new and
+    * new-stored; `id1 < id2`, `hamming <= hammingMax`), and appends
+    * the batch's bands + hashes to the index. A crashed run
+    * re-ingests the same `batchId` and overwrites only its own
+    * partitions. */
+  def ingestBatch(hashes: DataFrame, indexDir: String, batchId: Int,
+                  bandBits: Int, hammingMax: Int = 8,
+                  buckets: Int = 4): DataFrame = {
+    val spark = hashes.sparkSession
+    pinGeometry(indexDir, bandBits)
+    val bspec = graft.sim.HammingBands.spec(bandBits)
+    val newHashes = graft.util.CacheScope.track(
+      hashes.select(col("id"), col("hi").cast("long").as("hi"),
+        col("lo").cast("long").as("lo")))
+    val ufp = shiftleft(col("hi"), 32).bitwiseOR(col("lo"))
+    val newBands = graft.util.CacheScope.track(
+      newHashes.select(col("id"),
+        explode(array(bspec.zipWithIndex.map { case ((shf, wd), i) =>
+          struct(lit(i).as("bi"),
+            shiftrightunsigned(ufp, shf).bitwiseAND(lit((1L << wd) - 1))
+              .as("bv"))
+        }: _*)).as("b"))
+        .select(col("id"), col("b.bi").as("bi"), col("b.bv").as("bv")))
+
+    // restart recovery BEFORE the probe (the DedupIndex catalog-loss
+    // argument); both are no-ops when tables exist or nothing survived
+    val (bandsT, hashesT) = tableNames(indexDir)
+    DedupIndex.ensureTable(spark, newHashes, hashesT, s"$indexDir/hashes",
+      Seq("id"), buckets)
+    DedupIndex.ensureTable(spark, newBands, bandsT, s"$indexDir/bands",
+      Seq("bi", "bv"), buckets)
+
+    val stored = storedView(spark, indexDir, excludeBatch = batchId)
+
+    // candidates = (new ⋈ new) ∪ (new ⋈ stored) band collisions — two
+    // joins, never one join against a union (a union would discard
+    // the stored table's bucketing and re-shuffle the whole index)
+    val newProbe = newBands.select(col("bi"), col("bv"), col("id").as("x"))
+    def collisions(other: DataFrame) =
+      newProbe
+        .join(other.select(col("bi"), col("bv"), col("id").as("y")),
+          Seq("bi", "bv"))
+        .filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("id1"),
+          greatest(col("x"), col("y")).as("id2"))
+    val cand = stored
+      .map(s => collisions(newBands).unionAll(collisions(s._1)))
+      .getOrElse(collisions(newBands))
+      .distinct()
+
+    // exact-Hamming verify: each side's full hash from the stored
+    // index (bucketed by id — exchange-free) or the broadcast new
+    // batch, exactly DedupIndex's lookup shape
+    def lookupHash(p: DataFrame, side: String, tag: String): DataFrame = {
+      val fresh = broadcast(newHashes).select(col("id").as(side),
+        col("hi").as(s"__nh_$tag"), col("lo").as(s"__nl_$tag"))
+      val withNew = p.join(fresh, Seq(side), "left")
+      stored match {
+        case Some((_, sh)) =>
+          withNew
+            .join(sh.select(col("id").as(side), col("hi").as(s"__sh_$tag"),
+              col("lo").as(s"__sl_$tag")), Seq(side), "left")
+            .withColumn(s"hi$tag",
+              coalesce(col(s"__sh_$tag"), col(s"__nh_$tag")))
+            .withColumn(s"lo$tag",
+              coalesce(col(s"__sl_$tag"), col(s"__nl_$tag")))
+            .drop(s"__nh_$tag", s"__nl_$tag", s"__sh_$tag", s"__sl_$tag")
+        case None =>
+          withNew.withColumnRenamed(s"__nh_$tag", s"hi$tag")
+            .withColumnRenamed(s"__nl_$tag", s"lo$tag")
+      }
+    }
+    val withHashes = lookupHash(lookupHash(cand, "id1", "1"), "id2", "2")
+    val verified = withHashes
+      .withColumn("hamming",
+        (expr("bit_count(lo1 ^ lo2)") + expr("bit_count(hi1 ^ hi2)"))
+          .cast("long"))
+      .filter(col("hamming") <= hammingMax)
+      .select(col("id1"), col("id2"), col("hamming"))
+
+    // append AFTER the probe plans are built; hashes first (class doc)
+    val out = verified.localCheckpoint()
+    DedupIndex.writeIndexed(spark, newHashes, hashesT, s"$indexDir/hashes",
+      Seq("id"), buckets, batchId)
+    DedupIndex.writeIndexed(spark, newBands, bandsT, s"$indexDir/bands",
+      Seq("bi", "bv"), buckets, batchId)
+    out
+  }
+
+  /** (bands, hashes) as currently committed — minus `excludeBatch` —
+    * or None before the first batch; the DedupIndex torn-batch guard
+    * applies (a bands partition with no hashes twin fails loudly). */
+  private[graft] def storedView(spark: SparkSession, indexDir: String,
+                                excludeBatch: Int)
+    : Option[(DataFrame, DataFrame)] = {
+    val (bandsT, hashesT) = tableNames(indexDir)
+    if (!spark.catalog.tableExists(bandsT)) None
+    else {
+      val torn = DedupIndex.fsBatches(spark, s"$indexDir/bands") --
+        DedupIndex.fsBatches(spark, s"$indexDir/hashes")
+      require(torn.isEmpty,
+        s"phash index $indexDir is torn: bands partitions " +
+          s"${torn.mkString(",")} have no hashes twin — delete the " +
+          "orphan bands partitions or re-ingest those batch ids")
+      Some((
+        spark.table(bandsT).filter(col("batch") =!= excludeBatch)
+          .drop("batch").select("id", "bi", "bv"),
+        spark.table(hashesT).filter(col("batch") =!= excludeBatch)
+          .drop("batch").select("id", "hi", "lo")))
+    }
+  }
+}

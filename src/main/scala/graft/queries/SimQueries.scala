@@ -406,15 +406,16 @@ object SimQueries {
     }),
 
     // Audio near-duplicate detection (round 12): banded LSH over the
-    // 64-bit acoustic fingerprint — 8 × 8-bit bands (coarser than
-    // dd15's 4×16 because fingerprint perturbations spread wider than
-    // pixel ones: ≤10 flipped bits need a narrower clean-band window;
-    // at corpus scale the band width tunes to log2(N / occupancy) like
-    // every LSH here), candidates from band-equality self-joins, exact
-    // Hamming ≤ 8 verify. Planted pairs (2k, 2k+1) share a waveform
-    // differing on every 499th sample; the in-query recall guard pins
-    // that the banded search recovers ≥70% of them (the rest sit past
-    // the Hamming threshold by construction, not past the bands).
+    // 64-bit acoustic fingerprint, candidates from band-equality
+    // self-joins, exact Hamming ≤ 8 verify. Band geometry derives
+    // from the corpus count by the occupancy rule ([[HammingBands]],
+    // round 13): 8×8-bit at the oracle scale, narrower/wider as the
+    // corpus grows — never a code-time constant that balloons bucket
+    // occupancy at 10^9 items. Planted pairs (2k, 2k+1) share a
+    // waveform differing on every 499th sample; the in-query recall
+    // guard pins that the banded search recovers ≥70% of them (the
+    // rest sit past the Hamming threshold by construction, not past
+    // the bands).
     "dd16_audio_neardup" -> ((s, d) => {
       import graft.multimodal.MediaContent
       val docs = Tables.documents(s, d).select(col("doc_id"))
@@ -422,11 +423,15 @@ object SimQueries {
         MediaContent.audioFromDocuments(s, docs)).toDF()
         .select(col("doc_id").as("id"), col("fp_hi"), col("fp_lo"))
         .localCheckpoint() // banding + verify both read it; decode once
-      def band(i: Int): Column = (if (i < 4)
-        shiftright(col("fp_lo"), 8 * i)
-      else shiftright(col("fp_hi"), 8 * (i - 4))).bitwiseAND(lit(255L))
-      val bands = fps.select(col("id"), explode(array((0 to 7).map(i =>
-        struct(lit(i).as("bi"), band(i).as("bv"))): _*)).as("b"))
+      val nDocs = fps.count() // checkpointed: a metadata count
+      val bspec = graft.sim.HammingBands.spec(
+        graft.sim.HammingBands.bits(nDocs, occ = 4))
+      val ufp = shiftleft(col("fp_hi"), 32).bitwiseOR(col("fp_lo"))
+      def band(shf: Int, wd: Int): Column =
+        shiftrightunsigned(ufp, shf).bitwiseAND(lit((1L << wd) - 1))
+      val bands = fps.select(col("id"),
+        explode(array(bspec.zipWithIndex.map { case ((shf, wd), i) =>
+          struct(lit(i).as("bi"), band(shf, wd).as("bv")) }: _*)).as("b"))
         .select(col("id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
       val cand = bands.as("a").join(bands.as("b"),
         col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
@@ -443,7 +448,6 @@ object SimQueries {
         .filter(col("hamming") <= 8)
         .select(col("id1"), col("id2"), col("hamming"))
         .localCheckpoint() // the recall guard below re-reads it
-      val nDocs = docs.count()
       val planted = nDocs / 2
       val found = pairs
         .filter(col("id1") % 2 === 0 && col("id2") === col("id1") + 1)
@@ -488,15 +492,17 @@ object SimQueries {
         .select(col("doc_id").as("id"), col("frame_idx"),
           col("dh_hi"), col("dh_lo"))
         .localCheckpoint() // banding + align + counts read it; decode once
-      def band(i: Int): Column = (i match {
-        case 0 => col("dh_lo")
-        case 1 => shiftright(col("dh_lo"), 16)
-        case 2 => col("dh_hi")
-        case _ => shiftright(col("dh_hi"), 16)
-      }).bitwiseAND(lit(65535L))
+      // geometry from the VIDEO count (bucket collisions happen among
+      // videos sharing a frame_idx, not among frames)
+      val nDocs = docs.count()
+      val bspec = graft.sim.HammingBands.spec(
+        graft.sim.HammingBands.bits(nDocs, occ = 4))
+      val ufp = shiftleft(col("dh_hi"), 32).bitwiseOR(col("dh_lo"))
+      def band(shf: Int, wd: Int): Column =
+        shiftrightunsigned(ufp, shf).bitwiseAND(lit((1L << wd) - 1))
       val bands = frames.select(col("id"), col("frame_idx"),
-        explode(array((0 to 3).map(i =>
-          struct(lit(i).as("bi"), band(i).as("bv"))): _*)).as("b"))
+        explode(array(bspec.zipWithIndex.map { case ((shf, wd), i) =>
+          struct(lit(i).as("bi"), band(shf, wd).as("bv")) }: _*)).as("b"))
         .select(col("id"), col("frame_idx"), col("b.bi").as("bi"),
           col("b.bv").as("bv"))
       val cand = bands.as("a").join(bands.as("b"),
@@ -524,7 +530,6 @@ object SimQueries {
         .select(col("id1"), col("id2"), col("nf1").as("n_frames"),
           col("max_ham"))
         .localCheckpoint() // the recall guard below re-reads it
-      val nDocs = docs.count()
       val planted = nDocs / 2
       val found = pairs
         .filter(col("id1") % 2 === 0 && col("id2") === col("id1") + 1)
@@ -535,13 +540,15 @@ object SimQueries {
     }),
 
     // Image near-duplicate detection (round 12): Hamming-banded LSH
-    // over the 64-bit dHash — 4 × 16-bit bands (the SimHash64 banding
-    // shape), candidates from band-equality self-joins (NEVER an
-    // all-pairs product; at corpus scale the band join is the only
-    // shuffle), verified by exact Hamming ≤ 8 via bit_count(xor).
-    // Planted pairs (2k, 2k+1) share a pixel pattern across FORMATS
-    // (BMP vs PNG) differing on 2–3 perturbed pixels; the in-query
-    // recall guard pins that the banded search recovers ≥90% of them.
+    // over the 64-bit dHash, candidates from band-equality self-joins
+    // (NEVER an all-pairs product; at corpus scale the band join is
+    // the only shuffle), verified by exact Hamming ≤ 8 via
+    // bit_count(xor). Band geometry derives from the corpus count by
+    // the occupancy rule ([[HammingBands]], round 13) instead of a
+    // code-time 4×16 constant. Planted pairs (2k, 2k+1) share a pixel
+    // pattern across FORMATS (BMP vs PNG) differing on 2–3 perturbed
+    // pixels; the in-query recall guard pins that the banded search
+    // recovers ≥90% of them.
     "dd15_image_neardup" -> ((s, d) => {
       import graft.multimodal.ImagePixels
       val docs = Tables.documents(s, d).select(col("doc_id"))
@@ -549,14 +556,15 @@ object SimQueries {
         ImagePixels.imagesFromDocuments(s, docs)).toDF()
         .select(col("doc_id").as("id"), col("dh_hi"), col("dh_lo"))
         .localCheckpoint() // banding + verify both read it; decode once
-      def band(i: Int): Column = (i match {
-        case 0 => col("dh_lo")
-        case 1 => shiftright(col("dh_lo"), 16)
-        case 2 => col("dh_hi")
-        case _ => shiftright(col("dh_hi"), 16)
-      }).bitwiseAND(lit(65535L))
-      val bands = hashes.select(col("id"), explode(array((0 to 3).map(i =>
-        struct(lit(i).as("bi"), band(i).as("bv"))): _*)).as("b"))
+      val nDocs = hashes.count() // checkpointed: a metadata count
+      val bspec = graft.sim.HammingBands.spec(
+        graft.sim.HammingBands.bits(nDocs, occ = 4))
+      val ufp = shiftleft(col("dh_hi"), 32).bitwiseOR(col("dh_lo"))
+      def band(shf: Int, wd: Int): Column =
+        shiftrightunsigned(ufp, shf).bitwiseAND(lit((1L << wd) - 1))
+      val bands = hashes.select(col("id"),
+        explode(array(bspec.zipWithIndex.map { case ((shf, wd), i) =>
+          struct(lit(i).as("bi"), band(shf, wd).as("bv")) }: _*)).as("b"))
         .select(col("id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
       val cand = bands.as("a").join(bands.as("b"),
         col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
@@ -574,7 +582,6 @@ object SimQueries {
         .select(col("id1"), col("id2"), col("hamming"))
         .localCheckpoint() // the recall guard below re-reads it
       // planted-pair recall ≥ 90% (scalar-aggregate guard)
-      val nDocs = docs.count()
       val planted = nDocs / 2
       val found = pairs
         .filter(col("id1") % 2 === 0 && col("id2") === col("id1") + 1)
@@ -582,6 +589,35 @@ object SimQueries {
       require(planted == 0 || found >= (planted * 9) / 10,
         s"dd15: banded search recovered $found of $planted planted pairs")
       pairs
+    }),
+
+    // Incremental perceptual-hash dedup (round 13): the dd15 image
+    // corpus ingested as THREE batches into a persisted Hamming-band
+    // index ([[graft.multimodal.PhashIndex]] — bucketed band tables,
+    // exchange-free stored-side probes, the dd9 shape for multimodal
+    // hashes). Every planted pair (2k, 2k+1) is CROSS-batch under the
+    // %3 split, so recovering them exercises the stored-band probe
+    // path, not the within-batch join. Batch-wise must equal the
+    // one-shot pair set exactly: the oracle IS dd15's SQL.
+    "dd18_incremental_phash" -> ((s, d) => {
+      import graft.multimodal.{ImagePixels, PhashIndex}
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_dd18_idx_").toString
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val hashes = ImagePixels.hashImages(
+        ImagePixels.imagesFromDocuments(s, docs)).toDF()
+        .select(col("doc_id").as("id"), col("dh_hi").as("hi"),
+          col("dh_lo").as("lo"))
+        .localCheckpoint() // three ingests re-read it; decode once
+      // index geometry = the one-shot rule over the FULL corpus size
+      // (an index pins its geometry at creation; the expected corpus
+      // here is the corpus)
+      val bits = graft.sim.HammingBands.bits(hashes.count(), occ = 4)
+      (0 until 3)
+        .map(b => PhashIndex.ingestBatch(
+          hashes.filter(col("id") % 3 === b), dir, b, bits))
+        .reduce(_ unionAll _)
+        .select(col("id1"), col("id2"), col("hamming"))
     })
   )
 
@@ -804,6 +840,26 @@ object SimQueries {
         |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored)
         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** DuckDB twin of [[graft.sim.HammingBands]]: band width from
+    * `count(*)` of `countFrom` by the occupancy rule (clamped
+    * [8,16]), 64 bits split evenly. Emits CTEs `bgeom` and
+    * `bspec(bi, shf, wd)` — no trailing comma. */
+  private def bandSpecSql(countFrom: String, occ: Int): String =
+    s"""bgeom AS (
+       |  SELECT CAST(CEIL(64.0 / bits) AS INT) AS nb FROM (
+       |    SELECT GREATEST(8, LEAST(16,
+       |      CAST(CEIL(LOG2(GREATEST(
+       |        CAST(count(*) AS DOUBLE) / ${occ}.0, 2.0))) AS INT)))
+       |      AS bits
+       |    FROM $countFrom)),
+       |bspec AS (
+       |  SELECT CAST(i.range AS INT) AS bi,
+       |    CAST((64 * i.range) // nb AS INT) AS shf,
+       |    CAST((64 * (i.range + 1)) // nb
+       |         - (64 * i.range) // nb AS INT) AS wd
+       |  FROM bgeom CROSS JOIN range(0, 8) i WHERE i.range < nb)"""
+      .stripMargin
+
   /** Shared mm6/dd15 oracle prelude: the image corpus's pixel and
     * perceptual-hash arithmetic replayed in SQL, straight from
     * doc_id — the DuckDB twin of [[graft.multimodal.ImagePixels]]
@@ -968,6 +1024,29 @@ object SimQueries {
       |      AS BIGINT) AS dh_lo
       |  FROM vdbits GROUP BY 1, 2, 3, 4)
       |""".stripMargin
+
+  /** dd15's oracle (and dd18's: the incremental index must equal the
+    * one-shot pass exactly): banded-LSH candidates under the
+    * corpus-derived geometry, exact Hamming ≤ 8 verify. */
+  private lazy val Dd15OracleSql: String =
+    ImagePhashCte + ",\n" + bandSpecSql("ids", occ = 4) + ",\n" +
+      """bands AS (
+        |  SELECT d.id, b.bi,
+        |    CAST(((CAST(d.dh_hi AS UBIGINT) * 4294967296
+        |           + CAST(d.dh_lo AS UBIGINT)) >> b.shf)
+        |      & ((CAST(1 AS UBIGINT) << b.wd) - 1) AS BIGINT) AS bv
+        |  FROM dh d CROSS JOIN bspec b),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM bands a JOIN bands b
+        |    ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id)
+        |SELECT c.id1, c.id2,
+        |  CAST(bit_count(xor(h1.dh_lo, h2.dh_lo)) +
+        |       bit_count(xor(h1.dh_hi, h2.dh_hi)) AS BIGINT) AS hamming
+        |FROM cand c JOIN dh h1 ON c.id1 = h1.id
+        |JOIN dh h2 ON c.id2 = h2.id
+        |WHERE bit_count(xor(h1.dh_lo, h2.dh_lo)) +
+        |      bit_count(xor(h1.dh_hi, h2.dh_hi)) <= 8""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "sim7_kmeans_diversity" -> sim7OracleSql,
@@ -1192,36 +1271,24 @@ object SimQueries {
         |  dh.dh_hi, dh.dh_lo, ah.ah_hi, ah.ah_lo
         |FROM dims JOIN dh ON dims.id = dh.id
         |JOIN ah ON dims.id = ah.id""".stripMargin),
-    "dd15_image_neardup" ->
-      (ImagePhashCte + ",\n" +
-      """bands AS (
-        |  SELECT id, 0 AS bi, dh_lo & 65535 AS bv FROM dh
-        |  UNION ALL SELECT id, 1, (dh_lo >> 16) & 65535 FROM dh
-        |  UNION ALL SELECT id, 2, dh_hi & 65535 FROM dh
-        |  UNION ALL SELECT id, 3, (dh_hi >> 16) & 65535 FROM dh),
-        |cand AS (
-        |  SELECT DISTINCT a.id AS id1, b.id AS id2
-        |  FROM bands a JOIN bands b
-        |    ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id)
-        |SELECT c.id1, c.id2,
-        |  CAST(bit_count(xor(h1.dh_lo, h2.dh_lo)) +
-        |       bit_count(xor(h1.dh_hi, h2.dh_hi)) AS BIGINT) AS hamming
-        |FROM cand c JOIN dh h1 ON c.id1 = h1.id
-        |JOIN dh h2 ON c.id2 = h2.id
-        |WHERE bit_count(xor(h1.dh_lo, h2.dh_lo)) +
-        |      bit_count(xor(h1.dh_hi, h2.dh_hi)) <= 8""".stripMargin),
+    "dd15_image_neardup" -> Dd15OracleSql,
+    // batch-wise == one-shot is the dd18 contract, so its oracle IS
+    // dd15's SQL — the gate pins the incremental index's output to
+    // the whole-corpus pass bit for bit
+    "dd18_incremental_phash" -> Dd15OracleSql,
     "mm7_audio_fingerprint" ->
       (AudioFpCte +
       """SELECT id AS doc_id, CAST(sr AS INT) AS sample_rate,
         |  CAST(n AS INT) AS n_samples, fp_hi, fp_lo
         |FROM fp""".stripMargin),
     "dd16_audio_neardup" ->
-      (AudioFpCte + ",\n" +
+      (AudioFpCte + ",\n" + bandSpecSql("ids", occ = 4) + ",\n" +
       """bands AS (
-        |  SELECT id, i.range AS bi,
-        |    CASE WHEN i.range < 4 THEN (fp_lo >> (8 * i.range)) & 255
-        |         ELSE (fp_hi >> (8 * (i.range - 4))) & 255 END AS bv
-        |  FROM fp CROSS JOIN range(0, 8) i),
+        |  SELECT d.id, b.bi,
+        |    CAST(((CAST(d.fp_hi AS UBIGINT) * 4294967296
+        |           + CAST(d.fp_lo AS UBIGINT)) >> b.shf)
+        |      & ((CAST(1 AS UBIGINT) << b.wd) - 1) AS BIGINT) AS bv
+        |  FROM fp d CROSS JOIN bspec b),
         |cand AS (
         |  SELECT DISTINCT a.id AS id1, b.id AS id2
         |  FROM bands a JOIN bands b
@@ -1240,14 +1307,13 @@ object SimQueries {
         |  dh_hi, dh_lo
         |FROM vfh""".stripMargin),
     "dd17_video_neardup" ->
-      (VideoFrameCte + ",\n" +
+      (VideoFrameCte + ",\n" + bandSpecSql("ids", occ = 4) + ",\n" +
       """vbands AS (
-        |  SELECT id, f, i.range AS bi,
-        |    CASE WHEN i.range = 0 THEN dh_lo & 65535
-        |         WHEN i.range = 1 THEN (dh_lo >> 16) & 65535
-        |         WHEN i.range = 2 THEN dh_hi & 65535
-        |         ELSE (dh_hi >> 16) & 65535 END AS bv
-        |  FROM vfh CROSS JOIN range(0, 4) i),
+        |  SELECT d.id, d.f, b.bi,
+        |    CAST(((CAST(d.dh_hi AS UBIGINT) * 4294967296
+        |           + CAST(d.dh_lo AS UBIGINT)) >> b.shf)
+        |      & ((CAST(1 AS UBIGINT) << b.wd) - 1) AS BIGINT) AS bv
+        |  FROM vfh d CROSS JOIN bspec b),
         |cand AS (
         |  SELECT DISTINCT a.id AS id1, b.id AS id2
         |  FROM vbands a JOIN vbands b

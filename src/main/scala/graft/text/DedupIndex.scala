@@ -165,7 +165,7 @@ object DedupIndex {
     * bucket file instead of tasks×buckets splinters. First write
     * creates the bucketed external table; after that, dynamic-partition
     * OVERWRITE of `batch=N` only — the retry-idempotent append. */
-  private def writeIndexed(spark: SparkSession, df: DataFrame, table: String,
+  private[graft] def writeIndexed(spark: SparkSession, df: DataFrame, table: String,
                            dir: String, bucketKeys: Seq[String], buckets: Int,
                            batchId: Int): Unit = {
     ensureTable(spark, df, table, dir, bucketKeys, buckets)
@@ -198,7 +198,7 @@ object DedupIndex {
     * silently destroy the accumulated index. Bucket count must match
     * the original write (bucket-file names encode the id, not the
     * count). */
-  private def ensureTable(spark: SparkSession, df: DataFrame, table: String,
+  private[graft] def ensureTable(spark: SparkSession, df: DataFrame, table: String,
                           dir: String, bucketKeys: Seq[String],
                           buckets: Int): Unit = {
     if (!spark.catalog.tableExists(table) && fsBatches(spark, dir).nonEmpty) {
@@ -218,7 +218,7 @@ object DedupIndex {
   /** Batch ids present on disk under one index table root — a
     * driver-side filesystem listing (Hadoop FS, so HDFS/object-store
     * paths work), no Spark job. */
-  private def fsBatches(spark: SparkSession, dir: String): Set[Int] = {
+  private[graft] def fsBatches(spark: SparkSession, dir: String): Set[Int] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Set.empty

@@ -468,6 +468,34 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("Hamming-LSH band geometry derives from the corpus count") {
+    import graft.sim.HammingBands
+    // the occupancy rule: width grows with the corpus so bucket
+    // occupancy stays ~occ instead of ~N/2^width — the round-12
+    // code-time constants (8-bit bands hold ~4M ids at 10^9 items)
+    // are now the rule's CLAMPED endpoints, not the rule
+    val widths = Seq(500L, 5000L, 100000L, 10000000L, 1000000000L)
+      .map(n => HammingBands.bits(n, occ = 4))
+    assert(widths == widths.sorted, s"band width must be monotone in n: $widths")
+    assert(widths.head == 8 && widths.last == 16,
+      s"clamps [8,16] must bound the rule: $widths")
+    assert(HammingBands.bits(5000, occ = 4) > HammingBands.bits(500, occ = 4),
+      "width must actually grow across the bench corpus sizes")
+    // exact integer-log parity with the oracle's CEIL(LOG2(n/occ))
+    assert(HammingBands.bits(1024 * 4, occ = 4, lo = 1, hi = 64) == 10)
+    assert(HammingBands.bits(1024 * 4 + 1, occ = 4, lo = 1, hi = 64) == 11)
+    // even 64-bit split: widths differ by <=1 and cover all bits
+    for (b <- 8 to 16) {
+      val sp = HammingBands.spec(b)
+      assert(sp.map(_._2).sum == 64, s"spec($b) must cover 64 bits: $sp")
+      assert(sp.map(_._2).max - sp.map(_._2).min <= 1,
+        s"spec($b) must split evenly: $sp")
+      assert(sp.sliding(2).forall {
+        case Seq((f1, w1), (f2, _)) => f2 == f1 + w1; case _ => true },
+        s"spec($b) bands must be contiguous: $sp")
+    }
+  }
+
   test("bucketed tables: storage-partitioned join and agg plan with no shuffle") {
     import graft.plans.{GraftCatalog, GraftSql}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
@@ -1689,6 +1717,50 @@ class ScaleSpec extends SparkSuite {
         assert(storedShuffles.isEmpty,
           s"$name: stored index side is shuffled — bucketing lost:\n$plan")
         // and the join is keyed, not broadcast-degraded to a loop
+        val anyShuffle = plan.collectWithSubqueries {
+          case e: ShuffleExchangeExec => e }
+        assert(anyShuffle.nonEmpty,
+          s"$name: expected the probe side to shuffle to the bucket count:\n$plan")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("phash-index probe join has no Exchange on the stored side") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // same contract as the MinHash dedup index: per-batch probe cost
+    // must be O(batch) — the stored band/hash tables (bucketed on
+    // their join keys) stream into the join WITHOUT an exchange
+    val tmp = java.nio.file.Files.createTempDirectory("phidx_plan_").toString
+    val hashes = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".as("id"), ($"doc_id" * 2654435761L % 4294967296L).as("hi"),
+        ($"doc_id" * 97561L % 4294967296L).as("lo"))
+    graft.multimodal.PhashIndex.ingestBatch(hashes, tmp, 0, bandBits = 8)
+    val (bands, stHashes) = graft.multimodal.PhashIndex
+      .storedView(spark, tmp, excludeBatch = 99).get
+    val probeBands = hashes.limit(50)
+      .select(($"id" % 8).cast("int").as("bi"), ($"id" % 251).as("bv"),
+        $"id".as("x"))
+    val probePairs = hashes.limit(50).select($"id".as("id1"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((name, joined) <- Seq(
+        "bands" -> probeBands.join(bands, Seq("bi", "bv")),
+        "hashes" -> probePairs.join(
+          stHashes.withColumnRenamed("id", "id1"), Seq("id1")))) {
+        val plan = joined.queryExecution.executedPlan
+        val storedShuffles = plan.collectWithSubqueries {
+          case e: ShuffleExchangeExec if e.exists {
+            case f: FileSourceScanExec =>
+              f.relation.location.rootPaths.exists(_.toString.contains(tmp))
+            case _ => false
+          } => e
+        }
+        assert(storedShuffles.isEmpty,
+          s"$name: stored index side is shuffled — bucketing lost:\n$plan")
         val anyShuffle = plan.collectWithSubqueries {
           case e: ShuffleExchangeExec => e }
         assert(anyShuffle.nonEmpty,
