@@ -41,9 +41,19 @@ object MediaContent {
   def vWidthOf(id: Long): Int  = 12 + ((id / 2) % 3).toInt * 4
   def vHeightOf(id: Long): Int = 8 + ((id / 2) % 2).toInt * 4
   /** 10 fps fixed — duration math stays exact integer. Frame count is
-    * pair-keyed (id/2) so planted twins share a sampling plan. */
+    * pair-keyed (id/2) so planted twins share a sampling plan — EXCEPT
+    * the trimmed twins (round 13): every third pair's odd twin drops
+    * its first 5 container frames (= one 2 fps sample slot), the
+    * common head-trim/re-encode case dd17 must still catch. Pairs
+    * whose base runs 8 frames are exempt: a 3-frame trimmed video
+    * samples zero frames and would be invisible to ANY
+    * sampled-frame matcher. */
   val VUsPerFrame = 100000
-  def vFramesOf(id: Long): Int = 8 + ((id / 2) % 5).toInt * 3
+  val VTrim = 5
+  def vFramesBase(id: Long): Int = 8 + ((id / 2) % 5).toInt * 3
+  def vTrimOf(id: Long): Int =
+    if (id % 2 == 1 && (id / 2) % 3 == 2 && (id / 2) % 5 >= 1) VTrim else 0
+  def vFramesOf(id: Long): Int = vFramesBase(id) - vTrimOf(id)
 
   /** Frame-f pixel formula, shared verbatim with the oracle (the
     * [[ImagePixels.rgbAt]] texture with the frame index folded in).
@@ -65,6 +75,7 @@ object MediaContent {
     * DIB chunk per frame (BGR24, bottom-up, rows padded to 4). */
   def aviPixelBytes(id: Long): Array[Byte] = {
     val w = vWidthOf(id); val h = vHeightOf(id); val tf = vFramesOf(id)
+    val trim = vTrimOf(id)
     val fSize = rowSize(w) * h
     val movi = java.nio.ByteBuffer.allocate(12 + tf * (8 + fSize))
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -77,7 +88,9 @@ object MediaContent {
       while (y < h) {
         var x = 0
         while (x < w) {
-          val (r, g, b) = vRgbAt(id, f, x, h - 1 - y) // bottom-up rows
+          // container frame f carries TEXTURE frame f+trim: a trimmed
+          // twin is the same footage minus its head
+          val (r, g, b) = vRgbAt(id, f + trim, x, h - 1 - y) // bottom-up
           movi.put(b.toByte).put(g.toByte).put(r.toByte)
           x += 1
         }

@@ -474,16 +474,21 @@ object SimQueries {
           col("height"), col("dh_hi"), col("dh_lo"))
     }),
 
-    // Video near-duplicate detection (round 12): SEQUENCE-level — two
-    // videos are near-dups when their sampling plans align frame for
-    // frame and EVERY aligned sampled frame's dHash sits within
-    // Hamming 8 ("the same video up to small edits"). Candidates come
-    // from per-frame 4×16-bit band-equality joins (never all-pairs);
-    // planted pairs (2k, 2k+1) share texture and frame count with 2–3
-    // diagonal pixels perturbed per frame; the in-query recall guard
-    // pins ≥90%. Completes the near-dup family across all four
-    // modalities (text MinHash/SimHash, image dHash, audio energy
-    // fingerprint, video frame sequences).
+    // Video near-duplicate detection (round 12, trim-tolerant since
+    // round 13): SEQUENCE-level with OFFSET alignment — two videos are
+    // near-dups when, at some constant frame offset, every sampled
+    // frame BOTH videos have sits within Hamming 8, and the overlap
+    // misses at most one sampled frame of the longer video ("the same
+    // footage up to small edits and a head/tail trim"). Candidates
+    // come from band-equality joins that PROPOSE the offset (a band
+    // match at (f1, f2) votes for off = f1 − f2) — never all-pairs;
+    // the verdict verifies the full overlap at each proposed offset
+    // and keeps the best. Planted pairs (2k, 2k+1) share texture with
+    // 2–3 diagonal pixels perturbed per frame; every third pair's odd
+    // twin is HEAD-TRIMMED by one sample slot (the generator drops its
+    // first 5 container frames), so the ≥90% recall guard now also
+    // certifies the offset path. Completes the near-dup family across
+    // all four modalities.
     "dd17_video_neardup" -> ((s, d) => {
       import graft.multimodal.MediaContent
       val docs = Tables.documents(s, d).select(col("doc_id"))
@@ -492,8 +497,8 @@ object SimQueries {
         .select(col("doc_id").as("id"), col("frame_idx"),
           col("dh_hi"), col("dh_lo"))
         .localCheckpoint() // banding + align + counts read it; decode once
-      // geometry from the VIDEO count (bucket collisions happen among
-      // videos sharing a frame_idx, not among frames)
+      // geometry from the VIDEO count (a band bucket holds ids of
+      // videos × their ≤8 sampled frames)
       val nDocs = docs.count()
       val bspec = graft.sim.HammingBands.spec(
         graft.sim.HammingBands.bits(nDocs, occ = 4))
@@ -505,29 +510,43 @@ object SimQueries {
           struct(lit(i).as("bi"), band(shf, wd).as("bv")) }: _*)).as("b"))
         .select(col("id"), col("frame_idx"), col("b.bi").as("bi"),
           col("b.bv").as("bv"))
+      // a band collision at (f1, f2) proposes alignment off = f1 − f2
       val cand = bands.as("a").join(bands.as("b"),
-        col("a.frame_idx") === col("b.frame_idx") &&
-          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
           col("a.id") < col("b.id"))
-        .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
-      val f1 = frames.select(col("id").as("id1"), col("frame_idx"),
+        .select(col("a.id").as("id1"), col("b.id").as("id2"),
+          (col("a.frame_idx") - col("b.frame_idx")).cast("long").as("off"))
+        .distinct()
+      val f1 = frames.select(col("id").as("id1"),
+        col("frame_idx").as("fi1"),
         col("dh_hi").as("hi1"), col("dh_lo").as("lo1"))
-      val f2 = frames.select(col("id").as("id2"), col("frame_idx"),
+      val f2 = frames.select(col("id").as("id2"),
+        col("frame_idx").as("fi2"),
         col("dh_hi").as("hi2"), col("dh_lo").as("lo2"))
-      val aligned = cand.join(f1, Seq("id1"))
-        .join(f2, Seq("id2", "frame_idx"))
+      val perOff = cand.join(f1, Seq("id1")).as("l")
+        .join(f2.as("r"), col("l.id2") === col("r.id2") &&
+          col("r.fi2") === col("l.fi1") - col("l.off"))
+        .select(col("l.id1").as("id1"), col("l.id2").as("id2"),
+          col("l.off").as("off"), col("l.hi1").as("hi1"),
+          col("l.lo1").as("lo1"), col("r.hi2").as("hi2"),
+          col("r.lo2").as("lo2"))
         .withColumn("ham",
           (expr("bit_count(lo1 ^ lo2)") + expr("bit_count(hi1 ^ hi2)"))
             .cast("long"))
-        .groupBy(col("id1"), col("id2"))
-        .agg(count(lit(1)).as("aligned"), max(col("ham")).as("max_ham"))
+        .groupBy(col("id1"), col("id2"), col("off"))
+        .agg(count(lit(1)).as("n_aligned"), max(col("ham")).as("max_ham"))
       val nf = frames.groupBy(col("id")).agg(count(lit(1)).as("nf"))
-      val pairs = aligned
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id1"), col("id2"))
+        .orderBy(col("n_aligned").desc, col("off").asc)
+      val pairs = perOff
         .join(nf.select(col("id").as("id1"), col("nf").as("nf1")), Seq("id1"))
         .join(nf.select(col("id").as("id2"), col("nf").as("nf2")), Seq("id2"))
-        .filter(col("aligned") === col("nf1") &&
-          col("aligned") === col("nf2") && col("max_ham") <= 8)
-        .select(col("id1"), col("id2"), col("nf1").as("n_frames"),
+        .filter(col("max_ham") <= 8 &&
+          col("n_aligned") >= greatest(col("nf1"), col("nf2")) - 1)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id1"), col("id2"), col("n_aligned"), col("off"),
           col("max_ham"))
         .localCheckpoint() // the recall guard below re-reads it
       val planted = nDocs / 2
@@ -979,29 +998,35 @@ object SimQueries {
     """WITH ids AS (SELECT doc_id AS id FROM documents),
       |par AS (
       |  SELECT id, 12 + ((id // 2) % 3) * 4 AS w,
-      |    8 + ((id // 2) % 2) * 4 AS h, 8 + ((id // 2) % 5) * 3 AS tf,
+      |    8 + ((id // 2) % 2) * 4 AS h,
+      |    8 + ((id // 2) % 5) * 3 - CASE WHEN id % 2 = 1
+      |      AND (id // 2) % 3 = 2 AND (id // 2) % 5 >= 1
+      |      THEN 5 ELSE 0 END AS tf,
+      |    CASE WHEN id % 2 = 1 AND (id // 2) % 3 = 2
+      |      AND (id // 2) % 5 >= 1 THEN 5 ELSE 0 END AS trim,
       |    (id // 2) % 97 AS seed
       |  FROM ids),
       |plan1 AS (
       |  SELECT *, least((tf * 100) // 500, 8) AS nfr,
       |    (tf * 100) // 500 AS total FROM par),
       |sfr AS (
-      |  SELECT p.id, p.w, p.h, p.seed,
+      |  SELECT p.id, p.w, p.h, p.seed, p.trim,
       |    least(((i.range * p.total) // p.nfr) * 5, p.tf - 1) AS f
       |  FROM plan1 p CROSS JOIN range(0, 8) i WHERE i.range < p.nfr),
       |vpx AS (
-      |  SELECT s.id, s.w, s.h, s.f, s.seed, xs.range AS x, ys.range AS y,
+      |  SELECT s.id, s.w, s.h, s.f, s.seed, s.trim,
+      |    xs.range AS x, ys.range AS y,
       |    CASE WHEN s.id % 2 = 1 AND xs.range = ys.range
       |          AND xs.range % 4 = 1 THEN 40 ELSE 0 END AS nz
       |  FROM sfr s CROSS JOIN range(0, 20) xs CROSS JOIN range(0, 12) ys
       |  WHERE xs.range < s.w AND ys.range < s.h),
       |vg AS (
       |  SELECT id, w, h, f, x, y,
-      |    (299 * ((seed * 31 + x * 7 + y * 13 + f * 29
+      |    (299 * ((seed * 31 + x * 7 + y * 13 + (f + trim) * 29
       |             + x * y * (seed % 11) + nz) % 256)
-      |     + 587 * ((seed * 17 + x * 11 + y * 5 + f * 37
+      |     + 587 * ((seed * 17 + x * 11 + y * 5 + (f + trim) * 37
       |             + x * x * (seed % 7) + nz) % 256)
-      |     + 114 * ((seed * 23 + x * 3 + y * 19 + f * 41
+      |     + 114 * ((seed * 23 + x * 3 + y * 19 + (f + trim) * 41
       |             + y * y * (seed % 13) + nz) % 256)) // 1000 AS gray
       |  FROM vpx),
       |vc9 AS (
@@ -1315,23 +1340,30 @@ object SimQueries {
         |      & ((CAST(1 AS UBIGINT) << b.wd) - 1) AS BIGINT) AS bv
         |  FROM vfh d CROSS JOIN bspec b),
         |cand AS (
-        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2,
+        |    CAST(a.f - b.f AS BIGINT) AS off
         |  FROM vbands a JOIN vbands b
-        |    ON a.f = b.f AND a.bi = b.bi AND a.bv = b.bv AND a.id < b.id),
+        |    ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id),
         |al AS (
-        |  SELECT c.id1, c.id2, f1.f,
+        |  SELECT c.id1, c.id2, c.off,
         |    bit_count(xor(f1.dh_lo, f2.dh_lo)) +
         |    bit_count(xor(f1.dh_hi, f2.dh_hi)) AS ham
         |  FROM cand c JOIN vfh f1 ON f1.id = c.id1
-        |  JOIN vfh f2 ON f2.id = c.id2 AND f2.f = f1.f),
+        |  JOIN vfh f2 ON f2.id = c.id2 AND f2.f = f1.f - c.off),
         |ag AS (
-        |  SELECT id1, id2, count(*) AS aligned, max(ham) AS maxham
-        |  FROM al GROUP BY 1, 2),
-        |nfv AS (SELECT id, count(*) AS nf FROM vfh GROUP BY id)
-        |SELECT id1, id2, CAST(n1.nf AS BIGINT) AS n_frames,
-        |  CAST(maxham AS BIGINT) AS max_ham
-        |FROM ag JOIN nfv n1 ON n1.id = id1 JOIN nfv n2 ON n2.id = id2
-        |WHERE aligned = n1.nf AND aligned = n2.nf AND maxham <= 8"""
+        |  SELECT id1, id2, off, CAST(count(*) AS BIGINT) AS n_aligned,
+        |    CAST(max(ham) AS BIGINT) AS max_ham
+        |  FROM al GROUP BY 1, 2, 3),
+        |nfv AS (SELECT id, count(*) AS nf FROM vfh GROUP BY id),
+        |best AS (
+        |  SELECT ag.id1, ag.id2, ag.off, ag.n_aligned, ag.max_ham,
+        |    row_number() OVER (PARTITION BY ag.id1, ag.id2
+        |      ORDER BY ag.n_aligned DESC, ag.off ASC) AS rn
+        |  FROM ag JOIN nfv n1 ON n1.id = ag.id1
+        |  JOIN nfv n2 ON n2.id = ag.id2
+        |  WHERE ag.max_ham <= 8
+        |    AND ag.n_aligned >= GREATEST(n1.nf, n2.nf) - 1)
+        |SELECT id1, id2, n_aligned, off, max_ham FROM best WHERE rn = 1"""
         .stripMargin),
     // The Spark side PARSES these values back out of synthesized
     // PNG/BMP/WAV bytes; the oracle predicts them arithmetically

@@ -321,7 +321,10 @@ class SimSpec extends SparkSuite {
 
   test("MediaContent: AVI frame seek decodes exactly the sampled frames") {
     import graft.multimodal.MediaContent
-    for (id <- Seq(0L, 3L, 7L, 11L, 194L)) {
+    // 23 is a TRIMMED twin ((23/2)%3==2, (23/2)%5>=1): its container
+    // drops the first 5 texture frames, so frame f carries texture
+    // f + vTrimOf(id)
+    for (id <- Seq(0L, 3L, 7L, 11L, 23L, 194L)) {
       val payload = MediaContent.aviPixelBytes(id)
       // header parses through the standard reader
       val (w, h, usf, tf) = Multimodal.decodeAviHeader(payload).get
@@ -336,7 +339,8 @@ class SimSpec extends SparkSuite {
       assert(frames.keySet == wanted.toSet,
         "seek must return exactly the sampled frames")
       for (f <- wanted; y <- 0 until h; x <- 0 until w) {
-        val (r, g, b) = MediaContent.vRgbAt(id, f, x, y)
+        val (r, g, b) =
+          MediaContent.vRgbAt(id, f + MediaContent.vTrimOf(id), x, y)
         assert(frames(f)(y * w + x) == ((r << 16) | (g << 8) | b),
           s"id=$id frame $f pixel ($x,$y)")
       }
