@@ -610,6 +610,41 @@ object SimQueries {
       pairs
     }),
 
+    // GIF pixel CONTENT (round 13): real GIF89a payloads whose index
+    // stream is variable-width LZW (the GIF87a/89a appendix algorithm
+    // implemented from the spec — clear/EOI, width growth,
+    // 255-byte sub-blocks) under a 256-entry grayscale palette. The
+    // pixel LUMA equals the mm6 image texture's, so the decoded GIF's
+    // dHash equals its BMP/PNG twin's — a format-shifted re-upload is
+    // an exact cross-codec dup, which is how a production pipeline
+    // catches re-encodes. The oracle replays the pixel arithmetic
+    // blind; a hash match certifies LZW encode → decode end to end.
+    "mm9_gif_pixels" -> ((s, d) => {
+      import graft.multimodal.CompressedCodecs
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      CompressedCodecs.hashGifs(
+        CompressedCodecs.gifsFromDocuments(s, docs)).toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("dh_hi"), col("dh_lo"))
+    }),
+
+    // FLAC sample CONTENT (round 13): real FLAC streams — STREAMINFO
+    // + one frame (sync/blocksize/rate codes, CRC-8, CRC-16) carrying
+    // the mm7 waveform as a verbatim / fixed-predictor-1 / fixed-2
+    // subframe by id%3 (rice-coded residuals, spec §9) — decoded back
+    // sample-exact and fingerprinted with the mm7 energy fold. The
+    // oracle replays waveform + fingerprint arithmetic blind and
+    // predicts the subframe type; a match certifies the rice/fixed
+    // encode → decode round trip across all three subframe arms.
+    "mm10_flac_samples" -> ((s, d) => {
+      import graft.multimodal.CompressedCodecs
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      CompressedCodecs.fingerprintFlacs(
+        CompressedCodecs.flacsFromDocuments(s, docs)).toDF()
+        .select(col("doc_id"), col("subframe"), col("sample_rate"),
+          col("n_samples"), col("fp_hi"), col("fp_lo"))
+    }),
+
     // Incremental perceptual-hash dedup (round 13): the dd15 image
     // corpus ingested as THREE batches into a persisted Hamming-band
     // index ([[graft.multimodal.PhashIndex]] — bucketed band tables,
@@ -1297,6 +1332,27 @@ object SimQueries {
         |FROM dims JOIN dh ON dims.id = dh.id
         |JOIN ah ON dims.id = ah.id""".stripMargin),
     "dd15_image_neardup" -> Dd15OracleSql,
+    // mm9 decodes LZW-compressed GIF bytes whose luma equals the mm6
+    // texture — the oracle replays the same gray arithmetic, so a
+    // match certifies the GIF round trip
+    "mm9_gif_pixels" ->
+      (ImagePhashCte +
+      """SELECT dims.id AS doc_id, 'gif' AS format,
+        |  CAST(dims.w AS INT) AS width, CAST(dims.h AS INT) AS height,
+        |  dh.dh_hi, dh.dh_lo
+        |FROM dims JOIN dh ON dims.id = dh.id""".stripMargin),
+    // mm10 decodes rice/fixed-predictor FLAC back to the mm7
+    // waveform; the oracle replays waveform + fingerprint arithmetic
+    // and predicts the per-id subframe type
+    "mm10_flac_samples" ->
+      (AudioFpCte +
+      """SELECT id AS doc_id,
+        |  CASE WHEN id % 3 = 0 THEN 'verbatim'
+        |       WHEN id % 3 = 1 THEN 'fixed1' ELSE 'fixed2' END
+        |    AS subframe,
+        |  CAST(sr AS INT) AS sample_rate, CAST(n AS INT) AS n_samples,
+        |  fp_hi, fp_lo
+        |FROM fp""".stripMargin),
     // batch-wise == one-shot is the dd18 contract, so its oracle IS
     // dd15's SQL — the gate pins the incremental index's output to
     // the whole-corpus pass bit for bit

@@ -425,6 +425,87 @@ class SimSpec extends SparkSuite {
     assert(run() == a, "kMeans must be bit-deterministic")
   }
 
+  test("CompressedCodecs: LZW survives width growth and dictionary reset") {
+    import graft.multimodal.CompressedCodecs._
+    // the generator's tiny images never push the dictionary past 9-bit
+    // codes; a long pseudo-random stream forces 9→10→11→12-bit growth
+    // AND the 4096-entry clear-and-reset, the paths a real GIF needs
+    var st = 12345L
+    val data = Array.fill(60000) {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      ((st >>> 33) % 256).toInt
+    }
+    val enc = lzwEncode(data, minCodeSize = 8)
+    assert(lzwDecode(enc, 8, data.length).sameElements(data))
+    // KwKwK case: aaa...a produces code==next immediately
+    val runs = Array.fill(500)(7)
+    assert(lzwDecode(lzwEncode(runs, 8), 8, runs.length).sameElements(runs))
+  }
+
+  test("CompressedCodecs: GIF decoder skips extension blocks") {
+    import graft.multimodal.CompressedCodecs._
+    val p = gifPixelBytes(42L)
+    // splice a Graphic Control Extension after the palette (offset
+    // 13 + 768) — real-world GIFs carry these before the descriptor
+    val gce = Array(0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00)
+      .map(_.toByte)
+    val spliced = p.take(13 + 768) ++ gce ++ p.drop(13 + 768)
+    val (w, h, px) = decodeGifPixels(spliced)
+    assert(w == graft.multimodal.ImagePixels.widthOf(42L))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((px(y * w + x) & 0xff) == gifIndexAt(42L, x, y),
+        s"pixel ($x,$y)")
+  }
+
+  test("CompressedCodecs: FLAC round trip is sample-exact; CRCs verified") {
+    import graft.multimodal.CompressedCodecs._
+    import graft.multimodal.MediaContent
+    // one id per subframe arm (verbatim / fixed1 / fixed2)
+    for (id <- Seq(0L, 1L, 2L, 7L, 11L)) {
+      val p = flacAudioBytes(id)
+      val (rate, tname, s) = decodeFlacSamples(p)
+      assert(rate == MediaContent.aRateOf(id))
+      assert(tname == subframeTypeOf(id))
+      assert(s.length == MediaContent.aSamplesOf(id))
+      for (t <- 0 until s.length)
+        assert(s(t) == MediaContent.sampleAt(id, t), s"id=$id t=$t")
+    }
+    // a flipped payload bit must fail a CRC, not decode silently
+    val p = flacAudioBytes(4L)
+    val corrupt = p.clone()
+    corrupt(p.length - 40) = (corrupt(p.length - 40) ^ 0x10).toByte
+    intercept[Exception](decodeFlacSamples(corrupt))
+  }
+
+  test("CompressedCodecs: constant FLAC subframes decode") {
+    import graft.multimodal.CompressedCodecs._
+    // the generator never emits constant subframes (the waveform is
+    // never flat) but the decoder must read them; hand-build one by
+    // swapping the subframe of a tiny frame is overkill — instead
+    // verify via the public crc helpers that a constant stream the
+    // spec describes round-trips through the reader's constant arm
+    // using a minimal hand-assembled frame
+    val n = 2112 // >= 65 energy frames so the fingerprint fold works
+    val head = flacAudioBytes(0L).take(42) // STREAMINFO template (n=2112)
+    val bw = java.nio.ByteBuffer.allocate(16 + n * 0)
+    // frame: sync+codes as the generator writes them
+    val fh = new java.io.ByteArrayOutputStream
+    fh.write(Array(0xFF, 0xF8, 0x7D, 0x08, 0x00).map(_.toByte))
+    fh.write(Array(((n - 1) >> 8) & 0xff, (n - 1) & 0xff).map(_.toByte))
+    fh.write(Array(0x1F, 0x40).map(_.toByte)) // 8000 Hz
+    val hdr = fh.toByteArray
+    val withCrc8 = hdr :+ crc8(hdr, 0, hdr.length).toByte
+    val sub = Array(0x00, 0x00, 0x2A).map(_.toByte) // constant, value 42
+    val frame = withCrc8 ++ sub
+    val c16 = crc16(frame, 0, frame.length)
+    val payload = head ++ frame ++
+      Array(((c16 >> 8) & 0xff).toByte, (c16 & 0xff).toByte)
+    val (rate, tname, s) = decodeFlacSamples(payload)
+    assert(rate == 8000 && tname == "constant")
+    assert(s.length == n && s.forall(_ == 42))
+    bw.clear()
+  }
+
   test("frameSampleIndices: even spacing, cap, and zero-duration guard") {
     val df = Seq((1L, 10000.0), (2L, 0.0)).toDF("id", "dur_ms")
     val got = df.select($"id",
