@@ -20,8 +20,15 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
   * rank-error bound ε — the merged summary still answers any quantile
   * within ε·n ranks); deletes recompute the touched groups (summaries
   * don't subtract). The estimate — not an exact percentile — is the
-  * declared output, and the transparent rewrite never serves it
-  * (estimator-policy precedent: the HLL column).
+  * declared output. The transparent rewrite serves a query's
+  * `approx_percentile(x, p, acc)` ONLY when `acc` names this
+  * summary's exact operating point (acc = 1/ε): the function's own
+  * contract declares rank error ≤ n/acc, GK-vs-GK at the same ε
+  * means the served answer conforms to exactly the tolerance the
+  * query asked for. Spark's 2-arg default (acc 10000) and any other
+  * accuracy decline, as does HLL always (DataSketches vs HLL++ is a
+  * different estimator FAMILY, with no user-named shared tolerance
+  * to certify against).
   *
   * At 100 TB: the sketch is O(1/ε · log(εn)) per group regardless of
   * row count, the aggregate is partial-aggregatable

@@ -624,7 +624,23 @@ object GraftMvs {
     keyExprs.foreach { case (a, _) => require(!a.startsWith("__"),
       s"CREATE MATERIALIZED VIEW: key alias '$a' collides with the " +
         "engine's internal accumulator prefix '__'") }
-    ParsedSelect(factRel, dimRels, keys, aggs, where, keyExprs)
+    // approx_percentile with an explicit accuracy: the stored GK
+    // summary has ONE operating point (ε = QuantileSketch.Epsilon),
+    // so a 3-arg CREATE must name exactly it (then stores the same
+    // qtile:<p> spec the 2-arg form does); any other accuracy is a
+    // different estimator the store cannot answer — refuse loudly
+    val aggsN = aggs.map { a =>
+      a.func.split(':') match {
+        case Array("qtile", p, acc) =>
+          val want = math.round(1.0 / graft.expressions.QuantileSketch.Epsilon)
+          require(acc.toLong == want,
+            "CREATE MATERIALIZED VIEW: approx_percentile accuracy " +
+              s"$acc does not match the stored GK summary's 1/ε = $want")
+          a.copy(func = s"qtile:$p")
+        case _ => a
+      }
+    }
+    ParsedSelect(factRel, dimRels, keys, aggsN, where, keyExprs)
   }
 
   /** Column-reference resolution over the (optionally star-joined)
@@ -807,11 +823,12 @@ object GraftMvs {
       // approximate percentile maintains as a stored GK quantile
       // summary ([[graft.expressions.QuantileSketch]]): insert-only
       // deltas FOLD by summary merge (rank error stays ≤ ε·n), deletes
-      // recompute the touched groups. Same estimator policy as HLL:
-      // the estimate is the declared output and the rewrite never
-      // serves it.
-      case "approx_percentile" => f.arguments match {
-        case Seq(a: UnresolvedAttribute, Literal(p, _)) =>
+      // recompute the touched groups. The estimate is the declared
+      // output; the rewrite serves it ONLY to queries naming the
+      // summary's own accuracy (see [[QuantileSketch]] — HLL stays
+      // never-served, a different estimator family).
+      case "approx_percentile" =>
+        def quantileOf(p: Any): Double = {
           val pd = p match {
             case d: org.apache.spark.sql.types.Decimal => d.toDouble
             case d: Double => d
@@ -822,11 +839,33 @@ object GraftMvs {
           }
           require(pd >= 0.0 && pd <= 1.0,
             s"CREATE MATERIALIZED VIEW: quantile $pd out of [0, 1]")
-          AggSpec(out, s"qtile:$pd", Some(a.nameParts.mkString(".")))
-        case other => throw new IllegalArgumentException(
-          "CREATE MATERIALIZED VIEW: approx_percentile takes " +
-            s"(column, quantile literal); got (${other.map(_.sql).mkString(", ")})")
-      }
+          pd
+        }
+        f.arguments match {
+          case Seq(a: UnresolvedAttribute, Literal(p, _)) =>
+            AggSpec(out, s"qtile:${quantileOf(p)}",
+              Some(a.nameParts.mkString(".")))
+          // 3-arg form carries the ACCURACY in the spec: the rewrite
+          // serves a query's approx_percentile only when its accuracy
+          // literal names the stored summary's exact operating point
+          // (estimator identity, not just estimator family); CREATE
+          // normalizes it away after validating ([[parseSelect]])
+          case Seq(a: UnresolvedAttribute, Literal(p, _),
+              Literal(acc, t)) if t == IntegerType || t == LongType =>
+            val accL = acc match {
+              case i: Int => i.toLong
+              case l: Long => l
+              case other => throw new IllegalArgumentException(
+                s"approx_percentile accuracy must be integral: $other")
+            }
+            require(accL > 0, s"approx_percentile accuracy $accL <= 0")
+            AggSpec(out, s"qtile:${quantileOf(p)}:$accL",
+              Some(a.nameParts.mkString(".")))
+          case other => throw new IllegalArgumentException(
+            "CREATE MATERIALIZED VIEW: approx_percentile takes " +
+              "(column, quantile literal[, accuracy literal]); got " +
+              s"(${other.map(_.sql).mkString(", ")})")
+        }
       case other => throw new IllegalArgumentException(
         s"CREATE MATERIALIZED VIEW: aggregate '$other' is not " +
           "maintainable here (supported: count, count(DISTINCT), " +
@@ -889,16 +928,24 @@ object GraftMvs {
 
   /** The view's SELECT as real Spark aggregates — the authority for
     * the served output types (probed once at CREATE). */
-  private def realAggCols(aggs: Seq[AggSpec]): Seq[Column] = aggs.map { a =>
+  private def realAggCols(aggs: Seq[AggSpec],
+                          srcSchema: StructType): Seq[Column] = aggs.map { a =>
     (a.func match {
       case "count_star"     => count(lit(1))
       case "count"          => count(col(a.arg.get))
       case "count_distinct" => countDistinct(col(a.arg.get))
       case "hll" => hll_sketch_estimate(hll_sketch_agg(col(a.arg.get)))
-      case q if q.startsWith("qtile:") => // the serve expression itself
+      case q if q.startsWith("qtile:") =>
+        // the serve expression itself, cast back to the INPUT type —
+        // Spark's approx_percentile returns its input type (a double
+        // estimate truncates to long on integral inputs), and the
+        // declared output must be what Spark's own aggregate would
+        // produce or the accuracy-matched rewrite would change a
+        // served query's schema
         graft.expressions.QuantileSketch.estimateCol(
           graft.expressions.QuantileSketch.sketchAgg(
             col(a.arg.get).cast("double")), qtileP(q))
+          .cast(fieldOf(srcSchema, a.arg.get).dataType)
       case "sum"            => sum(col(a.arg.get))
       case "avg"            => avg(col(a.arg.get))
       case "min"            => min(col(a.arg.get))
@@ -1048,7 +1095,8 @@ object GraftMvs {
     val live = where.fold(derived)(w => derived.where(expr(w)))
     keys.foreach(k => fieldOf(derived.schema, k))
     val outSchema = live.groupBy(keys.map(col): _*)
-      .agg(realAggCols(aggs).head, realAggCols(aggs).tail: _*).schema
+      .agg(realAggCols(aggs, derived.schema).head,
+        realAggCols(aggs, derived.schema).tail: _*).schema
     val stor = storageSchema(derived.schema, keys, aggs,
       withGkCol = anyLeft)
     // BUCKETED BY (n): the STORE is laid out on the group keys — the

@@ -612,9 +612,24 @@ object MvRewrite {
     // grain is coarser). An approx_count_distinct never serves: the
     // store's DataSketches estimate is a DIFFERENT approximation
     // than Spark's native HLL++, so serving would change the query's
-    // result.
+    // result. approx_percentile serves ONLY on estimator identity:
+    // the query names the accuracy literal equal to the stored GK
+    // summary's 1/ε (both are Spark QuantileSummaries at that point);
+    // Spark's 2-arg default (10000) and any other accuracy decline,
+    // and rollup declines (per-group summaries don't re-aggregate in
+    // the exact rollup arm).
     def matchSpec(spec: GraftMvs.AggSpec): Option[GraftMvs.AggSpec] =
-      if (spec.func == "hll" || spec.func.startsWith("qtile:")) None
+      if (spec.func == "hll") None
+      else if (spec.func.startsWith("qtile:")) {
+        val want = math.round(1.0 / graft.expressions.QuantileSketch.Epsilon)
+        spec.func.split(':') match {
+          case Array("qtile", p, acc)
+              if acc.toLong == want && !rollup =>
+            d.aggs.find(m => m.func == s"qtile:$p" &&
+              m.arg.map(norm) == spec.arg.map(norm))
+          case _ => None
+        }
+      }
       else d.aggs.find(m => m.func == spec.func &&
           m.arg.map(norm) == spec.arg.map(norm))
         .filter(_ => !rollup || GraftMvs.rollupable(spec))

@@ -379,8 +379,11 @@ class MvSpec extends SparkSuite {
         .collect().map(r => (r.getInt(0), r.getLong(1).toDouble))
         .groupBy(_._1).map { case (g, vs) =>
           g -> vs.map(_._2).sorted.toIndexedSeq }
+      // declared output type = Spark's approx_percentile contract:
+      // the INPUT type (long m → long estimates)
       val served = GraftMvs.read(spark, "mv_qt").collect()
-        .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+        .map(r => r.getInt(0) ->
+          ((r.getLong(1).toDouble, r.getLong(2).toDouble))).toMap
       for ((g, sorted) <- byGrp; (p, est) <- Seq(
           (0.5, served(g)._1), (0.95, served(g)._2))) {
         val n = sorted.length
@@ -429,15 +432,64 @@ class MvSpec extends SparkSuite {
     GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_qt")
     checkBounds()
 
-    // estimator policy: a query's native approx_percentile never
-    // serves from the GK store (different approximation)
+    // estimator policy: a query's 2-arg approx_percentile (Spark's
+    // default accuracy 10000) and any NON-matching accuracy never
+    // serve from the GK store — a different operating point is a
+    // different estimator
     val e = GraftSqlTables.lookup(Seq("mv_qt_src")).get
-    val q = GraftSql.execute(spark,
-      "SELECT grp, approx_percentile(m, 0.5) AS p50, count(*) AS n " +
-        "FROM mv_qt_src GROUP BY grp")
-    assert(q.queryExecution.executedPlan.toString.contains(e.root),
-      "approx_percentile queries must never serve from the summary " +
-        "store (different estimator)")
+    for (call <- Seq("approx_percentile(m, 0.5)",
+        "approx_percentile(m, 0.5, 5000)")) {
+      val q = GraftSql.execute(spark,
+        s"SELECT grp, $call AS p50, count(*) AS n " +
+          "FROM mv_qt_src GROUP BY grp")
+      assert(q.queryExecution.executedPlan.toString.contains(e.root),
+        s"$call must never serve from the summary store " +
+          "(mismatched estimator operating point)")
+    }
+    // estimator IDENTITY serves: accuracy 1/ε names the exact same
+    // QuantileSummaries operating point the store folds, so the
+    // served answer is what Spark's own aggregate would return —
+    // pinned value-identical against vanilla execution on the base
+    val acc = math.round(1.0 / graft.expressions.QuantileSketch.Epsilon)
+    val matchedSql =
+      s"SELECT grp, approx_percentile(m, 0.5, $acc) AS p50, " +
+        s"count(*) AS n FROM mv_qt_src GROUP BY grp"
+    val servedQ = GraftSql.execute(spark, matchedSql)
+    assert(!servedQ.queryExecution.executedPlan.toString.contains(e.root),
+      "accuracy-matched approx_percentile must serve from the store")
+    val vanilla = Sinks.readCommitted(spark, e.root,
+      new TxnManifest(e.manifestPath))
+      .groupBy(col("grp")).agg(
+        expr(s"approx_percentile(m, 0.5, $acc)").as("p50"),
+        count(lit(1)).as("n"))
+    val sv = servedQ.collect().map(r =>
+      r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val vn = vanilla.collect().map(r =>
+      r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sv.keySet == vn.keySet)
+    // the served answer honors the TOLERANCE the query itself named:
+    // approx_percentile(x, p, acc) declares rank error ≤ n/acc, and
+    // GK-vs-GK at the same ε means served and vanilla are both
+    // conforming answers (bitwise equality does NOT survive
+    // incremental folds — the summaries' sampled tuples differ with
+    // merge order — which is exactly why the accuracy literal, not
+    // estimator family, is the serve condition)
+    val exact = Sinks.readCommitted(spark, e.root,
+      new TxnManifest(e.manifestPath))
+      .where(col("m").isNotNull).select("grp", "m")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, vs) =>
+        g -> vs.map(_._2).sorted.toIndexedSeq }
+    for ((g, (p50s, ns)) <- sv) {
+      assert(ns == vn(g)._2, s"grp $g: count served $ns vs ${vn(g)._2}")
+      val sorted = exact(g)
+      val slack = sorted.length.toDouble / acc + 1
+      val target = 0.5 * sorted.length
+      val lo = sorted.count(_ < p50s); val hi = sorted.count(_ <= p50s)
+      assert(hi >= target - slack && lo <= target + slack,
+        s"grp $g: served p50 $p50s at ranks ($lo, $hi] misses " +
+          s"target $target ± $slack (vanilla: ${vn(g)._1})")
+    }
     GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_qt")
   }
 
