@@ -1807,8 +1807,21 @@ object GraftMvs {
     * VIEWS`. Order is BOTTOM-UP over the MV-on-MV chains (children
     * before the views that read them, ties by name), so one sweep
     * converges a whole summary pyramid: each parent folds the delta
-    * its child just committed. Independent commits per view. */
-  def refreshAll(spark: SparkSession): Seq[(String, Int, Int, Boolean)] = {
+    * its child just committed. Independent commits per view.
+    *
+    * `withinStaleness` (`... WITHIN STALENESS`, opt-in): skip every
+    * view that can currently SERVE — fresh, or inside its declared
+    * MAX_STALENESS bound. At refresh-storm scale a nightly sweep
+    * over hundreds of dashboards only pays for the views whose
+    * serving contract actually lapsed; a bounded-stale view's whole
+    * point is that it doesn't need the refresh yet. Chain semantics
+    * stay per-view: a parent inside its bound skips even when its
+    * child just advanced (the parent's own last REFRESH governs its
+    * bound — a fresher child makes it unfresh, not unservable), and
+    * it catches up on the sweep after its bound lapses. Skipped
+    * views report (cur, cur, applied=false). */
+  def refreshAll(spark: SparkSession, withinStaleness: Boolean = false)
+    : Seq[(String, Int, Int, Boolean)] = {
     // chain depth = #MV hops under the view's source (0 = reads a
     // table); a cycle would loop the walk, so cap it — refresh()
     // itself refuses cycles loudly, the sort just needs an order
@@ -1825,8 +1838,16 @@ object GraftMvs {
       d
     }
     allViews.map(n => (depthOf(n), n)).sorted.map { case (_, n) =>
-      val (f, t, a) = refresh(spark, n)
-      (n, f, t, a)
+      if (withinStaleness && servableFor(spark, n).isDefined) {
+        val baseDir = lookup(n).get
+        val mvB = new TxnManifest(manifestPath(baseDir))
+          .committed().keys.maxOption.getOrElse(-1)
+        val v = if (mvB < 0) -1 else stateFor(baseDir, mvB)._1
+        (n, v, v, false) // still servable: skipped by request
+      } else {
+        val (f, t, a) = refresh(spark, n)
+        (n, f, t, a)
+      }
     }
   }
 
@@ -2057,12 +2078,15 @@ final case class GraftMvDropCommand(name: String, ifExists: Boolean = false)
   }
 }
 
-/** `REFRESH ALL MATERIALIZED VIEWS` → one row per registered view
-  * (name, from_version, to_version, applied) — the nightly
-  * maintenance sweep as one statement. Views refresh independently;
-  * a failing view fails the statement AFTER the prior views
-  * committed (each refresh is its own atomic commit). */
-final case class GraftMvRefreshAllCommand() extends LeafRunnableCommand {
+/** `REFRESH ALL MATERIALIZED VIEWS [WITHIN STALENESS]` → one row per
+  * registered view (name, from_version, to_version, applied) — the
+  * nightly maintenance sweep as one statement. Views refresh
+  * independently; a failing view fails the statement AFTER the prior
+  * views committed (each refresh is its own atomic commit). WITHIN
+  * STALENESS (opt-in) skips views that can still serve — fresh or
+  * inside their declared MAX_STALENESS bound. */
+final case class GraftMvRefreshAllCommand(withinStaleness: Boolean = false)
+  extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
   override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(AttributeReference("name", StringType, nullable = false)(),
@@ -2070,7 +2094,8 @@ final case class GraftMvRefreshAllCommand() extends LeafRunnableCommand {
       AttributeReference("to_version", IntegerType, nullable = false)(),
       AttributeReference("applied", BooleanType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    GraftMvs.refreshAll(spark).map { case (n, f, t, a) => Row(n, f, t, a) }
+    GraftMvs.refreshAll(spark, withinStaleness)
+      .map { case (n, f, t, a) => Row(n, f, t, a) }
 }
 
 /** `OPTIMIZE MATERIALIZED VIEW <name>` — bin-pack the view's store

@@ -354,8 +354,14 @@ object MvRewrite {
       case None => return None
     }
     // a single-part name Spark itself resolves is a temp view — it
-    // shadows the registered graft table, so the view must not serve
+    // shadows the registered graft table, so the view must not serve.
+    // EXCEPT a registered MV's own name: CREATE auto-registers a temp
+    // view under it as the vanilla-SQL serving surface, and GraftSql
+    // always resolves an MV name to the MV store (substitute checks
+    // the MV registry before anything else) — so for an MV-sourced
+    // parent the temp view IS the expected resolution, not a shadow
     def shadowed(n: String): Boolean = !n.contains('.') &&
+      GraftMvs.lookup(n).isEmpty &&
       (try spark.catalog.tableExists(n)
        catch { case scala.util.control.NonFatal(_) => false })
     if (shadowed(srcName) || dimNames.exists(shadowed)) return None

@@ -1324,7 +1324,7 @@ object GraftMaintenance {
   private val MvShow =
     """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*""".r
   private val MvRefreshAll =
-    """(?is)\s*REFRESH\s+ALL\s+MATERIALIZED\s+VIEWS\s*;?\s*""".r
+    """(?is)\s*REFRESH\s+ALL\s+MATERIALIZED\s+VIEWS(\s+WITHIN\s+STALENESS)?\s*;?\s*""".r
   private val MvDescribe =
     """(?is)\s*DESCRIBE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
   private val MvOptimize =
@@ -1365,7 +1365,8 @@ object GraftMaintenance {
         Some(GraftMvAlterStalenessCommand(name,
           if (clear != null) None
           else Some(stalenessMs(staleN, staleU))))
-      case MvRefreshAll() => Some(GraftMvRefreshAllCommand())
+      case MvRefreshAll(within) =>
+        Some(GraftMvRefreshAllCommand(withinStaleness = within != null))
       case MvRefresh(name, full) =>
         Some(GraftMvRefreshCommand(name, full != null))
       case MvDrop(ifEx, name) =>

@@ -2117,4 +2117,79 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(desc("max_staleness_ms") == (5 * 60 * 1000L).toString)
     GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_stale")
   }
+
+  test("MAX_STALENESS across chains + REFRESH ALL WITHIN STALENESS") {
+    import graft.plans.{GraftSql, GraftSqlTables}
+    import graft.sources.{StatsSinks, TxnManifest}
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_mvchstale_").toString
+    val root = s"$base/src"
+    val man = new TxnManifest(s"$base/manifest.tsv")
+    StatsSinks.appendBatchStats(spark.range(2000).select(col("id"),
+      (col("id") % 100).cast("int").as("g100"),
+      (col("id") % 10).cast("int").as("g10")), root, 0)
+    man.commit(0, Seq(s"$root/batch=0"))
+    GraftSqlTables.register("chstale_src", GraftSqlTables.Entry(root,
+      s"$base/manifest.tsv", keys = Seq("id"), cdf = true))
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_chst_child LOCATION '$base/mv1' AS " +
+        "SELECT g100, g10, count(*) AS n FROM chstale_src " +
+        "GROUP BY g100, g10")
+    val pq = "SELECT g10, sum(n) AS n FROM mv_chst_child GROUP BY g10"
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_chst_par LOCATION '$base/mv2' " +
+        s"MAX_STALENESS INTERVAL '1' HOURS AS $pq")
+    GraftSql.execute(spark, "REFRESH ALL MATERIALIZED VIEWS")
+    def parentServes(): Boolean = !GraftSql.execute(spark, pq)
+      .queryExecution.executedPlan.toString.contains(s"$base/mv1")
+    assert(parentServes(), "fresh chained parent must serve")
+    val atRefresh = GraftSql.execute(spark, pq).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    // the child advances (insert + its own refresh): the parent is
+    // now UNFRESH, but its own declared bound governs serve — the
+    // parent's last refresh is within 1 hour, so it keeps serving
+    // its last-refreshed contents (chain-staleness semantics: the
+    // PARENT's refresh clock, never the child's, owns the bound)
+    StatsSinks.appendBatchStats(spark.range(2000, 2400).select(col("id"),
+      (col("id") % 100).cast("int").as("g100"),
+      (col("id") % 10).cast("int").as("g10")), root, 1)
+    man.commit(1, Seq(s"$root/batch=1"))
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_chst_child")
+    assert(parentServes(),
+      "chained parent within its bound must serve after the child advances")
+    assert(GraftSql.execute(spark, pq).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap == atRefresh,
+      "bounded-stale chained parent serves LAST-REFRESH contents")
+
+    // REFRESH ALL WITHIN STALENESS skips the servable parent (bound
+    // not lapsed) — it stays stale
+    val sweep = GraftSql.execute(spark,
+      "REFRESH ALL MATERIALIZED VIEWS WITHIN STALENESS").collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(!sweep("mv_chst_par"),
+      "WITHIN STALENESS must skip a parent inside its bound")
+    assert(GraftSql.execute(spark, pq).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap == atRefresh,
+      "skipped parent still serves last-refresh contents")
+
+    // bound lapses → the sweep now refreshes it and it catches up
+    GraftSql.execute(spark, "ALTER MATERIALIZED VIEW mv_chst_par " +
+      "SET MAX_STALENESS INTERVAL '1' SECONDS")
+    Thread.sleep(1500)
+    assert(!parentServes(), "past the bound the parent declines")
+    val sweep2 = GraftSql.execute(spark,
+      "REFRESH ALL MATERIALIZED VIEWS WITHIN STALENESS").collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(sweep2("mv_chst_par"),
+      "WITHIN STALENESS must refresh a view past its bound")
+    assert(parentServes(), "caught-up parent serves again")
+    val after = GraftSql.execute(spark, pq).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after.values.sum == 2400,
+      s"caught-up parent must see the child's advance: $after")
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_chst_par")
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_chst_child")
+  }
 }
