@@ -645,6 +645,81 @@ object SimQueries {
           col("n_samples"), col("fp_hi"), col("fp_lo"))
     }),
 
+    // Cross-modal curation composite (round 13) — the multimodal twin
+    // of cur1, proving the multimodal pieces COMPOSE: decode both
+    // modalities once (image dHash + audio fingerprint, scan-speed
+    // mapPartitions) → per-modality banded near-dup pairs under the
+    // shared corpus-derived geometry → union into one edge set → star
+    // connected components → keep one doc per cluster → shard-pack
+    // survivors by content bytes into ~64 KB shards within 256
+    // deterministic hash buckets (the t16 per-bucket-cumsum shape:
+    // no global sort, no single-partition window). The only shuffles
+    // are the two band self-joins, the CC rounds, and the final
+    // bucket window — ScaleSpec pins the plan never goes all-pairs.
+    "cur2_multimodal_curation" -> ((s, d) => {
+      import graft.multimodal.{ImagePixels, MediaContent}
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val img = ImagePixels.hashImages(
+        ImagePixels.imagesFromDocuments(s, docs)).toDF()
+        .select(col("doc_id").as("id"), col("dh_hi").as("hi"),
+          col("dh_lo").as("lo"),
+          (col("width") * col("height") * 3).cast("long").as("ibytes"))
+        .localCheckpoint() // pairs + sizing read it; decode once
+      val aud = MediaContent.fingerprintAudio(
+        MediaContent.audioFromDocuments(s, docs)).toDF()
+        .select(col("doc_id").as("id"), col("fp_hi").as("hi"),
+          col("fp_lo").as("lo"),
+          (col("n_samples") * 2).cast("long").as("abytes"))
+        .localCheckpoint()
+      val nDocs = docs.count()
+      val bspec = graft.sim.HammingBands.spec(
+        graft.sim.HammingBands.bits(nDocs, occ = 4))
+      def neardupPairs(h: DataFrame): DataFrame = {
+        val ufp = shiftleft(col("hi"), 32).bitwiseOR(col("lo"))
+        def band(shf: Int, wd: Int): Column =
+          shiftrightunsigned(ufp, shf).bitwiseAND(lit((1L << wd) - 1))
+        val bands = h.select(col("id"),
+          explode(array(bspec.zipWithIndex.map { case ((shf, wd), i) =>
+            struct(lit(i).as("bi"), band(shf, wd).as("bv")) }: _*)).as("b"))
+          .select(col("id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+        val cand = bands.as("a").join(bands.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+            col("a.id") < col("b.id"))
+          .select(col("a.id").as("a"), col("b.id").as("b")).distinct()
+        cand
+          .join(h.select(col("id").as("a"), col("hi").as("hi1"),
+            col("lo").as("lo1")), Seq("a"))
+          .join(h.select(col("id").as("b"), col("hi").as("hi2"),
+            col("lo").as("lo2")), Seq("b"))
+          .filter((expr("bit_count(lo1 ^ lo2)") +
+            expr("bit_count(hi1 ^ hi2)")) <= 8)
+          .select(col("a"), col("b"))
+      }
+      val edges = neardupPairs(img.select("id", "hi", "lo"))
+        .unionAll(neardupPairs(aud.select("id", "hi", "lo"))).distinct()
+      val cc = graft.text.DedupClusters.connectedComponentsStar(
+        docs.select(col("doc_id").as("id")), edges)
+      val members = cc.groupBy(col("canonical_id"))
+        .agg(count(lit(1)).as("n_members"))
+      val bucket = { // cur1's md5-prefix bucket, portable to DuckDB
+        val h = md5(col("id").cast("string"))
+        ((instr(lit("0123456789abcdef"), substring(h, 1, 1)) - 1) * 16 +
+          (instr(lit("0123456789abcdef"), substring(h, 2, 1)) - 1))
+          .cast("int")
+      }
+      val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
+      cc.filter(col("id") === col("canonical_id"))
+        .join(members, Seq("canonical_id"))
+        .join(img.select(col("id"), col("ibytes")), Seq("id"))
+        .join(aud.select(col("id"), col("abytes")), Seq("id"))
+        .withColumn("bytes", col("ibytes") + col("abytes"))
+        .withColumn("bucket", bucket)
+        .withColumn("cum", sum(col("bytes")).over(w))
+        .select(col("id"), col("n_members"), col("bytes"), col("bucket"),
+          floor((col("cum") - 1) / 65536.0).cast("long").as("shard"))
+    }),
+
     // Incremental perceptual-hash dedup (round 13): the dd15 image
     // corpus ingested as THREE batches into a persisted Hamming-band
     // index ([[graft.multimodal.PhashIndex]] — bucketed band tables,
@@ -1332,6 +1407,104 @@ object SimQueries {
         |FROM dims JOIN dh ON dims.id = dh.id
         |JOIN ah ON dims.id = ah.id""".stripMargin),
     "dd15_image_neardup" -> Dd15OracleSql,
+    // cur2: the full multimodal curation chain replayed blind —
+    // image + audio hash arithmetic (the mm6/mm7 preludes, audio
+    // CTEs renamed to avoid the shared-name collision), shared band
+    // geometry, per-modality pairs, recursive-CTE connected
+    // components, md5-bucket shard packing
+    "cur2_multimodal_curation" ->
+      (ImagePhashCte.replaceFirst("^WITH ", "WITH RECURSIVE ") + ",\n" +
+      """apar AS (
+        |  SELECT id, 2112 + (id % 4) * 256 AS n, (id // 2) % 97 AS seed
+        |  FROM ids),
+        |ats AS (
+        |  SELECT p.id, p.n, p.seed, t.range AS t
+        |  FROM apar p CROSS JOIN range(0, 2880) t WHERE t.range < p.n),
+        |asmp AS (
+        |  SELECT id, t // 32 AS f,
+        |    (((((t + 1) * (2654435761 + seed * 97561)) % 65521) % 2048
+        |       - 1024)
+        |     + CASE WHEN id % 2 = 1 AND t % 499 = 3 THEN 200 ELSE 0 END)
+        |      AS s
+        |  FROM ats),
+        |aen AS (
+        |  SELECT id, f, CAST(sum(s * s) AS BIGINT) AS e
+        |  FROM asmp GROUP BY 1, 2),
+        |fpbits AS (
+        |  SELECT a.id, a.f - 1 AS b,
+        |    CASE WHEN a.e > prev.e THEN 1 ELSE 0 END AS bit
+        |  FROM aen a JOIN aen prev ON a.id = prev.id AND prev.f = a.f - 1
+        |  WHERE a.f >= 1 AND a.f <= 64),
+        |afp AS (
+        |  SELECT id,
+        |    CAST(sum(CASE WHEN b >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END)
+        |      AS BIGINT) AS fp_hi,
+        |    CAST(sum(CASE WHEN b < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END)
+        |      AS BIGINT) AS fp_lo
+        |  FROM fpbits GROUP BY 1),
+        |""".stripMargin + bandSpecSql("ids", occ = 4) + ",\n" +
+      """ibands AS (
+        |  SELECT d.id, b.bi,
+        |    CAST(((CAST(d.dh_hi AS UBIGINT) * 4294967296
+        |           + CAST(d.dh_lo AS UBIGINT)) >> b.shf)
+        |      & ((CAST(1 AS UBIGINT) << b.wd) - 1) AS BIGINT) AS bv
+        |  FROM dh d CROSS JOIN bspec b),
+        |ipairs AS (
+        |  SELECT DISTINCT c.a, c.b FROM (
+        |    SELECT DISTINCT a.id AS a, b.id AS b
+        |    FROM ibands a JOIN ibands b
+        |      ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id) c
+        |  JOIN dh h1 ON c.a = h1.id JOIN dh h2 ON c.b = h2.id
+        |  WHERE bit_count(xor(h1.dh_lo, h2.dh_lo)) +
+        |        bit_count(xor(h1.dh_hi, h2.dh_hi)) <= 8),
+        |abands AS (
+        |  SELECT d.id, b.bi,
+        |    CAST(((CAST(d.fp_hi AS UBIGINT) * 4294967296
+        |           + CAST(d.fp_lo AS UBIGINT)) >> b.shf)
+        |      & ((CAST(1 AS UBIGINT) << b.wd) - 1) AS BIGINT) AS bv
+        |  FROM afp d CROSS JOIN bspec b),
+        |apairs AS (
+        |  SELECT DISTINCT c.a, c.b FROM (
+        |    SELECT DISTINCT a.id AS a, b.id AS b
+        |    FROM abands a JOIN abands b
+        |      ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id) c
+        |  JOIN afp h1 ON c.a = h1.id JOIN afp h2 ON c.b = h2.id
+        |  WHERE bit_count(xor(h1.fp_lo, h2.fp_lo)) +
+        |        bit_count(xor(h1.fp_hi, h2.fp_hi)) <= 8),
+        |medges AS (SELECT a, b FROM ipairs UNION SELECT a, b FROM apairs),
+        |msym AS (SELECT a, b FROM medges UNION SELECT b, a FROM medges),
+        |reach(start, node) AS (
+        |  SELECT id, id FROM ids
+        |  UNION
+        |  SELECT r.start, s.b FROM reach r JOIN msym s ON s.a = r.node),
+        |cc AS (SELECT start AS id, min(node) AS canonical_id
+        |  FROM reach GROUP BY start),
+        |members AS (SELECT canonical_id,
+        |    CAST(count(*) AS BIGINT) AS n_members
+        |  FROM cc GROUP BY 1),
+        |sur AS (
+        |  SELECT cc.id, m.n_members,
+        |    CAST(d.w * d.h * 3 AS BIGINT) + CAST(p.n * 2 AS BIGINT)
+        |      AS bytes
+        |  FROM cc JOIN members m ON m.canonical_id = cc.id
+        |  JOIN dims d ON d.id = cc.id
+        |  JOIN apar p ON p.id = cc.id
+        |  WHERE cc.id = cc.canonical_id),
+        |bkt AS (
+        |  SELECT *, CAST(
+        |    (strpos('0123456789abcdef',
+        |            substr(md5(CAST(id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef',
+        |            substr(md5(CAST(id AS VARCHAR)), 2, 1)) - 1)
+        |    AS INT) AS bucket
+        |  FROM sur)
+        |SELECT id, n_members, bytes, bucket,
+        |  CAST(floor((CAST(sum(bytes) OVER (PARTITION BY bucket
+        |      ORDER BY id) AS BIGINT) - 1) / 65536.0) AS BIGINT) AS shard
+        |FROM bkt""".stripMargin),
+
     // mm9 decodes LZW-compressed GIF bytes whose luma equals the mm6
     // texture — the oracle replays the same gray arithmetic, so a
     // match certifies the GIF round trip

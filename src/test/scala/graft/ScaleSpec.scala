@@ -454,9 +454,11 @@ class ScaleSpec extends SparkSuite {
       assert(ex.isEmpty, s"$q expected exchange-free plan, got:\n$plan")
     }
     // the near-dup family's only repartitioning is the banded LSH
-    // self-join (plus its dedup) — never an all-pairs cartesian
+    // self-join (plus its dedup) — never an all-pairs cartesian; the
+    // cur2 composite chains pairs → CC → shard-pack and must keep
+    // the same property end to end
     for (q <- Seq("dd15_image_neardup", "dd16_audio_neardup",
-        "dd17_video_neardup")) {
+        "dd17_video_neardup", "cur2_multimodal_curation")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf)
         .queryExecution.sparkPlan
       val cart = plan.collectWithSubqueries {
