@@ -488,7 +488,66 @@ object DocQueries {
     // vocabulary yields a tail of coincidental 6-word repeats, so both
     // the full-coverage and the sparse-island code paths run.
     "dd13_dup_spans" -> ((s, d) =>
-      graft.text.DupSpans.profile(dedupCorpus(s, d), col("text"), k = 30))
+      graft.text.DupSpans.profile(dedupCorpus(s, d), col("text"), k = 30)),
+
+    // Exact-substring span dedup at TOKEN grain (round 13) — the
+    // suffix-grain step past dd13's passage-hash approximation, the
+    // Lee et al. (2022) "Deduplicating Training Data" shape: anchor
+    // 8-grams at EVERY token position, candidate (doc, doc, offset)
+    // triples from anchor-equality joins (never all-pairs), and the
+    // in-pair exact extension = maximal runs of consecutive anchor
+    // positions at a constant offset — a duplicated span of L tokens
+    // is exactly L−7 consecutive anchors, so the recovered boundaries
+    // are token-exact and cross ANY passage/window boundary. Planted:
+    // every 50th long-enough doc gets a twin carrying its tokens
+    // 6..45 (a 40-token span starting mid-passage) behind fresh
+    // filler; the in-query guard requires EVERY planted span back
+    // exactly (anchor equality is deterministic — no LSH randomness
+    // to tolerate). Spans ≥ 16 tokens are reported.
+    "dd19_substring_spans" -> ((s, d) => {
+      val k = 8
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val spliced = base
+        .filter(col("doc_id") % 50 === 0 && size(col("w")) >= 45)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(array(lit("zz0"), lit("zz1"), lit("zz2")),
+            slice(col("w"), 6, 40), array(lit("zz3"))).as("w"))
+      val corpus = graft.util.CacheScope.track(base.unionAll(spliced))
+      val anchors = corpus
+        .select(col("doc_id"), posexplode(
+          when(size(col("w")) >= k,
+            transform(sequence(lit(0), size(col("w")) - k),
+              i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(k))))))
+            .otherwise(array())))
+        .toDF("doc_id", "pos", "h")
+      val m = anchors.select(col("doc_id").as("id1"), col("pos").as("pa"),
+          col("h"))
+        .join(anchors.select(col("doc_id").as("id2"), col("pos").as("pb"),
+          col("h")), Seq("h"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("delta", (col("pb") - col("pa")).cast("long"))
+      val w = Window.partitionBy("id1", "id2", "delta").orderBy("pa")
+      val spans = m
+        .withColumn("grpk", col("pa") - row_number().over(w))
+        .groupBy(col("id1"), col("id2"), col("delta"), col("grpk"))
+        .agg(min(col("pa")).cast("long").as("start1"),
+          count(lit(1)).as("n_anchors"))
+        .withColumn("span_tokens", col("n_anchors") + (k - 1))
+        .filter(col("span_tokens") >= 16)
+        .select(col("id1"), col("id2"), col("start1"),
+          (col("start1") + col("delta")).as("start2"), col("span_tokens"))
+        .localCheckpoint() // the recall guard below re-reads it
+      val planted = base
+        .filter(col("doc_id") % 50 === 0 && size(col("w")) >= 45).count()
+      val found = spans.filter(col("id2") === col("id1") + 3000000L &&
+        col("start1") === 5 && col("start2") === 3 &&
+        col("span_tokens") >= 40).select("id1").distinct().count()
+      require(found == planted,
+        s"dd19: recovered $found of $planted planted spans — exact " +
+          "anchor matching must find every one")
+      spans
+    })
   )
 
   private val mhSigCols: String =
@@ -835,6 +894,42 @@ object DocQueries {
     "dd6_dedup_clusters" -> ccOracle,
     // star contraction computes the same components; identical oracle
     "dd8_cc_star" -> ccOracle,
+
+    "dd19_substring_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |spl AS (
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |    list_concat(list_concat(['zz0','zz1','zz2'], w[6:45]),
+        |      ['zz3']) AS w
+        |  FROM base WHERE doc_id % 50 = 0 AND len(w) >= 45),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM spl),
+        |anch0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(w) - 7, 0)),
+        |      i -> {'pos': CAST(i AS BIGINT),
+        |            'h': md5(array_to_string(w[i+1 : i+8], ' '))})) AS u
+        |  FROM corpus),
+        |anch AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM anch0),
+        |m AS (
+        |  SELECT a1.doc_id AS id1, a2.doc_id AS id2, a1.pos AS pa,
+        |    CAST(a2.pos - a1.pos AS BIGINT) AS delta
+        |  FROM anch a1 JOIN anch a2
+        |    ON a1.h = a2.h AND a1.doc_id < a2.doc_id),
+        |runs AS (
+        |  SELECT id1, id2, delta, pa,
+        |    pa - row_number() OVER (PARTITION BY id1, id2, delta
+        |      ORDER BY pa) AS grpk
+        |  FROM m),
+        |agg AS (
+        |  SELECT id1, id2, delta, grpk,
+        |    CAST(min(pa) AS BIGINT) AS start1,
+        |    CAST(count(*) AS BIGINT) AS n_anchors
+        |  FROM runs GROUP BY 1, 2, 3, 4)
+        |SELECT id1, id2, start1,
+        |  CAST(start1 + delta AS BIGINT) AS start2,
+        |  CAST(n_anchors + 7 AS BIGINT) AS span_tokens
+        |FROM agg WHERE n_anchors + 7 >= 16""".stripMargin,
     "dd11_passage_dedup" ->
       s"""WITH $corpusCte,
         |toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus),
