@@ -84,4 +84,37 @@ class IndexSpec extends SparkSuite {
     // and batch 0's rows are still in the re-registered index
     assert(spark.read.parquet(s"$tmp/sets").count() == 3)
   }
+
+  test("PhashIndex: audio fingerprints ingest batch-wise == one-shot; geometry pinned") {
+    import graft.multimodal.{MediaContent, PhashIndex}
+    val tmp = java.nio.file.Files.createTempDirectory("ph_idx_a_").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id")
+    val fps = MediaContent.fingerprintAudio(
+      MediaContent.audioFromDocuments(spark, docs)).toDF()
+      .select($"doc_id".as("id"), $"fp_hi".as("hi"), $"fp_lo".as("lo"))
+      .localCheckpoint()
+    val n = fps.count()
+    val bits = graft.sim.HammingBands.bits(n, occ = 4)
+    // one-shot: all pairs via a single full-corpus ingest into a
+    // scratch index
+    val oneTmp = java.nio.file.Files.createTempDirectory("ph_idx_b_").toString
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = key(PhashIndex.ingestBatch(fps, oneTmp, 0, bits))
+    // batch-wise: %2 split (planted pairs (2k, 2k+1) are cross-batch)
+    val p0 = key(PhashIndex.ingestBatch(
+      fps.filter($"id" % 2 === 0), tmp, 0, bits))
+    val p1 = key(PhashIndex.ingestBatch(
+      fps.filter($"id" % 2 === 1), tmp, 1, bits))
+    assert(oneShot.nonEmpty, "audio corpus must contain near-dup pairs")
+    val cross = p1.filter { case (a, b) => a % 2 != b % 2 }
+    assert(cross.nonEmpty, "expected cross-batch pairs via stored bands")
+    assert((p0 ++ p1) == oneShot)
+    // geometry is an index invariant: a mismatched width refuses
+    val e = intercept[IllegalArgumentException](
+      PhashIndex.ingestBatch(fps, tmp, 2, bandBits = bits + 1))
+    assert(e.getMessage.contains("bandBits"))
+  }
 }
