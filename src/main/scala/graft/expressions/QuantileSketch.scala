@@ -101,6 +101,12 @@ object QuantileSketch {
     ColumnBridge.toColumn(QuantileSketchMerge(
       ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
 
+  /** Column-API AGGREGATE union of serialized summaries — the rollup
+    * serve's cross-group merge (`qtile_merge_agg`). */
+  def mergeAggCol(c: Column): Column =
+    ColumnBridge.toColumn(QuantileSketchMergeAgg(
+      ColumnBridge.toExpression(c)).toAggregateExpression())
+
   /** Column-API estimate: value at quantile `p`, NULL for the empty
     * summary. */
   def estimateCol(sketch: Column, p: Double): Column =
@@ -178,6 +184,59 @@ case class QuantileSketchMerge(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): QuantileSketchMerge =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "qtile_merge"
+}
+
+/** `qtile_merge_agg(binary)` → union of serialized summaries as an
+  * AGGREGATE — the rollup-serve arm's cross-group merge: a query
+  * grouping COARSER than the view re-aggregates stored per-group
+  * summaries, and GK merge preserves the shared ε rank bound (the
+  * merged summary answers any quantile within ε of the combined
+  * count). NULL inputs skip; the empty group yields the empty
+  * summary (estimate NULL), matching vanilla approx_percentile over
+  * zero rows. Cost: one deserialize+merge per STORED GROUP — rollup
+  * reads summary rows, never source rows. */
+case class QuantileSketchMergeAgg(child: Expression,
+                                  mutableAggBufferOffset: Int = 0,
+                                  inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QuantileSummaries]
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+
+  override def createAggregationBuffer(): QuantileSummaries =
+    QuantileSketch.emptySummary()
+
+  override def update(buffer: QuantileSummaries,
+                      input: InternalRow): QuantileSummaries = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else buffer.compress().merge(
+      QuantileSketch.deserialize(v.asInstanceOf[Array[Byte]]).compress())
+  }
+
+  override def merge(buffer: QuantileSummaries,
+                     other: QuantileSummaries): QuantileSummaries =
+    buffer.compress().merge(other.compress())
+
+  override def eval(buffer: QuantileSummaries): Any =
+    QuantileSketch.serialize(buffer)
+
+  override def serialize(buffer: QuantileSummaries): Array[Byte] =
+    QuantileSketch.serialize(buffer)
+
+  override def deserialize(bytes: Array[Byte]): QuantileSummaries =
+    QuantileSketch.deserialize(bytes)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "qtile_merge_agg"
+
+  override def withNewMutableAggBufferOffset(n: Int): QuantileSketchMergeAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): QuantileSketchMergeAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression)
+    : QuantileSketchMergeAgg = copy(child = c)
 }
 
 /** Scalar estimate: the summary's value at quantile `p` (rank error

@@ -223,6 +223,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"got ${exprs.length}")
         graft.expressions.QuantileSketchMerge(exprs.head, exprs(1))
       }))
+    ext.injectFunction((FunctionIdentifier("qtile_merge_agg"),
+      new ExpressionInfo(
+        classOf[graft.expressions.QuantileSketchMergeAgg].getName,
+        "qtile_merge_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"qtile_merge_agg(sketch) takes exactly one argument, " +
+            s"got ${exprs.length}")
+        graft.expressions.QuantileSketchMergeAgg(exprs.head)
+      }))
     ext.injectFunction((FunctionIdentifier("qtile_estimate"),
       new ExpressionInfo(
         classOf[graft.expressions.QuantileSketchEstimate].getName,

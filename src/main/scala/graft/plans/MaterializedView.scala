@@ -2001,6 +2001,14 @@ object GraftMvs {
               .cast(outT(a))
           case "min" => min(col(a.out)).cast(outT(a))
           case "max" => max(col(a.out)).cast(outT(a))
+          // coarser-grain percentile: union the stored per-group GK
+          // summaries (qtile_merge_agg) — the merge preserves the
+          // shared ε rank bound, and the empty merge estimates NULL
+          // exactly like vanilla approx_percentile over zero rows
+          case q if q.startsWith("qtile:") =>
+            graft.expressions.QuantileSketch.estimateCol(
+              graft.expressions.QuantileSketch.mergeAggCol(col(a.out)),
+              qtileP(q)).cast(outT(a))
           case other => throw new IllegalStateException(
             s"rollup over non-rollupable aggregate '$other'") // guarded upstream
         }).as(rolledName(a))

@@ -621,16 +621,15 @@ object MvRewrite {
     // result. approx_percentile serves ONLY on estimator identity:
     // the query names the accuracy literal equal to the stored GK
     // summary's 1/ε (both are Spark QuantileSummaries at that point);
-    // Spark's 2-arg default (10000) and any other accuracy decline,
-    // and rollup declines (per-group summaries don't re-aggregate in
-    // the exact rollup arm).
+    // Spark's 2-arg default (10000) and any other accuracy decline.
+    // Rollup serves too: coarser grains re-merge the stored per-group
+    // summaries (GK merge keeps the shared ε bound).
     def matchSpec(spec: GraftMvs.AggSpec): Option[GraftMvs.AggSpec] =
       if (spec.func == "hll") None
       else if (spec.func.startsWith("qtile:")) {
         val want = math.round(1.0 / graft.expressions.QuantileSketch.Epsilon)
         spec.func.split(':') match {
-          case Array("qtile", p, acc)
-              if acc.toLong == want && !rollup =>
+          case Array("qtile", p, acc) if acc.toLong == want =>
             d.aggs.find(m => m.func == s"qtile:$p" &&
               m.arg.map(norm) == spec.arg.map(norm))
           case _ => None

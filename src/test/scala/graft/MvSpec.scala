@@ -490,6 +490,25 @@ class MvSpec extends SparkSuite {
         s"grp $g: served p50 $p50s at ranks ($lo, $hi] misses " +
           s"target $target ± $slack (vanilla: ${vn(g)._1})")
     }
+    // ROLLUP serve: a COARSER grain (here: the global aggregate)
+    // re-merges the stored per-group summaries via qtile_merge_agg —
+    // GK merge keeps the shared ε bound, so the merged answer
+    // conforms to the same declared tolerance over the combined count
+    val gq = GraftSql.execute(spark,
+      s"SELECT approx_percentile(m, 0.5, $acc) AS p50, count(*) AS n " +
+        "FROM mv_qt_src")
+    assert(!gq.queryExecution.executedPlan.toString.contains(e.root),
+      "accuracy-matched rollup percentile must serve from the store")
+    val grow = gq.collect().head
+    val allSorted = exact.values.flatten.toIndexedSeq.sorted
+    val gslack = allSorted.length.toDouble / acc + 1
+    val gtarget = 0.5 * allSorted.length
+    val gp = grow.getLong(0)
+    val glo = allSorted.count(_ < gp); val ghi = allSorted.count(_ <= gp)
+    assert(ghi >= gtarget - gslack && glo <= gtarget + gslack,
+      s"rollup p50 $gp at ranks ($glo, $ghi] misses $gtarget ± $gslack")
+    assert(grow.getLong(1) == Sinks.readCommitted(spark, e.root,
+      new TxnManifest(e.manifestPath)).count(), "rollup count must be exact")
     GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_qt")
   }
 
