@@ -764,6 +764,80 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming image near-dup == batch banded candidates (Hamming-band state)") {
+    // the streaming twin of dd15 — perceptual near-dup AT INGEST,
+    // completing the multimodal arc the MinHash twin above opened for
+    // text: each arriving image DECODES per row (the scan-speed
+    // mapPartitions contract holds inside a stream's map), bands its
+    // 64-bit dHash under the SAME corpus-derived geometry the batch
+    // pass uses, and flatMapGroupsWithState keyed by band bucket
+    // holds the first-arrival doc id per occupied bucket — a later
+    // image sharing any band emits as a near-dup of that first. At
+    // 100 TB state is one long per OCCUPIED bucket, the banding
+    // economics of the batch job carried into the stream.
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.multimodal.ImagePixels
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ids: Seq[Long] = 0L until 12L // planted twins (2k, 2k+1)
+    val bspec = graft.sim.HammingBands.spec(
+      graft.sim.HammingBands.bits(ids.size, occ = 4))
+    def bandKeys(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val ufp = shiftleft(col("hi"), 32).bitwiseOR(col("lo"))
+      df.select(col("doc_id"),
+        explode(array(bspec.zipWithIndex.map { case ((shf, wd), i) =>
+          concat_ws("|", lit(i.toString),
+            shiftrightunsigned(ufp, shf).bitwiseAND(lit((1L << wd) - 1))
+              .cast("string"))
+        }: _*)).as("bkey"))
+    }
+    def decoded(df: org.apache.spark.sql.Dataset[Long])
+      : org.apache.spark.sql.DataFrame =
+      df.map { id =>
+        val (_, w, h, px) = ImagePixels.decodePixels(
+          ImagePixels.imagePayload(id))
+        val (hi, lo) = ImagePixels.dHash(w, h, px)
+        (id, hi, lo)
+      }.toDF("doc_id", "hi", "lo")
+    val mem = MemoryStream[Long]
+    val q = bandKeys(decoded(mem.toDS()))
+      .as[(Long, String)].map(_.swap)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(String, Long)],
+         st: org.apache.spark.sql.streaming.GroupState[Long]) => {
+          val batch = rows.map(_._2).toSeq.sorted.distinct
+          val first = if (st.exists) st.get else batch.head
+          if (!st.exists) st.update(first)
+          batch.filter(_ != first).map(id => (id, first)).iterator
+        })
+      .toDF("doc_id", "dup_of")
+      .writeStream.format("memory").queryName("sphash_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(ids.take(5): _*)
+      q.processAllAvailable()
+      mem.addData(ids.drop(5): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sphash_out").select("doc_id")
+        .as[Long].collect().toSet
+      // batch twin: an image is a near-dup iff it shares a band with
+      // a LOWER id (the dd15 candidate step under the same geometry)
+      val batchBands = bandKeys(decoded(ids.toDS()))
+      val expect = batchBands.as("a").join(batchBands.as("b"),
+          col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("b.doc_id")).as[Long].collect().toSet
+      assert(streamed == expect,
+        s"streaming flagged $streamed, batch candidates say $expect")
+      // every odd twin pairs with its even original
+      assert((1L until 12L by 2).forall(expect.contains),
+        s"planted twins missing from $expect")
+    } finally q.stop()
+  }
+
   test("streaming WRITE into a columnMapping table: rename lands between epochs") {
     import graft.sources.{SchemaLog, Sinks, TxnManifest}
     import org.apache.spark.sql.types._
