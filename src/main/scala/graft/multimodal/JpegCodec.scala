@@ -1,0 +1,490 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Baseline JPEG (round 13) — the dominant real-corpus image format,
+  * decoded dependency-free from the ITU T.81 spec: marker walk
+  * (SOI/DQT/SOF0/DHT/SOS/EOI), canonical Huffman tables built from
+  * the DHT BITS/HUFFVAL arrays, entropy-coded MCU stream with 0xFF00
+  * byte-stuffing, DC prediction + EXTEND, AC run-length/EOB decode,
+  * dequantize, dezigzag, IDCT, level shift, clamp. Grayscale
+  * (1 component, 1×1 sampling) — the honest scope: no chroma
+  * subsampling reconstruction, refused loudly.
+  *
+  * Test contract (mm11): JPEG is LOSSY, so the generator writes
+  * images in the DC-EXACT subspace — every 8×8 block is flat (AC all
+  * zero) with a DC level chosen so dequantize→IDCT→shift is integer-
+  * exact (quant[DC]=8 cancels the IDCT's /8) — and derives each
+  * block's luma from `doc_id` arithmetic the DuckDB oracle replays
+  * blind. The decoder itself is general (AC coefficients and any DHT
+  * decode through the same path — SimSpec exercises an AC block
+  * against a reference IDCT); the oracle certifies the Huffman/DC/
+  * dequant/IDCT pipeline on the exactly-representable subspace,
+  * which is the strongest claim a SQL oracle can check on a lossy
+  * codec. Decode runs per row at scan speed (the
+  * [[Multimodal.extractMeta]] binary-boundary contract).
+  */
+object JpegCodec {
+
+  // ----------------------------------------------- standard tables (T.81)
+
+  /** Annex K.3.1: luminance DC — BITS (codes per length 1..16) and
+    * HUFFVAL (categories in code order). */
+  private val DcBits =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+
+  /** Annex K.3.2: luminance AC. */
+  private val AcBits =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Flat quantization table: every entry 8, so a flat block's
+    * dequantized DC of 8·level cancels the IDCT's ÷8 exactly. */
+  private val Quant = Array.fill(64)(8)
+
+  /** T.81 §A.3.6 zig-zag order: zigzag(k) = natural index of the k-th
+    * coefficient in transmission order. */
+  private val Zigzag = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Canonical Huffman codes from BITS/HUFFVAL (§C.2): returns
+    * (code, length) per value, in HUFFVAL order. */
+  private def canonicalCodes(bits: Array[Int])
+    : Array[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var code = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) { out += ((code, len)); code += 1; i += 1 }
+      code <<= 1
+      len += 1
+    }
+    out.toArray
+  }
+
+  // ------------------------------------------------------------ generator
+
+  /** Fixed canvas: 24×16 = 3×2 MCUs of flat 8×8 blocks. */
+  val JW = 24
+  val JH = 16
+
+  /** Block (bx, by) luma of image `id` — SQL-replayable; pairs
+    * (2k, 2k+1) share the texture with the odd twin's block (1, 1)
+    * brightened by 12 (flips a couple of dHash bits: the planted
+    * near-dup convention). Range [28, 227]: headroom so the plant
+    * never clamps. */
+  def jLumAt(id: Long, bx: Int, by: Int): Int = {
+    val seed = ((id / 2) % 97).toInt
+    val nz = if (id % 2 == 1 && bx == 1 && by == 1) 12 else 0
+    (seed * 31 + bx * 47 + by * 59 + bx * by * (seed % 11)) % 200 + 28 + nz
+  }
+
+  private final class BitWriterJpeg {
+    private val out = new java.io.ByteArrayOutputStream
+    private var acc = 0
+    private var n = 0
+    def put(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Array[Byte] = { // pad with 1-bits (§F.1.2.3)
+      while (n != 0) put(1, 1)
+      out.toByteArray
+    }
+  }
+
+  /** Real baseline JFIF: SOI, DQT, SOF0 (8-bit grayscale 1×1), DHT
+    * (Annex K luminance DC+AC), SOS, Huffman-coded flat MCUs (DC
+    * difference coding + EOB each), EOI. */
+  def jpegGrayBytes(id: Long): Array[Byte] = {
+    val dcCodes = canonicalCodes(DcBits) // index = category
+    val acCodes = canonicalCodes(AcBits)
+    val eobIdx = AcVals.indexOf(0x00)
+    val bw = new BitWriterJpeg
+    var pred = 0
+    var by = 0
+    while (by < JH / 8) {
+      var bx = 0
+      while (bx < JW / 8) {
+        val level = jLumAt(id, bx, by) - 128 // DC after level shift
+        val diff = level - pred
+        pred = level
+        // category + amplitude (§F.1.2.1.1: negatives code as
+        // diff + 2^size - 1 on `size` bits)
+        var size = 0
+        var a = math.abs(diff)
+        while (a != 0) { size += 1; a >>= 1 }
+        val (c, l) = dcCodes(size)
+        bw.put(c, l)
+        if (size > 0)
+          bw.put(if (diff >= 0) diff else diff + (1 << size) - 1, size)
+        val (ec, el) = acCodes(eobIdx) // all AC zero
+        bw.put(ec, el)
+        bx += 1
+      }
+      by += 1
+    }
+    val scan = bw.flush()
+    val out = new java.io.ByteArrayOutputStream
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+      out.write(body, 0, body.length)
+    }
+    marker(0xd8) // SOI
+    seg(0xdb, Array(0x00.toByte) ++
+      Array.fill(64)(Quant(0).toByte)) // DQT id 0, all 8s
+    seg(0xc0, Array[Byte](8, // SOF0: precision
+      (JH >> 8).toByte, (JH & 0xff).toByte,
+      (JW >> 8).toByte, (JW & 0xff).toByte,
+      1, // components
+      1, 0x11, 0)) // id 1, sampling 1x1, quant table 0
+    seg(0xc4, Array(0x00.toByte) ++ DcBits.map(_.toByte) ++
+      DcVals.map(_.toByte)) // DHT: DC table 0
+    seg(0xc4, Array(0x10.toByte) ++ AcBits.map(_.toByte) ++
+      AcVals.map(_.toByte)) // DHT: AC table 0
+    seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS
+    out.write(scan, 0, scan.length)
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Test hook: a single-block 8×8 grayscale JPEG from arbitrary
+    * QUANTIZED coefficients in zigzag order — drives the decoder's
+    * general AC run-length/ZRL/EOB + dezigzag + IDCT path, which the
+    * (exactly-representable) generator corpus deliberately does not
+    * exercise. */
+  private[graft] def encodeTestBlock(coefZig: Array[Int]): Array[Byte] = {
+    require(coefZig.length == 64)
+    val dcCodes = canonicalCodes(DcBits)
+    val acCodes = canonicalCodes(AcBits)
+    def acIdx(rs: Int) = AcVals.indexOf(rs)
+    val bw = new BitWriterJpeg
+    def sizeOf(v: Int): Int = {
+      var s = 0; var a = math.abs(v)
+      while (a != 0) { s += 1; a >>= 1 }
+      s
+    }
+    def amp(v: Int, s: Int): Int = if (v >= 0) v else v + (1 << s) - 1
+    val s0 = sizeOf(coefZig(0))
+    val (c0, l0) = dcCodes(s0)
+    bw.put(c0, l0)
+    if (s0 > 0) bw.put(amp(coefZig(0), s0), s0)
+    var k = 1
+    var run = 0
+    var lastNz = 63
+    while (lastNz > 0 && coefZig(lastNz) == 0) lastNz -= 1
+    while (k <= lastNz) {
+      if (coefZig(k) == 0) { run += 1; k += 1 }
+      else {
+        while (run >= 16) { // ZRL
+          val (zc, zl) = acCodes(acIdx(0xf0)); bw.put(zc, zl); run -= 16
+        }
+        val s = sizeOf(coefZig(k))
+        val (ac, al) = acCodes(acIdx((run << 4) | s))
+        bw.put(ac, al)
+        bw.put(amp(coefZig(k), s), s)
+        run = 0; k += 1
+      }
+    }
+    if (lastNz < 63) { val (ec, el) = acCodes(acIdx(0x00)); bw.put(ec, el) }
+    val scan = bw.flush()
+    val out = new java.io.ByteArrayOutputStream
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+      out.write(body, 0, body.length)
+    }
+    marker(0xd8)
+    seg(0xdb, Array(0x00.toByte) ++ Array.fill(64)(Quant(0).toByte))
+    seg(0xc0, Array[Byte](8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    seg(0xc4, Array(0x00.toByte) ++ DcBits.map(_.toByte) ++
+      DcVals.map(_.toByte))
+    seg(0xc4, Array(0x10.toByte) ++ AcBits.map(_.toByte) ++
+      AcVals.map(_.toByte))
+    seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
+    out.write(scan, 0, scan.length)
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  // -------------------------------------------------------------- decoder
+
+  /** Canonical-code lookup built from a DHT segment's BITS/HUFFVAL:
+    * decode by walking code lengths (§F.2.2.3 DECODE). */
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    // mincode/maxcode per length, valptr per length (T.81 F.15)
+    private val minCode = new Array[Int](17)
+    private val maxCode = Array.fill(17)(-1)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l - 1); k += bits(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(br: BitReaderJpeg): Int = {
+      var code = br.bit()
+      var l = 1
+      while (l < 16 && (maxCode(l) < 0 || code > maxCode(l))) {
+        code = (code << 1) | br.bit()
+        l += 1
+      }
+      require(maxCode(l) >= 0 && code <= maxCode(l),
+        s"JPEG: invalid Huffman code at length $l")
+      vals(valPtr(l) + code - minCode(l))
+    }
+  }
+
+  private final class BitReaderJpeg(p: Array[Byte], start: Int) {
+    private var pos = start
+    private var acc = 0
+    private var n = 0
+    def bit(): Int = {
+      if (n == 0) {
+        require(pos < p.length, "JPEG: scan exhausted")
+        var b = p(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          require(pos < p.length, "JPEG: scan ends in a dangling 0xff")
+          val m = p(pos) & 0xff
+          require(m == 0x00, f"JPEG: marker 0xff$m%02x inside scan")
+          pos += 1 // stuffed zero
+        }
+        acc = b; n = 8
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    def receive(len: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < len) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+  }
+
+  /** §F.2.2.1 EXTEND: map `v` of `size` bits to its signed value. */
+  private def extend(v: Int, size: Int): Int =
+    if (size == 0) 0
+    else if (v < (1 << (size - 1))) v - (1 << size) + 1
+    else v
+
+  private lazy val idctCos: Array[Double] = {
+    val t = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var u = 0
+      while (u < 8) {
+        t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16)
+        u += 1
+      }
+      x += 1
+    }
+    t
+  }
+
+  /** Naive exact-definition IDCT (§A.3.3) in double precision with
+    * final round — 64 multiplies per output pixel, fine for a
+    * reference decoder (a flat block short-circuits to its DC). */
+  private def idct(coef: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    var flat = true
+    var k = 1
+    while (k < 64 && flat) { if (coef(k) != 0) flat = false; k += 1 }
+    if (flat) { // DC-only: every sample = DC/8 exactly
+      val v = math.round(coef(0) / 8.0).toInt
+      java.util.Arrays.fill(out, v)
+      return out
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+            val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+            s += cu * cv * coef(v * 8 + u) *
+              idctCos(x * 8 + u) * idctCos(y * 8 + v)
+            u += 1
+          }
+          v += 1
+        }
+        out(y * 8 + x) = math.round(s / 4.0).toInt
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode a baseline grayscale JPEG to `(width, height, row-major
+    * gray pixels)`. General within the declared scope: any DQT/DHT
+    * decode through the canonical tables; AC coefficients decode
+    * through run-length/EOB + dezigzag + IDCT. */
+  def decodeJpegGray(p: Array[Byte]): (Int, Int, Array[Int]) = {
+    def u8(i: Int) = p(i) & 0xff
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    require(p.length > 4 && u8(0) == 0xff && u8(1) == 0xd8, "not a JPEG")
+    var i = 2
+    var w = 0; var h = 0
+    var quant: Array[Int] = null
+    var dcT: HuffTable = null
+    var acT: HuffTable = null
+    var scanStart = -1
+    while (scanStart < 0) {
+      require(i + 4 <= p.length && u8(i) == 0xff, s"bad marker at $i")
+      val m = u8(i + 1)
+      val len = u16(i + 2)
+      m match {
+        case 0xdb =>
+          require(u8(i + 4) == 0, "JPEG: only 8-bit quant table 0")
+          val q = new Array[Int](64)
+          var k = 0
+          while (k < 64) { q(Zigzag(k)) = u8(i + 5 + k); k += 1 }
+          quant = q
+        case 0xc0 =>
+          require(u8(i + 4) == 8, "JPEG: only 8-bit precision")
+          h = u16(i + 5); w = u16(i + 7)
+          require(u8(i + 9) == 1, "JPEG: only grayscale (1 component)")
+          require(u8(i + 11) == 0x11, "JPEG: only 1x1 sampling")
+        case 0xc1 | 0xc2 | 0xc3 =>
+          throw new IllegalArgumentException(
+            "JPEG: only baseline (SOF0) supported")
+        case 0xc4 =>
+          var off = i + 4
+          while (off < i + 2 + len) {
+            val tc = u8(off) >> 4; val th = u8(off) & 0xf
+            require(th == 0, "JPEG: only table id 0")
+            val bits = Array.tabulate(16)(j => u8(off + 1 + j))
+            val n = bits.sum
+            val vals = Array.tabulate(n)(j => u8(off + 17 + j))
+            if (tc == 0) dcT = new HuffTable(bits, vals)
+            else acT = new HuffTable(bits, vals)
+            off += 17 + n
+          }
+        case 0xda => scanStart = i + 2 + len
+        case 0xd9 => throw new IllegalArgumentException("JPEG: EOI before SOS")
+        case _ => () // APPn/COM skip
+      }
+      if (scanStart < 0) i += 2 + len
+    }
+    require(quant != null && dcT != null && acT != null,
+      "JPEG: missing DQT/DHT before SOS")
+    val br = new BitReaderJpeg(p, scanStart)
+    val px = new Array[Int](w * h)
+    var pred = 0
+    val mcuW = (w + 7) / 8; val mcuH = (h + 7) / 8
+    var by = 0
+    while (by < mcuH) {
+      var bx = 0
+      while (bx < mcuW) {
+        val coef = new Array[Int](64)
+        val s = dcT.decode(br)
+        pred += extend(br.receive(s), s)
+        coef(0) = pred * quant(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = acT.decode(br)
+          val r = rs >> 4; val size = rs & 0xf
+          if (size == 0) {
+            if (r == 15) k += 16 // ZRL
+            else eob = true
+          } else {
+            k += r
+            require(k < 64, "JPEG: AC run past block end")
+            coef(Zigzag(k)) = extend(br.receive(size), size) * quant(Zigzag(k))
+            k += 1
+          }
+        }
+        val block = idct(coef)
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            val x = bx * 8 + xx; val y = by * 8 + yy
+            if (x < w && y < h)
+              px(y * w + x) =
+                math.max(0, math.min(255, block(yy * 8 + xx) + 128))
+            xx += 1
+          }
+          yy += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    (w, h, px)
+  }
+
+  // ------------------------------------------------------ Spark plumbing
+
+  final case class JpegHash(doc_id: Long, format: String,
+                            width: Int, height: Int,
+                            dh_hi: Long, dh_lo: Long)
+
+  def jpegsFromDocuments(spark: SparkSession, docs: DataFrame)
+    : Dataset[Multimodal.MediaRow] = {
+    import spark.implicits._
+    docs.select("doc_id").as[Long]
+      .map(id => Multimodal.MediaRow(id, jpegGrayBytes(id)))
+  }
+
+  /** Huffman+IDCT decode + dHash per partition at scan speed. */
+  def hashJpegs(media: Dataset[Multimodal.MediaRow]): Dataset[JpegHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = decodeJpegGray(r.payload)
+        val packed = px.map(g => (g << 16) | (g << 8) | g)
+        val (hi, lo) = ImagePixels.dHash(w, h, packed)
+        JpegHash(r.id, "jpeg", w, h, hi, lo)
+      }
+    }
+  }
+}

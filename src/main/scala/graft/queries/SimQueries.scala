@@ -645,6 +645,25 @@ object SimQueries {
           col("n_samples"), col("fp_hi"), col("fp_lo"))
     }),
 
+    // Baseline JPEG CONTENT (round 13): real JFIF grayscale payloads
+    // — SOI/DQT/SOF0/DHT(Annex-K tables)/SOS markers, Huffman-coded
+    // DC-difference MCUs with 0xFF00 byte-stuffing — decoded back
+    // through a spec-complete baseline path (canonical Huffman from
+    // DHT, EXTEND, AC run-length/ZRL/EOB, dezigzag, dequant, IDCT,
+    // level shift, clamp; SimSpec drives the AC arm the lossy-exact
+    // corpus can't). The generator stays inside the DC-EXACT subspace
+    // (flat 8×8 blocks, quant 8 cancels the IDCT's ÷8) so the DuckDB
+    // oracle can replay the decoded pixels blind — the strongest
+    // certification a SQL oracle can make of a lossy codec.
+    "mm11_jpeg_pixels" -> ((s, d) => {
+      import graft.multimodal.JpegCodec
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      JpegCodec.hashJpegs(
+        JpegCodec.jpegsFromDocuments(s, docs)).toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("dh_hi"), col("dh_lo"))
+    }),
+
     // Cross-modal curation composite (round 13) — the multimodal twin
     // of cur1, proving the multimodal pieces COMPOSE: decode both
     // modalities once (image dHash + audio fingerprint, scan-speed
@@ -1504,6 +1523,44 @@ object SimQueries {
         |  CAST(floor((CAST(sum(bytes) OVER (PARTITION BY bucket
         |      ORDER BY id) AS BIGINT) - 1) / 65536.0) AS BIGINT) AS shard
         |FROM bkt""".stripMargin),
+
+    // mm11 replays the DC-exact JPEG corpus: block-constant pixels
+    // from doc_id arithmetic, then the standard 9×8 dHash fold — a
+    // hash match certifies Huffman + DC prediction + dequant + IDCT
+    "mm11_jpeg_pixels" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |jpx AS (
+        |  SELECT i.id, xs.range AS x, ys.range AS y,
+        |    ((((i.id // 2) % 97) * 31 + (xs.range // 8) * 47
+        |      + (ys.range // 8) * 59
+        |      + (xs.range // 8) * (ys.range // 8)
+        |        * (((i.id // 2) % 97) % 11)) % 200) + 28
+        |    + CASE WHEN i.id % 2 = 1 AND xs.range // 8 = 1
+        |            AND ys.range // 8 = 1 THEN 12 ELSE 0 END AS gray
+        |  FROM ids i CROSS JOIN range(0, 24) xs CROSS JOIN range(0, 16) ys),
+        |jc9 AS (
+        |  SELECT id, (x * 9) // 24 AS cx, (y * 8) // 16 AS cy,
+        |    CAST(sum(gray) AS BIGINT) // count(*) AS a
+        |  FROM jpx GROUP BY 1, 2, 3),
+        |jdbits AS (
+        |  SELECT l.id, l.cy * 8 + l.cx AS b,
+        |    CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM jc9 l JOIN jc9 r
+        |    ON l.id = r.id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8),
+        |jdh AS (
+        |  SELECT id,
+        |    CAST(sum(CASE WHEN b >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END)
+        |      AS BIGINT) AS dh_hi,
+        |    CAST(sum(CASE WHEN b < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END)
+        |      AS BIGINT) AS dh_lo
+        |  FROM jdbits GROUP BY id)
+        |SELECT ids.id AS doc_id, 'jpeg' AS format,
+        |  CAST(24 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  jdh.dh_hi, jdh.dh_lo
+        |FROM ids JOIN jdh ON ids.id = jdh.id""".stripMargin,
 
     // mm9 decodes LZW-compressed GIF bytes whose luma equals the mm6
     // texture — the oracle replays the same gray arithmetic, so a

@@ -506,6 +506,61 @@ class SimSpec extends SparkSuite {
     bw.clear()
   }
 
+  test("JpegCodec: DC-exact corpus round-trips pixel-exact; plant lands") {
+    import graft.multimodal.JpegCodec
+    for (id <- Seq(0L, 1L, 96L, 97L, 193L, 200L)) {
+      val (w, h, px) = JpegCodec.decodeJpegGray(JpegCodec.jpegGrayBytes(id))
+      assert(w == JpegCodec.JW && h == JpegCodec.JH)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(y * w + x) == JpegCodec.jLumAt(id, x / 8, y / 8),
+          s"id=$id pixel ($x,$y)")
+    }
+    // the odd twin's planted block differs from its even original
+    val (_, _, p0) = JpegCodec.decodeJpegGray(JpegCodec.jpegGrayBytes(8L))
+    val (_, _, p1) = JpegCodec.decodeJpegGray(JpegCodec.jpegGrayBytes(9L))
+    assert(p0.zip(p1).count { case (a, b) => a != b } == 64,
+      "exactly one 8x8 block must differ within a planted pair")
+  }
+
+  test("JpegCodec: AC coefficients decode through run-length/ZRL/IDCT") {
+    import graft.multimodal.JpegCodec
+    // a block the generator corpus never writes: DC + scattered ACs
+    // incl. a >16-zero gap (forces a ZRL code); reference IDCT
+    // computed independently here
+    val coefZig = new Array[Int](64)
+    coefZig(0) = 37   // DC
+    coefZig(1) = -5   // first AC
+    coefZig(7) = 12
+    coefZig(30) = -3  // 22 zeros before it: ZRL + run
+    val (w, h, px) = JpegCodec.decodeJpegGray(
+      JpegCodec.encodeTestBlock(coefZig))
+    assert(w == 8 && h == 8)
+    // reference: dezigzag + dequant(8) + textbook IDCT
+    val zig = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val nat = new Array[Int](64)
+    for (k <- 0 until 64) nat(zig(k)) = coefZig(k) * 8
+    def c(u: Int) = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+    for (y <- 0 until 8; x <- 0 until 8) {
+      var s = 0.0
+      for (v <- 0 until 8; u <- 0 until 8)
+        s += c(u) * c(v) * nat(v * 8 + u) *
+          math.cos((2 * x + 1) * u * math.Pi / 16) *
+          math.cos((2 * y + 1) * v * math.Pi / 16)
+      val expect = math.max(0, math.min(255, math.round(s / 4.0).toInt + 128))
+      assert(px(y * 8 + x) == expect, s"AC block pixel ($x,$y)")
+    }
+    // corrupt scan: a non-stuffed marker inside entropy data fails
+    val good = JpegCodec.jpegGrayBytes(3L)
+    val bad = good.clone()
+    bad(bad.length - 12) = 0xff.toByte
+    bad(bad.length - 11) = 0xc0.toByte
+    intercept[Exception](JpegCodec.decodeJpegGray(bad))
+  }
+
   test("frameSampleIndices: even spacing, cap, and zero-duration guard") {
     val df = Seq((1L, 10000.0), (2L, 0.0)).toDF("id", "dur_ms")
     val got = df.select($"id",
