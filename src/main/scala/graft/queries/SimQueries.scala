@@ -645,6 +645,64 @@ object SimQueries {
           col("n_samples"), col("fp_hi"), col("fp_lo"))
     }),
 
+    // Cross-CODEC near-dup (round 13): the format-shifted re-upload
+    // case — the same picture living as BMP/PNG (the mm6 corpus) AND
+    // as a GIF re-encode (the mm9 corpus, id-shifted by 10M) must
+    // dedup across codecs. GIF's grayscale palette preserves the
+    // texture's luma exactly, so each cross-codec twin sits at
+    // Hamming 0 and the banded search recovers EVERY one (the
+    // in-query guard requires 100% — no LSH randomness at distance
+    // 0: equal hashes share all bands). Geometry derives from the
+    // COMBINED corpus size.
+    "dd20_crosscodec_neardup" -> ((s, d) => {
+      import graft.multimodal.{CompressedCodecs, ImagePixels, Multimodal}
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val imgs = ImagePixels.hashImages(
+        ImagePixels.imagesFromDocuments(s, docs)).toDF()
+        .select(col("doc_id").as("id"), col("dh_hi"), col("dh_lo"))
+      val gifs = CompressedCodecs.hashGifs(
+        docs.select("doc_id").as[Long].map(id =>
+          Multimodal.MediaRow(id + 10000000L,
+            CompressedCodecs.gifPixelBytes(id)))).toDF()
+        .select(col("doc_id").as("id"), col("dh_hi"), col("dh_lo"))
+      val hashes = imgs.unionAll(gifs)
+        .localCheckpoint() // banding + verify read it; decode once
+      val nAll = hashes.count()
+      val bspec = graft.sim.HammingBands.spec(
+        graft.sim.HammingBands.bits(nAll, occ = 4))
+      val ufp = shiftleft(col("dh_hi"), 32).bitwiseOR(col("dh_lo"))
+      def band(shf: Int, wd: Int): Column =
+        shiftrightunsigned(ufp, shf).bitwiseAND(lit((1L << wd) - 1))
+      val bands = hashes.select(col("id"),
+        explode(array(bspec.zipWithIndex.map { case ((shf, wd), i) =>
+          struct(lit(i).as("bi"), band(shf, wd).as("bv")) }: _*)).as("b"))
+        .select(col("id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+      val cand = bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+      val pairs = cand
+        .join(hashes.select(col("id").as("id1"), col("dh_hi").as("hi1"),
+          col("dh_lo").as("lo1")), Seq("id1"))
+        .join(hashes.select(col("id").as("id2"), col("dh_hi").as("hi2"),
+          col("dh_lo").as("lo2")), Seq("id2"))
+        .withColumn("hamming",
+          (expr("bit_count(lo1 ^ lo2)") + expr("bit_count(hi1 ^ hi2)"))
+            .cast("long"))
+        .filter(col("hamming") <= 8)
+        .select(col("id1"), col("id2"), col("hamming"))
+        .localCheckpoint() // the recall guard below re-reads it
+      val planted = nAll / 2
+      val found = pairs
+        .filter(col("id2") === col("id1") + 10000000L &&
+          col("hamming") === 0).count()
+      require(found == planted,
+        s"dd20: recovered $found of $planted cross-codec twins — " +
+          "Hamming-0 pairs must all band-collide")
+      pairs
+    }),
+
     // Baseline JPEG CONTENT (round 13): real JFIF grayscale payloads
     // — SOI/DQT/SOF0/DHT(Annex-K tables)/SOS markers, Huffman-coded
     // DC-difference MCUs with 0xFF00 byte-stuffing — decoded back
@@ -1523,6 +1581,33 @@ object SimQueries {
         |  CAST(floor((CAST(sum(bytes) OVER (PARTITION BY bucket
         |      ORDER BY id) AS BIGINT) - 1) / 65536.0) AS BIGINT) AS shard
         |FROM bkt""".stripMargin),
+
+    // dd20: the mm6 hashes unioned with their GIF re-encodes (same
+    // dHash, ids shifted 10M), banded under geometry from the
+    // combined count, exact Hamming verify
+    "dd20_crosscodec_neardup" ->
+      (ImagePhashCte + ",\n" +
+      """allh AS (
+        |  SELECT id, dh_hi, dh_lo FROM dh
+        |  UNION ALL SELECT id + 10000000, dh_hi, dh_lo FROM dh),
+        |""".stripMargin + bandSpecSql("allh", occ = 4) + ",\n" +
+      """xbands AS (
+        |  SELECT d.id, b.bi,
+        |    CAST(((CAST(d.dh_hi AS UBIGINT) * 4294967296
+        |           + CAST(d.dh_lo AS UBIGINT)) >> b.shf)
+        |      & ((CAST(1 AS UBIGINT) << b.wd) - 1) AS BIGINT) AS bv
+        |  FROM allh d CROSS JOIN bspec b),
+        |xcand AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM xbands a JOIN xbands b
+        |    ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id)
+        |SELECT c.id1, c.id2,
+        |  CAST(bit_count(xor(h1.dh_lo, h2.dh_lo)) +
+        |       bit_count(xor(h1.dh_hi, h2.dh_hi)) AS BIGINT) AS hamming
+        |FROM xcand c JOIN allh h1 ON c.id1 = h1.id
+        |JOIN allh h2 ON c.id2 = h2.id
+        |WHERE bit_count(xor(h1.dh_lo, h2.dh_lo)) +
+        |      bit_count(xor(h1.dh_hi, h2.dh_hi)) <= 8""".stripMargin),
 
     // mm11 replays the DC-exact JPEG corpus: block-constant pixels
     // from doc_id arithmetic, then the standard 9×8 dHash fold — a
