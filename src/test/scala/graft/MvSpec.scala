@@ -1051,6 +1051,68 @@ class MvSpec extends SparkSuite {
     GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_lstar")
   }
 
+  test("LEFT MV with double group key: -0.0 keys survive the recompute arm") {
+    // groupBy normalizes -0.0 to 0.0 (NormalizeFloatingNumbers), so
+    // the store's merge key renders "0.0" — but the recompute arms
+    // re-render LIVE rows per row, where an unnormalized -0.0 would
+    // read "-0.0", miss its group's semi-join, and silently drop from
+    // the recomputed aggregate (the round-12 ADVICE finding). gkCol
+    // now adds +0.0 before rendering; this pins the dim-moved
+    // recompute path with -0.0 dim values end to end.
+    val base = tempBase("negz")
+    def mk(tag: String, rows: DataFrame, keys: Seq[String])
+      : (String, TxnManifest, String) = {
+      val root = s"$base/$tag"
+      val man = new TxnManifest(s"$base/$tag.manifest.tsv")
+      StatsSinks.appendBatchStats(rows, root, 0)
+      man.commit(0, Seq(s"$root/batch=0"))
+      GraftSqlTables.register(s"mv_negz_$tag", GraftSqlTables.Entry(root,
+        s"$base/$tag.manifest.tsv", keys = keys, cdf = true))
+      (s"mv_negz_$tag", man, root)
+    }
+    val (fact, _, _) = mk("fact", spark.range(400).select(col("id"),
+      (col("id") % 10).cast("int").as("sk"),
+      (col("id") * 2).as("qty")), Seq("id"))
+    // dv carries REAL -0.0 values (even k) — dim covers sk 0..5 only,
+    // so sk 6..9 facts NULL-extend
+    def dimRows(from: Long, until: Long) =
+      spark.range(from, until).select(col("id").cast("int").as("k"),
+        when(col("id") % 2 === 0, lit(-0.0))
+          .otherwise(col("id").cast("double") * 1.5).as("dv"))
+    val (dim, dman, droot) = mk("dim", dimRows(0, 6), Seq("k"))
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mv_negz LOCATION '$base/mv' AS " +
+        s"SELECT d.dv, count(*) AS n, sum(f.qty) AS sq " +
+        s"FROM $fact f LEFT JOIN $dim d ON f.sk = d.k GROUP BY d.dv")
+    def expected: DataFrame = {
+      def committed(n: String): DataFrame = {
+        val e = GraftSqlTables.lookup(Seq(n)).get
+        Sinks.readCommitted(spark, e.root, new TxnManifest(e.manifestPath))
+      }
+      val f = committed(fact); val d = committed(dim)
+      f.join(d, f("sk") === d("k"), "left")
+        .groupBy("dv").agg(count(lit(1)).as("n"), sum("qty").as("sq"))
+    }
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_negz")
+    assert(sortedRows(GraftMvs.read(spark, "mv_negz")) ==
+      sortedRows(expected))
+    // dim INSERT (flips NULL-extension facts for sk 6..7, one of them
+    // to ANOTHER -0.0 value) → the dim-moved recompute arm re-renders
+    // live rows per row — where the -0.0 drop lived
+    StatsSinks.appendBatchStats(dimRows(6, 8), droot, 1)
+    dman.commit(1, Seq(s"$droot/batch=1"))
+    GraftSql.execute(spark, "REFRESH MATERIALIZED VIEW mv_negz")
+    val served = GraftMvs.read(spark, "mv_negz")
+    assert(sortedRows(served) == sortedRows(expected),
+      "recomputed -0.0 groups must keep every live row")
+    // the zero-keyed group really exists and counts all its facts
+    // (sk 0, 2, 4 pre-insert + sk 6 post-insert → 4 of 10 sk values)
+    val zeroN = served.where(col("dv") === 0.0).select("n")
+      .collect().map(_.getLong(0)).sum
+    assert(zeroN == 160, s"zero-keyed group counted $zeroN of 160")
+    GraftSql.execute(spark, "DROP MATERIALIZED VIEW mv_negz")
+  }
+
   test("LEFT join MV with min/max: NULL groups fold inserts, recompute deletes") {
     val base = tempBase("lmm")
     def mkTable(tag: String, rows: DataFrame, keys: Seq[String])
