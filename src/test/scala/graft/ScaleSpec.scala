@@ -459,7 +459,8 @@ class ScaleSpec extends SparkSuite {
     // cur2 composite chains pairs → CC → shard-pack and must keep
     // the same property end to end
     for (q <- Seq("dd15_image_neardup", "dd16_audio_neardup",
-        "dd17_video_neardup", "cur2_multimodal_curation")) {
+        "dd17_video_neardup", "cur2_multimodal_curation",
+        "dd19_substring_spans", "dd20_crosscodec_neardup")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf)
         .queryExecution.sparkPlan
       val cart = plan.collectWithSubqueries {
