@@ -158,6 +158,138 @@ object PhashIndex {
     out
   }
 
+  private def vTableNames(indexDir: String): (String, String) = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(indexDir.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(12)
+    (s"graft_phidx_vbands_$tag", s"graft_phidx_vframes_$tag")
+  }
+
+  /** Ingest one batch of VIDEOS as per-frame hashes (`id`,
+    * `frame_idx`, `hi`, `lo` — the mm8 output shape): returns the
+    * SEQUENCE-level near-dup pairs involving this batch under the
+    * dd17 offset-alignment verdict (`id1 < id2`, best `off`,
+    * `n_aligned ≥ max(nf1, nf2) − tol`, every co-sampled frame within
+    * `hammingMax`), and appends the batch's frame bands + hashes to
+    * the index. Completes the incremental story across all three
+    * perceptual modalities: images and audio ingest 64-bit hashes
+    * through [[ingestBatch]]; videos ingest frame SETS here, and the
+    * offset verdict runs per batch against the stored corpus. The
+    * verify reads stored frames ONLY for candidate ids (a left-semi
+    * probe into the id-bucketed frame table — exchange-free on the
+    * stored side), so per-batch cost stays O(batch + matches), never
+    * O(corpus history). */
+  def ingestVideoBatch(frames: DataFrame, indexDir: String, batchId: Int,
+                       bandBits: Int, hammingMax: Int = 8, tol: Int = 1,
+                       buckets: Int = 4): DataFrame = {
+    val spark = frames.sparkSession
+    pinGeometry(indexDir, bandBits)
+    val bspec = graft.sim.HammingBands.spec(bandBits)
+    val newH = graft.util.CacheScope.track(
+      frames.select(col("id"), col("frame_idx").cast("int").as("fi"),
+        col("hi").cast("long").as("hi"), col("lo").cast("long").as("lo")))
+    val ufp = shiftleft(col("hi"), 32).bitwiseOR(col("lo"))
+    val newB = graft.util.CacheScope.track(
+      newH.select(col("id"), col("fi"),
+        explode(array(bspec.zipWithIndex.map { case ((shf, wd), i) =>
+          struct(lit(i).as("bi"),
+            shiftrightunsigned(ufp, shf).bitwiseAND(lit((1L << wd) - 1))
+              .as("bv"))
+        }: _*)).as("b"))
+        .select(col("id"), col("fi"), col("b.bi").as("bi"),
+          col("b.bv").as("bv")))
+    val (bandsT, framesT) = vTableNames(indexDir)
+    DedupIndex.ensureTable(spark, newH, framesT, s"$indexDir/vframes",
+      Seq("id"), buckets)
+    DedupIndex.ensureTable(spark, newB, bandsT, s"$indexDir/vbands",
+      Seq("bi", "bv"), buckets)
+    val stored = storedVideoView(spark, indexDir, excludeBatch = batchId)
+
+    // a band collision at (fa, fb) PROPOSES off = f(id1) − f(id2)
+    val newProbe = newB.select(col("bi"), col("bv"),
+      col("id").as("xa"), col("fi").as("fa"))
+    def collisions(other: DataFrame) =
+      newProbe
+        .join(other.select(col("bi"), col("bv"), col("id").as("yb"),
+          col("fi").as("fb")), Seq("bi", "bv"))
+        .filter(col("xa") =!= col("yb"))
+        .select(least(col("xa"), col("yb")).as("id1"),
+          greatest(col("xa"), col("yb")).as("id2"),
+          when(col("xa") < col("yb"), col("fa") - col("fb"))
+            .otherwise(col("fb") - col("fa")).cast("long").as("off"))
+    val cand = stored
+      .map(s => collisions(newB).unionAll(collisions(s._1)))
+      .getOrElse(collisions(newB))
+      .distinct()
+      .localCheckpoint() // candidate ids below + the verify read it
+    // full frame sets for CANDIDATE videos only: new side in-batch,
+    // stored side via an id-bucketed left-semi probe
+    val candIds = cand.select(col("id1").as("id"))
+      .unionAll(cand.select(col("id2").as("id"))).distinct()
+    val lookup = stored match {
+      case Some((_, sh)) => newH.unionAll(
+        sh.join(broadcast(candIds), Seq("id"), "left_semi"))
+      case None => newH
+    }
+    val f1 = lookup.select(col("id").as("id1"), col("fi").as("fi1"),
+      col("hi").as("hi1"), col("lo").as("lo1"))
+    val f2 = lookup.select(col("id").as("id2"), col("fi").as("fi2"),
+      col("hi").as("hi2"), col("lo").as("lo2"))
+    val perOff = cand.join(f1, Seq("id1")).as("l")
+      .join(f2.as("r"), col("l.id2") === col("r.id2") &&
+        col("r.fi2") === col("l.fi1") - col("l.off"))
+      .select(col("l.id1").as("id1"), col("l.id2").as("id2"),
+        col("l.off").as("off"), col("l.hi1").as("hi1"),
+        col("l.lo1").as("lo1"), col("r.hi2").as("hi2"),
+        col("r.lo2").as("lo2"))
+      .withColumn("ham",
+        (expr("bit_count(lo1 ^ lo2)") + expr("bit_count(hi1 ^ hi2)"))
+          .cast("long"))
+      .groupBy(col("id1"), col("id2"), col("off"))
+      .agg(count(lit(1)).as("n_aligned"), max(col("ham")).as("max_ham"))
+    val nf = lookup.groupBy(col("id")).agg(count(lit(1)).as("nf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id1"), col("id2"))
+      .orderBy(col("n_aligned").desc, col("off").asc)
+    val pairs = perOff
+      .join(nf.select(col("id").as("id1"), col("nf").as("nf1")), Seq("id1"))
+      .join(nf.select(col("id").as("id2"), col("nf").as("nf2")), Seq("id2"))
+      .filter(col("max_ham") <= hammingMax &&
+        col("n_aligned") >= greatest(col("nf1"), col("nf2")) - tol)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id1"), col("id2"), col("n_aligned"), col("off"),
+        col("max_ham"))
+    val out = pairs.localCheckpoint()
+    DedupIndex.writeIndexed(spark, newH, framesT, s"$indexDir/vframes",
+      Seq("id"), buckets, batchId)
+    DedupIndex.writeIndexed(spark, newB, bandsT, s"$indexDir/vbands",
+      Seq("bi", "bv"), buckets, batchId)
+    out
+  }
+
+  /** Frame-index twin of [[storedView]]: (bands, frames) minus
+    * `excludeBatch`, torn-batch guarded. */
+  private[graft] def storedVideoView(spark: SparkSession, indexDir: String,
+                                     excludeBatch: Int)
+    : Option[(DataFrame, DataFrame)] = {
+    val (bandsT, framesT) = vTableNames(indexDir)
+    if (!spark.catalog.tableExists(bandsT)) None
+    else {
+      val torn = DedupIndex.fsBatches(spark, s"$indexDir/vbands") --
+        DedupIndex.fsBatches(spark, s"$indexDir/vframes")
+      require(torn.isEmpty,
+        s"video phash index $indexDir is torn: vbands partitions " +
+          s"${torn.mkString(",")} have no vframes twin — delete the " +
+          "orphan bands partitions or re-ingest those batch ids")
+      Some((
+        spark.table(bandsT).filter(col("batch") =!= excludeBatch)
+          .drop("batch").select("id", "fi", "bi", "bv"),
+        spark.table(framesT).filter(col("batch") =!= excludeBatch)
+          .drop("batch").select("id", "fi", "hi", "lo")))
+    }
+  }
+
   /** (bands, hashes) as currently committed — minus `excludeBatch` —
     * or None before the first batch; the DedupIndex torn-batch guard
     * applies (a bands partition with no hashes twin fails loudly). */

@@ -645,6 +645,34 @@ object SimQueries {
           col("n_samples"), col("fp_hi"), col("fp_lo"))
     }),
 
+    // Incremental VIDEO near-dup (round 13): the dd18 argument at
+    // SEQUENCE grain, completing the incremental index across all
+    // three perceptual modalities — the video corpus ingested as
+    // three batches of per-frame hashes into the persisted frame-band
+    // index ([[PhashIndex.ingestVideoBatch]]); each batch's dd17
+    // offset-alignment verdict runs against the stored corpus, with
+    // stored frames read only for candidate ids. Every planted pair
+    // is cross-batch under the %3 split; batch-wise must equal the
+    // one-shot dd17 pass exactly — the oracle IS dd17's SQL.
+    "dd21_incremental_video" -> ((s, d) => {
+      import graft.multimodal.{MediaContent, PhashIndex}
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_dd21_idx_").toString
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val frames = MediaContent.hashSampledFrames(
+        MediaContent.videosFromDocuments(s, docs)).toDF()
+        .select(col("doc_id").as("id"), col("frame_idx"),
+          col("dh_hi").as("hi"), col("dh_lo").as("lo"))
+        .localCheckpoint() // three ingests re-read it; decode once
+      val bits = graft.sim.HammingBands.bits(docs.count(), occ = 4)
+      (0 until 3)
+        .map(b => PhashIndex.ingestVideoBatch(
+          frames.filter(col("id") % 3 === b), dir, b, bits))
+        .reduce(_ unionAll _)
+        .select(col("id1"), col("id2"), col("n_aligned"), col("off"),
+          col("max_ham"))
+    }),
+
     // Cross-CODEC near-dup (round 13): the format-shifted re-upload
     // case — the same picture living as BMP/PNG (the mm6 corpus) AND
     // as a GIF re-encode (the mm9 corpus, id-shifted by 10M) must
@@ -1260,6 +1288,43 @@ object SimQueries {
         |WHERE bit_count(xor(h1.dh_lo, h2.dh_lo)) +
         |      bit_count(xor(h1.dh_hi, h2.dh_hi)) <= 8""".stripMargin
 
+  /** dd17's oracle (and dd21's: the incremental frame index must
+    * equal the one-shot offset-alignment pass exactly). */
+  private lazy val Dd17OracleSql: String =
+    VideoFrameCte + ",\n" + bandSpecSql("ids", occ = 4) + ",\n" +
+      """vbands AS (
+        |  SELECT d.id, d.f, b.bi,
+        |    CAST(((CAST(d.dh_hi AS UBIGINT) * 4294967296
+        |           + CAST(d.dh_lo AS UBIGINT)) >> b.shf)
+        |      & ((CAST(1 AS UBIGINT) << b.wd) - 1) AS BIGINT) AS bv
+        |  FROM vfh d CROSS JOIN bspec b),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2,
+        |    CAST(a.f - b.f AS BIGINT) AS off
+        |  FROM vbands a JOIN vbands b
+        |    ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id),
+        |al AS (
+        |  SELECT c.id1, c.id2, c.off,
+        |    bit_count(xor(f1.dh_lo, f2.dh_lo)) +
+        |    bit_count(xor(f1.dh_hi, f2.dh_hi)) AS ham
+        |  FROM cand c JOIN vfh f1 ON f1.id = c.id1
+        |  JOIN vfh f2 ON f2.id = c.id2 AND f2.f = f1.f - c.off),
+        |ag AS (
+        |  SELECT id1, id2, off, CAST(count(*) AS BIGINT) AS n_aligned,
+        |    CAST(max(ham) AS BIGINT) AS max_ham
+        |  FROM al GROUP BY 1, 2, 3),
+        |nfv AS (SELECT id, count(*) AS nf FROM vfh GROUP BY id),
+        |best AS (
+        |  SELECT ag.id1, ag.id2, ag.off, ag.n_aligned, ag.max_ham,
+        |    row_number() OVER (PARTITION BY ag.id1, ag.id2
+        |      ORDER BY ag.n_aligned DESC, ag.off ASC) AS rn
+        |  FROM ag JOIN nfv n1 ON n1.id = ag.id1
+        |  JOIN nfv n2 ON n2.id = ag.id2
+        |  WHERE ag.max_ham <= 8
+        |    AND ag.n_aligned >= GREATEST(n1.nf, n2.nf) - 1)
+        |SELECT id1, id2, n_aligned, off, max_ham FROM best WHERE rn = 1"""
+        .stripMargin
+
   val oracle: Map[String, String] = Map(
     "sim7_kmeans_diversity" -> sim7OracleSql,
     "sim8_recall_report" -> sim8OracleSql,
@@ -1702,40 +1767,10 @@ object SimQueries {
         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  dh_hi, dh_lo
         |FROM vfh""".stripMargin),
-    "dd17_video_neardup" ->
-      (VideoFrameCte + ",\n" + bandSpecSql("ids", occ = 4) + ",\n" +
-      """vbands AS (
-        |  SELECT d.id, d.f, b.bi,
-        |    CAST(((CAST(d.dh_hi AS UBIGINT) * 4294967296
-        |           + CAST(d.dh_lo AS UBIGINT)) >> b.shf)
-        |      & ((CAST(1 AS UBIGINT) << b.wd) - 1) AS BIGINT) AS bv
-        |  FROM vfh d CROSS JOIN bspec b),
-        |cand AS (
-        |  SELECT DISTINCT a.id AS id1, b.id AS id2,
-        |    CAST(a.f - b.f AS BIGINT) AS off
-        |  FROM vbands a JOIN vbands b
-        |    ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id),
-        |al AS (
-        |  SELECT c.id1, c.id2, c.off,
-        |    bit_count(xor(f1.dh_lo, f2.dh_lo)) +
-        |    bit_count(xor(f1.dh_hi, f2.dh_hi)) AS ham
-        |  FROM cand c JOIN vfh f1 ON f1.id = c.id1
-        |  JOIN vfh f2 ON f2.id = c.id2 AND f2.f = f1.f - c.off),
-        |ag AS (
-        |  SELECT id1, id2, off, CAST(count(*) AS BIGINT) AS n_aligned,
-        |    CAST(max(ham) AS BIGINT) AS max_ham
-        |  FROM al GROUP BY 1, 2, 3),
-        |nfv AS (SELECT id, count(*) AS nf FROM vfh GROUP BY id),
-        |best AS (
-        |  SELECT ag.id1, ag.id2, ag.off, ag.n_aligned, ag.max_ham,
-        |    row_number() OVER (PARTITION BY ag.id1, ag.id2
-        |      ORDER BY ag.n_aligned DESC, ag.off ASC) AS rn
-        |  FROM ag JOIN nfv n1 ON n1.id = ag.id1
-        |  JOIN nfv n2 ON n2.id = ag.id2
-        |  WHERE ag.max_ham <= 8
-        |    AND ag.n_aligned >= GREATEST(n1.nf, n2.nf) - 1)
-        |SELECT id1, id2, n_aligned, off, max_ham FROM best WHERE rn = 1"""
-        .stripMargin),
+    "dd17_video_neardup" -> Dd17OracleSql,
+    // batch-wise == one-shot is the dd21 contract (the dd18 argument
+    // at sequence grain): its oracle IS dd17's SQL
+    "dd21_incremental_video" -> Dd17OracleSql,
     // The Spark side PARSES these values back out of synthesized
     // PNG/BMP/WAV bytes; the oracle predicts them arithmetically
     // (header sizes: PNG 33, BMP 54, WAV 44). A hash match therefore

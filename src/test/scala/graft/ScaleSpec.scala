@@ -1776,6 +1776,48 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("video phash-index probes: stored frame tables never shuffle") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the sequence-grain incremental index (dd21) must keep the same
+    // O(batch) property: stored frame bands/hashes (bucketed on
+    // their join keys) stream into per-batch probes exchange-free
+    val tmp = java.nio.file.Files.createTempDirectory("vphidx_plan_").toString
+    val frames = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".as("id"),
+        ($"doc_id" % 4).cast("int").as("frame_idx"),
+        ($"doc_id" * 2654435761L % 4294967296L).as("hi"),
+        ($"doc_id" * 97561L % 4294967296L).as("lo"))
+    graft.multimodal.PhashIndex.ingestVideoBatch(frames, tmp, 0, bandBits = 8)
+    val (vbands, vframes) = graft.multimodal.PhashIndex
+      .storedVideoView(spark, tmp, excludeBatch = 99).get
+    val probeBands = frames.limit(50)
+      .select(($"id" % 8).cast("int").as("bi"), ($"id" % 251).as("bv"),
+        $"id".as("x"), $"frame_idx".as("fx"))
+    val probePairs = frames.limit(50).select($"id".as("id1"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((name, joined) <- Seq(
+        "vbands" -> probeBands.join(vbands, Seq("bi", "bv")),
+        "vframes" -> probePairs.join(
+          vframes.withColumnRenamed("id", "id1"), Seq("id1")))) {
+        val plan = joined.queryExecution.executedPlan
+        val storedShuffles = plan.collectWithSubqueries {
+          case e: ShuffleExchangeExec if e.exists {
+            case f: FileSourceScanExec =>
+              f.relation.location.rootPaths.exists(_.toString.contains(tmp))
+            case _ => false
+          } => e
+        }
+        assert(storedShuffles.isEmpty,
+          s"$name: stored index side is shuffled — bucketing lost:\n$plan")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS bspec_left")
     spark.sql("DROP TABLE IF EXISTS bspec_right")
