@@ -120,10 +120,18 @@ object PhashIndex {
       .distinct()
 
     // exact-Hamming verify: each side's full hash from the stored
-    // index (bucketed by id — exchange-free) or the broadcast new
-    // batch, exactly DedupIndex's lookup shape
+    // index (bucketed by id — exchange-free) or the new batch. NO
+    // forced broadcast on the batch side: a production batch is a
+    // day of crawl (10M+ rows), and a hint would strip AQE's safety
+    // valve — under the threshold AQE still broadcasts, above it the
+    // join degrades gracefully to a shuffle join (the
+    // Sinks.statsCandidateDirs precedent; ScaleSpec pins both
+    // regimes keep the stored side exchange-free). The NEW batch's
+    // hash wins the coalesce: an id re-ingested with changed content
+    // must verify against what this batch carries, not a stale
+    // stored row.
     def lookupHash(p: DataFrame, side: String, tag: String): DataFrame = {
-      val fresh = broadcast(newHashes).select(col("id").as(side),
+      val fresh = newHashes.select(col("id").as(side),
         col("hi").as(s"__nh_$tag"), col("lo").as(s"__nl_$tag"))
       val withNew = p.join(fresh, Seq(side), "left")
       stored match {
@@ -132,9 +140,9 @@ object PhashIndex {
             .join(sh.select(col("id").as(side), col("hi").as(s"__sh_$tag"),
               col("lo").as(s"__sl_$tag")), Seq(side), "left")
             .withColumn(s"hi$tag",
-              coalesce(col(s"__sh_$tag"), col(s"__nh_$tag")))
+              coalesce(col(s"__nh_$tag"), col(s"__sh_$tag")))
             .withColumn(s"lo$tag",
-              coalesce(col(s"__sl_$tag"), col(s"__nl_$tag")))
+              coalesce(col(s"__nl_$tag"), col(s"__sl_$tag")))
             .drop(s"__nh_$tag", s"__nl_$tag", s"__sh_$tag", s"__sl_$tag")
         case None =>
           withNew.withColumnRenamed(s"__nh_$tag", s"hi$tag")
@@ -226,9 +234,13 @@ object PhashIndex {
     // stored side via an id-bucketed left-semi probe
     val candIds = cand.select(col("id1").as("id"))
       .unionAll(cand.select(col("id2").as("id"))).distinct()
+    // candidate-id set un-hinted: AQE broadcasts it while it is
+    // small and falls back to a shuffled semi-join when a huge batch
+    // makes it large — the stored frame table stays bucket-local on
+    // `id` either way (ScaleSpec pin)
     val lookup = stored match {
       case Some((_, sh)) => newH.unionAll(
-        sh.join(broadcast(candIds), Seq("id"), "left_semi"))
+        sh.join(candIds, Seq("id"), "left_semi"))
       case None => newH
     }
     val f1 = lookup.select(col("id").as("id1"), col("fi").as("fi1"),
@@ -266,6 +278,22 @@ object PhashIndex {
     DedupIndex.writeIndexed(spark, newB, bandsT, s"$indexDir/vbands",
       Seq("bi", "bv"), buckets, batchId)
     out
+  }
+
+  /** Drop this index's session-catalog tables (image/audio AND video
+    * grain) and delete its data directory — for SCRATCH indexes whose
+    * lifetime is one query (dd18/dd21 register this as a
+    * [[graft.util.CacheScope]] release hook so repeated bench passes
+    * don't accumulate dead band tables in /tmp + the catalog). A
+    * persistent production index never calls this. */
+  def dropIndex(spark: SparkSession, indexDir: String): Unit = {
+    val (b, h) = tableNames(indexDir)
+    val (vb, vf) = vTableNames(indexDir)
+    Seq(b, h, vb, vf).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
   }
 
   /** Frame-index twin of [[storedView]]: (bands, frames) minus

@@ -504,8 +504,21 @@ object DocQueries {
     // filler; the in-query guard requires EVERY planted span back
     // exactly (anchor equality is deterministic — no LSH randomness
     // to tolerate). Spans ≥ 16 tokens are reported.
+    //
+    // ANCHOR DOCUMENT-FREQUENCY CAP (round 14): anchors appearing in
+    // more than 16 distinct documents are dropped BEFORE the
+    // self-join. Without it a boilerplate 8-gram shared by M docs
+    // ("all rights reserved ...", license headers) yields M²
+    // candidate rows inside one hash value — a skewed-key shuffle no
+    // AQE split can save at web scale; the cap bounds any anchor's
+    // contribution at df²≤256 rows (Lee et al. 2022 apply the same
+    // df cut). Semantics: a duplicated run that CROSSES a dropped
+    // anchor splits into two reported spans, each independently
+    // clearing the 16-token floor — the oracle applies the identical
+    // cap, so both engines split identically.
     "dd19_substring_spans" -> ((s, d) => {
       val k = 8
+      val maxDf = 16
       val base = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
       val spliced = base
@@ -514,32 +527,19 @@ object DocQueries {
           concat(array(lit("zz0"), lit("zz1"), lit("zz2")),
             slice(col("w"), 6, 40), array(lit("zz3"))).as("w"))
       val corpus = graft.util.CacheScope.track(base.unionAll(spliced))
-      val anchors = corpus
-        .select(col("doc_id"), posexplode(
-          when(size(col("w")) >= k,
-            transform(sequence(lit(0), size(col("w")) - k),
-              i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(k))))))
-            .otherwise(array())))
-        .toDF("doc_id", "pos", "h")
-      val m = anchors.select(col("doc_id").as("id1"), col("pos").as("pa"),
-          col("h"))
-        .join(anchors.select(col("doc_id").as("id2"), col("pos").as("pb"),
-          col("h")), Seq("h"))
-        .filter(col("id1") < col("id2"))
-        .withColumn("delta", (col("pb") - col("pa")).cast("long"))
-      val w = Window.partitionBy("id1", "id2", "delta").orderBy("pa")
-      val spans = m
-        .withColumn("grpk", col("pa") - row_number().over(w))
-        .groupBy(col("id1"), col("id2"), col("delta"), col("grpk"))
-        .agg(min(col("pa")).cast("long").as("start1"),
-          count(lit(1)).as("n_anchors"))
-        .withColumn("span_tokens", col("n_anchors") + (k - 1))
-        .filter(col("span_tokens") >= 16)
-        .select(col("id1"), col("id2"), col("start1"),
-          (col("start1") + col("delta")).as("start2"), col("span_tokens"))
+      val spans = graft.text.SubstringSpans
+        .spans(corpus, "doc_id", "w", k = k, maxDf = maxDf, minTokens = 16)
         .localCheckpoint() // the recall guard below re-reads it
-      val planted = base
-        .filter(col("doc_id") % 50 === 0 && size(col("w")) >= 45).count()
+      val stats = base.agg(max(col("doc_id")).as("mx"),
+        coalesce(sum(when(col("doc_id") % 50 === 0 && size(col("w")) >= 45,
+          1L).otherwise(0L)), lit(0L)).as("planted")).head()
+      // twin ids live at doc_id + 3e6: a corpus whose ids reach the
+      // shift would silently collide the unioned id space — fail at
+      // the cause, not in the recall guard
+      require(stats.getLong(0) < 3000000L,
+        s"dd19: max doc_id ${stats.getLong(0)} reaches the 3000000 twin-id " +
+          "shift — raise the shift before planting")
+      val planted = stats.getLong(1)
       val found = spans.filter(col("id2") === col("id1") + 3000000L &&
         col("start1") === 5 && col("start2") === 3 &&
         col("span_tokens") >= 40).select("id1").distinct().count()
@@ -910,7 +910,10 @@ object DocQueries {
         |      i -> {'pos': CAST(i AS BIGINT),
         |            'h': md5(array_to_string(w[i+1 : i+8], ' '))})) AS u
         |  FROM corpus),
-        |anch AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM anch0),
+        |anch1 AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM anch0),
+        |cool AS (SELECT h FROM anch1 GROUP BY h
+        |  HAVING count(DISTINCT doc_id) <= 16),
+        |anch AS (SELECT a.* FROM anch1 a JOIN cool USING (h)),
         |m AS (
         |  SELECT a1.doc_id AS id1, a2.doc_id AS id2, a1.pos AS pa,
         |    CAST(a2.pos - a1.pos AS BIGINT) AS delta

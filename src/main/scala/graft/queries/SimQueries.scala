@@ -658,6 +658,8 @@ object SimQueries {
       import graft.multimodal.{MediaContent, PhashIndex}
       val dir = java.nio.file.Files
         .createTempDirectory("graft_dd21_idx_").toString
+      // scratch index: tables + dir die with the query, not the JVM
+      graft.util.CacheScope.onRelease(() => PhashIndex.dropIndex(s, dir))
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val frames = MediaContent.hashSampledFrames(
         MediaContent.videosFromDocuments(s, docs)).toDF()
@@ -686,6 +688,13 @@ object SimQueries {
       import graft.multimodal.{CompressedCodecs, ImagePixels, Multimodal}
       import s.implicits._
       val docs = Tables.documents(s, d).select(col("doc_id"))
+      // the GIF twins live at doc_id + 10M: refuse a corpus whose ids
+      // reach the shift instead of letting the unioned id space
+      // collide and fail confusingly in the recall guard below
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      require(maxId < 10000000L,
+        s"dd20: max doc_id $maxId reaches the 10000000 twin-id shift — " +
+          "raise the shift before re-encoding")
       val imgs = ImagePixels.hashImages(
         ImagePixels.imagesFromDocuments(s, docs)).toDF()
         .select(col("doc_id").as("id"), col("dh_hi"), col("dh_lo"))
@@ -837,6 +846,8 @@ object SimQueries {
       import graft.multimodal.{ImagePixels, PhashIndex}
       val dir = java.nio.file.Files
         .createTempDirectory("graft_dd18_idx_").toString
+      // scratch index: tables + dir die with the query, not the JVM
+      graft.util.CacheScope.onRelease(() => PhashIndex.dropIndex(s, dir))
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val hashes = ImagePixels.hashImages(
         ImagePixels.imagesFromDocuments(s, docs)).toDF()

@@ -111,10 +111,14 @@ object DedupIndex {
 
     // exact-Jaccard verify: resolve each pair side's shingle set from
     // the stored index (bucketed by id — exchange-free) or, for ids
-    // born this batch, from the broadcast new sets. Never a union of
-    // stored ∪ new (same bucketing-destruction argument as above).
+    // born this batch, from the new sets. Never a union of stored ∪
+    // new (same bucketing-destruction argument as above), and no
+    // FORCED broadcast of the batch side: a production batch can be
+    // a day of crawl, so the hint would override AQE's size check —
+    // small batches still auto-broadcast, large ones degrade to a
+    // shuffle join while the stored side stays exchange-free.
     def lookupSet(p: DataFrame, side: String, out: String): DataFrame = {
-      val fresh = broadcast(newSets)
+      val fresh = newSets
         .select(col("id").as(side), col("s").as(s"__new_$out"))
       val withNew = p.join(fresh, Seq(side), "left")
       stored match {

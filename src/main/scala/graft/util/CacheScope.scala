@@ -25,6 +25,7 @@ import org.apache.spark.sql.DataFrame
   */
 object CacheScope {
   private val live = scala.collection.mutable.Buffer.empty[DataFrame]
+  private val hooks = scala.collection.mutable.Buffer.empty[() => Unit]
 
   /** Cache `df` and register it for the next [[releaseAll]]. */
   def track(df: DataFrame): DataFrame = live.synchronized {
@@ -33,11 +34,21 @@ object CacheScope {
     cached
   }
 
-  /** Unpersist every tracked cache. Call only AFTER the plans built
-    * from them have been consumed — releasing earlier is correct but
-    * silently recomputes. */
+  /** Register a cleanup to run at the next [[releaseAll]] — the hook
+    * for query-scoped SCRATCH state that outlives the plan (e.g. the
+    * dd18/dd21 temp index dirs + their session-catalog tables, which
+    * would otherwise pile up one per bench pass). Same consumed-first
+    * contract as tracked caches. */
+  def onRelease(f: () => Unit): Unit = live.synchronized { hooks += f }
+
+  /** Unpersist every tracked cache and run the registered cleanups.
+    * Call only AFTER the plans built from them have been consumed —
+    * releasing earlier is correct but silently recomputes. */
   def releaseAll(): Unit = live.synchronized {
     live.foreach(_.unpersist())
     live.clear()
+    val hs = hooks.toList
+    hooks.clear()
+    hs.foreach(h => scala.util.Try(h()))
   }
 }

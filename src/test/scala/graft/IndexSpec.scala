@@ -117,4 +117,47 @@ class IndexSpec extends SparkSuite {
       PhashIndex.ingestBatch(fps, tmp, 2, bandBits = bits + 1))
     assert(e.getMessage.contains("bandBits"))
   }
+
+  test("ingest verify joins: shuffle-join regime == broadcast regime") {
+    // round 14 removed the forced broadcast() hints on the batch side
+    // of the verify lookups (a production batch is a day of crawl —
+    // the hint overrode AQE's size check). Small batches still
+    // auto-broadcast; this pins that the DEGRADED regime (broadcast
+    // disabled entirely, as AQE does above the threshold) returns
+    // bit-identical pairs through the shuffle-join path.
+    import graft.multimodal.{MediaContent, PhashIndex}
+    val fps = MediaContent.fingerprintAudio(
+      MediaContent.audioFromDocuments(spark,
+        spark.read.parquet(s"$sf/documents.parquet").select($"doc_id"))).toDF()
+      .select($"doc_id".as("id"), $"fp_hi".as("hi"), $"fp_lo".as("lo"))
+      .localCheckpoint()
+    val bits = graft.sim.HammingBands.bits(fps.count(), occ = 4)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def runPh(dir: String) =
+      (key(PhashIndex.ingestBatch(fps.filter($"id" % 2 === 0), dir, 0, bits)),
+        key(PhashIndex.ingestBatch(fps.filter($"id" % 2 === 1), dir, 1, bits)))
+    def runMh(dir: String) = {
+      val all = corpus()
+      (pairKey(DedupIndex.ingestBatch(
+          all.filter($"doc_id" % 2 === 0), "doc_id", "text", dir, 0)),
+        pairKey(DedupIndex.ingestBatch(
+          all.filter($"doc_id" % 2 === 1), "doc_id", "text", dir, 1)))
+    }
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (bPh, bMh) = (runPh(tmp("regime_b_ph_")), runMh(tmp("regime_b_mh_")))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (sPh, sMh) =
+        (runPh(tmp("regime_s_ph_")), runMh(tmp("regime_s_mh_")))
+      assert(sPh == bPh, "PhashIndex pairs must not depend on join strategy")
+      assert(sMh == bMh, "DedupIndex pairs must not depend on join strategy")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
 }

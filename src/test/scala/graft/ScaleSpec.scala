@@ -472,6 +472,60 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("substring-span dedup caps anchor document frequency (hot-anchor skew)") {
+    import graft.text.SubstringSpans
+    // A boilerplate 8-gram shared by M docs would make M² candidate
+    // rows inside ONE anchor hash — the skewed-key shuffle the df cap
+    // exists to kill. 40 docs share a 20-token license header (13
+    // anchors, df=40 > 16): without the cap that is 780 pairs each
+    // reporting a 20-token span; with it, ZERO — their unique tails
+    // share nothing.
+    val boiler = (0 until 20).map(i => s"b$i")
+    val boilerDocs = (1 to 40).map { i =>
+      (i.toLong, boiler ++ (0 until 20).map(j => s"u${i}_$j")) }
+    // a genuine duplicated span (df=2) must still come back exactly:
+    // 24 shared tokens at offset 4 in doc 101, offset 10 in doc 102
+    val shared = (0 until 24).map(i => s"s$i")
+    val truePair = Seq(
+      (101L, (0 until 4).map(j => s"f1_$j") ++ shared ++
+        (0 until 10).map(j => s"g1_$j")),
+      (102L, (0 until 10).map(j => s"f2_$j") ++ shared ++
+        (0 until 4).map(j => s"g2_$j")))
+    // SPLIT SEMANTICS: docs 201/202 share 52 tokens whose middle 20
+    // ARE the boilerplate — anchors fully inside it (positions
+    // 16..28) are hot and drop, so the one run splits into exactly
+    // two 23-token spans (0..22 and 29..51), each clearing the floor
+    val emb = (0 until 16).map(i => s"p$i") ++ boiler ++
+      (0 until 16).map(i => s"q$i")
+    val splitPair = Seq(
+      (201L, emb ++ (0 until 6).map(j => s"h1_$j")),
+      (202L, emb ++ (0 until 6).map(j => s"h2_$j")))
+    val docs = (boilerDocs ++ truePair ++ splitPair).toDF("doc_id", "w")
+    val spans = SubstringSpans.spans(docs, "doc_id", "w",
+      k = 8, maxDf = 16, minTokens = 16).collect()
+    val amongBoiler = spans.filter(r =>
+      r.getLong(0) <= 40 && r.getLong(1) <= 40)
+    assert(amongBoiler.isEmpty,
+      s"hot anchor (df=40) must be dropped before the self-join, got " +
+        s"${amongBoiler.length} boilerplate-only pairs")
+    val tp = spans.filter(r => r.getLong(0) == 101L && r.getLong(1) == 102L)
+    assert(tp.map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet ==
+      Set((4L, 10L, 24L)),
+      s"df=2 span must survive the cap token-exact: ${tp.mkString(",")}")
+    val sp = spans.filter(r => r.getLong(0) == 201L && r.getLong(1) == 202L)
+    assert(sp.map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet ==
+      Set((0L, 0L, 23L), (29L, 29L, 23L)),
+      s"a run crossing a dropped anchor must split into two spans: " +
+        s"${sp.mkString(",")}")
+    // and the uncapped form WOULD have blown up — the counterfactual
+    // that proves the cap is doing the guarding
+    val uncapped = SubstringSpans.spans(docs, "doc_id", "w",
+      k = 8, maxDf = 1000, minTokens = 16)
+      .filter(col("id1") <= 40 && col("id2") <= 40).count()
+    assert(uncapped == 40L * 39 / 2,
+      s"counterfactual: expected 780 boilerplate pairs uncapped, got $uncapped")
+  }
+
   test("Hamming-LSH band geometry derives from the corpus count") {
     import graft.sim.HammingBands
     // the occupancy rule: width grows with the corpus so bucket
