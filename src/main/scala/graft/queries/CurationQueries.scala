@@ -191,6 +191,69 @@ object CurationQueries {
         when(docKeep, 1).otherwise(0).as("doc_keep"))
     }),
 
+    // HTML → text extraction (round 14) — the pass every web-scale
+    // pretraining corpus runs FIRST, before anything in the t2–t24
+    // battery sees a byte: strip head/script/style/comment subtrees,
+    // break blocks at closing block tags, strip inline tags, decode
+    // entities, then the jusText-shaped line keep rule (≥3 words AND
+    // link density ≤ 1/3 — nav bars and link farms die by density,
+    // footers and stubs by word count). Generator-oracle pattern at
+    // the markup grain: [[graft.text.HtmlExtract.render]] wraps each
+    // document's tokens in real nested HTML (head/nav/comment/link
+    // farm/entity escapes) from doc_id arithmetic; the engine runs
+    // the GENERAL extractor over the markup; DuckDB replays the
+    // expected extraction blind from the tokens alone — a hash match
+    // certifies strip + entity decode + keep rule end to end. Pure
+    // per-row Column fold: zero shuffles, zero UDFs, scan-parallel
+    // at any corpus size (ScaleSpec pins the exchange-free plan).
+    "t29_html_extract" -> ((s, d) => {
+      import graft.text.HtmlExtract
+      val ex = HtmlExtract.extract(
+        HtmlExtract.render(col("doc_id"), split(col("text"), " ")))
+      Tables.documents(s, d).select(col("doc_id"),
+        ex.getField("n_blocks").as("n_blocks"),
+        ex.getField("n_kept").as("n_kept"),
+        length(ex.getField("extracted")).cast("long").as("n_chars_kept"),
+        ex.getField("extracted").as("extracted"))
+    }),
+
+    // Web-curation composite (round 14) — cur1 with the web front
+    // bolted on, the chain a crawl pipeline actually executes:
+    // HTML render → EXTRACT → language-ID → quality floor → exact
+    // dedup on the EXTRACTED text → deterministic split. The planted
+    // copies (every 100th doc re-rendered under a shifted id) prove
+    // extraction is boilerplate-invariant: title and comment carry
+    // the id but live in dropped regions, so both renders extract
+    // identically and the dedup stage collapses them — dedup AFTER
+    // extraction catches re-hosted pages whose raw bytes differ only
+    // in chrome, which raw-text dedup misses. One shuffle (the
+    // content-hash window), same as cur1.
+    "cur3_web_curation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.text.{HtmlExtract, TextAnalysis => TA}
+      val docs0 = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val docs = docs0.unionAll(docs0.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val ex = HtmlExtract.extract(
+        HtmlExtract.render(col("doc_id"), split(col("text"), " ")))
+      val flat = regexp_replace(ex.getField("extracted"), "\n", " ")
+      val (_, _, _, pred) = TA.langId(flat)
+      val annotated = docs.select(col("doc_id"), flat.as("clean"),
+        pred.as("predicted_lang"),
+        size(split(flat, " ")).cast("long").as("n_tokens"))
+      val kept = annotated.filter(col("predicted_lang") === "en" &&
+        col("n_tokens") >= 20)
+      val w = Window.partitionBy("h")
+      val b = hashBucket(col("doc_id"))
+      kept.withColumn("h", md5(col("clean")))
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id"), col("predicted_lang"), col("n_tokens"),
+          b.as("bucket"),
+          when(b < 204, "train").when(b < 230, "val").otherwise("test")
+            .as("split"))
+    }),
+
     // Deterministic stratified sample + train/val/test split
     // (~80/10/10 by hash bucket; 10% systematic sample flag).
     // The operators COMPOSED — one pass of the curation flow a
@@ -416,6 +479,38 @@ object CurationQueries {
     })
   )
 
+  /** t29/cur3 shared oracle chain: replay the EXPECTED extraction
+    * blind from the tokens (the generator's arithmetic — never an
+    * HTML parse), mirroring [[graft.text.HtmlExtract.render]]'s
+    * paragraph cases. Plugs after a CTE named `corpus(doc_id, text)`;
+    * yields `ht(doc_id, w, n)` and `hx(doc_id, n_kept, extracted)`. */
+  private val HtmlExtractCte: String =
+    """ht AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM corpus),
+      |hp AS (SELECT ht.doc_id, ht.n, u.i AS i,
+      |    ht.w[CAST(u.i*8+1 AS INTEGER):CAST(u.i*8+8 AS INTEGER)] AS v
+      |  FROM ht, unnest(range(0, (ht.n+7)//8)) AS u(i)),
+      |hr AS (SELECT doc_id, n, i,
+      |    CASE
+      |      WHEN i % 5 = 2 THEN NULL
+      |      WHEN i % 2 = 0 AND len(v) >= 3 THEN
+      |        '"' || v[1] || '" ' ||
+      |        CASE WHEN len(v) > 2
+      |             THEN array_to_string(v[2:CAST(len(v)-1 AS INTEGER)], ' ')
+      |                  || ' '
+      |             ELSE '' END ||
+      |        chr(39) || v[CAST(len(v) AS INTEGER)] || chr(39)
+      |      WHEN i % 2 = 1 AND len(v) >= 2 THEN
+      |        v[1] || ' & ' ||
+      |        array_to_string(v[2:CAST(len(v) AS INTEGER)], ' ')
+      |      ELSE NULL END AS line
+      |  FROM hp),
+      |hx AS (SELECT hr.doc_id,
+      |    CAST(count(hr.line) AS BIGINT) AS n_kept,
+      |    coalesce(string_agg(hr.line, chr(10) ORDER BY hr.i), '')
+      |      AS extracted
+      |  FROM hr GROUP BY hr.doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "t23_perplexity_filter" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
@@ -463,6 +558,55 @@ object CurationQueries {
         |       AND NOT contains(lower(text), 'lorem ipsum')
         |       THEN 1 ELSE 0 END AS INT) AS doc_keep
         |FROM m""".stripMargin,
+    "t29_html_extract" ->
+      ("""WITH corpus AS (SELECT doc_id, text FROM documents),
+        |""".stripMargin + HtmlExtractCte +
+      """
+        |SELECT ht.doc_id, CAST((ht.n+7)//8 + 2 AS BIGINT) AS n_blocks,
+        |  hx.n_kept, CAST(length(hx.extracted) AS BIGINT) AS n_chars_kept,
+        |  hx.extracted
+        |FROM ht JOIN hx USING (doc_id)""".stripMargin),
+    "cur3_web_curation" ->
+      ("""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |""".stripMargin + HtmlExtractCte +
+      """,
+        |flat AS (SELECT doc_id, replace(extracted, chr(10), ' ') AS clean
+        |  FROM hx),
+        |ann AS (SELECT doc_id, clean,
+        |    CAST(len(list_filter(string_split(clean, ' '),
+        |      x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT)
+        |      AS en_score,
+        |    CAST(len(list_filter(string_split(clean, ' '),
+        |      x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT)
+        |      AS de_score,
+        |    CAST(len(list_filter(string_split(clean, ' '),
+        |      x -> list_contains(['el','la','de','y','es'], x))) AS BIGINT)
+        |      AS es_score,
+        |    CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tokens
+        |  FROM flat),
+        |lang AS (SELECT doc_id, clean, n_tokens,
+        |    CASE WHEN de_score > en_score AND de_score >= es_score THEN 'de'
+        |         WHEN es_score > en_score AND es_score > de_score THEN 'es'
+        |         ELSE 'en' END AS predicted_lang
+        |  FROM ann),
+        |kept AS (SELECT * FROM lang
+        |  WHERE predicted_lang = 'en' AND n_tokens >= 20),
+        |ded AS (SELECT *,
+        |    min(doc_id) OVER (PARTITION BY md5(clean)) AS canonical_id
+        |  FROM kept)
+        |SELECT doc_id, predicted_lang, n_tokens,
+        |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket,
+        |  CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |            (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 204 THEN 'train'
+        |       WHEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |            (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 230 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM ded WHERE doc_id = canonical_id""".stripMargin),
     "t21_dsir_weights" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

@@ -434,9 +434,11 @@ class ScaleSpec extends SparkSuite {
   }
 
   test("per-row text queries plan with zero exchanges") {
-    // t10/t11/t22 are pure per-row curation passes: ANY exchange in
-    // the plan means a shuffle snuck into what must stay scan-parallel.
-    for (q <- Seq("t10_redact", "t11_repetition", "t22_gopher_rules")) {
+    // t10/t11/t22/t29 are pure per-row curation passes: ANY exchange
+    // in the plan means a shuffle snuck into what must stay
+    // scan-parallel (t29 = the full HTML render+extract round trip).
+    for (q <- Seq("t10_redact", "t11_repetition", "t22_gopher_rules",
+        "t29_html_extract")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
       val ex = plan.collectWithSubqueries { case e: ShuffleExchangeExec => e }
       assert(ex.isEmpty, s"$q expected exchange-free plan, got:\n$plan")

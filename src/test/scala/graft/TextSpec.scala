@@ -139,6 +139,40 @@ class TextSpec extends SparkSuite {
     assert(r(2L) == ((0L, 0L))) // clean doc keeps its row with zeros
   }
 
+  test("html extraction: general markup, not just the generator's") {
+    import graft.text.HtmlExtract
+    // hand-written HTML exercising shapes the t29 generator never
+    // emits: nested inline tags, script IN BODY, uppercase tags,
+    // <br> splits, double-decode bait (&amp;lt; must yield literal
+    // "&lt;", never "<"), a heading, and a link whose low density
+    // keeps its line
+    val html =
+      "<HTML><HEAD><TITLE>x</TITLE></HEAD><BODY>" +
+        "<h1>Big news today folks</h1>" +
+        "<p>See <a href=\"/more\">the details</a> about this here " +
+        "story now</p>" +
+        "<script>var inBody = 'must not leak';</script>" +
+        "<p>one &amp;lt; two escaped tokens stay literal</p>" +
+        "<div>first half<br>tail too short</div>" +
+        "<p><a href=\"/1\">spam</a> <a href=\"/2\">links</a> " +
+        "<a href=\"/3\">forever</a></p>" +
+        "</BODY></HTML>"
+    val r = Seq(Tuple1(html)).toDF("html")
+      .select(HtmlExtract.extract($"html").as("e"))
+      .select($"e.n_blocks", $"e.n_kept", $"e.extracted").first()
+    val extracted = r.getString(2)
+    // blocks: h1, details-p, escaped-p, "first half", "tail too
+    // short", spam-p = 6; kept: h1 + details + escaped + "tail too
+    // short" (3 words) = 4
+    assert(r.getLong(0) == 6, s"n_blocks: $r")
+    assert(r.getLong(1) == 4, s"n_kept: $r")
+    assert(extracted == "Big news today folks\n" +
+      "See the details about this here story now\n" +
+      "one &lt; two escaped tokens stay literal\n" +
+      "tail too short", s"extracted: <$extracted>")
+    assert(!extracted.contains("must not leak") && !extracted.contains("spam"))
+  }
+
   test("dup spans: gap wider than k splits islands; short docs no grams") {
     import graft.text.DupSpans
     // two shared 6-char regions separated by >k unique filler on each
