@@ -254,6 +254,30 @@ object CurationQueries {
             .as("split"))
     }),
 
+    // URL canonicalization + URL-keyed dedup (round 14) — the
+    // standard first pass of a crawl pipeline: case-fold scheme/host,
+    // drop fragments, strip default ports, remove tracking params,
+    // sort the rest, THEN exact-dedup on the canonical form. The
+    // generator derives raw URLs from doc_id arithmetic such that ids
+    // 40 apart canonicalize equal through DIFFERENT raw forms (mixed
+    // case vs explicit :80 vs tracking noise), so the dedup stage has
+    // real groups at every sf; DuckDB replays the same regexp chain.
+    // Canonicalization is a free per-row column; the dedup is ONE
+    // shuffle on the canonical string.
+    "t30_url_canon" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.text.UrlCanon
+      val w = Window.partitionBy("canon")
+      Tables.documents(s, d)
+        .select(col("doc_id"), UrlCanon.renderUrl(col("doc_id")).as("url"))
+        .withColumn("canon", UrlCanon.canonicalize(col("url")))
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("url"), col("canon"),
+          col("canonical_id"),
+          when(col("doc_id") =!= col("canonical_id"), 1).otherwise(0)
+            .as("is_dup"))
+    }),
+
     // Deterministic stratified sample + train/val/test split
     // (~80/10/10 by hash bucket; 10% systematic sample flag).
     // The operators COMPOSED — one pass of the curation flow a
@@ -566,6 +590,47 @@ object CurationQueries {
         |  hx.n_kept, CAST(length(hx.extracted) AS BIGINT) AS n_chars_kept,
         |  hx.extracted
         |FROM ht JOIN hx USING (doc_id)""".stripMargin),
+    "t30_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN 'Example.COM'
+        |       WHEN doc_id % 3 = 1 THEN 'example.com' ||
+        |         CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+        |       ELSE 'Sub.Example.org:8080' END ||
+        |  '/p/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |  '?utm_source=feed&b=' || CAST(doc_id % 5 AS VARCHAR) ||
+        |  '&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR) ||
+        |  '&a=' || CAST(doc_id % 4 AS VARCHAR) ||
+        |  CASE WHEN doc_id % 4 = 0
+        |       THEN '&fbclid=x' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END ||
+        |  CASE WHEN doc_id % 6 = 1
+        |       THEN '#sec' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, url,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |    AS scheme,
+        |  lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS auth,
+        |  regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS query FROM u),
+        |c2 AS (SELECT doc_id, url, scheme, path,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |       ELSE auth END AS auth2,
+        |  array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |    p -> p <> '' AND NOT regexp_matches(p,
+        |      '^(utm_[^=]*|fbclid|gclid)='))), '&') AS cq
+        |  FROM c),
+        |c3 AS (SELECT doc_id, url,
+        |  scheme || '://' || auth2 ||
+        |  CASE WHEN path = '' THEN '/' ELSE path END ||
+        |  CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS canon
+        |  FROM c2),
+        |dd AS (SELECT doc_id, url, canon,
+        |  min(doc_id) OVER (PARTITION BY canon) AS canonical_id FROM c3)
+        |SELECT doc_id, url, canon, canonical_id,
+        |  CAST(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END AS INT)
+        |    AS is_dup
+        |FROM dd""".stripMargin,
     "cur3_web_curation" ->
       ("""WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -173,6 +173,28 @@ class TextSpec extends SparkSuite {
     assert(!extracted.contains("must not leak") && !extracted.contains("spam"))
   }
 
+  test("url canonicalization: general forms, not just the generator's") {
+    import graft.text.UrlCanon
+    val cases = Seq(
+      // default port + case + tracking + sort + fragment
+      "HTTPS://WWW.Site.ORG:443/A/b?z=1&utm_medium=email&a=2#top" ->
+        "https://www.site.org/A/b?a=2&z=1",
+      // non-default port kept; path case preserved; gclid dropped
+      "http://host.com:8080/Path?gclid=abc&b=1" ->
+        "http://host.com:8080/Path?b=1",
+      // empty path → /; all params tracking → query dropped
+      "http://Host.com?utm_source=x&fbclid=y" -> "http://host.com/",
+      // :80 is NOT default for https
+      "https://h.io:80/x" -> "https://h.io:80/x",
+      // param whose NAME merely contains 'utm_' mid-string survives
+      "http://a.b/p?xutm_source=1" -> "http://a.b/p?xutm_source=1")
+    val got = cases.map(_._1).toDF("url")
+      .select($"url", UrlCanon.canonicalize($"url").as("canon"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((raw, want) <- cases)
+      assert(got(raw) == want, s"$raw -> ${got(raw)}, want $want")
+  }
+
   test("dup spans: gap wider than k splits islands; short docs no grams") {
     import graft.text.DupSpans
     // two shared 6-char regions separated by >k unique filler on each
