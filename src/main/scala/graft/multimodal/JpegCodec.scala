@@ -58,6 +58,36 @@ object JpegCodec {
     * dequantized DC of 8·level cancels the IDCT's ÷8 exactly. */
   private val Quant = Array.fill(64)(8)
 
+  /** Annex K.3.3.1: chrominance DC. */
+  private val DcChromaBits =
+    Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChromaVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+
+  /** Annex K.3.3.2: chrominance AC. */
+  private val AcChromaBits =
+    Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChromaVals = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+    0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+    0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+    0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+    0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Chroma quantization table: all 16s — exercises multi-table DQT
+    * and per-component table selection (chroma exactness is not
+    * required: its pixels are discarded). */
+  private val QuantChroma = Array.fill(64)(16)
+
   /** T.81 §A.3.6 zig-zag order: zigzag(k) = natural index of the k-th
     * coefficient in transmission order. */
   private val Zigzag = Array(
@@ -176,6 +206,120 @@ object JpegCodec {
     seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS
     out.write(scan, 0, scan.length)
     marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ------------------------------------------------- color generator
+
+  /** Color canvas: 32×16 luma = a 4×2 grid of 8×8 blocks — two
+    * 16×16 MCUs under 4:2:0, eight 8×8 MCUs under 4:4:4. */
+  val JWC = 32
+  val JHC = 16
+
+  /** Luma of color image `id` at block (bx, by) — SQL-replayable,
+    * range [28, 227]. */
+  def jColorLumAt(id: Long, bx: Int, by: Int): Int = {
+    val seed = (id % 97).toInt
+    (seed * 31 + bx * 47 + by * 59 + bx * by * (seed % 11)) % 200 + 28
+  }
+
+  /** Real 3-component baseline JFIF — 4:2:0 for even ids, 4:4:4 for
+    * odd ids: multi-table DQT (luma 8s, chroma 16s), four DHT tables
+    * (Annex K luma + CHROMA pairs), interleaved MCU scan with
+    * per-component DC prediction. Luma blocks stay flat in the
+    * DC-exact subspace (the mm11 contract — oracle-replayable);
+    * chroma blocks are flat EXCEPT every 3rd id, whose chroma
+    * carries one AC coefficient — so the oracle-gated corpus itself
+    * exercises the decoder's decode-and-discard bitstream sync
+    * through the chroma AC path. */
+  def jpegColorBytes(id: Long): Array[Byte] = {
+    val is420 = id % 2 == 0
+    val hv = if (is420) 2 else 1
+    val dcL = canonicalCodes(DcBits); val acL = canonicalCodes(AcBits)
+    val dcC = canonicalCodes(DcChromaBits)
+    val acC = canonicalCodes(AcChromaBits)
+    val bw = new BitWriterJpeg
+    def sizeOf(v: Int): Int = {
+      var s = 0; var a = math.abs(v)
+      while (a != 0) { s += 1; a >>= 1 }
+      s
+    }
+    def amp(v: Int, s: Int): Int = if (v >= 0) v else v + (1 << s) - 1
+    def putDc(codes: Array[(Int, Int)], diff: Int): Unit = {
+      val s = sizeOf(diff)
+      val (c, l) = codes(s)
+      bw.put(c, l)
+      if (s > 0) bw.put(amp(diff, s), s)
+    }
+    def putAc(rs: Int, ampV: Int): Unit = {
+      val (c, l) = acC(AcChromaVals.indexOf(rs))
+      bw.put(c, l)
+      val s = rs & 0xf
+      if (s > 0) bw.put(amp(ampV, s), s)
+    }
+    val eobL = AcVals.indexOf(0x00)
+    // chroma coded DC levels (decoded pixels are discarded; values
+    // only need DC-category range)
+    val cbCoded = ((id % 50) - 20).toInt
+    val crCoded = ((id % 60) - 30).toInt
+    val acChroma = if (id % 3 == 0) ((id % 15) + 1).toInt else 0
+    var predY = 0; var predCb = 0; var predCr = 0
+    val mcuW = JWC / (8 * hv); val mcuH = JHC / (8 * hv)
+    var my = 0
+    while (my < mcuH) {
+      var mx = 0
+      while (mx < mcuW) {
+        var vb = 0
+        while (vb < hv) {
+          var hb = 0
+          while (hb < hv) {
+            val level = jColorLumAt(id, mx * hv + hb, my * hv + vb) - 128
+            putDc(dcL, level - predY)
+            predY = level
+            val (ec, el) = acL(eobL)
+            bw.put(ec, el) // flat luma: EOB straight after DC
+            hb += 1
+          }
+          vb += 1
+        }
+        for ((coded, isCb) <- Seq((cbCoded, true), (crCoded, false))) {
+          putDc(dcC, coded - (if (isCb) predCb else predCr))
+          if (isCb) predCb = coded else predCr = coded
+          if (acChroma != 0) putAc(sizeOf(acChroma), acChroma) // run 0
+          putAc(0x00, 0) // EOB
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    val scan = bw.flush()
+    val out = new java.io.ByteArrayOutputStream
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+      out.write(body, 0, body.length)
+    }
+    marker(0xd8)
+    seg(0xdb, Array(0x00.toByte) ++ Quant.map(_.toByte) ++ // both tables,
+      Array(0x01.toByte) ++ QuantChroma.map(_.toByte))     // ONE segment
+    seg(0xc0, Array[Byte](8,
+      (JHC >> 8).toByte, (JHC & 0xff).toByte,
+      (JWC >> 8).toByte, (JWC & 0xff).toByte,
+      3, // components: Y (max sampling, quant 0), Cb, Cr (1x1, quant 1)
+      1, ((hv << 4) | hv).toByte, 0,
+      2, 0x11, 1,
+      3, 0x11, 1))
+    seg(0xc4, Array(0x00.toByte) ++ DcBits.map(_.toByte) ++
+      DcVals.map(_.toByte) ++
+      Array(0x10.toByte) ++ AcBits.map(_.toByte) ++ AcVals.map(_.toByte))
+    seg(0xc4, Array(0x01.toByte) ++ DcChromaBits.map(_.toByte) ++
+      DcChromaVals.map(_.toByte) ++
+      Array(0x11.toByte) ++ AcChromaBits.map(_.toByte) ++
+      AcChromaVals.map(_.toByte))
+    seg(0xda, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+    out.write(scan, 0, scan.length)
+    marker(0xd9)
     out.toByteArray
   }
 
@@ -362,103 +506,194 @@ object JpegCodec {
     out
   }
 
-  /** Decode a baseline grayscale JPEG to `(width, height, row-major
-    * gray pixels)`. General within the declared scope: any DQT/DHT
-    * decode through the canonical tables; AC coefficients decode
-    * through run-length/EOB + dezigzag + IDCT. */
-  def decodeJpegGray(p: Array[Byte]): (Int, Int, Array[Int]) = {
+  /** Per-component spec: SOF0 sampling/quant + SOS huffman ids. */
+  private final class Comp(val h: Int, val v: Int, val tq: Int) {
+    var td = 0; var ta = 0
+  }
+
+  /** Decode the LUMA plane of a baseline JPEG — grayscale (1
+    * component) or YCbCr color (3 components; luma carries the max
+    * sampling factor, chroma 1×1 — covers 4:4:4, 4:2:2, 4:4:0 and
+    * the dominant real-corpus 4:2:0). Chroma blocks are
+    * entropy-decoded to keep the interleaved MCU bitstream in sync
+    * and their pixels DISCARDED: the dHash needs only luma, so
+    * chroma IDCT + upsampling would be pure waste at corpus scale.
+    * Returns `(width, height, row-major luma, sampling label)`.
+    * Refused loudly (round-14 hardening): every non-SOF0 frame type
+    * (0xc1–0xcf incl. JPG/DAC), standalone markers (TEM/RSTn) before
+    * SOS — they carry no length and would misparse — restart
+    * intervals (DRI), zero frame dimensions, missing tables. */
+  def decodeJpegLumaInfo(p: Array[Byte]): (Int, Int, Array[Int], String) = {
     def u8(i: Int) = p(i) & 0xff
     def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
     require(p.length > 4 && u8(0) == 0xff && u8(1) == 0xd8, "not a JPEG")
     var i = 2
     var w = 0; var h = 0
-    var quant: Array[Int] = null
-    var dcT: HuffTable = null
-    var acT: HuffTable = null
+    val quant = new Array[Array[Int]](4)
+    val dcT = new Array[HuffTable](4)
+    val acT = new Array[HuffTable](4)
+    var comps: Array[Comp] = null
     var scanStart = -1
     while (scanStart < 0) {
-      require(i + 4 <= p.length && u8(i) == 0xff, s"bad marker at $i")
+      require(i + 2 <= p.length && u8(i) == 0xff, s"bad marker at $i")
       val m = u8(i + 1)
+      // standalone markers carry NO length field — parsing one as a
+      // segment would misread its neighbors as a length
+      require(m != 0x01 && !(m >= 0xd0 && m <= 0xd7),
+        f"JPEG: standalone marker 0xff$m%02x before SOS")
+      require(i + 4 <= p.length, s"JPEG: truncated segment at $i")
       val len = u16(i + 2)
       m match {
-        case 0xdb =>
-          require(u8(i + 4) == 0, "JPEG: only 8-bit quant table 0")
-          val q = new Array[Int](64)
-          var k = 0
-          while (k < 64) { q(Zigzag(k)) = u8(i + 5 + k); k += 1 }
-          quant = q
+        case 0xdb => // DQT: possibly several tables per segment
+          var off = i + 4
+          while (off < i + 2 + len) {
+            require(u8(off) >> 4 == 0, "JPEG: only 8-bit quant tables")
+            val tq = u8(off) & 0xf
+            require(tq < 4, s"JPEG: quant table id $tq")
+            val q = new Array[Int](64)
+            var k = 0
+            while (k < 64) { q(Zigzag(k)) = u8(off + 1 + k); k += 1 }
+            quant(tq) = q
+            off += 65
+          }
         case 0xc0 =>
           require(u8(i + 4) == 8, "JPEG: only 8-bit precision")
           h = u16(i + 5); w = u16(i + 7)
-          require(u8(i + 9) == 1, "JPEG: only grayscale (1 component)")
-          require(u8(i + 11) == 0x11, "JPEG: only 1x1 sampling")
-        case 0xc1 | 0xc2 | 0xc3 =>
+          require(w > 0 && h > 0, "JPEG: zero frame dimensions")
+          val n = u8(i + 9)
+          require(n == 1 || n == 3,
+            s"JPEG: $n components (grayscale or YCbCr only)")
+          comps = Array.tabulate(n) { c =>
+            val hv = u8(i + 11 + 3 * c)
+            new Comp(hv >> 4, hv & 0xf, u8(i + 12 + 3 * c))
+          }
+          val hMax = comps.map(_.h).max; val vMax = comps.map(_.v).max
+          require(comps(0).h == hMax && comps(0).v == vMax,
+            "JPEG: luma must carry the max sampling factor")
+          require(hMax >= 1 && hMax <= 2 && vMax >= 1 && vMax <= 2,
+            "JPEG: sampling factors must be 1 or 2")
+          require(comps.drop(1).forall(c => c.h == 1 && c.v == 1),
+            "JPEG: chroma must sample 1x1")
+        case sof if sof >= 0xc1 && sof <= 0xcf && sof != 0xc4 =>
+          // progressive/lossless/hierarchical/arithmetic frames and
+          // JPG(0xc8)/DAC(0xcc): refuse EVERY one explicitly — the
+          // old APPn fall-through let 0xc5–0xcf garbage-decode
           throw new IllegalArgumentException(
-            "JPEG: only baseline (SOF0) supported")
-        case 0xc4 =>
+            f"JPEG: only baseline SOF0 supported (marker 0xff$sof%02x)")
+        case 0xc4 => // DHT: possibly several tables per segment
           var off = i + 4
           while (off < i + 2 + len) {
             val tc = u8(off) >> 4; val th = u8(off) & 0xf
-            require(th == 0, "JPEG: only table id 0")
+            require(th < 4, s"JPEG: huffman table id $th")
             val bits = Array.tabulate(16)(j => u8(off + 1 + j))
             val n = bits.sum
             val vals = Array.tabulate(n)(j => u8(off + 17 + j))
-            if (tc == 0) dcT = new HuffTable(bits, vals)
-            else acT = new HuffTable(bits, vals)
+            if (tc == 0) dcT(th) = new HuffTable(bits, vals)
+            else acT(th) = new HuffTable(bits, vals)
             off += 17 + n
           }
-        case 0xda => scanStart = i + 2 + len
+        case 0xdd => throw new IllegalArgumentException(
+          "JPEG: restart intervals (DRI) unsupported")
+        case 0xda =>
+          require(comps != null, "JPEG: SOS before SOF0")
+          val ns = u8(i + 4)
+          require(ns == comps.length, "JPEG: partial scans unsupported")
+          var c = 0
+          while (c < ns) {
+            val tt = u8(i + 6 + 2 * c)
+            comps(c).td = tt >> 4; comps(c).ta = tt & 0xf
+            c += 1
+          }
+          scanStart = i + 2 + len
         case 0xd9 => throw new IllegalArgumentException("JPEG: EOI before SOS")
         case _ => () // APPn/COM skip
       }
       if (scanStart < 0) i += 2 + len
     }
-    require(quant != null && dcT != null && acT != null,
-      "JPEG: missing DQT/DHT before SOS")
+    require(w > 0 && h > 0, "JPEG: missing SOF0 before SOS")
+    comps.foreach { c =>
+      require(quant(c.tq) != null, s"JPEG: missing quant table ${c.tq}")
+      require(dcT(c.td) != null && acT(c.ta) != null,
+        s"JPEG: missing huffman tables dc=${c.td}/ac=${c.ta}")
+    }
     val br = new BitReaderJpeg(p, scanStart)
     val px = new Array[Int](w * h)
-    var pred = 0
-    val mcuW = (w + 7) / 8; val mcuH = (h + 7) / 8
-    var by = 0
-    while (by < mcuH) {
-      var bx = 0
-      while (bx < mcuW) {
-        val coef = new Array[Int](64)
-        val s = dcT.decode(br)
-        pred += extend(br.receive(s), s)
-        coef(0) = pred * quant(0)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = acT.decode(br)
-          val r = rs >> 4; val size = rs & 0xf
-          if (size == 0) {
-            if (r == 15) k += 16 // ZRL
-            else eob = true
-          } else {
-            k += r
-            require(k < 64, "JPEG: AC run past block end")
-            coef(Zigzag(k)) = extend(br.receive(size), size) * quant(Zigzag(k))
-            k += 1
+    val preds = new Array[Int](comps.length)
+    val hMax = comps(0).h; val vMax = comps(0).v
+    val mcuW = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcuH = (h + 8 * vMax - 1) / (8 * vMax)
+    var my = 0
+    while (my < mcuH) {
+      var mx = 0
+      while (mx < mcuW) {
+        var ci = 0
+        while (ci < comps.length) {
+          val comp = comps(ci)
+          val q = quant(comp.tq)
+          var vb = 0
+          while (vb < comp.v) {
+            var hb = 0
+            while (hb < comp.h) {
+              val coef = new Array[Int](64)
+              val s = dcT(comp.td).decode(br)
+              preds(ci) += extend(br.receive(s), s)
+              coef(0) = preds(ci) * q(0)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = acT(comp.ta).decode(br)
+                val r = rs >> 4; val size = rs & 0xf
+                if (size == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else eob = true
+                } else {
+                  k += r
+                  require(k < 64, "JPEG: AC run past block end")
+                  coef(Zigzag(k)) =
+                    extend(br.receive(size), size) * q(Zigzag(k))
+                  k += 1
+                }
+              }
+              if (ci == 0) { // luma lands; chroma stays decoded-and-dropped
+                val block = idct(coef)
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  while (xx < 8) {
+                    val x = (mx * comp.h + hb) * 8 + xx
+                    val y = (my * comp.v + vb) * 8 + yy
+                    if (x < w && y < h)
+                      px(y * w + x) =
+                        math.max(0, math.min(255, block(yy * 8 + xx) + 128))
+                    xx += 1
+                  }
+                  yy += 1
+                }
+              }
+              hb += 1
+            }
+            vb += 1
           }
+          ci += 1
         }
-        val block = idct(coef)
-        var yy = 0
-        while (yy < 8) {
-          var xx = 0
-          while (xx < 8) {
-            val x = bx * 8 + xx; val y = by * 8 + yy
-            if (x < w && y < h)
-              px(y * w + x) =
-                math.max(0, math.min(255, block(yy * 8 + xx) + 128))
-            xx += 1
-          }
-          yy += 1
-        }
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
+    val label =
+      if (comps.length == 1) "gray"
+      else (hMax, vMax) match {
+        case (2, 2) => "420"
+        case (2, 1) => "422"
+        case (1, 2) => "440"
+        case _      => "444"
+      }
+    (w, h, px, label)
+  }
+
+  /** Grayscale-era entry point (mm11); the decoder is shared. */
+  def decodeJpegGray(p: Array[Byte]): (Int, Int, Array[Int]) = {
+    val (w, h, px, _) = decodeJpegLumaInfo(p)
     (w, h, px)
   }
 
@@ -484,6 +719,34 @@ object JpegCodec {
         val packed = px.map(g => (g << 16) | (g << 8) | g)
         val (hi, lo) = ImagePixels.dHash(w, h, packed)
         JpegHash(r.id, "jpeg", w, h, hi, lo)
+      }
+    }
+  }
+
+  final case class JpegColorHash(doc_id: Long, sampling: String,
+                                 width: Int, height: Int,
+                                 dh_hi: Long, dh_lo: Long)
+
+  def colorJpegsFromDocuments(spark: SparkSession, docs: DataFrame)
+    : Dataset[Multimodal.MediaRow] = {
+    import spark.implicits._
+    docs.select("doc_id").as[Long]
+      .map(id => Multimodal.MediaRow(id, jpegColorBytes(id)))
+  }
+
+  /** Luma-only decode + dHash per partition at scan speed. The
+    * sampling label comes from the PARSED SOF0, not id arithmetic —
+    * the oracle cross-checks the header parse, not an echo. The
+    * (id, dh_hi, dh_lo) shape ingests into dd15/dd18 unchanged. */
+  def hashColorJpegs(media: Dataset[Multimodal.MediaRow])
+    : Dataset[JpegColorHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px, label) = decodeJpegLumaInfo(r.payload)
+        val packed = px.map(g => (g << 16) | (g << 8) | g)
+        val (hi, lo) = ImagePixels.dHash(w, h, packed)
+        JpegColorHash(r.id, label, w, h, hi, lo)
       }
     }
   }

@@ -759,6 +759,29 @@ object SimQueries {
           col("dh_hi"), col("dh_lo"))
     }),
 
+    // COLOR baseline JPEG (round 14) — real corpora are 3-component
+    // YCbCr (overwhelmingly 4:2:0); mm11's grayscale-only scope
+    // excluded nearly all of them. The generator writes true color
+    // JFIF: multi-table DQT (luma 8s / chroma 16s), four DHT tables
+    // (Annex K luma AND chroma pairs), interleaved MCU scans — 4:2:0
+    // on even ids, 4:4:4 on odd — with per-component DC prediction;
+    // every 3rd id's chroma carries an AC coefficient so the gated
+    // corpus itself drives the decode-and-discard bitstream sync.
+    // The decoder parses sampling factors and decodes ONLY the luma
+    // plane (chroma blocks entropy-decode to stay in sync, then
+    // drop — dHash needs luma alone, so chroma IDCT/upsampling would
+    // be pure waste at corpus scale). Luma stays in the DC-exact
+    // subspace; the oracle replays block lumas + dHash blind, and
+    // the sampling label comes from the PARSED SOF0.
+    "mm12_jpeg_color" -> ((s, d) => {
+      import graft.multimodal.JpegCodec
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      JpegCodec.hashColorJpegs(
+        JpegCodec.colorJpegsFromDocuments(s, docs)).toDF()
+        .select(col("doc_id"), col("sampling"), col("width"), col("height"),
+          col("dh_hi"), col("dh_lo"))
+    }),
+
     // Cross-modal curation composite (round 13) — the multimodal twin
     // of cur1, proving the multimodal pieces COMPOSE: decode both
     // modalities once (image dHash + audio fingerprint, scan-speed
@@ -1723,6 +1746,44 @@ object SimQueries {
         |  jdh.dh_hi, jdh.dh_lo
         |FROM ids JOIN jdh ON ids.id = jdh.id""".stripMargin,
 
+    // mm12 replays the color corpus's LUMA plane: block-constant
+    // lumas from doc_id arithmetic over the 32×16 canvas, the 9×8
+    // dHash fold, and the sampling label predicted from id parity —
+    // a match certifies 3-component SOF parse + four-table Huffman +
+    // interleaved-MCU sync (incl. chroma AC skip) + DC prediction
+    "mm12_jpeg_color" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |jpx AS (
+        |  SELECT i.id, xs.range AS x, ys.range AS y,
+        |    (((i.id % 97) * 31 + (xs.range // 8) * 47
+        |      + (ys.range // 8) * 59
+        |      + (xs.range // 8) * (ys.range // 8) * ((i.id % 97) % 11))
+        |      % 200) + 28 AS gray
+        |  FROM ids i CROSS JOIN range(0, 32) xs CROSS JOIN range(0, 16) ys),
+        |jc9 AS (
+        |  SELECT id, (x * 9) // 32 AS cx, (y * 8) // 16 AS cy,
+        |    CAST(sum(gray) AS BIGINT) // count(*) AS a
+        |  FROM jpx GROUP BY 1, 2, 3),
+        |jdbits AS (
+        |  SELECT l.id, l.cy * 8 + l.cx AS b,
+        |    CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM jc9 l JOIN jc9 r
+        |    ON l.id = r.id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8),
+        |jdh AS (
+        |  SELECT id,
+        |    CAST(sum(CASE WHEN b >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END)
+        |      AS BIGINT) AS dh_hi,
+        |    CAST(sum(CASE WHEN b < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END)
+        |      AS BIGINT) AS dh_lo
+        |  FROM jdbits GROUP BY id)
+        |SELECT ids.id AS doc_id,
+        |  CASE WHEN ids.id % 2 = 0 THEN '420' ELSE '444' END AS sampling,
+        |  CAST(32 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  jdh.dh_hi, jdh.dh_lo
+        |FROM ids JOIN jdh ON ids.id = jdh.id""".stripMargin,
     // mm9 decodes LZW-compressed GIF bytes whose luma equals the mm6
     // texture — the oracle replays the same gray arithmetic, so a
     // match certifies the GIF round trip

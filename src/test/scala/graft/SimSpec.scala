@@ -561,6 +561,53 @@ class SimSpec extends SparkSuite {
     intercept[Exception](JpegCodec.decodeJpegGray(bad))
   }
 
+  test("JpegCodec: color 4:2:0/4:4:4 luma round-trips pixel-exact") {
+    import graft.multimodal.JpegCodec
+    // even ids = 4:2:0 (interleaved 2x2 luma + chroma per MCU), odd
+    // = 4:4:4; ids ≡ 0 (mod 3) carry a chroma AC coefficient — the
+    // luma plane must come back exact through all of it
+    for (id <- Seq(0L, 1L, 2L, 3L, 96L, 97L, 98L, 200L)) {
+      val (w, h, px, label) =
+        JpegCodec.decodeJpegLumaInfo(JpegCodec.jpegColorBytes(id))
+      assert(w == JpegCodec.JWC && h == JpegCodec.JHC)
+      assert(label == (if (id % 2 == 0) "420" else "444"), s"id=$id $label")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(y * w + x) == JpegCodec.jColorLumAt(id, x / 8, y / 8),
+          s"id=$id pixel ($x,$y)")
+    }
+  }
+
+  test("JpegCodec: foreign frame types and standalone markers refuse loudly") {
+    import graft.multimodal.JpegCodec
+    val good = JpegCodec.jpegGrayBytes(3L)
+    // every non-SOF0 frame marker must refuse, not skip-as-APPn
+    // (round-13 ADVICE: 0xc5-0xc7/0xc9-0xcf fell into the skip arm)
+    for (sof <- Seq(0xc2, 0xc5, 0xc7, 0xc9, 0xcb, 0xcd, 0xcf)) {
+      val bad = good.clone()
+      // the generator emits SOF0 right after the 69-byte DQT at [2]
+      assert((bad(2 + 69) & 0xff) == 0xff && (bad(2 + 70) & 0xff) == 0xc0)
+      bad(2 + 70) = sof.toByte
+      val e = intercept[IllegalArgumentException](
+        JpegCodec.decodeJpegGray(bad))
+      assert(e.getMessage.contains("SOF0"), s"marker $sof: ${e.getMessage}")
+    }
+    // a standalone marker (TEM/RSTn) has no length field — splicing
+    // one before SOF0 must refuse, never parse bytes as a length
+    for (alone <- Seq(0x01, 0xd0, 0xd7)) {
+      val spliced = good.take(2) ++ Array(0xff.toByte, alone.toByte) ++
+        good.drop(2)
+      val e = intercept[IllegalArgumentException](
+        JpegCodec.decodeJpegGray(spliced))
+      assert(e.getMessage.contains("standalone"), e.getMessage)
+    }
+    // DRI refuses (restart intervals out of scope)
+    val dri = good.take(2) ++
+      Array(0xff, 0xdd, 0, 4, 0, 8).map(_.toByte) ++ good.drop(2)
+    val e = intercept[IllegalArgumentException](
+      JpegCodec.decodeJpegGray(dri))
+    assert(e.getMessage.contains("DRI"), e.getMessage)
+  }
+
   test("frameSampleIndices: even spacing, cap, and zero-duration guard") {
     val df = Seq((1L, 10000.0), (2L, 0.0)).toDF("id", "dur_ms")
     val got = df.select($"id",
