@@ -94,8 +94,9 @@ object PhashIndex {
         .select(col("id"), col("b.bi").as("bi"), col("b.bv").as("bv")))
 
     // restart recovery BEFORE the probe (the DedupIndex catalog-loss
-    // argument); both are no-ops when tables exist or nothing survived
+    // argument); all are no-ops when tables exist or nothing survived
     val (bandsT, hashesT) = tableNames(indexDir)
+    DedupIndex.recoverPair(spark, indexDir, hashPair(indexDir))
     DedupIndex.ensureTable(spark, newHashes, hashesT, s"$indexDir/hashes",
       Seq("id"), buckets)
     DedupIndex.ensureTable(spark, newBands, bandsT, s"$indexDir/bands",
@@ -207,6 +208,7 @@ object PhashIndex {
         .select(col("id"), col("fi"), col("b.bi").as("bi"),
           col("b.bv").as("bv")))
     val (bandsT, framesT) = vTableNames(indexDir)
+    DedupIndex.recoverPair(spark, indexDir, videoPair(indexDir))
     DedupIndex.ensureTable(spark, newH, framesT, s"$indexDir/vframes",
       Seq("id"), buckets)
     DedupIndex.ensureTable(spark, newB, bandsT, s"$indexDir/vbands",
@@ -280,6 +282,32 @@ object PhashIndex {
     out
   }
 
+  private def hashPair(indexDir: String): DedupIndex.PairSpec = {
+    val (bandsT, hashesT) = tableNames(indexDir)
+    DedupIndex.PairSpec(bandsT, "bands", Seq("bi", "bv"),
+      hashesT, "hashes", Seq("id"))
+  }
+
+  private def videoPair(indexDir: String): DedupIndex.PairSpec = {
+    val (vbandsT, vframesT) = vTableNames(indexDir)
+    DedupIndex.PairSpec(vbandsT, "vbands", Seq("bi", "bv"),
+      vframesT, "vframes", Seq("id"))
+  }
+
+  /** OPTIMIZE: fold every batch partition of this index (hash grain
+    * AND, if present, video sequence grain) into one generation
+    * partition each — [[DedupIndex.compact]]'s marker-protocol
+    * rewrite applied to the phash table pairs. Probe results are
+    * invariant (IndexSpec pins it) and the stored-side no-shuffle
+    * property survives: the generation partition is written through
+    * the same bucketed tables. Returns true when anything folded. */
+  def compact(spark: SparkSession, indexDir: String,
+              buckets: Int = 4): Boolean = {
+    val a = DedupIndex.compactPair(spark, indexDir, hashPair(indexDir), buckets)
+    val b = DedupIndex.compactPair(spark, indexDir, videoPair(indexDir), buckets)
+    a || b
+  }
+
   /** Drop this index's session-catalog tables (image/audio AND video
     * grain) and delete its data directory — for SCRATCH indexes whose
     * lifetime is one query (dd18/dd21 register this as a
@@ -302,6 +330,7 @@ object PhashIndex {
                                      excludeBatch: Int)
     : Option[(DataFrame, DataFrame)] = {
     val (bandsT, framesT) = vTableNames(indexDir)
+    DedupIndex.recoverPair(spark, indexDir, videoPair(indexDir))
     if (!spark.catalog.tableExists(bandsT)) None
     else {
       val torn = DedupIndex.fsBatches(spark, s"$indexDir/vbands") --
@@ -325,6 +354,7 @@ object PhashIndex {
                                 excludeBatch: Int)
     : Option[(DataFrame, DataFrame)] = {
     val (bandsT, hashesT) = tableNames(indexDir)
+    DedupIndex.recoverPair(spark, indexDir, hashPair(indexDir))
     if (!spark.catalog.tableExists(bandsT)) None
     else {
       val torn = DedupIndex.fsBatches(spark, s"$indexDir/bands") --

@@ -82,6 +82,7 @@ object DedupIndex {
     // cross-batch pair (caught by IndexSpec's catalog-loss test).
     // Both calls are no-ops when the tables exist or no data survived.
     val (bandsT, setsT) = tableNames(indexDir)
+    recoverPair(spark, indexDir, pairSpec(indexDir))
     ensureTable(spark, newSets, setsT, s"$indexDir/sets", Seq("id"), buckets)
     ensureTable(spark, newBands, bandsT, s"$indexDir/bands",
       Seq("band", "key"), buckets)
@@ -219,6 +220,144 @@ object DedupIndex {
     }
   }
 
+  // ------------------------------------------------ OPTIMIZE (round 14)
+
+  /** One (probe, data) table pair of an incremental index — bands/sets
+    * here, bands/hashes + vbands/vframes in
+    * [[graft.multimodal.PhashIndex]]. */
+  private[graft] final case class PairSpec(
+    probeTable: String, probeSub: String, probeKeys: Seq[String],
+    dataTable: String, dataSub: String, dataKeys: Seq[String])
+
+  private[graft] def pairSpec(indexDir: String): PairSpec = {
+    val (bandsT, setsT) = tableNames(indexDir)
+    PairSpec(bandsT, "bands", Seq("band", "key"), setsT, "sets", Seq("id"))
+  }
+
+  /** OPTIMIZE: fold every batch partition of this index into ONE
+    * negative-id generation partition, preserving bucketing and the
+    * torn-batch invariant. Daily-batch ingestion otherwise leaves one
+    * partition per batch forever — hundreds of small partitions
+    * scanned by every probe. Crash-safe via a two-phase marker
+    * (`_compact_<sub>.tsv`): `staged` (rewrite may be torn → ROLL
+    * BACK, sources intact) flips to `committed` (target complete →
+    * ROLL FORWARD, finish the source drops) only after both tables'
+    * generation partitions land; [[recoverPair]] completes either
+    * way and runs before every ingest/probe/compact. Returns false
+    * when the index has ≤ 1 partition (nothing to fold). Folding a
+    * batch ENDS its retry window (its rows live in the generation
+    * partition afterwards) — compact only finalized batches, the
+    * same contract as [[graft.sources.Sinks.compact]]. */
+  def compact(spark: SparkSession, indexDir: String,
+              buckets: Int = 4): Boolean =
+    compactPair(spark, indexDir, pairSpec(indexDir), buckets)
+
+  private[graft] def markerPath(indexDir: String, ps: PairSpec) =
+    s"$indexDir/_compact_${ps.probeSub}.tsv"
+
+  private def fsDelete(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+
+  /** Drop one batch partition from catalog + disk — probe table
+    * FIRST (the torn invariant `bands ⊆ sets` must survive any
+    * crash point inside the drop). */
+  private def dropBatch(spark: SparkSession, indexDir: String,
+                        ps: PairSpec, b: Int): Unit =
+    for ((t, sub) <- Seq((ps.probeTable, ps.probeSub),
+        (ps.dataTable, ps.dataSub))) {
+      if (spark.catalog.tableExists(t))
+        spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (batch='$b')")
+      fsDelete(spark, s"$indexDir/$sub/batch=$b")
+    }
+
+  /** Rewrite the `srcs` batches of one table into `batch=target`.
+    * Staged through a scratch parquet dir: Spark refuses an
+    * insertInto whose source scans the destination table, and
+    * bucketed files must be written THROUGH the table (bucket ids
+    * ride the file names). Only `srcs` fold — a torn ingest's
+    * data-orphan partition must stay where a batch retry will
+    * overwrite it, never merge into a generation. */
+  private[graft] def stageAndWrite(spark: SparkSession, indexDir: String,
+                            table: String, sub: String, keys: Seq[String],
+                            buckets: Int, target: Int,
+                            srcs: Set[Int]): Unit = {
+    val tmp = s"$indexDir/_compact_tmp_$sub"
+    val cols = spark.table(table).columns.filter(_ != "batch").toSeq
+    spark.table(table).filter(col("batch").isInCollection(srcs))
+      .select(cols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    writeIndexed(spark, spark.read.parquet(tmp).select(cols.map(col): _*),
+      table, s"$indexDir/$sub", keys, buckets, target)
+    fsDelete(spark, tmp)
+  }
+
+  private[graft] def compactPair(spark: SparkSession, indexDir: String,
+                                 ps: PairSpec, buckets: Int): Boolean = {
+    recoverPair(spark, indexDir, ps)
+    if (!spark.catalog.tableExists(ps.probeTable)) return false
+    // COMPLETE batches only (probe ⊆ data by the torn invariant): a
+    // sets/hashes orphan from a torn ingest stays its own partition
+    val srcs = fsBatches(spark, s"$indexDir/${ps.probeSub}")
+    if (srcs.size <= 1) return false
+    val target = math.min(srcs.min, 0) - 1
+    val marker = markerPath(indexDir, ps)
+    graft.util.AtomicText.writeAtomically(marker,
+      s"state\tstaged\ntarget\t$target\n" +
+        s"sources\t${srcs.toSeq.sorted.mkString(",")}\n")
+    // data table first, probe second (ingest's write order); a crash
+    // anywhere in here rolls BACK via the staged marker
+    stageAndWrite(spark, indexDir, ps.dataTable, ps.dataSub, ps.dataKeys,
+      buckets, target, srcs)
+    stageAndWrite(spark, indexDir, ps.probeTable, ps.probeSub, ps.probeKeys,
+      buckets, target, srcs)
+    graft.util.AtomicText.writeAtomically(marker,
+      s"state\tcommitted\ntarget\t$target\n" +
+        s"sources\t${srcs.toSeq.sorted.mkString(",")}\n")
+    srcs.toSeq.sorted.foreach(b => dropBatch(spark, indexDir, ps, b))
+    fsDelete(spark, marker)
+    true
+  }
+
+  /** Finish (or undo) an interrupted [[compactPair]]. Runs before
+    * every ingest, probe view, and compaction — a no-op unless the
+    * marker file exists. */
+  private[graft] def recoverPair(spark: SparkSession, indexDir: String,
+                                 ps: PairSpec): Unit = {
+    val marker = markerPath(indexDir, ps)
+    val lines = graft.util.AtomicText.readLines(marker)
+    if (lines.isEmpty) return
+    val kv = lines.map(_.split("\t", 2))
+      .collect { case Array(k, v) => k -> v.trim }.toMap
+    val target = kv("target").toInt
+    kv("state") match {
+      case "staged" =>
+        // the generation rewrite may be torn; every source partition
+        // is still intact — undo and leave the index uncompacted
+        for ((t, sub) <- Seq((ps.probeTable, ps.probeSub),
+            (ps.dataTable, ps.dataSub))) {
+          if (spark.catalog.tableExists(t))
+            spark.sql(
+              s"ALTER TABLE $t DROP IF EXISTS PARTITION (batch='$target')")
+          fsDelete(spark, s"$indexDir/$sub/batch=$target")
+          fsDelete(spark, s"$indexDir/_compact_tmp_$sub")
+        }
+      case "committed" =>
+        // both generation partitions are complete — finish the drops
+        val srcs = kv.get("sources").toSeq
+          .flatMap(_.split(",")).filter(_.nonEmpty).map(_.toInt)
+        srcs.foreach(b => dropBatch(spark, indexDir, ps, b))
+        Seq(ps.probeSub, ps.dataSub)
+          .foreach(s => fsDelete(spark, s"$indexDir/_compact_tmp_$s"))
+      case s => throw new IllegalStateException(
+        s"compaction marker $marker has unknown state '$s'")
+    }
+    fsDelete(spark, marker)
+  }
+
   /** Batch ids present on disk under one index table root — a
     * driver-side filesystem listing (Hadoop FS, so HDFS/object-store
     * paths work), no Spark job. */
@@ -238,6 +377,7 @@ object DedupIndex {
   private[graft] def storedView(spark: SparkSession, indexDir: String,
                                 excludeBatch: Int): Option[(DataFrame, DataFrame)] = {
     val (bandsT, setsT) = tableNames(indexDir)
+    recoverPair(spark, indexDir, pairSpec(indexDir))
     if (!spark.catalog.tableExists(bandsT)) None
     else {
       // torn-batch guard: every bands partition must have its sets

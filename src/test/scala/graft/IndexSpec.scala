@@ -118,6 +118,110 @@ class IndexSpec extends SparkSuite {
     assert(e.getMessage.contains("bandBits"))
   }
 
+  test("OPTIMIZE: compaction folds batches; probe results identical") {
+    import graft.text.DedupIndex
+    val all = corpus()
+    val batch = (b: Int) => all.filter($"doc_id" % 3 === b)
+    // control: never compacted
+    val ctl = java.nio.file.Files.createTempDirectory("cmp_ctl_").toString
+    DedupIndex.ingestBatch(batch(0), "doc_id", "text", ctl, 0)
+    DedupIndex.ingestBatch(batch(1), "doc_id", "text", ctl, 1)
+    val ctlPairs = pairKey(
+      DedupIndex.ingestBatch(batch(2), "doc_id", "text", ctl, 2))
+    // compacted between batch 1 and batch 2
+    val tmp = java.nio.file.Files.createTempDirectory("cmp_idx_").toString
+    DedupIndex.ingestBatch(batch(0), "doc_id", "text", tmp, 0)
+    DedupIndex.ingestBatch(batch(1), "doc_id", "text", tmp, 1)
+    assert(DedupIndex.compact(spark, tmp))
+    assert(DedupIndex.fsBatches(spark, s"$tmp/bands") == Set(-1))
+    val gotPairs = pairKey(
+      DedupIndex.ingestBatch(batch(2), "doc_id", "text", tmp, 2))
+    assert(gotPairs == ctlPairs,
+      "a probe against the compacted index must see identical pairs")
+    // re-compaction folds the generation + the new batch into -2
+    assert(DedupIndex.compact(spark, tmp))
+    assert(DedupIndex.fsBatches(spark, s"$tmp/bands") == Set(-2))
+    assert(DedupIndex.fsBatches(spark, s"$tmp/sets") == Set(-2))
+    // nothing left to fold
+    assert(!DedupIndex.compact(spark, tmp))
+  }
+
+  test("OPTIMIZE crash windows: staged rolls back, committed rolls forward") {
+    import graft.text.DedupIndex
+    val all = corpus()
+    val batch = (b: Int) => all.filter($"doc_id" % 3 === b)
+    val ctl = java.nio.file.Files.createTempDirectory("cw_ctl_").toString
+    DedupIndex.ingestBatch(batch(0), "doc_id", "text", ctl, 0)
+    DedupIndex.ingestBatch(batch(1), "doc_id", "text", ctl, 1)
+    val ctlPairs = pairKey(
+      DedupIndex.ingestBatch(batch(2), "doc_id", "text", ctl, 2))
+
+    // STAGED crash: marker written, data table folded, probe table
+    // NOT — the torn mid-rewrite state. Next ingest must roll BACK
+    // (delete the generation, keep sources) and see identical pairs.
+    val a = java.nio.file.Files.createTempDirectory("cw_staged_").toString
+    DedupIndex.ingestBatch(batch(0), "doc_id", "text", a, 0)
+    DedupIndex.ingestBatch(batch(1), "doc_id", "text", a, 1)
+    val psA = DedupIndex.pairSpec(a)
+    graft.util.AtomicText.writeAtomically(DedupIndex.markerPath(a, psA),
+      "state\tstaged\ntarget\t-1\nsources\t0,1\n")
+    DedupIndex.stageAndWrite(spark, a, psA.dataTable, psA.dataSub,
+      psA.dataKeys, 4, -1, Set(0, 1))
+    val rolledBack = pairKey(
+      DedupIndex.ingestBatch(batch(2), "doc_id", "text", a, 2))
+    assert(rolledBack == ctlPairs, "staged crash must roll back cleanly")
+    assert(DedupIndex.fsBatches(spark, s"$a/sets") == Set(0, 1, 2),
+      "rollback must remove the torn generation partition")
+
+    // COMMITTED crash: both generation partitions complete, marker
+    // flipped, ZERO source drops done — the duplicated-content state.
+    // Next ingest must roll FORWARD (finish the drops) and see
+    // identical pairs, never doubled lookups.
+    val b = java.nio.file.Files.createTempDirectory("cw_comm_").toString
+    DedupIndex.ingestBatch(batch(0), "doc_id", "text", b, 0)
+    DedupIndex.ingestBatch(batch(1), "doc_id", "text", b, 1)
+    val psB = DedupIndex.pairSpec(b)
+    DedupIndex.stageAndWrite(spark, b, psB.dataTable, psB.dataSub,
+      psB.dataKeys, 4, -1, Set(0, 1))
+    DedupIndex.stageAndWrite(spark, b, psB.probeTable, psB.probeSub,
+      psB.probeKeys, 4, -1, Set(0, 1))
+    graft.util.AtomicText.writeAtomically(DedupIndex.markerPath(b, psB),
+      "state\tcommitted\ntarget\t-1\nsources\t0,1\n")
+    val rolledFwd = pairKey(
+      DedupIndex.ingestBatch(batch(2), "doc_id", "text", b, 2))
+    assert(rolledFwd == ctlPairs, "committed crash must roll forward cleanly")
+    assert(DedupIndex.fsBatches(spark, s"$b/sets") == Set(-1, 2),
+      "roll-forward must finish the source drops")
+  }
+
+  test("OPTIMIZE: phash index (hash + video grain) folds and probes identically") {
+    import graft.multimodal.{MediaContent, PhashIndex}
+    val fps = MediaContent.fingerprintAudio(
+      MediaContent.audioFromDocuments(spark,
+        spark.read.parquet(s"$sf/documents.parquet").select($"doc_id"))).toDF()
+      .select($"doc_id".as("id"), $"fp_hi".as("hi"), $"fp_lo".as("lo"))
+      .localCheckpoint()
+    val bits = graft.sim.HammingBands.bits(fps.count(), occ = 4)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ctl = java.nio.file.Files.createTempDirectory("phc_ctl_").toString
+    PhashIndex.ingestBatch(fps.filter($"id" % 3 === 0), ctl, 0, bits)
+    PhashIndex.ingestBatch(fps.filter($"id" % 3 === 1), ctl, 1, bits)
+    val ctlPairs = key(
+      PhashIndex.ingestBatch(fps.filter($"id" % 3 === 2), ctl, 2, bits))
+    val tmp = java.nio.file.Files.createTempDirectory("phc_idx_").toString
+    PhashIndex.ingestBatch(fps.filter($"id" % 3 === 0), tmp, 0, bits)
+    PhashIndex.ingestBatch(fps.filter($"id" % 3 === 1), tmp, 1, bits)
+    assert(PhashIndex.compact(spark, tmp))
+    assert(graft.text.DedupIndex.fsBatches(spark, s"$tmp/bands") == Set(-1))
+    assert(graft.text.DedupIndex.fsBatches(spark, s"$tmp/hashes") == Set(-1))
+    val got = key(
+      PhashIndex.ingestBatch(fps.filter($"id" % 3 === 2), tmp, 2, bits))
+    assert(got == ctlPairs,
+      "phash probe against the compacted index must see identical pairs")
+  }
+
   test("ingest verify joins: shuffle-join regime == broadcast regime") {
     // round 14 removed the forced broadcast() hints on the batch side
     // of the verify lookups (a production batch is a day of crawl —

@@ -1750,19 +1750,18 @@ class ScaleSpec extends SparkSuite {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id", $"text")
     graft.text.DedupIndex.ingestBatch(docs, "doc_id", "text", tmp, 0)
-    val (bands, sets) = graft.text.DedupIndex
-      .storedView(spark, tmp, excludeBatch = 99).get
+    graft.text.DedupIndex.ingestBatch(
+      docs.select(($"doc_id" + 500000L).as("doc_id"), $"text"),
+      "doc_id", "text", tmp, 1)
     // non-constant band, or constant-folding turns the band join key
     // into a stored-side filter and the assertion tests the wrong join
     val probeBands = docs.limit(50)
       .select(md5($"text").as("key"), ($"doc_id" % 4).cast("int").as("band"),
         $"doc_id".as("x"))
     val probePairs = docs.limit(50).select($"doc_id".as("a"))
-    // exchange placement happens in EnsureRequirements → must read the
-    // executedPlan, with AQE off so it is not an opaque adaptive leaf
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    def check(phase: String): Unit = {
+      val (bands, sets) = graft.text.DedupIndex
+        .storedView(spark, tmp, excludeBatch = 99).get
       for ((name, joined) <- Seq(
         "bands" -> probeBands.join(bands, Seq("band", "key")),
         "sets"  -> probePairs.join(sets.withColumnRenamed("id", "a"), Seq("a")))) {
@@ -1775,13 +1774,29 @@ class ScaleSpec extends SparkSuite {
           } => e
         }
         assert(storedShuffles.isEmpty,
-          s"$name: stored index side is shuffled — bucketing lost:\n$plan")
+          s"$phase/$name: stored index side is shuffled — bucketing lost:\n$plan")
         // and the join is keyed, not broadcast-degraded to a loop
         val anyShuffle = plan.collectWithSubqueries {
           case e: ShuffleExchangeExec => e }
         assert(anyShuffle.nonEmpty,
-          s"$name: expected the probe side to shuffle to the bucket count:\n$plan")
+          s"$phase/$name: expected the probe side to shuffle to the bucket count:\n$plan")
       }
+    }
+    // exchange placement happens in EnsureRequirements → must read the
+    // executedPlan, with AQE off so it is not an opaque adaptive leaf
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      check("ingested")
+      // OPTIMIZE must preserve the property: the generation partition
+      // is written THROUGH the bucketed table, so the folded index
+      // still streams into probes exchange-free
+      assert(graft.text.DedupIndex.compact(spark, tmp),
+        "compact must fold the two batches")
+      assert(graft.text.DedupIndex.fsBatches(spark, s"$tmp/bands") == Set(-1)
+        && graft.text.DedupIndex.fsBatches(spark, s"$tmp/sets") == Set(-1),
+        "both tables must hold exactly the generation partition")
+      check("compacted")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       spark.conf.set("spark.sql.adaptive.enabled", "true")
