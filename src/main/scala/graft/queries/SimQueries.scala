@@ -782,6 +782,26 @@ object SimQueries {
           col("dh_hi"), col("dh_lo"))
     }),
 
+    // MP4 sample-table extraction (round 14) — the codec-agnostic
+    // half of real video ingest: a REAL boxed ISO-BMFF file (ftyp +
+    // full moov with mvhd/tkhd/mdhd/hdlr/vmhd + stbl{stsd stts stsc
+    // stsz stco} + mdat) whose sample table locates every frame's
+    // byte range — samples grouped 3-per-chunk with a short last
+    // chunk (second stsc run), VARIABLE per-sample sizes keeping
+    // stsz honest, absolute stco offsets. The mm8 2 fps sampling
+    // plan reads rate+count from stts and SEEKS via stsc/stco/stsz
+    // to only the sampled frames — O(sampled), never O(video). The
+    // oracle replays frame count, plan, and pixels from doc_id; a
+    // dHash match certifies box walk + sample table + seek + decode.
+    "mm13_mp4_samples" -> ((s, d) => {
+      import graft.multimodal.Mp4Samples
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      Mp4Samples.hashSampledMp4Frames(
+        Mp4Samples.mp4sFromDocuments(s, docs)).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"),
+          col("height"), col("dh_hi"), col("dh_lo"))
+    }),
+
     // Cross-modal curation composite (round 13) — the multimodal twin
     // of cur1, proving the multimodal pieces COMPOSE: decode both
     // modalities once (image dHash + audio fingerprint, scan-speed
@@ -1833,6 +1853,63 @@ object SimQueries {
         |JOIN fp h2 ON c.id2 = h2.id
         |WHERE bit_count(xor(h1.fp_lo, h2.fp_lo)) +
         |      bit_count(xor(h1.fp_hi, h2.fp_hi)) <= 8""".stripMargin),
+    // mm13 replays the UNTRIMMED mm8 texture under the sample-table
+    // corpus: frame count from (id//2)%5, the 2 fps plan, per-pixel
+    // luma + 9×8 dHash — blind to the container bytes
+    "mm13_mp4_samples" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |par AS (
+        |  SELECT id, 12 + ((id // 2) % 3) * 4 AS w,
+        |    8 + ((id // 2) % 2) * 4 AS h,
+        |    8 + ((id // 2) % 5) * 3 AS tf,
+        |    (id // 2) % 97 AS seed
+        |  FROM ids),
+        |plan1 AS (
+        |  SELECT *, least((tf * 100) // 500, 8) AS nfr,
+        |    (tf * 100) // 500 AS total FROM par),
+        |sfr AS (
+        |  SELECT p.id, p.w, p.h, p.seed,
+        |    least(((i.range * p.total) // p.nfr) * 5, p.tf - 1) AS f
+        |  FROM plan1 p CROSS JOIN range(0, 8) i WHERE i.range < p.nfr),
+        |vpx AS (
+        |  SELECT s.id, s.w, s.h, s.f, s.seed,
+        |    xs.range AS x, ys.range AS y,
+        |    CASE WHEN s.id % 2 = 1 AND xs.range = ys.range
+        |          AND xs.range % 4 = 1 THEN 40 ELSE 0 END AS nz
+        |  FROM sfr s CROSS JOIN range(0, 20) xs CROSS JOIN range(0, 12) ys
+        |  WHERE xs.range < s.w AND ys.range < s.h),
+        |vg AS (
+        |  SELECT id, w, h, f, x, y,
+        |    (299 * ((seed * 31 + x * 7 + y * 13 + f * 29
+        |             + x * y * (seed % 11) + nz) % 256)
+        |     + 587 * ((seed * 17 + x * 11 + y * 5 + f * 37
+        |             + x * x * (seed % 7) + nz) % 256)
+        |     + 114 * ((seed * 23 + x * 3 + y * 19 + f * 41
+        |             + y * y * (seed % 13) + nz) % 256)) // 1000 AS gray
+        |  FROM vpx),
+        |vc9 AS (
+        |  SELECT id, f, w, h, (x * 9) // w AS cx, (y * 8) // h AS cy,
+        |    CAST(sum(gray) AS BIGINT) // count(*) AS a
+        |  FROM vg GROUP BY 1, 2, 3, 4, 5, 6),
+        |vdbits AS (
+        |  SELECT l.id, l.f, l.w, l.h, l.cy * 8 + l.cx AS b,
+        |    CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM vc9 l JOIN vc9 r ON l.id = r.id AND l.f = r.f
+        |    AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8),
+        |vfh AS (
+        |  SELECT id, f, w, h,
+        |    CAST(sum(CASE WHEN b >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END)
+        |      AS BIGINT) AS dh_hi,
+        |    CAST(sum(CASE WHEN b < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END)
+        |      AS BIGINT) AS dh_lo
+        |  FROM vdbits GROUP BY 1, 2, 3, 4)
+        |SELECT id AS doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  dh_hi, dh_lo
+        |FROM vfh""".stripMargin,
     "mm8_video_frames" ->
       (VideoFrameCte +
       """SELECT id AS doc_id, CAST(f AS INT) AS frame_idx,

@@ -608,6 +608,45 @@ class SimSpec extends SparkSuite {
     assert(e.getMessage.contains("DRI"), e.getMessage)
   }
 
+  test("Mp4Samples: sample table locates every frame byte-exact") {
+    import graft.multimodal.{MediaContent, Mp4Samples}
+    for (id <- Seq(0L, 1L, 2L, 5L, 7L, 9L)) {
+      val p = Mp4Samples.mp4SampleBytes(id)
+      val tf = Mp4Samples.tfOf(id)
+      // decode EVERY frame via the sample table and compare against
+      // the texture arithmetic — offsets must be byte-exact through
+      // variable sizes and the short last chunk
+      val (w, h, usf, n, frames) = Mp4Samples.decodeMp4Frames(p, 0 until tf)
+      assert(w == MediaContent.vWidthOf(id) &&
+        h == MediaContent.vHeightOf(id))
+      assert(usf == MediaContent.VUsPerFrame && n == tf)
+      for (f <- 0 until tf; y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = MediaContent.vRgbAt(id, f, x, y)
+        assert(frames(f)(y * w + x) == ((r << 16) | (g << 8) | b),
+          s"id=$id frame=$f pixel ($x,$y)")
+      }
+      // a header-only pass touches no frame
+      assert(Mp4Samples.decodeMp4Frames(p, Nil)._5.isEmpty)
+    }
+    // guards: non-BMFF refuses; stsz/stts count mismatch refuses
+    intercept[IllegalArgumentException](
+      Mp4Samples.decodeMp4Frames(Array.fill[Byte](32)(0), Seq(0)))
+    val p = Mp4Samples.mp4SampleBytes(4L)
+    val stsz = { // find stsz and corrupt its count
+      var i = -1
+      for (j <- 0 until p.length - 4)
+        if (p(j) == 's' && p(j + 1) == 't' && p(j + 2) == 's' &&
+          p(j + 3) == 'z') i = j
+      i
+    }
+    assert(stsz > 0)
+    val bad = p.clone()
+    bad(stsz + 15) = (bad(stsz + 15) + 1).toByte // count low byte
+    val e = intercept[IllegalArgumentException](
+      Mp4Samples.decodeMp4Frames(bad, Seq(0)))
+    assert(e.getMessage.contains("stsz"), e.getMessage)
+  }
+
   test("frameSampleIndices: even spacing, cap, and zero-duration guard") {
     val df = Seq((1L, 10000.0), (2L, 0.0)).toDF("id", "dur_ms")
     val got = df.select($"id",
