@@ -245,9 +245,28 @@ object PhashIndex {
         sh.join(candIds, Seq("id"), "left_semi"))
       case None => newH
     }
-    val f1 = lookup.select(col("id").as("id1"), col("fi").as("fi1"),
+    val out = offsetVerdict(cand, lookup, hammingMax, tol).localCheckpoint()
+    DedupIndex.writeIndexed(spark, newH, framesT, s"$indexDir/vframes",
+      Seq("id"), buckets, batchId)
+    DedupIndex.writeIndexed(spark, newB, bandsT, s"$indexDir/vbands",
+      Seq("bi", "bv"), buckets, batchId)
+    out
+  }
+
+  /** The dd17 OFFSET-ALIGNMENT verdict, factored so the batch index
+    * ([[ingestVideoBatch]]) and the streaming proposer twin share one
+    * implementation: `cand(id1, id2, off)` proposals verify against
+    * `frames(id, fi, hi, lo)` — a pair stands when, at its best
+    * offset, every co-sampled frame sits within `hammingMax` and the
+    * aligned count reaches `max(nf1, nf2) − tol` (one missing sampled
+    * frame tolerated). `frames` need only cover candidate ids — the
+    * batch path feeds the new batch ∪ a left-semi slice of the
+    * id-bucketed store, so the verdict stays O(batch + matches). */
+  def offsetVerdict(cand: DataFrame, frames: DataFrame,
+                    hammingMax: Int = 8, tol: Int = 1): DataFrame = {
+    val f1 = frames.select(col("id").as("id1"), col("fi").as("fi1"),
       col("hi").as("hi1"), col("lo").as("lo1"))
-    val f2 = lookup.select(col("id").as("id2"), col("fi").as("fi2"),
+    val f2 = frames.select(col("id").as("id2"), col("fi").as("fi2"),
       col("hi").as("hi2"), col("lo").as("lo2"))
     val perOff = cand.join(f1, Seq("id1")).as("l")
       .join(f2.as("r"), col("l.id2") === col("r.id2") &&
@@ -261,11 +280,11 @@ object PhashIndex {
           .cast("long"))
       .groupBy(col("id1"), col("id2"), col("off"))
       .agg(count(lit(1)).as("n_aligned"), max(col("ham")).as("max_ham"))
-    val nf = lookup.groupBy(col("id")).agg(count(lit(1)).as("nf"))
+    val nf = frames.groupBy(col("id")).agg(count(lit(1)).as("nf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id1"), col("id2"))
       .orderBy(col("n_aligned").desc, col("off").asc)
-    val pairs = perOff
+    perOff
       .join(nf.select(col("id").as("id1"), col("nf").as("nf1")), Seq("id1"))
       .join(nf.select(col("id").as("id2"), col("nf").as("nf2")), Seq("id2"))
       .filter(col("max_ham") <= hammingMax &&
@@ -274,12 +293,6 @@ object PhashIndex {
       .filter(col("rn") === 1)
       .select(col("id1"), col("id2"), col("n_aligned"), col("off"),
         col("max_ham"))
-    val out = pairs.localCheckpoint()
-    DedupIndex.writeIndexed(spark, newH, framesT, s"$indexDir/vframes",
-      Seq("id"), buckets, batchId)
-    DedupIndex.writeIndexed(spark, newB, bandsT, s"$indexDir/vbands",
-      Seq("bi", "bv"), buckets, batchId)
-    out
   }
 
   private def hashPair(indexDir: String): DedupIndex.PairSpec = {

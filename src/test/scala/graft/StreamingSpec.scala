@@ -838,6 +838,108 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming video near-dup: in-stream proposals == batch collisions; verdict == one-shot") {
+    // the dd21 arc completed at the STREAM grain (round 14): videos
+    // arrive, sampled frames decode per row, frame hashes band under
+    // the corpus geometry, and flatMapGroupsWithState keyed by frame
+    // band holds every (video, frame) seen per occupied bucket — a
+    // new frame colliding with a stored one emits an OFFSET PROPOSAL
+    // (id1, id2, off), exactly the batch index's collision step. The
+    // verdict stays a batch join against the id-bucketed frame store
+    // ([[PhashIndex.offsetVerdict]], shared code): stream proposes at
+    // ingest, the exchange-free verify confirms — the architecture a
+    // 100 TB pipeline actually runs. Pinned: streamed proposals ==
+    // batch collisions, and verdict(proposals) == the one-shot
+    // ingestVideoBatch pairs.
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.multimodal.{MediaContent, PhashIndex}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ids: Seq[Long] = 0L until 24L // includes head-trimmed twins
+    val bspec = graft.sim.HammingBands.spec(
+      graft.sim.HammingBands.bits(ids.size, occ = 4))
+    def frameHashes(df: org.apache.spark.sql.Dataset[Long])
+      : org.apache.spark.sql.DataFrame =
+      MediaContent.hashSampledFrames(
+        df.map(id => graft.multimodal.Multimodal.MediaRow(
+          id, MediaContent.aviPixelBytes(id)))).toDF()
+        .select(col("doc_id").as("id"), col("frame_idx").as("fi"),
+          col("dh_hi").as("hi"), col("dh_lo").as("lo"))
+    def bandKeys(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val ufp = shiftleft(col("hi"), 32).bitwiseOR(col("lo"))
+      df.select(col("id"), col("fi"),
+        explode(array(bspec.zipWithIndex.map { case ((shf, wd), i) =>
+          concat_ws("|", lit(i.toString),
+            shiftrightunsigned(ufp, shf).bitwiseAND(lit((1L << wd) - 1))
+              .cast("string"))
+        }: _*)).as("bkey"))
+    }
+    val mem = MemoryStream[Long]
+    val q = bandKeys(frameHashes(mem.toDS()))
+      .select(col("bkey"), col("id"), col("fi").cast("int"))
+      .as[(String, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(String, Long, Int)],
+         st: org.apache.spark.sql.streaming.GroupState[Seq[(Long, Int)]]) => {
+          var acc = if (st.exists) st.get else Seq.empty[(Long, Int)]
+          val out = scala.collection.mutable.Buffer.empty[(Long, Long, Long)]
+          for ((_, id, fi) <- rows.toSeq.sortBy(r => (r._2, r._3))) {
+            for ((id2, fi2) <- acc if id2 != id) {
+              val p = if (id < id2) (id, id2, (fi - fi2).toLong)
+                      else (id2, id, (fi2 - fi).toLong)
+              out += p
+            }
+            acc = acc :+ ((id, fi))
+          }
+          st.update(acc)
+          out.distinct.iterator
+        })
+      .toDF("id1", "id2", "off")
+      .writeStream.format("memory").queryName("svid_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(ids.take(9): _*)
+      q.processAllAvailable()
+      mem.addData(ids.drop(9): _*)
+      q.processAllAvailable()
+      val proposals = spark.table("svid_out").distinct()
+      // batch collision step under the same geometry (dd21's shape)
+      val frames = frameHashes(ids.toDS()).localCheckpoint()
+      val bands = bandKeys(frames)
+      val expect = bands.as("a").join(bands.as("b"),
+          col("a.bkey") === col("b.bkey") && col("a.id") =!= col("b.id"))
+        .select(least(col("a.id"), col("b.id")).as("id1"),
+          greatest(col("a.id"), col("b.id")).as("id2"),
+          when(col("a.id") < col("b.id"), col("a.fi") - col("b.fi"))
+            .otherwise(col("b.fi") - col("a.fi")).cast("long").as("off"))
+        .distinct()
+      def key3(df: org.apache.spark.sql.DataFrame) = df
+        .select("id1", "id2", "off").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(key3(proposals) == key3(expect),
+        "streamed proposals must equal the batch collision step")
+      // shared verdict code: stream-proposed pairs confirm to exactly
+      // the one-shot index pairs
+      val dir = java.nio.file.Files
+        .createTempDirectory("svid_idx_").toString
+      def key5(df: org.apache.spark.sql.DataFrame) = df
+        .select("id1", "id2", "n_aligned", "off", "max_ham").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val oneShot = key5(PhashIndex.ingestVideoBatch(
+        frames.withColumnRenamed("fi", "frame_idx"), dir, 0,
+        graft.sim.HammingBands.bits(ids.size, occ = 4)))
+      val streamedVerdict = key5(
+        PhashIndex.offsetVerdict(proposals, frames))
+      assert(streamedVerdict == oneShot,
+        "verdict over streamed proposals must equal the one-shot pairs")
+      assert(oneShot.nonEmpty, "corpus must contain sequence near-dups")
+    } finally q.stop()
+  }
+
   test("streaming WRITE into a columnMapping table: rename lands between epochs") {
     import graft.sources.{SchemaLog, Sinks, TxnManifest}
     import org.apache.spark.sql.types._
