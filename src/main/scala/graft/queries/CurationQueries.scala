@@ -278,6 +278,32 @@ object CurationQueries {
             .as("is_dup"))
     }),
 
+    // WARC record extraction (round 14) — the container the crawl
+    // actually ships: per-document capsules of warcinfo → request →
+    // response records, parsed by CONTENT-LENGTH ACCOUNTING (a
+    // delimiter split would die on the HTTP payload's own
+    // \r\n\r\n), the response's HTTP body fed through the t29
+    // extractor — WARC → HTTP → HTML → text, the full raw front of
+    // a pretraining pipeline in one oracle-gated pass. Pure Column
+    // fold (bounded aggregate over record slots), zero UDFs, zero
+    // shuffles; oracle replays record count, URI arithmetic, status,
+    // and the extraction chain blind.
+    "t31_warc_extract" -> ((s, d) => {
+      import graft.text.{HtmlExtract, WarcExtract}
+      val warc = WarcExtract.renderWarc(col("doc_id"),
+        split(col("text"), " "))
+      val recs = WarcExtract.records(warc)
+      val resp = WarcExtract.firstOfType(recs, "response")
+      val payload = resp.getField("payload")
+      val ex = HtmlExtract.extract(WarcExtract.httpBody(payload))
+      Tables.documents(s, d).select(col("doc_id"),
+        size(recs).cast("long").as("n_records"),
+        resp.getField("uri").as("target_uri"),
+        WarcExtract.httpStatus(payload).as("http_status"),
+        ex.getField("n_kept").as("n_kept"),
+        ex.getField("extracted").as("extracted"))
+    }),
+
     // Deterministic stratified sample + train/val/test split
     // (~80/10/10 by hash bucket; 10% systematic sample flag).
     // The operators COMPOSED — one pass of the curation flow a
@@ -535,7 +561,34 @@ object CurationQueries {
       |      AS extracted
       |  FROM hr GROUP BY hr.doc_id)""".stripMargin
 
+  /** The t30/t31 raw-URL arithmetic ([[graft.text.UrlCanon.renderUrl]]
+    * replayed) as a SQL expression over a `doc_id` column in scope. */
+  private val RawUrlSql: String =
+    """CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://' ||
+      |  CASE WHEN doc_id % 3 = 0 THEN 'Example.COM'
+      |       WHEN doc_id % 3 = 1 THEN 'example.com' ||
+      |         CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+      |       ELSE 'Sub.Example.org:8080' END ||
+      |  '/p/' || CAST(doc_id % 40 AS VARCHAR) ||
+      |  '?utm_source=feed&b=' || CAST(doc_id % 5 AS VARCHAR) ||
+      |  '&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR) ||
+      |  '&a=' || CAST(doc_id % 4 AS VARCHAR) ||
+      |  CASE WHEN doc_id % 4 = 0
+      |       THEN '&fbclid=x' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END ||
+      |  CASE WHEN doc_id % 6 = 1
+      |       THEN '#sec' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END"""
+      .stripMargin
+
   val oracle: Map[String, String] = Map(
+    "t31_warc_extract" ->
+      ("""WITH corpus AS (SELECT doc_id, text FROM documents),
+        |""".stripMargin + HtmlExtractCte +
+      s"""
+        |SELECT ht.doc_id, CAST(3 AS BIGINT) AS n_records,
+        |  $RawUrlSql AS target_uri,
+        |  CAST(200 AS INT) AS http_status,
+        |  hx.n_kept, hx.extracted
+        |FROM ht JOIN hx USING (doc_id)""".stripMargin),
     "t23_perplexity_filter" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents),
@@ -591,21 +644,9 @@ object CurationQueries {
         |  hx.extracted
         |FROM ht JOIN hx USING (doc_id)""".stripMargin),
     "t30_url_canon" ->
-      """WITH u AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://' ||
-        |  CASE WHEN doc_id % 3 = 0 THEN 'Example.COM'
-        |       WHEN doc_id % 3 = 1 THEN 'example.com' ||
-        |         CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
-        |       ELSE 'Sub.Example.org:8080' END ||
-        |  '/p/' || CAST(doc_id % 40 AS VARCHAR) ||
-        |  '?utm_source=feed&b=' || CAST(doc_id % 5 AS VARCHAR) ||
-        |  '&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR) ||
-        |  '&a=' || CAST(doc_id % 4 AS VARCHAR) ||
-        |  CASE WHEN doc_id % 4 = 0
-        |       THEN '&fbclid=x' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END ||
-        |  CASE WHEN doc_id % 6 = 1
-        |       THEN '#sec' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END AS url
-        |  FROM documents),
+      (s"""WITH u AS (SELECT doc_id, $RawUrlSql AS url
+        |  FROM documents),""".stripMargin + "\n" +
+      """
         |c AS (SELECT doc_id, url,
         |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
         |    AS scheme,
@@ -630,7 +671,7 @@ object CurationQueries {
         |SELECT doc_id, url, canon, canonical_id,
         |  CAST(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END AS INT)
         |    AS is_dup
-        |FROM dd""".stripMargin,
+        |FROM dd""".stripMargin),
     "cur3_web_curation" ->
       ("""WITH corpus AS (
         |  SELECT doc_id, text FROM documents

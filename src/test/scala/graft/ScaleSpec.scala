@@ -438,7 +438,7 @@ class ScaleSpec extends SparkSuite {
     // in the plan means a shuffle snuck into what must stay
     // scan-parallel (t29 = the full HTML render+extract round trip).
     for (q <- Seq("t10_redact", "t11_repetition", "t22_gopher_rules",
-        "t29_html_extract")) {
+        "t29_html_extract", "t31_warc_extract")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
       val ex = plan.collectWithSubqueries { case e: ShuffleExchangeExec => e }
       assert(ex.isEmpty, s"$q expected exchange-free plan, got:\n$plan")

@@ -195,6 +195,32 @@ class TextSpec extends SparkSuite {
       assert(got(raw) == want, s"$raw -> ${got(raw)}, want $want")
   }
 
+  test("warc records: content-length accounting survives delimiter bait") {
+    import graft.text.WarcExtract
+    // payload contains BOTH the record terminator and a fake record
+    // magic — a delimiter-split parser would shear here; the
+    // length-accounted walk must not
+    val bait = "first\r\n\r\nWARC/1.0\r\nsecond"
+    val warc =
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://a/\r\n" +
+        s"Content-Length: ${bait.length}\r\n\r\n$bait\r\n\r\n" +
+        "WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 2\r\n\r\nok\r\n\r\n" +
+        "trailing garbage without magic"
+    val r = Seq(Tuple1(warc)).toDF("w")
+      .select(WarcExtract.records($"w").as("recs"))
+      .selectExpr("size(recs) AS n", "recs[0].rtype", "recs[0].uri",
+        "recs[0].payload", "recs[1].rtype", "recs[1].payload").first()
+    assert(r.getInt(0) == 2, s"garbage must stop the walk: $r")
+    assert(r.getString(1) == "response" && r.getString(2) == "http://a/")
+    assert(r.getString(3) == bait, s"payload sheared: <${r.getString(3)}>")
+    assert(r.getString(4) == "metadata" && r.getString(5) == "ok")
+    // http helpers: body after the header terminator, status parsed
+    val h = Seq(Tuple1("HTTP/1.1 301 Moved\r\nLocation: x\r\n\r\nbody\r\n\r\nmore"))
+      .toDF("p").select(WarcExtract.httpStatus($"p"),
+        WarcExtract.httpBody($"p")).first()
+    assert(h.getInt(0) == 301 && h.getString(1) == "body\r\n\r\nmore")
+  }
+
   test("dup spans: gap wider than k splits islands; short docs no grams") {
     import graft.text.DupSpans
     // two shared 6-char regions separated by >k unique filler on each
