@@ -236,11 +236,17 @@ object CurationQueries {
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
       val ex = HtmlExtract.extract(
         HtmlExtract.render(col("doc_id"), split(col("text"), " ")))
-      val flat = regexp_replace(ex.getField("extracted"), "\n", " ")
-      val (_, _, _, pred) = TA.langId(flat)
-      val annotated = docs.select(col("doc_id"), flat.as("clean"),
+      // materialize the extraction once (CacheScope boundary): the
+      // lang-ID marker counts + token counts reference `clean` six
+      // ways, and the render→extract lambda chain re-evaluates per
+      // reference without it
+      val cleaned = graft.util.CacheScope.track(
+        docs.select(col("doc_id"),
+          regexp_replace(ex.getField("extracted"), "\n", " ").as("clean")))
+      val (_, _, _, pred) = TA.langId(col("clean"))
+      val annotated = cleaned.select(col("doc_id"), col("clean"),
         pred.as("predicted_lang"),
-        size(split(flat, " ")).cast("long").as("n_tokens"))
+        size(split(col("clean"), " ")).cast("long").as("n_tokens"))
       val kept = annotated.filter(col("predicted_lang") === "en" &&
         col("n_tokens") >= 20)
       val w = Window.partitionBy("h")
@@ -290,13 +296,21 @@ object CurationQueries {
     // and the extraction chain blind.
     "t31_warc_extract" -> ((s, d) => {
       import graft.text.{HtmlExtract, WarcExtract}
-      val warc = WarcExtract.renderWarc(col("doc_id"),
-        split(col("text"), " "))
-      val recs = WarcExtract.records(warc)
+      // the generator's capsule MATERIALIZES once (CacheScope): the
+      // record walk references the string several times per slot, and
+      // higher-order lambdas sit outside codegen's subexpression
+      // elimination — without the boundary every reference would
+      // re-render the whole capsule. A production input is a stored
+      // column, which has this property for free.
+      val capsules = graft.util.CacheScope.track(
+        Tables.documents(s, d).select(col("doc_id"),
+          WarcExtract.renderWarc(col("doc_id"), split(col("text"), " "))
+            .as("warc")))
+      val recs = WarcExtract.records(col("warc"))
       val resp = WarcExtract.firstOfType(recs, "response")
       val payload = resp.getField("payload")
       val ex = HtmlExtract.extract(WarcExtract.httpBody(payload))
-      Tables.documents(s, d).select(col("doc_id"),
+      capsules.select(col("doc_id"),
         size(recs).cast("long").as("n_records"),
         resp.getField("uri").as("target_uri"),
         WarcExtract.httpStatus(payload).as("http_status"),

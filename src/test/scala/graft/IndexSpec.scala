@@ -222,6 +222,31 @@ class IndexSpec extends SparkSuite {
       "phash probe against the compacted index must see identical pairs")
   }
 
+  test("color-JPEG hashes ingest through PhashIndex unchanged") {
+    // the mm12 output shape (id, dh_hi, dh_lo) is the index's input
+    // shape — the color corpus dedups batch-against-corpus with no
+    // adapter, same as images/audio (the hash-generic contract)
+    import graft.multimodal.{JpegCodec, PhashIndex}
+    val hashes = JpegCodec.hashColorJpegs(
+      JpegCodec.colorJpegsFromDocuments(spark,
+        spark.read.parquet(s"$sf/documents.parquet").select($"doc_id"))).toDF()
+      .select($"doc_id".as("id"), $"dh_hi".as("hi"), $"dh_lo".as("lo"))
+      .localCheckpoint()
+    val bits = graft.sim.HammingBands.bits(hashes.count(), occ = 4)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = java.nio.file.Files.createTempDirectory("phjc_one_").toString
+    val oneShot = key(PhashIndex.ingestBatch(hashes, one, 0, bits))
+    val tmp = java.nio.file.Files.createTempDirectory("phjc_idx_").toString
+    val p0 = key(PhashIndex.ingestBatch(
+      hashes.filter($"id" % 2 === 0), tmp, 0, bits))
+    val p1 = key(PhashIndex.ingestBatch(
+      hashes.filter($"id" % 2 === 1), tmp, 1, bits))
+    assert((p0 ++ p1) == oneShot,
+      "color-JPEG batch-wise ingest must equal the one-shot pass")
+  }
+
   test("ingest verify joins: shuffle-join regime == broadcast regime") {
     // round 14 removed the forced broadcast() hints on the batch side
     // of the verify lookups (a production batch is a day of crawl —
