@@ -802,6 +802,24 @@ object SimQueries {
           col("height"), col("dh_hi"), col("dh_lo"))
     }),
 
+    // PDF text extraction (round 14) — after HTML/WARC the second
+    // biggest document format a pretraining pipeline opens: REAL
+    // single-page PDFs (object walk, /Length-accounted streams —
+    // payloads legally contain 'endstream' — xref + trailer), content
+    // streams Flate-compressed on even ids / raw on odd, one Tj per
+    // 8-token line with Td advances and the full literal-string
+    // escape set (every 3rd-of-4 line wraps its first word in
+    // parentheses, forcing \( \) decode). The oracle replays the
+    // expected text from the tokens blind — a hash match certifies
+    // object walk + Length accounting + inflate + escape decode.
+    "mm14_pdf_text" -> ((s, d) => {
+      import graft.multimodal.PdfText
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      PdfText.extractPdfs(PdfText.pdfsFromDocuments(s, docs)).toDF()
+        .select(col("doc_id"), col("pdf_filter"),
+          col("n_lines").cast("long").as("n_lines"), col("text_out"))
+    }),
+
     // Cross-modal curation composite (round 13) — the multimodal twin
     // of cur1, proving the multimodal pieces COMPOSE: decode both
     // modalities once (image dHash + audio fingerprint, scan-speed
@@ -1804,6 +1822,31 @@ object SimQueries {
         |  CAST(32 AS INT) AS width, CAST(16 AS INT) AS height,
         |  jdh.dh_hi, jdh.dh_lo
         |FROM ids JOIN jdh ON ids.id = jdh.id""".stripMargin,
+    // mm14 replays the PDF corpus's expected TEXT from the tokens:
+    // 8-token lines, parenthesized first word on lines ≡ 2 (mod 4),
+    // filter arm from id parity — blind to the container bytes
+    "mm14_pdf_text" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |p AS (SELECT t.doc_id, t.n, u.i AS i,
+        |    t.w[CAST(u.i*8+1 AS INTEGER):CAST(u.i*8+8 AS INTEGER)] AS v
+        |  FROM t, unnest(range(0, (t.n+7)//8)) AS u(i)),
+        |r AS (SELECT doc_id, i,
+        |    CASE WHEN i % 4 = 2 THEN '(' || v[1] || ')' ELSE v[1] END ||
+        |    CASE WHEN len(v) > 1
+        |         THEN ' ' || array_to_string(v[2:CAST(len(v) AS INTEGER)],
+        |                                     ' ')
+        |         ELSE '' END AS line
+        |  FROM p),
+        |agg AS (SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY i) AS text_out
+        |  FROM r GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CASE WHEN t.doc_id % 2 = 0 THEN 'flate' ELSE 'raw' END
+        |    AS pdf_filter,
+        |  CAST((t.n+7)//8 AS BIGINT) AS n_lines, a.text_out
+        |FROM t JOIN agg a USING (doc_id)""".stripMargin,
     // mm9 decodes LZW-compressed GIF bytes whose luma equals the mm6
     // texture — the oracle replays the same gray arithmetic, so a
     // match certifies the GIF round trip

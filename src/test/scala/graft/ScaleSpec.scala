@@ -451,7 +451,8 @@ class ScaleSpec extends SparkSuite {
     // stay scan-parallel at 100 TB.
     for (q <- Seq("mm6_image_phash", "mm7_audio_fingerprint",
         "mm8_video_frames", "mm9_gif_pixels", "mm10_flac_samples",
-        "mm11_jpeg_pixels", "mm12_jpeg_color", "mm13_mp4_samples")) {
+        "mm11_jpeg_pixels", "mm12_jpeg_color", "mm13_mp4_samples",
+        "mm14_pdf_text")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
       val ex = plan.collectWithSubqueries { case e: ShuffleExchangeExec => e }
       assert(ex.isEmpty, s"$q expected exchange-free plan, got:\n$plan")

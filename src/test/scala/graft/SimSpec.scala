@@ -647,6 +647,37 @@ class SimSpec extends SparkSuite {
     assert(e.getMessage.contains("stsz"), e.getMessage)
   }
 
+  test("PdfText: general content streams, not just the generator's") {
+    import graft.multimodal.PdfText
+    // hand-built raw-stream PDF exercising shapes the generator never
+    // emits: a TJ array with kerning numbers, nested parentheses,
+    // octal + newline escapes, and 'endstream' INSIDE the stream data
+    // (a delimiter-matched reader would shear; /Length must win)
+    val content = "BT /F1 10 Tf 50 700 Td\n" +
+      "[(Hel) -120 (lo )] TJ (wor\\154d) Tj\n" + // \154 = 'l'
+      "0 -12 Td ((nested) \\(esc\\)) Tj\n" +
+      "0 -12 Td (endstream bait) Tj\nET"
+    val data = content.getBytes("ISO-8859-1")
+    val pdf = new java.io.ByteArrayOutputStream
+    def put(s: String): Unit = pdf.write(s.getBytes("ISO-8859-1"))
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n")
+    put(s"4 0 obj << /Length ${data.length} >> stream\n")
+    pdf.write(data, 0, data.length)
+    put("\nendstream endobj\ntrailer << /Size 5 >>\n%%EOF\n")
+    val (filter, n, text) = PdfText.extractText(pdf.toByteArray)
+    assert(filter == "raw" && n == 3, s"($filter, $n)")
+    assert(text ==
+      "Hello world\n(nested) (esc)\nendstream bait", s"<$text>")
+    // truncated flate stream refuses loudly
+    val bad = PdfText.pdfBytes(2L, Array("a", "b", "c"))
+    val cut = java.util.Arrays.copyOf(bad, bad.length)
+    // find the stream data start and zero a tail chunk of the deflate
+    val s = new String(cut, "ISO-8859-1")
+    val at = s.indexOf("stream\n") + 7
+    java.util.Arrays.fill(cut, at + 4, at + 12, 0.toByte)
+    intercept[Exception](PdfText.extractText(cut))
+  }
+
   test("frameSampleIndices: even spacing, cap, and zero-duration guard") {
     val df = Seq((1L, 10000.0), (2L, 0.0)).toDF("id", "dur_ms")
     val got = df.select($"id",
