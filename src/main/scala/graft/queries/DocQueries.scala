@@ -547,6 +547,49 @@ object DocQueries {
         s"dd19: recovered $found of $planted planted spans — exact " +
           "anchor matching must find every one")
       spans
+    }),
+
+    // Incremental substring-span dedup (round 14) — dd19's
+    // batch-against-corpus form, the same operational move dd9/dd18/
+    // dd21 make for MinHash and perceptual hashes, now at TOKEN SPAN
+    // grain ([[graft.text.SpanIndex]]): anchors + per-batch document
+    // frequencies persist in bucketed tables; each batch probes the
+    // stored anchors exchange-free and applies the df cap against the
+    // ACCUMULATED corpus-wide frequency. The corpus is dd19's,
+    // ingested as three batches with every planted twin CROSS-batch
+    // (twins split to (id+1)%3, sources to id%3) — recovering them
+    // exercises the stored-anchor probe, not the within-batch join.
+    // Batch-wise must equal the one-shot pass exactly: the oracle IS
+    // dd19's SQL.
+    "dd22_incremental_spans" -> ((s, d) => {
+      import graft.text.SpanIndex
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_dd22_idx_").toString
+      graft.util.CacheScope.onRelease(() => SpanIndex.dropIndex(s, dir))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val spliced = base
+        .filter(col("doc_id") % 50 === 0 && size(col("w")) >= 45)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(array(lit("zz0"), lit("zz1"), lit("zz2")),
+            slice(col("w"), 6, 40), array(lit("zz3"))).as("w"))
+      val corpus = graft.util.CacheScope.track(base.unionAll(spliced)
+        .withColumn("b",
+          when(col("doc_id") >= 3000000L, (col("doc_id") + 1) % 3)
+            .otherwise(col("doc_id") % 3)))
+      val spans = (0 until 3)
+        .map(i => SpanIndex.ingestBatch(
+          corpus.filter(col("b") === i).drop("b"), "doc_id", "w", dir, i))
+        .reduce(_ unionAll _)
+        .localCheckpoint() // the recall guard below re-reads it
+      val planted = base
+        .filter(col("doc_id") % 50 === 0 && size(col("w")) >= 45).count()
+      val found = spans.filter(col("id2") === col("id1") + 3000000L &&
+        col("start1") === 5 && col("start2") === 3 &&
+        col("span_tokens") >= 40).select("id1").distinct().count()
+      require(found == planted,
+        s"dd22: recovered $found of $planted planted cross-batch spans")
+      spans
     })
   )
 
@@ -615,6 +658,48 @@ object DocQueries {
         |  JOIN counts ca ON ca.doc_id = c.a
         |  JOIN counts cb ON cb.doc_id = c.b)
         |SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin
+
+  /** dd19's oracle — and dd22's: the incremental span index must
+    * equal the one-shot pass bit for bit on this corpus (anchor
+    * 8-grams, df ≤ 16 cap, constant-offset runs, 16-token floor). */
+  private lazy val Dd19SpansSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |spl AS (
+      |  SELECT doc_id + 3000000 AS doc_id,
+      |    list_concat(list_concat(['zz0','zz1','zz2'], w[6:45]),
+      |      ['zz3']) AS w
+      |  FROM base WHERE doc_id % 50 = 0 AND len(w) >= 45),
+      |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM spl),
+      |anch0 AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(0, greatest(len(w) - 7, 0)),
+      |      i -> {'pos': CAST(i AS BIGINT),
+      |            'h': md5(array_to_string(w[i+1 : i+8], ' '))})) AS u
+      |  FROM corpus),
+      |anch1 AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM anch0),
+      |cool AS (SELECT h FROM anch1 GROUP BY h
+      |  HAVING count(DISTINCT doc_id) <= 16),
+      |anch AS (SELECT a.* FROM anch1 a JOIN cool USING (h)),
+      |m AS (
+      |  SELECT a1.doc_id AS id1, a2.doc_id AS id2, a1.pos AS pa,
+      |    CAST(a2.pos - a1.pos AS BIGINT) AS delta
+      |  FROM anch a1 JOIN anch a2
+      |    ON a1.h = a2.h AND a1.doc_id < a2.doc_id),
+      |runs AS (
+      |  SELECT id1, id2, delta, pa,
+      |    pa - row_number() OVER (PARTITION BY id1, id2, delta
+      |      ORDER BY pa) AS grpk
+      |  FROM m),
+      |agg AS (
+      |  SELECT id1, id2, delta, grpk,
+      |    CAST(min(pa) AS BIGINT) AS start1,
+      |    CAST(count(*) AS BIGINT) AS n_anchors
+      |  FROM runs GROUP BY 1, 2, 3, 4)
+      |SELECT id1, id2, start1,
+      |  CAST(start1 + delta AS BIGINT) AS start2,
+      |  CAST(n_anchors + 7 AS BIGINT) AS span_tokens
+      |FROM agg WHERE n_anchors + 7 >= 16""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "t17_chunk_overlap" ->
@@ -895,44 +980,10 @@ object DocQueries {
     // star contraction computes the same components; identical oracle
     "dd8_cc_star" -> ccOracle,
 
-    "dd19_substring_spans" ->
-      """WITH base AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |spl AS (
-        |  SELECT doc_id + 3000000 AS doc_id,
-        |    list_concat(list_concat(['zz0','zz1','zz2'], w[6:45]),
-        |      ['zz3']) AS w
-        |  FROM base WHERE doc_id % 50 = 0 AND len(w) >= 45),
-        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM spl),
-        |anch0 AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(0, greatest(len(w) - 7, 0)),
-        |      i -> {'pos': CAST(i AS BIGINT),
-        |            'h': md5(array_to_string(w[i+1 : i+8], ' '))})) AS u
-        |  FROM corpus),
-        |anch1 AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM anch0),
-        |cool AS (SELECT h FROM anch1 GROUP BY h
-        |  HAVING count(DISTINCT doc_id) <= 16),
-        |anch AS (SELECT a.* FROM anch1 a JOIN cool USING (h)),
-        |m AS (
-        |  SELECT a1.doc_id AS id1, a2.doc_id AS id2, a1.pos AS pa,
-        |    CAST(a2.pos - a1.pos AS BIGINT) AS delta
-        |  FROM anch a1 JOIN anch a2
-        |    ON a1.h = a2.h AND a1.doc_id < a2.doc_id),
-        |runs AS (
-        |  SELECT id1, id2, delta, pa,
-        |    pa - row_number() OVER (PARTITION BY id1, id2, delta
-        |      ORDER BY pa) AS grpk
-        |  FROM m),
-        |agg AS (
-        |  SELECT id1, id2, delta, grpk,
-        |    CAST(min(pa) AS BIGINT) AS start1,
-        |    CAST(count(*) AS BIGINT) AS n_anchors
-        |  FROM runs GROUP BY 1, 2, 3, 4)
-        |SELECT id1, id2, start1,
-        |  CAST(start1 + delta AS BIGINT) AS start2,
-        |  CAST(n_anchors + 7 AS BIGINT) AS span_tokens
-        |FROM agg WHERE n_anchors + 7 >= 16""".stripMargin,
+    // batch-wise == one-shot is the dd22 contract (the dd9/dd18 move
+    // at token-span grain): its oracle IS dd19's SQL
+    "dd22_incremental_spans" -> Dd19SpansSql,
+    "dd19_substring_spans" -> Dd19SpansSql,
     "dd11_passage_dedup" ->
       s"""WITH $corpusCte,
         |toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus),

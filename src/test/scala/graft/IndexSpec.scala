@@ -247,6 +247,69 @@ class IndexSpec extends SparkSuite {
       "color-JPEG batch-wise ingest must equal the one-shot pass")
   }
 
+  test("SpanIndex: cap accumulates across batches; monotone emission") {
+    import graft.text.SpanIndex
+    import org.apache.spark.sql.functions.{col, split}
+    def toks(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val boiler = (0 until 20).map(i => s"b$i").mkString(" ")
+    def bdoc(i: Long, tag: String) =
+      (i, boiler + " " + (0 until 20).map(j => s"u${tag}${i}_$j")
+        .mkString(" "))
+    val shared = (0 until 24).map(i => s"s$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("span_idx_").toString
+    // batch 0: 10 boilerplate docs (df=10 ≤ 16) + one true-pair half
+    val out0 = SpanIndex.ingestBatch(
+      toks((1L to 10L).map(bdoc(_, "a")) :+
+        (101L, shared + " " + (0 until 10).map(j => s"g1_$j").mkString(" "))),
+      "doc_id", "w", dir, 0).collect()
+    assert(out0.count(r => r.getLong(0) <= 10 && r.getLong(1) <= 10) ==
+      10 * 9 / 2, "df=10 boilerplate pairs report while under the cap")
+    // batch 1: 30 more boilerplate docs push df to 40 > 16 — NO new
+    // boilerplate spans (monotone: batch-0 reports stand); the df=2
+    // true pair crosses the batches and must come back exact
+    val out1 = SpanIndex.ingestBatch(
+      toks((11L to 40L).map(bdoc(_, "b")) :+
+        (102L, (0 until 6).map(j => s"f2_$j").mkString(" ") + " " + shared)),
+      "doc_id", "w", dir, 1).collect()
+    val boilerPairs = out1.filter(r => r.getLong(0) <= 40 && r.getLong(1) <= 40)
+    assert(boilerPairs.isEmpty,
+      s"anchors past the accumulated cap must stop generating: " +
+        s"${boilerPairs.length} pairs")
+    val tp = out1.filter(r => r.getLong(0) == 101L && r.getLong(1) == 102L)
+    assert(tp.map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet ==
+      Set((0L, 6L, 24L)), s"cross-batch span: ${tp.mkString(",")}")
+    // idempotent retry: re-ingesting batch 1 returns the same spans
+    val retry = SpanIndex.ingestBatch(
+      toks((11L to 40L).map(bdoc(_, "b")) :+
+        (102L, (0 until 6).map(j => s"f2_$j").mkString(" ") + " " + shared)),
+      "doc_id", "w", dir, 1).collect()
+    assert(retry.map(_.toSeq).toSet == out1.map(_.toSeq).toSet)
+    // compaction: fold, then a fresh batch probes identically
+    val probe = toks(Seq(
+      (201L, shared + " " + (0 until 8).map(j => s"h_$j").mkString(" "))))
+    val ctl = SpanIndex.ingestBatch(probe, "doc_id", "w", dir, 2)
+      .collect().map(_.toSeq).toSet
+    // rebuild the same pre-compaction state in a twin dir, compact,
+    // probe — results must match the uncompacted control
+    val dir2 = java.nio.file.Files.createTempDirectory("span_idx2_").toString
+    SpanIndex.ingestBatch(
+      toks((1L to 10L).map(bdoc(_, "a")) :+
+        (101L, shared + " " + (0 until 10).map(j => s"g1_$j").mkString(" "))),
+      "doc_id", "w", dir2, 0)
+    SpanIndex.ingestBatch(
+      toks((11L to 40L).map(bdoc(_, "b")) :+
+        (102L, (0 until 6).map(j => s"f2_$j").mkString(" ") + " " + shared)),
+      "doc_id", "w", dir2, 1)
+    assert(SpanIndex.compact(spark, dir2))
+    assert(graft.text.DedupIndex.fsBatches(spark, s"$dir2/anchors") ==
+      Set(-1))
+    val got = SpanIndex.ingestBatch(probe, "doc_id", "w", dir2, 2)
+      .collect().map(_.toSeq).toSet
+    assert(got == ctl, "compacted span-index probe must match uncompacted")
+  }
+
   test("ingest verify joins: shuffle-join regime == broadcast regime") {
     // round 14 removed the forced broadcast() hints on the batch side
     // of the verify lookups (a production batch is a day of crawl —

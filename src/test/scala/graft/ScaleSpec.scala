@@ -1804,6 +1804,41 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("span-index probes: stored anchors/adf tables never shuffle") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // dd22's O(batch) contract: stored anchors (bucketed on h) and
+    // the per-batch df table stream into the probe joins without an
+    // exchange — only the new batch's side may shuffle
+    val tmp = java.nio.file.Files.createTempDirectory("spidx_plan_").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", split($"text", " ").as("w"))
+    graft.text.SpanIndex.ingestBatch(docs, "doc_id", "w", tmp, 0)
+    val (anchors, adf) = graft.text.SpanIndex
+      .storedView(spark, tmp, excludeBatch = 99).get
+    val probeH = docs.limit(50).select(md5($"doc_id".cast("string")).as("h"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((name, joined) <- Seq(
+        "anchors" -> probeH.join(anchors, Seq("h")),
+        "adf" -> probeH.join(adf, Seq("h"), "left_semi"))) {
+        val plan = joined.queryExecution.executedPlan
+        val storedShuffles = plan.collectWithSubqueries {
+          case e: ShuffleExchangeExec if e.exists {
+            case f: FileSourceScanExec =>
+              f.relation.location.rootPaths.exists(_.toString.contains(tmp))
+            case _ => false
+          } => e
+        }
+        assert(storedShuffles.isEmpty,
+          s"$name: stored index side is shuffled — bucketing lost:\n$plan")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("phash-index probe join has no Exchange on the stored side") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // same contract as the MinHash dedup index: per-batch probe cost
