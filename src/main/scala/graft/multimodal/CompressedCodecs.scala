@@ -286,6 +286,149 @@ object CompressedCodecs {
     })
   }
 
+  // ------------------------------------------------- animated GIF (r14)
+
+  /** Animated GIF89a — the sampled-frame RE-ENCODE of the video
+    * corpus (the "GIF preview" every video host generates): one full
+    * frame per 2 fps sample slot of the AS-SHIPPED video (trims
+    * included), each behind a Graphic Control Extension with a 50 cs
+    * delay, sharing the global grayscale palette. Frame pixels carry
+    * the video texture's LUMA (palette index = luma), so every GIF
+    * frame dHash-equals its AVI/MP4 twin frame exactly — the
+    * cross-CONTAINER sequence duplicate dd23 must catch. */
+  def gifAnimBytes(id: Long): Array[Byte] = {
+    val w = MediaContent.vWidthOf(id); val h = MediaContent.vHeightOf(id)
+    val trim = MediaContent.vTrimOf(id)
+    val sampled = MediaContent.sampledFrames(
+      MediaContent.VUsPerFrame, MediaContent.vFramesOf(id))
+      .distinct.sorted
+    val out = new ByteSink(4096)
+    def put(bs: Array[Byte]): Unit = bs.foreach(b => out.add(b & 0xff))
+    def le16(v: Int): Unit = { out.add(v & 0xff); out.add((v >> 8) & 0xff) }
+    put("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.add(0xF7); out.add(0); out.add(0) // GCT 256, bg, aspect
+    var i = 0
+    while (i < 256) { out.add(i); out.add(i); out.add(i); i += 1 }
+    for (f <- sampled) {
+      out.add(0x21); out.add(0xF9); out.add(4) // GCE
+      out.add(0)                                // no disposal/transparency
+      le16(50)                                  // delay 50 cs = 2 fps
+      out.add(0); out.add(0)                    // transparent idx, term
+      out.add(0x2C)                             // image descriptor
+      le16(0); le16(0); le16(w); le16(h)
+      out.add(0)                                // no LCT, not interlaced
+      val idx = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = MediaContent.vRgbAt(id, f + trim, x, y)
+          idx(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      val lzw = lzwEncode(idx, minCodeSize = 8)
+      out.add(8)
+      var off = 0
+      while (off < lzw.length) {
+        val len = math.min(255, lzw.length - off)
+        out.add(len)
+        var j = 0
+        while (j < len) { out.add(lzw(off + j) & 0xff); j += 1 }
+        off += len
+      }
+      out.add(0) // block terminator
+    }
+    out.add(0x3B)
+    out.toArray
+  }
+
+  /** Decode ALL frames of a (possibly animated) GIF: `(width,
+    * height, frames in stream order as packed 0xRRGGBB)`. Scope:
+    * FULL-frame images only — partial-frame composition (disposal
+    * methods, frame offsets) refuses loudly; interlace refuses like
+    * the single-frame path. */
+  def decodeGifFrames(p: Array[Byte]): (Int, Int, Seq[Array[Int]]) = {
+    def u8(i: Int) = p(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    require(p.length > 13 && p(0) == 'G'.toByte && p(1) == 'I'.toByte &&
+      p(2) == 'F'.toByte, "not a GIF payload")
+    val w = le16(6); val h = le16(8)
+    val packed = u8(10)
+    var i = 13
+    var global: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      global = Array.tabulate(n)(j =>
+        (u8(13 + j * 3) << 16) | (u8(13 + j * 3 + 1) << 8) | u8(13 + j * 3 + 2))
+      i += n * 3
+    }
+    val frames = Seq.newBuilder[Array[Int]]
+    var done = false
+    while (!done) {
+      require(i < p.length, "GIF: missing trailer")
+      u8(i) match {
+        case 0x21 => // extension: label + sub-blocks
+          i += 2
+          while (u8(i) != 0) i += 1 + u8(i)
+          i += 1
+        case 0x3B => done = true
+        case 0x2C =>
+          require(le16(i + 1) == 0 && le16(i + 3) == 0 &&
+            le16(i + 5) == w && le16(i + 7) == h,
+            "GIF: partial-frame composition not supported")
+          val ipacked = u8(i + 9)
+          require((ipacked & 0x40) == 0, "interlaced GIF not supported")
+          i += 10
+          var palette = global
+          if ((ipacked & 0x80) != 0) {
+            val n = 2 << (ipacked & 7)
+            palette = Array.tabulate(n)(j =>
+              (u8(i + j * 3) << 16) | (u8(i + j * 3 + 1) << 8) |
+                u8(i + j * 3 + 2))
+            i += n * 3
+          }
+          require(palette != null, "GIF frame carries no color table")
+          val minCodeSize = u8(i); i += 1
+          val data = new java.io.ByteArrayOutputStream
+          while (u8(i) != 0) {
+            val len = u8(i)
+            data.write(p, i + 1, len)
+            i += 1 + len
+          }
+          i += 1
+          val idx = lzwDecode(data.toByteArray, minCodeSize, w * h)
+          frames += idx.map { j =>
+            require(j < palette.length, s"palette index $j out of range")
+            palette(j)
+          }
+        case b => throw new IllegalArgumentException(
+          f"GIF: unexpected block 0x$b%02x at $i")
+      }
+    }
+    (w, h, frames.result())
+  }
+
+  /** Decode + dHash every frame of animated GIFs, per partition at
+    * scan speed — frame_idx is the STREAM ORDINAL (the shared clock
+    * for cross-container alignment: both a sampled video and its GIF
+    * re-encode number sample slots 0..n−1). */
+  def hashGifFrames(media: org.apache.spark.sql.Dataset[Multimodal.MediaRow])
+    : org.apache.spark.sql.Dataset[MediaContent.VideoFrameHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (w, h, frames) = decodeGifFrames(r.payload)
+        frames.zipWithIndex.map { case (px, ord) =>
+          val (hi, lo) = ImagePixels.dHash(w, h, px)
+          MediaContent.VideoFrameHash(r.id, ord, w, h, hi, lo)
+        }
+      }
+    }
+  }
+
   // =============================================================== FLAC
 
   /** MSB-first bit writer (the FLAC bit order). */

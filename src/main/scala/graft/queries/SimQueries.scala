@@ -820,6 +820,90 @@ object SimQueries {
           col("n_lines").cast("long").as("n_lines"), col("text_out"))
     }),
 
+    // Animated GIF frame decode (round 14) — the sampled-frame GIF
+    // re-encode every video host ships as a preview: GIF89a with one
+    // full frame per 2 fps sample slot of the AS-SHIPPED video
+    // (head-trims included), each behind a Graphic Control
+    // Extension, LZW-compressed under the global grayscale palette.
+    // Frame pixels carry the video texture's luma (palette index =
+    // luma), frame_idx is the STREAM ORDINAL — the shared clock a
+    // cross-container matcher aligns on. Oracle replays sampling
+    // plan + per-pixel luma + dHash blind; a match certifies the
+    // multi-frame walk (GCE skip, per-frame LZW) end to end.
+    "mm15_gif_anim_frames" -> ((s, d) => {
+      import graft.multimodal.{CompressedCodecs, Multimodal}
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      CompressedCodecs.hashGifFrames(
+        docs.select("doc_id").as[Long].map(id =>
+          Multimodal.MediaRow(id, CompressedCodecs.gifAnimBytes(id))))
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"),
+          col("height"), col("dh_hi"), col("dh_lo"))
+    }),
+
+    // Cross-CONTAINER sequence near-dup (round 14) — every video
+    // lives twice: as its AVI source (mm8) and as an animated-GIF
+    // re-encode (mm15, ids +20M). Containers number frames
+    // differently, so both sides re-index to the sampled ORDINAL
+    // (the shared 2 fps clock), band per frame under the combined
+    // corpus geometry, and candidates propose offsets ONLY across
+    // the container boundary — a re-encode verifies against the
+    // SOURCE catalog, which keeps the match targeted at scale. The
+    // shared dd17 verdict ([[PhashIndex.offsetVerdict]]) confirms;
+    // the grayscale palette preserves luma exactly, so every twin
+    // verifies at offset 0, Hamming 0, with every sampled slot
+    // aligned — which is exactly what the oracle replays.
+    "dd23_crosscontainer_video" -> ((s, d) => {
+      import graft.multimodal.{CompressedCodecs, MediaContent,
+        Multimodal, PhashIndex}
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      require(maxId < 20000000L,
+        s"dd23: max doc_id $maxId reaches the 20000000 twin-id shift")
+      val vids = MediaContent.hashSampledFrames(
+        MediaContent.videosFromDocuments(s, docs)).toDF()
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      val vOrd = vids.select(col("doc_id").as("id"),
+        (row_number().over(w) - 1).as("fi"),
+        col("dh_hi").as("hi"), col("dh_lo").as("lo"))
+      val gifs = CompressedCodecs.hashGifFrames(
+        docs.select("doc_id").as[Long].map(idv =>
+          Multimodal.MediaRow(idv + 20000000L,
+            CompressedCodecs.gifAnimBytes(idv)))).toDF()
+        .select(col("doc_id").as("id"), col("frame_idx").as("fi"),
+          col("dh_hi").as("hi"), col("dh_lo").as("lo"))
+      val frames = graft.util.CacheScope.track(vOrd.unionAll(gifs))
+      val bspec = graft.sim.HammingBands.spec(
+        graft.sim.HammingBands.bits(docs.count() * 2, occ = 4))
+      val ufp = shiftleft(col("hi"), 32).bitwiseOR(col("lo"))
+      val bands = frames.select(col("id"), col("fi"),
+        explode(array(bspec.zipWithIndex.map { case ((shf, wd), i) =>
+          struct(lit(i).as("bi"),
+            shiftrightunsigned(ufp, shf).bitwiseAND(lit((1L << wd) - 1))
+              .as("bv")) }: _*)).as("b"))
+        .select(col("id"), col("fi"), col("b.bi").as("bi"),
+          col("b.bv").as("bv"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+            col("a.id") < lit(20000000L) && col("b.id") >= lit(20000000L))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"),
+          (col("a.fi") - col("b.fi")).cast("long").as("off"))
+        .distinct()
+      val pairs = PhashIndex.offsetVerdict(cand, frames)
+        .filter(col("id2") === col("id1") + 20000000L)
+        .localCheckpoint() // the guard below re-reads it
+      val found = pairs
+        .filter(col("off") === 0 && col("max_ham") === 0).count()
+      val total = docs.count()
+      require(found == total,
+        s"dd23: verified $found of $total re-encodes — Hamming-0 " +
+          "twins must all band-collide and align at offset 0")
+      pairs
+    }),
+
     // Cross-modal curation composite (round 13) — the multimodal twin
     // of cur1, proving the multimodal pieces COMPOSE: decode both
     // modalities once (image dHash + audio fingerprint, scan-speed
@@ -1960,6 +2044,25 @@ object SimQueries {
         |  dh_hi, dh_lo
         |FROM vfh""".stripMargin),
     "dd17_video_neardup" -> Dd17OracleSql,
+    // mm15 replays the sampled-frame GIF re-encode: the mm8 hash CTE
+    // (trims included) re-keyed by the sample ORDINAL
+    "mm15_gif_anim_frames" ->
+      (VideoFrameCte +
+      """SELECT id AS doc_id,
+        |  CAST(row_number() OVER (PARTITION BY id ORDER BY f) - 1
+        |    AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  dh_hi, dh_lo
+        |FROM vfh""".stripMargin),
+    // dd23: every re-encode verifies against its source at offset 0,
+    // Hamming 0, with every sampled slot aligned — n_aligned is the
+    // sampling plan's slot count, replayed from doc_id
+    "dd23_crosscontainer_video" ->
+      (VideoFrameCte +
+      """SELECT id AS id1, id + 20000000 AS id2,
+        |  CAST(nfr AS BIGINT) AS n_aligned, CAST(0 AS BIGINT) AS off,
+        |  CAST(0 AS BIGINT) AS max_ham
+        |FROM plan1""".stripMargin),
     // batch-wise == one-shot is the dd21 contract (the dd18 argument
     // at sequence grain): its oracle IS dd17's SQL
     "dd21_incremental_video" -> Dd17OracleSql,

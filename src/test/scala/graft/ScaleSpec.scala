@@ -452,7 +452,7 @@ class ScaleSpec extends SparkSuite {
     for (q <- Seq("mm6_image_phash", "mm7_audio_fingerprint",
         "mm8_video_frames", "mm9_gif_pixels", "mm10_flac_samples",
         "mm11_jpeg_pixels", "mm12_jpeg_color", "mm13_mp4_samples",
-        "mm14_pdf_text")) {
+        "mm14_pdf_text", "mm15_gif_anim_frames")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
       val ex = plan.collectWithSubqueries { case e: ShuffleExchangeExec => e }
       assert(ex.isEmpty, s"$q expected exchange-free plan, got:\n$plan")
@@ -463,7 +463,8 @@ class ScaleSpec extends SparkSuite {
     // the same property end to end
     for (q <- Seq("dd15_image_neardup", "dd16_audio_neardup",
         "dd17_video_neardup", "cur2_multimodal_curation",
-        "dd19_substring_spans", "dd20_crosscodec_neardup")) {
+        "dd19_substring_spans", "dd20_crosscodec_neardup",
+        "dd23_crosscontainer_video")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf)
         .queryExecution.sparkPlan
       val cart = plan.collectWithSubqueries {

@@ -678,6 +678,37 @@ class SimSpec extends SparkSuite {
     intercept[Exception](PdfText.extractText(cut))
   }
 
+  test("animated GIF: multi-frame round trip, ordinals, refusals") {
+    import graft.multimodal.{CompressedCodecs, MediaContent}
+    for (id <- Seq(0L, 5L, 13L, 17L)) { // incl. a trimmed twin (13)
+      val p = CompressedCodecs.gifAnimBytes(id)
+      val (w, h, frames) = CompressedCodecs.decodeGifFrames(p)
+      assert(w == MediaContent.vWidthOf(id) &&
+        h == MediaContent.vHeightOf(id))
+      val sampled = MediaContent.sampledFrames(
+        MediaContent.VUsPerFrame, MediaContent.vFramesOf(id))
+        .distinct.sorted
+      assert(frames.size == sampled.size, s"id=$id ${frames.size}")
+      val trim = MediaContent.vTrimOf(id)
+      for ((f, ord) <- sampled.zipWithIndex; y <- 0 until h;
+           x <- 0 until w) {
+        val (r, g, b) = MediaContent.vRgbAt(id, f + trim, x, y)
+        val luma = (299 * r + 587 * g + 114 * b) / 1000
+        assert(frames(ord)(y * w + x) ==
+          ((luma << 16) | (luma << 8) | luma), s"id=$id ord=$ord ($x,$y)")
+      }
+    }
+    // a partial-frame descriptor (composition) refuses loudly
+    val p = CompressedCodecs.gifAnimBytes(2L)
+    val bad = p.clone()
+    // first descriptor starts after header(13) + GCT(768) + GCE(8)
+    assert((bad(13 + 768 + 8) & 0xff) == 0x2c)
+    bad(13 + 768 + 8 + 1) = 1 // left = 1: no longer full-frame
+    val e = intercept[IllegalArgumentException](
+      CompressedCodecs.decodeGifFrames(bad))
+    assert(e.getMessage.contains("partial-frame"), e.getMessage)
+  }
+
   test("frameSampleIndices: even spacing, cap, and zero-duration guard") {
     val df = Seq((1L, 10000.0), (2L, 0.0)).toDF("id", "dur_ms")
     val got = df.select($"id",
