@@ -583,15 +583,39 @@ object CurationQueries {
       |       WHEN doc_id % 3 = 1 THEN 'example.com' ||
       |         CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
       |       ELSE 'Sub.Example.org:8080' END ||
-      |  '/p/' || CAST(doc_id % 40 AS VARCHAR) ||
+      |  '/p/' ||
+      |  CASE WHEN doc_id % 3 = 0 THEN '~v'
+      |       WHEN doc_id % 3 = 1 THEN '%7ev' ELSE '%7Ev' END ||
+      |  CAST(doc_id % 40 AS VARCHAR) ||
       |  '?utm_source=feed&b=' || CAST(doc_id % 5 AS VARCHAR) ||
       |  '&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR) ||
       |  '&a=' || CAST(doc_id % 4 AS VARCHAR) ||
+      |  '&c=' ||
+      |  CASE WHEN doc_id % 3 = 1 THEN '%2fq' ELSE '%2Fq' END ||
       |  CASE WHEN doc_id % 4 = 0
       |       THEN '&fbclid=x' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END ||
       |  CASE WHEN doc_id % 6 = 1
       |       THEN '#sec' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END"""
       .stripMargin
+
+  /** [[graft.text.UrlCanon.normalizePercent]] replayed in DuckDB SQL
+    * over a string expression `e`: split at '%', head passes through,
+    * each tail part decodes its leading hex pair when unreserved
+    * (RFC 3986 §6.2.2.2), uppercases it otherwise, and a malformed
+    * escape passes through with its '%' restored. */
+  private def percentNormSql(e: String): String = {
+    val code = "CAST((strpos('0123456789ABCDEF', upper(substr(p, 1, 1))) - 1)" +
+      " * 16 + (strpos('0123456789ABCDEF', upper(substr(p, 2, 1))) - 1)" +
+      " AS INTEGER)"
+    s"""(string_split($e, '%')[1] ||
+       |  array_to_string(list_transform(string_split($e, '%')[2:], p ->
+       |    CASE WHEN NOT regexp_matches(p, '^[0-9A-Fa-f]{2}')
+       |           THEN '%' || p
+       |         WHEN regexp_matches(chr($code), '^[A-Za-z0-9._~-]$$')
+       |           THEN chr($code) || substr(p, 3)
+       |         ELSE '%' || upper(substr(p, 1, 2)) || substr(p, 3)
+       |    END), ''))""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "t31_warc_extract" ->
@@ -659,14 +683,17 @@ object CurationQueries {
         |FROM ht JOIN hx USING (doc_id)""".stripMargin),
     "t30_url_canon" ->
       (s"""WITH u AS (SELECT doc_id, $RawUrlSql AS url
-        |  FROM documents),""".stripMargin + "\n" +
+        |  FROM documents),
+        |un AS (SELECT doc_id, url,
+        |  ${percentNormSql("url")} AS nu
+        |  FROM u),""".stripMargin + "\n" +
       """
         |c AS (SELECT doc_id, url,
-        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |  lower(regexp_extract(nu, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
         |    AS scheme,
-        |  lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS auth,
-        |  regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
-        |  regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS query FROM u),
+        |  lower(regexp_extract(nu, '^[^:/?#]+://([^/?#]*)', 1)) AS auth,
+        |  regexp_extract(nu, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
+        |  regexp_extract(nu, '^[^?#]*\?([^#]*)', 1) AS query FROM un),
         |c2 AS (SELECT doc_id, url, scheme, path,
         |  CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
         |       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')

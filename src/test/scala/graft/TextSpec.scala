@@ -187,7 +187,17 @@ class TextSpec extends SparkSuite {
       // :80 is NOT default for https
       "https://h.io:80/x" -> "https://h.io:80/x",
       // param whose NAME merely contains 'utm_' mid-string survives
-      "http://a.b/p?xutm_source=1" -> "http://a.b/p?xutm_source=1")
+      "http://a.b/p?xutm_source=1" -> "http://a.b/p?xutm_source=1",
+      // query anchors at the FIRST '?': a literal '?' inside the
+      // value must not shear the first pair away
+      "http://x.com/p?a=1?b=2" -> "http://x.com/p?a=1?b=2",
+      // RFC 3986 §6.2.2.2: unreserved octets decode (%7e → ~,
+      // %41 → A), reserved ones stay encoded but uppercase (%2a →
+      // %2A) — in path and query alike
+      "http://h.io/%7euser/%41b?x=%2a" -> "http://h.io/~user/Ab?x=%2A",
+      // '%' not followed by two hex digits passes through untouched
+      "http://h.io/100%valid" -> "http://h.io/100%valid",
+      "http://h.io/x%" -> "http://h.io/x%")
     val got = cases.map(_._1).toDF("url")
       .select($"url", UrlCanon.canonicalize($"url").as("canon"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
