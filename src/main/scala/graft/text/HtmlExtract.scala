@@ -33,14 +33,68 @@ import org.apache.spark.sql.functions._
   */
 object HtmlExtract {
 
-  /** Entity decode for the five named + one numeric entity the
-    * extractor guarantees (`&lt; &gt; &quot; &#39; &nbsp; &amp;`).
-    * `&amp;` decodes LAST so `&amp;lt;` yields the literal `&lt;`. */
-  def decodeEntities(c: Column): Column =
-    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(c) { case (acc, (ent, ch)) =>
-        regexp_replace(acc, ent, ch) }
+  /** The named entities the extractor decodes — HTML4's top tier by
+    * real-crawl frequency (WHATWG names beyond this table pass
+    * through literally; the full table is 2k+ names, almost all of
+    * them vanishingly rare). Order within the table is irrelevant:
+    * decode is one-entity-per-`&` (see [[decodeEntities]]), never a
+    * replace chain. */
+  private val NamedEntities: Seq[(String, String)] = Seq(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ",
+    "ndash" -> "–", "mdash" -> "—", "hellip" -> "…",
+    "lsquo" -> "‘", "rsquo" -> "’",
+    "ldquo" -> "“", "rdquo" -> "”",
+    "laquo" -> "«", "raquo" -> "»",
+    "copy" -> "©", "reg" -> "®", "trade" -> "™",
+    "deg" -> "°", "plusmn" -> "±", "times" -> "×",
+    "middot" -> "·", "sect" -> "§", "para" -> "¶",
+    "euro" -> "€", "pound" -> "£", "yen" -> "¥",
+    "cent" -> "¢",
+    "eacute" -> "é", "egrave" -> "è", "agrave" -> "à",
+    "ccedil" -> "ç", "ntilde" -> "ñ", "szlig" -> "ß",
+    "auml" -> "ä", "ouml" -> "ö", "uuml" -> "ü")
+
+  /** Entity decode: numeric `&#NNN;` / `&#xHHHH;` (any BMP code
+    * point — UTF-16BE bytes built from the code point, so `&#8212;`
+    * (—) and `&#xe9;` (é) decode exactly; lone surrogates and
+    * supplementary planes pass through literally) plus the
+    * [[NamedEntities]] table. Implemented as a split at `&` + one
+    * decode per part: each `&` consumes AT MOST ONE leading entity,
+    * so `&amp;lt;` yields the literal `&lt;` without a second pass —
+    * the double-decode a replace-chain must order around is
+    * structurally impossible. One string walk per row, zero UDFs. */
+  def decodeEntities(c: Column): Column = {
+    val parts = split(c, "&", -1)
+    val tail = slice(parts, lit(2), greatest(size(parts) - 1, lit(0)))
+    val fixed = transform(tail, p => {
+      // entity name/payload ends at the FIRST ';', and no supported
+      // form is longer than 7 chars before it — everything else is a
+      // bare '&' restored literally. The bound keeps the name
+      // substring tiny and skips the decode machinery on ordinary
+      // text; CaseWhen codegen evaluates only the taken branch, so
+      // the numeric regexes run solely on '#'-leading parts and the
+      // named lookup is ONE literal-map probe, not a comparison chain.
+      val sc = call_function("locate", lit(";"), p)
+      val rest = p.substr(sc + 1, length(p))
+      val dec = regexp_extract(p, "^#([0-9]{1,5});", 1)
+      val hx = regexp_extract(p, "^#[xX]([0-9a-fA-F]{1,4});", 1)
+      val code = when(dec =!= "", dec.cast("int"))
+        .when(hx =!= "", conv(hx, 16, 10).cast("int"))
+      val bmp = code.isNotNull && code >= 1 && code <= 65535 &&
+        !(code >= 55296 && code <= 57343) // lone surrogates stay literal
+      val numeric = when(bmp,
+        concat(decode(unhex(lpad(hex(code), 4, "0")), "UTF-16BE"), rest))
+      val named = element_at(typedlit(NamedEntities.toMap),
+        p.substr(lit(1), sc - 1))
+      coalesce(
+        when(sc >= 2 && sc <= 8,
+          when(p.startsWith("#"), numeric)
+            .otherwise(concat(named, rest))),
+        concat(lit("&"), p))
+    })
+    concat(element_at(parts, 1), array_join(fixed, ""))
+  }
 
   /** Tag-strip + entity-decode + whitespace-normalize one fragment. */
   private def cleanText(c: Column): Column =

@@ -173,6 +173,25 @@ class TextSpec extends SparkSuite {
     assert(!extracted.contains("must not leak") && !extracted.contains("spam"))
   }
 
+  test("entity decode: numeric + named table beyond the generator's") {
+    import graft.text.HtmlExtract
+    val cases = Seq(
+      // numeric decimal / hex, incl. BMP beyond latin-1
+      "caf&eacute; &#233; &#xe9;" -> "café é é",
+      "a&mdash;b &#8212; &#x2014;" -> "a—b — —",
+      "it&#x27;s &#39;quoted&#39;" -> "it's 'quoted'",
+      // one entity per '&': the double-decode bait stays literal
+      "&amp;lt; &amp;#39;" -> "&lt; &#39;",
+      // unknown name, lone surrogate, out-of-range, bare '&' pass through
+      "&zzz; &#xD800; &#999999; a&b &" -> "&zzz; &#xD800; &#999999; a&b &",
+      "&euro;9 &copy; &laquo;x&raquo;" -> "€9 © «x»")
+    val got = cases.map(_._1).toDF("s")
+      .select($"s", HtmlExtract.decodeEntities($"s").as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((raw, want) <- cases)
+      assert(got(raw) == want, s"<$raw> -> <${got(raw)}>, want <$want>")
+  }
+
   test("url canonicalization: general forms, not just the generator's") {
     import graft.text.UrlCanon
     val cases = Seq(
