@@ -27,11 +27,10 @@ object WarcExtract {
   private val RecStruct =
     "array<struct<rtype:string,uri:string,payload:string>>"
 
-  /** Parse up to `maxRecords` records of a WARC capsule into
-    * `array<struct<rtype, uri, payload>>` in capsule order. Malformed
-    * trailing bytes (no `WARC/` magic, missing header terminator)
-    * stop the walk — records parsed so far are kept. */
-  def records(warc: Column, maxRecords: Int = 8): Column = {
+  /** The bounded record fold, finished by `fin` over the final
+    * `(pos, recs)` state. */
+  private def foldRecords(warc: Column, maxRecords: Int,
+                          fin: Column => Column): Column = {
     val sep = lit("\r\n\r\n")
     aggregate(
       sequence(lit(1), lit(maxRecords)),
@@ -53,8 +52,37 @@ object WarcExtract {
           concat(st.getField("recs"), array(rec)).as("recs")))
           .otherwise(st)
       },
-      st => st.getField("recs"))
+      fin)
   }
+
+  /** Parse up to `maxRecords` records of a WARC capsule into
+    * `array<struct<rtype, uri, payload>>` in capsule order. Malformed
+    * trailing bytes (no `WARC/` magic, missing header terminator)
+    * stop the walk — records parsed so far are kept. Capsules that
+    * may EXCEED `maxRecords` should go through [[walk]], which
+    * reports the cap instead of silently dropping the tail. */
+  def records(warc: Column, maxRecords: Int = 8): Column =
+    foldRecords(warc, maxRecords, st => st.getField("recs"))
+
+  /** [[records]] with the truncation surfaced:
+    * `struct(recs, consumed_bytes, truncated)` — `consumed_bytes` is
+    * the prefix the walk accounted for, and `truncated` is true
+    * exactly when the slot budget ran out WITH another well-formed
+    * record (`WARC/` magic) waiting at the cursor. A malformed tail
+    * is NOT truncation (the walk stops there by design at any
+    * budget); un-walked clean records are silent data loss, which
+    * this flag makes loud. */
+  def walk(warc: Column, maxRecords: Int = 8): Column =
+    foldRecords(warc, maxRecords, st => {
+      val pos = st.getField("pos")
+      val recs = st.getField("recs")
+      struct(
+        recs.as("recs"),
+        (pos - 1).cast("long").as("consumed_bytes"),
+        (size(recs) === maxRecords && pos <= length(warc) &&
+          call_function("substring", warc, pos, lit(5)) === "WARC/")
+          .as("truncated"))
+    })
 
   /** First record of a given `WARC-Type` (null when absent). */
   def firstOfType(recs: Column, rtype: String): Column =

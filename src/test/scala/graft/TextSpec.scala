@@ -250,6 +250,37 @@ class TextSpec extends SparkSuite {
     assert(h.getInt(0) == 301 && h.getString(1) == "body\r\n\r\nmore")
   }
 
+  test("warc walk: slot exhaustion reports truncation, malformed tail does not") {
+    import graft.text.WarcExtract
+    def rec(i: Int) =
+      s"WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 4\r\n\r\np$i-x\r\n\r\n"
+    // 9 clean records against the default 8-slot budget: the 9th is
+    // un-walked CLEAN data — must be loud, not silent
+    val nine = (0 until 9).map(rec).mkString
+    // 2 records then garbage: the walk stops by design — no truncation
+    val garbaged = (0 until 2).map(rec).mkString + "no magic here"
+    val r = Seq((nine, 1), (garbaged, 2)).toDF("w", "k")
+      .select($"k", WarcExtract.walk($"w").as("s"), length($"w").as("len"))
+      .selectExpr("k", "size(s.recs) AS n", "s.consumed_bytes",
+        "s.truncated", "len")
+      .collect().map(x => x.getInt(0) ->
+        ((x.getInt(1), x.getLong(2), x.getBoolean(3), x.getInt(4)))).toMap
+    val (n1, c1, t1, l1) = r(1)
+    assert(n1 == 8 && t1, s"9-record capsule must truncate: ${r(1)}")
+    assert(c1 == l1 - rec(8).length.toLong,
+      s"consumed must stop before the 9th record: ${r(1)}")
+    val (n2, c2, t2, _) = r(2)
+    assert(n2 == 2 && !t2, s"malformed tail is not truncation: ${r(2)}")
+    assert(c2 == 2L * rec(0).length)
+    // a fully-walked capsule consumes every byte and is not truncated
+    val full = Seq(Tuple1((0 until 8).map(rec).mkString)).toDF("w")
+      .select(WarcExtract.walk($"w").as("s"), length($"w").as("len"))
+      .selectExpr("size(s.recs)", "s.consumed_bytes", "s.truncated", "len")
+      .first()
+    assert(full.getInt(0) == 8 && !full.getBoolean(2) &&
+      full.getLong(1) == full.getInt(3).toLong, s"full walk: $full")
+  }
+
   test("dup spans: gap wider than k splits islands; short docs no grams") {
     import graft.text.DupSpans
     // two shared 6-char regions separated by >k unique filler on each
