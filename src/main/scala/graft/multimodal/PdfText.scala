@@ -91,23 +91,63 @@ object PdfText {
 
   /** All `stream` payloads with their dicts, located by declared
     * /Length (content may contain `endstream`). Returns (dict,
-    * bytes) pairs in document order. */
+    * bytes) pairs in document order.
+    *
+    * Sequential DEPTH-TRACKED scan (round 15): the round-14
+    * `<<([^>]*)>>` matcher could not see past a nested dict
+    * (`/DecodeParms << … >>`) — it would close the match early and
+    * read a nested `/Length`, and it kept matching INSIDE stream
+    * payload bytes. The scanner walks `<<`/`>>` pairs to each dict's
+    * true end, reads `/Length` from the dict's TOP level only
+    * (nested regions masked out), and advances the cursor past each
+    * stream's declared payload before searching on. Scope boundary
+    * (documented, like the CMap refusal): `<<` inside a LITERAL
+    * STRING in a dict would miscount — machine-generated PDFs don't
+    * put dict delimiters in dict strings; a depth that never closes
+    * refuses loudly rather than misparsing. */
   private def streams(p: Array[Byte]): Seq[(String, Array[Byte])] = {
     val s = new String(p, "ISO-8859-1") // 1 byte per char: offsets align
     require(s.startsWith("%PDF-"), "not a PDF")
-    val re = java.util.regex.Pattern.compile(
-      "<<([^>]*)>>\\s*stream(\r?\n)")
-    val m = re.matcher(s)
     val out = Seq.newBuilder[(String, Array[Byte])]
-    while (m.find()) {
-      val dict = m.group(1)
-      val lm = java.util.regex.Pattern.compile("/Length\\s+(\\d+)")
-        .matcher(dict)
-      require(lm.find(), "PDF: stream without /Length")
-      val len = lm.group(1).toInt
-      val start = m.end()
-      require(start + len <= p.length, "PDF: /Length runs past EOF")
-      out += ((dict, java.util.Arrays.copyOfRange(p, start, start + len)))
+    var i = 0
+    while ({ i = s.indexOf("<<", i); i >= 0 }) {
+      // walk to the MATCHING '>>' (nested dicts tracked by depth)
+      var j = i + 2
+      var depth = 1
+      while (depth > 0 && j < s.length) {
+        if (s.startsWith("<<", j)) { depth += 1; j += 2 }
+        else if (s.startsWith(">>", j)) { depth -= 1; j += 2 }
+        else j += 1
+      }
+      require(depth == 0, s"PDF: dict at offset $i never closes")
+      val dict = s.substring(i + 2, j - 2)
+      // 'stream' directly after the dict (optional whitespace, then
+      // the spec's CRLF or LF)?
+      var k = j
+      while (k < s.length && " \t\r\n".indexOf(s.charAt(k)) >= 0) k += 1
+      if (s.startsWith("stream", k)) {
+        var start = k + 6
+        if (start < s.length && s.charAt(start) == '\r') start += 1
+        require(start < s.length && s.charAt(start) == '\n',
+          "PDF: stream keyword not followed by a newline")
+        start += 1
+        // /Length from the dict's top level only: mask nested dicts
+        val top = new StringBuilder
+        var d = 0
+        var t = 0
+        while (t < dict.length) {
+          if (dict.startsWith("<<", t)) { d += 1; top.append("  "); t += 2 }
+          else if (dict.startsWith(">>", t)) { d -= 1; top.append("  "); t += 2 }
+          else { top.append(if (d == 0) dict.charAt(t) else ' '); t += 1 }
+        }
+        val lm = java.util.regex.Pattern.compile("/Length\\s+(\\d+)")
+          .matcher(top.toString)
+        require(lm.find(), "PDF: stream without a top-level /Length")
+        val len = lm.group(1).toInt
+        require(start + len <= p.length, "PDF: /Length runs past EOF")
+        out += ((dict, java.util.Arrays.copyOfRange(p, start, start + len)))
+        i = start + len // never match inside payload bytes
+      } else i = j
     }
     out.result()
   }

@@ -678,6 +678,39 @@ class SimSpec extends SparkSuite {
     intercept[Exception](PdfText.extractText(cut))
   }
 
+  test("PdfText: nested dicts and dict-bait payloads parse correctly") {
+    import graft.multimodal.PdfText
+    // a NESTED dict before the stream keyword (round 14's [^>]* regex
+    // closed at its first '>' and read the WRONG /Length), a nested
+    // /Length that must NOT win, and payload bytes containing a full
+    // '<< /Length 1 >> stream' bait the scanner must never match inside
+    val content = "BT /F1 10 Tf 10 700 Td\n(real text here) Tj\nET\n" +
+      "% bait: << /Length 1 >> stream\nZ\nendstream"
+    val data = content.getBytes("ISO-8859-1")
+    val pdf = new java.io.ByteArrayOutputStream
+    def put(x: String): Unit = pdf.write(x.getBytes("ISO-8859-1"))
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n")
+    put(s"4 0 obj << /DecodeParms << /Predictor 1 /Length 99999 >> " +
+      s"/Length ${data.length} >> stream\n")
+    pdf.write(data, 0, data.length)
+    put("\nendstream endobj\ntrailer << /Size 5 >>\n%%EOF\n")
+    val (filter, n, text) = PdfText.extractText(pdf.toByteArray)
+    assert(filter == "raw" && n == 1, s"($filter, $n)")
+    assert(text == "real text here", s"<$text>")
+    // a stream dict whose ONLY /Length is inside a nested dict refuses
+    val noLen = new java.io.ByteArrayOutputStream
+    def put2(x: String): Unit = noLen.write(x.getBytes("ISO-8859-1"))
+    put2("%PDF-1.4\n4 0 obj << /DP << /Length 4 >> >> stream\nabcd\n" +
+      "endstream\n%%EOF\n")
+    val e = intercept[IllegalArgumentException](
+      PdfText.extractText(noLen.toByteArray))
+    assert(e.getMessage.contains("top-level /Length"), e.getMessage)
+    // an unterminated dict refuses instead of scanning forever
+    val open = "%PDF-1.4\n4 0 obj << /A << /B 1 >> stream\n".getBytes("ISO-8859-1")
+    val e2 = intercept[IllegalArgumentException](PdfText.extractText(open))
+    assert(e2.getMessage.contains("never closes"), e2.getMessage)
+  }
+
   test("animated GIF: multi-frame round trip, ordinals, refusals") {
     import graft.multimodal.{CompressedCodecs, MediaContent}
     for (id <- Seq(0L, 5L, 13L, 17L)) { // incl. a trimmed twin (13)
