@@ -589,6 +589,16 @@ object DocQueries {
         col("span_tokens") >= 40).select("id1").distinct().count()
       require(found == planted,
         s"dd22: recovered $found of $planted planted cross-batch spans")
+      // the batch-wise == one-shot (dd19) equality claim holds ONLY
+      // when no anchor's accumulated df crosses the cap mid-ingest —
+      // true on this corpus so far, but nothing structural guarantees
+      // it at other scale factors: gate the claim, fail at the cause
+      val crossings = SpanIndex.capCrossings(s, dir, maxDf = 16).count()
+      require(crossings == 0,
+        s"dd22: $crossings anchor-batch df-cap crossings — batch-wise " +
+          "output is not comparable to the one-shot dd19 oracle on " +
+          "this corpus; the monotone cap semantics stand but the " +
+          "equality gate does not")
       spans
     })
   )

@@ -29,19 +29,25 @@ import org.apache.spark.sql.functions._
   * while spans already reported stand — the only sound choice for an
   * append-only pipeline (reports are immutable downstream). Batch-
   * wise output equals the one-shot [[SubstringSpans]] pass whenever
-  * no anchor crosses the cap mid-ingest (IndexSpec pins the equality
-  * on the dd19 corpus; the cap-crossing monotonicity is pinned
-  * separately).
+  * no anchor crosses the cap mid-ingest — a checkable condition:
+  * [[capCrossings]] lists the crossing anchors, dd22 gates its
+  * equality claim on the list being empty, and IndexSpec pins both
+  * the equality on the dd19 corpus and the cap-crossing
+  * monotonicity separately.
   *
   * adf writes BEFORE anchors (the DedupIndex torn-batch direction:
   * anchors are the probe entry point, so a torn batch must leave an
-  * adf-orphan — inert — never an anchors-orphan whose df
-  * undercounts would silently disable the cap). Compaction rides
+  * adf-orphan rather than an anchors-orphan whose df undercounts
+  * would silently disable the cap). The adf-orphan is made inert by
+  * construction: [[storedView]] excludes adf partitions lacking an
+  * anchors twin from the accumulated-df view, so a torn batch
+  * neither suppresses other batches' anchors nor requires its retry
+  * to run before further ingests. Compaction rides
   * [[DedupIndex.compact]]'s marker protocol via [[compact]].
   */
 object SpanIndex {
 
-  private def tableNames(indexDir: String): (String, String) = {
+  private[graft] def tableNames(indexDir: String): (String, String) = {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(indexDir.getBytes("UTF-8")).map("%02x".format(_))
       .mkString.take(12)
@@ -168,7 +174,15 @@ object SpanIndex {
 
   /** (anchors, adf) as committed — minus `excludeBatch` — or None
     * before the first batch; torn guard: every anchors partition
-    * must have its adf twin (df undercount = silent cap loss). */
+    * must have its adf twin (df undercount = silent cap loss).
+    *
+    * The OPPOSITE orphan — an adf partition whose anchors twin never
+    * landed (crash between the adf and anchors writes) — is excluded
+    * from the adf view (round 15): its docs contributed no probe-able
+    * anchors, so counting it into the accumulated df would inflate
+    * totals and silently drop anchors (missed spans) for every batch
+    * ingested before the torn batch is retried. With the exclusion
+    * the orphan is inert whether or not the retry ever happens. */
   private[graft] def storedView(spark: SparkSession, indexDir: String,
                                 excludeBatch: Int)
     : Option[(DataFrame, DataFrame)] = {
@@ -176,17 +190,51 @@ object SpanIndex {
     DedupIndex.recoverPair(spark, indexDir, pair(indexDir))
     if (!spark.catalog.tableExists(anchorsT)) None
     else {
-      val torn = DedupIndex.fsBatches(spark, s"$indexDir/anchors") --
-        DedupIndex.fsBatches(spark, s"$indexDir/adf")
+      val anchorsB = DedupIndex.fsBatches(spark, s"$indexDir/anchors")
+      val adfB = DedupIndex.fsBatches(spark, s"$indexDir/adf")
+      val torn = anchorsB -- adfB
       require(torn.isEmpty,
         s"span index $indexDir is torn: anchors partitions " +
           s"${torn.mkString(",")} have no adf twin — delete the orphan " +
           "anchors partitions or re-ingest those batch ids")
+      val adfOrphans = (adfB -- anchorsB) - excludeBatch
+      val adfView = spark.table(adfT).filter(col("batch") =!= excludeBatch)
       Some((
         spark.table(anchorsT).filter(col("batch") =!= excludeBatch)
           .drop("batch").select("doc_id", "pos", "h"),
-        spark.table(adfT).filter(col("batch") =!= excludeBatch)
+        (if (adfOrphans.isEmpty) adfView
+         else adfView.filter(!col("batch").isInCollection(adfOrphans)))
           .drop("batch").select("h", "df")))
     }
+  }
+
+  /** Anchors whose accumulated df CROSSES `maxDf` mid-ingest on this
+    * index — the exact condition under which batch-wise output can
+    * diverge from the one-shot [[SubstringSpans]] pass: an anchor
+    * that probed under the cap in an early batch but whose final df
+    * exceeds it generates spans the one-shot pass suppresses.
+    * Divergence-free iff this is empty: for every anchor, either the
+    * final df is within the cap, or every batch the anchor appeared
+    * in already saw the accumulated df over the cap. dd22's equality
+    * claim is gated on this (driver-side count over the small adf
+    * table — per-batch DISTINCT anchors, not positions). */
+  def capCrossings(spark: SparkSession, indexDir: String,
+                   maxDf: Int): DataFrame = {
+    val (_, adfT) = tableNames(indexDir)
+    // same orphan exclusion as storedView: a torn batch's adf never
+    // fed any probe's accumulated df, so it must not fake a crossing
+    val orphans = DedupIndex.fsBatches(spark, s"$indexDir/adf") --
+      DedupIndex.fsBatches(spark, s"$indexDir/anchors")
+    val adf = spark.table(adfT)
+    val live = if (orphans.isEmpty) adf
+      else adf.filter(!col("batch").isInCollection(orphans))
+    val w = Window.partitionBy("h").orderBy("batch")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("h")
+    live
+      .withColumn("cum", sum(col("df")).over(w))
+      .withColumn("total", sum(col("df")).over(wAll))
+      .filter(col("total") > maxDf && col("cum") <= maxDf)
+      .select(col("h"), col("batch"), col("cum"), col("total"))
   }
 }

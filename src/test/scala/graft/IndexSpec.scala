@@ -310,6 +310,49 @@ class IndexSpec extends SparkSuite {
     assert(got == ctl, "compacted span-index probe must match uncompacted")
   }
 
+  test("SpanIndex: torn adf orphan is inert; capCrossings gates equality") {
+    import graft.text.{DedupIndex, SpanIndex}
+    import org.apache.spark.sql.functions.{col, lit, split}
+    def toks(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val shared = (0 until 24).map(i => s"s$i").mkString(" ")
+    def filler(i: Long) =
+      (0 until 10).map(j => s"u${i}_$j").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("span_orph_").toString
+    // batch 0: docs 1 and 2 share the 24-token span (df = 2)
+    SpanIndex.ingestBatch(
+      toks(Seq((1L, shared + " " + filler(1)), (2L, filler(2) + " " + shared))),
+      "doc_id", "w", dir, 0)
+    // simulate a TORN batch 1: adf landed (df 20 on every shared
+    // anchor — enough to blow the 16 cap), anchors write crashed
+    val (anchorsT, adfT) = SpanIndex.tableNames(dir)
+    val orphanAdf = spark.table(anchorsT).select(col("h")).distinct()
+      .select(col("h"), lit(20L).as("df"))
+    DedupIndex.writeIndexed(spark, orphanAdf, adfT, s"$dir/adf",
+      Seq("h"), 4, 1)
+    assert(DedupIndex.fsBatches(spark, s"$dir/adf") == Set(0, 1))
+    // batch 2 probes the span: with the orphan counted the
+    // accumulated df would read 2+20+1 = 23 > 16 and every shared
+    // anchor would silently drop; excluded, df = 3 and both
+    // cross-batch pairs come back
+    val out = SpanIndex.ingestBatch(
+      toks(Seq((103L, shared + " " + filler(103)))), "doc_id", "w", dir, 2)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((1L, 103L), (2L, 103L)),
+      s"adf orphan suppressed live anchors: ${out.mkString(",")}")
+    // no crossing yet: live totals are 3 <= 16 (the orphan's 20 is
+    // excluded from the crossing check too)
+    assert(SpanIndex.capCrossings(spark, dir, 16).count() == 0)
+    // a real later batch pushes the accumulated df over the cap: the
+    // anchors probed under the cap in batches 0/2 now flag a crossing
+    SpanIndex.ingestBatch(
+      toks((11L to 30L).map(i => (i, shared + " " + filler(i)))),
+      "doc_id", "w", dir, 3)
+    assert(SpanIndex.capCrossings(spark, dir, 16).count() > 0,
+      "mid-ingest cap crossing must be detectable")
+  }
+
   test("ingest verify joins: shuffle-join regime == broadcast regime") {
     // round 14 removed the forced broadcast() hints on the batch side
     // of the verify lookups (a production batch is a day of crawl —
