@@ -600,6 +600,41 @@ object DocQueries {
           "this corpus; the monotone cap semantics stand but the " +
           "equality gate does not")
       spans
+    }),
+
+    // Incremental dedup CLUSTERING (round 15) — the survivors step
+    // past the pair-grain index family: a maintained cluster-id table
+    // ([[graft.text.ClusterIndex]]) folds each batch's verified pairs
+    // into the accumulated components via distributed union-find over
+    // AFFECTED components only (contract pairs to canonical-level
+    // edges, min-label CC on that O(batch) graph, relabel losing
+    // components' members) — the pair history is never rescanned and
+    // the min-id keeper is stable across ingests. The pair feed is
+    // dd6's (the memoized verified MinHash graph), split into three
+    // batches on (a+b)%3 so components MERGE across batches; the
+    // final assignment must equal the one-shot dd6 pass exactly (set
+    // union is associative — no cap/threshold caveat), so the oracle
+    // IS dd6's recursive-CTE SQL.
+    "dd24_incremental_clusters" -> ((s, d) => {
+      import graft.text.ClusterIndex
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_dd24_idx_").toString
+      graft.util.CacheScope.onRelease(() => ClusterIndex.dropIndex(s, dir))
+      val pairs = verifiedPairs(s, d)
+        .select(col("a"), col("b"), pmod(col("a") + col("b"), lit(3)).as("bb"))
+      (0 until 3).foreach { i =>
+        val r = ClusterIndex.ingestBatch(
+          pairs.filter(col("bb") === i).select("a", "b"), dir, i)
+        // the per-batch view goes unread here — free its checkpoint
+        // blocks so repeated bench passes don't accrete dead storage
+        r.queryExecution.analyzed.collectLeaves().foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false); ()
+          case _ => ()
+        }
+      }
+      ClusterIndex.currentAssignments(s, dir,
+        dedupCorpus(s, d).select(col("doc_id").as("id")))
     })
   )
 
@@ -989,6 +1024,10 @@ object DocQueries {
     "dd6_dedup_clusters" -> ccOracle,
     // star contraction computes the same components; identical oracle
     "dd8_cc_star" -> ccOracle,
+    // batch-wise == one-shot is the dd24 contract (the dd22 move at
+    // cluster grain, with no cap caveat — union is associative): its
+    // oracle IS dd6's recursive-CTE SQL
+    "dd24_incremental_clusters" -> ccOracle,
 
     // batch-wise == one-shot is the dd22 contract (the dd9/dd18 move
     // at token-span grain): its oracle IS dd19's SQL

@@ -280,14 +280,17 @@ object DedupIndex {
     * bucketed files must be written THROUGH the table (bucket ids
     * ride the file names). Only `srcs` fold — a torn ingest's
     * data-orphan partition must stay where a batch retry will
-    * overwrite it, never merge into a generation. */
+    * overwrite it, never merge into a generation. `reduce` sees the
+    * folding rows WITH their `batch` column (identity by default) —
+    * [[ClusterIndex]] uses it to prune superseded assignment rows,
+    * whose supersession order lives in `batch`. */
   private[graft] def stageAndWrite(spark: SparkSession, indexDir: String,
                             table: String, sub: String, keys: Seq[String],
-                            buckets: Int, target: Int,
-                            srcs: Set[Int]): Unit = {
+                            buckets: Int, target: Int, srcs: Set[Int],
+                            reduce: DataFrame => DataFrame = identity): Unit = {
     val tmp = s"$indexDir/_compact_tmp_$sub"
     val cols = spark.table(table).columns.filter(_ != "batch").toSeq
-    spark.table(table).filter(col("batch").isInCollection(srcs))
+    reduce(spark.table(table).filter(col("batch").isInCollection(srcs)))
       .select(cols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
     writeIndexed(spark, spark.read.parquet(tmp).select(cols.map(col): _*),
@@ -296,7 +299,9 @@ object DedupIndex {
   }
 
   private[graft] def compactPair(spark: SparkSession, indexDir: String,
-                                 ps: PairSpec, buckets: Int): Boolean = {
+                                 ps: PairSpec, buckets: Int,
+                                 reduce: DataFrame => DataFrame = identity)
+    : Boolean = {
     recoverPair(spark, indexDir, ps)
     if (!spark.catalog.tableExists(ps.probeTable)) return false
     // COMPLETE batches only (probe ⊆ data by the torn invariant): a
@@ -311,9 +316,9 @@ object DedupIndex {
     // data table first, probe second (ingest's write order); a crash
     // anywhere in here rolls BACK via the staged marker
     stageAndWrite(spark, indexDir, ps.dataTable, ps.dataSub, ps.dataKeys,
-      buckets, target, srcs)
+      buckets, target, srcs, reduce)
     stageAndWrite(spark, indexDir, ps.probeTable, ps.probeSub, ps.probeKeys,
-      buckets, target, srcs)
+      buckets, target, srcs, reduce)
     graft.util.AtomicText.writeAtomically(marker,
       s"state\tcommitted\ntarget\t$target\n" +
         s"sources\t${srcs.toSeq.sorted.mkString(",")}\n")

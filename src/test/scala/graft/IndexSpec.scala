@@ -353,6 +353,77 @@ class IndexSpec extends SparkSuite {
       "mid-ingest cap crossing must be detectable")
   }
 
+  test("ClusterIndex: cross-batch merges, stable keeper, retry, compact") {
+    import graft.text.ClusterIndex
+    import org.apache.spark.sql.functions.col
+    def pairsDf(ps: (Long, Long)*) = ps.toDF("a", "b")
+    def assignments(dir: String, upTo: Long): Map[Long, Long] =
+      ClusterIndex.currentAssignments(spark, dir,
+        spark.range(1, upTo + 1).select(col("id")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("clidx_").toString
+    // batch 0: {1,2} and {5,6} — two components, min-id keepers
+    val o0 = ClusterIndex.ingestBatch(pairsDf((2L, 1L), (5L, 6L)), dir, 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(o0 == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L), s"$o0")
+    // batch 1: 6–7 extends {5,6} (keeper 5 STABLE — no smaller id
+    // arrived), 8–9 makes a new component
+    val o1 = ClusterIndex.ingestBatch(pairsDf((6L, 7L), (8L, 9L)), dir, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(o1 == Map(6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 8L), s"$o1")
+    // batch 2: 2–9 BRIDGES {1,2} and {8,9} (keeper = global min 1,
+    // relabeling only the losing component's members); 3–5 pulls the
+    // {5,6,7} component under keeper 3... no — 3 < 5, the STORED
+    // component loses and every member relabels
+    val o2 = ClusterIndex.ingestBatch(pairsDf((2L, 9L), (3L, 5L)), dir, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(o2 == Map(2L -> 1L, 9L -> 1L, 3L -> 3L, 5L -> 3L), s"$o2")
+    val want = Map(1L -> 1L, 2L -> 1L, 8L -> 1L, 9L -> 1L,
+      3L -> 3L, 5L -> 3L, 6L -> 3L, 7L -> 3L, 4L -> 4L, 10L -> 10L)
+    assert(assignments(dir, 10L) == want)
+    // batch-wise == one-shot over the concatenated feed
+    val oneShot = graft.text.DedupClusters.connectedComponents(
+        spark.range(1, 11).select(col("id")),
+        pairsDf((2L, 1L), (5L, 6L), (6L, 7L), (8L, 9L), (2L, 9L), (3L, 5L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assignments(dir, 10L) == oneShot)
+    // idempotent retry: re-ingesting batch 2 changes nothing
+    val retry = ClusterIndex.ingestBatch(pairsDf((2L, 9L), (3L, 5L)), dir, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(retry == o2, s"$retry")
+    assert(assignments(dir, 10L) == want)
+    // compact folds to one generation, prunes superseded rows, and
+    // reads back identically
+    assert(ClusterIndex.compact(spark, dir))
+    assert(graft.text.DedupIndex.fsBatches(spark, s"$dir/assign") == Set(-1))
+    assert(assignments(dir, 10L) == want)
+    val (assignT, _) = ClusterIndex.tableNames(dir)
+    val perId = spark.table(assignT).groupBy("id").count()
+      .filter(col("count") > 1).count()
+    assert(perId == 0, "compaction must prune superseded assignment rows")
+    // a batch after compaction still merges against the generation
+    val o3 = ClusterIndex.ingestBatch(pairsDf((4L, 7L)), dir, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(o3 == Map(4L -> 3L, 7L -> 3L), s"$o3")
+    // torn batch: members landed, assign crashed — invisible to reads
+    // and to the next ingest until the retry lands both
+    val dir2 = java.nio.file.Files.createTempDirectory("clidx2_").toString
+    ClusterIndex.ingestBatch(pairsDf((1L, 2L)), dir2, 0)
+    val (_, membersT2) = ClusterIndex.tableNames(dir2)
+    graft.text.DedupIndex.writeIndexed(spark,
+      Seq((7L, 3L)).toDF("id", "cid"), membersT2, s"$dir2/members",
+      Seq("cid"), 4, 1)
+    assert(assignments(dir2, 7L) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 6L,
+        7L -> 7L), "torn members orphan must be invisible")
+    val o2b = ClusterIndex.ingestBatch(pairsDf((3L, 7L)), dir2, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(o2b == Map(3L -> 3L, 7L -> 3L),
+      s"orphan members row polluted a later merge: $o2b")
+    ClusterIndex.dropIndex(spark, dir)
+    ClusterIndex.dropIndex(spark, dir2)
+  }
+
   test("ingest verify joins: shuffle-join regime == broadcast regime") {
     // round 14 removed the forced broadcast() hints on the batch side
     // of the verify lookups (a production batch is a day of crawl —

@@ -1840,6 +1840,61 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("cluster-index probes: stored assign/members tables never shuffle") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // dd24's O(batch) contract: the id → canonical lookup (assign,
+    // bucketed on id) and the loser-membership lookup (members,
+    // bucketed on cid) stream into their joins without a stored-side
+    // exchange — only the batch's touched-id / loser-cid side moves
+    val tmp = java.nio.file.Files.createTempDirectory("clidx_plan_").toString
+    val pairs = spark.range(0, 400)
+      .select($"id".as("a"), ($"id" + 1000L).as("b"))
+    graft.text.ClusterIndex.ingestBatch(pairs, tmp, 0)
+    val (assign, members) = graft.text.ClusterIndex
+      .storedView(spark, tmp, excludeBatch = 99).get
+    val touched = spark.range(0, 50).select($"id")
+    val losers = spark.range(0, 20).select($"id".as("cid"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((name, joined) <- Seq(
+        "assign" -> touched.join(assign, Seq("id"), "left_semi"),
+        "members" -> losers.join(members, Seq("cid")))) {
+        val plan = joined.queryExecution.executedPlan
+        val storedShuffles = plan.collectWithSubqueries {
+          case e: ShuffleExchangeExec if e.exists {
+            case f: FileSourceScanExec =>
+              f.relation.location.rootPaths.exists(_.toString.contains(tmp))
+            case _ => false
+          } => e
+        }
+        assert(storedShuffles.isEmpty,
+          s"$name: stored index side is shuffled — bucketing lost:\n$plan")
+      }
+      // the latest-row window over the id-bucketed assign scan also
+      // needs no exchange: the bucket distribution satisfies it
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy($"batch".desc)
+      val latest = assign.join(touched, Seq("id"), "left_semi")
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter($"rn" === 1)
+      val wplan = latest.queryExecution.executedPlan
+      val wshuffles = wplan.collectWithSubqueries {
+        case e: ShuffleExchangeExec if e.exists {
+          case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.exists(_.toString.contains(tmp))
+          case _ => false
+        } => e
+      }
+      assert(wshuffles.isEmpty,
+        s"latest-row window re-shuffled the bucketed assign scan:\n$wplan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      graft.text.ClusterIndex.dropIndex(spark, tmp)
+    }
+  }
+
   test("phash-index probe join has no Exchange on the stored side") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // same contract as the MinHash dedup index: per-batch probe cost
