@@ -318,6 +318,52 @@ object CurationQueries {
         ex.getField("extracted").as("extracted"))
     }),
 
+    // WARC FILE ingestion (round 15) — the actual on-disk entry point
+    // of a crawl pipeline, one level below t31's capsule-per-row
+    // grain: the corpus is written out as REAL `.warc.gz` files (one
+    // gzip member per record, range-partitioned, the Common Crawl
+    // layout), read back through the `graft-warc` DSv2 source (file
+    // split grain, streaming member-wise inflate with CRC32/ISIZE
+    // verification, rtype pushdown + column pruning), records
+    // re-grouped per document, and the response body fed through the
+    // t29 extractor — file bytes → gzip members → WARC records →
+    // HTTP → HTML → text, end to end against a blind oracle. The
+    // writer and reader share NOTHING but the bytes: a pass
+    // certifies both directions of the gzip framing and the
+    // record-per-member walk.
+    "t32_warc_gz" -> ((s, d) => {
+      import graft.text.{HtmlExtract, WarcExtract}
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_t32_warc_").toString
+      graft.util.CacheScope.onRelease { () =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        ()
+      }
+      graft.sources.WarcGz.writeCorpus(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", dir, nFiles = 8)
+      val recs = s.read.format("graft-warc").load(dir)
+      val perDoc = recs
+        .select(regexp_extract(col("rec_id"), "urn:graft:([0-9]+)", 1)
+          .cast("long").as("doc_id"),
+          col("rtype"), col("uri"), col("payload"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_records"),
+          array_join(array_sort(collect_list(col("rtype"))), ",")
+            .as("rec_types"),
+          max(when(col("rtype") === "response", col("uri")))
+            .as("target_uri"),
+          max(when(col("rtype") === "response", col("payload"))).as("resp"))
+      val ex = HtmlExtract.extract(WarcExtract.httpBody(col("resp")))
+      perDoc.select(col("doc_id"), col("n_records"), col("rec_types"),
+        col("target_uri"),
+        WarcExtract.httpStatus(col("resp")).as("http_status"),
+        ex.getField("n_kept").as("n_kept"),
+        ex.getField("extracted").as("extracted"))
+    }),
+
     // Deterministic stratified sample + train/val/test split
     // (~80/10/10 by hash bucket; 10% systematic sample flag).
     // The operators COMPOSED — one pass of the curation flow a
@@ -623,6 +669,20 @@ object CurationQueries {
         |""".stripMargin + HtmlExtractCte +
       s"""
         |SELECT ht.doc_id, CAST(3 AS BIGINT) AS n_records,
+        |  $RawUrlSql AS target_uri,
+        |  CAST(200 AS INT) AS http_status,
+        |  hx.n_kept, hx.extracted
+        |FROM ht JOIN hx USING (doc_id)""".stripMargin),
+    // t32 replays the gzip-file round trip blind: record count and
+    // type multiset are structural (3 per doc, sorted), URI/status/
+    // extraction replay exactly as t31 — a hash match certifies the
+    // writer's member framing AND the reader's inflate + record walk
+    "t32_warc_gz" ->
+      ("""WITH corpus AS (SELECT doc_id, text FROM documents),
+        |""".stripMargin + HtmlExtractCte +
+      s"""
+        |SELECT ht.doc_id, CAST(3 AS BIGINT) AS n_records,
+        |  'request,response,warcinfo' AS rec_types,
         |  $RawUrlSql AS target_uri,
         |  CAST(200 AS INT) AS http_status,
         |  hx.n_kept, hx.extracted

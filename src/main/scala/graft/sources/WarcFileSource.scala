@@ -1,0 +1,376 @@
+package graft.sources
+
+import java.util
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-warc` — a DSv2 reader for the file format web crawls
+  * actually ship: `.warc.gz`, a concatenation of gzip MEMBERS with
+  * one WARC record each (ISO 28500 §annex; the member-per-record
+  * layout is what lets a reader skip records without inflating the
+  * whole file). This is the entry-point I/O the t31 capsule-per-row
+  * grain left open (ref has no WARC surface at all): a crawl corpus
+  * arrives as millions of ~1 GB `.warc.gz` files, and the first
+  * pipeline stage must split them into record rows.
+  *
+  * Split grain: one InputPartition per FILE — gzip members are not
+  * seekable without an external index, so the file is the natural
+  * task unit (Common Crawl sizes files to ~1 GB for exactly this
+  * reason). Within a task the members stream: the reader holds ONE
+  * inflated record at a time, never the file.
+  *
+  * Pushdown: column pruning reaches the reader (an un-projected
+  * `payload` is never materialized into a row — the bytes still
+  * inflate, because a member's extent is only knowable by inflating
+  * it, but the per-record string allocation is skipped) and `rtype`
+  * equality/IN filters skip non-matching records before row
+  * construction (a `WHERE rtype = 'response'` over a real crawl
+  * drops ⅔ of all rows at the scan). Both are visible in
+  * `.explain` (`ReadSchema`/`PushedFilters`); Spark re-applies the
+  * filters post-scan, so acceptance is purely an optimization.
+  *
+  * Gzip framing is decoded dependency-free per RFC 1952 (the
+  * Inflater/PNG-IDAT precedent): fixed header, FEXTRA/FNAME/
+  * FCOMMENT/FHCRC optional fields, raw-deflate body, CRC32 + ISIZE
+  * trailer — both verified, loudly.
+  */
+object WarcFile {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("rec_ix", LongType, nullable = false),
+    StructField("rtype", StringType, nullable = true),
+    StructField("rec_id", StringType, nullable = true),
+    StructField("uri", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = false),
+    StructField("payload", StringType, nullable = true)))
+
+  /** One parsed WARC record (headers + the Content-Length payload). */
+  final case class Rec(rtype: String, recId: String, uri: String,
+                       payload: Array[Byte])
+
+  /** Parse the WARC records of one decompressed member by
+    * Content-Length accounting (payloads legally contain the record
+    * terminator — the JVM twin of [[graft.text.WarcExtract]]'s
+    * Column fold). Conforming `.warc.gz` files carry ONE record per
+    * member; a multi-record member still walks. Trailing bytes that
+    * are not a record refuse loudly — inside a gzip member there is
+    * no innocent garbage. */
+  def parseRecords(m: Array[Byte]): Seq[Rec] = {
+    val s = new String(m, "ISO-8859-1")
+    val out = Seq.newBuilder[Rec]
+    var pos = 0
+    while (pos < s.length) {
+      require(s.startsWith("WARC/", pos),
+        s"WARC member: no record magic at offset $pos")
+      val hEnd = s.indexOf("\r\n\r\n", pos)
+      require(hEnd > 0, "WARC member: header never terminates")
+      val hdr = s.substring(pos, hEnd)
+      def h(name: String): String = {
+        val at = hdr.indexOf(s"\r\n$name: ")
+        if (at < 0) null
+        else {
+          val from = at + name.length + 4
+          val to = hdr.indexOf("\r\n", from)
+          hdr.substring(from, if (to < 0) hdr.length else to)
+        }
+      }
+      val clen = h("Content-Length")
+      require(clen != null, "WARC member: record without Content-Length")
+      val len = clen.trim.toInt
+      val start = hEnd + 4
+      require(start + len + 4 <= s.length,
+        s"WARC member: Content-Length $len runs past the member end")
+      require(s.startsWith("\r\n\r\n", start + len),
+        "WARC member: payload not followed by the record terminator")
+      out += Rec(h("WARC-Type"), h("WARC-Record-ID"), h("WARC-Target-URI"),
+        java.util.Arrays.copyOfRange(m, start, start + len))
+      pos = start + len + 4
+    }
+    out.result()
+  }
+
+  // --------------------------------------------------- gzip member framing
+
+  /** Encode one gzip member (RFC 1952): fixed header (no optional
+    * fields, MTIME 0, OS 255 = unknown), raw-deflate body, CRC32 +
+    * ISIZE little-endian. */
+  def gzipMember(payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(payload.length / 2 + 64)
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0,
+      0xff.toByte), 0, 10)
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(payload); d.finish()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val crc = new java.util.zip.CRC32
+    crc.update(payload)
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    le32(crc.getValue)
+    le32(payload.length.toLong & 0xffffffffL)
+    out.toByteArray
+  }
+
+  /** Streaming member-wise decoder over an InputStream: yields each
+    * member's decompressed bytes, verifying CRC32 and ISIZE, holding
+    * one member at a time. Concatenated members (the `.warc.gz`
+    * layout) walk until EOF; a torn trailer or failed checksum
+    * refuses loudly. */
+  final class GzipMemberIterator(in: java.io.InputStream)
+    extends Iterator[Array[Byte]] {
+    private val buf = new Array[Byte](1 << 16)
+    private var bufPos = 0
+    private var bufLen = 0
+    private var eof = false
+
+    private def fill(): Unit =
+      if (!eof && bufPos == bufLen) {
+        val n = in.read(buf)
+        if (n < 0) eof = true else { bufPos = 0; bufLen = n }
+      }
+
+    private def u8(): Int = {
+      fill()
+      require(!eof, "gzip: truncated member")
+      val b = buf(bufPos) & 0xff
+      bufPos += 1
+      b
+    }
+
+    private def skip(n: Int): Unit = (0 until n).foreach(_ => u8())
+    private def skipZeroTerminated(): Unit = while (u8() != 0) ()
+
+    override def hasNext: Boolean = { fill(); !eof }
+
+    override def next(): Array[Byte] = {
+      // ---- header (RFC 1952 §2.3)
+      require(u8() == 0x1f && u8() == 0x8b, "gzip: bad magic")
+      require(u8() == 8, "gzip: compression method must be deflate")
+      val flg = u8()
+      skip(6) // MTIME + XFL + OS
+      if ((flg & 4) != 0) { val xlen = u8() | (u8() << 8); skip(xlen) }
+      if ((flg & 8) != 0) skipZeroTerminated()  // FNAME
+      if ((flg & 16) != 0) skipZeroTerminated() // FCOMMENT
+      if ((flg & 2) != 0) skip(2)               // FHCRC
+      // ---- raw deflate body
+      val inf = new java.util.zip.Inflater(true)
+      val out = new java.io.ByteArrayOutputStream(1 << 16)
+      val chunk = new Array[Byte](1 << 16)
+      while (!inf.finished()) {
+        if (inf.needsInput()) {
+          fill()
+          require(!eof, "gzip: deflate stream truncated")
+          inf.setInput(buf, bufPos, bufLen - bufPos)
+          bufPos = bufLen // consumed below via getRemaining
+        }
+        val n = inf.inflate(chunk)
+        require(n > 0 || !inf.needsDictionary(),
+          "gzip: deflate stream needs a preset dictionary")
+        out.write(chunk, 0, n)
+      }
+      // return the bytes the Inflater read past the deflate end
+      bufPos -= inf.getRemaining
+      inf.end()
+      val payload = out.toByteArray
+      // ---- trailer: CRC32 + ISIZE (mod 2^32), little-endian
+      def le32(): Long =
+        u8().toLong | (u8().toLong << 8) | (u8().toLong << 16) |
+          (u8().toLong << 24)
+      val crcStored = le32()
+      val isize = le32()
+      val crc = new java.util.zip.CRC32
+      crc.update(payload)
+      require(crc.getValue == crcStored,
+        f"gzip: CRC mismatch (stored 0x$crcStored%08x, " +
+          f"computed 0x${crc.getValue}%08x)")
+      require((payload.length.toLong & 0xffffffffL) == isize,
+        s"gzip: ISIZE $isize != decompressed length ${payload.length}")
+      payload
+    }
+  }
+}
+
+final class GraftWarcProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-warc"
+  override def supportsExternalMetadata(): Boolean = false
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcFile.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GraftWarcTable(properties.asScala.getOrElse("path",
+      throw new IllegalArgumentException("graft-warc: path required")))
+}
+
+final class GraftWarcTable(root: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-warc `$root`"
+  override def schema(): StructType = WarcFile.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns
+      with SupportsPushDownFilters {
+      private var required: StructType = WarcFile.Schema
+      private var pushed: Array[Filter] = Array.empty
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        // accept rtype equality/IN (records skip before row build);
+        // everything returns for Spark's post-scan re-evaluation
+        pushed = filters.filter {
+          case EqualTo("rtype", _: String) => true
+          case In("rtype", _)              => true
+          case _                           => false
+        }
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      override def build(): Scan = new GraftWarcScan(root, required, pushed)
+    }
+}
+
+final case class WarcFilePartition(path: String, length: Long)
+  extends InputPartition
+
+final class GraftWarcScan(root: String, required: StructType,
+                          pushed: Array[Filter])
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftWarcScan(root=$root, " +
+      s"readSchema=[${required.fieldNames.mkString(",")}], " +
+      s"pushedFilters=[${pushed.mkString(",")}])"
+
+  private lazy val files: Seq[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val st = fs.getFileStatus(p)
+    val all =
+      if (st.isFile) Seq(st)
+      else fs.listStatus(p).filter(_.isFile).toSeq
+    all.map(f => (f.getPath.toString, f.getLen))
+      .filter { case (n, _) => n.endsWith(".warc.gz") || n.endsWith(".warc") }
+      .sortBy(_._1)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map { case (path, len) => WarcFilePartition(path, len) }.toArray
+
+  /** Compressed bytes on disk — same conservative broadcast basis as
+    * the manifest scan: without it a DSv2 relation reports ∞ and a
+    * join against a small record set never auto-broadcasts. */
+  override def estimateStatistics()
+    : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(files.map(_._2).sum)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val rtypes: Option[Set[String]] = {
+      val sets = pushed.toSeq.collect {
+        case EqualTo("rtype", v: String) => Set(v)
+        case In("rtype", vs)             => vs.collect { case s: String => s }.toSet
+      }
+      sets.reduceOption(_ intersect _)
+    }
+    new WarcReaderFactory(required, rtypes)
+  }
+}
+
+final class WarcReaderFactory(required: StructType,
+                              rtypes: Option[Set[String]])
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+    : PartitionReader[InternalRow] = {
+    val part = partition.asInstanceOf[WarcFilePartition]
+    val path = new org.apache.hadoop.fs.Path(part.path)
+    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val raw = fs.open(path)
+    val members: Iterator[Array[Byte]] =
+      if (part.path.endsWith(".gz")) new WarcFile.GzipMemberIterator(raw)
+      else Iterator.single { // plain .warc: one "member" = the file
+        val out = new java.io.ByteArrayOutputStream
+        val buf = new Array[Byte](1 << 16)
+        var n = raw.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = raw.read(buf) }
+        out.toByteArray
+      }
+    val fileUtf8 = UTF8String.fromString(part.path)
+    val cols = required.fieldNames
+    var recIx = -1L
+    val rows: Iterator[InternalRow] = members
+      .flatMap(WarcFile.parseRecords)
+      .map { r => recIx += 1; (r, recIx) }
+      .collect { case (r, ix) if rtypes.forall(_.contains(r.rtype)) =>
+        InternalRow.fromSeq(cols.toSeq.map {
+          case "file"           => fileUtf8
+          case "rec_ix"         => ix
+          case "rtype"          => UTF8String.fromString(r.rtype)
+          case "rec_id"         => UTF8String.fromString(r.recId)
+          case "uri"            =>
+            if (r.uri == null) null else UTF8String.fromString(r.uri)
+          case "content_length" => r.payload.length.toLong
+          case "payload"        =>
+            UTF8String.fromString(new String(r.payload, "ISO-8859-1"))
+        })
+      }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = raw.close()
+    }
+  }
+}
+
+/** Test-corpus `.warc.gz` writer: the documents table rendered into
+  * real multi-member gzip WARC files — one gzip member per record
+  * (the Common Crawl layout), `nFiles` range-partitioned files, rows
+  * sorted within each so content is deterministic across retries and
+  * bench passes. */
+object WarcGz {
+  def writeCorpus(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, dir: String, nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val recs = docs
+      .repartitionByRange(nFiles, col(idCol))
+      .sortWithinPartitions(idCol)
+      .select(graft.text.WarcExtract.renderWarcRecords(
+        col(idCol), split(col(textCol), " ")).as("recs"))
+    recs.foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(
+          f"$dir/part-$pid%05d.warc.gz")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(path, true)
+        try it.foreach { row =>
+          row.getSeq[String](0).foreach { rec =>
+            val m = WarcFile.gzipMember(rec.getBytes("ISO-8859-1"))
+            out.write(m, 0, m.length)
+          }
+        } finally out.close()
+    }
+  }
+}

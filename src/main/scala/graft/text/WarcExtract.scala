@@ -99,29 +99,41 @@ object WarcExtract {
 
   // ------------------------------------------------------------ generator
 
-  /** Test-corpus generator: a 3-record capsule (warcinfo → request →
-    * response) whose response payload is a full HTTP 200 carrying
-    * [[HtmlExtract.render]]'s markup for the document's tokens, and
-    * whose target URI is [[UrlCanon.renderUrl]] — Content-Length
-    * computed from the actual payload, so the byte-accounting walk
-    * is exercised against real lengths (both non-response payloads
+  /** Test-corpus generator: the 3 records (warcinfo → request →
+    * response) of a document's capsule as an ARRAY — the response
+    * payload is a full HTTP 200 carrying [[HtmlExtract.render]]'s
+    * markup for the document's tokens, the target URI is
+    * [[UrlCanon.renderUrl]], and every record carries a
+    * `WARC-Record-ID` naming the doc id (`urn:graft:<id>` — how the
+    * file reader's rows join back to `documents`). Content-Length is
+    * computed from the actual payload, so the byte-accounting walk is
+    * exercised against real lengths (both non-response payloads
     * contain `\r\n` sequences; the response payload contains the
-    * header terminator itself). */
-  def renderWarc(docId: Column, words: Column): Column = {
+    * header terminator itself). Array grain exists for the
+    * record-per-gzip-member file writer ([[graft.sources.WarcGz]]);
+    * [[renderWarc]] is the concatenated capsule. */
+  def renderWarcRecords(docId: Column, words: Column): Column = {
     val url = UrlCanon.renderUrl(docId)
     val http = concat(
       lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
       HtmlExtract.render(docId, words))
     def rec(rtype: String, uri: Option[Column], payload: Column) =
       concat(lit(s"WARC/1.0\r\nWARC-Type: $rtype\r\n"),
+        lit("WARC-Record-ID: <urn:graft:"), docId.cast("string"),
+        lit(">\r\n"),
         uri.map(u => concat(lit("WARC-Target-URI: "), u, lit("\r\n")))
           .getOrElse(lit("")),
         lit("Content-Length: "), length(payload).cast("string"),
         lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
-    concat(
+    array(
       rec("warcinfo", None, lit("software: graft\r\n")),
       rec("request", Some(url),
         lit("GET /p HTTP/1.1\r\nHost: example.com\r\n\r\n")),
       rec("response", Some(url), http))
   }
+
+  /** The concatenated capsule form of [[renderWarcRecords]] (t31's
+    * input grain). */
+  def renderWarc(docId: Column, words: Column): Column =
+    array_join(renderWarcRecords(docId, words), "")
 }

@@ -877,4 +877,103 @@ class SourcesSpec extends SparkSuite {
     man.commit(2, Seq("/d/batch=2"))
     assert(man.version() == 3)
   }
+
+  test("gzip members: framing round trip, optional fields, corruption refusals") {
+    import graft.sources.WarcFile
+    def membersOf(bytes: Array[Byte]): Seq[Array[Byte]] =
+      new WarcFile.GzipMemberIterator(
+        new java.io.ByteArrayInputStream(bytes)).toSeq
+    // concatenated members round-trip, incl. an empty payload and one
+    // spanning several refill buffers (> 64 KiB)
+    val payloads = Seq("alpha".getBytes, Array.empty[Byte],
+      Array.tabulate(200000)(i => (i % 251).toByte))
+    val cat = payloads.map(WarcFile.gzipMember).reduce(_ ++ _)
+    val got = membersOf(cat)
+    assert(got.map(_.toSeq) == payloads.map(_.toSeq))
+    // optional header fields (FEXTRA + FNAME + FCOMMENT + FHCRC) —
+    // foreign writers emit them; the walker must skip all four
+    val body = {
+      val d = new java.util.zip.Deflater(-1, true)
+      d.setInput("hello".getBytes); d.finish()
+      val buf = new Array[Byte](64)
+      val out = new java.io.ByteArrayOutputStream
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val crc = new java.util.zip.CRC32
+    crc.update("hello".getBytes)
+    val fancy = new java.io.ByteArrayOutputStream
+    fancy.write(Array[Byte](0x1f, 0x8b.toByte, 8, (1 | 2 | 4 | 8 | 16).toByte,
+      0, 0, 0, 0, 0, 3), 0, 10)
+    fancy.write(Array[Byte](2, 0, 9, 9), 0, 4)        // FEXTRA xlen=2
+    fancy.write("name.warc".getBytes); fancy.write(0)  // FNAME
+    fancy.write("a comment".getBytes); fancy.write(0)  // FCOMMENT
+    fancy.write(Array[Byte](0x12, 0x34), 0, 2)         // FHCRC (unchecked)
+    fancy.write(body, 0, body.length)
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    fancy.write(le32(crc.getValue), 0, 4)
+    fancy.write(le32(5L), 0, 4)
+    assert(membersOf(fancy.toByteArray).map(new String(_)) == Seq("hello"))
+    // a flipped payload bit fails the CRC loudly; a lying ISIZE too
+    val one = WarcFile.gzipMember("corrupt me please now".getBytes)
+    val flip = one.clone(); flip(12) = (flip(12) ^ 0x40).toByte
+    val e1 = intercept[Exception](membersOf(flip))
+    assert(e1.getMessage.contains("CRC") || e1.getMessage.contains("invalid"),
+      e1.getMessage)
+    val lie = one.clone()
+    lie(lie.length - 4) = (lie(lie.length - 4) ^ 1).toByte
+    val e2 = intercept[IllegalArgumentException](membersOf(lie))
+    assert(e2.getMessage.contains("ISIZE"), e2.getMessage)
+    // truncated trailer refuses
+    val cut = java.util.Arrays.copyOf(one, one.length - 3)
+    intercept[Exception](membersOf(cut))
+  }
+
+  test("graft-warc reader: pushdown, pruning, multi-file split, plain .warc") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("warc_src_").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    graft.sources.WarcGz.writeCorpus(docs, "doc_id", "text", dir, nFiles = 4)
+    val nDocs = docs.count()
+    val nFilesOnDisk = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".warc.gz"))
+    assert(nFilesOnDisk == 4, s"$nFilesOnDisk files")
+    val recs = spark.read.format("graft-warc").load(dir)
+    assert(recs.count() == 3 * nDocs)
+    // file grain = split grain: one task per file
+    assert(recs.rdd.getNumPartitions == 4)
+    // rtype pushdown reaches the scan (visible in the plan) and the
+    // result is exactly the responses
+    val resp = recs.filter($"rtype" === "response")
+    val plan = resp.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedFilters=[EqualTo(rtype,response)]"),
+      s"rtype filter must reach the scan:\n$plan")
+    assert(resp.count() == nDocs)
+    // column pruning reaches the reader: payload absent from ReadSchema
+    val slim = recs.select($"rtype", $"rec_id")
+    val slimPlan = slim.queryExecution.executedPlan.toString
+    assert(!slimPlan.contains("payload"),
+      s"payload must prune from the scan:\n$slimPlan")
+    // record ids join back to the corpus; uris match the generator
+    val ids = recs.filter($"rtype" === "response")
+      .select(regexp_extract($"rec_id", "urn:graft:([0-9]+)", 1)
+        .cast("long").as("doc_id"))
+    assert(ids.join(docs, Seq("doc_id"), "left_anti").count() == 0)
+    // a plain (uncompressed) .warc file reads through the same source
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("warc_plain_").toString
+    val capsule = docs.orderBy($"doc_id").limit(2)
+      .select(graft.text.WarcExtract.renderWarc($"doc_id",
+        split($"text", " ")).as("w"))
+      .collect().map(_.getString(0)).mkString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$plainDir/one.warc"),
+      capsule.getBytes("ISO-8859-1"))
+    val plain = spark.read.format("graft-warc").load(plainDir)
+    assert(plain.count() == 6)
+    assert(plain.filter($"rtype" === "response").count() == 2)
+  }
 }
