@@ -323,6 +323,113 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** Real PROGRESSIVE (SOF2) JFIF — 4:2:0 for even ids, 4:4:4 for
+    * odd, same canvas and block lumas as [[jpegColorBytes]]: scan 1
+    * is the interleaved DC scan (Ss=Se=0, Ah=Al=0 — DC complete in
+    * one scan), then one all-zero AC scan per component (Ss=1,
+    * Se=63; every block an EOB0 symbol) completing a spec-valid
+    * stream. The decoder reads exactly the DC scan; sharing
+    * [[jColorLumAt]] with the baseline generator means a progressive
+    * file and its baseline twin must hash IDENTICALLY — the
+    * strongest cross-coding-path certification the dHash can make
+    * (SimSpec pins it; the mm16 oracle replays the lumas blind). */
+  def jpegProgressiveBytes(id: Long): Array[Byte] = {
+    val is420 = id % 2 == 0
+    val hv = if (is420) 2 else 1
+    val dcL = canonicalCodes(DcBits); val dcC = canonicalCodes(DcChromaBits)
+    val acL = canonicalCodes(AcBits); val acC = canonicalCodes(AcChromaBits)
+    def sizeOf(v: Int): Int = {
+      var s = 0; var a = math.abs(v)
+      while (a != 0) { s += 1; a >>= 1 }
+      s
+    }
+    def amp(v: Int, s: Int): Int = if (v >= 0) v else v + (1 << s) - 1
+    // ---- scan 1: interleaved DC (the only scan the decoder reads)
+    val bw = new BitWriterJpeg
+    def putDc(codes: Array[(Int, Int)], diff: Int): Unit = {
+      val s = sizeOf(diff)
+      val (c, l) = codes(s)
+      bw.put(c, l)
+      if (s > 0) bw.put(amp(diff, s), s)
+    }
+    val cbCoded = ((id % 50) - 20).toInt
+    val crCoded = ((id % 60) - 30).toInt
+    var predY = 0; var predCb = 0; var predCr = 0
+    val mcuW = JWC / (8 * hv); val mcuH = JHC / (8 * hv)
+    var my = 0
+    while (my < mcuH) {
+      var mx = 0
+      while (mx < mcuW) {
+        var vb = 0
+        while (vb < hv) {
+          var hb = 0
+          while (hb < hv) {
+            val level = jColorLumAt(id, mx * hv + hb, my * hv + vb) - 128
+            putDc(dcL, level - predY)
+            predY = level
+            hb += 1
+          }
+          vb += 1
+        }
+        putDc(dcC, cbCoded - predCb); predCb = cbCoded
+        putDc(dcC, crCoded - predCr); predCr = crCoded
+        mx += 1
+      }
+      my += 1
+    }
+    val dcScan = bw.flush()
+    // ---- AC scans: all coefficients zero → one EOB0 per block
+    def acScan(codes: Array[(Int, Int)], vals: Array[Int],
+               blocks: Int): Array[Byte] = {
+      val w = new BitWriterJpeg
+      val (c, l) = codes(vals.indexOf(0x00))
+      var b = 0
+      while (b < blocks) { w.put(c, l); b += 1 }
+      w.flush()
+    }
+    val lumaBlocks = (JWC / 8) * (JHC / 8)
+    val chromaBlocks = // non-interleaved: ceil(compW/8) * ceil(compH/8)
+      ((JWC / hv + 7) / 8) * ((JHC / hv + 7) / 8)
+    val out = new java.io.ByteArrayOutputStream
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+      out.write(body, 0, body.length)
+    }
+    marker(0xd8)
+    seg(0xdb, Array(0x00.toByte) ++ Quant.map(_.toByte) ++
+      Array(0x01.toByte) ++ QuantChroma.map(_.toByte))
+    seg(0xc2, Array[Byte](8, // SOF2: same frame header shape as SOF0
+      (JHC >> 8).toByte, (JHC & 0xff).toByte,
+      (JWC >> 8).toByte, (JWC & 0xff).toByte,
+      3,
+      1, ((hv << 4) | hv).toByte, 0,
+      2, 0x11, 1,
+      3, 0x11, 1))
+    seg(0xc4, Array(0x00.toByte) ++ DcBits.map(_.toByte) ++
+      DcVals.map(_.toByte) ++
+      Array(0x10.toByte) ++ AcBits.map(_.toByte) ++ AcVals.map(_.toByte))
+    seg(0xc4, Array(0x01.toByte) ++ DcChromaBits.map(_.toByte) ++
+      DcChromaVals.map(_.toByte) ++
+      Array(0x11.toByte) ++ AcChromaBits.map(_.toByte) ++
+      AcChromaVals.map(_.toByte))
+    // DC scan: Ns=3, Ss=0, Se=0, AhAl=0
+    seg(0xda, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0))
+    out.write(dcScan, 0, dcScan.length)
+    // AC scans: Ns=1 per component, Ss=1, Se=63, AhAl=0
+    seg(0xda, Array[Byte](1, 1, 0x00, 1, 63, 0))
+    val la = acScan(acL, AcVals, lumaBlocks)
+    out.write(la, 0, la.length)
+    for (comp <- Seq(2, 3)) {
+      seg(0xda, Array[Byte](1, comp.toByte, 0x11, 1, 63, 0))
+      val ca = acScan(acC, AcChromaVals, chromaBlocks)
+      out.write(ca, 0, ca.length)
+    }
+    marker(0xd9)
+    out.toByteArray
+  }
+
   /** Test hook: a single-block 8×8 grayscale JPEG from arbitrary
     * QUANTIZED coefficients in zigzag order — drives the decoder's
     * general AC run-length/ZRL/EOB + dezigzag + IDCT path, which the
@@ -511,18 +618,33 @@ object JpegCodec {
     var td = 0; var ta = 0
   }
 
-  /** Decode the LUMA plane of a baseline JPEG — grayscale (1
-    * component) or YCbCr color (3 components; luma carries the max
-    * sampling factor, chroma 1×1 — covers 4:4:4, 4:2:2, 4:4:0 and
-    * the dominant real-corpus 4:2:0). Chroma blocks are
-    * entropy-decoded to keep the interleaved MCU bitstream in sync
-    * and their pixels DISCARDED: the dHash needs only luma, so
-    * chroma IDCT + upsampling would be pure waste at corpus scale.
-    * Returns `(width, height, row-major luma, sampling label)`.
-    * Refused loudly (round-14 hardening): every non-SOF0 frame type
+  /** Decode the LUMA plane of a baseline (SOF0) or progressive
+    * (SOF2, round 15) JPEG — grayscale (1 component) or YCbCr color
+    * (3 components; luma carries the max sampling factor, chroma
+    * 1×1 — covers 4:4:4, 4:2:2, 4:4:0 and the dominant real-corpus
+    * 4:2:0). Chroma blocks are entropy-decoded to keep the
+    * interleaved MCU bitstream in sync and their pixels DISCARDED:
+    * the dHash needs only luma, so chroma IDCT + upsampling would be
+    * pure waste at corpus scale.
+    *
+    * PROGRESSIVE scope: the FIRST scan must be the interleaved DC
+    * scan (Ss = Se = 0, Ah = 0 — §G.1.1.1.1 requires DC first), whose
+    * coefficients decode exactly like baseline DC shifted by the
+    * point transform `Al`; every later scan (AC bands, refinements)
+    * is SKIPPED — the 8×8 block average the dHash folds is carried
+    * entirely by the DC band, so the first scan IS the hash-complete
+    * prefix (the mm11 DC-exact argument, applied to scan order: this
+    * is why progressive exists — renderers draw from the same
+    * prefix). With Al > 0 the pixels are as-of-first-scan (low DC
+    * bits not yet refined); an AC-first or refinement-first stream
+    * refuses loudly.
+    *
+    * Returns `(width, height, row-major luma, sampling label)` —
+    * label prefixed `p` for progressive frames (`p420`, `p444`).
+    * Refused loudly (round-14 hardening): every other frame type
     * (0xc1–0xcf incl. JPG/DAC), standalone markers (TEM/RSTn) before
-    * SOS — they carry no length and would misparse — restart
-    * intervals (DRI), zero frame dimensions, missing tables. */
+    * SOS, restart intervals (DRI), zero frame dimensions, missing
+    * tables. */
   def decodeJpegLumaInfo(p: Array[Byte]): (Int, Int, Array[Int], String) = {
     def u8(i: Int) = p(i) & 0xff
     def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
@@ -534,6 +656,8 @@ object JpegCodec {
     val acT = new Array[HuffTable](4)
     var comps: Array[Comp] = null
     var scanStart = -1
+    var progressive = false
+    var al = 0
     while (scanStart < 0) {
       require(i + 2 <= p.length && u8(i) == 0xff, s"bad marker at $i")
       val m = u8(i + 1)
@@ -556,7 +680,8 @@ object JpegCodec {
             quant(tq) = q
             off += 65
           }
-        case 0xc0 =>
+        case 0xc0 | 0xc2 => // baseline / progressive: same frame header
+          progressive = m == 0xc2
           require(u8(i + 4) == 8, "JPEG: only 8-bit precision")
           h = u16(i + 5); w = u16(i + 7)
           require(w > 0 && h > 0, "JPEG: zero frame dimensions")
@@ -575,11 +700,11 @@ object JpegCodec {
           require(comps.drop(1).forall(c => c.h == 1 && c.v == 1),
             "JPEG: chroma must sample 1x1")
         case sof if sof >= 0xc1 && sof <= 0xcf && sof != 0xc4 =>
-          // progressive/lossless/hierarchical/arithmetic frames and
+          // lossless/hierarchical/arithmetic frames and
           // JPG(0xc8)/DAC(0xcc): refuse EVERY one explicitly — the
           // old APPn fall-through let 0xc5–0xcf garbage-decode
           throw new IllegalArgumentException(
-            f"JPEG: only baseline SOF0 supported (marker 0xff$sof%02x)")
+            f"JPEG: only SOF0/SOF2 supported (marker 0xff$sof%02x)")
         case 0xc4 => // DHT: possibly several tables per segment
           var off = i + 4
           while (off < i + 2 + len) {
@@ -595,14 +720,27 @@ object JpegCodec {
         case 0xdd => throw new IllegalArgumentException(
           "JPEG: restart intervals (DRI) unsupported")
         case 0xda =>
-          require(comps != null, "JPEG: SOS before SOF0")
+          require(comps != null, "JPEG: SOS before SOF0/SOF2")
           val ns = u8(i + 4)
-          require(ns == comps.length, "JPEG: partial scans unsupported")
+          require(ns == comps.length,
+            if (progressive) "JPEG: progressive first scan must be the " +
+              "interleaved DC scan (all components)"
+            else "JPEG: partial scans unsupported")
           var c = 0
           while (c < ns) {
             val tt = u8(i + 6 + 2 * c)
             comps(c).td = tt >> 4; comps(c).ta = tt & 0xf
             c += 1
+          }
+          if (progressive) {
+            val ss = u8(i + 5 + 2 * ns); val se = u8(i + 6 + 2 * ns)
+            val ahal = u8(i + 7 + 2 * ns)
+            require(ss == 0 && se == 0,
+              s"JPEG: progressive first scan must be the DC band " +
+                s"(Ss=$ss, Se=$se)")
+            require(ahal >> 4 == 0,
+              "JPEG: progressive first scan cannot be a refinement (Ah != 0)")
+            al = ahal & 0xf
           }
           scanStart = i + 2 + len
         case 0xd9 => throw new IllegalArgumentException("JPEG: EOI before SOS")
@@ -610,10 +748,11 @@ object JpegCodec {
       }
       if (scanStart < 0) i += 2 + len
     }
-    require(w > 0 && h > 0, "JPEG: missing SOF0 before SOS")
+    require(w > 0 && h > 0, "JPEG: missing SOF0/SOF2 before SOS")
     comps.foreach { c =>
       require(quant(c.tq) != null, s"JPEG: missing quant table ${c.tq}")
-      require(dcT(c.td) != null && acT(c.ta) != null,
+      // a progressive DC scan never touches an AC table (§G.1.1.1.1)
+      require(dcT(c.td) != null && (progressive || acT(c.ta) != null),
         s"JPEG: missing huffman tables dc=${c.td}/ac=${c.ta}")
     }
     val br = new BitReaderJpeg(p, scanStart)
@@ -637,9 +776,12 @@ object JpegCodec {
               val coef = new Array[Int](64)
               val s = dcT(comp.td).decode(br)
               preds(ci) += extend(br.receive(s), s)
-              coef(0) = preds(ci) * q(0)
+              // progressive DC carries the point transform: the first
+              // scan transmits DC >> Al, refinements (skipped) would
+              // fill the low bits — pixels are as-of-first-scan
+              coef(0) = (preds(ci) << al) * q(0)
               var k = 1
-              var eob = false
+              var eob = progressive // DC scan: no AC in this block
               while (k < 64 && !eob) {
                 val rs = acT(comp.ta).decode(br)
                 val r = rs >> 4; val size = rs & 0xf
@@ -688,7 +830,7 @@ object JpegCodec {
         case (1, 2) => "440"
         case _      => "444"
       }
-    (w, h, px, label)
+    (w, h, px, if (progressive) "p" + label else label)
   }
 
   /** Grayscale-era entry point (mm11); the decoder is shared. */
@@ -749,5 +891,15 @@ object JpegCodec {
         JpegColorHash(r.id, label, w, h, hi, lo)
       }
     }
+  }
+
+  /** mm16: the progressive corpus — decode + dHash go through the
+    * SAME [[hashColorJpegs]] path (the decoder dispatches on the
+    * parsed SOF marker; the label comes back `p420`/`p444`). */
+  def progressiveFromDocuments(spark: SparkSession, docs: DataFrame)
+    : Dataset[Multimodal.MediaRow] = {
+    import spark.implicits._
+    docs.select("doc_id").as[Long]
+      .map(id => Multimodal.MediaRow(id, jpegProgressiveBytes(id)))
   }
 }

@@ -782,6 +782,26 @@ object SimQueries {
           col("dh_hi"), col("dh_lo"))
     }),
 
+    // PROGRESSIVE JPEG (round 15) — a large share of real web JPEGs
+    // and mm12's one refused frame type. The generator writes true
+    // SOF2 streams (interleaved DC scan first, then per-component
+    // all-zero AC scans — spec-complete multi-scan files), 4:2:0 on
+    // even ids / 4:4:4 on odd, with mm12's exact block lumas; the
+    // decoder reads EXACTLY the DC scan, which carries the full 8×8
+    // block average the dHash folds — the mm11 DC-exact argument
+    // applied to scan order (this prefix-renderability is why
+    // progressive exists). Hashes must equal the baseline twin's
+    // bit-for-bit (SimSpec pins it); the oracle replays lumas +
+    // dHash blind with the sampling label parsed from SOF2.
+    "mm16_jpeg_progressive" -> ((s, d) => {
+      import graft.multimodal.JpegCodec
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      JpegCodec.hashColorJpegs(
+        JpegCodec.progressiveFromDocuments(s, docs)).toDF()
+        .select(col("doc_id"), col("sampling"), col("width"), col("height"),
+          col("dh_hi"), col("dh_lo"))
+    }),
+
     // MP4 sample-table extraction (round 14) — the codec-agnostic
     // half of real video ingest: a REAL boxed ISO-BMFF file (ftyp +
     // full moov with mvhd/tkhd/mdhd/hdlr/vmhd + stbl{stsd stts stsc
@@ -1903,6 +1923,41 @@ object SimQueries {
         |  FROM jdbits GROUP BY id)
         |SELECT ids.id AS doc_id,
         |  CASE WHEN ids.id % 2 = 0 THEN '420' ELSE '444' END AS sampling,
+        |  CAST(32 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  jdh.dh_hi, jdh.dh_lo
+        |FROM ids JOIN jdh ON ids.id = jdh.id""".stripMargin,
+    // mm16 = mm12's luma replay with the sampling label read from the
+    // PROGRESSIVE frame header — hash equality across coding paths
+    "mm16_jpeg_progressive" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |jpx AS (
+        |  SELECT i.id, xs.range AS x, ys.range AS y,
+        |    (((i.id % 97) * 31 + (xs.range // 8) * 47
+        |      + (ys.range // 8) * 59
+        |      + (xs.range // 8) * (ys.range // 8) * ((i.id % 97) % 11))
+        |      % 200) + 28 AS gray
+        |  FROM ids i CROSS JOIN range(0, 32) xs CROSS JOIN range(0, 16) ys),
+        |jc9 AS (
+        |  SELECT id, (x * 9) // 32 AS cx, (y * 8) // 16 AS cy,
+        |    CAST(sum(gray) AS BIGINT) // count(*) AS a
+        |  FROM jpx GROUP BY 1, 2, 3),
+        |jdbits AS (
+        |  SELECT l.id, l.cy * 8 + l.cx AS b,
+        |    CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM jc9 l JOIN jc9 r
+        |    ON l.id = r.id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8),
+        |jdh AS (
+        |  SELECT id,
+        |    CAST(sum(CASE WHEN b >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END)
+        |      AS BIGINT) AS dh_hi,
+        |    CAST(sum(CASE WHEN b < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END)
+        |      AS BIGINT) AS dh_lo
+        |  FROM jdbits GROUP BY id)
+        |SELECT ids.id AS doc_id,
+        |  CASE WHEN ids.id % 2 = 0 THEN 'p420' ELSE 'p444' END AS sampling,
         |  CAST(32 AS INT) AS width, CAST(16 AS INT) AS height,
         |  jdh.dh_hi, jdh.dh_lo
         |FROM ids JOIN jdh ON ids.id = jdh.id""".stripMargin,

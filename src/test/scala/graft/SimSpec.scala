@@ -580,9 +580,10 @@ class SimSpec extends SparkSuite {
   test("JpegCodec: foreign frame types and standalone markers refuse loudly") {
     import graft.multimodal.JpegCodec
     val good = JpegCodec.jpegGrayBytes(3L)
-    // every non-SOF0 frame marker must refuse, not skip-as-APPn
-    // (round-13 ADVICE: 0xc5-0xc7/0xc9-0xcf fell into the skip arm)
-    for (sof <- Seq(0xc2, 0xc5, 0xc7, 0xc9, 0xcb, 0xcd, 0xcf)) {
+    // every non-SOF0/SOF2 frame marker must refuse, not skip-as-APPn
+    // (round-13 ADVICE: 0xc5-0xc7/0xc9-0xcf fell into the skip arm;
+    // 0xc2 decodes as progressive since round 15)
+    for (sof <- Seq(0xc1, 0xc5, 0xc7, 0xc9, 0xcb, 0xcd, 0xcf)) {
       val bad = good.clone()
       // the generator emits SOF0 right after the 69-byte DQT at [2]
       assert((bad(2 + 69) & 0xff) == 0xff && (bad(2 + 70) & 0xff) == 0xc0)
@@ -606,6 +607,49 @@ class SimSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](
       JpegCodec.decodeJpegGray(dri))
     assert(e.getMessage.contains("DRI"), e.getMessage)
+  }
+
+  test("JpegCodec: progressive DC scan hashes equal the baseline twin") {
+    import graft.multimodal.{ImagePixels, JpegCodec}
+    // the whole point of the SOF2 path: same lumas through a
+    // different coding order must produce the identical dHash
+    for (id <- Seq(0L, 1L, 2L, 3L, 96L, 97L, 200L)) {
+      val (w, h, px, label) =
+        JpegCodec.decodeJpegLumaInfo(JpegCodec.jpegProgressiveBytes(id))
+      val (bw, bh, bpx, blabel) =
+        JpegCodec.decodeJpegLumaInfo(JpegCodec.jpegColorBytes(id))
+      assert((w, h) == ((bw, bh)))
+      assert(label == "p" + blabel, s"id=$id $label vs $blabel")
+      assert(px.toSeq == bpx.toSeq, s"id=$id pixels diverge across paths")
+      def hash(pxs: Array[Int]) =
+        ImagePixels.dHash(w, h, pxs.map(g => (g << 16) | (g << 8) | g))
+      assert(hash(px) == hash(bpx))
+    }
+    // an AC-first progressive stream refuses (DC must come first,
+    // §G.1.1.1.1) — patch the DC scan's SOS to Ss=1,Se=63
+    val p = JpegCodec.jpegProgressiveBytes(4L)
+    val s = p.indexOfSlice(Seq[Byte](0xff.toByte, 0xda.toByte))
+    val acFirst = p.clone()
+    acFirst(s + 2 + 2 + 1 + 6) = 1   // Ss
+    acFirst(s + 2 + 2 + 1 + 7) = 63  // Se
+    val e1 = intercept[IllegalArgumentException](
+      JpegCodec.decodeJpegLumaInfo(acFirst))
+    assert(e1.getMessage.contains("DC band"), e1.getMessage)
+    // a refinement-first stream (Ah != 0) refuses
+    val refFirst = p.clone()
+    refFirst(s + 2 + 2 + 1 + 8) = 0x10 // AhAl: Ah=1
+    val e2 = intercept[IllegalArgumentException](
+      JpegCodec.decodeJpegLumaInfo(refFirst))
+    assert(e2.getMessage.contains("refinement"), e2.getMessage)
+    // Al = 1 applies the point transform: the decoded DC doubles, so
+    // every pixel is exactly clamp(2·luma − 128) of the Al=0 decode
+    val al1 = p.clone()
+    al1(s + 2 + 2 + 1 + 8) = 0x01 // AhAl: Al=1
+    val (_, _, px1, _) = JpegCodec.decodeJpegLumaInfo(al1)
+    val (_, _, px0, _) = JpegCodec.decodeJpegLumaInfo(p)
+    for (i <- px0.indices)
+      assert(px1(i) == math.max(0, math.min(255, 2 * px0(i) - 128)),
+        s"pixel $i: Al=1 must shift the DC, got ${px1(i)} vs ${px0(i)}")
   }
 
   test("Mp4Samples: sample table locates every frame byte-exact") {
