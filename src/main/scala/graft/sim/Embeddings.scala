@@ -192,7 +192,7 @@ object Embeddings {
     * integer math and still map-side combinable, with shuffle volume
     * |labels|·dim per task. The array re-assembles ordered by
     * component (array_sort on the struct sorts by its first field). */
-  private def labelCentroids(q: DataFrame, labelCol: String): DataFrame =
+  private[sim] def labelCentroids(q: DataFrame, labelCol: String): DataFrame =
     q.select(col(labelCol).as("cl"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy(col("cl"), col("i"))
       .agg(sum(col("x")).as("si"), count(lit(1)).as("ni"))
@@ -204,7 +204,7 @@ object Embeddings {
 
   /** Integer centroid distance: n²·d² = |n·x − s|² (never a floating
     * mean). Expects columns `v` (quantized vector), `s`, `n`. */
-  private def dist2n2: Column = aggregate(
+  private[sim] def dist2n2: Column = aggregate(
     zip_with(col("v"), col("s"), (x, si) => {
       val d = col("n") * x - si; d * d
     }), lit(0L), _ + _)
@@ -374,11 +374,11 @@ object Embeddings {
     * ADC lookup table is |queries|·m·nTrain rows, broadcast; scoring
     * shuffles only (query, neighbor, partial) triples that aggregate
     * to m rows per pair via partial aggregation. */
-  private def subD2(a: Column, b: Column): Column =
+  private[sim] def subD2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
 
   /** (id, j, sub): the m subvectors of every quantized vector. */
-  private def pqSubs(q: DataFrame, m: Int, subDim: Int): DataFrame =
+  private[sim] def pqSubs(q: DataFrame, m: Int, subDim: Int): DataFrame =
     q.select(col("id"), explode(array((0 until m).map(j =>
         struct(lit(j).as("j"),
           slice(col("v"), j * subDim + 1, subDim).as("sub"))): _*)).as("s"))
@@ -386,12 +386,12 @@ object Embeddings {
 
   /** Codebook: subvectors of the `nTrain` smallest ids (sampling init,
     * zero k-means iterations — deterministic on both engines). */
-  private def pqCodebook(subs: DataFrame, nTrain: Int): DataFrame =
+  private[sim] def pqCodebook(subs: DataFrame, nTrain: Int): DataFrame =
     subs.filter(col("id") < nTrain)
       .select(col("j"), col("id").as("c"), col("sub").as("cw"))
 
   /** Encode: nearest codeword per (vector, subspace), ties → smaller c. */
-  private def pqCodes(subs: DataFrame, codebook: DataFrame): DataFrame = {
+  private[sim] def pqCodes(subs: DataFrame, codebook: DataFrame): DataFrame = {
     val ew = Window.partitionBy("id", "j").orderBy(col("d2").asc, col("c").asc)
     subs.join(broadcast(codebook), Seq("j"))
       .select(col("id"), col("j"), col("c"),
@@ -402,7 +402,7 @@ object Embeddings {
 
   /** ADC lookup table: query-subvector ↔ codeword partial distances
     * (queryPred selects query rows by the internal `id` column). */
-  private def pqLut(subs: DataFrame, codebook: DataFrame,
+  private[sim] def pqLut(subs: DataFrame, codebook: DataFrame,
                     queryPred: Column): DataFrame =
     subs.filter(queryPred)
       .select(col("id").as("query_id"), col("j"), col("sub").as("qsub"))
@@ -410,7 +410,7 @@ object Embeddings {
       .select(col("query_id"), col("j"), col("c"),
         subD2(col("qsub"), col("cw")).as("pd2"))
 
-  private def adcRank(joined: DataFrame, k: Int): DataFrame = {
+  private[sim] def adcRank(joined: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_d2").asc, col("neighbor_id").asc)
     joined

@@ -1895,6 +1895,35 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("ann-index query: stored codes table never shuffles") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // sim12's scale shape: the probe list and the ADC lookup table
+    // broadcast (both tiny by construction), so the cl-bucketed codes
+    // table — the only corpus-sized side — must stream into the scoring
+    // join without an exchange
+    import graft.sim.AnnIndex
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("annidx_plan_").toString
+    AnnIndex.create(emb, "vec_id", "embedding", "label", tmp,
+      m = 16, subDim = 4)
+    AnnIndex.ingestBatch(emb, "vec_id", "embedding", "label", tmp, 0)
+    val q = AnnIndex.query(spark, tmp,
+      emb.filter($"vec_id" % 50 === 0), "vec_id", "embedding",
+      k = 5, nprobe = 2)
+    q.collect()
+    val plan = q.queryExecution.executedPlan
+    val storedShuffles = plan.collectWithSubqueries {
+      case e: ShuffleExchangeExec if e.exists {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains(tmp))
+        case _ => false
+      } => e
+    }
+    assert(storedShuffles.isEmpty,
+      s"stored codes side is shuffled:\n$plan")
+    AnnIndex.dropIndex(spark, tmp)
+  }
+
   test("phash-index probe join has no Exchange on the stored side") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // same contract as the MinHash dedup index: per-batch probe cost

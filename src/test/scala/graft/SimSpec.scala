@@ -125,6 +125,55 @@ class SimSpec extends SparkSuite {
     assert(perQuery.keySet == full.map(_._1).toSet)
   }
 
+  test("AnnIndex: batch ingest == one-shot ivfPqTopK; recall vs brute force") {
+    import graft.sim.AnnIndex
+    val emb = Tables.embeddings(spark, sf)
+    val (m, subDim) = (graft.queries.SimQueries.Sim5M,
+      graft.queries.SimQueries.Sim5Sub)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_").toString
+    AnnIndex.create(emb, "vec_id", "embedding", "label", dir,
+      m = m, subDim = subDim)
+    // geometry is immutable: re-training over stored codes refuses
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.create(emb, "vec_id", "embedding", "label", dir))
+    assert(e.getMessage.contains("pinned geometry"), e.getMessage)
+    for (i <- 0 until 3)
+      AnnIndex.ingestBatch(emb.filter(pmod(col("vec_id"), lit(3)) === i),
+        "vec_id", "embedding", "label", dir, i)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).sortBy(t => (t._1, t._4)).toSeq
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val stored = canon(AnnIndex.query(spark, dir, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2))
+    val oneShot = canon(Embeddings.ivfPqTopK(emb, "vec_id", "embedding",
+      "label", col("id") % 50 === 0, k = 5, nprobe = 2,
+      m = m, subDim = subDim))
+    assert(stored.nonEmpty && stored == oneShot,
+      "persisted-index query must equal the one-shot IVF-PQ pass")
+    // recall vs exact brute-force cosine truth: the IVF-PQ geometry's
+    // measured floor on this corpus (deterministic pipeline — the
+    // number is exact per sf; chance ≈ 0.01)
+    val truth = Embeddings.bruteForceTopK(queries, emb,
+      "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = stored.map(t => (t._1, t._2)).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.1, s"ANN recall $recall vs brute force " +
+      s"(${(truth & got).size}/${truth.size})")
+    // a retried batch overwrites its own partition: results unchanged
+    AnnIndex.ingestBatch(emb.filter(pmod(col("vec_id"), lit(3)) === 1),
+      "vec_id", "embedding", "label", dir, 1)
+    assert(canon(AnnIndex.query(spark, dir, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)) == oneShot)
+    AnnIndex.dropIndex(spark, dir)
+    // querying a geometry-less index refuses loudly
+    val e2 = intercept[IllegalArgumentException](
+      AnnIndex.query(spark, dir, queries, "vec_id", "embedding", 5, 2))
+    assert(e2.getMessage.contains("no pinned geometry"), e2.getMessage)
+  }
+
   test("nearDupPairs finds planted near-duplicates with high recall") {
     // plant exact copies (cos=1, always collide) and perturbed copies
     // (x*0.9+0.05 → cos≈0.92; per 6-bit table kept with p≈0.44, missed
