@@ -1449,4 +1449,84 @@ class StreamingSpec extends SparkSuite {
     GraftSql.execute(spark, "DROP MATERIALIZED VIEW stmv")
     GraftSqlTables.unregister("stmv_src")
   }
+
+  test("streaming span candidates == batch anchor collisions; df cap tombstones") {
+    // the dd22 arc at the STREAM grain: documents arrive, anchors
+    // explode per row, and flatMapGroupsWithState keyed by anchor
+    // hash holds the (doc, pos) rows per occupied hash — a new anchor
+    // colliding with stored rows emits the same (id1, id2, pa, delta)
+    // candidates the batch probe join produces; the df cap tombstones
+    // hot anchors so per-anchor state is bounded at maxDf rows.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.text.SpanStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val k = 8; val maxDf = 4
+    val shared = (0 until 24).map(i => s"s$i").mkString(" ")
+    val shared2 = (0 until 16).map(i => s"t$i").mkString(" ")
+    val boiler = (0 until 12).map(i => s"b$i").mkString(" ")
+    def filler(i: Long) = (0 until 10).map(j => s"u${i}_$j").mkString(" ")
+    val batch1: Seq[(Long, String)] =
+      (1L to 3L).map(i => i -> s"$boiler ${filler(i)}") :+
+        (101L -> s"$shared ${filler(101)}")
+    val batch2: Seq[(Long, String)] =
+      (4L to 6L).map(i => i -> s"$boiler ${filler(i)}") ++ Seq(
+        102L -> s"${filler(102)} $shared",          // cross-batch pair
+        103L -> s"$shared2 ${filler(103)}",         // within-batch pair
+        104L -> s"${filler(104)} $shared2")
+    val mem = MemoryStream[(Long, String)]
+    val anchorRows = SpanStream.anchors(
+        mem.toDF().toDF("doc_id", "text")
+          .select(col("doc_id"), split(col("text"), " ").as("w")),
+        "doc_id", "w", k)
+      .as[SpanStream.AnchorRow]
+    val q = SpanStream.candidates(anchorRows, maxDf)
+      .writeStream.format("memory").queryName("sspan_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // a post-cap arrival emits NOTHING (the tombstone persists)
+      mem.addData(7L -> s"$boiler ${filler(7)}")
+      q.processAllAvailable()
+      val streamed = spark.table("sspan_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // batch twin: capped anchor self-join over the whole corpus
+      val all = (batch1 ++ batch2 :+ (7L -> s"$boiler ${filler(7)}"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val anchors = SpanStream.anchors(all, "doc_id", "w", k)
+      val kept = anchors.join(
+        anchors.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") <= maxDf).select("h"), Seq("h"))
+      val batchCands = kept.as("a")
+        .join(kept.as("b"), col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"), col("a.pos"),
+          (col("b.pos") - col("a.pos")).as("delta"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // cap-free anchors agree exactly; the boiler anchors (df 7 > 4)
+      // are absent from the batch side, and the stream's monotone
+      // row-grain cap emitted only the pre-cap prefix (docs 1..4)
+      val streamedClean = streamed.filter(_._1 > 100L)
+      val batchClean = batchCands.filter(_._1 > 100L)
+      assert(streamedClean == batchClean && batchClean.nonEmpty,
+        s"cap-free candidates diverge: ${streamedClean.size} streamed " +
+          s"vs ${batchClean.size} batch")
+      assert(streamedClean.exists(c => c._1 == 101L && c._2 == 102L))
+      assert(streamedClean.exists(c => c._1 == 103L && c._2 == 104L))
+      val boilerPairs = streamed -- streamedClean
+      assert(boilerPairs.nonEmpty &&
+        boilerPairs.forall(c => c._1 <= 4L && c._2 <= 4L),
+        s"monotone cap: only pre-cap docs may pair, got $boilerPairs")
+      assert(!streamed.exists(c => c._1 >= 5L && c._1 <= 7L ||
+        c._2 >= 5L && c._2 <= 7L),
+        "docs arriving at/after the cap crossing must emit nothing")
+    } finally q.stop()
+  }
 }
