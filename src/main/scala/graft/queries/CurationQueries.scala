@@ -229,11 +229,8 @@ object CurationQueries {
     // in chrome, which raw-text dedup misses. One shuffle (the
     // content-hash window), same as cur1.
     "cur3_web_curation" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      import graft.text.{HtmlExtract, TextAnalysis => TA}
-      val docs0 = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val docs = docs0.unionAll(docs0.filter(col("doc_id") % 100 === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      import graft.text.HtmlExtract
+      val docs = crawlCorpus(s, d)
       val ex = HtmlExtract.extract(
         HtmlExtract.render(col("doc_id"), split(col("text"), " ")))
       // materialize the extraction once (CacheScope boundary): the
@@ -243,21 +240,41 @@ object CurationQueries {
       val cleaned = graft.util.CacheScope.track(
         docs.select(col("doc_id"),
           regexp_replace(ex.getField("extracted"), "\n", " ").as("clean")))
-      val (_, _, _, pred) = TA.langId(col("clean"))
-      val annotated = cleaned.select(col("doc_id"), col("clean"),
-        pred.as("predicted_lang"),
-        size(split(col("clean"), " ")).cast("long").as("n_tokens"))
-      val kept = annotated.filter(col("predicted_lang") === "en" &&
-        col("n_tokens") >= 20)
-      val w = Window.partitionBy("h")
-      val b = hashBucket(col("doc_id"))
-      kept.withColumn("h", md5(col("clean")))
-        .withColumn("canonical_id", min(col("doc_id")).over(w))
-        .filter(col("doc_id") === col("canonical_id"))
-        .select(col("doc_id"), col("predicted_lang"), col("n_tokens"),
-          b.as("bucket"),
-          when(b < 204, "train").when(b < 230, "val").otherwise("test")
-            .as("split"))
+      curateCleaned(cleaned)
+    }),
+
+    // Crawl-from-FILES curation (round 15) — cur3 with the I/O made
+    // real: the same planted-copy corpus is written out as `.warc.gz`
+    // files and re-enters through the `graft-warc` DSv2 reader
+    // (responses only — the rtype pushdown drops ⅔ of the records at
+    // the scan), then runs cur3's exact curation: extract → lang-ID →
+    // token floor → content dedup → split. The pipeline a crawl
+    // operator actually runs, end to end from compressed bytes on
+    // disk; output must equal cur3's (the oracle IS cur3's SQL) — a
+    // pass certifies the file round trip is CURATION-invisible.
+    "cur4_crawl_curation" -> ((s, d) => {
+      import graft.text.{HtmlExtract, WarcExtract}
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_cur4_warc_").toString
+      graft.util.CacheScope.onRelease { () =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        ()
+      }
+      graft.sources.WarcGz.writeCorpus(crawlCorpus(s, d),
+        "doc_id", "text", dir, nFiles = 8)
+      val resp = s.read.format("graft-warc").load(dir)
+        .filter(col("rtype") === "response")
+        .select(regexp_extract(col("rec_id"), "urn:graft:([0-9]+)", 1)
+          .cast("long").as("doc_id"), col("payload"))
+      val ex = HtmlExtract.extract(WarcExtract.httpBody(col("payload")))
+      // payload is a stored column here, but the extract struct still
+      // re-evaluates per getField reference — same boundary as cur3
+      val cleaned = graft.util.CacheScope.track(
+        resp.select(col("doc_id"),
+          regexp_replace(ex.getField("extracted"), "\n", " ").as("clean")))
+      curateCleaned(cleaned)
     }),
 
     // URL canonicalization + URL-keyed dedup (round 14) — the
@@ -663,6 +680,38 @@ object CurationQueries {
        |    END), ''))""".stripMargin
   }
 
+  /** documents ∪ re-rendered copies of every 100th doc under a
+    * shifted id — cur3/cur4's shared planted-duplicate corpus. */
+  private def crawlCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs0 = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs0.unionAll(docs0.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+  }
+
+  /** cur3/cur4's shared curation tail over `(doc_id, clean)`:
+    * lang-ID → ≥20-token floor → exact dedup on the extracted text
+    * (min-id canonical) → deterministic split. One shuffle (the
+    * content-hash window). */
+  private def curateCleaned(cleaned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.{TextAnalysis => TA}
+    val (_, _, _, pred) = TA.langId(col("clean"))
+    val annotated = cleaned.select(col("doc_id"), col("clean"),
+      pred.as("predicted_lang"),
+      size(split(col("clean"), " ")).cast("long").as("n_tokens"))
+    val kept = annotated.filter(col("predicted_lang") === "en" &&
+      col("n_tokens") >= 20)
+    val w = Window.partitionBy("h")
+    val b = hashBucket(col("doc_id"))
+    kept.withColumn("h", md5(col("clean")))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"), col("predicted_lang"), col("n_tokens"),
+        b.as("bucket"),
+        when(b < 204, "train").when(b < 230, "val").otherwise("test")
+          .as("split"))
+  }
+
   val oracle: Map[String, String] = Map(
     "t31_warc_extract" ->
       ("""WITH corpus AS (SELECT doc_id, text FROM documents),
@@ -773,47 +822,9 @@ object CurationQueries {
         |  CAST(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END AS INT)
         |    AS is_dup
         |FROM dd""".stripMargin),
-    "cur3_web_curation" ->
-      ("""WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 2000000 AS doc_id, text
-        |  FROM documents WHERE doc_id % 100 = 0),
-        |""".stripMargin + HtmlExtractCte +
-      """,
-        |flat AS (SELECT doc_id, replace(extracted, chr(10), ' ') AS clean
-        |  FROM hx),
-        |ann AS (SELECT doc_id, clean,
-        |    CAST(len(list_filter(string_split(clean, ' '),
-        |      x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT)
-        |      AS en_score,
-        |    CAST(len(list_filter(string_split(clean, ' '),
-        |      x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT)
-        |      AS de_score,
-        |    CAST(len(list_filter(string_split(clean, ' '),
-        |      x -> list_contains(['el','la','de','y','es'], x))) AS BIGINT)
-        |      AS es_score,
-        |    CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tokens
-        |  FROM flat),
-        |lang AS (SELECT doc_id, clean, n_tokens,
-        |    CASE WHEN de_score > en_score AND de_score >= es_score THEN 'de'
-        |         WHEN es_score > en_score AND es_score > de_score THEN 'es'
-        |         ELSE 'en' END AS predicted_lang
-        |  FROM ann),
-        |kept AS (SELECT * FROM lang
-        |  WHERE predicted_lang = 'en' AND n_tokens >= 20),
-        |ded AS (SELECT *,
-        |    min(doc_id) OVER (PARTITION BY md5(clean)) AS canonical_id
-        |  FROM kept)
-        |SELECT doc_id, predicted_lang, n_tokens,
-        |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
-        |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket,
-        |  CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
-        |            (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 204 THEN 'train'
-        |       WHEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
-        |            (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 230 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM ded WHERE doc_id = canonical_id""".stripMargin),
+    "cur3_web_curation" -> Cur3OracleSql,
+    // the file round trip is curation-invisible: cur4 == cur3
+    "cur4_crawl_curation" -> Cur3OracleSql,
     "t21_dsir_weights" ->
       """WITH b AS (
         |  SELECT doc_id, lang,
@@ -1126,4 +1137,48 @@ object CurationQueries {
         |  bucket * 1000000000 + cum_before // 2000 AS shard_id
         |FROM c""".stripMargin
   )
+
+  /** cur3's curation replay — and cur4's: the .warc.gz round trip
+    * must be curation-invisible. */
+  private lazy val Cur3OracleSql: String =
+      ("""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |""".stripMargin + HtmlExtractCte +
+      """,
+        |flat AS (SELECT doc_id, replace(extracted, chr(10), ' ') AS clean
+        |  FROM hx),
+        |ann AS (SELECT doc_id, clean,
+        |    CAST(len(list_filter(string_split(clean, ' '),
+        |      x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT)
+        |      AS en_score,
+        |    CAST(len(list_filter(string_split(clean, ' '),
+        |      x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT)
+        |      AS de_score,
+        |    CAST(len(list_filter(string_split(clean, ' '),
+        |      x -> list_contains(['el','la','de','y','es'], x))) AS BIGINT)
+        |      AS es_score,
+        |    CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tokens
+        |  FROM flat),
+        |lang AS (SELECT doc_id, clean, n_tokens,
+        |    CASE WHEN de_score > en_score AND de_score >= es_score THEN 'de'
+        |         WHEN es_score > en_score AND es_score > de_score THEN 'es'
+        |         ELSE 'en' END AS predicted_lang
+        |  FROM ann),
+        |kept AS (SELECT * FROM lang
+        |  WHERE predicted_lang = 'en' AND n_tokens >= 20),
+        |ded AS (SELECT *,
+        |    min(doc_id) OVER (PARTITION BY md5(clean)) AS canonical_id
+        |  FROM kept)
+        |SELECT doc_id, predicted_lang, n_tokens,
+        |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket,
+        |  CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |            (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 204 THEN 'train'
+        |       WHEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |            (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 230 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM ded WHERE doc_id = canonical_id""".stripMargin)
 }
