@@ -436,6 +436,40 @@ object DocQueries {
       MinHash.exactJaccard(pairs, grams, "doc_id")
     }),
 
+    // Cross-document LINE dedup (round 15) — the CCNet/C4 move the
+    // within-doc family doesn't cover: the SAME newline-delimited
+    // line repeated across documents (boilerplate footers, cookie
+    // banners, licence lines) keeps its FIRST occurrence corpus-wide
+    // ((doc_id, line_ix) order — deterministic) and drops everywhere
+    // else; documents reassemble from their surviving lines. Differs
+    // from dd11 (fixed 8-token passages) in grain — lines are the
+    // unit boilerplate actually repeats at — and from t24 (per-doc
+    // line QUALITY filter) in scope: this one is corpus-global. The
+    // dedupCorpus copies share every line except their changed tail,
+    // so the dup mass is real at every sf. One shuffle (the
+    // line-hash window); reassembly is a groupBy the same shuffle
+    // serves.
+    "t33_line_dedup" -> ((s, d) => {
+      val lines = dedupCorpus(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+        .toDF("doc_id", "ix", "line")
+      val w = Window.partitionBy(md5(col("line")))
+        .orderBy(col("doc_id"), col("ix"))
+      val kept = lines.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val agg = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws("\n", array_sort(collect_list(struct(col("ix"),
+            col("line")))).getField("line")).as("text_dedup"))
+      dedupCorpus(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), "\n")).cast(LongType).as("n_lines"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+    }),
+
     // Overlapping fixed-window chunking (RAG / context-window prep):
     // stride-150, size-200 character windows, so consecutive chunks
     // share 50 chars. The chunk count is pure INTEGER arithmetic
@@ -1052,6 +1086,24 @@ object DocQueries {
         |  COALESCE(a.n_kept, 0) AS n_kept,
         |  COALESCE(a.text_dedup, '') AS text_dedup
         |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "t33_line_dedup" ->
+      s"""WITH $corpusCte,
+        |l AS (SELECT doc_id, u.ix AS ix, u.line AS line FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+        |    i -> {'ix': CAST(i AS BIGINT), 'line': ls[CAST(i AS INTEGER)]})) AS u
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+        |        FROM corpus) t0) t1),
+        |k AS (SELECT doc_id, ix, line, row_number() OVER (
+        |    PARTITION BY md5(line) ORDER BY doc_id, ix) AS rn FROM l),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY ix) AS text_dedup
+        |  FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  CAST(len(string_split(c.text, chr(10))) AS BIGINT) AS n_lines,
+        |  COALESCE(a.n_kept, 0) AS n_kept,
+        |  COALESCE(a.text_dedup, '') AS text_dedup
+        |FROM corpus c LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "dd4_ngram_jaccard" ->
       """WITH grams AS (

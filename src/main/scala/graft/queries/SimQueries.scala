@@ -232,6 +232,44 @@ object SimQueries {
       Embeddings.nearDupPairs(dd7Corpus(s, d),
         "vec_id", "e", threshold = 0.9, bits = Dd7Bits, tables = Dd7Tables)),
 
+    // Incremental EMBEDDING near-dup (round 15) — the dd18 move for
+    // the vector modality, closing the last one-shot member of the
+    // incremental family ([[graft.sim.EmbedIndex]]): sign-LSH bands +
+    // quantized vectors persist in bucketed tables under pinned
+    // (bits, tables) geometry; each batch probes the stored bands
+    // exchange-free and verifies exact integer cosine against the
+    // id-bucketed vector store. dd7's corpus ingested as three
+    // batches on vec_id%3 — every exact copy (id+2e6, 2e6≡2 mod 3)
+    // lands in a DIFFERENT batch from its source, so recovering them
+    // exercises the stored probe; perturbed copies (id+3e6) stay
+    // within-batch, covering the new-new join. Batch-wise must equal
+    // the one-shot dd7 pass exactly: deterministic keys + exact
+    // cosine — the oracle IS dd7's SQL.
+    "dd25_incremental_embed" -> ((s, d) => {
+      import graft.sim.EmbedIndex
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_dd25_idx_").toString
+      graft.util.CacheScope.onRelease(() => EmbedIndex.dropIndex(s, dir))
+      val corpus = graft.util.CacheScope.track(dd7Corpus(s, d))
+      val pairs = (0 until 3)
+        .map(i => EmbedIndex.ingestBatch(
+          corpus.filter(pmod(col("vec_id"), lit(3)) === i),
+          "vec_id", "e", dir, i, threshold = 0.9,
+          bits = Dd7Bits, tables = Dd7Tables))
+        .reduce(_ unionAll _)
+        .localCheckpoint() // the recall guard below re-reads it
+      val planted = corpus
+        .filter(col("vec_id") >= 2000000L && col("vec_id") < 3000000L)
+        .count()
+      val found = pairs
+        .filter(col("b_id") === col("a_id") + 2000000L)
+        .select("a_id").distinct().count()
+      require(found == planted,
+        s"dd25: recovered $found of $planted planted cross-batch " +
+          "exact copies — identical vectors collide in every table")
+      pairs
+    }),
+
     // SEMANTIC dedup canonicalization (SemDeDup's shape): the
     // embedding near-dup pair graph (dd7's exact-integer cosine over
     // LSH candidates) contracts to connected components, and each
@@ -1102,6 +1140,12 @@ object SimQueries {
       |  FROM cand c JOIN v va ON va.id = c.a_id JOIN v vb ON vb.id = c.b_id)""".stripMargin
   }
 
+  /** The one-shot embedding near-dup pair SQL — dd7's gate and,
+    * batch-wise == one-shot, dd25's. */
+  private lazy val Dd7PairsSql: String =
+    s"""WITH $dd7OracleCte
+      |SELECT a_id, b_id, cos_sim FROM scored WHERE cos_sim >= 0.9""".stripMargin
+
   /** dd7/dd14's extended corpus: base ∪ exact copies (id+2e6) ∪
     * perturbed copies (id+3e6, x*0.9+0.05 → cosine ≈ 0.92 vs the
     * original; natural pairs max ≈ 0.51), so duplicate groups exist
@@ -1581,9 +1625,10 @@ object SimQueries {
         |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored)
         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin
     },
-    "dd7_embed_neardup" ->
-      s"""WITH $dd7OracleCte
-        |SELECT a_id, b_id, cos_sim FROM scored WHERE cos_sim >= 0.9""".stripMargin,
+    "dd7_embed_neardup" -> Dd7PairsSql,
+    // batch-wise == one-shot is the dd25 contract (deterministic keys
+    // + exact integer cosine — nothing to tolerate): dd7's SQL
+    "dd25_incremental_embed" -> Dd7PairsSql,
     // the same pair graph contracted to components (recursive reach
     // over the symmetric ≥0.9 edges), min id canonical
     "dd14_semantic_dedup" ->

@@ -424,6 +424,53 @@ class IndexSpec extends SparkSuite {
     ClusterIndex.dropIndex(spark, dir2)
   }
 
+  test("EmbedIndex: geometry pin, idempotent retry, compaction probe-identity") {
+    import graft.sim.EmbedIndex
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    // copies of every 20th vector under shifted ids: guaranteed pairs
+    val corpus = emb.unionAll(emb.filter($"vec_id" % 20 === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"e"))
+    val dir = java.nio.file.Files.createTempDirectory("emb_idx_").toString
+    def ingest(i: Int) = EmbedIndex.ingestBatch(
+      corpus.filter(pmod(col("vec_id"), lit(2)) === i), "vec_id", "e",
+      dir, i, threshold = 0.9, bits = 6, tables = 4)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p0 = key(ingest(0))
+    val p1 = key(ingest(1))
+    // one-shot over the same corpus under the same geometry
+    val oneShot = key(graft.sim.Embeddings.nearDupPairs(corpus,
+      "vec_id", "e", threshold = 0.9, bits = 6, tables = 4))
+    assert((p0 ++ p1) == oneShot && oneShot.nonEmpty,
+      "batch-wise ingest must equal the one-shot pass")
+    // a mismatched geometry refuses before touching the store
+    val e = intercept[IllegalArgumentException](EmbedIndex.ingestBatch(
+      corpus.limit(1), "vec_id", "e", dir, 2, 0.9, bits = 8, tables = 4))
+    assert(e.getMessage.contains("unreachable"), e.getMessage)
+    // idempotent retry of batch 1
+    assert(key(ingest(1)) == p1)
+    // compaction: fold, then a fresh batch probes identically
+    val probe = corpus.filter($"vec_id" % 20 === 0)
+      .select(($"vec_id" + 200000L).as("vec_id"), $"e")
+    val dir2 = java.nio.file.Files.createTempDirectory("emb_idx2_").toString
+    def ingest2(i: Int) = EmbedIndex.ingestBatch(
+      corpus.filter(pmod(col("vec_id"), lit(2)) === i), "vec_id", "e",
+      dir2, i, threshold = 0.9, bits = 6, tables = 4)
+    ingest2(0); ingest2(1)
+    val ctl = key(EmbedIndex.ingestBatch(probe, "vec_id", "e", dir, 3,
+      0.9, bits = 6, tables = 4))
+    assert(EmbedIndex.compact(spark, dir2))
+    val got = key(EmbedIndex.ingestBatch(probe, "vec_id", "e", dir2, 3,
+      0.9, bits = 6, tables = 4))
+    assert(got == ctl && ctl.nonEmpty,
+      "compacted embed-index probe must match uncompacted")
+    EmbedIndex.dropIndex(spark, dir)
+    EmbedIndex.dropIndex(spark, dir2)
+  }
+
   test("ingest verify joins: shuffle-join regime == broadcast regime") {
     // round 14 removed the forced broadcast() hints on the batch side
     // of the verify lookups (a production batch is a day of crawl —
