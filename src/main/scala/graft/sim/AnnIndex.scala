@@ -48,6 +48,18 @@ object AnnIndex {
 
   private def geometryPath(indexDir: String) = s"$indexDir/_geometry.tsv"
 
+  private def codesSpec(indexDir: String): Seq[DedupIndex.TableSpec] =
+    Seq(DedupIndex.TableSpec(tableName(indexDir), "codes", Seq("cl")))
+
+  /** OPTIMIZE: fold the batch partitions of the codes table into one
+    * generation ([[DedupIndex.compactSpecs]]'s marker protocol on the
+    * single-table spec) — daily ingestion otherwise leaves one
+    * partition per batch forever, every probe scanning all of them.
+    * Folding a batch ends its retry window, as across the family. */
+  def compact(spark: SparkSession, indexDir: String,
+              buckets: Int = 4): Boolean =
+    DedupIndex.compactSpecs(spark, indexDir, codesSpec(indexDir), buckets)
+
   final case class Geometry(m: Int, subDim: Int, nTrain: Int,
                             cents: Seq[(Int, Long, Seq[Long])],
                             codes: Seq[(Int, Long, Seq[Long])])
@@ -119,6 +131,7 @@ object AnnIndex {
       .join(q.select(col("id"), col("cl")), Seq("id"))
       .select(col("id"), col("cl"), col("j"), col("code"))
     val t = tableName(indexDir)
+    DedupIndex.recoverSpecs(spark, indexDir, codesSpec(indexDir))
     DedupIndex.ensureTable(spark, codes, t, s"$indexDir/codes",
       Seq("cl"), buckets)
     DedupIndex.writeIndexed(spark, codes, t, s"$indexDir/codes",
@@ -149,6 +162,7 @@ object AnnIndex {
     val lut = Embeddings.pqLut(
       Embeddings.pqSubs(qv, g.m, g.subDim), codebookDf(spark, g),
       lit(true))
+    DedupIndex.recoverSpecs(spark, indexDir, codesSpec(indexDir))
     val codes = spark.table(tableName(indexDir))
       .select(col("id"), col("cl"), col("j"), col("code"))
     Embeddings.adcRank(codes.join(broadcast(probed), Seq("cl"))

@@ -252,6 +252,17 @@ object DedupIndex {
               buckets: Int = 4): Boolean =
     compactPair(spark, indexDir, pairSpec(indexDir), buckets)
 
+  /** One table of an incremental index, in compaction terms — the
+    * grain [[compactSpecs]] folds. A PairSpec is two of these in
+    * WRITE order (data first, probe last); [[graft.sim.AnnIndex]]'s
+    * single codes table is one. */
+  private[graft] final case class TableSpec(table: String, sub: String,
+                                            keys: Seq[String])
+
+  private def specsOf(ps: PairSpec): Seq[TableSpec] = Seq(
+    TableSpec(ps.dataTable, ps.dataSub, ps.dataKeys),
+    TableSpec(ps.probeTable, ps.probeSub, ps.probeKeys))
+
   private[graft] def markerPath(indexDir: String, ps: PairSpec) =
     s"$indexDir/_compact_${ps.probeSub}.tsv"
 
@@ -263,15 +274,15 @@ object DedupIndex {
   }
 
   /** Drop one batch partition from catalog + disk — probe table
-    * FIRST (the torn invariant `bands ⊆ sets` must survive any
-    * crash point inside the drop). */
+    * FIRST (reverse write order: the torn invariant `bands ⊆ sets`
+    * must survive any crash point inside the drop). */
   private def dropBatch(spark: SparkSession, indexDir: String,
-                        ps: PairSpec, b: Int): Unit =
-    for ((t, sub) <- Seq((ps.probeTable, ps.probeSub),
-        (ps.dataTable, ps.dataSub))) {
-      if (spark.catalog.tableExists(t))
-        spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (batch='$b')")
-      fsDelete(spark, s"$indexDir/$sub/batch=$b")
+                        specs: Seq[TableSpec], b: Int): Unit =
+    for (s <- specs.reverse) {
+      if (spark.catalog.tableExists(s.table))
+        spark.sql(
+          s"ALTER TABLE ${s.table} DROP IF EXISTS PARTITION (batch='$b')")
+      fsDelete(spark, s"$indexDir/${s.sub}/batch=$b")
     }
 
   /** Rewrite the `srcs` batches of one table into `batch=target`.
@@ -301,28 +312,37 @@ object DedupIndex {
   private[graft] def compactPair(spark: SparkSession, indexDir: String,
                                  ps: PairSpec, buckets: Int,
                                  reduce: DataFrame => DataFrame = identity)
+    : Boolean =
+    compactSpecs(spark, indexDir, specsOf(ps), buckets, reduce)
+
+  /** The generalized fold: `specs` in WRITE order (probe LAST — its
+    * partitions are the source-of-truth batch list, complete ⊆ data
+    * by the torn invariant; a single-table index passes one spec).
+    * Marker/crash semantics unchanged from the pair form. */
+  private[graft] def compactSpecs(spark: SparkSession, indexDir: String,
+                                  specs: Seq[TableSpec], buckets: Int,
+                                  reduce: DataFrame => DataFrame = identity)
     : Boolean = {
-    recoverPair(spark, indexDir, ps)
-    if (!spark.catalog.tableExists(ps.probeTable)) return false
+    val probe = specs.last
+    recoverSpecs(spark, indexDir, specs)
+    if (!spark.catalog.tableExists(probe.table)) return false
     // COMPLETE batches only (probe ⊆ data by the torn invariant): a
     // sets/hashes orphan from a torn ingest stays its own partition
-    val srcs = fsBatches(spark, s"$indexDir/${ps.probeSub}")
+    val srcs = fsBatches(spark, s"$indexDir/${probe.sub}")
     if (srcs.size <= 1) return false
     val target = math.min(srcs.min, 0) - 1
-    val marker = markerPath(indexDir, ps)
+    val marker = s"$indexDir/_compact_${probe.sub}.tsv"
     graft.util.AtomicText.writeAtomically(marker,
       s"state\tstaged\ntarget\t$target\n" +
         s"sources\t${srcs.toSeq.sorted.mkString(",")}\n")
-    // data table first, probe second (ingest's write order); a crash
+    // write order = ingest's (data first, probe last); a crash
     // anywhere in here rolls BACK via the staged marker
-    stageAndWrite(spark, indexDir, ps.dataTable, ps.dataSub, ps.dataKeys,
-      buckets, target, srcs, reduce)
-    stageAndWrite(spark, indexDir, ps.probeTable, ps.probeSub, ps.probeKeys,
-      buckets, target, srcs, reduce)
+    specs.foreach(s => stageAndWrite(spark, indexDir, s.table, s.sub,
+      s.keys, buckets, target, srcs, reduce))
     graft.util.AtomicText.writeAtomically(marker,
       s"state\tcommitted\ntarget\t$target\n" +
         s"sources\t${srcs.toSeq.sorted.mkString(",")}\n")
-    srcs.toSeq.sorted.foreach(b => dropBatch(spark, indexDir, ps, b))
+    srcs.toSeq.sorted.foreach(b => dropBatch(spark, indexDir, specs, b))
     fsDelete(spark, marker)
     true
   }
@@ -331,8 +351,12 @@ object DedupIndex {
     * every ingest, probe view, and compaction — a no-op unless the
     * marker file exists. */
   private[graft] def recoverPair(spark: SparkSession, indexDir: String,
-                                 ps: PairSpec): Unit = {
-    val marker = markerPath(indexDir, ps)
+                                 ps: PairSpec): Unit =
+    recoverSpecs(spark, indexDir, specsOf(ps))
+
+  private[graft] def recoverSpecs(spark: SparkSession, indexDir: String,
+                                  specs: Seq[TableSpec]): Unit = {
+    val marker = s"$indexDir/_compact_${specs.last.sub}.tsv"
     val lines = graft.util.AtomicText.readLines(marker)
     if (lines.isEmpty) return
     val kv = lines.map(_.split("\t", 2))
@@ -342,21 +366,19 @@ object DedupIndex {
       case "staged" =>
         // the generation rewrite may be torn; every source partition
         // is still intact — undo and leave the index uncompacted
-        for ((t, sub) <- Seq((ps.probeTable, ps.probeSub),
-            (ps.dataTable, ps.dataSub))) {
-          if (spark.catalog.tableExists(t))
-            spark.sql(
-              s"ALTER TABLE $t DROP IF EXISTS PARTITION (batch='$target')")
-          fsDelete(spark, s"$indexDir/$sub/batch=$target")
-          fsDelete(spark, s"$indexDir/_compact_tmp_$sub")
+        for (s <- specs.reverse) {
+          if (spark.catalog.tableExists(s.table))
+            spark.sql(s"ALTER TABLE ${s.table} " +
+              s"DROP IF EXISTS PARTITION (batch='$target')")
+          fsDelete(spark, s"$indexDir/${s.sub}/batch=$target")
+          fsDelete(spark, s"$indexDir/_compact_tmp_${s.sub}")
         }
       case "committed" =>
-        // both generation partitions are complete — finish the drops
+        // every generation partition is complete — finish the drops
         val srcs = kv.get("sources").toSeq
           .flatMap(_.split(",")).filter(_.nonEmpty).map(_.toInt)
-        srcs.foreach(b => dropBatch(spark, indexDir, ps, b))
-        Seq(ps.probeSub, ps.dataSub)
-          .foreach(s => fsDelete(spark, s"$indexDir/_compact_tmp_$s"))
+        srcs.foreach(b => dropBatch(spark, indexDir, specs, b))
+        specs.foreach(s => fsDelete(spark, s"$indexDir/_compact_tmp_${s.sub}"))
       case s => throw new IllegalStateException(
         s"compaction marker $marker has unknown state '$s'")
     }

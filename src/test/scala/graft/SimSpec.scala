@@ -167,6 +167,12 @@ class SimSpec extends SparkSuite {
       "vec_id", "embedding", "label", dir, 1)
     assert(canon(AnnIndex.query(spark, dir, queries,
       "vec_id", "embedding", k = 5, nprobe = 2)) == oneShot)
+    // OPTIMIZE folds the batch partitions into one generation and the
+    // query is invariant
+    assert(AnnIndex.compact(spark, dir))
+    assert(graft.text.DedupIndex.fsBatches(spark, s"$dir/codes") == Set(-1))
+    assert(canon(AnnIndex.query(spark, dir, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)) == oneShot)
     AnnIndex.dropIndex(spark, dir)
     // querying a geometry-less index refuses loudly
     val e2 = intercept[IllegalArgumentException](
