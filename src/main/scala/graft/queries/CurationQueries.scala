@@ -381,6 +381,48 @@ object CurationQueries {
         ex.getField("extracted").as("extracted"))
     }),
 
+    // robots.txt politeness filter (round 15) — the gate between URL
+    // canonicalization and fetch/keep (RFC 9309): per-host
+    // Allow/Disallow rules parsed from REAL robots.txt bodies (the
+    // engine's pure-Column line parser; comments, the empty-Disallow
+    // idiom, and case variants handled), decided by LONGEST matching
+    // prefix with ties to Allow and unmatched allowed. Rules
+    // broadcast (per-host table, tiny vs the URL corpus); one
+    // per-URL window. The generator's two canonical hosts carry
+    // different rule shapes — a blanket Disallow with an Allow
+    // carve-out, and overlapping prefixes where the longer Allow
+    // must beat the shorter Disallow; DuckDB replays parse + match
+    // resolution blind.
+    "t34_robots_filter" -> ((s, d) => {
+      import graft.text.{Robots, UrlCanon}
+      import s.implicits._
+      val robots = Seq(
+        ("example.com",
+          "User-agent: *\nDisallow: /p/~v1\nAllow: /p/~v12\n" +
+            "# generated boilerplate\nDisallow: /p/~v3\nDisallow:\n"),
+        ("sub.example.org:8080",
+          "User-agent: *\nDisallow: /p/~v\nAllow: /p/~v2\n"))
+        .toDF("host", "robots_txt")
+      val rules = robots.select(col("host"),
+          explode(Robots.parseRules(col("robots_txt"))).as("r"))
+        .select(col("host"), col("r.verdict").as("verdict"),
+          col("r.prefix").as("prefix"))
+      // canon materialized once: host+path extraction would re-run
+      // the canonicalize HOF chain per reference
+      val urls = graft.util.CacheScope.track(Tables.documents(s, d)
+        .select(col("doc_id"),
+          UrlCanon.canonicalize(UrlCanon.renderUrl(col("doc_id")))
+            .as("canon")))
+        .select(col("doc_id"),
+          regexp_extract(col("canon"), "^[^:/?#]+://([^/?#]*)", 1)
+            .as("host"),
+          regexp_extract(col("canon"), "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+            .as("path"))
+      Robots.decide(urls, rules, Seq("doc_id"))
+        .select(col("doc_id"), col("host"), col("path"),
+          col("matched_prefix"), col("allowed"))
+    }),
+
     // Deterministic stratified sample + train/val/test split
     // (~80/10/10 by hash bucket; 10% systematic sample flag).
     // The operators COMPOSED — one pass of the curation flow a
@@ -722,6 +764,42 @@ object CurationQueries {
         |  CAST(200 AS INT) AS http_status,
         |  hx.n_kept, hx.extracted
         |FROM ht JOIN hx USING (doc_id)""".stripMargin),
+    // t34 replays parse + longest-match resolution blind: the same
+    // rules as VALUES, host/path from the canonicalization chain
+    "t34_robots_filter" ->
+      (s"""WITH u AS (SELECT doc_id, $RawUrlSql AS url
+        |  FROM documents),
+        |un AS (SELECT doc_id, ${percentNormSql("url")} AS nu FROM u),
+        |c AS (SELECT doc_id,
+        |  lower(regexp_extract(nu, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |    AS scheme,
+        |  lower(regexp_extract(nu, '^[^:/?#]+://([^/?#]*)', 1)) AS auth,
+        |  regexp_extract(nu, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS p
+        |  FROM un),
+        |h AS (SELECT doc_id,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
+        |       ELSE auth END AS host,
+        |  CASE WHEN p = '' THEN '/' ELSE p END AS path
+        |  FROM c),
+        |rules(host, verdict, prefix) AS (VALUES
+        |  ('example.com', 'disallow', '/p/~v1'),
+        |  ('example.com', 'allow',    '/p/~v12'),
+        |  ('example.com', 'disallow', '/p/~v3'),
+        |  ('sub.example.org:8080', 'disallow', '/p/~v'),
+        |  ('sub.example.org:8080', 'allow',    '/p/~v2')),
+        |m AS (SELECT h.doc_id, h.host, h.path, r.verdict, r.prefix,
+        |    (r.prefix IS NOT NULL AND starts_with(h.path, r.prefix)) AS hit
+        |  FROM h LEFT JOIN rules r ON r.host = h.host),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY hit DESC, length(prefix) DESC NULLS LAST,
+        |             verdict ASC) AS rn
+        |  FROM m)
+        |SELECT doc_id, host, path,
+        |  CASE WHEN hit THEN prefix ELSE '' END AS matched_prefix,
+        |  CAST(CASE WHEN NOT hit OR verdict = 'allow' THEN 1 ELSE 0 END
+        |    AS INT) AS allowed
+        |FROM rk WHERE rn = 1""".stripMargin),
     // t32 replays the gzip-file round trip blind: record count and
     // type multiset are structural (3 per doc, sorted), URI/status/
     // extraction replay exactly as t31 — a hash match certifies the

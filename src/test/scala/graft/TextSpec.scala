@@ -224,6 +224,43 @@ class TextSpec extends SparkSuite {
       assert(got(raw) == want, s"$raw -> ${got(raw)}, want $want")
   }
 
+  test("robots filter: longest match, tie to allow, unmatched allowed") {
+    import graft.text.Robots
+    val rules = Seq(
+      ("a.com", "disallow", "/x"),
+      ("a.com", "allow", "/x/pub"),
+      ("a.com", "allow", "/y"),
+      ("a.com", "disallow", "/y"), // equal-length tie: allow must win
+      ("b.org", "disallow", "/")).toDF("host", "verdict", "prefix")
+    val urls = Seq(
+      (1L, "a.com", "/x/secret"),   // blocked by /x
+      (2L, "a.com", "/x/pub/page"), // longer /x/pub allows
+      (3L, "a.com", "/z"),          // rules on host, none match
+      (4L, "a.com", "/y/thing"),    // tie → allow
+      (5L, "b.org", "/anything"),   // blanket block
+      (6L, "c.net", "/no/rules"))   // host without rules
+      .toDF("doc_id", "host", "path")
+    val got = Robots.decide(urls, rules, Seq("doc_id"))
+      .select("doc_id", "matched_prefix", "allowed").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(got(1L) == (("/x", 0)), got(1L).toString)
+    assert(got(2L) == (("/x/pub", 1)))
+    assert(got(3L) == (("", 1)))
+    assert(got(4L) == (("/y", 1)))
+    assert(got(5L) == (("/", 0)))
+    assert(got(6L) == (("", 1)))
+    // parser: comments, empty-Disallow idiom, case variants, and
+    // foreign directives (Sitemap:) all handled
+    val parsed = Seq(Tuple1("User-agent: *\n# c\nDISALLOW: /a\n" +
+        "allow: /a/b\nDisallow:\nSitemap: http://x\n"))
+      .toDF("t")
+      .select(explode(Robots.parseRules($"t")).as("r"))
+      .select("r.verdict", "r.prefix").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(parsed == Set(("disallow", "/a"), ("allow", "/a/b")),
+      parsed.toString)
+  }
+
   test("warc records: content-length accounting survives delimiter bait") {
     import graft.text.WarcExtract
     // payload contains BOTH the record terminator and a fake record
