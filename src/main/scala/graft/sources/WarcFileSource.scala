@@ -218,7 +218,8 @@ final class GraftWarcTable(root: String) extends Table with SupportsRead {
   override def name(): String = s"graft-warc `$root`"
   override def schema(): StructType = WarcFile.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns
@@ -284,16 +285,99 @@ final class GraftWarcScan(root: String, required: StructType,
         java.util.OptionalLong.empty()
     }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val rtypes: Option[Set[String]] = {
-      val sets = pushed.toSeq.collect {
-        case EqualTo("rtype", v: String) => Set(v)
-        case In("rtype", vs)             => vs.collect { case s: String => s }.toSet
-      }
-      sets.reduceOption(_ intersect _)
+  private def pushedRtypes: Option[Set[String]] = {
+    val sets = pushed.toSeq.collect {
+      case EqualTo("rtype", v: String) => Set(v)
+      case In("rtype", vs)             => vs.collect { case s: String => s }.toSet
     }
-    new WarcReaderFactory(required, rtypes)
+    sets.reduceOption(_ intersect _)
   }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required, pushedRtypes)
+
+  /** STREAMING tail of the landing directory — crawl dumps land as
+    * files over hours/days, and the pipeline follows them. Offsets
+    * are (count, last-name) over the LEXICOGRAPHICALLY sorted file
+    * list: each micro-batch reads exactly the files between the two
+    * counts, which is exactly-once iff names arrive MONOTONICALLY —
+    * the contract every crawl layout satisfies (Common Crawl segment
+    * paths are timestamped; the test writer's part numbers ascend).
+    * A file that appears BEHIND the committed watermark would
+    * otherwise be silently skipped forever, so the planner refuses
+    * loudly instead (rename it forward or re-land it — the same
+    * loud-over-silent posture as the index torn guards). Files are
+    * immutable once landed (the gzip trailer makes a torn copy fail
+    * its CRC rather than half-read). */
+  override def toMicroBatchStream(checkpointLocation: String)
+    : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcMicroBatchStream(root, required, pushedRtypes)
+}
+
+final case class WarcStreamOffset(n: Int, last: String)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val esc = last.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"n":$n,"last":"$esc"}"""
+  }
+}
+
+final class WarcMicroBatchStream(root: String, required: StructType,
+                                 rtypes: Option[Set[String]])
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listFiles(): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val st = fs.getFileStatus(p)
+      val all = if (st.isFile) Seq(st) else fs.listStatus(p).filter(_.isFile).toSeq
+      all.map(_.getPath.toString)
+        .filter(n => n.endsWith(".warc.gz") || n.endsWith(".warc"))
+        .sorted
+    }
+  }
+
+  override def initialOffset(): Offset = WarcStreamOffset(0, "")
+  override def latestOffset(): Offset = {
+    val fs = listFiles()
+    WarcStreamOffset(fs.size, fs.lastOption.getOrElse(""))
+  }
+  override def deserializeOffset(json: String): Offset = {
+    val m = """\{"n":(\d+),"last":"(.*)"\}""".r
+    json match {
+      case m(n, last) => WarcStreamOffset(n.toInt,
+        last.replace("\\\"", "\"").replace("\\\\", "\\"))
+      case _ => throw new IllegalArgumentException(
+        s"graft-warc: unparseable stream offset $json")
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+    : Array[InputPartition] = {
+    val s = start.asInstanceOf[WarcStreamOffset]
+    val e = end.asInstanceOf[WarcStreamOffset]
+    val fs = listFiles()
+    require(fs.size >= e.n,
+      s"graft-warc: ${e.n - fs.size} file(s) VANISHED from $root after " +
+        "the offset was planned — landed files must be immutable")
+    val batch = fs.slice(s.n, e.n)
+    // monotone-naming contract: a file sorting at/behind the committed
+    // watermark would be skipped silently forever — refuse loudly
+    val behind = if (s.last.isEmpty) Nil else batch.filter(_ <= s.last)
+    require(behind.isEmpty,
+      s"graft-warc: file(s) ${behind.mkString(",")} landed BEHIND the " +
+        s"committed watermark '${s.last}' — names must ascend (re-land " +
+        "them under a later name)")
+    batch.map(p => WarcFilePartition(p, 0L): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required, rtypes)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final class WarcReaderFactory(required: StructType,

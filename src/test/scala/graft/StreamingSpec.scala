@@ -1450,6 +1450,64 @@ class StreamingSpec extends SparkSuite {
     GraftSqlTables.unregister("stmv_src")
   }
 
+  test("graft-warc streaming tail: exactly-once files, restart, watermark guard") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("warc_tail_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("warc_tail_ck_").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    def land(name: String, ids: (Long, Long)): Unit = {
+      val recs = docs.filter($"doc_id" >= ids._1 && $"doc_id" < ids._2)
+        .orderBy($"doc_id")
+        .select(graft.text.WarcExtract.renderWarcRecords(
+          $"doc_id", split($"text", " ")).as("recs"))
+        .collect()
+      val out = new java.io.FileOutputStream(s"$dir/$name")
+      try recs.foreach(_.getSeq[String](0).foreach { r =>
+        out.write(graft.sources.WarcFile.gzipMember(r.getBytes("ISO-8859-1")))
+      }) finally out.close()
+    }
+    land("part-0001.warc.gz", (0L, 10L))
+    land("part-0002.warc.gz", (10L, 20L))
+    val sink = java.nio.file.Files.createTempDirectory("warc_tail_snk_")
+      .toString
+    def start() = spark.readStream.format("graft-warc").load(dir)
+      .filter($"rtype" === "response")
+      .select(regexp_extract($"rec_id", "urn:graft:([0-9]+)", 1)
+        .cast("long").as("doc_id"))
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def seen(): Seq[Long] = spark.read.parquet(sink)
+      .as[Long].collect().toSeq.sorted
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(seen() == (0L until 20L), s"first tail: ${seen()}")
+      // a third file lands (name ascends): exactly once, no re-reads
+      land("part-0003.warc.gz", (20L, 25L))
+      q.processAllAvailable()
+      assert(seen() == (0L until 25L), s"after landing: ${seen()}")
+    } finally q.stop()
+    // restart from the checkpoint: nothing re-delivers, new files flow
+    land("part-0004.warc.gz", (25L, 30L))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(seen() == (0L until 30L), s"after restart: ${seen()}")
+      // a file landing BEHIND the committed watermark refuses loudly
+      // (silent skip-forever is the failure mode this guards)
+      land("part-0000-late.warc.gz", (30L, 31L))
+      land("part-9999.warc.gz", (31L, 32L))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("BEHIND the") ||
+        Option(e.getCause).exists(_.getMessage.contains("BEHIND the")),
+        e.getMessage)
+    } finally q2.stop()
+  }
+
   test("streaming span candidates == batch anchor collisions; df cap tombstones") {
     // the dd22 arc at the STREAM grain: documents arrive, anchors
     // explode per row, and flatMapGroupsWithState keyed by anchor
