@@ -423,6 +423,55 @@ object CurationQueries {
           col("matched_prefix"), col("allowed"))
     }),
 
+    // Streaming crawl front (round 15) — the END-TO-END live
+    // pipeline: `.warc.gz` files land in waves, the `graft-warc`
+    // micro-batch tail follows them (exactly-once file offsets), and
+    // each batch runs the t29 extraction chain into a parquet sink —
+    // crawl bytes to extracted text WHILE THE CRAWL RUNS, the
+    // operational form of t32's batch pass. The second wave lands
+    // while the stream is LIVE (st3's mid-stream commit move), so
+    // the incremental-offset path is what the oracle gates, not just
+    // a one-shot drain.
+    "st15_warc_stream" -> ((s, d) => {
+      import graft.text.{HtmlExtract, WarcExtract}
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_st15_").toString
+      graft.util.CacheScope.onRelease { () =>
+        val p = new org.apache.hadoop.fs.Path(base)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        ()
+      }
+      val land = s"$base/land"
+      val outDir = s"$base/out"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.sources.WarcGz.writeCorpus(docs.filter(col("doc_id") % 4 =!= 3),
+        "doc_id", "text", land, nFiles = 4, prefix = "w1")
+      val ex = HtmlExtract.extract(WarcExtract.httpBody(col("payload")))
+      val q = s.readStream.format("graft-warc").load(land)
+        .filter(col("rtype") === "response")
+        .select(
+          regexp_extract(col("rec_id"), "urn:graft:([0-9]+)", 1)
+            .cast("long").as("doc_id"),
+          col("uri").as("target_uri"),
+          WarcExtract.httpStatus(col("payload")).as("http_status"),
+          ex.getField("n_kept").as("n_kept"),
+          ex.getField("extracted").as("extracted"))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try {
+        q.processAllAvailable()
+        // wave 2 lands while the stream is live (names ascend)
+        graft.sources.WarcGz.writeCorpus(
+          docs.filter(col("doc_id") % 4 === 3),
+          "doc_id", "text", land, nFiles = 2, prefix = "w2")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(outDir).select("doc_id", "target_uri",
+        "http_status", "n_kept", "extracted")
+    }),
+
     // Deterministic stratified sample + train/val/test split
     // (~80/10/10 by hash bucket; 10% systematic sample flag).
     // The operators COMPOSED — one pass of the curation flow a
@@ -760,6 +809,17 @@ object CurationQueries {
         |""".stripMargin + HtmlExtractCte +
       s"""
         |SELECT ht.doc_id, CAST(3 AS BIGINT) AS n_records,
+        |  $RawUrlSql AS target_uri,
+        |  CAST(200 AS INT) AS http_status,
+        |  hx.n_kept, hx.extracted
+        |FROM ht JOIN hx USING (doc_id)""".stripMargin),
+    // st15 replays t31's per-doc extraction columns — the streamed
+    // tail must deliver exactly the batch result, once
+    "st15_warc_stream" ->
+      ("""WITH corpus AS (SELECT doc_id, text FROM documents),
+        |""".stripMargin + HtmlExtractCte +
+      s"""
+        |SELECT ht.doc_id,
         |  $RawUrlSql AS target_uri,
         |  CAST(200 AS INT) AS http_status,
         |  hx.n_kept, hx.extracted

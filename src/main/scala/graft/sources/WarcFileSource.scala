@@ -434,8 +434,12 @@ final class WarcReaderFactory(required: StructType,
   * sorted within each so content is deterministic across retries and
   * bench passes. */
 object WarcGz {
+  /** `prefix` names the wave — streaming tails require file names to
+    * ASCEND across landings (the WarcMicroBatchStream contract), so a
+    * later wave lands under a later prefix. */
   def writeCorpus(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                  textCol: String, dir: String, nFiles: Int): Unit = {
+                  textCol: String, dir: String, nFiles: Int,
+                  prefix: String = "part"): Unit = {
     import org.apache.spark.sql.functions._
     val recs = docs
       .repartitionByRange(nFiles, col(idCol))
@@ -446,7 +450,7 @@ object WarcGz {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val path = new org.apache.hadoop.fs.Path(
-          f"$dir/part-$pid%05d.warc.gz")
+          f"$dir/$prefix-$pid%05d.warc.gz")
         val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
         val out = fs.create(path, true)
         try it.foreach { row =>
