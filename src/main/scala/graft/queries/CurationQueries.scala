@@ -253,7 +253,7 @@ object CurationQueries {
     // disk; output must equal cur3's (the oracle IS cur3's SQL) — a
     // pass certifies the file round trip is CURATION-invisible.
     "cur4_crawl_curation" -> ((s, d) => {
-      import graft.text.{HtmlExtract, WarcExtract}
+      import graft.text.{HtmlExtract, HttpDecode}
       val dir = java.nio.file.Files
         .createTempDirectory("graft_cur4_warc_").toString
       graft.util.CacheScope.onRelease { () =>
@@ -262,13 +262,18 @@ object CurationQueries {
         if (fs.exists(p)) fs.delete(p, true)
         ()
       }
+      // round 16: responses land under REAL transport (identity /
+      // chunked / gzip / chunked+deflate by doc_id) and re-enter
+      // through the t36 decode layer — the oracle stays cur3's SQL,
+      // certifying the encode→decode round trip curation-invisible
       graft.sources.WarcGz.writeCorpus(crawlCorpus(s, d),
-        "doc_id", "text", dir, nFiles = 8)
+        "doc_id", "text", dir, nFiles = 8, encodeHttp = true)
       val resp = s.read.format("graft-warc").load(dir)
         .filter(col("rtype") === "response")
         .select(regexp_extract(col("rec_id"), "urn:graft:([0-9]+)", 1)
           .cast("long").as("doc_id"), col("payload"))
-      val ex = HtmlExtract.extract(WarcExtract.httpBody(col("payload")))
+      val ex = HtmlExtract.extract(
+        HttpDecode.decodeResponse(col("payload")).getField("body"))
       // payload is a stored column here, but the extract struct still
       // re-evaluates per getField reference — same boundary as cur3
       val cleaned = graft.util.CacheScope.track(
@@ -349,7 +354,7 @@ object CurationQueries {
     // certifies both directions of the gzip framing and the
     // record-per-member walk.
     "t32_warc_gz" -> ((s, d) => {
-      import graft.text.{HtmlExtract, WarcExtract}
+      import graft.text.{HtmlExtract, HttpDecode}
       val dir = java.nio.file.Files
         .createTempDirectory("graft_t32_warc_").toString
       graft.util.CacheScope.onRelease { () =>
@@ -358,9 +363,11 @@ object CurationQueries {
         if (fs.exists(p)) fs.delete(p, true)
         ()
       }
+      // round 16: written encoded (the t36 transport variants) and
+      // decoded on the way back through HttpDecode — oracle unchanged
       graft.sources.WarcGz.writeCorpus(
         Tables.documents(s, d).select(col("doc_id"), col("text")),
-        "doc_id", "text", dir, nFiles = 8)
+        "doc_id", "text", dir, nFiles = 8, encodeHttp = true)
       val recs = s.read.format("graft-warc").load(dir)
       val perDoc = recs
         .select(regexp_extract(col("rec_id"), "urn:graft:([0-9]+)", 1)
@@ -373,10 +380,59 @@ object CurationQueries {
           max(when(col("rtype") === "response", col("uri")))
             .as("target_uri"),
           max(when(col("rtype") === "response", col("payload"))).as("resp"))
-      val ex = HtmlExtract.extract(WarcExtract.httpBody(col("resp")))
-      perDoc.select(col("doc_id"), col("n_records"), col("rec_types"),
+      // the decode struct materializes ONCE (CacheScope): status and
+      // body both read it, and the inflate is not free to re-run
+      val dec = graft.util.CacheScope.track(perDoc.select(
+        col("doc_id"), col("n_records"), col("rec_types"),
         col("target_uri"),
-        WarcExtract.httpStatus(col("resp")).as("http_status"),
+        HttpDecode.decodeResponse(col("resp")).as("d")))
+      val ex = HtmlExtract.extract(col("d.body"))
+      dec.select(col("doc_id"), col("n_records"), col("rec_types"),
+        col("target_uri"),
+        col("d.status").as("http_status"),
+        ex.getField("n_kept").as("n_kept"),
+        ex.getField("extracted").as("extracted"))
+    }),
+
+    // HTTP payload decode (round 16) — the layer between WARC records
+    // and extraction that real crawl responses force: bodies arrive
+    // `Transfer-Encoding: chunked`, `Content-Encoding: gzip`/
+    // `deflate`, and in charsets other than UTF-8. The generator
+    // emits all four transport variants (identity / chunked / gzip /
+    // chunked+deflate, keyed by doc_id % 4) with the charset leg made
+    // REAL by a non-ASCII marker paragraph — UTF-8 multibyte on
+    // variants 0-2 (header-named, case-variant, and default-resolved
+    // respectively) and Latin-1 + `<meta charset>` sniff on variant 3
+    // — then the decode layer recovers text for the t29 extractor.
+    // The oracle replays the DECODED result blind from `documents`
+    // (it never sees bytes): a hash match certifies de-chunking,
+    // both content codings, and all three charset-resolution paths.
+    // Pure Column end to end (the inflate is a native codegen'd
+    // expression); zero shuffles — at 100 TB this layer IS the scan.
+    "t36_http_decode" -> ((s, d) => {
+      import graft.text.{HtmlExtract, HttpDecode}
+      val variant = pmod(col("doc_id"), lit(4)).cast("int")
+      val html = concat(lit("<p>Café résumé naïve</p>"),
+        HtmlExtract.render(col("doc_id"), split(col("text"), " ")))
+      // variant 3 names its charset in a meta tag, not the header
+      val htmlV = when(variant === 3,
+        concat(lit("<meta charset=\"iso-8859-1\">"), html)).otherwise(html)
+      val payload = HttpDecode.encodeResponse(htmlV, variant,
+        when(variant === 3, lit("iso-8859-1")).otherwise(lit("utf-8")),
+        variant <= 1)
+      // generator materializes once, decode struct once (CacheScope —
+      // both are HOF chains referenced by several consumers)
+      val withP = graft.util.CacheScope.track(Tables.documents(s, d)
+        .select(col("doc_id"), variant.as("variant"), payload.as("p")))
+      val dec = graft.util.CacheScope.track(withP.select(
+        col("doc_id"), col("variant"),
+        HttpDecode.decodeResponse(col("p")).as("d")))
+      val ex = HtmlExtract.extract(col("d.body"))
+      dec.select(col("doc_id"), col("variant"),
+        col("d.status").as("http_status"),
+        col("d.transfer_encoding").as("transfer_encoding"),
+        col("d.content_encoding").as("content_encoding"),
+        col("d.charset").as("charset"),
         ex.getField("n_kept").as("n_kept"),
         ex.getField("extracted").as("extracted"))
     }),
@@ -433,7 +489,7 @@ object CurationQueries {
     // the incremental-offset path is what the oracle gates, not just
     // a one-shot drain.
     "st15_warc_stream" -> ((s, d) => {
-      import graft.text.{HtmlExtract, WarcExtract}
+      import graft.text.{HtmlExtract, HttpDecode}
       val base = java.nio.file.Files
         .createTempDirectory("graft_st15_").toString
       graft.util.CacheScope.onRelease { () =>
@@ -445,27 +501,38 @@ object CurationQueries {
       val land = s"$base/land"
       val outDir = s"$base/out"
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      graft.sources.WarcGz.writeCorpus(docs.filter(col("doc_id") % 4 =!= 3),
-        "doc_id", "text", land, nFiles = 4, prefix = "w1")
-      val ex = HtmlExtract.extract(WarcExtract.httpBody(col("payload")))
+      // round 16: waves land ENCODED; the stream decodes in flight.
+      // The decode struct binds once per row through a projection
+      // boundary (CollapseProject keeps non-cheap exprs un-inlined),
+      // the streaming substitute for CacheScope
+      graft.sources.WarcGz.landCorpus(docs.filter(col("doc_id") % 4 =!= 3),
+        "doc_id", "text", land, nFiles = 4, prefix = "w1",
+        encodeHttp = true)
       val q = s.readStream.format("graft-warc").load(land)
         .filter(col("rtype") === "response")
+        .select(col("rec_id"), col("uri"),
+          HttpDecode.decodeResponse(col("payload")).as("d"))
+        .select(col("rec_id"), col("uri"), col("d"),
+          HtmlExtract.extract(col("d.body")).as("ex"))
         .select(
           regexp_extract(col("rec_id"), "urn:graft:([0-9]+)", 1)
             .cast("long").as("doc_id"),
           col("uri").as("target_uri"),
-          WarcExtract.httpStatus(col("payload")).as("http_status"),
-          ex.getField("n_kept").as("n_kept"),
-          ex.getField("extracted").as("extracted"))
+          col("d.status").as("http_status"),
+          col("ex.n_kept").as("n_kept"),
+          col("ex.extracted").as("extracted"))
         .writeStream.format("parquet").option("path", outDir)
         .option("checkpointLocation", s"$base/ckpt")
         .start()
       try {
         q.processAllAvailable()
         // wave 2 lands while the stream is live (names ascend)
-        graft.sources.WarcGz.writeCorpus(
+        // staged landing: ascending-order renames keep every listing
+        // the stream takes a legal prefix of the wave
+        graft.sources.WarcGz.landCorpus(
           docs.filter(col("doc_id") % 4 === 3),
-          "doc_id", "text", land, nFiles = 2, prefix = "w2")
+          "doc_id", "text", land, nFiles = 2, prefix = "w2",
+          encodeHttp = true)
         q.processAllAvailable()
       } finally q.stop()
       s.read.parquet(outDir).select("doc_id", "target_uri",
@@ -860,6 +927,28 @@ object CurationQueries {
         |  CAST(CASE WHEN NOT hit OR verdict = 'allow' THEN 1 ELSE 0 END
         |    AS INT) AS allowed
         |FROM rk WHERE rn = 1""".stripMargin),
+    // t36 replays the DECODED response blind from documents — the
+    // oracle never sees chunk framing, deflate bytes, or Latin-1;
+    // a hash match certifies the whole decode layer
+    "t36_http_decode" ->
+      ("""WITH corpus AS (SELECT doc_id, text FROM documents),
+        |""".stripMargin + HtmlExtractCte +
+      """
+        |SELECT ht.doc_id,
+        |  CAST(ht.doc_id % 4 AS INT) AS variant,
+        |  CAST(200 AS INT) AS http_status,
+        |  CASE WHEN ht.doc_id % 4 IN (1, 3) THEN 'chunked' ELSE '' END
+        |    AS transfer_encoding,
+        |  CASE WHEN ht.doc_id % 4 = 2 THEN 'gzip'
+        |       WHEN ht.doc_id % 4 = 3 THEN 'deflate' ELSE '' END
+        |    AS content_encoding,
+        |  CASE WHEN ht.doc_id % 4 = 3 THEN 'iso-8859-1' ELSE 'utf-8' END
+        |    AS charset,
+        |  CAST(hx.n_kept + 1 AS BIGINT) AS n_kept,
+        |  'Café résumé naïve' ||
+        |    CASE WHEN hx.extracted <> '' THEN chr(10) || hx.extracted
+        |         ELSE '' END AS extracted
+        |FROM ht JOIN hx USING (doc_id)""".stripMargin),
     // t32 replays the gzip-file round trip blind: record count and
     // type multiset are structural (3 per doc, sorted), URI/status/
     // extraction replay exactly as t31 — a hash match certifies the

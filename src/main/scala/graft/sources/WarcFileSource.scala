@@ -523,7 +523,8 @@ object WarcGz {
     * later wave lands under a later prefix. */
   def writeCorpus(docs: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String, dir: String, nFiles: Int,
-                  prefix: String = "part"): Unit = {
+                  prefix: String = "part",
+                  encodeHttp: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       docs.sparkSession.sessionState.newHadoopConf())
@@ -531,7 +532,7 @@ object WarcGz {
       .repartitionByRange(nFiles, col(idCol))
       .sortWithinPartitions(idCol)
       .select(graft.text.WarcExtract.renderWarcRecords(
-        col(idCol), split(col(textCol), " ")).as("recs"))
+        col(idCol), split(col(textCol), " "), encodeHttp).as("recs"))
     recs.foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -546,5 +547,33 @@ object WarcGz {
           }
         } finally out.close()
     }
+  }
+
+  /** Land a wave into a LIVE landing directory: write to a staging
+    * dir, then move the files in ASCENDING name order. A parallel
+    * in-place write cannot honor the micro-batch tail's
+    * monotone-naming contract — tasks finish out of order, and a
+    * listing between two completions commits a watermark PAST a
+    * yet-to-appear smaller name (the stream's behind-watermark guard
+    * then refuses, correctly but fatally). Rename-in-order makes
+    * every intermediate listing a legal prefix of the wave. */
+  def landCorpus(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, landDir: String, nFiles: Int,
+                 prefix: String = "part",
+                 encodeHttp: Boolean = false): Unit = {
+    val stage = s"${landDir}_stage_$prefix"
+    writeCorpus(docs, idCol, textCol, stage, nFiles, prefix, encodeHttp)
+    val conf = docs.sparkSession.sessionState.newHadoopConf()
+    val sp = new org.apache.hadoop.fs.Path(stage)
+    val fs = sp.getFileSystem(conf)
+    val land = new org.apache.hadoop.fs.Path(landDir)
+    if (!fs.exists(land)) fs.mkdirs(land)
+    fs.listStatus(sp).filter(_.isFile).map(_.getPath)
+      .sortBy(_.getName).foreach { f =>
+        require(fs.rename(f, new org.apache.hadoop.fs.Path(land, f.getName)),
+          s"landCorpus: rename of $f failed")
+      }
+    fs.delete(sp, true)
+    ()
   }
 }

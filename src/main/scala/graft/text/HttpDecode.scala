@@ -1,0 +1,194 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.expressions.HttpCodec
+
+/** HTTP payload decode — the layer between WARC `response` records
+  * and [[HtmlExtract]] that round 15 left open: real crawl responses
+  * arrive `Transfer-Encoding: chunked`, `Content-Encoding:
+  * gzip`/`deflate`, and in charsets other than UTF-8 — feeding
+  * [[WarcExtract.httpBody]]'s bare header/body split into the
+  * extractor turns framing bytes into mojibake that poisons lang-ID
+  * and dedup keys downstream. RFC 9112 §7.1 (chunked framing),
+  * RFC 9110 §8.4 (content codings), WHATWG §4.2.5.5 (charset
+  * sniffing order: header param, then `<meta charset>`).
+  *
+  * Decode order is the transport's, inverted: de-chunk FIRST (chunk
+  * framing wraps the compressed stream), then inflate, then charset-
+  * decode. Everything except the inflate itself is built-in Column
+  * algebra — the de-chunk is a bounded `aggregate` fold over chunk
+  * slots (the [[WarcExtract]] record-walk precedent, one codegen'd
+  * string walk per row), the charset decode is `decode()` over the
+  * recovered bytes; the inflate is the one genuinely-new primitive
+  * and lives as a native codegen'd expression
+  * ([[graft.expressions.HttpCodec]]). Zero UDFs, zero shuffles — at
+  * 100 TB the whole layer rides the scan.
+  *
+  * The BYTE CARRIER convention: payload strings map byte i ↔ char i
+  * (ISO-8859-1 — how the `graft-warc` reader materializes payloads),
+  * so framing ops are string ops, and `encode(s, 'ISO-8859-1')`
+  * recovers the exact bytes for the inflate/charset legs.
+  */
+object HttpDecode {
+
+  /** Let-binding through a single-element `transform`: HOF lambdas sit
+    * outside codegen subexpression elimination, so every multiply-
+    * referenced intermediate binds once (the [[UrlCanon.canonicalize]]
+    * precedent). */
+  private def bind(x: Column)(f: Column => Column): Column =
+    element_at(transform(array(x), f), 1)
+
+  /** Case-insensitive header field value out of a header BLOCK (the
+    * bytes before `\r\n\r\n`, status line included) — "" when absent.
+    * Every field line is preceded by `\r\n` (the status line ends with
+    * one), so anchoring on it never matches inside a value. */
+  def header(hdrs: Column, name: String): Column =
+    regexp_extract(hdrs,
+      "(?i)\r\n" + java.util.regex.Pattern.quote(name) +
+        "\\s*:\\s*([^\r\n]*)", 1)
+
+  /** De-chunk a `Transfer-Encoding: chunked` body (RFC 9112 §7.1):
+    * `<hex-size>[;ext]\r\n<data>\r\n` repeated, terminated by a
+    * zero-size chunk (trailer fields after it are transport metadata
+    * and drop). Bounded fold over `maxChunks` slots; returns
+    * `struct(out, done)` — `done` false means the budget ran out or
+    * the framing is torn, and [[decodeResponse]] refuses loudly
+    * rather than passing a silent prefix downstream. */
+  def dechunkWalk(raw: Column, maxChunks: Int): Column =
+    aggregate(
+      sequence(lit(1), lit(maxChunks)),
+      struct(lit(1).as("pos"), lit("").as("out"), lit(false).as("done")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val lineEnd = call_function("locate", lit("\r\n"), raw, pos)
+        val szHex = regexp_extract(
+          call_function("substring", raw, pos, lineEnd - pos),
+          "^([0-9a-fA-F]+)\\s*(?:;.*)?$", 1)
+        val sz = conv(szHex, 16, 10).cast("int")
+        val ok = !st.getField("done") && lineEnd > 0 && szHex =!= ""
+        when(ok && sz > 0, struct(
+          (lineEnd + 2 + sz + 2).as("pos"),
+          concat(st.getField("out"),
+            call_function("substring", raw, lineEnd + 2, sz)).as("out"),
+          lit(false).as("done")))
+          .when(ok && sz === 0, struct(pos.as("pos"),
+            st.getField("out").as("out"), lit(true).as("done")))
+          .otherwise(st)
+      },
+      st => struct(st.getField("out").as("out"),
+        st.getField("done").as("done")))
+
+  /** Decode one HTTP response payload (byte-carrier string) into
+    * `struct(status: int, transfer_encoding, content_encoding,
+    * charset, body: string)` — `body` is proper decoded TEXT, ready
+    * for [[HtmlExtract.extract]]. Charset resolution: `Content-Type`
+    * header param, then `<meta charset>` sniffed from the (ASCII-
+    * compatible) decompressed bytes, then UTF-8 — the WHATWG order.
+    * Latin-1 and US-ASCII decode natively; everything else decodes as
+    * UTF-8 (the right default for a pretraining corpus; a charset the
+    * engine cannot honor shows up IN the emitted `charset` column, so
+    * a pipeline can gate on it instead of silently reading mojibake).
+    * A torn chunk framing refuses loudly (`raise_error`), the
+    * loud-over-silent posture of the WARC walk. */
+  def decodeResponse(payload: Column, maxChunks: Int = 32): Column =
+    bind(payload) { p =>
+      val hEnd = call_function("locate", lit("\r\n\r\n"), p)
+      val hdrs = call_function("substring", p, lit(1), hEnd - 1)
+      val status = regexp_extract(p, "^HTTP/1\\.[01] ([0-9]+)", 1).cast("int")
+      val te = lower(header(hdrs, "Transfer-Encoding"))
+      val ce = lower(header(hdrs, "Content-Encoding"))
+      val headerCs = lower(regexp_extract(header(hdrs, "Content-Type"),
+        "(?i)charset\\s*=\\s*\"?([A-Za-z0-9_\\-]+)", 1))
+      // raw binds once: the dechunk fold references it several times
+      // per chunk slot, and HOF lambdas sit outside codegen CSE
+      bind(call_function("substring", p, hEnd + 4, length(p))) { raw =>
+      bind(
+        when(te.contains("chunked"),
+          bind(dechunkWalk(raw, maxChunks)) { w =>
+            when(w.getField("done"), w.getField("out"))
+              .otherwise(raise_error(concat(
+                lit("http: chunked body torn or over the "),
+                lit(maxChunks.toString), lit("-chunk budget"))))
+          })
+          .otherwise(raw)) { framed =>
+      bind(
+        when(ce.rlike("gzip|deflate"),
+          HttpCodec.inflate(encode(framed, "ISO-8859-1")))
+          .otherwise(encode(framed, "ISO-8859-1"))) { bodyBytes =>
+        val latin1 = decode(bodyBytes, "ISO-8859-1")
+        val metaCs = lower(regexp_extract(latin1,
+          "(?i)<meta[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-]+)", 1))
+        val cs = when(headerCs =!= "", headerCs)
+          .when(metaCs =!= "", metaCs)
+          .otherwise(lit("utf-8"))
+        val body = when(cs.isin("iso-8859-1", "latin-1", "latin1"), latin1)
+          .when(cs.isin("us-ascii", "ascii"), decode(bodyBytes, "US-ASCII"))
+          .otherwise(decode(bodyBytes, "UTF-8"))
+        struct(status.as("status"), te.as("transfer_encoding"),
+          ce.as("content_encoding"), cs.as("charset"), body.as("body"))
+      } } }
+    }
+
+  // ------------------------------------------------------------ generator
+
+  /** Chunk-frame a byte-carrier string: fixed 256-byte chunks, hex
+    * sizes, zero-chunk terminator. `s` must be let-bound by the
+    * caller (referenced per chunk slot). */
+  private def chunkify(s: Column, size: Int = 256): Column =
+    concat(
+      array_join(transform(
+        sequence(lit(0), floor((length(s) - 1) / size).cast("int")),
+        i => concat(
+          lower(hex(least(length(s) - i * size, lit(size)))), lit("\r\n"),
+          call_function("substring", s, i * size + 1, lit(size)),
+          lit("\r\n"))), ""),
+      lit("0\r\n\r\n"))
+
+  /** Test-corpus generator: one HTTP 200 response carrying `html`
+    * under transport `variant`:
+    *   - 0 — identity, `Content-Length`;
+    *   - 1 — `Transfer-Encoding: chunked` (header charset spelled
+    *     `UTF-8` — case variant);
+    *   - 2 — `Content-Encoding: gzip` + `Content-Length` (no charset
+    *     anywhere → the UTF-8 default path);
+    *   - 3 — chunked AND `Content-Encoding: deflate` (zlib) — the
+    *     dechunk-then-inflate order is what a decoder gets wrong
+    *     first.
+    * `charsetName` picks the body encoding (`utf-8` / `iso-8859-1`);
+    * `csInHeader` controls whether `Content-Type` names it (variants
+    * without it exercise meta-sniff/default resolution). Returns the
+    * full payload as a byte-carrier string. */
+  def encodeResponse(html: Column, variant: Column, charsetName: Column,
+                     csInHeader: Column): Column =
+    bind(when(charsetName === "iso-8859-1", encode(html, "ISO-8859-1"))
+      .otherwise(encode(html, "UTF-8"))) { bytes0 =>
+      bind(decode(
+        when(variant === 2, HttpCodec.gzipCompress(bytes0))
+          .when(variant === 3, HttpCodec.zlibCompress(bytes0))
+          .otherwise(bytes0), "ISO-8859-1")) { carrier =>
+        bind(when(variant.isin(1, 3), chunkify(carrier))
+          .otherwise(carrier)) { framed =>
+          val ct = concat(lit("Content-Type: text/html"),
+            when(csInHeader,
+              concat(lit("; charset="),
+                when(variant === 1, upper(charsetName))
+                  .otherwise(charsetName)))
+              .otherwise(lit("")),
+            lit("\r\n"))
+          val teH = when(variant.isin(1, 3),
+            lit("Transfer-Encoding: chunked\r\n")).otherwise(lit(""))
+          val ceH = when(variant === 2, lit("Content-Encoding: gzip\r\n"))
+            .when(variant === 3, lit("Content-Encoding: deflate\r\n"))
+            .otherwise(lit(""))
+          val clH = when(!variant.isin(1, 3),
+            concat(lit("Content-Length: "),
+              length(framed).cast("string"), lit("\r\n")))
+            .otherwise(lit(""))
+          concat(lit("HTTP/1.1 200 OK\r\n"), ct, teH, ceH, clH,
+            lit("\r\n"), framed)
+        }
+      }
+    }
+}

@@ -112,11 +112,21 @@ object WarcExtract {
     * header terminator itself). Array grain exists for the
     * record-per-gzip-member file writer ([[graft.sources.WarcGz]]);
     * [[renderWarc]] is the concatenated capsule. */
-  def renderWarcRecords(docId: Column, words: Column): Column = {
+  def renderWarcRecords(docId: Column, words: Column,
+                        encodeHttp: Boolean = false): Column = {
     val url = UrlCanon.renderUrl(docId)
-    val http = concat(
-      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
-      HtmlExtract.render(docId, words))
+    // encodeHttp: responses leave under REAL transport variants
+    // (identity / chunked / gzip / chunked+deflate, keyed by doc_id —
+    // [[HttpDecode.encodeResponse]]); content stays the same HTML, so
+    // a decoding consumer's output — and its oracle — is unchanged.
+    val http =
+      if (encodeHttp)
+        HttpDecode.encodeResponse(HtmlExtract.render(docId, words),
+          pmod(docId, lit(4)).cast("int"), lit("utf-8"),
+          pmod(docId, lit(4)) <= 1)
+      else concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+        HtmlExtract.render(docId, words))
     def rec(rtype: String, uri: Option[Column], payload: Column) =
       concat(lit(s"WARC/1.0\r\nWARC-Type: $rtype\r\n"),
         lit("WARC-Record-ID: <urn:graft:"), docId.cast("string"),

@@ -129,4 +129,40 @@ class ExpressionSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sql == Map(1L -> 12L, 2L -> 0L))
   }
+
+  test("http codec: gzip/zlib/raw inflate round trips, corrupt refusals") {
+    import graft.expressions.{HttpCodecFuncs => F, HttpCodec}
+    import spark.implicits._
+    val payloads = Seq("hello".getBytes("UTF-8"), Array.empty[Byte],
+      Array.tabulate(100000)(i => (i % 253).toByte))
+    for (b <- payloads if b.nonEmpty) {
+      assert(F.inflate(F.gzip(b)).toSeq == b.toSeq)
+      assert(F.inflate(F.zlib(b)).toSeq == b.toSeq)
+      // raw deflate (no container) sniffs through too
+      val d = new java.util.zip.Deflater(-1, true)
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      assert(F.inflate(out.toByteArray).toSeq == b.toSeq)
+    }
+    // corrupt gzip CRC refuses (GzipMemberIterator contract)
+    val g = F.gzip("corrupt me please".getBytes)
+    g(12) = (g(12) ^ 0x40).toByte
+    intercept[Exception](F.inflate(g))
+    // truncated zlib refuses
+    val z = F.zlib("truncate me now please".getBytes)
+    intercept[Exception](F.inflate(java.util.Arrays.copyOf(z, z.length - 4)))
+    // expression path (codegen): round trip + null-safety
+    val df = Seq((1L, "x y z"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val got = df.select($"id", org.apache.spark.sql.functions.decode(
+        HttpCodec.inflate(HttpCodec.gzipCompress(
+          org.apache.spark.sql.functions.encode($"t", "UTF-8"))), "UTF-8")
+        .as("r")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    assert(got == Map(1L -> "x y z", 2L -> null))
+  }
 }

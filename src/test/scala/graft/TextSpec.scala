@@ -318,6 +318,76 @@ class TextSpec extends SparkSuite {
       full.getLong(1) == full.getInt(3).toLong, s"full walk: $full")
   }
 
+  test("http decode: chunked framing, content codings, charset sniff order") {
+    import graft.text.HttpDecode
+    def carrier(b: Array[Byte]): String = new String(b, "ISO-8859-1")
+    def gz(s: String, cs: String) = carrier(
+      graft.expressions.HttpCodecFuncs.gzip(s.getBytes(cs)))
+    def zl(s: String, cs: String) = carrier(
+      graft.expressions.HttpCodecFuncs.zlib(s.getBytes(cs)))
+    val htmlLatin = "<meta charset=\"iso-8859-1\"><p>Café ole si</p>"
+    val rows = Seq(
+      // identity + header charset
+      (1L, "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+        "Content-Length: 11\r\n\r\n<p>a b c</p>"),
+      // chunked with extension, uppercase hex size, trailer field
+      (2L, "HTTP/1.1 200 OK\r\nTransfer-Encoding: CHUNKED\r\n\r\n" +
+        "5;ext=1\r\n<p>a \r\nC\r\nAbc defg</p>\r\n0\r\nX-Trailer: v\r\n\r\n"),
+      // gzip body, no charset anywhere -> utf-8 default (é multibyte)
+      (3L, "HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" +
+        gz("<p>café au lait</p>", "UTF-8")),
+      // chunked + deflate(zlib) + meta-sniffed latin-1
+      (4L, {
+        val body = zl(htmlLatin, "ISO-8859-1")
+        f"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+          f"Content-Encoding: deflate\r\n\r\n${body.length}%x\r\n$body%s\r\n0\r\n\r\n"
+      }),
+      // raw deflate under the deflate token (the real-web deviation)
+      (5L, "HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + {
+        val d = new java.util.zip.Deflater(-1, true)
+        d.setInput("<p>raw x y</p>".getBytes("UTF-8")); d.finish()
+        val buf = new Array[Byte](256); val n = d.deflate(buf); d.end()
+        carrier(java.util.Arrays.copyOf(buf, n))
+      })).toDF("id", "payload")
+    val dec = rows.select($"id",
+      HttpDecode.decodeResponse($"payload").as("d")).orderBy("id")
+      .select($"id", $"d.status", $"d.transfer_encoding",
+        $"d.content_encoding", $"d.charset", $"d.body").collect()
+    assert(dec(0).getInt(1) == 200 && dec(0).getString(5) == "<p>a b c</p>")
+    assert(dec(0).getString(4) == "utf-8")
+    assert(dec(1).getString(2) == "chunked" &&
+      dec(1).getString(5) == "<p>a Abc defg</p>")
+    assert(dec(2).getString(3) == "gzip" &&
+      dec(2).getString(5) == "<p>café au lait</p>")
+    assert(dec(3).getString(4) == "iso-8859-1" &&
+      dec(3).getString(5) == htmlLatin)
+    assert(dec(4).getString(5) == "<p>raw x y</p>")
+    // torn chunk framing refuses loudly instead of emitting a prefix
+    val torn = Seq(("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "5\r\nabcde\r\nff\r\nshort")).toDF("payload")
+    val e = intercept[Exception](
+      torn.select(HttpDecode.decodeResponse($"payload")).collect())
+    assert(e.getMessage.contains("chunked body torn") ||
+      e.getCause != null && e.getCause.getMessage.contains("chunked body torn"),
+      e.getMessage)
+    // generator round trip: every variant decodes back to the html
+    val html = "<p>générateur test</p>"
+    val gen = Seq(0, 1, 2, 3).toDF("v")
+      .select($"v", HttpDecode.encodeResponse(lit(html), $"v",
+        lit("utf-8"), $"v" <= 1).as("p"))
+    val back = gen.select($"v",
+      HttpDecode.decodeResponse($"p").as("d")).orderBy("v")
+      .select($"d.body", $"d.charset").collect()
+    assert(back.forall(_.getString(0) == html))
+    // latin-1 generator + meta sniff (no header charset)
+    val genL = Seq(3).toDF("v").select(HttpDecode.encodeResponse(
+      lit(htmlLatin), $"v", lit("iso-8859-1"), lit(false)).as("p"))
+    val backL = genL.select(HttpDecode.decodeResponse($"p").as("d"))
+      .select($"d.body", $"d.charset").first()
+    assert(backL.getString(0) == htmlLatin &&
+      backL.getString(1) == "iso-8859-1")
+  }
+
   test("dup spans: gap wider than k splits islands; short docs no grams") {
     import graft.text.DupSpans
     // two shared 6-char regions separated by >k unique filler on each
