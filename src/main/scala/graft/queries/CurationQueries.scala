@@ -452,12 +452,18 @@ object CurationQueries {
     "t34_robots_filter" -> ((s, d) => {
       import graft.text.{Robots, UrlCanon}
       import s.implicits._
+      // round 16: RFC 9309 §2.2.3 wildcards in the mix — `/p/*4$`
+      // must out-rank the shorter literal disallows on /p/~v14 and
+      // the shorter Allow on /p/~v28; the mid-pattern `*` with `$`
+      // anchor (`/p/~v3*9$`, len 9) must win /p/~v39 back to allow
       val robots = Seq(
         ("example.com",
           "User-agent: *\nDisallow: /p/~v1\nAllow: /p/~v12\n" +
-            "# generated boilerplate\nDisallow: /p/~v3\nDisallow:\n"),
+            "# generated boilerplate\nDisallow: /p/~v3\nDisallow:\n" +
+            "Disallow: /p/*4$\nAllow: /p/~v3*9$\n"),
         ("sub.example.org:8080",
-          "User-agent: *\nDisallow: /p/~v\nAllow: /p/~v2\n"))
+          "User-agent: *\nDisallow: /p/~v\nAllow: /p/~v2\n" +
+            "Disallow: /p/*8$\n"))
         .toDF("host", "robots_txt")
       val rules = robots.select(col("host"),
           explode(Robots.parseRules(col("robots_txt"))).as("r"))
@@ -913,14 +919,25 @@ object CurationQueries {
         |  ('example.com', 'disallow', '/p/~v1'),
         |  ('example.com', 'allow',    '/p/~v12'),
         |  ('example.com', 'disallow', '/p/~v3'),
+        |  ('example.com', 'disallow', '/p/*4$$'),
+        |  ('example.com', 'allow',    '/p/~v3*9$$'),
         |  ('sub.example.org:8080', 'disallow', '/p/~v'),
-        |  ('sub.example.org:8080', 'allow',    '/p/~v2')),
+        |  ('sub.example.org:8080', 'allow',    '/p/~v2'),
+        |  ('sub.example.org:8080', 'disallow', '/p/*8$$')),
+        |rx AS (SELECT host, verdict, prefix,
+        |    '^' || replace(regexp_replace(
+        |      CASE WHEN prefix LIKE '%$$'
+        |           THEN substr(prefix, 1, length(prefix) - 1)
+        |           ELSE prefix END,
+        |      '([.^$$+?(){}\\[\\]|\\\\])', '\\\\\\1', 'g'), '*', '.*') ||
+        |    CASE WHEN prefix LIKE '%$$' THEN '$$' ELSE '' END AS rrx
+        |  FROM rules),
         |m AS (SELECT h.doc_id, h.host, h.path, r.verdict, r.prefix,
-        |    (r.prefix IS NOT NULL AND starts_with(h.path, r.prefix)) AS hit
-        |  FROM h LEFT JOIN rules r ON r.host = h.host),
+        |    (r.prefix IS NOT NULL AND regexp_matches(h.path, r.rrx)) AS hit
+        |  FROM h LEFT JOIN rx r ON r.host = h.host),
         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY hit DESC, length(prefix) DESC NULLS LAST,
-        |             verdict ASC) AS rn
+        |             verdict ASC, prefix ASC NULLS LAST) AS rn
         |  FROM m)
         |SELECT doc_id, host, path,
         |  CASE WHEN hit THEN prefix ELSE '' END AS matched_prefix,

@@ -6,11 +6,15 @@ import org.apache.spark.sql.functions._
 
 /** robots.txt politeness filtering (RFC 9309) — the gate a crawl
   * pipeline applies between URL canonicalization and fetch/keep: a
-  * URL is kept iff the LONGEST matching rule prefix for its host
-  * allows it (ties break toward Allow, no match means allowed — the
-  * RFC's resolution order). Part of the LLM-pipeline extension
-  * surface next to [[UrlCanon]]/[[HtmlExtract]]; the pandas reference
-  * has no crawl surface at all.
+  * URL is kept iff the LONGEST matching rule for its host allows it
+  * (ties break toward Allow, no match means allowed — the RFC's
+  * resolution order), with the `*`/`$` wildcards §2.2.3 makes
+  * MANDATORY honored via per-rule anchored regexes ([[ruleRegex]] —
+  * real-web rules like `Disallow: /a*.php$` are common, and
+  * prefix-only matching silently mis-gates them). Part of the
+  * LLM-pipeline extension surface next to
+  * [[UrlCanon]]/[[HtmlExtract]]; the pandas reference has no crawl
+  * surface at all.
   *
   * Shape at scale: the rules table is per-HOST and tiny relative to
   * the URL corpus (even the whole web's robots corpus is ~10⁸ rows vs
@@ -37,27 +41,51 @@ object Robots {
           "(?i)^\\s*(?:allow|disallow)\\s*:\\s*(\\S+)", 1)).as("prefix"))),
       s => s.getField("verdict") =!= "" && s.getField("prefix") =!= "")
 
+  /** A rule path as the anchored regex RFC 9309 §2.2.3 REQUIRES:
+    * `*` matches any character sequence, a TRAILING `$` anchors the
+    * end of the path (elsewhere `$` is literal — the de-facto
+    * interpretation every major implementation shares); all other
+    * regex metacharacters escape to literals. Pure Column — built
+    * per rule row at match time (the rules side is tiny and
+    * broadcast; the per-URL side never builds regexes). */
+  def ruleRegex(p: Column): Column = {
+    val anchored = p.endsWith("$")
+    val body = when(anchored, p.substr(lit(1), length(p) - 1)).otherwise(p)
+    val esc = regexp_replace(body, "([.^$+?(){}\\[\\]|\\\\])", "\\\\$1")
+    concat(lit("^"), regexp_replace(esc, "\\*", ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
+  }
+
   /** Decide every URL row against a rules table.
     *
     * @param urls  columns `host`, `path` (+ anything else, carried)
     * @param rules columns `host`, `verdict` (`allow`/`disallow`),
-    *              `prefix`
-    * @return urls + `matched_prefix` (longest match, "" when none)
-    *         and `allowed` (1/0) — RFC 9309 §2.3.2: longest prefix
-    *         wins, ties to allow, unmatched allowed. */
+    *              `prefix` (a rule path, `*`/`$` wildcards included)
+    * @return urls + `matched_prefix` (the winning rule's path, ""
+    *         when none) and `allowed` (1/0) — RFC 9309 §2.3.2: the
+    *         longest (most-octets) matching RULE wins, ties to
+    *         Allow, unmatched allowed. */
   def decide(urls: DataFrame, rules: DataFrame, keyCols: Seq[String])
     : DataFrame = {
     // a URL whose host has rules but none MATCHING must survive as
-    // allowed — flag hits instead of filtering, then rank hits first
+    // allowed — flag hits instead of filtering, then rank hits first.
+    // The regex TEXT builds on the rules side (once per rule, inside
+    // the broadcast build), not per joined row; the per-evaluation
+    // Pattern compile that a non-foldable rlike pays is the
+    // documented residual (rules are chars-long — compile is µs)
     val matched = urls
-      .join(broadcast(rules), Seq("host"), "left")
+      .join(broadcast(rules.withColumn("rrx", ruleRegex(col("prefix")))),
+        Seq("host"), "left")
       .withColumn("hit",
-        col("prefix").isNotNull && col("path").startsWith(col("prefix")))
-    // hits first, longest prefix first; 'allow' < 'disallow'
-    // lexically = the RFC's tie resolution for free
+        col("prefix").isNotNull && regexp_like(col("path"), col("rrx")))
+    // hits first, longest RULE first (octet length, wildcards
+    // counted — the RFC's specificity order); 'allow' < 'disallow'
+    // lexically = the RFC's tie resolution for free; the final
+    // rule-text key makes the WINNING RULE deterministic when two
+    // same-verdict same-length rules both match
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("hit").desc, length(col("prefix")).desc_nulls_last,
-        col("verdict").asc)
+        col("verdict").asc, col("prefix").asc_nulls_last)
     matched
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -65,6 +93,6 @@ object Robots {
         when(col("hit"), col("prefix")).otherwise(lit("")))
       .withColumn("allowed",
         when(!col("hit") || col("verdict") === "allow", 1).otherwise(0))
-      .drop("rn", "hit", "verdict", "prefix")
+      .drop("rn", "hit", "verdict", "prefix", "rrx")
   }
 }

@@ -261,6 +261,39 @@ class TextSpec extends SparkSuite {
       parsed.toString)
   }
 
+  test("robots wildcards: RFC 9309 * and $ rules, length-order ranking") {
+    import graft.text.Robots
+    val rules = Seq(
+      ("a.com", "disallow", "/*.php$"),   // the RFC's own example shape
+      ("a.com", "allow", "/pub/*.php$"),  // longer rule wins it back
+      ("a.com", "disallow", "/f*o"),      // mid-pattern star, no anchor
+      ("a.com", "disallow", "/d$ir"),     // mid-string $ is LITERAL
+      ("b.org", "disallow", "/x*"),       // trailing star = prefix
+      ("b.org", "allow", "/x"))           // tie vs /x* at len 2? no: /x* len 3
+      .toDF("host", "verdict", "prefix")
+    val urls = Seq(
+      (1L, "a.com", "/a.php"),        // blocked by /*.php$
+      (2L, "a.com", "/a.php3"),       // $ anchor → NOT matched, allowed
+      (3L, "a.com", "/x/y.php"),      // * spans directories → blocked
+      (4L, "a.com", "/pub/i.php"),    // /pub/*.php$ (11) > /*.php$ (7)
+      (5L, "a.com", "/foooo"),        // /f*o matches anywhere-prefix
+      (6L, "a.com", "/d$ir/z"),       // literal $ inside path
+      (7L, "a.com", "/d/ir"),         // $ NOT a wildcard mid-string
+      (8L, "b.org", "/xyz"))          // /x* (3) beats allow /x (2)
+      .toDF("doc_id", "host", "path")
+    val got = Robots.decide(urls, rules, Seq("doc_id"))
+      .select("doc_id", "matched_prefix", "allowed").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(got(1L) == (("/*.php$", 0)), got(1L).toString)
+    assert(got(2L) == (("", 1)), got(2L).toString)
+    assert(got(3L) == (("/*.php$", 0)))
+    assert(got(4L) == (("/pub/*.php$", 1)))
+    assert(got(5L) == (("/f*o", 0)))
+    assert(got(6L) == (("/d$ir", 0)))
+    assert(got(7L) == (("", 1)))
+    assert(got(8L) == (("/x*", 0)))
+  }
+
   test("warc records: content-length accounting survives delimiter bait") {
     import graft.text.WarcExtract
     // payload contains BOTH the record terminator and a fake record
