@@ -15,23 +15,29 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * join produces, from which the consecutive-anchor span grouping
   * follows identically downstream.
   *
-  * The DOCUMENT-FREQUENCY CAP is what bounds state at 100 TB: an
-  * anchor whose distinct-doc count crosses `maxDf` TOMBSTONES — its
-  * row list drops (state per hot anchor collapses to a flag) and it
-  * never emits again, the row-grain form of SpanIndex's monotone
-  * as-of-probe-time semantics (already-emitted candidates stand;
-  * boilerplate stops amplifying). Without the cap a license-header
-  * anchor's state would grow with the corpus and each arrival would
-  * emit O(corpus) pairs — the cap makes per-anchor state ≤ maxDf
-  * rows, hard.
+  * TWO caps together bound state at 100 TB, one per growth axis:
+  * the DOCUMENT-FREQUENCY cap — an anchor whose distinct-doc count
+  * crosses `maxDf` TOMBSTONES: its row list drops (state per hot
+  * anchor collapses to a flag) and it never emits again, the
+  * row-grain form of SpanIndex's monotone as-of-probe-time semantics
+  * (already-emitted candidates stand; boilerplate stops amplifying) —
+  * and the per-doc OCCURRENCE cap `maxOccPerDoc`: one document
+  * repeating a k-gram thousands of times (generated spam, minified
+  * markup) would otherwise grow a single anchor's state without ever
+  * crossing the doc cap, each repeat emitting pairs against every
+  * stored row; occurrences of a (anchor, doc) beyond the cap DROP
+  * (never stored, never emitted — self-repetition past the cap adds
+  * no dedup information; within-doc repetition is t11/dd17's signal,
+  * not the cross-doc span index's). Together: per-anchor state
+  * ≤ maxDf · maxOccPerDoc rows, hard.
   */
 object SpanStream {
 
   final case class AnchorRow(h: String, doc_id: Long, pos: Long)
   final case class Cand(id1: Long, id2: Long, pa: Long, delta: Long)
 
-  /** rows ≤ maxDf while live; `capped` tombstones the anchor (rows
-    * dropped, emissions stop — monotone). */
+  /** rows ≤ maxDf·maxOccPerDoc while live; `capped` tombstones the
+    * anchor (rows dropped, emissions stop — monotone). */
   final case class AnchorState(rows: Seq[(Long, Long)], capped: Boolean)
 
   /** The k-gram anchor explode — [[SpanIndex.ingestBatch]]'s exact
@@ -52,8 +58,11 @@ object SpanStream {
     * every stored row of its hash (and earlier rows of its own
     * micro-batch, id-then-pos ordered so within-batch emission is
     * deterministic). Same-doc collisions never emit, matching the
-    * batch join's `a.doc_id < b.doc_id`. */
-  def candidates(rows: Dataset[AnchorRow], maxDf: Int): Dataset[Cand] = {
+    * batch join's `a.doc_id < b.doc_id`; a doc's occurrences beyond
+    * `maxOccPerDoc` drop row-wise (state stays ≤ maxDf·maxOccPerDoc
+    * rows even under within-doc k-gram spam). */
+  def candidates(rows: Dataset[AnchorRow], maxDf: Int,
+                 maxOccPerDoc: Int = 16): Dataset[Cand] = {
     import rows.sparkSession.implicits._
     rows.groupByKey(_.h)
       .flatMapGroupsWithState(OutputMode.Append,
@@ -68,14 +77,18 @@ object SpanStream {
             val incoming = it.map(r => (r.doc_id, r.pos))
               .toSeq.distinct.sorted
             var acc = prior.rows
+            val occ = scala.collection.mutable.Map.empty[Long, Int]
+            prior.rows.foreach { case (id, _) =>
+              occ(id) = occ.getOrElse(id, 0) + 1 }
             var docSet = prior.rows.map(_._1).toSet
             var capped = false
             val out = Seq.newBuilder[Cand]
             for ((id, pos) <- incoming if !capped) {
               if (!docSet.contains(id) && docSet.size + 1 > maxDf)
                 capped = true
-              else {
+              else if (occ.getOrElse(id, 0) < maxOccPerDoc) {
                 docSet += id
+                occ(id) = occ.getOrElse(id, 0) + 1
                 acc.foreach { case (oid, opos) =>
                   if (oid != id)
                     out += (if (oid < id) Cand(oid, id, opos, pos - opos)

@@ -1587,4 +1587,51 @@ class StreamingSpec extends SparkSuite {
         "docs arriving at/after the cap crossing must emit nothing")
     } finally q.stop()
   }
+
+  test("streaming span state: per-doc occurrence cap bounds row-grain spam") {
+    // one document repeating a k-gram hundreds of times must not grow
+    // a single anchor's state past maxDf*maxOccPerDoc rows (the doc
+    // cap alone never fires — it counts DISTINCT docs); emissions
+    // against a later doc are bounded by the stored prefix, not the
+    // spam count
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.text.SpanStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val k = 4; val maxDf = 4; val maxOcc = 3
+    // doc 1: "a0 a1 a2 a3" repeated 200x -> the aligned k-gram
+    // (a0 a1 a2 a3) occurs 200 times under one hash
+    val spam = (0 until 200).map(_ => "a0 a1 a2 a3").mkString(" ")
+    val mem = MemoryStream[(Long, String)]
+    val anchorRows = SpanStream.anchors(
+        mem.toDF().toDF("doc_id", "text")
+          .select(col("doc_id"), split(col("text"), " ").as("w")),
+        "doc_id", "w", k)
+      .as[SpanStream.AnchorRow]
+    val q = SpanStream.candidates(anchorRows, maxDf, maxOcc)
+      .writeStream.format("memory").queryName("sspan_occ")
+      .outputMode("append").start()
+    try {
+      mem.addData(1L -> spam)
+      q.processAllAvailable()
+      // the progress line reports stateful operator rows: the anchor
+      // state must hold <= maxDf*maxOcc rows per distinct hash (4
+      // distinct hashes in the spam cycle), not ~800
+      val rowsInState = q.lastProgress.stateOperators
+        .map(_.numRowsTotal).sum
+      assert(rowsInState > 0 && rowsInState <= 4L, // one state row/hash
+        s"state rows $rowsInState")
+      // a second doc sharing the k-gram pairs against AT MOST maxOcc
+      // stored occurrences of doc 1 per hash
+      mem.addData(2L -> s"a0 a1 a2 a3 z0 z1 z2 z3")
+      q.processAllAvailable()
+      val got = spark.table("sspan_occ").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.nonEmpty && got.toSet == Set((1L, 2L)))
+      // per-hash pairing bounded by the occurrence cap: the shared
+      // aligned k-gram stored <= 3 rows, so <= 3 pairs from it; the
+      // unaligned spam k-grams (a1 a2 a3 a0 etc.) add <= 3 each for
+      // the 1 matching position -> total strictly << 200
+      assert(got.size <= 4 * maxOcc, s"${got.size} pairs emitted")
+    } finally q.stop()
+  }
 }
