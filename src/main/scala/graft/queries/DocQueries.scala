@@ -470,6 +470,51 @@ object DocQueries {
         when(score > 0, 1).otherwise(0).as("keep"))
     }),
 
+    // Weights-as-DATA classifier (round 16) — t35's other half, the
+    // FineWeb-Edu production shape: the model is an ARTIFACT (a
+    // bucket→weight parquet table a training job wrote), not
+    // arithmetic burned into the query. The table round-trips
+    // through storage, loads as a plan-time literal map (4096·16 B —
+    // a model artifact like AnnIndex's `_geometry.tsv`, not a data
+    // move; even a 2²⁰-bucket model stays a broadcast-class object),
+    // and inference is the SAME zero-shuffle per-row fold: feature
+    // hash → ONE map probe → integer sum at scan speed. Score must
+    // equal t35's exactly (the oracle IS t35's SQL) — certifying a
+    // real trained artifact can drop in without touching the query.
+    "t36b_classifier_weights" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_t36b_weights_").toString
+      graft.util.CacheScope.onRelease { () =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        ()
+      }
+      // the trained-artifact stand-in lands as a parquet table first
+      s.range(4096).select(col("id").as("bucket"),
+          (translate(substring(md5(concat(lit("w:"),
+            col("id").cast("string"))), 1, 6), "abcdef", "012345")
+            .cast(LongType) % 2001 - 1000).as("weight"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val wmap = typedlit(s.read.parquet(dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      val w = split(lower(col("text")), " ")
+      val bigrams = when(size(w) >= 2,
+        transform(sequence(lit(0), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      val feats = concat(w, bigrams)
+      def bucket(f: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        translate(substring(md5(f), 1, 6), "abcdef", "012345")
+          .cast(LongType) % 4096
+      val score = aggregate(feats, lit(0L),
+        (acc, f) => acc + element_at(wmap, bucket(f)))
+      Tables.documents(s, d).select(col("doc_id"),
+        size(feats).cast(LongType).as("n_features"),
+        score.as("score"),
+        when(score > 0, 1).otherwise(0).as("keep"))
+    }),
+
     // Cross-document LINE dedup (round 15) — the CCNet/C4 move the
     // within-doc family doesn't cover: the SAME newline-delimited
     // line repeated across documents (boilerplate footers, cookie
@@ -1122,6 +1167,32 @@ object DocQueries {
         |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "t35_classifier_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |f AS (SELECT doc_id, unnest(w ||
+        |    CASE WHEN len(w) >= 2
+        |         THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |         ELSE CAST([] AS VARCHAR[]) END) AS feat
+        |  FROM t),
+        |b AS (SELECT doc_id,
+        |    CAST(translate(substr(md5(feat), 1, 6), 'abcdef', '012345')
+        |      AS BIGINT) % 4096 AS bk
+        |  FROM f),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+        |    CAST(sum(CAST(translate(substr(md5('w:' || CAST(bk AS VARCHAR)),
+        |      1, 6), 'abcdef', '012345') AS BIGINT) % 2001 - 1000)
+        |      AS BIGINT) AS score
+        |  FROM b GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(sc.n_features, 0) AS n_features,
+        |  COALESCE(sc.score, 0) AS score,
+        |  CAST(CASE WHEN COALESCE(sc.score, 0) > 0 THEN 1 ELSE 0 END AS INT)
+        |    AS keep
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    // t36b loads the same weights from a parquet artifact — score
+    // equality against t35's SQL certifies the load path
+    "t36b_classifier_weights" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
         |  FROM documents),
         |f AS (SELECT doc_id, unnest(w ||
