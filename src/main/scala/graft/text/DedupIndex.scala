@@ -266,7 +266,7 @@ object DedupIndex {
   private[graft] def markerPath(indexDir: String, ps: PairSpec) =
     s"$indexDir/_compact_${ps.probeSub}.tsv"
 
-  private def fsDelete(spark: SparkSession, path: String): Unit = {
+  private[graft] def fsDelete(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
@@ -276,7 +276,7 @@ object DedupIndex {
   /** Drop one batch partition from catalog + disk — probe table
     * FIRST (reverse write order: the torn invariant `bands ⊆ sets`
     * must survive any crash point inside the drop). */
-  private def dropBatch(spark: SparkSession, indexDir: String,
+  private[graft] def dropBatch(spark: SparkSession, indexDir: String,
                         specs: Seq[TableSpec], b: Int): Unit =
     for (s <- specs.reverse) {
       if (spark.catalog.tableExists(s.table))

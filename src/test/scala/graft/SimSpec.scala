@@ -180,6 +180,73 @@ class SimSpec extends SparkSuite {
     assert(e2.getMessage.contains("no pinned geometry"), e2.getMessage)
   }
 
+  test("AnnIndex RETRAIN: identity when undrifted, recall recovery on drift") {
+    import graft.sim.AnnIndex
+    import graft.text.DedupIndex
+    val emb = Tables.embeddings(spark, sf)
+    val (m, subDim) = (graft.queries.SimQueries.Sim5M,
+      graft.queries.SimQueries.Sim5Sub)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).sortBy(t => (t._1, t._4)).toSeq
+    // ---- undrifted: geometry re-derives IDENTICALLY (both trainers
+    // are deterministic in the stored rows), probes unchanged
+    val dir = java.nio.file.Files.createTempDirectory("ann_rt_").toString
+    AnnIndex.create(emb, "vec_id", "embedding", "label", dir,
+      m = m, subDim = subDim)
+    for (i <- 0 until 2)
+      AnnIndex.ingestBatch(emb.filter(pmod(col("vec_id"), lit(2)) === i),
+        "vec_id", "embedding", "label", dir, i)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val before = canon(AnnIndex.query(spark, dir, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2))
+    val geomBefore = graft.util.AtomicText.readLines(s"$dir/_geometry.tsv")
+    assert(AnnIndex.retrain(spark, dir))
+    assert(graft.util.AtomicText.readLines(s"$dir/_geometry.tsv")
+      == geomBefore, "undrifted retrain must re-derive the same geometry")
+    assert(canon(AnnIndex.query(spark, dir, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)) == before)
+    // sources folded into one generation; further ingest still works
+    assert(DedupIndex.fsBatches(spark, s"$dir/codes") == Set(-1))
+    assert(DedupIndex.fsBatches(spark, s"$dir/vecs") == Set(-1))
+    AnnIndex.dropIndex(spark, dir)
+    // ---- drifted: create trained on region Y only; region X (far
+    // offset, SMALLER ids so the re-trained sampling-init codebook
+    // must include it) arrives in a later batch. Under the Y-only
+    // codebook X's subvectors collapse toward one codeword; after
+    // retrain the codebook represents X and recall recovers.
+    val dir2 = java.nio.file.Files.createTempDirectory("ann_rt2_").toString
+    val regionY = emb
+    val regionX = emb.select(($"vec_id" - 1000000L).as("vec_id"),
+      org.apache.spark.sql.functions.transform(
+        $"embedding".cast("array<double>"),
+        x => x * lit(0.2) + lit(5.0)).as("embedding"),
+      $"label")
+    AnnIndex.create(regionY, "vec_id", "embedding", "label", dir2,
+      m = m, subDim = subDim)
+    AnnIndex.ingestBatch(regionY, "vec_id", "embedding", "label", dir2, 0)
+    AnnIndex.ingestBatch(regionX, "vec_id", "embedding", "label", dir2, 1)
+    val xQueries = regionX.filter($"vec_id" % 50 === 0)
+    val truth = Embeddings.bruteForceTopK(xQueries,
+        regionY.unionAll(regionX), "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallNow(): Double = {
+      val got = AnnIndex.query(spark, dir2, xQueries,
+        "vec_id", "embedding", k = 5, nprobe = 3)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val recallBefore = recallNow()
+    assert(AnnIndex.retrain(spark, dir2))
+    val recallAfter = recallNow()
+    assert(recallAfter > recallBefore,
+      s"retrain must recover recall on a drifted corpus " +
+        s"($recallBefore -> $recallAfter)")
+    AnnIndex.dropIndex(spark, dir2)
+  }
+
   test("nearDupPairs finds planted near-duplicates with high recall") {
     // plant exact copies (cos=1, always collide) and perturbed copies
     // (x*0.9+0.05 → cos≈0.92; per 6-bit table kept with p≈0.44, missed
