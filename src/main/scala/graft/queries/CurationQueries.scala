@@ -282,6 +282,89 @@ object CurationQueries {
       curateCleaned(cleaned)
     }),
 
+    // INCREMENTAL end-to-end curation (round 16) — the operational
+    // composite of the whole crawl surface, the pipeline a crawl
+    // operator actually schedules: `.warc.gz` waves land while the
+    // `graft-warc` streaming tail follows them (staged ascending
+    // renames), each record decodes through the t36 HTTP layer and
+    // extracts through t29 IN FLIGHT; after each wave, the batch leg
+    // robots-gates the new docs (t34's wildcard battery), probes +
+    // ingests the persisted MinHash index (dd9's mold — cross-wave
+    // pairs emerge when the later doc arrives), and folds the pairs
+    // into the maintained cluster index (dd24's mold). Survivors =
+    // docs that are their own canonical. Batch-wise must equal the
+    // ONE-SHOT pass on the concatenated corpus exactly (every stage's
+    // incremental==one-shot equality is individually pinned; this
+    // gates the COMPOSITE) — the oracle replays extraction, robots,
+    // MinHash, and the recursive transitive closure blind from
+    // `documents`.
+    "cur5_incremental_curation" -> ((s, d) => {
+      import graft.text.{ClusterIndex, DedupIndex, HtmlExtract, HttpDecode}
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_cur5_").toString
+      val mhDir = s"$base/mh"
+      val ccDir = s"$base/cc"
+      graft.util.CacheScope.onRelease { () =>
+        DedupIndex.dropIndex(s, mhDir)
+        ClusterIndex.dropIndex(s, ccDir)
+        val p = new org.apache.hadoop.fs.Path(base)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        ()
+      }
+      val land = s"$base/land"
+      val outDir = s"$base/out"
+      val corpus = crawlCorpus(s, d)
+      val q = s.readStream.format("graft-warc").load(land)
+        .filter(col("rtype") === "response")
+        .select(col("rec_id"),
+          HttpDecode.decodeResponse(col("payload")).as("dx"))
+        .select(col("rec_id"), HtmlExtract.extract(col("dx.body")).as("ex"))
+        .select(regexp_extract(col("rec_id"), "urn:graft:([0-9]+)", 1)
+            .cast("long").as("doc_id"),
+          regexp_replace(col("ex.extracted"), "\n", " ").as("clean"))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", s"$base/ckpt").start()
+      try {
+        (0 until 3).foreach { w =>
+          graft.sources.WarcGz.landCorpus(
+            corpus.filter(pmod(col("doc_id"), lit(3)) === w),
+            "doc_id", "text", land, nFiles = 2, prefix = s"w${w + 1}",
+            encodeHttp = true)
+          q.processAllAvailable()
+          // the wave's index leg over the freshly streamed rows
+          val wave = s.read.parquet(outDir)
+            .filter(pmod(col("doc_id"), lit(3)) === w)
+          val allowed = robotsDecisions(s, wave.select(col("doc_id")))
+            .filter(col("allowed") === 1)
+            .join(wave, Seq("doc_id"))
+            .select(col("doc_id"), col("clean"))
+          val pairs = DedupIndex.ingestBatch(allowed, "doc_id", "clean",
+            mhDir, w)
+          val r = ClusterIndex.ingestBatch(pairs.select("a", "b"), ccDir, w)
+          // the per-batch view goes unread — free its checkpoint
+          r.queryExecution.analyzed.collectLeaves().foreach {
+            case lr: org.apache.spark.sql.execution.LogicalRDD =>
+              lr.rdd.unpersist(blocking = false); ()
+            case _ => ()
+          }
+        }
+      } finally q.stop()
+      val dec = robotsDecisions(s,
+        s.read.parquet(outDir).select(col("doc_id")))
+      val assigns = ClusterIndex.currentAssignments(s, ccDir,
+        dec.filter(col("allowed") === 1).select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("canonical_id"))
+      dec.join(assigns, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(3)).cast("int").as("wave"),
+          col("host"), col("allowed"),
+          coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"),
+          when(col("allowed") === 1 &&
+            coalesce(col("canonical_id"), col("doc_id")) === col("doc_id"),
+            1).otherwise(0).as("keep"))
+    }),
+
     // URL canonicalization + URL-keyed dedup (round 14) — the
     // standard first pass of a crawl pipeline: case-fold scheme/host,
     // drop fragments, strip default ports, remove tracking params,
@@ -449,41 +532,14 @@ object CurationQueries {
     // carve-out, and overlapping prefixes where the longer Allow
     // must beat the shorter Disallow; DuckDB replays parse + match
     // resolution blind.
-    "t34_robots_filter" -> ((s, d) => {
-      import graft.text.{Robots, UrlCanon}
-      import s.implicits._
+    "t34_robots_filter" -> ((s, d) =>
       // round 16: RFC 9309 §2.2.3 wildcards in the mix — `/p/*4$`
       // must out-rank the shorter literal disallows on /p/~v14 and
       // the shorter Allow on /p/~v28; the mid-pattern `*` with `$`
       // anchor (`/p/~v3*9$`, len 9) must win /p/~v39 back to allow
-      val robots = Seq(
-        ("example.com",
-          "User-agent: *\nDisallow: /p/~v1\nAllow: /p/~v12\n" +
-            "# generated boilerplate\nDisallow: /p/~v3\nDisallow:\n" +
-            "Disallow: /p/*4$\nAllow: /p/~v3*9$\n"),
-        ("sub.example.org:8080",
-          "User-agent: *\nDisallow: /p/~v\nAllow: /p/~v2\n" +
-            "Disallow: /p/*8$\n"))
-        .toDF("host", "robots_txt")
-      val rules = robots.select(col("host"),
-          explode(Robots.parseRules(col("robots_txt"))).as("r"))
-        .select(col("host"), col("r.verdict").as("verdict"),
-          col("r.prefix").as("prefix"))
-      // canon materialized once: host+path extraction would re-run
-      // the canonicalize HOF chain per reference
-      val urls = graft.util.CacheScope.track(Tables.documents(s, d)
-        .select(col("doc_id"),
-          UrlCanon.canonicalize(UrlCanon.renderUrl(col("doc_id")))
-            .as("canon")))
-        .select(col("doc_id"),
-          regexp_extract(col("canon"), "^[^:/?#]+://([^/?#]*)", 1)
-            .as("host"),
-          regexp_extract(col("canon"), "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
-            .as("path"))
-      Robots.decide(urls, rules, Seq("doc_id"))
+      robotsDecisions(s, Tables.documents(s, d).select(col("doc_id")))
         .select(col("doc_id"), col("host"), col("path"),
-          col("matched_prefix"), col("allowed"))
-    }),
+          col("matched_prefix"), col("allowed"))),
 
     // Streaming crawl front (round 15) — the END-TO-END live
     // pipeline: `.warc.gz` files land in waves, the `graft-warc`
@@ -844,6 +900,91 @@ object CurationQueries {
        |    END), ''))""".stripMargin
   }
 
+  /** t34/cur5's shared robots SQL chain over `src(doc_id)`: URL
+    * render → percent-normalize → host/path → wildcard rules as
+    * anchored regexes (the engine's escape chain mirrored; DuckDB
+    * regexp_replace needs the explicit 'g' flag) → ranked matches.
+    * Ends with CTE `rk(doc_id, host, path, verdict, prefix, hit, rn)`. */
+  private def robotsSqlCtes(src: String): String =
+    s"""ru AS (SELECT doc_id, $RawUrlSql AS url FROM $src),
+      |rpn AS (SELECT doc_id, ${percentNormSql("url")} AS nu FROM ru),
+      |rc AS (SELECT doc_id,
+      |  lower(regexp_extract(nu, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |    AS scheme,
+      |  lower(regexp_extract(nu, '^[^:/?#]+://([^/?#]*)', 1)) AS auth,
+      |  regexp_extract(nu, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS p
+      |  FROM rpn),
+      |rh AS (SELECT doc_id,
+      |  CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$$', '')
+      |       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
+      |       ELSE auth END AS host,
+      |  CASE WHEN p = '' THEN '/' ELSE p END AS path
+      |  FROM rc),
+      |rrules(host, verdict, prefix) AS (VALUES
+      |  ('example.com', 'disallow', '/p/~v1'),
+      |  ('example.com', 'allow',    '/p/~v12'),
+      |  ('example.com', 'disallow', '/p/~v3'),
+      |  ('example.com', 'disallow', '/p/*4$$'),
+      |  ('example.com', 'allow',    '/p/~v3*9$$'),
+      |  ('sub.example.org:8080', 'disallow', '/p/~v'),
+      |  ('sub.example.org:8080', 'allow',    '/p/~v2'),
+      |  ('sub.example.org:8080', 'disallow', '/p/*8$$')),
+      |rrx AS (SELECT host, verdict, prefix,
+      |    '^' || replace(regexp_replace(
+      |      CASE WHEN prefix LIKE '%$$'
+      |           THEN substr(prefix, 1, length(prefix) - 1)
+      |           ELSE prefix END,
+      |      '([.^$$+?(){}\\[\\]|\\\\])', '\\\\\\1', 'g'), '*', '.*') ||
+      |    CASE WHEN prefix LIKE '%$$' THEN '$$' ELSE '' END AS rxp
+      |  FROM rrules),
+      |rm AS (SELECT rh.doc_id, rh.host, rh.path, r.verdict, r.prefix,
+      |    (r.prefix IS NOT NULL AND regexp_matches(rh.path, r.rxp)) AS hit
+      |  FROM rh LEFT JOIN rrx r ON r.host = rh.host),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY hit DESC, length(prefix) DESC NULLS LAST,
+      |             verdict ASC, prefix ASC NULLS LAST) AS rn
+      |  FROM rm)""".stripMargin
+
+  /** t34/cur5's shared robots battery: two canonical hosts, literal
+    * rules + the RFC 9309 wildcard shapes. */
+  private def robotsRules(s: SparkSession): DataFrame = {
+    import s.implicits._
+    import graft.text.Robots
+    Seq(
+      ("example.com",
+        "User-agent: *\nDisallow: /p/~v1\nAllow: /p/~v12\n" +
+          "# generated boilerplate\nDisallow: /p/~v3\nDisallow:\n" +
+          "Disallow: /p/*4$\nAllow: /p/~v3*9$\n"),
+      ("sub.example.org:8080",
+        "User-agent: *\nDisallow: /p/~v\nAllow: /p/~v2\n" +
+          "Disallow: /p/*8$\n"))
+      .toDF("host", "robots_txt")
+      .select(col("host"),
+        explode(Robots.parseRules(col("robots_txt"))).as("r"))
+      .select(col("host"), col("r.verdict").as("verdict"),
+        col("r.prefix").as("prefix"))
+  }
+
+  /** Robots decisions for every `doc_id` row of `ids`: render →
+    * canonicalize → host/path → wildcard-rule longest-match. The
+    * canonical URL materializes once (CacheScope) — host+path
+    * extraction would re-run the canonicalize HOF chain per
+    * reference. Returns (doc_id, host, path, matched_prefix,
+    * allowed). */
+  private def robotsDecisions(s: SparkSession, ids: DataFrame): DataFrame = {
+    import graft.text.{Robots, UrlCanon}
+    val urls = graft.util.CacheScope.track(ids
+      .select(col("doc_id"),
+        UrlCanon.canonicalize(UrlCanon.renderUrl(col("doc_id")))
+          .as("canon")))
+      .select(col("doc_id"),
+        regexp_extract(col("canon"), "^[^:/?#]+://([^/?#]*)", 1)
+          .as("host"),
+        regexp_extract(col("canon"), "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+          .as("path"))
+    Robots.decide(urls, robotsRules(s), Seq("doc_id"))
+  }
+
   /** documents ∪ re-rendered copies of every 100th doc under a
     * shifted id — cur3/cur4's shared planted-duplicate corpus. */
   private def crawlCorpus(s: SparkSession, d: String): DataFrame = {
@@ -900,50 +1041,71 @@ object CurationQueries {
     // t34 replays parse + longest-match resolution blind: the same
     // rules as VALUES, host/path from the canonicalization chain
     "t34_robots_filter" ->
-      (s"""WITH u AS (SELECT doc_id, $RawUrlSql AS url
-        |  FROM documents),
-        |un AS (SELECT doc_id, ${percentNormSql("url")} AS nu FROM u),
-        |c AS (SELECT doc_id,
-        |  lower(regexp_extract(nu, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-        |    AS scheme,
-        |  lower(regexp_extract(nu, '^[^:/?#]+://([^/?#]*)', 1)) AS auth,
-        |  regexp_extract(nu, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS p
-        |  FROM un),
-        |h AS (SELECT doc_id,
-        |  CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$$', '')
-        |       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
-        |       ELSE auth END AS host,
-        |  CASE WHEN p = '' THEN '/' ELSE p END AS path
-        |  FROM c),
-        |rules(host, verdict, prefix) AS (VALUES
-        |  ('example.com', 'disallow', '/p/~v1'),
-        |  ('example.com', 'allow',    '/p/~v12'),
-        |  ('example.com', 'disallow', '/p/~v3'),
-        |  ('example.com', 'disallow', '/p/*4$$'),
-        |  ('example.com', 'allow',    '/p/~v3*9$$'),
-        |  ('sub.example.org:8080', 'disallow', '/p/~v'),
-        |  ('sub.example.org:8080', 'allow',    '/p/~v2'),
-        |  ('sub.example.org:8080', 'disallow', '/p/*8$$')),
-        |rx AS (SELECT host, verdict, prefix,
-        |    '^' || replace(regexp_replace(
-        |      CASE WHEN prefix LIKE '%$$'
-        |           THEN substr(prefix, 1, length(prefix) - 1)
-        |           ELSE prefix END,
-        |      '([.^$$+?(){}\\[\\]|\\\\])', '\\\\\\1', 'g'), '*', '.*') ||
-        |    CASE WHEN prefix LIKE '%$$' THEN '$$' ELSE '' END AS rrx
-        |  FROM rules),
-        |m AS (SELECT h.doc_id, h.host, h.path, r.verdict, r.prefix,
-        |    (r.prefix IS NOT NULL AND regexp_matches(h.path, r.rrx)) AS hit
-        |  FROM h LEFT JOIN rx r ON r.host = h.host),
-        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-        |    ORDER BY hit DESC, length(prefix) DESC NULLS LAST,
-        |             verdict ASC, prefix ASC NULLS LAST) AS rn
-        |  FROM m)
+      (s"""WITH ${robotsSqlCtes("documents")}
         |SELECT doc_id, host, path,
         |  CASE WHEN hit THEN prefix ELSE '' END AS matched_prefix,
         |  CAST(CASE WHEN NOT hit OR verdict = 'allow' THEN 1 ELSE 0 END
         |    AS INT) AS allowed
         |FROM rk WHERE rn = 1""".stripMargin),
+    // cur5 replays the WHOLE composite blind: extraction → robots →
+    // one-shot MinHash pairs → recursive transitive closure — the
+    // batch-wise streamed run must equal it exactly
+    "cur5_incremental_curation" ->
+      (s"""WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |""".stripMargin + HtmlExtractCte + ",\n" +
+      s"""cl AS (SELECT doc_id, replace(extracted, chr(10), ' ') AS clean
+        |  FROM hx),
+        |${robotsSqlCtes("corpus")},
+        |rb AS (SELECT doc_id, host,
+        |    CAST(CASE WHEN NOT hit OR verdict = 'allow' THEN 1 ELSE 0 END
+        |      AS INT) AS allowed
+        |  FROM rk WHERE rn = 1),
+        |toks AS (SELECT cl.doc_id, string_split(cl.clean, ' ') AS w
+        |  FROM cl JOIN rb ON rb.doc_id = cl.doc_id AND rb.allowed = 1),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(0, len(w) - 2),
+        |    i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+        |  FROM toks),
+        |sig AS (SELECT doc_id, ${DocQueries.mhSigCols} FROM sh
+        |  GROUP BY doc_id),
+        |bands AS (${DocQueries.mhBands}),
+        |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+        |  WHERE l.doc_id < r.doc_id),
+        |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.a, c.b, count(*) AS inter
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.a
+        |  JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+        |  GROUP BY c.a, c.b),
+        |edges AS (SELECT c.a, c.b
+        |  FROM cand c
+        |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+        |  JOIN counts ca ON ca.doc_id = c.a
+        |  JOIN counts cb ON cb.doc_id = c.b
+        |  WHERE CAST(coalesce(i.inter, 0) AS DOUBLE) /
+        |        CAST(ca.n + cb.n - coalesce(i.inter, 0) AS DOUBLE) >= 0.5),
+        |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        |reach(start, node) AS (
+        |  SELECT doc_id, doc_id FROM toks
+        |  UNION
+        |  SELECT r.start, sy.b FROM reach r JOIN sym sy ON sy.a = r.node),
+        |canon AS (SELECT start AS doc_id, min(node) AS canonical_id
+        |  FROM reach GROUP BY start)
+        |SELECT c.doc_id,
+        |  CAST(c.doc_id % 3 AS INT) AS wave,
+        |  rb.host, rb.allowed,
+        |  COALESCE(cn.canonical_id, c.doc_id) AS canonical_id,
+        |  CAST(CASE WHEN rb.allowed = 1 AND
+        |       COALESCE(cn.canonical_id, c.doc_id) = c.doc_id
+        |       THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM corpus c
+        |JOIN rb ON rb.doc_id = c.doc_id
+        |LEFT JOIN canon cn ON cn.doc_id = c.doc_id""".stripMargin),
     // t36 replays the DECODED response blind from documents — the
     // oracle never sees chunk framing, deflate bytes, or Latin-1;
     // a hash match certifies the whole decode layer

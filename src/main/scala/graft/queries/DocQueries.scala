@@ -751,9 +751,9 @@ object DocQueries {
     })
   )
 
-  private val mhSigCols: String =
+  private[queries] val mhSigCols: String =
     (0 until 8).map(i => s"min(md5(sh || '#$i')) AS mh$i").mkString(", ")
-  private val mhBands: String =
+  private[queries] val mhBands: String =
     (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS key FROM sig")
       .mkString(" UNION ALL ")

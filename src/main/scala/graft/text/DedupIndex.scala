@@ -164,6 +164,19 @@ object DedupIndex {
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** Drop this index's session-catalog tables and delete its data —
+    * for SCRATCH indexes whose lifetime is one query (the
+    * ClusterIndex.dropIndex twin; cur5 registers it as a CacheScope
+    * release hook). */
+  def dropIndex(spark: SparkSession, indexDir: String): Unit = {
+    val (b, st) = tableNames(indexDir)
+    Seq(b, st).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+
   /** One batch partition of one index table. The batch is
     * pre-partitioned to exactly `buckets` tasks on the bucket keys —
     * same hash as the bucket-id assignment — so each task writes ONE
