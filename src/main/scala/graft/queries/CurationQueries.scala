@@ -541,6 +541,43 @@ object CurationQueries {
         .select(col("doc_id"), col("host"), col("path"),
           col("matched_prefix"), col("allowed"))),
 
+    // robots.txt GROUP SELECTION (round 16) — RFC 9309 §2.2.1, the
+    // half of robots handling t34 left caller-side: a real robots.txt
+    // carries several User-agent groups, the crawler picks its own
+    // (exact token match case-insensitively) over `*`, multiple
+    // matching groups COMBINE, and a shared UA run serves every
+    // token in it. The generator's example.com carries an otherbot
+    // group, a graftbot group, a `*` group that would block
+    // everything (selection must SKIP it), and a second GraftBot
+    // group whose rules must merge in; the other host has only `*`
+    // to take the fallback path. Decisions then run the t34 wildcard
+    // machinery over the SELECTED rules. Oracle: group selection of
+    // constant text is constant — the oracle carries the selected
+    // battery and replays the decision chain blind.
+    "t37_robots_groups" -> ((s, d) => {
+      import s.implicits._
+      import graft.text.Robots
+      val robots = Seq(
+        ("example.com",
+          "User-agent: otherbot\nDisallow: /\n" +
+            "User-agent: graftbot\nDisallow: /p/~v1\nAllow: /p/~v12\n" +
+            "User-agent: *\nDisallow: /p/\n" +
+            "User-agent: GraftBot\nDisallow: /p/*4$\n"),
+        ("sub.example.org:8080",
+          "User-agent: otherbot\nAllow: /\n" +
+            "User-agent: *\nDisallow: /p/~v\nAllow: /p/~v2\n"))
+        .toDF("host", "robots_txt")
+      val rules = robots.select(col("host"),
+          explode(Robots.parseRules(Robots.selectGroup(
+            col("robots_txt"), lit("graftbot")))).as("r"))
+        .select(col("host"), col("r.verdict").as("verdict"),
+          col("r.prefix").as("prefix"))
+      robotsDecisions(s, Tables.documents(s, d).select(col("doc_id")),
+        rules)
+        .select(col("doc_id"), col("host"), col("path"),
+          col("matched_prefix"), col("allowed"))
+    }),
+
     // Streaming crawl front (round 15) — the END-TO-END live
     // pipeline: `.warc.gz` files land in waves, the `graft-warc`
     // micro-batch tail follows them (exactly-once file offsets), and
@@ -905,7 +942,19 @@ object CurationQueries {
     * anchored regexes (the engine's escape chain mirrored; DuckDB
     * regexp_replace needs the explicit 'g' flag) → ranked matches.
     * Ends with CTE `rk(doc_id, host, path, verdict, prefix, hit, rn)`. */
-  private def robotsSqlCtes(src: String): String =
+  /** The t34/cur5 battery as SQL VALUES rows. */
+  private val DefaultRulesSql: String =
+    """  ('example.com', 'disallow', '/p/~v1'),
+      |  ('example.com', 'allow',    '/p/~v12'),
+      |  ('example.com', 'disallow', '/p/~v3'),
+      |  ('example.com', 'disallow', '/p/*4$'),
+      |  ('example.com', 'allow',    '/p/~v3*9$'),
+      |  ('sub.example.org:8080', 'disallow', '/p/~v'),
+      |  ('sub.example.org:8080', 'allow',    '/p/~v2'),
+      |  ('sub.example.org:8080', 'disallow', '/p/*8$')""".stripMargin
+
+  private def robotsSqlCtes(src: String,
+                            rulesValues: String = DefaultRulesSql): String =
     s"""ru AS (SELECT doc_id, $RawUrlSql AS url FROM $src),
       |rpn AS (SELECT doc_id, ${percentNormSql("url")} AS nu FROM ru),
       |rc AS (SELECT doc_id,
@@ -921,14 +970,7 @@ object CurationQueries {
       |  CASE WHEN p = '' THEN '/' ELSE p END AS path
       |  FROM rc),
       |rrules(host, verdict, prefix) AS (VALUES
-      |  ('example.com', 'disallow', '/p/~v1'),
-      |  ('example.com', 'allow',    '/p/~v12'),
-      |  ('example.com', 'disallow', '/p/~v3'),
-      |  ('example.com', 'disallow', '/p/*4$$'),
-      |  ('example.com', 'allow',    '/p/~v3*9$$'),
-      |  ('sub.example.org:8080', 'disallow', '/p/~v'),
-      |  ('sub.example.org:8080', 'allow',    '/p/~v2'),
-      |  ('sub.example.org:8080', 'disallow', '/p/*8$$')),
+      |$rulesValues),
       |rrx AS (SELECT host, verdict, prefix,
       |    '^' || replace(regexp_replace(
       |      CASE WHEN prefix LIKE '%$$'
@@ -971,7 +1013,8 @@ object CurationQueries {
     * extraction would re-run the canonicalize HOF chain per
     * reference. Returns (doc_id, host, path, matched_prefix,
     * allowed). */
-  private def robotsDecisions(s: SparkSession, ids: DataFrame): DataFrame = {
+  private def robotsDecisions(s: SparkSession, ids: DataFrame,
+                              rules: DataFrame = null): DataFrame = {
     import graft.text.{Robots, UrlCanon}
     val urls = graft.util.CacheScope.track(ids
       .select(col("doc_id"),
@@ -982,7 +1025,8 @@ object CurationQueries {
           .as("host"),
         regexp_extract(col("canon"), "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
           .as("path"))
-    Robots.decide(urls, robotsRules(s), Seq("doc_id"))
+    Robots.decide(urls,
+      Option(rules).getOrElse(robotsRules(s)), Seq("doc_id"))
   }
 
   /** documents ∪ re-rendered copies of every 100th doc under a
@@ -1042,6 +1086,22 @@ object CurationQueries {
     // rules as VALUES, host/path from the canonicalization chain
     "t34_robots_filter" ->
       (s"""WITH ${robotsSqlCtes("documents")}
+        |SELECT doc_id, host, path,
+        |  CASE WHEN hit THEN prefix ELSE '' END AS matched_prefix,
+        |  CAST(CASE WHEN NOT hit OR verdict = 'allow' THEN 1 ELSE 0 END
+        |    AS INT) AS allowed
+        |FROM rk WHERE rn = 1""".stripMargin),
+    // t37: group selection of constant text is a constant — the
+    // oracle carries the SELECTED battery (graftbot groups combined
+    // on example.com; the * fallback on the other host) and replays
+    // the decision chain blind
+    "t37_robots_groups" ->
+      (s"""WITH ${robotsSqlCtes("documents",
+          """  ('example.com', 'disallow', '/p/~v1'),
+            |  ('example.com', 'allow',    '/p/~v12'),
+            |  ('example.com', 'disallow', '/p/*4$'),
+            |  ('sub.example.org:8080', 'disallow', '/p/~v'),
+            |  ('sub.example.org:8080', 'allow',    '/p/~v2')""".stripMargin)}
         |SELECT doc_id, host, path,
         |  CASE WHEN hit THEN prefix ELSE '' END AS matched_prefix,
         |  CAST(CASE WHEN NOT hit OR verdict = 'allow' THEN 1 ELSE 0 END

@@ -27,11 +27,10 @@ import org.apache.spark.sql.functions._
 object Robots {
 
   /** Parse one robots.txt body into `array<struct<verdict, prefix>>`
-    * — `Allow:`/`Disallow:` lines of the `User-agent: *` convention
-    * (group handling: the caller passes the `*` group's text; a
-    * crawler with its own token selects its group upstream). Empty
-    * Disallow ("Disallow:" with no path — the RFC's allow-everything
-    * idiom) and comments/foreign lines drop. */
+    * — `Allow:`/`Disallow:` lines (pass a whole single-group file, or
+    * [[selectGroup]]'s output for multi-group files). Empty Disallow
+    * ("Disallow:" with no path — the RFC's allow-everything idiom)
+    * and comments/foreign lines drop. */
   def parseRules(txt: Column): Column =
     filter(
       transform(split(txt, "\n"), l => struct(
@@ -54,6 +53,62 @@ object Robots {
     val esc = regexp_replace(body, "([.^$+?(){}\\[\\]|\\\\])", "\\\\$1")
     concat(lit("^"), regexp_replace(esc, "\\*", ".*"),
       when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** RFC 9309 §2.2.1 GROUP SELECTION, pure Column: a robots.txt is a
+    * sequence of groups (a run of consecutive `User-agent:` lines
+    * followed by their rules); a crawler uses the group(s) whose
+    * product token matches it case-insensitively EXACTLY, else the
+    * `*` group(s), else nothing (allow-all). When several groups
+    * match at the winning specificity their rules COMBINE (the RFC's
+    * merge requirement). Returns the selected groups' rule text,
+    * ready for [[parseRules]] — "" when no group matches. One fold
+    * over the lines per row; group count is bounded by the text, not
+    * a slot budget. */
+  def selectGroup(txt: Column, agent: Column): Column = {
+    val tagged = aggregate(
+      split(txt, "\n"),
+      struct(lit(0).as("gid"), lit(false).as("prevUA"),
+        array().cast("array<struct<gid:int,ua:string,rule:string>>")
+          .as("acc")),
+      (st, l) => {
+        val isUA = l.rlike("(?i)^\\s*user-agent\\s*:")
+        val uaVal = lower(trim(regexp_extract(l,
+          "(?i)^\\s*user-agent\\s*:\\s*(\\S+)", 1)))
+        // a UA line FOLLOWING a non-UA line opens a new group;
+        // consecutive UA lines share one group (the RFC's run rule)
+        val gid = when(isUA && !st.getField("prevUA"),
+          st.getField("gid") + 1).otherwise(st.getField("gid"))
+        val entry = struct(gid.as("gid"),
+          when(isUA, uaVal).as("ua"),
+          when(!isUA, l).as("rule"))
+        struct(gid.as("gid"), isUA.as("prevUA"),
+          concat(st.getField("acc"), array(entry)).as("acc"))
+      },
+      st => st.getField("acc"))
+    element_at(transform(array(tagged), acc => {
+      val maxGid = coalesce(
+        array_max(transform(acc, e => e.getField("gid"))), lit(0))
+      val gids = when(maxGid >= 1, sequence(lit(1), maxGid))
+        .otherwise(array().cast("array<int>"))
+      val groups = transform(gids, g => {
+        val mine = filter(acc, e => e.getField("gid") === g)
+        val uas = filter(mine, e => e.getField("ua").isNotNull)
+        val spec =
+          when(exists(uas, u => u.getField("ua") === lower(agent)), 2)
+            .when(exists(uas, u => u.getField("ua") === "*"), 1)
+            .otherwise(0)
+        struct(spec.as("spec"),
+          array_join(transform(
+            filter(mine, e => e.getField("rule").isNotNull),
+            e => e.getField("rule")), "\n").as("body"))
+      })
+      val best = coalesce(
+        array_max(transform(groups, s => s.getField("spec"))), lit(0))
+      when(best > 0, array_join(transform(
+        filter(groups, s => s.getField("spec") === best),
+        s => s.getField("body")), "\n")).otherwise(lit(""))
+    }), 1)
   }
 
   /** Decide every URL row against a rules table.

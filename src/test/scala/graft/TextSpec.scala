@@ -261,6 +261,44 @@ class TextSpec extends SparkSuite {
       parsed.toString)
   }
 
+  test("robots groups: specific token beats *, matching groups combine") {
+    import graft.text.Robots
+    val txt =
+      "User-agent: otherbot\nDisallow: /all\n" +
+        "# comment between groups\n" +
+        "User-agent: graftbot\nUser-agent: thirdbot\nDisallow: /g1\n" +
+        "User-agent: *\nDisallow: /star\nAllow: /star/pub\n" +
+        "User-agent: GraftBot\nAllow: /g2\n" // second match: must COMBINE
+    val df = Seq(Tuple1(txt)).toDF("t")
+    def sel(agent: String): String =
+      df.select(Robots.selectGroup($"t", lit(agent)).as("g"))
+        .first().getString(0)
+    // exact token (case-insensitive) wins over *; both matching
+    // groups' rules combine; the shared-run group (graftbot+thirdbot)
+    // serves both tokens
+    assert(sel("graftbot").contains("Disallow: /g1") &&
+      sel("graftbot").contains("Allow: /g2") &&
+      !sel("graftbot").contains("/star") &&
+      !sel("graftbot").contains("/all"), sel("graftbot"))
+    assert(sel("thirdbot").contains("Disallow: /g1") &&
+      !sel("thirdbot").contains("/g2"))
+    // unknown token falls back to the * group
+    assert(sel("strangerbot").contains("Disallow: /star") &&
+      sel("strangerbot").contains("Allow: /star/pub") &&
+      !sel("strangerbot").contains("/g1"))
+    // no * group and no token match -> "" (allow-all)
+    val noStar = Seq(Tuple1("User-agent: otherbot\nDisallow: /x\n"))
+      .toDF("t")
+    assert(noStar.select(Robots.selectGroup($"t", lit("graftbot")))
+      .first().getString(0) == "")
+    // selected text feeds parseRules directly
+    val rules = df.select(explode(Robots.parseRules(
+        Robots.selectGroup($"t", lit("graftbot")))).as("r"))
+      .select("r.verdict", "r.prefix").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rules == Set(("disallow", "/g1"), ("allow", "/g2")), rules)
+  }
+
   test("robots wildcards: RFC 9309 * and $ rules, length-order ranking") {
     import graft.text.Robots
     val rules = Seq(
