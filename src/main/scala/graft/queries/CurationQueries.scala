@@ -638,6 +638,52 @@ object CurationQueries {
         "http_status", "n_kept", "extracted")
     }),
 
+    // Link extraction + crawl FRONTIER (round 16) — the discovery
+    // step that closes the crawl loop: pages carry outlinks, the
+    // extractor pulls every `<a href>` (entities decoded — real
+    // markup writes `&amp;` inside query strings), absolute links
+    // canonicalize through t30's chain, and an anti-membership test
+    // against the corpus's own canonical URL set splits SEEN from
+    // FRONTIER (the next wave's fetch list). The generator appends a
+    // footer nav to the t29 page: one corpus-shaped outlink
+    // (doc_id+1 — lands in the seen set through canonical-form
+    // closure, NOT raw string equality; the raw forms differ) and
+    // one off-site link (never seen; its tracking param must still
+    // strip). The seen set is |corpus| canonical strings — a
+    // BROADCAST, so the whole frontier step is exchange-free at any
+    // corpus size. Oracle replays link arithmetic + canonicalization
+    // + membership blind.
+    "t38_link_extract" -> ((s, d) => {
+      import graft.text.{HtmlExtract, UrlCanon}
+      val link1 = UrlCanon.renderUrl(col("doc_id") + 1)
+      val link2 = concat(lit("https://offsite.example.net/x/"),
+        (col("doc_id") % 7).cast("string"), lit("?utm_source=feed"))
+      def esc(u: org.apache.spark.sql.Column) =
+        regexp_replace(u, "&", "&amp;")
+      val html = concat(
+        HtmlExtract.render(col("doc_id"), split(col("text"), " ")),
+        lit("<div><a href=\""), esc(link1), lit("\">next</a> "),
+        lit("<a href=\""), esc(link2), lit("\">off</a></div>"))
+      val pages = graft.util.CacheScope.track(Tables.documents(s, d)
+        .select(col("doc_id"), html.as("html")))
+      // absolute links only (the relative nav/farm/footer hrefs are
+      // same-site chrome, not frontier candidates)
+      val abs = filter(HtmlExtract.links(col("html")),
+        h => h.rlike("(?i)^https?://"))
+      val links = graft.util.CacheScope.track(pages
+        .select(col("doc_id"), posexplode(abs))
+        .toDF("doc_id", "link_ix", "href")
+        .withColumn("canon", UrlCanon.canonicalize(col("href"))))
+      val seen = Tables.documents(s, d)
+        .select(UrlCanon.canonicalize(
+          UrlCanon.renderUrl(col("doc_id"))).as("canon"))
+        .distinct()
+      links.join(broadcast(seen.withColumn("seen_flag", lit(1))),
+          Seq("canon"), "left")
+        .select(col("doc_id"), col("link_ix"), col("href"), col("canon"),
+          coalesce(col("seen_flag"), lit(0)).as("seen"))
+    }),
+
     // Deterministic stratified sample + train/val/test split
     // (~80/10/10 by hash bucket; 10% systematic sample flag).
     // The operators COMPOSED — one pass of the curation flow a
@@ -918,6 +964,11 @@ object CurationQueries {
       |       THEN '#sec' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END"""
       .stripMargin
 
+  /** [[RawUrlSql]] over an arbitrary id expression (the t38 outlink
+    * arithmetic needs `doc_id + 1`). */
+  private def rawUrlSqlOf(e: String): String =
+    RawUrlSql.replace("doc_id", e)
+
   /** [[graft.text.UrlCanon.normalizePercent]] replayed in DuckDB SQL
     * over a string expression `e`: split at '%', head passes through,
     * each tail part decodes its leading hex pair when unreserved
@@ -928,13 +979,13 @@ object CurationQueries {
       " * 16 + (strpos('0123456789ABCDEF', upper(substr(p, 2, 1))) - 1)" +
       " AS INTEGER)"
     s"""(string_split($e, '%')[1] ||
-       |  array_to_string(list_transform(string_split($e, '%')[2:], p ->
+       |  coalesce(array_to_string(list_transform(string_split($e, '%')[2:], p ->
        |    CASE WHEN NOT regexp_matches(p, '^[0-9A-Fa-f]{2}')
        |           THEN '%' || p
        |         WHEN regexp_matches(chr($code), '^[A-Za-z0-9._~-]$$')
        |           THEN chr($code) || substr(p, 3)
        |         ELSE '%' || upper(substr(p, 1, 2)) || substr(p, 3)
-       |    END), ''))""".stripMargin
+       |    END), ''), ''))""".stripMargin
   }
 
   /** t34/cur5's shared robots SQL chain over `src(doc_id)`: URL
@@ -1166,6 +1217,48 @@ object CurationQueries {
         |FROM corpus c
         |JOIN rb ON rb.doc_id = c.doc_id
         |LEFT JOIN canon cn ON cn.doc_id = c.doc_id""".stripMargin),
+    // t38 replays outlink arithmetic + canonicalization + seen-set
+    // membership blind — href equality additionally certifies the
+    // entity escape→decode round trip through the markup
+    "t38_link_extract" ->
+      (s"""WITH uall AS (
+        |  SELECT 'c' AS kind, doc_id, CAST(-1 AS INT) AS link_ix,
+        |    ${rawUrlSqlOf("doc_id")} AS url FROM documents
+        |  UNION ALL
+        |  SELECT 'l', doc_id, CAST(0 AS INT),
+        |    ${rawUrlSqlOf("(doc_id + 1)")} FROM documents
+        |  UNION ALL
+        |  SELECT 'l', doc_id, CAST(1 AS INT),
+        |    'https://offsite.example.net/x/' ||
+        |    CAST(doc_id % 7 AS VARCHAR) || '?utm_source=feed'
+        |  FROM documents),
+        |un AS (SELECT kind, doc_id, link_ix, url,
+        |  ${percentNormSql("url")} AS nu FROM uall),
+        |c AS (SELECT kind, doc_id, link_ix, url,
+        |  lower(regexp_extract(nu, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |    AS scheme,
+        |  lower(regexp_extract(nu, '^[^:/?#]+://([^/?#]*)', 1)) AS auth,
+        |  regexp_extract(nu, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
+        |  regexp_extract(nu, '^[^?#]*\\?([^#]*)', 1) AS query FROM un),
+        |c2 AS (SELECT kind, doc_id, link_ix, url, scheme, path,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
+        |       ELSE auth END AS auth2,
+        |  array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |    p -> p <> '' AND NOT regexp_matches(p,
+        |      '^(utm_[^=]*|fbclid|gclid)='))), '&') AS cq
+        |  FROM c),
+        |c3 AS (SELECT kind, doc_id, link_ix, url,
+        |  scheme || '://' || auth2 ||
+        |  CASE WHEN path = '' THEN '/' ELSE path END ||
+        |  CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS canon
+        |  FROM c2),
+        |sn AS (SELECT DISTINCT canon FROM c3 WHERE kind = 'c')
+        |SELECT l.doc_id, l.link_ix, l.url AS href, l.canon,
+        |  CAST(CASE WHEN sn.canon IS NOT NULL THEN 1 ELSE 0 END AS INT)
+        |    AS seen
+        |FROM c3 l LEFT JOIN sn ON sn.canon = l.canon
+        |WHERE l.kind = 'l'""".stripMargin),
     // t36 replays the DECODED response blind from documents — the
     // oracle never sees chunk framing, deflate bytes, or Latin-1;
     // a hash match certifies the whole decode layer

@@ -134,6 +134,17 @@ object HtmlExtract {
         .as("extracted"))
   }
 
+  /** All `<a href>` values of `html` in document order, entities
+    * decoded (real markup carries `&amp;` inside query strings — an
+    * un-decoded href canonicalizes wrong). The raw-crawl side of the
+    * frontier step: outlinks feed [[UrlCanon.canonicalize]] and a
+    * seen-set anti-join to become the next crawl wave. Pure Column. */
+  def links(html: Column): Column =
+    transform(
+      regexp_extract_all(html,
+        lit("(?si)<a[^>]*?href\\s*=\\s*[\"']([^\"']*)"), lit(1)),
+      h => decodeEntities(h))
+
   // ------------------------------------------------------------ generator
 
   /** Test-corpus generator: render a document's tokens into real HTML
