@@ -541,6 +541,45 @@ object CurationQueries {
         .select(col("doc_id"), col("host"), col("path"),
           col("matched_prefix"), col("allowed"))),
 
+    // WET export (round 16) — the EXPORT direction of the crawl
+    // front: extraction output shipped as `conversion` records in
+    // `.warc.gz` (Common Crawl's WET product, the container a
+    // pipeline that sells/shares its text actually writes), then
+    // read back BLIND through the `graft-warc` reader. The oracle
+    // replays the extraction + URI arithmetic from `documents` — a
+    // hash match certifies the conversion-record framing and that
+    // the extracted text survives the gzip round trip byte-exact
+    // (including empty extractions as zero-length payloads).
+    "t39_wet_export" -> ((s, d) => {
+      import graft.text.HtmlExtract
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_t39_wet_").toString
+      graft.util.CacheScope.onRelease { () =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        ()
+      }
+      val pages = graft.util.CacheScope.track(Tables.documents(s, d)
+        .select(col("doc_id"),
+          HtmlExtract.extract(HtmlExtract.render(col("doc_id"),
+            split(col("text"), " "))).getField("extracted").as("wet")))
+      graft.sources.WarcGz.writeWet(pages, "doc_id", "wet", dir,
+        nFiles = 4)
+      s.read.format("graft-warc").load(dir)
+        .select(regexp_extract(col("rec_id"), "urn:graft:([0-9]+)", 1)
+            .cast("long").as("doc_id"),
+          col("rtype"), col("uri"), col("payload"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_records"),
+          array_join(array_sort(collect_list(col("rtype"))), ",")
+            .as("rec_types"),
+          max(when(col("rtype") === "conversion", col("uri")))
+            .as("target_uri"),
+          max(when(col("rtype") === "conversion", col("payload")))
+            .as("wet_text"))
+    }),
+
     // robots.txt GROUP SELECTION (round 16) — RFC 9309 §2.2.1, the
     // half of robots handling t34 left caller-side: a real robots.txt
     // carries several User-agent groups, the crawler picks its own
@@ -1217,6 +1256,17 @@ object CurationQueries {
         |FROM corpus c
         |JOIN rb ON rb.doc_id = c.doc_id
         |LEFT JOIN canon cn ON cn.doc_id = c.doc_id""".stripMargin),
+    // t39 replays extraction + URI arithmetic blind — the WET round
+    // trip must deliver the extracted text byte-exact
+    "t39_wet_export" ->
+      ("""WITH corpus AS (SELECT doc_id, text FROM documents),
+        |""".stripMargin + HtmlExtractCte +
+      s"""
+        |SELECT ht.doc_id, CAST(2 AS BIGINT) AS n_records,
+        |  'conversion,warcinfo' AS rec_types,
+        |  $RawUrlSql AS target_uri,
+        |  hx.extracted AS wet_text
+        |FROM ht JOIN hx USING (doc_id)""".stripMargin),
     // t38 replays outlink arithmetic + canonicalization + seen-set
     // membership blind — href equality additionally certifies the
     // entity escape→decode round trip through the markup

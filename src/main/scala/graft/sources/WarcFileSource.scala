@@ -526,13 +526,36 @@ object WarcGz {
                   prefix: String = "part",
                   encodeHttp: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
+    writeRendered(docs, idCol,
+      graft.text.WarcExtract.renderWarcRecords(
+        col(idCol), split(col(textCol), " "), encodeHttp),
+      dir, nFiles, prefix)
+  }
+
+  /** WET export: the corpus's TEXT column as `conversion` records —
+    * one gzip member per record, the container Common Crawl ships
+    * extracted text in. `textCol` is the (already-extracted) text. */
+  def writeWet(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, dir: String, nFiles: Int,
+               prefix: String = "wet"): Unit = {
+    import org.apache.spark.sql.functions._
+    writeRendered(docs, idCol,
+      graft.text.WarcExtract.renderWetRecords(col(idCol), col(textCol)),
+      dir, nFiles, prefix)
+  }
+
+  private def writeRendered(docs: org.apache.spark.sql.DataFrame,
+                            idCol: String,
+                            records: org.apache.spark.sql.Column,
+                            dir: String, nFiles: Int,
+                            prefix: String): Unit = {
+    import org.apache.spark.sql.functions._
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       docs.sparkSession.sessionState.newHadoopConf())
     val recs = docs
       .repartitionByRange(nFiles, col(idCol))
       .sortWithinPartitions(idCol)
-      .select(graft.text.WarcExtract.renderWarcRecords(
-        col(idCol), split(col(textCol), " "), encodeHttp).as("recs"))
+      .select(records.as("recs"))
     recs.foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()

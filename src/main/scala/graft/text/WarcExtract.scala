@@ -128,19 +128,37 @@ object WarcExtract {
         lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
         HtmlExtract.render(docId, words))
     def rec(rtype: String, uri: Option[Column], payload: Column) =
-      concat(lit(s"WARC/1.0\r\nWARC-Type: $rtype\r\n"),
-        lit("WARC-Record-ID: <urn:graft:"), docId.cast("string"),
-        lit(">\r\n"),
-        uri.map(u => concat(lit("WARC-Target-URI: "), u, lit("\r\n")))
-          .getOrElse(lit("")),
-        lit("Content-Length: "), length(payload).cast("string"),
-        lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+      renderRecord(docId, rtype, uri, payload)
     array(
       rec("warcinfo", None, lit("software: graft\r\n")),
       rec("request", Some(url),
         lit("GET /p HTTP/1.1\r\nHost: example.com\r\n\r\n")),
       rec("response", Some(url), http))
   }
+
+  /** One WARC record as a byte-carrier string: headers (type, the
+    * `urn:graft:<id>` record id, optional target URI), Content-Length
+    * from the ACTUAL payload, the payload, the record terminator. */
+  def renderRecord(docId: Column, rtype: String, uri: Option[Column],
+                   payload: Column): Column =
+    concat(lit(s"WARC/1.0\r\nWARC-Type: $rtype\r\n"),
+      lit("WARC-Record-ID: <urn:graft:"), docId.cast("string"),
+      lit(">\r\n"),
+      uri.map(u => concat(lit("WARC-Target-URI: "), u, lit("\r\n")))
+        .getOrElse(lit("")),
+      lit("Content-Length: "), length(payload).cast("string"),
+      lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+
+  /** WET-shaped records (Common Crawl's text product): warcinfo + one
+    * `conversion` record whose payload IS the extracted text. The
+    * EXPORT direction of the crawl front — a pipeline that ships its
+    * extraction output ships it in exactly this container. */
+  def renderWetRecords(docId: Column, text: Column): Column =
+    array(
+      renderRecord(docId, "warcinfo", None,
+        lit("software: graft\r\nformat: WET\r\n")),
+      renderRecord(docId, "conversion", Some(UrlCanon.renderUrl(docId)),
+        text))
 
   /** The concatenated capsule form of [[renderWarcRecords]] (t31's
     * input grain). */
