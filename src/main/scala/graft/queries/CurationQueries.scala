@@ -541,6 +541,48 @@ object CurationQueries {
         .select(col("doc_id"), col("host"), col("path"),
           col("matched_prefix"), col("allowed"))),
 
+    // HTTP status dispositions (round 16) — the non-200 leg of the
+    // crawl chain: real responses are ~⅓ redirects/errors, and a
+    // pipeline must ROUTE on status — 200s extract, 3xx surface
+    // their `Location:` target (the frontier's redirect leg — t38's
+    // membership machinery consumes it), 4xx/5xx drop. The generator
+    // mixes the t36 transports (so status routing composes with
+    // decode) with a 301 carrying a real Location header and a 404
+    // whose error page must NOT leak into extraction counts. Oracle
+    // replays status + disposition + Location arithmetic +
+    // extraction blind.
+    "t40_http_status" -> ((s, d) => {
+      import graft.text.{HtmlExtract, HttpDecode, UrlCanon}
+      val v = pmod(col("doc_id"), lit(5)).cast("int")
+      val transport = when(v <= 2, v).otherwise(lit(0))
+      val html = when(v === 3, lit("<p>moved permanently page</p>"))
+        .when(v === 4, lit("<p>not found error page</p>"))
+        .otherwise(HtmlExtract.render(col("doc_id"),
+          split(col("text"), " ")))
+      val statusLine = when(v === 3, lit("301 Moved Permanently"))
+        .when(v === 4, lit("404 Not Found"))
+        .otherwise(lit("200 OK"))
+      val extra = when(v === 3, concat(lit("Location: "),
+        UrlCanon.renderUrl(col("doc_id") + 40), lit("\r\n")))
+        .otherwise(lit(""))
+      val payload = HttpDecode.encodeResponse(html, transport,
+        lit("utf-8"), v <= 1, statusLine, extra)
+      val withP = graft.util.CacheScope.track(Tables.documents(s, d)
+        .select(col("doc_id"), v.as("variant"), payload.as("p")))
+      val dec = graft.util.CacheScope.track(withP.select(
+        col("doc_id"), col("variant"),
+        HttpDecode.decodeResponse(col("p")).as("d")))
+      val ex = HtmlExtract.extract(col("d.body"))
+      dec.select(col("doc_id"), col("variant"),
+        col("d.status").as("status"),
+        when(col("d.status") === 200, "ok")
+          .when(col("d.status").between(300, 399), "redirect")
+          .otherwise("error").as("disposition"),
+        col("d.location").as("location"),
+        when(col("d.status") === 200, ex.getField("n_kept"))
+          .otherwise(lit(0L)).as("n_kept"))
+    }),
+
     // WET export (round 16) — the EXPORT direction of the crawl
     // front: extraction output shipped as `conversion` records in
     // `.warc.gz` (Common Crawl's WET product, the container a
@@ -1256,6 +1298,26 @@ object CurationQueries {
         |FROM corpus c
         |JOIN rb ON rb.doc_id = c.doc_id
         |LEFT JOIN canon cn ON cn.doc_id = c.doc_id""".stripMargin),
+    // t40 replays status + disposition + Location arithmetic +
+    // extraction blind (the 404 page's own text must not leak)
+    "t40_http_status" ->
+      ("""WITH corpus AS (SELECT doc_id, text FROM documents),
+        |""".stripMargin + HtmlExtractCte +
+      s"""
+        |SELECT ht.doc_id,
+        |  CAST(ht.doc_id % 5 AS INT) AS variant,
+        |  CAST(CASE WHEN ht.doc_id % 5 = 3 THEN 301
+        |            WHEN ht.doc_id % 5 = 4 THEN 404
+        |            ELSE 200 END AS INT) AS status,
+        |  CASE WHEN ht.doc_id % 5 = 3 THEN 'redirect'
+        |       WHEN ht.doc_id % 5 = 4 THEN 'error'
+        |       ELSE 'ok' END AS disposition,
+        |  CASE WHEN ht.doc_id % 5 = 3
+        |       THEN ${rawUrlSqlOf("(doc_id + 40)")}
+        |       ELSE '' END AS location,
+        |  CAST(CASE WHEN ht.doc_id % 5 <= 2 THEN hx.n_kept
+        |       ELSE 0 END AS BIGINT) AS n_kept
+        |FROM ht JOIN hx USING (doc_id)""".stripMargin),
     // t39 replays extraction + URI arithmetic blind — the WET round
     // trip must deliver the extracted text byte-exact
     "t39_wet_export" ->

@@ -127,7 +127,8 @@ object HttpDecode {
           .when(cs.isin("us-ascii", "ascii"), decode(bodyBytes, "US-ASCII"))
           .otherwise(decode(bodyBytes, "UTF-8"))
         struct(status.as("status"), te.as("transfer_encoding"),
-          ce.as("content_encoding"), cs.as("charset"), body.as("body"))
+          ce.as("content_encoding"), cs.as("charset"),
+          header(hdrs, "Location").as("location"), body.as("body"))
       } } }
     }
 
@@ -158,10 +159,14 @@ object HttpDecode {
     *     first.
     * `charsetName` picks the body encoding (`utf-8` / `iso-8859-1`);
     * `csInHeader` controls whether `Content-Type` names it (variants
-    * without it exercise meta-sniff/default resolution). Returns the
+    * without it exercise meta-sniff/default resolution);
+    * `statusLine`/`extraHeaders` let the t40 battery emit non-200
+    * responses (redirects carry their `Location:` there). Returns the
     * full payload as a byte-carrier string. */
   def encodeResponse(html: Column, variant: Column, charsetName: Column,
-                     csInHeader: Column): Column =
+                     csInHeader: Column,
+                     statusLine: Column = lit("200 OK"),
+                     extraHeaders: Column = lit("")): Column =
     bind(when(charsetName === "iso-8859-1", encode(html, "ISO-8859-1"))
       .otherwise(encode(html, "UTF-8"))) { bytes0 =>
       bind(decode(
@@ -186,8 +191,8 @@ object HttpDecode {
             concat(lit("Content-Length: "),
               length(framed).cast("string"), lit("\r\n")))
             .otherwise(lit(""))
-          concat(lit("HTTP/1.1 200 OK\r\n"), ct, teH, ceH, clH,
-            lit("\r\n"), framed)
+          concat(lit("HTTP/1.1 "), statusLine, lit("\r\n"), ct,
+            extraHeaders, teH, ceH, clH, lit("\r\n"), framed)
         }
       }
     }
