@@ -748,8 +748,68 @@ object DocQueries {
       }
       ClusterIndex.currentAssignments(s, dir,
         dedupCorpus(s, d).select(col("doc_id").as("id")))
+    }),
+
+    // Incremental LINE dedup (round 16) — t33's corpus-global
+    // first-occurrence-wins semantics maintained across batches
+    // (text/LineIndex), the line-grain member of the incremental
+    // family: each batch's candidate firsts probe the stored
+    // h-bucketed hash table with an exchange-free anti join, only
+    // survivors write. Batches ingest in ascending id-range order
+    // (the crawl's arrival order), under which batch-wise == the
+    // one-shot pass EXACTLY — the oracle IS t33's SQL. Returns are
+    // as-of-ingest checkpoints (dd9's contract); reassembly joins
+    // them back to the corpus lines.
+    "dd26_incremental_lines" -> ((s, d) => {
+      import graft.text.LineIndex
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_dd26_idx_").toString
+      graft.util.CacheScope.onRelease(() => LineIndex.dropIndex(s, dir))
+      val corpus = dedupCorpus(s, d)
+      val k0 = LineIndex.ingestBatch(
+        corpus.filter(col("doc_id") < 1000000L), "doc_id", "text", dir, 0)
+      val k1 = LineIndex.ingestBatch(
+        corpus.filter(col("doc_id") >= 1000000L), "doc_id", "text", dir, 1)
+      val keptIx = k0.unionAll(k1)
+      val lines = corpus
+        .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+        .toDF("doc_id", "ix", "line")
+        .withColumn("ix", col("ix").cast(LongType))
+      val agg = lines.join(keptIx, Seq("doc_id", "ix"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws("\n", array_sort(collect_list(struct(col("ix"),
+            col("line")))).getField("line")).as("text_dedup"))
+      corpus
+        .select(col("doc_id"),
+          size(split(col("text"), "\n")).cast(LongType).as("n_lines"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("text_dedup"), lit("")).as("text_dedup"))
     })
   )
+
+  /** t33's one-shot SQL — and dd26's: the incremental line index
+    * must equal it exactly on ascending-range batches. */
+  private lazy val LineDedupSql: String =
+
+      s"""WITH $corpusCte,
+        |l AS (SELECT doc_id, u.ix AS ix, u.line AS line FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+        |    i -> {'ix': CAST(i AS BIGINT), 'line': ls[CAST(i AS INTEGER)]})) AS u
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+        |        FROM corpus) t0) t1),
+        |k AS (SELECT doc_id, ix, line, row_number() OVER (
+        |    PARTITION BY md5(line) ORDER BY doc_id, ix) AS rn FROM l),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY ix) AS text_dedup
+        |  FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  CAST(len(string_split(c.text, chr(10))) AS BIGINT) AS n_lines,
+        |  COALESCE(a.n_kept, 0) AS n_kept,
+        |  COALESCE(a.text_dedup, '') AS text_dedup
+        |FROM corpus c LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   private[queries] val mhSigCols: String =
     (0 until 8).map(i => s"min(md5(sh || '#$i')) AS mh$i").mkString(", ")
@@ -1216,23 +1276,11 @@ object DocQueries {
         |    AS keep
         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
 
-    "t33_line_dedup" ->
-      s"""WITH $corpusCte,
-        |l AS (SELECT doc_id, u.ix AS ix, u.line AS line FROM (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
-        |    i -> {'ix': CAST(i AS BIGINT), 'line': ls[CAST(i AS INTEGER)]})) AS u
-        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
-        |        FROM corpus) t0) t1),
-        |k AS (SELECT doc_id, ix, line, row_number() OVER (
-        |    PARTITION BY md5(line) ORDER BY doc_id, ix) AS rn FROM l),
-        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-        |  string_agg(line, chr(10) ORDER BY ix) AS text_dedup
-        |  FROM k WHERE rn = 1 GROUP BY doc_id)
-        |SELECT c.doc_id,
-        |  CAST(len(string_split(c.text, chr(10))) AS BIGINT) AS n_lines,
-        |  COALESCE(a.n_kept, 0) AS n_kept,
-        |  COALESCE(a.text_dedup, '') AS text_dedup
-        |FROM corpus c LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "t33_line_dedup" -> LineDedupSql,
+    // dd26 must equal the one-shot pass exactly (ascending-range
+    // batches): the oracle IS t33's SQL
+    "dd26_incremental_lines" -> LineDedupSql,
+    
 
     "dd4_ngram_jaccard" ->
       """WITH grams AS (

@@ -513,4 +513,44 @@ class IndexSpec extends SparkSuite {
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
   }
+
+  test("LineIndex: batch == one-shot, retry idempotent, compaction invariant") {
+    import graft.text.LineIndex
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\nshared one\nbeta"),
+      (2L, "shared one\ngamma\nshared two"),      // dup within batch 0
+      (10L, "shared two\ndelta"),                 // cross-batch dup
+      (11L, "epsilon\nshared one\nepsilon"))     // dup of b0 + self-dup
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("line_idx_").toString
+    def keptOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val k0 = keptOf(LineIndex.ingestBatch(
+      docs.filter($"doc_id" < 10), "doc_id", "text", dir, 0))
+    val k1 = keptOf(LineIndex.ingestBatch(
+      docs.filter($"doc_id" >= 10), "doc_id", "text", dir, 1))
+    // one-shot truth: global first occurrence by (doc_id, ix)
+    val lines = docs.select($"doc_id",
+        posexplode(split($"text", "\n"))).toDF("doc_id", "ix", "line")
+    val w = Window.partitionBy(md5($"line")).orderBy($"doc_id", $"ix")
+    val truth = lines.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).select($"doc_id", $"ix".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((k0 ++ k1) == truth, s"batch ${k0 ++ k1} vs one-shot $truth")
+    assert(k1 == Set((10L, 1L), (11L, 0L)),
+      "cross-batch dups must drop against the stored side")
+    // retry of batch 1 overwrites its own partition, same verdicts
+    val k1b = keptOf(LineIndex.ingestBatch(
+      docs.filter($"doc_id" >= 10), "doc_id", "text", dir, 1))
+    assert(k1b == k1)
+    // compaction folds generations; a later batch still probes right
+    assert(LineIndex.compact(spark, dir))
+    val k2 = keptOf(LineIndex.ingestBatch(
+      Seq((20L, "shared one\nzeta")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 2))
+    assert(k2 == Set((20L, 1L)), s"post-compaction probe: $k2")
+    LineIndex.dropIndex(spark, dir)
+  }
 }
