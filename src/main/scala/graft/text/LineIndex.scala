@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   */
 object LineIndex {
 
-  private def tableName(indexDir: String): String = {
+  private[graft] def tableName(indexDir: String): String = {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(indexDir.getBytes("UTF-8")).map("%02x".format(_))
       .mkString.take(12)

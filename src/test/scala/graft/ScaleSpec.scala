@@ -2135,4 +2135,56 @@ class ScaleSpec extends SparkSuite {
     assert(files == 1, s"expected 1 fact file read after runtime " +
       s"pruning, got $files; plan:\n$fin")
   }
+
+  test("http decode / frontier / status routing plan with zero shuffles") {
+    // the t36/t40 decode chains and t38's frontier step are per-row
+    // passes whose only join is a BROADCAST against the seen set:
+    // ANY shuffle exchange means the scan-speed contract broke
+    for (q <- Seq("t36_http_decode", "t38_link_extract",
+        "t40_http_status")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+      val ex = plan.collectWithSubqueries { case e: ShuffleExchangeExec => e }
+      assert(ex.isEmpty, s"$q expected shuffle-free plan, got:\n$plan")
+      graft.util.CacheScope.releaseAll()
+    }
+  }
+
+  test("LineIndex probe: stored side streams exchange-free into the anti join") {
+    import graft.text.LineIndex
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val tmp = java.nio.file.Files.createTempDirectory("line_scale_").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    LineIndex.ingestBatch(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", tmp, 0)
+    LineIndex.ingestBatch(docs.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", tmp, 1)
+    val t = LineIndex.tableName(tmp)
+    val probe = docs.limit(50).select(md5($"text").as("h"), $"doc_id", lit(0L).as("ix"))
+    val joined = probe.join(
+      spark.table(t).filter($"batch" =!= 2).select($"h"),
+      Seq("h"), "left_anti")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = joined.queryExecution.executedPlan
+      val storedShuffles = plan.collectWithSubqueries {
+        case e: ShuffleExchangeExec if e.exists {
+          case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.exists(_.toString.contains(tmp))
+          case _ => false
+        } => e
+      }
+      assert(storedShuffles.isEmpty,
+        s"stored line index side is shuffled - bucketing lost:\n$plan")
+      val anyShuffle = plan.collectWithSubqueries {
+        case e: ShuffleExchangeExec => e }
+      assert(anyShuffle.nonEmpty,
+        s"expected the probe side to shuffle to the bucket count:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      LineIndex.dropIndex(spark, tmp)
+    }
+  }
 }
