@@ -541,6 +541,69 @@ object CurationQueries {
         .select(col("doc_id"), col("host"), col("path"),
           col("matched_prefix"), col("allowed"))),
 
+    // BFS crawl-loop discovery (round 16) — the ITERATIVE form of
+    // t38's frontier step, the loop a crawler actually runs: seeds
+    // fetch, their pages' outlinks extract (REAL `<a href>` markup
+    // through HtmlExtract.links, ids parsed back from the URL path),
+    // unseen in-corpus targets become the next wave, three rounds.
+    // Per round the work is O(frontier): one distinct on the parsed
+    // targets, a semi join against the corpus id set, an anti join
+    // against the seen set (both id-keyed — at 100 TB these are the
+    // frontier-table joins every crawler schedules); lineage pinned
+    // per round via localCheckpoint (blocks freed on query release).
+    // The oracle replays the link arithmetic as a depth-tracked
+    // recursive closure — min-depth must equal the wave number.
+    "cur6_crawl_bfs" -> ((s, d) => {
+      import graft.text.HtmlExtract
+      val corpusIds = graft.util.CacheScope.track(
+        Tables.documents(s, d).select(col("doc_id")))
+      // corpus size: a one-row aggregate (an artifact, not a data
+      // move) — the second outlink wraps modulo the corpus
+      val mx = Tables.documents(s, d).agg(max(col("doc_id")))
+        .first().getLong(0)
+      val ckpts = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.DataFrame]
+      graft.util.CacheScope.onRelease { () =>
+        ckpts.foreach(_.queryExecution.analyzed.collectLeaves().foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false); ()
+          case _ => ()
+        })
+      }
+      def ck(df: org.apache.spark.sql.DataFrame) = {
+        val c = df.localCheckpoint(); ckpts += c; c
+      }
+      def pageUrl(id: org.apache.spark.sql.Column) =
+        concat(lit("https://crawl.example.org/doc/"), id.cast("string"))
+      // a fetched page carries its two outlinks as REAL markup; the
+      // loop extracts them back (the t38 leg, iterated)
+      def targetsOf(frontier: org.apache.spark.sql.DataFrame) = {
+        val html = concat(lit("<html><body><p>doc body text</p><a href=\""),
+          pageUrl(col("doc_id") + 1), lit("\">n</a> <a href=\""),
+          pageUrl((col("doc_id") * 7 + 3) % (mx + 1)),
+          lit("\">j</a></body></html>"))
+        frontier.select(explode(HtmlExtract.links(html)).as("href"))
+          .select(regexp_extract(col("href"),
+            "/doc/([0-9]+)$", 1).cast("long").as("doc_id"))
+          .distinct()
+      }
+      var seen = ck(corpusIds.filter(col("doc_id") % 97 === 0))
+      var frontier = seen
+      var out = seen.withColumn("discovered_round", lit(0))
+      for (r <- 1 to 3) {
+        val newly = ck(targetsOf(frontier)
+          .join(corpusIds, Seq("doc_id"), "left_semi")
+          .join(seen, Seq("doc_id"), "left_anti"))
+        out = out.unionAll(newly.withColumn("discovered_round", lit(r)))
+        seen = ck(seen.unionAll(newly))
+        frontier = newly
+      }
+      corpusIds.join(out, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("discovered_round"), lit(-1)).cast("int")
+            .as("discovered_round"))
+    }),
+
     // HTTP status dispositions (round 16) — the non-200 leg of the
     // crawl chain: real responses are ~⅓ redirects/errors, and a
     // pipeline must ROUTE on status — 200s extract, 3xx surface
@@ -1298,6 +1361,22 @@ object CurationQueries {
         |FROM corpus c
         |JOIN rb ON rb.doc_id = c.doc_id
         |LEFT JOIN canon cn ON cn.doc_id = c.doc_id""".stripMargin),
+    // cur6 replays the outlink arithmetic as a depth-tracked
+    // recursive closure: min path depth == the engine's wave number
+    "cur6_crawl_bfs" ->
+      """WITH RECURSIVE mx AS (SELECT max(doc_id) AS m FROM documents),
+        |e AS (SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 7 + 3) % (m + 1) FROM documents, mx),
+        |walk(doc_id, r) AS (
+        |  SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+        |  UNION ALL
+        |  SELECT e.dst, w.r + 1 FROM walk w JOIN e ON e.src = w.doc_id
+        |  WHERE w.r < 3),
+        |dsc AS (SELECT doc_id, min(r) AS r FROM walk GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  CAST(COALESCE(dsc.r, -1) AS INT) AS discovered_round
+        |FROM documents c LEFT JOIN dsc USING (doc_id)""".stripMargin,
     // t40 replays status + disposition + Location arithmetic +
     // extraction blind (the 404 page's own text must not leak)
     "t40_http_status" ->
