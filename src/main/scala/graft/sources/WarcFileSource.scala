@@ -399,8 +399,29 @@ final case class WarcStreamOffset(n: Int, last: String)
 final class WarcMicroBatchStream(root: String, required: StructType,
                                  rtypes: Option[Set[String]],
                                  serConf: org.apache.spark.util.SerializableConfiguration)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
   import org.apache.spark.sql.connector.read.streaming.Offset
+
+  /** Per-trigger progress metrics: how far the tail has committed
+    * into the landing dir and how much is still waiting — the
+    * catch-up observability an operator reads off
+    * `StreamingQueryProgress.sources[i].metrics` without log
+    * spelunking (the manifest stream's scan-metric move at the
+    * SOURCE grain). */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset])
+    : java.util.Map[String, String] = {
+    val committed =
+      if (latestConsumedOffset.isPresent)
+        latestConsumedOffset.get.asInstanceOf[WarcStreamOffset].n
+      else 0
+    val landed = listFiles().size
+    val m = new java.util.HashMap[String, String]()
+    m.put("filesCommitted", committed.toString)
+    m.put("filesLanded", landed.toString)
+    m.put("filesPending", math.max(0, landed - committed).toString)
+    m
+  }
 
   private def listFiles(): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(root)

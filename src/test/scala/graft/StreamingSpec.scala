@@ -1488,6 +1488,11 @@ class StreamingSpec extends SparkSuite {
       land("part-0003.warc.gz", (20L, 25L))
       q.processAllAvailable()
       assert(seen() == (0L until 25L), s"after landing: ${seen()}")
+      // source metrics in the progress line: committed == landed,
+      // nothing pending (ReportsSourceMetrics — catch-up visibility)
+      val sm = q.lastProgress.sources.head.metrics
+      assert(sm.get("filesCommitted") == "3" && sm.get("filesLanded") == "3"
+        && sm.get("filesPending") == "0", sm.toString)
     } finally q.stop()
     // restart from the checkpoint: nothing re-delivers, new files flow
     land("part-0004.warc.gz", (25L, 30L))
