@@ -750,6 +750,56 @@ object DocQueries {
         dedupCorpus(s, d).select(col("doc_id").as("id")))
     }),
 
+    // Sentence segmentation + sentence-grain chunk packing (round
+    // 16) — the training-prep pass between extraction and shard
+    // packing: context windows that cut MID-SENTENCE degrade training
+    // data, so chunk boundaries must land on sentence boundaries. The
+    // generator punctuates the corpus deterministically (period after
+    // every 7th token, bang after every 11th), the splitter breaks at
+    // `[.!?] ` WITHOUT lookbehind (replace-then-split — RE2-safe, so
+    // the oracle replays it literally), and each sentence lands in
+    // chunk floor(tokens_before / budget) — computed per ROW by one
+    // bounded fold (zero shuffles; at 100 TB chunking is a scan, the
+    // t16 shard packer consumes the output grain). Oracle replays
+    // punctuation, split, token counts, and the running-sum chunk
+    // assignment blind.
+    "t41_sentence_chunks" -> ((s, d) => {
+      val budget = 20
+      val w = split(col("text"), " ")
+      val punct = array_join(transform(sequence(lit(1), size(w)), i =>
+        concat(element_at(w, i),
+          when(i < size(w),
+            when(pmod(i, lit(7)) === 0, lit(". "))
+              .when(pmod(i, lit(11)) === 0, lit("! "))
+              .otherwise(lit(" ")))
+            .otherwise(lit("")))), "")
+      val sents = split(
+        regexp_replace(punct, "([.!?]) ", "$1\u0001"), "\u0001")
+      val folded = aggregate(
+        sents,
+        struct(lit(0).as("cum"),
+          array().cast(
+            "array<struct<ix:int,sentence:string,n_tokens:int,chunk_ix:int>>")
+            .as("acc")),
+        (st, sen) => {
+          val nt = size(split(sen, " "))
+          val cum = st.getField("cum")
+          struct((cum + nt).as("cum"),
+            concat(st.getField("acc"), array(struct(
+              size(st.getField("acc")).as("ix"),
+              sen.as("sentence"),
+              nt.as("n_tokens"),
+              floor(cum / budget).cast("int").as("chunk_ix")))).as("acc"))
+        },
+        st => st.getField("acc"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(folded).as("s"))
+        .select(col("doc_id"), col("s.ix").as("sentence_ix"),
+          col("s.sentence").as("sentence"),
+          col("s.n_tokens").cast(LongType).as("n_tokens"),
+          col("s.chunk_ix").as("chunk_ix"))
+    }),
+
     // Incremental LINE dedup (round 16) — t33's corpus-global
     // first-occurrence-wins semantics maintained across batches
     // (text/LineIndex), the line-grain member of the incremental
@@ -1276,6 +1326,39 @@ object DocQueries {
         |    AS keep
         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
 
+    // t41 replays punctuation, replace-then-split sentence breaks,
+    // token counts, and the running-sum chunk assignment blind
+    "t41_sentence_chunks" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    array_to_string(list_transform(range(1, len(w) + 1), i ->
+        |      w[CAST(i AS INTEGER)] ||
+        |      CASE WHEN i < len(w) THEN
+        |        CASE WHEN i % 7 = 0 THEN '. '
+        |             WHEN i % 11 = 0 THEN '! '
+        |             ELSE ' ' END
+        |      ELSE '' END), '') AS ptext
+        |  FROM toks),
+        |sx AS (SELECT doc_id,
+        |    string_split(regexp_replace(ptext, '([.!?]) ',
+        |      '\1' || chr(1), 'g'), chr(1)) AS ss
+        |  FROM p),
+        |l AS (SELECT doc_id, u.ix AS sentence_ix, u.s AS sentence FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ss) + 1),
+        |    i -> {'ix': CAST(i - 1 AS INTEGER),
+        |          's': ss[CAST(i AS INTEGER)]})) AS u
+        |  FROM sx) t0),
+        |t2 AS (SELECT doc_id, sentence_ix, sentence,
+        |    CAST(len(string_split(sentence, ' ')) AS BIGINT) AS n_tokens
+        |  FROM l),
+        |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
+        |    PARTITION BY doc_id ORDER BY sentence_ix
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM t2)
+        |SELECT doc_id, sentence_ix, sentence, n_tokens,
+        |  CAST(cumb // 20 AS INT) AS chunk_ix
+        |FROM c""".stripMargin,
     "t33_line_dedup" -> LineDedupSql,
     // dd26 must equal the one-shot pass exactly (ascending-range
     // batches): the oracle IS t33's SQL

@@ -2141,7 +2141,7 @@ class ScaleSpec extends SparkSuite {
     // passes whose only join is a BROADCAST against the seen set:
     // ANY shuffle exchange means the scan-speed contract broke
     for (q <- Seq("t36_http_decode", "t38_link_extract",
-        "t40_http_status")) {
+        "t40_http_status", "t41_sentence_chunks")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
       val ex = plan.collectWithSubqueries { case e: ShuffleExchangeExec => e }
       assert(ex.isEmpty, s"$q expected shuffle-free plan, got:\n$plan")
