@@ -33,6 +33,18 @@ import graft.expressions.HttpCodec
   */
 object HttpDecode {
 
+  /** Windows-1252 = Latin-1 with the C1 control range (0x80–0x9F)
+    * remapped to glyphs — the charset a large share of the real web
+    * mislabels as `iso-8859-1` or serves outright (smart quotes,
+    * em-dashes, €). Decoded as the Latin-1 view plus ONE `translate`
+    * over the 27 defined C1 positions (undefined bytes pass through,
+    * the lenient-decoder convention). */
+  private val Cp1252From: String =
+    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008a\u008b\u008c\u008e" +
+      "\u0091\u0092\u0093\u0094\u0095\u0096\u0097\u0098\u0099\u009a\u009b\u009c\u009e\u009f"
+  private val Cp1252To: String =
+    "€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ"
+
   /** Let-binding through a single-element `transform`: HOF lambdas sit
     * outside codegen subexpression elimination, so every multiply-
     * referenced intermediate binds once (the [[UrlCanon.canonicalize]]
@@ -124,6 +136,8 @@ object HttpDecode {
           .when(metaCs =!= "", metaCs)
           .otherwise(lit("utf-8"))
         val body = when(cs.isin("iso-8859-1", "latin-1", "latin1"), latin1)
+          .when(cs.isin("windows-1252", "cp1252"),
+            translate(latin1, Cp1252From, Cp1252To))
           .when(cs.isin("us-ascii", "ascii"), decode(bodyBytes, "US-ASCII"))
           .otherwise(decode(bodyBytes, "UTF-8"))
         struct(status.as("status"), te.as("transfer_encoding"),

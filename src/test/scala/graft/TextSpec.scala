@@ -457,6 +457,28 @@ class TextSpec extends SparkSuite {
       .select($"d.body", $"d.charset").first()
     assert(backL.getString(0) == htmlLatin &&
       backL.getString(1) == "iso-8859-1")
+    // windows-1252: C1 range decodes to glyphs (smart quotes, €, —),
+    // undefined C1 bytes pass through; plain latin-1 must NOT remap
+    val w1252bytes = Array[Byte](
+      '<', 'p', '>', 0x93.toByte, 'a', 0x94.toByte, ' ',
+      0x85.toByte, ' ', 0x80.toByte, 0x96.toByte, 0x81.toByte,
+      '<', '/', 'p', '>')
+    val wPayload = "HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=windows-1252\r\n\r\n" +
+      carrier(w1252bytes)
+    val wGot = Seq(Tuple1(wPayload)).toDF("payload")
+      .select(HttpDecode.decodeResponse($"payload").as("d"))
+      .select($"d.body", $"d.charset").first()
+    assert(wGot.getString(0) == "<p>\u201ca\u201d \u2026 \u20ac\u2013\u0081</p>",
+      wGot.getString(0))
+    assert(wGot.getString(1) == "windows-1252")
+    val lPayload = "HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=iso-8859-1\r\n\r\n" +
+      carrier(w1252bytes)
+    val lGot = Seq(Tuple1(lPayload)).toDF("payload")
+      .select(HttpDecode.decodeResponse($"payload").as("d"))
+      .select($"d.body").first().getString(0)
+    assert(lGot.contains("a"), "latin-1 must keep C1 as-is")
   }
 
   test("dup spans: gap wider than k splits islands; short docs no grams") {
