@@ -800,6 +800,100 @@ object DocQueries {
           col("s.chunk_ix").as("chunk_ix"))
     }),
 
+    // PII scrubbing (round 16) — the C4/CCNet privacy pass every
+    // released training corpus runs: emails, North-American phone
+    // numbers, and IPv4 addresses mask to typed tokens
+    // (`<EMAIL>`/`<PHONE>`/`<IP>`) with per-doc redaction counts, so
+    // downstream audits can bound leakage without rescanning bytes.
+    // The word-soup corpus carries no PII, so the generator plants it
+    // deterministically (token position arithmetic — same construction
+    // in the oracle, which replays plant + scrub blind); the scrubber
+    // itself is three anchored RE2-safe regexes over the row. The
+    // planted text is bound ONCE via explode(array(struct(...)))
+    // (HOF-bearing columns sit outside codegen CSE — see t31's
+    // CacheScope note), then every count is a cheap split over the
+    // already-scrubbed attribute. Zero shuffles: at 100 TB PII
+    // scrubbing IS a scan or the release blocks on it.
+    "t42_pii_scrub" -> ((s, d) => {
+      val w = split(col("text"), " ")
+      val planted = array_join(transform(sequence(lit(1), size(w)), i =>
+        when(pmod(i, lit(13)) === 0,
+          concat(lit("user"), col("doc_id").cast("string"), lit("."),
+            i.cast("string"), lit("@mail"),
+            pmod(i, lit(7)).cast("string"), lit(".com")))
+          .when(pmod(i, lit(17)) === 0,
+            concat(lit("555-"),
+              lpad(pmod(col("doc_id") * 7 + i, lit(1000)).cast("string"),
+                3, "0"),
+              lit("-"),
+              lpad(pmod(col("doc_id") + i * 3, lit(10000)).cast("string"),
+                4, "0")))
+          .when(pmod(i, lit(19)) === 0,
+            concat((pmod(col("doc_id"), lit(223)) + 1).cast("string"),
+              lit("."), pmod(i, lit(256)).cast("string"), lit(".0."),
+              pmod(col("doc_id") + i, lit(256)).cast("string")))
+          .otherwise(element_at(w, i))), " ")
+      val scrubbed = TA.piiScrub(planted)
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(array(scrubbed)).as("scrubbed"))
+        .select(col("doc_id"),
+          (size(split(col("scrubbed"), "<EMAIL>", -1)) - 1)
+            .cast(LongType).as("n_emails"),
+          (size(split(col("scrubbed"), "<PHONE>", -1)) - 1)
+            .cast(LongType).as("n_phones"),
+          (size(split(col("scrubbed"), "<IP>", -1)) - 1)
+            .cast(LongType).as("n_ips"),
+          col("scrubbed"))
+    }),
+
+    // Benchmark decontamination (round 16) — the GPT-3/PaLM eval-
+    // hygiene pass: a training document sharing any exact token
+    // 13-gram with a held-out benchmark is flagged (train/test
+    // overlap inflates evals; the remedy is decontaminating the
+    // TRAINING side). Benchmark = every 50th doc; the generator
+    // plants real contamination (a canary 13-gram appended to both a
+    // benchmark doc and, derived by arithmetic so no build-side join,
+    // to every 37th train doc) — natural word-soup collisions also
+    // surface and both engines replay them identically. The scale
+    // shape is the one that matters: eval benchmarks are MBs while
+    // the corpus is 100 TB, so the benchmark gram set BROADCASTS and
+    // detection is a map-side hash probe over the scan — the only
+    // shuffles touch the 2% benchmark sample and the matched rows
+    // (partial-agg'd), never the corpus.
+    "t43_decontaminate" -> ((s, d) => {
+      def canary(src: org.apache.spark.sql.Column) =
+        array_join(transform(sequence(lit(0), lit(12)), j =>
+          concat(lit("graftbench"), src.cast("string"), lit("_"),
+            j.cast("string"))), " ")
+      val ctext = when(pmod(col("doc_id"), lit(50)) === 0,
+          concat(col("text"), lit(" "), canary(col("doc_id"))))
+        .when(pmod(col("doc_id"), lit(37)) === 0,
+          concat(col("text"), lit(" "),
+            canary(floor(col("doc_id") / 50).cast(LongType) * 50)))
+        .otherwise(col("text"))
+      val corpus = Tables.documents(s, d)
+        .select(col("doc_id"), ctext.as("text"))
+      val w = split(col("text"), " ")
+      val grams = when(size(w) >= 13,
+        transform(sequence(lit(1), size(w) - 12), i =>
+          array_join(slice(w, i, lit(13)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val gdf = corpus.select(col("doc_id"), explode(grams).as("gram"))
+      val bench = gdf.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select("gram").distinct()
+      val hits = gdf.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .join(broadcast(bench), Seq("gram"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gram")).as("n_hits"))
+      Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          when(col("n_hits").isNotNull, 1).otherwise(0).as("contaminated"))
+    }),
+
     // Incremental LINE dedup (round 16) — t33's corpus-global
     // first-occurrence-wins semantics maintained across batches
     // (text/LineIndex), the line-grain member of the incremental
@@ -1359,6 +1453,75 @@ object DocQueries {
         |SELECT doc_id, sentence_ix, sentence, n_tokens,
         |  CAST(cumb // 20 AS INT) AS chunk_ix
         |FROM c""".stripMargin,
+    // t42 replays the PII plant (position arithmetic) and the three
+    // scrub regexes blind; counts come off the scrubbed text
+    "t42_pii_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    array_to_string(list_transform(range(1, len(w) + 1), i ->
+        |      CASE WHEN i % 13 = 0 THEN
+        |             'user' || CAST(doc_id AS VARCHAR) || '.' ||
+        |             CAST(i AS VARCHAR) || '@mail' ||
+        |             CAST(i % 7 AS VARCHAR) || '.com'
+        |           WHEN i % 17 = 0 THEN
+        |             '555-' || lpad(CAST((doc_id * 7 + i) % 1000
+        |               AS VARCHAR), 3, '0') || '-' ||
+        |             lpad(CAST((doc_id + i * 3) % 10000 AS VARCHAR), 4, '0')
+        |           WHEN i % 19 = 0 THEN
+        |             CAST((doc_id % 223) + 1 AS VARCHAR) || '.' ||
+        |             CAST(i % 256 AS VARCHAR) || '.0.' ||
+        |             CAST((doc_id + i) % 256 AS VARCHAR)
+        |           ELSE w[CAST(i AS INTEGER)] END), ' ') AS ptext
+        |  FROM t),
+        |s AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(ptext,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'),
+        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+        |      AS scrubbed
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(len(string_split(scrubbed, '<EMAIL>')) - 1 AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(string_split(scrubbed, '<PHONE>')) - 1 AS BIGINT)
+        |    AS n_phones,
+        |  CAST(len(string_split(scrubbed, '<IP>')) - 1 AS BIGINT) AS n_ips,
+        |  scrubbed
+        |FROM s""".stripMargin,
+
+    // t43 replays plant (canary by arithmetic), 13-gram windows, the
+    // benchmark join, and the distinct-hit counts blind
+    "t43_decontaminate" ->
+      """WITH c AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 50 = 0 THEN text || ' ' ||
+        |           array_to_string(list_transform(range(0, 13), j ->
+        |             'graftbench' || CAST(doc_id AS VARCHAR) || '_' ||
+        |             CAST(j AS VARCHAR)), ' ')
+        |         WHEN doc_id % 37 = 0 THEN text || ' ' ||
+        |           array_to_string(list_transform(range(0, 13), j ->
+        |             'graftbench' || CAST((doc_id // 50) * 50 AS VARCHAR)
+        |             || '_' || CAST(j AS VARCHAR)), ' ')
+        |         ELSE text END AS text
+        |  FROM documents),
+        |g AS (SELECT doc_id, string_split(text, ' ') AS w FROM c),
+        |grams AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 11), i ->
+        |      array_to_string(w[CAST(i AS INTEGER):CAST(i + 12 AS INTEGER)],
+        |        ' '))) AS gram
+        |  FROM g),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+        |hits AS (SELECT g2.doc_id, CAST(count(DISTINCT g2.gram) AS BIGINT)
+        |    AS n_hits
+        |  FROM grams g2 JOIN bench USING (gram) WHERE g2.doc_id % 50 <> 0
+        |  GROUP BY g2.doc_id)
+        |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+        |  CAST(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+        |    AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 50 <> 0""".stripMargin,
+
     "t33_line_dedup" -> LineDedupSql,
     // dd26 must equal the one-shot pass exactly (ascending-range
     // batches): the oracle IS t33's SQL

@@ -90,6 +90,19 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, t) => (acc * 31L + tokenHash(t)) % 1000000007L)
 
+  /** PII masking (the C4/CCNet privacy pass): emails, NANP-style
+    * `ddd-ddd-dddd` phone numbers, and dotted-quad IPv4 literals
+    * become typed tokens. Three anchored RE2-safe regexes (no
+    * lookaround — the DuckDB oracle replays them verbatim), applied
+    * email-first so the address's dotted domain can't half-match the
+    * IP pattern. Pure per-row Column: scrubbing is a scan at any
+    * scale. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+
   /** Count of the most frequent token (Gopher-style repetition
     * signal): run-length fold over the SORTED token array — per-row,
     * shuffle-free, no per-token grouping anywhere. Initial run = 0

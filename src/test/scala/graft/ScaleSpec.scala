@@ -2141,12 +2141,33 @@ class ScaleSpec extends SparkSuite {
     // passes whose only join is a BROADCAST against the seen set:
     // ANY shuffle exchange means the scan-speed contract broke
     for (q <- Seq("t36_http_decode", "t38_link_extract",
-        "t40_http_status", "t41_sentence_chunks")) {
+        "t40_http_status", "t41_sentence_chunks", "t42_pii_scrub")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
       val ex = plan.collectWithSubqueries { case e: ShuffleExchangeExec => e }
       assert(ex.isEmpty, s"$q expected shuffle-free plan, got:\n$plan")
       graft.util.CacheScope.releaseAll()
     }
+  }
+
+  test("t43 detection joins the benchmark grams by broadcast") {
+    // the scale claim: eval benchmarks are MBs while the corpus is
+    // 100 TB, so contamination detection must be a map-side hash
+    // probe over the corpus-gram scan — a sort-merge join whose BOTH
+    // sides explode grams would shuffle the full corpus gram stream
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val plan = graft.SparkEntry.queries("t43_decontaminate")(spark, sf)
+      .queryExecution.sparkPlan
+    def hasGen(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.exists { case _: GenerateExec => true; case _ => false }
+    val bhj = plan.collectWithSubqueries {
+      case b: BroadcastHashJoinExec if hasGen(b) => b }
+    assert(bhj.nonEmpty,
+      s"expected the gram-detection join to broadcast the benchmark side:\n$plan")
+    val smjOverGrams = plan.collectWithSubqueries {
+      case j: SortMergeJoinExec if hasGen(j.left) && hasGen(j.right) => j }
+    assert(smjOverGrams.isEmpty,
+      s"corpus gram stream is being shuffled into a sort-merge join:\n$plan")
   }
 
   test("LineIndex probe: stored side streams exchange-free into the anti join") {

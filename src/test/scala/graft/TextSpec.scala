@@ -481,6 +481,30 @@ class TextSpec extends SparkSuite {
     assert(lGot.contains("a"), "latin-1 must keep C1 as-is")
   }
 
+  test("pii scrub: general forms, not just the generator's") {
+    val cases = Seq(
+      // emails: mixed case, plus/percent tags, subdomains, adjacent punct
+      ("mail First.Last+tag@sub.Example.CO.uk end", "mail <EMAIL> end"),
+      ("x a%b_c-d@dom-1.io, y", "x <EMAIL>, y"),
+      // phones: NANP ddd-ddd-dddd only; partial or longer runs survive
+      ("call 555-867-5309 now", "call <PHONE> now"),
+      ("order 12-345-6789 stays", "order 12-345-6789 stays"),
+      // ipv4 dotted quads; version-like triples survive
+      ("host 192.168.0.1 up", "host <IP> up"),
+      ("spark 4.1.2 is not an ip", "spark 4.1.2 is not an ip"),
+      // email-first: a numeric-label domain with an alpha TLD is one
+      // EMAIL, not an address wrapped around an IP; a TLD-less
+      // ip-literal mailbox is out of email scope and the quad masks
+      ("a user@1.2.3.org b", "a <EMAIL> b"),
+      ("a user@10.0.0.1 b", "a user@<IP> b"),
+      // all three in one row
+      ("e@x.org 555-000-1111 8.8.8.8", "<EMAIL> <PHONE> <IP>"))
+    val got = cases.toDF("text", "want")
+      .select(TA.piiScrub($"text").as("got"), $"want").collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"scrub mismatch: got '${r.getString(0)}' want '${r.getString(1)}'"))
+  }
+
   test("dup spans: gap wider than k splits islands; short docs no grams") {
     import graft.text.DupSpans
     // two shared 6-char regions separated by >k unique filler on each
