@@ -282,6 +282,48 @@ object CurationQueries {
       curateCleaned(cleaned)
     }),
 
+    // CDX index + random-access fetch (round 16) — the access path a
+    // petabyte archive adds over scan-everything: build the CDX once
+    // (one full `graft-warc` pass recording each record's member
+    // offset/length — Common Crawl's cdx-indexer job), then serve a
+    // lookup batch by SEEKING straight to the named members
+    // ([[graft.sources.WarcFetch]]), bytes touched per hit = member
+    // length, never the file. The lookup set is every 7th doc's
+    // response record; fetched payloads re-enter the t36 HTTP decode
+    // + t29 extraction, and the oracle replays extraction from
+    // `documents` blind — a pass certifies seek-fetched bytes ARE the
+    // archived record, end to end. SourcesSpec pins the coordinate
+    // geometry itself (members tile each file exactly).
+    "t44_cdx_fetch" -> ((s, d) => {
+      import graft.text.{HtmlExtract, HttpDecode}
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_t44_warc_").toString
+      graft.util.CacheScope.onRelease { () =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        ()
+      }
+      graft.sources.WarcGz.writeCorpus(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", dir, nFiles = 8, encodeHttp = true)
+      val cdx = graft.sources.WarcFetch.cdxIndex(s, dir)
+        .withColumn("doc_id",
+          regexp_extract(col("rec_id"), "urn:graft:([0-9]+)", 1)
+            .cast("long"))
+      val hits = graft.sources.WarcFetch.fetch(
+        cdx.filter(pmod(col("doc_id"), lit(7)) === 0))
+      val ex = HtmlExtract.extract(
+        HttpDecode.decodeResponse(col("payload")).getField("body"))
+      hits.select(
+        regexp_extract(col("rec_id"), "urn:graft:([0-9]+)", 1)
+          .cast("long").as("doc_id"),
+        ex.getField("n_blocks").as("n_blocks"),
+        ex.getField("n_kept").as("n_kept"),
+        length(ex.getField("extracted")).cast("long").as("n_chars_kept"),
+        ex.getField("extracted").as("extracted"))
+    }),
+
     // INCREMENTAL end-to-end curation (round 16) — the operational
     // composite of the whole crawl surface, the pipeline a crawl
     // operator actually schedules: `.warc.gz` waves land while the
@@ -1575,6 +1617,18 @@ object CurationQueries {
     "cur3_web_curation" -> Cur3OracleSql,
     // the file round trip is curation-invisible: cur4 == cur3
     "cur4_crawl_curation" -> Cur3OracleSql,
+    // seek-fetched bytes are the archived record: t44 == t29 on the
+    // lookup set — the oracle replays extraction from `documents`
+    // blind, filtered to the fetched doc ids
+    "t44_cdx_fetch" ->
+      ("""WITH corpus AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |""".stripMargin + HtmlExtractCte +
+      """
+        |SELECT ht.doc_id, CAST((ht.n+7)//8 + 2 AS BIGINT) AS n_blocks,
+        |  hx.n_kept, CAST(length(hx.extracted) AS BIGINT) AS n_chars_kept,
+        |  hx.extracted
+        |FROM ht JOIN hx USING (doc_id)""".stripMargin),
     "t21_dsir_weights" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

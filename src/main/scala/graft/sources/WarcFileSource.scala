@@ -66,7 +66,12 @@ object WarcFile {
     StructField("rec_id", StringType, nullable = true),
     StructField("uri", StringType, nullable = true),
     StructField("content_length", LongType, nullable = false),
-    StructField("payload", StringType, nullable = true)))
+    StructField("payload", StringType, nullable = true),
+    // compressed byte range of the record's gzip member — the CDX
+    // coordinates (Common Crawl's cdx `offset`/`length` fields);
+    // `WarcFetch` seeks straight to one member with them
+    StructField("offset", LongType, nullable = false),
+    StructField("length", LongType, nullable = false)))
 
   /** One parsed WARC record (headers + the Content-Length payload). */
   final case class Rec(rtype: String, recId: String, uri: String,
@@ -168,11 +173,24 @@ object WarcFile {
     private var bufPos = 0
     private var bufLen = 0
     private var eof = false
+    private var readTotal = 0L
+
+    /** Compressed byte range of the member the last `next()` returned
+      * — the CDX coordinates: `seek(lastMemberOffset)` +
+      * `read(lastMemberLength)` re-yields exactly that member without
+      * touching the rest of the file (members are independently
+      * inflatable; deflate streams are not seekable WITHIN). */
+    var lastMemberOffset: Long = -1L
+    var lastMemberLength: Long = -1L
+
+    /** Bytes of `in` consumed so far = bytes fetched minus the
+      * unread tail of the buffer. */
+    private def consumed: Long = readTotal - (bufLen - bufPos)
 
     private def fill(): Unit =
       if (!eof && bufPos == bufLen) {
         val n = in.read(buf)
-        if (n < 0) eof = true else { bufPos = 0; bufLen = n }
+        if (n < 0) eof = true else { bufPos = 0; bufLen = n; readTotal += n }
       }
 
     private def u8(): Int = {
@@ -189,6 +207,7 @@ object WarcFile {
     override def hasNext: Boolean = { fill(); !eof }
 
     override def next(): Array[Byte] = {
+      val mStart = consumed
       // ---- header (RFC 1952 §2.3)
       require(u8() == 0x1f && u8() == 0x8b, "gzip: bad magic")
       require(u8() == 8, "gzip: compression method must be deflate")
@@ -231,6 +250,8 @@ object WarcFile {
           f"computed 0x${crc.getValue}%08x)")
       require((payload.length.toLong & 0xffffffffL) == isize,
         s"gzip: ISIZE $isize != decompressed length ${payload.length}")
+      lastMemberOffset = mStart
+      lastMemberLength = consumed - mStart
       payload
     }
   }
@@ -485,22 +506,28 @@ final class WarcReaderFactory(required: StructType,
     var nRecords = 0L
     var nSkipped = 0L
     var bytesInflated = 0L
-    val members: Iterator[Array[Byte]] =
-      (if (part.path.endsWith(".gz")) new WarcFile.GzipMemberIterator(raw)
-       else Iterator.single { // plain .warc: one "member" = the file
+    // (member bytes, compressed offset, compressed length) — the
+    // offsets ride along so `offset`/`length` project the CDX
+    // coordinates of each record's member
+    val members: Iterator[(Array[Byte], Long, Long)] =
+      (if (part.path.endsWith(".gz")) {
+         val gz = new WarcFile.GzipMemberIterator(raw)
+         gz.map(m => (m, gz.lastMemberOffset, gz.lastMemberLength))
+       } else Iterator.single { // plain .warc: one "member" = the file
          val out = new java.io.ByteArrayOutputStream
          val buf = new Array[Byte](1 << 16)
          var n = raw.read(buf)
          while (n >= 0) { out.write(buf, 0, n); n = raw.read(buf) }
-         out.toByteArray
-       }).map { m => nMembers += 1; bytesInflated += m.length; m }
+         (out.toByteArray, 0L, out.size.toLong)
+       }).map { t => nMembers += 1; bytesInflated += t._1.length; t }
     val fileUtf8 = UTF8String.fromString(part.path)
     val cols = required.fieldNames
     var recIx = -1L
     val rows: Iterator[InternalRow] = members
-      .flatMap(WarcFile.parseRecords)
-      .map { r => recIx += 1; (r, recIx) }
-      .collect { case (r, ix) if {
+      .flatMap { case (m, off, len) =>
+        WarcFile.parseRecords(m).map(r => (r, off, len)) }
+      .map { case (r, off, len) => recIx += 1; (r, recIx, off, len) }
+      .collect { case (r, ix, off, len) if {
           val keep = rtypes.forall(_.contains(r.rtype))
           if (keep) nRecords += 1 else nSkipped += 1
           keep
@@ -515,6 +542,8 @@ final class WarcReaderFactory(required: StructType,
           case "content_length" => r.payload.length.toLong
           case "payload"        =>
             UTF8String.fromString(new String(r.payload, "ISO-8859-1"))
+          case "offset"         => off
+          case "length"         => len
         })
       }
     new PartitionReader[InternalRow] {

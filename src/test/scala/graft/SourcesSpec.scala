@@ -1012,4 +1012,64 @@ class SourcesSpec extends SparkSuite {
     assert(scan.metrics("warcRecordsSkipped").value == 2 * nDocs)
     assert(scan.metrics("warcBytesInflated").value > 0)
   }
+
+  test("graft-warc CDX coordinates tile each file; fetch == scan bytes") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.WarcFetch
+    val dir = java.nio.file.Files.createTempDirectory("warc_cdx_").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").limit(30)
+    graft.sources.WarcGz.writeCorpus(docs, "doc_id", "text", dir,
+      nFiles = 2, encodeHttp = true)
+    // coordinate geometry: per file, offsets start at 0 and each
+    // member begins where the previous ended, summing to the file
+    // size — the invariant seek-addressing rests on
+    val cdx = WarcFetch.cdxIndex(spark, dir, rtype = None)
+    val byFile = cdx.select($"file", $"offset", $"length")
+      .distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(
+        _.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)).toMap
+    assert(byFile.size == 2)
+    byFile.foreach { case (f, coords) =>
+      assert(coords.head._1 == 0L, s"$f: first member not at offset 0")
+      coords.sliding(2).foreach {
+        case Array((o1, l1), (o2, _)) =>
+          assert(o1 + l1 == o2, s"$f: gap/overlap at member offset $o2")
+        case _ => ()
+      }
+      val size = new java.io.File(new java.net.URI(f).getPath).length
+      assert(coords.map(_._2).sum == size,
+        s"$f: member lengths don't sum to the file size")
+    }
+    // random-access fetch returns byte-identical records to the scan
+    val wanted = cdx.filter($"rtype" === "response")
+    val hits = WarcFetch.fetch(wanted)
+    assert(hits.count() == docs.count())
+    val full = spark.read.format("graft-warc").load(dir)
+      .filter($"rtype" === "response")
+      .select($"rec_id", $"payload".as("scan_payload"))
+    val mismatch = hits.join(full, Seq("rec_id"))
+      .filter($"payload" =!= $"scan_payload").count()
+    assert(mismatch == 0, "seek-fetched payload differs from scan payload")
+    // plain .warc: the scan reports whole-file coordinates and fetch
+    // serves them through the same entry point
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("warc_cdx_plain_").toString
+    val capsule = docs.orderBy($"doc_id").limit(2)
+      .select(graft.text.WarcExtract.renderWarc($"doc_id",
+        split($"text", " ")).as("w"))
+      .collect().map(_.getString(0)).mkString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$plainDir/one.warc"),
+      capsule.getBytes("ISO-8859-1"))
+    val pcdx = WarcFetch.cdxIndex(spark, plainDir, rtype = None)
+    val prows = pcdx.select($"offset", $"length").distinct().collect()
+    assert(prows.length == 1 && prows.head.getLong(0) == 0L)
+    assert(prows.head.getLong(1) ==
+      new java.io.File(s"$plainDir/one.warc").length)
+    // fetch is MEMBER-grain: all six records share the whole-file
+    // member here, so distinct coordinates fetch once and yield all
+    assert(WarcFetch.fetch(
+      pcdx.select($"file", $"offset", $"length").distinct()).count() == 6)
+  }
 }
