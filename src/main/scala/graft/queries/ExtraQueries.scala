@@ -651,6 +651,49 @@ object ExtraQueries {
       GraftSql.execute(s, s"SELECT k, price FROM $cat.wb")
     }),
 
+    // Z-ORDER layout (round 16) — MULTI-dimensional file skipping on
+    // the manifest format. A one-column range layout prunes on that
+    // column only; interleaving two dims' bits into one Morton sort
+    // key ([[graft.ops.ZOrder]]) makes each file cover a square-ish
+    // cell of the (n_chars, doc_id) plane, so the ordinary per-column
+    // sidecar bounds (BatchStats — no new metadata) are tight in BOTH
+    // dims and a 2-D box predicate skips most files at PLAN time.
+    // The layout is Delta's OPTIMIZE ZORDER BY; ScaleSpec pins the
+    // skipping itself (z-order reads strictly fewer files than the
+    // linear layout under the same box, via manifestFilesRead). The
+    // oracle replays the box over raw documents blind — layout can
+    // never change ANSWERS, only files touched.
+    "sk8_zorder_layout" -> ((s, d) => {
+      import graft.ops.ZOrder
+      import graft.sources.{StatsSinks, TxnManifest}
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_sk8_").toString
+      graft.util.CacheScope.onRelease { () =>
+        val p = new org.apache.hadoop.fs.Path(base)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        ()
+      }
+      val root = s"$base/t"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      // domain bounds: a two-number layout-time artifact (the
+      // AnnIndex-geometry class of metadata), not a per-query pass
+      val r = docs.agg(min("n_chars"), max("n_chars"), max("doc_id")).head
+      val (cLo, cHi, idHi) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val z = ZOrder.key(col("n_chars"), cLo, cHi, col("doc_id"), 0L, idHi)
+      StatsSinks.appendBatchStats(
+        docs.withColumn("z", z).repartitionByRange(16, col("z")).drop("z"),
+        root, 0)
+      val man = new TxnManifest(s"$base/_commits")
+      man.commit(0, Seq(s"$root/batch=0"))
+      val cCut = cLo + (cHi - cLo) / 4
+      val idCut = idHi / 4
+      s.read.format("graft-manifest").option("manifest", s"$base/_commits")
+        .load(root)
+        .filter(col("n_chars") <= cCut && col("doc_id") <= idCut)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // Staged conversion funnel (signup → first later view → first
     // later purchase): each stage is a per-user min over the events
     // AFTER the previous stage's timestamp, left-joined so drop-off
@@ -1017,6 +1060,15 @@ object ExtraQueries {
         |  FROM orders)
         |SELECT k, CASE WHEN k % 10 = 0 THEN price * 2 ELSE price END AS price
         |FROM w""".stripMargin,
+    // layout never changes answers: the oracle is the bare box over
+    // raw documents (integer-division cuts replay exactly)
+    "sk8_zorder_layout" ->
+      """WITH b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi,
+        |    max(doc_id) AS idhi FROM documents)
+        |SELECT d.doc_id, d.n_chars
+        |FROM documents d, b
+        |WHERE d.n_chars <= b.lo + (b.hi - b.lo) // 4
+        |  AND d.doc_id <= b.idhi // 4""".stripMargin,
     "sk6_rebucket" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -288,12 +288,16 @@ final class GraftWarcTable(root: String) extends Table with SupportsRead {
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-        // accept rtype equality/IN (records skip before row build);
-        // everything returns for Spark's post-scan re-evaluation
+        // accept rtype equality/IN and uri prefixes (records skip
+        // before row build — per-host slices of a shared crawl
+        // archive are the common read, and most records are other
+        // hosts); everything returns for Spark's post-scan
+        // re-evaluation
         pushed = filters.filter {
-          case EqualTo("rtype", _: String) => true
-          case In("rtype", _)              => true
-          case _                           => false
+          case EqualTo("rtype", _: String)        => true
+          case In("rtype", _)                     => true
+          case StringStartsWith("uri", _: String) => true
+          case _                                  => false
         }
         filters
       }
@@ -365,8 +369,14 @@ final class GraftWarcScan(root: String, required: StructType,
     sets.reduceOption(_ intersect _)
   }
 
+  /** Conjunction of pushed uri prefixes — a record survives only if
+    * its uri starts with ALL of them (that is what pushing several
+    * StartsWith filters means). */
+  private def pushedUriPrefixes: Seq[String] =
+    pushed.toSeq.collect { case StringStartsWith("uri", p) => p }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, pushedRtypes, serConf)
+    new WarcReaderFactory(required, pushedRtypes, pushedUriPrefixes, serConf)
 
   /** STREAMING tail of the landing directory — crawl dumps land as
     * files over hours/days, and the pipeline follows them. Offsets
@@ -383,7 +393,8 @@ final class GraftWarcScan(root: String, required: StructType,
     * its CRC rather than half-read). */
   override def toMicroBatchStream(checkpointLocation: String)
     : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new WarcMicroBatchStream(root, required, pushedRtypes, serConf)
+    new WarcMicroBatchStream(root, required, pushedRtypes,
+      pushedUriPrefixes, serConf)
 }
 
 final class WarcMembersMetric
@@ -399,7 +410,8 @@ final class WarcRecordsMetric
 final class WarcRecordsSkippedMetric
   extends org.apache.spark.sql.connector.metric.CustomSumMetric {
   override def name(): String = "warcRecordsSkipped"
-  override def description(): String = "WARC records skipped by rtype pushdown"
+  override def description(): String =
+    "WARC records skipped by rtype/uri pushdown"
 }
 final class WarcBytesInflatedMetric
   extends org.apache.spark.sql.connector.metric.CustomSumMetric {
@@ -419,6 +431,7 @@ final case class WarcStreamOffset(n: Int, last: String)
 
 final class WarcMicroBatchStream(root: String, required: StructType,
                                  rtypes: Option[Set[String]],
+                                 uriPrefixes: Seq[String],
                                  serConf: org.apache.spark.util.SerializableConfiguration)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
@@ -486,13 +499,14 @@ final class WarcMicroBatchStream(root: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, rtypes, serConf)
+    new WarcReaderFactory(required, rtypes, uriPrefixes, serConf)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 final class WarcReaderFactory(required: StructType,
                               rtypes: Option[Set[String]],
+                              uriPrefixes: Seq[String],
                               serConf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReaderFactory {
 
@@ -528,7 +542,8 @@ final class WarcReaderFactory(required: StructType,
         WarcFile.parseRecords(m).map(r => (r, off, len)) }
       .map { case (r, off, len) => recIx += 1; (r, recIx, off, len) }
       .collect { case (r, ix, off, len) if {
-          val keep = rtypes.forall(_.contains(r.rtype))
+          val keep = rtypes.forall(_.contains(r.rtype)) &&
+            uriPrefixes.forall(p => r.uri != null && r.uri.startsWith(p))
           if (keep) nRecords += 1 else nSkipped += 1
           keep
         } =>

@@ -2149,6 +2149,57 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("z-order layout prunes a 2-D box better than a linear layout") {
+    import graft.ops.ZOrder
+    import graft.sources.{StatsSinks, TxnManifest}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"n_chars")
+    val r = docs.agg(min("n_chars"), max("n_chars"), max("doc_id")).head
+    val (cLo, cHi, idHi) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    def build(base: String, key: org.apache.spark.sql.Column): Unit = {
+      StatsSinks.appendBatchStats(docs.withColumn("zz", key)
+        .repartitionByRange(16, $"zz").drop("zz"), s"$base/t", 0)
+      new TxnManifest(s"$base/_commits").commit(0, Seq(s"$base/t/batch=0"))
+    }
+    val zBase = java.nio.file.Files.createTempDirectory("sk8_z_").toString
+    val lBase = java.nio.file.Files.createTempDirectory("sk8_l_").toString
+    build(zBase, ZOrder.key($"n_chars", cLo, cHi, $"doc_id", 0L, idHi))
+    build(lBase, $"n_chars".cast("long"))
+    val want = docs.filter($"n_chars" <= cLo + (cHi - cLo) / 4 &&
+      $"doc_id" <= idHi / 4).count()
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ inner).flatMap(allNodes)
+    }
+    def filesRead(base: String): Long = {
+      val q = spark.read.format("graft-manifest")
+        .option("manifest", s"$base/_commits").load(s"$base/t")
+        .filter($"n_chars" <= cLo + (cHi - cLo) / 4 && $"doc_id" <= idHi / 4)
+      // layout must be answer-invisible under the same box
+      assert(q.count() == want, s"$base: wrong rows under the box")
+      q.collect()
+      val scans = allNodes(q.queryExecution.executedPlan).collect {
+        case s: BatchScanExec if s.toString.contains("GraftManifestScan") => s
+      }
+      scans.head.metrics("manifestFilesRead").value
+    }
+    val zf = filesRead(zBase)
+    val lf = filesRead(lBase)
+    // the linear layout prunes only the n_chars stripes; the z-order
+    // layout's square-ish cells prune on BOTH dims of the box
+    assert(lf < 16, s"linear layout should prune some stripes, read $lf/16")
+    assert(zf < lf, s"z-order should beat linear under a 2-D box: " +
+      s"z-order read $zf files, linear read $lf")
+  }
+
   test("t43 detection joins the benchmark grams by broadcast") {
     // the scale claim: eval benchmarks are MBs while the corpus is
     // 100 TB, so contamination detection must be a map-side hash

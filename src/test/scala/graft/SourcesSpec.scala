@@ -962,6 +962,20 @@ class SourcesSpec extends SparkSuite {
       .select(regexp_extract($"rec_id", "urn:graft:([0-9]+)", 1)
         .cast("long").as("doc_id"))
     assert(ids.join(docs, Seq("doc_id"), "left_anti").count() == 0)
+    // uri-prefix pushdown: per-host slices of a shared archive are
+    // the common read — the filter reaches the scan and skipped
+    // records never build rows (warcinfo records have NO uri and a
+    // pushed prefix drops them; the count is responses+requests on
+    // the odd-id side only)
+    val oddIds = docs.filter($"doc_id" % 2 === 1).count()
+    val sliced = recs.filter($"uri".startsWith("https://"))
+    val slicedPlan = sliced.queryExecution.executedPlan.toString
+    assert(slicedPlan.contains("StringStartsWith(uri,https://)"),
+      s"uri prefix must reach the scan:\n$slicedPlan")
+    assert(sliced.count() == 2 * oddIds)
+    // conjunction with rtype: both prune before row construction
+    assert(recs.filter($"uri".startsWith("https://") &&
+      $"rtype" === "response").count() == oddIds)
     // a plain (uncompressed) .warc file reads through the same source
     val plainDir = java.nio.file.Files
       .createTempDirectory("warc_plain_").toString
