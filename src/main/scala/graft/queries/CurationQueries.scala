@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, StringType}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 import graft.Tables
 import graft.text.MinHash
 import graft.text.{TextAnalysis => TA}
@@ -582,6 +583,41 @@ object CurationQueries {
       robotsDecisions(s, Tables.documents(s, d).select(col("doc_id")))
         .select(col("doc_id"), col("host"), col("path"),
           col("matched_prefix"), col("allowed"))),
+
+    // Politeness SCHEDULING (round 16) — the step between the robots
+    // gate and the fetcher: each host serves at most one in-flight
+    // request, paced by its `Crawl-delay` (the de-facto extension
+    // [[graft.text.Robots.crawlDelay]] parses from the robots text;
+    // hosts without one get the crawler's 1 s default). The schedule
+    // is rank-within-host over the ALLOWED urls: fetch_ix = the
+    // host's queue position, fetch_at_s = (fetch_ix-1)·delay. Scale
+    // shape: delays are a per-host broadcast (the robots corpus is
+    // tiny vs the frontier) and the schedule is ONE window
+    // partitioned by host — exchange-free when the frontier arrives
+    // host-partitioned, which is how crawl frontiers are stored.
+    "t45_crawl_schedule" -> ((s, d) => {
+      import graft.text.Robots
+      import s.implicits._
+      val allowed = robotsDecisions(s,
+        Tables.documents(s, d).select(col("doc_id")))
+        .filter(col("allowed") === 1)
+        .select(col("doc_id"), col("host"))
+      // the delay directives live in the hosts' robots texts — parsed,
+      // not configured (sub.example.org:8080 has none → default)
+      val delays = Seq(
+        ("example.com",
+          "User-agent: *\nCrawl-delay: 2\n# mirror hint\nCrawl-delay: 1\n"),
+        ("sub.example.org:8080", "User-agent: *\nDisallow:\n"))
+        .toDF("host", "robots_txt")
+        .select(col("host"), Robots.crawlDelay(col("robots_txt"))
+          .as("delay_s"))
+      val w = Window.partitionBy(col("host")).orderBy(col("doc_id"))
+      allowed.join(broadcast(delays), Seq("host"), "left")
+        .select(col("doc_id"), col("host"),
+          row_number().over(w).cast(LongType).as("fetch_ix"),
+          coalesce(col("delay_s"), lit(1L)).as("delay_s"))
+        .withColumn("fetch_at_s", (col("fetch_ix") - 1) * col("delay_s"))
+    }),
 
     // BFS crawl-loop discovery (round 16) — the ITERATIVE form of
     // t38's frontier step, the loop a crawler actually runs: seeds
@@ -1328,6 +1364,22 @@ object CurationQueries {
         |  CAST(CASE WHEN NOT hit OR verdict = 'allow' THEN 1 ELSE 0 END
         |    AS INT) AS allowed
         |FROM rk WHERE rn = 1""".stripMargin),
+    // t45: the delay constants are generator facts (the engine side
+    // PARSES them from robots text); the schedule window replays blind
+    "t45_crawl_schedule" ->
+      (s"""WITH ${robotsSqlCtes("documents")},
+        |al AS (SELECT doc_id, host FROM rk
+        |  WHERE rn = 1 AND (NOT hit OR verdict = 'allow')),
+        |sc AS (SELECT doc_id, host,
+        |    CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id)
+        |      AS BIGINT) AS fetch_ix,
+        |    CAST(CASE WHEN host = 'example.com' THEN 2 ELSE 1 END
+        |      AS BIGINT) AS delay_s
+        |  FROM al)
+        |SELECT doc_id, host, fetch_ix, delay_s,
+        |  (fetch_ix - 1) * delay_s AS fetch_at_s
+        |FROM sc""".stripMargin),
+
     // t37: group selection of constant text is a constant — the
     // oracle carries the SELECTED battery (graftbot groups combined
     // on example.com; the * fallback on the other host) and replays

@@ -55,6 +55,20 @@ object Robots {
       when(anchored, lit("$")).otherwise(lit("")))
   }
 
+  /** `Crawl-delay: N` seconds from a robots group's text — the
+    * de-facto politeness extension (absent from RFC 9309 but honored
+    * by most crawlers and very common in the wild). Max over the
+    * group's lines when several appear (the conservative read), NULL
+    * when none — callers supply their default pacing. Fractional and
+    * malformed values parse as absent (the major-crawler behavior:
+    * unparsable directives are ignored, never fetch-blocking). */
+  def crawlDelay(txt: Column): Column =
+    array_max(transform(
+      filter(split(txt, "\n"),
+        l => l.rlike("(?i)^\\s*crawl-delay\\s*:\\s*[0-9]+\\s*$")),
+      l => regexp_extract(l, "(?i)^\\s*crawl-delay\\s*:\\s*([0-9]+)", 1)
+        .cast("long")))
+
   /** RFC 9309 §2.2.1 GROUP SELECTION, pure Column: a robots.txt is a
     * sequence of groups (a run of consecutive `User-agent:` lines
     * followed by their rules); a crawler uses the group(s) whose

@@ -481,6 +481,21 @@ class TextSpec extends SparkSuite {
     assert(lGot.contains("a"), "latin-1 must keep C1 as-is")
   }
 
+  test("crawl-delay: max of parsed lines, malformed/absent -> null") {
+    import graft.text.Robots
+    val cases = Seq(
+      ("User-agent: *\nCrawl-delay: 5\nDisallow: /x\n", java.lang.Long.valueOf(5L)),
+      // several directives: the conservative (max) read
+      ("Crawl-delay: 2\ncrawl-DELAY:  7 \nCrawl-delay: 3\n", java.lang.Long.valueOf(7L)),
+      // fractional and garbage values are ignored, never blocking
+      ("Crawl-delay: 1.5\nCrawl-delay: soon\n", null),
+      ("User-agent: *\nDisallow:\n", null))
+    val got = cases.toDF("txt", "want")
+      .select(Robots.crawlDelay($"txt").as("got"), $"want").collect()
+    got.foreach(r => assert(r.get(0) == r.get(1),
+      s"crawlDelay mismatch: got ${r.get(0)} want ${r.get(1)}"))
+  }
+
   test("pii scrub: general forms, not just the generator's") {
     val cases = Seq(
       // emails: mixed case, plus/percent tags, subdomains, adjacent punct
