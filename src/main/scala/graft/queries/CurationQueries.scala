@@ -915,6 +915,44 @@ object CurationQueries {
     // the content hash) → deterministic split assignment (free
     // column). Every stage reuses the operator the standalone query
     // proves (t2/t3/dd1/t5); this row proves the chain.
+    // Dataset DATASHEET (round 16) — the "datasheets for datasets"
+    // card every released corpus ships: per (lang, source) cell plus
+    // ROLLUP subtotals and the grand total, reporting doc/token/char
+    // mass and the exact-duplicate count (first occurrence by doc_id
+    // is the keeper — the t33/dd1 convention). One corpus pass: a
+    // content-hash window flags dups, one ROLLUP aggregate folds the
+    // lattice map-side (Expand) — at 100 TB the card costs two
+    // shuffles, both on aggregate-sized data. Integer-only metrics by
+    // construction (counts and sums of stored longs), so the oracle
+    // hashes exactly.
+    "cur7_datasheet" -> ((s, d) => {
+      val docs0 = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      // planted copies carry their lineage columns — dup mass is real
+      // in every cell they land in
+      val corpus = docs0.unionAll(docs0.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+      val base = corpus.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), TA.tokenCount(col("text")).as("toks"),
+        md5(col("text")).as("h"))
+      val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      val flagged = base
+        .withColumn("is_dup",
+          when(row_number().over(w) > 1, 1L).otherwise(0L))
+      flagged.rollup(col("lang"), col("source"))
+        .agg(grouping(col("lang")).cast("int").as("g_lang"),
+          grouping(col("source")).cast("int").as("g_source"),
+          count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("is_dup")).as("n_dups"))
+        .select(col("lang"), col("source"), col("g_lang"), col("g_source"),
+          col("n_docs"), col("n_tokens"), col("total_chars"),
+          col("n_dups"))
+    }),
+
     "cur1_curation_pipeline" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       // corpus extended with exact copies of every 100th doc (dd1's
@@ -1745,6 +1783,31 @@ object CurationQueries {
         |    AND CAST(alpha_words AS DOUBLE) / n_words >= 0.8
         |    AND n_stops >= 2 THEN 1 ELSE 0 END AS INT) AS keep
         |FROM m""".stripMargin,
+    // the datasheet replays the planted union, the content-hash dup
+    // window, and the rollup lattice blind
+    "cur7_datasheet" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |t AS (SELECT doc_id, lang, source, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    md5(text) AS h
+        |  FROM corpus),
+        |f AS (SELECT *,
+        |    CASE WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id) > 1
+        |         THEN 1 ELSE 0 END AS is_dup
+        |  FROM t)
+        |SELECT lang, source,
+        |  CAST(grouping(lang) AS INT) AS g_lang,
+        |  CAST(grouping(source) AS INT) AS g_source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(is_dup) AS BIGINT) AS n_dups
+        |FROM f GROUP BY ROLLUP (lang, source)""".stripMargin,
+
     "cur1_curation_pipeline" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

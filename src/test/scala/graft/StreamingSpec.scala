@@ -1513,6 +1513,58 @@ class StreamingSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("streaming CDX: tailed coordinates equal the batch rebuild") {
+    // the lookup index a crawl archive serves from stays CURRENT as
+    // waves land: the tail emits the same member coordinates the
+    // batch scan reports, so a parquet-appended CDX always equals a
+    // from-scratch rebuild — and records fetched through the STREAMED
+    // rows are the archived bytes
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("warc_scdx_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("warc_scdx_ck_").toString
+    val sink = java.nio.file.Files.createTempDirectory("warc_scdx_snk_").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    def land(name: String, ids: (Long, Long)): Unit = {
+      val recs = docs.filter($"doc_id" >= ids._1 && $"doc_id" < ids._2)
+        .orderBy($"doc_id")
+        .select(graft.text.WarcExtract.renderWarcRecords(
+          $"doc_id", split($"text", " ")).as("recs"))
+        .collect()
+      val out = new java.io.FileOutputStream(s"$dir/$name")
+      try recs.foreach(_.getSeq[String](0).foreach { r =>
+        out.write(graft.sources.WarcFile.gzipMember(r.getBytes("ISO-8859-1")))
+      }) finally out.close()
+    }
+    land("part-0001.warc.gz", (0L, 8L))
+    val q = spark.readStream.format("graft-warc").load(dir)
+      .filter($"rtype" === "response")
+      .select($"file", $"offset", $"length", $"rec_id")
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      land("part-0002.warc.gz", (8L, 20L))
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))
+    val streamed = spark.read.parquet(sink)
+      .select($"file", $"offset", $"length", $"rec_id")
+      .collect().map(key).sorted.toSeq
+    val rebuilt = graft.sources.WarcFetch.cdxIndex(spark, dir)
+      .select($"file", $"offset", $"length", $"rec_id")
+      .collect().map(key).sorted.toSeq
+    assert(streamed == rebuilt,
+      "streamed CDX diverges from the batch rebuild")
+    // the streamed coordinates serve fetches: every response comes
+    // back and re-parses to its own record id
+    val hits = graft.sources.WarcFetch.fetch(spark.read.parquet(sink))
+    assert(hits.count() == 20)
+    assert(hits.filter($"rtype" =!= "response").count() == 0)
+  }
+
   test("streaming span candidates == batch anchor collisions; df cap tombstones") {
     // the dd22 arc at the STREAM grain: documents arrive, anchors
     // explode per row, and flatMapGroupsWithState keyed by anchor
