@@ -48,6 +48,12 @@ object WarcFetch {
       .mapPartitions { it =>
         var curPath: String = null
         var curIn: org.apache.hadoop.fs.FSDataInputStream = null
+        // a consumer that stops early (limit, take) never reaches the
+        // drained-iterator close below — the task boundary does
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit] { _ =>
+            if (curIn != null) { curIn.close(); curIn = null }
+          })
         def stream(path: String): org.apache.hadoop.fs.FSDataInputStream = {
           if (path != curPath) {
             if (curIn != null) curIn.close()
