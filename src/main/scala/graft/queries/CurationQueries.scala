@@ -953,6 +953,70 @@ object CurationQueries {
           col("n_dups"))
     }),
 
+    // Drop-reason AUDIT (round 16) — the selection-bias ledger a
+    // released corpus ships next to its datasheet: per document, the
+    // FIRST gate that removed it (benchmark-membership → lang-ID →
+    // token floor → exact dup → contamination) or `kept`, so "why did
+    // my document disappear" is a lookup and per-stage attrition is a
+    // group-by away. Composes the existing gates at their own
+    // semantics (cur1's lang/floor/dedup conventions, t43's broadcast
+    // contamination probe); both plant schemes run so every verdict
+    // has real mass. One content-hash window + the broadcast gram
+    // probe — everything else is per-row; the CASE priority makes the
+    // verdict deterministic even when several gates fire.
+    "cur8_drop_audit" -> ((s, d) => {
+      def canary(src: org.apache.spark.sql.Column) =
+        array_join(transform(sequence(lit(0), lit(12)), j =>
+          concat(lit("graftbench"), src.cast("string"), lit("_"),
+            j.cast("string"))), " ")
+      // copies plant off %100==1 (ids stay ≡1 mod 50 — a copy that
+      // landed in the benchmark would vanish into that verdict); the
+      // %83 German replacement gives the lang gate real mass, applied
+      // BEFORE the canary appends so gate priority is what resolves
+      // multi-plant docs on both engines
+      val docs0 = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val union = docs0.unionAll(docs0.filter(col("doc_id") % 100 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val german = "der die und das ist der die und das ist der die und " +
+        "das ist der die und das ist der die und das ist"
+      val base0 = when(pmod(col("doc_id"), lit(83)) === 0, lit(german))
+        .otherwise(col("text"))
+      val ctext = when(pmod(col("doc_id"), lit(50)) === 0,
+          concat(base0, lit(" "), canary(col("doc_id"))))
+        .when(pmod(col("doc_id"), lit(37)) === 0,
+          concat(base0, lit(" "),
+            canary(floor(col("doc_id") / 50).cast(LongType) * 50)))
+        .otherwise(base0)
+      val corpus = union.select(col("doc_id"), ctext.as("text"))
+      val (_, _, _, pred) = TA.langId(col("text"))
+      val base = corpus.select(col("doc_id"),
+        pred.as("plang"), TA.tokenCount(col("text")).as("toks"),
+        md5(col("text")).as("h"))
+      val w = Window.partitionBy("h")
+      val flagged = base
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+      val wtok = split(col("text"), " ")
+      val grams = when(size(wtok) >= 13,
+        transform(sequence(lit(1), size(wtok) - 12), i =>
+          array_join(slice(wtok, i, lit(13)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val gdf = corpus.select(col("doc_id"), explode(grams).as("gram"))
+      val bench = gdf.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select("gram").distinct()
+      val contam = gdf.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .join(broadcast(bench), Seq("gram"))
+        .select("doc_id").distinct()
+        .withColumn("ct", lit(1))
+      flagged.join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(50)) === 0, "benchmark")
+            .when(col("plang") =!= "en", "lang")
+            .when(col("toks") < 20, "short")
+            .when(col("doc_id") =!= col("canonical_id"), "duplicate")
+            .when(col("ct").isNotNull, "contaminated")
+            .otherwise("kept").as("verdict"))
+    }),
+
     "cur1_curation_pipeline" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       // corpus extended with exact copies of every 100th doc (dd1's
@@ -1783,6 +1847,69 @@ object CurationQueries {
         |    AND CAST(alpha_words AS DOUBLE) / n_words >= 0.8
         |    AND n_stops >= 2 THEN 1 ELSE 0 END AS INT) AS keep
         |FROM m""".stripMargin,
+    // the audit replays both plants, the lang/floor/dup/contamination
+    // gates, and the verdict priority blind
+    "cur8_drop_audit" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 100 = 1),
+        |b0 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 83 = 0
+        |         THEN 'der die und das ist der die und das ist der die ' ||
+        |              'und das ist der die und das ist der die und das ist'
+        |         ELSE text END AS text
+        |  FROM u),
+        |c AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 50 = 0 THEN text || ' ' ||
+        |           array_to_string(list_transform(range(0, 13), j ->
+        |             'graftbench' || CAST(doc_id AS VARCHAR) || '_' ||
+        |             CAST(j AS VARCHAR)), ' ')
+        |         WHEN doc_id % 37 = 0 THEN text || ' ' ||
+        |           array_to_string(list_transform(range(0, 13), j ->
+        |             'graftbench' || CAST((doc_id // 50) * 50 AS VARCHAR)
+        |             || '_' || CAST(j AS VARCHAR)), ' ')
+        |         ELSE text END AS text
+        |  FROM b0),
+        |t AS (SELECT doc_id, text,
+        |    CAST(len(list_filter(string_split(text,' '), x ->
+        |      list_contains(['the','a','of','and','is'], x))) AS BIGINT)
+        |      AS en_score,
+        |    CAST(len(list_filter(string_split(text,' '), x ->
+        |      list_contains(['der','die','das','und','ist'], x))) AS BIGINT)
+        |      AS de_score,
+        |    CAST(len(list_filter(string_split(text,' '), x ->
+        |      list_contains(['el','la','de','y','es'], x))) AS BIGINT)
+        |      AS es_score,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |    md5(text) AS h
+        |  FROM c),
+        |ann AS (SELECT doc_id, n_tokens, h,
+        |    CASE WHEN de_score > en_score AND de_score >= es_score THEN 'de'
+        |         WHEN es_score > en_score AND es_score > de_score THEN 'es'
+        |         ELSE 'en' END AS predicted_lang
+        |  FROM t),
+        |ded AS (SELECT *,
+        |    min(doc_id) OVER (PARTITION BY h) AS canonical_id
+        |  FROM ann),
+        |g AS (SELECT doc_id, string_split(text, ' ') AS w FROM c),
+        |grams AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 11), i ->
+        |      array_to_string(w[CAST(i AS INTEGER):CAST(i + 12 AS INTEGER)],
+        |        ' '))) AS gram
+        |  FROM g),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+        |contam AS (SELECT DISTINCT g2.doc_id
+        |  FROM grams g2 JOIN bench USING (gram) WHERE g2.doc_id % 50 <> 0)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN 'benchmark'
+        |       WHEN d.predicted_lang <> 'en' THEN 'lang'
+        |       WHEN d.n_tokens < 20 THEN 'short'
+        |       WHEN d.doc_id <> d.canonical_id THEN 'duplicate'
+        |       WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+        |       ELSE 'kept' END AS verdict
+        |FROM ded d LEFT JOIN contam ct USING (doc_id)""".stripMargin,
+
     // the datasheet replays the planted union, the content-hash dup
     // window, and the rollup lattice blind
     "cur7_datasheet" ->
