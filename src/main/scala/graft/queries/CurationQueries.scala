@@ -325,6 +325,65 @@ object CurationQueries {
         ex.getField("extracted").as("extracted"))
     }),
 
+    // WARC revisit resolution (round 16) — crawl-TIME dedup, the
+    // semantics Heritrix/Common Crawl ship in the format itself: a
+    // re-crawl whose payload digest matches an earlier capture stores
+    // a `revisit` record naming the original via `WARC-Refers-To`
+    // instead of re-storing the body (most of the web doesn't change
+    // between crawls — revisit is why archives aren't N× the web).
+    // The generator re-captures every 100th doc as a revisit; the
+    // reader surfaces `refers_to`; resolution is ONE id-keyed join of
+    // the revisit set against the stored responses (at 100 TB the
+    // revisit side is the small delta — broadcast or shuffle-on-key,
+    // never a scan of the archive beyond the one CDX-class pass), and
+    // the resolved payload decodes through the t36 chain exactly like
+    // a direct capture. Oracle replays extraction from `documents`
+    // over the union — a pass certifies a revisit-resolved body is
+    // byte-identical to its original capture.
+    "t46_revisit_resolve" -> ((s, d) => {
+      import graft.text.{HtmlExtract, HttpDecode, UrlCanon, WarcExtract}
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_t46_warc_").toString
+      graft.util.CacheScope.onRelease { () =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        ()
+      }
+      val docs0 = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs0.unionAll(docs0.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val records = when(col("doc_id") < 1000000L,
+        WarcExtract.renderWarcRecords(col("doc_id"),
+          split(col("text"), " "), encodeHttp = true))
+        .otherwise(array(WarcExtract.renderRecord(col("doc_id"), "revisit",
+          Some(UrlCanon.renderUrl(col("doc_id") - 1000000L)), lit(""),
+          refersTo = Some(concat(lit("<urn:graft:"),
+            (col("doc_id") - 1000000L).cast("string"), lit(">"))))))
+      graft.sources.WarcGz.writeRecords(corpus, "doc_id", records,
+        dir, nFiles = 8)
+      val scan = s.read.format("graft-warc").load(dir)
+      val resp = scan.filter(col("rtype") === "response")
+        .select(col("rec_id"), col("payload"))
+      val direct = resp.select(
+        regexp_extract(col("rec_id"), "urn:graft:([0-9]+)", 1)
+          .cast("long").as("doc_id"),
+        lit("response").as("capture"), col("payload"))
+      val resolved = scan.filter(col("rtype") === "revisit")
+        .select(regexp_extract(col("rec_id"), "urn:graft:([0-9]+)", 1)
+            .cast("long").as("doc_id"),
+          col("refers_to").as("rec_id"))
+        .join(resp, Seq("rec_id"))
+        .select(col("doc_id"), lit("revisit").as("capture"), col("payload"))
+      val all = direct.unionAll(resolved)
+      val ex = HtmlExtract.extract(
+        HttpDecode.decodeResponse(col("payload")).getField("body"))
+      all.select(col("doc_id"), col("capture"),
+        ex.getField("n_kept").as("n_kept"),
+        length(ex.getField("extracted")).cast("long").as("n_chars_kept"),
+        ex.getField("extracted").as("extracted"))
+    }),
+
     // INCREMENTAL end-to-end curation (round 16) — the operational
     // composite of the whole crawl surface, the pipeline a crawl
     // operator actually schedules: `.warc.gz` waves land while the
@@ -1771,6 +1830,24 @@ object CurationQueries {
     "cur3_web_curation" -> Cur3OracleSql,
     // the file round trip is curation-invisible: cur4 == cur3
     "cur4_crawl_curation" -> Cur3OracleSql,
+    // a revisit-resolved body is byte-identical to its original
+    // capture: extraction is boilerplate-invariant (the cur3
+    // argument), so the oracle extracts from the union's own text
+    "t46_revisit_resolve" ->
+      ("""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 100 = 0),
+        |""".stripMargin + HtmlExtractCte +
+      """
+        |SELECT ht.doc_id,
+        |  CASE WHEN ht.doc_id < 1000000 THEN 'response' ELSE 'revisit' END
+        |    AS capture,
+        |  hx.n_kept, CAST(length(hx.extracted) AS BIGINT) AS n_chars_kept,
+        |  hx.extracted
+        |FROM ht JOIN hx USING (doc_id)""".stripMargin),
+
     // seek-fetched bytes are the archived record: t44 == t29 on the
     // lookup set — the oracle replays extraction from `documents`
     // blind, filtered to the fetched doc ids

@@ -65,6 +65,7 @@ object WarcFile {
     StructField("rtype", StringType, nullable = true),
     StructField("rec_id", StringType, nullable = true),
     StructField("uri", StringType, nullable = true),
+    StructField("refers_to", StringType, nullable = true),
     StructField("content_length", LongType, nullable = false),
     StructField("payload", StringType, nullable = true),
     // compressed byte range of the record's gzip member — the CDX
@@ -73,9 +74,11 @@ object WarcFile {
     StructField("offset", LongType, nullable = false),
     StructField("length", LongType, nullable = false)))
 
-  /** One parsed WARC record (headers + the Content-Length payload). */
+  /** One parsed WARC record (headers + the Content-Length payload).
+    * `refersTo` carries `WARC-Refers-To` — null except on `revisit`
+    * records, which name their original capture with it. */
   final case class Rec(rtype: String, recId: String, uri: String,
-                       payload: Array[Byte])
+                       refersTo: String, payload: Array[Byte])
 
   /** Parse the WARC records of one decompressed member by
     * Content-Length accounting (payloads legally contain the record
@@ -112,6 +115,7 @@ object WarcFile {
       require(s.startsWith("\r\n\r\n", start + len),
         "WARC member: payload not followed by the record terminator")
       out += Rec(h("WARC-Type"), h("WARC-Record-ID"), h("WARC-Target-URI"),
+        h("WARC-Refers-To"),
         java.util.Arrays.copyOfRange(m, start, start + len))
       pos = start + len + 4
     }
@@ -554,6 +558,9 @@ final class WarcReaderFactory(required: StructType,
           case "rec_id"         => UTF8String.fromString(r.recId)
           case "uri"            =>
             if (r.uri == null) null else UTF8String.fromString(r.uri)
+          case "refers_to"      =>
+            if (r.refersTo == null) null
+            else UTF8String.fromString(r.refersTo)
           case "content_length" => r.payload.length.toLong
           case "payload"        =>
             UTF8String.fromString(new String(r.payload, "ISO-8859-1"))
@@ -608,6 +615,15 @@ object WarcGz {
       graft.text.WarcExtract.renderWetRecords(col(idCol), col(textCol)),
       dir, nFiles, prefix)
   }
+
+  /** Arbitrary caller-rendered record arrays (the writeWet shape,
+    * public): e.g. capsules that mix `response` and `revisit`
+    * records — crawl-time dedup writes a revisit naming the original
+    * capture instead of re-storing the body. */
+  def writeRecords(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   records: org.apache.spark.sql.Column, dir: String,
+                   nFiles: Int, prefix: String = "part"): Unit =
+    writeRendered(docs, idCol, records, dir, nFiles, prefix)
 
   private def writeRendered(docs: org.apache.spark.sql.DataFrame,
                             idCol: String,

@@ -137,14 +137,19 @@ object WarcExtract {
   }
 
   /** One WARC record as a byte-carrier string: headers (type, the
-    * `urn:graft:<id>` record id, optional target URI), Content-Length
-    * from the ACTUAL payload, the payload, the record terminator. */
+    * `urn:graft:<id>` record id, optional target URI, optional
+    * `WARC-Refers-To` — how `revisit` records name their original
+    * capture), Content-Length from the ACTUAL payload, the payload,
+    * the record terminator. */
   def renderRecord(docId: Column, rtype: String, uri: Option[Column],
-                   payload: Column): Column =
+                   payload: Column,
+                   refersTo: Option[Column] = None): Column =
     concat(lit(s"WARC/1.0\r\nWARC-Type: $rtype\r\n"),
       lit("WARC-Record-ID: <urn:graft:"), docId.cast("string"),
       lit(">\r\n"),
       uri.map(u => concat(lit("WARC-Target-URI: "), u, lit("\r\n")))
+        .getOrElse(lit("")),
+      refersTo.map(r => concat(lit("WARC-Refers-To: "), r, lit("\r\n")))
         .getOrElse(lit("")),
       lit("Content-Length: "), length(payload).cast("string"),
       lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
