@@ -13,13 +13,20 @@ object BenchOne {
     val name  = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // dev A/B knob: SPARK_GRAFT_EXTRA_CONFS="k=v;k=v" to test a config
+    // hypothesis on one query without touching the bench contract
+    val b = sys.env.get("SPARK_GRAFT_EXTRA_CONFS").fold(b0) { s =>
+      s.split(';').filter(_.contains('=')).foldLeft(b0) { (bb, kv) =>
+        val Array(k, v) = kv.split("=", 2); bb.config(k, v)
+      }
+    }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
     (1 to 2).foreach { i =>

@@ -443,13 +443,11 @@ object CurationQueries {
             .select(col("doc_id"), col("clean"))
           val pairs = DedupIndex.ingestBatch(allowed, "doc_id", "clean",
             mhDir, w)
-          val r = ClusterIndex.ingestBatch(pairs.select("a", "b"), ccDir, w)
-          // the per-batch view goes unread — free its checkpoint
-          r.queryExecution.analyzed.collectLeaves().foreach {
-            case lr: org.apache.spark.sql.execution.LogicalRDD =>
-              lr.rdd.unpersist(blocking = false); ()
-            case _ => ()
-          }
+          // returnView = false: the per-batch view goes unread — skip
+          // building (and pinning) it entirely
+          ClusterIndex.ingestBatch(pairs.select("a", "b"), ccDir, w,
+            returnView = false)
+          ()
         }
       } finally q.stop()
       val dec = robotsDecisions(s,

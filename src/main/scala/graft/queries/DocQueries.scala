@@ -736,15 +736,12 @@ object DocQueries {
       val pairs = verifiedPairs(s, d)
         .select(col("a"), col("b"), pmod(col("a") + col("b"), lit(3)).as("bb"))
       (0 until 3).foreach { i =>
-        val r = ClusterIndex.ingestBatch(
-          pairs.filter(col("bb") === i).select("a", "b"), dir, i)
-        // the per-batch view goes unread here — free its checkpoint
-        // blocks so repeated bench passes don't accrete dead storage
-        r.queryExecution.analyzed.collectLeaves().foreach {
-          case lr: org.apache.spark.sql.execution.LogicalRDD =>
-            lr.rdd.unpersist(blocking = false); ()
-          case _ => ()
-        }
+        // returnView = false: the per-batch view goes unread here —
+        // skip building (and pinning) it entirely
+        ClusterIndex.ingestBatch(
+          pairs.filter(col("bb") === i).select("a", "b"), dir, i,
+          returnView = false)
+        ()
       }
       ClusterIndex.currentAssignments(s, dir,
         dedupCorpus(s, d).select(col("doc_id").as("id")))

@@ -30,7 +30,39 @@ object Sinks {
                               physSchema: Option[org.apache.spark.sql.types.StructType])
     : DataFrame = physSchema match {
     case Some(s) => spark.read.schema(s).parquet(dirs: _*)
-    case None    => spark.read.option("mergeSchema", true).parquet(dirs: _*)
+    case None =>
+      // mergeSchema spawns a distributed footer-inference job PER READ;
+      // a multi-statement scenario (MV refresh, merge chain) re-reads
+      // the same write-once batch dirs dozens of times. When every
+      // dir's schema is identical (no evolution in flight — the common
+      // case), passing it explicitly is byte-equivalent to the merge
+      // and skips the job; any disagreement falls back to the real
+      // mergeSchema read, preserving union/refusal semantics exactly.
+      val schemas = dirs.map(dirSchema(spark, _))
+      if (schemas.nonEmpty && schemas.forall(_ == schemas.head))
+        spark.read.schema(schemas.head).parquet(dirs: _*)
+      else spark.read.option("mergeSchema", true).parquet(dirs: _*)
+  }
+
+  /** Per-dir parquet schema, memoized on (dir, mtime): batch dirs are
+    * write-once (idempotent re-runs rewrite the same bytes), so the
+    * mtime check only guards the re-run window. Single-footer
+    * driver-side inference — no Spark job. */
+  private val dirSchemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, org.apache.spark.sql.types.StructType)]()
+
+  private def dirSchema(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.types.StructType = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val mtime = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).getModificationTime
+    val hit = dirSchemaMemo.get(dir)
+    if (hit != null && hit._1 == mtime) hit._2
+    else {
+      val s = spark.read.parquet(dir).schema
+      dirSchemaMemo.put(dir, (mtime, s))
+      s
+    }
   }
 
   /** S12 — apply the reference's dtype maps (`accounts.py:93-108`,
@@ -462,11 +494,21 @@ object Sinks {
     * contract — small deletes — but nothing forces a broadcast: AQE
     * decides, so a pathological giant DV degrades to a shuffle join
     * instead of a driver OOM. */
+  /** The DV sidecar's fixed schema — passed explicitly so DV reads
+    * never pay schema inference (they happen on every read of a
+    * DV-carrying table). */
+  private[graft] val DvSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField(DvFileCol,
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField(DvPosCol,
+      org.apache.spark.sql.types.LongType)))
+
   private[graft] def applyDv(spark: org.apache.spark.sql.SparkSession,
                              df: DataFrame, dvDirs: Seq[String]): DataFrame =
     if (dvDirs.isEmpty) df
     else {
-      val dv = spark.read.parquet(dvDirs: _*).select(DvFileCol, DvPosCol)
+      val dv = spark.read.schema(DvSchema).parquet(dvDirs: _*)
+        .select(DvFileCol, DvPosCol)
       df.withColumn(DvFileCol, col("_metadata.file_path"))
         .withColumn(DvPosCol, col("_metadata.row_index"))
         .join(dv, Seq(DvFileCol, DvPosCol), "left_anti")
@@ -526,7 +568,7 @@ object Sinks {
           val live =
             if (dvDirs.isEmpty) withPos
             else withPos.join(
-              spark.read.parquet(dvDirs: _*).select(DvFileCol, DvPosCol),
+              spark.read.schema(DvSchema).parquet(dvDirs: _*).select(DvFileCol, DvPosCol),
               Seq(DvFileCol, DvPosCol), "left_anti")
           Some(live.join(delKeys, keys, "left_semi")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -597,13 +639,24 @@ object Sinks {
     val keyCols = keys.map(col)
     val ups = updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dup = ups.groupBy(keyCols: _*).agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"updates are not unique on (${keys.mkString(", ")}): e.g. " +
-          dup.headOption.map(_.toString).getOrElse(""))
+      // one preflight job: per-key counts (duplicate check) and the
+      // global key range fold together — see merge()'s preflight
+      import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+      val preAggs = (fmax(col("__n")) > 1L).as("__dup") +:
+        keys.flatMap(k => Seq(fmin(col(k)), fmax(col(k))))
+      val pre = ups.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+        .agg(preAggs.head, preAggs.tail: _*).collect().head
+      if (!pre.isNullAt(0) && pre.getBoolean(0)) {
+        val dup = ups.groupBy(keyCols: _*).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"updates are not unique on (${keys.mkString(", ")}): e.g. " +
+            dup.headOption.map(_.toString).getOrElse(""))
+      }
       val upKeys = ups.select(keyCols: _*).distinct()
-      val range = keyRange(upKeys, keys)
+      val rangeRow = org.apache.spark.sql.Row.fromSeq(
+        (0 until 2 * keys.size).map(i => pre.get(i + 1)))
+      val range = if (rangeRow.anyNull) None else Some(rangeRow)
       val candidates = bloomCandidateDirs(spark,
         statsCandidateDirs(spark, dataDirs, range, keys), upKeys, keys)
       // old versions of matched keys, with their (file, position) —
@@ -624,7 +677,7 @@ object Sinks {
           val live =
             if (dvDirs.isEmpty) withPos
             else withPos.join(
-              spark.read.parquet(dvDirs: _*).select(DvFileCol, DvPosCol),
+              spark.read.schema(DvSchema).parquet(dvDirs: _*).select(DvFileCol, DvPosCol),
               Seq(DvFileCol, DvPosCol), "left_anti")
           Some(live.join(upKeys, keys, "left_semi")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -790,26 +843,49 @@ object Sinks {
       case _                  => sys.error("unreachable")
     })
     try {
-    ups.foreach { u =>
-      val dup = u.groupBy(keyCols: _*).agg(count(lit(1)).as("n"))
+    // ONE preflight job replaces three: per-key counts by arm decide
+    // the duplicate-update and ambiguous-both-arms checks, and the
+    // same pass folds the global per-column [min, max] the dir
+    // pruning needs — the violation branches re-run the original
+    // probes only to name an example key (cold error paths)
+    val tagged = (ups.map(_.select((keyCols :+ lit(1).as("__arm")): _*)),
+        delKeys.map(_.select((keyCols :+ lit(2).as("__arm")): _*))) match {
+      case (Some(u), Some(d)) => u.unionByName(d)
+      case (Some(u), None)    => u
+      case (None, Some(d))    => d
+      case _                  => sys.error("unreachable")
+    }
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin, sum => fsum, when => fwhen}
+    val perKey = tagged.groupBy(keyCols: _*).agg(
+      fsum(fwhen(col("__arm") === 1, 1L).otherwise(0L)).as("__nu"),
+      fmax(col("__arm")).as("__ma"), fmin(col("__arm")).as("__mi"))
+    val pre = perKey.agg(
+      (fmax(col("__nu")) > 1L).as("__dup"),
+      fmax(col("__nu") > 0L && col("__ma") === 2).as("__both") +:
+        keys.flatMap(k => Seq(fmin(col(k)), fmax(col(k)))): _*).collect().head
+    if (!pre.isNullAt(0) && pre.getBoolean(0)) {
+      val dup = ups.get.groupBy(keyCols: _*).agg(count(lit(1)).as("n"))
         .filter(col("n") > 1).limit(1).collect()
       require(dup.isEmpty,
         s"updates are not unique on (${keys.mkString(", ")}): e.g. " +
           dup.headOption.map(_.toString).getOrElse(""))
     }
-    for (u <- ups; d <- delKeys) {
-      val both = u.select(keyCols: _*).join(d, keys, "left_semi")
-        .limit(1).collect()
+    if (!pre.isNullAt(1) && pre.getBoolean(1)) {
+      val both = ups.get.select(keyCols: _*)
+        .join(delKeys.get, keys, "left_semi").limit(1).collect()
       require(both.isEmpty,
         s"key matched by BOTH the update and delete arm (ambiguous): " +
           both.headOption.map(_.toString).getOrElse(""))
     }
 
-    // the matched keys' [min, max] per key column: prunes whole dirs
-    // via their stats sidecars AND row groups inside the surviving
-    // files via parquet's own min/max (the range predicate pushes to
-    // the scan) — the probe seeks instead of scanning
-    val range = keyRange(allKeys, keys)
+    // the matched keys' [min, max] per key column (folded into the
+    // preflight row above): prunes whole dirs via their stats sidecars
+    // AND row groups inside the surviving files via parquet's own
+    // min/max (the range predicate pushes to the scan) — the probe
+    // seeks instead of scanning
+    val rangeRow = org.apache.spark.sql.Row.fromSeq(
+      (0 until 2 * keys.size).map(i => pre.get(i + 2)))
+    val range = if (rangeRow.anyNull) None else Some(rangeRow)
     val candidates = bloomCandidateDirs(spark,
       statsCandidateDirs(spark, dirs, range, keys), allKeys, keys)
 

@@ -87,8 +87,13 @@ object ClusterIndex {
     * touched. A crashed run re-ingests the same `batchId`
     * idempotently (dynamic-partition overwrite + own-batch
     * exclusion). */
+  /** @param returnView false skips building (and pinning) the
+    *   returned per-batch view — for callers that only fold the batch
+    *   in and read assignments at the end ([[currentAssignments]]);
+    *   the frame returned in that mode is `pairs.limit(0)`-shaped and
+    *   must not be read. The index writes are identical either way. */
   def ingestBatch(pairs: DataFrame, indexDir: String, batchId: Int,
-                  buckets: Int = 4): DataFrame = {
+                  buckets: Int = 4, returnView: Boolean = true): DataFrame = {
     val spark = pairs.sparkSession
     val p = graft.util.CacheScope.track(
       pairs.select(col("a").cast("long").as("a"),
@@ -163,11 +168,14 @@ object ClusterIndex {
       // cid from both legs; distinct collapses it
       newRows.unionAll(relabeled).distinct())
 
-    val out = cur
-      .join(rows.withColumnRenamed("cid", "newcid"), Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("newcid"), col("cid")).as("canonical_id"))
-      .localCheckpoint()
+    val out =
+      if (!returnView) cur.limit(0)
+        .select(col("id"), col("cid").as("canonical_id"))
+      else cur
+        .join(rows.withColumnRenamed("cid", "newcid"), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("newcid"), col("cid")).as("canonical_id"))
+        .localCheckpoint()
     DedupIndex.writeIndexed(spark, rows, membersT, s"$indexDir/members",
       Seq("cid"), buckets, batchId)
     DedupIndex.writeIndexed(spark, rows, assignT, s"$indexDir/assign",

@@ -56,8 +56,78 @@ object DedupClusters {
     * deterministically once its successor is materialized
     * ([[freeCheckpoint]]).
     */
+  /** Edge count up to which components solve on the DRIVER — one
+    * bounded collect + union-find instead of the distributed label
+    * loop (which costs 2+ jobs PER ROUND; an incremental ingest's
+    * contracted graph is typically a few thousand edges, so the loop
+    * is pure fixed overhead for it). Identical output by
+    * construction: both compute min-id per component. Bounded: the
+    * collect is `limit(cap + 1)` — a graph past the cap (or with
+    * non-integral ids, whose driver ordering could diverge from
+    * Catalyst's) takes the distributed path unchanged. Tunable via
+    * `graft.cc.localEdgeCap` (0 disables). */
+  private def localEdgeCap(df: DataFrame): Int =
+    df.sparkSession.conf.get("graft.cc.localEdgeCap", "200000").toInt
+
+  /** Driver union-find over ≤cap edges: Some((id → min-of-component)
+    * as a DataFrame) or None when the graph exceeds the cap / ids are
+    * not integral. */
+  private def localLabels(pairs: DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType}
+    val cap = localEdgeCap(pairs)
+    if (cap <= 0) return None
+    val e = pairs.select(col("a"), col("b"))
+    val integral = e.schema.fields.forall(f => f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+    if (!integral) return None
+    val sample = e.limit(cap + 1).collect()
+    if (sample.length > cap) return None
+    def asL(v: Any): Long = v match {
+      case l: Long => l case i: Int => i.toLong
+      case s: Short => s.toLong case b: Byte => b.toLong
+    }
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    sample.foreach { row =>
+      if (!row.isNullAt(0) && !row.isNullAt(1)) {
+        val (ra, rb) = (find(asL(row.get(0))), find(asL(row.get(1))))
+        // link larger root under smaller: the root IS the component min
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+    }
+    val ids = sample.flatMap(r => Seq(0, 1).collect {
+      case i if !r.isNullAt(i) => asL(r.get(i)) }).distinct
+    val spark = pairs.sparkSession
+    val outT = e.schema.fields.head.dataType
+    def back(l: Long): Any = outT match {
+      case LongType => l case IntegerType => l.toInt
+      case ShortType => l.toShort case ByteType => l.toByte
+    }
+    val rows = ids.map(id => org.apache.spark.sql.Row(back(id), back(find(id))))
+    val schema = StructType(Seq(StructField("id", outT),
+      StructField("canonical_id", outT)))
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema))
+  }
+
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxRounds: Int = 20): DataFrame = {
+    localLabels(pairs) match {
+      case Some(labels) =>
+        return nodes.select(col("id"))
+          .join(labels, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("canonical_id"), col("id")).as("canonical_id"))
+      case None => ()
+    }
     val sym = pairs.select(col("a"), col("b"))
       .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
@@ -113,6 +183,16 @@ object DedupClusters {
     */
   def connectedComponentsStar(nodes: DataFrame, pairs: DataFrame,
                               maxRounds: Int = 40): DataFrame = {
+    // same bounded driver fast path as [[connectedComponents]] — both
+    // formulations output min-id per component, so they share it
+    localLabels(pairs) match {
+      case Some(labels) =>
+        return nodes.select(col("id"))
+          .join(labels, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("canonical_id"), col("id")).as("canonical_id"))
+      case None => ()
+    }
     def sym(e: DataFrame): DataFrame =
       e.select(col("a"), col("b"))
         .unionAll(e.select(col("b").as("a"), col("a").as("b")))
