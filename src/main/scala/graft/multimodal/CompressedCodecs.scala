@@ -733,14 +733,14 @@ object CompressedCodecs {
   def gifsFromDocuments(spark: SparkSession, docs: DataFrame)
     : Dataset[Multimodal.MediaRow] = {
     import spark.implicits._
-    docs.select("doc_id").as[Long]
+    Multimodal.spreadIds(spark, docs).select("doc_id").as[Long]
       .map(id => Multimodal.MediaRow(id, gifPixelBytes(id)))
   }
 
   def flacsFromDocuments(spark: SparkSession, docs: DataFrame)
     : Dataset[Multimodal.MediaRow] = {
     import spark.implicits._
-    docs.select("doc_id").as[Long]
+    Multimodal.spreadIds(spark, docs).select("doc_id").as[Long]
       .map(id => Multimodal.MediaRow(id, flacAudioBytes(id)))
   }
 

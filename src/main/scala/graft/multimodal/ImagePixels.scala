@@ -353,7 +353,7 @@ object ImagePixels {
   def imagesFromDocuments(spark: SparkSession, docs: DataFrame)
     : Dataset[Multimodal.MediaRow] = {
     import spark.implicits._
-    docs.select("doc_id").as[Long]
+    Multimodal.spreadIds(spark, docs).select("doc_id").as[Long]
       .map(id => Multimodal.MediaRow(id, imagePayload(id)))
   }
 

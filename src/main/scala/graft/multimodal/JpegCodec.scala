@@ -848,7 +848,7 @@ object JpegCodec {
   def jpegsFromDocuments(spark: SparkSession, docs: DataFrame)
     : Dataset[Multimodal.MediaRow] = {
     import spark.implicits._
-    docs.select("doc_id").as[Long]
+    Multimodal.spreadIds(spark, docs).select("doc_id").as[Long]
       .map(id => Multimodal.MediaRow(id, jpegGrayBytes(id)))
   }
 
@@ -872,7 +872,7 @@ object JpegCodec {
   def colorJpegsFromDocuments(spark: SparkSession, docs: DataFrame)
     : Dataset[Multimodal.MediaRow] = {
     import spark.implicits._
-    docs.select("doc_id").as[Long]
+    Multimodal.spreadIds(spark, docs).select("doc_id").as[Long]
       .map(id => Multimodal.MediaRow(id, jpegColorBytes(id)))
   }
 
@@ -899,7 +899,7 @@ object JpegCodec {
   def progressiveFromDocuments(spark: SparkSession, docs: DataFrame)
     : Dataset[Multimodal.MediaRow] = {
     import spark.implicits._
-    docs.select("doc_id").as[Long]
+    Multimodal.spreadIds(spark, docs).select("doc_id").as[Long]
       .map(id => Multimodal.MediaRow(id, jpegProgressiveBytes(id)))
   }
 }

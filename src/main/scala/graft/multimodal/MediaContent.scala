@@ -186,7 +186,7 @@ object MediaContent {
   def videosFromDocuments(spark: SparkSession, docs: DataFrame)
     : Dataset[Multimodal.MediaRow] = {
     import spark.implicits._
-    docs.select("doc_id").as[Long]
+    Multimodal.spreadIds(spark, docs).select("doc_id").as[Long]
       .map(id => Multimodal.MediaRow(id, aviPixelBytes(id)))
   }
 
@@ -295,7 +295,7 @@ object MediaContent {
   def audioFromDocuments(spark: SparkSession, docs: DataFrame)
     : Dataset[Multimodal.MediaRow] = {
     import spark.implicits._
-    docs.select("doc_id").as[Long]
+    Multimodal.spreadIds(spark, docs).select("doc_id").as[Long]
       .map(id => Multimodal.MediaRow(id, wavPcmBytes(id)))
   }
 

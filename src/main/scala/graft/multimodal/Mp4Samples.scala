@@ -242,7 +242,7 @@ object Mp4Samples {
   def mp4sFromDocuments(spark: SparkSession, docs: DataFrame)
     : Dataset[Multimodal.MediaRow] = {
     import spark.implicits._
-    docs.select("doc_id").as[Long]
+    Multimodal.spreadIds(spark, docs).select("doc_id").as[Long]
       .map(id => Multimodal.MediaRow(id, mp4SampleBytes(id)))
   }
 

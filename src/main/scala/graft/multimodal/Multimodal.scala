@@ -573,9 +573,20 @@ object Multimodal {
 
   /** Wrap a string-keyed table as media rows (payload = UTF-8 bytes) —
     * the testdata stand-in for a real blob store read. */
+  /** Spread a doc-id frame across the session BEFORE a heavy per-row
+    * render/decode map: the id-only column scan of a small parquet is
+    * a single input split, so without this every downstream codec leg
+    * runs on ONE task (guide §2.5 input skew — repartition right
+    * after the read). One tiny shuffle of ids, deterministic hash
+    * partitioning; the codec work it unlocks is orders of magnitude
+    * heavier per row. */
+  private[graft] def spreadIds(spark: SparkSession,
+                               docs: DataFrame): DataFrame =
+    docs.repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+
   def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(col("doc_id").as("id"),
+    spreadIds(spark, docs).select(col("doc_id").as("id"),
       encode(col("text"), "UTF-8").as("payload")).as[MediaRow]
   }
 

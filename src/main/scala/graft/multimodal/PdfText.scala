@@ -277,7 +277,7 @@ object PdfText {
   def pdfsFromDocuments(spark: SparkSession, docs: DataFrame)
     : Dataset[Multimodal.MediaRow] = {
     import spark.implicits._
-    docs.select("doc_id", "text").as[(Long, String)]
+    Multimodal.spreadIds(spark, docs).select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) =>
         Multimodal.MediaRow(id, pdfBytes(id, text.split(" "))) }
   }

@@ -293,9 +293,15 @@ object Embeddings {
       val scored = q.join(broadcast(cents))
         .select(col("vid"), col("v"), col("cl"),
           (dist2n2.cast("double") / (col("n") * col("n"))).as("d2"))
-      val w = Window.partitionBy("vid").orderBy(col("d2").asc, col("cl").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") === 1).select("vid", "v", "cl")
+      // argmin by (d2, cl) as ONE aggregation instead of a
+      // row_number window: min_by's lexicographic struct ordering is
+      // the window's (d2 asc, cl asc) rank-1 exactly, and the agg
+      // does partial map-side combining where the window shuffles
+      // every scored row and sorts (guide §2.3) — per iteration the
+      // k-way scored explosion collapses before the exchange
+      scored.groupBy(col("vid")).agg(min_by(struct(col("v"), col("cl")),
+          struct(col("d2"), col("cl"))).as("m"))
+        .select(col("vid"), col("m.v").as("v"), col("m.cl").as("cl"))
     }
     var assigned = assign(seeds)
     for (_ <- 2 to iters) {

@@ -69,9 +69,12 @@ object DupSpans {
   def profile(docs: DataFrame, textCol: Column, k: Int,
       minOccurrences: Int = 2): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // the window-hash explode runs at the scan's split count without
+    // this; no-op on wide inputs (guide §2.5)
+    val spreadDocs = graft.util.Spread.wide(docs, col("doc_id"))
     // windows at p' and p overlap-or-adjoin iff p - p' <= k, so a gap
     // > k starts a new maximal span (gaps-and-islands)
-    val islands = coveredPositions(docs, textCol, k, minOccurrences)
+    val islands = coveredPositions(spreadDocs, textCol, k, minOccurrences)
       .withColumn("prev", lag("pos", 1).over(byDoc))
       .withColumn("island", sum(
         when(col("prev").isNull || col("pos") - col("prev") > k, 1L)

@@ -125,7 +125,12 @@ object MinHash {
     // cover these self-join sides (verified on the executed plans), so
     // without caching the shingle explode runs 4× and the signature
     // aggregation 2×. At cluster scale these become checkpoints.
-    val sh    = graft.util.CacheScope.track(shingles(docs, idCol, textCol, k))
+    // Spread.wide: the shingle+md5 leg is the CPU wall of the whole
+    // pipeline and otherwise runs at the scan's split count (ONE task
+    // on a single-row-group input); no-op when the scan is already
+    // wide (guide §2.5).
+    val sh    = graft.util.CacheScope.track(
+      shingles(graft.util.Spread.wide(docs, col(idCol)), idCol, textCol, k))
     val sig   = graft.util.CacheScope.track(signatures(sh, idCol, numHashes))
     val cand  = candidatePairs(sig, idCol, numHashes, rowsPerBand)
     exactJaccard(cand, sh, idCol).filter(col("jaccard") >= threshold)

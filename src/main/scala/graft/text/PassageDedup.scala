@@ -44,7 +44,9 @@ object PassageDedup {
     * with `n_kept = 0` and empty text — the takedown signal, not a
     * silent disappearance. */
   def dedup(docs: DataFrame, textCol: Column, k: Int): DataFrame = {
-    val p = passages(docs, textCol, k)
+    // passage explode + md5 runs at the scan's split count without
+    // this; no-op on wide inputs (guide §2.5)
+    val p = passages(graft.util.Spread.wide(docs, col("doc_id")), textCol, k)
     // first global occurrence wins; the digest is the shuffle key and
     // the tie-break (doc_id, pidx) makes the winner deterministic
     val w = Window.partitionBy("h").orderBy("doc_id", "pidx")

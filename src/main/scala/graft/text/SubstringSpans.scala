@@ -38,7 +38,10 @@ object SubstringSpans {
   def spans(docs: DataFrame, idCol: String, tokensCol: String,
             k: Int = 8, maxDf: Int = 16, minTokens: Int = 16): DataFrame = {
     val w = col(tokensCol)
-    val anchors = docs
+    // the anchor-hash explode (k md5s per token) is the CPU wall and
+    // runs at the scan's split count without this; no-op on wide
+    // inputs (guide §2.5)
+    val anchors = graft.util.Spread.wide(docs, col(idCol))
       .select(col(idCol), posexplode(
         when(size(w) >= k,
           transform(sequence(lit(0), size(w) - k),
