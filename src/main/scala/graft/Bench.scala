@@ -9,6 +9,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // cached plans keep AQE partition coalescing (default false
+      // keeps a cache's partitioning stable for positional reuse,
+      // which nothing here relies on): without it every persisted
+      // batch-sized frame materializes at full shuffle-partition
+      // count and every consumer pays a tiny-task storm; with it the
+      // cache takes AQE's advisory-size output at any scale
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

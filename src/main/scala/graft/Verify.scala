@@ -21,6 +21,14 @@ object Verify {
       // invalid casts yield NULL, not errors. Oracle SQL uses TRY_CAST
       // to express the same semantics on the DuckDB side.
       .config("spark.sql.ansi.enabled", "false")
+      // cached plans keep AQE partition coalescing (default false
+      // keeps a cache's partitioning stable for positional reuse,
+      // which nothing here relies on): without it every persisted
+      // batch-sized frame materializes at full shuffle-partition
+      // count and every consumer pays a tiny-task storm; with it the
+      // cache takes AQE's advisory-size output at any scale
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

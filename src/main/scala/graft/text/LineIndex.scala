@@ -53,7 +53,10 @@ object LineIndex {
                   indexDir: String, batchId: Int,
                   buckets: Int = 4): DataFrame = {
     val spark = docs.sparkSession
-    val lines = docs.select(col(idCol).as("doc_id"),
+    // line explode + md5 runs at the input's split count without
+    // this; no-op on wide batches (guide §2.5)
+    val lines = graft.util.Spread.wide(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), "\n")))
       .toDF("doc_id", "ix", "line")
       .select(col("doc_id"), col("ix").cast("long").as("ix"),

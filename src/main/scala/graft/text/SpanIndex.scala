@@ -79,7 +79,11 @@ object SpanIndex {
                   buckets: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     val w = col(tokensCol)
-    val newAnchors = graft.util.CacheScope.track(docs
+    // the anchor-hash explode (k md5s per token) is the batch's CPU
+    // wall and otherwise runs at the input's split count; no-op when
+    // the batch already arrives wide (guide §2.5)
+    val newAnchors = graft.util.CacheScope.track(
+      graft.util.Spread.wide(docs, col(idCol))
       .select(col(idCol).as("doc_id"), posexplode(
         when(size(w) >= k,
           transform(sequence(lit(0), size(w) - k),
